@@ -1,0 +1,166 @@
+"""As-of and interval joins (SURVEY.md §2B Q18-Q19).
+
+Spark has no native ASOF JOIN. The scalable formulation used here is the
+union-sort one: tag both inputs, union, hash-partition by the equi key,
+sort each partition by (ts, side), and carry the most recent right-side
+row forward with ``last(..., ignorenulls=True)``. Cost: ONE shuffle of
+left+right (same as any equi-join), no range cross-product, no skew
+amplification beyond the key's own skew — this survives a 100× scale-up
+where the naive range-join (equi key + ts<=t predicate, then argmax)
+materializes every (left, right-candidate) pair first.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.right_ts <= left.left_ts`` and equal ``on`` keys (backward
+    as-of, inclusive). ``right_cols`` are the right columns to carry
+    (renamed ``asof_<col>``); ``asof_ts`` carries the matched timestamp.
+
+    ``tolerance``: optional SQL interval string (e.g. ``'1 hour'``) —
+    matches older than ``left_ts - tolerance`` are nulled out.
+    ``tiebreak``: optional right column; when several right rows share a
+    timestamp, the one with the greatest tiebreak value wins
+    (deterministic results under ts collisions).
+    """
+    on = list(on)
+    carried = [c for c in right_cols if c not in on and c != right_ts]
+
+    lhs = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
+        "__side", F.lit(1)
+    )
+    # At equal timestamps the right row must sort BEFORE the left row so
+    # the match is inclusive → side 0 for right.
+    rhs = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+    )
+    lhs_cols = [c for c in lhs.columns if not c.startswith("__")]
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if tiebreak is not None:
+        # Orders right rows with equal ts among themselves; left rows are
+        # already after them via __side, so nulls here are harmless.
+        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "asof_ts", F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
+    )
+    for c in carried:
+        filled = filled.withColumn(
+            f"asof_{c}",
+            F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True).over(w),
+        )
+
+    out = filled.filter(F.col("__side") == 1).select(
+        *lhs_cols, "asof_ts", *[f"asof_{c}" for c in carried]
+    )
+    if tolerance is not None:
+        too_old = F.col("asof_ts") < F.col(left_ts).cast("timestamp") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.select(
+            *lhs_cols,
+            F.when(too_old, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
+            *[
+                F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in carried
+            ],
+        )
+    return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Rows whose [start,end] intervals overlap (closed), with equal keys.
+
+    With an equi key this is a plain hash join plus residual range
+    predicates — Catalyst evaluates the residual after the hash match, so
+    there is no cross-product. Only key-skew matters (AQE skew-join
+    handles it).
+    """
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (left[left_start] <= right[right_end])
+        & (right[right_start] <= left[left_end])
+    )
+    return left.join(right, cond, "inner")
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Interval overlap WITHOUT an equi key: time-bucketize both sides so
+    the join becomes an equi-join on the bucket id plus residual range
+    predicates.
+
+    Each interval explodes into the buckets it touches
+    (``sequence(floor(start), floor(end))``); overlapping pairs share at
+    least one bucket. ``dropDuplicates`` removes multi-bucket double
+    matches. This is the 100 TB-safe plan for range joins: shuffle is
+    O(rows × avg buckets per interval), never O(n²).
+    """
+    def bucketize(df: DataFrame, start: str, end: str, prefix: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.window(F.col(start), bucket)["start"],
+                    F.window(F.col(end), bucket)["start"],
+                    F.expr(f"INTERVAL {bucket}"),
+                )
+            ),
+        )
+
+    lb = bucketize(left, left_start, left_end, "l")
+    rb = bucketize(right, right_start, right_end, "r").withColumnRenamed(
+        "__bucket", "__rbucket"
+    )
+    joined = lb.join(
+        rb,
+        (lb["__bucket"] == rb["__rbucket"])
+        & (lb[left_start] <= rb[right_end])
+        & (rb[right_start] <= lb[left_end]),
+        "inner",
+    ).drop("__bucket", "__rbucket")
+    return joined.dropDuplicates()

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: these configs are the local-mode projection of the
+settings we would run on a 1000-executor cluster against ~100 TB —
+AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized to the parallelism at hand,
+UTC session time so results are byte-comparable across engines, and
+Arrow for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "parquet-on-fhir-spark") -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+        # ones, convert sort-merge joins to broadcast when a side turns out
+        # small. Essential at 100 TB, free at sf0.01.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local: ~1 shuffle partition per core. On a cluster this would be
+        # sized to (input bytes / 128MB) and then AQE-coalesced.
+        .config(
+            "spark.sql.shuffle.partitions",
+            cpus if cpus not in ("*", "") else str(os.cpu_count() or 8),
+        )
+        # Deterministic timestamps vs the DuckDB oracle (naive-UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas UDF / toPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC (idempotent, runtime-settable).
+
+    Called at the top of every query so results are comparable with the
+    DuckDB oracle regardless of who built the session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

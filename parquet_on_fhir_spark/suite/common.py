@@ -1,0 +1,67 @@
+"""Shared helpers for the query suite.
+
+Oracle-comparison discipline (driver hashes row values order-insensitively
+after sorting columns by name — /root/repo/__spark_entry__.py docstring):
+
+- Output columns restricted to STRING / INT / BIGINT / DOUBLE / BOOLEAN.
+  Timestamps are rendered with :func:`ts_str` on the Spark side and
+  ``strftime`` on the DuckDB side; dates with ``yyyy-MM-dd``.
+- Every computed column is aliased identically in Spark and SQL.
+- DOUBLE aggregates are rounded (2-6 dp) to absorb floating summation
+  order, which legitimately differs between engines and between runs of
+  a distributed plan.
+- Rankings/limits always order by a unique key suffix so top-k sets are
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.api import load_table
+from parquet_on_fhir_spark.session import utc
+
+
+@dataclass(frozen=True)
+class Q:
+    """One SURVEY §2 operator: a Spark implementation and (when the
+    semantics are ANSI-SQL-expressible) a DuckDB oracle query."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None  # None → driver records rows-only check
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    utc(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def ts_str(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """Timestamp → string, matching DuckDB ``strftime(c, '%Y-%m-%d %H:%M:%S')``."""
+    return F.date_format(col, fmt)
+
+
+def d2(col: Column) -> Column:
+    """Round-2 for money SUMS only: sums of 2-decimal values are exact
+    multiples of 0.01, never near a rounding boundary, so plain round is
+    engine-stable."""
+    return F.round(col, 2)
+
+
+def d4(col: Column) -> Column:
+    """Round-4 for DIVISIONS/aggregates (avg, stddev, corr, ratios…).
+
+    Adds a 1e-9 epsilon first (mirrored as ``round(x + 1e-9, 4)`` in every
+    oracle): exact decimal quotients like avg-of-2 = x.xx5 land precisely
+    on the round-half boundary, where Spark (BigDecimal HALF_UP on the
+    binary value) and DuckDB (multiply-then-std::round) disagree. The
+    epsilon pushes ties strictly above the boundary in both engines; it is
+    ~10× larger than double noise at these magnitudes and 5000× smaller
+    than the rounding step.
+    """
+    return F.round(col + F.lit(1e-9), 4)

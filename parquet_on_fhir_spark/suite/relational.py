@@ -1,0 +1,860 @@
+"""Relational core queries (SURVEY.md §2B Q1-Q29, Q34-Q40).
+
+Each entry implements one operator Spark-first and, where ANSI-SQL
+expressible, carries a DuckDB oracle string with identically-aliased
+columns (driver contract in /root/repo/__spark_entry__.py).
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+pushes down — written against the 100 TB target, verified on the local
+test data.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.operators.joins import as_of_join
+from parquet_on_fhir_spark.suite.common import Q, d2, d4, t, ts_str
+
+EVENT_TS_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+EVENT_TS_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --- flagship (entry): shipping-priority — scan×3, 2 joins, agg, top-k ----
+def flagship(spark, sf_dir):
+    """Customer ⋈ orders ⋈ lineitem, filter, groupBy-agg, ordered top-10.
+
+    Plan shape at scale: segment filter pushed into the customer scan;
+    customer→orders join shuffles on custkey; orders→lineitem on orderkey;
+    partial aggregation map-side; TakeOrderedAndProject for the limit (no
+    global sort materialization).
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(o["o_orderdate"] < F.lit("1998-07-01").cast("timestamp"))
+        .join(l, F.col("l_orderkey") == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(d2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            ts_str("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- Q1: parquet scan with projection + predicate pushdown ---------------
+def q01(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.select("l_orderkey", "l_linenumber", "l_quantity").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_quantity") < 10)
+    )
+
+
+Q01_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 10
+"""
+
+
+# --- Q2: schema-merged multi-file scan (spec merge, README.md:20-22) ------
+def q02(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    base = tempfile.mkdtemp(prefix="pofs_merge_")
+    r.select("r_regionkey", "r_name").write.mode("overwrite").parquet(f"{base}/a")
+    r.select(
+        "r_regionkey", F.upper("r_name").alias("r_name_upper")
+    ).write.mode("overwrite").parquet(f"{base}/b")
+    return spark.read.option("mergeSchema", "true").parquet(f"{base}/a", f"{base}/b")
+
+
+Q02_ORACLE = """
+SELECT r_regionkey, r_name, NULL AS r_name_upper FROM region
+UNION ALL BY NAME
+SELECT r_regionkey, NULL AS r_name, upper(r_name) AS r_name_upper FROM region
+"""
+
+
+# --- Q3: NDJSON source with explicit schema -------------------------------
+def q03(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="pofs_ndjson_")
+    n.write.mode("overwrite").json(base)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return spark.read.schema(schema).json(base).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+Q03_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+# --- Q4: CSV source --------------------------------------------------------
+def q04(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    base = tempfile.mkdtemp(prefix="pofs_csv_")
+    r.write.mode("overwrite").option("header", "true").csv(base)
+    schema = "r_regionkey INT, r_name STRING"
+    return spark.read.option("header", "true").schema(schema).csv(base)
+
+
+Q04_ORACLE = "SELECT r_regionkey, r_name FROM region"
+
+
+# --- Q5: parquet sink (snappy; round-trips values) ------------------------
+def q05(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), d2(F.sum("l_extendedprice")).alias("total")
+    )
+    base = tempfile.mkdtemp(prefix="pofs_sink_")
+    agg.write.mode("overwrite").option("compression", "snappy").parquet(base)
+    return spark.read.parquet(base)
+
+
+Q05_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q6: partitioned sink (hive-style dirs; partition pruning on read) ----
+def q06(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="pofs_part_")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    back = spark.read.parquet(base)
+    # partition-pruned read: only the 'F' directory is scanned
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), d2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+Q06_ORACLE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+"""
+
+
+# --- Q7: projection incl. nested struct/array access ----------------------
+def q07(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    nested = d.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        F.split("text", " ").alias("tokens"),
+    )
+    return nested.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("tokens")[0].alias("first_token"),
+    )
+
+
+Q07_ORACLE = """
+SELECT doc_id, lang, source, string_split(text, ' ')[1] AS first_token FROM documents
+"""
+
+
+# --- Q8: comparison/boolean predicate filters ------------------------------
+def q08(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.filter(
+        ((F.col("c_acctbal") > 5000) & (F.col("c_mktsegment") == "BUILDING"))
+        | (F.col("c_acctbal") < 0)
+    ).select("c_custkey", "c_mktsegment", d2(F.col("c_acctbal")).alias("acctbal"))
+
+
+Q08_ORACLE = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal FROM customer
+WHERE (c_acctbal > 5000 AND c_mktsegment = 'BUILDING') OR c_acctbal < 0
+"""
+
+
+# --- Q9: IN / BETWEEN / LIKE / IS NULL -------------------------------------
+def q09(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+Q09_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+WHERE o_orderstatus IN ('F', 'P') AND o_totalprice BETWEEN 1000 AND 50000
+  AND o_orderpriority LIKE '%URGENT%' AND o_custkey IS NOT NULL
+"""
+
+
+# --- Q10: conditional expressions ------------------------------------------
+def q10(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(bldg)")).alias(
+            "segment_or_default"
+        ),
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS segment_or_default
+FROM customer
+"""
+
+
+# --- Q11: distinct projection ----------------------------------------------
+def q11(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+Q11_ORACLE = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+# --- Q12: 3-way inner equi-join + agg --------------------------------------
+def q12(spark, sf_dir):
+    """customer ⋈ nation ⋈ region. nation/region are tiny at every scale
+    factor → Catalyst broadcasts them; the only shuffle is the final agg."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), d4(F.avg("c_acctbal")).alias("avg_bal"))
+    )
+
+
+Q12_ORACLE = """
+SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal) + 1e-9, 4) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- Q13: left outer join ---------------------------------------------------
+def q13(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            d2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+
+
+Q13_ORACLE = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# --- Q13b: full outer join ---------------------------------------------------
+def q13_full(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    per_nation = s.groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
+    return (
+        per_nation.join(n, per_nation["s_nationkey"] == n["n_nationkey"], "full")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+Q13_FULL_ORACLE = """
+SELECT n_name, CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --- Q14: left-semi / left-anti ---------------------------------------------
+def q14(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    anti = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", F.lit("no_orders").alias("tag"))
+    )
+    semi = (
+        c.filter(F.col("c_acctbal") < 0)
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey", F.lit("neg_with_orders").alias("tag"))
+    )
+    return anti.unionAll(semi)
+
+
+Q14_ORACLE = """
+SELECT c_custkey, 'no_orders' AS tag FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'neg_with_orders' AS tag FROM customer c
+WHERE c_acctbal < 0 AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --- Q15: explicit broadcast hash join --------------------------------------
+def q15(spark, sf_dir):
+    """Fact ⋈ broadcast(dim): no shuffle of lineitem for the join — the
+    100 TB-critical pattern (part fits on every executor)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), d2(F.sum("l_quantity")).alias("total_qty"))
+    )
+
+
+Q15_ORACLE = """
+SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+"""
+
+
+# --- Q16: theta / non-equi range join ----------------------------------------
+def q16(spark, sf_dir):
+    """Equi component (nationkey) keeps this a hash join with a residual
+    range predicate — never a cross-product."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s["s_nationkey"] == c["c_nationkey"]) & (s["s_acctbal"] > c["c_acctbal"]),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_poorer_customers"))
+    )
+
+
+Q16_ORACLE = """
+SELECT s_suppkey, count(*) AS n_poorer_customers
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+GROUP BY s_suppkey
+"""
+
+
+# --- Q17: cross join ----------------------------------------------------------
+def q17(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    o = t(spark, sf_dir, "orders")
+    statuses = o.select("o_orderstatus").distinct()
+    return r.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+Q17_ORACLE = """
+SELECT r_name, o_orderstatus FROM region
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+"""
+
+
+# --- Q18: as-of join (funnel: last view before each purchase) -----------------
+def q18(spark, sf_dir):
+    """Uses the union-sort as-of operator (operators/joins.py): ONE shuffle
+    on user_id, no range cross-product — scale-safe vs the naive
+    join-then-argmax plan."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    res = as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        ts_str("ts", EVENT_TS_SPARK).alias("purchase_ts"),
+        ts_str("asof_ts", EVENT_TS_SPARK).alias("view_ts"),
+        F.col("asof_event_id").alias("view_event_id"),
+        d4(F.col("asof_value")).alias("view_value"),
+    )
+
+
+Q18_ORACLE = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, v.ts AS vts, v.event_id AS vid, v.value AS vval,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '{EVENT_TS_DUCK}') AS purchase_ts,
+       strftime(vts, '{EVENT_TS_DUCK}') AS view_ts,
+       vid AS view_event_id, round(vval + 1e-9, 4) AS view_value
+FROM j WHERE rn = 1
+"""
+
+
+# --- Q19: interval-overlap join ------------------------------------------------
+def q19(spark, sf_dir):
+    """Clicks within ±1h of each error, same user: equi key + residual
+    range predicates (hash join, no cross-product)."""
+    e = t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    joined = errors.join(
+        clicks,
+        (errors["user_id"] == clicks["c_user_id"])
+        & (clicks["c_ts"] >= errors["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (clicks["c_ts"] <= errors["ts"] + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("c_event_id").alias("n_clicks_1h"))
+
+
+Q19_ORACLE = """
+SELECT e.event_id, count(c.event_id) AS n_clicks_1h
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts + INTERVAL 1 HOUR
+GROUP BY e.event_id
+"""
+
+
+# --- Q20: self-join --------------------------------------------------------------
+def q20(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    l1 = l.select("l_orderkey", "l_linenumber")
+    l2 = l.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_linenumber").alias("r_linenumber")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["r_orderkey"])
+            & (l1["l_linenumber"] < l2["r_linenumber"]),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+Q20_ORACLE = """
+SELECT l1.l_orderkey, count(*) AS n_pairs
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+GROUP BY l1.l_orderkey
+"""
+
+
+# --- Q21: TPC-H Q1 pricing summary (hash aggregate, 8 aggs) ----------------------
+def q21(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            d2(F.sum("l_quantity")).alias("sum_qty"),
+            d2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            d2(F.sum(disc_price)).alias("sum_disc_price"),
+            d2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            d4(F.avg("l_quantity")).alias("avg_qty"),
+            d4(F.avg("l_extendedprice")).alias("avg_price"),
+            d4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q21_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+       round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q22: distinct aggregates ------------------------------------------------------
+def q22(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q22_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- Q23: approx count-distinct (HLL) — approximate, rows-only check ----------------
+def q23(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+# --- Q24: rollup + grouping id --------------------------------------------------------
+def q24(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            d2(F.sum("o_totalprice")).alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+Q24_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+# --- Q25: statistical aggregates --------------------------------------------------------
+def q25(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        d4(F.stddev("l_quantity")).alias("sd_qty"),
+        d4(F.var_samp("l_quantity")).alias("var_qty"),
+        d4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        d4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+    )
+
+
+Q25_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity) + 1e-9, 4) AS sd_qty,
+       round(var_samp(l_quantity) + 1e-9, 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- Q26: exact median -------------------------------------------------------------------
+def q26(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(d4(F.median("l_quantity")).alias("median_qty"))
+
+
+Q26_ORACLE = """
+SELECT l_returnflag, round(median(l_quantity) + 1e-9, 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- Q27: min_by/max_by + ordered collect ---------------------------------------------------
+def q27(spark, sf_dir):
+    """max_by with a struct ordering key → deterministic argmax even under
+    acctbal ties; collect_list is sorted+sliced so the value is order-free."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        d2(F.max("c_acctbal")).alias("max_bal"),
+        F.max_by("c_custkey", F.struct("c_acctbal", "c_custkey")).alias("rich_custkey"),
+        F.min_by("c_custkey", F.struct("c_acctbal", "c_custkey")).alias("poor_custkey"),
+        F.array_join(F.slice(F.sort_array(F.collect_list("c_name")), 1, 3), "|").alias(
+            "first_names"
+        ),
+    )
+
+
+Q27_ORACLE = """
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal, c_custkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+  FROM customer
+)
+SELECT c_nationkey, round(max(c_acctbal), 2) AS max_bal,
+       max(CASE WHEN rmax = 1 THEN c_custkey END) AS rich_custkey,
+       max(CASE WHEN rmin = 1 THEN c_custkey END) AS poor_custkey,
+       array_to_string(list_sort(list(c_name))[1:3], '|') AS first_names
+FROM ranked GROUP BY c_nationkey
+"""
+
+
+# --- Q28: global (no-key) aggregate ------------------------------------------------------------
+def q28(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        d2(F.sum("l_extendedprice")).alias("total_price"),
+        d4(F.avg("l_discount")).alias("avg_disc"),
+        d2(F.min("l_quantity")).alias("min_qty"),
+        d2(F.max("l_quantity")).alias("max_qty"),
+    )
+
+
+Q28_ORACLE = """
+SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,
+       round(sum(l_extendedprice), 2) AS total_price,
+       round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+       round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty
+FROM lineitem
+"""
+
+
+# --- Q29: pivot ---------------------------------------------------------------------------------
+def q29(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(d2(F.sum("o_totalprice")))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+Q29_ORACLE = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- Q34: global multi-key sort (hash is order-insensitive; exercises the sort plan) -------------
+def q34(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.orderBy(
+        F.col("c_mktsegment").asc_nulls_last(), F.col("c_acctbal").desc(), "c_custkey"
+    ).select("c_custkey", "c_mktsegment", d2(F.col("c_acctbal")).alias("acctbal"))
+
+
+Q34_ORACLE = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal FROM customer
+"""
+
+
+# --- Q35: top-k limit (TakeOrderedAndProject) ------------------------------------------------------
+def q35(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", d2(F.col("o_totalprice")).alias("price"))
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q35_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+ORDER BY price DESC, o_orderkey LIMIT 20
+"""
+
+
+# --- Q36: partition-local sort (no global shuffle) — rows-only ------------------------------------
+def q36(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+# --- Q37: union all / union distinct ----------------------------------------------------------------
+def q37(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.unionAll(b)
+
+
+Q37_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+"""
+
+
+def q37_distinct(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+Q37_DISTINCT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+"""
+
+
+# --- Q38: union by name with missing columns (spec schema merge, README.md:20-22) --------------------
+def q38(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", d2(F.col("c_acctbal")).alias("acctbal")
+    )
+    b = c.filter(F.col("c_custkey") > 100).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+Q38_ORACLE = """
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal, NULL AS c_mktsegment
+FROM customer WHERE c_custkey <= 100
+UNION ALL BY NAME
+SELECT c_custkey, NULL AS acctbal, c_mktsegment FROM customer WHERE c_custkey > 100
+"""
+
+
+# --- Q39: intersect -----------------------------------------------------------------------------------
+def q39(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordering = o.select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(ordering)
+
+
+Q39_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+# --- Q40: except all ------------------------------------------------------------------------------------
+def q40(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    all_keys = c.select("c_custkey")
+    ordering = o.select(F.col("o_custkey").alias("c_custkey"))
+    return all_keys.exceptAll(ordering)
+
+
+Q40_ORACLE = """
+SELECT c_custkey FROM customer
+EXCEPT ALL
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+QUERIES = [
+    Q("q00_flagship_shipping_priority", flagship, FLAGSHIP_ORACLE),
+    Q("q01_parquet_scan_pushdown", q01, Q01_ORACLE),
+    Q("q02_schema_merged_scan", q02, Q02_ORACLE),
+    Q("q03_ndjson_source", q03, Q03_ORACLE),
+    Q("q04_csv_source", q04, Q04_ORACLE),
+    Q("q05_parquet_sink_roundtrip", q05, Q05_ORACLE),
+    Q("q06_partitioned_sink", q06, Q06_ORACLE),
+    Q("q07_nested_projection", q07, Q07_ORACLE),
+    Q("q08_filter_predicates", q08, Q08_ORACLE),
+    Q("q09_in_between_like", q09, Q09_ORACLE),
+    Q("q10_conditional_expr", q10, Q10_ORACLE),
+    Q("q11_distinct", q11, Q11_ORACLE),
+    Q("q12_join_inner_3way", q12, Q12_ORACLE),
+    Q("q13_join_left_outer", q13, Q13_ORACLE),
+    Q("q13b_join_full_outer", q13_full, Q13_FULL_ORACLE),
+    Q("q14_join_semi_anti", q14, Q14_ORACLE),
+    Q("q15_join_broadcast", q15, Q15_ORACLE),
+    Q("q16_join_theta_range", q16, Q16_ORACLE),
+    Q("q17_join_cross", q17, Q17_ORACLE),
+    Q("q18_join_asof", q18, Q18_ORACLE),
+    Q("q19_join_interval_overlap", q19, Q19_ORACLE),
+    Q("q20_join_self", q20, Q20_ORACLE),
+    Q("q21_agg_tpch_q1", q21, Q21_ORACLE),
+    Q("q22_agg_distinct", q22, Q22_ORACLE),
+    Q("q23_agg_approx_distinct", q23, None),
+    Q("q24_agg_rollup_grouping", q24, Q24_ORACLE),
+    Q("q25_agg_stats", q25, Q25_ORACLE),
+    Q("q26_agg_median", q26, Q26_ORACLE),
+    Q("q27_agg_minby_maxby_collect", q27, Q27_ORACLE),
+    Q("q28_agg_global", q28, Q28_ORACLE),
+    Q("q29_pivot", q29, Q29_ORACLE),
+    Q("q34_sort_multikey", q34, Q34_ORACLE),
+    Q("q35_limit_topk", q35, Q35_ORACLE),
+    Q("q36_sort_within_partitions", q36, None),
+    Q("q37_union_all", q37, Q37_ORACLE),
+    Q("q37b_union_distinct", q37_distinct, Q37_DISTINCT_ORACLE),
+    Q("q38_union_by_name", q38, Q38_ORACLE),
+    Q("q39_intersect", q39, Q39_ORACLE),
+    Q("q40_except_all", q40, Q40_ORACLE),
+]

@@ -1,0 +1,129 @@
+"""Local mimic of the driver's correctness gate: run every declared
+query on Spark AND its DuckDB oracle, compare row-count + schema-width +
+order-insensitive value-hash. Usage:
+
+    python tools/selfcheck.py [sf_dir] [name-substring ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from parquet_on_fhir_spark.api import TABLES  # noqa: E402
+from parquet_on_fhir_spark.session import get_session  # noqa: E402
+from parquet_on_fhir_spark.suite import all_queries  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        # driver-style normalization: repr of a rounded float
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_session("selfcheck")
+
+    specs = all_queries()
+    if filters:
+        specs = [q for q in specs if any(f in q.name for f in filters)]
+
+    n_pass = n_fail = n_rows_only = 0
+    for q in specs:
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            if q.oracle is None:
+                n_rows_only += 1
+                print(f"ROWSONLY {q.name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+                continue
+            cur = con.execute(q.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            problems = []
+            if len(srows) != len(orows):
+                problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+            if sorted(scols) != sorted(ocols):
+                problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+            if not problems:
+                sh = table_hash(scols, [tuple(r) for r in srows])
+                oh = table_hash(ocols, orows)
+                if sh != oh:
+                    problems.append("value-hash mismatch")
+                    # show a sample diff
+                    sset = {
+                        "\x01".join(
+                            norm_cell(r[i])
+                            for i in sorted(range(len(scols)), key=lambda i: scols[i])
+                        )
+                        for r in [tuple(x) for x in srows]
+                    }
+                    oset = {
+                        "\x01".join(
+                            norm_cell(r[i])
+                            for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
+                        )
+                        for r in orows
+                    }
+                    only_s = list(sset - oset)[:2]
+                    only_o = list(oset - sset)[:2]
+                    for x in only_s:
+                        problems.append(f"  spark-only: {x[:200]}")
+                    for x in only_o:
+                        problems.append(f"  duck-only:  {x[:200]}")
+            if problems:
+                n_fail += 1
+                print(f"FAIL     {q.name}: " + "; ".join(problems))
+            else:
+                n_pass += 1
+                print(f"PASS     {q.name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        except Exception:
+            n_fail += 1
+            print(f"ERROR    {q.name}:")
+            traceback.print_exc(limit=4)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
