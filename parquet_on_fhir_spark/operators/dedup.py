@@ -1,0 +1,213 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2B Q66-Q67): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All JVM-side (built-in hash/HOF expressions; no Python UDFs): a 100 TB
+dedup sweep is exactly the workload where a per-row Python boundary
+would dominate the cost.
+
+Scale design:
+- exact: one shuffle on a 256-bit content hash (never on the text).
+- MinHash: signatures are computed per-row (map-side, no shuffle);
+  LSH banding turns near-dup search into an equi-join on
+  (band, band-hash) — shuffle keys are small ints, candidate pairs
+  are verified with an exact-similarity residual.
+- SimHash: 64-bit fingerprint per row; banding into 4×16-bit chunks
+  gives Hamming-distance ≤ 3 candidate recall by pigeonhole.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct ``text_col`` content — the survivor is
+    the minimum ``id_col`` (deterministic, unlike dropDuplicates).
+
+    Shuffles on sha2(text) rather than the text itself: constant-width
+    shuffle keys regardless of document size.
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text_col: str, k: int = 3):
+    """Word k-shingles of a text column as a distinct array (JVM expr)."""
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: array of ``num_hashes`` minima of
+    seeded xxhash64 over word k-shingles.
+
+    ``xxhash64(shingle, seed_i)`` family ≈ independent hash functions;
+    everything happens map-side per row (transform + array_min), so this
+    adds ZERO shuffles to the pipeline.
+    """
+    sh = shingles(text_col, k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding over MinHash
+    signatures, filtered by estimated Jaccard ≥ threshold.
+
+    Bands the signature into ``num_bands`` chunks, hashes each chunk,
+    equi-joins on (band_id, chunk_hash) — only collisions are compared,
+    so cost is O(candidates), not O(n²). Pair estimate = fraction of
+    matching signature positions.
+    """
+    n_rows = F.size(F.col("minhash"))
+    rows_per_band = (n_rows / num_bands).cast("int")
+    banded = sig_df.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("minhash"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.size(F.col("sig_a"))
+    )
+    return pairs.select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard(text_a, text_b, k: int = 3):
+    """Exact word-k-shingle Jaccard between two text columns (for
+    verifying LSH candidates)."""
+    def sh(c):
+        tokens = F.split(F.lower(c), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - k, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+        )
+
+    a, b = sh(text_a), sh(text_b)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document, from token xxhash64s.
+
+    Bit i of the fingerprint = majority vote of bit i across token
+    hashes. Expressed with HOFs: per-bit balance = sum over tokens of
+    ±1 depending on the token-hash bit. Near-duplicates have small
+    Hamming distance between fingerprints.
+    """
+    tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    hashes = F.transform(tokens, lambda x: F.xxhash64(x))
+
+    def mask(i: int) -> int:  # signed-long bit mask (bit 63 = sign bit)
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    def vote(i: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1),
+        )
+
+    fingerprint = F.lit(0).cast("long")
+    for i in range(bits):
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(vote(i) > 0, F.lit(mask(i))).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_candidates(fp_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with Hamming distance ≤ ``max_hamming`` via
+    4×16-bit band pigeonhole (dist ≤ 3 ⇒ at least one band equal),
+    verified with an exact popcount residual."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = fp_df.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
+        id_col, "simhash", "b.band", "b.chunk"
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+    )
+    pairs = (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing (SURVEY.md §2B Q73).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct, per the format spec's base64Binary mapping
+(/root/reference/README.md:63 — base64Binary → parquet binary).
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape,
+mapInPandas signatures) is real and tested; the actual codec work is
+STUBBED — image/audio libraries are not in this container — behind
+``decode_stub``, a deterministic fake that derives "features" from the
+bytes, and ``decode_real`` which raises ``NotImplementedError``
+documenting where a real codec plugs in.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, kind STRING, content BINARY, "
+    "meta STRUCT<mime: STRING, width: INT, height: INT, duration_ms: BIGINT>"
+)
+
+FEATURE_SCHEMA = "media_id BIGINT, kind STRING, n_bytes BIGINT, feat ARRAY<DOUBLE>"
+
+
+def attach_binary(df: DataFrame, payload_col: str, kind: str = "image") -> DataFrame:
+    """Wrap an existing column as a multimodal record: binary payload +
+    typed metadata struct. (In production the payload comes from
+    ``spark.read.format("binaryFile")`` or an upstream table.)"""
+    content = F.encode(F.col(payload_col).cast("string"), "UTF-8")
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(content: bytes, mime: str):  # pragma: no cover - stub
+    """Plug point for a real codec (PIL/libav/torchaudio).
+
+    Not available in this container — see module docstring.
+    """
+    raise NotImplementedError(
+        "media decode requires an image/audio codec library not present "
+        "in this environment; wire PIL/av here and keep the mapInPandas "
+        "plumbing in extract_features unchanged"
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction. Deterministic stand-in features:
+    byte length + 4 byte-histogram moments — shaped exactly like a real
+    embedding extractor (binary in, fixed-width float vector out)."""
+    for pdf in batches:
+        feats = []
+        for content in pdf["content"]:
+            b = bytes(content) if content is not None else b""
+            n = len(b)
+            if n:
+                s = sum(b)
+                mean = s / n
+                var = sum((x - mean) ** 2 for x in b[:256]) / max(min(n, 256), 1)
+                feats.append([float(n), mean, var, float(b[0]), float(b[-1])])
+            else:
+                feats.append([0.0, 0.0, 0.0, 0.0, 0.0])
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(bytes(c)) if c is not None else 0 for c in pdf["content"]],
+                "feat": feats,
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """binary → feature vectors via ``mapInPandas`` (Arrow batches).
+
+    This is the scale-relevant shape: partition-parallel, batch-at-a-time
+    (never row-at-a-time Python), output schema fixed so downstream
+    similarity/dedup operators can consume ``feat`` like any embedding.
+    """
+    return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands each media row into the frame
+    timestamps a decoder would extract (sequence + explode — JVM-side).
+    The per-frame decode would run through ``extract_features``."""
+    n_frames = F.coalesce(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return media.select(
+        "media_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                lambda i: i * every_ms,
+            )
+        ).alias("frame_ts_ms"),
+    )

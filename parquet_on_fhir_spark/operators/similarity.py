@@ -1,0 +1,130 @@
+"""Embedding similarity search (SURVEY.md §2B Q68-Q70).
+
+Baseline: brute-force cosine top-k (exact; JVM HOF math, broadcast the
+query set). Scale path: random-hyperplane LSH bucketing — queries only
+compare against corpus vectors in colliding buckets, turning the O(n·q)
+sweep into an equi-join on bucket signatures. Hyperplanes are generated
+from a seeded RNG so plans are deterministic and reproducible across
+runs/executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (queries ≪ corpus at any sane scale), so
+    the corpus is scanned ONCE with no shuffle; the only exchange is the
+    final per-query top-k (a tiny aggregate after rank-filtering).
+    Ranking uses (rounded cosine DESC, corpus id ASC) — deterministic
+    under float noise.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col(query_id))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")) + F.lit(1e-9), 6)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        joined.select(query_id, corpus_id, sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id of a vector under the given hyperplanes —
+    pure JVM expression (dot product via zip_with over an array literal)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(vec_col, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH.
+
+    Each of ``n_tables`` hash tables assigns every vector a bucket
+    (sign pattern over ``n_planes`` hyperplanes); queries join the
+    corpus on (table, bucket) only. Recall grows with n_tables;
+    candidate count shrinks 2^-n_planes per table. 100 TB posture:
+    bucket ids are computed map-side; the join shuffles on small
+    (int, long) keys; per-query top-k is window-ranked.
+    """
+    def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        rows = []
+        for t_i in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + t_i)
+            rows.append(
+                F.struct(
+                    F.lit(t_i).alias("table"), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+                )
+            )
+        return df.select(
+            F.col(id_alias), F.col(vec_col), F.explode(F.array(*rows)).alias("tb")
+        ).select(id_alias, vec_col, "tb.table", "tb.bucket")
+
+    cb = with_buckets(corpus, corpus_id)
+    qb = with_buckets(
+        queries.select(F.col(query_id), F.col(vec_col)), query_id
+    ).withColumnRenamed(vec_col, "__qvec")
+
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select(corpus_id, query_id, vec_col, "__qvec")
+        .dropDuplicates([corpus_id, query_id])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col(query_id))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")) + F.lit(1e-9), 6)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        cand.select(query_id, corpus_id, sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

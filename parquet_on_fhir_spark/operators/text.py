@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §2B Q71-Q74): tokenization, language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is a Catalyst column expression — these run over every
+document of a 100 TB corpus, so the hot path must stay in whole-stage
+codegen (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-ratio
+# language heuristic. Real pipelines would use fastText/CLD3; the
+# heuristic keeps the operator dependency-free and demonstrates the
+# Spark shape (score-per-language → greatest → argmax).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "a", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def tokens(text_col: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(c), pattern)
+
+
+def token_count(text_col: Column | str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-flavored token estimate: word-piece count where a word of n
+    chars contributes ceil(n/4) pieces (the common ~4 chars/token rule),
+    plus punctuation runs. Pure expression; good enough for budget
+    estimation jobs."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.lower(c), r"\s+")
+    pieces = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
+    )
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    return (pieces + punct).cast("long")
+
+
+def stopword_ratio(text_col: Column | str, lang: str = "en") -> Column:
+    tk = tokens(text_col)
+    markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    n_stop = F.size(F.filter(tk, lambda x: F.array_contains(markers, x)))
+    return F.when(F.size(tk) > 0, n_stop / F.size(tk)).otherwise(F.lit(0.0))
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    """Marker-hit-count per language (higher = more likely)."""
+    tk = tokens(text_col)
+    out = {}
+    for lang, words in _LANG_MARKERS.items():
+        markers = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(tk, lambda x: F.array_contains(markers, x)))
+    return out
+
+
+def detect_language(text_col: Column | str) -> Column:
+    """Argmax language over marker scores; 'und' when no marker hits.
+    Deterministic tie-break: (score, lang) struct-ordered, so equal
+    scores pick the lexicographically-last language — stable across
+    engines and runs."""
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    top = F.sort_array(pairs, asc=False)[0]
+    return F.when(top["score"] > 0, top["lang"]).otherwise(F.lit("und"))
+
+
+def punct_ratio(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text_col: Column | str) -> Column:
+    tk = tokens(text_col)
+    total = F.aggregate(tk, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(tk) > 0, total / F.size(tk)).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: reasonable length, low punct
+    density, sane mean word length, some stopwords. Mirrors the
+    Gopher/C4-style rule filters as one scorable expression."""
+    n_tok = token_count(text_col).cast("double")
+    len_score = F.least(n_tok / 50.0, F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), 1.0 - punct_ratio(text_col) * 10.0)
+    mwl = mean_word_length(text_col)
+    mwl_score = F.when((mwl >= 2.5) & (mwl <= 10.0), 1.0).otherwise(0.3)
+    stop_score = F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
+    return (len_score * 0.4 + punct_score * 0.2 + mwl_score * 0.2 + stop_score * 0.2)
+
+
+def rolling_fingerprint(text_col: Column | str, window: int = 8) -> Column:
+    """Deterministic document fingerprint: min of rolling-window token
+    hashes (winnowing-style). Robust to small edits away from the
+    minimum-hash window; pure expression."""
+    tk = tokens(text_col)
+    n = F.size(tk)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    win_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, window)))
+    )
+    return F.array_min(win_hashes)

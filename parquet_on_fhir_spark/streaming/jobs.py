@@ -1,0 +1,55 @@
+"""Streaming run helpers: file-stream sources over the test tables and
+a run-to-completion harness (AvailableNow trigger + memory sink).
+
+At production scale the source would be Kafka/files-on-object-store and
+the sink a Delta/parquet table with checkpointing; the query graphs are
+identical — only ``format(...)`` changes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COUNTER = itertools.count()
+
+EVENTS_LONG_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a file-stream source.
+
+    The parquet stores TIMESTAMP(NANOS) (unreadable by Spark's row
+    converter), so the stream schema takes nanos as LongType and converts
+    to a microsecond timestamp JVM-side — same normalization as the batch
+    loader (api.load_table).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tempfile.mkdtemp(prefix="pofs_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", src)
+    sdf = spark.readStream.schema(EVENTS_LONG_SCHEMA).parquet(src)
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    uniquely-named memory sink; return the sink contents as a batch DF."""
+    name = f"pofs_sink_{next(_COUNTER)}"
+    ck = tempfile.mkdtemp(prefix="pofs_ckpt_")
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

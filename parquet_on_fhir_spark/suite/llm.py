@@ -1,1 +1,256 @@
-QUERIES = []
+"""LLM-data-pipeline queries (SURVEY.md §2B Q66-Q74, BASELINE.json
+north star): dedup, similarity search, text analysis, multimodal.
+
+Exact-semantics operators carry DuckDB oracles; LSH/ANN/fingerprint
+operators are rows-only (hash-family-dependent results) and are instead
+property-tested against exact similarity in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.operators import text as tx
+from parquet_on_fhir_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_candidates,
+)
+from parquet_on_fhir_spark.operators.multimodal import attach_binary, extract_features
+from parquet_on_fhir_spark.operators.similarity import ann_topk, brute_force_topk
+from parquet_on_fhir_spark.suite.common import Q, d4, t
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ an id-shifted copy — synthesizes exact duplicates so
+    dedup has something to remove (base table has none)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionAll(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+# --- Q66: exact dedup (content hash, deterministic survivor) -----------------
+def q66(spark, sf_dir):
+    return exact_dedup(_docs_with_dups(spark, sf_dir), "text", "doc_id").select("doc_id")
+
+
+Q66_ORACLE = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+r AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM docs2
+)
+SELECT doc_id FROM r WHERE rn = 1
+"""
+
+
+# --- Q67: MinHash + LSH near-dedup (hash-family-specific → rows-only) ----------
+def q67(spark, sf_dir):
+    """Near-duplicate pairs among documents ∪ lightly-corrupted copies.
+    Property-tested vs exact n-gram Jaccard in tests/test_llm_ops.py."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker words")).alias("text"),
+    )
+    sigs = minhash_signatures(d.unionAll(corrupted), "text", "doc_id", num_hashes=32)
+    return minhash_lsh_pairs(sigs, "doc_id", num_bands=8, jaccard_threshold=0.4)
+
+
+# --- Q67b: SimHash near-dedup (rows-only) ----------------------------------------
+def q67b(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    fps = simhash(d.unionAll(corrupted), "text", "doc_id")
+    return simhash_candidates(fps, "doc_id", max_hamming=3)
+
+
+# --- Q68: cosine similarity vs a query vector -------------------------------------
+def q68(spark, sf_dir):
+    from parquet_on_fhir_spark.functions.vectors import cosine_similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine_similarity("embedding", "qvec") + F.lit(1e-9), 6).alias("cosine"),
+    )
+
+
+Q68_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+ex AS (SELECT vec_id, unnest(ee) AS v, generate_subscripts(ee, 1) AS i FROM e),
+qx AS (SELECT unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q)
+SELECT ex.vec_id,
+       round(sum(ex.v * qx.v) / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(qx.v * qx.v))) + 1e-9, 6) AS cosine
+FROM ex JOIN qx ON ex.i = qx.i
+GROUP BY ex.vec_id
+"""
+
+
+# --- Q69: brute-force top-k similarity search ---------------------------------------
+def q69(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    res = brute_force_topk(e, queries, k=3)
+    return res.select("q_id", "vec_id", "cosine", F.col("rank").alias("rnk"))
+
+
+Q69_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+ex AS (SELECT vec_id, unnest(ee) AS v, generate_subscripts(ee, 1) AS i FROM e),
+qx AS (SELECT q_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+sims AS (
+  SELECT qx.q_id, ex.vec_id,
+         round(sum(ex.v * qx.v) / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(qx.v * qx.v))) + 1e-9, 6) AS cosine
+  FROM ex JOIN qx ON ex.i = qx.i
+  WHERE ex.vec_id <> qx.q_id
+  GROUP BY qx.q_id, ex.vec_id
+)
+SELECT q_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+FROM sims QUALIFY rnk <= 3
+"""
+
+
+# --- Q70: ANN top-k via multi-table sign-LSH (rows-only; recall-tested) ----------------
+def q70(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    return ann_topk(e, queries, dim=64, k=3, n_planes=6, n_tables=6)
+
+
+# --- Q71: text analysis stats ------------------------------------------------------------
+def q71(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        d4(F.avg(ntok)).alias("avg_tokens"),
+        d4(F.avg("n_chars")).alias("avg_chars"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+Q71_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(len(string_split(text, ' '))) + 1e-9, 4) AS avg_tokens,
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --- Q71b: language-ID heuristic (marker-set n-gram scoring; rows-only) --------------------
+def q71b(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("detected", tx.detect_language("text"))
+        .groupBy("detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- Q72: term document-frequency / IDF --------------------------------------------------
+def q72(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    doc_freq = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    total = d.agg(F.count("*").alias("total"))
+    return (
+        doc_freq.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "doc_freq",
+            d4(F.log(F.col("total").cast("double") / F.col("doc_freq"))).alias("idf"),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(20)
+    )
+
+
+Q72_ORACLE = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY token),
+n AS (SELECT count(*) AS total FROM documents)
+SELECT token, doc_freq, round(ln(CAST(total AS DOUBLE) / doc_freq) + 1e-9, 4) AS idf
+FROM dfreq, n
+ORDER BY doc_freq DESC, token
+LIMIT 20
+"""
+
+
+# --- Q74: text quality rule filter ----------------------------------------------------------
+def q74(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    chars_per_tok = F.col("n_chars").cast("double") / ntok
+    return d.filter(
+        F.col("n_chars").between(100, 2000)
+        & (ntok >= 20)
+        & chars_per_tok.between(3, 8)
+    ).select("doc_id", "lang")
+
+
+Q74_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE n_chars BETWEEN 100 AND 2000
+  AND len(string_split(text, ' ')) >= 20
+  AND (CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 3 AND 8
+"""
+
+
+# --- Q74b: composite quality + token-budget scoring (engine ops; rows-only) -------------------
+def q74b(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(tx.quality_score("text"), 4).alias("quality"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").alias("bpe_tokens"),
+        tx.rolling_fingerprint("text").alias("fingerprint"),
+    )
+
+
+# --- Q73: multimodal binary columns (decode stubbed; plumbing real; rows-only) -----------------
+def q73(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    media = attach_binary(d.select("doc_id", "text"), "text", kind="blob")
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        F.size(F.first("feat")).alias("feat_dim"),
+    )
+
+
+QUERIES = [
+    Q("q66_dedup_exact", q66, Q66_ORACLE),
+    Q("q67_dedup_minhash_lsh", q67, None),
+    Q("q67b_dedup_simhash", q67b, None),
+    Q("q68_cosine_similarity", q68, Q68_ORACLE),
+    Q("q69_similarity_topk_bruteforce", q69, Q69_ORACLE),
+    Q("q70_similarity_ann_lsh", q70, None),
+    Q("q71_text_stats", q71, Q71_ORACLE),
+    Q("q71b_language_id", q71b, None),
+    Q("q72_term_idf", q72, Q72_ORACLE),
+    Q("q74_quality_filter", q74, Q74_ORACLE),
+    Q("q74b_quality_scoring", q74b, None),
+    Q("q73_multimodal_features", q73, None),
+]

@@ -1,1 +1,193 @@
-QUERIES = []
+"""Streaming queries (SURVEY.md §2B Q52-Q60).
+
+Real ``readStream`` pipelines run to completion with
+``Trigger.AvailableNow`` + memory sink, so results are deterministic and
+(for complete-mode aggregations) DuckDB-oracle-checkable. Window
+operators whose expressions are identical in batch and streaming
+(tumbling/sliding/session) are exercised in batch form where that gives
+a sharper oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.streaming.jobs import run_to_memory, stream_events
+from parquet_on_fhir_spark.streaming.stateful import running_user_totals
+from parquet_on_fhir_spark.suite.common import Q, d2, t, ts_str
+
+WINDOW_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+WINDOW_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --- Q52+Q60: stream source → agg → memory sink, AvailableNow trigger ----------
+def q52(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n"), d2(F.sum("value")).alias("total_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+Q52_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- Q53: tumbling window aggregation (streaming) --------------------------------
+def q53(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        ts_str(F.col("window.start"), WINDOW_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+Q53_ORACLE = f"""
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '{WINDOW_FMT_DUCK}') AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- Q54: sliding window aggregation ------------------------------------------------
+def q54(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            ts_str(F.col("window.start"), WINDOW_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+Q54_ORACLE = f"""
+WITH slides AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) - k.k * INTERVAL '1 hour' AS w
+  FROM events, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT strftime(w, '{WINDOW_FMT_DUCK}') AS window_start, event_type, count(*) AS n
+FROM slides GROUP BY 1, 2
+"""
+
+
+# --- Q55: session window (30-minute gap) per user -------------------------------------
+def q55(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            ts_str(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n",
+        )
+    )
+
+
+Q55_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, count(*) AS n
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# --- Q56: watermark / late-data handling (streaming; rows-only) -------------------------
+def q56(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    res = run_to_memory(agg, "append")
+    return res.select(
+        ts_str(F.col("window.start"), WINDOW_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+# --- Q57: deterministic dedup (keep-first by key) -----------------------------------------
+def q57(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+Q57_ORACLE = """
+SELECT user_id, event_type, min(event_id) AS first_event_id
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --- Q57b: streaming dropDuplicates (rows-only) ----------------------------------------------
+def q57b(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    dedup = s.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(dedup, "append")
+
+
+# --- Q58: custom stateful operator (applyInPandasWithState; rows-only) -----------------------
+def q58(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    return run_to_memory(running_user_totals(s), "update")
+
+
+# --- Q59: stream-static join --------------------------------------------------------------------
+def q59(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    c = t(spark, sf_dir, "customer")
+    joined = s.join(
+        F.broadcast(c), s["user_id"] == c["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
+    return run_to_memory(agg, "complete")
+
+
+Q59_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = [
+    Q("q52_stream_source_sink_available_now", q52, Q52_ORACLE),
+    Q("q53_stream_window_tumbling", q53, Q53_ORACLE),
+    Q("q54_window_sliding", q54, Q54_ORACLE),
+    Q("q55_window_session", q55, Q55_ORACLE),
+    Q("q56_stream_watermark", q56, None),
+    Q("q57_dedup_keep_first", q57, Q57_ORACLE),
+    Q("q57b_stream_dedup", q57b, None),
+    Q("q58_stream_stateful", q58, None),
+    Q("q59_stream_static_join", q59, Q59_ORACLE),
+]
