@@ -1,0 +1,73 @@
+"""F1 — sparse schema derivation (README.md:8-9, 15-18, 26-48).
+
+"The schema for a Parquet table SHALL be derived from a single base FHIR
+resource definition" and may contain only the fields the data set
+populates. Without a StructureDefinition package in this environment,
+derivation = Spark's distributed JSON schema inference ∩ FHIR typing
+rules (types.py): fields whose FHIR type must stay textual (dates,
+decimals) are forced to StringType even when JSON inference saw numbers,
+preserving losslessness (README.md:11-13); integer-kinded fields take
+their spec-mandated width.
+
+The inference pass is itself a Spark job (executor-parallel), so
+derivation scales with the input like any other read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from parquet_on_fhir_spark.fhir.types import (
+    DATE_TYPES,
+    DECIMAL_TYPES,
+    fhir_type_of,
+    spark_type_for,
+)
+
+
+def _apply_fhir_rules(dtype: T.DataType, name: str | None = None) -> T.DataType:
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _apply_fhir_rules(f.dataType, f.name), True)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_apply_fhir_rules(dtype.elementType, name), True)
+    ft = fhir_type_of(name) if name else None
+    if ft is None:
+        return dtype
+    target = spark_type_for(ft)
+    if target is None:  # complex type name (Quantity etc.) — keep inferred struct
+        return dtype
+    # Textual FHIR kinds always win (lossless rule); numeric kinds only
+    # narrow numeric inferences (never clobber a struct, e.g. an element
+    # named like a primitive but holding an object).
+    if ft in DATE_TYPES or ft in DECIMAL_TYPES or isinstance(target, T.StringType):
+        if isinstance(dtype, (T.StructType, T.ArrayType)):
+            return dtype
+        return T.StringType()
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.DoubleType)) and isinstance(
+        target, (T.IntegerType, T.LongType)
+    ):
+        return target
+    return dtype
+
+
+def derive_schema(spark: SparkSession, ndjson_path: str) -> T.StructType:
+    """Derive the sparse Parquet schema for an NDJSON resource file."""
+    inferred = spark.read.json(ndjson_path).schema
+    out = _apply_fhir_rules(inferred)
+    assert isinstance(out, T.StructType)
+    if "resourceType" not in out.fieldNames():
+        # required discriminator (README.md:29-41)
+        out = T.StructType(list(out.fields) + [T.StructField("resourceType", T.StringType(), True)])
+    return out
+
+
+def schema_from_parquet(spark: SparkSession, parquet_path: str) -> T.StructType:
+    """Schema of an existing Parquet-on-FHIR table (e.g. the reference's
+    example files) — used when re-encoding decoded JSON."""
+    return spark.read.parquet(parquet_path).schema

@@ -82,7 +82,9 @@ def _bound(c: Column | str, fill: str) -> Column:
         .when(n == 10, F.concat(s, F.lit(d_time)))
         .otherwise(F.lit(None))
     )
-    return F.to_timestamp(iso)
+    # try_to_timestamp: malformed lexical forms yield NULL bounds instead
+    # of failing the encode job under ANSI mode
+    return F.try_to_timestamp(iso)
 
 
 def fhir_date_start(c: Column | str) -> Column:

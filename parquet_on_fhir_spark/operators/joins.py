@@ -121,6 +121,14 @@ def interval_overlap_join(
     return left.join(right, cond, "inner")
 
 
+_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _interval_seconds(spec: str) -> int:
+    n, unit = spec.strip().split()
+    return int(n) * _UNITS[unit.rstrip("s").lower()]
+
+
 def bucketed_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -129,31 +137,40 @@ def bucketed_interval_join(
     right_start: str,
     right_end: str,
     bucket: str = "1 day",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Interval overlap WITHOUT an equi key: time-bucketize both sides so
     the join becomes an equi-join on the bucket id plus residual range
     predicates.
 
-    Each interval explodes into the buckets it touches
+    Each interval explodes into the epoch-aligned buckets it touches
     (``sequence(floor(start), floor(end))``); overlapping pairs share at
     least one bucket. ``dropDuplicates`` removes multi-bucket double
     matches. This is the 100 TB-safe plan for range joins: shuffle is
-    O(rows × avg buckets per interval), never O(n²).
+    O(rows × avg buckets per interval), never O(n²). Size ``bucket`` near
+    the typical interval length to keep the blow-up factor ~2.
     """
-    def bucketize(df: DataFrame, start: str, end: str, prefix: str) -> DataFrame:
+    secs = bucket_seconds if bucket_seconds is not None else _interval_seconds(bucket)
+
+    def bucketize(df: DataFrame, start: str, end: str) -> DataFrame:
+        def floor_bucket(c: str):
+            return F.timestamp_seconds(
+                (F.unix_timestamp(F.col(c)) / secs).cast("long") * secs
+            )
+
         return df.withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
-                    F.window(F.col(start), bucket)["start"],
-                    F.window(F.col(end), bucket)["start"],
-                    F.expr(f"INTERVAL {bucket}"),
+                    floor_bucket(start),
+                    floor_bucket(end),
+                    F.expr(f"INTERVAL {secs} SECONDS"),
                 )
             ),
         )
 
-    lb = bucketize(left, left_start, left_end, "l")
-    rb = bucketize(right, right_start, right_end, "r").withColumnRenamed(
+    lb = bucketize(left, left_start, left_end)
+    rb = bucketize(right, right_start, right_end).withColumnRenamed(
         "__bucket", "__rbucket"
     )
     joined = lb.join(

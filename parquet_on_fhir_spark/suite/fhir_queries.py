@@ -1,1 +1,115 @@
-QUERIES = []
+"""FHIR format-layer queries (SURVEY.md §2A F1-F14), exercised over the
+reference's own example files (/root/reference/examples/*.parquet —
+read-only golden inputs, 100 Synthea rows each).
+
+qf01 carries a DuckDB oracle (DuckDB reads the same parquet path);
+the others are rows-only — their exact semantics are covered by the
+conformance tests in tests/test_fhir_format.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.fhir.annotations import annotate
+from parquet_on_fhir_spark.fhir.decode import to_fhir_json
+from parquet_on_fhir_spark.fhir.encode import encode_ndjson
+from parquet_on_fhir_spark.fhir.merge import merge_tables
+from parquet_on_fhir_spark.fhir.validate import validate
+from parquet_on_fhir_spark.session import utc
+from parquet_on_fhir_spark.suite.common import Q, ts_str
+
+PATIENT = "/root/reference/examples/Patient.parquet"
+OBSERVATION = "/root/reference/examples/Observation.parquet"
+EOB = "/root/reference/examples/ExplanationOfBenefit.parquet"
+
+
+# --- F-scan: nested projection over a real Parquet-on-FHIR table --------------
+def qf01(spark, sf_dir):
+    p = utc(spark).read.parquet(PATIENT)
+    return p.select(
+        "id", F.explode("name").alias("n"), "gender", "birthDate"
+    ).select(
+        "id",
+        F.col("n.family").alias("family"),
+        F.col("n.given")[0].alias("first_given"),
+        "gender",
+        "birthDate",
+    )
+
+
+QF01_ORACLE = f"""
+WITH e AS (
+  SELECT id, gender, birthDate, unnest(name) AS n
+  FROM read_parquet('{PATIENT}')
+)
+SELECT id, n.family AS family, n.given[1] AS first_given, gender, birthDate FROM e
+"""
+
+
+# --- F3+F4: decode → re-encode round-trip ----------------------------------------
+def qf02(spark, sf_dir):
+    p = utc(spark).read.parquet(PATIENT)
+    base = tempfile.mkdtemp(prefix="pofs_fhir_rt_")
+    to_fhir_json(p).write.mode("overwrite").text(base)
+    back = encode_ndjson(spark, base, resource_type="Patient")
+    return back.select("id", "resourceType", "birthDate")
+
+
+# --- F10: date-range annotations on real birthDates --------------------------------
+def qf03(spark, sf_dir):
+    p = utc(spark).read.parquet(PATIENT)
+    ann = annotate(p.select("id", "birthDate"))
+    return ann.select(
+        "id",
+        "birthDate",
+        ts_str("__birthDate_start", "yyyy-MM-dd HH:mm:ss.SSS").alias("bd_start"),
+        ts_str("__birthDate_end", "yyyy-MM-dd HH:mm:ss.SSS").alias("bd_end"),
+    )
+
+
+# --- F12: UCUM quantity canonicalization ---------------------------------------------
+def qf04(spark, sf_dir):
+    o = utc(spark).read.parquet(OBSERVATION)
+    ann = annotate(o.select("id", "valueQuantity"))
+    return ann.select(
+        "id",
+        F.col("valueQuantity.value").alias("value"),
+        F.col("valueQuantity.code").alias("code"),
+        F.col("__valueQuantity_canonical.value").cast("string").alias("canon_value"),
+        F.col("__valueQuantity_canonical.code").alias("canon_code"),
+    ).filter(F.col("value").isNotNull())
+
+
+# --- F13: schema merge across sparse tables of one resource type -----------------------
+def qf05(spark, sf_dir):
+    p = utc(spark).read.parquet(PATIENT)
+    base = tempfile.mkdtemp(prefix="pofs_fhir_merge_")
+    p.select("resourceType", "id", "gender").write.mode("overwrite").parquet(f"{base}/a")
+    p.select("resourceType", "id", "birthDate", "maritalStatus").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/b")
+    merged = merge_tables(spark, f"{base}/a", f"{base}/b")
+    return merged.select("resourceType", "id", "gender", "birthDate")
+
+
+# --- F14: invariant validation reports ----------------------------------------------------
+def qf06(spark, sf_dir):
+    rows = []
+    for name, path in [("Patient", PATIENT), ("Observation", OBSERVATION), ("ExplanationOfBenefit", EOB)]:
+        df = utc(spark).read.parquet(path)
+        report = validate(df, name)
+        rows.append((name, len(report["errors"]), "; ".join(report["errors"])))
+    return spark.createDataFrame(rows, "resource STRING, n_errors INT, errors STRING")
+
+
+QUERIES = [
+    Q("qf01_fhir_nested_query", qf01, QF01_ORACLE),
+    Q("qf02_fhir_roundtrip_reencode", qf02, None),
+    Q("qf03_fhir_date_annotations", qf03, None),
+    Q("qf04_fhir_quantity_canonical", qf04, None),
+    Q("qf05_fhir_schema_merge", qf05, None),
+    Q("qf06_fhir_validate", qf06, None),
+]

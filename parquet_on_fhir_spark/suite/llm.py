@@ -131,7 +131,7 @@ def q70(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding")
     )
-    return ann_topk(e, queries, dim=64, k=3, n_planes=6, n_tables=6)
+    return ann_topk(e, queries, dim=64, k=3, n_planes=4, n_tables=8)
 
 
 # --- Q71: text analysis stats ------------------------------------------------------------

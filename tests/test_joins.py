@@ -1,0 +1,111 @@
+"""as-of / interval join operator tests (vs naive formulations)."""
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.api import load_table
+from parquet_on_fhir_spark.operators.joins import (
+    as_of_join,
+    bucketed_interval_join,
+    interval_overlap_join,
+)
+
+
+def test_as_of_join_matches_naive(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    got = as_of_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], tiebreak="event_id",
+    ).select("event_id", "asof_event_id")
+
+    naive = (
+        purchases.alias("p")
+        .join(
+            views.alias("v"),
+            (F.col("p.user_id") == F.col("v.user_id")) & (F.col("v.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("event_id"))
+        .agg(F.max_by("v.event_id", F.struct("v.ts", "v.event_id")).alias("expect"))
+    )
+    diff = (
+        got.join(naive, "event_id")
+        .filter(
+            F.coalesce(F.col("asof_event_id"), F.lit(-1))
+            != F.coalesce(F.col("expect"), F.lit(-1))
+        )
+        .count()
+    )
+    assert diff == 0
+    assert got.count() == purchases.count()  # left-preserving
+
+
+def test_as_of_tolerance(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    tol = as_of_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], tolerance="1 HOUR", tiebreak="event_id",
+    )
+    # every surviving match is within the tolerance window
+    bad = tol.filter(
+        F.col("asof_ts") < F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    ).count()
+    assert bad == 0
+    no_tol = as_of_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], tiebreak="event_id",
+    )
+    assert tol.filter(F.col("asof_ts").isNotNull()).count() <= no_tol.filter(
+        F.col("asof_ts").isNotNull()
+    ).count()
+
+
+def test_interval_join_and_bucketed_agree(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("l_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("l_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("l_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_start"),
+        F.col("ts").alias("r_end"),
+    )
+    bucketed = bucketed_interval_join(
+        errors, clicks, "l_start", "l_end", "r_start", "r_end", bucket="1 hour"
+    ).select("l_id", "r_id")
+    naive = errors.join(
+        clicks,
+        (errors["l_start"] <= clicks["r_end"]) & (clicks["r_start"] <= errors["l_end"]),
+    ).select("l_id", "r_id")
+    assert bucketed.exceptAll(naive).count() == 0
+    assert naive.exceptAll(bucketed).count() == 0
+
+
+def test_interval_overlap_join_keyed(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("a_end"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("b_start"),
+        F.col("ts").alias("b_end"),
+    )
+    res = interval_overlap_join(
+        a, b, on=["user_id"], left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end",
+    )
+    rows = res.limit(50).collect()
+    for r in rows:
+        assert r["a_start"] <= r["b_end"] and r["b_start"] <= r["a_end"]

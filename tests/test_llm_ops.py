@@ -1,0 +1,124 @@
+"""Property tests for the LLM-pipeline operators: LSH families verified
+against exact similarity measures (SURVEY.md §5.4 model)."""
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.api import load_table
+from parquet_on_fhir_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_candidates,
+)
+from parquet_on_fhir_spark.operators.similarity import ann_topk, brute_force_topk
+
+
+def _docs_plus_near_dups(spark, sf_dir, n=40):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" small tail change")).alias("text"),
+    )
+    return d, d.unionAll(dups)
+
+
+def test_exact_dedup_removes_only_true_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(d.select((F.col("doc_id") + 999).alias("doc_id"), "text"))
+    kept = exact_dedup(doubled, "text", "doc_id")
+    assert kept.count() == d.select("text").distinct().count()
+    # survivor is the minimum id per content
+    mins = doubled.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assert kept.select("doc_id").exceptAll(mins.select("doc_id")).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    d, corpus = _docs_plus_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus, "text", "doc_id", num_hashes=32)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", num_bands=8, jaccard_threshold=0.4)
+    planted = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("id_a") < 40)
+    )
+    # high-Jaccard planted pairs: expect strong recall (banding (8x4) @ j~0.9)
+    assert planted.count() >= 32
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    d, corpus = _docs_plus_near_dups(spark, sf_dir, n=20)
+    sigs = minhash_signatures(corpus, "text", "doc_id", num_hashes=32)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", num_bands=8, jaccard_threshold=0.3)
+    texts = corpus.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    texts_b = corpus.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    joined = pairs.join(texts, "id_a").join(texts_b, "id_b").select(
+        "id_a", "id_b", "est_jaccard",
+        ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("exact_jaccard"),
+    )
+    rows = joined.collect()
+    assert rows
+    err = [abs(r.est_jaccard - r.exact_jaccard) for r in rows]
+    assert sum(err) / len(err) < 0.15  # 32-hash estimator tolerance
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    d, corpus = _docs_plus_near_dups(spark, sf_dir)
+    fps = simhash(corpus, "text", "doc_id")
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # planted near-dup pairs: small distance
+    planted = (
+        a.join(b, F.col("id_b") - F.col("id_a") == 1000000)
+        .select(hamming.alias("h"))
+        .agg(F.avg("h"))
+        .collect()[0][0]
+    )
+    # random unrelated pairs: distance near 32 (half of 64 bits)
+    random_pairs = (
+        a.filter(F.col("id_a") < 30)
+        .join(b, F.col("id_b") == 400 - F.col("id_a"))
+        .select(hamming.alias("h"))
+        .agg(F.avg("h"))
+        .collect()[0][0]
+    )
+    assert planted < 10 < random_pairs
+
+    # pigeonhole guarantee: every pair with distance <= 3 is a candidate
+    close = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(hamming <= 3)
+        .select("id_a", "id_b")
+    )
+    cands = simhash_candidates(fps, "doc_id", max_hamming=3).select("id_a", "id_b")
+    assert close.exceptAll(cands).count() == 0
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = brute_force_topk(e, queries, k=5).select("q_id", "vec_id")
+    approx = ann_topk(e, queries, dim=64, k=5, n_planes=4, n_tables=8).select(
+        "q_id", "vec_id"
+    )
+    hits = exact.intersect(approx).count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_brute_force_topk_self_similarity_excluded(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    res = brute_force_topk(e, queries, k=5)
+    assert res.filter(F.col("q_id") == F.col("vec_id")).count() == 0
+    assert res.groupBy("q_id").count().filter(F.col("count") != 5).count() == 0
+    # cosine bounded
+    assert res.filter((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001)).count() == 0
