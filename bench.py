@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = one representative per operator family, weighted toward
+the plans that matter at 100 TB (join+agg pipelines, windows, dedup,
+similarity, text sweep, streaming-equivalent windows). Each query runs
+once warm (after a session-warming scan); value = sum of per-query wall
+times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from parquet_on_fhir_spark.session import get_session
+from parquet_on_fhir_spark.suite import all_queries
+
+HEADLINE = [
+    "q00_flagship_shipping_priority",  # 3-way join + agg + top-k
+    "q21_agg_tpch_q1",                 # wide hash aggregate
+    "q13_join_left_outer",             # outer join + agg
+    "q15_join_broadcast",              # broadcast fact-dim join
+    "q18_join_asof",                   # as-of join (window form)
+    "q24_agg_rollup_grouping",         # rollup
+    "q30_window_ranking",              # window functions
+    "q33_window_topk_per_group",       # top-k per group
+    "q55_window_session",              # session windows
+    "q66_dedup_exact",                 # exact dedup
+    "q68_cosine_similarity",           # vector math sweep
+    "q69_similarity_topk_bruteforce",  # brute-force top-k search
+    "q72_term_idf",                    # text explode + agg
+    "q74_quality_filter",              # text rule filter
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {q.name: q for q in all_queries()}
+    # warm the JVM/session (catalog, codegen) on a small scan
+    specs["q01_parquet_scan_pushdown"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -858,3 +858,102 @@ QUERIES = [
     Q("q39_intersect", q39, Q39_ORACLE),
     Q("q40_except_all", q40, Q40_ORACLE),
 ]
+
+
+# --- Q75: SQL entry path — TPC-H Q5 (local supplier volume) -----------------------
+TPCH_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q75(spark, sf_dir):
+    """Same SQL text runs on Spark's parser/Catalyst and on the oracle —
+    the engine's spark.sql(...) entry path (SURVEY.md §3 Path B)."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q5_SQL)
+
+
+# --- Q76: cube + grouping sets ------------------------------------------------------
+def q76(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        d2(F.sum("o_totalprice")).alias("total"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+Q76_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# --- Q77: ORC source/sink round-trip ---------------------------------------------------
+def q77(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="pofs_orc_")
+    n.write.mode("overwrite").orc(base)
+    return spark.read.orc(base)
+
+
+Q77_ORACLE = "SELECT * FROM nation"
+
+
+# --- Q78: salted join (skew mitigation; result identical to plain join) ------------------
+def q78(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.skew import salted_join
+
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        l.select(F.col("l_partkey").alias("p_partkey"), "l_quantity"), p, "p_partkey"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"), d2(F.sum("l_quantity")).alias("total_qty")
+    )
+
+
+Q78_ORACLE = """
+SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+"""
+
+
+# --- Q79: array construction — sequence / sorted collect equality -------------------------
+def q79(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        (
+            F.sort_array(F.collect_list("l_linenumber"))
+            == F.sequence(F.lit(1), F.count("*").cast("int"))
+        ).alias("contiguous"),
+    )
+
+
+Q79_ORACLE = """
+SELECT l_orderkey, count(*) AS n_lines,
+       list_sort(list(l_linenumber)) = range(1, CAST(count(*) AS INT) + 1) AS contiguous
+FROM lineitem GROUP BY l_orderkey
+"""
+
+QUERIES.extend(
+    [
+        Q("q75_sql_tpch_q5", q75, TPCH_Q5_SQL),
+        Q("q76_agg_cube", q76, Q76_ORACLE),
+        Q("q77_orc_source_sink", q77, Q77_ORACLE),
+        Q("q78_join_salted_skew", q78, Q78_ORACLE),
+        Q("q79_array_sequence_collect", q79, Q79_ORACLE),
+    ]
+)
