@@ -38,6 +38,26 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def run_foreach_batch_to_parquet(df: DataFrame, out_dir: str) -> None:
+    """Exactly-once-style file sink via ``foreachBatch``: each micro-batch
+    lands in a batch-id-named subdirectory, so retries overwrite their own
+    directory instead of duplicating rows (the idempotent-sink pattern
+    from the guide; a real deployment would use a transactional table
+    format instead)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    ck = tempfile.mkdtemp(prefix="pofs_ckpt_")
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     uniquely-named memory sink; return the sink contents as a batch DF."""

@@ -113,3 +113,36 @@ QUERIES = [
     Q("qf05_fhir_schema_merge", qf05, None),
     Q("qf06_fhir_validate", qf06, None),
 ]
+
+
+# --- FHIR reference traversal: Observation.subject → Patient join ---------------------
+def qf07(spark, sf_dir):
+    """Resolve FHIR reference strings ('Patient/<id>') and join resource
+    tables — the core cross-resource query pattern. Patient side is tiny
+    relative to Observations at scale → broadcast."""
+    o = utc(spark).read.parquet(OBSERVATION)
+    p = spark.read.parquet(PATIENT)
+    obs = o.select(
+        F.col("id").alias("obs_id"),
+        F.regexp_extract(F.col("subject.reference"), "Patient/(.*)", 1).alias("pid"),
+    )
+    pat = p.select(F.col("id").alias("pid"), "gender")
+    return (
+        obs.join(F.broadcast(pat), "pid", "inner")
+        .groupBy("gender")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.countDistinct("pid").alias("n_patients"),
+        )
+    )
+
+
+QF07_ORACLE = f"""
+SELECT p.gender, count(*) AS n_obs, count(DISTINCT p.id) AS n_patients
+FROM read_parquet('{OBSERVATION}') o
+JOIN read_parquet('{PATIENT}') p
+  ON regexp_extract(o.subject.reference, 'Patient/(.*)', 1) = p.id
+GROUP BY p.gender
+"""
+
+QUERIES.append(Q("qf07_fhir_reference_join", qf07, QF07_ORACLE))

@@ -610,14 +610,18 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# --- Q26: exact median -------------------------------------------------------------------
+# --- Q26: exact median + interpolated percentile --------------------------------------------
 def q26(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(d4(F.median("l_quantity")).alias("median_qty"))
+    return l.groupBy("l_returnflag").agg(
+        d4(F.median("l_quantity")).alias("median_qty"),
+        d4(F.percentile("l_quantity", 0.9)).alias("p90_qty"),
+    )
 
 
 Q26_ORACLE = """
-SELECT l_returnflag, round(median(l_quantity) + 1e-9, 4) AS median_qty
+SELECT l_returnflag, round(median(l_quantity) + 1e-9, 4) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9) + 1e-9, 4) AS p90_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -955,5 +959,58 @@ QUERIES.extend(
         Q("q77_orc_source_sink", q77, Q77_ORACLE),
         Q("q78_join_salted_skew", q78, Q78_ORACLE),
         Q("q79_array_sequence_collect", q79, Q79_ORACLE),
+    ]
+)
+
+
+# --- Q80: unpivot / melt ---------------------------------------------------------------
+def q80(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        d2(F.sum("l_extendedprice")).alias("price"),
+        d2(F.sum("l_quantity")).alias("qty"),
+        d2(F.sum("l_discount")).alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["price", "qty", "disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+Q80_ORACLE = """
+UNPIVOT (
+  SELECT l_returnflag,
+         round(sum(l_extendedprice), 2) AS price,
+         round(sum(l_quantity), 2) AS qty,
+         round(sum(l_discount), 2) AS disc
+  FROM lineitem GROUP BY l_returnflag
+) ON price, qty, disc INTO NAME metric VALUE val
+"""
+
+
+# --- Q81: scalar + correlated + IN subqueries --------------------------------------------
+SUBQUERY_SQL = """
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                   WHERE i.c_mktsegment = c.c_mktsegment)
+  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q81(spark, sf_dir):
+    """Correlated scalar + IN subqueries — Catalyst decorrelates these
+    into joins (RewriteCorrelatedScalarSubquery, SURVEY.md §4)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SUBQUERY_SQL)
+
+
+QUERIES.extend(
+    [
+        Q("q80_unpivot", q80, Q80_ORACLE),
+        Q("q81_subqueries", q81, SUBQUERY_SQL),
     ]
 )

@@ -224,11 +224,14 @@ def test_reference_examples_decode(spark):
 
 
 # --- golden files: full decode → re-encode round-trip over the 100-row examples -------------------
-def test_reference_patient_reencode_roundtrip(spark):
-    p = spark.read.parquet(PATIENT)
+@pytest.mark.parametrize(
+    "name", ["Patient", "Observation", "ExplanationOfBenefit"]
+)
+def test_reference_examples_reencode_roundtrip(spark, name):
+    p = spark.read.parquet(f"/root/reference/examples/{name}.parquet")
     ndjson_dir = tempfile.mkdtemp(prefix="fhir_rt_")
     to_fhir_json(p).write.mode("overwrite").text(ndjson_dir)
-    back = encode_ndjson(spark, ndjson_dir, resource_type="Patient")
+    back = encode_ndjson(spark, ndjson_dir, resource_type=name)
     docs1 = sorted(
         (json.loads(r.json) for r in to_fhir_json(p).collect()), key=lambda d: d["id"]
     )
