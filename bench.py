@@ -49,8 +49,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = {q.name: q for q in all_queries()}
-    # warm the JVM/session (catalog, codegen) on a small scan
-    specs["q01_parquet_scan_pushdown"].fn(spark, sf_dir).count()
+    # Warm pass: JVM/codegen/catalog warmup plus one execution of every
+    # headline plan, so the timed pass measures steady-state query cost
+    # (what a long-lived cluster session would see), not first-run JIT.
+    for name in HEADLINE:
+        specs[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -46,10 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    # Only files WITHOUT embedded Spark schema metadata need the fallback:
+    # Spark reads its own nanos writes fine, but rejects foreign
+    # TIMESTAMP(NANOS) unless nanosAsLong is on (then they load as bigint).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

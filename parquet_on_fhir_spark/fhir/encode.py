@@ -63,6 +63,7 @@ def write_table(
     by default. Flip on for byte-level spec fidelity.
     """
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
     if int96_timestamps:
         spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     try:
@@ -72,4 +73,4 @@ def write_table(
         writer.parquet(path)
     finally:
         if int96_timestamps:
-            spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)

@@ -1,0 +1,91 @@
+"""Scale-up probe: replicate the sf0.1 tables k× (with key offsets that
+preserve join fanout) into /tmp, rerun headline queries, and report
+timing ratios. Linearity here + plan-shape stability is the local
+evidence that the operator formulations survive growth (the real test
+being a 1000-executor cluster, which this container can't host).
+
+Usage: python tools/scale_probe.py [k]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.api import load_table
+from parquet_on_fhir_spark.session import get_session
+from parquet_on_fhir_spark.suite import all_queries
+
+PROBE_QUERIES = [
+    "q00_flagship_shipping_priority",
+    "q21_agg_tpch_q1",
+    "q18_join_asof",
+    "q55_window_session",
+    "q66_dedup_exact",
+    "q72_term_idf",
+]
+
+
+def replicate(spark, sf_dir: str, out: str, k: int) -> None:
+    copies = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__copy")
+
+    def scale(name: str, offsets: dict[str, int]) -> None:
+        df = load_table(spark, sf_dir, name).select("*", copies)
+        for col, base in offsets.items():
+            df = df.withColumn(col, F.col(col) + F.col("__copy").cast("long") * base)
+        df.drop("__copy").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    scale("customer", {"c_custkey": 10_000_000})
+    scale("orders", {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000})
+    scale("lineitem", {"l_orderkey": 1_000_000_000})
+    scale("events", {"event_id": 1_000_000_000, "user_id": 10_000_000})
+    scale("documents", {"doc_id": 100_000})
+    for name in ("region", "nation", "supplier", "part", "embeddings"):
+        load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    specs = {q.name: q for q in all_queries()}
+    for name in PROBE_QUERIES:  # warm
+        specs[name].fn(spark, sf_dir).count()
+    out = {}
+    for name in PROBE_QUERIES:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base_dir = "/root/testdata/sf0.1"
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_dir = tempfile.mkdtemp(prefix=f"pofs_scale{k}_")
+    t0 = time.perf_counter()
+    replicate(spark, base_dir, scaled_dir, k)
+    gen_s = round(time.perf_counter() - t0, 1)
+
+    base = time_queries(spark, base_dir)
+    big = time_queries(spark, scaled_dir)
+    report = {
+        "k": k,
+        "generate_seconds": gen_s,
+        "base_seconds": base,
+        "scaled_seconds": big,
+        "ratio": {q: round(big[q] / max(base[q], 1e-3), 2) for q in base},
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
