@@ -1,0 +1,107 @@
+"""CLI for the engine — what a user of the reference format runs daily:
+
+    python -m parquet_on_fhir_spark encode   IN.ndjson OUT_DIR [--resource-type Patient] [--no-annotations]
+    python -m parquet_on_fhir_spark decode   IN_PARQUET OUT_DIR
+    python -m parquet_on_fhir_spark validate IN_PARQUET [--resource-type Patient]
+    python -m parquet_on_fhir_spark merge    OUT_DIR IN1 IN2 [...]
+    python -m parquet_on_fhir_spark schema   IN.ndjson
+
+Exit code 0 on success; ``validate`` exits 1 when invariants fail.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="parquet_on_fhir_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="FHIR NDJSON -> Parquet-on-FHIR table")
+    enc.add_argument("input")
+    enc.add_argument("output")
+    enc.add_argument("--resource-type")
+    enc.add_argument("--no-annotations", action="store_true")
+    enc.add_argument("--no-validate", action="store_true")
+    enc.add_argument("--partition-by", nargs="*")
+    enc.add_argument("--max-extension-depth", type=int)
+
+    dec = sub.add_parser("decode", help="Parquet-on-FHIR table -> FHIR NDJSON")
+    dec.add_argument("input")
+    dec.add_argument("output")
+
+    val = sub.add_parser("validate", help="check spec invariants")
+    val.add_argument("input")
+    val.add_argument("--resource-type")
+
+    mrg = sub.add_parser("merge", help="schema-merge tables of one resource type")
+    mrg.add_argument("output")
+    mrg.add_argument("inputs", nargs="+")
+
+    sch = sub.add_parser("schema", help="print the derived schema for an NDJSON file")
+    sch.add_argument("input")
+    sch.add_argument("--max-extension-depth", type=int)
+
+    args = ap.parse_args(argv)
+
+    from parquet_on_fhir_spark.session import get_session
+
+    spark = get_session("pofs-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "encode":
+        from parquet_on_fhir_spark.fhir.encode import encode_ndjson, write_table
+        from parquet_on_fhir_spark.fhir.schema import derive_schema
+
+        schema = derive_schema(spark, args.input, args.max_extension_depth)
+        df = encode_ndjson(
+            spark,
+            args.input,
+            schema=schema,
+            resource_type=args.resource_type,
+            annotations=not args.no_annotations,
+            validate=not args.no_validate,
+        )
+        write_table(df, args.output, partition_by=args.partition_by)
+        print(f"encoded {df.count()} resources -> {args.output}")
+        return 0
+
+    if args.cmd == "decode":
+        from parquet_on_fhir_spark.fhir.decode import write_ndjson
+
+        df = spark.read.parquet(args.input)
+        write_ndjson(df, args.output)
+        print(f"decoded {df.count()} resources -> {args.output}")
+        return 0
+
+    if args.cmd == "validate":
+        from parquet_on_fhir_spark.fhir.validate import validate
+
+        report = validate(spark.read.parquet(args.input), args.resource_type)
+        print(json.dumps(report, indent=2))
+        return 1 if report["errors"] else 0
+
+    if args.cmd == "merge":
+        from parquet_on_fhir_spark.fhir.merge import merge_tables
+
+        merged = merge_tables(spark, *args.inputs)
+        merged.write.mode("overwrite").parquet(args.output)
+        print(f"merged {len(args.inputs)} tables ({merged.count()} rows) -> {args.output}")
+        return 0
+
+    if args.cmd == "schema":
+        from parquet_on_fhir_spark.fhir.schema import derive_schema
+
+        print(
+            derive_schema(spark, args.input, args.max_extension_depth).treeString()
+        )
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

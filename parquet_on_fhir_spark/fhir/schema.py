@@ -56,11 +56,54 @@ def _apply_fhir_rules(dtype: T.DataType, name: str | None = None) -> T.DataType:
     return dtype
 
 
-def derive_schema(spark: SparkSession, ndjson_path: str) -> T.StructType:
-    """Derive the sparse Parquet schema for an NDJSON resource file."""
+def _truncate_extensions(dtype: T.DataType, depth_left: int) -> T.DataType:
+    """Spill ``extension`` subtrees deeper than the budget to raw-JSON
+    StringType columns (SURVEY.md §7 hard-parts: Spark types are
+    non-recursive, so unbounded Extension recursion must be bounded; the
+    JSON reader preserves the subtree text verbatim into a string field,
+    which stays queryable via get_json_object / from_json)."""
+    if isinstance(dtype, T.StructType):
+        fields = []
+        for f in dtype.fields:
+            if f.name == "extension":
+                if depth_left <= 0:
+                    fields.append(T.StructField("extension", T.StringType(), True))
+                    continue
+                fields.append(
+                    T.StructField(
+                        "extension", _truncate_extensions(f.dataType, depth_left - 1), True
+                    )
+                )
+            else:
+                fields.append(
+                    T.StructField(f.name, _truncate_extensions(f.dataType, depth_left), True)
+                )
+        return T.StructType(fields)
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_truncate_extensions(dtype.elementType, depth_left), True)
+    return dtype
+
+
+def derive_schema(
+    spark: SparkSession,
+    ndjson_path: str,
+    max_extension_depth: int | None = None,
+) -> T.StructType:
+    """Derive the sparse Parquet schema for an NDJSON resource file.
+
+    ``max_extension_depth``: keep at most this many nested ``extension``
+    levels as structured columns; deeper subtrees spill to raw JSON
+    strings (default None = whatever depth the data exhibits, matching
+    the examples' depth-2 usage). Spilled subtrees don't decode back to
+    structured JSON via to_fhir_json — they round-trip as JSON text and
+    are queried with get_json_object/from_json.
+    """
     inferred = spark.read.json(ndjson_path).schema
     out = _apply_fhir_rules(inferred)
     assert isinstance(out, T.StructType)
+    if max_extension_depth is not None:
+        out = _truncate_extensions(out, max_extension_depth)
+        assert isinstance(out, T.StructType)
     if "resourceType" not in out.fieldNames():
         # required discriminator (README.md:29-41)
         out = T.StructType(list(out.fields) + [T.StructField("resourceType", T.StringType(), True)])

@@ -1014,3 +1014,42 @@ QUERIES.extend(
         Q("q81_subqueries", q81, SUBQUERY_SQL),
     ]
 )
+
+
+# --- Q82/Q83: two more TPC-H classics through the SQL entry path -------------------
+TPCH_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+"""
+
+
+def q82(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TPCH_Q6_SQL)
+
+
+TPCH_Q14_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
+"""
+
+
+def q83(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(TPCH_Q14_SQL)
+
+
+QUERIES.extend(
+    [
+        Q("q82_tpch_q6", q82, TPCH_Q6_SQL),
+        Q("q83_tpch_q14", q83, TPCH_Q14_SQL),
+    ]
+)

@@ -1,0 +1,48 @@
+"""CLI end-to-end: encode -> validate -> decode -> re-encode equality."""
+
+import json
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "parquet_on_fhir_spark", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+
+
+def test_cli_encode_validate_decode_roundtrip():
+    d = tempfile.mkdtemp(prefix="cli_")
+    rows = [
+        {"resourceType": "Patient", "id": "p1", "birthDate": "1970-01", "gender": "male"},
+        {"resourceType": "Patient", "id": "p2",
+         "name": [{"family": "X", "given": ["a"]}]},
+    ]
+    src = f"{d}/in.ndjson"
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    enc = run_cli("encode", src, f"{d}/table", "--resource-type", "Patient")
+    assert enc.returncode == 0, enc.stderr[-2000:]
+    assert "encoded 2 resources" in enc.stdout
+
+    val = run_cli("validate", f"{d}/table", "--resource-type", "Patient")
+    assert val.returncode == 0, val.stdout + val.stderr[-500:]
+
+    dec = run_cli("decode", f"{d}/table", f"{d}/out_ndjson")
+    assert dec.returncode == 0, dec.stderr[-2000:]
+    docs = []
+    for p in Path(f"{d}/out_ndjson").glob("part-*"):
+        for line in p.read_text().splitlines():
+            if line.strip():
+                docs.append(json.loads(line))
+    assert sorted(docs, key=lambda x: x["id"]) == rows
