@@ -48,6 +48,73 @@ def encode_ndjson(
     return df
 
 
+def encode_mixed_ndjson(
+    spark: SparkSession,
+    ndjson_path: str,
+    out_root: str,
+    annotations: bool = True,
+) -> dict[str, int]:
+    """Split a mixed-resource NDJSON stream into one Parquet-on-FHIR
+    table per resourceType (the spec's fundamental layout: one table per
+    resource definition, README.md:26-35).
+
+    Two passes, both distributed: (1) tag each line with its
+    resourceType (cheap get_json_object — no full parse) and write the
+    raw lines partitioned by type; (2) per type, derive that type's
+    sparse schema and encode its partition. Returns {resourceType: rows}.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(ndjson_path)
+    tagged = raw.select(
+        F.get_json_object("value", "$.resourceType").alias("resourceType"), "value"
+    ).filter(F.col("resourceType").isNotNull())
+    staging = f"{out_root}/_staging"
+    tagged.write.mode("overwrite").partitionBy("resourceType").text(staging)
+
+    import glob
+    import os
+
+    counts: dict[str, int] = {}
+    for part_dir in sorted(glob.glob(f"{staging}/resourceType=*")):
+        rtype = os.path.basename(part_dir).split("=", 1)[1]
+        df = encode_ndjson(
+            spark, part_dir, resource_type=rtype, annotations=annotations
+        )
+        write_table(df, f"{out_root}/{rtype}")
+        counts[rtype] = df.count()
+    return counts
+
+
+def encode_ndjson_tolerant(
+    spark: SparkSession,
+    ndjson_path: str,
+    schema: T.StructType | None = None,
+    resource_type: str | None = None,
+    annotations: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Encode with corrupt-line quarantine: returns (good, bad) where
+    ``bad`` holds unparseable lines verbatim (PERMISSIVE mode +
+    columnNameOfCorruptRecord). At 100 TB a single malformed line must
+    not kill the job — it must land in a quarantine table for replay."""
+    if schema is None:
+        schema = derive_schema(spark, ndjson_path)
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(ndjson_path)
+    ).cache()  # required: corrupt-record column can't be queried off a bare scan
+    bad = df.filter(df["_corrupt_record"].isNotNull()).select("_corrupt_record")
+    good = df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    if annotations:
+        good = annotate(good)
+    return good, bad
+
+
 def write_table(
     df: DataFrame,
     path: str,

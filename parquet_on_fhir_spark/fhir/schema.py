@@ -99,6 +99,11 @@ def derive_schema(
     are queried with get_json_object/from_json.
     """
     inferred = spark.read.json(ndjson_path).schema
+    # inference adds _corrupt_record when it meets malformed lines;
+    # that's reader bookkeeping, not a FHIR element
+    inferred = T.StructType(
+        [f for f in inferred.fields if f.name != "_corrupt_record"]
+    )
     out = _apply_fhir_rules(inferred)
     assert isinstance(out, T.StructType)
     if max_extension_depth is not None:

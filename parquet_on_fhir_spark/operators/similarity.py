@@ -128,3 +128,79 @@ def ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the
+    centroid-based alternative to sign-LSH.
+
+    Index build: KMeans (Spark ML, seeded) over the corpus; every vector
+    is assigned to its nearest centroid (one distributed transform).
+    Query: each query probes its ``n_probe`` nearest centroids (distance
+    to the small centroid table is a JVM expression over literals) and
+    compares only against those cells — candidate fraction ≈
+    n_probe/n_centroids. At 100 TB the cell assignment is a write-time
+    partition key, so a probe reads only matching partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    assigned = model.transform(
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+    ).select(corpus_id, vec_col, F.col("prediction").alias("__cell"))
+
+    def centroid_dists(vc):
+        pairs = []
+        for cid, cvec in enumerate(centroids):
+            lit_vec = F.array(*[F.lit(x) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(vc, lit_vec, lambda a, b: (a.cast("double") - b) ** 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            pairs.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
+        return F.array(*pairs)
+
+    probes = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(centroid_dists(F.col(vec_col))), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ).alias("__cell"),
+    )
+
+    cand = assigned.join(F.broadcast(probes), "__cell").drop("__cell")
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col(query_id))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")) + F.lit(1e-9), 6)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        cand.select(query_id, corpus_id, sim.alias("cosine"))
+        .dropDuplicates([query_id, corpus_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -134,6 +134,17 @@ def q70(spark, sf_dir):
     return ann_topk(e, queries, dim=64, k=3, n_planes=4, n_tables=8)
 
 
+# --- Q70b: IVF ANN (KMeans cells + n_probe; rows-only; recall-tested) --------------------
+def q70b(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    return ivf_topk(e, queries, k=3, n_centroids=8, n_probe=4)
+
+
 # --- Q71: text analysis stats ------------------------------------------------------------
 def q71(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -247,6 +258,7 @@ QUERIES = [
     Q("q68_cosine_similarity", q68, Q68_ORACLE),
     Q("q69_similarity_topk_bruteforce", q69, Q69_ORACLE),
     Q("q70_similarity_ann_lsh", q70, None),
+    Q("q70b_similarity_ivf", q70b, None),
     Q("q71_text_stats", q71, Q71_ORACLE),
     Q("q71b_language_id", q71b, None),
     Q("q72_term_idf", q72, Q72_ORACLE),

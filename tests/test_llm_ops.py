@@ -122,3 +122,18 @@ def test_brute_force_topk_self_similarity_excluded(spark, sf_dir):
     assert res.groupBy("q_id").count().filter(F.col("count") != 5).count() == 0
     # cosine bounded
     assert res.filter((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001)).count() == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = brute_force_topk(e, queries, k=5).select("q_id", "vec_id")
+    approx = ivf_topk(e, queries, k=5, n_centroids=8, n_probe=4).select(
+        "q_id", "vec_id"
+    )
+    recall = exact.intersect(approx).count() / exact.count()
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
