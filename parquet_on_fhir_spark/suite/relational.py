@@ -41,7 +41,21 @@ def flagship(spark, sf_dir):
         .join(l, F.col("l_orderkey") == o["o_orderkey"])
         .filter(F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(d2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        # sum in DECIMAL: product terms have 4-6 decimal digits, so their FP
+        # sums can land exactly on round-half boundaries where engines
+        # disagree; exact decimal summation makes the rounding deterministic
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .select(
             "o_orderkey",
             "revenue",
@@ -55,7 +69,7 @@ def flagship(spark, sf_dir):
 
 FLAGSHIP_ORACLE = """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority
 FROM customer
@@ -512,14 +526,22 @@ GROUP BY l1.l_orderkey
 def q21(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # product sums in exact decimal (see flagship note); plain 2-decimal
+    # money/qty sums are exact multiples of 0.01 and safe in FP
     return (
         l.filter(F.col("l_shipdate") <= "2001-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             d2(F.sum("l_quantity")).alias("sum_qty"),
             d2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            d2(F.sum(disc_price)).alias("sum_disc_price"),
-            d2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            F.round(F.sum(disc_price.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(38,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_charge"),
             d4(F.avg("l_quantity")).alias("avg_qty"),
             d4(F.avg("l_extendedprice")).alias("avg_price"),
             d4(F.avg("l_discount")).alias("avg_disc"),
@@ -532,8 +554,8 @@ Q21_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
        round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
        round(avg(l_discount) + 1e-9, 4) AS avg_disc,
@@ -866,7 +888,7 @@ QUERIES = [
 
 # --- Q75: SQL entry path — TPC-H Q5 (local supplier volume) -----------------------
 TPCH_Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -1051,5 +1073,50 @@ QUERIES.extend(
     [
         Q("q82_tpch_q6", q82, TPCH_Q6_SQL),
         Q("q83_tpch_q14", q83, TPCH_Q14_SQL),
+    ]
+)
+
+
+# --- Q84: TPC-H Q10 (returned-item reporting; join×3 + top-k) ---------------------
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q84(spark, sf_dir):
+    for name in ("customer", "orders", "lineitem", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q10_SQL)
+
+
+# --- Q85: TPC-H Q19-style (disjunctive brand/quantity predicates over a join) ------
+TPCH_Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q85(spark, sf_dir):
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q19_SQL)
+
+
+QUERIES.extend(
+    [
+        Q("q84_tpch_q10", q84, TPCH_Q10_SQL),
+        Q("q85_tpch_q19", q85, TPCH_Q19_SQL),
     ]
 )

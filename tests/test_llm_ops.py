@@ -137,3 +137,19 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     )
     recall = exact.intersect(approx).count() / exact.count()
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """Rows-only approx operators are still bounded: HLL within rsd,
+    approx_percentile within its accuracy band of the exact values."""
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = l.select(
+        F.countDistinct("l_partkey").alias("nd"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+    ).collect()[0]
+    approx = l.select(
+        F.approx_count_distinct("l_partkey", 0.02).alias("nd"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+    ).collect()[0]
+    assert abs(approx.nd - exact.nd) / exact.nd < 0.1
+    assert abs(approx.p50 - exact.p50) / exact.p50 < 0.01
