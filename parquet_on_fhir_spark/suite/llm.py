@@ -239,6 +239,20 @@ def q74b(spark, sf_dir):
     )
 
 
+# --- Q86: composed corpus-curation pipeline (rows-only; pipeline-tested) ---------------
+def q86(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.pipeline import curate_corpus
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    curated = curate_corpus(
+        d.unionAll(dups), min_quality=0.1, near_dup_threshold=0.8, token_budget=20000
+    )
+    return curated.select("doc_id", "quality", "n_tokens")
+
+
 # --- Q73: multimodal binary columns (decode stubbed; plumbing real; rows-only) -----------------
 def q73(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -264,5 +278,6 @@ QUERIES = [
     Q("q72_term_idf", q72, Q72_ORACLE),
     Q("q74_quality_filter", q74, Q74_ORACLE),
     Q("q74b_quality_scoring", q74b, None),
+    Q("q86_corpus_curation_pipeline", q86, None),
     Q("q73_multimodal_features", q73, None),
 ]

