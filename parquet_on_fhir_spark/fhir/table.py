@@ -56,6 +56,47 @@ class FhirTable:
         )
         return FhirTable(t.df.filter(quantity_predicate(element, op, value, unit)))
 
+    # --- FHIR-search-style string front-end ------------------------------
+    def search(self, params: str) -> "FhirTable":
+        """Filter with FHIR-search-flavored syntax, e.g.
+        ``"birthDate=ge1960&gender=male&valueQuantity=gt37.5|Cel"``.
+
+        Per parameter: ``<element>=[prefix]<value>[|unit]`` with FHIR
+        prefixes (eq/ne/gt/lt/ge/le; bare value = eq). Routing:
+        value with a ``|unit`` → quantity predicate; numeric value on a
+        decimal-kinded element → decimal predicate; date-shaped value →
+        date predicate; otherwise string equality. Compiles entirely to
+        the annotation-aware Column predicates above.
+        """
+        import re
+
+        from parquet_on_fhir_spark.fhir.types import DECIMAL_TYPES, fhir_type_of
+
+        out = self
+        for clause in params.split("&"):
+            if not clause.strip():
+                continue
+            element, _, raw = clause.partition("=")
+            element = element.strip()
+            m = re.match(r"^(eq|ne|gt|lt|ge|le)", raw)
+            op = m.group(1) if m else "eq"
+            value = raw[len(op):] if m else raw
+            value, _, unit = value.partition("|")
+            if unit:
+                out = out.where_quantity(element, op, float(value), unit)
+            elif re.match(r"^\d{4}(-\d{2}(-\d{2})?)?([T ].*)?$", value):
+                out = out.where_date(element, op, value)
+            elif fhir_type_of(element) in DECIMAL_TYPES or re.match(
+                r"^-?\d+(\.\d+)?$", value
+            ):
+                out = out.where_decimal(element, op, value)
+            else:
+                col = F.col(element)
+                out = FhirTable(
+                    out.df.filter(col != value if op == "ne" else col == value)
+                )
+        return out
+
     # --- nested navigation ---------------------------------------------
     def flatten(self, path: str, keep: str = "inner") -> "FhirTable":
         """Explode a repeating element; the exploded struct keeps the

@@ -109,6 +109,34 @@ ELEMENT_TYPES: dict[str, str] = {
     "billablePeriodStart": "dateTime",
     "rank": "positiveInt",
     "multipleBirthInteger": "integer",
+    # common R4 resource elements (Encounter/Condition/Procedure/
+    # MedicationRequest/Immunization/DiagnosticReport/Claim/AllergyIntolerance)
+    "performedDateTime": "dateTime",
+    "occurrenceDateTime": "dateTime",
+    "assertedDate": "dateTime",
+    "dateWritten": "dateTime",
+    "authored": "dateTime",
+    "timestamp": "instant",
+    "deceasedBoolean": "boolean",
+    "active": "boolean",
+    "preferred": "boolean",
+    "primarySource": "boolean",
+    "doNotPerform": "boolean",
+    "priority": "code",
+    "intent": "code",
+    "mode": "code",
+    "language": "code",
+    "severity": "code",
+    "criticality": "code",
+    "clinicalStatus": "code",  # R3-style string form; R4 CodeableConcept stays struct
+    "sequence": "positiveInt",
+    "numberOfSeries": "positiveInt",
+    "numberOfInstances": "unsignedInt",
+    "total": "unsignedInt",
+    "version": "string",
+    "display": "string",
+    "reference": "string",
+    "division": "string",
 }
 
 _CHOICE_RE = re.compile(r"^([a-z][A-Za-z0-9]*?)((?:[A-Z][a-z0-9]*)+)$")

@@ -98,3 +98,26 @@ def test_flatten(spark):
         (r.id, r.family) for r in flat.df.select("id", F.col("name.family").alias("family")).collect()
     )
     assert got == [("p1", "A"), ("p1", "B"), ("p2", "C")]
+
+
+def test_search_string_frontend(spark):
+    t = FhirTable.from_df(_patients(spark))
+    assert _ids(t.search("birthDate=ge1960")) == ["b", "c", "d"]
+    assert _ids(t.search("birthDate=ge1960&birthDate=lt1975")) == ["b", "c"]
+    assert _ids(t.search("id=a")) == ["a"]
+    assert _ids(t.search("id=nea&birthDate=le2100")) == ["b", "c", "d"]
+
+    rows = [
+        {"resourceType": "Observation", "id": "o1",
+         "valueQuantity": {"value": 36.5, "unit": "C", "code": "Cel",
+                           "system": "http://unitsofmeasure.org"}},
+        {"resourceType": "Observation", "id": "o2",
+         "valueQuantity": {"value": 103.1, "unit": "F", "code": "[degF]",
+                           "system": "http://unitsofmeasure.org"}},
+    ]
+    d = tempfile.mkdtemp(prefix="search_")
+    with open(f"{d}/o.ndjson", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    obs = FhirTable.from_df(encode_ndjson(spark, d, resource_type="Observation"))
+    assert _ids(obs.search("valueQuantity=gt100.4|[degF]")) == ["o2"]
