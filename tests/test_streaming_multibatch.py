@@ -1,0 +1,182 @@
+"""Multi-micro-batch streaming semantics: state carries across batches,
+dedup spans batches, checkpoint reuse is idempotent. Files are fed one
+per trigger (maxFilesPerTrigger=1) so the pipeline genuinely runs
+several micro-batches."""
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.api import load_table
+from parquet_on_fhir_spark.streaming.stateful import running_user_totals
+
+
+def _three_batch_source(spark, sf_dir):
+    """events split into 3 files with increasing mtimes → 3 micro-batches."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = tempfile.mkdtemp(prefix="mb_src_")
+    for i, (lo, hi) in enumerate([(0, 300), (300, 600), (600, 10**9)]):
+        part = e.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        time.sleep(0.05)  # distinct modification times → stable batch order
+    paths = [f"{src}/b{i}" for i in range(3)]
+    return e, src, paths
+
+
+def _stream(spark, src_glob, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_glob)
+    )
+
+
+def _run(df, mode, name, ck=None):
+    ck = ck or tempfile.mkdtemp(prefix="mb_ck_")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ck
+
+
+def test_stateful_totals_accumulate_across_batches(spark, sf_dir):
+    e, src, paths = _three_batch_source(spark, sf_dir)
+    schema = e.schema
+    s = _stream(spark, f"{src}/b*", schema)
+    out = running_user_totals(s)
+    _run(out, "update", "mb_state")
+    sink = spark.table("mb_state")
+    # several micro-batches → users emit multiple running updates
+    assert sink.count() > sink.select("user_id").distinct().count()
+    # the LAST update per user equals the batch-mode ground truth
+    last = sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    truth = e.groupBy("user_id").agg(F.count("*").alias("expect"))
+    diff = (
+        last.join(truth, "user_id")
+        .filter(F.col("n_events") != F.col("expect"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_streaming_dedup_spans_batches(spark, sf_dir):
+    e, src, paths = _three_batch_source(spark, sf_dir)
+    s = _stream(spark, f"{src}/b*", e.schema)
+    dedup = s.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    _run(dedup, "append", "mb_dedup")
+    got = spark.table("mb_dedup")
+    expect = e.select("user_id", "event_type").distinct()
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+
+
+def test_checkpoint_reuse_is_idempotent(spark, sf_dir):
+    e, src, paths = _three_batch_source(spark, sf_dir)
+    s = _stream(spark, f"{src}/b*", e.schema)
+    agg = s.groupBy("event_type").agg(F.count("*").alias("n"))
+    ck = _run(agg, "complete", "mb_idem1")
+    first = {r.event_type: r.n for r in spark.table("mb_idem1").collect()}
+    # re-run against the SAME checkpoint and source: no new data → the
+    # restarted query must not double-count
+    s2 = _stream(spark, f"{src}/b*", e.schema)
+    agg2 = s2.groupBy("event_type").agg(F.count("*").alias("n"))
+    _run(agg2, "complete", "mb_idem2", ck=ck)
+    second = {r.event_type: r.n for r in spark.table("mb_idem2").collect()}
+    truth = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert first == truth
+    assert second in ({}, truth)  # nothing new: empty sink or identical counts
+
+
+def test_watermark_drops_late_data(spark):
+    """Run 1 processes recent data and advances the watermark (persisted
+    in the checkpoint); run 2 (same checkpoint) sees only too-late rows,
+    which must be dropped — their window never emits with late counts."""
+    src = tempfile.mkdtemp(prefix="wm_src_")
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+    recent = spark.createDataFrame(
+        [(i, f"2024-01-10 12:{i:02d}:00", 1) for i in range(10)],
+        "event_id BIGINT, ts STRING, user_id BIGINT",
+    ).select("event_id", F.col("ts").cast("timestamp"), "user_id")
+    late = spark.createDataFrame(
+        [(100 + i, f"2024-01-10 09:0{i}:00", 1) for i in range(3)],
+        "event_id BIGINT, ts STRING, user_id BIGINT",
+    ).select("event_id", F.col("ts").cast("timestamp"), "user_id")
+    recent.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0.parquet")
+
+    def windowed(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = tempfile.mkdtemp(prefix="wm_out_")
+    ck = tempfile.mkdtemp(prefix="wm_ck_")
+
+    def run_to_files(stream):
+        q = (
+            windowed(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def source():
+        # each mini-table is a directory; the file source needs the glob
+        # to list the part files inside them
+        return spark.readStream.schema(schema).parquet(f"{src}/*")
+
+    run_to_files(source())
+
+    # late file arrives AFTER run 1 completed; watermark (~11:59) is
+    # restored from the checkpoint on restart. A 'closer' file with
+    # newer events pushes the watermark past 13:00 so the 12:00 window
+    # finalizes and the sink is non-empty.
+    late.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1.parquet")
+    closer = spark.createDataFrame(
+        [(200 + i, f"2024-01-10 14:3{i}:00", 1) for i in range(3)],
+        "event_id BIGINT, ts STRING, user_id BIGINT",
+    ).select("event_id", F.col("ts").cast("timestamp"), "user_id")
+    closer.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2.parquet")
+    run_to_files(source())
+
+    # append mode emits a window one batch AFTER the watermark passes its
+    # end (the batch-N watermark comes from batch N-1) — a third run
+    # flushes the now-finalized 12:00 window; had the late rows been
+    # (wrongly) accepted in run 2, the 09:00 window would flush here too
+    flusher = spark.createDataFrame(
+        [(300, "2024-01-10 15:00:00", 1)],
+        "event_id BIGINT, ts STRING, user_id BIGINT",
+    ).select("event_id", F.col("ts").cast("timestamp"), "user_id")
+    flusher.coalesce(1).write.mode("overwrite").parquet(f"{src}/f3.parquet")
+    run_to_files(source())
+
+    emitted = {
+        str(r["window"]["start"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the recent window finalized with all 10 on-time rows…
+    assert emitted.get("2024-01-10 12:00:00") == 10
+    # …while the 09:00 window (end far behind the restored watermark)
+    # never emits: its late rows were dropped
+    assert emitted.get("2024-01-10 09:00:00", 0) == 0
