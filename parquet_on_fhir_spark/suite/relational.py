@@ -1120,3 +1120,50 @@ QUERIES.extend(
         Q("q85_tpch_q19", q85, TPCH_Q19_SQL),
     ]
 )
+
+
+# --- Q87: MERGE-style upsert (CDC emulation: anti-join + union) -----------------------
+def q87(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.upsert import merge_upsert
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        d2(F.col("o_totalprice")).alias("price"),
+    )
+    updates = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("status"),
+            d2(F.col("o_totalprice") + 5.0).alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") < 100).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                F.lit("I").alias("status"),
+                d2(F.col("o_totalprice")).alias("price"),
+            )
+        )
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])
+
+
+Q87_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status, round(o_totalprice, 2) AS price FROM orders
+),
+u AS (
+  SELECT o_orderkey, 'U' AS status, round(o_totalprice + 5.0, 2) AS price
+  FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT o_orderkey + 1000000000 AS o_orderkey, 'I' AS status, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey < 100
+)
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+UNION ALL
+SELECT * FROM u
+"""
+
+QUERIES.append(Q("q87_merge_upsert", q87, Q87_ORACLE))
