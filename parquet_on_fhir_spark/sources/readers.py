@@ -48,6 +48,27 @@ def read_binary_files(
     return reader.load(path)
 
 
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, **options: str
+) -> DataFrame:  # pragma: no cover
+    """JDBC source — needs the database driver jar on the classpath
+    (none shipped in this image). Partition options (partitionColumn,
+    lowerBound, upperBound, numPartitions) make the read parallel."""
+    try:
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**options)
+            .load()
+        )
+    except Exception as e:
+        raise NotImplementedError(
+            "JDBC read requires the driver jar on the classpath; add it via "
+            "spark.jars / spark.jars.packages"
+        ) from e
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
     """Delta Lake needs delta-spark jars on the classpath — not in this
     image (see /opt/skills/guides/pyspark_guide.md §Sources)."""

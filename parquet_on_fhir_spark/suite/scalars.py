@@ -306,6 +306,7 @@ def q51b(spark, sf_dir):
         F.xxhash64("c_name").alias("xx64"),
         F.crc32(F.col("c_name").cast("binary")).alias("crc"),
         F.monotonically_increasing_id().alias("mono_id"),
+        F.expr("uuid()").alias("row_uuid"),
     )
 
 
