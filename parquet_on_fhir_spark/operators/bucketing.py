@@ -1,5 +1,5 @@
-"""Bucketed tables: co-located joins without a shuffle (SURVEY.md §4,
-/opt/skills/guides/pyspark_guide.md §Partitioning).
+"""Bucketed tables: co-located joins without a shuffle (SURVEY.md §4; see the Spark SQL
+bucketing docs: spark.apache.org/docs/latest/sql-data-sources-load-save-functions.html).
 
 At 100 TB, a repeated join key (patient id, order key) justifies paying
 one write-time shuffle so every subsequent join on that key is

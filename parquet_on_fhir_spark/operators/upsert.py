@@ -1,7 +1,8 @@
 """CDC folding: MERGE-style upsert and SCD2 historization — the
 emulation patterns for environments without a transactional table format
-(/opt/skills/guides/pyspark_guide.md §Common OLAP patterns: "MERGE INTO
-needs Delta; emulate with anti-join + union + window").
+(plain Spark SQL has no MERGE INTO target without a transactional format
+such as Delta/Iceberg; the standard emulation is anti-join + union +
+window, as used here).
 
 At 100 TB the upsert is one shuffle on the key (outer join); SCD2 is the
 same plus a per-key window sort. With Delta/Iceberg on the classpath the

@@ -71,7 +71,7 @@ def read_jdbc(
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
     """Delta Lake needs delta-spark jars on the classpath — not in this
-    image (see /opt/skills/guides/pyspark_guide.md §Sources)."""
+    image (delta.io/learn quickstart documents the required jars)."""
     try:
         return spark.read.format("delta").load(path)
     except Exception as e:  # jar missing
