@@ -21,21 +21,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from parquet_on_fhir_spark.fhir.types import DATE_TYPES, DECIMAL_TYPES, fhir_type_of
+from parquet_on_fhir_spark.fhir.types import (
+    DATE_TYPES,
+    DECIMAL_TYPES,
+    fhir_type_of,
+    is_quantity_shaped,
+)
 from parquet_on_fhir_spark.fhir.ucum import canonical_quantity
 from parquet_on_fhir_spark.functions.partial_date import fhir_date_end, fhir_date_start
 
 DECIMAL38 = T.DecimalType(38, 6)
 
-
-def _is_quantity_struct(dtype: T.DataType) -> bool:
-    """FHIR Quantity shape: value + unit/code. ``system`` alone does NOT
-    qualify — Identifier is (system, value, …) and must not be annotated
-    (its value is an arbitrary string, e.g. a UUID)."""
-    if not isinstance(dtype, T.StructType):
-        return False
-    names = set(dtype.fieldNames())
-    return "value" in names and bool(names & {"unit", "code"})
+# shared structural predicate (types.is_quantity_shaped): value + a
+# unit/code/currency sibling — Identifier (system, value) never matches
+_is_quantity_struct = is_quantity_shaped
 
 
 def _annotate_struct(col: Column, dtype: T.StructType) -> Column:

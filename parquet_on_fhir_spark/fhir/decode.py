@@ -9,8 +9,25 @@ Inverse of encode:
 2. null-prune bottom-up: structs whose children are all null become
    null, arrays that end up empty become null — so regenerated JSON
    omits absent elements exactly like the sparse input
-   (README.md:15-18, 43-45)
+   (README.md:15-18, 43-45). EXCEPTION: FHIR index-aligns a repeating
+   primitive with its ``_<name>`` extension array via interior null
+   placeholders ("given":["Jim",null] / "_given":[null,{...}],
+   README.md:250-297) — for such paired arrays interior nulls are
+   PRESERVED, and a member is dropped only when the whole pair is dead.
 3. ``to_json`` (ignoreNullFields) → one JSON document per row
+
+FHIR decimals are stored as lossless STRINGS (README.md:343-351) but
+must regenerate as JSON *numbers*. Decimal positions are identified
+STRUCTURALLY during the struct rebuild (never by a global name match on
+the serialized text): each decimal-kinded string — by element name, or
+the ``value`` child of a Quantity/Money-shaped struct — is wrapped in
+NUL sentinels at its exact tree position, and after ``to_json`` a single
+regex strips the quoted sentinel pair, turning just those tokens into
+bare JSON numbers with their lexical text (trailing zeros included)
+intact. A string field elsewhere that shares a decimal element's name
+is untouched; NUL cannot occur in conformant FHIR strings (the spec's
+string regex admits no control characters), so the sentinel cannot
+collide with data.
 
 All expression-level (struct rebuilds + higher-order transforms); the
 decode of a 100 TB table is a map-only scan.
@@ -24,7 +41,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from parquet_on_fhir_spark.fhir.types import DECIMAL_TYPES, fhir_type_of
+from parquet_on_fhir_spark.fhir.types import (
+    DECIMAL_TYPES,
+    fhir_type_of,
+    is_quantity_shaped,
+)
+
+# JSON-number grammar (RFC 8259) — only values matching this are marked,
+# so the sentinel-strip regex always leaves valid JSON behind
+_JSON_NUM = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+_SENT = "\x00"  # to_json escapes NUL as the 6-char text backslash-u0000
+
+
+def _mark_decimal(col: Column) -> Column:
+    return F.when(
+        col.rlike(_JSON_NUM), F.concat(F.lit(_SENT), col, F.lit(_SENT))
+    ).otherwise(col)
 
 
 def _clean_type(dtype: T.DataType) -> T.DataType:
@@ -42,69 +74,127 @@ def _clean_type(dtype: T.DataType) -> T.DataType:
     return dtype
 
 
-def _clean(col: Column, dtype: T.DataType) -> Column:
+def _pair_name(name: str, names: set[str]) -> str | None:
+    """The '_<name>' ⇄ '<name>' partner of a primitive-extension pair,
+    if present among sibling field names."""
+    if name.startswith("_") and not name.startswith("__"):
+        return name[1:] if name[1:] in names else None
+    return "_" + name if ("_" + name) in names else None
+
+
+def _clean(col: Column, dtype: T.DataType, mark: bool = False, dec: bool = False) -> Column:
+    """Strip annotations + null-prune; ``dec`` marks a decimal-kinded
+    string position (sentinel-wrap for number regeneration)."""
     if isinstance(dtype, T.StructType):
         kept = [f for f in dtype.fields if not f.name.startswith("__")]
         if not kept:
             return F.lit(None).cast(T.NullType())
-        children = [_clean(col.getField(f.name), f.dataType).alias(f.name) for f in kept]
+        by_name = {f.name: f for f in kept}
+        names = set(by_name)
+        qshape = is_quantity_shaped(dtype)
+        children: list[Column] = []
+        for f in kept:
+            f_dec = mark and (
+                fhir_type_of(f.name) in DECIMAL_TYPES
+                or (qshape and f.name == "value")
+            )
+            sub = col.getField(f.name)
+            partner = (
+                _pair_name(f.name, names)
+                if isinstance(f.dataType, T.ArrayType)
+                else None
+            )
+            if partner is not None and isinstance(by_name[partner].dataType, T.ArrayType):
+                live = _array_live(
+                    col.getField(partner), by_name[partner].dataType, mark
+                )
+                child = _clean_array(sub, f.dataType, mark, f_dec, paired_live=live)
+            else:
+                child = _clean(sub, f.dataType, mark, f_dec)
+            children.append(child.alias(f.name))
         rebuilt = F.struct(*children)
         all_null = reduce(lambda a, b: a & b, [c.isNull() for c in children])
         return F.when(col.isNull() | all_null, F.lit(None).cast(_clean_type(dtype))).otherwise(
             rebuilt
         )
     if isinstance(dtype, T.ArrayType):
-        cleaned = F.transform(col, lambda x: _clean(x, dtype.elementType))
-        non_null = F.filter(cleaned, lambda x: x.isNotNull())
-        return F.when(
-            col.isNull() | (F.size(non_null) == 0),
-            F.lit(None).cast(_clean_type(dtype)),
-        ).otherwise(non_null)
+        return _clean_array(col, dtype, mark, dec, paired_live=None)
+    if dec and isinstance(dtype, T.StringType):
+        return _mark_decimal(col)
     return col
 
 
-def strip_annotations(df: DataFrame) -> DataFrame:
-    """Remove ``__*`` fields at every nesting level; null-prune empties."""
-    cols = [
-        _clean(F.col(f.name), f.dataType).alias(f.name)
-        for f in df.schema.fields
-        if not f.name.startswith("__")
-    ]
+def _clean_array(
+    col: Column,
+    dtype: T.ArrayType,
+    mark: bool,
+    dec: bool,
+    paired_live: Column | None,
+) -> Column:
+    """Clean an array. Unpaired: drop null elements, empty → null.
+    Paired (``paired_live`` = does the partner array have any live
+    element): keep interior nulls for index alignment; drop only when
+    this member AND its partner are both dead."""
+    cleaned = F.transform(col, lambda x: _clean(x, dtype.elementType, mark, dec))
+    live = F.size(F.filter(cleaned, lambda x: x.isNotNull())) > 0
+    null_lit = F.lit(None).cast(_clean_type(dtype))
+    if paired_live is None:
+        non_null = F.filter(cleaned, lambda x: x.isNotNull())
+        return F.when(col.isNull() | ~live, null_lit).otherwise(non_null)
+    return F.when(col.isNull() | (~live & ~paired_live), null_lit).otherwise(cleaned)
+
+
+def _array_live(col: Column, dtype: T.ArrayType, mark: bool) -> Column:
+    """Does this array hold at least one element that survives cleaning?"""
+    cleaned = F.transform(col, lambda x: _clean(x, dtype.elementType, mark))
+    return col.isNotNull() & (F.size(F.filter(cleaned, lambda x: x.isNotNull())) > 0)
+
+
+def strip_annotations(df: DataFrame, _mark_decimals: bool = False) -> DataFrame:
+    """Remove ``__*`` fields at every nesting level; null-prune empties
+    (paired primitive/_primitive arrays keep interior null placeholders).
+    ``_mark_decimals`` is internal (to_fhir_json)."""
+    fields = [f for f in df.schema.fields if not f.name.startswith("__")]
+    names = {f.name for f in fields}
+    cols = []
+    for f in fields:
+        f_dec = _mark_decimals and fhir_type_of(f.name) in DECIMAL_TYPES
+        cols.append(
+            _top_member(df, f, names, _mark_decimals, f_dec).alias(f.name)
+        )
     return df.select(*cols)
 
 
-def _decimal_field_names(dtype: T.DataType, out: set[str]) -> None:
-    if isinstance(dtype, T.StructType):
-        for f in dtype.fields:
-            if (
-                isinstance(f.dataType, T.StringType)
-                and fhir_type_of(f.name) in DECIMAL_TYPES
-            ):
-                out.add(f.name)
-            _decimal_field_names(f.dataType, out)
-    elif isinstance(dtype, T.ArrayType):
-        _decimal_field_names(dtype.elementType, out)
+def _top_member(
+    df: DataFrame, f: T.StructField, names: set[str], mark: bool, dec: bool
+) -> Column:
+    col = F.col(f.name)
+    if isinstance(f.dataType, T.ArrayType):
+        partner = _pair_name(f.name, names)
+        if partner is not None:
+            pf = df.schema[partner]
+            if isinstance(pf.dataType, T.ArrayType):
+                live = _array_live(F.col(partner), pf.dataType, mark)
+                return _clean_array(col, f.dataType, mark, dec, paired_live=live)
+    return _clean(col, f.dataType, mark, dec)
 
 
 def to_fhir_json(df: DataFrame, json_col: str = "json") -> DataFrame:
     """One FHIR JSON document (string) per resource row.
 
-    FHIR decimals are stored as lossless STRINGS (README.md:343-351) but
-    must regenerate as JSON *numbers*; after serialization every
-    decimal-kinded field is unquoted by name (the value text itself is
-    preserved verbatim, trailing zeros included — FHIR lexical rules
-    guarantee it is a valid JSON number, README.md:84-86).
+    Decimal-kinded strings regenerate as JSON numbers with their lexical
+    text preserved: positions are sentinel-marked structurally during the
+    rebuild (module docstring), then one regex strips the quoted
+    sentinels after serialization.
     """
-    clean = strip_annotations(df)
+    clean = strip_annotations(df, _mark_decimals=True)
     js = F.to_json(F.struct(*clean.columns))
-    dec_fields: set[str] = set()
-    _decimal_field_names(df.schema, dec_fields)
-    for name in sorted(dec_fields):
-        js = F.regexp_replace(
-            js,
-            f'"({name})":"(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"',
-            '"$1":$2',
-        )
+    # strip  "<NUL-escape>number<NUL-escape>"  →  number
+    js = F.regexp_replace(
+        js,
+        '"\\\\u0000(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\\\\u0000"',
+        "$1",
+    )
     return clean.select(js.alias(json_col))
 
 

@@ -22,18 +22,28 @@ from parquet_on_fhir_spark.fhir.types import (
     DATE_TYPES,
     DECIMAL_TYPES,
     fhir_type_of,
+    is_quantity_shaped,
     spark_type_for,
 )
 
 
 def _apply_fhir_rules(dtype: T.DataType, name: str | None = None) -> T.DataType:
     if isinstance(dtype, T.StructType):
-        return T.StructType(
-            [
-                T.StructField(f.name, _apply_fhir_rules(f.dataType, f.name), True)
-                for f in dtype.fields
-            ]
-        )
+        # Quantity/Money-shaped structs: their `value` child is the FHIR
+        # decimal (README.md:343+) even though the name alone is ambiguous
+        # (Identifier.value is a string) — force lossless STRING storage.
+        qshape = is_quantity_shaped(dtype)
+        fields = []
+        for f in dtype.fields:
+            child = _apply_fhir_rules(f.dataType, f.name)
+            if (
+                qshape
+                and f.name == "value"
+                and not isinstance(child, (T.StructType, T.ArrayType))
+            ):
+                child = T.StringType()
+            fields.append(T.StructField(f.name, child, True))
+        return T.StructType(fields)
     if isinstance(dtype, T.ArrayType):
         return T.ArrayType(_apply_fhir_rules(dtype.elementType, name), True)
     ft = fhir_type_of(name) if name else None

@@ -168,3 +168,17 @@ def choice_group(field_name: str) -> str | None:
 
 def spark_type_for(fhir_type: str) -> T.DataType | None:
     return PRIMITIVE_TO_SPARK.get(fhir_type)
+
+
+def is_quantity_shaped(dtype: T.DataType) -> bool:
+    """FHIR Quantity/Money shape: a ``value`` child plus a unit/code/
+    currency sibling. ``system`` alone does NOT qualify — Identifier is
+    (system, value, …) and its value is an arbitrary string that must
+    never be treated as decimal. This structural test is how
+    Quantity.value (the most common FHIR decimal site, README.md:343+)
+    is recognized without a name registry: 'value' alone is ambiguous,
+    'value' inside a unit-bearing struct is the spec's Quantity."""
+    if not isinstance(dtype, T.StructType):
+        return False
+    names = set(dtype.fieldNames())
+    return "value" in names and bool(names & {"unit", "code", "currency"})

@@ -258,3 +258,95 @@ def test_reference_observation_numeric_annotation_matches(spark):
     )
     bad = joined.filter(F.col("orig") != F.col("recomputed")).count()
     assert bad == 0 and joined.count() > 0
+
+
+# --- ADVICE r1 (high): Quantity.value is THE decimal site (README.md:343+) ---------------
+def test_quantity_value_lossless_lexical(spark):
+    """valueQuantity.value must store as lossless STRING and regenerate
+    as a JSON number with its lexical text (trailing zero, >15 digits)."""
+    path = _write_ndjson([])  # dir only; write raw lines with exact lexical forms
+    with open(f"{path}/data.ndjson", "w") as f:
+        f.write('{"resourceType":"Observation","id":"o1",'
+                '"valueQuantity":{"value":37.10,"unit":"C","code":"Cel"}}\n')
+        f.write('{"resourceType":"Observation","id":"o2",'
+                '"valueQuantity":{"value":0.30000000000000004441,"unit":"g"}}\n')
+    df = encode_ndjson(spark, path, resource_type="Observation")
+    vq = df.schema["valueQuantity"].dataType
+    assert isinstance(vq["value"].dataType, T.StringType)  # lossless storage
+    assert "__value_numeric" in vq.fieldNames()            # typed access annotation
+    vals = {r.id: r.valueQuantity.value for r in df.select("id", "valueQuantity").collect()}
+    assert vals["o1"] == "37.10"                            # lexical precision kept
+    assert vals["o2"] == "0.30000000000000004441"           # > double precision kept
+    docs = {d["id"]: d for d in
+            (json.loads(r.json) for r in to_fhir_json(df).collect())}
+    # regenerates as a raw JSON number token with the original text
+    raw = {r.json for r in to_fhir_json(df).collect()}
+    assert any('"value":37.10,' in j or '"value":37.10}' in j for j in raw)
+    assert any("0.30000000000000004441" in j and '"0.30000000000000004441"' not in j
+               for j in raw)
+    assert isinstance(docs["o1"]["valueQuantity"]["value"], float)
+
+
+# --- adversarial: a numeric-looking STRING sharing a decimal site's name stays quoted ------
+def test_identifier_value_stays_quoted(spark):
+    """Identifier.value ('value' WITHOUT unit/code sibling) is a string;
+    a numeric-looking one must NOT be unquoted — the structural marking
+    (not name-global regex) guarantees it."""
+    rows = [{"resourceType": "Patient", "id": "p1",
+             "identifier": [{"system": "http://x/mrn", "value": "0042"}],
+             "extension": [{"url": "http://x/score", "valueDecimal": 13.5}]}]
+    df, back = _roundtrip(spark, rows, resource_type="Patient")
+    assert back == rows  # 0042 still a string, valueDecimal a number
+    j = to_fhir_json(df).collect()[0].json
+    assert '"value":"0042"' in j and '"valueDecimal":13.5' in j
+
+
+def test_money_value_decimal(spark):
+    """Money shape (value + currency) is decimal-kinded too."""
+    rows = [{"resourceType": "Claim", "id": "c1",
+             "total": {"value": 99.90, "currency": "USD"}}]
+    path = _write_ndjson(rows)
+    with open(f"{path}/data.ndjson", "w") as f:
+        f.write('{"resourceType":"Claim","id":"c1",'
+                '"total":{"value":99.90,"currency":"USD"}}\n')
+    df = encode_ndjson(spark, path, resource_type="Claim")
+    assert isinstance(df.schema["total"].dataType["value"].dataType, T.StringType)
+    j = to_fhir_json(df).collect()[0].json
+    assert '"value":99.90' in j
+
+
+# --- ADVICE r1 (medium): interior null placeholders in paired primitive arrays -------------
+def test_paired_primitive_array_null_placeholders(spark):
+    """"given":["Jim",null] / "_given":[null,{...}] must keep interior
+    nulls (index alignment, README.md:250-297) through decode."""
+    rows = [{"resourceType": "Patient", "id": "p1",
+             "name": [{"family": "X",
+                       "given": ["Jim", None],
+                       "_given": [None, {"extension": [
+                           {"url": "http://x/nick", "valueCode": "middle"}]}]}]}]
+    df, back = _roundtrip(spark, rows, resource_type="Patient")
+    assert back == rows
+    # unpaired arrays still null-prune (sparse regeneration)
+    rows2 = [{"resourceType": "Patient", "id": "p1",
+              "name": [{"family": "X", "given": ["Jim", None]}]}]
+    _, back2 = _roundtrip(spark, rows2, resource_type="Patient")
+    assert back2 == [{"resourceType": "Patient", "id": "p1",
+                      "name": [{"family": "X", "given": ["Jim"]}]}]
+
+
+def test_paired_array_value_only_null(spark):
+    """"given":[null] with a live _given survives as [null]."""
+    rows = [{"resourceType": "Patient", "id": "p1",
+             "name": [{"given": [None],
+                       "_given": [{"extension": [
+                           {"url": "http://x/enc", "valueCode": "masked"}]}]}]}]
+    df, back = _roundtrip(spark, rows, resource_type="Patient")
+    assert back == rows
+
+
+# --- golden file: valueQuantity.value regenerates as a JSON number -------------------------
+def test_reference_observation_value_regenerates_number(spark):
+    o = spark.read.parquet("/root/reference/examples/Observation.parquet")
+    docs = [json.loads(r.json) for r in to_fhir_json(o).collect()]
+    vals = [d["valueQuantity"]["value"] for d in docs if "valueQuantity" in d]
+    assert vals and all(isinstance(v, (int, float)) for v in vals)
