@@ -62,6 +62,12 @@ def encode_mixed_ndjson(
     resourceType (cheap get_json_object — no full parse) and write the
     raw lines partitioned by type; (2) per type, derive that type's
     sparse schema and encode its partition. Returns {resourceType: rows}.
+
+    Object-store-safe: the per-type partition list comes from ONE
+    distributed ``distinct(resourceType)`` aggregate (bounded by the
+    ~150 FHIR resource types), never from local-filesystem globbing —
+    the same code path works on file:/, s3a:/ or hdfs:/ roots. Row
+    counts are taken from that same aggregate, not per-type count jobs.
     """
     from pyspark.sql import functions as F
 
@@ -72,17 +78,18 @@ def encode_mixed_ndjson(
     staging = f"{out_root}/_staging"
     tagged.write.mode("overwrite").partitionBy("resourceType").text(staging)
 
-    import glob
-    import os
-
-    counts: dict[str, int] = {}
-    for part_dir in sorted(glob.glob(f"{staging}/resourceType=*")):
-        rtype = os.path.basename(part_dir).split("=", 1)[1]
+    counts: dict[str, int] = {
+        r["resourceType"]: r["n"]
+        for r in tagged.groupBy("resourceType").agg(F.count("*").alias("n")).collect()
+    }
+    for rtype in sorted(counts):
         df = encode_ndjson(
-            spark, part_dir, resource_type=rtype, annotations=annotations
+            spark,
+            f"{staging}/resourceType={rtype}",
+            resource_type=rtype,
+            annotations=annotations,
         )
         write_table(df, f"{out_root}/{rtype}")
-        counts[rtype] = df.count()
     return counts
 
 

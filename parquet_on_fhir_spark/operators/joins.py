@@ -42,40 +42,57 @@ def as_of_join(
     on = list(on)
     carried = [c for c in right_cols if c not in on and c != right_ts]
 
-    lhs = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
-        "__side", F.lit(1)
+    # Helper columns get collision-proof names so a left table that
+    # already carries '__'-prefixed columns (this format's own annotation
+    # convention!) or a literal '__ts' passes through untouched.
+    lhs_cols = list(left.columns)
+    taken = set(lhs_cols) | set(right.columns)
+
+    def _uniq(base: str) -> str:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        return name
+
+    ts_h = _uniq("__asof_ts_h")
+    side_h = _uniq("__asof_side_h")
+    r_h = {c: _uniq(f"__asof_r_{c}") for c in carried}
+
+    lhs = left.withColumn(ts_h, F.col(left_ts).cast("timestamp")).withColumn(
+        side_h, F.lit(1)
     )
     # At equal timestamps the right row must sort BEFORE the left row so
     # the match is inclusive → side 0 for right.
     rhs = right.select(
         *[F.col(c) for c in on],
-        F.col(right_ts).cast("timestamp").alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        F.col(right_ts).cast("timestamp").alias(ts_h),
+        F.lit(0).alias(side_h),
+        *[F.col(c).alias(r_h[c]) for c in carried],
     )
-    lhs_cols = [c for c in lhs.columns if not c.startswith("__")]
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    order = [F.col(ts_h).asc(), F.col(side_h).asc()]
     if tiebreak is not None:
         # Orders right rows with equal ts among themselves; left rows are
-        # already after them via __side, so nulls here are harmless.
-        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+        # already after them via side order, so nulls here are harmless.
+        order.append(F.col(r_h[tiebreak]).asc_nulls_first())
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(
-        "asof_ts", F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)
+        "asof_ts", F.last(F.when(F.col(side_h) == 0, F.col(ts_h)), ignorenulls=True).over(w)
     )
     for c in carried:
         filled = filled.withColumn(
             f"asof_{c}",
-            F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True).over(w),
+            F.last(F.when(F.col(side_h) == 0, F.col(r_h[c])), ignorenulls=True).over(w),
         )
 
-    out = filled.filter(F.col("__side") == 1).select(
+    out = filled.filter(F.col(side_h) == 1).select(
         *lhs_cols, "asof_ts", *[f"asof_{c}" for c in carried]
     )
     if tolerance is not None:
@@ -145,10 +162,16 @@ def bucketed_interval_join(
 
     Each interval explodes into the epoch-aligned buckets it touches
     (``sequence(floor(start), floor(end))``); overlapping pairs share at
-    least one bucket. ``dropDuplicates`` removes multi-bucket double
-    matches. This is the 100 TB-safe plan for range joins: shuffle is
-    O(rows × avg buckets per interval), never O(n²). Size ``bucket`` near
-    the typical interval length to keep the blow-up factor ~2.
+    least one bucket. Multi-bucket double matches are eliminated at the
+    source, not deduped after: a pair is emitted only from its CANONICAL
+    bucket — the bucket containing ``greatest(l_start, r_start)`` (the
+    overlap start, which both intervals touch by definition) — so each
+    overlapping pair joins exactly once, legitimately duplicate input
+    rows keep their join multiplicity, and there is no post-join
+    dropDuplicates shuffle at all. This is the 100 TB-safe plan for
+    range joins: shuffle is O(rows × avg buckets per interval), never
+    O(n²). Size ``bucket`` near the typical interval length to keep the
+    blow-up factor ~2.
     """
     secs = bucket_seconds if bucket_seconds is not None else _interval_seconds(bucket)
 
@@ -173,11 +196,16 @@ def bucketed_interval_join(
     rb = bucketize(right, right_start, right_end).withColumnRenamed(
         "__bucket", "__rbucket"
     )
+    overlap_start = F.greatest(lb[left_start], rb[right_start])
+    canonical_bucket = F.timestamp_seconds(
+        (F.unix_timestamp(overlap_start) / secs).cast("long") * secs
+    )
     joined = lb.join(
         rb,
         (lb["__bucket"] == rb["__rbucket"])
         & (lb[left_start] <= rb[right_end])
-        & (rb[right_start] <= lb[left_end]),
+        & (rb[right_start] <= lb[left_end])
+        & (lb["__bucket"] == canonical_bucket),
         "inner",
     ).drop("__bucket", "__rbucket")
-    return joined.dropDuplicates()
+    return joined

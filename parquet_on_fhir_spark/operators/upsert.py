@@ -37,9 +37,18 @@ def fold_cdc_latest(
 ) -> DataFrame:
     """Fold a CDC change stream to the latest state per key: keep the row
     with the highest ``seq_col`` (ties: all-column struct order), then
-    drop rows flagged deleted. One shuffle on the key."""
+    drop rows flagged deleted. One shuffle on the key.
+
+    Replay-deterministic: equal ``seq_col`` values are broken by the
+    descending struct order of the remaining columns, so folding the same
+    change set always yields the same final state regardless of input
+    partitioning (row_number alone over a tied orderBy is not stable)."""
     keys = list(keys)
-    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    tiebreak = [c for c in changes.columns if c not in keys and c != seq_col]
+    order = [F.desc(seq_col)]
+    if tiebreak:
+        order.append(F.desc(F.struct(*tiebreak)))
+    w = Window.partitionBy(*keys).orderBy(*order)
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

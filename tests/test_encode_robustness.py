@@ -44,3 +44,17 @@ def test_corrupt_record_quarantine(spark):
     assert sorted(r.id for r in good.select("id").collect()) == ["p1", "p2"]
     bad_rows = [r[0] for r in bad.collect()]
     assert len(bad_rows) == 1 and bad_rows[0].startswith("THIS IS NOT JSON")
+
+
+def test_mixed_resource_split_uri_path(spark):
+    """Partition discovery must go through Spark/Hadoop FS semantics, not
+    local-filesystem globbing — a file: URI root (shaped like any object
+    store URI) must work end-to-end."""
+    d = tempfile.mkdtemp(prefix="mixed_uri_")
+    with open(f"{d}/mixed.ndjson", "w") as f:
+        f.write('{"resourceType":"Patient","id":"p1"}\n')
+        f.write('{"resourceType":"Observation","id":"o1","status":"final"}\n')
+    out = tempfile.mkdtemp(prefix="mixed_uri_out_")
+    counts = encode_mixed_ndjson(spark, f"file://{d}/mixed.ndjson", f"file://{out}")
+    assert counts == {"Patient": 1, "Observation": 1}
+    assert spark.read.parquet(f"{out}/Patient").count() == 1

@@ -109,3 +109,41 @@ def test_interval_overlap_join_keyed(spark, sf_dir):
     rows = res.limit(50).collect()
     for r in rows:
         assert r["a_start"] <= r["b_end"] and r["b_start"] <= r["a_end"]
+
+
+def test_as_of_join_preserves_annotation_columns(spark):
+    """A left table carrying this format's own __annotation columns (or a
+    literal __ts) must pass through the as-of join untouched (ADVICE r1)."""
+    left = spark.createDataFrame(
+        [("k1", "2024-01-01 10:00:00", "2024-01-01", "keepme")],
+        "k string, t string, __t_start string, __ts string",
+    )
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01 09:00:00", 5.0)], "k string, rt string, v double"
+    )
+    out = as_of_join(left, right, on=["k"], left_ts="t", right_ts="rt",
+                     right_cols=["v"])
+    r = out.collect()[0]
+    assert r["__t_start"] == "2024-01-01" and r["__ts"] == "keepme"
+    assert r["asof_v"] == 5.0
+    assert set(out.columns) == {"k", "t", "__t_start", "__ts", "asof_ts", "asof_v"}
+
+
+def test_bucketed_interval_join_multiplicity(spark):
+    """Legitimately duplicate input rows must produce duplicate matched
+    pairs (join multiplicity), while multi-bucket double-matches still
+    collapse (ADVICE r1)."""
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-03 00:00:00")] * 2,  # dup row
+        "lv string, s string, e string",
+    ).select("lv", F.col("s").cast("timestamp"), F.col("e").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("b", "2024-01-02 00:00:00", "2024-01-02 12:00:00")],
+        "rv string, rs string, re string",
+    ).select("rv", F.col("rs").cast("timestamp"), F.col("re").cast("timestamp"))
+    out = bucketed_interval_join(
+        left, right, "s", "e", "rs", "re", bucket="1 day"
+    )
+    # 2 identical left rows × 1 right row → exactly 2 pairs (the 3-day ×
+    # 1-day bucket overlap would give up to 2 bucket hits per pair)
+    assert out.count() == 2

@@ -67,3 +67,17 @@ def test_scd2_versions(spark):
     assert sorted(
         (r.k, r.segment, r.valid_from, r.valid_to) for r in hist2.collect()
     ) == rows
+
+
+def test_fold_cdc_latest_tie_determinism(spark):
+    """Equal seq values must fold to the same survivor on every replay /
+    partitioning: desc struct order over non-key columns (ADVICE r1)."""
+    from parquet_on_fhir_spark.operators.upsert import fold_cdc_latest
+
+    rows = [("k", 1, "a"), ("k", 1, "z"), ("k", 1, "m")]
+    expected = [("k", 1, "z")]  # greatest struct(payload)
+    for parts in (1, 3, 7):
+        df = spark.createDataFrame(rows, "key string, seq int, payload string") \
+            .repartition(parts)
+        got = [tuple(r) for r in fold_cdc_latest(df, ["key"], "seq").collect()]
+        assert got == expected
