@@ -79,12 +79,18 @@ def minhash_lsh_pairs(
     equi-joins on (band_id, chunk_hash) — only collisions are compared,
     so cost is O(candidates), not O(n²). Pair estimate = fraction of
     matching signature positions.
+
+    The band self-join shuffles ONLY (band, bucket, id) — ~24 bytes/row
+    — never the signatures: each row is replicated ``num_bands`` times
+    for banding, so carrying the 32×8-byte signature through that
+    exchange would multiply the widest shuffle by the band count.
+    Signatures are re-attached to the (much smaller) surviving pair set
+    by two id-keyed joins afterward.
     """
     n_rows = F.size(F.col("minhash"))
     rows_per_band = (n_rows / num_bands).cast("int")
     banded = sig_df.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -104,19 +110,25 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"), "band", "bucket"
-    )
-    pairs = (
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    id_pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = sig_df.select(F.col(id_col), F.col("minhash"))
+    pairs = (
+        id_pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")),
+            "id_a",
+        ).join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")),
+            "id_b",
+        )
     )
     est = (
         F.size(
@@ -152,9 +164,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     """64-bit SimHash fingerprint per document, from token xxhash64s.
 
     Bit i of the fingerprint = majority vote of bit i across token
-    hashes. Expressed with HOFs: per-bit balance = sum over tokens of
-    ±1 depending on the token-hash bit. Near-duplicates have small
-    Hamming distance between fingerprints.
+    hashes. Single-pass formulation: ONE ``aggregate`` over the token
+    hashes folds a 64-wide bit-balance array (zip_with against a
+    constant mask array), then one fold ORs the positive-balance masks
+    into the fingerprint — a shallow expression tree, vs. 64 separate
+    per-bit aggregates whose codegen depth risks interpreted fallback.
+    Near-duplicates have small Hamming distance between fingerprints.
     """
     tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     hashes = F.transform(tokens, lambda x: F.xxhash64(x))
@@ -162,19 +177,25 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     def mask(i: int) -> int:  # signed-long bit mask (bit 63 = sign bit)
         return (1 << i) if i < 63 else -(1 << 63)
 
-    def vote(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1),
-        )
-
-    fingerprint = F.lit(0).cast("long")
-    for i in range(bits):
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(vote(i) > 0, F.lit(mask(i))).otherwise(F.lit(0).cast("long"))
-        )
+    masks = F.array(*[F.lit(mask(i)).cast("long") for i in range(bits)])
+    balances = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            balances,
+            masks,
+            lambda bal, m: F.when(bal > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
     return df.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
