@@ -39,7 +39,7 @@ def encode_ndjson(
     columns.
     """
     if schema is None:
-        schema = derive_schema(spark, ndjson_path)
+        schema = derive_schema(spark, ndjson_path, resource_type=resource_type)
     df = spark.read.schema(schema).json(ndjson_path)
     if validate:
         check_or_raise(df, resource_type)
@@ -105,7 +105,7 @@ def encode_ndjson_tolerant(
     columnNameOfCorruptRecord). At 100 TB a single malformed line must
     not kill the job — it must land in a quarantine table for replay."""
     if schema is None:
-        schema = derive_schema(spark, ndjson_path)
+        schema = derive_schema(spark, ndjson_path, resource_type=resource_type)
     with_corrupt = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
     )

@@ -1,0 +1,617 @@
+"""F1 v2 — packaged FHIR R4 element registry (public HL7 R4 content).
+
+The spec says the table schema "SHALL be derived from a single base FHIR
+resource definition" (/root/reference/README.md:26-27). Round 1 derived
+schemas purely from data (JSON inference ∩ name-based typing rules); this
+registry adds the StructureDefinition side: element paths → FHIR types
+for the R4 base resource definitions and complex datatypes, transcribed
+from the published HL7 FHIR R4 specification (hl7.org/fhir/R4 — public
+standard). Two uses:
+
+1. ``definition_schema(resource_type)`` — derive a Spark schema from the
+   resource definition ALONE (no data sample needed), optionally
+   restricted to a sparse set of populated element paths (README.md:15-18
+   allows omitting unpopulated fields).
+2. ``registry_type_at(resource_type, path)`` — path-aware element typing
+   for the data-driven deriver, replacing name-only guesses wherever the
+   registry knows the path (an element name like ``value`` is ambiguous;
+   the path ``Observation.valueQuantity.value`` is not).
+
+Registry encoding (per element dict):
+- ``"string"``            → scalar primitive / complex-type reference
+- ``("string", True)``    → repeating element (→ Spark ArrayType)
+- ``{...}`` / ``({...}, True)`` → inline backbone element (→ struct)
+- ``["boolean","dateTime"]``    → choice element ``name[x]`` (key must
+  end with ``[x]``); expands to one sibling field per concrete type
+  (README.md:139-172)
+
+Not every R4 resource is transcribed — unknown paths fall back to the
+data-driven rules (types.fhir_type_of), so coverage degrades gracefully.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from parquet_on_fhir_spark.fhir.types import PRIMITIVE_TO_SPARK
+
+A = lambda t: (t, True)  # noqa: E731 — repeating element marker
+
+# ---------------------------------------------------------------------------
+# Complex datatypes (hl7.org/fhir/R4/datatypes.html)
+# ---------------------------------------------------------------------------
+
+# The Quantity family (Age, Distance, Duration, Count, SimpleQuantity)
+# shares Quantity's elements.
+_QUANTITY = {
+    "value": "decimal",
+    "comparator": "code",
+    "unit": "string",
+    "system": "uri",
+    "code": "code",
+}
+
+COMPLEX: dict[str, dict] = {
+    "Meta": {
+        "versionId": "id",
+        "lastUpdated": "instant",
+        "source": "uri",
+        "profile": A("canonical"),
+        "security": A("Coding"),
+        "tag": A("Coding"),
+    },
+    "Narrative": {"status": "code", "div": "string"},
+    "Identifier": {
+        "use": "code",
+        "type": "CodeableConcept",
+        "system": "uri",
+        "value": "string",
+        "period": "Period",
+        "assigner": "Reference",
+    },
+    "CodeableConcept": {"coding": A("Coding"), "text": "string"},
+    "Coding": {
+        "system": "uri",
+        "version": "string",
+        "code": "code",
+        "display": "string",
+        "userSelected": "boolean",
+    },
+    "Quantity": dict(_QUANTITY),
+    "Age": dict(_QUANTITY),
+    "Distance": dict(_QUANTITY),
+    "Duration": dict(_QUANTITY),
+    "Count": dict(_QUANTITY),
+    "SimpleQuantity": dict(_QUANTITY),
+    "Money": {"value": "decimal", "currency": "code"},
+    "Range": {"low": "Quantity", "high": "Quantity"},
+    "Ratio": {"numerator": "Quantity", "denominator": "Quantity"},
+    "Period": {"start": "dateTime", "end": "dateTime"},
+    "SampledData": {
+        "origin": "Quantity",
+        "period": "decimal",
+        "factor": "decimal",
+        "lowerLimit": "decimal",
+        "upperLimit": "decimal",
+        "dimensions": "positiveInt",
+        "data": "string",
+    },
+    "Attachment": {
+        "contentType": "code",
+        "language": "code",
+        "data": "base64Binary",
+        "url": "url",
+        "size": "unsignedInt",
+        "hash": "base64Binary",
+        "title": "string",
+        "creation": "dateTime",
+    },
+    "HumanName": {
+        "use": "code",
+        "text": "string",
+        "family": "string",
+        "given": A("string"),
+        "prefix": A("string"),
+        "suffix": A("string"),
+        "period": "Period",
+    },
+    "Address": {
+        "use": "code",
+        "type": "code",
+        "text": "string",
+        "line": A("string"),
+        "city": "string",
+        "district": "string",
+        "state": "string",
+        "postalCode": "string",
+        "country": "string",
+        "period": "Period",
+    },
+    "ContactPoint": {
+        "system": "code",
+        "value": "string",
+        "use": "code",
+        "rank": "positiveInt",
+        "period": "Period",
+    },
+    "Reference": {
+        "reference": "string",
+        "type": "uri",
+        "identifier": "Identifier",
+        "display": "string",
+    },
+    "Annotation": {
+        "authorReference": "Reference",
+        "authorString": "string",
+        "time": "dateTime",
+        "text": "markdown",
+    },
+    "Timing": {
+        "event": A("dateTime"),
+        "repeat": {
+            "bounds[x]": ["Duration", "Range", "Period"],
+            "count": "positiveInt",
+            "countMax": "positiveInt",
+            "duration": "decimal",
+            "durationMax": "decimal",
+            "durationUnit": "code",
+            "frequency": "positiveInt",
+            "frequencyMax": "positiveInt",
+            "period": "decimal",
+            "periodMax": "decimal",
+            "periodUnit": "code",
+            "dayOfWeek": A("code"),
+            "timeOfDay": A("time"),
+            "when": A("code"),
+            "offset": "unsignedInt",
+        },
+        "code": "CodeableConcept",
+    },
+    "Dosage": {
+        "sequence": "integer",
+        "text": "string",
+        "additionalInstruction": A("CodeableConcept"),
+        "patientInstruction": "string",
+        "timing": "Timing",
+        "asNeeded[x]": ["boolean", "CodeableConcept"],
+        "site": "CodeableConcept",
+        "route": "CodeableConcept",
+        "method": "CodeableConcept",
+        "doseAndRate": A(
+            {
+                "type": "CodeableConcept",
+                "dose[x]": ["Range", "Quantity"],
+                "rate[x]": ["Ratio", "Range", "Quantity"],
+            }
+        ),
+        "maxDosePerPeriod": "Ratio",
+        "maxDosePerAdministration": "Quantity",
+        "maxDosePerLifetime": "Quantity",
+    },
+    # Extension.value[x] admits every type; the common subset is listed —
+    # unknown variants fall back to data inference.
+    "Extension": {
+        "url": "uri",
+        "extension": A("Extension"),
+        "value[x]": [
+            "boolean", "integer", "decimal", "string", "code", "uri",
+            "url", "canonical", "date", "dateTime", "instant", "time",
+            "base64Binary", "positiveInt", "unsignedInt", "markdown",
+            "Quantity", "CodeableConcept", "Coding", "Address", "Period",
+            "Range", "Ratio", "Reference", "Attachment", "Identifier",
+            "HumanName", "Annotation", "SampledData", "Money",
+        ],
+    },
+}
+
+# DomainResource base elements shared by every resource
+# (hl7.org/fhir/R4/domainresource.html)
+_DOMAIN = {
+    "id": "id",
+    "resourceType": "code",
+    "meta": "Meta",
+    "implicitRules": "uri",
+    "language": "code",
+    "text": "Narrative",
+    "extension": A("Extension"),
+    "modifierExtension": A("Extension"),
+}
+
+_VALUE_CHOICE = [
+    "Quantity", "CodeableConcept", "string", "boolean", "integer",
+    "Range", "Ratio", "SampledData", "time", "dateTime", "Period",
+]
+
+# ---------------------------------------------------------------------------
+# Resource definitions (hl7.org/fhir/R4/<resource>.html)
+# ---------------------------------------------------------------------------
+
+RESOURCES: dict[str, dict] = {
+    "Patient": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "name": A("HumanName"),
+        "telecom": A("ContactPoint"),
+        "gender": "code",
+        "birthDate": "date",
+        "deceased[x]": ["boolean", "dateTime"],
+        "address": A("Address"),
+        "maritalStatus": "CodeableConcept",
+        "multipleBirth[x]": ["boolean", "integer"],
+        "photo": A("Attachment"),
+        "contact": A(
+            {
+                "relationship": A("CodeableConcept"),
+                "name": "HumanName",
+                "telecom": A("ContactPoint"),
+                "address": "Address",
+                "gender": "code",
+                "organization": "Reference",
+                "period": "Period",
+            }
+        ),
+        "communication": A({"language": "CodeableConcept", "preferred": "boolean"}),
+        "generalPractitioner": A("Reference"),
+        "managingOrganization": "Reference",
+        "link": A({"other": "Reference", "type": "code"}),
+    },
+    "Observation": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "category": A("CodeableConcept"),
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "focus": A("Reference"),
+        "encounter": "Reference",
+        "effective[x]": ["dateTime", "Period", "Timing", "instant"],
+        "issued": "instant",
+        "performer": A("Reference"),
+        "value[x]": _VALUE_CHOICE,
+        "dataAbsentReason": "CodeableConcept",
+        "interpretation": A("CodeableConcept"),
+        "note": A("Annotation"),
+        "bodySite": "CodeableConcept",
+        "method": "CodeableConcept",
+        "specimen": "Reference",
+        "device": "Reference",
+        "referenceRange": A(
+            {
+                "low": "SimpleQuantity",
+                "high": "SimpleQuantity",
+                "type": "CodeableConcept",
+                "appliesTo": A("CodeableConcept"),
+                "age": "Range",
+                "text": "string",
+            }
+        ),
+        "hasMember": A("Reference"),
+        "derivedFrom": A("Reference"),
+        "component": A(
+            {
+                "code": "CodeableConcept",
+                "value[x]": _VALUE_CHOICE,
+                "dataAbsentReason": "CodeableConcept",
+                "interpretation": A("CodeableConcept"),
+            }
+        ),
+    },
+    "Encounter": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "class": "Coding",
+        "type": A("CodeableConcept"),
+        "serviceType": "CodeableConcept",
+        "priority": "CodeableConcept",
+        "subject": "Reference",
+        "participant": A(
+            {
+                "type": A("CodeableConcept"),
+                "period": "Period",
+                "individual": "Reference",
+            }
+        ),
+        "period": "Period",
+        "length": "Duration",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "hospitalization": {
+            "admitSource": "CodeableConcept",
+            "dischargeDisposition": "CodeableConcept",
+        },
+        "location": A({"location": "Reference", "status": "code", "period": "Period"}),
+        "serviceProvider": "Reference",
+        "partOf": "Reference",
+    },
+    "Condition": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "clinicalStatus": "CodeableConcept",
+        "verificationStatus": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "severity": "CodeableConcept",
+        "code": "CodeableConcept",
+        "bodySite": A("CodeableConcept"),
+        "subject": "Reference",
+        "encounter": "Reference",
+        "onset[x]": ["dateTime", "Age", "Period", "Range", "string"],
+        "abatement[x]": ["dateTime", "Age", "Period", "Range", "string"],
+        "recordedDate": "dateTime",
+        "recorder": "Reference",
+        "asserter": "Reference",
+        "stage": A({"summary": "CodeableConcept", "assessment": A("Reference"), "type": "CodeableConcept"}),
+        "evidence": A({"code": A("CodeableConcept"), "detail": A("Reference")}),
+        "note": A("Annotation"),
+    },
+    "Procedure": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "statusReason": "CodeableConcept",
+        "category": "CodeableConcept",
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "performed[x]": ["dateTime", "Period", "string", "Age", "Range"],
+        "recorder": "Reference",
+        "asserter": "Reference",
+        "performer": A({"function": "CodeableConcept", "actor": "Reference", "onBehalfOf": "Reference"}),
+        "location": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "bodySite": A("CodeableConcept"),
+        "outcome": "CodeableConcept",
+        "note": A("Annotation"),
+    },
+    "Immunization": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "statusReason": "CodeableConcept",
+        "vaccineCode": "CodeableConcept",
+        "patient": "Reference",
+        "encounter": "Reference",
+        "occurrence[x]": ["dateTime", "string"],
+        "recorded": "dateTime",
+        "primarySource": "boolean",
+        "location": "Reference",
+        "manufacturer": "Reference",
+        "lotNumber": "string",
+        "expirationDate": "date",
+        "site": "CodeableConcept",
+        "route": "CodeableConcept",
+        "doseQuantity": "SimpleQuantity",
+        "note": A("Annotation"),
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+    },
+    "MedicationRequest": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "statusReason": "CodeableConcept",
+        "intent": "code",
+        "category": A("CodeableConcept"),
+        "priority": "code",
+        "doNotPerform": "boolean",
+        "reported[x]": ["boolean", "Reference"],
+        "medication[x]": ["CodeableConcept", "Reference"],
+        "subject": "Reference",
+        "encounter": "Reference",
+        "authoredOn": "dateTime",
+        "requester": "Reference",
+        "performer": "Reference",
+        "recorder": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "note": A("Annotation"),
+        "dosageInstruction": A("Dosage"),
+        "dispenseRequest": {
+            "numberOfRepeatsAllowed": "unsignedInt",
+            "quantity": "SimpleQuantity",
+            "expectedSupplyDuration": "Duration",
+            "validityPeriod": "Period",
+        },
+    },
+    "DiagnosticReport": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "status": "code",
+        "category": A("CodeableConcept"),
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "effective[x]": ["dateTime", "Period"],
+        "issued": "instant",
+        "performer": A("Reference"),
+        "resultsInterpreter": A("Reference"),
+        "specimen": A("Reference"),
+        "result": A("Reference"),
+        "conclusion": "string",
+        "conclusionCode": A("CodeableConcept"),
+        "presentedForm": A("Attachment"),
+    },
+    "Claim": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": "CodeableConcept",
+        "subType": "CodeableConcept",
+        "use": "code",
+        "patient": "Reference",
+        "billablePeriod": "Period",
+        "created": "dateTime",
+        "enterer": "Reference",
+        "insurer": "Reference",
+        "provider": "Reference",
+        "priority": "CodeableConcept",
+        "prescription": "Reference",
+        "supportingInfo": A(
+            {
+                "sequence": "positiveInt",
+                "category": "CodeableConcept",
+                "code": "CodeableConcept",
+                "timing[x]": ["date", "Period"],
+                "value[x]": ["boolean", "string", "Quantity", "Attachment", "Reference"],
+            }
+        ),
+        "diagnosis": A(
+            {
+                "sequence": "positiveInt",
+                "diagnosis[x]": ["CodeableConcept", "Reference"],
+                "type": A("CodeableConcept"),
+            }
+        ),
+        "procedure": A(
+            {
+                "sequence": "positiveInt",
+                "date": "dateTime",
+                "procedure[x]": ["CodeableConcept", "Reference"],
+            }
+        ),
+        "insurance": A(
+            {
+                "sequence": "positiveInt",
+                "focal": "boolean",
+                "coverage": "Reference",
+            }
+        ),
+        "item": A(
+            {
+                "sequence": "positiveInt",
+                "diagnosisSequence": A("positiveInt"),
+                "procedureSequence": A("positiveInt"),
+                "informationSequence": A("positiveInt"),
+                "category": "CodeableConcept",
+                "productOrService": "CodeableConcept",
+                "serviced[x]": ["date", "Period"],
+                "location[x]": ["CodeableConcept", "Address", "Reference"],
+                "quantity": "SimpleQuantity",
+                "unitPrice": "Money",
+                "factor": "decimal",
+                "net": "Money",
+                "encounter": A("Reference"),
+            }
+        ),
+        "total": "Money",
+    },
+}
+
+
+# ---------------------------------------------------------------------------
+# Registry walk
+# ---------------------------------------------------------------------------
+
+
+def _expand(spec: dict) -> dict[str, tuple]:
+    """Flatten one element dict to {concrete_field: (typeref, many)} with
+    choice elements expanded to their sibling concrete fields."""
+    out: dict[str, tuple] = {}
+    for key, val in spec.items():
+        many = False
+        if isinstance(val, tuple):
+            val, many = val
+        if key.endswith("[x]"):
+            base = key[:-3]
+            for t in val:
+                out[base + t[0].upper() + t[1:]] = (t, False)
+        else:
+            out[key] = (val, many)
+    return out
+
+
+def registry_type_at(resource_type: str, path: tuple[str, ...]) -> str | None:
+    """FHIR type name at a dotted element path (e.g.
+    ``('valueQuantity', 'value')`` under Observation) — or None when the
+    registry doesn't cover the path. Complex types resolve recursively;
+    ``_field`` primitive-extension siblings resolve as Element
+    (extension carriers), reported as None (struct stays data-typed)."""
+    spec = RESOURCES.get(resource_type)
+    if spec is None:
+        return None
+    current: dict | None = _expand(spec)
+    ftype: str | None = None
+    for part in path:
+        if current is None:
+            return None
+        if part not in current:
+            return None
+        ref, _many = current[part]
+        if isinstance(ref, dict):
+            current, ftype = _expand(ref), None
+        elif ref in COMPLEX:
+            current, ftype = _expand(COMPLEX[ref]), None
+        else:
+            current, ftype = None, ref
+    return ftype
+
+
+def definition_schema(
+    resource_type: str,
+    paths: set[tuple[str, ...]] | None = None,
+    extension_depth: int = 2,
+    _spec: dict | None = None,
+) -> T.StructType:
+    """Spark schema derived from the resource definition alone
+    (README.md:26-27), optionally restricted to a sparse set of
+    populated element paths (README.md:15-18). Recursive complex types
+    (Extension.extension, Reference→Identifier→Reference) are bounded by
+    ``extension_depth`` / single-visit cycling, exactly as Spark's
+    non-recursive types require (SURVEY.md §7)."""
+    spec = _spec if _spec is not None else RESOURCES[resource_type]
+    return _build_struct(
+        _expand(spec), paths, prefix=(), ext_depth=extension_depth, on_path=frozenset()
+    )
+
+
+def _wanted(prefix: tuple[str, ...], paths: set[tuple[str, ...]] | None) -> bool:
+    if paths is None:
+        return True
+    return any(p[: len(prefix)] == prefix for p in paths)
+
+
+def _build_struct(
+    fields: dict[str, tuple],
+    paths: set[tuple[str, ...]] | None,
+    prefix: tuple[str, ...],
+    ext_depth: int,
+    on_path: frozenset[str],
+) -> T.StructType:
+    out: list[T.StructField] = []
+    for name in sorted(fields):
+        ref, many = fields[name]
+        fp = prefix + (name,)
+        if not _wanted(fp, paths):
+            continue
+        dtype: T.DataType | None
+        if isinstance(ref, dict):
+            dtype = _build_struct(_expand(ref), paths, fp, ext_depth, on_path)
+            if not dtype.fields:
+                continue
+        elif ref in COMPLEX:
+            if ref == "Extension":
+                if ext_depth <= 0:
+                    continue
+                sub = _build_struct(
+                    _expand(COMPLEX[ref]), paths, fp, ext_depth - 1, on_path
+                )
+            else:
+                if ref in on_path:  # cycle (Reference→Identifier→Reference)
+                    continue
+                sub = _build_struct(
+                    _expand(COMPLEX[ref]), paths, fp, ext_depth, on_path | {ref}
+                )
+            if not sub.fields:
+                continue
+            dtype = sub
+        else:
+            dtype = PRIMITIVE_TO_SPARK.get(ref, T.StringType())
+        if many:
+            dtype = T.ArrayType(dtype, True)
+        out.append(T.StructField(name, dtype, name != "resourceType"))
+    return T.StructType(out)

@@ -2,12 +2,16 @@
 
 "The schema for a Parquet table SHALL be derived from a single base FHIR
 resource definition" and may contain only the fields the data set
-populates. Without a StructureDefinition package in this environment,
-derivation = Spark's distributed JSON schema inference ∩ FHIR typing
-rules (types.py): fields whose FHIR type must stay textual (dates,
-decimals) are forced to StringType even when JSON inference saw numbers,
-preserving losslessness (README.md:11-13); integer-kinded fields take
-their spec-mandated width.
+populates. Derivation = Spark's distributed JSON schema inference ∩ the
+R4 element registry (r4_elements.py, path-aware — the definition side
+the spec mandates) ∩ FHIR typing rules (types.py, name-based fallback
+for paths the registry doesn't cover): fields whose FHIR type must stay
+textual (dates, decimals) are forced to StringType even when JSON
+inference saw numbers, preserving losslessness (README.md:11-13);
+integer-kinded fields take their spec-mandated width.
+
+``r4_elements.definition_schema`` additionally derives a schema from the
+resource definition ALONE (no data sample), for registered types.
 
 The inference pass is itself a Spark job (executor-parallel), so
 derivation scales with the input like any other read.
@@ -18,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+from parquet_on_fhir_spark.fhir.r4_elements import registry_type_at
 from parquet_on_fhir_spark.fhir.types import (
     DATE_TYPES,
     DECIMAL_TYPES,
@@ -27,7 +32,12 @@ from parquet_on_fhir_spark.fhir.types import (
 )
 
 
-def _apply_fhir_rules(dtype: T.DataType, name: str | None = None) -> T.DataType:
+def _apply_fhir_rules(
+    dtype: T.DataType,
+    name: str | None = None,
+    path: tuple[str, ...] = (),
+    rtype: str | None = None,
+) -> T.DataType:
     if isinstance(dtype, T.StructType):
         # Quantity/Money-shaped structs: their `value` child is the FHIR
         # decimal (README.md:343+) even though the name alone is ambiguous
@@ -35,7 +45,7 @@ def _apply_fhir_rules(dtype: T.DataType, name: str | None = None) -> T.DataType:
         qshape = is_quantity_shaped(dtype)
         fields = []
         for f in dtype.fields:
-            child = _apply_fhir_rules(f.dataType, f.name)
+            child = _apply_fhir_rules(f.dataType, f.name, path + (f.name,), rtype)
             if (
                 qshape
                 and f.name == "value"
@@ -45,8 +55,12 @@ def _apply_fhir_rules(dtype: T.DataType, name: str | None = None) -> T.DataType:
             fields.append(T.StructField(f.name, child, True))
         return T.StructType(fields)
     if isinstance(dtype, T.ArrayType):
-        return T.ArrayType(_apply_fhir_rules(dtype.elementType, name), True)
-    ft = fhir_type_of(name) if name else None
+        return T.ArrayType(_apply_fhir_rules(dtype.elementType, name, path, rtype), True)
+    # definition-registry typing at the exact element path wins; name
+    # heuristics (registry of well-known names + choice suffix) fall back
+    ft = registry_type_at(rtype, path) if (rtype and path) else None
+    if ft is None:
+        ft = fhir_type_of(name) if name else None
     if ft is None:
         return dtype
     target = spark_type_for(ft)
@@ -98,6 +112,7 @@ def derive_schema(
     spark: SparkSession,
     ndjson_path: str,
     max_extension_depth: int | None = None,
+    resource_type: str | None = None,
 ) -> T.StructType:
     """Derive the sparse Parquet schema for an NDJSON resource file.
 
@@ -114,7 +129,7 @@ def derive_schema(
     inferred = T.StructType(
         [f for f in inferred.fields if f.name != "_corrupt_record"]
     )
-    out = _apply_fhir_rules(inferred)
+    out = _apply_fhir_rules(inferred, rtype=resource_type)
     assert isinstance(out, T.StructType)
     if max_extension_depth is not None:
         out = _truncate_extensions(out, max_extension_depth)

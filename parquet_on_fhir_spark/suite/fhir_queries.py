@@ -146,3 +146,132 @@ GROUP BY p.gender
 """
 
 QUERIES.append(Q("qf07_fhir_reference_join", qf07, QF07_ORACLE))
+
+
+# --- F1 v2: schema derived from the resource DEFINITION alone (no data) -----------------
+# Restricted to the element paths of the spec's own Patient/Observation
+# listings (README.md:385-719) — a fixed, spec-pinned surface.
+_SPEC_LISTING_PATHS: dict[str, list[tuple[str, ...]]] = {
+    "Patient": [
+        ("resourceType",), ("id",), ("meta", "profile"),
+        ("text", "div"), ("text", "status"),
+        ("extension", "url"), ("extension", "valueCoding", "code"),
+        ("extension", "valueCoding", "display"), ("extension", "valueCoding", "system"),
+        ("identifier", "system"), ("identifier", "type", "coding", "code"),
+        ("identifier", "type", "coding", "system"), ("identifier", "type", "text"),
+        ("identifier", "value"),
+        ("name", "family"), ("name", "given"), ("name", "prefix"),
+        ("name", "text"), ("name", "use"),
+        ("telecom", "system"), ("telecom", "use"), ("telecom", "value"),
+        ("gender",), ("birthDate",),
+        ("address", "city"), ("address", "country"), ("address", "line"),
+        ("address", "postalCode"), ("address", "state"), ("address", "use"),
+        ("communication", "language", "coding", "code"),
+        ("communication", "language", "coding", "system"),
+        ("communication", "language", "text"),
+    ],
+    "Observation": [
+        ("resourceType",), ("id",), ("meta", "profile"),
+        ("text", "div"), ("text", "status"), ("status",),
+        ("category", "coding", "code"), ("category", "coding", "display"),
+        ("category", "coding", "system"), ("category", "text"),
+        ("code", "coding", "code"), ("code", "coding", "display"),
+        ("code", "coding", "system"), ("code", "text"),
+        ("subject", "reference"), ("effectiveDateTime",),
+        ("valueQuantity", "code"), ("valueQuantity", "system"),
+        ("valueQuantity", "unit"), ("valueQuantity", "value"),
+    ],
+}
+
+
+def _flatten_leaves(dtype, prefix=()):
+    from pyspark.sql import types as T
+
+    out = []
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            out += _flatten_leaves(f.dataType, prefix + (f.name,))
+    elif isinstance(dtype, T.ArrayType):
+        out += [(p, f"array<{t}>") for p, t in _flatten_leaves(dtype.elementType, prefix)]
+    else:
+        out = [(prefix, dtype.simpleString())]
+    return out
+
+
+def qf08(spark, sf_dir):
+    """Schema from the resource definition ALONE (README.md:26-27) via
+    the packaged R4 element registry — no data sample involved."""
+    from parquet_on_fhir_spark.fhir.r4_elements import definition_schema
+
+    rows = []
+    for rtype, paths in _SPEC_LISTING_PATHS.items():
+        sch = definition_schema(rtype, paths=set(paths))
+        for p, t in _flatten_leaves(sch):
+            rows.append((rtype, ".".join(p), t))
+    return spark.createDataFrame(
+        sorted(rows), "resource STRING, path STRING, dtype STRING"
+    )
+
+
+# Literal expected rows (pinned 2026-08-13 from the registry, verified
+# against the spec listings by tests/test_r4_registry.py) — the oracle is
+# independent of the code under test: a registry regression fails here.
+QF08_ORACLE = """
+SELECT * FROM (VALUES
+('Observation', 'category.coding.code', 'array<array<string>>'),
+('Observation', 'category.coding.display', 'array<array<string>>'),
+('Observation', 'category.coding.system', 'array<array<string>>'),
+('Observation', 'category.text', 'array<string>'),
+('Observation', 'code.coding.code', 'array<string>'),
+('Observation', 'code.coding.display', 'array<string>'),
+('Observation', 'code.coding.system', 'array<string>'),
+('Observation', 'code.text', 'string'),
+('Observation', 'effectiveDateTime', 'string'),
+('Observation', 'id', 'string'),
+('Observation', 'meta.profile', 'array<string>'),
+('Observation', 'resourceType', 'string'),
+('Observation', 'status', 'string'),
+('Observation', 'subject.reference', 'string'),
+('Observation', 'text.div', 'string'),
+('Observation', 'text.status', 'string'),
+('Observation', 'valueQuantity.code', 'string'),
+('Observation', 'valueQuantity.system', 'string'),
+('Observation', 'valueQuantity.unit', 'string'),
+('Observation', 'valueQuantity.value', 'string'),
+('Patient', 'address.city', 'array<string>'),
+('Patient', 'address.country', 'array<string>'),
+('Patient', 'address.line', 'array<array<string>>'),
+('Patient', 'address.postalCode', 'array<string>'),
+('Patient', 'address.state', 'array<string>'),
+('Patient', 'address.use', 'array<string>'),
+('Patient', 'birthDate', 'string'),
+('Patient', 'communication.language.coding.code', 'array<array<string>>'),
+('Patient', 'communication.language.coding.system', 'array<array<string>>'),
+('Patient', 'communication.language.text', 'array<string>'),
+('Patient', 'extension.url', 'array<string>'),
+('Patient', 'extension.valueCoding.code', 'array<string>'),
+('Patient', 'extension.valueCoding.display', 'array<string>'),
+('Patient', 'extension.valueCoding.system', 'array<string>'),
+('Patient', 'gender', 'string'),
+('Patient', 'id', 'string'),
+('Patient', 'identifier.system', 'array<string>'),
+('Patient', 'identifier.type.coding.code', 'array<array<string>>'),
+('Patient', 'identifier.type.coding.system', 'array<array<string>>'),
+('Patient', 'identifier.type.text', 'array<string>'),
+('Patient', 'identifier.value', 'array<string>'),
+('Patient', 'meta.profile', 'array<string>'),
+('Patient', 'name.family', 'array<string>'),
+('Patient', 'name.given', 'array<array<string>>'),
+('Patient', 'name.prefix', 'array<array<string>>'),
+('Patient', 'name.text', 'array<string>'),
+('Patient', 'name.use', 'array<string>'),
+('Patient', 'resourceType', 'string'),
+('Patient', 'telecom.system', 'array<string>'),
+('Patient', 'telecom.use', 'array<string>'),
+('Patient', 'telecom.value', 'array<string>'),
+('Patient', 'text.div', 'string'),
+('Patient', 'text.status', 'string')
+) AS t(resource, path, dtype)
+"""
+
+QUERIES.append(Q("qf08_fhir_definition_schema", qf08, QF08_ORACLE))
