@@ -39,6 +39,10 @@ HEADLINE = [
     "q69_similarity_topk_bruteforce",  # brute-force top-k search
     "q72_term_idf",                    # text explode + agg
     "q74_quality_filter",              # text rule filter
+    # round-2 additions (not in BENCH_r01 — new lines, not regressions):
+    "q89_tpch_q18",                    # heavy shuffle: group-HAVING + 3-way join
+    "q90_scale10_agg",                 # ×10-replicated input scale probe
+    "q55b_stream_window_session",      # real streaming session window
 ]
 
 

@@ -1114,10 +1114,67 @@ def q85(spark, sf_dir):
     return spark.sql(TPCH_Q19_SQL)
 
 
+# --- Q89: TPC-H Q18 (large-volume orders: HAVING over a 1-per-order group, -------
+# then 3-way join + top-k). The heavy-shuffle benchmark anchor: the
+# lineitem groupBy(l_orderkey) is a full-table exchange on the finest
+# key in the schema, and the IN-subquery join is a second one.
+TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS STRING) AS o_orderdate,
+       CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q89(spark, sf_dir):
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q18_SQL)
+
+
+TPCH_Q18_ORACLE = TPCH_Q18_SQL.replace("AS STRING", "AS VARCHAR")
+
+
+# --- Q90: x10 replicated heavy aggregate (scale probe as a first-class query) -------
+# lineitem is replicated 10x JVM-side (explode of a literal sequence — a
+# zero-shuffle flatMap) and re-aggregated: the bench entry that shows the
+# agg pipeline's wall-clock growing sublinearly with input volume.
+def q90(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    rep = li.withColumn("__rep", F.explode(F.sequence(F.lit(1), F.lit(10))))
+    return (
+        rep.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            d2(F.sum("l_quantity")).alias("sum_qty"),
+            d2(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+Q90_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem CROSS JOIN generate_series(1, 10)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES.extend(
     [
         Q("q84_tpch_q10", q84, TPCH_Q10_SQL),
         Q("q85_tpch_q19", q85, TPCH_Q19_SQL),
+        Q("q89_tpch_q18", q89, TPCH_Q18_ORACLE),
+        Q("q90_scale10_agg", q90, Q90_ORACLE),
     ]
 )
 

@@ -97,6 +97,28 @@ def q55(spark, sf_dir):
     )
 
 
+# --- Q55b: the same session window as a REAL stream -------------------------------------
+def q55b(spark, sf_dir):
+    """``session_window`` under a genuine readStream (AvailableNow) with
+    a watermark — the streaming-native form; the batch-window oracle is
+    exact because AvailableNow replays the whole table, so no session is
+    ever dropped as late."""
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        "user_id",
+        ts_str(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n",
+    )
+
+
 Q55_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,
@@ -185,6 +207,7 @@ QUERIES = [
     Q("q53_stream_window_tumbling", q53, Q53_ORACLE),
     Q("q54_window_sliding", q54, Q54_ORACLE),
     Q("q55_window_session", q55, Q55_ORACLE),
+    Q("q55b_stream_window_session", q55b, Q55_ORACLE),
     Q("q56_stream_watermark", q56, None),
     Q("q57_dedup_keep_first", q57, Q57_ORACLE),
     Q("q57b_stream_dedup", q57b, None),
