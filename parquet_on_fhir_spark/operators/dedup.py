@@ -232,3 +232,70 @@ def simhash_candidates(fp_df: DataFrame, id_col: str, max_hamming: int = 3) -> D
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    exact: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine ≥ ``threshold`` and id_a < id_b.
+
+    ``exact=True``: all-pairs verification baseline — O(n²) comparisons,
+    for oracle checks and small corpora only.
+
+    Default (LSH) mode is the 100 TB path: sign-LSH bucketing
+    (``n_tables`` independent hyperplane tables, bucket ids computed
+    map-side) turns the sweep into an equi-join on (table, bucket) —
+    only same-bucket candidates get the exact cosine verify, so cost is
+    O(collisions). Recall is tuned by n_planes (bucket granularity) ↓ /
+    n_tables (independent chances) ↑; near-identical vectors (the
+    near-dup regime) collide with probability ≥ 1-(1-(1-θ/π)^p)^t,
+    which for θ→0 approaches 1.
+    """
+    from parquet_on_fhir_spark.functions.vectors import cosine_similarity
+    from parquet_on_fhir_spark.operators.similarity import (
+        lsh_bucket,
+        random_hyperplanes,
+    )
+
+    ids = df.select(F.col(id_col), F.col(vec_col))
+    a = ids.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = ids.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            first = df.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"])
+        cand = None
+        for t_i in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed=42 + t_i)
+            bk = ids.select(
+                F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("__bucket")
+            )
+            la = bk.select(F.col(id_col).alias("id_a"), "__bucket")
+            lb = bk.select(F.col(id_col).alias("id_b"), "__bucket")
+            c = la.join(lb, "__bucket").filter(F.col("id_a") < F.col("id_b")).select(
+                "id_a", "id_b"
+            )
+            cand = c if cand is None else cand.unionByName(c)
+        id_pairs = cand.dropDuplicates(["id_a", "id_b"])
+        pairs = id_pairs.join(
+            a, "id_a"
+        ).join(b, "id_b")
+    cos = cosine_similarity("__va", "__vb")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cos + F.lit(1e-9), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -145,6 +145,42 @@ def q70b(spark, sf_dir):
     return ivf_topk(e, queries, k=3, n_centroids=8, n_probe=4)
 
 
+# --- Q91: embedding-cosine near-duplicate pairs (exact baseline; oracle) ---------------
+def q91(spark, sf_dir):
+    """All-pairs cosine >= 0.40 — the exact verification baseline for
+    embedding near-dedup. O(n^2) by construction; the LSH-bucketed form
+    (q91b) is the 100 TB path."""
+    from parquet_on_fhir_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.40, exact=True
+    )
+
+
+Q91_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+ex AS (SELECT vec_id, unnest(ee) AS v, generate_subscripts(ee, 1) AS i FROM e),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) + 1e-9, 4) AS cosine
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.40
+"""
+
+
+# --- Q91b: the same via sign-LSH bucketing (rows-only; recall-tested) --------------------
+def q91b(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.40, n_planes=4, n_tables=8, dim=64
+    )
+
+
 # --- Q71: text analysis stats ------------------------------------------------------------
 def q71(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -279,5 +315,7 @@ QUERIES = [
     Q("q74_quality_filter", q74, Q74_ORACLE),
     Q("q74b_quality_scoring", q74b, None),
     Q("q86_corpus_curation_pipeline", q86, None),
+    Q("q91_embedding_near_dup", q91, Q91_ORACLE),
+    Q("q91b_embedding_near_dup_lsh", q91b, None),
     Q("q73_multimodal_features", q73, None),
 ]

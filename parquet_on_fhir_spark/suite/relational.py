@@ -1169,12 +1169,65 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- Q92: TPC-H Q4-style (EXISTS decorrelation -> left-semi join) -----------------
+# (adapted: testdata lineitem has no commit/receipt dates, so the
+# correlated predicate is l_shipdate > o_orderdate)
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q92(spark, sf_dir):
+    """Correlated EXISTS — Catalyst rewrites to a left-semi hash join
+    (RewritePredicateSubquery); no per-row subquery execution."""
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q4_SQL)
+
+
+# --- Q93: TPC-H Q22-style (NOT EXISTS + scalar subquery -> anti join) ---------------
+# (adapted: no c_phone in testdata; nation-key subset replaces the
+# phone-prefix cntrycode)
+TPCH_Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (1, 2, 3, 10, 15)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 10, 15))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2001-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q93(spark, sf_dir):
+    """NOT EXISTS -> left-anti join; uncorrelated scalar avg -> one-row
+    broadcast. The full TPC-H subquery triad with q81 (scalar+IN) and
+    q92 (EXISTS). (Adapted predicate: 'no orders since 2001' — in this
+    testdata every customer has orders, so the classic bare NOT EXISTS
+    would be empty at every SF.)"""
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q22_SQL)
+
+
 QUERIES.extend(
     [
         Q("q84_tpch_q10", q84, TPCH_Q10_SQL),
         Q("q85_tpch_q19", q85, TPCH_Q19_SQL),
         Q("q89_tpch_q18", q89, TPCH_Q18_ORACLE),
         Q("q90_scale10_agg", q90, Q90_ORACLE),
+        Q("q92_tpch_q4_exists", q92, TPCH_Q4_SQL),
+        Q("q93_tpch_q22_not_exists", q93, TPCH_Q22_SQL),
     ]
 )
 

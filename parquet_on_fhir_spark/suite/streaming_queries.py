@@ -3,9 +3,10 @@
 Real ``readStream`` pipelines run to completion with
 ``Trigger.AvailableNow`` + memory sink, so results are deterministic and
 (for complete-mode aggregations) DuckDB-oracle-checkable. Window
-operators whose expressions are identical in batch and streaming
-(tumbling/sliding/session) are exercised in batch form where that gives
-a sharper oracle.
+operators run in BOTH forms: batch (sharp oracle; q54/q55) and genuine
+readStream (q53, q54b, q55b) — plus stream-static (q59) and
+stream-stream (q59b) joins, watermarks (q56), streaming dedup (q57b)
+and a custom stateful operator (q58).
 """
 
 from __future__ import annotations
@@ -79,6 +80,20 @@ WITH slides AS (
 SELECT strftime(w, '{WINDOW_FMT_DUCK}') AS window_start, event_type, count(*) AS n
 FROM slides GROUP BY 1, 2
 """
+
+
+# --- Q54b: the same sliding window as a REAL stream --------------------------------------
+def q54b(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        ts_str(F.col("window.start"), WINDOW_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
 
 
 # --- Q55: session window (30-minute gap) per user -------------------------------------
@@ -202,10 +217,53 @@ GROUP BY c_mktsegment
 """
 
 
+# --- Q59b: stream-stream join (purchase->click attribution within 1 hour) ----------------
+def q59b(spark, sf_dir):
+    """Two readStream sources joined on key + event-time range — Spark's
+    stream-stream inner join with watermarks on both sides (state is
+    bounded by the time constraint at production scale). AvailableNow
+    replays everything in one batch, so the batch SQL oracle is exact."""
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["c_user"])
+        & (c["c_ts"] >= p["p_ts"])
+        & (c["c_ts"] <= p["p_ts"] + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    res = run_to_memory(j.select("user_id", "p_id", "c_id"), "append")
+    return res
+
+
+Q59B_ORACLE = """
+SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL '1 hour'
+"""
+
+
 QUERIES = [
     Q("q52_stream_source_sink_available_now", q52, Q52_ORACLE),
     Q("q53_stream_window_tumbling", q53, Q53_ORACLE),
     Q("q54_window_sliding", q54, Q54_ORACLE),
+    Q("q54b_stream_window_sliding", q54b, Q54_ORACLE),
     Q("q55_window_session", q55, Q55_ORACLE),
     Q("q55b_stream_window_session", q55b, Q55_ORACLE),
     Q("q56_stream_watermark", q56, None),
@@ -213,4 +271,5 @@ QUERIES = [
     Q("q57b_stream_dedup", q57b, None),
     Q("q58_stream_stateful", q58, None),
     Q("q59_stream_static_join", q59, Q59_ORACLE),
+    Q("q59b_stream_stream_join", q59b, Q59B_ORACLE),
 ]

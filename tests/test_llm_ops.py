@@ -186,3 +186,39 @@ def test_curate_corpus_pipeline(spark, sf_dir):
     # greedy by quality: the selected set's min quality >= excluded max quality - eps
     sel = budgeted.agg(F.min("quality")).collect()[0][0]
     assert sel is not None
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """LSH-bucketed near-dup must (a) be a subset of the exact pair set,
+    (b) achieve full recall on planted near-identical vectors — the
+    regime near-dedup actually targets (theta -> 0 => collision prob -> 1)."""
+    from parquet_on_fhir_spark.operators.dedup import embedding_near_dup_pairs
+    from parquet_on_fhir_spark.api import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    # plant near-identical copies (tiny perturbation on one coordinate)
+    dup = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(1e-4)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    both = e.unionByName(dup)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            both, "vec_id", "embedding", threshold=0.99, exact=True
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            both, "vec_id", "embedding", threshold=0.99, n_planes=4, n_tables=8, dim=64
+        ).collect()
+    }
+    planted = {(i, i + 1000000) for i in range(20)}
+    assert planted <= exact
+    assert lsh <= exact          # verify step: no false positives
+    assert planted <= lsh        # full recall in the near-identical regime
