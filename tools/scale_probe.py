@@ -30,6 +30,7 @@ PROBE_QUERIES = [
     "q55_window_session",
     "q66_dedup_exact",
     "q72_term_idf",
+    "q89_tpch_q18",
 ]
 
 
