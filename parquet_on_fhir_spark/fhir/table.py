@@ -56,45 +56,213 @@ class FhirTable:
         )
         return FhirTable(t.df.filter(quantity_predicate(element, op, value, unit)))
 
+    # --- FHIR search-parameter predicates (hl7.org/fhir/R4/search.html) ----
+    def _dtype(self, element: str):
+        try:
+            return self.df.schema[element].dataType
+        except KeyError:
+            return None
+
+    def where_token(self, element: str, system: str | None, code: str) -> "FhirTable":
+        """Token search over Identifier[] / CodeableConcept / Coding /
+        code-leaf shapes: ``identifier=<system>|<value>``,
+        ``maritalStatus=<system>|<code>``. ``system`` None/'' matches any
+        system. Compiles to ``exists()`` HOFs over the nested arrays —
+        one scan, no Python."""
+        from pyspark.sql import types as T
+
+        def coding_match(c):
+            m = c.getField("code") == code
+            if system:
+                m = m & (c.getField("system") == system)
+            return m
+
+        def identifier_match(i):
+            m = i.getField("value") == code
+            if system:
+                m = m & (i.getField("system") == system)
+            return m
+
+        dtype = self._dtype(element)
+        col = F.col(element)
+        if isinstance(dtype, T.ArrayType):
+            elem = dtype.elementType
+            names = set(elem.fieldNames()) if isinstance(elem, T.StructType) else set()
+            if "coding" in names:  # CodeableConcept[]
+                pred = F.exists(
+                    col, lambda cc: F.exists(cc.getField("coding"), coding_match)
+                )
+            elif "value" in names:  # Identifier[]
+                pred = F.exists(col, identifier_match)
+            else:  # Coding[]
+                pred = F.exists(col, coding_match)
+        elif isinstance(dtype, T.StructType):
+            names = set(dtype.fieldNames())
+            if "coding" in names:  # CodeableConcept
+                pred = F.exists(col.getField("coding"), coding_match)
+            elif "value" in names and "code" not in names:  # Identifier
+                pred = identifier_match(col)
+            else:  # Coding / Quantity-ish
+                pred = coding_match(col)
+        else:  # bare code leaf
+            pred = col == code
+            if system:  # no system to compare on a leaf — no match
+                pred = F.lit(False)
+        return FhirTable(self.df.filter(pred))
+
+    def where_reference(self, element: str, target: str) -> "FhirTable":
+        """Reference search: ``subject=Patient/123`` (absolute form) or a
+        bare id (matches any type). Matches ``<element>.reference``."""
+        ref = F.col(f"{element}.reference")
+        pred = (ref == target) | ref.endswith(f"/{target}") if "/" not in target else (
+            ref == target
+        )
+        return FhirTable(self.df.filter(pred))
+
+    def where_string(self, element: str, value: str, exact: bool = False) -> "FhirTable":
+        """FHIR string search: case-insensitive starts-with (the spec's
+        default), ``exact=True`` for byte equality. For HumanName[] /
+        Address[] shapes, searches the spec's standard parts."""
+        from pyspark.sql import types as T
+
+        def starts(c):
+            return F.lower(c).startswith(value.lower())
+
+        def match_leaf(c):
+            return c == value if exact else starts(c)
+
+        dtype = self._dtype(element)
+        col = F.col(element)
+        if isinstance(dtype, T.ArrayType) and isinstance(
+            dtype.elementType, T.StructType
+        ):
+            names = set(dtype.elementType.fieldNames())
+            parts = [
+                n for n in ("family", "given", "prefix", "suffix", "text",
+                            "line", "city", "state", "postalCode", "country")
+                if n in names
+            ]
+
+            def any_part(s):
+                preds = []
+                for p in parts:
+                    child = s.getField(p)
+                    if isinstance(
+                        dtype.elementType[p].dataType, T.ArrayType
+                    ):
+                        preds.append(F.exists(child, match_leaf))
+                    else:
+                        preds.append(
+                            F.coalesce(match_leaf(child), F.lit(False))
+                        )
+                out = preds[0]
+                for p in preds[1:]:
+                    out = out | p
+                return out
+
+            pred = F.exists(col, any_part)
+        else:
+            pred = match_leaf(col)
+        return FhirTable(self.df.filter(pred))
+
+    def missing(self, element: str, is_missing: bool = True) -> "FhirTable":
+        col = F.col(element)
+        return FhirTable(
+            self.df.filter(col.isNull() if is_missing else col.isNotNull())
+        )
+
     # --- FHIR-search-style string front-end ------------------------------
     def search(self, params: str) -> "FhirTable":
         """Filter with FHIR-search-flavored syntax, e.g.
-        ``"birthDate=ge1960&gender=male&valueQuantity=gt37.5|Cel"``.
+        ``"birthDate=ge1960&gender=male&valueQuantity=gt37.5|Cel"``,
+        ``"identifier=http://sys|0042&name=benne&_sort=birthDate&_count=5"``.
 
-        Per parameter: ``<element>=[prefix]<value>[|unit]`` with FHIR
-        prefixes (eq/ne/gt/lt/ge/le; bare value = eq). Routing:
-        value with a ``|unit`` → quantity predicate; numeric value on a
-        decimal-kinded element → decimal predicate; date-shaped value →
-        date predicate; otherwise string equality. Compiles entirely to
-        the annotation-aware Column predicates above.
+        Per parameter: ``<element>[:modifier]=[prefix]<value>[|unit]``
+        with FHIR prefixes (eq/ne/gt/lt/ge/le; bare value = eq) and
+        modifiers ``:exact`` (string equality) / ``:missing``.
+        Comma-separated values OR together (FHIR multi-value). Routing:
+        ``a|b`` on a struct/array element → token search; on a
+        Quantity-shaped element or numeric value → quantity; date-shaped
+        value → date predicate; numeric on decimal-kinded element →
+        decimal; string-search shapes (HumanName/Address arrays) →
+        starts-with; otherwise equality. ``_sort=[-]el1,el2`` and
+        ``_count=N`` apply ordering/limit. Compiles entirely to Column
+        expressions / HOFs — Catalyst sees one filtered scan.
         """
         import re
+
+        from pyspark.sql import types as T
 
         from parquet_on_fhir_spark.fhir.types import DECIMAL_TYPES, fhir_type_of
 
         out = self
+        sort_spec: str | None = None
+        count_n: int | None = None
         for clause in params.split("&"):
             if not clause.strip():
                 continue
-            element, _, raw = clause.partition("=")
-            element = element.strip()
-            m = re.match(r"^(eq|ne|gt|lt|ge|le)", raw)
-            op = m.group(1) if m else "eq"
-            value = raw[len(op):] if m else raw
-            value, _, unit = value.partition("|")
-            if unit:
-                out = out.where_quantity(element, op, float(value), unit)
-            elif re.match(r"^\d{4}(-\d{2}(-\d{2})?)?([T ].*)?$", value):
-                out = out.where_date(element, op, value)
-            elif fhir_type_of(element) in DECIMAL_TYPES or re.match(
-                r"^-?\d+(\.\d+)?$", value
-            ):
-                out = out.where_decimal(element, op, value)
-            else:
-                col = F.col(element)
-                out = FhirTable(
-                    out.df.filter(col != value if op == "ne" else col == value)
+            key, _, raw = clause.partition("=")
+            key = key.strip()
+            if key == "_sort":
+                sort_spec = raw
+                continue
+            if key == "_count":
+                count_n = int(raw)
+                continue
+            element, _, modifier = key.partition(":")
+            if modifier == "missing":
+                out = out.missing(element, raw.strip().lower() == "true")
+                continue
+
+            alts: list["FhirTable"] = []
+            frames = []
+            for value_raw in raw.split(","):
+                m = re.match(r"^(eq|ne|gt|lt|ge|le)", value_raw)
+                op = m.group(1) if m else "eq"
+                value = value_raw[len(op):] if m else value_raw
+                value, has_pipe, unit = value.partition("|")
+                dtype = out._dtype(element)
+                if has_pipe and isinstance(
+                    dtype, (T.StructType, T.ArrayType)
+                ) and not re.match(r"^-?\d+(\.\d+)?$", value):
+                    frames.append(
+                        out.where_token(element, value or None, unit).df
+                    )
+                elif has_pipe:
+                    frames.append(
+                        out.where_quantity(element, op, float(value), unit).df
+                    )
+                elif re.match(r"^[A-Z][A-Za-z]+/\S+$", value):
+                    frames.append(out.where_reference(element, value).df)
+                elif re.match(r"^\d{4}(-\d{2}(-\d{2})?)?([T ].*)?$", value):
+                    frames.append(out.where_date(element, op, value).df)
+                elif fhir_type_of(element) in DECIMAL_TYPES or re.match(
+                    r"^-?\d+(\.\d+)?$", value
+                ):
+                    frames.append(out.where_decimal(element, op, value).df)
+                elif isinstance(dtype, T.ArrayType) or modifier == "exact":
+                    frames.append(
+                        out.where_string(element, value, exact=modifier == "exact").df
+                    )
+                else:
+                    col = F.col(element)
+                    frames.append(
+                        out.df.filter(col != value if op == "ne" else col == value)
+                    )
+            merged = frames[0]
+            for fdf in frames[1:]:
+                merged = merged.unionByName(fdf).dropDuplicates(
+                    ["id"] if "id" in merged.columns else None
                 )
+            out = FhirTable(merged)
+        if sort_spec:
+            cols = []
+            for s in sort_spec.split(","):
+                s = s.strip()
+                cols.append(F.col(s[1:]).desc() if s.startswith("-") else F.col(s).asc())
+            out = FhirTable(out.df.orderBy(*cols))
+        if count_n is not None:
+            out = FhirTable(out.df.limit(count_n))
         return out
 
     # --- nested navigation ---------------------------------------------

@@ -1,0 +1,80 @@
+"""FHIR search-parameter layer (hl7.org/fhir/R4/search.html shapes) over
+the golden Patient example file."""
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.fhir.table import FhirTable
+
+PATIENT = "/root/reference/examples/Patient.parquet"
+
+
+def _pt(spark):
+    return FhirTable.read(spark, PATIENT)
+
+
+def test_token_identifier(spark):
+    pt = _pt(spark)
+    row = pt.df.select(F.explode("identifier").alias("i")).select(
+        "i.system", "i.value"
+    ).first()
+    hits = pt.where_token("identifier", row.system, row.value)
+    assert hits.count() >= 1
+    got = hits.df.select(F.explode("identifier").alias("i")).filter(
+        (F.col("i.system") == row.system) & (F.col("i.value") == row.value)
+    )
+    assert got.count() >= 1
+    # system mismatch finds nothing
+    assert pt.where_token("identifier", "http://nope", row.value).count() == 0
+
+
+def test_token_codeable_concept(spark):
+    pt = _pt(spark)
+    ms = pt.df.filter(F.col("maritalStatus").isNotNull()).select(
+        F.col("maritalStatus.coding")[0].alias("c")
+    ).first()
+    hits = pt.where_token("maritalStatus", ms.c.system, ms.c.code)
+    assert 0 < hits.count() <= 100
+    # bare-code leaf token
+    assert _pt(spark).where_token("gender", None, "male").count() == \
+        pt.df.filter(F.col("gender") == "male").count()
+
+
+def test_string_search_name(spark):
+    pt = _pt(spark)
+    fam = pt.df.select(F.explode("name").alias("n")).select("n.family").first().family
+    prefix = fam[:4]
+    hits = pt.where_string("name", prefix.lower())  # case-insensitive starts-with
+    assert hits.count() >= 1
+    assert pt.where_string("name", fam, exact=True).count() >= 1
+    assert pt.where_string("name", "zzzznobody").count() == 0
+
+
+def test_reference_search(spark):
+    obs = FhirTable.read(spark, "/root/reference/examples/Observation.parquet")
+    pid = obs.df.select(F.col("subject.reference").alias("r")).first().r
+    assert obs.where_reference("subject", pid).count() >= 1
+    bare = pid.split("/", 1)[1]
+    assert obs.where_reference("subject", bare).count() >= 1
+
+
+def test_search_front_end_or_missing_sort_count(spark):
+    pt = _pt(spark)
+    n_m = pt.df.filter(F.col("gender") == "male").count()
+    n_f = pt.df.filter(F.col("gender") == "female").count()
+    assert pt.search("gender=male,female").count() == n_m + n_f  # OR values
+    n_no_ms = pt.df.filter(F.col("maritalStatus").isNull()).count()
+    assert pt.search("maritalStatus:missing=true").count() == n_no_ms
+    top = pt.search("gender=male&_sort=-birthDate&_count=5")
+    rows = top.df.select("birthDate").collect()
+    assert len(rows) == 5
+    bds = [r.birthDate for r in rows]
+    assert bds == sorted(bds, reverse=True)
+
+
+def test_search_front_end_token_route(spark):
+    pt = _pt(spark)
+    row = pt.df.select(F.explode("identifier").alias("i")).select(
+        "i.system", "i.value"
+    ).first()
+    hits = pt.search(f"identifier={row.system}|{row.value}")
+    assert hits.count() >= 1
