@@ -180,3 +180,46 @@ def test_watermark_drops_late_data(spark):
     # …while the 09:00 window (end far behind the restored watermark)
     # never emits: its late rows were dropped
     assert emitted.get("2024-01-10 09:00:00", 0) == 0
+
+
+def test_session_window_merges_across_batches(spark, sf_dir):
+    """Streaming session windows must MERGE sessions that span
+    micro-batch boundaries: an event in batch 2 that lands within 30 min
+    of a batch-1 session extends that session rather than opening a new
+    one. Events are split by time (not id) so every user's session tail
+    crosses the batch boundary; the final complete-mode result must equal
+    the batch session_window over the union."""
+    e, src, paths = _three_batch_source(spark, sf_dir)
+    # time-split: re-write 3 files partitioned by event time thirds
+    import tempfile as _tf
+    src2 = _tf.mkdtemp(prefix="mb_sess_")
+    bounds = e.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    import time as _time
+    lo, hi = bounds.lo, bounds.hi
+    span = (hi - lo) / 3
+    for i in range(3):
+        upper = (F.col("ts") <= F.lit(hi)) if i == 2 else (
+            F.col("ts") < F.lit(lo + (i + 1) * span)
+        )
+        part = e.filter((F.col("ts") >= F.lit(lo + i * span)) & upper)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src2}/b{i}")
+        _time.sleep(0.05)
+    s = _stream(spark, f"{src2}/b*", e.schema)
+    agg = (
+        s.withWatermark("ts", "10 hours")  # generous: nothing dropped
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    _run(agg, "complete", "mb_sessions")
+    got = spark.table("mb_sessions").select(
+        "user_id", F.col("session_window.start").alias("s"), "n"
+    )
+    expected = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("session_window.start").alias("s"), "n")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
