@@ -110,3 +110,67 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def _resize_batches(target_w: int, target_h: int):
+    """Arrow-batched image resize plumbing. The pixel work is the stub
+    (a real implementation decodes via decode_real, resamples, and
+    re-encodes); everything an engine is responsible for — batch
+    iteration, binary pass-through, metadata rewrite, fixed output
+    schema — is real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                {
+                    "mime": (m or {}).get("mime") if isinstance(m, dict) else m["mime"],
+                    "width": target_w,
+                    "height": target_h,
+                    "duration_ms": (m or {}).get("duration_ms")
+                    if isinstance(m, dict)
+                    else m["duration_ms"],
+                }
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": pdf["content"],  # stub: bytes unchanged
+                    "meta": meta,
+                }
+            )
+
+    return fn
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """binary → binary resize via ``mapInPandas``: same MEDIA_SCHEMA out,
+    metadata dimensions rewritten. Partition-parallel and batch-at-a-time
+    like extract_features; swap the stub body for a PIL resample to make
+    it real."""
+    return media.mapInPandas(_resize_batches(width, height), schema=MEDIA_SCHEMA)
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking *plan*: each media row expands to the [start, end)
+    windows a decoder would cut — ``sequence`` + ``explode``, all
+    JVM-side; per-chunk decode runs through ``extract_features``."""
+    n_chunks = F.coalesce(
+        F.ceil(F.col("meta.duration_ms") / F.lit(chunk_ms)).cast("int"), F.lit(1)
+    )
+    return media.select(
+        "media_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.struct(
+                    (i * chunk_ms).alias("chunk_start_ms"),
+                    F.least(
+                        (i + 1) * chunk_ms,
+                        F.coalesce(F.col("meta.duration_ms").cast("int"), F.lit(chunk_ms)),
+                    ).alias("chunk_end_ms"),
+                ),
+            )
+        ).alias("c"),
+    ).select("media_id", "c.chunk_start_ms", "c.chunk_end_ms")

@@ -301,6 +301,37 @@ def q73(spark, sf_dir):
     )
 
 
+# --- Q73b: frame-sampling plan over media with durations (JVM-side; oracle) ---------------
+def q73b(spark, sf_dir):
+    """Video frame-sample planning: media rows expand to the timestamps a
+    decoder would extract — sequence+explode, fully JVM-side, so the
+    oracle is exact (duration synthesized deterministically from text
+    length: 10 ms per character)."""
+    from parquet_on_fhir_spark.operators.multimodal import frame_sample_plan
+
+    d = t(spark, sf_dir, "documents")
+    media = attach_binary(d.select("doc_id", "text"), "text", kind="video")
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (F.length(F.decode(F.col("content"), "UTF-8")) * 10)
+            .cast("bigint")
+            .alias("duration_ms"),
+        ),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+Q73B_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, greatest(CAST(floor(length(text) * 10.0 / 1000) AS INT) - 1, 0))) * 1000 AS INT) AS frame_ts_ms
+FROM documents
+"""
+
+
 QUERIES = [
     Q("q66_dedup_exact", q66, Q66_ORACLE),
     Q("q67_dedup_minhash_lsh", q67, None),
@@ -318,4 +349,5 @@ QUERIES = [
     Q("q91_embedding_near_dup", q91, Q91_ORACLE),
     Q("q91b_embedding_near_dup_lsh", q91b, None),
     Q("q73_multimodal_features", q73, None),
+    Q("q73b_multimodal_frame_plan", q73b, Q73B_ORACLE),
 ]

@@ -95,3 +95,64 @@ def test_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image/png")
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Resize keeps MEDIA_SCHEMA, rewrites dimensions, preserves payload
+    (stub codec) — batch-at-a-time through mapInPandas."""
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_binary(d.select("doc_id", "text"), "text", kind="image")
+    out = resize_images(media, 224, 224)
+    # same names+types (mapInPandas output is all-nullable by contract;
+    # simpleString ignores nullability at every nesting level)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in media.schema.fields
+    ]
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.meta.width == 224 and r.meta.height == 224 for r in rows)
+    orig = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert all(bytes(r.content) == orig[r.media_id] for r in rows)
+
+
+def test_audio_chunk_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.multimodal import (
+        attach_binary,
+        audio_chunk_plan,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_binary(d.select("doc_id", "text"), "text", kind="audio")
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (F.length(F.decode("content", "UTF-8")) * 100).cast("bigint").alias(
+                "duration_ms"
+            ),
+        ),
+    )
+    chunks = audio_chunk_plan(media, chunk_ms=5000)
+    rows = chunks.collect()
+    durs = {r.media_id: r.meta.duration_ms for r in media.collect()}
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    import math
+    for mid, rs in by_media.items():
+        rs.sort(key=lambda r: r.chunk_start_ms)
+        assert len(rs) == max(math.ceil(durs[mid] / 5000), 1)
+        assert rs[0].chunk_start_ms == 0
+        assert rs[-1].chunk_end_ms == min(durs[mid], rs[-1].chunk_start_ms + 5000)
+        for a, b in zip(rs, rs[1:]):
+            assert a.chunk_end_ms == min(durs[mid], b.chunk_start_ms)
