@@ -500,6 +500,320 @@ RESOURCES: dict[str, dict] = {
         ),
         "total": "Money",
     },
+    "Organization": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "type": A("CodeableConcept"),
+        "name": "string",
+        "alias": A("string"),
+        "telecom": A("ContactPoint"),
+        "address": A("Address"),
+        "partOf": "Reference",
+        "contact": A(
+            {
+                "purpose": "CodeableConcept",
+                "name": "HumanName",
+                "telecom": A("ContactPoint"),
+                "address": "Address",
+            }
+        ),
+    },
+    "Practitioner": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "name": A("HumanName"),
+        "telecom": A("ContactPoint"),
+        "address": A("Address"),
+        "gender": "code",
+        "birthDate": "date",
+        "qualification": A(
+            {
+                "identifier": A("Identifier"),
+                "code": "CodeableConcept",
+                "period": "Period",
+                "issuer": "Reference",
+            }
+        ),
+    },
+    "Location": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "name": "string",
+        "description": "string",
+        "mode": "code",
+        "type": A("CodeableConcept"),
+        "telecom": A("ContactPoint"),
+        "address": "Address",
+        "physicalType": "CodeableConcept",
+        "position": {
+            "longitude": "decimal",
+            "latitude": "decimal",
+            "altitude": "decimal",
+        },
+        "managingOrganization": "Reference",
+        "partOf": "Reference",
+    },
+    "AllergyIntolerance": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "clinicalStatus": "CodeableConcept",
+        "verificationStatus": "CodeableConcept",
+        "type": "code",
+        "category": A("code"),
+        "criticality": "code",
+        "code": "CodeableConcept",
+        "patient": "Reference",
+        "encounter": "Reference",
+        "onset[x]": ["dateTime", "Age", "Period", "Range", "string"],
+        "recordedDate": "dateTime",
+        "recorder": "Reference",
+        "asserter": "Reference",
+        "lastOccurrence": "dateTime",
+        "note": A("Annotation"),
+        "reaction": A(
+            {
+                "substance": "CodeableConcept",
+                "manifestation": A("CodeableConcept"),
+                "description": "string",
+                "onset": "dateTime",
+                "severity": "code",
+                "exposureRoute": "CodeableConcept",
+            }
+        ),
+    },
+    "CareTeam": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "category": A("CodeableConcept"),
+        "name": "string",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "period": "Period",
+        "participant": A(
+            {
+                "role": A("CodeableConcept"),
+                "member": "Reference",
+                "onBehalfOf": "Reference",
+                "period": "Period",
+            }
+        ),
+        "reasonCode": A("CodeableConcept"),
+        "managingOrganization": A("Reference"),
+    },
+    "CarePlan": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "replaces": A("Reference"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "intent": "code",
+        "category": A("CodeableConcept"),
+        "title": "string",
+        "description": "string",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "period": "Period",
+        "created": "dateTime",
+        "author": "Reference",
+        "careTeam": A("Reference"),
+        "addresses": A("Reference"),
+        "goal": A("Reference"),
+        "activity": A(
+            {
+                "outcomeCodeableConcept": A("CodeableConcept"),
+                "outcomeReference": A("Reference"),
+                "detail": {
+                    "kind": "code",
+                    "code": "CodeableConcept",
+                    "status": "code",
+                    "statusReason": "CodeableConcept",
+                    "doNotPerform": "boolean",
+                    "scheduled[x]": ["Timing", "Period", "string"],
+                    "location": "Reference",
+                    "description": "string",
+                },
+            }
+        ),
+    },
+    "DocumentReference": {
+        **_DOMAIN,
+        "masterIdentifier": "Identifier",
+        "identifier": A("Identifier"),
+        "status": "code",
+        "docStatus": "code",
+        "type": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "subject": "Reference",
+        "date": "instant",
+        "author": A("Reference"),
+        "authenticator": "Reference",
+        "custodian": "Reference",
+        "description": "string",
+        "content": A({"attachment": "Attachment", "format": "Coding"}),
+        "context": {
+            "encounter": A("Reference"),
+            "event": A("CodeableConcept"),
+            "period": "Period",
+            "facilityType": "CodeableConcept",
+            "practiceSetting": "CodeableConcept",
+            "sourcePatientInfo": "Reference",
+        },
+    },
+    "Device": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "distinctIdentifier": "string",
+        "manufacturer": "string",
+        "manufactureDate": "dateTime",
+        "expirationDate": "dateTime",
+        "lotNumber": "string",
+        "serialNumber": "string",
+        "deviceName": A({"name": "string", "type": "code"}),
+        "modelNumber": "string",
+        "type": "CodeableConcept",
+        "patient": "Reference",
+        "owner": "Reference",
+        "location": "Reference",
+        "udiCarrier": A(
+            {
+                "deviceIdentifier": "string",
+                "issuer": "uri",
+                "jurisdiction": "uri",
+                "carrierHRF": "string",
+                "entryType": "code",
+            }
+        ),
+    },
+    "ExplanationOfBenefit": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": "CodeableConcept",
+        "subType": "CodeableConcept",
+        "use": "code",
+        "patient": "Reference",
+        "billablePeriod": "Period",
+        "created": "dateTime",
+        "enterer": "Reference",
+        "insurer": "Reference",
+        "provider": "Reference",
+        "priority": "CodeableConcept",
+        "related": A(
+            {
+                "claim": "Reference",
+                "relationship": "CodeableConcept",
+                "reference": "Identifier",
+            }
+        ),
+        "prescription": "Reference",
+        "originalPrescription": "Reference",
+        "payee": {"type": "CodeableConcept", "party": "Reference"},
+        "referral": "Reference",
+        "facility": "Reference",
+        "claim": "Reference",
+        "claimResponse": "Reference",
+        "outcome": "code",
+        "disposition": "string",
+        "preAuthRef": A("string"),
+        "precedence": "positiveInt",
+        "careTeam": A(
+            {
+                "sequence": "positiveInt",
+                "provider": "Reference",
+                "responsible": "boolean",
+                "role": "CodeableConcept",
+                "qualification": "CodeableConcept",
+            }
+        ),
+        "supportingInfo": A(
+            {
+                "sequence": "positiveInt",
+                "category": "CodeableConcept",
+                "code": "CodeableConcept",
+                "timing[x]": ["date", "Period"],
+                "value[x]": ["boolean", "string", "Quantity", "Attachment", "Reference"],
+                "reason": "Coding",
+            }
+        ),
+        "diagnosis": A(
+            {
+                "sequence": "positiveInt",
+                "diagnosis[x]": ["CodeableConcept", "Reference"],
+                "type": A("CodeableConcept"),
+                "onAdmission": "CodeableConcept",
+                "packageCode": "CodeableConcept",
+            }
+        ),
+        "procedure": A(
+            {
+                "sequence": "positiveInt",
+                "type": A("CodeableConcept"),
+                "date": "dateTime",
+                "procedure[x]": ["CodeableConcept", "Reference"],
+                "udi": A("Reference"),
+            }
+        ),
+        "insurance": A(
+            {
+                "focal": "boolean",
+                "coverage": "Reference",
+                "preAuthRef": A("string"),
+            }
+        ),
+        "accident": {
+            "date": "date",
+            "type": "CodeableConcept",
+            "location[x]": ["Address", "Reference"],
+        },
+        "item": A(
+            {
+                "sequence": "positiveInt",
+                "careTeamSequence": A("positiveInt"),
+                "diagnosisSequence": A("positiveInt"),
+                "procedureSequence": A("positiveInt"),
+                "informationSequence": A("positiveInt"),
+                "revenue": "CodeableConcept",
+                "category": "CodeableConcept",
+                "productOrService": "CodeableConcept",
+                "modifier": A("CodeableConcept"),
+                "programCode": A("CodeableConcept"),
+                "serviced[x]": ["date", "Period"],
+                "location[x]": ["CodeableConcept", "Address", "Reference"],
+                "quantity": "SimpleQuantity",
+                "unitPrice": "Money",
+                "factor": "decimal",
+                "net": "Money",
+                "udi": A("Reference"),
+                "bodySite": "CodeableConcept",
+                "subSite": A("CodeableConcept"),
+                "encounter": A("Reference"),
+                "noteNumber": A("positiveInt"),
+                "adjudication": A(
+                    {
+                        "category": "CodeableConcept",
+                        "reason": "CodeableConcept",
+                        "amount": "Money",
+                        "value": "decimal",
+                    }
+                ),
+            }
+        ),
+        "total": A({"category": "CodeableConcept", "amount": "Money"}),
+        "payment": {
+            "type": "CodeableConcept",
+            "adjustment": "Money",
+            "adjustmentReason": "CodeableConcept",
+            "date": "date",
+            "amount": "Money",
+            "identifier": "Identifier",
+        },
+    },
 }
 
 

@@ -121,3 +121,27 @@ def test_registry_overrides_name_rules_in_data_derivation(spark):
     assert isinstance(item["factor"].dataType, T.StringType)
     assert isinstance(item["sequence"].dataType, T.IntegerType)  # positiveInt → INT32
     assert isinstance(item["net"].dataType["value"].dataType, T.StringType)
+
+
+def test_definition_schema_matches_golden_eob(spark):
+    """ExplanationOfBenefit — the widest golden file — must agree with
+    the definition-derived types on every shared path."""
+    golden = spark.read.parquet(
+        "/root/reference/examples/ExplanationOfBenefit.parquet"
+    ).schema
+    defn = _flatten(definition_schema("ExplanationOfBenefit"))
+    mismatches = []
+    for path, gtype in _flatten(golden).items():
+        if path in defn and defn[path] != gtype:
+            mismatches.append((path, str(gtype), str(defn[path])))
+    assert not mismatches, mismatches
+
+
+def test_definition_schema_matches_golden_patient(spark):
+    golden = spark.read.parquet("/root/reference/examples/Patient.parquet").schema
+    defn = _flatten(definition_schema("Patient"))
+    mismatches = []
+    for path, gtype in _flatten(golden).items():
+        if path in defn and defn[path] != gtype:
+            mismatches.append((path, str(gtype), str(defn[path])))
+    assert not mismatches, mismatches
