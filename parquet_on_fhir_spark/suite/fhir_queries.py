@@ -105,13 +105,44 @@ def qf06(spark, sf_dir):
     return spark.createDataFrame(rows, "resource STRING, n_errors INT, errors STRING")
 
 
+# Round-trip re-encode must reproduce the original columns exactly —
+# the oracle is simply the source file.
+QF02_ORACLE = f"""
+SELECT id, resourceType, birthDate FROM read_parquet('{PATIENT}')
+"""
+
+# Every golden birthDate is a full YYYY-MM-DD, so the date-range
+# annotation bounds are the day's [00:00:00.000, 23:59:59.999].
+QF03_ORACLE = f"""
+SELECT id, birthDate,
+       CASE WHEN birthDate IS NULL THEN NULL
+            ELSE birthDate || ' 00:00:00.000' END AS bd_start,
+       CASE WHEN birthDate IS NULL THEN NULL
+            ELSE birthDate || ' 23:59:59.999' END AS bd_end
+FROM read_parquet('{PATIENT}')
+"""
+
+QF05_ORACLE = f"""
+SELECT resourceType, id, gender, CAST(NULL AS VARCHAR) AS birthDate
+FROM read_parquet('{PATIENT}')
+UNION ALL
+SELECT resourceType, id, CAST(NULL AS VARCHAR) AS gender, birthDate
+FROM read_parquet('{PATIENT}')
+"""
+
+QF06_ORACLE = """
+SELECT * FROM (VALUES
+('Patient', 0, ''), ('Observation', 0, ''), ('ExplanationOfBenefit', 0, '')
+) AS t(resource, n_errors, errors)
+"""
+
 QUERIES = [
     Q("qf01_fhir_nested_query", qf01, QF01_ORACLE),
-    Q("qf02_fhir_roundtrip_reencode", qf02, None),
-    Q("qf03_fhir_date_annotations", qf03, None),
+    Q("qf02_fhir_roundtrip_reencode", qf02, QF02_ORACLE),
+    Q("qf03_fhir_date_annotations", qf03, QF03_ORACLE),
     Q("qf04_fhir_quantity_canonical", qf04, None),
-    Q("qf05_fhir_schema_merge", qf05, None),
-    Q("qf06_fhir_validate", qf06, None),
+    Q("qf05_fhir_schema_merge", qf05, QF05_ORACLE),
+    Q("qf06_fhir_validate", qf06, QF06_ORACLE),
 ]
 
 

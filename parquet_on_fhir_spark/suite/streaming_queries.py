@@ -154,7 +154,12 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
-# --- Q56: watermark / late-data handling (streaming; rows-only) -------------------------
+# --- Q56: watermark / late-data handling (streaming) ------------------------------------
+# Append mode emits exactly the FINALIZED windows: after the single
+# AvailableNow batch the watermark is max(ts) - 1h, and a window is
+# emitted iff window.end <= watermark — which the oracle states
+# directly. (The un-emitted tail windows are the late-data guarantee
+# under test.)
 def q56(spark, sf_dir):
     s = stream_events(spark, sf_dir)
     agg = (
@@ -168,6 +173,16 @@ def q56(spark, sf_dir):
         "event_type",
         "n",
     )
+
+
+Q56_ORACLE = f"""
+WITH m AS (SELECT max(ts) - INTERVAL '1 hour' AS wm FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS w, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT strftime(w, '{WINDOW_FMT_DUCK}') AS window_start, event_type, n
+FROM agg, m WHERE w + INTERVAL '6 hours' <= wm
+"""
 
 
 # --- Q57: deterministic dedup (keep-first by key) -----------------------------------------
@@ -266,7 +281,7 @@ QUERIES = [
     Q("q54b_stream_window_sliding", q54b, Q54_ORACLE),
     Q("q55_window_session", q55, Q55_ORACLE),
     Q("q55b_stream_window_session", q55b, Q55_ORACLE),
-    Q("q56_stream_watermark", q56, None),
+    Q("q56_stream_watermark", q56, Q56_ORACLE),
     Q("q57_dedup_keep_first", q57, Q57_ORACLE),
     Q("q57b_stream_dedup", q57b, None),
     Q("q58_stream_stateful", q58, None),
