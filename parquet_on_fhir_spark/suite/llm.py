@@ -212,6 +212,37 @@ def q71b(spark, sf_dir):
     )
 
 
+# detect_language restated: per-language marker-token counts, argmax
+# with the same deterministic tie-break (equal scores -> the
+# lexicographically-last language, matching the struct-sort in
+# operators/text.py::detect_language).
+Q71B_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','is','a','in','that'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','en','un'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','de','et','est','un','une'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+  FROM tk
+),
+d AS (
+  SELECT doc_id,
+    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         ELSE 'de' END AS detected
+  FROM s
+)
+SELECT detected, count(*) AS n FROM d GROUP BY detected
+"""
+
+
 # --- Q72: term document-frequency / IDF --------------------------------------------------
 def q72(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -263,15 +294,54 @@ WHERE n_chars BETWEEN 100 AND 2000
 """
 
 
-# --- Q74b: composite quality + token-budget scoring (engine ops; rows-only) -------------------
+# --- Q74b: composite quality + token-budget scoring (oracle-checked) -------------------
 def q74b(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.round(tx.quality_score("text"), 4).alias("quality"),
+        F.round(tx.quality_score("text") + F.lit(1e-9), 4).alias("quality"),
         tx.token_count("text").alias("n_tokens"),
         tx.bpe_ish_token_count("text").alias("bpe_tokens"),
-        tx.rolling_fingerprint("text").alias("fingerprint"),
+    )
+
+
+# The full scoring pipeline restated in SQL: same tokenization
+# (regex whitespace split of lower(text)), same component scores, same
+# weights — the d4(+1e-9) discipline absorbs last-ulp FP differences.
+Q74B_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS DOUBLE) AS n_tok,
+    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / length(text) AS pr,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks) AS mwl,
+    CAST(len(list_filter(toks, x -> list_contains(
+        ['the','and','of','to','is','a','in','that'], x))) AS DOUBLE)
+        / len(toks) AS sr
+  FROM tk
+)
+SELECT doc_id,
+  round(least(n_tok / 50.0, 1.0) * 0.4
+      + greatest(0.0, 1.0 - pr * 10.0) * 0.2
+      + (CASE WHEN mwl >= 2.5 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
+      + least(sr * 5.0, 1.0) * 0.2 + 1e-9, 4) AS quality,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS INT)))
+       + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS bpe_tokens
+FROM feat
+"""
+
+
+# --- Q74c: rolling-hash document fingerprints (xxhash64 — rows-only) --------------------
+def q74c(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.rolling_fingerprint("text").alias("fingerprint")
     )
 
 
@@ -341,10 +411,11 @@ QUERIES = [
     Q("q70_similarity_ann_lsh", q70, None),
     Q("q70b_similarity_ivf", q70b, None),
     Q("q71_text_stats", q71, Q71_ORACLE),
-    Q("q71b_language_id", q71b, None),
+    Q("q71b_language_id", q71b, Q71B_ORACLE),
     Q("q72_term_idf", q72, Q72_ORACLE),
     Q("q74_quality_filter", q74, Q74_ORACLE),
-    Q("q74b_quality_scoring", q74b, None),
+    Q("q74b_quality_scoring", q74b, Q74B_ORACLE),
+    Q("q74c_doc_fingerprints", q74c, None),
     Q("q86_corpus_curation_pipeline", q86, None),
     Q("q91_embedding_near_dup", q91, Q91_ORACLE),
     Q("q91b_embedding_near_dup_lsh", q91b, None),
