@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _COUNTER = itertools.count()
+_SRC_CACHE: dict[str, str] = {}
 
 EVENTS_LONG_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
@@ -32,8 +33,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader (api.load_table).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = tempfile.mkdtemp(prefix="pofs_stream_src_")
-    shutil.copy(f"{sf_dir}/events.parquet", src)
+    src = _SRC_CACHE.get(sf_dir)
+    if src is None:
+        # one staged copy per sf_dir per process (the file-stream source
+        # needs a directory it owns; the copy itself is immutable)
+        src = tempfile.mkdtemp(prefix="pofs_stream_src_")
+        shutil.copy(f"{sf_dir}/events.parquet", src)
+        _SRC_CACHE[sf_dir] = src
     sdf = spark.readStream.schema(EVENTS_LONG_SCHEMA).parquet(src)
     return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
