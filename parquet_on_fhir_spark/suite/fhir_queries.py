@@ -83,6 +83,25 @@ def qf04(spark, sf_dir):
     ).filter(F.col("value").isNotNull())
 
 
+# UCUM canonicalization restated: the golden file's populated codes are
+# kg (x1000 -> g) and cm (x0.01 -> m); everything else is the identity
+# canonical form (spec-legal — the annotation is optional per element).
+QF04_ORACLE = """
+WITH v AS (
+  SELECT id, valueQuantity.value AS value, valueQuantity.code AS code,
+         CAST(valueQuantity.value AS DOUBLE) AS dv
+  FROM read_parquet('{OBS}')
+  WHERE valueQuantity.value IS NOT NULL
+)
+SELECT id, value, code,
+  CAST(CAST(CASE WHEN code = 'kg' THEN dv * 1000.0
+                 WHEN code = 'cm' THEN dv * 0.01
+                 ELSE dv END AS DECIMAL(38,6)) AS VARCHAR) AS canon_value,
+  CASE WHEN code = 'kg' THEN 'g' WHEN code = 'cm' THEN 'm'
+       ELSE code END AS canon_code
+FROM v
+""".replace("{OBS}", OBSERVATION)
+
 # --- F13: schema merge across sparse tables of one resource type -----------------------
 def qf05(spark, sf_dir):
     p = utc(spark).read.parquet(PATIENT)
@@ -140,7 +159,7 @@ QUERIES = [
     Q("qf01_fhir_nested_query", qf01, QF01_ORACLE),
     Q("qf02_fhir_roundtrip_reencode", qf02, QF02_ORACLE),
     Q("qf03_fhir_date_annotations", qf03, QF03_ORACLE),
-    Q("qf04_fhir_quantity_canonical", qf04, None),
+    Q("qf04_fhir_quantity_canonical", qf04, QF04_ORACLE),
     Q("qf05_fhir_schema_merge", qf05, QF05_ORACLE),
     Q("qf06_fhir_validate", qf06, QF06_ORACLE),
 ]
