@@ -754,7 +754,11 @@ ORDER BY price DESC, o_orderkey LIMIT 20
 """
 
 
-# --- Q36: partition-local sort (no global shuffle) — rows-only ------------------------------------
+# --- Q36: partition-local sort (no global shuffle) --------------------------------------------------
+# sortWithinPartitions permutes rows but never changes the row SET, and
+# the driver's value-hash is order-insensitive — so the oracle is the
+# plain projection. (The no-global-shuffle plan shape is asserted in
+# tests/test_scale_plans.py.)
 def q36(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     return (
@@ -762,6 +766,11 @@ def q36(spark, sf_dir):
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .select("l_orderkey", "l_linenumber")
     )
+
+
+Q36_ORACLE = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+"""
 
 
 # --- Q37: union all / union distinct ----------------------------------------------------------------
@@ -877,7 +886,7 @@ QUERIES = [
     Q("q29_pivot", q29, Q29_ORACLE),
     Q("q34_sort_multikey", q34, Q34_ORACLE),
     Q("q35_limit_topk", q35, Q35_ORACLE),
-    Q("q36_sort_within_partitions", q36, None),
+    Q("q36_sort_within_partitions", q36, Q36_ORACLE),
     Q("q37_union_all", q37, Q37_ORACLE),
     Q("q37b_union_distinct", q37_distinct, Q37_DISTINCT_ORACLE),
     Q("q38_union_by_name", q38, Q38_ORACLE),
