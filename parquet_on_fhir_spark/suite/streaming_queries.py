@@ -199,7 +199,10 @@ FROM events GROUP BY user_id, event_type
 """
 
 
-# --- Q57b: streaming dropDuplicates (rows-only) ----------------------------------------------
+# --- Q57b: streaming dropDuplicates ----------------------------------------------------------
+# Projecting ONLY the dedup keys makes the output deterministic (the
+# arbitrary-survivor choice is invisible): the row set is exactly the
+# distinct key set, which is the oracle.
 def q57b(spark, sf_dir):
     s = stream_events(spark, sf_dir)
     dedup = s.dropDuplicates(["user_id", "event_type"]).select(
@@ -208,10 +211,31 @@ def q57b(spark, sf_dir):
     return run_to_memory(dedup, "append")
 
 
-# --- Q58: custom stateful operator (applyInPandasWithState; rows-only) -----------------------
+Q57B_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# --- Q58: custom stateful operator (applyInPandasWithState) ----------------------------------
+# AvailableNow over the single staged file = ONE micro-batch, so the
+# update-mode emission is exactly one final row per user: the running
+# totals equal the batch aggregate (d2+epsilon absorbs pandas-vs-SQL
+# float summation order).
 def q58(spark, sf_dir):
     s = stream_events(spark, sf_dir)
-    return run_to_memory(running_user_totals(s), "update")
+    res = run_to_memory(running_user_totals(s), "update")
+    return res.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_value") + F.lit(1e-9), 2).alias("total_value"),
+    )
+
+
+Q58_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value) + 1e-9, 2) AS total_value
+FROM events GROUP BY user_id
+"""
 
 
 # --- Q59: stream-static join --------------------------------------------------------------------
@@ -283,8 +307,8 @@ QUERIES = [
     Q("q55b_stream_window_session", q55b, Q55_ORACLE),
     Q("q56_stream_watermark", q56, Q56_ORACLE),
     Q("q57_dedup_keep_first", q57, Q57_ORACLE),
-    Q("q57b_stream_dedup", q57b, None),
-    Q("q58_stream_stateful", q58, None),
+    Q("q57b_stream_dedup", q57b, Q57B_ORACLE),
+    Q("q58_stream_stateful", q58, Q58_ORACLE),
     Q("q59_stream_static_join", q59, Q59_ORACLE),
     Q("q59b_stream_stream_join", q59b, Q59B_ORACLE),
 ]
