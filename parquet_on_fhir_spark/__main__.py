@@ -5,6 +5,7 @@
     python -m parquet_on_fhir_spark validate IN_PARQUET [--resource-type Patient]
     python -m parquet_on_fhir_spark merge    OUT_DIR IN1 IN2 [...]
     python -m parquet_on_fhir_spark schema   IN.ndjson
+    python -m parquet_on_fhir_spark search   IN_PARQUET "birthDate=ge1960&gender=male&_count=20"
 
 Exit code 0 on success; ``validate`` exits 1 when invariants fail.
 """
@@ -45,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
     sch.add_argument("input")
     sch.add_argument("--max-extension-depth", type=int)
 
+    srch = sub.add_parser(
+        "search", help="FHIR search parameters over a table (token/date/quantity/string)"
+    )
+    srch.add_argument("input")
+    srch.add_argument("params")
+    srch.add_argument("--output", help="write matches as parquet instead of printing")
+    srch.add_argument("--show", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     from parquet_on_fhir_spark.session import get_session
@@ -56,7 +65,9 @@ def main(argv: list[str] | None = None) -> int:
         from parquet_on_fhir_spark.fhir.encode import encode_ndjson, write_table
         from parquet_on_fhir_spark.fhir.schema import derive_schema
 
-        schema = derive_schema(spark, args.input, args.max_extension_depth)
+        schema = derive_schema(
+            spark, args.input, args.max_extension_depth, resource_type=args.resource_type
+        )
         df = encode_ndjson(
             spark,
             args.input,
@@ -90,6 +101,19 @@ def main(argv: list[str] | None = None) -> int:
         merged = merge_tables(spark, *args.inputs)
         merged.write.mode("overwrite").parquet(args.output)
         print(f"merged {len(args.inputs)} tables ({merged.count()} rows) -> {args.output}")
+        return 0
+
+    if args.cmd == "search":
+        from parquet_on_fhir_spark.fhir.table import FhirTable
+
+        hits = FhirTable.read(spark, args.input).search(args.params)
+        if args.output:
+            hits.df.write.mode("overwrite").parquet(args.output)
+            print(f"{hits.count()} matches -> {args.output}")
+        else:
+            n = hits.count()
+            hits.df.show(args.show, truncate=40)
+            print(f"{n} matches")
         return 0
 
     if args.cmd == "schema":

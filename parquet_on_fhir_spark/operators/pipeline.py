@@ -29,6 +29,8 @@ def curate_corpus(
     languages: list[str] | None = None,
     near_dup_threshold: float = 0.8,
     token_budget: int | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_threshold: float = 0.95,
 ) -> DataFrame:
     """Returns the curated corpus with ``quality`` and ``n_tokens``
     columns attached.
@@ -37,6 +39,11 @@ def curate_corpus(
     1. exact dedup (content hash; min-id survivor)
     2. near-dedup: MinHash-LSH pairs ≥ threshold → drop the higher id of
        each pair (keep-first, mirroring exact dedup's survivor rule)
+    2b. optional embedding near-dedup: ``embeddings`` is a DataFrame of
+        (id_col, embedding array); sign-LSH-bucketed cosine pairs ≥
+        ``embedding_threshold`` drop the higher id — catches semantic
+        duplicates the text-shingle pass misses (translations,
+        paraphrases, re-renders).
     3. quality + optional language filter (JVM expressions)
     4. optional token budget: order by quality desc (id tiebreak) and
        keep documents while the running token total fits the budget —
@@ -48,6 +55,15 @@ def curate_corpus(
     pairs = minhash_lsh_pairs(sigs, id_col, num_bands=8, jaccard_threshold=near_dup_threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     d = d.join(losers, id_col, "left_anti")
+
+    if embeddings is not None:
+        from parquet_on_fhir_spark.operators.dedup import embedding_near_dup_pairs
+
+        epairs = embedding_near_dup_pairs(
+            embeddings, id_col, "embedding", threshold=embedding_threshold
+        )
+        elosers = epairs.select(F.col("id_b").alias(id_col)).distinct()
+        d = d.join(elosers, id_col, "left_anti")
 
     d = d.withColumn("quality", F.round(tx.quality_score(text_col), 4)).withColumn(
         "n_tokens", tx.token_count(text_col).cast("long")

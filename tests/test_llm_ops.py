@@ -222,3 +222,38 @@ def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     assert planted <= exact
     assert lsh <= exact          # verify step: no false positives
     assert planted <= lsh        # full recall in the near-identical regime
+
+
+def test_curate_corpus_embedding_stage(spark, sf_dir):
+    """The optional embedding near-dedup stage drops the higher id of a
+    planted near-identical pair, without touching unrelated docs."""
+    from pyspark.sql import functions as F
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.pipeline import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents").limit(100).cache()
+    emb = load_table(spark, sf_dir, "embeddings").limit(100).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    # plant a semantic duplicate of doc 0 under a high id: same text
+    # slightly edited (so exact/minhash dedup won't always kill it) and
+    # an epsilon-perturbed copy of its embedding
+    dup_doc = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(999999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" completely different tail "
+                 "words appended to break the shingle overlap badly")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    dup_emb = emb.filter(F.col("doc_id") == 0).select(
+        F.lit(999999).cast("long").alias("doc_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-5)).alias("embedding"),
+    )
+    curated = curate_corpus(
+        docs.unionByName(dup_doc),
+        min_quality=0.0,
+        near_dup_threshold=0.99,
+        embeddings=emb.unionByName(dup_emb),
+        embedding_threshold=0.99,
+    )
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert 0 in ids and 999999 not in ids
