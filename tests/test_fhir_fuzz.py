@@ -87,3 +87,77 @@ def test_random_sparse_patients_roundtrip(spark, data):
         key=lambda x: x["id"],
     )
     assert back == sorted(rows, key=lambda x: x["id"])
+
+
+# --- lexical decimal preservation (round-2 losslessness contract) -------------------
+decimal_tokens = st.one_of(
+    # trailing zeros, high precision, exponents — the lexical forms a
+    # float round-trip would destroy
+    st.tuples(st.integers(0, 999), st.integers(1, 6)).map(
+        lambda t: f"{t[0]}." + "0" * t[1]
+    ),
+    st.tuples(st.integers(1, 999), st.text("0123456789", min_size=1, max_size=20)).map(
+        lambda t: f"{t[0]}.{t[1]}"
+    ),
+    st.integers(-999, 999).map(lambda n: f"{n}e2"),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_quantity_decimal_lexical_roundtrip(spark, data):
+    """valueQuantity.value regenerates with its exact lexical text —
+    including trailing zeros and >double precision — as a JSON number."""
+    toks = [data.draw(decimal_tokens) for _ in range(data.draw(st.integers(1, 5)))]
+    d = tempfile.mkdtemp(prefix="fhir_fuzz_dec_")
+    with open(f"{d}/o.ndjson", "w") as f:
+        for i, tok in enumerate(toks):
+            # raw line assembly: json.dumps would normalize the number
+            f.write(
+                '{"resourceType":"Observation","id":"o%d",'
+                '"valueQuantity":{"value":%s,"unit":"u"}}\n' % (i, tok)
+            )
+    df = encode_ndjson(spark, f"{d}/o.ndjson", resource_type="Observation")
+    out = {
+        json.loads(r.json)["id"]: r.json for r in to_fhir_json(df).collect()
+    }
+    for i, tok in enumerate(toks):
+        j = out[f"o{i}"]
+        assert f'"value":{tok},' in j or f'"value":{tok}}}' in j, (tok, j)
+        assert f'"value":"{tok}"' not in j  # a number, not a string
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_paired_primitive_array_roundtrip(spark, data):
+    """given/_given index alignment survives arbitrary null placements
+    (at least one live element per array)."""
+    n = data.draw(st.integers(1, 4))
+    given = [data.draw(st.one_of(st.none(), names)) for i in range(n)]
+    ext = {"extension": [{"url": "http://x/e", "valueCode": "c"}]}
+    under = [data.draw(st.one_of(st.none(), st.just(ext))) for i in range(n)]
+    # keep each array alive, and avoid (null, null) twin slots which the
+    # sparse regeneration rule legitimately prunes
+    if all(g is None for g in given):
+        given[0] = "Live"
+    if all(u is None for u in under):
+        under[-1] = ext
+    for i in range(n):
+        if given[i] is None and under[i] is None:
+            given[i] = "Fill"
+    rows = [{"resourceType": "Patient", "id": "p0",
+             "name": [{"given": given, "_given": under}]}]
+    d = tempfile.mkdtemp(prefix="fhir_fuzz_pair_")
+    with open(f"{d}/p.ndjson", "w") as f:
+        f.write(json.dumps(rows[0]) + "\n")
+    df = encode_ndjson(spark, d, resource_type="Patient")
+    back = [json.loads(r.json) for r in to_fhir_json(df).collect()]
+    assert back == rows
