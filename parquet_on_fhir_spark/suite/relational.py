@@ -1229,6 +1229,28 @@ def q93(spark, sf_dir):
     return spark.sql(TPCH_Q22_SQL)
 
 
+# --- Q94: range-clustered write (data-skipping layout) -------------------------------
+def q94(spark, sf_dir):
+    """write_clustered round-trip: range-partition + sort on the
+    clustering key before writing, so per-file min-max footers prune
+    selective scans (tests/test_scale_plans.py asserts the disjoint
+    ranges; here the row set round-trips exactly)."""
+    import tempfile
+
+    from parquet_on_fhir_spark.operators.layout import write_clustered
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    base = tempfile.mkdtemp(prefix="pofs_layout_")
+    write_clustered(l, base, ["l_orderkey"], n_files=8)
+    back = spark.read.parquet(base)
+    return back.filter(F.col("l_orderkey") < 1000)
+
+
+Q94_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
 QUERIES.extend(
     [
         Q("q84_tpch_q10", q84, TPCH_Q10_SQL),
@@ -1237,6 +1259,7 @@ QUERIES.extend(
         Q("q90_scale10_agg", q90, Q90_ORACLE),
         Q("q92_tpch_q4_exists", q92, TPCH_Q4_SQL),
         Q("q93_tpch_q22_not_exists", q93, TPCH_Q22_SQL),
+        Q("q94_clustered_write", q94, Q94_ORACLE),
     ]
 )
 

@@ -79,3 +79,81 @@ def test_foreach_batch_sink(spark, sf_dir):
     run_foreach_batch_to_parquet(s, out)
     back = spark.read.parquet(f"{out}/batch=*")
     assert back.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """A hard-filtered dim joined to a fact over a shuffle join must get
+    a might_contain(bloom) predicate injected into the fact scan — rows
+    that cannot match are dropped BEFORE the shuffle (the 100 TB lever:
+    shuffle volume tracks the filtered dim, not the raw fact)."""
+    from pyspark.sql import functions as F
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.layout import enable_runtime_filters
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    enable_runtime_filters(spark, for_local_test=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        l = load_table(spark, sf_dir, "lineitem")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # and the filter actually runs (correct count unchanged)
+        naive = l.join(o, l.l_orderkey == o.o_orderkey).count()
+        assert j.collect()[0][0] == naive
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+
+
+def test_range_clustered_write_enables_file_skipping(spark, sf_dir):
+    """write_clustered produces near-disjoint per-file min-max ranges on
+    the clustering column (checked in the parquet footers), so selective
+    predicates skip whole files; an unclustered write overlaps heavily."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.layout import write_clustered
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    base = tempfile.mkdtemp(prefix="layout_")
+    write_clustered(l, f"{base}/clustered", ["l_orderkey"], n_files=8)
+    l.repartition(8).write.mode("overwrite").parquet(f"{base}/unclustered")
+
+    def ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def overlap_pairs(rs):
+        n = 0
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                if rs[i][0] <= rs[j][1] and rs[j][0] <= rs[i][1]:
+                    n += 1
+        return n
+
+    clustered = ranges(f"{base}/clustered")
+    unclustered = ranges(f"{base}/unclustered")
+    assert len(clustered) == 8
+    # range partitioning → zero overlapping file ranges (boundaries may
+    # touch at most via duplicate keys; allow <=1); random partitioning
+    # → almost every pair overlaps
+    assert overlap_pairs(clustered) <= 1
+    assert overlap_pairs(unclustered) >= len(unclustered) * (len(unclustered) - 1) // 2 - 1
