@@ -22,9 +22,20 @@ def all_queries() -> list[Q]:
         windows,
     )
 
+    # Registration order matters: the correctness driver checks the first 50
+    # registered queries only.  Rounds 1-2 ran `relational` first, so those 50
+    # have two rounds of green driver rows on record; round 3 rotates the
+    # never-driver-verified modules (windows/scalars/fhir/llm/udfs/streaming)
+    # into the window, keeping the flagship q00 at position 0 for the smoke
+    # check.  Full-suite verification is always available via
+    # `python tools/selfcheck.py <sf_dir>` regardless of order.
     out: list[Q] = []
-    for mod in (relational, windows, scalars, llm, streaming_queries, udfs, fhir_queries):
+    flagship = [q for q in relational.QUERIES if q.name.startswith("q00")]
+    rest_relational = [q for q in relational.QUERIES if not q.name.startswith("q00")]
+    out.extend(flagship)
+    for mod in (windows, scalars, fhir_queries, llm, udfs, streaming_queries):
         out.extend(mod.QUERIES)
+    out.extend(rest_relational)
     names = [q.name for q in out]
     assert len(names) == len(set(names)), "duplicate query names"
     return out
