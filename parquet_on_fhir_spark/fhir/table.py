@@ -112,11 +112,23 @@ class FhirTable:
 
     def where_reference(self, element: str, target: str) -> "FhirTable":
         """Reference search: ``subject=Patient/123`` (absolute form) or a
-        bare id (matches any type). Matches ``<element>.reference``."""
-        ref = F.col(f"{element}.reference")
-        pred = (ref == target) | ref.endswith(f"/{target}") if "/" not in target else (
-            ref == target
-        )
+        bare id (matches any type). Matches ``<element>.reference``; for
+        array-of-Reference elements (``basedOn``, ``performer``) matches
+        any entry via ``exists()``."""
+        from pyspark.sql import types as T
+
+        def match(ref):
+            if "/" in target:
+                return ref == target
+            return (ref == target) | ref.endswith(f"/{target}")
+
+        dtype = self._dtype(element)
+        if isinstance(dtype, T.ArrayType):
+            pred = F.exists(
+                F.col(element), lambda r: match(r.getField("reference"))
+            )
+        else:
+            pred = match(F.col(f"{element}.reference"))
         return FhirTable(self.df.filter(pred))
 
     def where_string(self, element: str, value: str, exact: bool = False) -> "FhirTable":
@@ -142,6 +154,11 @@ class FhirTable:
                             "line", "city", "state", "postalCode", "country")
                 if n in names
             ]
+
+            if not parts:
+                # No searchable string parts (e.g. Identifier[]): the spec's
+                # string search matches nothing rather than erroring.
+                return FhirTable(self.df.filter(F.lit(False)))
 
             def any_part(s):
                 preds = []
@@ -181,10 +198,12 @@ class FhirTable:
         with FHIR prefixes (eq/ne/gt/lt/ge/le; bare value = eq) and
         modifiers ``:exact`` (string equality) / ``:missing``.
         Comma-separated values OR together (FHIR multi-value). Routing:
-        ``a|b`` on a struct/array element → token search; on a
-        Quantity-shaped element or numeric value → quantity; date-shaped
-        value → date predicate; numeric on decimal-kinded element →
-        decimal; string-search shapes (HumanName/Address arrays) →
+        ``a|b`` with non-numeric value → token search (any element shape);
+        with numeric value → quantity; date-shaped value on a date-kinded
+        element → date predicate; numeric value on a decimal-kinded
+        element → decimal; numeric value on a numeric leaf → comparison;
+        bare value on a token-shaped element (Identifier[]/CodeableConcept/
+        Coding) → token; string-search shapes (HumanName/Address arrays) →
         starts-with; otherwise equality. ``_sort=[-]el1,el2`` and
         ``_count=N`` apply ordering/limit. Compiles entirely to Column
         expressions / HOFs — Catalyst sees one filtered scan.
@@ -193,7 +212,14 @@ class FhirTable:
 
         from pyspark.sql import types as T
 
-        from parquet_on_fhir_spark.fhir.types import DECIMAL_TYPES, fhir_type_of
+        from parquet_on_fhir_spark.fhir.types import (
+            DATE_TYPES,
+            DECIMAL_TYPES,
+            fhir_type_of,
+        )
+
+        _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+        _TOKEN_FIELDS = {"coding", "code", "value"}
 
         out = self
         sort_spec: str | None = None
@@ -222,9 +248,28 @@ class FhirTable:
                 value = value_raw[len(op):] if m else value_raw
                 value, has_pipe, unit = value.partition("|")
                 dtype = out._dtype(element)
-                if has_pipe and isinstance(
-                    dtype, (T.StructType, T.ArrayType)
-                ) and not re.match(r"^-?\d+(\.\d+)?$", value):
+                # Element-kind gates: the value's *shape* alone must never
+                # pick an annotation-backed route (identifier=0042 is a
+                # token, not a date or decimal).
+                date_kinded = (
+                    fhir_type_of(element) in DATE_TYPES
+                    or f"__{element}_start" in out.df.columns
+                )
+                decimal_kinded = (
+                    fhir_type_of(element) in DECIMAL_TYPES
+                    or f"__{element}_numeric" in out.df.columns
+                )
+                struct_names: set[str] = set()
+                if isinstance(dtype, T.ArrayType) and isinstance(
+                    dtype.elementType, T.StructType
+                ):
+                    struct_names = set(dtype.elementType.fieldNames())
+                elif isinstance(dtype, T.StructType):
+                    struct_names = set(dtype.fieldNames())
+                token_shaped = bool(struct_names & _TOKEN_FIELDS)
+                if has_pipe and not _NUM_RE.match(value):
+                    # system|code token syntax — works on struct shapes AND
+                    # bare code leaves (gender=http://...|male).
                     frames.append(
                         out.where_token(element, value or None, unit).df
                     )
@@ -234,12 +279,24 @@ class FhirTable:
                     )
                 elif re.match(r"^[A-Z][A-Za-z]+/\S+$", value):
                     frames.append(out.where_reference(element, value).df)
-                elif re.match(r"^\d{4}(-\d{2}(-\d{2})?)?([T ].*)?$", value):
-                    frames.append(out.where_date(element, op, value).df)
-                elif fhir_type_of(element) in DECIMAL_TYPES or re.match(
-                    r"^-?\d+(\.\d+)?$", value
+                elif date_kinded and re.match(
+                    r"^\d{4}(-\d{2}(-\d{2})?)?([T ].*)?$", value
                 ):
+                    frames.append(out.where_date(element, op, value).df)
+                elif decimal_kinded and _NUM_RE.match(value):
                     frames.append(out.where_decimal(element, op, value).df)
+                elif _NUM_RE.match(value) and isinstance(dtype, T.NumericType):
+                    col = F.col(element)
+                    cmp = {
+                        "eq": col == float(value), "ne": col != float(value),
+                        "gt": col > float(value), "lt": col < float(value),
+                        "ge": col >= float(value), "le": col <= float(value),
+                    }[op]
+                    frames.append(out.df.filter(cmp))
+                elif token_shaped:
+                    # Identifier[]/CodeableConcept/Coding with a bare value
+                    # (identifier=0042): token search, any system.
+                    frames.append(out.where_token(element, None, value).df)
                 elif isinstance(dtype, T.ArrayType) or modifier == "exact":
                     frames.append(
                         out.where_string(element, value, exact=modifier == "exact").df

@@ -78,3 +78,65 @@ def test_search_front_end_token_route(spark):
     ).first()
     hits = pt.search(f"identifier={row.system}|{row.value}")
     assert hits.count() >= 1
+
+
+def test_search_numeric_identifier_routes_to_token(spark):
+    """A 4-digit-leading identifier value must route to token search, not
+    the date/decimal annotation paths (which would crash on a non-date
+    element)."""
+    df = spark.createDataFrame(
+        [("p1", [{"system": "http://sys", "value": "0042"}]),
+         ("p2", [{"system": "http://sys", "value": "9999"}])],
+        "id string, identifier array<struct<system string, value string>>",
+    )
+    t = FhirTable.from_df(df)
+    assert t.search("identifier=0042").df.select("id").first().id == "p1"
+    assert t.search("identifier=http://sys|0042").count() == 1
+    assert t.search("identifier=http://nope|0042").count() == 0
+
+
+def test_search_token_syntax_on_code_leaf(spark):
+    """system|code on a scalar code leaf routes to token search (no
+    ValueError from the quantity branch). A leaf carries no system, so a
+    system-qualified search conservatively matches nothing."""
+    pt = _pt(spark)
+    hits = pt.search("gender=http://hl7.org/fhir/administrative-gender|male")
+    assert hits.count() == 0  # documented conservative leaf semantics
+    # any-system token on a leaf matches by code
+    assert pt.search("gender=|male").count() == \
+        pt.df.filter(F.col("gender") == "male").count()
+
+
+def test_search_date_route_still_works_on_date_elements(spark):
+    pt = _pt(spark)
+    n = pt.search("birthDate=ge2010").count()
+    assert n == pt.where_date("birthDate", "ge", "2010").count()
+    assert n >= 1
+
+
+def test_reference_search_array_element(spark):
+    df = spark.createDataFrame(
+        [("o1", [{"reference": "ServiceRequest/a1"}, {"reference": "ServiceRequest/a2"}]),
+         ("o2", [{"reference": "ServiceRequest/b1"}]),
+         ("o3", None)],
+        "id string, basedOn array<struct<reference string>>",
+    )
+    t = FhirTable.from_df(df)
+    assert t.where_reference("basedOn", "ServiceRequest/a2").df.first().id == "o1"
+    assert t.where_reference("basedOn", "b1").df.first().id == "o2"
+    assert t.where_reference("basedOn", "nope").count() == 0
+
+
+def test_where_string_no_searchable_parts_matches_nothing(spark):
+    pt = _pt(spark)
+    assert pt.where_string("identifier", "abc").count() == 0  # no IndexError
+
+
+def test_search_numeric_leaf_comparison(spark):
+    df = spark.createDataFrame(
+        [("p1", 2), ("p2", 1), ("p3", None)],
+        "id string, multipleBirthInteger int",
+    )
+    t = FhirTable.from_df(df)
+    assert t.search("multipleBirthInteger=gt1").df.first().id == "p1"
+    assert t.search("multipleBirthInteger=1").df.first().id == "p2"
