@@ -47,7 +47,9 @@ def curate_corpus(
     3. quality + optional language filter (JVM expressions)
     4. optional token budget: order by quality desc (id tiebreak) and
        keep documents while the running token total fits the budget —
-       a deterministic greedy knapsack via a window running sum.
+       a deterministic greedy knapsack. Executed as a scale-safe
+       two-pass cutoff (see ``_apply_token_budget``), never as a
+       global single-partition window.
     """
     d = exact_dedup(docs, text_col, id_col)
 
@@ -73,13 +75,58 @@ def curate_corpus(
         d = d.filter(tx.detect_language(text_col).isin(*languages))
 
     if token_budget is not None:
-        w = (
-            Window.orderBy(F.desc("quality"), F.col(id_col))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        d = (
-            d.withColumn("__running", F.sum("n_tokens").over(w))
-            .filter(F.col("__running") <= token_budget)
-            .drop("__running")
-        )
+        d = _apply_token_budget(d, id_col, token_budget)
     return d
+
+
+def _apply_token_budget(d: DataFrame, id_col: str, token_budget: int) -> DataFrame:
+    """Greedy token-budget cutoff in (quality desc, id) order without a
+    global window.
+
+    A partition-less ordered window funnels the whole corpus through one
+    task; instead, exploit that ``quality`` is rounded to 4 decimals, so
+    the bucket histogram is tiny (<= ~10k rows):
+
+    1. ``groupBy(quality).sum(n_tokens)`` — distributed, tiny result.
+    2. Driver-side cumulative sum over the sorted histogram picks the
+       *full-keep* quality prefix, at most ONE *boundary* bucket, and the
+       full-drop suffix. (Offsets are monotone: once a bucket overflows,
+       every lower bucket starts past the budget.)
+    3. Only the boundary bucket needs row order: a window partitioned by
+       ``quality`` (one bucket's rows, parallel-safe shape — hash
+       Exchange, never SinglePartition) computes its id-ordered prefix
+       sums against the broadcast offset.
+
+    Output is row-identical to the global greedy window: a row survives
+    iff its global running total (bucket offset + in-bucket prefix) fits
+    the budget. Residual skew: a degenerate corpus where most surviving
+    docs share one exact 4-dp quality puts that bucket on one task —
+    upstream exact+near dedup makes that regime unlikely.
+    """
+    hist = d.groupBy("quality").agg(F.sum("n_tokens").alias("__tot")).collect()
+    buckets = sorted(hist, key=lambda r: -r["quality"])
+    offset = 0
+    boundary_q = None
+    boundary_offset = 0
+    for r in buckets:
+        if offset + r["__tot"] <= token_budget:
+            offset += r["__tot"]  # full keep
+            continue
+        boundary_q, boundary_offset = r["quality"], offset
+        break
+    if boundary_q is None:  # everything fits
+        return d
+
+    keep_all = d.filter(F.col("quality") > F.lit(boundary_q))
+    bw = (
+        Window.partitionBy("quality")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        d.filter(F.col("quality") == F.lit(boundary_q))
+        .withColumn("__run", F.sum("n_tokens").over(bw))
+        .filter(F.lit(boundary_offset) + F.col("__run") <= token_budget)
+        .drop("__run")
+    )
+    return keep_all.unionByName(boundary)

@@ -187,6 +187,23 @@ def test_curate_corpus_pipeline(spark, sf_dir):
     sel = budgeted.agg(F.min("quality")).collect()[0][0]
     assert sel is not None
 
+    # the two-pass cutoff is row-identical to the global greedy window
+    from pyspark.sql import Window
+
+    unbudgeted = curate_corpus(corpus, min_quality=0.0)
+    w = Window.orderBy(F.desc("quality"), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref_ids = {
+        r.doc_id
+        for r in unbudgeted.withColumn("__run", F.sum("n_tokens").over(w))
+        .filter(F.col("__run") <= 5000)
+        .select("doc_id")
+        .collect()
+    }
+    got_ids = {r.doc_id for r in budgeted.select("doc_id").collect()}
+    assert got_ids == ref_ids
+
 
 def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     """LSH-bucketed near-dup must (a) be a subset of the exact pair set,

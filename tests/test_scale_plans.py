@@ -157,3 +157,25 @@ def test_range_clustered_write_enables_file_skipping(spark, sf_dir):
     # → almost every pair overlaps
     assert overlap_pairs(clustered) <= 1
     assert overlap_pairs(unclustered) >= len(unclustered) * (len(unclustered) - 1) // 2 - 1
+
+
+def test_token_budget_has_no_single_partition_window(spark, sf_dir):
+    """The curation token-budget cutoff must never plan a partition-less
+    ordered window (Exchange SinglePartition funnels the corpus through
+    one task at scale)."""
+    from parquet_on_fhir_spark.operators.pipeline import _apply_token_budget
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("quality", F.round(F.rand(seed=7), 2))
+        .withColumn("n_tokens", (F.length("text") / 4).cast("long"))
+    )
+    total = d.agg(F.sum("n_tokens")).collect()[0][0]
+    out = _apply_token_budget(d, "doc_id", int(total * 0.4))  # forces a boundary bucket
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" in plan  # boundary bucket still windowed...
+    assert "SinglePartition" not in plan  # ...but never on one partition
+    assert out.agg(F.sum("n_tokens")).collect()[0][0] <= int(total * 0.4)
