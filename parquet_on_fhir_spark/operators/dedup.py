@@ -17,8 +17,55 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+#: Default per-bucket row cap for LSH band joins. A band self-join costs
+#: O(Σ bucket²) pairs: one boilerplate-heavy bucket (a template repeated
+#: millions of times) goes quadratic even after exact dedup. Buckets above
+#: the cap are dropped from candidate generation — their members are
+#: near-identical to thousands of others, so pair-based survivor selection
+#: degenerates anyway; run exact_dedup first for those.
+DEFAULT_MAX_BUCKET = 65536
+
+
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], cap: int | None, log_dropped: bool
+) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``cap`` rows.
+
+    The count is a window over the same keys the self-join shuffles on, so
+    the cap adds no new exchange shape. ``log_dropped=True`` runs one extra
+    (small) aggregate eagerly to report what was dropped — off by default
+    so plan construction stays lazy.
+    """
+    if cap is None:
+        return banded
+    if log_dropped:
+        d = (
+            banded.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > cap)
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("rows"),
+            )
+            .first()
+        )
+        _log.warning(
+            "LSH bucket cap %d: dropping %d oversized buckets (%d rows)",
+            cap, d["buckets"], d["rows"],
+        )
+    wc = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__bsz") <= cap)
+        .drop("__bsz")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -63,7 +110,11 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    # Column metadata lets minhash_lsh_pairs validate band divisibility
+    # without an eager probe of the signature length.
+    return df.select(
+        F.col(id_col), sig.alias("minhash", metadata={"num_hashes": num_hashes})
+    )
 
 
 def minhash_lsh_pairs(
@@ -71,6 +122,9 @@ def minhash_lsh_pairs(
     id_col: str,
     num_bands: int = 8,
     jaccard_threshold: float = 0.5,
+    num_hashes: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash
     signatures, filtered by estimated Jaccard ≥ threshold.
@@ -86,7 +140,21 @@ def minhash_lsh_pairs(
     exchange would multiply the widest shuffle by the band count.
     Signatures are re-attached to the (much smaller) surviving pair set
     by two id-keyed joins afterward.
+
+    ``num_hashes`` must divide evenly into ``num_bands`` (trailing
+    signature positions would otherwise be silently ignored); it is read
+    from the signature column's metadata when minhash_signatures produced
+    it, or passed explicitly. Buckets larger than ``max_bucket_size``
+    rows are dropped from candidate generation (see _cap_buckets).
     """
+    if num_hashes is None:
+        meta = sig_df.schema["minhash"].metadata or {}
+        num_hashes = meta.get("num_hashes")
+    if num_hashes is not None and num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by num_bands={num_bands}; "
+            "trailing signature positions would be silently ignored"
+        )
     n_rows = F.size(F.col("minhash"))
     rows_per_band = (n_rows / num_bands).cast("int")
     banded = sig_df.select(
@@ -111,6 +179,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, log_dropped)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -199,10 +268,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return df.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
-def simhash_candidates(fp_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(
+    fp_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = False,
+) -> DataFrame:
     """Candidate pairs with Hamming distance ≤ ``max_hamming`` via
     4×16-bit band pigeonhole (dist ≤ 3 ⇒ at least one band equal),
-    verified with an exact popcount residual."""
+    verified with an exact popcount residual. (band, chunk) buckets
+    above ``max_bucket_size`` rows are dropped (see _cap_buckets)."""
     bands = F.array(
         *[
             F.struct(
@@ -217,6 +293,7 @@ def simhash_candidates(fp_df: DataFrame, id_col: str, max_hamming: int = 3) -> D
     banded = fp_df.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
         id_col, "simhash", "b.band", "b.chunk"
     )
+    banded = _cap_buckets(banded, ["band", "chunk"], max_bucket_size, log_dropped)
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
     )
@@ -243,6 +320,8 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ ``threshold`` and id_a < id_b.
@@ -273,6 +352,20 @@ def embedding_near_dup_pairs(
     else:
         if dim is None:
             first = df.select(F.size(vec_col).alias("d")).first()
+            if first is None:  # empty corpus: empty pair set, stable schema
+                from pyspark.sql import types as T
+
+                id_t = df.schema[id_col].dataType
+                return df.sparkSession.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("id_a", id_t),
+                            T.StructField("id_b", id_t),
+                            T.StructField("cosine", T.DoubleType()),
+                        ]
+                    ),
+                )
             dim = int(first["d"])
         cand = None
         for t_i in range(n_tables):
@@ -280,6 +373,7 @@ def embedding_near_dup_pairs(
             bk = ids.select(
                 F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("__bucket")
             )
+            bk = _cap_buckets(bk, ["__bucket"], max_bucket_size, log_dropped)
             la = bk.select(F.col(id_col).alias("id_a"), "__bucket")
             lb = bk.select(F.col(id_col).alias("id_b"), "__bucket")
             c = la.join(lb, "__bucket").filter(F.col("id_a") < F.col("id_b")).select(

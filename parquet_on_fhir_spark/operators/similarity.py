@@ -141,12 +141,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     exclude_self: bool = True,
+    max_train_rows: int = 262_144,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning — the
     centroid-based alternative to sign-LSH.
 
-    Index build: KMeans (Spark ML, seeded) over the corpus; every vector
-    is assigned to its nearest centroid (one distributed transform).
+    Index build: KMeans (Spark ML, seeded) fit on a bounded sample of the
+    corpus (``max_train_rows``, standard IVF practice — centroid quality
+    saturates long before the full corpus size); every vector is then
+    assigned to its nearest centroid (one distributed transform).
     Query: each query probes its ``n_probe`` nearest centroids (distance
     to the small centroid table is a JVM expression over literals) and
     compares only against those cells — candidate fraction ≈
@@ -156,7 +159,14 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
+    n = corpus.count()
+    train_src = corpus
+    if n > max_train_rows:
+        # Oversample 10% then cap exactly — sample() is fraction-based and
+        # only approximately sized.
+        frac = min(1.0, 1.1 * max_train_rows / n)
+        train_src = corpus.sample(fraction=frac, seed=seed).limit(max_train_rows)
+    train = train_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)

@@ -274,3 +274,65 @@ def test_curate_corpus_embedding_stage(spark, sf_dir):
     )
     ids = {r.doc_id for r in curated.select("doc_id").collect()}
     assert 0 in ids and 999999 not in ids
+
+
+def test_minhash_lsh_rejects_indivisible_bands(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(10)
+    sigs = minhash_signatures(d, "text", "doc_id", num_hashes=32)
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(sigs, "doc_id", num_bands=5)
+    # explicit override also validated
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(sigs.select("doc_id", "minhash"), "doc_id",
+                          num_bands=7, num_hashes=32)
+
+
+def test_lsh_bucket_cap_bounds_boilerplate_corpus(spark, caplog):
+    """A corpus of near-identical boilerplate puts everything in one LSH
+    bucket: the cap must keep the candidate-pair count bounded (and log
+    the drop) instead of going O(n^2)."""
+    import logging
+
+    n = 2000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the same boilerplate template text repeated "),
+                 (F.col("id") % 3).cast("string")).alias("text"),
+    )
+    sigs = minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    with caplog.at_level(logging.WARNING,
+                         logger="parquet_on_fhir_spark.operators.dedup"):
+        pairs = minhash_lsh_pairs(sigs, "doc_id", num_bands=4,
+                                  max_bucket_size=100, log_dropped=True)
+        assert pairs.count() == 0  # every bucket oversized -> dropped
+    assert any("bucket cap" in r.message for r in caplog.records)
+
+    # simhash path honors the cap too
+    fp = simhash(d, "text", "doc_id")
+    cands = simhash_candidates(fp, "doc_id", max_bucket_size=100)
+    assert cands.count() == 0
+
+
+def test_embedding_near_dup_empty_corpus(spark):
+    from parquet_on_fhir_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(e, "vec_id", "embedding")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+def test_ivf_sampled_training_keeps_recall(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = brute_force_topk(e, queries, k=5).select("q_id", "vec_id")
+    approx = ivf_topk(e, queries, k=5, n_centroids=8, n_probe=4,
+                      max_train_rows=64).select("q_id", "vec_id")
+    recall = exact.intersect(approx).count() / exact.count()
+    assert recall >= 0.5, f"IVF (sampled fit) recall too low: {recall}"
