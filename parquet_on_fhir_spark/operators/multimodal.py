@@ -14,11 +14,16 @@ documenting where a real codec plugs in.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Feature codec signature: (payload bytes, mime) -> fixed-width feature list.
+FeatureCodec = Callable[[bytes, str | None], list[float]]
+#: Resize codec signature: (payload bytes, mime, width, height) -> new bytes.
+ResizeCodec = Callable[[bytes, str | None, int, int], bytes]
 
 MEDIA_SCHEMA = (
     "media_id BIGINT, kind STRING, content BINARY, "
@@ -58,40 +63,57 @@ def decode_real(content: bytes, mime: str):  # pragma: no cover - stub
     )
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction. Deterministic stand-in features:
-    byte length + 4 byte-histogram moments — shaped exactly like a real
-    embedding extractor (binary in, fixed-width float vector out)."""
-    for pdf in batches:
-        feats = []
-        for content in pdf["content"]:
-            b = bytes(content) if content is not None else b""
-            n = len(b)
-            if n:
-                s = sum(b)
-                mean = s / n
-                var = sum((x - mean) ** 2 for x in b[:256]) / max(min(n, 256), 1)
-                feats.append([float(n), mean, var, float(b[0]), float(b[-1])])
-            else:
-                feats.append([0.0, 0.0, 0.0, 0.0, 0.0])
-        yield pd.DataFrame(
-            {
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "n_bytes": [len(bytes(c)) if c is not None else 0 for c in pdf["content"]],
-                "feat": feats,
-            }
-        )
+def stand_in_features(b: bytes, mime: str | None = None) -> list[float]:
+    """Deterministic stand-in feature codec: byte length + 4
+    byte-histogram moments — shaped exactly like a real embedding
+    extractor (binary in, fixed-width float vector out)."""
+    n = len(b)
+    if not n:
+        return [0.0, 0.0, 0.0, 0.0, 0.0]
+    mean = sum(b) / n
+    var = sum((x - mean) ** 2 for x in b[:256]) / max(min(n, 256), 1)
+    return [float(n), mean, var, float(b[0]), float(b[-1])]
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def _feature_batches(codec: FeatureCodec):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes = [
+                (m or {}).get("mime") if isinstance(m, dict) else m["mime"]
+                for m in pdf["meta"]
+            ] if "meta" in pdf.columns else [None] * len(pdf)
+            raw = [bytes(c) if c is not None else b"" for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(b) for b in raw],
+                    "feat": [
+                        [float(x) for x in codec(b, m)]
+                        for b, m in zip(raw, mimes)
+                    ],
+                }
+            )
+
+    return fn
+
+
+def extract_features(media: DataFrame, codec: FeatureCodec | None = None) -> DataFrame:
     """binary → feature vectors via ``mapInPandas`` (Arrow batches).
 
     This is the scale-relevant shape: partition-parallel, batch-at-a-time
     (never row-at-a-time Python), output schema fixed so downstream
     similarity/dedup operators can consume ``feat`` like any embedding.
+
+    ``codec`` is the pluggable decode seam: any ``(bytes, mime) ->
+    list[float]`` callable (e.g. one that wires ``decode_real`` to
+    PIL/libav on a cluster that has them). Defaults to the deterministic
+    ``stand_in_features`` so the plumbing is testable in codec-less
+    environments.
     """
-    return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(
+        _feature_batches(codec or stand_in_features), schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -112,31 +134,43 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def _resize_batches(target_w: int, target_h: int):
-    """Arrow-batched image resize plumbing. The pixel work is the stub
-    (a real implementation decodes via decode_real, resamples, and
-    re-encodes); everything an engine is responsible for — batch
-    iteration, binary pass-through, metadata rewrite, fixed output
-    schema — is real."""
+def _resize_batches(target_w: int, target_h: int, codec: ResizeCodec | None):
+    """Arrow-batched image resize plumbing: batch iteration, binary
+    rewrite via the pluggable ``codec``, metadata rewrite, fixed output
+    schema. With no codec the bytes pass through unchanged (the honest
+    no-library default); a real deployment passes a PIL resample."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            mimes = [
+                (m or {}).get("mime") if isinstance(m, dict) else m["mime"]
+                for m in pdf["meta"]
+            ]
             meta = [
                 {
-                    "mime": (m or {}).get("mime") if isinstance(m, dict) else m["mime"],
+                    "mime": mime,
                     "width": target_w,
                     "height": target_h,
                     "duration_ms": (m or {}).get("duration_ms")
                     if isinstance(m, dict)
                     else m["duration_ms"],
                 }
-                for m in pdf["meta"]
+                for m, mime in zip(pdf["meta"], mimes)
             ]
+            if codec is None:
+                content = pdf["content"]
+            else:
+                content = [
+                    codec(
+                        bytes(c) if c is not None else b"", mime, target_w, target_h
+                    )
+                    for c, mime in zip(pdf["content"], mimes)
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "content": pdf["content"],  # stub: bytes unchanged
+                    "content": content,
                     "meta": meta,
                 }
             )
@@ -144,12 +178,15 @@ def _resize_batches(target_w: int, target_h: int):
     return fn
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: ResizeCodec | None = None
+) -> DataFrame:
     """binary → binary resize via ``mapInPandas``: same MEDIA_SCHEMA out,
     metadata dimensions rewritten. Partition-parallel and batch-at-a-time
-    like extract_features; swap the stub body for a PIL resample to make
-    it real."""
-    return media.mapInPandas(_resize_batches(width, height), schema=MEDIA_SCHEMA)
+    like extract_features. ``codec`` is the pluggable pixel seam
+    (``(bytes, mime, w, h) -> bytes``; wire PIL here); None passes bytes
+    through unchanged."""
+    return media.mapInPandas(_resize_batches(width, height, codec), schema=MEDIA_SCHEMA)
 
 
 def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:

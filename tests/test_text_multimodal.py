@@ -156,3 +156,37 @@ def test_audio_chunk_plan(spark, sf_dir):
         assert rs[-1].chunk_end_ms == min(durs[mid], rs[-1].chunk_start_ms + 5000)
         for a, b in zip(rs, rs[1:]):
             assert a.chunk_end_ms == min(durs[mid], b.chunk_start_ms)
+
+
+def test_fake_codec_through_feature_seam(spark, sf_dir):
+    """A user-supplied codec flows through the real mapInPandas path:
+    feature values are exactly what the codec computed per (bytes, mime)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    media = attach_binary(d, "text", kind="image")
+
+    def fake_codec(b, mime):
+        # deterministic "decode": pretend 3-dim embedding from the payload
+        return [float(len(b)), float(b[0] if b else 0), 1.0 if mime else 0.0]
+
+    feats = extract_features(media, codec=fake_codec)
+    rows = {r.media_id: r for r in feats.collect()}
+    orig = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert len(rows) == 20
+    for mid, b in orig.items():
+        assert rows[mid].feat == [float(len(b)), float(b[0]), 1.0]
+        assert rows[mid].n_bytes == len(b)
+
+
+def test_fake_codec_through_resize_seam(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.multimodal import resize_images
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(10)
+    media = attach_binary(d, "text", kind="image")
+
+    def fake_resize(b, mime, w, h):
+        return b[: w // 32]  # deterministic truncation stands in for resampling
+
+    out = resize_images(media, 64, 64, codec=fake_resize)
+    rows = {r.media_id: bytes(r.content) for r in out.collect()}
+    orig = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert all(rows[m] == orig[m][:2] for m in orig)
