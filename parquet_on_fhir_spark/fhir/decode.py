@@ -82,6 +82,59 @@ def _pair_name(name: str, names: set[str]) -> str | None:
     return "_" + name if ("_" + name) in names else None
 
 
+def _live(col: Column, dtype: T.DataType) -> Column:
+    """Would ``_clean(col, dtype)`` produce a non-null value?
+
+    A liveness predicate that mirrors _clean's null-pruning rules WITHOUT
+    rebuilding the subtree (no struct construction, no decimal marking):
+    expressions that need "does anything survive cleaning?" — the struct
+    all-dead check, array emptiness, paired-array partner liveness — stay
+    small instead of embedding a second (or third) copy of the full
+    cleaning expression. Keeps decode's expression size linear in schema
+    width on wide schemas with many ``_field`` pairs.
+
+    Equivalences mirrored from _clean (kept in lockstep):
+    - primitive: marking preserves nullness → live = isNotNull
+    - struct: null iff raw null or every kept child cleans to null; a
+      paired array member survives when itself OR its partner is live
+    - array: null iff raw null or no element survives cleaning
+    - struct with no kept fields: always cleans to null
+    """
+    if isinstance(dtype, T.StructType):
+        kept = [f for f in dtype.fields if not f.name.startswith("__")]
+        if not kept:
+            return F.lit(False)
+        by_name = {f.name: f for f in kept}
+        names = set(by_name)
+        member_live: list[Column] = []
+        for f in kept:
+            sub = col.getField(f.name)
+            partner = (
+                _pair_name(f.name, names)
+                if isinstance(f.dataType, T.ArrayType)
+                else None
+            )
+            if partner is not None and isinstance(by_name[partner].dataType, T.ArrayType):
+                member_live.append(
+                    sub.isNotNull()
+                    & (
+                        _array_live(sub, f.dataType)
+                        | _array_live(col.getField(partner), by_name[partner].dataType)
+                    )
+                )
+            else:
+                member_live.append(_live(sub, f.dataType))
+        return col.isNotNull() & reduce(lambda a, b: a | b, member_live)
+    if isinstance(dtype, T.ArrayType):
+        return _array_live(col, dtype)
+    return col.isNotNull()
+
+
+def _array_live(col: Column, dtype: T.ArrayType) -> Column:
+    """Does this array hold at least one element that survives cleaning?"""
+    return col.isNotNull() & F.exists(col, lambda x: _live(x, dtype.elementType))
+
+
 def _clean(col: Column, dtype: T.DataType, mark: bool = False, dec: bool = False) -> Column:
     """Strip annotations + null-prune; ``dec`` marks a decimal-kinded
     string position (sentinel-wrap for number regeneration)."""
@@ -105,16 +158,16 @@ def _clean(col: Column, dtype: T.DataType, mark: bool = False, dec: bool = False
                 else None
             )
             if partner is not None and isinstance(by_name[partner].dataType, T.ArrayType):
-                live = _array_live(
-                    col.getField(partner), by_name[partner].dataType, mark
-                )
+                live = _array_live(col.getField(partner), by_name[partner].dataType)
                 child = _clean_array(sub, f.dataType, mark, f_dec, paired_live=live)
             else:
                 child = _clean(sub, f.dataType, mark, f_dec)
             children.append(child.alias(f.name))
         rebuilt = F.struct(*children)
-        all_null = reduce(lambda a, b: a & b, [c.isNull() for c in children])
-        return F.when(col.isNull() | all_null, F.lit(None).cast(_clean_type(dtype))).otherwise(
+        # all-dead check via the liveness predicate — NOT by re-checking
+        # the (large) cleaned children expressions for null
+        any_live = _live(col, dtype)
+        return F.when(col.isNull() | ~any_live, F.lit(None).cast(_clean_type(dtype))).otherwise(
             rebuilt
         )
     if isinstance(dtype, T.ArrayType):
@@ -136,18 +189,12 @@ def _clean_array(
     element): keep interior nulls for index alignment; drop only when
     this member AND its partner are both dead."""
     cleaned = F.transform(col, lambda x: _clean(x, dtype.elementType, mark, dec))
-    live = F.size(F.filter(cleaned, lambda x: x.isNotNull())) > 0
+    live = _array_live(col, dtype)
     null_lit = F.lit(None).cast(_clean_type(dtype))
     if paired_live is None:
         non_null = F.filter(cleaned, lambda x: x.isNotNull())
         return F.when(col.isNull() | ~live, null_lit).otherwise(non_null)
     return F.when(col.isNull() | (~live & ~paired_live), null_lit).otherwise(cleaned)
-
-
-def _array_live(col: Column, dtype: T.ArrayType, mark: bool) -> Column:
-    """Does this array hold at least one element that survives cleaning?"""
-    cleaned = F.transform(col, lambda x: _clean(x, dtype.elementType, mark))
-    return col.isNotNull() & (F.size(F.filter(cleaned, lambda x: x.isNotNull())) > 0)
 
 
 def strip_annotations(df: DataFrame, _mark_decimals: bool = False) -> DataFrame:
@@ -174,7 +221,7 @@ def _top_member(
         if partner is not None:
             pf = df.schema[partner]
             if isinstance(pf.dataType, T.ArrayType):
-                live = _array_live(F.col(partner), pf.dataType, mark)
+                live = _array_live(F.col(partner), pf.dataType)
                 return _clean_array(col, f.dataType, mark, dec, paired_live=live)
     return _clean(col, f.dataType, mark, dec)
 
