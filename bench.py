@@ -2,19 +2,22 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "n": 3,
+   "sf": ...}
 
 Headline set = one representative per operator family, weighted toward
 the plans that matter at 100 TB (join+agg pipelines, windows, dedup,
-similarity, text sweep, streaming-equivalent windows). Each query runs
-once warm (after a session-warming scan); value = sum of per-query wall
-times.
+similarity, text sweep, streaming-equivalent windows). After a warm
+pass, each query runs ``N_RUNS`` times; per-query value = MEDIAN wall
+time (sub-second queries drift ±20% run-to-run, which single-shot
+timings misread as regressions); value = sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -46,6 +49,9 @@ HEADLINE = [
 ]
 
 
+N_RUNS = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -62,11 +68,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        runs: list[float] = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -75,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n": N_RUNS,
                 "sf": sf,
             }
         )

@@ -9,6 +9,7 @@ identical — only ``format(...)`` changes.
 from __future__ import annotations
 
 import itertools
+import os
 import shutil
 import tempfile
 
@@ -17,6 +18,17 @@ from pyspark.sql import functions as F
 
 _COUNTER = itertools.count()
 _SRC_CACHE: dict[str, str] = {}
+
+
+def _ckpt_dir() -> str:
+    """Checkpoint scratch dir. Micro-batch latency at toy scale is
+    dominated by state-store/commit-log fsyncs; a memory-backed tmpfs
+    (when the host has one) removes that fixed cost without touching
+    query semantics. Production checkpoints belong on durable storage —
+    this helper is for run-to-completion test/bench streams whose
+    checkpoints are discarded."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="pofs_ckpt_", dir=base)
 
 EVENTS_LONG_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
@@ -54,7 +66,7 @@ def run_foreach_batch_to_parquet(df: DataFrame, out_dir: str) -> None:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    ck = tempfile.mkdtemp(prefix="pofs_ckpt_")
+    ck = _ckpt_dir()
     q = (
         df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ck)
@@ -64,18 +76,38 @@ def run_foreach_batch_to_parquet(df: DataFrame, out_dir: str) -> None:
     q.awaitTermination()
 
 
-def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    df: DataFrame, output_mode: str = "complete", state_partitions: int | None = 8
+) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
-    uniquely-named memory sink; return the sink contents as a batch DF."""
+    uniquely-named memory sink; return the sink contents as a batch DF.
+
+    ``state_partitions`` right-sizes the stream's shuffle/state-store
+    partition count for toy-scale runs (each state partition costs a
+    store instance + per-batch commit files; 32 of them dominate a
+    sub-second micro-batch). The stream pins its own partitioning at
+    start, so the session conf is restored immediately after. Pass None
+    to inherit the session value (what a production-sized job would
+    tune).
+    """
     name = f"pofs_sink_{next(_COUNTER)}"
-    ck = tempfile.mkdtemp(prefix="pofs_ckpt_")
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    ck = _ckpt_dir()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # restore only after termination: micro-batches are planned (and
+        # read the session conf) asynchronously after start()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
