@@ -436,6 +436,71 @@ RESOURCES: dict[str, dict] = {
         "conclusionCode": A("CodeableConcept"),
         "presentedForm": A("Attachment"),
     },
+    # hl7.org/fhir/R4/servicerequest.html
+    "ServiceRequest": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiatesCanonical": A("canonical"),
+        "instantiatesUri": A("uri"),
+        "basedOn": A("Reference"),
+        "replaces": A("Reference"),
+        "requisition": "Identifier",
+        "status": "code",
+        "intent": "code",
+        "category": A("CodeableConcept"),
+        "priority": "code",
+        "doNotPerform": "boolean",
+        "code": "CodeableConcept",
+        "orderDetail": A("CodeableConcept"),
+        "quantity[x]": ["Quantity", "Ratio", "Range"],
+        "subject": "Reference",
+        "encounter": "Reference",
+        "occurrence[x]": ["dateTime", "Period", "Timing"],
+        "asNeeded[x]": ["boolean", "CodeableConcept"],
+        "authoredOn": "dateTime",
+        "requester": "Reference",
+        "performerType": "CodeableConcept",
+        "performer": A("Reference"),
+        "locationCode": A("CodeableConcept"),
+        "locationReference": A("Reference"),
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "insurance": A("Reference"),
+        "supportingInfo": A("Reference"),
+        "specimen": A("Reference"),
+        "bodySite": A("CodeableConcept"),
+        "note": A("Annotation"),
+        "patientInstruction": "string",
+        "relevantHistory": A("Reference"),
+    },
+    # hl7.org/fhir/R4/documentreference.html
+    "DocumentReference": {
+        **_DOMAIN,
+        "masterIdentifier": "Identifier",
+        "identifier": A("Identifier"),
+        "status": "code",
+        "docStatus": "code",
+        "type": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "subject": "Reference",
+        "date": "instant",
+        "author": A("Reference"),
+        "authenticator": "Reference",
+        "custodian": "Reference",
+        "relatesTo": A({"code": "code", "target": "Reference"}),
+        "description": "string",
+        "securityLabel": A("CodeableConcept"),
+        "content": A({"attachment": "Attachment", "format": "Coding"}),
+        "context": {
+            "encounter": A("Reference"),
+            "event": A("CodeableConcept"),
+            "period": "Period",
+            "facilityType": "CodeableConcept",
+            "practiceSetting": "CodeableConcept",
+            "sourcePatientInfo": "Reference",
+            "related": A("Reference"),
+        },
+    },
     "Claim": {
         **_DOMAIN,
         "identifier": A("Identifier"),

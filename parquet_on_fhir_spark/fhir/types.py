@@ -109,6 +109,10 @@ ELEMENT_TYPES: dict[str, str] = {
     "billablePeriodStart": "dateTime",
     "rank": "positiveInt",
     "multipleBirthInteger": "integer",
+    # decimal in every R4 occurrence (Claim/EOB item.factor, Contract
+    # valuedItem.factor/points) — needed so decode regenerates the JSON
+    # number without a resource-specific registry at hand
+    "factor": "decimal",
     # common R4 resource elements (Encounter/Condition/Procedure/
     # MedicationRequest/Immunization/DiagnosticReport/Claim/AllergyIntolerance)
     "performedDateTime": "dateTime",

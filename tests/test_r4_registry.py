@@ -145,3 +145,77 @@ def test_definition_schema_matches_golden_patient(spark):
         if path in defn and defn[path] != gtype:
             mismatches.append((path, str(gtype), str(defn[path])))
     assert not mismatches, mismatches
+
+
+# One synthetic document per registered resource type, exercising a mix
+# of typed leaves (codes, dates, decimals, references, nested backbones).
+# Literal values pinned here — never generated from the code under test.
+_ROUNDTRIP_DOCS = {
+    "Patient": {"resourceType": "Patient", "id": "p1", "gender": "female",
+                "birthDate": "1970-03", "name": [{"family": "Doe", "given": ["A", "B"]}]},
+    "Observation": {"resourceType": "Observation", "id": "o1", "status": "final",
+                    "code": {"coding": [{"system": "http://loinc.org", "code": "8867-4"}]},
+                    "valueQuantity": {"value": 72.50, "unit": "beats/minute"}},
+    "Encounter": {"resourceType": "Encounter", "id": "e1", "status": "finished",
+                  "class": {"code": "AMB"},
+                  "period": {"start": "2020-01-01T10:00:00Z", "end": "2020-01-01T10:30:00Z"}},
+    "Condition": {"resourceType": "Condition", "id": "c1",
+                  "code": {"text": "Hypertension"}, "subject": {"reference": "Patient/p1"}},
+    "Procedure": {"resourceType": "Procedure", "id": "pr1", "status": "completed",
+                  "performedDateTime": "2019-06-01"},
+    "Immunization": {"resourceType": "Immunization", "id": "i1", "status": "completed",
+                     "vaccineCode": {"text": "flu"}, "occurrenceDateTime": "2021-10-01",
+                     "doseQuantity": {"value": 0.50, "unit": "mL"}},
+    "MedicationRequest": {"resourceType": "MedicationRequest", "id": "m1",
+                          "status": "active", "intent": "order",
+                          "medicationCodeableConcept": {"text": "lisinopril"}},
+    "DiagnosticReport": {"resourceType": "DiagnosticReport", "id": "d1",
+                         "status": "final", "code": {"text": "CBC"},
+                         "result": [{"reference": "Observation/o1"}]},
+    "Claim": {"resourceType": "Claim", "id": "cl1", "status": "active",
+              "item": [{"sequence": 1, "factor": 0.80, "net": {"value": 12.50, "currency": "USD"}}]},
+    "Organization": {"resourceType": "Organization", "id": "org1", "name": "Acme Clinic"},
+    "Practitioner": {"resourceType": "Practitioner", "id": "pc1",
+                     "name": [{"family": "Smith", "prefix": ["Dr"]}]},
+    "Location": {"resourceType": "Location", "id": "l1", "name": "Ward 3"},
+    "AllergyIntolerance": {"resourceType": "AllergyIntolerance", "id": "a1",
+                           "code": {"text": "peanut"}, "criticality": "high"},
+    "CareTeam": {"resourceType": "CareTeam", "id": "ct1", "status": "active"},
+    "CarePlan": {"resourceType": "CarePlan", "id": "cp1", "status": "active",
+                 "intent": "plan"},
+    "Device": {"resourceType": "Device", "id": "dv1", "status": "active"},
+    "ExplanationOfBenefit": {"resourceType": "ExplanationOfBenefit", "id": "eob1",
+                             "status": "active",
+                             "total": [{"category": {"text": "submitted"},
+                                        "amount": {"value": 100.00, "currency": "USD"}}]},
+    "ServiceRequest": {"resourceType": "ServiceRequest", "id": "sr1",
+                       "status": "active", "intent": "order",
+                       "occurrenceDateTime": "2022-05-01T08:00:00Z",
+                       "quantityQuantity": {"value": 2.0, "unit": "units"}},
+    "DocumentReference": {"resourceType": "DocumentReference", "id": "dr1",
+                          "status": "current", "date": "2023-01-01T00:00:00Z",
+                          "content": [{"attachment": {"contentType": "text/plain",
+                                                      "title": "note"}}]},
+}
+
+
+def test_registry_resources_roundtrip(spark):
+    """Every registered resource type: encode a synthetic doc under the
+    definition-derived schema, decode, and regenerate the input JSON
+    byte-for-byte (lossless contract incl. lexical decimals)."""
+    from parquet_on_fhir_spark.fhir.r4_elements import RESOURCES
+    from parquet_on_fhir_spark.fhir.decode import to_fhir_json
+
+    assert set(_ROUNDTRIP_DOCS) == set(RESOURCES)
+    assert len(RESOURCES) >= 12
+    failures = []
+    for rt, doc in _ROUNDTRIP_DOCS.items():
+        d = tempfile.mkdtemp(prefix=f"rt_{rt}_")
+        raw = json.dumps(doc)
+        with open(f"{d}/r.ndjson", "w") as f:
+            f.write(raw + "\n")
+        df = encode_ndjson(spark, d, resource_type=rt)
+        out = to_fhir_json(df).collect()[0][0]
+        if json.loads(out) != json.loads(raw):
+            failures.append((rt, out))
+    assert not failures, failures
