@@ -93,27 +93,69 @@ def shingles(text_col: str, k: int = 3):
     )
 
 
+def md5_60(col) -> "F.Column":
+    """Portable 60-bit integer hash: first 15 hex digits of md5, base-16
+    → base-10. Chosen because BOTH Spark (``conv(substr(md5(x),1,15),
+    16,10)``) and DuckDB (``CAST('0x' || substr(md5(x),1,15) AS
+    BIGINT)``) compute it bit-identically, which makes every
+    MinHash/LSH pipeline built on it cross-engine oracle-checkable.
+    Slower than xxhash64 (md5 is cryptographic) — use for verification
+    corpora; keep xxhash64 for production sweeps.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _seeded_hash(hash_family: str, seed: int):
+    """seed → (string column → bigint column) hash function."""
+    if hash_family == "xxhash64":
+        return lambda s: F.xxhash64(s, F.lit(seed))
+    if hash_family == "md5_60":
+        return lambda s: md5_60(F.concat_ws(":", F.lit(str(seed)), s))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def _bucket_hash(hash_family: str):
+    """(band slice joined as csv string) → bigint bucket id."""
+    if hash_family == "xxhash64":
+        return F.xxhash64
+    if hash_family == "md5_60":
+        return md5_60
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature: array of ``num_hashes`` minima of
-    seeded xxhash64 over word k-shingles.
+    a seeded hash family over word k-shingles.
 
-    ``xxhash64(shingle, seed_i)`` family ≈ independent hash functions;
-    everything happens map-side per row (transform + array_min), so this
-    adds ZERO shuffles to the pipeline.
+    ``hash_family``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5_60"`` (portable: DuckDB computes the identical value, so the
+    whole LSH pipeline becomes cross-engine verifiable; see
+    :func:`md5_60`). Either way the seeded family ≈ independent hash
+    functions; everything happens map-side per row (transform +
+    array_min), so this adds ZERO shuffles to the pipeline.
     """
     sh = shingles(text_col, k)
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(sh, _seeded_hash(hash_family, i)))
             for i in range(num_hashes)
         ]
     )
     # Column metadata lets minhash_lsh_pairs validate band divisibility
     # without an eager probe of the signature length.
     return df.select(
-        F.col(id_col), sig.alias("minhash", metadata={"num_hashes": num_hashes})
+        F.col(id_col),
+        sig.alias(
+            "minhash",
+            metadata={"num_hashes": num_hashes, "hash_family": hash_family},
+        ),
     )
 
 
@@ -125,6 +167,7 @@ def minhash_lsh_pairs(
     num_hashes: int | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     log_dropped: bool = False,
+    hash_family: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash
     signatures, filtered by estimated Jaccard ≥ threshold.
@@ -146,10 +189,14 @@ def minhash_lsh_pairs(
     from the signature column's metadata when minhash_signatures produced
     it, or passed explicitly. Buckets larger than ``max_bucket_size``
     rows are dropped from candidate generation (see _cap_buckets).
+    ``hash_family`` (bucket hashing) follows the signature column's
+    metadata by default so signatures and buckets stay in one family.
     """
+    meta = sig_df.schema["minhash"].metadata or {}
     if num_hashes is None:
-        meta = sig_df.schema["minhash"].metadata or {}
         num_hashes = meta.get("num_hashes")
+    if hash_family is None:
+        hash_family = meta.get("hash_family") or "xxhash64"
     if num_hashes is not None and num_hashes % num_bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by num_bands={num_bands}; "
@@ -157,6 +204,7 @@ def minhash_lsh_pairs(
         )
     n_rows = F.size(F.col("minhash"))
     rows_per_band = (n_rows / num_bands).cast("int")
+    bucket_fn = _bucket_hash(hash_family)
     banded = sig_df.select(
         F.col(id_col),
         F.explode(
@@ -164,7 +212,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    bucket_fn(
                         F.concat_ws(
                             ",",
                             F.transform(

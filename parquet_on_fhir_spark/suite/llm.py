@@ -62,6 +62,70 @@ def q67(spark, sf_dir):
     return minhash_lsh_pairs(sigs, "doc_id", num_bands=8, jaccard_threshold=0.4)
 
 
+# --- Q67c: MinHash + LSH with the portable md5_60 family (exact oracle) -----------
+def q67c(spark, sf_dir):
+    """The SAME MinHash/LSH pipeline as q67 but on the ``md5_60`` hash
+    family, which DuckDB computes bit-identically — so signatures,
+    banding, candidate pairs and the Jaccard estimate are all restated
+    in the oracle with list lambdas and hash-verified end to end.
+    est_jaccard = matches/32 is an exact binary fraction (32 = 2^5), so
+    the double value is engine-stable without rounding."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker words")).alias("text"),
+    )
+    sigs = minhash_signatures(
+        d.unionAll(corrupted), "text", "doc_id", num_hashes=32, hash_family="md5_60"
+    )
+    return minhash_lsh_pairs(sigs, "doc_id", num_bands=8, jaccard_threshold=0.4)
+
+
+Q67C_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' tail marker words' AS text
+  FROM documents WHERE doc_id < 50
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)),
+           i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))) AS shingles
+  FROM base
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 31),
+           i -> list_min(list_transform(shingles,
+                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id,
+         b.band,
+         CAST('0x' || substr(md5(array_to_string(
+           list_transform(sig[b.band*4+1 : b.band*4+4], x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r USING (band, bucket)
+  WHERE l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_filter(list_transform(generate_series(1, 32),
+             i -> sa.sig[i] = sb.sig[i]), x -> x)) / 32.0 AS est_jaccard
+  FROM pairs
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= 0.4
+"""
+
+
 # --- Q67b: SimHash near-dedup (rows-only) ----------------------------------------
 def q67b(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -359,16 +423,28 @@ def q86(spark, sf_dir):
     return curated.select("doc_id", "quality", "n_tokens")
 
 
-# --- Q73: multimodal binary columns (decode stubbed; plumbing real; rows-only) -----------------
+# --- Q73: multimodal binary columns (decode via stand-in codec; oracle-checked) ----------------
 def q73(spark, sf_dir):
+    """The mapInPandas plumbing (Arrow batches, binary payloads, fixed
+    feature schema) runs for real; the oracle states the aggregate it
+    must produce — payload bytes are UTF-8 text bytes (DuckDB
+    ``strlen``) and the stand-in codec's feature width is 5."""
     d = t(spark, sf_dir, "documents")
     media = attach_binary(d.select("doc_id", "text"), "text", kind="blob")
     feats = extract_features(media)
     return feats.groupBy("kind").agg(
         F.count("*").alias("n_media"),
-        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        d4(F.avg("n_bytes")).alias("avg_bytes"),
         F.size(F.first("feat")).alias("feat_dim"),
     )
+
+
+Q73_ORACLE = """
+SELECT 'blob' AS kind, count(*) AS n_media,
+       round(avg(strlen(text)) + 1e-9, 4) AS avg_bytes,
+       5 AS feat_dim
+FROM documents
+"""
 
 
 # --- Q73b: frame-sampling plan over media with durations (JVM-side; oracle) ---------------
@@ -406,6 +482,7 @@ QUERIES = [
     Q("q66_dedup_exact", q66, Q66_ORACLE),
     Q("q67_dedup_minhash_lsh", q67, None),
     Q("q67b_dedup_simhash", q67b, None),
+    Q("q67c_dedup_minhash_md5", q67c, Q67C_ORACLE),
     Q("q68_cosine_similarity", q68, Q68_ORACLE),
     Q("q69_similarity_topk_bruteforce", q69, Q69_ORACLE),
     Q("q70_similarity_ann_lsh", q70, None),
@@ -419,6 +496,6 @@ QUERIES = [
     Q("q86_corpus_curation_pipeline", q86, None),
     Q("q91_embedding_near_dup", q91, Q91_ORACLE),
     Q("q91b_embedding_near_dup_lsh", q91b, None),
-    Q("q73_multimodal_features", q73, None),
+    Q("q73_multimodal_features", q73, Q73_ORACLE),
     Q("q73b_multimodal_frame_plan", q73b, Q73B_ORACLE),
 ]

@@ -582,12 +582,33 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# --- Q23: approx count-distinct (HLL) — approximate, rows-only check ----------------
+# --- Q23: approx count-distinct (HLL++) — checked against the exact count -----------
+# HLL++ is deterministic for a fixed input set, and its rsd=0.02 estimate
+# sits within 3·rsd of truth; emitting the exact count plus that bound as
+# a boolean makes the approximate operator oracle-checkable (the oracle
+# states the exact counts and TRUE).
 def q23(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.06
+        ).alias("approx_within_tol"),
+    )
+
+
+Q23_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_tol
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --- Q24: rollup + grouping id --------------------------------------------------------
@@ -877,7 +898,7 @@ QUERIES = [
     Q("q20_join_self", q20, Q20_ORACLE),
     Q("q21_agg_tpch_q1", q21, Q21_ORACLE),
     Q("q22_agg_distinct", q22, Q22_ORACLE),
-    Q("q23_agg_approx_distinct", q23, None),
+    Q("q23_agg_approx_distinct", q23, Q23_ORACLE),
     Q("q24_agg_rollup_grouping", q24, Q24_ORACLE),
     Q("q25_agg_stats", q25, Q25_ORACLE),
     Q("q26_agg_median", q26, Q26_ORACLE),

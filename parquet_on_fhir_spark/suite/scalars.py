@@ -228,17 +228,39 @@ FROM documents
 """
 
 
-# --- Q48: map functions (not in the data model; rows-only engine capability) -------------------
+# --- Q48: map functions (map-derived scalars — the driver's hasher can't sort raw
+# map/array cells, so every output column is flattened to string/int/bool) --------------
 def q48(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
     return d.select(
         "doc_id",
-        m.alias("meta_map"),
-        F.map_keys(m).alias("keys"),
-        F.map_values(m).alias("vals"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("vals_csv"),
         m["lang"].alias("lang_from_map"),
+        F.element_at(m, F.lit("source")).alias("source_from_map"),
+        F.size(m).cast("int").alias("n_entries"),
+        F.map_contains_key(m, "lang").alias("has_lang"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries(m), lambda e: F.concat_ws("=", e["key"], e["value"])
+            ),
+        ).alias("entries_csv"),
     )
+
+
+Q48_ORACLE = """
+SELECT doc_id,
+       array_to_string(list_sort(map_keys(map(['lang','source'], [lang, source]))), ',') AS keys_csv,
+       array_to_string(map_values(map(['lang','source'], [lang, source])), ',') AS vals_csv,
+       lang AS lang_from_map,
+       source AS source_from_map,
+       CAST(cardinality(map(['lang','source'], [lang, source])) AS INT) AS n_entries,
+       list_contains(map_keys(map(['lang','source'], [lang, source])), 'lang') AS has_lang,
+       concat_ws(',', 'lang=' || lang, 'source=' || source) AS entries_csv
+FROM documents
+"""
 
 
 # --- Q49: JSON functions ----------------------------------------------------------------------
@@ -298,16 +320,37 @@ FROM customer WHERE c_custkey <= 100
 """
 
 
-# --- Q51b: engine-local hash/id functions (no portable oracle) ------------------------------------
+# --- Q51b: engine-local hash/id functions, checked via invariants -------------------------------
+# xxhash64/crc32/monotonically_increasing_id/uuid() have no portable
+# cross-engine values, but their CONTRACTS do: ids are distinct, crc32 is
+# non-negative, xxhash64 is injective on this corpus, one id per row. The
+# query emits those invariants as booleans (deterministic for fixed
+# input), so the oracle is exact.
 def q51b(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
-    return c.select(
+    ids = c.select(
         "c_custkey",
+        "c_name",
         F.xxhash64("c_name").alias("xx64"),
         F.crc32(F.col("c_name").cast("binary")).alias("crc"),
         F.monotonically_increasing_id().alias("mono_id"),
         F.expr("uuid()").alias("row_uuid"),
     )
+    return ids.agg(
+        F.count("*").alias("n_rows"),
+        (F.countDistinct("row_uuid") == F.count("*")).alias("uuids_distinct"),
+        (F.countDistinct("mono_id") == F.count("*")).alias("mono_ids_distinct"),
+        (F.min("crc") >= 0).alias("crc_nonneg"),
+        (F.countDistinct("xx64") == F.countDistinct("c_name")).alias("xx64_injective"),
+        (F.max(F.length("row_uuid")) == 36).alias("uuid_len_36"),
+    )
+
+
+Q51B_ORACLE = """
+SELECT count(*) AS n_rows, TRUE AS uuids_distinct, TRUE AS mono_ids_distinct,
+       TRUE AS crc_nonneg, TRUE AS xx64_injective, TRUE AS uuid_len_36
+FROM customer
+"""
 
 
 QUERIES = [
@@ -318,9 +361,9 @@ QUERIES = [
     Q("q45_decimal_precision", q45, Q45_ORACLE),
     Q("q46_array_funcs", q46, Q46_ORACLE),
     Q("q47_higher_order_funcs", q47, Q47_ORACLE),
-    Q("q48_map_funcs", q48, None),
+    Q("q48_map_funcs", q48, Q48_ORACLE),
     Q("q49_json_funcs", q49, Q49_ORACLE),
     Q("q50_struct_ops", q50, Q50_ORACLE),
     Q("q51_hash_funcs", q51, Q51_ORACLE),
-    Q("q51b_hash_ids_local", q51b, None),
+    Q("q51b_hash_ids_local", q51b, Q51B_ORACLE),
 ]
