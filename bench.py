@@ -2,8 +2,14 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "n": 3,
-   "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "queries_min": {...}, "value_min": N, "n": 3, "sf": ...}
+
+``queries`` holds per-query MEDIANS (the headline number);
+``queries_min`` holds per-query MINIMA. A noisy run is self-diagnosing:
+median >> min on the same commit means scheduler/IO contention in that
+run, not a plan regression (the round-3 driver bench read 2× on three
+queries that re-measured at round-2 levels).
 
 Headline set = one representative per operator family, weighted toward
 the plans that matter at 100 TB (join+agg pipelines, windows, dedup,
@@ -66,6 +72,7 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         runs: list[float] = []
@@ -76,6 +83,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             assert n >= 0
         timings[name] = round(statistics.median(runs), 3)
+        minima[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -84,6 +92,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "value_min": round(sum(minima.values()), 3),
                 "n": N_RUNS,
                 "sf": sf,
             }

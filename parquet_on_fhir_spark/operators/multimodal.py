@@ -78,8 +78,12 @@ def stand_in_features(b: bytes, mime: str | None = None) -> list[float]:
 def _feature_batches(codec: FeatureCodec):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # MEDIA_SCHEMA allows a NULL meta struct: dict rows use .get,
+            # non-dict non-None rows (Row-like) index, None rows yield None.
             mimes = [
-                (m or {}).get("mime") if isinstance(m, dict) else m["mime"]
+                m.get("mime")
+                if isinstance(m, dict)
+                else (m["mime"] if m is not None else None)
                 for m in pdf["meta"]
             ] if "meta" in pdf.columns else [None] * len(pdf)
             raw = [bytes(c) if c is not None else b"" for c in pdf["content"]]
@@ -142,8 +146,11 @@ def _resize_batches(target_w: int, target_h: int, codec: ResizeCodec | None):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL-meta-safe, same contract as _feature_batches.
             mimes = [
-                (m or {}).get("mime") if isinstance(m, dict) else m["mime"]
+                m.get("mime")
+                if isinstance(m, dict)
+                else (m["mime"] if m is not None else None)
                 for m in pdf["meta"]
             ]
             meta = [
@@ -151,9 +158,9 @@ def _resize_batches(target_w: int, target_h: int, codec: ResizeCodec | None):
                     "mime": mime,
                     "width": target_w,
                     "height": target_h,
-                    "duration_ms": (m or {}).get("duration_ms")
+                    "duration_ms": m.get("duration_ms")
                     if isinstance(m, dict)
-                    else m["duration_ms"],
+                    else (m["duration_ms"] if m is not None else None),
                 }
                 for m, mime in zip(pdf["meta"], mimes)
             ]

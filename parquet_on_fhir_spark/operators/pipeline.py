@@ -31,6 +31,7 @@ def curate_corpus(
     token_budget: int | None = None,
     embeddings: DataFrame | None = None,
     embedding_threshold: float = 0.95,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Returns the curated corpus with ``quality`` and ``n_tokens``
     columns attached.
@@ -50,10 +51,16 @@ def curate_corpus(
        a deterministic greedy knapsack. Executed as a scale-safe
        two-pass cutoff (see ``_apply_token_budget``), never as a
        global single-partition window.
+
+    ``hash_family`` selects the MinHash family (dedup.minhash_signatures):
+    ``"xxhash64"`` for production sweeps, ``"md5_60"`` when the whole
+    pipeline must be cross-engine verifiable (q86c's DuckDB oracle).
     """
     d = exact_dedup(docs, text_col, id_col)
 
-    sigs = minhash_signatures(d, text_col, id_col, num_hashes=32)
+    sigs = minhash_signatures(
+        d, text_col, id_col, num_hashes=32, hash_family=hash_family
+    )
     pairs = minhash_lsh_pairs(sigs, id_col, num_bands=8, jaccard_threshold=near_dup_threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     d = d.join(losers, id_col, "left_anti")
@@ -67,7 +74,12 @@ def curate_corpus(
         elosers = epairs.select(F.col("id_b").alias(id_col)).distinct()
         d = d.join(elosers, id_col, "left_anti")
 
-    d = d.withColumn("quality", F.round(tx.quality_score(text_col), 4)).withColumn(
+    # +1e-9 before round-4: round-half quality values land exactly on the
+    # rounding boundary where engines disagree (suite.common.d4 discipline);
+    # the epsilon makes the 4-dp bucket ids engine-stable.
+    d = d.withColumn(
+        "quality", F.round(tx.quality_score(text_col) + F.lit(1e-9), 4)
+    ).withColumn(
         "n_tokens", tx.token_count(text_col).cast("long")
     )
     d = d.filter(F.col("quality") >= min_quality)

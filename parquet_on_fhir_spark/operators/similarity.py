@@ -162,10 +162,23 @@ def ivf_topk(
     n = corpus.count()
     train_src = corpus
     if n > max_train_rows:
-        # Oversample 10% then cap exactly — sample() is fraction-based and
-        # only approximately sized.
+        # Deterministic bounded sample: hash-of-id threshold (oversample
+        # ~10%) then an exact cap ordered by (hash, id). Unlike
+        # sample().limit(), the chosen rows depend only on ids — never on
+        # partition layout or arrival order — so centroids (and every
+        # downstream ANN result) are reproducible across cluster shapes.
+        # The orderBy feeds TakeOrderedAndProject over ~1.1·cap rows, not
+        # a full-corpus sort.
         frac = min(1.0, 1.1 * max_train_rows / n)
-        train_src = corpus.sample(fraction=frac, seed=seed).limit(max_train_rows)
+        thresh = int(frac * (1 << 32))
+        train_src = (
+            corpus.withColumn(
+                "__h", F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(1 << 32))
+            )
+            .filter(F.col("__h") < thresh)
+            .orderBy("__h", corpus_id)
+            .limit(max_train_rows)
+        )
     train = train_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )

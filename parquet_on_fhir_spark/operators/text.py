@@ -107,14 +107,20 @@ def quality_score(text_col: Column | str) -> Column:
     return (len_score * 0.4 + punct_score * 0.2 + mwl_score * 0.2 + stop_score * 0.2)
 
 
-def rolling_fingerprint(text_col: Column | str, window: int = 8) -> Column:
+def rolling_fingerprint(
+    text_col: Column | str, window: int = 8, hash_family: str = "xxhash64"
+) -> Column:
     """Deterministic document fingerprint: min of rolling-window token
     hashes (winnowing-style). Robust to small edits away from the
-    minimum-hash window; pure expression."""
+    minimum-hash window; pure expression. ``hash_family="md5_60"``
+    (dedup.md5_60) makes the fingerprint cross-engine verifiable."""
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
     tk = tokens(text_col)
     n = F.size(tk)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    hash_fn = F.xxhash64 if hash_family == "xxhash64" else md5_60
     win_hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, window)))
+        idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i + 1, window)))
     )
     return F.array_min(win_hashes)

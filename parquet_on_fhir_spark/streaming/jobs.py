@@ -8,16 +8,35 @@ identical — only ``format(...)`` changes.
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _COUNTER = itertools.count()
 _SRC_CACHE: dict[str, str] = {}
+_SCRATCH_DIRS: list[str] = []
+
+#: run_to_memory temporarily rewrites the SESSION-global
+#: spark.sql.shuffle.partitions while a stream starts (the stream pins
+#: its own value at start; the conf is restored after termination).  Any
+#: query planned concurrently in the same session would silently inherit
+#: the small stream value, so the set→start→restore span is serialized.
+_STREAM_CONF_LOCK = threading.Lock()
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    """tmpfs checkpoints and staged stream sources accumulate across a
+    long test/bench session (RAM-backed in the /dev/shm case); remove
+    whatever per-run cleanup missed."""
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _ckpt_dir() -> str:
@@ -26,9 +45,12 @@ def _ckpt_dir() -> str:
     (when the host has one) removes that fixed cost without touching
     query semantics. Production checkpoints belong on durable storage —
     this helper is for run-to-completion test/bench streams whose
-    checkpoints are discarded."""
+    checkpoints are discarded (rmtree'd right after awaitTermination,
+    with an atexit sweep as backstop)."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix="pofs_ckpt_", dir=base)
+    d = tempfile.mkdtemp(prefix="pofs_ckpt_", dir=base)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 EVENTS_LONG_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
@@ -56,6 +78,51 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _stage_events_split(sf_dir: str, n_files: int) -> str:
+    """Stage ``events`` as ``n_files`` time-ordered parquet files with
+    strictly increasing mtimes, so a file stream with
+    ``maxFilesPerTrigger=1`` replays them as ``n_files`` deterministic
+    micro-batches in event-time order (FileStreamSource lists oldest
+    mtime first; ordered staging means no row is ever behind the
+    watermark, so the batch oracle stays exact while state genuinely
+    carries across batch boundaries)."""
+    key = f"{sf_dir}#split{n_files}"
+    src = _SRC_CACHE.get(key)
+    if src is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        )
+        src = tempfile.mkdtemp(prefix="pofs_stream_split_")
+        _SCRATCH_DIRS.append(src)
+        step = (tbl.num_rows + n_files - 1) // n_files
+        base_mtime = 1_000_000_000  # arbitrary fixed epoch; only order matters
+        for i in range(n_files):
+            path = f"{src}/part-{i:03d}.parquet"
+            pq.write_table(tbl.slice(i * step, step), path)
+            os.utime(path, (base_mtime + i, base_mtime + i))
+        _SRC_CACHE[key] = src
+    return src
+
+
+def stream_events_multibatch(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """``events`` as a file stream that AvailableNow replays as
+    ``n_files`` micro-batches (``maxFilesPerTrigger=1`` over the staged
+    time-ordered split) — exercises cross-batch state retention and
+    watermark advancement, not just single-batch semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _stage_events_split(sf_dir, n_files)
+    sdf = (
+        spark.readStream.schema(EVENTS_LONG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def run_foreach_batch_to_parquet(df: DataFrame, out_dir: str) -> None:
     """Exactly-once-style file sink via ``foreachBatch``: each micro-batch
     lands in a batch-id-named subdirectory, so retries overwrite their own
@@ -74,6 +141,7 @@ def run_foreach_batch_to_parquet(df: DataFrame, out_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
 
 
 def run_to_memory(
@@ -93,21 +161,26 @@ def run_to_memory(
     name = f"pofs_sink_{next(_COUNTER)}"
     ck = _ckpt_dir()
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        # restore only after termination: micro-batches are planned (and
-        # read the session conf) asynchronously after start()
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # Serialize the conf set→start→restore span: the shuffle-partitions
+    # rewrite is session-global, and a concurrently-planned query would
+    # silently inherit the stream-sized value (see _STREAM_CONF_LOCK).
+    with _STREAM_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            # restore only after termination: micro-batches are planned
+            # (and read the session conf) asynchronously after start()
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)

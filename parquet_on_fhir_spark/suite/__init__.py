@@ -8,6 +8,84 @@ from __future__ import annotations
 
 from parquet_on_fhir_spark.suite.common import Q
 
+# The correctness driver hash-checks the FIRST 50 registered queries
+# only, so registration order is coverage policy.  Round-4 window =
+# flagship + every oracle-backed query that has never had a driver row
+# (streaming q54-q59b, relational tail q87-q94, the newly-oracle-ized
+# q23/q48/q51b/q73 and new q56b/q67c) + re-confirmations of round-3
+# first-time greens spread across all modules.  Rows-only queries are
+# registered LAST so the window contains only hash-checkable entries;
+# each names the test that carries its correctness.  Full-suite
+# verification is always available via `python tools/selfcheck.py`.
+WINDOW = [
+    "q00_flagship_shipping_priority",
+    # -- never driver-verified: streaming (oracle-backed, selfcheck-green r1-r3)
+    "q54_window_sliding",
+    "q54b_stream_window_sliding",
+    "q55_window_session",
+    "q55b_stream_window_session",
+    "q56_stream_watermark",
+    "q56b_stream_watermark_multibatch",  # new r4: >=4 real micro-batches
+    "q57_dedup_keep_first",
+    "q57b_stream_dedup",
+    "q58_stream_stateful",
+    "q59_stream_static_join",
+    "q59b_stream_stream_join",
+    # -- never driver-verified: relational tail
+    "q87_merge_upsert",
+    "q89_tpch_q18",
+    "q90_scale10_agg",
+    "q92_tpch_q4_exists",
+    "q93_tpch_q22_not_exists",
+    "q94_clustered_write",
+    # -- newly oracle-backed this round (were rows-only/crashing in r3)
+    "q48_map_funcs",
+    "q51b_hash_ids_local",
+    "q23_agg_approx_distinct",
+    "q73_multimodal_features",
+    "q67c_dedup_minhash_md5",  # new r4: portable md5_60 LSH, full SQL oracle
+    "q74d_doc_fingerprints_md5",  # new r4: portable winnowing fingerprint
+    "q86c_curation_pipeline_md5",  # new r4: full pipeline, every stage in SQL
+    # -- re-confirmations (round-3 first-time greens get a second row)
+    "q30_window_ranking",
+    "q31_window_lag_lead",
+    "q32_window_frames",
+    "q33_window_topk_per_group",
+    "q41_string_funcs",
+    "q42_datetime_funcs",
+    "q43_fhir_partial_date_bounds",
+    "q45_decimal_precision",
+    "qf01_fhir_nested_query",
+    "qf02_fhir_roundtrip_reencode",
+    "qf03_fhir_date_annotations",
+    "qf04_fhir_quantity_canonical",
+    "qf05_fhir_schema_merge",
+    "qf06_fhir_validate",
+    "qf07_fhir_reference_join",
+    "qf08_fhir_definition_schema",
+    "q66_dedup_exact",
+    "q68_cosine_similarity",
+    "q69_similarity_topk_bruteforce",
+    "q71_text_stats",
+    "q74b_quality_scoring",
+    "q61_python_udf",
+    "q63_apply_in_pandas",
+    "q52_stream_source_sink_available_now",
+    "q53_stream_window_tumbling",
+]
+
+# Rows-only by design (no portable oracle); each is carried by the named
+# test instead of a driver hash row.  Kept out of the 50-query window.
+ROWS_ONLY_COVERAGE = {
+    "q67_dedup_minhash_lsh": "tests/test_llm_ops.py (vs exact n-gram Jaccard)",
+    "q67b_dedup_simhash": "tests/test_llm_ops.py (vs exact Hamming)",
+    "q70_similarity_ann_lsh": "tests/test_llm_ops.py (recall vs brute force)",
+    "q70b_similarity_ivf": "tests/test_llm_ops.py (recall vs brute force)",
+    "q74c_doc_fingerprints": "tests/test_text_multimodal.py (winnowing props)",
+    "q86_corpus_curation_pipeline": "tests/test_llm_ops.py (pipeline stages)",
+    "q91b_embedding_near_dup_lsh": "tests/test_llm_ops.py (recall vs exact q91)",
+}
+
 
 def all_queries() -> list[Q]:
     # Imports deferred so a syntax error in one module doesn't take down
@@ -22,20 +100,34 @@ def all_queries() -> list[Q]:
         windows,
     )
 
-    # Registration order matters: the correctness driver checks the first 50
-    # registered queries only.  Rounds 1-2 ran `relational` first, so those 50
-    # have two rounds of green driver rows on record; round 3 rotates the
-    # never-driver-verified modules (windows/scalars/fhir/llm/udfs/streaming)
-    # into the window, keeping the flagship q00 at position 0 for the smoke
-    # check.  Full-suite verification is always available via
-    # `python tools/selfcheck.py <sf_dir>` regardless of order.
-    out: list[Q] = []
-    flagship = [q for q in relational.QUERIES if q.name.startswith("q00")]
-    rest_relational = [q for q in relational.QUERIES if not q.name.startswith("q00")]
-    out.extend(flagship)
-    for mod in (windows, scalars, fhir_queries, llm, udfs, streaming_queries):
-        out.extend(mod.QUERIES)
-    out.extend(rest_relational)
-    names = [q.name for q in out]
-    assert len(names) == len(set(names)), "duplicate query names"
-    return out
+    declared: list[Q] = []
+    for mod in (
+        relational,
+        windows,
+        scalars,
+        fhir_queries,
+        llm,
+        udfs,
+        streaming_queries,
+    ):
+        declared.extend(mod.QUERIES)
+    by_name = {q.name: q for q in declared}
+    assert len(by_name) == len(declared), "duplicate query names"
+    missing = [n for n in WINDOW if n not in by_name]
+    assert not missing, f"WINDOW names not declared: {missing}"
+    assert len(WINDOW) == len(set(WINDOW)) == 50, "window must be exactly 50 names"
+    bad = [n for n in WINDOW if by_name[n].oracle is None]
+    assert not bad, f"rows-only queries may not sit in the checked window: {bad}"
+    unmapped = [
+        q.name
+        for q in declared
+        if q.oracle is None and q.name not in ROWS_ONLY_COVERAGE
+    ]
+    assert not unmapped, f"rows-only queries missing a coverage note: {unmapped}"
+
+    windowed = [by_name[n] for n in WINDOW]
+    rest_oracle = [
+        q for q in declared if q.name not in set(WINDOW) and q.oracle is not None
+    ]
+    rest_rows_only = [q for q in declared if q.oracle is None]
+    return windowed + rest_oracle + rest_rows_only

@@ -423,6 +423,131 @@ def q86(spark, sf_dir):
     return curated.select("doc_id", "quality", "n_tokens")
 
 
+# --- Q74d: portable rolling-hash fingerprints (md5_60 — exact oracle) -------------------
+def q74d(spark, sf_dir):
+    """q74c's winnowing fingerprint on the cross-engine md5_60 family,
+    so the min-of-rolling-window-hashes value itself is hash-verified
+    (q74c keeps xxhash64, the production family)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.rolling_fingerprint("text", hash_family="md5_60").alias("fingerprint"),
+    )
+
+
+Q74D_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(len(toks) - 7, 1)),
+         i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT)
+       )) AS fingerprint
+FROM tk
+"""
+
+
+# --- Q86c: the FULL curation pipeline on the portable hash family (exact oracle) --------
+def q86c(spark, sf_dir):
+    """curate_corpus end-to-end — exact dedup → MinHash-LSH near-dedup →
+    quality filter → greedy token budget — with hash_family="md5_60",
+    so every stage (including the LSH pair set and the two-pass budget
+    cutoff) is restated in the oracle and hash-verified. The budget
+    cutoff's scale-safe histogram form must be row-identical to the
+    oracle's global running-sum window — that equivalence IS the thing
+    under test."""
+    from parquet_on_fhir_spark.operators.pipeline import curate_corpus
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    curated = curate_corpus(
+        d.unionAll(dups),
+        min_quality=0.1,
+        near_dup_threshold=0.8,
+        token_budget=20000,
+        hash_family="md5_60",
+    )
+    return curated.select("doc_id", "quality", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+Q86C_ORACLE = r"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+),
+exact AS (  -- stage 1: exact dedup, min-id survivor per content
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM docs2) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)),
+           i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))) AS shingles
+  FROM exact
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 31),
+           i -> list_min(list_transform(shingles,
+                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, b.band,
+         CAST('0x' || substr(md5(array_to_string(
+           list_transform(sig[b.band*4+1 : b.band*4+4], x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band) b
+),
+losers AS (  -- stage 2: near-dup pairs >= 0.8 estimated Jaccard drop the higher id
+  SELECT DISTINCT r.doc_id AS loser
+  FROM banded l JOIN banded r USING (band, bucket)
+  JOIN sigs sa ON sa.doc_id = l.doc_id
+  JOIN sigs sb ON sb.doc_id = r.doc_id
+  WHERE l.doc_id < r.doc_id
+    AND len(list_filter(list_transform(generate_series(1, 32),
+        i -> sa.sig[i] = sb.sig[i]), x -> x)) / 32.0 >= 0.8
+),
+feat AS (  -- stage 3: quality score (q74b formulas) + token count
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS n_tok,
+    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / length(text) AS pr,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks) AS mwl,
+    CAST(len(list_filter(toks, x -> list_contains(
+        ['the','and','of','to','is','a','in','that'], x))) AS DOUBLE)
+        / len(toks) AS sr
+  FROM (
+    SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+    FROM exact WHERE doc_id NOT IN (SELECT loser FROM losers)
+  )
+),
+scored AS (
+  SELECT doc_id,
+    round(least(n_tok / 50.0, 1.0) * 0.4
+        + greatest(0.0, 1.0 - pr * 10.0) * 0.2
+        + (CASE WHEN mwl >= 2.5 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        + least(sr * 5.0, 1.0) * 0.2 + 1e-9, 4) AS quality,
+    CAST(n_tok AS BIGINT) AS n_tokens
+  FROM feat
+),
+runs AS (  -- stage 4: greedy budget in (quality desc, id) order, inclusive prefix
+  SELECT doc_id, quality, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM scored WHERE quality >= 0.1
+)
+SELECT doc_id, quality, n_tokens FROM runs WHERE run <= 20000
+"""
+
+
 # --- Q73: multimodal binary columns (decode via stand-in codec; oracle-checked) ----------------
 def q73(spark, sf_dir):
     """The mapInPandas plumbing (Arrow batches, binary payloads, fixed
@@ -493,7 +618,9 @@ QUERIES = [
     Q("q74_quality_filter", q74, Q74_ORACLE),
     Q("q74b_quality_scoring", q74b, Q74B_ORACLE),
     Q("q74c_doc_fingerprints", q74c, None),
+    Q("q74d_doc_fingerprints_md5", q74d, Q74D_ORACLE),
     Q("q86_corpus_curation_pipeline", q86, None),
+    Q("q86c_curation_pipeline_md5", q86c, Q86C_ORACLE),
     Q("q91_embedding_near_dup", q91, Q91_ORACLE),
     Q("q91b_embedding_near_dup_lsh", q91b, None),
     Q("q73_multimodal_features", q73, Q73_ORACLE),

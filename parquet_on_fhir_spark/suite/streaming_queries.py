@@ -13,7 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from parquet_on_fhir_spark.streaming.jobs import run_to_memory, stream_events
+from parquet_on_fhir_spark.streaming.jobs import (
+    run_to_memory,
+    stream_events,
+    stream_events_multibatch,
+)
 from parquet_on_fhir_spark.streaming.stateful import running_user_totals
 from parquet_on_fhir_spark.suite.common import Q, d2, t, ts_str
 
@@ -185,6 +189,30 @@ FROM agg, m WHERE w + INTERVAL '6 hours' <= wm
 """
 
 
+# --- Q56b: watermark semantics across REAL micro-batch boundaries --------------------------
+# q56 proves the append-mode contract in a single AvailableNow batch;
+# q56b replays the same events as >=4 time-ordered micro-batches
+# (maxFilesPerTrigger=1 over a staged split), so window state must
+# survive batch boundaries and the watermark must advance batch-by-batch
+# before windows finalize. The staging is time-ordered, so no row is
+# late and the final emitted set is identical to q56's:
+# windows with end <= max(ts) - 1h. Same oracle, genuinely multi-batch
+# execution (batch count asserted in tests/test_streaming.py).
+def q56b(spark, sf_dir):
+    s = stream_events_multibatch(spark, sf_dir, n_files=4)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    res = run_to_memory(agg, "append")
+    return res.select(
+        ts_str(F.col("window.start"), WINDOW_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
 # --- Q57: deterministic dedup (keep-first by key) -----------------------------------------
 def q57(spark, sf_dir):
     e = t(spark, sf_dir, "events")
@@ -306,6 +334,7 @@ QUERIES = [
     Q("q55_window_session", q55, Q55_ORACLE),
     Q("q55b_stream_window_session", q55b, Q55_ORACLE),
     Q("q56_stream_watermark", q56, Q56_ORACLE),
+    Q("q56b_stream_watermark_multibatch", q56b, Q56_ORACLE),
     Q("q57_dedup_keep_first", q57, Q57_ORACLE),
     Q("q57b_stream_dedup", q57b, Q57B_ORACLE),
     Q("q58_stream_stateful", q58, Q58_ORACLE),

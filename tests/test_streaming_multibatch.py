@@ -223,3 +223,36 @@ def test_session_window_merges_across_batches(spark, sf_dir):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_events_multibatch_replays_n_ordered_batches(spark, sf_dir):
+    """q56b's source contract: the staged split must replay as (at
+    least) n_files non-empty micro-batches, in event-time order, with no
+    rows lost — otherwise the 'multi-batch watermark' query would be
+    silently single-batch."""
+    from parquet_on_fhir_spark.streaming.jobs import stream_events_multibatch
+
+    s = stream_events_multibatch(spark, sf_dir, n_files=4)
+    seen = []
+
+    def record(df, batch_id):
+        row = df.agg(
+            F.count("*").alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        seen.append((batch_id, row.n, row.lo, row.hi))
+
+    ck = tempfile.mkdtemp(prefix="mbq_ck_")
+    q = (
+        s.writeStream.foreachBatch(record)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data = [x for x in seen if x[1] > 0]
+    assert len(data) >= 4, f"expected >=4 data batches, got {len(data)}"
+    total = sum(x[1] for x in data)
+    assert total == load_table(spark, sf_dir, "events").count()
+    # event-time ordering across batches: batch i's max ts <= batch i+1's min
+    for (_, _, _, hi), (_, _, lo, _) in zip(data, data[1:]):
+        assert hi <= lo
