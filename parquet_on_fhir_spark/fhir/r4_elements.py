@@ -705,30 +705,6 @@ RESOURCES: dict[str, dict] = {
             }
         ),
     },
-    "DocumentReference": {
-        **_DOMAIN,
-        "masterIdentifier": "Identifier",
-        "identifier": A("Identifier"),
-        "status": "code",
-        "docStatus": "code",
-        "type": "CodeableConcept",
-        "category": A("CodeableConcept"),
-        "subject": "Reference",
-        "date": "instant",
-        "author": A("Reference"),
-        "authenticator": "Reference",
-        "custodian": "Reference",
-        "description": "string",
-        "content": A({"attachment": "Attachment", "format": "Coding"}),
-        "context": {
-            "encounter": A("Reference"),
-            "event": A("CodeableConcept"),
-            "period": "Period",
-            "facilityType": "CodeableConcept",
-            "practiceSetting": "CodeableConcept",
-            "sourcePatientInfo": "Reference",
-        },
-    },
     "Device": {
         **_DOMAIN,
         "identifier": A("Identifier"),
@@ -993,4 +969,28 @@ def _build_struct(
         if many:
             dtype = T.ArrayType(dtype, True)
         out.append(T.StructField(name, dtype, name != "resourceType"))
+        # Primitive-extension companion (README.md:267-296): a populated
+        # ``_name`` path materializes the Element carrier {id, extension}
+        # beside its primitive — array-shaped for repeating primitives
+        # (paired arrays, README.md paired-null placement). Emitted only
+        # when the sparse path set asks for it: companions on every
+        # primitive would bloat definition-only schemas.
+        comp = prefix + ("_" + name,)
+        is_primitive = not isinstance(ref, dict) and ref not in COMPLEX
+        if (
+            is_primitive
+            and paths is not None
+            and any(p[: len(comp)] == comp for p in paths)
+            and ext_depth > 0
+        ):
+            el = _build_struct(
+                _expand({"id": "string", "extension": ("Extension", True)}),
+                paths,
+                comp,
+                ext_depth,
+                on_path,
+            )
+            if el.fields:
+                cdtype: T.DataType = T.ArrayType(el, True) if many else el
+                out.append(T.StructField("_" + name, cdtype, True))
     return T.StructType(out)

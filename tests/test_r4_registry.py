@@ -219,3 +219,57 @@ def test_registry_resources_roundtrip(spark):
         if json.loads(out) != json.loads(raw):
             failures.append((rt, out))
     assert not failures, failures
+
+
+def test_no_duplicate_registry_keys():
+    """Python dict literals silently keep the LAST duplicate key — a
+    duplicated resource entry would shadow a fuller definition with a
+    stale one (this bit DocumentReference in round 3). Parse the source
+    and reject duplicate keys in every top-level registry dict."""
+    import ast
+    from pathlib import Path
+
+    import parquet_on_fhir_spark.fhir.r4_elements as mod
+
+    src = Path(mod.__file__).read_text()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate dict keys near line {node.lineno}: {dupes}"
+
+
+def test_definition_schema_primitive_extension_companions():
+    """README.md:267-296: a populated ``_birthDate`` path materializes
+    the Element carrier {id, extension} beside the primitive; repeating
+    primitives get ARRAY-shaped companions (paired arrays). Companions
+    are sparse — only requested paths appear."""
+    from parquet_on_fhir_spark.fhir.r4_elements import definition_schema
+
+    s = definition_schema(
+        "Patient",
+        paths={
+            ("birthDate",),
+            ("_birthDate", "id"),
+            ("_birthDate", "extension", "url"),
+            ("_birthDate", "extension", "valueDateTime"),
+            ("name", "given"),
+            ("name", "_given", "id"),
+        },
+    )
+    assert (
+        s.simpleString()
+        == "struct<birthDate:string,"
+        "_birthDate:struct<extension:array<struct<url:string,"
+        "valueDateTime:string>>,id:string>,"
+        "name:array<struct<given:array<string>,"
+        "_given:array<struct<id:string>>>>>"
+    )
+    # no companion unless asked for
+    bare = definition_schema("Patient", paths={("birthDate",)})
+    assert "_birthDate" not in bare.simpleString()
