@@ -188,6 +188,15 @@ COMPLEX: dict[str, dict] = {
         "maxDosePerAdministration": "Quantity",
         "maxDosePerLifetime": "Quantity",
     },
+    "Signature": {
+        "type": A("Coding"),
+        "when": "instant",
+        "who": "Reference",
+        "onBehalfOf": "Reference",
+        "targetFormat": "code",
+        "sigFormat": "code",
+        "data": "base64Binary",
+    },
     # Extension.value[x] admits every type; the common subset is listed —
     # unknown variants fall back to data inference.
     "Extension": {
@@ -221,6 +230,15 @@ _VALUE_CHOICE = [
     "Quantity", "CodeableConcept", "string", "boolean", "integer",
     "Range", "Ratio", "SampledData", "time", "dateTime", "Period",
 ]
+
+# Provenance.agent backbone, shared verbatim by Provenance.entity.agent
+# (hl7.org/fhir/R4/provenance.html) — one dict, two mount points.
+_PROVENANCE_AGENT = {
+    "type": "CodeableConcept",
+    "role": A("CodeableConcept"),
+    "who": "Reference",
+    "onBehalfOf": "Reference",
+}
 
 # ---------------------------------------------------------------------------
 # Resource definitions (hl7.org/fhir/R4/<resource>.html)
@@ -854,6 +872,215 @@ RESOURCES: dict[str, dict] = {
             "amount": "Money",
             "identifier": "Identifier",
         },
+    },
+    "Medication": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "code": "CodeableConcept",
+        "status": "code",
+        "manufacturer": "Reference",
+        "form": "CodeableConcept",
+        "amount": "Ratio",
+        "ingredient": A(
+            {
+                "item[x]": ["CodeableConcept", "Reference"],
+                "isActive": "boolean",
+                "strength": "Ratio",
+            }
+        ),
+        "batch": {"lotNumber": "string", "expirationDate": "dateTime"},
+    },
+    "MedicationAdministration": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiates": A("uri"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "statusReason": A("CodeableConcept"),
+        "category": "CodeableConcept",
+        "medication[x]": ["CodeableConcept", "Reference"],
+        "subject": "Reference",
+        "context": "Reference",
+        "supportingInformation": A("Reference"),
+        "effective[x]": ["dateTime", "Period"],
+        "performer": A({"function": "CodeableConcept", "actor": "Reference"}),
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "request": "Reference",
+        "device": A("Reference"),
+        "note": A("Annotation"),
+        "dosage": {
+            "text": "string",
+            "site": "CodeableConcept",
+            "route": "CodeableConcept",
+            "method": "CodeableConcept",
+            "dose": "SimpleQuantity",
+            "rate[x]": ["Ratio", "SimpleQuantity"],
+        },
+        "eventHistory": A("Reference"),
+    },
+    "MedicationDispense": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "statusReason[x]": ["CodeableConcept", "Reference"],
+        "category": "CodeableConcept",
+        "medication[x]": ["CodeableConcept", "Reference"],
+        "subject": "Reference",
+        "context": "Reference",
+        "supportingInformation": A("Reference"),
+        "performer": A({"function": "CodeableConcept", "actor": "Reference"}),
+        "location": "Reference",
+        "authorizingPrescription": A("Reference"),
+        "type": "CodeableConcept",
+        "quantity": "SimpleQuantity",
+        "daysSupply": "SimpleQuantity",
+        "whenPrepared": "dateTime",
+        "whenHandedOver": "dateTime",
+        "destination": "Reference",
+        "receiver": A("Reference"),
+        "note": A("Annotation"),
+        "dosageInstruction": A("Dosage"),
+        "substitution": {
+            "wasSubstituted": "boolean",
+            "type": "CodeableConcept",
+            "reason": A("CodeableConcept"),
+            "responsibleParty": A("Reference"),
+        },
+        "detectedIssue": A("Reference"),
+        "eventHistory": A("Reference"),
+    },
+    "MedicationStatement": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "statusReason": A("CodeableConcept"),
+        "category": "CodeableConcept",
+        "medication[x]": ["CodeableConcept", "Reference"],
+        "subject": "Reference",
+        "context": "Reference",
+        "effective[x]": ["dateTime", "Period"],
+        "dateAsserted": "dateTime",
+        "informationSource": "Reference",
+        "derivedFrom": A("Reference"),
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "note": A("Annotation"),
+        "dosage": A("Dosage"),
+    },
+    "Specimen": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "accessionIdentifier": "Identifier",
+        "status": "code",
+        "type": "CodeableConcept",
+        "subject": "Reference",
+        "receivedTime": "dateTime",
+        "parent": A("Reference"),
+        "request": A("Reference"),
+        "collection": {
+            "collector": "Reference",
+            "collected[x]": ["dateTime", "Period"],
+            "duration": "Duration",
+            "quantity": "SimpleQuantity",
+            "method": "CodeableConcept",
+            "bodySite": "CodeableConcept",
+            "fastingStatus[x]": ["CodeableConcept", "Duration"],
+        },
+        "processing": A(
+            {
+                "description": "string",
+                "procedure": "CodeableConcept",
+                "additive": A("Reference"),
+                "time[x]": ["dateTime", "Period"],
+            }
+        ),
+        "container": A(
+            {
+                "identifier": A("Identifier"),
+                "description": "string",
+                "type": "CodeableConcept",
+                "capacity": "SimpleQuantity",
+                "specimenQuantity": "SimpleQuantity",
+                "additive[x]": ["CodeableConcept", "Reference"],
+            }
+        ),
+        "condition": A("CodeableConcept"),
+        "note": A("Annotation"),
+    },
+    "Goal": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "lifecycleStatus": "code",
+        "achievementStatus": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "priority": "CodeableConcept",
+        "description": "CodeableConcept",
+        "subject": "Reference",
+        "start[x]": ["date", "CodeableConcept"],
+        "target": A(
+            {
+                "measure": "CodeableConcept",
+                "detail[x]": [
+                    "Quantity",
+                    "Range",
+                    "CodeableConcept",
+                    "string",
+                    "boolean",
+                    "integer",
+                    "Ratio",
+                ],
+                "due[x]": ["date", "Duration"],
+            }
+        ),
+        "statusDate": "date",
+        "statusReason": "string",
+        "expressedBy": "Reference",
+        "addresses": A("Reference"),
+        "note": A("Annotation"),
+        "outcomeCode": A("CodeableConcept"),
+        "outcomeReference": A("Reference"),
+    },
+    "RelatedPerson": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "patient": "Reference",
+        "relationship": A("CodeableConcept"),
+        "name": A("HumanName"),
+        "telecom": A("ContactPoint"),
+        "gender": "code",
+        "birthDate": "date",
+        "address": A("Address"),
+        "photo": A("Attachment"),
+        "period": "Period",
+        "communication": A(
+            {"language": "CodeableConcept", "preferred": "boolean"}
+        ),
+    },
+    "Provenance": {
+        **_DOMAIN,
+        "target": A("Reference"),
+        "occurred[x]": ["Period", "dateTime"],
+        "recorded": "instant",
+        "policy": A("uri"),
+        "location": "Reference",
+        "reason": A("CodeableConcept"),
+        "activity": "CodeableConcept",
+        "agent": A(_PROVENANCE_AGENT),
+        "entity": A(
+            {
+                "role": "code",
+                "what": "Reference",
+                # entity.agent repeats the Provenance.agent backbone
+                # (hl7.org/fhir/R4/provenance.html); shared dict, no recursion
+                "agent": A(_PROVENANCE_AGENT),
+            }
+        ),
+        "signature": A("Signature"),
     },
 }
 

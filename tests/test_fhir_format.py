@@ -350,3 +350,79 @@ def test_reference_observation_value_regenerates_number(spark):
     docs = [json.loads(r.json) for r in to_fhir_json(o).collect()]
     vals = [d["valueQuantity"]["value"] for d in docs if "valueQuantity" in d]
     assert vals and all(isinstance(v, (int, float)) for v in vals)
+
+
+# --- contained resources (hl7.org/fhir/R4/references.html#contained) ----------------
+_CONTAINED_DOC = {
+    "resourceType": "MedicationRequest", "id": "mr1",
+    "status": "active", "intent": "order",
+    "contained": [
+        {"resourceType": "Medication", "id": "m1",
+         "code": {"text": "amoxicillin"},
+         "amount": {"numerator": {"value": 250.50, "unit": "mg"},
+                    "denominator": {"value": 1.0, "unit": "tablet"}}},
+        {"resourceType": "Practitioner", "id": "pr1",
+         "name": [{"family": "Smith"}]},
+    ],
+    "medicationReference": {"reference": "#m1"},
+    "requester": {"reference": "#pr1"},
+}
+
+
+def test_contained_resources_roundtrip(spark):
+    """contained = sparse merged struct; annotations + lexical decimals
+    apply inside it; decode regenerates each element sparsely."""
+    # json.dumps would collapse 250.50 → 250.5; write the lexical text raw
+    raw = json.dumps(_CONTAINED_DOC).replace("250.5", "250.50")
+    d = tempfile.mkdtemp(prefix="contained_")
+    with open(f"{d}/r.ndjson", "w") as f:
+        f.write(raw + "\n")
+    df = encode_ndjson(spark, d, resource_type="MedicationRequest")
+    back = [json.loads(r.json) for r in to_fhir_json(df).collect()]
+    assert back == [json.loads(raw)]
+    # decimal annotation reached inside contained
+    el = df.schema["contained"].dataType.elementType
+    num = el["amount"].dataType["numerator"].dataType
+    assert "__value_numeric" in num.fieldNames()
+    assert isinstance(num["value"].dataType, T.StringType)
+    # lexical text preserved (trailing zero)
+    txt = to_fhir_json(df).collect()[0][0]
+    assert "250.50" in txt
+
+
+def test_extract_contained(spark):
+    from parquet_on_fhir_spark.fhir.contained import extract_contained
+
+    path = _write_ndjson([_CONTAINED_DOC])
+    df = encode_ndjson(spark, path, resource_type="MedicationRequest")
+    meds = extract_contained(df, "Medication")
+    rows = meds.collect()
+    assert len(rows) == 1
+    assert rows[0]["_parent_id"] == "mr1"
+    assert rows[0]["id"] == "m1"
+    assert rows[0]["code"]["text"] == "amoxicillin"
+    # no filter → both contained rows
+    assert extract_contained(df).count() == 2
+    # no resourceType match → empty, not error
+    assert extract_contained(df, "Observation").count() == 0
+
+
+def test_resolve_local_reference(spark):
+    from parquet_on_fhir_spark.fhir.contained import resolve_local_reference
+
+    path = _write_ndjson([_CONTAINED_DOC])
+    df = encode_ndjson(spark, path, resource_type="MedicationRequest")
+    r = resolve_local_reference(df, "medicationReference").collect()[0]
+    assert r["medicationReference_resolved"]["id"] == "m1"
+    assert r["medicationReference_resolved"]["code"]["text"] == "amoxicillin"
+    # non-local / dangling → NULL
+    doc2 = dict(_CONTAINED_DOC, id="mr2",
+                medicationReference={"reference": "Medication/external"})
+    path2 = _write_ndjson([_CONTAINED_DOC, doc2])
+    df2 = encode_ndjson(spark, path2, resource_type="MedicationRequest")
+    got = {r["id"]: r["medicationReference_resolved"]
+           for r in resolve_local_reference(df2, "medicationReference").collect()}
+    assert got["mr1"]["id"] == "m1" and got["mr2"] is None
+    # pure projection: no shuffle in the plan
+    plan = resolve_local_reference(df2, "medicationReference")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -196,6 +196,60 @@ _ROUNDTRIP_DOCS = {
                           "status": "current", "date": "2023-01-01T00:00:00Z",
                           "content": [{"attachment": {"contentType": "text/plain",
                                                       "title": "note"}}]},
+    "Medication": {"resourceType": "Medication", "id": "med1", "status": "active",
+                   "code": {"text": "amoxicillin"},
+                   "amount": {"numerator": {"value": 250.0, "unit": "mg"},
+                              "denominator": {"value": 1.0, "unit": "tablet"}},
+                   "batch": {"lotNumber": "L-42", "expirationDate": "2027-12-31"}},
+    "MedicationAdministration": {"resourceType": "MedicationAdministration",
+                                 "id": "ma1", "status": "completed",
+                                 "medicationCodeableConcept": {"text": "heparin"},
+                                 "subject": {"reference": "Patient/p1"},
+                                 "effectiveDateTime": "2024-02-01T09:15:00Z",
+                                 "dosage": {"route": {"text": "IV"},
+                                            "dose": {"value": 5000.0, "unit": "U"}}},
+    "MedicationDispense": {"resourceType": "MedicationDispense", "id": "md1",
+                           "status": "completed",
+                           "medicationCodeableConcept": {"text": "metformin"},
+                           "quantity": {"value": 60.0, "unit": "tablets"},
+                           "daysSupply": {"value": 30.0, "unit": "days"},
+                           "whenHandedOver": "2024-03-05T14:00:00Z",
+                           "substitution": {"wasSubstituted": False}},
+    "MedicationStatement": {"resourceType": "MedicationStatement", "id": "ms1",
+                            "status": "active",
+                            "medicationCodeableConcept": {"text": "aspirin"},
+                            "subject": {"reference": "Patient/p1"},
+                            "effectivePeriod": {"start": "2023-01-01"},
+                            "dateAsserted": "2023-06-15T00:00:00Z"},
+    "Specimen": {"resourceType": "Specimen", "id": "sp1", "status": "available",
+                 "type": {"text": "whole blood"},
+                 "subject": {"reference": "Patient/p1"},
+                 "receivedTime": "2024-04-10T08:30:00Z",
+                 "collection": {"collectedDateTime": "2024-04-10T08:00:00Z",
+                                "quantity": {"value": 5.0, "unit": "mL"}},
+                 "container": [{"description": "EDTA tube",
+                                "capacity": {"value": 10.0, "unit": "mL"}}]},
+    "Goal": {"resourceType": "Goal", "id": "g1", "lifecycleStatus": "active",
+             "description": {"text": "HbA1c below 7%"},
+             "subject": {"reference": "Patient/p1"}, "startDate": "2024-01-01",
+             "target": [{"measure": {"text": "HbA1c"},
+                         "detailQuantity": {"value": 7.0, "unit": "%"},
+                         "dueDate": "2024-12-31"}],
+             "statusDate": "2024-02-01"},
+    "RelatedPerson": {"resourceType": "RelatedPerson", "id": "rp1",
+                      "active": True, "patient": {"reference": "Patient/p1"},
+                      "relationship": [{"text": "mother"}],
+                      "name": [{"family": "Doe", "given": ["C"]}],
+                      "gender": "female", "birthDate": "1945-11-02"},
+    "Provenance": {"resourceType": "Provenance", "id": "pv1",
+                   "target": [{"reference": "Observation/o1"}],
+                   "occurredDateTime": "2024-05-01T12:00:00Z",
+                   "recorded": "2024-05-01T12:00:05.123Z",
+                   "agent": [{"type": {"text": "author"},
+                              "who": {"reference": "Practitioner/pc1"}}],
+                   "entity": [{"role": "source",
+                               "what": {"reference": "DocumentReference/dr1"},
+                               "agent": [{"who": {"reference": "Device/dv1"}}]}]},
 }
 
 
