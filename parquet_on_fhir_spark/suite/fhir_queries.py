@@ -325,3 +325,70 @@ SELECT * FROM (VALUES
 """
 
 QUERIES.append(Q("qf08_fhir_definition_schema", qf08, QF08_ORACLE))
+
+
+# --- SQL-on-FHIR v2 ViewDefinition runner (fhir/views.py) ---------------------------
+# The standard tabular-view layer over Parquet-on-FHIR tables
+# (hl7.org/fhir/uv/sql-on-fhir). Both queries compile entirely to
+# explode + project — map-only plans, hash-checked against DuckDB
+# restatements of the same flattening.
+def qf09(spark, sf_dir):
+    from parquet_on_fhir_spark.fhir.views import run_view
+
+    p = utc(spark).read.parquet(PATIENT)
+    return run_view(p, {
+        "resource": "Patient",
+        "select": [
+            {"column": [
+                {"name": "patient_id", "path": "getResourceKey()"},
+                {"name": "gender", "path": "gender"},
+                {"name": "birth_date", "path": "birthDate"},
+            ]},
+            {"forEach": "name", "column": [
+                {"name": "family", "path": "family"},
+                {"name": "given1", "path": "given.first()"},
+            ]},
+        ],
+    })
+
+
+QF09_ORACLE = f"""
+SELECT id AS patient_id, gender, birthDate AS birth_date,
+       n.family AS family, n.given[1] AS given1
+FROM (SELECT id, gender, birthDate, unnest(name) AS n
+      FROM read_parquet('{PATIENT}'))
+"""
+
+
+def qf10(spark, sf_dir):
+    from parquet_on_fhir_spark.fhir.views import run_view
+
+    o = utc(spark).read.parquet(OBSERVATION)
+    return run_view(o, {
+        "resource": "Observation",
+        "where": [{"path": "status = 'final'"}],
+        "select": [{"column": [
+            {"name": "obs_id", "path": "getResourceKey()"},
+            {"name": "patient_id", "path": "subject.getReferenceKey(Patient)"},
+            {"name": "qty_value", "path": "value.ofType(Quantity).value"},
+            {"name": "code1", "path": "code.coding.first().code"},
+            {"name": "has_category", "path": "category.exists()"},
+        ]}],
+    })
+
+
+QF10_ORACLE = f"""
+SELECT id AS obs_id,
+       CASE WHEN len(string_split(subject.reference, '/')) = 2
+                 AND string_split(subject.reference, '/')[1] = 'Patient'
+                 AND NOT starts_with(subject.reference, '#')
+            THEN string_split(subject.reference, '/')[2] END AS patient_id,
+       valueQuantity."value" AS qty_value,
+       code.coding[1].code AS code1,
+       len(COALESCE(category, [])) > 0 AS has_category
+FROM read_parquet('{OBSERVATION}')
+WHERE status = 'final'
+"""
+
+QUERIES.append(Q("qf09_view_definition_patient", qf09, QF09_ORACLE))
+QUERIES.append(Q("qf10_view_definition_observation", qf10, QF10_ORACLE))
