@@ -6,6 +6,8 @@
     python -m parquet_on_fhir_spark merge    OUT_DIR IN1 IN2 [...]
     python -m parquet_on_fhir_spark schema   IN.ndjson
     python -m parquet_on_fhir_spark search   IN_PARQUET "birthDate=ge1960&gender=male&_count=20"
+    python -m parquet_on_fhir_spark view     IN_PARQUET view_definition.json [--output OUT_PARQUET]
+    python -m parquet_on_fhir_spark ingest   SRC_DIR OUT_TABLE CHECKPOINT --resource-type Patient
 
 Exit code 0 on success; ``validate`` exits 1 when invariants fail.
 """
@@ -53,6 +55,27 @@ def main(argv: list[str] | None = None) -> int:
     srch.add_argument("params")
     srch.add_argument("--output", help="write matches as parquet instead of printing")
     srch.add_argument("--show", type=int, default=20)
+
+    vw = sub.add_parser(
+        "view", help="run a SQL-on-FHIR v2 ViewDefinition (JSON file) over a table"
+    )
+    vw.add_argument("input")
+    vw.add_argument("view_definition")
+    vw.add_argument("--output", help="write the view as parquet instead of printing")
+    vw.add_argument("--show", type=int, default=20)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="streaming NDJSON ingest -> Parquet-on-FHIR (exactly-once, "
+        "AvailableNow: processes what's there and stops; re-run to pick up "
+        "new files)",
+    )
+    ing.add_argument("src_dir")
+    ing.add_argument("output")
+    ing.add_argument("checkpoint")
+    ing.add_argument("--resource-type")
+    ing.add_argument("--no-annotations", action="store_true")
+    ing.add_argument("--quarantine", action="store_true")
 
     args = ap.parse_args(argv)
 
@@ -114,6 +137,37 @@ def main(argv: list[str] | None = None) -> int:
             n = hits.count()
             hits.df.show(args.show, truncate=40)
             print(f"{n} matches")
+        return 0
+
+    if args.cmd == "view":
+        from parquet_on_fhir_spark.fhir.views import run_view
+
+        with open(args.view_definition) as f:
+            vd = json.load(f)
+        out = run_view(spark.read.parquet(args.input), vd)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} rows -> {args.output}")
+        else:
+            out.show(args.show, truncate=40)
+            print(f"{out.count()} rows")
+        return 0
+
+    if args.cmd == "ingest":
+        from parquet_on_fhir_spark.streaming.fhir_ingest import stream_encode_ndjson
+
+        q = stream_encode_ndjson(
+            spark,
+            args.src_dir,
+            args.output,
+            args.checkpoint,
+            resource_type=args.resource_type,
+            annotations=not args.no_annotations,
+            quarantine=args.quarantine,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.output).count()
+        print(f"table now holds {n} resources -> {args.output}")
         return 0
 
     if args.cmd == "schema":

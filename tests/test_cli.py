@@ -46,3 +46,36 @@ def test_cli_encode_validate_decode_roundtrip():
             if line.strip():
                 docs.append(json.loads(line))
     assert sorted(docs, key=lambda x: x["id"]) == rows
+
+
+def test_cli_view():
+    d = tempfile.mkdtemp(prefix="cli_view_")
+    rows = [
+        {"resourceType": "Patient", "id": "p1", "gender": "male",
+         "name": [{"family": "A", "given": ["x"]}, {"family": "B"}]},
+        {"resourceType": "Patient", "id": "p2", "gender": "female"},
+    ]
+    src = f"{d}/in.ndjson"
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    enc = run_cli("encode", src, f"{d}/table", "--resource-type", "Patient")
+    assert enc.returncode == 0, enc.stderr[-2000:]
+
+    vd = {"resource": "Patient", "select": [
+        {"column": [{"name": "pid", "path": "getResourceKey()"},
+                    {"name": "gender", "path": "gender"}]},
+        {"forEachOrNull": "name",
+         "column": [{"name": "family", "path": "family"}]}]}
+    with open(f"{d}/vd.json", "w") as f:
+        json.dump(vd, f)
+    out = run_cli("view", f"{d}/table", f"{d}/vd.json", "--output", f"{d}/flat")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "3 rows" in out.stdout
+
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT pid, gender, family FROM read_parquet('{d}/flat/*.parquet') ORDER BY pid, family"
+    ).fetchall()
+    assert got == [("p1", "male", "A"), ("p1", "male", "B"), ("p2", "female", None)]
