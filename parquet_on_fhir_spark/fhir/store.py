@@ -1,0 +1,202 @@
+"""Multi-resource search: chained parameters, ``_include`` /
+``_revinclude`` (hl7.org/fhir/R4/search.html#chaining, #include).
+
+A :class:`FhirStore` is a set of resource tables (one Parquet-on-FHIR
+table per resourceType — the format's fundamental layout). On top of the
+single-table :class:`~parquet_on_fhir_spark.fhir.table.FhirTable`
+predicates it adds the three search features that need a SECOND table:
+
+- chained parameter ``subject:Patient.name=benne`` — filter the target
+  type with the tail parameter, then LEFT SEMI join the source on the
+  reference key. The filtered target is usually tiny, so Spark's AQE
+  broadcasts it — the 100 TB source table is never shuffled; with an
+  explicit ``broadcast_chain=True`` the hint is forced.
+- ``_include=Source:refElement[:TargetType]`` — resources referenced BY
+  the matches (keys from the match set: a broadcast-size semi join).
+- ``_revinclude=Other:refElement`` — resources REFERENCING the matches
+  (semi join of the other table against match keys).
+
+Reference keys are the relative ``Type/id`` form (the format the
+examples and Bulk Export produce); local ``#id`` references resolve
+within-row via fhir/contained.py instead — they never reach a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_on_fhir_spark.fhir.table import FhirTable
+
+
+def _ref_id(col: Column, target_type: str) -> Column:
+    """'<target_type>/<id>' → id (NULL for other shapes)."""
+    parts = F.split(col, "/")
+    return F.when(
+        (F.size(parts) == 2) & (parts.getItem(0) == target_type),
+        parts.getItem(1),
+    )
+
+
+def _ref_ids(df: DataFrame, element: str, target_type: str) -> DataFrame:
+    """DISTINCT referenced ids for ``element`` (scalar Reference or
+    array-of-Reference), as a 1-column frame named ``__ref_id``."""
+    dtype = df.schema[element].dataType
+    if isinstance(dtype, T.ArrayType):
+        ref = F.explode(F.col(f"{element}.reference")).alias("__r")
+        base = df.select(ref)
+        ids = base.select(_ref_id(F.col("__r"), target_type).alias("__ref_id"))
+    else:
+        ids = df.select(
+            _ref_id(F.col(f"{element}.reference"), target_type).alias("__ref_id")
+        )
+    return ids.filter(F.col("__ref_id").isNotNull()).distinct()
+
+
+class FhirStore:
+    """resourceType → FhirTable registry with multi-table search."""
+
+    def __init__(self, tables: dict[str, FhirTable]):
+        self.tables = dict(tables)
+
+    @classmethod
+    def read(cls, spark: SparkSession, root: str, types: list[str]) -> "FhirStore":
+        """Open ``<root>/<Type>`` for each type (the layout
+        ``encode_mixed_ndjson`` writes)."""
+        return cls(
+            {t: FhirTable.read(spark, f"{root}/{t}") for t in types}
+        )
+
+    def __getitem__(self, rtype: str) -> FhirTable:
+        return self.tables[rtype]
+
+    # -- chained parameters ------------------------------------------------
+    def where_chained(
+        self,
+        rtype: str,
+        ref_element: str,
+        target_type: str,
+        target_params: str,
+        broadcast_chain: bool = False,
+    ) -> FhirTable:
+        """``<ref_element>:<target_type>.<tail>=...`` — keep ``rtype``
+        rows whose reference points at a target matching
+        ``target_params`` (any single-table search string).
+
+        Plan: target filtered scan → (optionally broadcast) LEFT SEMI
+        join on the parsed reference key. The source table is filtered
+        in place — no row of it is duplicated or shuffled beyond the
+        semi join itself.
+        """
+        src = self.tables[rtype].df
+        matched = self.tables[target_type].search(target_params).df.select(
+            F.col("id").alias("__target_id")
+        )
+        if broadcast_chain:
+            matched = F.broadcast(matched)
+        dtype = src.schema[ref_element].dataType
+        if isinstance(dtype, T.ArrayType):
+            key = F.explode(F.col(f"{ref_element}.reference"))
+            exploded = src.withColumn("__r", key).withColumn(
+                "__ref_id", _ref_id(F.col("__r"), target_type)
+            )
+            hit_ids = (
+                exploded.join(
+                    matched,
+                    exploded["__ref_id"] == matched["__target_id"],
+                    "left_semi",
+                )
+                .select("id")
+                .distinct()
+            )
+            out = src.join(F.broadcast(hit_ids), "id", "left_semi")
+        else:
+            keyed = src.withColumn(
+                "__ref_id", _ref_id(F.col(f"{ref_element}.reference"), target_type)
+            )
+            out = keyed.join(
+                matched, keyed["__ref_id"] == matched["__target_id"], "left_semi"
+            ).drop("__ref_id")
+        return FhirTable(out)
+
+    # -- _include / _revinclude -------------------------------------------
+    def search(
+        self, rtype: str, params: str
+    ) -> dict[str, DataFrame]:
+        """Full search: single-table parameters and chained parameters
+        filter the primary type; ``_include`` / ``_revinclude`` add
+        secondary result frames.
+
+        Returns ``{"<rtype>": matches, "<IncludedType>": frame, ...}`` —
+        multiple result frames is the natural Spark shape for a FHIR
+        search bundle (one DataFrame per resourceType).
+        """
+        plain: list[str] = []
+        chained: list[tuple[str, str, str]] = []
+        includes: list[tuple[str, str, str | None]] = []
+        revincludes: list[tuple[str, str]] = []
+        for clause in params.split("&"):
+            if not clause.strip():
+                continue
+            key, _, raw = clause.partition("=")
+            key = key.strip()
+            if key == "_include":
+                src, _, rest = raw.partition(":")
+                el, _, tgt = rest.partition(":")
+                if src != rtype:
+                    raise ValueError(f"_include source {src!r} != searched type")
+                includes.append((src, el, tgt or None))
+            elif key == "_revinclude":
+                other, _, el = raw.partition(":")
+                revincludes.append((other, el))
+            elif ":" in key and "." in key.partition(":")[2]:
+                el, _, rest = key.partition(":")
+                tgt, _, tail = rest.partition(".")
+                chained.append((el, tgt, f"{tail}={raw}"))
+            else:
+                plain.append(clause)
+
+        table = self.tables[rtype]
+        if plain:
+            table = table.search("&".join(plain))
+        result = FhirStore({**self.tables, rtype: table})
+        for el, tgt, tail in chained:
+            result.tables[rtype] = result.where_chained(rtype, el, tgt, tail)
+        primary = result.tables[rtype].df
+        out: dict[str, DataFrame] = {rtype: primary}
+
+        for _, el, tgt in includes:
+            dtype = primary.schema[el].dataType
+            inner = dtype.elementType if isinstance(dtype, T.ArrayType) else dtype
+            if not isinstance(inner, T.StructType) or "reference" not in inner.fieldNames():
+                raise ValueError(f"_include element {el!r} is not a Reference")
+            targets = [tgt] if tgt else list(self.tables)
+            for t in targets:
+                if t not in self.tables or t == rtype:
+                    continue
+                ids = _ref_ids(primary, el, t)
+                frame = self.tables[t].df.join(
+                    F.broadcast(ids),
+                    F.col("id") == F.col("__ref_id"),
+                    "left_semi",
+                )
+                if frame.take(1) or tgt:  # keep explicit targets even if empty
+                    out[t] = frame
+
+        for other, el in revincludes:
+            ids = primary.select(F.col("id").alias("__m_id")).distinct()
+            odf = self.tables[other].df
+            dtype = odf.schema[el].dataType
+            ref = (
+                F.explode(F.col(f"{el}.reference"))
+                if isinstance(dtype, T.ArrayType)
+                else F.col(f"{el}.reference")
+            )
+            keyed = odf.withColumn("__ref_id", _ref_id(ref, rtype))
+            out[other] = keyed.join(
+                F.broadcast(ids),
+                keyed["__ref_id"] == ids["__m_id"],
+                "left_semi",
+            ).drop("__ref_id")
+        return out

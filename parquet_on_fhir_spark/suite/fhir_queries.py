@@ -392,3 +392,42 @@ WHERE status = 'final'
 
 QUERIES.append(Q("qf09_view_definition_patient", qf09, QF09_ORACLE))
 QUERIES.append(Q("qf10_view_definition_observation", qf10, QF10_ORACLE))
+
+
+# --- chained search parameter (fhir/store.py) ---------------------------------------
+def qf11(spark, sf_dir):
+    """Observations whose subject chain-matches Patient.gender=female,
+    with the reference key surfaced — filtered-target LEFT SEMI join
+    (hl7.org/fhir/R4/search.html#chaining)."""
+    from parquet_on_fhir_spark.fhir.store import FhirStore
+    from parquet_on_fhir_spark.fhir.table import FhirTable
+
+    utc(spark)
+    store = FhirStore({
+        "Patient": FhirTable.read(spark, PATIENT),
+        "Observation": FhirTable.read(spark, OBSERVATION),
+    })
+    obs = store.search(
+        "Observation", "status=final&subject:Patient.gender=female"
+    )["Observation"]
+    return obs.select(
+        "id",
+        F.split("subject.reference", "/").getItem(1).alias("patient_id"),
+        "status",
+        F.col("code.coding").getItem(0).getField("code").alias("code1"),
+    )
+
+
+QF11_ORACLE = f"""
+SELECT o.id AS id,
+       string_split(o.subject.reference, '/')[2] AS patient_id,
+       o.status AS status,
+       o.code.coding[1].code AS code1
+FROM read_parquet('{OBSERVATION}') o
+WHERE o.status = 'final'
+  AND string_split(o.subject.reference, '/')[1] = 'Patient'
+  AND string_split(o.subject.reference, '/')[2] IN (
+        SELECT id FROM read_parquet('{PATIENT}') WHERE gender = 'female')
+"""
+
+QUERIES.append(Q("qf11_chained_search", qf11, QF11_ORACLE))

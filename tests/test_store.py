@@ -1,0 +1,80 @@
+"""Multi-resource search (fhir/store.py): chained parameters,
+_include/_revinclude over the golden Patient/Observation pair."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.fhir.store import FhirStore
+from parquet_on_fhir_spark.fhir.table import FhirTable
+
+PATIENT = "/root/reference/examples/Patient.parquet"
+OBSERVATION = "/root/reference/examples/Observation.parquet"
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return FhirStore({
+        "Patient": FhirTable.read(spark, PATIENT),
+        "Observation": FhirTable.read(spark, OBSERVATION),
+    })
+
+
+def test_chained_parameter(spark, store):
+    """subject:Patient.gender=female — Observations whose subject is a
+    female patient, computed as filtered-target semi join."""
+    out = store.search("Observation", "subject:Patient.gender=female")
+    obs = out["Observation"]
+    # oracle: parse the key and check directly
+    females = {
+        r.id for r in store["Patient"].df.filter("gender = 'female'").collect()
+    }
+    got_subjects = {
+        r[0].split("/")[1] for r in obs.select("subject.reference").collect()
+    }
+    assert got_subjects and got_subjects <= females
+    expected = store["Observation"].df.filter(
+        F.split("subject.reference", "/").getItem(1).isin(list(females))
+    ).count()
+    assert obs.count() == expected
+    # semi-join plan, no row duplication
+    plan = obs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_chained_with_plain_params(store):
+    out = store.search(
+        "Observation", "status=final&subject:Patient.gender=female"
+    )
+    assert out["Observation"].filter("status != 'final'").count() == 0
+
+
+def test_include(store):
+    out = store.search(
+        "Observation", "status=final&_include=Observation:subject:Patient"
+    )
+    pats = out["Patient"]
+    subj = {
+        r[0].split("/")[1]
+        for r in out["Observation"].select("subject.reference").collect()
+    }
+    got = {r.id for r in pats.select("id").collect()}
+    assert got == subj  # exactly the referenced patients, each once
+
+
+def test_revinclude(store):
+    out = store.search(
+        "Patient", "gender=female&_revinclude=Observation:subject"
+    )
+    obs = out["Observation"]
+    females = {r.id for r in out["Patient"].select("id").collect()}
+    refs = {
+        r[0].split("/")[1] for r in obs.select("subject.reference").collect()
+    }
+    assert refs and refs <= females
+
+
+def test_include_bad_element_raises(store):
+    with pytest.raises(ValueError, match="not a Reference"):
+        store.search("Observation", "_include=Observation:status")
+    with pytest.raises(ValueError, match="!= searched type"):
+        store.search("Observation", "_include=Patient:subject")
