@@ -22,7 +22,8 @@ Supported ViewDefinition surface
 FHIRPath subset (per the spec's "Shareable View Definition" profile):
 path navigation with implicit collection flattening, ``$this``,
 ``first()``, ``exists()``, ``empty()``, ``count()``, ``where(<field>
-<op> <literal>)`` (op ∈ = != > >= < <=, or a bare truthy path),
+<op> <literal>)`` (op ∈ = != > >= < <=, a bare truthy path, and
+``and`` / ``or`` / ``not`` / parenthesized combinations),
 ``ofType(X)`` (choice-type column selection), ``extension('url')``,
 ``getResourceKey()``, ``getReferenceKey([Type])`` (relative
 ``Type/id`` references), and ``lowBoundary()``/``highBoundary()`` on
@@ -137,6 +138,53 @@ def _literal(tok: str, constants: dict[str, Any]) -> Any:
         return float(tok)
     except ValueError:
         raise ViewPathError(f"unsupported literal: {tok!r}")
+
+
+def _split_kw(expr: str, kw: str) -> list[str]:
+    """Split on the bare keyword (`` and `` / `` or ``) at paren/quote
+    depth 0."""
+    out, buf, depth, q = [], [], 0, None
+    i, n, pat = 0, len(expr), f" {kw} "
+    while i < n:
+        ch = expr[i]
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and expr.startswith(pat, i):
+            out.append("".join(buf))
+            buf = []
+            i += len(pat)
+            continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+def _balanced(s: str) -> bool:
+    depth, q = 0, None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and q is None
 
 
 _CMP = re.compile(r"^(.*?)\s*(!=|>=|<=|=|>|<)\s*(.*)$")
@@ -304,6 +352,19 @@ class _Compiler:
         return build
 
     def _bool_expr(self, expr: str, col: Column | None, dtype: T.DataType) -> Column:
+        expr = expr.strip()
+        # FHIRPath boolean combinators, lowest precedence first
+        for kw, combine in (("or", Column.__or__), ("and", Column.__and__)):
+            parts = _split_kw(expr, kw)
+            if len(parts) > 1:
+                out = self._bool_expr(parts[0], col, dtype)
+                for p in parts[1:]:
+                    out = combine(out, self._bool_expr(p, col, dtype))
+                return out
+        if expr.startswith("(") and expr.endswith(")") and _balanced(expr[1:-1]):
+            return self._bool_expr(expr[1:-1], col, dtype)
+        if expr.startswith("not "):
+            return ~self._bool_expr(expr[4:], col, dtype)
         m = _CMP.match(expr.strip())
         if m and m.group(1).strip():
             lhs, dt, multi = self.compile(m.group(1).strip(), col, dtype)

@@ -70,3 +70,63 @@ def enable_runtime_filters(spark: SparkSession, for_local_test: bool = False) ->
     if for_local_test:
         for k, v in _RUNTIME_FILTER_CONFS.items():
             spark.conf.set(k, v)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    sort_cols: list[str] | None = None,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite a small-files table (the residue of streaming ingest /
+    many incremental appends) into ~``target_file_mb`` files.
+
+    Sizing comes from the table's own file listing via the Hadoop
+    FileSystem API — works on file:/, hdfs:/ or s3a:/ alike and costs
+    one metadata listing, no data read. The rewrite is ONE job:
+    ``coalesce`` (no shuffle) when only merging, or a range shuffle when
+    ``sort_cols`` asks for clustering while we're paying for the rewrite
+    anyway. Writes to ``<path>__compact`` then swaps, so a concurrent
+    reader sees either the old or the new file set, never a mix.
+
+    Returns ``{files_before, files_after, bytes, skipped}``.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n_files, total = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        n_files += 1
+        total += f.getLen()
+    n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    if n_files < min_files or n_files <= n_target:
+        return {"files_before": n_files, "files_after": n_files,
+                "bytes": total, "skipped": True}
+
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = optimize_layout(df, sort_cols, n_target)
+    else:
+        out = df.coalesce(n_target)
+    tmp = f"{path}__compact"
+    out.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    bak = f"{path}__old"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(bak), True)
+    if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(bak)):
+        raise IOError(f"compact_table: cannot move {path} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        # roll back
+        fs.rename(jvm.org.apache.hadoop.fs.Path(bak), hpath)
+        raise IOError(f"compact_table: cannot move {tmp} into place")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(bak), True)
+    return {"files_before": n_files, "files_after": n_target,
+            "bytes": total, "skipped": False}

@@ -179,3 +179,31 @@ def test_token_budget_has_no_single_partition_window(spark, sf_dir):
     assert "Window" in plan  # boundary bucket still windowed...
     assert "SinglePartition" not in plan  # ...but never on one partition
     assert out.agg(F.sum("n_tokens")).collect()[0][0] <= int(total * 0.4)
+
+
+def test_compact_table(spark, sf_dir):
+    """Streaming-ingest residue (many small files) → few right-sized
+    files; same rows; concurrent-reader-safe swap; idempotent re-run."""
+    import tempfile
+    from pathlib import Path
+
+    from parquet_on_fhir_spark.operators.layout import compact_table
+
+    base = tempfile.mkdtemp(prefix="compact_")
+    tbl = f"{base}/t"
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.repartition(64).write.parquet(tbl)  # simulate tiny appends
+    before = len(list(Path(tbl).glob("part-*.parquet")))
+    assert before >= 32
+    n = lineitem.count()
+
+    r = compact_table(spark, tbl, target_file_mb=512)
+    assert not r["skipped"] and r["files_before"] == before
+    after = len(list(Path(tbl).glob("part-*.parquet")))
+    assert after == r["files_after"] < before
+    assert spark.read.parquet(tbl).count() == n
+    assert not Path(f"{tbl}__compact").exists()
+    assert not Path(f"{tbl}__old").exists()
+
+    r2 = compact_table(spark, tbl, target_file_mb=512)
+    assert r2["skipped"]  # already compact — no rewrite job

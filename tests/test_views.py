@@ -218,3 +218,35 @@ def test_nested_select_and_plan_shape(spark):
     # map-only: generators + project, no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_boolean_combinators_in_where(spark):
+    p = spark.read.parquet(PATIENT)
+    both = run_view(p, {
+        "resource": "Patient",
+        "where": [{"path": "gender = 'female' or gender = 'male'"}],
+        "select": [{"column": [{"name": "pid", "path": "id"}]}],
+    }).count()
+    assert both == 100
+    combo = run_view(p, {
+        "resource": "Patient",
+        "where": [{"path": "gender = 'female' and name.exists()"}],
+        "select": [{"column": [{"name": "pid", "path": "id"}]}],
+    }).count()
+    females = p.filter("gender = 'female'").count()
+    assert 0 < combo <= females
+    neg = run_view(p, {
+        "resource": "Patient",
+        "where": [{"path": "not (gender = 'female' or gender = 'male')"}],
+        "select": [{"column": [{"name": "pid", "path": "id"}]}],
+    }).count()
+    assert neg == 0
+    # combinators inside where() element predicates too
+    ssn = run_view(p, {
+        "resource": "Patient",
+        "select": [{"forEach":
+                    "identifier.where(system = 'http://hl7.org/fhir/sid/us-ssn'"
+                    " and value.exists())",
+                    "column": [{"name": "ssn", "path": "value"}]}],
+    }).count()
+    assert ssn == 100
