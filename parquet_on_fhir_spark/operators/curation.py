@@ -1,0 +1,206 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/quality (operators/dedup.py, text.py): benchmark
+decontamination, deterministic mixture sampling, repetition statistics
+(Gopher-style), and PII redaction.
+
+All four are JVM-expression implementations. Shuffle budget:
+
+- :func:`decontaminate` — the ONLY non-map-only op here, and its single
+  join is a BROADCAST anti join: benchmark n-gram sets are MBs while the
+  corpus is the 100 TB side, which is scanned once and never shuffled.
+- :func:`sample_mixture` — pure map: per-row hash threshold, so the
+  sample is reproducible across runs, partitionings and cluster shapes
+  (no sample()/limit() layout dependence).
+- :func:`repetition_stats` — pure map: per-document line/n-gram
+  statistics via higher-order array expressions.
+- :func:`redact_pii` — pure map: a regexp_replace chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.operators.dedup import md5_60
+
+#: md5_60 yields uniform integers in [0, 2^60): divide for a U[0,1) draw.
+_HASH_SPACE = float(2**60)
+
+
+def _word_ngrams(text_col: Column, n: int) -> Column:
+    """Lower-cased word-level n-grams as strings (map-side only).
+
+    ``sequence`` + ``transform`` + ``slice`` keeps it one nested
+    expression — no explode, no shuffle; empty/short docs yield an
+    empty array.
+    """
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_words = F.size(words)
+    return F.when(n_words < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_words - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Drop corpus documents sharing ≥ ``min_overlap`` word ``n``-grams
+    with any benchmark document (test-set contamination removal; 13-gram
+    matching is the common published setting).
+
+    Plan — two clean corpus scans, zero corpus shuffles:
+
+    1. benchmark → distinct gram frame (benchmarks are MBs; the corpus
+       is the 100 TB side) → BROADCAST
+    2. corpus → gram explode (a generator, map-side) → broadcast LEFT
+       SEMI join → contaminated ids (the only shuffle: a distinct over
+       the hit ids, which are few)
+    3. corpus → broadcast LEFT ANTI join on the contaminated-id set.
+
+    ``min_overlap>1`` swaps the distinct for a per-doc distinct-gram
+    count ≥ k.
+    """
+    bench_grams = benchmark.select(
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    hits = corpus.select(
+        id_col, F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+    ).join(F.broadcast(bench_grams), "gram", "left_semi")
+    if min_overlap <= 1:
+        contaminated = hits.select(id_col).distinct()
+    else:
+        contaminated = (
+            hits.groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("__hits"))
+            .filter(F.col("__hits") >= min_overlap)
+            .select(id_col)
+        )
+    return corpus.join(F.broadcast(contaminated), [id_col], "left_anti")
+
+
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling to a target mixture: keep each
+    row of stratum ``k`` with probability ``weights[k]`` decided by a
+    hash of (seed, id) — the same rows survive on any cluster layout,
+    and disjoint seeds give disjoint-ish epochs. Rates > 1 are capped
+    at 1 (upsampling needs row replication, not sampling).
+
+    Map-only; the weights table is a literal CASE expression, not a join.
+    """
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(weights.items()):
+        rate = F.when(F.col(key_col) == k, F.lit(min(float(v), 1.0))).otherwise(rate)
+    draw = md5_60(
+        F.concat_ws(":", F.lit(f"mix{seed}"), F.col(id_col).cast("string"))
+    ) / F.lit(_HASH_SPACE)
+    return df.filter(draw < rate)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals as added columns:
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier line (0 for single-line docs).
+    - ``top_2gram_frac``: share of all word 2-grams taken by the most
+      frequent one (sorted-run max over the 2-gram array — an
+      ``aggregate`` fold, no per-row data structure).
+    - ``word_count``: whitespace tokens.
+
+    Pure expressions → whole-stage codegen; filter thresholds with
+    :func:`repetition_filter`.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    )
+    grams = F.array_sort(_word_ngrams(F.col(text_col), 2))
+    n_g = F.size(grams)
+    # longest equal-run in the sorted array = max 2-gram multiplicity
+    run_state = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_frac = F.when(n_g <= 0, F.lit(0.0)).otherwise(run_state / n_g)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        df.withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("top_2gram_frac", top_frac)
+        .withColumn("word_count", F.size(words))
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_2gram_frac: float = 0.20,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Apply the standard repetition/length gates (published Gopher
+    thresholds as defaults); returns surviving rows without the stat
+    columns."""
+    stats = repetition_stats(df, text_col)
+    return stats.filter(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        & (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words)
+    ).drop("dup_line_frac", "top_2gram_frac", "word_count")
+
+
+#: (pattern, replacement) — patterns restricted to a syntax evaluated
+#: identically by Java regex (Spark) and RE2 (DuckDB, for the oracle):
+#: no lookaround, no backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    # no leading \b: '(' has no word boundary against a preceding space
+    (r"(\+?\d{1,2}[ .\-])?(\(\d{3}\)[ .\-]?|\d{3}[ .\-])\d{3}[ .\-]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace email/SSN/IPv4/US-phone shapes with typed placeholders —
+    a regexp_replace chain (map-only)."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col or text_col, col)

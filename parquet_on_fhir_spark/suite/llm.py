@@ -626,3 +626,150 @@ QUERIES = [
     Q("q73_multimodal_features", q73, Q73_ORACLE),
     Q("q73b_multimodal_frame_plan", q73b, Q73B_ORACLE),
 ]
+
+
+# --- Q95: benchmark decontamination (13-gram overlap removal) ------------------------
+def q95(spark, sf_dir):
+    """Corpus minus documents sharing any word 8-gram with the
+    benchmark slice (doc_id % 17 == 0). Broadcast semi/anti joins — the
+    corpus side is never shuffled (operators/curation.py)."""
+    from parquet_on_fhir_spark.operators.curation import decontaminate
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate(d, bench, n=8).select("doc_id")
+
+
+Q95_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - 6),
+                               i -> array_to_string(words[i:i+7], ' '))) AS gram
+  FROM w WHERE len(words) >= 8
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+c AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM c)
+"""
+
+
+# --- Q96: deterministic mixture sampling (hash-threshold stratified) -----------------
+def q96(spark, sf_dir):
+    """Stratified downsampling to a source mixture with layout-independent
+    hash draws (md5_60(seed:id) / 2^60 < rate)."""
+    from parquet_on_fhir_spark.operators.curation import sample_mixture
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+    return sample_mixture(d, weights, default_rate=0.1).select("doc_id", "source")
+
+
+Q96_ORACLE = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5('mix0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      / 1152921504606846976.0
+      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+                    WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END
+"""
+
+
+# --- Q97: repetition statistics (Gopher-style gates) ---------------------------------
+def q97(spark, sf_dir):
+    """Per-document repetition signals: duplicate-line fraction and the
+    share of the most frequent word 2-gram (operators/curation.py,
+    pure higher-order expressions)."""
+    from parquet_on_fhir_spark.operators.curation import repetition_stats
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = repetition_stats(d)
+    return s.select(
+        "doc_id",
+        d4(F.col("dup_line_frac")).alias("dup_line_frac"),
+        d4(F.col("top_2gram_frac")).alias("top_2gram_frac"),
+        "word_count",
+    )
+
+
+Q97_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS gram
+  FROM w WHERE len(words) >= 2
+),
+tg AS (
+  SELECT doc_id, max(n) AS mx, CAST(sum(n) AS BIGINT) AS tot
+  FROM (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT w.doc_id AS doc_id,
+       round(CASE WHEN len(lines) <= 0 THEN 0.0
+                  ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+             END + 1e-9, 4) AS dup_line_frac,
+       round(COALESCE(tg.mx * 1.0 / tg.tot, 0.0) + 1e-9, 4) AS top_2gram_frac,
+       len(words) AS word_count
+FROM w LEFT JOIN tg ON w.doc_id = tg.doc_id
+"""
+
+
+# --- Q98: PII redaction (regexp_replace chain, cross-engine regex subset) -----------
+def q98(spark, sf_dir):
+    """Emails/SSNs/IPs/phones injected deterministically, then redacted;
+    patterns restricted to the Java-regex ∩ RE2 subset so the oracle
+    replays them verbatim (operators/curation.py::PII_PATTERNS)."""
+    from parquet_on_fhir_spark.operators.curation import redact_pii
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel 415-555-0123 "),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select(
+        "doc_id", F.substring(F.col("text"), 1, 120).alias("redacted")
+    )
+
+
+Q98_ORACLE = """
+WITH seeded AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 tel 415-555-0123 '
+           || substr(text, 1, 40) AS text
+  FROM documents
+)
+SELECT doc_id,
+       substr(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+           '(\\+?\\d{1,2}[ .\\-])?(\\(\\d{3}\\)[ .\\-]?|\\d{3}[ .\\-])\\d{3}[ .\\-]\\d{4}\\b', '[PHONE]', 'g'),
+         1, 120) AS redacted
+FROM seeded
+"""
+
+QUERIES.extend([
+    Q("q95_decontaminate", q95, Q95_ORACLE),
+    Q("q96_sample_mixture", q96, Q96_ORACLE),
+    Q("q97_repetition_stats", q97, Q97_ORACLE),
+    Q("q98_redact_pii", q98, Q98_ORACLE),
+])
