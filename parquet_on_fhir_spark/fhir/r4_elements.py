@@ -1082,6 +1082,285 @@ RESOURCES: dict[str, dict] = {
         ),
         "signature": A("Signature"),
     },
+    "Coverage": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": "CodeableConcept",
+        "policyHolder": "Reference",
+        "subscriber": "Reference",
+        "subscriberId": "string",
+        "beneficiary": "Reference",
+        "dependent": "string",
+        "relationship": "CodeableConcept",
+        "period": "Period",
+        "payor": A("Reference"),
+        "class": A(
+            {"type": "CodeableConcept", "value": "string", "name": "string"}
+        ),
+        "order": "positiveInt",
+        "network": "string",
+        "costToBeneficiary": A(
+            {
+                "type": "CodeableConcept",
+                "value[x]": ["SimpleQuantity", "Money"],
+                "exception": A({"type": "CodeableConcept", "period": "Period"}),
+            }
+        ),
+        "subrogation": "boolean",
+        "contract": A("Reference"),
+    },
+    "ImagingStudy": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "modality": A("Coding"),
+        "subject": "Reference",
+        "encounter": "Reference",
+        "started": "dateTime",
+        "basedOn": A("Reference"),
+        "referrer": "Reference",
+        "interpreter": A("Reference"),
+        "endpoint": A("Reference"),
+        "numberOfSeries": "unsignedInt",
+        "numberOfInstances": "unsignedInt",
+        "procedureReference": "Reference",
+        "procedureCode": A("CodeableConcept"),
+        "location": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "note": A("Annotation"),
+        "description": "string",
+        "series": A(
+            {
+                "uid": "id",
+                "number": "unsignedInt",
+                "modality": "Coding",
+                "description": "string",
+                "numberOfInstances": "unsignedInt",
+                "endpoint": A("Reference"),
+                "bodySite": "Coding",
+                "laterality": "Coding",
+                "specimen": A("Reference"),
+                "started": "dateTime",
+                "performer": A(
+                    {"function": "CodeableConcept", "actor": "Reference"}
+                ),
+                "instance": A(
+                    {
+                        "uid": "id",
+                        "sopClass": "Coding",
+                        "number": "unsignedInt",
+                        "title": "string",
+                    }
+                ),
+            }
+        ),
+    },
+    "Appointment": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "cancelationReason": "CodeableConcept",
+        "serviceCategory": A("CodeableConcept"),
+        "serviceType": A("CodeableConcept"),
+        "specialty": A("CodeableConcept"),
+        "appointmentType": "CodeableConcept",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "priority": "unsignedInt",
+        "description": "string",
+        "supportingInformation": A("Reference"),
+        "start": "instant",
+        "end": "instant",
+        "minutesDuration": "positiveInt",
+        "slot": A("Reference"),
+        "created": "dateTime",
+        "comment": "string",
+        "patientInstruction": "string",
+        "basedOn": A("Reference"),
+        "participant": A(
+            {
+                "type": A("CodeableConcept"),
+                "actor": "Reference",
+                "required": "code",
+                "status": "code",
+                "period": "Period",
+            }
+        ),
+        "requestedPeriod": A("Period"),
+    },
+    "Communication": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiatesCanonical": A("canonical"),
+        "instantiatesUri": A("uri"),
+        "basedOn": A("Reference"),
+        "partOf": A("Reference"),
+        "inResponseTo": A("Reference"),
+        "status": "code",
+        "statusReason": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "priority": "code",
+        "medium": A("CodeableConcept"),
+        "subject": "Reference",
+        "topic": "CodeableConcept",
+        "about": A("Reference"),
+        "encounter": "Reference",
+        "sent": "dateTime",
+        "received": "dateTime",
+        "recipient": A("Reference"),
+        "sender": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "payload": A(
+            {"content[x]": ["string", "Attachment", "Reference"]}
+        ),
+        "note": A("Annotation"),
+    },
+    "Composition": {
+        **_DOMAIN,
+        "identifier": "Identifier",
+        "status": "code",
+        "type": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "subject": "Reference",
+        "encounter": "Reference",
+        "date": "dateTime",
+        "author": A("Reference"),
+        "title": "string",
+        "confidentiality": "code",
+        "attester": A(
+            {"mode": "code", "time": "dateTime", "party": "Reference"}
+        ),
+        "custodian": "Reference",
+        "relatesTo": A(
+            {"code": "code", "target[x]": ["Identifier", "Reference"]}
+        ),
+        "event": A(
+            {
+                "code": A("CodeableConcept"),
+                "period": "Period",
+                "detail": A("Reference"),
+            }
+        ),
+        # Composition.section nests recursively; one structured level,
+        # matching the extension depth policy (deeper via JSON spill)
+        "section": A(
+            {
+                "title": "string",
+                "code": "CodeableConcept",
+                "author": A("Reference"),
+                "focus": "Reference",
+                "text": "Narrative",
+                "mode": "code",
+                "orderedBy": "CodeableConcept",
+                "entry": A("Reference"),
+                "emptyReason": "CodeableConcept",
+            }
+        ),
+    },
+    "Consent": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "scope": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "patient": "Reference",
+        "dateTime": "dateTime",
+        "performer": A("Reference"),
+        "organization": A("Reference"),
+        "source[x]": ["Attachment", "Reference"],
+        "policy": A({"authority": "uri", "uri": "uri"}),
+        "policyRule": "CodeableConcept",
+        "verification": A(
+            {
+                "verified": "boolean",
+                "verifiedWith": "Reference",
+                "verificationDate": "dateTime",
+            }
+        ),
+        "provision": {
+            "type": "code",
+            "period": "Period",
+            "actor": A({"role": "CodeableConcept", "reference": "Reference"}),
+            "action": A("CodeableConcept"),
+            "securityLabel": A("Coding"),
+            "purpose": A("Coding"),
+            "class": A("Coding"),
+            "code": A("CodeableConcept"),
+            "dataPeriod": "Period",
+            "data": A({"meaning": "code", "reference": "Reference"}),
+        },
+    },
+    "Task": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiatesCanonical": "canonical",
+        "instantiatesUri": "uri",
+        "basedOn": A("Reference"),
+        "groupIdentifier": "Identifier",
+        "partOf": A("Reference"),
+        "status": "code",
+        "statusReason": "CodeableConcept",
+        "businessStatus": "CodeableConcept",
+        "intent": "code",
+        "priority": "code",
+        "code": "CodeableConcept",
+        "description": "string",
+        "focus": "Reference",
+        "for": "Reference",
+        "encounter": "Reference",
+        "executionPeriod": "Period",
+        "authoredOn": "dateTime",
+        "lastModified": "dateTime",
+        "requester": "Reference",
+        "performerType": A("CodeableConcept"),
+        "owner": "Reference",
+        "location": "Reference",
+        "reasonCode": "CodeableConcept",
+        "reasonReference": "Reference",
+        "insurance": A("Reference"),
+        "note": A("Annotation"),
+        "relevantHistory": A("Reference"),
+        "restriction": {
+            "repetitions": "positiveInt",
+            "period": "Period",
+            "recipient": A("Reference"),
+        },
+    },
+    "QuestionnaireResponse": {
+        **_DOMAIN,
+        "identifier": "Identifier",
+        "basedOn": A("Reference"),
+        "partOf": A("Reference"),
+        "questionnaire": "canonical",
+        "status": "code",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "authored": "dateTime",
+        "author": "Reference",
+        "source": "Reference",
+        # item nests recursively (item.item, item.answer.item); one
+        # structured answer level, as with Composition.section
+        "item": A(
+            {
+                "linkId": "string",
+                "definition": "uri",
+                "text": "string",
+                "answer": A(
+                    {
+                        "value[x]": [
+                            "boolean", "decimal", "integer", "date",
+                            "dateTime", "time", "string", "uri",
+                            "Attachment", "Coding", "SimpleQuantity",
+                            "Reference",
+                        ],
+                    }
+                ),
+            }
+        ),
+    },
 }
 
 

@@ -250,6 +250,69 @@ _ROUNDTRIP_DOCS = {
                    "entity": [{"role": "source",
                                "what": {"reference": "DocumentReference/dr1"},
                                "agent": [{"who": {"reference": "Device/dv1"}}]}]},
+    "Coverage": {"resourceType": "Coverage", "id": "cov1", "status": "active",
+                 "subscriberId": "S-100", "beneficiary": {"reference": "Patient/p1"},
+                 "relationship": {"text": "self"},
+                 "period": {"start": "2024-01-01", "end": "2024-12-31"},
+                 "payor": [{"reference": "Organization/org1"}],
+                 "class": [{"type": {"text": "group"}, "value": "G-7"}],
+                 "order": 1,
+                 "costToBeneficiary": [{"type": {"text": "copay"},
+                                        "valueMoney": {"value": 25.00,
+                                                       "currency": "USD"}}]},
+    "ImagingStudy": {"resourceType": "ImagingStudy", "id": "im1",
+                     "status": "available",
+                     "subject": {"reference": "Patient/p1"},
+                     "started": "2024-06-01T09:00:00Z",
+                     "numberOfSeries": 1, "numberOfInstances": 2,
+                     "series": [{"uid": "1.2.3", "number": 1,
+                                 "modality": {"code": "CT"},
+                                 "numberOfInstances": 2,
+                                 "instance": [{"uid": "1.2.3.1", "number": 1},
+                                              {"uid": "1.2.3.2", "number": 2}]}]},
+    "Appointment": {"resourceType": "Appointment", "id": "ap1",
+                    "status": "booked",
+                    "start": "2024-07-01T10:00:00Z", "end": "2024-07-01T10:30:00Z",
+                    "minutesDuration": 30,
+                    "participant": [{"actor": {"reference": "Patient/p1"},
+                                     "required": "required", "status": "accepted"}]},
+    "Communication": {"resourceType": "Communication", "id": "com1",
+                      "status": "completed",
+                      "subject": {"reference": "Patient/p1"},
+                      "sent": "2024-08-01T08:00:00Z",
+                      "recipient": [{"reference": "Practitioner/pc1"}],
+                      "payload": [{"contentString": "lab results ready"}]},
+    "Composition": {"resourceType": "Composition", "id": "cmp1",
+                    "status": "final", "type": {"text": "Discharge summary"},
+                    "subject": {"reference": "Patient/p1"},
+                    "date": "2024-09-01T12:00:00Z",
+                    "author": [{"reference": "Practitioner/pc1"}],
+                    "title": "Discharge",
+                    "section": [{"title": "Meds",
+                                 "entry": [{"reference": "MedicationStatement/ms1"}]}]},
+    "Consent": {"resourceType": "Consent", "id": "cns1", "status": "active",
+                "scope": {"text": "privacy"},
+                "category": [{"text": "HIPAA"}],
+                "patient": {"reference": "Patient/p1"},
+                "dateTime": "2024-02-15T00:00:00Z",
+                "provision": {"type": "permit",
+                              "period": {"start": "2024-02-15"},
+                              "purpose": [{"code": "TREAT"}]}},
+    "Task": {"resourceType": "Task", "id": "t1", "status": "completed",
+             "intent": "order", "priority": "routine",
+             "for": {"reference": "Patient/p1"},
+             "authoredOn": "2024-03-01T09:00:00Z",
+             "executionPeriod": {"start": "2024-03-01T09:05:00Z"},
+             "restriction": {"repetitions": 1}},
+    "QuestionnaireResponse": {"resourceType": "QuestionnaireResponse",
+                              "id": "qr1", "status": "completed",
+                              "subject": {"reference": "Patient/p1"},
+                              "authored": "2024-04-01T10:00:00Z",
+                              "item": [{"linkId": "q1", "text": "Smoker?",
+                                        "answer": [{"valueBoolean": False}]},
+                                       {"linkId": "q2",
+                                        "answer": [{"valueDecimal": 72.50},
+                                                   {"valueString": "kg"}]}]},
 }
 
 
