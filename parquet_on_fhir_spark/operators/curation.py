@@ -1,19 +1,21 @@
 """Corpus-curation operators a large-scale training-data pipeline needs
 beyond dedup/quality (operators/dedup.py, text.py): benchmark
 decontamination, deterministic mixture sampling, repetition statistics
-(Gopher-style), and PII redaction.
+(Gopher-style), PII redaction, and sequence packing.
 
-All four are JVM-expression implementations. Shuffle budget:
+All are JVM-expression implementations. Shuffle budget:
 
-- :func:`decontaminate` — the ONLY non-map-only op here, and its single
-  join is a BROADCAST anti join: benchmark n-gram sets are MBs while the
-  corpus is the 100 TB side, which is scanned once and never shuffled.
+- :func:`decontaminate` — broadcast semi/anti joins: benchmark n-gram
+  sets are MBs while the corpus is the 100 TB side, which is scanned
+  (twice) but never shuffled.
 - :func:`sample_mixture` — pure map: per-row hash threshold, so the
   sample is reproducible across runs, partitionings and cluster shapes
   (no sample()/limit() layout dependence).
 - :func:`repetition_stats` — pure map: per-document line/n-gram
   statistics via higher-order array expressions.
 - :func:`redact_pii` — pure map: a regexp_replace chain.
+- :func:`pack_sequences` — ONE shuffle on a salted group key; the
+  inherently-sequential running total runs per group, never globally.
 """
 
 from __future__ import annotations
@@ -204,3 +206,61 @@ def redact_pii(
     for pat, repl in PII_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(out_col or text_col, col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    num_groups: int = 1024,
+) -> DataFrame:
+    """Lay documents out for LM-pretraining sequence packing: per group,
+    documents concatenate (in id order) into one virtual token stream
+    cut into ``max_tokens`` windows. Output columns: ``pack_group``,
+    ``pack_bin`` (window holding the doc's FIRST token), ``pack_offset``
+    (position inside that window), ``pack_spans`` (doc crosses into the
+    next window — standard GPT-style packing lets it; a trainer that
+    doesn't simply splits there).
+
+    A single global running total would be a one-partition window — the
+    classic scale killer — so documents are hashed into ``num_groups``
+    independent streams and the cumulative sum runs WITHIN each group:
+    with ~1k groups a 100 TB corpus packs with full parallelism, at the
+    cost of one under-filled tail window per group (negligible against
+    millions of windows). Deterministic: group and order depend only on
+    ids.
+    """
+    toks = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ).cast("bigint")
+    group = F.pmod(F.col(id_col).cast("bigint"), F.lit(int(num_groups)))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = F.lit(int(max_tokens))
+    start = F.col("__cum") - F.col("__tok")  # first-token stream position
+    return (
+        df.withColumn("__tok", toks)
+        .withColumn("pack_group", group)
+        .withColumn("__cum", F.sum("__tok").over(w))
+        .withColumn("pack_bin", F.floor(start / cap).cast("bigint"))
+        .withColumn(
+            "pack_offset", (start - F.col("pack_bin") * cap).cast("bigint")
+        )
+        .withColumn(
+            "pack_spans",
+            F.when(
+                F.col("__tok") > 0,
+                F.floor((F.col("__cum") - 1) / cap) > F.col("pack_bin"),
+            ).otherwise(F.lit(False)),
+        )
+        .drop("__tok", "__cum")
+    )

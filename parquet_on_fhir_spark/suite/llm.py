@@ -773,3 +773,40 @@ QUERIES.extend([
     Q("q97_repetition_stats", q97, Q97_ORACLE),
     Q("q98_redact_pii", q98, Q98_ORACLE),
 ])
+
+
+# --- Q99: sequence packing layout (GPT-style contiguous packing) ---------------------
+def q99(spark, sf_dir):
+    """Per-document packing coordinates for 512-token training windows,
+    16 parallel packing groups (operators/curation.py::pack_sequences;
+    the one shuffle is the per-group window)."""
+    from parquet_on_fhir_spark.operators.curation import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, max_tokens=512, num_groups=16).select(
+        "doc_id", "pack_group", "pack_bin", "pack_offset", "pack_spans"
+    )
+
+
+Q99_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         doc_id % 16 AS pack_group,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, pack_group, tok,
+         CAST(sum(tok) OVER (PARTITION BY pack_group ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM w
+)
+SELECT doc_id, pack_group,
+       CAST((cum - tok) // 512 AS BIGINT) AS pack_bin,
+       CAST((cum - tok) % 512 AS BIGINT) AS pack_offset,
+       CASE WHEN tok > 0 THEN (cum - 1) // 512 > (cum - tok) // 512
+            ELSE FALSE END AS pack_spans
+FROM c
+"""
+
+QUERIES.append(Q("q99_pack_sequences", q99, Q99_ORACLE))

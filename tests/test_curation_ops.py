@@ -96,3 +96,33 @@ def test_redact_pii(spark):
     assert "[SSN]" in out and "123-45-6789" not in out
     assert out.count("[PHONE]") == 2
     assert out.endswith("end")
+
+
+def test_pack_sequences(spark):
+    from parquet_on_fhir_spark.operators.curation import pack_sequences
+
+    rows = [(i, "t", "a", 60) for i in range(10)]  # 60 tokens each
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_tok long"
+    )
+    out = pack_sequences(
+        df, max_tokens=100, token_col="n_tok", num_groups=1
+    ).orderBy("doc_id")
+    got = [(r.pack_bin, r.pack_offset, r.pack_spans) for r in out.collect()]
+    # stream positions 0,60,120,...: bin=floor(start/100), offset=start%100,
+    # spans when the 60-token doc crosses a 100 boundary
+    exp = []
+    for i in range(10):
+        start, end = 60 * i, 60 * i + 59
+        exp.append((start // 100, start % 100, end // 100 > start // 100))
+    assert got == exp
+    # group determinism and bounds with many groups
+    out2 = pack_sequences(df, max_tokens=100, token_col="n_tok", num_groups=4)
+    assert out2.filter("pack_group != pmod(doc_id, 4)").count() == 0
+    assert out2.filter("pack_offset < 0 OR pack_offset >= 100").count() == 0
+    # derived token counts from text when token_col absent
+    df2 = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    r = pack_sequences(df2, max_tokens=2, num_groups=1).collect()[0]
+    assert (r.pack_bin, r.pack_offset, r.pack_spans) == (0, 0, True)
