@@ -6,6 +6,7 @@ import pytest
 
 from parquet_on_fhir_spark.operators.curation import (
     decontaminate,
+    pack_sequences,
     redact_pii,
     repetition_filter,
     repetition_stats,
@@ -126,3 +127,98 @@ def test_pack_sequences(spark):
     )
     r = pack_sequences(df2, max_tokens=2, num_groups=1).collect()[0]
     assert (r.pack_bin, r.pack_offset, r.pack_spans) == (0, 0, True)
+
+
+# --- property tests (hypothesis) vs plain-Python references ---------------------------
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.sampled_from(["a", "b", "c", "dog", "cat", "x1"]), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_repetition_stats_match_python_reference(spark, data):
+    docs = [
+        (i, " ".join(data.draw(_words)))
+        for i in range(data.draw(st.integers(1, 5)))
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, text in docs:
+        words = [w for w in text.lower().strip().split()] if text.strip() else [""]
+        # Spark split('\s+') of '' yields [''] — mirror that
+        if text == "":
+            words = [""]
+        grams = [
+            " ".join(words[j : j + 2]) for j in range(len(words) - 1)
+        ]
+        exp_top = (max(Counter(grams).values()) / len(grams)) if grams else 0.0
+        assert abs(got[i].top_2gram_frac - exp_top) < 1e-9, (text, exp_top)
+        assert got[i].word_count == len(words)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_pack_sequences_invariants(spark, data):
+    n = data.draw(st.integers(1, 30))
+    cap = data.draw(st.integers(4, 64))
+    toks = [data.draw(st.integers(0, 100)) for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, "t", tk) for i, tk in enumerate(toks)],
+        "doc_id long, text string, n_tok long",
+    )
+    rows = pack_sequences(
+        df, max_tokens=cap, token_col="n_tok",
+        num_groups=data.draw(st.integers(1, 4)),
+    ).collect()
+    assert len(rows) == n
+    by_group: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < cap
+        assert r.pack_bin >= 0
+        by_group.setdefault(r.pack_group, []).append(r)
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r.doc_id)
+        # contiguous stream: each start == previous start + previous tokens
+        pos = 0
+        for r in rs:
+            assert r.pack_bin * cap + r.pack_offset == pos
+            pos += toks[r.doc_id]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_decontaminate_removes_benchmark_members(spark, data):
+    n = data.draw(st.integers(2, 8))
+    docs = [
+        (i, " ".join(data.draw(st.lists(
+            st.sampled_from(["p", "q", "r", "s", "t", "u", "v", "w"]),
+            min_size=6, max_size=20))))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench_ids = {0}
+    bench = df.filter("doc_id = 0").select("text")
+    out = {r.doc_id for r in decontaminate(df, bench, n=4).collect()}
+    # every benchmark member with >=4 words removes itself; survivors
+    # share no 4-gram with it (checked against a python reference)
+    bench_grams = set()
+    for i, text in docs:
+        if i in bench_ids:
+            w = text.lower().split()
+            bench_grams |= {
+                " ".join(w[j : j + 4]) for j in range(len(w) - 3)
+            }
+    for i, text in docs:
+        w = text.lower().split()
+        grams = {" ".join(w[j : j + 4]) for j in range(len(w) - 3)}
+        expected_kept = not (grams & bench_grams)
+        assert (i in out) == expected_kept, (i, text)
