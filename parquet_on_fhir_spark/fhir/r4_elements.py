@@ -240,6 +240,17 @@ _PROVENANCE_AGENT = {
     "onBehalfOf": "Reference",
 }
 
+
+# Availability backbone shared verbatim by PractitionerRole and
+# HealthcareService (hl7.org/fhir/R4/practitionerrole.html)
+_AVAILABLE_TIME = {
+    "daysOfWeek": A("code"),
+    "allDay": "boolean",
+    "availableStartTime": "time",
+    "availableEndTime": "time",
+}
+_NOT_AVAILABLE = {"description": "string", "during": "Period"}
+
 # ---------------------------------------------------------------------------
 # Resource definitions (hl7.org/fhir/R4/<resource>.html)
 # ---------------------------------------------------------------------------
@@ -1358,6 +1369,153 @@ RESOURCES: dict[str, dict] = {
                         ],
                     }
                 ),
+            }
+        ),
+    },
+    "PractitionerRole": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "period": "Period",
+        "practitioner": "Reference",
+        "organization": "Reference",
+        "code": A("CodeableConcept"),
+        "specialty": A("CodeableConcept"),
+        "location": A("Reference"),
+        "healthcareService": A("Reference"),
+        "telecom": A("ContactPoint"),
+        "availableTime": A(_AVAILABLE_TIME),
+        "notAvailable": A(_NOT_AVAILABLE),
+        "availabilityExceptions": "string",
+        "endpoint": A("Reference"),
+    },
+    "Schedule": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "serviceCategory": A("CodeableConcept"),
+        "serviceType": A("CodeableConcept"),
+        "specialty": A("CodeableConcept"),
+        "actor": A("Reference"),
+        "planningHorizon": "Period",
+        "comment": "string",
+    },
+    "Slot": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "serviceCategory": A("CodeableConcept"),
+        "serviceType": A("CodeableConcept"),
+        "specialty": A("CodeableConcept"),
+        "appointmentType": "CodeableConcept",
+        "schedule": "Reference",
+        "status": "code",
+        "start": "instant",
+        "end": "instant",
+        "overbooked": "boolean",
+        "comment": "string",
+    },
+    "EpisodeOfCare": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "statusHistory": A({"status": "code", "period": "Period"}),
+        "type": A("CodeableConcept"),
+        "diagnosis": A(
+            {
+                "condition": "Reference",
+                "role": "CodeableConcept",
+                "rank": "positiveInt",
+            }
+        ),
+        "patient": "Reference",
+        "managingOrganization": "Reference",
+        "period": "Period",
+        "referralRequest": A("Reference"),
+        "careManager": "Reference",
+        "team": A("Reference"),
+        "account": A("Reference"),
+    },
+    "Flag": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "category": A("CodeableConcept"),
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "period": "Period",
+        "encounter": "Reference",
+        "author": "Reference",
+    },
+    "List": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "mode": "code",
+        "title": "string",
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "date": "dateTime",
+        "source": "Reference",
+        "orderedBy": "CodeableConcept",
+        "note": A("Annotation"),
+        "entry": A(
+            {
+                "flag": "CodeableConcept",
+                "deleted": "boolean",
+                "date": "dateTime",
+                "item": "Reference",
+            }
+        ),
+        "emptyReason": "CodeableConcept",
+    },
+    "HealthcareService": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "providedBy": "Reference",
+        "category": A("CodeableConcept"),
+        "type": A("CodeableConcept"),
+        "specialty": A("CodeableConcept"),
+        "location": A("Reference"),
+        "name": "string",
+        "comment": "string",
+        "extraDetails": "markdown",
+        "photo": "Attachment",
+        "telecom": A("ContactPoint"),
+        "coverageArea": A("Reference"),
+        "serviceProvisionCode": A("CodeableConcept"),
+        "eligibility": A({"code": "CodeableConcept", "comment": "markdown"}),
+        "program": A("CodeableConcept"),
+        "characteristic": A("CodeableConcept"),
+        "communication": A("CodeableConcept"),
+        "referralMethod": A("CodeableConcept"),
+        "appointmentRequired": "boolean",
+        "availableTime": A(_AVAILABLE_TIME),
+        "notAvailable": A(_NOT_AVAILABLE),
+        "availabilityExceptions": "string",
+        "endpoint": A("Reference"),
+    },
+    "DetectedIssue": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "code": "CodeableConcept",
+        "severity": "code",
+        "patient": "Reference",
+        "identified[x]": ["dateTime", "Period"],
+        "author": "Reference",
+        "implicated": A("Reference"),
+        "evidence": A(
+            {"code": A("CodeableConcept"), "detail": A("Reference")}
+        ),
+        "detail": "string",
+        "reference": "uri",
+        "mitigation": A(
+            {
+                "action": "CodeableConcept",
+                "date": "dateTime",
+                "author": "Reference",
             }
         ),
     },
