@@ -1330,3 +1330,231 @@ SELECT * FROM u
 """
 
 QUERIES.append(Q("q87_merge_upsert", q87, Q87_ORACLE))
+
+
+# ======================================================================
+# Round 5: the remaining partsupp-free TPC-H queries (Q7, Q8, Q12, Q13,
+# Q15, Q17, Q21).  Q2/Q9/Q11/Q16/Q20 need the PARTSUPP table, which the
+# testdata schema does not ship — documented as N/A in COVERAGE.md.
+# Q12/Q21 are adapted (no l_shipmode / l_commitdate / l_receiptdate in
+# the trimmed schema); the operator shape (CASE-sum join, double
+# EXISTS/NOT-EXISTS correlation) is preserved.
+# ======================================================================
+
+
+# --- Q100: TPC-H Q7 (volume shipping between two nations) -------------------------
+# Scale shape: 4 equi-joins; nation (25 rows) broadcasts twice; the
+# lineitem->orders->customer chain shuffles on orderkey then custkey;
+# the disjunctive nation-pair predicate is applied post-broadcast-join
+# so it never blocks pushdown of the l_shipdate range into the scan.
+TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(CAST(volume AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q100(spark, sf_dir):
+    for name in ("supplier", "lineitem", "orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q7_SQL)
+
+
+# --- Q101: TPC-H Q8 (national market share) ---------------------------------------
+# Ratio-of-sums: numerator and denominator are summed EXACTLY in
+# DECIMAL(38,6); only the final share divides as double (identical
+# operands -> identical quotient in both engines; +1e-9 absorbs the
+# round-half boundary).
+TPCH_Q8_SQL = """
+SELECT o_year,
+       CAST(round(CAST(sum(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END
+                                AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)
+                  + 1e-9, 4) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q101(spark, sf_dir):
+    for name in ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q8_SQL)
+
+
+# --- Q102: TPC-H Q12-style (late-shipment CASE-sum; adapted: the trimmed ----------
+# schema has no l_shipmode/l_commitdate/l_receiptdate, so the grouping
+# dimension is l_linestatus and "late" = shipped >60 days after order).
+def q102(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --- Q103: TPC-H Q13 (customer order-count distribution; left outer + ------------
+# double aggregation).  Adapted filter: o_orderpriority <> '5-LOW'
+# replaces the o_comment NOT LIKE (no comment column in testdata).
+def q103(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+TPCH_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q104: TPC-H Q15 (top supplier by quarterly revenue; scalar-max ---------------
+# subquery over a reused aggregate).  Revenue is rounded IN the CTE so
+# the max-equality join compares exact 2-decimal values, not raw FP.
+TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q104(spark, sf_dir):
+    """Catalyst plans the scalar max as a one-row subquery broadcast; the
+    revenue aggregate shuffles once on l_suppkey (100 distinct keys at
+    any SF — supplier cardinality, not lineitem's)."""
+    for name in ("supplier", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q15_SQL)
+
+
+# --- Q105: TPC-H Q17 (small-quantity revenue; correlated avg subquery -------------
+# decorrelated by Catalyst into an aggregate + join).  l_quantity values
+# are small integers stored as double, so avg() is exact in FP in both
+# engines and the 0.2*avg threshold comparison is deterministic.
+TPCH_Q17_SQL = """
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 + 1e-9, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q105(spark, sf_dir):
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q17_SQL)
+
+
+# --- Q106: TPC-H Q21-style (suppliers who shipped last; adapted: no ---------------
+# commit/receipt dates, so "kept waiting" = this supplier's line is the
+# strictly-latest ship in a multi-supplier finished order).  The double
+# correlated EXISTS / NOT-EXISTS on the same table is the operator under
+# test; Catalyst turns both into semi/anti joins on l_orderkey.
+TPCH_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q106(spark, sf_dir):
+    for name in ("supplier", "lineitem", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q21_SQL)
+
+
+QUERIES.extend(
+    [
+        Q("q100_tpch_q7_volume_shipping", q100, TPCH_Q7_SQL),
+        Q("q101_tpch_q8_market_share", q101, TPCH_Q8_SQL),
+        Q("q102_tpch_q12_late_lines", q102, TPCH_Q12_ORACLE),
+        Q("q103_tpch_q13_custdist", q103, TPCH_Q13_ORACLE),
+        Q("q104_tpch_q15_top_supplier", q104, TPCH_Q15_SQL),
+        Q("q105_tpch_q17_small_qty", q105, TPCH_Q17_SQL),
+        Q("q106_tpch_q21_waiting_supplier", q106, TPCH_Q21_SQL),
+    ]
+)
