@@ -9,69 +9,70 @@ from __future__ import annotations
 from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
-# only, so registration order is coverage policy.  Round-4 window =
+# only, so registration order is coverage policy.  Round-5 window =
 # flagship + every oracle-backed query that has never had a driver row
-# (streaming q54-q59b, relational tail q87-q94, the newly-oracle-ized
-# q23/q48/q51b/q73 and new q56b/q67c) + re-confirmations of round-3
-# first-time greens spread across all modules.  Rows-only queries are
+# (the new TPC-H tail q100-q106, round-4's ViewDefinition/search
+# qf09-qf11 and curation q95-q99) + re-confirmations of the 34 queries
+# holding exactly one prior green row.  Rows-only queries are
 # registered LAST so the window contains only hash-checkable entries;
 # each names the test that carries its correctness.  Full-suite
 # verification is always available via `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- never driver-verified: streaming (oracle-backed, selfcheck-green r1-r3)
+    # -- never driver-verified: round-5 TPC-H tail (Q7/Q8/Q12/Q13/Q15/Q17/Q21)
+    "q100_tpch_q7_volume_shipping",
+    "q101_tpch_q8_market_share",
+    "q102_tpch_q12_late_lines",
+    "q103_tpch_q13_custdist",
+    "q104_tpch_q15_top_supplier",
+    "q105_tpch_q17_small_qty",
+    "q106_tpch_q21_waiting_supplier",
+    # -- never driver-verified: round-4 ViewDefinition / search / curation ops
+    "qf09_view_definition_patient",
+    "qf10_view_definition_observation",
+    "qf11_chained_search",
+    "q95_decontaminate",
+    "q96_sample_mixture",
+    "q97_repetition_stats",
+    "q98_redact_pii",
+    "q99_pack_sequences",
+    # -- re-confirmations: every query with exactly one prior driver row
+    # (except q54b/q55b/q56b/q57b/q59b stream-"b" variants whose base
+    # queries are included; they rotate back in round 6)
+    "q23_agg_approx_distinct",
+    "q36_sort_within_partitions",
+    "q44_math_funcs",
+    "q46_array_funcs",
+    "q47_higher_order_funcs",
+    "q48_map_funcs",
+    "q49_json_funcs",
+    "q50_struct_ops",
+    "q51_hash_funcs",
+    "q51b_hash_ids_local",
     "q54_window_sliding",
-    "q54b_stream_window_sliding",
     "q55_window_session",
-    "q55b_stream_window_session",
     "q56_stream_watermark",
-    "q56b_stream_watermark_multibatch",  # new r4: >=4 real micro-batches
     "q57_dedup_keep_first",
-    "q57b_stream_dedup",
     "q58_stream_stateful",
     "q59_stream_static_join",
-    "q59b_stream_stream_join",
-    # -- never driver-verified: relational tail
+    "q62_pandas_udf",
+    "q64_pandas_udaf",
+    "q65_python_udtf",
+    "q67c_dedup_minhash_md5",
+    "q71b_language_id",
+    "q72_term_idf",
+    "q73_multimodal_features",
+    "q73b_multimodal_frame_plan",
+    "q74_quality_filter",
+    "q74d_doc_fingerprints_md5",
+    "q86c_curation_pipeline_md5",
     "q87_merge_upsert",
     "q89_tpch_q18",
     "q90_scale10_agg",
+    "q91_embedding_near_dup",
     "q92_tpch_q4_exists",
     "q93_tpch_q22_not_exists",
     "q94_clustered_write",
-    # -- newly oracle-backed this round (were rows-only/crashing in r3)
-    "q48_map_funcs",
-    "q51b_hash_ids_local",
-    "q23_agg_approx_distinct",
-    "q73_multimodal_features",
-    "q67c_dedup_minhash_md5",  # new r4: portable md5_60 LSH, full SQL oracle
-    "q74d_doc_fingerprints_md5",  # new r4: portable winnowing fingerprint
-    "q86c_curation_pipeline_md5",  # new r4: full pipeline, every stage in SQL
-    # -- re-confirmations (round-3 first-time greens get a second row)
-    "q30_window_ranking",
-    "q31_window_lag_lead",
-    "q32_window_frames",
-    "q33_window_topk_per_group",
-    "q41_string_funcs",
-    "q42_datetime_funcs",
-    "q43_fhir_partial_date_bounds",
-    "q45_decimal_precision",
-    "qf01_fhir_nested_query",
-    "qf02_fhir_roundtrip_reencode",
-    "qf03_fhir_date_annotations",
-    "qf04_fhir_quantity_canonical",
-    "qf05_fhir_schema_merge",
-    "qf06_fhir_validate",
-    "qf07_fhir_reference_join",
-    "qf08_fhir_definition_schema",
-    "q66_dedup_exact",
-    "q68_cosine_similarity",
-    "q69_similarity_topk_bruteforce",
-    "q71_text_stats",
-    "q74b_quality_scoring",
-    "q61_python_udf",
-    "q63_apply_in_pandas",
-    "q52_stream_source_sink_available_now",
-    "q53_stream_window_tumbling",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named
