@@ -441,3 +441,45 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Full near-dedup: MinHash → LSH pairs → transitive clusters →
+    deterministic survivor per cluster.
+
+    Pairs alone under-delete (a~b and b~c must collapse to ONE survivor
+    even when a~c was never emitted), so the pair graph is closed with
+    :func:`~parquet_on_fhir_spark.operators.graph.connected_components`
+    — a distributed O(log n)-round fixpoint, never a driver-side pass
+    over the edges.  Output: every input id with its cluster id (the
+    minimum doc id of the cluster; singletons are their own cluster)
+    and ``is_survivor`` (true for the cluster minimum — the row exact/
+    near dedup would keep).
+    """
+    from parquet_on_fhir_spark.operators.graph import connected_components
+
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, k=k, hash_family=hash_family
+    )
+    pairs = minhash_lsh_pairs(
+        sigs, id_col, num_bands=num_bands, jaccard_threshold=jaccard_threshold
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = (
+        df.select(id_col)
+        .join(cc, F.col(id_col) == cc["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return out.withColumn("is_survivor", F.col("component") == F.col(id_col))

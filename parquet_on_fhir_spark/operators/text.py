@@ -124,3 +124,37 @@ def rolling_fingerprint(
         idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i + 1, window)))
     )
     return F.array_min(win_hashes)
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    stride: int = 384,
+):
+    """Split documents into overlapping character windows (RAG / context-
+    window preprocessing): chunk i covers 1-based offsets
+    ``[1 + i*stride, 1 + i*stride + size)``; the chunk count is the
+    smallest n covering every character (always ≥ 1, so empty docs keep
+    one empty chunk and no row silently disappears).
+
+    Map-only — a ``sequence`` + ``explode`` per row, ``substring`` on the
+    original column — so it adds ZERO shuffles and chunk rows inherit the
+    parent's partitioning (a downstream groupBy(doc_id) stays local until
+    its own exchange).  Integer arithmetic only: ``ceil((len-size)/
+    stride)`` is computed as ``(extra + stride - 1) div stride`` so Spark
+    and any SQL oracle agree exactly.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    length = F.length(F.col(text_col))
+    extra = F.greatest(length - size, F.lit(0))
+    n_extra = F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    start = F.lit(1) + F.col("chunk_id") * stride
+    return (
+        df.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_extra)))
+        .withColumn("chunk_start", start)
+        .withColumn("chunk_text", F.col(text_col).substr(start, F.lit(size)))
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )

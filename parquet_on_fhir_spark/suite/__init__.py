@@ -36,17 +36,19 @@ WINDOW = [
     "q97_repetition_stats",
     "q98_redact_pii",
     "q99_pack_sequences",
-    # -- re-confirmations: every query with exactly one prior driver row
-    # (except q54b/q55b/q56b/q57b/q59b stream-"b" variants whose base
-    # queries are included; they rotate back in round 6)
+    # -- never driver-verified: built this round (r5)
+    "q107_tpch_q10_returned_items",
+    "q108_dedup_clusters_md5",
+    "q109_doc_chunking",
+    "q110_tpch_q19_disjunctive",
+    # -- re-confirmations: queries with exactly one prior driver row
+    # (q44/q46/q49/q50 scalar re-confirms and the stream-"b" variants
+    # q54b/q55b/q56b/q57b/q59b yielded their slots to the new r5 queries;
+    # they rotate back in round 6)
     "q23_agg_approx_distinct",
     "q36_sort_within_partitions",
-    "q44_math_funcs",
-    "q46_array_funcs",
     "q47_higher_order_funcs",
     "q48_map_funcs",
-    "q49_json_funcs",
-    "q50_struct_ops",
     "q51_hash_funcs",
     "q51b_hash_ids_local",
     "q54_window_sliding",

@@ -810,3 +810,121 @@ FROM c
 """
 
 QUERIES.append(Q("q99_pack_sequences", q99, Q99_ORACLE))
+
+
+# --- Q108: near-dup CLUSTERS (MinHash → LSH pairs → connected components) ---------
+def q108(spark, sf_dir):
+    """The q67c pair pipeline closed into transitive clusters with the
+    distributed connected-components fixpoint (operators/graph.py) and a
+    deterministic min-id survivor per cluster.  md5_60 family keeps every
+    stage — signatures, banding, pairs, the transitive closure itself —
+    restatable in the DuckDB oracle (closure via WITH RECURSIVE)."""
+    from parquet_on_fhir_spark.operators.dedup import near_dup_clusters
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker words")).alias("text"),
+    )
+    return near_dup_clusters(
+        d.unionAll(corrupted),
+        "text",
+        "doc_id",
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.4,
+        hash_family="md5_60",
+    )
+
+
+Q108_ORACLE = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' tail marker words' AS text
+  FROM documents WHERE doc_id < 50
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)),
+           i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))) AS shingles
+  FROM base
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 31),
+           i -> list_min(list_transform(shingles,
+                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id,
+         b.band,
+         CAST('0x' || substr(md5(array_to_string(
+           list_transform(sig[b.band*4+1 : b.band*4+4], x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r USING (band, bucket)
+  WHERE l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+  WHERE len(list_filter(list_transform(generate_series(1, 32),
+        i -> sa.sig[i] = sb.sig[i]), x -> x)) / 32.0 >= 0.4
+),
+bidir AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION
+  SELECT id_b AS s, id_a AS d FROM edges
+),
+reach(node, root) AS (
+  SELECT s, s FROM bidir
+  UNION
+  SELECT b.d, reach.root FROM reach JOIN bidir b ON b.s = reach.node
+),
+comp AS (
+  SELECT node, min(root) AS component FROM reach GROUP BY node
+)
+SELECT base.doc_id,
+       coalesce(comp.component, base.doc_id) AS component,
+       coalesce(comp.component, base.doc_id) = base.doc_id AS is_survivor
+FROM base LEFT JOIN comp ON comp.node = base.doc_id
+"""
+
+
+# --- Q109: document chunking (overlapping char windows; RAG / context prep) -------
+def q109(spark, sf_dir):
+    """Map-only sequence+explode chunking — zero shuffles, chunk rows
+    inherit the scan partitioning (operators/text.py::chunk_documents)."""
+    from parquet_on_fhir_spark.operators.text import chunk_documents
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "text", "doc_id", size=128, stride=96).select(
+        "doc_id", "chunk_id", "chunk_start", "chunk_text", "chunk_len"
+    )
+
+
+Q109_ORACLE = """
+SELECT doc_id,
+       i AS chunk_id,
+       1 + i*96 AS chunk_start,
+       substr(text, 1 + i*96, 128) AS chunk_text,
+       CAST(len(substr(text, 1 + i*96, 128)) AS INT) AS chunk_len
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0,
+       CAST(floor((greatest(len(text) - 128, 0) + 95) / 96) AS INT))) AS i) t
+"""
+
+
+QUERIES.extend(
+    [
+        Q("q108_dedup_clusters_md5", q108, Q108_ORACLE),
+        Q("q109_doc_chunking", q109, Q109_ORACLE),
+    ]
+)

@@ -1,0 +1,121 @@
+"""Connected components + cluster dedup + chunking vs plain-Python references."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.operators.dedup import near_dup_clusters
+from parquet_on_fhir_spark.operators.graph import connected_components
+from parquet_on_fhir_spark.operators.text import chunk_documents
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_cc_chain_and_island(spark):
+    # chain 1-2-3-4, island {10,11}, cycle {20,21,22}
+    _check(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)])
+
+
+def test_cc_star_merge(spark):
+    # two stars merged by one bridge edge -> single component rooted at 1
+    edges = [(1, i) for i in range(2, 7)] + [(100, i) for i in range(101, 106)]
+    _check(spark, edges)
+    _check(spark, edges + [(6, 105)])
+
+
+def test_cc_self_loops_and_duplicates(spark):
+    _check(spark, [(5, 5), (1, 2), (2, 1), (1, 2), (3, 3)])
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        _check(spark, edges)
+
+
+def test_near_dup_clusters_survivors(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different text about spark query engines at scale"),
+        (4, "the quick brown fox jumps over the lazy dog again and again ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = near_dup_clusters(
+        df, "text", "doc_id", num_hashes=32, num_bands=16, jaccard_threshold=0.3
+    ).collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    surv = {r["doc_id"]: r["is_survivor"] for r in out}
+    # 1,2,4 are near-dups of each other; 3 is its own singleton cluster
+    assert comp[1] == comp[2] == comp[4] == 1
+    assert comp[3] == 3
+    assert surv == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_chunking_reconstructs_text(spark):
+    rows = [(1, "a" * 48 + "b" * 48 + "c" * 30), (2, ""), (3, "short"), (4, "x" * 96)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = chunk_documents(df, "text", "doc_id", size=48, stride=32).collect()
+    texts = dict(rows)
+    seen = {}
+    for r in out:
+        t = texts[r["doc_id"]]
+        py = t[r["chunk_start"] - 1 : r["chunk_start"] - 1 + 48]
+        assert r["chunk_text"] == py
+        assert r["chunk_len"] == len(py)
+        seen.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_start"]))
+    for doc_id, t in texts.items():
+        ids = sorted(seen[doc_id])
+        # chunk ids contiguous from 0; starts stride apart; full coverage
+        assert [i for i, _ in ids] == list(range(len(ids)))
+        assert all(s == 1 + i * 32 for i, s in ids)
+        last_start = ids[-1][1]
+        assert last_start - 1 + 48 >= len(t)  # covers the tail
+        if len(ids) > 1:  # no chunk past the text
+            assert last_start <= len(t)
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    from parquet_on_fhir_spark.api import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        chunk_documents(d, "text", "doc_id", size=128, stride=96)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
