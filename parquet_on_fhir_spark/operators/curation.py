@@ -16,6 +16,9 @@ All are JVM-expression implementations. Shuffle budget:
 - :func:`redact_pii` — pure map: a regexp_replace chain.
 - :func:`pack_sequences` — ONE shuffle on a salted group key; the
   inherently-sequential running total runs per group, never globally.
+- :func:`importance_weights` — two n_buckets-row histogram aggregates
+  + broadcast ratio join; the corpus text never enters a shuffle.
+- :func:`cap_per_source` — ONE window shuffle on the source key.
 """
 
 from __future__ import annotations
@@ -263,4 +266,125 @@ def pack_sequences(
             ).otherwise(F.lit(False)),
         )
         .drop("__tok", "__cum")
+    )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    hash_family: str = "md5_60",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    each corpus document by how target-like its hashed word-unigram
+    distribution is —
+
+        weight(d) = mean over words w of log(p_target[h(w)] / p_raw[h(w)])
+
+    with Laplace-``smoothing`` on both bucket distributions.  Positive
+    weight → more target-like than the raw corpus average.
+
+    Shuffle budget: the two bucket histograms are ONE groupBy each over
+    exploded words, aggregating to ``n_buckets`` rows (KBs) — then a
+    BROADCAST join re-attaches the per-bucket log-ratio to the corpus
+    words, and the per-doc mean groups on ``id_col`` ONLY (the text
+    column never enters a shuffle; the final weight re-attaches to the
+    corpus by an id equi-join).  No driver-side actions: the target
+    word total rides along as a broadcast 1-row crossJoin.  (Published
+    DSIR uses 10k-bucket hashed n-grams at web scale; the bucket table
+    stays broadcast-size at any corpus size, which is the point of the
+    hashing trick.)
+
+    ``hash_family="md5_60"`` keeps the whole computation DuckDB-
+    restatable; "xxhash64" is the faster production family.
+    """
+    from parquet_on_fhir_spark.operators.dedup import _seeded_hash
+
+    bucket_of = lambda c: F.pmod(_seeded_hash(hash_family, 0)(c), F.lit(n_buckets))
+
+    def word_buckets(df: DataFrame, *extra):
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return df.select(*extra, F.explode(words).alias("__w")).filter(
+            F.col("__w") != ""
+        ).withColumn("__bucket", bucket_of(F.col("__w")))
+
+    def histogram(df: DataFrame):
+        h = word_buckets(df).groupBy("__bucket").agg(F.count("*").alias("__n"))
+        tot = h.agg(F.sum("__n").alias("__tot"))
+        return h.crossJoin(F.broadcast(tot))
+
+    t_hist = histogram(target).select(
+        "__bucket",
+        ((F.col("__n") + smoothing) / (F.col("__tot") + smoothing * n_buckets)).alias(
+            "__p_t"
+        ),
+        (F.col("__tot") + smoothing * n_buckets).alias("__denom_t"),
+    )
+    r_hist = histogram(corpus).select(
+        "__bucket",
+        ((F.col("__n") + smoothing) / (F.col("__tot") + smoothing * n_buckets)).alias(
+            "__p_r"
+        ),
+    )
+    # Buckets absent from the target histogram still get smoothed mass
+    # smoothing/denom_t; denom_t rides along as a broadcast 1-row join.
+    t_denom = t_hist.agg(F.max("__denom_t").alias("__dt"))
+    ratios = (
+        r_hist.join(t_hist.drop("__denom_t"), "__bucket", "left")
+        .crossJoin(F.broadcast(t_denom))
+        .select(
+            "__bucket",
+            F.log(
+                F.coalesce(F.col("__p_t"), smoothing / F.col("__dt"))
+                / F.col("__p_r")
+            ).alias("__log_ratio"),
+        )
+    )
+    scored = (
+        word_buckets(corpus, id_col)
+        .join(F.broadcast(ratios), "__bucket")
+        .groupBy(id_col)
+        .agg(F.avg("__log_ratio").alias("importance_weight"))
+    )
+    # Documents with zero words keep a row (weight 0) — no silent drops.
+    return corpus.join(scored, [id_col], "left").withColumn(
+        "importance_weight", F.coalesce("importance_weight", F.lit(0.0))
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    max_per_key: int = 100,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_per_key`` rows per source/domain — the standard
+    anti-over-representation gate (a handful of boilerplate-heavy domains
+    otherwise dominate a crawl corpus).
+
+    One shuffle: ``row_number`` over (key) ordered by ``order_col`` desc
+    (quality-first retention) then ``id_col`` for determinism.  Skewed
+    domains are bounded by the cap itself — the window partition for a
+    domain never materializes more than its input, and pathological
+    single-domain skew is exactly what the cap is deleting; for
+    degenerate cases (one domain = half the corpus) pre-filter with a
+    sampled count and :func:`sample_mixture` instead.
+    """
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col
+        else [F.col(id_col).asc()]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_key)
+        .drop("__rn")
     )

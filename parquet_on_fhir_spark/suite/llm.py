@@ -928,3 +928,89 @@ QUERIES.extend(
         Q("q109_doc_chunking", q109, Q109_ORACLE),
     ]
 )
+
+
+# --- Q111: DSIR-style importance weights (hashed-unigram log-likelihood ratio) ----
+def q111(spark, sf_dir):
+    """Target = the English slice; every stage (md5 bucket hash, Laplace
+    histograms, per-word log-ratio, per-doc mean) is restated in the
+    DuckDB oracle.  d4 rounding absorbs float summation order in the
+    per-doc mean (operators/curation.py::importance_weights)."""
+    from parquet_on_fhir_spark.operators.curation import importance_weights
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = importance_weights(
+        d.select("doc_id", "text"), target, "text", "doc_id", n_buckets=1024
+    )
+    return out.select(
+        "doc_id", F.round(F.col("importance_weight") + F.lit(1e-9), 4).alias("importance_weight")
+    )
+
+
+Q111_ORACLE = r"""
+WITH wc AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('0:' || w), 1, 15) AS BIGINT) % 1024 AS bucket
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+wt AS (
+  SELECT bucket FROM (
+    SELECT CAST('0x' || substr(md5('0:' || w), 1, 15) AS BIGINT) % 1024 AS bucket
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE lang = 'en')
+    WHERE w <> '') s
+),
+ht AS (SELECT bucket, count(*) AS n FROM wt GROUP BY bucket),
+tt AS (SELECT sum(n) AS tot FROM ht),
+hr AS (SELECT bucket, count(*) AS n FROM wc GROUP BY bucket),
+tr AS (SELECT sum(n) AS tot FROM hr),
+ratios AS (
+  SELECT hr.bucket,
+         ln(coalesce((ht.n + 1.0) / (tt.tot + 1024.0), 1.0 / (tt.tot + 1024.0))
+            / ((hr.n + 1.0) / (tr.tot + 1024.0))) AS log_ratio
+  FROM hr LEFT JOIN ht ON hr.bucket = ht.bucket, tt, tr
+),
+scored AS (
+  SELECT wc.doc_id, avg(r.log_ratio) AS w
+  FROM wc JOIN ratios r ON r.bucket = wc.bucket
+  GROUP BY wc.doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(s.w, 0.0) + 1e-9, 4) AS importance_weight
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+# --- Q112: per-source cap (anti-over-representation gate) -------------------------
+def q112(spark, sf_dir):
+    """Keep the 10 longest docs per source (ties broken by doc_id) —
+    one window shuffle on the source key
+    (operators/curation.py::cap_per_source)."""
+    from parquet_on_fhir_spark.operators.curation import cap_per_source
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_source(d, "source", "doc_id", max_per_key=10, order_col="n_chars").select(
+        "doc_id", "source"
+    )
+
+
+Q112_ORACLE = """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+"""
+
+
+QUERIES.extend(
+    [
+        Q("q111_importance_weights", q111, Q111_ORACLE),
+        Q("q112_source_cap", q112, Q112_ORACLE),
+    ]
+)

@@ -222,3 +222,74 @@ def test_decontaminate_removes_benchmark_members(spark, data):
         grams = {" ".join(w[j : j + 4]) for j in range(len(w) - 3)}
         expected_kept = not (grams & bench_grams)
         assert (i in out) == expected_kept, (i, text)
+
+
+def test_importance_weights_reference(spark):
+    """Spark DSIR weights == a plain-Python reimplementation."""
+    import hashlib
+    import math
+
+    from parquet_on_fhir_spark.operators.curation import importance_weights
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "stocks rallied as the market surged higher today"),
+        (3, "the cat and the dog sat together"),
+        (4, ""),
+        (5, "market stocks market stocks market"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = corpus.filter("doc_id in (1, 3)")  # cat-themed target
+    B, sm = 64, 1.0
+
+    def bucket(w):
+        return int(hashlib.md5(f"0:{w}".encode()).hexdigest()[:15], 16) % B
+
+    def words(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    t_cnt, r_cnt = {}, {}
+    for did, txt in rows:
+        for w in words(txt):
+            b = bucket(w)
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+            if did in (1, 3):
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+    tot_t, tot_r = sum(t_cnt.values()), sum(r_cnt.values())
+    expected = {}
+    for did, txt in rows:
+        ws = words(txt)
+        if not ws:
+            expected[did] = 0.0
+            continue
+        lr = [
+            math.log(
+                ((t_cnt.get(bucket(w), 0) + sm) / (tot_t + sm * B))
+                / ((r_cnt[bucket(w)] + sm) / (tot_r + sm * B))
+            )
+            for w in ws
+        ]
+        expected[did] = sum(lr) / len(lr)
+    got = {
+        r["doc_id"]: r["importance_weight"]
+        for r in importance_weights(corpus, target, n_buckets=B).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+    # cat-docs should out-score the finance docs
+    assert got[1] > got[2] and got[3] > got[5]
+
+
+def test_cap_per_source(spark):
+    from parquet_on_fhir_spark.operators.curation import cap_per_source
+
+    rows = [(i, f"s{i % 2}", float(100 - i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = cap_per_source(df, "source", "doc_id", max_per_key=3, order_col="score")
+    got = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    # score = 100 - id, so top-3 per source are the 3 smallest ids
+    assert got == [("s0", 0), ("s0", 2), ("s0", 4), ("s1", 1), ("s1", 3), ("s1", 5)]
+    # no order_col: deterministic min-id retention
+    out2 = cap_per_source(df, "source", "doc_id", max_per_key=2)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [0, 1, 2, 3]
