@@ -1559,76 +1559,3 @@ QUERIES.extend(
     ]
 )
 
-
-# --- Q107: TPC-H Q10 (returned-item revenue; top-20 customers) --------------------
-# Adapted only in projection (trimmed customer has no address/phone/
-# comment).  Scale shape: lineitem filtered on l_returnflag at the scan,
-# orders range-pruned on o_orderdate, nation broadcast; the one big
-# shuffle is the groupBy on c_custkey after the orderkey join.
-TPCH_Q10_SQL = """
-SELECT c_custkey, c_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
-       c_acctbal, n_name
-FROM customer, orders, lineitem, nation
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
-  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-"""
-
-
-def q107(spark, sf_dir):
-    for name in ("customer", "orders", "lineitem", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(TPCH_Q10_SQL)
-
-
-# --- Q110: TPC-H Q19-style (disjunctive conjunctive predicates over a join) -------
-# Adapted: no l_shipmode/l_shipinstruct/p_container in the trimmed
-# schema, so the three disjuncts range over p_brand/p_size/l_quantity.
-# The operator under test is Catalyst's handling of OR-of-ANDs: the
-# p_partkey equi-join key is extracted (the disjunction never degrades
-# the join to a cross product) and the common l_quantity bounds are
-# pushed to the lineitem scan.
-def q110(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part")
-    disjuncts = (
-        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
-         & F.col("l_quantity").between(1, 11))
-        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
-           & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
-           & F.col("l_quantity").between(20, 30))
-    )
-    return (
-        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .filter(disjuncts)
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                      .cast("decimal(38,6)")), 2
-            ).cast("double").alias("revenue"),
-            F.count("*").cast("bigint").alias("n_lines"),
-        )
-    )
-
-
-TPCH_Q19_ORACLE = """
-SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_lines
-FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
-"""
-
-
-QUERIES.extend(
-    [
-        Q("q107_tpch_q10_returned_items", q107, TPCH_Q10_SQL),
-        Q("q110_tpch_q19_disjunctive", q110, TPCH_Q19_ORACLE),
-    ]
-)
