@@ -313,6 +313,70 @@ _ROUNDTRIP_DOCS = {
                                        {"linkId": "q2",
                                         "answer": [{"valueDecimal": 72.50},
                                                    {"valueString": "kg"}]}]},
+    "DetectedIssue": {"resourceType": "DetectedIssue", "id": "di1",
+                      "status": "final", "severity": "moderate",
+                      "patient": {"reference": "Patient/p1"},
+                      "identifiedPeriod": {"start": "2024-10-01",
+                                           "end": "2024-10-02"},
+                      "implicated": [{"reference": "MedicationRequest/m1"}],
+                      "evidence": [{"code": [{"text": "interaction"}]}],
+                      "mitigation": [{"action": {"text": "dose reduced"},
+                                      "date": "2024-10-03T09:00:00Z"}]},
+    "EpisodeOfCare": {"resourceType": "EpisodeOfCare", "id": "ep1",
+                      "status": "active",
+                      "statusHistory": [{"status": "planned",
+                                         "period": {"start": "2024-01-01",
+                                                    "end": "2024-01-15"}}],
+                      "diagnosis": [{"condition": {"reference": "Condition/c1"},
+                                     "rank": 1}],
+                      "patient": {"reference": "Patient/p1"},
+                      "period": {"start": "2024-01-15"}},
+    "Flag": {"resourceType": "Flag", "id": "fl1", "status": "active",
+             "category": [{"text": "safety"}], "code": {"text": "fall risk"},
+             "subject": {"reference": "Patient/p1"},
+             "period": {"start": "2024-02-01"}},
+    "HealthcareService": {"resourceType": "HealthcareService", "id": "hs1",
+                          "active": True,
+                          "providedBy": {"reference": "Organization/org1"},
+                          "name": "Imaging Dept", "appointmentRequired": True,
+                          "eligibility": [{"code": {"text": "referral"},
+                                           "comment": "GP referral needed"}],
+                          "availableTime": [{"daysOfWeek": ["mon", "wed"],
+                                             "allDay": False,
+                                             "availableStartTime": "08:30:00",
+                                             "availableEndTime": "17:00:00"}],
+                          "notAvailable": [{"description": "holidays",
+                                            "during": {"start": "2024-12-24",
+                                                       "end": "2024-12-26"}}]},
+    "List": {"resourceType": "List", "id": "ls1", "status": "current",
+             "mode": "working", "title": "Problem list",
+             "subject": {"reference": "Patient/p1"},
+             "date": "2024-05-01T00:00:00Z",
+             "entry": [{"deleted": False, "date": "2024-05-01T00:00:00Z",
+                        "item": {"reference": "Condition/c1"}}],
+             "emptyReason": {"text": "n/a"}},
+    "PractitionerRole": {"resourceType": "PractitionerRole", "id": "prr1",
+                         "active": True,
+                         "period": {"start": "2023-01-01"},
+                         "practitioner": {"reference": "Practitioner/pc1"},
+                         "organization": {"reference": "Organization/org1"},
+                         "code": [{"text": "attending"}],
+                         "availableTime": [{"daysOfWeek": ["tue"],
+                                            "allDay": True}],
+                         "availabilityExceptions": "on call only"},
+    "Schedule": {"resourceType": "Schedule", "id": "sch1", "active": True,
+                 "serviceType": [{"text": "radiology"}],
+                 "actor": [{"reference": "PractitionerRole/prr1"}],
+                 "planningHorizon": {"start": "2024-06-01T00:00:00Z",
+                                     "end": "2024-06-30T23:59:59Z"},
+                 "comment": "summer schedule"},
+    "Slot": {"resourceType": "Slot", "id": "sl1",
+             "appointmentType": {"text": "routine"},
+             "schedule": {"reference": "Schedule/sch1"},
+             "status": "free",
+             "start": "2024-06-05T09:00:00.000Z",
+             "end": "2024-06-05T09:20:00.000Z",
+             "overbooked": False},
 }
 
 

@@ -207,6 +207,10 @@ def test_session_window_merges_across_batches(spark, sf_dir):
         part.coalesce(1).write.mode("overwrite").parquet(f"{src2}/b{i}")
         _time.sleep(0.05)
     s = _stream(spark, f"{src2}/b*", e.schema)
+    # withWatermark requires TIMESTAMP_LTZ; events.ts loads as NTZ.  The
+    # session is UTC-pinned so the cast is wall-clock-identity; the batch
+    # `expected` below gets the same cast so the window starts compare.
+    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         s.withWatermark("ts", "10 hours")  # generous: nothing dropped
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -217,7 +221,8 @@ def test_session_window_merges_across_batches(spark, sf_dir):
         "user_id", F.col("session_window.start").alias("s"), "n"
     )
     expected = (
-        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        e.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n"))
         .select("user_id", F.col("session_window.start").alias("s"), "n")
     )
