@@ -483,3 +483,72 @@ def near_dup_clusters(
         )
     )
     return out.withColumn("is_survivor", F.col("component") == F.col(id_col))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_repeats: int = 2,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Span-level exact-substring duplication (the verbatim-repeat pass
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — done with hashed word n-grams instead of a
+    suffix array, which trades their exact minimal length for a
+    distributed-friendly formulation): find, per document, the maximal
+    token spans whose every word ``n``-gram occurs ≥ ``min_repeats``
+    times in the whole corpus.
+
+    Output: (id, span_start, span_end, n_dup_ngrams) with 1-based
+    token indices, span_end inclusive.
+
+    Stages (3 narrow shuffles, text never shuffled):
+    1. map: posexplode word n-gram hashes → (id, pos, h) ~24 B rows;
+    2. groupBy(h) count → the duplicated-hash set; the join back to
+       positions reuses the same hash partitioning (no extra exchange);
+    3. window per (id): merge overlapping duplicated n-gram intervals
+       (gap ≤ n) into maximal spans via a lag + running-sum span id.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nw = F.size(words)
+    hash_fn = _seeded_hash(hash_family, 0)
+    grams = F.when(nw >= n, F.sequence(F.lit(1), nw - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                grams,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    hash_fn(F.concat_ws(" ", F.slice(words, i, n))).alias("h"),
+                ),
+            )
+        ).alias("ph"),
+    ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    dup_h = (
+        pos.groupBy("h").agg(F.count("*").alias("__c")).filter(F.col("__c") >= min_repeats)
+    )
+    flagged = pos.join(dup_h.select("h"), "h")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_span = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n), 1
+    ).otherwise(0)
+    span_id = F.sum(new_span).over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("__span", span_id)
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count("*").alias("n_dup_ngrams"),
+        )
+        .drop("__span")
+    )

@@ -1014,3 +1014,61 @@ QUERIES.extend(
         Q("q112_source_cap", q112, Q112_ORACLE),
     ]
 )
+
+
+# --- Q113: span-level exact-substring duplication (Lee et al. ACL'22 style) -------
+def q113(spark, sf_dir):
+    """Maximal token spans whose every word 8-gram repeats ≥2× in the
+    corpus (documents ∪ 30 verbatim copies, which guarantees whole-doc
+    spans alongside the corpus's natural boilerplate repeats).  md5_60
+    keeps hashes, the duplicated-gram set, and the span merge all
+    restated in the oracle (operators/dedup.py::duplicate_spans)."""
+    from parquet_on_fhir_spark.operators.dedup import duplicate_spans
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return duplicate_spans(
+        d.unionAll(copies), "text", "doc_id", n=8, hash_family="md5_60"
+    )
+
+
+Q113_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 30
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM base
+),
+pos AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5('0:' || array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i) t
+),
+dups AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+flagged AS (SELECT doc_id, pos FROM pos WHERE h IN (SELECT h FROM dups)),
+sp AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+              THEN 1 ELSE 0 END AS ns
+  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp2 AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+  FROM sp
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 7 AS INT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_ngrams
+FROM sp2
+GROUP BY doc_id, span
+"""
+
+
+QUERIES.append(Q("q113_duplicate_spans", q113, Q113_ORACLE))

@@ -293,3 +293,50 @@ def test_cap_per_source(spark):
     # no order_col: deterministic min-id retention
     out2 = cap_per_source(df, "source", "doc_id", max_per_key=2)
     assert sorted(r["doc_id"] for r in out2.collect()) == [0, 1, 2, 3]
+
+
+def test_duplicate_spans_reference(spark):
+    """Spark span merge == plain-Python n-gram scan on a crafted corpus."""
+    from parquet_on_fhir_spark.operators.dedup import duplicate_spans
+
+    boiler = "all rights reserved click here to subscribe now today"  # 9 words
+    rows = [
+        (1, f"unique opening words one {boiler} and some unique tail text"),
+        (2, f"other totally different start {boiler} with another private ending"),
+        (3, "no shared content in this document at all whatsoever here"),
+        (4, "short doc"),
+    ]
+    n = 4
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python reference
+    docs = {i: t.lower().strip().split() for i, t in rows}
+    from collections import Counter
+
+    cnt = Counter()
+    for ws in docs.values():
+        for i in range(len(ws) - n + 1):
+            cnt[tuple(ws[i : i + n])] += 1
+    expected = set()
+    for did, ws in docs.items():
+        flagged = [
+            i + 1
+            for i in range(len(ws) - n + 1)
+            if cnt[tuple(ws[i : i + n])] >= 2
+        ]
+        spans = []
+        for p in flagged:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+            else:
+                spans.append((p, p, 1))
+        for s, e, k in spans:
+            expected.add((did, s, e + n - 1, k))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_ngrams"])
+        for r in duplicate_spans(corpus, "text", "doc_id", n=n).collect()
+    }
+    assert got == expected
+    # sanity: the boilerplate span was found in docs 1 and 2, not 3/4
+    assert {d for d, *_ in got} == {1, 2}
