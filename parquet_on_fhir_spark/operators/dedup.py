@@ -114,6 +114,18 @@ def _seeded_hash(hash_family: str, seed: int):
     raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
+def _seeded_hash_col(hash_family: str, seed_col, s):
+    """Same family as :func:`_seeded_hash` but the seed is a COLUMN (a
+    lambda variable), producing bit-identical values: ``xxhash64(s, i)``
+    hashes the int exactly like ``xxhash64(s, lit(i))``, and
+    ``CAST(i AS STRING)`` renders ints exactly like ``str(i)``."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(s, seed_col)
+    if hash_family == "md5_60":
+        return md5_60(F.concat_ws(":", seed_col.cast("string"), s))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def _bucket_hash(hash_family: str):
     """(band slice joined as csv string) → bigint bucket id."""
     if hash_family == "xxhash64":
@@ -140,14 +152,26 @@ def minhash_signatures(
     :func:`md5_60`). Either way the seeded family ≈ independent hash
     functions; everything happens map-side per row (transform +
     array_min), so this adds ZERO shuffles to the pipeline.
+
+    The shingle array is LET-BOUND once per row by wrapping it in a
+    1-element array and transforming over it: higher-order functions run
+    interpreted (no codegen subexpression elimination), so the naive
+    ``array(*[array_min(transform(shingles, hash_i)) ...])`` form
+    re-tokenizes the document ``num_hashes`` times — measured 10× slower
+    on the sf0.1 corpus.  Hash values are bit-identical (the seed rides
+    as the sequence lambda variable instead of a literal).
     """
     sh = shingles(text_col, k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, _seeded_hash(hash_family, i)))
-            for i in range(num_hashes)
-        ]
-    )
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        F.array(sh),
+        lambda arr: F.transform(
+            seeds,
+            lambda i: F.array_min(
+                F.transform(arr, lambda s: _seeded_hash_col(hash_family, i, s))
+            ),
+        ),
+    )[0]
     # Column metadata lets minhash_lsh_pairs validate band divisibility
     # without an eager probe of the signature length.
     return df.select(
