@@ -158,3 +158,107 @@ def chunk_documents(
         .withColumn("chunk_text", F.col(text_col).substr(start, F.lit(size)))
         .withColumn("chunk_len", F.length("chunk_text"))
     )
+
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 ranked retrieval against a term list (Robertson/Walker,
+    Lucene's +1 idf variant so weights stay positive):
+
+        score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                       · tf/(tf + k1·(1 - b + b·len_d/avgdl))
+
+    Shuffle discipline: per-(doc, term) tf counts come from an explode
+    FILTERED to the query terms (an IN over a literal list — the corpus
+    shrinks to matching tokens before any exchange); N and avgdl ride as
+    a broadcast 1-row crossJoin; per-term df is a ``query_terms``-row
+    aggregate, broadcast back.  Document text itself never shuffles, and
+    there is no driver-side action.  Output: one row per document with
+    ≥1 matching term: (id, score).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    doc_len = F.size(F.filter(words, lambda w: w != ""))
+    stats = df.select(doc_len.alias("__len")).agg(
+        F.count("*").alias("__n_docs"), F.avg("__len").alias("__avgdl")
+    )
+    # Doc length rides through the filtered explode, so the only corpus
+    # shuffle contains matching tokens — no second full-corpus join.
+    tf = (
+        df.select(F.col(id_col), doc_len.alias("__len"), F.explode(words).alias("__t"))
+        .filter(F.col("__t").isin(*query_terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__tf"), F.first("__len").alias("__len"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "__t",
+            F.log(
+                1
+                + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ).alias("__idf"),
+            "__avgdl",
+        )
+    )
+    return (
+        tf.join(F.broadcast(idf), "__t")
+        .select(
+            F.col(id_col),
+            (
+                F.col("__idf")
+                * F.col("__tf")
+                / (
+                    F.col("__tf")
+                    + k1 * (1 - b + b * F.col("__len") / F.col("__avgdl"))
+                )
+            ).alias("__term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__term_score").alias("bm25"))
+    )
+
+
+def profile_table(df, columns: list[str] | None = None, exact_distinct: bool = True):
+    """Per-column data-quality profile in ONE aggregate pass: null count,
+    distinct count, lexical min/max — the ANALYZE/data-audit primitive a
+    pipeline runs before trusting a new drop of data.
+
+    ``exact_distinct=False`` switches to ``approx_count_distinct`` (HLL,
+    mergeable, no expand) — the right tier at 100 TB where a multi-column
+    exact distinct costs one Expand pass per column; exact is the
+    verifiable default for audits at validation scale.
+
+    The wide 1-row aggregate is pivoted to long form (one row per column)
+    by exploding an array of structs — no second pass, no driver collect.
+    """
+    cols = columns or df.columns
+    distinct_of = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            distinct_of(F.col(c)).alias(f"__distinct_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__distinct_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

@@ -58,13 +58,28 @@ EVENTS_LONG_SCHEMA = (
 )
 
 
+def _ts_micros_expr(path: str):
+    """ts-normalization for a staged events file: the stream reads the
+    raw INT64 (schema pins ts BIGINT) and converts JVM-side, because the
+    stored unit is a property of the WRITER — footer-sniffed per file
+    like the batch loader (api._nanos_columns), never assumed.  Nanos
+    divide (integer truncation, matching DuckDB); micros convert
+    directly.  Either way the result is a TIMESTAMP (LTZ, UTC session)
+    as withWatermark requires."""
+    from parquet_on_fhir_spark.api import _nanos_columns
+
+    if "ts" in _nanos_columns(path):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.timestamp_micros(F.col("ts"))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as a file-stream source.
 
-    The parquet stores TIMESTAMP(NANOS) (unreadable by Spark's row
-    converter), so the stream schema takes nanos as LongType and converts
-    to a microsecond timestamp JVM-side — same normalization as the batch
-    loader (api.load_table).
+    The stream schema takes the raw int64 ``ts`` as LongType and
+    normalizes to microsecond timestamps JVM-side (unit footer-sniffed —
+    see :func:`_ts_micros_expr`), same normalization as the batch loader
+    (api.load_table).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = _SRC_CACHE.get(sf_dir)
@@ -75,7 +90,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f"{sf_dir}/events.parquet", src)
         _SRC_CACHE[sf_dir] = src
     sdf = spark.readStream.schema(EVENTS_LONG_SCHEMA).parquet(src)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.withColumn("ts", _ts_micros_expr(f"{sf_dir}/events.parquet"))
 
 
 def _stage_events_split(sf_dir: str, n_files: int) -> str:
@@ -120,7 +135,9 @@ def stream_events_multibatch(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # staged files inherit the source's unit (pyarrow rewrite): sniff the
+    # staged dir, not the original file
+    return sdf.withColumn("ts", _ts_micros_expr(src))
 
 
 def run_foreach_batch_to_parquet(df: DataFrame, out_dir: str) -> None:

@@ -1072,3 +1072,88 @@ GROUP BY doc_id, span
 
 
 QUERIES.append(Q("q113_duplicate_spans", q113, Q113_ORACLE))
+
+
+# --- Q114: BM25 ranked retrieval ---------------------------------------------------
+def q114(spark, sf_dir):
+    """BM25 over the corpus for a 3-term query; every stage (tf, df, the
+    Lucene +1 idf, length normalization) restated in SQL.  d4 rounding
+    absorbs float summation order (operators/text.py::bm25_scores)."""
+    from parquet_on_fhir_spark.operators.text import bm25_scores
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_scores(d, ["join", "vector", "stream"], "text", "doc_id")
+    return out.select(
+        "doc_id", F.round(F.col("bm25") + F.lit(1e-9), 4).alias("bm25")
+    )
+
+
+Q114_ORACLE = r"""
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '')) AS l
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(l) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w IN ('join', 'vector', 'stream')
+  GROUP BY doc_id, w
+),
+dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+idf AS (
+  SELECT term, ln(1 + (stats.n - dfc + 0.5) / (dfc + 0.5)) AS idf, stats.avgdl
+  FROM dfq, stats
+)
+SELECT tf.doc_id,
+       round(sum(idf.idf * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.l / idf.avgdl))) + 1e-9, 4) AS bm25
+FROM tf
+JOIN idf ON idf.term = tf.term
+JOIN lens ON lens.doc_id = tf.doc_id
+GROUP BY tf.doc_id
+"""
+
+
+QUERIES.append(Q("q114_bm25", q114, Q114_ORACLE))
+
+
+# --- Q115: table profile (one-pass per-column audit) ------------------------------
+def q115(spark, sf_dir):
+    """Null/distinct/min/max per column in one aggregate pass, exploded
+    to long form (operators/text.py::profile_table)."""
+    from parquet_on_fhir_spark.operators.text import profile_table
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_returnflag"
+    )
+    return profile_table(l)
+
+
+Q115_ORACLE = """
+SELECT 'l_orderkey' AS column,
+       CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(count(*) - count(l_quantity) AS BIGINT),
+       CAST(count(DISTINCT l_quantity) AS BIGINT),
+       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(count(*) - count(l_discount) AS BIGINT),
+       CAST(count(DISTINCT l_discount) AS BIGINT),
+       CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(count(*) - count(l_returnflag) AS BIGINT),
+       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+FROM lineitem
+"""
+
+
+QUERIES.append(Q("q115_table_profile", q115, Q115_ORACLE))
