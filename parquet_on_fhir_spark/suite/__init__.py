@@ -42,6 +42,8 @@ WINDOW = [
     "q111_importance_weights",
     "q112_source_cap",
     "q113_duplicate_spans",
+    "q114_bm25",
+    "q115_table_profile",
     # -- re-confirmations: queries with exactly one prior driver row
     # (q44/q46/q47/q49/q50 scalar re-confirms and the stream-"b" variants
     # q54b/q55b/q56b/q57b/q59b yielded their slots to the new r5 queries;
@@ -57,9 +59,7 @@ WINDOW = [
     "q57_dedup_keep_first",
     "q58_stream_stateful",
     "q59_stream_static_join",
-    "q62_pandas_udf",
     "q64_pandas_udaf",
-    "q65_python_udtf",
     "q67c_dedup_minhash_md5",
     "q71b_language_id",
     "q72_term_idf",
