@@ -388,3 +388,33 @@ def cap_per_source(
         .filter(F.col("__rn") <= max_per_key)
         .drop("__rn")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a hash of (seed, id)
+    maps to a U[0,1) draw, cut by the cumulative weights (dict order).
+    Pure map — the same row lands in the same split on any cluster
+    layout, any partitioning, any run; changing ``seed`` re-deals.
+    Weights are normalized, so {9, 0.5, 0.5} and {0.9, 0.05, 0.05}
+    agree.  Adds a ``split`` column.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    draw = md5_60(
+        F.concat_ws(":", F.lit(f"split{seed}"), F.col(id_col).cast("string"))
+    ) / F.lit(_HASH_SPACE)
+    names = list(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])  # everything past the last boundary
+    boundaries = []
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        boundaries.append((name, cum))
+    for name, b in reversed(boundaries):
+        expr = F.when(draw < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

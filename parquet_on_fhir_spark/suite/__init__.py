@@ -44,6 +44,7 @@ WINDOW = [
     "q113_duplicate_spans",
     "q114_bm25",
     "q115_table_profile",
+    "q116_corpus_split",
     # -- re-confirmations: queries with exactly one prior driver row
     # (q44/q46/q47/q49/q50 scalar re-confirms and the stream-"b" variants
     # q54b/q55b/q56b/q57b/q59b yielded their slots to the new r5 queries;
@@ -64,7 +65,6 @@ WINDOW = [
     "q71b_language_id",
     "q72_term_idf",
     "q73_multimodal_features",
-    "q73b_multimodal_frame_plan",
     "q74_quality_filter",
     "q74d_doc_fingerprints_md5",
     "q86c_curation_pipeline_md5",

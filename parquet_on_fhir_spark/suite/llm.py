@@ -1157,3 +1157,30 @@ FROM lineitem
 
 
 QUERIES.append(Q("q115_table_profile", q115, Q115_ORACLE))
+
+
+# --- Q116: deterministic corpus split (train/val/test) ----------------------------
+def q116(spark, sf_dir):
+    """Hash-threshold split — layout-independent, restated exactly in
+    SQL (operators/curation.py::split_corpus)."""
+    from parquet_on_fhir_spark.operators.curation import split_corpus
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return split_corpus(d, {"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id")
+
+
+Q116_ORACLE = """
+SELECT doc_id,
+       CASE WHEN draw < 0.9 THEN 'train'
+            WHEN draw < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS draw
+  FROM documents
+)
+"""
+
+
+QUERIES.append(Q("q116_corpus_split", q116, Q116_ORACLE))
