@@ -340,3 +340,88 @@ def test_duplicate_spans_reference(spark):
     assert got == expected
     # sanity: the boilerplate span was found in docs 1 and 2, not 3/4
     assert {d for d, *_ in got} == {1, 2}
+
+
+def test_bm25_reference(spark):
+    """Spark BM25 == plain-Python BM25 (Lucene +1 idf variant)."""
+    import math
+
+    from parquet_on_fhir_spark.operators.text import bm25_scores
+
+    rows = [
+        (1, "spark joins data with hash joins"),
+        (2, "merge joins beat hash joins on sorted data"),
+        (3, "completely unrelated text body here"),
+        (4, ""),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["joins", "data"]
+    k1, b = 1.2, 0.75
+
+    docs = {i: [w for w in t.lower().strip().split() if w] for i, t in rows}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    dfreq = {t: sum(1 for ws in docs.values() if t in ws) for t in terms}
+    expected = {}
+    for did, ws in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if s:
+            expected[did] = s
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(corpus, terms, k1=k1, b=b).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+    # doc 2 mentions both terms more often per length: must out-rank doc 3/4
+    assert 3 not in got and 4 not in got
+
+
+def test_profile_table(spark):
+    from parquet_on_fhir_spark.operators.text import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 7.0), (None, None, 7.0)],
+        "k long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_nulls"] == 1 and prof["k"]["n_distinct"] == 3
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "3"
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+    # HLL tier keeps the same shape
+    approx = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert set(approx) == {"k", "s", "v"}
+
+
+def test_split_corpus(spark):
+    from parquet_on_fhir_spark.operators.curation import split_corpus
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # deterministic across layouts
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_corpus(df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    )
+    assert a == b
+    # unnormalized weights agree with normalized
+    c = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_corpus(df, {"train": 8.0, "val": 1.0, "test": 1.0}).collect()
+    )
+    assert a == c
