@@ -79,3 +79,16 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
             "Delta Lake connector requires the delta-spark artifact on the "
             "classpath; add it via spark.jars.packages"
         ) from e
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
+    """Avro source. The spark-avro module is an external jar not shipped
+    in this image (verified 2026-08-13: 'Failed to find data source:
+    avro'); on a real cluster add
+    ``--packages org.apache.spark:spark-avro_2.13:<spark-version>``."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: data source not found
+        raise NotImplementedError(
+            "avro needs the spark-avro jar (org.apache.spark:spark-avro_2.13)"
+        ) from e

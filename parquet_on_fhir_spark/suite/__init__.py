@@ -45,12 +45,12 @@ WINDOW = [
     "q114_bm25",
     "q115_table_profile",
     "q116_corpus_split",
+    "q117_rollup_chain",
     # -- re-confirmations: queries with exactly one prior driver row
     # (q44/q46/q47/q49/q50 scalar re-confirms and the stream-"b" variants
     # q54b/q55b/q56b/q57b/q59b yielded their slots to the new r5 queries;
     # they rotate back in round 6)
     "q23_agg_approx_distinct",
-    "q36_sort_within_partitions",
     "q48_map_funcs",
     "q51_hash_funcs",
     "q51b_hash_ids_local",

@@ -1559,3 +1559,48 @@ QUERIES.extend(
     ]
 )
 
+
+
+# --- Q117: multi-resolution rollup chain (continuous-aggregate pattern) -----------
+def q117(spark, sf_dir):
+    """1h → 6h → 1d rollups where each level RE-AGGREGATES the previous
+    one (sums of sums — associative, exact), never rescanning the base
+    table: the materialized-rollup maintenance pattern (TimescaleDB-style
+    continuous aggregates / Druid rollup).  At 100 TB the 1h level is
+    ~5 orders of magnitude smaller than events, so the 6h/1d levels are
+    near-free; the oracle aggregates the base table directly at 1d —
+    equality IS the test that the chain loses nothing."""
+    e = t(spark, sf_dir, "events")
+    h1 = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    h6 = h1.groupBy(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("h") / 21600) * 21600
+        ).alias("h6"),
+        "event_type",
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    d1 = h6.groupBy(
+        F.date_trunc("day", F.col("h6")).alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    return d1.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sv") + F.lit(1e-9), 2).alias("total_value"),
+        F.round(F.col("sv") / F.col("n") + F.lit(1e-9), 4).alias("avg_value"),
+    )
+
+
+Q117_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value) + 1e-9, 2) AS total_value,
+       round(sum(value) / count(*) + 1e-9, 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES.append(Q("q117_rollup_chain", q117, Q117_ORACLE))
