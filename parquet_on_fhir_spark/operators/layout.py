@@ -130,3 +130,74 @@ def compact_table(
     fs.delete(jvm.org.apache.hadoop.fs.Path(bak), True)
     return {"files_before": n_files, "files_after": n_target,
             "bytes": total, "skipped": False}
+
+
+def zorder_key(x, y, bits: int = 21):
+    """Morton/Z-order interleave of two non-negative integer columns into
+    one BIGINT sort key (bit i of x → bit 2i, bit i of y → bit 2i+1).
+
+    Range clustering on ONE column only prunes predicates on that column;
+    sorting by the Z-key gives BOTH columns locality, so min-max file
+    stats skip on either predicate — the multi-dimensional layout trick
+    Delta/Iceberg OPTIMIZE ZORDER applies, as a pure Catalyst expression
+    (an ``aggregate`` fold over the bit positions; 2·bits ≤ 63 keeps the
+    result in the positive BIGINT range).  Normalize/rank inputs to
+    ``[0, 2^bits)`` first for skewed domains.
+    """
+    from pyspark.sql import functions as F
+
+    if 2 * bits > 63:
+        raise ValueError("2*bits must fit in a signed 64-bit key")
+    xs = (F.col(x) if isinstance(x, str) else x).cast("long")
+    ys = (F.col(y) if isinstance(y, str) else y).cast("long")
+    # bit positions are compile-time constants (shiftleft requires a
+    # literal count), so the key is a flat OR chain — pure int ops,
+    # whole-stage codegen keeps it branch-free
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(xs, i).bitwiseAND(1), i * 2)
+        ).bitwiseOR(F.shiftleft(F.shiftright(ys, i).bitwiseAND(1), i * 2 + 1))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 21,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` range-clustered by the Z-order key of (x, y): files
+    get near-disjoint Morton ranges, i.e. rectangular tiles in (x, y)
+    space, so min-max stats prune scans filtered on EITHER column.
+
+    Both columns are first normalized to bucket ids over [0, 2^bits)
+    (``width_bucket`` against global min/max, attached as a broadcast
+    1-row crossJoin — no driver action): raw interleaving would let the
+    wider-domain column dominate the high bits and the narrow column
+    would barely tile.  Equal-width buckets match roughly-uniform keys;
+    for heavy skew substitute rank buckets from approxQuantile
+    boundaries (what Delta's OPTIMIZE ZORDER does)."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(x).alias("__xlo"),
+        (F.max(x) + 1).alias("__xhi"),
+        F.min(y).alias("__ylo"),
+        (F.max(y) + 1).alias("__yhi"),
+    )
+    n = 1 << bits
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z",
+        zorder_key(
+            F.width_bucket(F.col(x), F.col("__xlo"), F.col("__xhi"), n) - 1,
+            F.width_bucket(F.col(y), F.col("__ylo"), F.col("__yhi"), n) - 1,
+            bits,
+        ),
+    )
+    out = optimize_layout(keyed, ["__z"], n_files)
+    out.drop("__z", "__xlo", "__xhi", "__ylo", "__yhi").write.mode(
+        "overwrite"
+    ).parquet(path)

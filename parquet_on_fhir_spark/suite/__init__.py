@@ -46,6 +46,7 @@ WINDOW = [
     "q115_table_profile",
     "q116_corpus_split",
     "q117_rollup_chain",
+    "q118_zorder_write",
     # -- re-confirmations: queries with exactly one prior driver row
     # (q44/q46/q47/q49/q50 scalar re-confirms and the stream-"b" variants
     # q54b/q55b/q56b/q57b/q59b yielded their slots to the new r5 queries;
@@ -60,7 +61,6 @@ WINDOW = [
     "q57_dedup_keep_first",
     "q58_stream_stateful",
     "q59_stream_static_join",
-    "q64_pandas_udaf",
     "q67c_dedup_minhash_md5",
     "q71b_language_id",
     "q72_term_idf",

@@ -1604,3 +1604,36 @@ GROUP BY 1, 2
 
 
 QUERIES.append(Q("q117_rollup_chain", q117, Q117_ORACLE))
+
+
+# --- Q118: Z-ordered write (two-column data-skipping layout) ----------------------
+def q118(spark, sf_dir):
+    """write_zordered round-trip: rows land in Morton-range tiles so
+    min-max footers prune on EITHER clustered column
+    (tests/test_scale_plans.py asserts tile disjointness); the Z-key
+    arithmetic itself is oracle-checked bit-for-bit and the filtered
+    round-trip row set is exact."""
+    import tempfile
+
+    from parquet_on_fhir_spark.operators.layout import write_zordered, zorder_key
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    base = tempfile.mkdtemp(prefix="pofs_zorder_")
+    write_zordered(l, base, "l_orderkey", "l_partkey", bits=21, n_files=8)
+    back = spark.read.parquet(base)
+    return back.filter(
+        (F.col("l_orderkey") < 500) | (F.col("l_partkey") < 50)
+    ).withColumn("zkey", zorder_key("l_orderkey", "l_partkey", bits=21))
+
+
+Q118_ORACLE = """
+SELECT l_orderkey, l_partkey, l_quantity,
+       CAST(list_sum(list_transform(generate_series(0, 20),
+         i -> (((l_orderkey >> i) & 1) << (i * 2))
+            + (((l_partkey >> i) & 1) << (i * 2 + 1)))) AS BIGINT) AS zkey
+FROM lineitem
+WHERE l_orderkey < 500 OR l_partkey < 50
+"""
+
+
+QUERIES.append(Q("q118_zorder_write", q118, Q118_ORACLE))

@@ -207,3 +207,65 @@ def test_compact_table(spark, sf_dir):
 
     r2 = compact_table(spark, tbl, target_file_mb=512)
     assert r2["skipped"]  # already compact — no rewrite job
+
+
+def test_zorder_write_tiles_both_columns(spark, sf_dir):
+    """write_zordered files cover rectangular Morton tiles: per-file
+    spans on BOTH clustered columns are much narrower than the global
+    span (single-column range clustering only narrows its own column),
+    and the Z-key math matches a pure-Python interleave."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.layout import write_zordered, zorder_key
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    base = tempfile.mkdtemp(prefix="pofs_ztest_")
+    write_zordered(l, base, "l_orderkey", "l_partkey", bits=21, n_files=16)
+
+    def spans(col):
+        out = []
+        for f in sorted(glob.glob(f"{base}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    ok_spans, pk_spans = spans("l_orderkey"), spans("l_partkey")
+    import pyspark.sql.functions as F
+
+    glob_ok, glob_pk = l.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")),
+        (F.max("l_partkey") - F.min("l_partkey")),
+    ).first()
+    # average per-file span well under the global span on BOTH dimensions
+    assert sum(ok_spans) / len(ok_spans) < glob_ok * 0.6
+    assert sum(pk_spans) / len(pk_spans) < glob_pk * 0.6
+
+    # Z-key expression == python reference on a sample
+    rows = (
+        l.limit(50)
+        .withColumn("zkey", zorder_key("l_orderkey", "l_partkey", bits=21))
+        .collect()
+    )
+
+    def pyz(a, b, bits=21):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    for r in rows:
+        assert r["zkey"] == pyz(r["l_orderkey"], r["l_partkey"])
