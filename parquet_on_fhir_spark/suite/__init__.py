@@ -87,6 +87,7 @@ ROWS_ONLY_COVERAGE = {
     "q74c_doc_fingerprints": "tests/test_text_multimodal.py (winnowing props)",
     "q86_corpus_curation_pipeline": "tests/test_llm_ops.py (pipeline stages)",
     "q91b_embedding_near_dup_lsh": "tests/test_llm_ops.py (recall vs exact q91)",
+    "q119_embedding_quantize": "tests/test_llm_ops.py (int8 roundtrip invariants)",
 }
 
 

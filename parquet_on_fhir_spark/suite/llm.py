@@ -1184,3 +1184,24 @@ FROM (
 
 
 QUERIES.append(Q("q116_corpus_split", q116, Q116_ORACLE))
+
+
+# --- Q119: embedding int8 quantization (rows-only: round-half ties on float -------
+# products are not portable across engines; tests/test_llm_ops.py carries
+# correctness — codes/scale/mse invariants + cosine preservation)
+def q119(spark, sf_dir):
+    from parquet_on_fhir_spark.functions.vectors import (
+        quantization_mse,
+        quantize_int8,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.withColumn("q", quantize_int8("embedding"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("q.scale") + F.lit(1e-9), 6).alias("scale"),
+        F.round(quantization_mse("embedding", "q") + F.lit(1e-9), 8).alias("mse"),
+    )
+
+
+QUERIES.append(Q("q119_embedding_quantize", q119, None))

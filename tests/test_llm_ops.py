@@ -336,3 +336,43 @@ def test_ivf_sampled_training_keeps_recall(spark, sf_dir):
                       max_train_rows=64).select("q_id", "vec_id")
     recall = exact.intersect(approx).count() / exact.count()
     assert recall >= 0.5, f"IVF (sampled fit) recall too low: {recall}"
+
+
+def test_int8_quantization_roundtrip(spark, sf_dir):
+    """Quantize/dequantize embeddings: codes in [-127,127], scale =
+    abs-max, reconstruction error bounded by half a quantization step,
+    and cosine similarity preserved to ~1%."""
+    import math
+
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.functions.vectors import (
+        dequantize_int8,
+        quantization_mse,
+        quantize_int8,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = e.select("vec_id", "embedding", quantize_int8("embedding").alias("q"))
+    rows = q.select(
+        "vec_id",
+        "embedding",
+        "q",
+        quantization_mse("embedding", "q").alias("mse"),
+        dequantize_int8("q").alias("back"),
+    ).collect()
+    assert rows
+    for r in rows:
+        v, codes, scale = r["embedding"], r["q"]["codes"], r["q"]["scale"]
+        assert abs(scale - max(abs(x) for x in v)) < 1e-6
+        assert all(-127 <= c <= 127 for c in codes)
+        step = scale / 127.0 if scale else 0.0
+        for x, c, b in zip(v, codes, r["back"]):
+            assert c == round(x * 127.0 / scale) if scale else c == 0
+            assert abs(x - b) <= step / 2 + 1e-6
+        assert r["mse"] <= (step / 2) ** 2 + 1e-9
+        # cosine(v, back) close to 1
+        dot = sum(a * b for a, b in zip(v, r["back"]))
+        nv = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in r["back"]))
+        if nv and nb:
+            assert dot / (nv * nb) > 0.99
