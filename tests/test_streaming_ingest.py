@@ -84,3 +84,38 @@ def test_stream_encode_quarantine(spark):
     assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("{not json")
     good = [r for r in rows if r["_corrupt_record"] is None]
     assert good[0]["id"] == "p1"
+
+
+def test_map_only_curation_ops_compose_with_streams(spark, sf_dir):
+    """chunk_documents / quality_score / split_corpus are pure map
+    expressions, so the SAME calls run unchanged on a readStream — the
+    streaming corpus-prep path needs no parallel implementations.  The
+    AvailableNow result must equal the batch application row-for-row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.curation import split_corpus
+    from parquet_on_fhir_spark.operators.text import chunk_documents, quality_score
+    from parquet_on_fhir_spark.streaming.jobs import run_to_memory
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="pofs_curation_stream_")
+    d.coalesce(2).write.mode("overwrite").parquet(src)
+
+    def prep(df):
+        chunked = chunk_documents(df, "text", "doc_id", size=128, stride=96)
+        scored = chunked.withColumn(
+            "quality", F.round(quality_score("chunk_text") + F.lit(1e-9), 6)
+        )
+        return split_corpus(scored, {"train": 0.8, "val": 0.2}, "doc_id").select(
+            "doc_id", "chunk_id", "chunk_start", "quality", "split"
+        )
+
+    batch = prep(d)
+    stream = prep(spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src))
+    got = run_to_memory(stream, "append")
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
