@@ -6,20 +6,29 @@ The missing piece after any LSH near-dup pass: MinHash/SimHash emit
 fit on the driver, so the clustering itself has to be a distributed
 fixpoint.
 
-Algorithm: min-label propagation with pointer jumping — the standard
-MapReduce formulation (cf. Kiveris et al., "Connected Components in
-MapReduce and Beyond", ACM SoCC 2014, whose large-star/small-star is
-the same label-contraction family).  Each round:
+Algorithm: min-label propagation with pointer jumping — what GraphX's
+``connectedComponents`` (Pregel) runs, expressed as DataFrame joins.
+Each round:
 
 1. propagate: ``label(v) <- min(label(v), min over neighbours u of
    label(u))`` — one edge-to-label join plus a groupBy-min, both
    shuffling only ``(node, label)`` pairs (16 bytes/row);
-2. pointer-jump: ``label(v) <- label(label(v))`` — one self-join on the
-   label table, which halves tree heights and turns O(diameter)
-   convergence into O(log n) rounds (near-dup clusters are almost
-   cliques, so 2-4 rounds in practice);
+2. pointer-jump ×2: ``label(v) <- label(label(v))`` — self-joins on the
+   label table that compress discovered label trees;
 3. convergence: labels only ever DECREASE, so ``sum(label)`` is a
    monotone witness — one scalar action per round, no diff join.
+
+Honest complexity: the min label still travels at most a couple of
+graph hops per round, so rounds scale with component DIAMETER (pointer
+jumping compresses the label forest, not the graph).  Near-dup cluster
+graphs — the use this module exists for — are band-collision cliques
+bridged by shared documents: diameter is single-digit and 3-5 rounds
+converge (q108's oracle equality is the proof).  For adversarial
+diameters (long chains) raise ``max_iter`` and pay rounds × 2 narrow
+shuffles, or contract edges large-star/small-star-style (Kiveris et
+al., ACM SoCC 2014) — a different recursion this module intentionally
+does not carry.  Non-convergence RAISES rather than returning a
+partially-propagated labelling.
 
 Lineage is truncated every round (localCheckpoint) so round k's plan
 does not replay rounds 1..k-1; on a real cluster with a checkpoint dir
@@ -52,6 +61,12 @@ def connected_components(
     component id is the smallest node id reachable from the node.
     Node ids must be an orderable numeric/string type.  Nodes with no
     edges are the caller's to union in (their component is themselves).
+
+    Raises ``RuntimeError`` if the labelling has not reached its
+    fixpoint within ``max_iter`` rounds (rounds scale with component
+    diameter — see module docstring); a partially-propagated result
+    would silently under-merge clusters, which for dedup means silently
+    under-deleting.
     """
     ends = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Node set from ALL endpoints (a self-loop-only node is still a node);
@@ -65,6 +80,7 @@ def connected_components(
         F.col("u").alias("node"), F.col("u").alias("comp")
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # 1. propagate the neighbour minimum into each node's label.
         prop = bidir.join(labels, bidir["u"] == labels["node"]).select(
@@ -75,18 +91,31 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        # 2. pointer jumping: follow the label one hop (comp is itself a
-        #    node id, so look its label up in the same table).
-        hop = new.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
-        new = (
-            new.join(hop, new["comp"] == hop["c_node"], "left")
-            .select("node", F.coalesce("c_comp", "comp").alias("comp"))
-        )
+        # 2. pointer jumping ×2: follow the label two hops (comp is
+        #    itself a node id, so look its label up in the same table).
+        #    Each hop halves label-tree heights; two per round quarters
+        #    them, which on chain-heavy graphs (bridged near-dup chains,
+        #    the probe's 10-node chains) cuts the round count ~2× for
+        #    one extra small join per round.
+        for _hop in range(2):
+            hop = new.select(
+                F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+            )
+            new = (
+                new.join(hop, new["comp"] == hop["c_node"], "left")
+                .select("node", F.coalesce("c_comp", "comp").alias("comp"))
+            )
         new = _truncate_lineage(new)
         # 3. monotone convergence witness (labels never increase).
         row = new.agg(F.sum("comp").alias("s"), F.count("*").alias("n")).collect()[0]
         labels = new
         if prev_sum is not None and row["s"] == prev_sum:
+            converged = True
             break
         prev_sum = row["s"]
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the component diameter exceeds the round budget — raise max_iter"
+        )
     return labels.select("node", F.col("comp").alias("component"))

@@ -119,3 +119,17 @@ def test_chunking_is_map_only(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_cc_raises_on_round_budget(spark):
+    """A long chain cannot converge in 2 rounds: the guard must raise
+    rather than return a partially-propagated labelling."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "src", "dst", max_iter=2)
+    # with budget it converges to one component
+    got = connected_components(df, "src", "dst", max_iter=40).collect()
+    assert {r["component"] for r in got} == {0}
