@@ -476,9 +476,12 @@ def near_dup_clusters(
     jaccard_threshold: float = 0.5,
     k: int = 3,
     hash_family: str = "xxhash64",
+    max_iter: int = 25,
 ) -> DataFrame:
     """Full near-dedup: MinHash → LSH pairs → transitive clusters →
-    deterministic survivor per cluster.
+    deterministic survivor per cluster.  ``max_iter`` bounds the
+    connected-components rounds (raises rather than under-merging —
+    see operators/graph.py; 25 covers any realistic cluster diameter).
 
     Pairs alone under-delete (a~b and b~c must collapse to ONE survivor
     even when a~c was never emitted), so the pair graph is closed with
@@ -497,7 +500,7 @@ def near_dup_clusters(
     pairs = minhash_lsh_pairs(
         sigs, id_col, num_bands=num_bands, jaccard_threshold=jaccard_threshold
     )
-    cc = connected_components(pairs, "id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
     out = (
         df.select(id_col)
         .join(cc, F.col(id_col) == cc["node"], "left")
