@@ -32,6 +32,7 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     embedding_threshold: float = 0.95,
     hash_family: str = "xxhash64",
+    cluster_closure: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus with ``quality`` and ``n_tokens``
     columns attached.
@@ -39,7 +40,13 @@ def curate_corpus(
     Stages (in pipeline order):
     1. exact dedup (content hash; min-id survivor)
     2. near-dedup: MinHash-LSH pairs ≥ threshold → drop the higher id of
-       each pair (keep-first, mirroring exact dedup's survivor rule)
+       each pair (keep-first, mirroring exact dedup's survivor rule).
+       The pair-drop keeps every LOCAL minimum of the pair graph — the
+       one-shot production shortcut; ``cluster_closure=True`` instead
+       closes pairs into transitive components (operators/graph.py) and
+       keeps ONE survivor per cluster (a~b, b~c now also drops the a≁c
+       stragglers, at the cost of an iterative fixpoint). q86/q86c
+       oracle the default pair-drop semantics.
     2b. optional embedding near-dedup: ``embeddings`` is a DataFrame of
         (id_col, embedding array); sign-LSH-bucketed cosine pairs ≥
         ``embedding_threshold`` drop the higher id — catches semantic
@@ -62,7 +69,15 @@ def curate_corpus(
         d, text_col, id_col, num_hashes=32, hash_family=hash_family
     )
     pairs = minhash_lsh_pairs(sigs, id_col, num_bands=8, jaccard_threshold=near_dup_threshold)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if cluster_closure:
+        from parquet_on_fhir_spark.operators.graph import connected_components
+
+        cc = connected_components(pairs, "id_a", "id_b")
+        losers = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     d = d.join(losers, id_col, "left_anti")
 
     if embeddings is not None:

@@ -376,3 +376,26 @@ def test_int8_quantization_roundtrip(spark, sf_dir):
         nb = math.sqrt(sum(b * b for b in r["back"]))
         if nv and nb:
             assert dot / (nv * nb) > 0.99
+
+
+def test_curate_corpus_cluster_closure(spark):
+    """cluster_closure=True collapses a transitive near-dup chain to ONE
+    survivor where the default pair-drop keeps every local minimum."""
+    from parquet_on_fhir_spark.operators.pipeline import curate_corpus
+
+    base = "the quick brown fox jumps over the sleeping dog near the old barn " * 4
+    rows = [
+        (1, base + "alpha beta gamma delta"),
+        (5, base + "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (10, base + "alpha beta gamma delta epsilon zeta"),
+        (20, "entirely different content about distributed query planning " * 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.0, near_dup_threshold=0.35)
+    default_ids = {r["doc_id"] for r in curate_corpus(docs, **kw).collect()}
+    closed_ids = {r["doc_id"] for r in curate_corpus(docs, cluster_closure=True, **kw).collect()}
+    assert 20 in default_ids and 20 in closed_ids
+    # closure keeps exactly one of the near-dup chain {1,5,10}
+    assert len(closed_ids - {20}) == 1 and closed_ids - {20} == {1}
+    # closure never keeps more than the pair-drop
+    assert closed_ids <= default_ids
