@@ -24,10 +24,10 @@ jumping compresses the label forest, not the graph).  Near-dup cluster
 graphs — the use this module exists for — are band-collision cliques
 bridged by shared documents: diameter is single-digit and 3-5 rounds
 converge (q108's oracle equality is the proof).  For adversarial
-diameters (long chains) raise ``max_iter`` and pay rounds × 2 narrow
-shuffles, or contract edges large-star/small-star-style (Kiveris et
-al., ACM SoCC 2014) — a different recursion this module intentionally
-does not carry.  Non-convergence RAISES rather than returning a
+diameters (long chains) use :func:`connected_components_contract` —
+the large-star/small-star edge-contraction recursion (Kiveris et al.,
+ACM SoCC 2014), O(log² n) rounds independent of diameter.  Both
+variants RAISE on non-convergence rather than returning a
 partially-propagated labelling.
 
 Lineage is truncated every round (localCheckpoint) so round k's plan
@@ -119,3 +119,100 @@ def connected_components(
             "the component diameter exceeds the round budget — raise max_iter"
         )
     return labels.select("node", F.col("comp").alias("component"))
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (big, small) orientation, no
+    self-loops, deduped."""
+    big = F.greatest(F.col("a"), F.col("b"))
+    small = F.least(F.col("a"), F.col("b"))
+    return (
+        e.select(big.alias("a"), small.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_contract(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star edge
+    CONTRACTION (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", ACM SoCC 2014): unlike label propagation
+    (:func:`connected_components`), the edge set itself is rewritten
+    toward a union of stars, converging in O(log² n) rounds regardless
+    of component DIAMETER — the variant for adversarial graphs (long
+    chains); for single-digit-diameter near-dup cluster graphs the
+    label-propagation version does fewer, cheaper rounds.
+
+    Per round: two phases, each a groupBy-min over (node, neighbour)
+    pairs plus an equi-join — 16-byte rows, same shuffle discipline.
+    Convergence witness: the canonical edge set's (count, hash-sum) pair
+    is compared across rounds; stars are a fixpoint of both phases.
+    Raises on a blown round budget like the label version.
+    """
+    ends = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        ends.select(F.col("a").alias("node"))
+        .unionAll(ends.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    e = _truncate_lineage(_canonical(ends))
+
+    def bidir(cano: DataFrame) -> DataFrame:
+        return cano.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            cano.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def large_star(cano: DataFrame) -> DataFrame:
+        nb = bidir(cano)
+        mins = nb.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        return _canonical(
+            nb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+        )
+
+    def small_star(cano: DataFrame) -> DataFrame:
+        # strictly-smaller neighbours of each node (canonical a>b IS that
+        # orientation), their minimum, and the node itself all connect to m
+        mins = cano.groupBy("a").agg(F.min("b").alias("m"))
+        spokes = (
+            cano.join(mins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        centers = mins.select(F.col("a"), F.col("m").alias("b"))
+        return _canonical(spokes.unionAll(centers))
+
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        e = _truncate_lineage(small_star(large_star(e)))
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: order-independent witness immune to ANSI long
+            # overflow (xxhash64 values span the full int64 range)
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev:
+            converged = True
+            break
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_contract did not converge in {max_iter} rounds"
+        )
+    # fixpoint is a union of stars: every non-root appears as `a` exactly
+    # once with b = its root; roots (and self-loop-only nodes) label
+    # themselves
+    roots = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    return (
+        nodes.join(roots, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("component"))
+    )

@@ -133,3 +133,38 @@ def test_cc_raises_on_round_budget(spark):
     # with budget it converges to one component
     got = connected_components(df, "src", "dst", max_iter=40).collect()
     assert {r["component"] for r in got} == {0}
+
+
+def _check_contract(spark, edges, max_iter=40):
+    from parquet_on_fhir_spark.operators.graph import connected_components_contract
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_contract(df, "src", "dst", max_iter).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_contract_basic_graphs(spark):
+    _check_contract(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)])
+    _check_contract(spark, [(5, 5), (1, 2), (2, 1), (1, 2), (3, 3)])
+    edges = [(1, i) for i in range(2, 7)] + [(100, i) for i in range(101, 106)]
+    _check_contract(spark, edges + [(6, 105)])
+
+
+def test_contract_random_graphs(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        _check_contract(spark, edges)
+
+
+def test_contract_handles_deep_chains(spark):
+    """The diameter-200 chain that label propagation cannot finish in a
+    small round budget converges for the contraction variant in
+    O(log² n) rounds."""
+    edges = [(i, i + 1) for i in range(200)]
+    _check_contract(spark, edges, max_iter=12)
