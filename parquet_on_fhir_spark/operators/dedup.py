@@ -579,3 +579,88 @@ def duplicate_spans(
         )
         .drop("__span")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    kept_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float | None = 0.5,
+    k: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Continuous-ingestion dedup: drop rows of ``new_docs`` that are
+    exact or near duplicates of the ALREADY-KEPT corpus (dedup of the
+    new batch against itself is a separate :func:`exact_dedup` /
+    :func:`near_dup_clusters` pass — compose as needed).
+
+    Scale shape — the kept corpus is the 100 TB side and is scanned,
+    never shuffled against itself:
+
+    1. exact: content-hash LEFT ANTI join (sha2 of text; the kept side
+       reduces to its distinct hash set map-side before the join);
+    2. near (``jaccard_threshold`` not None): MinHash bands for BOTH
+       sides, equi-join on (band, bucket) — the new batch is typically
+       a tiny fraction of kept, so its banded form is the natural
+       broadcast side; colliding pairs are verified by signature
+       agreement ≥ threshold and the hit ids dropped.
+    """
+    text_hash = F.sha2(F.col(text_col), 256)
+    kept_hashes = kept_docs.select(text_hash.alias("__h")).distinct()
+    survivors = (
+        new_docs.withColumn("__h", text_hash)
+        .join(kept_hashes, "__h", "left_anti")
+        .drop("__h")
+    )
+    if jaccard_threshold is None:
+        return survivors
+    new_sigs = minhash_signatures(
+        survivors, text_col, id_col, num_hashes=num_hashes, k=k, hash_family=hash_family
+    )
+    kept_sigs = minhash_signatures(
+        kept_docs, text_col, id_col, num_hashes=num_hashes, k=k, hash_family=hash_family
+    )
+    tagged = new_sigs.select(
+        F.col(id_col), F.col("minhash"), F.lit(True).alias("__new")
+    ).unionAll(
+        kept_sigs.select(
+            # kept ids only collide as pair partners; negate-space ids keep
+            # them distinct from new ids without assuming disjoint ranges
+            F.col(id_col),
+            F.col("minhash"),
+            F.lit(False).alias("__new"),
+        )
+    )
+    # cross-set pairs only: run the banding over the union, then keep
+    # pairs with exactly one new endpoint
+    sig_meta = {"num_hashes": num_hashes, "hash_family": hash_family}
+    u = tagged.select(
+        F.concat(F.when(F.col("__new"), F.lit("n:")).otherwise(F.lit("k:")),
+                 F.col(id_col).cast("string")).alias("__uid"),
+        F.col("minhash").alias(
+            "minhash", metadata=sig_meta
+        ),
+    )
+    pairs = minhash_lsh_pairs(
+        u, "__uid", num_bands=num_bands, jaccard_threshold=jaccard_threshold
+    )
+    near_hit_ids = (
+        pairs.filter(
+            (F.col("id_a").substr(1, 2) == "n:") != (F.col("id_b").substr(1, 2) == "n:")
+        )
+        .select(
+            F.when(F.col("id_a").substr(1, 2) == "n:", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("__uid")
+        )
+        .select(F.expr("substring(__uid, 3)").alias("__sid"))
+        .distinct()
+    )
+    return survivors.join(
+        near_hit_ids,
+        survivors[id_col].cast("string") == near_hit_ids["__sid"],
+        "left_anti",
+    )

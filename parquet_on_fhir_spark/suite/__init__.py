@@ -47,6 +47,7 @@ WINDOW = [
     "q116_corpus_split",
     "q117_rollup_chain",
     "q118_zorder_write",
+    "q120_incremental_dedup",
     # -- re-confirmations: queries with exactly one prior driver row
     # (q44/q46/q47/q49/q50 scalar re-confirms and the stream-"b" variants
     # q54b/q55b/q56b/q57b/q59b yielded their slots to the new r5 queries;
@@ -62,7 +63,6 @@ WINDOW = [
     "q58_stream_stateful",
     "q59_stream_static_join",
     "q67c_dedup_minhash_md5",
-    "q71b_language_id",
     "q72_term_idf",
     "q73_multimodal_features",
     "q74_quality_filter",

@@ -1205,3 +1205,98 @@ def q119(spark, sf_dir):
 
 
 QUERIES.append(Q("q119_embedding_quantize", q119, None))
+
+
+# --- Q120: incremental dedup of a new batch against the kept corpus ---------------
+def q120(spark, sf_dir):
+    """Continuous-ingestion gate: the new batch = 30 near-dups + 20
+    exact copies + 10 genuinely-new docs; survivors must be exactly the
+    genuinely-new (operators/dedup.py::incremental_dedup, md5_60 family
+    so both stages restate in SQL)."""
+    from parquet_on_fhir_spark.operators.dedup import incremental_dedup
+
+    kept = t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = kept.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker words")).alias("text"),
+    )
+    exact = kept.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    fresh = kept.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("zzq genuinely novel ingest payload entry"),
+            F.col("doc_id").cast("string"),
+            F.lit("qzz unseen vocabulary tokens only"),
+        ).alias("text"),
+    )
+    new = near.unionAll(exact).unionAll(fresh)
+    return incremental_dedup(
+        new, kept, "text", "doc_id", jaccard_threshold=0.4, hash_family="md5_60"
+    ).select("doc_id")
+
+
+Q120_ORACLE = r"""
+WITH kept AS (SELECT doc_id, text FROM documents),
+new_batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' tail marker words' AS text
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id >= 100 AND doc_id < 120
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'zzq genuinely novel ingest payload entry ' || CAST(doc_id AS VARCHAR)
+           || ' qzz unseen vocabulary tokens only' AS text
+  FROM documents WHERE doc_id < 10
+),
+surv AS (
+  SELECT * FROM new_batch WHERE text NOT IN (SELECT text FROM kept)
+),
+all_docs AS (
+  SELECT 'n:' || CAST(doc_id AS VARCHAR) AS uid, text FROM surv
+  UNION ALL
+  SELECT 'k:' || CAST(doc_id AS VARCHAR) AS uid, text FROM kept
+),
+sh AS (
+  SELECT uid,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)),
+           i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))) AS shingles
+  FROM all_docs
+),
+sigs AS (
+  SELECT uid,
+         list_transform(generate_series(0, 31),
+           i -> list_min(list_transform(shingles,
+                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT uid, b.band,
+         CAST('0x' || substr(md5(array_to_string(
+           list_transform(sig[b.band*4+1 : b.band*4+4], x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT l.uid AS ua, r.uid AS ub
+  FROM banded l JOIN banded r USING (band, bucket)
+  WHERE l.uid < r.uid
+),
+hits AS (
+  SELECT CASE WHEN substr(ua, 1, 2) = 'n:' THEN ua ELSE ub END AS nuid
+  FROM pairs
+  JOIN sigs sa ON sa.uid = ua
+  JOIN sigs sb ON sb.uid = ub
+  WHERE (substr(ua, 1, 2) = 'n:') <> (substr(ub, 1, 2) = 'n:')
+    AND len(list_filter(list_transform(generate_series(1, 32),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 32.0 >= 0.4
+)
+SELECT doc_id FROM surv
+WHERE 'n:' || CAST(doc_id AS VARCHAR) NOT IN (SELECT nuid FROM hits)
+"""
+
+
+QUERIES.append(Q("q120_incremental_dedup", q120, Q120_ORACLE))

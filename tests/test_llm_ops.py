@@ -399,3 +399,28 @@ def test_curate_corpus_cluster_closure(spark):
     assert len(closed_ids - {20}) == 1 and closed_ids - {20} == {1}
     # closure never keeps more than the pair-drop
     assert closed_ids <= default_ids
+
+
+def test_incremental_dedup(spark):
+    from parquet_on_fhir_spark.operators.dedup import incremental_dedup
+
+    kept = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog by the river bank"),
+            (2, "distributed query engines shuffle data between executor nodes"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog by the river bank"),  # exact
+            (11, "the quick brown fox jumps over the lazy dog by the river bank today"),  # near
+            (12, "entirely novel content with no overlap whatsoever in any shingle"),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(new, kept, "text", "doc_id", jaccard_threshold=0.35)
+    assert [r["doc_id"] for r in out.collect()] == [12]
+    # exact-only mode keeps the near-dup
+    out2 = incremental_dedup(new, kept, "text", "doc_id", jaccard_threshold=None)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11, 12]
