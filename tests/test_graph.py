@@ -168,3 +168,55 @@ def test_contract_handles_deep_chains(spark):
     O(log² n) rounds."""
     edges = [(i, i + 1) for i in range(200)]
     _check_contract(spark, edges, max_iter=12)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_texts, st.integers(1, 40), st.integers(1, 40))
+def test_chunking_matches_python_reference(spark, texts, size, stride):
+    """Random unicode docs, random size/stride: chunk set == python
+    slicing reference (offsets are CHARACTER-based in both)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_text"])
+        for r in chunk_documents(df, "text", "doc_id", size=size, stride=stride).collect()
+    }
+    expected = set()
+    for i, t in rows:
+        extra = max(len(t) - size, 0)
+        n = 1 + (extra + stride - 1) // stride
+        for ci in range(n):
+            start = ci * stride
+            expected.add((i, ci, start + 1, t[start : start + size]))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2**20), st.integers(0, 2**20)), min_size=1, max_size=20))
+def test_zorder_key_matches_python(spark, pts):
+    from parquet_on_fhir_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [r["z"] for r in df.select(zorder_key("x", "y", bits=21).alias("z")).collect()]
+
+    def pyz(a, b, bits=21):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    assert sorted(got) == sorted(pyz(a, b) for a, b in pts)
