@@ -404,6 +404,8 @@ def split_corpus(
     agree.  Adds a ``split`` column.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if any(v < 0 for v in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("split weights must be non-negative with a positive sum")
     total = float(sum(weights.values()))
     draw = md5_60(
         F.concat_ws(":", F.lit(f"split{seed}"), F.col(id_col).cast("string"))

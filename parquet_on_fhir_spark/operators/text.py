@@ -148,6 +148,11 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            "stride > size leaves un-covered gaps between chunks; use "
+            "stride <= size (stride == size for non-overlapping)"
+        )
     length = F.length(F.col(text_col))
     extra = F.greatest(length - size, F.lit(0))
     n_extra = F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
@@ -174,6 +179,9 @@ def bm25_scores(
         score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
                        · tf/(tf + k1·(1 - b + b·len_d/avgdl))
 
+    Raises on an empty ``query_terms`` (an all-zero result would be
+    indistinguishable from a no-match query).
+
     Shuffle discipline: per-(doc, term) tf counts come from an explode
     FILTERED to the query terms (an IN over a literal list — the corpus
     shrinks to matching tokens before any exchange); N and avgdl ride as
@@ -182,6 +190,8 @@ def bm25_scores(
     there is no driver-side action.  Output: one row per document with
     ≥1 matching term: (id, score).
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     doc_len = F.size(F.filter(words, lambda w: w != ""))
     stats = df.select(doc_len.alias("__len")).agg(
@@ -239,6 +249,8 @@ def profile_table(df, columns: list[str] | None = None, exact_distinct: bool = T
     by exploding an array of structs — no second pass, no driver collect.
     """
     cols = columns or df.columns
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
     distinct_of = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for c in cols:

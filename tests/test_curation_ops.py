@@ -425,3 +425,28 @@ def test_split_corpus(spark):
         for r in split_corpus(df, {"train": 8.0, "val": 1.0, "test": 1.0}).collect()
     )
     assert a == c
+
+
+def test_new_op_guards(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.curation import split_corpus
+    from parquet_on_fhir_spark.operators.text import (
+        bm25_scores,
+        chunk_documents,
+        profile_table,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="gaps"):
+        chunk_documents(df, "text", "doc_id", size=10, stride=11)
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])
+    # empty columns list falls back to all columns (the guard is for
+    # genuinely column-less frames)
+    assert {r["column"] for r in profile_table(df, columns=[]).collect()} == {
+        "doc_id",
+        "text",
+    }
+    with pytest.raises(ValueError, match="positive sum"):
+        split_corpus(df, {"a": 0.0, "b": 0.0})
