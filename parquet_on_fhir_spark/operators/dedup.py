@@ -477,11 +477,15 @@ def near_dup_clusters(
     k: int = 3,
     hash_family: str = "xxhash64",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Full near-dedup: MinHash → LSH pairs → transitive clusters →
     deterministic survivor per cluster.  ``max_iter`` bounds the
     connected-components rounds (raises rather than under-merging —
-    see operators/graph.py; 25 covers any realistic cluster diameter).
+    see operators/graph.py; 25 covers any realistic cluster diameter);
+    ``algorithm="contract"`` switches to large-star/small-star edge
+    contraction (O(log² n) rounds, diameter-independent) for pair
+    graphs with long chains.
 
     Pairs alone under-delete (a~b and b~c must collapse to ONE survivor
     even when a~c was never emitted), so the pair graph is closed with
@@ -492,7 +496,10 @@ def near_dup_clusters(
     and ``is_survivor`` (true for the cluster minimum — the row exact/
     near dedup would keep).
     """
-    from parquet_on_fhir_spark.operators.graph import connected_components
+    from parquet_on_fhir_spark.operators.graph import (
+        connected_components,
+        connected_components_contract,
+    )
 
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, k=k, hash_family=hash_family
@@ -500,7 +507,11 @@ def near_dup_clusters(
     pairs = minhash_lsh_pairs(
         sigs, id_col, num_bands=num_bands, jaccard_threshold=jaccard_threshold
     )
-    cc = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    cc_fn = {
+        "label": connected_components,
+        "contract": connected_components_contract,
+    }[algorithm]
+    cc = cc_fn(pairs, "id_a", "id_b", max_iter=max_iter)
     out = (
         df.select(id_col)
         .join(cc, F.col(id_col) == cc["node"], "left")

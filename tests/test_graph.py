@@ -220,3 +220,18 @@ def test_zorder_key_matches_python(spark, pts):
         return k
 
     assert sorted(got) == sorted(pyz(a, b) for a, b in pts)
+
+
+def test_near_dup_clusters_contract_algorithm(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different text about spark query engines at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for alg in ("label", "contract"):
+        out = near_dup_clusters(
+            df, "text", "doc_id", num_bands=16, jaccard_threshold=0.3, algorithm=alg
+        ).collect()
+        comp = {r["doc_id"]: r["component"] for r in out}
+        assert comp[1] == comp[2] == 1 and comp[3] == 3, alg
