@@ -119,3 +119,67 @@ def test_map_only_curation_ops_compose_with_streams(spark, sf_dir):
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, sf_dir):
+    """Continuous-ingestion loop: each micro-batch is deduped against
+    the base corpus PLUS everything previously accepted (foreachBatch
+    reads its own sink), so a fresh doc arriving twice across batches is
+    accepted exactly once and near/exact dups of the base never land."""
+    import os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.dedup import incremental_dedup
+
+    kept = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = kept.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker words")).alias("text"),
+    )
+    fresh1 = spark.createDataFrame(
+        [(3000001, "zq alpha unseen ingest words one qz"),
+         (3000002, "zq beta unseen ingest words two qz")],
+        "doc_id long, text string",
+    )
+    exact = kept.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    # fresh1 re-arrives in batch 2 under NEW ids (same text) + one new doc
+    fresh2 = spark.createDataFrame(
+        [(4000001, "zq alpha unseen ingest words one qz"),
+         (4000002, "zq gamma unseen ingest words three qz")],
+        "doc_id long, text string",
+    )
+    src = tempfile.mkdtemp(prefix="pofs_ingest_dedup_")
+    near.unionAll(fresh1).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    _time.sleep(0.05)
+    exact.unionAll(fresh2).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    accepted_dir = tempfile.mkdtemp(prefix="pofs_accepted_") + "/out"
+
+    def ingest(batch_df, batch_id):
+        base = kept
+        if os.path.isdir(accepted_dir):
+            base = base.unionAll(batch_df.sparkSession.read.parquet(accepted_dir))
+        ok = incremental_dedup(batch_df, base, "text", "doc_id", jaccard_threshold=0.4)
+        ok.write.mode("append").parquet(accepted_dir)
+
+    ck = tempfile.mkdtemp(prefix="pofs_ingest_ck_")
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(accepted_dir).collect())
+    # fresh1 accepted in batch 1; its re-arrival (4000001) rejected as an
+    # exact dup of the accepted set; 4000002 is new; near/exact dups of
+    # the base never accepted
+    assert got == [3000001, 3000002, 4000002]
