@@ -184,8 +184,15 @@ _texts = st.lists(
 
 
 @settings(max_examples=10, deadline=None)
-@given(_texts, st.integers(1, 40), st.integers(1, 40))
-def test_chunking_matches_python_reference(spark, texts, size, stride):
+@given(
+    _texts,
+    # stride <= size (the operator rejects gap-leaving strides)
+    st.integers(1, 40).flatmap(
+        lambda size: st.tuples(st.just(size), st.integers(1, size))
+    ),
+)
+def test_chunking_matches_python_reference(spark, texts, size_stride):
+    size, stride = size_stride
     """Random unicode docs, random size/stride: chunk set == python
     slicing reference (offsets are CHARACTER-based in both)."""
     rows = [(i, t) for i, t in enumerate(texts)]
