@@ -183,6 +183,40 @@ def minhash_signatures(
     )
 
 
+def _band_signatures(
+    sig_df: DataFrame, id_col: str, num_bands: int, hash_family: str
+) -> DataFrame:
+    """(id, minhash) → exploded (id, band, bucket): the signature is cut
+    into ``num_bands`` equal slices and each slice csv-hashed to a bigint
+    bucket.  Map-side only — the ~24 B/row output is what any downstream
+    equi-join shuffles, never the signatures themselves."""
+    n_rows = F.size(F.col("minhash"))
+    rows_per_band = (n_rows / num_bands).cast("int")
+    bucket_fn = _bucket_hash(hash_family)
+    return sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    bucket_fn(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("minhash"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -226,31 +260,7 @@ def minhash_lsh_pairs(
             f"num_hashes={num_hashes} must be divisible by num_bands={num_bands}; "
             "trailing signature positions would be silently ignored"
         )
-    n_rows = F.size(F.col("minhash"))
-    rows_per_band = (n_rows / num_bands).cast("int")
-    bucket_fn = _bucket_hash(hash_family)
-    banded = sig_df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    bucket_fn(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("minhash"), b * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _band_signatures(sig_df, id_col, num_bands, hash_family)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, log_dropped)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -602,6 +612,8 @@ def incremental_dedup(
     jaccard_threshold: float | None = 0.5,
     k: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Continuous-ingestion dedup: drop rows of ``new_docs`` that are
     exact or near duplicates of the ALREADY-KEPT corpus (dedup of the
@@ -613,11 +625,18 @@ def incremental_dedup(
 
     1. exact: content-hash LEFT ANTI join (sha2 of text; the kept side
        reduces to its distinct hash set map-side before the join);
-    2. near (``jaccard_threshold`` not None): MinHash bands for BOTH
-       sides, equi-join on (band, bucket) — the new batch is typically
-       a tiny fraction of kept, so its banded form is the natural
-       broadcast side; colliding pairs are verified by signature
-       agreement ≥ threshold and the hit ids dropped.
+    2. near (``jaccard_threshold`` not None): each side is banded
+       SEPARATELY and kept-banded is equi-joined against the new batch's
+       banded rows on (band, bucket) — kept×kept candidate pairs are
+       never generated, so the kept side's self-collision banding cost
+       (which would dominate at corpus scale) is structurally absent.
+       With ``broadcast_new`` (default) the new side — typically a tiny
+       ingestion batch — is broadcast, so the kept corpus is scanned
+       map-side with ZERO shuffle; set it False for jumbo batches to get
+       a plain (band, bucket) shuffle join instead.  Colliding cross-set
+       pairs are verified by signature agreement ≥ threshold and the hit
+       new-ids dropped.  ``max_bucket_size`` caps hot kept-side buckets
+       (boilerplate) exactly as in :func:`minhash_lsh_pairs`.
     """
     text_hash = F.sha2(F.col(text_col), 256)
     kept_hashes = kept_docs.select(text_hash.alias("__h")).distinct()
@@ -634,44 +653,39 @@ def incremental_dedup(
     kept_sigs = minhash_signatures(
         kept_docs, text_col, id_col, num_hashes=num_hashes, k=k, hash_family=hash_family
     )
-    tagged = new_sigs.select(
-        F.col(id_col), F.col("minhash"), F.lit(True).alias("__new")
-    ).unionAll(
-        kept_sigs.select(
-            # kept ids only collide as pair partners; negate-space ids keep
-            # them distinct from new ids without assuming disjoint ranges
-            F.col(id_col),
-            F.col("minhash"),
-            F.lit(False).alias("__new"),
-        )
+    new_banded = _band_signatures(new_sigs, id_col, num_bands, hash_family).select(
+        F.col(id_col).alias("__nid"), "band", "bucket"
     )
-    # cross-set pairs only: run the banding over the union, then keep
-    # pairs with exactly one new endpoint
-    sig_meta = {"num_hashes": num_hashes, "hash_family": hash_family}
-    u = tagged.select(
-        F.concat(F.when(F.col("__new"), F.lit("n:")).otherwise(F.lit("k:")),
-                 F.col(id_col).cast("string")).alias("__uid"),
-        F.col("minhash").alias(
-            "minhash", metadata=sig_meta
-        ),
+    kept_banded = _band_signatures(kept_sigs, id_col, num_bands, hash_family).select(
+        F.col(id_col).alias("__kid"), "band", "bucket"
     )
-    pairs = minhash_lsh_pairs(
-        u, "__uid", num_bands=num_bands, jaccard_threshold=jaccard_threshold
+    kept_banded = _cap_buckets(
+        kept_banded, ["band", "bucket"], max_bucket_size, log_dropped=False
     )
+    if broadcast_new:
+        new_banded = F.broadcast(new_banded)
+    candidates = (
+        kept_banded.join(new_banded, ["band", "bucket"])
+        .select("__nid", "__kid")
+        .dropDuplicates(["__nid", "__kid"])
+    )
+    est = F.size(
+        F.filter(F.zip_with(F.col("sig_n"), F.col("sig_k"), lambda a, b: a == b),
+                 lambda x: x)
+    ) / F.size(F.col("sig_n"))
     near_hit_ids = (
-        pairs.filter(
-            (F.col("id_a").substr(1, 2) == "n:") != (F.col("id_b").substr(1, 2) == "n:")
+        candidates.join(
+            new_sigs.select(F.col(id_col).alias("__nid"), F.col("minhash").alias("sig_n")),
+            "__nid",
         )
-        .select(
-            F.when(F.col("id_a").substr(1, 2) == "n:", F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("__uid")
+        .join(
+            kept_sigs.select(F.col(id_col).alias("__kid"), F.col("minhash").alias("sig_k")),
+            "__kid",
         )
-        .select(F.expr("substring(__uid, 3)").alias("__sid"))
+        .filter(est >= jaccard_threshold)
+        .select("__nid")
         .distinct()
     )
     return survivors.join(
-        near_hit_ids,
-        survivors[id_col].cast("string") == near_hit_ids["__sid"],
-        "left_anti",
+        near_hit_ids, survivors[id_col] == near_hit_ids["__nid"], "left_anti"
     )

@@ -107,7 +107,13 @@ def connected_components(
             )
         new = _truncate_lineage(new)
         # 3. monotone convergence witness (labels never increase).
-        row = new.agg(F.sum("comp").alias("s"), F.count("*").alias("n")).collect()[0]
+        #    decimal(38,0) sum: with wide node ids (e.g. 60-bit md5_60)
+        #    a plain long sum can overflow and raise under ANSI mode —
+        #    same guard as the contraction variant's witness.
+        row = new.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
         labels = new
         if prev_sum is not None and row["s"] == prev_sum:
             converged = True

@@ -156,8 +156,15 @@ def test_streaming_incremental_dedup_foreachbatch(spark, sf_dir):
     )
     src = tempfile.mkdtemp(prefix="pofs_ingest_dedup_")
     near.unionAll(fresh1).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
-    _time.sleep(0.05)
     exact.unionAll(fresh2).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    # FileStreamSource orders micro-batches by file mtime; pin distinct
+    # mtimes explicitly so b0 strictly precedes b1 even on filesystems
+    # with coarse timestamp granularity (a sleep alone is flaky).
+    now = _time.time()
+    for sub, ts in (("b0", now - 120), ("b1", now - 60)):
+        for root, _dirs, files in os.walk(f"{src}/{sub}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (ts, ts))
     accepted_dir = tempfile.mkdtemp(prefix="pofs_accepted_") + "/out"
 
     def ingest(batch_df, batch_id):
