@@ -52,6 +52,12 @@ HEADLINE = [
     "q89_tpch_q18",                    # heavy shuffle: group-HAVING + 3-way join
     "q90_scale10_agg",                 # ×10-replicated input scale probe
     "q55b_stream_window_session",      # real streaming session window
+    # round-6 additions: the heaviest r5 operators, previously invisible
+    # to the driver bench (new lines, not regressions vs BENCH_r05):
+    "q108_dedup_clusters_md5",         # LSH + connected-components fixpoint
+    "q113_duplicate_spans",            # span-level exact-substring dedup
+    "q114_bm25",                       # BM25 retrieval (explode + idf join)
+    "q120_incremental_dedup",          # cross-set LSH vs kept corpus
 ]
 
 

@@ -84,13 +84,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text_col: str, k: int = 3):
-    """Word k-shingles of a text column as a distinct array (JVM expr)."""
+    """Word k-shingles of a text column as a distinct array (JVM expr).
+
+    The token array is let-bound via the 1-element-array transform:
+    HOFs run interpreted with no CSE, so referencing the split directly
+    in the per-position lambda would re-tokenize the WHOLE document once
+    per shingle position (quadratic in document length — this binding
+    alone was worth ~3× on the sf0.1 corpus)."""
     tokens = F.split(F.lower(F.col(text_col)), r"\s+")
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
-    )
+
+    def per_toks(ts):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - k, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, k)))
+        )
+
+    return F.transform(F.array(tokens), per_toks)[0]
 
 
 def md5_60(col) -> "F.Column":
@@ -130,7 +139,9 @@ def _bucket_hash(hash_family: str):
     """(band slice joined as csv string) → bigint bucket id."""
     if hash_family == "xxhash64":
         return F.xxhash64
-    if hash_family == "md5_60":
+    if hash_family in ("md5_60", "md5_km"):
+        # one hash per band — the seeded fan-out doesn't apply here, so
+        # both portable families bucket with the plain md5_60 value
         return md5_60
     raise ValueError(f"unknown hash_family {hash_family!r}")
 
@@ -146,12 +157,16 @@ def minhash_signatures(
     """Per-document MinHash signature: array of ``num_hashes`` minima of
     a seeded hash family over word k-shingles.
 
-    ``hash_family``: ``"xxhash64"`` (default — fastest, JVM-native) or
-    ``"md5_60"`` (portable: DuckDB computes the identical value, so the
-    whole LSH pipeline becomes cross-engine verifiable; see
-    :func:`md5_60`). Either way the seeded family ≈ independent hash
-    functions; everything happens map-side per row (transform +
-    array_min), so this adds ZERO shuffles to the pipeline.
+    ``hash_family``: ``"xxhash64"`` (default — fastest, JVM-native),
+    ``"md5_km"`` (portable AND one md5 per shingle: seed i's value is
+    ``(h1 + i*h2) mod 2^60`` where h1/h2 are disjoint hex slices of a
+    single md5 — Kirsch–Mitzenmacher double hashing, the standard way to
+    fan one strong hash into a seeded family; DuckDB restates the
+    arithmetic bit-identically), or ``"md5_60"`` (legacy portable form:
+    md5 per (seed, shingle) — 32× the md5 calls of md5_km for the same
+    oracle-checkability; kept for comparison). Either way the seeded
+    family ≈ independent hash functions; everything happens map-side per
+    row (transform + array_min), so this adds ZERO shuffles.
 
     The shingle array is LET-BOUND once per row by wrapping it in a
     1-element array and transforming over it: higher-order functions run
@@ -163,15 +178,42 @@ def minhash_signatures(
     """
     sh = shingles(text_col, k)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        F.array(sh),
-        lambda arr: F.transform(
-            seeds,
-            lambda i: F.array_min(
-                F.transform(arr, lambda s: _seeded_hash_col(hash_family, i, s))
+    if hash_family == "md5_km":
+        # One md5 per shingle: h1 = 60-bit hex[1..15], h2 = 56-bit
+        # hex[16..29]; seed i's hash = (h1 + i*h2) mod 2^60.  Bounds:
+        # i ≤ 31 and h2 < 2^56 keep i*h2 + h1 < 2^62 — no ANSI int64
+        # overflow in either engine.  The (h1, h2) struct array is
+        # let-bound via the same 1-element-array trick as the shingle
+        # array (HOFs run interpreted, no CSE — an inline form would
+        # recompute the md5 per seed and forfeit the whole win).
+        hp = F.transform(
+            sh,
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint").alias("h1"),
+                F.conv(F.substring(F.md5(s), 16, 14), 16, 10).cast("bigint").alias("h2"),
             ),
-        ),
-    )[0]
+        )
+        sig = F.transform(
+            F.array(hp),
+            lambda hps: F.transform(
+                seeds,
+                lambda i: F.array_min(
+                    F.transform(
+                        hps, lambda p: F.pmod(p["h1"] + i * p["h2"], F.lit(1 << 60))
+                    )
+                ),
+            ),
+        )[0]
+    else:
+        sig = F.transform(
+            F.array(sh),
+            lambda arr: F.transform(
+                seeds,
+                lambda i: F.array_min(
+                    F.transform(arr, lambda s: _seeded_hash_col(hash_family, i, s))
+                ),
+            ),
+        )[0]
     # Column metadata lets minhash_lsh_pairs validate band divisibility
     # without an eager probe of the signature length.
     return df.select(
@@ -299,11 +341,16 @@ def ngram_jaccard(text_a, text_b, k: int = 3):
     """Exact word-k-shingle Jaccard between two text columns (for
     verifying LSH candidates)."""
     def sh(c):
+        # let-bound token array — see :func:`shingles` (no CSE in HOFs)
         tokens = F.split(F.lower(c), r"\s+")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - k, F.lit(0)))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
-        )
+
+        def per_toks(ts):
+            idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - k, F.lit(0)))
+            return F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, k)))
+            )
+
+        return F.transform(F.array(tokens), per_toks)[0]
 
     a, b = sh(text_a), sh(text_b)
     inter = F.size(F.array_intersect(a, b)).cast("double")
@@ -562,22 +609,29 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    nw = F.size(words)
     hash_fn = _seeded_hash(hash_family, 0)
-    grams = F.when(nw >= n, F.sequence(F.lit(1), nw - n + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+
+    # Let-bind the token array via the 1-element-array transform: HOFs
+    # run interpreted with no CSE, so referencing `words` directly in
+    # the per-position lambda would re-split the WHOLE document once per
+    # n-gram position (quadratic in document length — measured 5× on
+    # the sf0.1 corpus).
+    def per_ws(ws):
+        nw = F.size(ws)
+        grams = F.when(nw >= n, F.sequence(F.lit(1), nw - n + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            grams,
+            lambda i: F.struct(
+                i.alias("pos"),
+                hash_fn(F.concat_ws(" ", F.slice(ws, i, n))).alias("h"),
+            ),
+        )
+
     pos = df.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                grams,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    hash_fn(F.concat_ws(" ", F.slice(words, i, n))).alias("h"),
-                ),
-            )
-        ).alias("ph"),
+        F.explode(F.transform(F.array(words), per_ws)[0]).alias("ph"),
     ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
     dup_h = (
         pos.groupBy("h").agg(F.count("*").alias("__c")).filter(F.col("__c") >= min_repeats)

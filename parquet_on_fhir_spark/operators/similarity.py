@@ -142,6 +142,7 @@ def ivf_topk(
     seed: int = 42,
     exclude_self: bool = True,
     max_train_rows: int = 262_144,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning — the
     centroid-based alternative to sign-LSH.
@@ -155,11 +156,19 @@ def ivf_topk(
     compares only against those cells — candidate fraction ≈
     n_probe/n_centroids. At 100 TB the cell assignment is a write-time
     partition key, so a probe reads only matching partitions.
+
+    ``corpus_rows``: approximate corpus cardinality, used only to size
+    the deterministic training-sample fraction — ±50% error is harmless
+    (the oversample + exact cap absorb it), so pass catalog/file-footer
+    metadata rather than counting. When None, a narrow id-only
+    ``count()`` runs at build time — metadata-cheap for a plain parquet
+    scan, but a full computation for a derived corpus: at 100 TB always
+    pass the hint.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = corpus.count()
+    n = corpus_rows if corpus_rows is not None else corpus.select(corpus_id).count()
     train_src = corpus
     if n > max_train_rows:
         # Deterministic bounded sample: hash-of-id threshold (oversample

@@ -76,7 +76,7 @@ def q67c(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" tail marker words")).alias("text"),
     )
     sigs = minhash_signatures(
-        d.unionAll(corrupted), "text", "doc_id", num_hashes=32, hash_family="md5_60"
+        d.unionAll(corrupted), "text", "doc_id", num_hashes=32, hash_family="md5_km"
     )
     return minhash_lsh_pairs(sigs, "doc_id", num_bands=8, jaccard_threshold=0.4)
 
@@ -98,9 +98,11 @@ sh AS (
 sigs AS (
   SELECT doc_id,
          list_transform(generate_series(0, 31),
-           i -> list_min(list_transform(shingles,
-                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
-  FROM sh
+           i -> list_min(list_transform(hp,
+                p -> (p.h1 + i * p.h2) % 1152921504606846976))) AS sig
+  FROM (SELECT doc_id, list_transform(shingles,
+          s -> {'h1': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT),
+                'h2': CAST('0x' || substr(md5(s), 16, 14) AS BIGINT)}) AS hp FROM sh)
 ),
 banded AS (
   SELECT doc_id,
@@ -468,7 +470,7 @@ def q86c(spark, sf_dir):
         min_quality=0.1,
         near_dup_threshold=0.8,
         token_budget=20000,
-        hash_family="md5_60",
+        hash_family="md5_km",
     )
     return curated.select("doc_id", "quality", F.col("n_tokens").cast("long").alias("n_tokens"))
 
@@ -495,9 +497,11 @@ sh AS (
 sigs AS (
   SELECT doc_id,
          list_transform(generate_series(0, 31),
-           i -> list_min(list_transform(shingles,
-                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
-  FROM sh
+           i -> list_min(list_transform(hp,
+                p -> (p.h1 + i * p.h2) % 1152921504606846976))) AS sig
+  FROM (SELECT doc_id, list_transform(shingles,
+          s -> {'h1': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT),
+                'h2': CAST('0x' || substr(md5(s), 16, 14) AS BIGINT)}) AS hp FROM sh)
 ),
 banded AS (
   SELECT doc_id, b.band,
@@ -833,7 +837,7 @@ def q108(spark, sf_dir):
         num_hashes=32,
         num_bands=8,
         jaccard_threshold=0.4,
-        hash_family="md5_60",
+        hash_family="md5_km",
     )
 
 
@@ -854,9 +858,11 @@ sh AS (
 sigs AS (
   SELECT doc_id,
          list_transform(generate_series(0, 31),
-           i -> list_min(list_transform(shingles,
-                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
-  FROM sh
+           i -> list_min(list_transform(hp,
+                p -> (p.h1 + i * p.h2) % 1152921504606846976))) AS sig
+  FROM (SELECT doc_id, list_transform(shingles,
+          s -> {'h1': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT),
+                'h2': CAST('0x' || substr(md5(s), 16, 14) AS BIGINT)}) AS hp FROM sh)
 ),
 banded AS (
   SELECT doc_id,
@@ -1234,7 +1240,7 @@ def q120(spark, sf_dir):
     )
     new = near.unionAll(exact).unionAll(fresh)
     return incremental_dedup(
-        new, kept, "text", "doc_id", jaccard_threshold=0.4, hash_family="md5_60"
+        new, kept, "text", "doc_id", jaccard_threshold=0.4, hash_family="md5_km"
     ).select("doc_id")
 
 
@@ -1270,9 +1276,11 @@ sh AS (
 sigs AS (
   SELECT uid,
          list_transform(generate_series(0, 31),
-           i -> list_min(list_transform(shingles,
-                s -> CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)))) AS sig
-  FROM sh
+           i -> list_min(list_transform(hp,
+                p -> (p.h1 + i * p.h2) % 1152921504606846976))) AS sig
+  FROM (SELECT uid, list_transform(shingles,
+          s -> {'h1': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT),
+                'h2': CAST('0x' || substr(md5(s), 16, 14) AS BIGINT)}) AS hp FROM sh)
 ),
 banded AS (
   SELECT uid, b.band,
