@@ -160,17 +160,25 @@ def ivf_topk(
     ``corpus_rows``: approximate corpus cardinality, used only to size
     the deterministic training-sample fraction — ±50% error is harmless
     (the oversample + exact cap absorb it), so pass catalog/file-footer
-    metadata rather than counting. When None, a narrow id-only
-    ``count()`` runs at build time — metadata-cheap for a plain parquet
-    scan, but a full computation for a derived corpus: at 100 TB always
-    pass the hint.
+    metadata rather than counting. Both paths pick the SAME rows (the
+    globally lowest ``max_train_rows`` ids by ``(xxhash64(id), id)``):
+
+    - hint present: hash-threshold filter (oversample ~10%) then exact
+      cap — ONE full-width corpus pass, TakeOrderedAndProject over
+      ~1.1·cap survivors.
+    - hint absent: no count() is ever run. A narrow ``(id, hash)`` pass
+      feeds TakeOrderedAndProject (per-partition heap of cap ids, a few
+      MB — vectors never enter the heap), then a broadcast SEMI join
+      fetches the training vectors. Two passes, but the first reads two
+      columns; still, at 100 TB pass the hint and pay one.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = corpus_rows if corpus_rows is not None else corpus.select(corpus_id).count()
-    train_src = corpus
-    if n > max_train_rows:
+    hash32 = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(1 << 32))
+    if corpus_rows is not None and corpus_rows <= max_train_rows:
+        train_src = corpus
+    elif corpus_rows is not None:
         # Deterministic bounded sample: hash-of-id threshold (oversample
         # ~10%) then an exact cap ordered by (hash, id). Unlike
         # sample().limit(), the chosen rows depend only on ids — never on
@@ -178,16 +186,26 @@ def ivf_topk(
         # downstream ANN result) are reproducible across cluster shapes.
         # The orderBy feeds TakeOrderedAndProject over ~1.1·cap rows, not
         # a full-corpus sort.
-        frac = min(1.0, 1.1 * max_train_rows / n)
+        frac = min(1.0, 1.1 * max_train_rows / corpus_rows)
         thresh = int(frac * (1 << 32))
         train_src = (
-            corpus.withColumn(
-                "__h", F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(1 << 32))
-            )
+            corpus.withColumn("__h", hash32)
             .filter(F.col("__h") < thresh)
             .orderBy("__h", corpus_id)
             .limit(max_train_rows)
         )
+    else:
+        # Count-free fallback: top-cap over (hash, id) alone — the heap
+        # holds 24-byte entries, not embeddings — then a broadcast semi
+        # join pulls the vectors. Selects exactly the rows the hint path
+        # would, so results don't depend on whether the hint was given.
+        train_ids = (
+            corpus.select(corpus_id, hash32.alias("__h"))
+            .orderBy("__h", corpus_id)
+            .limit(max_train_rows)
+            .select(corpus_id)
+        )
+        train_src = corpus.join(F.broadcast(train_ids), corpus_id, "semi")
     train = train_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
