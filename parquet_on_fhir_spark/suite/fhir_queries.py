@@ -71,36 +71,107 @@ def qf03(spark, sf_dir):
 
 
 # --- F12: UCUM quantity canonicalization ---------------------------------------------
+# Clinical-unit batch appended to the golden observations so the
+# driver-checked query exercises the extended UCUM table (pressure,
+# mass/molar concentration, counts, rates, dimensionless) — the golden
+# file itself only populates kg and cm. Same literals feed the Spark
+# union and the oracle's VALUES clause.
+UCUM_EXTRA = [
+    ("x-bp-sys", "120", "mm[Hg]"),
+    ("x-bp-kpa", "2.133", "kPa"),
+    ("x-glucose", "90", "mg/dL"),
+    ("x-hgb", "14.2", "g/dL"),
+    ("x-na", "140", "mmol/L"),
+    ("x-crea", "88.4", "umol/L"),
+    ("x-hr", "72", "/min"),
+    ("x-wbc", "4.5", "10*3/uL"),
+    ("x-spo2", "98", "%"),
+    ("x-uo", "125", "mL/min"),
+    ("x-alt", "40", "U/L"),
+    ("x-kcal", "1850", "kcal"),
+    ("x-temp-f", "98.6", "[degF]"),
+    ("x-unknown", "12.3", "{score}"),  # unknown unit → identity passthrough
+]
+# exact factors restated digit-for-digit in the oracle CASE below
+_UCUM_ORACLE_CASES = {
+    "mm[Hg]": ("dv * 133.322387415", "Pa"),
+    "kPa": ("dv * 1000.0", "Pa"),
+    "mg/dL": ("dv * 0.01", "g/L"),
+    "g/dL": ("dv * 10.0", "g/L"),
+    "mmol/L": ("dv * 0.001", "mol/L"),
+    "umol/L": ("dv * 0.000001", "mol/L"),
+    "/min": ("dv / 60.0", "/s"),
+    "10*3/uL": ("dv * 1000000000.0", "/L"),
+    "%": ("dv * 0.01", "1"),
+    "mL/min": ("dv * 0.000001 / 60.0", "m3/s"),
+    "U/L": ("dv", "U/L"),
+    "kcal": ("dv * 4184.0", "J"),
+    "[degF]": ("(dv + 459.67) * 5.0 / 9.0", "K"),
+    "kg": ("dv * 1000.0", "g"),
+    "cm": ("dv * 0.01", "m"),
+    # remaining codes the golden file populates (pg/fL round to 0.000000
+    # at DECIMAL(38,6) — the canonical form's fixed scale, same both sides)
+    "pg": ("dv * 1e-12", "g"),
+    "fL": ("dv * 1e-18", "m3"),
+    "10*6/uL": ("dv * 1000000000000.0", "/L"),
+    "kg/m2": ("dv * 1000.0", "g/m2"),
+}
+
+
 def qf04(spark, sf_dir):
     o = utc(spark).read.parquet(OBSERVATION)
-    ann = annotate(o.select("id", "valueQuantity"))
+    golden = o.select(
+        "id",
+        F.col("valueQuantity.value").alias("value"),
+        F.col("valueQuantity.code").alias("code"),
+    ).filter(F.col("valueQuantity.value").isNotNull())
+    extra = utc(spark).createDataFrame(
+        UCUM_EXTRA, "id string, value string, code string"
+    )
+    un = golden.unionByName(extra).withColumn(
+        "valueQuantity", F.struct(F.col("value"), F.col("code"))
+    )
+    ann = annotate(un.select("id", "valueQuantity"))
     return ann.select(
         "id",
         F.col("valueQuantity.value").alias("value"),
         F.col("valueQuantity.code").alias("code"),
         F.col("__valueQuantity_canonical.value").cast("string").alias("canon_value"),
         F.col("__valueQuantity_canonical.code").alias("canon_code"),
-    ).filter(F.col("value").isNotNull())
+    )
 
 
-# UCUM canonicalization restated: the golden file's populated codes are
-# kg (x1000 -> g) and cm (x0.01 -> m); everything else is the identity
-# canonical form (spec-legal — the annotation is optional per element).
-QF04_ORACLE = """
+# UCUM canonicalization restated for every code the inputs can carry;
+# unlisted codes take the identity canonical form (spec-legal — the
+# annotation is optional per element).
+_UCUM_WHEN_V = "\n".join(
+    f"        WHEN code = '{c}' THEN {expr}" for c, (expr, _t) in _UCUM_ORACLE_CASES.items()
+)
+_UCUM_WHEN_C = "\n".join(
+    f"        WHEN code = '{c}' THEN '{t}'" for c, (_e, t) in _UCUM_ORACLE_CASES.items()
+)
+_UCUM_VALUES = ",\n".join(f"('{i}', '{v}', '{c}')" for i, v, c in UCUM_EXTRA)
+QF04_ORACLE = f"""
 WITH v AS (
   SELECT id, valueQuantity.value AS value, valueQuantity.code AS code,
          CAST(valueQuantity.value AS DOUBLE) AS dv
-  FROM read_parquet('{OBS}')
+  FROM read_parquet('{OBSERVATION}')
   WHERE valueQuantity.value IS NOT NULL
+  UNION ALL
+  SELECT id, value, code, CAST(value AS DOUBLE) AS dv
+  FROM (VALUES
+{_UCUM_VALUES}
+  ) AS x(id, value, code)
 )
 SELECT id, value, code,
-  CAST(CAST(CASE WHEN code = 'kg' THEN dv * 1000.0
-                 WHEN code = 'cm' THEN dv * 0.01
-                 ELSE dv END AS DECIMAL(38,6)) AS VARCHAR) AS canon_value,
-  CASE WHEN code = 'kg' THEN 'g' WHEN code = 'cm' THEN 'm'
-       ELSE code END AS canon_code
+  CAST(CAST(CASE
+{_UCUM_WHEN_V}
+        ELSE dv END AS DECIMAL(38,6)) AS VARCHAR) AS canon_value,
+  CASE
+{_UCUM_WHEN_C}
+        ELSE code END AS canon_code
 FROM v
-""".replace("{OBS}", OBSERVATION)
+"""
 
 # --- F13: schema merge across sparse tables of one resource type -----------------------
 def qf05(spark, sf_dir):

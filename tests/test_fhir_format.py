@@ -168,6 +168,47 @@ def test_quantity_canonical(spark):
     assert "__value_numeric" in df.schema["valueQuantity"].dataType.fieldNames()
 
 
+# --- README.md:365-381 — extended clinical UCUM table ----------------------------------------
+def test_quantity_canonical_clinical_units(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.fhir.ucum import UCUM_CANONICAL, canonical_quantity
+
+    assert len(UCUM_CANONICAL) >= 80
+    cases = [
+        # (value, code, expect_canon_value, expect_canon_code)
+        ("98.6", "[degF]", 310.15, "K"),          # spec's F example agrees with Cel
+        ("37.0", "Cel", 310.15, "K"),
+        ("120", "mm[Hg]", 15998.68648980, "Pa"),  # systolic BP
+        ("2.133", "kPa", 2133.0, "Pa"),
+        ("90", "mg/dL", 0.9, "g/L"),              # glucose, mass-concentration base
+        ("14.2", "g/dL", 142.0, "g/L"),           # hemoglobin
+        ("5.0", "mmol/L", 0.005, "mol/L"),        # molar base, NOT converted to g/L
+        ("140", "umol/L", 0.00014, "mol/L"),
+        ("72", "/min", 1.2, "/s"),                # heart rate
+        ("4.5", "10*3/uL", 4.5e9, "/L"),          # WBC count
+        ("98", "%", 0.98, "1"),                   # SpO2
+        ("125", "mL/min", 125e-6 / 60.0, "m3/s"),
+        ("40", "U/L", 40.0, "U/L"),
+        ("1850", "kcal", 7740400.0, "J"),
+        ("12.3", "furlongs", 12.3, "furlongs"),   # unknown → identity passthrough
+        (None, "mg", None, "g"),                  # null value; code still canonical
+    ]
+    df = spark.createDataFrame(
+        [(v, c) for v, c, *_ in cases], "value string, code string"
+    ).select("code", canonical_quantity(F.col("value"), F.col("code")).alias("q"))
+    got = {r["code"]: r["q"] for r in df.collect()}
+    for _v, code, want_val, want_code in cases:
+        q = got[code]
+        assert q["code"] == want_code, (code, q["code"], want_code)
+        if want_val is None:
+            assert q["value"] is None
+        else:
+            assert abs(float(q["value"]) - want_val) < max(1e-6, abs(want_val) * 1e-9)
+    # molar-mass caveat holds: mass-conc and molar-conc stay in different bases
+    assert UCUM_CANONICAL["mg/dL"][0] != UCUM_CANONICAL["mmol/L"][0]
+
+
 # --- README.md:20-22 — schema merge ------------------------------------------------------------
 def test_schema_merge_and_union(spark):
     a = spark.createDataFrame(
