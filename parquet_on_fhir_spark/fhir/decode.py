@@ -135,9 +135,24 @@ def _array_live(col: Column, dtype: T.ArrayType) -> Column:
     return col.isNotNull() & F.exists(col, lambda x: _live(x, dtype.elementType))
 
 
-def _clean(col: Column, dtype: T.DataType, mark: bool = False, dec: bool = False) -> Column:
+def _clean(
+    col: Column,
+    dtype: T.DataType,
+    mark: bool = False,
+    dec: bool = False,
+    spec: dict | None = None,
+) -> Column:
     """Strip annotations + null-prune; ``dec`` marks a decimal-kinded
-    string position (sentinel-wrap for number regeneration)."""
+    string position (sentinel-wrap for number regeneration).
+
+    ``spec`` — the registry's expanded element dict for THIS struct
+    position (r4_elements.expanded_elements), when the caller knows the
+    resource type. Decimal positions then come from the definition
+    itself (exact paths: ChargeItem.factorOverride, adjudication.value,
+    a Quantity with only ``value`` populated), with the name-based rules
+    kept as the fallback for unregistered paths."""
+    from parquet_on_fhir_spark.fhir.r4_elements import expanded_elements
+
     if isinstance(dtype, T.StructType):
         kept = [f for f in dtype.fields if not f.name.startswith("__")]
         if not kept:
@@ -147,10 +162,13 @@ def _clean(col: Column, dtype: T.DataType, mark: bool = False, dec: bool = False
         qshape = is_quantity_shaped(dtype)
         children: list[Column] = []
         for f in kept:
+            ref = spec.get(f.name, (None,))[0] if spec else None
             f_dec = mark and (
-                fhir_type_of(f.name) in DECIMAL_TYPES
+                (isinstance(ref, str) and ref in DECIMAL_TYPES)
+                or fhir_type_of(f.name) in DECIMAL_TYPES
                 or (qshape and f.name == "value")
             )
+            f_spec = expanded_elements(ref) if ref is not None else None
             sub = col.getField(f.name)
             partner = (
                 _pair_name(f.name, names)
@@ -159,9 +177,11 @@ def _clean(col: Column, dtype: T.DataType, mark: bool = False, dec: bool = False
             )
             if partner is not None and isinstance(by_name[partner].dataType, T.ArrayType):
                 live = _array_live(col.getField(partner), by_name[partner].dataType)
-                child = _clean_array(sub, f.dataType, mark, f_dec, paired_live=live)
+                child = _clean_array(
+                    sub, f.dataType, mark, f_dec, paired_live=live, spec=f_spec
+                )
             else:
-                child = _clean(sub, f.dataType, mark, f_dec)
+                child = _clean(sub, f.dataType, mark, f_dec, spec=f_spec)
             children.append(child.alias(f.name))
         rebuilt = F.struct(*children)
         # all-dead check via the liveness predicate — NOT by re-checking
@@ -171,7 +191,7 @@ def _clean(col: Column, dtype: T.DataType, mark: bool = False, dec: bool = False
             rebuilt
         )
     if isinstance(dtype, T.ArrayType):
-        return _clean_array(col, dtype, mark, dec, paired_live=None)
+        return _clean_array(col, dtype, mark, dec, paired_live=None, spec=spec)
     if dec and isinstance(dtype, T.StringType):
         return _mark_decimal(col)
     return col
@@ -183,12 +203,15 @@ def _clean_array(
     mark: bool,
     dec: bool,
     paired_live: Column | None,
+    spec: dict | None = None,
 ) -> Column:
     """Clean an array. Unpaired: drop null elements, empty → null.
     Paired (``paired_live`` = does the partner array have any live
     element): keep interior nulls for index alignment; drop only when
     this member AND its partner are both dead."""
-    cleaned = F.transform(col, lambda x: _clean(x, dtype.elementType, mark, dec))
+    cleaned = F.transform(
+        col, lambda x: _clean(x, dtype.elementType, mark, dec, spec=spec)
+    )
     live = _array_live(col, dtype)
     null_lit = F.lit(None).cast(_clean_type(dtype))
     if paired_live is None:
@@ -197,23 +220,41 @@ def _clean_array(
     return F.when(col.isNull() | (~live & ~paired_live), null_lit).otherwise(cleaned)
 
 
-def strip_annotations(df: DataFrame, _mark_decimals: bool = False) -> DataFrame:
+def strip_annotations(
+    df: DataFrame,
+    _mark_decimals: bool = False,
+    resource_type: str | None = None,
+) -> DataFrame:
     """Remove ``__*`` fields at every nesting level; null-prune empties
     (paired primitive/_primitive arrays keep interior null placeholders).
-    ``_mark_decimals`` is internal (to_fhir_json)."""
+    ``_mark_decimals`` is internal (to_fhir_json). ``resource_type``
+    enables registry-path-aware decimal marking."""
+    from parquet_on_fhir_spark.fhir.r4_elements import expanded_elements
+
+    spec = expanded_elements(resource_type) if resource_type else None
     fields = [f for f in df.schema.fields if not f.name.startswith("__")]
     names = {f.name for f in fields}
     cols = []
     for f in fields:
-        f_dec = _mark_decimals and fhir_type_of(f.name) in DECIMAL_TYPES
+        ref = spec.get(f.name, (None,))[0] if spec else None
+        f_dec = _mark_decimals and (
+            (isinstance(ref, str) and ref in DECIMAL_TYPES)
+            or fhir_type_of(f.name) in DECIMAL_TYPES
+        )
+        f_spec = expanded_elements(ref) if ref is not None else None
         cols.append(
-            _top_member(df, f, names, _mark_decimals, f_dec).alias(f.name)
+            _top_member(df, f, names, _mark_decimals, f_dec, f_spec).alias(f.name)
         )
     return df.select(*cols)
 
 
 def _top_member(
-    df: DataFrame, f: T.StructField, names: set[str], mark: bool, dec: bool
+    df: DataFrame,
+    f: T.StructField,
+    names: set[str],
+    mark: bool,
+    dec: bool,
+    spec: dict | None = None,
 ) -> Column:
     col = F.col(f.name)
     if isinstance(f.dataType, T.ArrayType):
@@ -222,19 +263,25 @@ def _top_member(
             pf = df.schema[partner]
             if isinstance(pf.dataType, T.ArrayType):
                 live = _array_live(F.col(partner), pf.dataType)
-                return _clean_array(col, f.dataType, mark, dec, paired_live=live)
-    return _clean(col, f.dataType, mark, dec)
+                return _clean_array(
+                    col, f.dataType, mark, dec, paired_live=live, spec=spec
+                )
+    return _clean(col, f.dataType, mark, dec, spec=spec)
 
 
-def to_fhir_json(df: DataFrame, json_col: str = "json") -> DataFrame:
+def to_fhir_json(
+    df: DataFrame, json_col: str = "json", resource_type: str | None = None
+) -> DataFrame:
     """One FHIR JSON document (string) per resource row.
 
     Decimal-kinded strings regenerate as JSON numbers with their lexical
     text preserved: positions are sentinel-marked structurally during the
     rebuild (module docstring), then one regex strips the quoted
-    sentinels after serialization.
+    sentinels after serialization. Pass ``resource_type`` so decimal
+    positions come from the R4 registry's exact element paths instead of
+    name heuristics alone.
     """
-    clean = strip_annotations(df, _mark_decimals=True)
+    clean = strip_annotations(df, _mark_decimals=True, resource_type=resource_type)
     js = F.to_json(F.struct(*clean.columns))
     # strip  "<NUL-escape>number<NUL-escape>"  →  number
     js = F.regexp_replace(

@@ -197,6 +197,17 @@ COMPLEX: dict[str, dict] = {
         "sigFormat": "code",
         "data": "base64Binary",
     },
+    # metadata types (hl7.org/fhir/R4/metadatatypes.html)
+    "ContactDetail": {"name": "string", "telecom": A("ContactPoint")},
+    "RelatedArtifact": {
+        "type": "code",
+        "label": "string",
+        "display": "string",
+        "citation": "markdown",
+        "url": "url",
+        "document": "Attachment",
+        "resource": "canonical",
+    },
     # Extension.value[x] admits every type; the common subset is listed —
     # unknown variants fall back to data inference.
     "Extension": {
@@ -250,6 +261,32 @@ _AVAILABLE_TIME = {
     "availableEndTime": "time",
 }
 _NOT_AVAILABLE = {"description": "string", "during": "Period"}
+
+# ClaimResponse adjudication backbone, mounted at item/detail/subDetail
+# and every addItem level (hl7.org/fhir/R4/claimresponse.html)
+_ADJUDICATION = {
+    "category": "CodeableConcept",
+    "reason": "CodeableConcept",
+    "amount": "Money",
+    "value": "decimal",
+}
+
+# Invoice price-component backbone, shared by lineItem and the
+# totalPriceComponent mount (hl7.org/fhir/R4/invoice.html)
+_PRICE_COMPONENT = {
+    "type": "code",
+    "code": "CodeableConcept",
+    "factor": "decimal",
+    "amount": "Money",
+}
+
+# MeasureReport population backbone, shared by group and stratum
+# (hl7.org/fhir/R4/measurereport.html)
+_MR_POPULATION = {
+    "code": "CodeableConcept",
+    "count": "integer",
+    "subjectResults": "Reference",
+}
 
 # ---------------------------------------------------------------------------
 # Resource definitions (hl7.org/fhir/R4/<resource>.html)
@@ -1519,6 +1556,1072 @@ RESOURCES: dict[str, dict] = {
             }
         ),
     },
+    # --- round-6 breadth: administrative / financial -----------------------
+    "Account": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": "CodeableConcept",
+        "name": "string",
+        "subject": A("Reference"),
+        "servicePeriod": "Period",
+        "coverage": A({"coverage": "Reference", "priority": "positiveInt"}),
+        "owner": "Reference",
+        "description": "string",
+        "guarantor": A(
+            {"party": "Reference", "onHold": "boolean", "period": "Period"}
+        ),
+        "partOf": "Reference",
+    },
+    "AppointmentResponse": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "appointment": "Reference",
+        "start": "instant",
+        "end": "instant",
+        "participantType": A("CodeableConcept"),
+        "actor": "Reference",
+        "participantStatus": "code",
+        "comment": "string",
+    },
+    "AuditEvent": {
+        **_DOMAIN,
+        "type": "Coding",
+        "subtype": A("Coding"),
+        "action": "code",
+        "period": "Period",
+        "recorded": "instant",
+        "outcome": "code",
+        "outcomeDesc": "string",
+        "purposeOfEvent": A("CodeableConcept"),
+        "agent": A(
+            {
+                "type": "CodeableConcept",
+                "role": A("CodeableConcept"),
+                "who": "Reference",
+                "altId": "string",
+                "name": "string",
+                "requestor": "boolean",
+                "location": "Reference",
+                "policy": A("uri"),
+                "media": "Coding",
+                "network": {"address": "string", "type": "code"},
+                "purposeOfUse": A("CodeableConcept"),
+            }
+        ),
+        "source": {
+            "site": "string",
+            "observer": "Reference",
+            "type": A("Coding"),
+        },
+        "entity": A(
+            {
+                "what": "Reference",
+                "type": "Coding",
+                "role": "Coding",
+                "lifecycle": "Coding",
+                "securityLabel": A("Coding"),
+                "name": "string",
+                "description": "string",
+                "query": "base64Binary",
+                "detail": A(
+                    {"type": "string", "value[x]": ["string", "base64Binary"]}
+                ),
+            }
+        ),
+    },
+    "Basic": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "created": "date",
+        "author": "Reference",
+    },
+    "BodyStructure": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "morphology": "CodeableConcept",
+        "location": "CodeableConcept",
+        "locationQualifier": A("CodeableConcept"),
+        "description": "string",
+        "image": A("Attachment"),
+        "patient": "Reference",
+    },
+    "ChargeItem": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "definitionUri": A("uri"),
+        "definitionCanonical": A("canonical"),
+        "status": "code",
+        "partOf": A("Reference"),
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "context": "Reference",
+        "occurrence[x]": ["dateTime", "Period", "Timing"],
+        "performer": A({"function": "CodeableConcept", "actor": "Reference"}),
+        "performingOrganization": "Reference",
+        "requestingOrganization": "Reference",
+        "costCenter": "Reference",
+        "quantity": "Quantity",
+        # R4 spells this element lowercase-s "bodysite"
+        "bodysite": A("CodeableConcept"),
+        "factorOverride": "decimal",
+        "priceOverride": "Money",
+        "overrideReason": "string",
+        "enterer": "Reference",
+        "enteredDate": "dateTime",
+        "reason": A("CodeableConcept"),
+        "service": A("Reference"),
+        "product[x]": ["Reference", "CodeableConcept"],
+        "account": A("Reference"),
+        "note": A("Annotation"),
+        "supportingInformation": A("Reference"),
+    },
+    "ClaimResponse": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": "CodeableConcept",
+        "subType": "CodeableConcept",
+        "use": "code",
+        "patient": "Reference",
+        "created": "dateTime",
+        "insurer": "Reference",
+        "requestor": "Reference",
+        "request": "Reference",
+        "outcome": "code",
+        "disposition": "string",
+        "preAuthRef": "string",
+        "preAuthPeriod": "Period",
+        "payeeType": "CodeableConcept",
+        "item": A(
+            {
+                "itemSequence": "positiveInt",
+                "noteNumber": A("positiveInt"),
+                "adjudication": A(_ADJUDICATION),
+                "detail": A(
+                    {
+                        "detailSequence": "positiveInt",
+                        "noteNumber": A("positiveInt"),
+                        "adjudication": A(_ADJUDICATION),
+                        "subDetail": A(
+                            {
+                                "subDetailSequence": "positiveInt",
+                                "noteNumber": A("positiveInt"),
+                                "adjudication": A(_ADJUDICATION),
+                            }
+                        ),
+                    }
+                ),
+            }
+        ),
+        "addItem": A(
+            {
+                "itemSequence": A("positiveInt"),
+                "detailSequence": A("positiveInt"),
+                # R4 spells this lowercase-d "subdetailSequence"
+                "subdetailSequence": A("positiveInt"),
+                "provider": A("Reference"),
+                "productOrService": "CodeableConcept",
+                "modifier": A("CodeableConcept"),
+                "programCode": A("CodeableConcept"),
+                "serviced[x]": ["date", "Period"],
+                "location[x]": ["CodeableConcept", "Address", "Reference"],
+                "quantity": "Quantity",
+                "unitPrice": "Money",
+                "factor": "decimal",
+                "net": "Money",
+                "bodySite": "CodeableConcept",
+                "subSite": A("CodeableConcept"),
+                "noteNumber": A("positiveInt"),
+                "adjudication": A(_ADJUDICATION),
+                "detail": A(
+                    {
+                        "productOrService": "CodeableConcept",
+                        "modifier": A("CodeableConcept"),
+                        "quantity": "Quantity",
+                        "unitPrice": "Money",
+                        "factor": "decimal",
+                        "net": "Money",
+                        "noteNumber": A("positiveInt"),
+                        "adjudication": A(_ADJUDICATION),
+                        "subDetail": A(
+                            {
+                                "productOrService": "CodeableConcept",
+                                "modifier": A("CodeableConcept"),
+                                "quantity": "Quantity",
+                                "unitPrice": "Money",
+                                "factor": "decimal",
+                                "net": "Money",
+                                "noteNumber": A("positiveInt"),
+                                "adjudication": A(_ADJUDICATION),
+                            }
+                        ),
+                    }
+                ),
+            }
+        ),
+        "adjudication": A(_ADJUDICATION),
+        "total": A({"category": "CodeableConcept", "amount": "Money"}),
+        "payment": {
+            "type": "CodeableConcept",
+            "adjustment": "Money",
+            "adjustmentReason": "CodeableConcept",
+            "date": "date",
+            "amount": "Money",
+            "identifier": "Identifier",
+        },
+        "fundsReserve": "CodeableConcept",
+        "formCode": "CodeableConcept",
+        "form": "Attachment",
+        "processNote": A(
+            {
+                "number": "positiveInt",
+                "type": "code",
+                "text": "string",
+                "language": "CodeableConcept",
+            }
+        ),
+        "communicationRequest": A("Reference"),
+        "insurance": A(
+            {
+                "sequence": "positiveInt",
+                "focal": "boolean",
+                "coverage": "Reference",
+                "businessArrangement": "string",
+                "claimResponse": "Reference",
+            }
+        ),
+        "error": A(
+            {
+                "itemSequence": "positiveInt",
+                "detailSequence": "positiveInt",
+                "subDetailSequence": "positiveInt",
+                "code": "CodeableConcept",
+            }
+        ),
+    },
+    "CoverageEligibilityRequest": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "priority": "CodeableConcept",
+        "purpose": A("code"),
+        "patient": "Reference",
+        "serviced[x]": ["date", "Period"],
+        "created": "dateTime",
+        "enterer": "Reference",
+        "provider": "Reference",
+        "insurer": "Reference",
+        "facility": "Reference",
+        "supportingInfo": A(
+            {
+                "sequence": "positiveInt",
+                "information": "Reference",
+                "appliesToAll": "boolean",
+            }
+        ),
+        "insurance": A(
+            {
+                "focal": "boolean",
+                "coverage": "Reference",
+                "businessArrangement": "string",
+            }
+        ),
+        "item": A(
+            {
+                "supportingInfoSequence": A("positiveInt"),
+                "category": "CodeableConcept",
+                "productOrService": "CodeableConcept",
+                "modifier": A("CodeableConcept"),
+                "provider": "Reference",
+                "quantity": "SimpleQuantity",
+                "unitPrice": "Money",
+                "facility": "Reference",
+                "diagnosis": A(
+                    {"diagnosis[x]": ["CodeableConcept", "Reference"]}
+                ),
+                "detail": A("Reference"),
+            }
+        ),
+    },
+    "CoverageEligibilityResponse": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "purpose": A("code"),
+        "patient": "Reference",
+        "serviced[x]": ["date", "Period"],
+        "created": "dateTime",
+        "requestor": "Reference",
+        "request": "Reference",
+        "outcome": "code",
+        "disposition": "string",
+        "insurer": "Reference",
+        "insurance": A(
+            {
+                "coverage": "Reference",
+                "inforce": "boolean",
+                "benefitPeriod": "Period",
+                "item": A(
+                    {
+                        "category": "CodeableConcept",
+                        "productOrService": "CodeableConcept",
+                        "modifier": A("CodeableConcept"),
+                        "provider": "Reference",
+                        "excluded": "boolean",
+                        "name": "string",
+                        "description": "string",
+                        "network": "CodeableConcept",
+                        "unit": "CodeableConcept",
+                        "term": "CodeableConcept",
+                        "benefit": A(
+                            {
+                                "type": "CodeableConcept",
+                                "allowed[x]": ["unsignedInt", "string", "Money"],
+                                "used[x]": ["unsignedInt", "string", "Money"],
+                            }
+                        ),
+                        "authorizationRequired": "boolean",
+                        "authorizationSupporting": A("CodeableConcept"),
+                        "authorizationUrl": "uri",
+                    }
+                ),
+            }
+        ),
+        "preAuthRef": "string",
+        "form": "CodeableConcept",
+        "error": A({"code": "CodeableConcept"}),
+    },
+    "Endpoint": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "connectionType": "Coding",
+        "name": "string",
+        "managingOrganization": "Reference",
+        "contact": A("ContactPoint"),
+        "period": "Period",
+        "payloadType": A("CodeableConcept"),
+        "payloadMimeType": A("code"),
+        "address": "url",
+        "header": A("string"),
+    },
+    "EnrollmentRequest": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "created": "dateTime",
+        "insurer": "Reference",
+        "provider": "Reference",
+        "candidate": "Reference",
+        "coverage": "Reference",
+    },
+    "EnrollmentResponse": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "request": "Reference",
+        "outcome": "code",
+        "disposition": "string",
+        "created": "dateTime",
+        "organization": "Reference",
+        "requestProvider": "Reference",
+    },
+    "Group": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "type": "code",
+        "actual": "boolean",
+        "code": "CodeableConcept",
+        "name": "string",
+        "quantity": "unsignedInt",
+        "managingEntity": "Reference",
+        "characteristic": A(
+            {
+                "code": "CodeableConcept",
+                "value[x]": [
+                    "CodeableConcept", "boolean", "Quantity", "Range",
+                    "Reference",
+                ],
+                "exclude": "boolean",
+                "period": "Period",
+            }
+        ),
+        "member": A(
+            {"entity": "Reference", "period": "Period", "inactive": "boolean"}
+        ),
+    },
+    "Invoice": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "cancelledReason": "string",
+        "type": "CodeableConcept",
+        "subject": "Reference",
+        "recipient": "Reference",
+        "date": "dateTime",
+        "participant": A({"role": "CodeableConcept", "actor": "Reference"}),
+        "issuer": "Reference",
+        "account": "Reference",
+        "lineItem": A(
+            {
+                "sequence": "positiveInt",
+                "chargeItem[x]": ["Reference", "CodeableConcept"],
+                "priceComponent": A(_PRICE_COMPONENT),
+            }
+        ),
+        "totalPriceComponent": A(_PRICE_COMPONENT),
+        "totalNet": "Money",
+        "totalGross": "Money",
+        "paymentTerms": "markdown",
+        "note": A("Annotation"),
+    },
+    "Linkage": {
+        **_DOMAIN,
+        "active": "boolean",
+        "author": "Reference",
+        "item": A({"type": "code", "resource": "Reference"}),
+    },
+    "MessageHeader": {
+        **_DOMAIN,
+        "event[x]": ["Coding", "uri"],
+        "destination": A(
+            {
+                "name": "string",
+                "target": "Reference",
+                "endpoint": "url",
+                "receiver": "Reference",
+            }
+        ),
+        "sender": "Reference",
+        "enterer": "Reference",
+        "author": "Reference",
+        "source": {
+            "name": "string",
+            "software": "string",
+            "version": "string",
+            "contact": "ContactPoint",
+            "endpoint": "url",
+        },
+        "responsible": "Reference",
+        "reason": "CodeableConcept",
+        "response": {"identifier": "id", "code": "code", "details": "Reference"},
+        "focus": A("Reference"),
+        "definition": "canonical",
+    },
+    "OperationOutcome": {
+        **_DOMAIN,
+        "issue": A(
+            {
+                "severity": "code",
+                "code": "code",
+                "details": "CodeableConcept",
+                "diagnostics": "string",
+                "location": A("string"),
+                "expression": A("string"),
+            }
+        ),
+    },
+    "OrganizationAffiliation": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "active": "boolean",
+        "period": "Period",
+        "organization": "Reference",
+        "participatingOrganization": "Reference",
+        "network": A("Reference"),
+        "code": A("CodeableConcept"),
+        "specialty": A("CodeableConcept"),
+        "location": A("Reference"),
+        "healthcareService": A("Reference"),
+        "telecom": A("ContactPoint"),
+        "endpoint": A("Reference"),
+    },
+    "PaymentNotice": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "request": "Reference",
+        "response": "Reference",
+        "created": "dateTime",
+        "provider": "Reference",
+        "payment": "Reference",
+        "paymentDate": "date",
+        "payee": "Reference",
+        "recipient": "Reference",
+        "amount": "Money",
+        "paymentStatus": "CodeableConcept",
+    },
+    "PaymentReconciliation": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "period": "Period",
+        "created": "dateTime",
+        "paymentIssuer": "Reference",
+        "request": "Reference",
+        "requestor": "Reference",
+        "outcome": "code",
+        "disposition": "string",
+        "paymentDate": "date",
+        "paymentAmount": "Money",
+        "paymentIdentifier": "Identifier",
+        "detail": A(
+            {
+                "identifier": "Identifier",
+                "predecessor": "Identifier",
+                "type": "CodeableConcept",
+                "request": "Reference",
+                "submitter": "Reference",
+                "response": "Reference",
+                "date": "date",
+                "responsible": "Reference",
+                "payee": "Reference",
+                "amount": "Money",
+            }
+        ),
+        "formCode": "CodeableConcept",
+        "processNote": A({"type": "code", "text": "string"}),
+    },
+    "Person": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "name": A("HumanName"),
+        "telecom": A("ContactPoint"),
+        "gender": "code",
+        "birthDate": "date",
+        "address": A("Address"),
+        "photo": "Attachment",
+        "managingOrganization": "Reference",
+        "active": "boolean",
+        "link": A({"target": "Reference", "assurance": "code"}),
+    },
+    "Subscription": {
+        **_DOMAIN,
+        "status": "code",
+        "contact": A("ContactPoint"),
+        "end": "instant",
+        "reason": "string",
+        "criteria": "string",
+        "error": "string",
+        "channel": {
+            "type": "code",
+            "endpoint": "url",
+            "payload": "code",
+            "header": A("string"),
+        },
+    },
+    "Substance": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "category": A("CodeableConcept"),
+        "code": "CodeableConcept",
+        "description": "string",
+        "instance": A(
+            {
+                "identifier": "Identifier",
+                "expiry": "dateTime",
+                "quantity": "SimpleQuantity",
+            }
+        ),
+        "ingredient": A(
+            {
+                "quantity": "Ratio",
+                "substance[x]": ["CodeableConcept", "Reference"],
+            }
+        ),
+    },
+    # --- round-6 breadth: clinical ------------------------------------------
+    "AdverseEvent": {
+        **_DOMAIN,
+        # identifier is 0..1 on AdverseEvent (unusual for R4)
+        "identifier": "Identifier",
+        "actuality": "code",
+        "category": A("CodeableConcept"),
+        "event": "CodeableConcept",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "date": "dateTime",
+        "detected": "dateTime",
+        "recordedDate": "dateTime",
+        "resultingCondition": A("Reference"),
+        "location": "Reference",
+        "seriousness": "CodeableConcept",
+        "severity": "CodeableConcept",
+        "outcome": "CodeableConcept",
+        "recorder": "Reference",
+        "contributor": A("Reference"),
+        "suspectEntity": A(
+            {
+                "instance": "Reference",
+                "causality": A(
+                    {
+                        "assessment": "CodeableConcept",
+                        "productRelatedness": "string",
+                        "author": "Reference",
+                        "method": "CodeableConcept",
+                    }
+                ),
+            }
+        ),
+        "subjectMedicalHistory": A("Reference"),
+        "referenceDocument": A("Reference"),
+        "study": A("Reference"),
+    },
+    "ClinicalImpression": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "statusReason": "CodeableConcept",
+        "code": "CodeableConcept",
+        "description": "string",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "effective[x]": ["dateTime", "Period"],
+        "date": "dateTime",
+        "assessor": "Reference",
+        "previous": "Reference",
+        "problem": A("Reference"),
+        "investigation": A(
+            {"code": "CodeableConcept", "item": A("Reference")}
+        ),
+        "protocol": A("uri"),
+        "summary": "string",
+        "finding": A(
+            {
+                "itemCodeableConcept": "CodeableConcept",
+                "itemReference": "Reference",
+                "basis": "string",
+            }
+        ),
+        "prognosisCodeableConcept": A("CodeableConcept"),
+        "prognosisReference": A("Reference"),
+        "supportingInfo": A("Reference"),
+        "note": A("Annotation"),
+    },
+    "CommunicationRequest": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "replaces": A("Reference"),
+        "groupIdentifier": "Identifier",
+        "status": "code",
+        "statusReason": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "priority": "code",
+        "doNotPerform": "boolean",
+        "medium": A("CodeableConcept"),
+        "subject": "Reference",
+        "about": A("Reference"),
+        "encounter": "Reference",
+        "payload": A({"content[x]": ["string", "Attachment", "Reference"]}),
+        "occurrence[x]": ["dateTime", "Period"],
+        "authoredOn": "dateTime",
+        "requester": "Reference",
+        "recipient": A("Reference"),
+        "sender": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "note": A("Annotation"),
+    },
+    "DeviceMetric": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "type": "CodeableConcept",
+        "unit": "CodeableConcept",
+        "source": "Reference",
+        "parent": "Reference",
+        "operationalStatus": "code",
+        "color": "code",
+        "category": "code",
+        "measurementPeriod": "Timing",
+        "calibration": A(
+            {"type": "code", "state": "code", "time": "instant"}
+        ),
+    },
+    "DeviceRequest": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiatesCanonical": A("canonical"),
+        "instantiatesUri": A("uri"),
+        "basedOn": A("Reference"),
+        "priorRequest": A("Reference"),
+        "groupIdentifier": "Identifier",
+        "status": "code",
+        "intent": "code",
+        "priority": "code",
+        "code[x]": ["Reference", "CodeableConcept"],
+        "parameter": A(
+            {
+                "code": "CodeableConcept",
+                "value[x]": ["CodeableConcept", "Quantity", "Range", "boolean"],
+            }
+        ),
+        "subject": "Reference",
+        "encounter": "Reference",
+        "occurrence[x]": ["dateTime", "Period", "Timing"],
+        "authoredOn": "dateTime",
+        "requester": "Reference",
+        "performerType": "CodeableConcept",
+        "performer": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "insurance": A("Reference"),
+        "supportingInfo": A("Reference"),
+        "note": A("Annotation"),
+        "relevantHistory": A("Reference"),
+    },
+    "DeviceUseStatement": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "status": "code",
+        "subject": "Reference",
+        "derivedFrom": A("Reference"),
+        "timing[x]": ["Timing", "Period", "dateTime"],
+        "recordedOn": "dateTime",
+        "source": "Reference",
+        "device": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "bodySite": "CodeableConcept",
+        "note": A("Annotation"),
+    },
+    "FamilyMemberHistory": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiatesCanonical": A("canonical"),
+        "instantiatesUri": A("uri"),
+        "status": "code",
+        "dataAbsentReason": "CodeableConcept",
+        "patient": "Reference",
+        "date": "dateTime",
+        "name": "string",
+        "relationship": "CodeableConcept",
+        "sex": "CodeableConcept",
+        "born[x]": ["Period", "date", "string"],
+        "age[x]": ["Age", "Range", "string"],
+        "estimatedAge": "boolean",
+        "deceased[x]": ["boolean", "Age", "Range", "date", "string"],
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "note": A("Annotation"),
+        "condition": A(
+            {
+                "code": "CodeableConcept",
+                "outcome": "CodeableConcept",
+                "contributedToDeath": "boolean",
+                "onset[x]": ["Age", "Range", "Period", "string"],
+                "note": A("Annotation"),
+            }
+        ),
+    },
+    "ImmunizationEvaluation": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "patient": "Reference",
+        "date": "dateTime",
+        "authority": "Reference",
+        "targetDisease": "CodeableConcept",
+        "immunizationEvent": "Reference",
+        "doseStatus": "CodeableConcept",
+        "doseStatusReason": A("CodeableConcept"),
+        "description": "string",
+        "series": "string",
+        "doseNumber[x]": ["positiveInt", "string"],
+        "seriesDoses[x]": ["positiveInt", "string"],
+    },
+    "ImmunizationRecommendation": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "patient": "Reference",
+        "date": "dateTime",
+        "authority": "Reference",
+        "recommendation": A(
+            {
+                "vaccineCode": A("CodeableConcept"),
+                "targetDisease": "CodeableConcept",
+                "contraindicatedVaccineCode": A("CodeableConcept"),
+                "forecastStatus": "CodeableConcept",
+                "forecastReason": A("CodeableConcept"),
+                "dateCriterion": A(
+                    {"code": "CodeableConcept", "value": "dateTime"}
+                ),
+                "description": "string",
+                "series": "string",
+                "doseNumber[x]": ["positiveInt", "string"],
+                "seriesDoses[x]": ["positiveInt", "string"],
+                "supportingImmunization": A("Reference"),
+                "supportingPatientInformation": A("Reference"),
+            }
+        ),
+    },
+    "Media": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "type": "CodeableConcept",
+        "modality": "CodeableConcept",
+        "view": "CodeableConcept",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "created[x]": ["dateTime", "Period"],
+        "issued": "instant",
+        "operator": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "bodySite": "CodeableConcept",
+        "deviceName": "string",
+        "device": "Reference",
+        "height": "positiveInt",
+        "width": "positiveInt",
+        "frames": "positiveInt",
+        "duration": "decimal",
+        "content": "Attachment",
+        "note": A("Annotation"),
+    },
+    "MeasureReport": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": "code",
+        "measure": "canonical",
+        "subject": "Reference",
+        "date": "dateTime",
+        "reporter": "Reference",
+        "period": "Period",
+        "improvementNotation": "CodeableConcept",
+        "group": A(
+            {
+                "code": "CodeableConcept",
+                "population": A(_MR_POPULATION),
+                "measureScore": "Quantity",
+                "stratifier": A(
+                    {
+                        "code": A("CodeableConcept"),
+                        "stratum": A(
+                            {
+                                "value": "CodeableConcept",
+                                "component": A(
+                                    {
+                                        "code": "CodeableConcept",
+                                        "value": "CodeableConcept",
+                                    }
+                                ),
+                                "population": A(_MR_POPULATION),
+                                "measureScore": "Quantity",
+                            }
+                        ),
+                    }
+                ),
+            }
+        ),
+        "evaluatedResource": A("Reference"),
+    },
+    "NutritionOrder": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiatesCanonical": A("canonical"),
+        "instantiatesUri": A("uri"),
+        "instantiates": A("uri"),
+        "status": "code",
+        "intent": "code",
+        "patient": "Reference",
+        "encounter": "Reference",
+        "dateTime": "dateTime",
+        "orderer": "Reference",
+        "allergyIntolerance": A("Reference"),
+        "foodPreferenceModifier": A("CodeableConcept"),
+        "excludeFoodModifier": A("CodeableConcept"),
+        "oralDiet": {
+            "type": A("CodeableConcept"),
+            "schedule": A("Timing"),
+            "nutrient": A(
+                {"modifier": "CodeableConcept", "amount": "SimpleQuantity"}
+            ),
+            "texture": A(
+                {"modifier": "CodeableConcept", "foodType": "CodeableConcept"}
+            ),
+            "fluidConsistencyType": A("CodeableConcept"),
+            "instruction": "string",
+        },
+        "supplement": A(
+            {
+                "type": "CodeableConcept",
+                "productName": "string",
+                "schedule": A("Timing"),
+                "quantity": "SimpleQuantity",
+                "instruction": "string",
+            }
+        ),
+        "enteralFormula": {
+            "baseFormulaType": "CodeableConcept",
+            "baseFormulaProductName": "string",
+            "additiveType": "CodeableConcept",
+            "additiveProductName": "string",
+            "caloricDensity": "SimpleQuantity",
+            # R4 spells this element lowercase-o "routeofAdministration"
+            "routeofAdministration": "CodeableConcept",
+            "administration": A(
+                {
+                    "schedule": "Timing",
+                    "quantity": "SimpleQuantity",
+                    "rate[x]": ["SimpleQuantity", "Ratio"],
+                }
+            ),
+            "maxVolumeToDeliver": "SimpleQuantity",
+            "administrationInstruction": "string",
+        },
+        "note": A("Annotation"),
+    },
+    "ResearchStudy": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "title": "string",
+        "protocol": A("Reference"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "primaryPurposeType": "CodeableConcept",
+        "phase": "CodeableConcept",
+        "category": A("CodeableConcept"),
+        "focus": A("CodeableConcept"),
+        "condition": A("CodeableConcept"),
+        "contact": A("ContactDetail"),
+        "relatedArtifact": A("RelatedArtifact"),
+        "keyword": A("CodeableConcept"),
+        "location": A("CodeableConcept"),
+        "description": "markdown",
+        "enrollment": A("Reference"),
+        "period": "Period",
+        "sponsor": "Reference",
+        "principalInvestigator": "Reference",
+        "site": A("Reference"),
+        "reasonStopped": "CodeableConcept",
+        "note": A("Annotation"),
+        "arm": A(
+            {
+                "name": "string",
+                "type": "CodeableConcept",
+                "description": "string",
+            }
+        ),
+        "objective": A({"name": "string", "type": "CodeableConcept"}),
+    },
+    "ResearchSubject": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "period": "Period",
+        "study": "Reference",
+        "individual": "Reference",
+        "assignedArm": "string",
+        "actualArm": "string",
+        "consent": "Reference",
+    },
+    "RiskAssessment": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": "Reference",
+        "parent": "Reference",
+        "status": "code",
+        "method": "CodeableConcept",
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "occurrence[x]": ["dateTime", "Period"],
+        "condition": "Reference",
+        "performer": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "basis": A("Reference"),
+        "prediction": A(
+            {
+                "outcome": "CodeableConcept",
+                "probability[x]": ["decimal", "Range"],
+                "qualitativeRisk": "CodeableConcept",
+                "relativeRisk": "decimal",
+                "when[x]": ["Period", "Range"],
+                "rationale": "string",
+            }
+        ),
+        "mitigation": "string",
+        "note": A("Annotation"),
+    },
+    "SupplyDelivery": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "basedOn": A("Reference"),
+        "partOf": A("Reference"),
+        "status": "code",
+        "patient": "Reference",
+        "type": "CodeableConcept",
+        "suppliedItem": {
+            "quantity": "SimpleQuantity",
+            "item[x]": ["CodeableConcept", "Reference"],
+        },
+        "occurrence[x]": ["dateTime", "Period", "Timing"],
+        "supplier": "Reference",
+        "destination": "Reference",
+        "receiver": A("Reference"),
+    },
+    "SupplyRequest": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "category": "CodeableConcept",
+        "priority": "code",
+        "item[x]": ["CodeableConcept", "Reference"],
+        "quantity": "Quantity",
+        "parameter": A(
+            {
+                "code": "CodeableConcept",
+                "value[x]": ["CodeableConcept", "Quantity", "Range", "boolean"],
+            }
+        ),
+        "occurrence[x]": ["dateTime", "Period", "Timing"],
+        "authoredOn": "dateTime",
+        "requester": "Reference",
+        "supplier": A("Reference"),
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "deliverFrom": "Reference",
+        "deliverTo": "Reference",
+    },
+    "VisionPrescription": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "created": "dateTime",
+        "patient": "Reference",
+        "encounter": "Reference",
+        "dateWritten": "dateTime",
+        "prescriber": "Reference",
+        "lensSpecification": A(
+            {
+                "product": "CodeableConcept",
+                "eye": "code",
+                "sphere": "decimal",
+                "cylinder": "decimal",
+                "axis": "integer",
+                "prism": A({"amount": "decimal", "base": "code"}),
+                "add": "decimal",
+                "power": "decimal",
+                "backCurve": "decimal",
+                "diameter": "decimal",
+                "duration": "SimpleQuantity",
+                "color": "string",
+                "brand": "string",
+                "note": A("Annotation"),
+            }
+        ),
+    },
 }
 
 
@@ -1542,6 +2645,21 @@ def _expand(spec: dict) -> dict[str, tuple]:
         else:
             out[key] = (val, many)
     return out
+
+
+def expanded_elements(ref) -> dict[str, tuple] | None:
+    """Resolve a registry node to its ``{concrete_field: (typeref, many)}``
+    element dict: accepts a resource type name, a complex type name, or an
+    inline backbone dict. None for primitives / unknown names — callers
+    (e.g. decode's path-aware decimal marking) then fall back to
+    name-based rules."""
+    if isinstance(ref, dict):
+        return _expand(ref)
+    if ref in RESOURCES:
+        return _expand(RESOURCES[ref])
+    if ref in COMPLEX:
+        return _expand(COMPLEX[ref])
+    return None
 
 
 def registry_type_at(resource_type: str, path: tuple[str, ...]) -> str | None:

@@ -379,6 +379,446 @@ _ROUNDTRIP_DOCS = {
              "overbooked": False},
 }
 
+# round-6 breadth additions (each doc exercises at least one choice
+# element or nested backbone of its resource)
+_ROUNDTRIP_DOCS.update({
+    "Account": {"resourceType": "Account", "id": "ac1", "status": "active",
+                "name": "ward stay", "subject": [{"reference": "Patient/p1"}],
+                "servicePeriod": {"start": "2024-01-01", "end": "2024-01-09"},
+                "coverage": [{"coverage": {"reference": "Coverage/cov1"},
+                              "priority": 1}],
+                "guarantor": [{"party": {"reference": "RelatedPerson/rp1"},
+                               "onHold": False}]},
+    "AppointmentResponse": {"resourceType": "AppointmentResponse", "id": "ar1",
+                            "appointment": {"reference": "Appointment/ap1"},
+                            "start": "2024-06-05T09:00:00Z",
+                            "end": "2024-06-05T09:20:00Z",
+                            "actor": {"reference": "Patient/p1"},
+                            "participantStatus": "accepted",
+                            "comment": "confirmed by phone"},
+    "AuditEvent": {"resourceType": "AuditEvent", "id": "ae1",
+                   "type": {"system": "http://dicom.nema.org/resources/ontology/DCM",
+                            "code": "110110"},
+                   "subtype": [{"code": "read"}], "action": "R",
+                   "recorded": "2024-03-01T12:00:00Z", "outcome": "0",
+                   "agent": [{"who": {"reference": "Practitioner/pc1"},
+                              "requestor": True,
+                              "network": {"address": "10.0.0.1", "type": "2"}}],
+                   "source": {"site": "clinic", "observer": {"display": "audit svc"},
+                              "type": [{"code": "4"}]},
+                   "entity": [{"what": {"reference": "Patient/p1"},
+                               "detail": [{"type": "query",
+                                           "valueString": "name=smith"}]}]},
+    "Basic": {"resourceType": "Basic", "id": "ba1",
+              "code": {"text": "referral"}, "subject": {"reference": "Patient/p1"},
+              "created": "2024-02-02", "author": {"reference": "Practitioner/pc1"}},
+    "BodyStructure": {"resourceType": "BodyStructure", "id": "bs1",
+                      "active": True, "morphology": {"text": "lesion"},
+                      "location": {"text": "left forearm"},
+                      "description": "3cm lesion",
+                      "patient": {"reference": "Patient/p1"}},
+    "ChargeItem": {"resourceType": "ChargeItem", "id": "ci1",
+                   "definitionUri": ["http://example.org/fee/123"],
+                   "status": "billable", "code": {"text": "consult"},
+                   "subject": {"reference": "Patient/p1"},
+                   "occurrenceDateTime": "2024-03-03T10:00:00Z",
+                   "performer": [{"actor": {"reference": "Practitioner/pc1"}}],
+                   "quantity": {"value": 1},
+                   "factorOverride": 0.8,
+                   "priceOverride": {"value": 40.00, "currency": "EUR"},
+                   "overrideReason": "staff discount",
+                   "account": [{"reference": "Account/ac1"}]},
+    "ClaimResponse": {"resourceType": "ClaimResponse", "id": "cr1",
+                      "status": "active", "type": {"text": "institutional"},
+                      "use": "claim", "patient": {"reference": "Patient/p1"},
+                      "created": "2024-04-01T00:00:00Z",
+                      "insurer": {"reference": "Organization/org1"},
+                      "outcome": "complete",
+                      "item": [{"itemSequence": 1, "noteNumber": [1],
+                                "adjudication": [{"category": {"text": "benefit"},
+                                                  "amount": {"value": 80.50,
+                                                             "currency": "USD"},
+                                                  "value": 0.8}],
+                                "detail": [{"detailSequence": 1,
+                                            "adjudication": [{"category":
+                                                              {"text": "copay"}}],
+                                            "subDetail": [{"subDetailSequence": 1}]}]}],
+                      "addItem": [{"itemSequence": [1],
+                                   "productOrService": {"text": "dressing"},
+                                   "servicedDate": "2024-04-01",
+                                   "net": {"value": 12.5, "currency": "USD"},
+                                   "adjudication": [{"category": {"text": "add"}}]}],
+                      "total": [{"category": {"text": "submitted"},
+                                 "amount": {"value": 100.0, "currency": "USD"}}],
+                      "payment": {"type": {"text": "complete"},
+                                  "date": "2024-04-15",
+                                  "amount": {"value": 80.50, "currency": "USD"}},
+                      "processNote": [{"number": 1, "type": "print",
+                                       "text": "processed"}],
+                      "error": [{"itemSequence": 2,
+                                 "code": {"text": "missing info"}}]},
+    "CoverageEligibilityRequest": {
+        "resourceType": "CoverageEligibilityRequest", "id": "cer1",
+        "status": "active", "purpose": ["benefits", "validation"],
+        "patient": {"reference": "Patient/p1"},
+        "servicedPeriod": {"start": "2024-05-01", "end": "2024-05-31"},
+        "created": "2024-04-20T00:00:00Z",
+        "insurer": {"reference": "Organization/org1"},
+        "supportingInfo": [{"sequence": 1,
+                            "information": {"reference": "Condition/c1"},
+                            "appliesToAll": True}],
+        "insurance": [{"focal": True, "coverage": {"reference": "Coverage/cov1"}}],
+        "item": [{"category": {"text": "medical"},
+                  "diagnosis": [{"diagnosisCodeableConcept": {"text": "J45"}}]}]},
+    "CoverageEligibilityResponse": {
+        "resourceType": "CoverageEligibilityResponse", "id": "cerp1",
+        "status": "active", "purpose": ["benefits"],
+        "patient": {"reference": "Patient/p1"},
+        "servicedDate": "2024-05-01",
+        "created": "2024-04-21T00:00:00Z",
+        "request": {"reference": "CoverageEligibilityRequest/cer1"},
+        "outcome": "complete",
+        "insurer": {"reference": "Organization/org1"},
+        "insurance": [{"coverage": {"reference": "Coverage/cov1"},
+                       "inforce": True,
+                       "item": [{"category": {"text": "medical"},
+                                 "excluded": False, "network": {"text": "in"},
+                                 "benefit": [{"type": {"text": "visit"},
+                                              "allowedUnsignedInt": 20,
+                                              "usedUnsignedInt": 3},
+                                             {"type": {"text": "copay-max"},
+                                              "allowedMoney": {"value": 500.00,
+                                                               "currency": "USD"}}]}]}]},
+    "Endpoint": {"resourceType": "Endpoint", "id": "ep1", "status": "active",
+                 "connectionType": {"system":
+                                    "http://terminology.hl7.org/CodeSystem/endpoint-connection-type",
+                                    "code": "hl7-fhir-rest"},
+                 "name": "fhir api",
+                 "payloadType": [{"text": "any"}],
+                 "payloadMimeType": ["application/fhir+json"],
+                 "address": "https://fhir.example.org/r4",
+                 "header": ["Authorization: Bearer x"]},
+    "EnrollmentRequest": {"resourceType": "EnrollmentRequest", "id": "er1",
+                          "status": "active", "created": "2024-01-05T00:00:00Z",
+                          "insurer": {"reference": "Organization/org1"},
+                          "candidate": {"reference": "Patient/p1"},
+                          "coverage": {"reference": "Coverage/cov1"}},
+    "EnrollmentResponse": {"resourceType": "EnrollmentResponse", "id": "erp1",
+                           "status": "active",
+                           "request": {"reference": "EnrollmentRequest/er1"},
+                           "outcome": "complete", "disposition": "enrolled",
+                           "created": "2024-01-06T00:00:00Z",
+                           "organization": {"reference": "Organization/org1"}},
+    "Group": {"resourceType": "Group", "id": "gr1", "active": True,
+              "type": "person", "actual": True, "name": "diabetes cohort",
+              "quantity": 2,
+              "characteristic": [{"code": {"text": "diagnosis"},
+                                  "valueCodeableConcept": {"text": "E11"},
+                                  "exclude": False}],
+              "member": [{"entity": {"reference": "Patient/p1"},
+                          "inactive": False}]},
+    "Invoice": {"resourceType": "Invoice", "id": "inv1", "status": "issued",
+                "type": {"text": "outpatient"},
+                "subject": {"reference": "Patient/p1"},
+                "date": "2024-04-30T00:00:00Z",
+                "participant": [{"role": {"text": "physician"},
+                                 "actor": {"reference": "Practitioner/pc1"}}],
+                "lineItem": [{"sequence": 1,
+                              "chargeItemReference": {"reference": "ChargeItem/ci1"},
+                              "priceComponent": [{"type": "base",
+                                                  "factor": 1.0,
+                                                  "amount": {"value": 40.00,
+                                                             "currency": "EUR"}}]}],
+                "totalNet": {"value": 40.00, "currency": "EUR"},
+                "totalGross": {"value": 47.60, "currency": "EUR"},
+                "paymentTerms": "30 days"},
+    "Linkage": {"resourceType": "Linkage", "id": "lk1", "active": True,
+                "author": {"reference": "Practitioner/pc1"},
+                "item": [{"type": "source",
+                          "resource": {"reference": "Condition/c1"}},
+                         {"type": "alternate",
+                          "resource": {"reference": "Condition/c2"}}]},
+    "MessageHeader": {"resourceType": "MessageHeader", "id": "mh1",
+                      "eventCoding": {"system": "http://example.org/events",
+                                      "code": "admin-notify"},
+                      "destination": [{"name": "EHR",
+                                       "endpoint": "https://ehr.example.org/in"}],
+                      "sender": {"reference": "Organization/org1"},
+                      "source": {"name": "lab system", "software": "labd",
+                                 "version": "2.1",
+                                 "endpoint": "https://lab.example.org/out"},
+                      "reason": {"text": "admit"},
+                      "response": {"identifier": "msg-000", "code": "ok"},
+                      "focus": [{"reference": "Encounter/e1"}]},
+    "OperationOutcome": {"resourceType": "OperationOutcome", "id": "oo1",
+                         "issue": [{"severity": "error", "code": "invalid",
+                                    "diagnostics": "birthDate malformed",
+                                    "location": ["Patient.birthDate"],
+                                    "expression": ["Patient.birthDate"]}]},
+    "OrganizationAffiliation": {"resourceType": "OrganizationAffiliation",
+                                "id": "oa1", "active": True,
+                                "period": {"start": "2023-01-01"},
+                                "organization": {"reference": "Organization/org1"},
+                                "participatingOrganization":
+                                    {"reference": "Organization/org2"},
+                                "code": [{"text": "provider"}],
+                                "location": [{"reference": "Location/loc1"}]},
+    "PaymentNotice": {"resourceType": "PaymentNotice", "id": "pn1",
+                      "status": "active", "created": "2024-04-16T00:00:00Z",
+                      "payment": {"reference": "PaymentReconciliation/pr1"},
+                      "paymentDate": "2024-04-15",
+                      "recipient": {"reference": "Organization/org1"},
+                      "amount": {"value": 80.50, "currency": "USD"},
+                      "paymentStatus": {"text": "paid"}},
+    "PaymentReconciliation": {"resourceType": "PaymentReconciliation",
+                              "id": "pr1", "status": "active",
+                              "period": {"start": "2024-04-01",
+                                         "end": "2024-04-30"},
+                              "created": "2024-05-01T00:00:00Z",
+                              "paymentIssuer": {"reference": "Organization/org1"},
+                              "outcome": "complete",
+                              "paymentDate": "2024-04-30",
+                              "paymentAmount": {"value": 1200.00,
+                                                "currency": "USD"},
+                              "detail": [{"type": {"text": "payment"},
+                                          "date": "2024-04-15",
+                                          "amount": {"value": 80.50,
+                                                     "currency": "USD"}}],
+                              "processNote": [{"type": "display",
+                                               "text": "monthly run"}]},
+    "Person": {"resourceType": "Person", "id": "pe1",
+               "name": [{"family": "Smith", "given": ["Jo"]}],
+               "gender": "female", "birthDate": "1980-04-02",
+               "active": True,
+               "link": [{"target": {"reference": "Patient/p1"},
+                         "assurance": "level3"}]},
+    "Subscription": {"resourceType": "Subscription", "id": "su1",
+                     "status": "active", "reason": "notify on new obs",
+                     "criteria": "Observation?patient=p1",
+                     "channel": {"type": "rest-hook",
+                                 "endpoint": "https://hook.example.org/cb",
+                                 "payload": "application/fhir+json",
+                                 "header": ["X-Key: abc"]}},
+    "Substance": {"resourceType": "Substance", "id": "sb1", "status": "active",
+                  "category": [{"text": "drug"}],
+                  "code": {"text": "amoxicillin powder"},
+                  "instance": [{"expiry": "2026-01-01T00:00:00Z",
+                                "quantity": {"value": 500, "unit": "g",
+                                             "system": "http://unitsofmeasure.org",
+                                             "code": "g"}}],
+                  "ingredient": [{"quantity": {"numerator": {"value": 1},
+                                               "denominator": {"value": 10}},
+                                  "substanceCodeableConcept":
+                                      {"text": "amoxicillin trihydrate"}}]},
+    "AdverseEvent": {"resourceType": "AdverseEvent", "id": "adv1",
+                     "identifier": {"value": "AE-7"},
+                     "actuality": "actual",
+                     "event": {"text": "rash"},
+                     "subject": {"reference": "Patient/p1"},
+                     "date": "2024-03-10T00:00:00Z",
+                     "seriousness": {"text": "non-serious"},
+                     "suspectEntity": [{"instance":
+                                        {"reference": "Medication/m1"},
+                                        "causality": [{"assessment":
+                                                       {"text": "probable"}}]}]},
+    "ClinicalImpression": {"resourceType": "ClinicalImpression", "id": "cim1",
+                           "status": "completed",
+                           "subject": {"reference": "Patient/p1"},
+                           "effectivePeriod": {"start": "2024-03-01",
+                                               "end": "2024-03-02"},
+                           "date": "2024-03-02T00:00:00Z",
+                           "assessor": {"reference": "Practitioner/pc1"},
+                           "investigation": [{"code": {"text": "exam"},
+                                              "item": [{"reference":
+                                                        "Observation/o1"}]}],
+                           "summary": "stable",
+                           "finding": [{"itemCodeableConcept": {"text": "J45"},
+                                        "basis": "history"}]},
+    "CommunicationRequest": {"resourceType": "CommunicationRequest",
+                             "id": "cmr1", "status": "active",
+                             "priority": "routine", "doNotPerform": False,
+                             "subject": {"reference": "Patient/p1"},
+                             "payload": [{"contentString": "please call"}],
+                             "occurrenceDateTime": "2024-03-05T09:00:00Z",
+                             "authoredOn": "2024-03-04T00:00:00Z",
+                             "requester": {"reference": "Practitioner/pc1"},
+                             "recipient": [{"reference": "Patient/p1"}]},
+    "DeviceMetric": {"resourceType": "DeviceMetric", "id": "dm1",
+                     "type": {"text": "SpO2"}, "unit": {"text": "%"},
+                     "source": {"reference": "Device/d1"},
+                     "operationalStatus": "on", "category": "measurement",
+                     "calibration": [{"type": "gain", "state": "calibrated",
+                                      "time": "2024-01-01T00:00:00Z"}]},
+    "DeviceRequest": {"resourceType": "DeviceRequest", "id": "dr1",
+                      "status": "active", "intent": "order",
+                      "priority": "routine",
+                      "codeCodeableConcept": {"text": "wheelchair"},
+                      "parameter": [{"code": {"text": "width"},
+                                     "valueQuantity": {"value": 60, "unit": "cm",
+                                                       "code": "cm"}}],
+                      "subject": {"reference": "Patient/p1"},
+                      "occurrenceDateTime": "2024-04-01T00:00:00Z",
+                      "requester": {"reference": "Practitioner/pc1"}},
+    "DeviceUseStatement": {"resourceType": "DeviceUseStatement", "id": "dus1",
+                           "status": "active",
+                           "subject": {"reference": "Patient/p1"},
+                           "timingPeriod": {"start": "2024-01-01"},
+                           "recordedOn": "2024-01-02T00:00:00Z",
+                           "device": {"reference": "Device/d1"},
+                           "bodySite": {"text": "left wrist"}},
+    "FamilyMemberHistory": {"resourceType": "FamilyMemberHistory", "id": "fmh1",
+                            "status": "completed",
+                            "patient": {"reference": "Patient/p1"},
+                            "date": "2024-02-01T00:00:00Z",
+                            "relationship": {"text": "mother"},
+                            "sex": {"text": "female"},
+                            "bornDate": "1950-06-01",
+                            "deceasedBoolean": False,
+                            "condition": [{"code": {"text": "E11"},
+                                           "contributedToDeath": False,
+                                           "onsetAge": {"value": 55, "unit": "a",
+                                                        "system":
+                                                        "http://unitsofmeasure.org",
+                                                        "code": "a"}}]},
+    "ImmunizationEvaluation": {"resourceType": "ImmunizationEvaluation",
+                               "id": "ie1", "status": "completed",
+                               "patient": {"reference": "Patient/p1"},
+                               "date": "2024-01-15T00:00:00Z",
+                               "targetDisease": {"text": "measles"},
+                               "immunizationEvent":
+                                   {"reference": "Immunization/im1"},
+                               "doseStatus": {"text": "valid"},
+                               "doseNumberPositiveInt": 2,
+                               "seriesDosesPositiveInt": 2},
+    "ImmunizationRecommendation": {
+        "resourceType": "ImmunizationRecommendation", "id": "ir1",
+        "patient": {"reference": "Patient/p1"},
+        "date": "2024-01-15T00:00:00Z",
+        "recommendation": [{"vaccineCode": [{"text": "MMR"}],
+                            "forecastStatus": {"text": "due"},
+                            "dateCriterion": [{"code": {"text": "earliest"},
+                                               "value": "2024-02-01T00:00:00Z"}],
+                            "doseNumberPositiveInt": 2,
+                            "supportingImmunization":
+                                [{"reference": "Immunization/im1"}]}]},
+    "Media": {"resourceType": "Media", "id": "md1", "status": "completed",
+              "type": {"text": "image"},
+              "subject": {"reference": "Patient/p1"},
+              "createdDateTime": "2024-03-01T10:00:00Z",
+              "issued": "2024-03-01T10:05:00Z",
+              "bodySite": {"text": "left forearm"},
+              "height": 480, "width": 640,
+              "content": {"contentType": "image/jpeg",
+                          "url": "https://pacs.example.org/img/1",
+                          "title": "lesion photo"}},
+    "MeasureReport": {"resourceType": "MeasureReport", "id": "mr1",
+                      "status": "complete", "type": "summary",
+                      "measure": "http://example.org/Measure/diabetes-a1c",
+                      "date": "2024-07-01T00:00:00Z",
+                      "period": {"start": "2024-01-01", "end": "2024-06-30"},
+                      "group": [{"code": {"text": "all"},
+                                 "population": [{"code": {"text": "denominator"},
+                                                 "count": 100},
+                                                {"code": {"text": "numerator"},
+                                                 "count": 62}],
+                                 "measureScore": {"value": 0.62},
+                                 "stratifier": [{"code": [{"text": "sex"}],
+                                                 "stratum": [{"value":
+                                                              {"text": "female"},
+                                                              "population":
+                                                              [{"count": 33}]}]}]}]},
+    "NutritionOrder": {"resourceType": "NutritionOrder", "id": "no1",
+                       "status": "active", "intent": "order",
+                       "patient": {"reference": "Patient/p1"},
+                       "dateTime": "2024-03-01T00:00:00Z",
+                       "orderer": {"reference": "Practitioner/pc1"},
+                       "oralDiet": {"type": [{"text": "diabetic"}],
+                                    "nutrient": [{"modifier":
+                                                  {"text": "carbohydrate"},
+                                                  "amount": {"value": 180,
+                                                             "unit": "g",
+                                                             "code": "g"}}],
+                                    "instruction": "consistent carbs"},
+                       "supplement": [{"type": {"text": "protein shake"},
+                                       "productName": "Boost",
+                                       "instruction": "bid"}],
+                       "enteralFormula": {"baseFormulaProductName": "Jevity",
+                                          "caloricDensity": {"value": 1.5,
+                                                             "unit": "cal/mL"},
+                                          "routeofAdministration":
+                                              {"text": "NG tube"},
+                                          "administration":
+                                              [{"quantity": {"value": 240,
+                                                             "unit": "mL",
+                                                             "code": "mL"},
+                                                "rateQuantity":
+                                                    {"value": 60,
+                                                     "unit": "mL/h"}}]}},
+    "ResearchStudy": {"resourceType": "ResearchStudy", "id": "rs1",
+                      "title": "A1c control trial", "status": "active",
+                      "phase": {"text": "phase-3"},
+                      "condition": [{"text": "E11"}],
+                      "contact": [{"name": "study desk",
+                                   "telecom": [{"system": "email",
+                                                "value": "study@example.org"}]}],
+                      "period": {"start": "2024-01-01"},
+                      "sponsor": {"reference": "Organization/org1"},
+                      "arm": [{"name": "control", "description": "placebo"},
+                              {"name": "treatment"}],
+                      "objective": [{"name": "A1c < 7%"}]},
+    "ResearchSubject": {"resourceType": "ResearchSubject", "id": "rsub1",
+                        "status": "on-study",
+                        "period": {"start": "2024-02-01"},
+                        "study": {"reference": "ResearchStudy/rs1"},
+                        "individual": {"reference": "Patient/p1"},
+                        "assignedArm": "treatment",
+                        "actualArm": "treatment"},
+    "RiskAssessment": {"resourceType": "RiskAssessment", "id": "ra1",
+                       "status": "final", "subject": {"reference": "Patient/p1"},
+                       "occurrenceDateTime": "2024-03-01T00:00:00Z",
+                       "performer": {"reference": "Practitioner/pc1"},
+                       "basis": [{"reference": "Observation/o1"}],
+                       "prediction": [{"outcome": {"text": "stroke"},
+                                       "probabilityDecimal": 0.024,
+                                       "qualitativeRisk": {"text": "low"},
+                                       "whenPeriod": {"start": "2024-03-01",
+                                                      "end": "2034-03-01"}}],
+                       "mitigation": "statin therapy"},
+    "SupplyDelivery": {"resourceType": "SupplyDelivery", "id": "sd1",
+                       "status": "completed",
+                       "patient": {"reference": "Patient/p1"},
+                       "type": {"text": "device"},
+                       "suppliedItem": {"quantity": {"value": 1},
+                                        "itemCodeableConcept":
+                                            {"text": "glucometer"}},
+                       "occurrenceDateTime": "2024-03-02T00:00:00Z",
+                       "supplier": {"reference": "Organization/org1"}},
+    "SupplyRequest": {"resourceType": "SupplyRequest", "id": "sr1",
+                      "status": "active", "category": {"text": "central"},
+                      "priority": "routine",
+                      "itemCodeableConcept": {"text": "glucometer"},
+                      "quantity": {"value": 10},
+                      "parameter": [{"code": {"text": "color"},
+                                     "valueCodeableConcept": {"text": "black"}}],
+                      "occurrenceDateTime": "2024-03-01T00:00:00Z",
+                      "requester": {"reference": "Practitioner/pc1"},
+                      "deliverTo": {"reference": "Location/loc1"}},
+    "VisionPrescription": {"resourceType": "VisionPrescription", "id": "vp1",
+                           "status": "active",
+                           "created": "2024-02-01T00:00:00Z",
+                           "patient": {"reference": "Patient/p1"},
+                           "dateWritten": "2024-02-01T00:00:00Z",
+                           "prescriber": {"reference": "Practitioner/pc1"},
+                           "lensSpecification": [{"product": {"text": "lens"},
+                                                  "eye": "right",
+                                                  "sphere": -2.00,
+                                                  "cylinder": -0.50,
+                                                  "axis": 180,
+                                                  "prism": [{"amount": 0.5,
+                                                             "base": "down"}],
+                                                  "add": 1.75}]},
+})
+
 
 def test_registry_resources_roundtrip(spark):
     """Every registered resource type: encode a synthetic doc under the
@@ -396,7 +836,7 @@ def test_registry_resources_roundtrip(spark):
         with open(f"{d}/r.ndjson", "w") as f:
             f.write(raw + "\n")
         df = encode_ndjson(spark, d, resource_type=rt)
-        out = to_fhir_json(df).collect()[0][0]
+        out = to_fhir_json(df, resource_type=rt).collect()[0][0]
         if json.loads(out) != json.loads(raw):
             failures.append((rt, out))
     assert not failures, failures
