@@ -26,18 +26,20 @@ path navigation with implicit collection flattening, ``$this``,
 ``and`` / ``or`` / ``not`` / parenthesized combinations),
 ``ofType(X)`` (choice-type column selection), ``extension('url')``,
 ``getResourceKey()``, ``getReferenceKey([Type])`` (relative
-``Type/id`` references), and ``lowBoundary()``/``highBoundary()`` on
+``Type/id`` references), ``lowBoundary()``/``highBoundary()`` on
 date-kinded elements — the boundary functions read this format's
 date-range annotation columns (``__<el>_start``/``__<el>_end``,
 reference README.md:308-341), which is exactly what those annotations
-exist for.
+exist for — and simple arithmetic (``+ - * /`` with precedence and
+parentheses) over singleton numeric operands and literals; FHIR's
+string-typed decimals cast to DOUBLE at the operand (README.md:343-351).
 
 Singleton discipline: a ``column`` whose path still yields a collection
 raises at compile time unless ``collection: true`` — same rule the spec
 validator applies, but enforced against the actual derived schema.
 
-Unsupported FHIRPath (aggregates, ``repeat()``, type casts, arithmetic)
-raises ``ViewPathError`` at compile time — never a silent wrong answer.
+Unsupported FHIRPath (aggregates, ``repeat()``, type casts) raises
+``ViewPathError`` at compile time — never a silent wrong answer.
 """
 
 from __future__ import annotations
@@ -197,6 +199,47 @@ _OPS = {
     "<=": lambda a, b: a <= b,
 }
 
+_ARITH = {
+    "+": Column.__add__,
+    "-": Column.__sub__,
+    "*": Column.__mul__,
+    "/": Column.__truediv__,
+}
+
+
+def _split_arith(expr: str, ops: str) -> list[str] | None:
+    """Split at paren/quote depth 0 on the single-char operators in
+    ``ops`` → ``[operand, op, operand, ...]``, or None when the
+    expression contains none of them."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth, q = 0, None
+    for ch in expr:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch in ops:
+            out.append("".join(buf))
+            out.append(ch)
+            buf = []
+        else:
+            buf.append(ch)
+    if not out:
+        return None
+    out.append("".join(buf))
+    return out
+
 
 # ---------------------------------------------------------------------------
 # compilation: (col, dtype, multi) triples
@@ -224,7 +267,61 @@ class _Compiler:
         dtype: T.DataType,
         multi: bool = False,
     ) -> tuple[Column, T.DataType, bool]:
-        """Compile a FHIRPath against the (col, dtype, multi) context."""
+        """Compile a FHIRPath — an arithmetic expression over singleton
+        numeric operands, or a plain navigation path."""
+        for ops in ("+-", "*/"):  # lowest precedence splits first
+            parts = _split_arith(path, ops)
+            if parts is not None:
+                acc: Column | None = None
+                for i in range(0, len(parts), 2):
+                    operand = self._num_operand(parts[i], col, dtype, multi)
+                    acc = (
+                        operand
+                        if acc is None
+                        else _ARITH[parts[i - 1]](acc, operand)
+                    )
+                return acc, T.DoubleType(), False
+        return self._path(path, col, dtype, multi)
+
+    def _num_operand(
+        self, expr: str, col: Column | None, dtype: T.DataType, multi: bool
+    ) -> Column:
+        """One arithmetic operand → a DOUBLE Column: a numeric literal,
+        a parenthesized sub-expression, or a singleton path (FHIR stores
+        decimal as string — README.md:343-351 — so string leaves cast)."""
+        expr = expr.strip()
+        if not expr:
+            raise ViewPathError(
+                "empty arithmetic operand (unary +/- is not supported)"
+            )
+        if expr.startswith("(") and expr.endswith(")") and _balanced(expr[1:-1]):
+            sub, _, m = self.compile(expr[1:-1], col, dtype, multi)
+            if m:
+                raise ViewPathError("arithmetic needs singleton operands")
+            return sub.cast("double")
+        try:
+            return F.lit(float(expr))
+        except ValueError:
+            pass
+        sub, sdt, m = self.compile(expr, col, dtype, multi)
+        if m:
+            raise ViewPathError(
+                f"arithmetic operand {expr!r} yields a collection — "
+                "append first()"
+            )
+        if isinstance(sdt, T.StringType):
+            return sub.try_cast("double")
+        return sub.cast("double")
+
+    def _path(
+        self,
+        path: str,
+        col: Column | None,
+        dtype: T.DataType,
+        multi: bool = False,
+    ) -> tuple[Column, T.DataType, bool]:
+        """Compile a navigation FHIRPath against the (col, dtype, multi)
+        context."""
         # parent tracking for lowBoundary/highBoundary sibling lookup
         parent: tuple[Column | None, T.DataType] | None = None
         leaf_name: str | None = None

@@ -442,6 +442,8 @@ def qf10(spark, sf_dir):
             {"name": "obs_id", "path": "getResourceKey()"},
             {"name": "patient_id", "path": "subject.getReferenceKey(Patient)"},
             {"name": "qty_value", "path": "value.ofType(Quantity).value"},
+            # FHIRPath arithmetic with precedence + parens (round 6)
+            {"name": "qty_scaled", "path": "(value.ofType(Quantity).value * 2 + 1) / 10"},
             {"name": "code1", "path": "code.coding.first().code"},
             {"name": "has_category", "path": "category.exists()"},
         ]}],
@@ -455,6 +457,7 @@ SELECT id AS obs_id,
                  AND NOT starts_with(subject.reference, '#')
             THEN string_split(subject.reference, '/')[2] END AS patient_id,
        valueQuantity."value" AS qty_value,
+       (TRY_CAST(valueQuantity."value" AS DOUBLE) * 2 + 1) / 10 AS qty_scaled,
        code.coding[1].code AS code1,
        len(COALESCE(category, [])) > 0 AS has_category
 FROM read_parquet('{OBSERVATION}')

@@ -98,6 +98,41 @@ def test_of_type_choice_and_reference_key(spark):
     assert bad.filter("k IS NOT NULL").count() == 0
 
 
+def test_arithmetic_in_paths(spark):
+    o = spark.read.parquet(OBSERVATION)
+    out = run_view(o, {
+        "resource": "Observation",
+        "select": [{"column": [
+            {"name": "obs_id", "path": "getResourceKey()"},
+            {"name": "raw", "path": "value.ofType(Quantity).value"},
+            # precedence: * binds tighter than +
+            {"name": "shifted", "path": "value.ofType(Quantity).value * 2 + 1"},
+            # parens override; string-typed FHIR decimal casts to double
+            {"name": "scaled", "path": "(value.ofType(Quantity).value + 1) / 2"},
+        ]}],
+    })
+    rows = [r for r in out.collect() if r.raw is not None]
+    assert rows
+    for r in rows:
+        assert abs(r.shifted - (float(r.raw) * 2 + 1)) < 1e-9
+        assert abs(r.scaled - ((float(r.raw) + 1) / 2)) < 1e-9
+    # arithmetic inside a view-level where comparison
+    hot = run_view(o, {
+        "resource": "Observation",
+        "where": [{"path": "value.ofType(Quantity).value * 2 > 100"}],
+        "select": [{"column": [{"name": "v", "path": "value.ofType(Quantity).value"}]}],
+    }).collect()
+    assert all(float(r.v) * 2 > 100 for r in hot)
+    # collections must be rejected, not silently aggregated
+    import pytest as _pytest
+
+    from parquet_on_fhir_spark.fhir.views import ViewPathError
+
+    with _pytest.raises(ViewPathError):
+        run_view(o, {"resource": "Observation", "select": [{"column": [
+            {"name": "bad", "path": "category.coding.code + 1"}]}]})
+
+
 def test_exists_empty_count_first(spark):
     docs = [
         {"resourceType": "Patient", "id": "a",
