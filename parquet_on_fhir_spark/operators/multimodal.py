@@ -51,16 +51,52 @@ def attach_binary(df: DataFrame, payload_col: str, kind: str = "image") -> DataF
     )
 
 
-def decode_real(content: bytes, mime: str):  # pragma: no cover - stub
-    """Plug point for a real codec (PIL/libav/torchaudio).
+def codec_available(kind: str = "image") -> bool:
+    """True when a real codec library for ``kind`` is importable."""
+    import importlib.util
 
-    Not available in this container — see module docstring.
-    """
+    if kind == "image":
+        return importlib.util.find_spec("PIL") is not None
+    if kind == "audio":
+        return importlib.util.find_spec("soundfile") is not None
+    return False
+
+
+def decode_real(content: bytes, mime: str | None = None) -> list[float]:
+    """Real image codec, import-guarded: PIL decode → (width, height,
+    8×8 luminance grid) = a 66-dim feature, the classic average-hash
+    shape. Raises NotImplementedError with wiring guidance when PIL is
+    absent (this container ships no codec libraries) — the mapInPandas
+    plumbing in ``extract_features`` is identical either way, so a
+    cluster with PIL installed gets the real path with zero code change
+    (pass ``codec=decode_real``)."""
+    if mime is None or mime.startswith("image/") or mime == "application/octet-stream":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "image decode requires PIL (pip install pillow); this "
+                "environment ships no codec library — use the default "
+                "stand_in_features codec, or install pillow and pass "
+                "codec=decode_real to extract_features"
+            ) from e
+        img = Image.open(io.BytesIO(content)).convert("L")
+        w, h = img.size
+        px = list(img.resize((8, 8)).getdata())
+        return [float(w), float(h)] + [p / 255.0 for p in px]
     raise NotImplementedError(
-        "media decode requires an image/audio codec library not present "
-        "in this environment; wire PIL/av here and keep the mapInPandas "
-        "plumbing in extract_features unchanged"
+        f"no real codec wired for mime {mime!r} (audio/video: wire "
+        "soundfile/av here; the extract_features plumbing is unchanged)"
     )
+
+
+def best_codec() -> FeatureCodec:
+    """``decode_real`` when a codec library is importable, else the
+    deterministic stand-in — lets pipelines opt into the best available
+    decode without caring about the environment."""
+    return decode_real if codec_available("image") else stand_in_features
 
 
 def stand_in_features(b: bytes, mime: str | None = None) -> list[float]:
