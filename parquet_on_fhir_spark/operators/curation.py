@@ -420,3 +420,83 @@ def split_corpus(
     for name, b in reversed(boundaries):
         expr = F.when(draw < F.lit(b), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+) -> DataFrame:
+    """CCNet-style fluency scoring (Wenzek et al., LREC 2020): per-doc
+    mean negative log2 probability under an add-k-smoothed BIGRAM
+    language model trained on ``reference`` — the perplexity-proxy used
+    to keep the "head" (low score = fluent / in-domain) of a crawl.
+
+    Model: P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V), V = reference
+    unigram vocabulary size. score(doc) = -mean log2 P over its bigrams;
+    documents with < 2 tokens score NULL.
+
+    100 TB shape: the reference side aggregates once (bigram counts +
+    context counts + a 1-row V scalar) and every model table enters the
+    scoring join BROADCAST — a reference corpus of millions of distinct
+    bigrams is a few hundred MB, the classic broadcast-dimension case.
+    The scored corpus explodes to bigrams map-side, hits the two
+    broadcast hash joins with zero shuffle, and the per-doc mean is a
+    hash aggregate with map-side partial combine (shuffle rows ≈ number
+    of documents, never number of bigrams). Text itself is never
+    shuffled. For a reference too big to broadcast, drop the
+    ``F.broadcast`` hints and the joins degrade to shuffle joins keyed
+    on the gram — same plan class as tf-idf.
+
+    Output: (id_col, n_bigrams, lm_score).
+    """
+    def bigrams(col: Column) -> Column:
+        return _word_ngrams(col, 2)
+
+    ref_grams = reference.select(
+        F.explode(bigrams(F.col(text_col))).alias("gram")
+    )
+    bigram_counts = ref_grams.groupBy("gram").agg(F.count("*").alias("c2"))
+    context_counts = (
+        ref_grams.select(
+            F.split(F.col("gram"), " ").getItem(0).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = reference.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    ).agg(F.countDistinct("w").alias("V"))
+
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(bigrams(F.col(text_col))).alias("gram"),
+    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    scored = (
+        doc_grams.join(F.broadcast(bigram_counts), "gram", "left")
+        .join(F.broadcast(context_counts), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log2(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("V"))
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.avg("logp")).alias("lm_score"),
+    )
+    # docs with <2 tokens have no bigrams: reattach with NULL score
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("lm_score"),
+        )
+    )

@@ -274,3 +274,108 @@ def profile_table(df, columns: list[str] | None = None, exact_distinct: bool = T
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def frequent_ngrams(
+    df,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    k: int = 10,
+):
+    """Top-k most frequent word n-grams per group — the boilerplate /
+    template detector (repeated footers, navigation chrome, license
+    blurbs surface as high-count n-grams within a source).
+
+    Plan: map-side n-gram explode → hash aggregate with partial combine
+    (shuffle rows ≈ distinct (group, gram) pairs, NOT corpus size) →
+    per-group top-k via window over the already-aggregated counts.
+    Deterministic tie-break (count desc, gram asc) so results are
+    engine- and layout-stable. Output: (group, gram, n_occurrences,
+    rank).
+    """
+    from pyspark.sql import Window
+
+    from parquet_on_fhir_spark.operators.curation import _word_ngrams
+
+    grams = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy("group", "gram").agg(F.count("*").alias("n_occurrences"))
+    w = Window.partitionBy("group").orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def dedup_lines(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+):
+    """Line-level cross-document deduplication (the RefinedWeb /
+    MassiveText cleanup stage): drop every line that appears verbatim in
+    ``min_docs`` or more distinct documents — boilerplate, navigation
+    text, repeated headers — and reassemble each document from its
+    surviving lines in order.
+
+    100 TB shape: the counting side shuffles only (sha2(line), doc_id)
+    rows — 40 bytes, never line text — into a hash aggregate whose
+    distinct-doc count marks duplicate line hashes. Surviving lines then
+    shuffle ONCE keyed by doc_id for ordered reassembly (unavoidable:
+    reconstruction needs a document's lines co-located; the shuffle
+    carries only KEPT lines, already smaller than the input by exactly
+    the boilerplate mass). No driver collect; no all-pairs anything.
+
+    Output: (id_col, text_col cleaned, n_lines_kept, n_lines_removed).
+    Documents whose every line was boilerplate survive with empty text —
+    callers filter on n_lines_kept if they want them gone.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_h", F.sha2(F.col("line"), 256))
+
+    dup_hashes = (
+        lines.groupBy("line_h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_h")
+    )
+    kept = lines.join(dup_hashes, "line_h", "left_anti")
+    n_total = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("__n_lines"),
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            ).alias("__ordered"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform(F.col("__ordered"), lambda s: s["line"])
+            ).alias(text_col),
+            F.size(F.col("__ordered")).alias("n_lines_kept"),
+        )
+    )
+    # left join from totals so all-boilerplate docs come back (empty text)
+    return (
+        n_total.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            (F.col("__n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

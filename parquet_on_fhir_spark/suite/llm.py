@@ -1308,3 +1308,147 @@ WHERE 'n:' || CAST(doc_id AS VARCHAR) NOT IN (SELECT nuid FROM hits)
 
 
 QUERIES.append(Q("q120_incremental_dedup", q120, Q120_ORACLE))
+
+
+# --- Q121: CCNet-style n-gram LM fluency scoring (Wenzek et al., LREC 2020) ----------
+def q121(spark, sf_dir):
+    """Score every document under an add-k bigram LM trained on the
+    doc_id%5==0 reference slice; broadcast model tables, text never
+    shuffled (operators/curation.py:ngram_lm_score)."""
+    from parquet_on_fhir_spark.operators.curation import ngram_lm_score
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 5 == 0)
+    out = ngram_lm_score(d, ref, k=0.1)
+    return out.select(
+        "doc_id", "n_bigrams", d4(F.col("lm_score")).alias("lm_score")
+    )
+
+
+Q121_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM tok WHERE len(words) >= 2
+),
+refbg AS (SELECT gram, count(*) AS c2 FROM bg WHERE doc_id % 5 = 0 GROUP BY gram),
+refctx AS (
+  SELECT string_split(gram, ' ')[1] AS w1, count(*) AS c1
+  FROM bg WHERE doc_id % 5 = 0 GROUP BY 1
+),
+vocab AS (
+  SELECT count(DISTINCT w) AS V FROM (
+    SELECT unnest(words) AS w FROM tok WHERE doc_id % 5 = 0)
+),
+scored AS (
+  SELECT b.doc_id,
+         log2((COALESCE(r.c2, 0) + 0.1) / (COALESCE(c.c1, 0) + 0.1 * v.V)) AS logp
+  FROM bg b
+  LEFT JOIN refbg r USING (gram)
+  LEFT JOIN refctx c ON string_split(b.gram, ' ')[1] = c.w1
+  CROSS JOIN vocab v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp) + 1e-9, 4) AS lm_score
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.lm_score AS lm_score
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES.append(Q("q121_ngram_lm_score", q121, Q121_ORACLE))
+
+
+# --- Q122: line-level cross-document dedup (RefinedWeb cleanup stage) ----------------
+def q122(spark, sf_dir):
+    """Documents get a shared footer + per-source banner appended; the
+    operator must strip every line occurring in >= 3 docs (the footer
+    and all banners) and keep each document's unique body line
+    (operators/text.py:dedup_lines). Counting side shuffles (sha2, id)
+    only; surviving lines shuffle once for reassembly."""
+    from parquet_on_fhir_spark.operators.text import dedup_lines
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("-- shared footer: all rights reserved --"),
+            F.concat(F.lit("source banner: "), F.col("source")),
+        ).alias("text"),
+    )
+    out = dedup_lines(d, min_docs=3)
+    return out.select("doc_id", "text", "n_lines_kept", "n_lines_removed")
+
+
+Q122_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+         text || chr(10) || '-- shared footer: all rights reserved --'
+              || chr(10) || 'source banner: ' || source AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM built
+),
+dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+       len(string_split(b.text, chr(10))) - COALESCE(r.n_lines_kept, 0)
+         AS n_lines_removed
+FROM built b LEFT JOIN reb r USING (doc_id)
+"""
+
+
+QUERIES.append(Q("q122_dedup_lines", q122, Q122_ORACLE))
+
+
+# --- Q123: per-source frequent n-grams (boilerplate / template detector) -------------
+def q123(spark, sf_dir):
+    """Top-10 trigrams per source with deterministic (count desc, gram)
+    tie-break (operators/text.py:frequent_ngrams). Shuffle rows =
+    distinct (source, gram) pairs after partial combine."""
+    from parquet_on_fhir_spark.operators.text import frequent_ngrams
+
+    d = t(spark, sf_dir, "documents").select("source", "text")
+    return frequent_ngrams(d, n=3, k=10, group_col="source")
+
+
+Q123_ORACLE = """
+WITH tok AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
+  FROM tok WHERE len(words) >= 3
+),
+c AS (SELECT source AS "group", gram, count(*) AS n_occurrences
+      FROM g GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY "group"
+                ORDER BY n_occurrences DESC, gram) AS rank FROM c)
+SELECT "group", gram, n_occurrences, rank FROM r WHERE rank <= 10
+"""
+
+
+QUERIES.append(Q("q123_frequent_ngrams", q123, Q123_ORACLE))

@@ -450,3 +450,54 @@ def test_new_op_guards(spark):
     }
     with pytest.raises(ValueError, match="positive sum"):
         split_corpus(df, {"a": 0.0, "b": 0.0})
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """2-doc reference, known counts: verify the add-k bigram math."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.curation import ngram_lm_score
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    # reference model: V=5 (the,cat,sat,ran + ...): words = the,cat,sat,the,cat,ran -> V=4
+    # bigrams: (the cat):2, (cat sat):1, (cat ran):1; contexts: the:2, cat:2
+    score_df = ngram_lm_score(
+        spark.createDataFrame([(10, "the cat"), (11, "dog"), (12, "")],
+                              "doc_id long, text string"),
+        ref, k=0.5,
+    )
+    got = {r.doc_id: r for r in score_df.collect()}
+    V = 4
+    p = (2 + 0.5) / (2 + 0.5 * V)  # P(cat|the)
+    assert got[10].n_bigrams == 1
+    assert abs(got[10].lm_score - (-math.log2(p))) < 1e-9
+    # <2 tokens: no bigrams, NULL score
+    assert got[11].n_bigrams == 0 and got[11].lm_score is None
+    assert got[12].n_bigrams == 0 and got[12].lm_score is None
+    # unseen bigram with unseen context: (0+k)/(0+kV)
+    unseen = ngram_lm_score(
+        spark.createDataFrame([(20, "zig zag")], "doc_id long, text string"),
+        ref, k=0.5,
+    ).collect()[0]
+    assert abs(unseen.lm_score - (-math.log2(0.5 / (0.5 * V)))) < 1e-9
+
+
+def test_ngram_lm_score_orders_fluency(spark, sf_dir):
+    """In-domain text scores lower (more fluent) than shuffled junk."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.api import load_table
+    from parquet_on_fhir_spark.operators.curation import ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    # junk: reverse each document's characters (destroys bigram structure)
+    junk = probe.select("doc_id", F.reverse(F.col("text")).alias("text"))
+    real_avg = ngram_lm_score(probe, ref).agg(F.avg("lm_score")).collect()[0][0]
+    junk_avg = ngram_lm_score(junk, ref).agg(F.avg("lm_score")).collect()[0][0]
+    assert real_avg < junk_avg

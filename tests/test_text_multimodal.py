@@ -212,3 +212,45 @@ def test_fake_codec_through_resize_seam(spark, sf_dir):
     rows = {r.media_id: bytes(r.content) for r in out.collect()}
     orig = {r.media_id: bytes(r.content) for r in media.collect()}
     assert all(rows[m] == orig[m][:2] for m in orig)
+
+
+def test_dedup_lines_removes_shared_lines(spark):
+    from parquet_on_fhir_spark.operators.text import dedup_lines
+
+    docs = [
+        (1, "unique alpha\nSHARED FOOTER\nmore alpha"),
+        (2, "unique beta\nSHARED FOOTER"),
+        (3, "unique gamma\nSHARED FOOTER"),
+        (4, "SHARED FOOTER"),  # all-boilerplate doc survives empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(df, min_docs=2).collect()}
+    assert out[1].text == "unique alpha\nmore alpha"
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_removed == 1
+    assert out[2].text == "unique beta"
+    assert out[4].text == "" and out[4].n_lines_kept == 0
+    # threshold respected: min_docs=5 removes nothing
+    untouched = {r.doc_id: r for r in dedup_lines(df, min_docs=5).collect()}
+    assert untouched[2].text == "unique beta\nSHARED FOOTER"
+    assert untouched[2].n_lines_removed == 0
+
+
+def test_frequent_ngrams_topk_and_ties(spark):
+    from parquet_on_fhir_spark.operators.text import frequent_ngrams
+
+    docs = [
+        ("a", "x y z x y z x y z"),   # "x y z" 3x (and rotations)
+        ("a", "p q r"),
+        ("b", "one two three"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = frequent_ngrams(df, n=3, k=2, group_col="source").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group, []).append(r)
+    a = sorted(by_group["a"], key=lambda r: r.rank)
+    assert a[0].gram == "x y z" and a[0].n_occurrences == 3
+    # ties broken lexicographically: "y z x" before "z x y" (both 2x)
+    assert a[1].gram == "y z x" and a[1].n_occurrences == 2
+    assert len(a) == 2  # k respected
+    assert by_group["b"][0].gram == "one two three"
