@@ -208,6 +208,56 @@ COMPLEX: dict[str, dict] = {
         "document": "Attachment",
         "resource": "canonical",
     },
+    "UsageContext": {
+        "code": "Coding",
+        "value[x]": ["CodeableConcept", "Quantity", "Range", "Reference"],
+    },
+    "Expression": {
+        "description": "string",
+        "name": "id",
+        "language": "code",
+        "expression": "string",
+        "reference": "uri",
+    },
+    "ParameterDefinition": {
+        "name": "code",
+        "use": "code",
+        "min": "integer",
+        "max": "string",
+        "documentation": "string",
+        "type": "code",
+        "profile": "canonical",
+    },
+    "DataRequirement": {
+        "type": "code",
+        "profile": A("canonical"),
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "mustSupport": A("string"),
+        "codeFilter": A(
+            {
+                "path": "string",
+                "searchParam": "string",
+                "valueSet": "canonical",
+                "code": A("Coding"),
+            }
+        ),
+        "dateFilter": A(
+            {
+                "path": "string",
+                "searchParam": "string",
+                "value[x]": ["dateTime", "Period", "Duration"],
+            }
+        ),
+        "limit": "positiveInt",
+        "sort": A({"path": "string", "direction": "code"}),
+    },
+    "TriggerDefinition": {
+        "type": "code",
+        "name": "string",
+        "timing[x]": ["Timing", "Reference", "date", "dateTime"],
+        "data": A("DataRequirement"),
+        "condition": "Expression",
+    },
     # Extension.value[x] admits every type; the common subset is listed —
     # unknown variants fall back to data inference.
     "Extension": {
@@ -287,6 +337,86 @@ _MR_POPULATION = {
     "count": "integer",
     "subjectResults": "Reference",
 }
+
+# Canonical-resource metadata header shared by the definitional
+# resources (Questionnaire, ValueSet, CodeSystem, Library, Measure,
+# PlanDefinition, ActivityDefinition — hl7.org/fhir/R4/<r>.html)
+_CANONICAL_HEADER = {
+    "url": "uri",
+    "identifier": ("Identifier", True),
+    "version": "string",
+    "name": "string",
+    "title": "string",
+    "status": "code",
+    "experimental": "boolean",
+    "date": "dateTime",
+    "publisher": "string",
+    "contact": ("ContactDetail", True),
+    "description": "markdown",
+    "useContext": ("UsageContext", True),
+    "jurisdiction": ("CodeableConcept", True),
+    "purpose": "markdown",
+    "copyright": "markdown",
+}
+
+# Knowledge-artifact lifecycle tail shared by Library/Measure/
+# PlanDefinition/ActivityDefinition
+_ARTIFACT_TAIL = {
+    "approvalDate": "date",
+    "lastReviewDate": "date",
+    "effectivePeriod": "Period",
+    "topic": ("CodeableConcept", True),
+    "author": ("ContactDetail", True),
+    "editor": ("ContactDetail", True),
+    "reviewer": ("ContactDetail", True),
+    "endorser": ("ContactDetail", True),
+    "relatedArtifact": ("RelatedArtifact", True),
+}
+
+# Resource base WITHOUT DomainResource's text/extension — Bundle,
+# Parameters, and Binary derive straight from Resource
+# (hl7.org/fhir/R4/resource.html)
+_RESOURCE_BASE = {
+    "id": "id",
+    "resourceType": "code",
+    "meta": "Meta",
+    "implicitRules": "uri",
+    "language": "code",
+}
+
+# ValueSet.compose include/exclude share one backbone
+# (hl7.org/fhir/R4/valueset.html)
+_VS_INCLUDE = {
+    "system": "uri",
+    "version": "string",
+    "concept": (
+        {
+            "code": "code",
+            "display": "string",
+            "designation": (
+                {"language": "code", "use": "Coding", "value": "string"},
+                True,
+            ),
+        },
+        True,
+    ),
+    "filter": (
+        {"property": "code", "op": "code", "value": "string"},
+        True,
+    ),
+    "valueSet": ("canonical", True),
+}
+
+# ConceptMap dependsOn/product share one backbone
+_CM_DEPENDS_ON = {
+    "property": "uri",
+    "system": "canonical",
+    "value": "string",
+    "display": "string",
+}
+
+# Bundle.link backbone, shared by entry.link
+_BUNDLE_LINK = {"relation": "string", "url": "uri"}
 
 # ---------------------------------------------------------------------------
 # Resource definitions (hl7.org/fhir/R4/<resource>.html)
@@ -2621,6 +2751,414 @@ RESOURCES: dict[str, dict] = {
                 "note": A("Annotation"),
             }
         ),
+    },
+    # --- round-6 breadth: definitional / infrastructure resources -----------
+    "Questionnaire": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        "derivedFrom": A("canonical"),
+        "subjectType": A("code"),
+        "approvalDate": "date",
+        "lastReviewDate": "date",
+        "effectivePeriod": "Period",
+        "code": A("Coding"),
+        # item nests recursively (item.item); one structured level, as
+        # with QuestionnaireResponse/Composition.section
+        "item": A(
+            {
+                "linkId": "string",
+                "definition": "uri",
+                "code": A("Coding"),
+                "prefix": "string",
+                "text": "string",
+                "type": "code",
+                "enableWhen": A(
+                    {
+                        "question": "string",
+                        "operator": "code",
+                        "answer[x]": [
+                            "boolean", "decimal", "integer", "date",
+                            "dateTime", "time", "string", "Coding",
+                            "SimpleQuantity", "Reference",
+                        ],
+                    }
+                ),
+                "enableBehavior": "code",
+                "required": "boolean",
+                "repeats": "boolean",
+                "readOnly": "boolean",
+                "maxLength": "integer",
+                "answerValueSet": "canonical",
+                "answerOption": A(
+                    {
+                        "value[x]": [
+                            "integer", "date", "time", "string", "Coding",
+                            "Reference",
+                        ],
+                        "initialSelected": "boolean",
+                    }
+                ),
+                "initial": A(
+                    {
+                        "value[x]": [
+                            "boolean", "decimal", "integer", "date",
+                            "dateTime", "time", "string", "uri",
+                            "Attachment", "Coding", "SimpleQuantity",
+                            "Reference",
+                        ],
+                    }
+                ),
+            }
+        ),
+    },
+    "ValueSet": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        "immutable": "boolean",
+        "compose": {
+            "lockedDate": "date",
+            "inactive": "boolean",
+            "include": A(_VS_INCLUDE),
+            "exclude": A(_VS_INCLUDE),
+        },
+        "expansion": {
+            "identifier": "uri",
+            "timestamp": "dateTime",
+            "total": "integer",
+            "offset": "integer",
+            "parameter": A(
+                {
+                    "name": "string",
+                    "value[x]": [
+                        "string", "boolean", "integer", "decimal", "uri",
+                        "code", "dateTime",
+                    ],
+                }
+            ),
+            # contains nests recursively; one structured level
+            "contains": A(
+                {
+                    "system": "uri",
+                    "abstract": "boolean",
+                    "inactive": "boolean",
+                    "version": "string",
+                    "code": "code",
+                    "display": "string",
+                }
+            ),
+        },
+    },
+    "CodeSystem": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        "caseSensitive": "boolean",
+        "valueSet": "canonical",
+        "hierarchyMeaning": "code",
+        "compositional": "boolean",
+        "versionNeeded": "boolean",
+        "content": "code",
+        "supplements": "canonical",
+        "count": "unsignedInt",
+        "filter": A(
+            {
+                "code": "code",
+                "description": "string",
+                "operator": A("code"),
+                "value": "string",
+            }
+        ),
+        "property": A(
+            {
+                "code": "code",
+                "uri": "uri",
+                "description": "string",
+                "type": "code",
+            }
+        ),
+        # concept nests recursively; one structured level
+        "concept": A(
+            {
+                "code": "code",
+                "display": "string",
+                "definition": "string",
+                "designation": A(
+                    {"language": "code", "use": "Coding", "value": "string"}
+                ),
+                "property": A(
+                    {
+                        "code": "code",
+                        "value[x]": [
+                            "code", "Coding", "string", "integer",
+                            "boolean", "dateTime", "decimal",
+                        ],
+                    }
+                ),
+            }
+        ),
+    },
+    "ConceptMap": {
+        **_DOMAIN,
+        # identifier is 0..1 on ConceptMap (unlike most canonicals)
+        **{**_CANONICAL_HEADER, "identifier": "Identifier"},
+        "source[x]": ["uri", "canonical"],
+        "target[x]": ["uri", "canonical"],
+        "group": A(
+            {
+                "source": "uri",
+                "sourceVersion": "string",
+                "target": "uri",
+                "targetVersion": "string",
+                "element": A(
+                    {
+                        "code": "code",
+                        "display": "string",
+                        "target": A(
+                            {
+                                "code": "code",
+                                "display": "string",
+                                "equivalence": "code",
+                                "comment": "string",
+                                "dependsOn": A(_CM_DEPENDS_ON),
+                                "product": A(_CM_DEPENDS_ON),
+                            }
+                        ),
+                    }
+                ),
+                "unmapped": {
+                    "mode": "code",
+                    "code": "code",
+                    "display": "string",
+                    "url": "canonical",
+                },
+            }
+        ),
+    },
+    "Library": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        **_ARTIFACT_TAIL,
+        "subtitle": "string",
+        "type": "CodeableConcept",
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "usage": "string",
+        "parameter": A("ParameterDefinition"),
+        "dataRequirement": A("DataRequirement"),
+        "content": A("Attachment"),
+    },
+    "Measure": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        **_ARTIFACT_TAIL,
+        "subtitle": "string",
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "usage": "string",
+        "library": A("canonical"),
+        "disclaimer": "markdown",
+        "scoring": "CodeableConcept",
+        "compositeScoring": "CodeableConcept",
+        "type": A("CodeableConcept"),
+        "riskAdjustment": "string",
+        "rateAggregation": "string",
+        "rationale": "markdown",
+        "clinicalRecommendationStatement": "markdown",
+        "improvementNotation": "CodeableConcept",
+        "definition": A("markdown"),
+        "guidance": "markdown",
+        "group": A(
+            {
+                "code": "CodeableConcept",
+                "description": "string",
+                "population": A(
+                    {
+                        "code": "CodeableConcept",
+                        "description": "string",
+                        "criteria": "Expression",
+                    }
+                ),
+                "stratifier": A(
+                    {
+                        "code": "CodeableConcept",
+                        "description": "string",
+                        "criteria": "Expression",
+                        "component": A(
+                            {
+                                "code": "CodeableConcept",
+                                "description": "string",
+                                "criteria": "Expression",
+                            }
+                        ),
+                    }
+                ),
+            }
+        ),
+        "supplementalData": A(
+            {
+                "code": "CodeableConcept",
+                "usage": A("CodeableConcept"),
+                "description": "string",
+                "criteria": "Expression",
+            }
+        ),
+    },
+    "PlanDefinition": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        **_ARTIFACT_TAIL,
+        "subtitle": "string",
+        "type": "CodeableConcept",
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "usage": "string",
+        "library": A("canonical"),
+        "goal": A(
+            {
+                "category": "CodeableConcept",
+                "description": "CodeableConcept",
+                "priority": "CodeableConcept",
+                "start": "CodeableConcept",
+                "addresses": A("CodeableConcept"),
+                "documentation": A("RelatedArtifact"),
+                "target": A(
+                    {
+                        "measure": "CodeableConcept",
+                        "detail[x]": ["Quantity", "Range", "CodeableConcept"],
+                        "due": "Duration",
+                    }
+                ),
+            }
+        ),
+        # action nests recursively; one structured level
+        "action": A(
+            {
+                "prefix": "string",
+                "title": "string",
+                "description": "string",
+                "textEquivalent": "string",
+                "priority": "code",
+                "code": A("CodeableConcept"),
+                "reason": A("CodeableConcept"),
+                "documentation": A("RelatedArtifact"),
+                "goalId": A("id"),
+                "subject[x]": ["CodeableConcept", "Reference"],
+                "trigger": A("TriggerDefinition"),
+                "condition": A({"kind": "code", "expression": "Expression"}),
+                "input": A("DataRequirement"),
+                "output": A("DataRequirement"),
+                "relatedAction": A(
+                    {
+                        "actionId": "id",
+                        "relationship": "code",
+                        "offset[x]": ["Duration", "Range"],
+                    }
+                ),
+                "timing[x]": [
+                    "dateTime", "Age", "Period", "Duration", "Range", "Timing",
+                ],
+                "participant": A({"type": "code", "role": "CodeableConcept"}),
+                "type": "CodeableConcept",
+                "groupingBehavior": "code",
+                "selectionBehavior": "code",
+                "requiredBehavior": "code",
+                "precheckBehavior": "code",
+                "cardinalityBehavior": "code",
+                "definition[x]": ["canonical", "uri"],
+                "transform": "canonical",
+                "dynamicValue": A(
+                    {"path": "string", "expression": "Expression"}
+                ),
+            }
+        ),
+    },
+    "ActivityDefinition": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        **_ARTIFACT_TAIL,
+        "subtitle": "string",
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "usage": "string",
+        "library": A("canonical"),
+        "kind": "code",
+        "profile": "canonical",
+        "code": "CodeableConcept",
+        "intent": "code",
+        "priority": "code",
+        "doNotPerform": "boolean",
+        "timing[x]": ["Timing", "dateTime", "Age", "Period", "Range", "Duration"],
+        "location": "Reference",
+        "participant": A({"type": "code", "role": "CodeableConcept"}),
+        "product[x]": ["Reference", "CodeableConcept"],
+        "quantity": "SimpleQuantity",
+        "dosage": A("Dosage"),
+        "bodySite": A("CodeableConcept"),
+        "specimenRequirement": A("Reference"),
+        "observationRequirement": A("Reference"),
+        "observationResultRequirement": A("Reference"),
+        "transform": "canonical",
+        "dynamicValue": A({"path": "string", "expression": "Expression"}),
+    },
+    "Bundle": {
+        **_RESOURCE_BASE,
+        "identifier": "Identifier",
+        "type": "code",
+        "timestamp": "instant",
+        "total": "unsignedInt",
+        "link": A(_BUNDLE_LINK),
+        # entry.resource holds an ARBITRARY resource — untypeable as one
+        # static column; Parquet-on-FHIR splits bundles per resourceType
+        # at encode (fhir/encode.py mixed-NDJSON split), so the registry
+        # omits it and data-driven derivation types any residue.
+        "entry": A(
+            {
+                "link": A(_BUNDLE_LINK),
+                "fullUrl": "uri",
+                "search": {"mode": "code", "score": "decimal"},
+                "request": {
+                    "method": "code",
+                    "url": "uri",
+                    "ifNoneMatch": "string",
+                    "ifModifiedSince": "instant",
+                    "ifMatch": "string",
+                    "ifNoneExist": "string",
+                },
+                "response": {
+                    "status": "string",
+                    "location": "uri",
+                    "etag": "string",
+                    "lastModified": "instant",
+                },
+            }
+        ),
+        "signature": "Signature",
+    },
+    "Parameters": {
+        **_RESOURCE_BASE,
+        # part nests recursively (and resource holds arbitrary
+        # resources); one structured level, common value[x] subset
+        "parameter": A(
+            {
+                "name": "string",
+                "value[x]": [
+                    "boolean", "integer", "decimal", "string", "code",
+                    "uri", "date", "dateTime", "Coding", "CodeableConcept",
+                    "Quantity", "Reference", "Period", "Identifier",
+                ],
+                "part": A(
+                    {
+                        "name": "string",
+                        "value[x]": [
+                            "boolean", "integer", "decimal", "string",
+                            "code", "uri", "date", "dateTime", "Coding",
+                            "CodeableConcept", "Quantity", "Reference",
+                        ],
+                    }
+                ),
+            }
+        ),
+    },
+    "Binary": {
+        **_RESOURCE_BASE,
+        "contentType": "code",
+        "securityContext": "Reference",
+        "data": "base64Binary",
     },
 }
 

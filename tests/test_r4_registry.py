@@ -803,6 +803,153 @@ _ROUNDTRIP_DOCS.update({
                       "occurrenceDateTime": "2024-03-01T00:00:00Z",
                       "requester": {"reference": "Practitioner/pc1"},
                       "deliverTo": {"reference": "Location/loc1"}},
+    "Questionnaire": {"resourceType": "Questionnaire", "id": "q1",
+                      "url": "http://example.org/Questionnaire/phq9",
+                      "version": "1.0", "name": "PHQ9", "title": "PHQ-9",
+                      "status": "active", "subjectType": ["Patient"],
+                      "date": "2024-01-01T00:00:00Z",
+                      "item": [{"linkId": "1",
+                                "text": "Little interest or pleasure",
+                                "type": "choice", "required": True,
+                                "answerOption": [{"valueInteger": 0},
+                                                 {"valueInteger": 1}],
+                                "enableWhen": [{"question": "0",
+                                                "operator": "=",
+                                                "answerBoolean": True}],
+                                "initial": [{"valueInteger": 0}]}]},
+    "ValueSet": {"resourceType": "ValueSet", "id": "vs1",
+                 "url": "http://example.org/ValueSet/loinc-vitals",
+                 "status": "active", "name": "Vitals",
+                 "compose": {"include": [{"system": "http://loinc.org",
+                                          "concept": [{"code": "8867-4",
+                                                       "display": "Heart rate"}]}],
+                             "exclude": [{"system": "http://loinc.org",
+                                          "concept": [{"code": "9999-9"}]}]},
+                 "expansion": {"timestamp": "2024-01-01T00:00:00Z",
+                               "total": 1,
+                               "contains": [{"system": "http://loinc.org",
+                                             "code": "8867-4",
+                                             "display": "Heart rate"}]}},
+    "CodeSystem": {"resourceType": "CodeSystem", "id": "cs1",
+                   "url": "http://example.org/CodeSystem/triage",
+                   "status": "active", "content": "complete",
+                   "caseSensitive": True, "count": 2,
+                   "concept": [{"code": "red", "display": "Immediate",
+                                "property": [{"code": "order",
+                                              "valueInteger": 1}]},
+                               {"code": "green", "display": "Delayed"}]},
+    "ConceptMap": {"resourceType": "ConceptMap", "id": "cm1",
+                   "url": "http://example.org/ConceptMap/tri2sev",
+                   "status": "active",
+                   "sourceCanonical": "http://example.org/ValueSet/triage",
+                   "targetCanonical": "http://example.org/ValueSet/severity",
+                   "group": [{"source": "http://example.org/CodeSystem/triage",
+                              "element": [{"code": "red",
+                                           "target": [{"code": "severe",
+                                                       "equivalence": "equivalent",
+                                                       "dependsOn": [{"property":
+                                                                      "http://example.org/p",
+                                                                      "value": "x"}]}]}],
+                              "unmapped": {"mode": "fixed", "code": "unknown"}}]},
+    "Library": {"resourceType": "Library", "id": "lib1",
+                "url": "http://example.org/Library/cql-common",
+                "status": "active", "type": {"text": "logic-library"},
+                "parameter": [{"name": "MeasurementPeriod", "use": "in",
+                               "type": "Period"}],
+                "dataRequirement": [{"type": "Observation",
+                                     "codeFilter": [{"path": "code",
+                                                     "code": [{"system":
+                                                               "http://loinc.org",
+                                                               "code": "4548-4"}]}],
+                                     "limit": 100}],
+                "content": [{"contentType": "text/cql",
+                             "title": "common logic"}]},
+    "Measure": {"resourceType": "Measure", "id": "ms1",
+                "url": "http://example.org/Measure/a1c-control",
+                "status": "active", "scoring": {"text": "proportion"},
+                "library": ["http://example.org/Library/cql-common"],
+                "improvementNotation": {"text": "decrease"},
+                "group": [{"code": {"text": "all"},
+                           "population": [{"code": {"text": "denominator"},
+                                           "criteria": {"language": "text/cql",
+                                                        "expression": "InDenom"}}],
+                           "stratifier": [{"code": {"text": "sex"},
+                                           "criteria": {"language": "text/cql",
+                                                        "expression": "Sex"},
+                                           "component": [{"code": {"text": "age"},
+                                                          "criteria":
+                                                          {"language": "text/cql",
+                                                           "expression": "Age"}}]}]}],
+                "supplementalData": [{"code": {"text": "payer"},
+                                      "criteria": {"language": "text/cql",
+                                                   "expression": "Payer"}}]},
+    "PlanDefinition": {"resourceType": "PlanDefinition", "id": "pd1",
+                       "url": "http://example.org/PlanDefinition/dm-care",
+                       "status": "active", "type": {"text": "clinical-protocol"},
+                       "goal": [{"description": {"text": "A1c under 7%"},
+                                 "target": [{"measure": {"text": "A1c"},
+                                             "detailQuantity": {"value": 7,
+                                                                "unit": "%"},
+                                             "due": {"value": 90,
+                                                     "unit": "d",
+                                                     "system":
+                                                     "http://unitsofmeasure.org",
+                                                     "code": "d"}}]}],
+                       "action": [{"title": "order A1c",
+                                   "priority": "routine",
+                                   "condition": [{"kind": "applicability",
+                                                  "expression":
+                                                  {"language": "text/cql",
+                                                   "expression": "Overdue"}}],
+                                   "timingDuration": {"value": 90, "unit": "d",
+                                                      "system":
+                                                      "http://unitsofmeasure.org",
+                                                      "code": "d"},
+                                   "definitionCanonical":
+                                       "http://example.org/ActivityDefinition/a1c",
+                                   "dynamicValue": [{"path": "priority",
+                                                     "expression":
+                                                     {"language": "text/cql",
+                                                      "expression": "Prio"}}]}]},
+    "ActivityDefinition": {"resourceType": "ActivityDefinition", "id": "ad1",
+                           "url": "http://example.org/ActivityDefinition/a1c",
+                           "status": "active", "kind": "ServiceRequest",
+                           "code": {"text": "HbA1c panel"},
+                           "intent": "order", "doNotPerform": False,
+                           "timingTiming": {"repeat": {"frequency": 1,
+                                                       "period": 90,
+                                                       "periodUnit": "d"}},
+                           "participant": [{"type": "practitioner"}],
+                           "quantity": {"value": 1},
+                           "dynamicValue": [{"path": "priority",
+                                             "expression":
+                                             {"language": "text/cql",
+                                              "expression": "Prio"}}]},
+    "Bundle": {"resourceType": "Bundle", "id": "bu1",
+               "identifier": {"value": "batch-7"},
+               "type": "transaction",
+               "timestamp": "2024-05-01T00:00:00Z",
+               "total": 1,
+               "link": [{"relation": "self",
+                         "url": "https://fhir.example.org/Bundle/bu1"}],
+               "entry": [{"fullUrl": "urn:uuid:1",
+                          "request": {"method": "POST", "url": "Patient",
+                                      "ifNoneExist": "identifier=ssn|1"},
+                          "response": {"status": "201",
+                                       "location": "Patient/p1/_history/1",
+                                       "etag": "W/\"1\""},
+                          "search": {"mode": "match", "score": 0.9}}]},
+    "Parameters": {"resourceType": "Parameters", "id": "pa1",
+                   "parameter": [{"name": "code",
+                                  "valueCoding": {"system": "http://loinc.org",
+                                                  "code": "4548-4"}},
+                                 {"name": "options",
+                                  "part": [{"name": "strict",
+                                            "valueBoolean": True}]}]},
+    "Binary": {"resourceType": "Binary", "id": "bi1",
+               "contentType": "application/pdf",
+               "securityContext": {"reference": "Patient/p1"},
+               "data": "JVBERi0xLjQ="},
     "VisionPrescription": {"resourceType": "VisionPrescription", "id": "vp1",
                            "status": "active",
                            "created": "2024-02-01T00:00:00Z",
