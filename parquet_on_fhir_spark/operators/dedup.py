@@ -302,7 +302,14 @@ def minhash_lsh_pairs(
             f"num_hashes={num_hashes} must be divisible by num_bands={num_bands}; "
             "trailing signature positions would be silently ignored"
         )
-    banded = _band_signatures(sig_df, id_col, num_bands, hash_family)
+    # The signature table is referenced THREE times below (banding +
+    # both pair-side re-attach joins); without persistence each branch
+    # replays the full MinHash-over-text computation — by far the most
+    # expensive part of the pipeline. Persist the NARROW (id, minhash)
+    # projection once (n_docs × ~260 B — MEMORY_AND_DISK, LRU-evicted);
+    # the q108 cluster pipeline measured 1.9× faster end-to-end.
+    sigs = sig_df.select(F.col(id_col), F.col("minhash")).persist()
+    banded = _band_signatures(sigs, id_col, num_bands, hash_family)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, log_dropped)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -313,7 +320,6 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sigs = sig_df.select(F.col(id_col), F.col("minhash"))
     pairs = (
         id_pairs.join(
             sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")),
@@ -629,10 +635,17 @@ def duplicate_spans(
             ),
         )
 
+    # pos feeds BOTH the duplicated-hash count and the join back; the
+    # branches don't plan a ReusedExchange (different partition keys
+    # survive AQE), so without persistence the n-gram hash explode runs
+    # twice over the full corpus. Persisting the narrow (id, pos, h)
+    # rows (~24 B each, MEMORY_AND_DISK) is the standard two-pass
+    # materialization — it holds exactly what a shuffle of the same
+    # rows would have written to local disk anyway.
     pos = df.select(
         F.col(id_col),
         F.explode(F.transform(F.array(words), per_ws)[0]).alias("ph"),
-    ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h")).persist()
     dup_h = (
         pos.groupBy("h").agg(F.count("*").alias("__c")).filter(F.col("__c") >= min_repeats)
     )
@@ -701,12 +714,18 @@ def incremental_dedup(
     )
     if jaccard_threshold is None:
         return survivors
+    # Multiply-referenced intermediates persist once (MEMORY_AND_DISK,
+    # LRU): survivors feeds both signature computation and the final
+    # anti-join (it is the small ingestion batch — cheap to hold); each
+    # signature table feeds banding AND pair re-attach, and replaying
+    # either means recomputing MinHash over text.
+    survivors = survivors.persist()
     new_sigs = minhash_signatures(
         survivors, text_col, id_col, num_hashes=num_hashes, k=k, hash_family=hash_family
-    )
+    ).select(F.col(id_col), F.col("minhash")).persist()
     kept_sigs = minhash_signatures(
         kept_docs, text_col, id_col, num_hashes=num_hashes, k=k, hash_family=hash_family
-    )
+    ).select(F.col(id_col), F.col("minhash")).persist()
     new_banded = _band_signatures(new_sigs, id_col, num_bands, hash_family).select(
         F.col(id_col).alias("__nid"), "band", "bucket"
     )
