@@ -209,3 +209,76 @@ def bucketed_interval_join(
         "inner",
     ).drop("__bucket", "__rbucket")
     return joined
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    left_id: str | None = None,
+    right_id: str | None = None,
+) -> DataFrame:
+    """Edit-distance join (entity resolution / record linkage): all
+    (left, right) pairs with ``levenshtein(left_col, right_col) <=
+    max_dist``, without the O(n²) cross join.
+
+    Blocking is the FastSS deletion neighborhood (Bocek et al., 2007):
+    two strings within edit distance k share at least one member of
+    their ≤k-deletion neighborhoods, so generating every ≤k-deletion
+    variant map-side (string of n chars → Σ C(n,i) variants, n+1 for
+    k=1) turns candidate generation into an EQUI-join on the variant.
+    Exactly the LSH shape: map-side expansion, shuffle on short variant
+    keys, exact ``levenshtein`` verification only on collisions —
+    sound AND complete (no missed pairs, unlike similarity-only
+    blocking). Cost grows O(n^k) per string in variant count, so k is
+    capped at 2; beyond that use an n-gram prefilter instead.
+
+    Output: left row id, right row id, the two strings, ``dist``.
+    """
+    if max_dist < 0 or max_dist > 2:
+        raise ValueError("fuzzy_join supports max_dist in 0..2")
+    left_id = left_id or left.columns[0]
+    right_id = right_id or right.columns[0]
+
+    def deletions(col, k):
+        """All strings obtainable from ``col`` by deleting ≤k chars."""
+        one = lambda s: F.array_union(
+            F.array(s),
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+                lambda i: F.concat(
+                    F.substring(s, 1, i - 1),
+                    s.substr(i + 1, F.length(s)),
+                ),
+            ),
+        )
+        out = one(col)
+        if k >= 2:
+            out = F.array_distinct(F.flatten(F.transform(out, one)))
+        return out
+
+    lv = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_col).alias("__ls"),
+        F.explode(deletions(F.col(left_col), max_dist)).alias("__v"),
+    )
+    rv = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_col).alias("__rs"),
+        F.explode(deletions(F.col(right_col), max_dist)).alias("__v"),
+    )
+    cand = (
+        lv.join(rv, "__v")
+        .select("__lid", "__ls", "__rid", "__rs")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    dist = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    return cand.filter(dist <= max_dist).select(
+        F.col("__lid").alias(left_id if left_id != right_id else f"{left_id}_l"),
+        F.col("__rid").alias(right_id if left_id != right_id else f"{right_id}_r"),
+        F.col("__ls").alias(left_col if left_col != right_col else f"{left_col}_l"),
+        F.col("__rs").alias(right_col if left_col != right_col else f"{right_col}_r"),
+        dist.alias("dist"),
+    )

@@ -1,0 +1,99 @@
+"""Time-series resampling and gap filling (the hypertable
+`time_bucket` / `locf` / `interpolate` surface, TimescaleDB-style,
+re-expressed as Spark windows).
+
+Everything stays declarative: bucketing is ``F.window`` (map-side),
+the dense bucket grid is a per-key ``sequence`` + ``explode`` (no
+driver loop, no cross join with a calendar table), and carry-forward
+is ``last(value, ignorenulls=True)`` over an ordered window — one
+shuffle keyed by the series key, which also co-locates every later
+per-key computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    key_cols: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Aggregate a series to fixed time buckets: one row per (keys,
+    bucket) that has data. ``aggs`` maps output name → aggregate
+    Column. Pure groupBy — partial aggregation map-side, shuffle rows
+    = populated buckets.
+
+    Output columns: *key_cols, bucket_start (timestamp), *aggs.
+    """
+    bucket = F.window(F.col(ts_col), every)
+    return (
+        df.groupBy(*key_cols, bucket.alias("__w"))
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+        .select(
+            *key_cols,
+            F.col("__w.start").alias("bucket_start"),
+            *aggs.keys(),
+        )
+    )
+
+
+def gap_fill_locf(
+    resampled: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    every: str,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Densify a resampled series to EVERY bucket between each key's
+    first and last observation, carrying the last observed value
+    forward into the gaps (locf). Adds ``is_gap`` (true for generated
+    rows).
+
+    Plan shape: per-key min/max (hash aggregate) → ``sequence()`` of
+    bucket starts per key → ``explode`` (the dense grid, generated
+    distributed, proportional to output size) → left join the sparse
+    observations on (keys, bucket) → ``last(ignorenulls)`` over the
+    per-key ordered window. Two shuffles total (grid join + window),
+    both keyed by the series key; at 100 TB the window reuses the
+    join's partitioning when AQE keeps the alignment.
+    """
+    from parquet_on_fhir_spark.operators.joins import _interval_seconds
+
+    step = _interval_seconds(every)
+    bounds = resampled.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {step} SECOND"),
+            )
+        ).alias(bucket_col),
+    )
+    joined = grid.join(
+        resampled.withColumn("__obs", F.lit(True)),
+        [*key_cols, bucket_col],
+        "left",
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = [
+        F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    return joined.select(
+        *key_cols,
+        bucket_col,
+        *filled,
+        F.col("__obs").isNull().alias("is_gap"),
+    )

@@ -1637,3 +1637,97 @@ WHERE l_orderkey < 500 OR l_partkey < 50
 
 
 QUERIES.append(Q("q118_zorder_write", q118, Q118_ORACLE))
+
+
+# --- Q124: edit-distance fuzzy join (FastSS deletion-neighborhood blocking) ----------
+def q124(spark, sf_dir):
+    """Customer-name self-link at edit distance 1 (sequential TPC-H
+    names differ by single digits — dense true matches). Deletion-
+    variant equi-join candidates, exact levenshtein verification;
+    never the O(n^2) cross join (operators/joins.py::fuzzy_join)."""
+    from parquet_on_fhir_spark.operators.joins import fuzzy_join
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name").filter(
+        F.col("c_custkey") < 300
+    )
+    out = fuzzy_join(
+        c, c, "c_name", "c_name", max_dist=1,
+        left_id="c_custkey", right_id="c_custkey",
+    )
+    return out.filter(F.col("c_custkey_l") < F.col("c_custkey_r")).select(
+        "c_custkey_l", "c_custkey_r", "dist"
+    )
+
+
+# The oracle verifies the pair SET with the exact quadratic formulation
+# the operator exists to avoid — sound blocking means identical output.
+Q124_ORACLE = """
+SELECT a.c_custkey AS c_custkey_l, b.c_custkey AS c_custkey_r,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey < 300 AND b.c_custkey < 300
+  AND abs(len(a.c_name) - len(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+QUERIES.append(Q("q124_fuzzy_join", q124, Q124_ORACLE))
+
+
+# --- Q125: time-series resample + locf gap fill (hypertable surface) -----------------
+def q125(spark, sf_dir):
+    """Events resampled to 6-hour buckets per event_type, then
+    densified over each type's [first, last] bucket range with
+    last-observation-carried-forward (operators/timeseries.py).
+    Dense grid is generated distributed (sequence+explode per key);
+    carry-forward is one ordered window per key."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        gap_fill_locf,
+        resample,
+    )
+
+    e = t(spark, sf_dir, "events").filter(F.col("value") > 4.9)
+    r = resample(
+        e, "ts", "6 hours", ["event_type"],
+        {"n": F.count("*"), "avg_value": d4(F.avg("value"))},
+    )
+    out = gap_fill_locf(r, ["event_type"], ["n", "avg_value"], "6 hours")
+    return out.select(
+        "event_type",
+        ts_str("bucket_start").alias("bucket_start"),
+        "n",
+        "avg_value",
+        "is_gap",
+    )
+
+
+Q125_ORACLE = """
+WITH r AS (
+  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS b,
+         count(*) AS n, round(avg(value) + 1e-9, 4) AS avg_value
+  FROM events WHERE value > 4.9 GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS b
+  FROM bounds
+),
+j AS (
+  SELECT g.event_type, g.b, r.n, r.avg_value, r.b IS NOT NULL AS obs
+  FROM grid g LEFT JOIN r ON g.event_type = r.event_type AND g.b = r.b
+)
+SELECT event_type,
+       strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       last_value(n IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS n,
+       last_value(avg_value IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS avg_value,
+       NOT obs AS is_gap
+FROM j
+"""
+
+
+QUERIES.append(Q("q125_resample_gapfill", q125, Q125_ORACLE))

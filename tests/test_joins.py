@@ -147,3 +147,48 @@ def test_bucketed_interval_join_multiplicity(spark):
     # 2 identical left rows × 1 right row → exactly 2 pairs (the 3-day ×
     # 1-day bucket overlap would give up to 2 bucket hits per pair)
     assert out.count() == 2
+
+
+def test_fuzzy_join_matches_exact_quadratic(spark):
+    """FastSS blocking is sound AND complete: the pair set equals the
+    brute-force levenshtein join for k=1 and k=2."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.joins import fuzzy_join
+
+    names = ["smith", "smyth", "smithe", "jones", "jonez", "brown",
+             "browne", "braun", "x", "", "xy"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, s string"
+    )
+    for k in (1, 2):
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in fuzzy_join(df, df, "s", "s", max_dist=k, left_id="id",
+                                right_id="id")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .selectExpr("id_l", "id_r", "dist")
+            .collect()
+        }
+        brute = {
+            (r.a, r.b, r.d)
+            for r in df.alias("x")
+            .crossJoin(df.alias("y"))
+            .select(
+                F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.levenshtein("x.s", "y.s").alias("d"),
+            )
+            .filter((F.col("a") < F.col("b")) & (F.col("d") <= k))
+            .collect()
+        }
+        assert got == brute, (k, got ^ brute)
+
+
+def test_fuzzy_join_rejects_large_k(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.joins import fuzzy_join
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(ValueError):
+        fuzzy_join(df, df, "s", "s", max_dist=3)

@@ -1,0 +1,39 @@
+"""Resample + gap-fill operator tests."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from parquet_on_fhir_spark.operators.timeseries import gap_fill_locf, resample
+
+
+def test_resample_and_gap_fill_locf(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 3.0),   # same hour bucket
+        ("a", datetime(2024, 1, 1, 3, 5), 10.0),   # 2-hour gap before this
+        ("b", datetime(2024, 1, 1, 5, 0), 7.0),    # single-bucket series
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = resample(df, "ts", "1 hour", ["k"], {"n": F.count("*"), "avg_v": F.avg("v")})
+    got = {(x.k, str(x.bucket_start)): (x.n, x.avg_v) for x in r.collect()}
+    assert got[("a", "2024-01-01 00:00:00")] == (2, 2.0)
+    assert got[("a", "2024-01-01 03:00:00")] == (1, 10.0)
+    assert len(got) == 3
+
+    filled = gap_fill_locf(r, ["k"], ["n", "avg_v"], "1 hour").collect()
+    by_key = {}
+    for x in filled:
+        by_key.setdefault(x.k, []).append(x)
+    a = sorted(by_key["a"], key=lambda x: x.bucket_start)
+    # dense grid: 00,01,02,03 for key a
+    assert [str(x.bucket_start) for x in a] == [
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00",
+        "2024-01-01 02:00:00", "2024-01-01 03:00:00",
+    ]
+    # gap rows carry the last observation forward and are flagged
+    assert [x.is_gap for x in a] == [False, True, True, False]
+    assert [x.avg_v for x in a] == [2.0, 2.0, 2.0, 10.0]
+    assert [x.n for x in a] == [2, 2, 2, 1]
+    # single-bucket series: no gaps generated
+    assert len(by_key["b"]) == 1 and by_key["b"][0].is_gap is False
