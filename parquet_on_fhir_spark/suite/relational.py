@@ -1731,3 +1731,155 @@ FROM j
 
 
 QUERIES.append(Q("q125_resample_gapfill", q125, Q125_ORACLE))
+
+
+# --- Q126-Q130: the remaining TPC-H shapes, adapted to the trimmed schema ------------
+# The testdata has no partsupp table, so Q2/Q9/Q11/Q16/Q20 are adapted
+# (documented per query) with lineitem as the part-supplier relationship
+# and cost proxies where ps_supplycost/ps_availqty are unavailable. The
+# QUERY SHAPES — correlated scalar subquery (Q2), multi-join profit agg
+# (Q9), HAVING against a global scalar (Q11), count-distinct + NOT IN
+# (Q16), nested IN with a correlated HAVING threshold (Q20) — are the
+# point; the same SQL text runs on Spark temp views and as the oracle.
+
+# Q2: min-cost supplier per part. Adaptation: unit cost = min observed
+# lineitem unit price per (part, supplier) in place of ps_supplycost.
+TPCH_Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey AS ck_part, l_suppkey AS ck_supp,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(round(unit_cost + 1e-9, 4) AS DOUBLE) AS min_cost
+FROM part, supplier, nation, region, cost
+WHERE p_partkey = ck_part AND s_suppkey = ck_supp
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND p_type = 'SMALL' AND p_size <= 10
+  AND unit_cost = (
+    SELECT min(c2.unit_cost)
+    FROM cost c2, supplier s2, nation n2, region r2
+    WHERE c2.ck_part = p_partkey AND c2.ck_supp = s2.s_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q126(spark, sf_dir):
+    for name in ("part", "supplier", "nation", "region", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q2_SQL)
+
+
+QUERIES.append(Q("q126_tpch_q2_min_cost_supplier", q126, TPCH_Q2_SQL))
+
+
+# Q9: profit by nation and year. Adaptation: supply cost proxy =
+# 0.6 * p_retailprice (ps_supplycost unavailable).
+TPCH_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(round(CAST(profit AS DOUBLE) + 1e-9, 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  - 0.6 * p_retailprice * l_quantity AS DECIMAL(38,6))) AS profit
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%gear%'
+  GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+) profit_by
+ORDER BY nation, o_year DESC
+"""
+
+
+def q127(spark, sf_dir):
+    for name in ("part", "supplier", "lineitem", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q9_SQL)
+
+
+QUERIES.append(Q("q127_tpch_q9_profit", q127, TPCH_Q9_SQL))
+
+
+# Q11: important parts by value. Adaptation: part value = lineitem
+# revenue via suppliers of three nations (ps_availqty*ps_supplycost
+# unavailable); the Q11 shape is HAVING against a global scalar.
+TPCH_Q11_SQL = """
+SELECT l_partkey AS p_partkey,
+       CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                  + 1e-9, 2) AS DOUBLE) AS part_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+GROUP BY l_partkey
+HAVING sum(CAST(l_extendedprice AS DECIMAL(38,6))) > (
+  SELECT sum(CAST(l_extendedprice AS DECIMAL(38,6))) * 0.0008
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q128(spark, sf_dir):
+    for name in ("lineitem", "supplier", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q11_SQL)
+
+
+QUERIES.append(Q("q128_tpch_q11_important_parts", q128, TPCH_Q11_SQL))
+
+
+# Q16: supplier-relationship count per part group. Adaptations:
+# lineitem as the part-supplier relationship; the excluded-supplier
+# subquery keys on negative account balance (no s_comment).
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#2' AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q129(spark, sf_dir):
+    for name in ("lineitem", "part", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q16_SQL)
+
+
+QUERIES.append(Q("q129_tpch_q16_supplier_cnt", q129, TPCH_Q16_SQL))
+
+
+# Q20: suppliers with excess shipped volume of a part family in a
+# year. Adaptation: shipped lineitem quantity stands in for the
+# ps_availqty half-stock comparison; the nested-IN + correlated
+# HAVING threshold shape is preserved.
+TPCH_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100)
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+ORDER BY s_name
+"""
+
+
+def q130(spark, sf_dir):
+    for name in ("supplier", "nation", "lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(TPCH_Q20_SQL)
+
+
+QUERIES.append(Q("q130_tpch_q20_excess_shipments", q130, TPCH_Q20_SQL))
