@@ -762,3 +762,98 @@ def incremental_dedup(
     return survivors.join(
         near_hit_ids, survivors[id_col] == near_hit_ids["__nid"], "left_anti"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_train_rows: int = 262_144,
+    max_cell_size: int | None = DEFAULT_MAX_BUCKET,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): k-means cluster
+    the embedding space, then WITHIN each cluster treat every pair with
+    cosine ≥ ``threshold`` as semantic duplicates and keep one
+    representative per duplicate group.
+
+    This is the embedding-space sibling of :func:`near_dup_clusters` —
+    where MinHash/LSH catches lexical duplicates, SemDeDup catches
+    paraphrases and re-renders that share meaning but not tokens. The
+    cluster step IS the blocking: the quadratic verify runs per cell
+    (Σ cell² work, the paper's own design), never corpus-wide, and
+    ``max_cell_size`` caps degenerate cells exactly like LSH bucket
+    caps. Deterministic end to end: seeded KMeans over a hash-ordered
+    bounded training sample (same discipline as ivf_topk), min-id
+    survivor per connected duplicate group (transitive closure via the
+    distributed CC fixpoint, not pairwise-greedy — a≈b≈c collapses to
+    ONE survivor even when a≈c is below threshold).
+
+    Output: (id_col, cell, component, is_survivor) — every input row,
+    with ``is_survivor`` false only for rows judged semantic duplicates
+    of a kept representative.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from parquet_on_fhir_spark.functions.vectors import cosine_similarity
+    from parquet_on_fhir_spark.operators.graph import connected_components
+
+    hash32 = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 32))
+    if corpus_rows is not None and corpus_rows <= max_train_rows:
+        train_src = df
+    else:
+        train_ids = (
+            df.select(id_col, hash32.alias("__h"))
+            .orderBy("__h", id_col)
+            .limit(max_train_rows)
+            .select(id_col)
+        )
+        train_src = df.join(F.broadcast(train_ids), id_col, "semi")
+    train = train_src.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+    assigned = model.transform(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+    ).select(F.col(id_col), F.col(vec_col), F.col("prediction").alias("cell"))
+    assigned = assigned.persist()  # feeds capping, both pair sides, and output
+
+    capped = _cap_buckets(
+        assigned.select(id_col, "cell"), ["cell"], max_cell_size, log_dropped=False
+    )
+    lhs = capped.join(assigned, [id_col, "cell"]).select(
+        "cell", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    rhs = capped.join(assigned, [id_col, "cell"]).select(
+        "cell", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        lhs.join(rhs, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("__ida", "__idb")
+    )
+    cc = connected_components(pairs, "__ida", "__idb").withColumnRenamed(
+        "component", "__comp"
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("__comp"), F.col(id_col)).alias("component"),
+            (F.coalesce(F.col("__comp"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_survivor"
+            ),
+        )
+    )

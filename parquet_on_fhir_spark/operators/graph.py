@@ -124,10 +124,15 @@ def connected_components(
             F.count("*").alias("n"),
         ).collect()[0]
         labels = new
-        if prev_sum is not None and row["s"] == prev_sum:
+        # (n, s) TUPLE witness, matching the contraction variant: a bare
+        # scalar sentinel (None) collides with the NULL sum of an EMPTY
+        # node set, which then burns every round and raises on what is a
+        # trivially-converged input.
+        sig = (row["n"], row["s"])
+        if sig == prev_sum:
             converged = True
             break
-        prev_sum = row["s"]
+        prev_sum = sig
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "

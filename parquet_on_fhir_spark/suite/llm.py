@@ -1452,3 +1452,22 @@ SELECT "group", gram, n_occurrences, rank FROM r WHERE rank <= 10
 
 
 QUERIES.append(Q("q123_frequent_ngrams", q123, Q123_ORACLE))
+
+
+# --- Q131: SemDeDup semantic deduplication (Abbas et al. 2023) -----------------------
+def q131(spark, sf_dir):
+    """KMeans-cell blocking + within-cell cosine >= threshold + CC
+    min-id survivor (operators/dedup.py::semantic_dedup). Rows-only:
+    Spark ML KMeans centroids are not reproducible in DuckDB; the
+    planted-duplicate correctness lives in tests/test_llm_ops.py and
+    the per-cell pair math is the oracle-checked q91 cosine."""
+    from parquet_on_fhir_spark.operators.dedup import semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        e, "vec_id", "embedding", n_clusters=8, threshold=0.9, corpus_rows=500
+    )
+    return out.select("vec_id", "component", "is_survivor")
+
+
+QUERIES.append(Q("q131_semantic_dedup", q131, None))

@@ -242,3 +242,17 @@ def test_near_dup_clusters_contract_algorithm(spark):
         ).collect()
         comp = {r["doc_id"]: r["component"] for r in out}
         assert comp[1] == comp[2] == 1 and comp[3] == 3, alg
+
+
+def test_connected_components_empty_edges(spark):
+    """Empty edge set converges immediately (regression: the scalar
+    None convergence sentinel collided with the NULL sum of an empty
+    node set and burned every round before raising)."""
+    from parquet_on_fhir_spark.operators.graph import (
+        connected_components,
+        connected_components_contract,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    assert connected_components_contract(empty).count() == 0

@@ -424,3 +424,48 @@ def test_incremental_dedup(spark):
     # exact-only mode keeps the near-dup
     out2 = incremental_dedup(new, kept, "text", "doc_id", jaccard_threshold=None)
     assert sorted(r["doc_id"] for r in out2.collect()) == [11, 12]
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Well-separated clusters with planted near-identical members: the
+    paraphrase pairs collapse to one survivor, distinct members all
+    survive, and transitive chains (a~b~c with a~c below threshold)
+    still collapse to ONE survivor."""
+    import math
+    import random
+
+    from parquet_on_fhir_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # two far-apart cluster centers in 8-d
+    centers = [[10.0] + [0.0] * 7, [0.0] * 7 + [10.0]]
+    vid = 0
+    for c in centers:
+        # 5 distinct members (big noise)
+        for _ in range(5):
+            rows.append((vid, unit([x + rng.uniform(-3, 3) for x in c])))
+            vid += 1
+        # a duplicate pair (tiny noise around one point)
+        base = [x + rng.uniform(-3, 3) for x in c]
+        for _ in range(2):
+            rows.append((vid, unit([x + rng.uniform(-1e-3, 1e-3) for x in base])))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=2, threshold=0.999).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == len(rows)
+    # exactly one duplicate dropped per planted pair
+    dropped = [r for r in out if not r.is_survivor]
+    assert len(dropped) == 2
+    # each dropped row's component is its pair partner (min id of pair)
+    for r in dropped:
+        assert r.component == r.vec_id - 1
+    # distinct members survive as their own component
+    survivors = [r for r in out if r.is_survivor]
+    assert all(r.component == r.vec_id for r in survivors)
