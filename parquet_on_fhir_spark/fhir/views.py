@@ -26,7 +26,11 @@ path navigation with implicit collection flattening, ``$this``,
 ``and`` / ``or`` / ``not`` / parenthesized combinations),
 ``ofType(X)`` (choice-type column selection), ``extension('url')``,
 ``getResourceKey()``, ``getReferenceKey([Type])`` (relative
-``Type/id`` references), ``lowBoundary()``/``highBoundary()`` on
+``Type/id`` references), ``repeat(x)`` (transitive projection closure,
+statically unrolled to a unionAll over the schema's finite nesting
+depth), ``toInteger()``/``toDecimal()``/``toString()`` casts
+(``try_cast`` — non-coercible values null out, FHIRPath's empty),
+``lowBoundary()``/``highBoundary()`` on
 date-kinded elements — the boundary functions read this format's
 date-range annotation columns (``__<el>_start``/``__<el>_end``,
 reference README.md:308-341), which is exactly what those annotations
@@ -38,8 +42,8 @@ Singleton discipline: a ``column`` whose path still yields a collection
 raises at compile time unless ``collection: true`` — same rule the spec
 validator applies, but enforced against the actual derived schema.
 
-Unsupported FHIRPath (aggregates, ``repeat()``, type casts) raises
-``ViewPathError`` at compile time — never a silent wrong answer.
+Unsupported FHIRPath (aggregate functions) raises ``ViewPathError``
+at compile time — never a silent wrong answer.
 """
 
 from __future__ import annotations
@@ -422,6 +426,21 @@ class _Compiler:
             if ty:
                 ok = ok & (parts.getItem(0) == F.lit(ty))
             return F.when(ok, parts.getItem(1)), T.StringType(), False
+        if name in ("toInteger", "toDecimal", "toString"):
+            if multi:
+                raise ViewPathError(f"{name}() needs a singleton")
+            target = {
+                "toInteger": "int",
+                "toDecimal": "double",
+                "toString": "string",
+            }[name]
+            cast = col.try_cast(target)
+            return (
+                cast,
+                {"int": T.IntegerType(), "double": T.DoubleType(),
+                 "string": T.StringType()}[target],
+                False,
+            )
         if name in ("lowBoundary", "highBoundary"):
             if multi:
                 raise ViewPathError(f"{name}() needs a singleton")
@@ -493,13 +512,57 @@ def _constants(view: dict) -> dict[str, Any]:
     return out
 
 
+_REPEAT = re.compile(r"^(?:(.+)\.)?repeat\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+
+
+def _unroll_repeat(view: dict, comp: "_Compiler", schema: T.StructType) -> dict:
+    """Rewrite ``forEach: "repeat(x)"`` into a unionAll of depth-unrolled
+    branches (``x``, ``x.x``, …) — FHIRPath's transitive projection
+    closure, bounded statically by how deep the SCHEMA actually nests
+    ``x`` (Spark types are non-recursive, so the closure is finite by
+    construction). Each branch compiles independently, so levels whose
+    struct types differ still union by name."""
+    selects = view.get("select", [])
+    out, changed = [], False
+    for s in selects:
+        fe = s.get("forEach") or s.get("forEachOrNull")
+        m = _REPEAT.match(fe.strip()) if fe else None
+        if not m:
+            out.append(s)
+            continue
+        prefix, field = m.group(1), m.group(2)
+        if prefix:
+            _, dt, _multi = comp.compile(prefix, None, schema)
+        else:
+            dt = schema
+        depth, cur = 0, dt
+        while isinstance(cur, T.StructType) and field in cur.fieldNames():
+            nxt = cur[field].dataType
+            cur = nxt.elementType if isinstance(nxt, T.ArrayType) else nxt
+            depth += 1
+        if depth == 0:
+            raise ViewPathError(
+                f"repeat({field}): element not in schema at that position"
+            )
+        key = "forEach" if "forEach" in s else "forEachOrNull"
+        rest = {k: v for k, v in s.items() if k not in ("forEach", "forEachOrNull")}
+        branches = [
+            {**rest, key: ".".join(([prefix] if prefix else []) + [field] * k)}
+            for k in range(1, depth + 1)
+        ]
+        out.append({"unionAll": branches})
+        changed = True
+    return {**view, "select": out} if changed else view
+
+
 def run_view(df: DataFrame, view: dict) -> DataFrame:
     """Execute a ViewDefinition over a Parquet-on-FHIR DataFrame.
 
     Plan shape: optional resourceType filter → view-level ``where``
     filters (all pushdown-eligible) → one ``explode``/``explode_outer``
     per forEach → a single final projection. No shuffle is introduced;
-    output partitioning is the input's.
+    output partitioning is the input's. ``forEach: "repeat(x)"``
+    unrolls to a unionAll over every nesting depth the schema holds.
     """
     comp = _Compiler(_constants(view))
     rtype = view.get("resource")
@@ -507,6 +570,7 @@ def run_view(df: DataFrame, view: dict) -> DataFrame:
         df = df.filter(F.col("resourceType") == rtype)
     for w in view.get("where", []):
         df = df.filter(comp._bool_expr(w["path"], None, df.schema))
+    view = _unroll_repeat(view, comp, df.schema)
 
     selects = view.get("select", [])
     unions = [s for s in selects if "unionAll" in s]

@@ -285,3 +285,53 @@ def test_boolean_combinators_in_where(spark):
                     "column": [{"name": "ssn", "path": "value"}]}],
     }).count()
     assert ssn == 100
+
+
+def test_repeat_unrolls_nested_items(spark):
+    """forEach: repeat(item) unions every nesting depth the schema
+    holds — the QuestionnaireResponse flattening pattern."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(resourceType="QuestionnaireResponse", id="r1",
+            item=[Row(linkId="1", text="root-a",
+                      item=[Row(linkId="1.1", text="mid",
+                                item=[Row(linkId="1.1.1", text="leaf")])]),
+                  Row(linkId="2", text="root-b", item=None)]),
+        Row(resourceType="QuestionnaireResponse", id="r2",
+            item=[Row(linkId="9", text="only",
+                      item=None)]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = run_view(df, {
+        "resource": "QuestionnaireResponse",
+        "select": [
+            {"column": [{"name": "rid", "path": "getResourceKey()"}]},
+            {"forEach": "repeat(item)",
+             "column": [{"name": "linkId", "path": "linkId"},
+                        {"name": "text", "path": "text"}]},
+        ],
+    }).collect()
+    got = {(r.rid, r.linkId, r.text) for r in out}
+    assert got == {
+        ("r1", "1", "root-a"), ("r1", "2", "root-b"),
+        ("r1", "1.1", "mid"), ("r1", "1.1.1", "leaf"),
+        ("r2", "9", "only"),
+    }
+
+
+def test_to_integer_to_string_casts(spark):
+    o = spark.read.parquet(OBSERVATION)
+    out = run_view(o, {
+        "resource": "Observation",
+        "select": [{"column": [
+            {"name": "v_str", "path": "value.ofType(Quantity).value.toString()"},
+            {"name": "v_dec", "path": "value.ofType(Quantity).value.toDecimal()"},
+            {"name": "status_int", "path": "status.toInteger()"},  # non-numeric -> null
+        ]}],
+    })
+    rows = [r for r in out.collect() if r.v_str is not None]
+    assert rows
+    for r in rows:
+        assert isinstance(r.v_dec, float) and abs(r.v_dec - float(r.v_str)) < 1e-9
+        assert r.status_int is None  # try_cast of 'final' etc.
