@@ -97,3 +97,80 @@ def gap_fill_locf(
         *filled,
         F.col("__obs").isNull().alias("is_gap"),
     )
+
+
+def gap_fill_interpolate(
+    resampled: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    every: str,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Densify like :func:`gap_fill_locf` but fill gaps by LINEAR
+    interpolation between the surrounding observations (the hypertable
+    ``interpolate()`` counterpart to locf): a gap bucket at fraction f
+    of the way from the previous observation to the next gets
+    ``prev + (next - prev) * f``. Buckets before the first / after the
+    last observation of a key have no bracketing pair and stay at the
+    observed boundary value (locf/nocb at the edges; interior-only
+    interpolation). Same two-shuffle plan as locf — the forward and
+    backward scans are two frames over ONE window partitioning.
+    """
+    from parquet_on_fhir_spark.operators.joins import _interval_seconds
+
+    step = _interval_seconds(every)
+    bounds = resampled.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {step} SECOND"),
+            )
+        ).alias(bucket_col),
+    )
+    joined = grid.join(
+        resampled.withColumn("__obs", F.lit(True)),
+        [*key_cols, bucket_col],
+        "left",
+    )
+    back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # The grid is uniform (one row per `every`), so the interpolation
+    # fraction uses row POSITION, not epoch arithmetic — works for
+    # TIMESTAMP and TIMESTAMP_NTZ buckets alike (NTZ has no double cast).
+    pos_w = Window.partitionBy(*key_cols).orderBy(bucket_col)
+    idx = F.row_number().over(pos_w).cast("double")
+    prev_ts = F.last(F.when(F.col("__obs"), idx), ignorenulls=True).over(back)
+    next_ts = F.first(F.when(F.col("__obs"), idx), ignorenulls=True).over(fwd)
+    span = next_ts - prev_ts
+    frac = F.when(span > 0, (idx - prev_ts) / span).otherwise(F.lit(0.0))
+    filled = []
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        prev_v = F.last(F.when(F.col("__obs"), v), ignorenulls=True).over(back)
+        next_v = F.first(F.when(F.col("__obs"), v), ignorenulls=True).over(fwd)
+        interp = F.coalesce(
+            v,  # observed buckets keep their exact value
+            prev_v + (next_v - prev_v) * frac,  # interior gaps
+            prev_v,  # past the last observation
+            next_v,  # before the first observation
+        )
+        filled.append(interp.alias(c))
+    return joined.select(
+        *key_cols,
+        bucket_col,
+        *filled,
+        F.col("__obs").isNull().alias("is_gap"),
+    )

@@ -1883,3 +1883,74 @@ def q130(spark, sf_dir):
 
 
 QUERIES.append(Q("q130_tpch_q20_excess_shipments", q130, TPCH_Q20_SQL))
+
+
+# --- Q132: linear-interpolation gap fill (hypertable interpolate()) ------------------
+def q132(spark, sf_dir):
+    """Same dense grid as q125 but interior gaps fill by linear
+    interpolation between bracketing observations
+    (operators/timeseries.py::gap_fill_interpolate)."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        gap_fill_interpolate,
+        resample,
+    )
+
+    e = t(spark, sf_dir, "events").filter(F.col("value") > 4.9)
+    r = resample(
+        e, "ts", "6 hours", ["event_type"],
+        {"avg_value": F.avg("value")},
+    )
+    out = gap_fill_interpolate(r, ["event_type"], ["avg_value"], "6 hours")
+    return out.select(
+        "event_type",
+        ts_str("bucket_start").alias("bucket_start"),
+        d4(F.col("avg_value")).alias("avg_value"),
+        "is_gap",
+    )
+
+
+Q132_ORACLE = """
+WITH r AS (
+  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS b,
+         avg(value) AS avg_value
+  FROM events WHERE value > 4.9 GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS b
+  FROM bounds
+),
+j AS (
+  SELECT g.event_type, g.b, r.avg_value, r.b IS NOT NULL AS obs
+  FROM grid g LEFT JOIN r ON g.event_type = r.event_type AND g.b = r.b
+),
+w AS (
+  SELECT event_type, b, avg_value, obs,
+         last_value(CASE WHEN obs THEN epoch(b) END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_ts,
+         first_value(CASE WHEN obs THEN epoch(b) END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts,
+         last_value(CASE WHEN obs THEN avg_value END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS prev_v,
+         first_value(CASE WHEN obs THEN avg_value END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+  FROM j
+)
+SELECT event_type,
+       strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       round(COALESCE(avg_value,
+                      prev_v + (next_v - prev_v) *
+                        (CASE WHEN next_ts - prev_ts > 0
+                              THEN (epoch(b) - prev_ts) / (next_ts - prev_ts)
+                              ELSE 0 END),
+                      prev_v, next_v) + 1e-9, 4) AS avg_value,
+       NOT obs AS is_gap
+FROM w
+"""
+
+
+QUERIES.append(Q("q132_resample_interpolate", q132, Q132_ORACLE))

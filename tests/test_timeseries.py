@@ -37,3 +37,20 @@ def test_resample_and_gap_fill_locf(spark):
     assert [x.n for x in a] == [2, 2, 2, 1]
     # single-bucket series: no gaps generated
     assert len(by_key["b"]) == 1 and by_key["b"][0].is_gap is False
+
+
+def test_gap_fill_interpolate(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", datetime(2024, 1, 1, 3, 30), 40.0),  # gap of 2 buckets
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    from parquet_on_fhir_spark.operators.timeseries import gap_fill_interpolate
+
+    r = resample(df, "ts", "1 hour", ["k"], {"v": F.avg("v")})
+    out = sorted(
+        gap_fill_interpolate(r, ["k"], ["v"], "1 hour").collect(),
+        key=lambda x: x.bucket_start,
+    )
+    assert [x.v for x in out] == [10.0, 20.0, 30.0, 40.0]
+    assert [x.is_gap for x in out] == [False, True, True, False]
