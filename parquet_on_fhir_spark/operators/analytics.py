@@ -1,0 +1,100 @@
+"""Product-analytics operators: funnel analysis and cohort retention —
+the two queries every event-warehouse user runs, expressed as chains of
+hash aggregates (no window over the full event stream, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time each step was
+    completed STRICTLY AFTER the previous step (the standard sequential
+    funnel — step k's event must follow the user's step k-1 completion).
+
+    ``steps``: ordered (name, predicate Column) pairs.
+
+    Plan: one filtered hash aggregate per step — step k aggregates only
+    events passing predicate k, joined to the (tiny, one-row-per-user)
+    step k-1 completion table to enforce ordering. k narrow shuffles of
+    per-user minima; the raw event table is scanned once per step with
+    the predicate pushed down, never sorted or windowed globally.
+
+    Output: one row per user entering the funnel —
+    (user, t_<name> timestamp per step, furthest_step int).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    name0, cond0 = steps[0]
+    out = (
+        events.filter(cond0)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{name0}"))
+    )
+    prev = f"t_{name0}"
+    for name, cond in steps[1:]:
+        nxt = (
+            events.filter(cond)
+            .join(out.select(user_col, prev), user_col)
+            .filter(F.col(ts_col) > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{name}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = f"t_{name}"
+    reached = [
+        F.when(F.col(f"t_{name}").isNotNull(), 1).otherwise(0)
+        for name, _ in steps
+    ]
+    furthest = reached[0]
+    for r in reached[1:]:
+        furthest = furthest + r
+    return out.withColumn("furthest_step", furthest)
+
+
+def cohort_retention(
+    events: DataFrame,
+    every: str = "1 week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST activity
+    bucket (the cohort), counted as retained in each later bucket they
+    appear in.
+
+    Plan: per-user first bucket (one hash aggregate) broadcast back
+    onto the distinct (user, bucket) activity pairs, then one count
+    aggregate — shuffle rows ≈ active (user, bucket) pairs, never raw
+    events. Output: (cohort timestamp, period_offset int, n_users).
+    ``period_offset`` counts buckets since the cohort bucket (0 = the
+    cohort bucket itself, so its n_users is the cohort size).
+    """
+    bucket = F.window(F.col(ts_col), every)["start"]
+    activity = events.select(
+        F.col(user_col), bucket.alias("__b")
+    ).distinct()
+    firsts = activity.groupBy(user_col).agg(F.min("__b").alias("cohort"))
+    step = F.lit(_every_seconds(every))
+    joined = activity.join(firsts, user_col)
+    # NTZ buckets have no direct long cast; the TIMESTAMP hop
+    # reinterprets in session time (UTC everywhere in this engine)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    offset = ((epoch("__b") - epoch("cohort")) / step).cast("int")
+    return (
+        joined.select("cohort", offset.alias("period_offset"), user_col)
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def _every_seconds(every: str) -> int:
+    from parquet_on_fhir_spark.operators.joins import _interval_seconds
+
+    return _interval_seconds(every)

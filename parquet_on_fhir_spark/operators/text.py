@@ -379,3 +379,50 @@ def dedup_lines(
             ),
         )
     )
+
+
+def check_expectations(df, rules: dict[str, "Column"]):
+    """Data-quality expectation check (the Great-Expectations-style
+    contract a pipeline runs before trusting a new data drop): each
+    rule is a boolean Column that every row SHOULD satisfy; the report
+    counts violations per rule in ONE aggregate pass over the table
+    (no per-rule scans), pivoted to long form by exploding an array of
+    structs — same single-pass shape as :func:`profile_table`.
+
+    Output: (rule, n_rows, n_violations, pass_rate DOUBLE, ok BOOLEAN
+    — true iff zero violations). NULL rule results count as violations
+    (an unknowable expectation is a failed one).
+    """
+    if not rules:
+        raise ValueError("check_expectations needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(
+                f"__viol_{name}"
+            )
+        )
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__viol_{name}").alias("n_violations"),
+            )
+            for name in rules
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("e"))
+        .select("e.*")
+        .withColumn(
+            "pass_rate",
+            F.when(
+                F.col("n_rows") > 0,
+                (F.col("n_rows") - F.col("n_violations"))
+                / F.col("n_rows").cast("double"),
+            ).otherwise(F.lit(1.0)),
+        )
+        .withColumn("ok", F.col("n_violations") == 0)
+    )

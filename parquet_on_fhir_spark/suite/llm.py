@@ -1471,3 +1471,140 @@ def q131(spark, sf_dir):
 
 
 QUERIES.append(Q("q131_semantic_dedup", q131, None))
+
+
+# --- Q133: ordered funnel analysis (view -> click -> purchase) -----------------------
+def q133(spark, sf_dir):
+    """Sequential funnel over the events table: per user, earliest
+    view, first click AFTER that view, first purchase AFTER that click
+    (operators/analytics.py::funnel — one filtered hash aggregate per
+    step, no global sort/window)."""
+    from parquet_on_fhir_spark.operators.analytics import funnel
+
+    e = t(spark, sf_dir, "events")
+    out = funnel(
+        e,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    from parquet_on_fhir_spark.suite.common import ts_str
+
+    return out.select(
+        "user_id",
+        ts_str("t_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_view"),
+        ts_str("t_click", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_click"),
+        ts_str("t_purchase", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_purchase"),
+        "furthest_step",
+    )
+
+
+Q133_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       strftime(s1.t_view, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+       strftime(s2.t_click, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+       strftime(s3.t_purchase, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase,
+       1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+         AS furthest_step
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+QUERIES.append(Q("q133_funnel", q133, Q133_ORACLE))
+
+
+# --- Q134: cohort retention triangle -------------------------------------------------
+def q134(spark, sf_dir):
+    """Weekly cohort retention (operators/analytics.py::cohort_retention):
+    shuffle rows = active (user, week) pairs, never raw events."""
+    from parquet_on_fhir_spark.operators.analytics import cohort_retention
+
+    e = t(spark, sf_dir, "events")
+    out = cohort_retention(e, "1 week")
+    from parquet_on_fhir_spark.suite.common import ts_str
+
+    return out.select(
+        ts_str("cohort").alias("cohort"), "period_offset", "n_users"
+    )
+
+
+Q134_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id, time_bucket(INTERVAL '1 week', ts,
+                                       TIMESTAMP '1970-01-01') AS b
+  FROM events
+),
+f AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY user_id)
+SELECT strftime(f.cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+       CAST((epoch(a.b) - epoch(f.cohort)) / 604800 AS INT) AS period_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES.append(Q("q134_cohort_retention", q134, Q134_ORACLE))
+
+
+# --- Q135: data-quality expectation report -------------------------------------------
+def q135(spark, sf_dir):
+    """One-pass expectation contract over documents
+    (operators/text.py::check_expectations)."""
+    from parquet_on_fhir_spark.operators.text import check_expectations
+
+    d = t(spark, sf_dir, "documents")
+    return check_expectations(
+        d,
+        {
+            "doc_id_not_null": F.col("doc_id").isNotNull(),
+            "text_nonempty": F.length(F.col("text")) > 0,
+            "lang_known": F.col("lang").isin("en", "es", "de", "fr", "zh"),
+            "n_chars_consistent": F.col("n_chars") == F.length(F.col("text")),
+            "source_prefixed": F.col("source").rlike("^[a-z]"),
+        },
+    ).select("rule", "n_rows", "n_violations", d4(F.col("pass_rate")).alias("pass_rate"), "ok")
+
+
+Q135_ORACLE = """
+WITH w AS (
+  SELECT count(*) AS n,
+    count(CASE WHEN NOT COALESCE(doc_id IS NOT NULL, false) THEN 1 END) AS v1,
+    count(CASE WHEN NOT COALESCE(len(text) > 0, false) THEN 1 END) AS v2,
+    count(CASE WHEN NOT COALESCE(lang IN ('en','es','de','fr','zh'), false) THEN 1 END) AS v3,
+    count(CASE WHEN NOT COALESCE(n_chars = len(text), false) THEN 1 END) AS v4,
+    count(CASE WHEN NOT COALESCE(regexp_matches(source, '^[a-z]'), false) THEN 1 END) AS v5
+  FROM documents
+)
+SELECT t.rule, w.n AS n_rows, t.v AS n_violations,
+       round((w.n - t.v) / CAST(w.n AS DOUBLE) + 1e-9, 4) AS pass_rate,
+       t.v = 0 AS ok
+FROM w, (
+  SELECT 'doc_id_not_null' AS rule, v1 AS v FROM w UNION ALL
+  SELECT 'text_nonempty', v2 FROM w UNION ALL
+  SELECT 'lang_known', v3 FROM w UNION ALL
+  SELECT 'n_chars_consistent', v4 FROM w UNION ALL
+  SELECT 'source_prefixed', v5 FROM w
+) t
+"""
+
+
+QUERIES.append(Q("q135_expectations", q135, Q135_ORACLE))
