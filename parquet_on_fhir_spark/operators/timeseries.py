@@ -174,3 +174,47 @@ def gap_fill_interpolate(
         *filled,
         F.col("__obs").isNull().alias("is_gap"),
     )
+
+
+def detect_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: a point is anomalous
+    when it deviates from the mean of the PRECEDING ``lookback``
+    observations by more than ``z_threshold`` trailing standard
+    deviations. The window excludes the current row (a spike must not
+    mask itself by inflating its own baseline), and points with fewer
+    than ``min_history`` preceding observations are never flagged
+    (cold-start suppression).
+
+    One window shuffle keyed by the series key; rows-preceding frames
+    are streaming-evaluated per partition (no quadratic re-scan).
+    Adds: trailing_mean, trailing_std, z_score (NULL when history is
+    short or flat), is_anomaly.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg(F.col(value_col)).over(w)
+    std = F.stddev_samp(F.col(value_col)).over(w)
+    n = F.count(F.col(value_col)).over(w)
+    z = F.when(
+        (n >= min_history) & (std > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    return (
+        df.withColumn("trailing_mean", mean)
+        .withColumn("trailing_std", std)
+        .withColumn("z_score", z)
+        .withColumn(
+            "is_anomaly", F.coalesce(F.abs(z) > z_threshold, F.lit(False))
+        )
+    )

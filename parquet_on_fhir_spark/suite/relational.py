@@ -1954,3 +1954,46 @@ FROM w
 
 
 QUERIES.append(Q("q132_resample_interpolate", q132, Q132_ORACLE))
+
+
+# --- Q136: trailing z-score anomaly detection ----------------------------------------
+def q136(spark, sf_dir):
+    """Per-user trailing z-score over event values
+    (operators/timeseries.py::detect_anomalies). The window orders by
+    a tie-broken composite (ts, event_id) so trailing stats are
+    deterministic under equal timestamps."""
+    from parquet_on_fhir_spark.operators.timeseries import detect_anomalies
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = detect_anomalies(
+        e, "__ord", "value", ["user_id"], lookback=10, z_threshold=2.0
+    )
+    return out.filter(F.col("z_score").isNotNull()).select(
+        "event_id",
+        "user_id",
+        d4(F.col("z_score")).alias("z_score"),
+        "is_anomaly",
+    )
+
+
+Q136_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER win AS m,
+         stddev_samp(value) OVER win AS s,
+         count(value) OVER win AS n
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       round((value - m) / s + 1e-9, 4) AS z_score,
+       abs((value - m) / s) > 2.0 AS is_anomaly
+FROM w
+WHERE n >= 5 AND s > 0
+"""
+
+
+QUERIES.append(Q("q136_anomaly_detection", q136, Q136_ORACLE))

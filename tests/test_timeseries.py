@@ -54,3 +54,21 @@ def test_gap_fill_interpolate(spark):
     )
     assert [x.v for x in out] == [10.0, 20.0, 30.0, 40.0]
     assert [x.is_gap for x in out] == [False, True, True, False]
+
+
+def test_detect_anomalies_trailing_window(spark):
+    from parquet_on_fhir_spark.operators.timeseries import detect_anomalies
+
+    # 10 stable points then a spike; the spike must be flagged and the
+    # stable points must not; cold-start rows never flag
+    rows = [("a", i, 10.0 + (i % 2) * 0.2) for i in range(10)]
+    rows.append(("a", 10, 50.0))  # spike
+    rows.append(("a", 11, 10.1))  # back to normal (spike in its baseline)
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {r.ts: r for r in detect_anomalies(
+        df, "ts", "v", ["k"], lookback=10, z_threshold=3.0
+    ).collect()}
+    assert out[10].is_anomaly
+    assert not any(out[i].is_anomaly for i in range(10))
+    # cold start: first min_history rows have NULL z
+    assert all(out[i].z_score is None for i in range(5))
