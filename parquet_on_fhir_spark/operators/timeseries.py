@@ -218,3 +218,53 @@ def detect_anomalies(
             "is_anomaly", F.coalesce(F.abs(z) > z_threshold, F.lit(False))
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign a session id to EVERY event (the labelling counterpart of
+    ``session_window``, which only aggregates): a new session starts
+    when the gap since the key's previous event exceeds ``gap``.
+    ``session_id`` is the microsecond epoch of the session's first
+    event —
+    deterministic, layout-independent, and equal to the session_window
+    start for the same gap. Adds ``session_seq`` (1-based event index
+    within the session).
+
+    One window shuffle keyed by the series key; the lag + running-sum
+    session numbering and the per-session sequence reuse the same
+    partitioning.
+    """
+    from parquet_on_fhir_spark.operators.joins import _interval_seconds
+
+    gap_us = _interval_seconds(gap) * 1_000_000
+    order = [ts_col, *(tie_cols or [])]  # tie_cols pin equal-timestamp order
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # microsecond epoch: sub-second gaps count exactly (a plain long
+    # cast truncates to seconds and shifts boundaries at the gap edge)
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(epoch).over(w)
+    new_session = F.when(
+        prev.isNull() | (epoch - prev > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess_n = F.sum(new_session).over(run)
+    per_sess = Window.partitionBy(*key_cols, "__sess_n").orderBy(*order)
+    return (
+        df.withColumn("__sess_n", sess_n)
+        .withColumn("session_seq", F.row_number().over(per_sess))
+        .withColumn(
+            "session_id",
+            F.first(epoch).over(
+                per_sess.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .drop("__sess_n")
+    )

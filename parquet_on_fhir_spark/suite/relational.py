@@ -1997,3 +1997,43 @@ WHERE n >= 5 AND s > 0
 
 
 QUERIES.append(Q("q136_anomaly_detection", q136, Q136_ORACLE))
+
+
+# --- Q137: event sessionization (labelling, not aggregation) -------------------------
+def q137(spark, sf_dir):
+    """Label every event with its 30-minute-gap session
+    (operators/timeseries.py::sessionize); session_id = epoch of the
+    session's first event, identical to session_window.start."""
+    from parquet_on_fhir_spark.operators.timeseries import sessionize
+
+    e = t(spark, sf_dir, "events")
+    out = sessionize(e, "ts", ["user_id"], gap="30 minutes", tie_cols=["event_id"])
+    return out.select("event_id", "user_id", "session_id", "session_seq")
+
+
+Q137_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS e,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_e
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev_e IS NULL OR e - prev_e > 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM l
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess_n
+  FROM m
+)
+SELECT event_id, user_id,
+       min(e) OVER (PARTITION BY user_id, sess_n) AS session_id,
+       row_number() OVER (PARTITION BY user_id, sess_n
+                          ORDER BY ts, event_id) AS session_seq
+FROM s
+"""
+
+
+QUERIES.append(Q("q137_sessionize", q137, Q137_ORACLE))

@@ -72,3 +72,28 @@ def test_detect_anomalies_trailing_window(spark):
     assert not any(out[i].is_anomaly for i in range(10))
     # cold start: first min_history rows have NULL z
     assert all(out[i].z_score is None for i in range(5))
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime as dt
+
+    from parquet_on_fhir_spark.operators.timeseries import sessionize
+
+    rows = [
+        ("a", dt(2024, 1, 1, 0, 0, 0)),
+        ("a", dt(2024, 1, 1, 0, 29, 59)),  # within gap: same session
+        ("a", dt(2024, 1, 1, 0, 59, 59)),  # exactly 30m later: same (gap NOT exceeded)
+        ("a", dt(2024, 1, 1, 1, 30, 0)),   # 30m + 1s later: new session
+        ("b", dt(2024, 1, 1, 0, 0, 0)),    # separate key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = sorted(
+        sessionize(df, "ts", ["k"], gap="30 minutes").collect(),
+        key=lambda r: (r.k, r.ts),
+    )
+    a = [r for r in out if r.k == "a"]
+    assert a[0].session_id == a[1].session_id == a[2].session_id
+    assert a[3].session_id != a[0].session_id
+    assert [r.session_seq for r in a] == [1, 2, 3, 1]
+    b = [r for r in out if r.k == "b"]
+    assert b[0].session_seq == 1
