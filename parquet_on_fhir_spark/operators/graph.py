@@ -242,3 +242,68 @@ def connected_components_contract(
         nodes.join(roots, "node", "left")
         .select("node", F.coalesce("comp", F.col("node")).alias("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    ``rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/outdeg(u) + dangling/N)``
+    — the power-iteration form with dangling mass redistributed
+    uniformly, run for exactly ``iterations`` rounds (fixed count, not
+    convergence-tested, so the result is a deterministic function of
+    the graph — restatable in a recursive-CTE oracle).
+
+    Scale shape: outdegrees are one hash aggregate computed ONCE and
+    joined by src each round; each round is one shuffle of
+    (dst, contribution) pairs into a hash aggregate — identical to the
+    CC fixpoint's per-round cost profile. Lineage truncates per round
+    (lazy localCheckpoint riding the dangling-mass action, one job per
+    round). N and the node set are computed once up front.
+
+    Output: (node, rank); ranks sum to 1 up to float error.
+    """
+    ends = _truncate_lineage(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    nodes = _truncate_lineage(
+        ends.select("u").unionAll(ends.select(F.col("v").alias("u"))).distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("u").alias("node"), F.lit(0.0).alias("rank")
+        )
+    outdeg = ends.groupBy("u").agg(F.count("*").alias("__deg"))
+    ranks = nodes.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["u"], "left"
+        ).select("node", "rank", "__deg")
+        # dangling mass: rank held by nodes with no outgoing edges
+        dangling = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            ends.join(with_deg, ends["u"] == with_deg["node"])
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("__deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("__in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.select(F.col("u").alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -2037,3 +2037,58 @@ FROM s
 
 
 QUERIES.append(Q("q137_sessionize", q137, Q137_ORACLE))
+
+
+# --- Q138: fixed-iteration PageRank (second graph fixpoint) --------------------------
+def q138(spark, sf_dir):
+    """PageRank over a deterministic order->part graph derived from
+    lineitem (operators/graph.py::pagerank), 5 power iterations with
+    dangling-mass redistribution. The fixed iteration count makes the
+    result a pure function of the graph, so the oracle unrolls the same
+    5 iterations as chained CTEs (recursive CTEs cannot aggregate over
+    the recursive reference)."""
+    from parquet_on_fhir_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    out = pagerank(edges, iterations=5, damping=0.85)
+    return out.select("node", d4(F.col("rank") * 1000).alias("rank_k"))
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    parts = [
+        "WITH e AS (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem)",
+        "nodes AS (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT u, count(*) AS dd FROM e GROUP BY u)",
+        "r0 AS (SELECT nodes.u AS node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"dang{k} AS (SELECT COALESCE(sum(r.rank), 0) AS dm "
+            f"FROM r{p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL)"
+        )
+        parts.append(
+            f"contrib{k} AS (SELECT e.v AS node, sum(r.rank / deg.dd) AS cin "
+            f"FROM e JOIN r{p} r ON e.u = r.node JOIN deg ON e.u = deg.u "
+            f"GROUP BY e.v)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nodes.u AS node, "
+            f"(1 - {d}) / nn.n + {d} * dang{k}.dm / nn.n "
+            f"+ {d} * COALESCE(contrib{k}.cin, 0) AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN dang{k} "
+            f"LEFT JOIN contrib{k} ON nodes.u = contrib{k}.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, round(rank * 1000 + 1e-9, 4) AS rank_k FROM r{iters}"
+    )
+
+
+QUERIES.append(Q("q138_pagerank", q138, _pagerank_oracle()))

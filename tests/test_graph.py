@@ -256,3 +256,38 @@ def test_connected_components_empty_edges(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components(empty).count() == 0
     assert connected_components_contract(empty).count() == 0
+
+
+def test_pagerank_matches_python_reference(spark):
+    """5-iteration PageRank on a small directed graph with a dangling
+    node equals a plain-Python power iteration; ranks sum to 1."""
+    from parquet_on_fhir_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 5 nodes? 4 nodes, 3 dangles? no: 3->1 so only none dangling... add 5
+    edges.append((3, 5))  # 5 is dangling (no out-edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    d = 0.85
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        dangling = sum(r for v, r in rank.items() if v not in outdeg)
+        nxt = {}
+        for v in nodes:
+            inc = sum(
+                rank[u] / outdeg[u] for (u, w) in edges if w == v
+            )
+            nxt[v] = (1 - d) / n + d * dangling / n + d * inc
+        rank = nxt
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-12, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub (3) outranks everyone
+    assert got[3] == max(got.values())
