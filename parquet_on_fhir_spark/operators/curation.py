@@ -500,3 +500,50 @@ def ngram_lm_score(
             F.col("lm_score"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows (per
+    group when ``group_col`` is set) — Efraimidis–Spirakis A-ES: each
+    row draws key ``u^(1/w)`` for a uniform ``u`` and the top-k keys
+    are exactly a weighted sample without replacement. ``u`` derives
+    from a hash of (seed, id), so the SAME rows are chosen on any
+    cluster layout, any partitioning, any run — and the selection is
+    restatable in the oracle, unlike ``rand()``-based sampling.
+
+    Zero/negative weights are excluded. Cost: one map pass to draw
+    keys + one top-k (window per group, or TakeOrderedAndProject when
+    ungrouped) — never a full sort of the corpus.
+
+    Implementation note: keys compare as ``log(u)/w`` (monotone in
+    ``u^(1/w)``) — numerically stabler for tiny weights and exactly
+    reproducible in SQL (both engines evaluate ``ln`` on identical
+    doubles). Larger is better; ties broken by id.
+    """
+    u = (
+        md5_60(F.concat_ws(":", F.lit(f"ws{seed}"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(_HASH_SPACE)  # (0, 1]: +1 shift avoids log(0)
+    key = F.log(u) / F.col(weight_col)
+    from pyspark.sql import Window
+
+    out = df.filter(F.col(weight_col) > 0).withColumn("__wkey", key)
+    if group_col is None:
+        return (
+            out.orderBy(F.desc("__wkey"), F.col(id_col))
+            .limit(k)
+            .drop("__wkey")
+        )
+    w = Window.partitionBy(group_col).orderBy(F.desc("__wkey"), F.col(id_col))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__wkey", "__rn")
+    )

@@ -1608,3 +1608,37 @@ FROM w, (
 
 
 QUERIES.append(Q("q135_expectations", q135, Q135_ORACLE))
+
+
+# --- Q139: deterministic weighted sampling (Efraimidis-Spirakis A-ES) ----------------
+def q139(spark, sf_dir):
+    """Top-5 weighted sample per source, weights = document length:
+    hash-derived uniforms make the A-ES key exactly restatable in SQL
+    (operators/curation.py::weighted_sample)."""
+    from parquet_on_fhir_spark.operators.curation import weighted_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = weighted_sample(
+        d, k=5, weight_col="n_chars", group_col="source", seed=1
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+Q139_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST(CONCAT('0x', substr(md5(CONCAT('ws1', ':',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846976.0) / n_chars AS wkey
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY wkey DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+"""
+
+
+QUERIES.append(Q("q139_weighted_sample", q139, Q139_ORACLE))

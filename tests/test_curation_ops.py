@@ -501,3 +501,34 @@ def test_ngram_lm_score_orders_fluency(spark, sf_dir):
     real_avg = ngram_lm_score(probe, ref).agg(F.avg("lm_score")).collect()[0][0]
     junk_avg = ngram_lm_score(junk, ref).agg(F.avg("lm_score")).collect()[0][0]
     assert real_avg < junk_avg
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """Same seed → identical selection across runs/layouts; across many
+    seeds, a 10x-weight row is included far more often than a 1x row;
+    zero-weight rows never appear; per-group k respected."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.curation import weighted_sample
+
+    rows = [(i, "g", 10.0 if i < 10 else 1.0) for i in range(100)]
+    rows += [(100, "g", 0.0)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    a = sorted(r.doc_id for r in weighted_sample(
+        df, 10, "w", group_col="grp", seed=3).collect())
+    b = sorted(r.doc_id for r in weighted_sample(
+        df.repartition(7), 10, "w", group_col="grp", seed=3).collect())
+    assert a == b and len(a) == 10 and 100 not in a
+
+    heavy_hits = light_hits = 0
+    for seed in range(30):
+        got = {r.doc_id for r in weighted_sample(
+            df, 10, "w", group_col="grp", seed=seed).collect()}
+        heavy_hits += sum(1 for i in range(10) if i in got)
+        light_hits += sum(1 for i in range(10, 100) if i in got)
+    # 10 heavy rows with weight 10 vs 90 light rows with weight 1:
+    # heavy inclusion probability is several times light's
+    heavy_rate = heavy_hits / (30 * 10)
+    light_rate = light_hits / (30 * 90)
+    assert heavy_rate > 3 * light_rate, (heavy_rate, light_rate)
