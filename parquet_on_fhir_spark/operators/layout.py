@@ -201,3 +201,50 @@ def write_zordered(
     out.drop("__z", "__xlo", "__xhi", "__ylo", "__yhi").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_cols: list[str],
+    compare_cols: list[str] | None = None,
+):
+    """Row-level diff between two table snapshots — the audit that
+    precedes any incremental publish: which ids were ADDED, REMOVED,
+    or CHANGED (content hash of the compared columns differs), and
+    which are UNCHANGED.
+
+    One full outer join keyed by id; content comparison is a sha2 over
+    the null-tagged concatenation of the compared columns (computed
+    map-side on each snapshot — wide rows never shuffle twice, only
+    (id, hash) pairs meet at the join). Output: (*id_cols, change
+    STRING in added/removed/changed/unchanged).
+    """
+    from pyspark.sql import functions as F
+
+    compare_cols = compare_cols or [
+        c for c in new.columns if c in set(old.columns) and c not in set(id_cols)
+    ]
+    if not compare_cols:
+        raise ValueError("snapshot_diff needs at least one compared column")
+
+    def hashed(df):
+        payload = F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols
+            ],
+        )
+        return df.select(*id_cols, F.sha2(payload, 256).alias("__h"))
+
+    o = hashed(old).withColumnRenamed("__h", "__ho")
+    n = hashed(new).withColumnRenamed("__h", "__hn")
+    joined = o.join(n, id_cols, "full_outer")
+    change = (
+        F.when(F.col("__ho").isNull(), "added")
+        .when(F.col("__hn").isNull(), "removed")
+        .when(F.col("__ho") != F.col("__hn"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(*id_cols, change.alias("change"))

@@ -268,3 +268,45 @@ def sessionize(
         )
         .drop("__sess_n")
     )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    alpha: float = 0.3,
+    lookback: int = 50,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average with a bounded lookback:
+    ``ewma_t = Σ_{j=0..L} α(1-α)^j · x_{t-j} / Σ α(1-α)^j`` — the
+    truncated-window form of the recursive EWMA (the tail beyond L
+    carries weight (1-α)^{L+1}; at the default α=0.3, L=50 that is
+    ~1e-8 — below float display precision).
+
+    The recursion itself is not expressible as a Spark window
+    aggregate; the truncation makes it one: a windowed
+    ``collect_list`` of the trailing L+1 values feeds a single
+    ``aggregate`` HOF computing the weighted sum — per-row cost O(L),
+    one window shuffle keyed by series, no UDF.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-lookback, 0)
+    )
+    # newest-last; weight index j counts back from the end
+    trail = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(trail)
+    decay = F.lit(1.0 - alpha)
+    weighted = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("z")),
+        lambda acc, i: F.struct(
+            (acc["s"] + F.element_at(trail, i) * F.pow(decay, (n - i).cast("double"))).alias("s"),
+            (acc["z"] + F.pow(decay, (n - i).cast("double"))).alias("z"),
+        ),
+        lambda acc: acc["s"] / acc["z"],
+    )
+    return df.withColumn(out_col, weighted)

@@ -2092,3 +2092,79 @@ def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
 
 
 QUERIES.append(Q("q138_pagerank", q138, _pagerank_oracle()))
+
+
+# --- Q140: EWMA smoothing (truncated-window form) ------------------------------------
+def q140(spark, sf_dir):
+    """Per-user EWMA over event values, tie-broken ordering
+    (operators/timeseries.py::ewma) — windowed collect_list + one
+    aggregate HOF, no UDF."""
+    from parquet_on_fhir_spark.operators.timeseries import ewma
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = ewma(e, "__ord", "value", ["user_id"], alpha=0.3, lookback=20)
+    return out.select("event_id", "user_id", d4(F.col("ewma")).alias("ewma"))
+
+
+Q140_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS trail
+  FROM events
+)
+SELECT event_id, user_id,
+       round(
+         list_sum(list_transform(range(1, len(trail) + 1),
+                  i -> trail[i] * pow(0.7, len(trail) - i)))
+         / list_sum(list_transform(range(1, len(trail) + 1),
+                  i -> pow(0.7, len(trail) - i)))
+         + 1e-9, 4) AS ewma
+FROM l
+"""
+
+
+QUERIES.append(Q("q140_ewma", q140, Q140_ORACLE))
+
+
+# --- Q141: snapshot diff (row-level CDC audit) ---------------------------------------
+def q141(spark, sf_dir):
+    """Diff two deterministic snapshots of customer: rows dropped,
+    added, and mutated between them (operators/layout.py::
+    snapshot_diff) — (id, hash) pairs meet at one full outer join."""
+    from parquet_on_fhir_spark.operators.layout import snapshot_diff
+
+    c = t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 10 != 0)  # "removed" rows are added back in new
+    new = c.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 1).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return snapshot_diff(old, new, ["c_custkey"])
+
+
+Q141_ORACLE = """
+WITH o AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+n AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1 ELSE c_acctbal END
+           AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.c_name <> n.c_name OR o.c_nationkey <> n.c_nationkey
+                 OR o.c_acctbal <> n.c_acctbal
+                 OR o.c_mktsegment <> n.c_mktsegment THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM o FULL OUTER JOIN n USING (c_custkey)
+"""
+
+
+QUERIES.append(Q("q141_snapshot_diff", q141, Q141_ORACLE))

@@ -269,3 +269,20 @@ def test_zorder_write_tiles_both_columns(spark, sf_dir):
 
     for r in rows:
         assert r["zkey"] == pyz(r["l_orderkey"], r["l_partkey"])
+
+
+def test_snapshot_diff_classifies(spark):
+    from parquet_on_fhir_spark.operators.layout import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 31), (4, "d", 40)], "id long, s string, v long"
+    )
+    got = {r.id: r.change for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # NULL vs empty-string must not collide (null-tagged concatenation)
+    o2 = spark.createDataFrame([(1, None)], "id long, s string")
+    n2 = spark.createDataFrame([(1, "")], "id long, s string")
+    assert snapshot_diff(o2, n2, ["id"]).collect()[0].change == "changed"

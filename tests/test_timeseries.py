@@ -97,3 +97,22 @@ def test_sessionize_gap_boundaries(spark):
     assert [r.session_seq for r in a] == [1, 2, 3, 1]
     b = [r for r in out if r.k == "b"]
     assert b[0].session_seq == 1
+
+
+def test_ewma_matches_truncated_reference(spark):
+    from parquet_on_fhir_spark.operators.timeseries import ewma
+
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "k string, ts long, v double"
+    )
+    out = sorted(ewma(df, "ts", "v", ["k"], alpha=0.3, lookback=50).collect(),
+                 key=lambda r: r.ts)
+    a = 0.3
+    for t_idx, r in enumerate(out):
+        window = vals[: t_idx + 1]
+        ws = sum(x * (1 - a) ** (len(window) - 1 - j) for j, x in enumerate(window))
+        z = sum((1 - a) ** (len(window) - 1 - j) for j in range(len(window)))
+        assert abs(r.ewma - ws / z) < 1e-9, (t_idx, r.ewma, ws / z)
+    # smoothed series is pulled toward recent values
+    assert out[-1].ewma != vals[-1]
