@@ -505,3 +505,114 @@ WHERE o.status = 'final'
 """
 
 QUERIES.append(Q("qf11_chained_search", qf11, QF11_ORACLE))
+
+
+# --- terminology: ValueSet expansion + ConceptMap translation (fhir/terminology.py) --
+# Fixed-literal terminology resources, encoded through the REAL
+# NDJSON->Parquet path (registry-derived ValueSet/CodeSystem/ConceptMap
+# schemas), so the oracle is the deterministic golden expansion.
+_VS_DOC = {
+    "resourceType": "ValueSet", "id": "vs-vitals", "status": "active",
+    "url": "http://example.org/ValueSet/vitals",
+    "compose": {
+        "include": [
+            {"system": "http://loinc.org",
+             "concept": [{"code": "8867-4", "display": "Heart rate"},
+                          {"code": "9279-1", "display": "Respiratory rate"},
+                          {"code": "8310-5", "display": "Body temperature"}]},
+            {"system": "http://example.org/cs/local"},  # whole system
+        ],
+        "exclude": [
+            {"system": "http://loinc.org",
+             "concept": [{"code": "8310-5"}]},
+        ],
+    },
+}
+_CS_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-local", "status": "active",
+    "url": "http://example.org/cs/local", "content": "complete",
+    "concept": [{"code": "bp-sys", "display": "Systolic BP"},
+                 {"code": "bp-dia", "display": "Diastolic BP"}],
+}
+_CM_DOC = {
+    "resourceType": "ConceptMap", "id": "cm-local", "status": "active",
+    "url": "http://example.org/cm/local-to-loinc",
+    "group": [{
+        "source": "http://example.org/cs/local",
+        "target": "http://loinc.org",
+        "element": [
+            {"code": "bp-sys",
+             "target": [{"code": "8480-6", "display": "Systolic BP",
+                          "equivalence": "equivalent"}]},
+            {"code": "bp-dia",
+             "target": [{"code": "8462-4", "display": "Diastolic BP",
+                          "equivalence": "equivalent"},
+                         {"code": "85354-9", "display": "BP panel",
+                          "equivalence": "wider"}]},
+        ],
+    }],
+}
+
+
+def _encode_doc(spark, doc, rtype):
+    import json as _json
+
+    base = tempfile.mkdtemp(prefix=f"pofs_term_{rtype}_")
+    with open(f"{base}/r.ndjson", "w") as fh:
+        fh.write(_json.dumps(doc) + "\n")
+    return encode_ndjson(spark, base, resource_type=rtype)
+
+
+def qf12(spark, sf_dir):
+    from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_DOC, "ValueSet")
+    cs = _encode_doc(spark, _CS_DOC, "CodeSystem")
+    return expand_valueset(vs, cs).select("url", "system", "code", "display")
+
+
+QF12_ORACLE = """
+SELECT * FROM (VALUES
+  ('http://example.org/ValueSet/vitals', 'http://loinc.org', '8867-4', 'Heart rate'),
+  ('http://example.org/ValueSet/vitals', 'http://loinc.org', '9279-1', 'Respiratory rate'),
+  ('http://example.org/ValueSet/vitals', 'http://example.org/cs/local', 'bp-sys', 'Systolic BP'),
+  ('http://example.org/ValueSet/vitals', 'http://example.org/cs/local', 'bp-dia', 'Diastolic BP')
+) AS t(url, system, code, display)
+"""
+
+
+QUERIES.append(Q("qf12_valueset_expand", qf12, QF12_ORACLE))
+
+
+def qf13(spark, sf_dir):
+    from parquet_on_fhir_spark.fhir.terminology import translate_codes
+
+    utc(spark)
+    cm = _encode_doc(spark, _CM_DOC, "ConceptMap")
+    facts = spark.createDataFrame(
+        [
+            (1, "http://example.org/cs/local", "bp-sys"),
+            (2, "http://example.org/cs/local", "bp-dia"),
+            (3, "http://example.org/cs/local", "unknown-code"),
+            (4, "http://other.org", "bp-sys"),
+        ],
+        "row_id long, system string, code string",
+    )
+    return translate_codes(facts, cm, "system", "code").select(
+        "row_id", "code", "target_system", "target_code", "equivalence"
+    )
+
+
+QF13_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'bp-sys', 'http://loinc.org', '8480-6', 'equivalent'),
+  (2, 'bp-dia', 'http://loinc.org', '8462-4', 'equivalent'),
+  (2, 'bp-dia', 'http://loinc.org', '85354-9', 'wider'),
+  (3, 'unknown-code', NULL, NULL, NULL),
+  (4, 'bp-sys', NULL, NULL, NULL)
+) AS t(row_id, code, target_system, target_code, equivalence)
+"""
+
+
+QUERIES.append(Q("qf13_conceptmap_translate", qf13, QF13_ORACLE))

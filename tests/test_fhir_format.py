@@ -467,3 +467,49 @@ def test_resolve_local_reference(spark):
     # pure projection: no shuffle in the plan
     plan = resolve_local_reference(df2, "medicationReference")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- terminology: ValueSet expansion + ConceptMap translation ---------------------------------
+def test_expand_valueset_and_translate(spark):
+    from parquet_on_fhir_spark.fhir.terminology import (
+        expand_valueset,
+        translate_codes,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CM_DOC,
+        _CS_DOC,
+        _VS_DOC,
+        _encode_doc,
+    )
+
+    vs = _encode_doc(spark, _VS_DOC, "ValueSet")
+    cs = _encode_doc(spark, _CS_DOC, "CodeSystem")
+    got = {(r.system, r.code) for r in expand_valueset(vs, cs).collect()}
+    assert got == {
+        ("http://loinc.org", "8867-4"),
+        ("http://loinc.org", "9279-1"),       # 8310-5 excluded
+        ("http://example.org/cs/local", "bp-sys"),
+        ("http://example.org/cs/local", "bp-dia"),
+    }
+    # a filter-bearing ValueSet raises rather than silently under-expanding
+    import pytest
+
+    filt = dict(_VS_DOC)
+    filt = {**_VS_DOC, "id": "vs-f",
+            "compose": {"include": [{"system": "http://loinc.org",
+                                     "filter": [{"property": "concept",
+                                                 "op": "is-a",
+                                                 "value": "8867-4"}]}]}}
+    vs_f = _encode_doc(spark, filt, "ValueSet")
+    with pytest.raises(NotImplementedError):
+        expand_valueset(vs_f, cs).collect()
+
+    cm = _encode_doc(spark, _CM_DOC, "ConceptMap")
+    facts = spark.createDataFrame(
+        [(1, "http://example.org/cs/local", "bp-dia")],
+        "row_id long, system string, code string",
+    )
+    t = translate_codes(facts, cm, "system", "code").collect()
+    assert {(r.target_code, r.equivalence) for r in t} == {
+        ("8462-4", "equivalent"), ("85354-9", "wider"),
+    }
