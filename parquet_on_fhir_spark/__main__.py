@@ -8,6 +8,9 @@
     python -m parquet_on_fhir_spark search   IN_PARQUET "birthDate=ge1960&gender=male&_count=20"
     python -m parquet_on_fhir_spark view     IN_PARQUET view_definition.json [--output OUT_PARQUET]
     python -m parquet_on_fhir_spark ingest   SRC_DIR OUT_TABLE CHECKPOINT --resource-type Patient
+    python -m parquet_on_fhir_spark expand    VALUESET_PARQUET [--codesystems CS_PARQUET]
+    python -m parquet_on_fhir_spark translate FACTS_PARQUET CONCEPTMAP_PARQUET --system-col system --code-col code
+    python -m parquet_on_fhir_spark diff      OLD_PARQUET NEW_PARQUET --id-cols id
 
 Exit code 0 on success; ``validate`` exits 1 when invariants fail.
 """
@@ -76,6 +79,36 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--resource-type")
     ing.add_argument("--no-annotations", action="store_true")
     ing.add_argument("--quarantine", action="store_true")
+
+    exp = sub.add_parser(
+        "expand", help="expand ValueSet.compose to (url, system, code, display) rows"
+    )
+    exp.add_argument("valuesets")
+    exp.add_argument("--codesystems", help="CodeSystem table for whole-system includes")
+    exp.add_argument("--output", help="write the expansion as parquet instead of printing")
+    exp.add_argument("--show", type=int, default=50)
+
+    trn = sub.add_parser(
+        "translate", help="translate (system, code) pairs through a ConceptMap table"
+    )
+    trn.add_argument("facts")
+    trn.add_argument("conceptmaps")
+    trn.add_argument("--system-col", default="system")
+    trn.add_argument("--code-col", default="code")
+    trn.add_argument("--map-url")
+    trn.add_argument("--output")
+    trn.add_argument("--show", type=int, default=20)
+
+    dif = sub.add_parser(
+        "diff", help="row-level snapshot diff: added/removed/changed/unchanged by id"
+    )
+    dif.add_argument("old")
+    dif.add_argument("new")
+    dif.add_argument("--id-cols", nargs="+", required=True)
+    dif.add_argument("--compare-cols", nargs="*")
+    dif.add_argument("--output")
+    dif.add_argument("--summary", action="store_true",
+                     help="print per-change counts instead of rows")
 
     args = ap.parse_args(argv)
 
@@ -168,6 +201,53 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         n = spark.read.parquet(args.output).count()
         print(f"table now holds {n} resources -> {args.output}")
+        return 0
+
+    if args.cmd == "expand":
+        from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+
+        cs = spark.read.parquet(args.codesystems) if args.codesystems else None
+        out = expand_valueset(spark.read.parquet(args.valuesets), cs)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} codes -> {args.output}")
+        else:
+            out.show(args.show, truncate=60)
+        return 0
+
+    if args.cmd == "translate":
+        from parquet_on_fhir_spark.fhir.terminology import translate_codes
+
+        out = translate_codes(
+            spark.read.parquet(args.facts),
+            spark.read.parquet(args.conceptmaps),
+            args.system_col,
+            args.code_col,
+            map_url=args.map_url,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} rows -> {args.output}")
+        else:
+            out.show(args.show, truncate=40)
+        return 0
+
+    if args.cmd == "diff":
+        from parquet_on_fhir_spark.operators.layout import snapshot_diff
+
+        out = snapshot_diff(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            args.id_cols,
+            compare_cols=args.compare_cols or None,
+        )
+        if args.summary:
+            out.groupBy("change").count().orderBy("change").show()
+        elif args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} rows -> {args.output}")
+        else:
+            out.filter("change <> 'unchanged'").show(50, truncate=40)
         return 0
 
     if args.cmd == "schema":

@@ -79,3 +79,24 @@ def test_cli_view():
         f"SELECT pid, gender, family FROM read_parquet('{d}/flat/*.parquet') ORDER BY pid, family"
     ).fetchall()
     assert got == [("p1", "male", "A"), ("p1", "male", "B"), ("p2", "female", None)]
+
+
+def test_cli_diff_summary(tmp_path):
+    import duckdb  # noqa: F401 - ensures env parity with other CLI tests
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    code = f"""
+import sys; sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+from parquet_on_fhir_spark.session import get_session
+spark = get_session("t"); spark.sparkContext.setLogLevel("ERROR")
+spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.parquet({old_p!r})
+spark.createDataFrame([(2, "b2"), (3, "c")], "id long, s string").write.parquet({new_p!r})
+from parquet_on_fhir_spark.__main__ import main
+rc = main(["diff", {old_p!r}, {new_p!r}, "--id-cols", "id", "--summary"])
+sys.exit(rc)
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "added" in r.stdout and "removed" in r.stdout and "changed" in r.stdout
