@@ -31,6 +31,12 @@ PROBE_QUERIES = [
     "q66_dedup_exact",
     "q72_term_idf",
     "q89_tpch_q18",
+    # round-6 additions
+    "q113_duplicate_spans",
+    "q121_ngram_lm_score",
+    "q122_dedup_lines",
+    "q124_fuzzy_join",
+    "q133_funnel",
 ]
 
 
