@@ -418,6 +418,71 @@ _CM_DEPENDS_ON = {
 # Bundle.link backbone, shared by entry.link
 _BUNDLE_LINK = {"relation": "string", "url": "uri"}
 
+# ElementDefinition subset shared by StructureDefinition snapshot and
+# differential (hl7.org/fhir/R4/elementdefinition.html — fixed[x]/
+# pattern[x]/defaultValue[x]/example omitted: open choice over every
+# type; data-driven typing covers them when populated)
+_ELEMENT_DEF = {
+    "id": "string",
+    "path": "string",
+    "representation": ("code", True),
+    "sliceName": "string",
+    "label": "string",
+    "code": ("Coding", True),
+    "short": "string",
+    "definition": "markdown",
+    "comment": "markdown",
+    "requirements": "markdown",
+    "alias": ("string", True),
+    "min": "unsignedInt",
+    "max": "string",
+    "base": {"path": "string", "min": "unsignedInt", "max": "string"},
+    "contentReference": "uri",
+    "type": (
+        {
+            "code": "uri",
+            "profile": ("canonical", True),
+            "targetProfile": ("canonical", True),
+            "aggregation": ("code", True),
+            "versioning": "code",
+        },
+        True,
+    ),
+    "meaningWhenMissing": "markdown",
+    "orderMeaning": "string",
+    "condition": ("id", True),
+    "constraint": (
+        {
+            "key": "id",
+            "requirements": "string",
+            "severity": "code",
+            "human": "string",
+            "expression": "string",
+            "xpath": "string",
+            "source": "canonical",
+        },
+        True,
+    ),
+    "mustSupport": "boolean",
+    "isModifier": "boolean",
+    "isModifierReason": "string",
+    "isSummary": "boolean",
+    "binding": {
+        "strength": "code",
+        "description": "string",
+        "valueSet": "canonical",
+    },
+    "mapping": (
+        {
+            "identity": "id",
+            "language": "code",
+            "map": "string",
+            "comment": "string",
+        },
+        True,
+    ),
+}
+
 # ---------------------------------------------------------------------------
 # Resource definitions (hl7.org/fhir/R4/<resource>.html)
 # ---------------------------------------------------------------------------
@@ -3159,6 +3224,465 @@ RESOURCES: dict[str, dict] = {
         "contentType": "code",
         "securityContext": "Reference",
         "data": "base64Binary",
+    },
+    # --- round-6 second batch: conformance / catalog / misc tier ------------
+    "StructureDefinition": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        "keyword": A("Coding"),
+        "fhirVersion": "code",
+        "mapping": A(
+            {
+                "identity": "id",
+                "uri": "uri",
+                "name": "string",
+                "comment": "string",
+            }
+        ),
+        "kind": "code",
+        "abstract": "boolean",
+        "context": A({"type": "code", "expression": "string"}),
+        "contextInvariant": A("string"),
+        "type": "uri",
+        "baseDefinition": "canonical",
+        "derivation": "code",
+        "snapshot": {"element": A(_ELEMENT_DEF)},
+        "differential": {"element": A(_ELEMENT_DEF)},
+    },
+    "SearchParameter": {
+        **_DOMAIN,
+        # SearchParameter has no identifier element in R4
+        **{k: v for k, v in _CANONICAL_HEADER.items() if k != "identifier"},
+        "derivedFrom": "canonical",
+        "code": "code",
+        "base": A("code"),
+        "type": "code",
+        "expression": "string",
+        "xpath": "string",
+        "xpathUsage": "code",
+        "target": A("code"),
+        "multipleOr": "boolean",
+        "multipleAnd": "boolean",
+        "comparator": A("code"),
+        "modifier": A("code"),
+        "chain": A("string"),
+        "component": A({"definition": "canonical", "expression": "string"}),
+    },
+    "NamingSystem": {
+        **_DOMAIN,
+        "name": "string",
+        "status": "code",
+        "kind": "code",
+        "date": "dateTime",
+        "publisher": "string",
+        "contact": A("ContactDetail"),
+        "responsible": "string",
+        "type": "CodeableConcept",
+        "description": "markdown",
+        "useContext": A("UsageContext"),
+        "jurisdiction": A("CodeableConcept"),
+        "usage": "string",
+        "uniqueId": A(
+            {
+                "type": "code",
+                "value": "string",
+                "preferred": "boolean",
+                "comment": "string",
+                "period": "Period",
+            }
+        ),
+    },
+    "DocumentManifest": {
+        **_DOMAIN,
+        "masterIdentifier": "Identifier",
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": "CodeableConcept",
+        "subject": "Reference",
+        "created": "dateTime",
+        "author": A("Reference"),
+        "recipient": A("Reference"),
+        "source": "uri",
+        "description": "string",
+        "content": A("Reference"),
+        "related": A({"identifier": "Identifier", "ref": "Reference"}),
+    },
+    "RequestGroup": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "instantiatesCanonical": A("canonical"),
+        "instantiatesUri": A("uri"),
+        "basedOn": A("Reference"),
+        "replaces": A("Reference"),
+        "groupIdentifier": "Identifier",
+        "status": "code",
+        "intent": "code",
+        "priority": "code",
+        "code": "CodeableConcept",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "authoredOn": "dateTime",
+        "author": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "note": A("Annotation"),
+        # action nests recursively; one structured level
+        "action": A(
+            {
+                "prefix": "string",
+                "title": "string",
+                "description": "string",
+                "textEquivalent": "string",
+                "priority": "code",
+                "code": A("CodeableConcept"),
+                "documentation": A("RelatedArtifact"),
+                "condition": A({"kind": "code", "expression": "Expression"}),
+                "relatedAction": A(
+                    {
+                        "actionId": "id",
+                        "relationship": "code",
+                        "offset[x]": ["Duration", "Range"],
+                    }
+                ),
+                "timing[x]": [
+                    "dateTime", "Age", "Period", "Duration", "Range", "Timing",
+                ],
+                "participant": A("Reference"),
+                "type": "CodeableConcept",
+                "groupingBehavior": "code",
+                "selectionBehavior": "code",
+                "requiredBehavior": "code",
+                "precheckBehavior": "code",
+                "cardinalityBehavior": "code",
+                "resource": "Reference",
+            }
+        ),
+    },
+    "GuidanceResponse": {
+        **_DOMAIN,
+        "requestIdentifier": "Identifier",
+        "identifier": A("Identifier"),
+        "module[x]": ["uri", "canonical", "CodeableConcept"],
+        "status": "code",
+        "subject": "Reference",
+        "encounter": "Reference",
+        "occurrenceDateTime": "dateTime",
+        "performer": "Reference",
+        "reasonCode": A("CodeableConcept"),
+        "reasonReference": A("Reference"),
+        "note": A("Annotation"),
+        "evaluationMessage": A("Reference"),
+        "outputParameters": "Reference",
+        "result": "Reference",
+        "dataRequirement": A("DataRequirement"),
+    },
+    "DeviceDefinition": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "udiDeviceIdentifier": A(
+            {
+                "deviceIdentifier": "string",
+                "issuer": "uri",
+                "jurisdiction": "uri",
+            }
+        ),
+        "manufacturer[x]": ["string", "Reference"],
+        "deviceName": A({"name": "string", "type": "code"}),
+        "modelNumber": "string",
+        "type": "CodeableConcept",
+        "specialization": A({"systemType": "string", "version": "string"}),
+        "version": A("string"),
+        "safety": A("CodeableConcept"),
+        "languageCode": A("CodeableConcept"),
+        "capability": A(
+            {"type": "CodeableConcept", "description": A("CodeableConcept")}
+        ),
+        "property": A(
+            {
+                "type": "CodeableConcept",
+                "valueQuantity": A("Quantity"),
+                "valueCode": A("CodeableConcept"),
+            }
+        ),
+        "owner": "Reference",
+        "contact": A("ContactPoint"),
+        "url": "uri",
+        "onlineInformation": "uri",
+        "note": A("Annotation"),
+        "quantity": "Quantity",
+        "parentDevice": "Reference",
+        "material": A(
+            {
+                "substance": "CodeableConcept",
+                "alternate": "boolean",
+                "allergenicIndicator": "boolean",
+            }
+        ),
+    },
+    "SpecimenDefinition": {
+        **_DOMAIN,
+        # identifier is 0..1 on SpecimenDefinition
+        "identifier": "Identifier",
+        "typeCollected": "CodeableConcept",
+        "patientPreparation": A("CodeableConcept"),
+        "timeAspect": "string",
+        "collection": A("CodeableConcept"),
+        "typeTested": A(
+            {
+                "isDerived": "boolean",
+                "type": "CodeableConcept",
+                "preference": "code",
+                "container": {
+                    "material": "CodeableConcept",
+                    "type": "CodeableConcept",
+                    "cap": "CodeableConcept",
+                    "description": "string",
+                    "capacity": "SimpleQuantity",
+                    "minimumVolume[x]": ["SimpleQuantity", "string"],
+                    "additive": A(
+                        {"additive[x]": ["CodeableConcept", "Reference"]}
+                    ),
+                    "preparation": "string",
+                },
+                "requirement": "string",
+                "retentionTime": "Duration",
+                "rejectionCriterion": A("CodeableConcept"),
+                "handling": A(
+                    {
+                        "temperatureQualifier": "CodeableConcept",
+                        "temperatureRange": "Range",
+                        "maxDuration": "Duration",
+                        "instruction": "string",
+                    }
+                ),
+            }
+        ),
+    },
+    "ObservationDefinition": {
+        **_DOMAIN,
+        "category": A("CodeableConcept"),
+        "code": "CodeableConcept",
+        "identifier": A("Identifier"),
+        "permittedDataType": A("code"),
+        "multipleResultsAllowed": "boolean",
+        "method": "CodeableConcept",
+        "preferredReportName": "string",
+        "quantitativeDetails": {
+            "customaryUnit": "CodeableConcept",
+            "unit": "CodeableConcept",
+            "conversionFactor": "decimal",
+            "decimalPrecision": "integer",
+        },
+        "qualifiedInterval": A(
+            {
+                "category": "code",
+                "range": "Range",
+                "context": "CodeableConcept",
+                "appliesTo": A("CodeableConcept"),
+                "gender": "code",
+                "age": "Range",
+                "gestationalAge": "Range",
+                "condition": "string",
+            }
+        ),
+        "validCodedValueSet": "Reference",
+        "normalCodedValueSet": "Reference",
+        "abnormalCodedValueSet": "Reference",
+        "criticalCodedValueSet": "Reference",
+    },
+    "InsurancePlan": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "status": "code",
+        "type": A("CodeableConcept"),
+        "name": "string",
+        "alias": A("string"),
+        "period": "Period",
+        "ownedBy": "Reference",
+        "administeredBy": "Reference",
+        "coverageArea": A("Reference"),
+        "contact": A(
+            {
+                "purpose": "CodeableConcept",
+                "name": "HumanName",
+                "telecom": A("ContactPoint"),
+                "address": "Address",
+            }
+        ),
+        "endpoint": A("Reference"),
+        "network": A("Reference"),
+        "coverage": A(
+            {
+                "type": "CodeableConcept",
+                "network": A("Reference"),
+                "benefit": A(
+                    {
+                        "type": "CodeableConcept",
+                        "requirement": "string",
+                        "limit": A(
+                            {"value": "Quantity", "code": "CodeableConcept"}
+                        ),
+                    }
+                ),
+            }
+        ),
+        "plan": A(
+            {
+                "identifier": A("Identifier"),
+                "type": "CodeableConcept",
+                "coverageArea": A("Reference"),
+                "network": A("Reference"),
+                "generalCost": A(
+                    {
+                        "type": "CodeableConcept",
+                        "groupSize": "positiveInt",
+                        "cost": "Money",
+                        "comment": "string",
+                    }
+                ),
+                "specificCost": A(
+                    {
+                        "category": "CodeableConcept",
+                        "benefit": A(
+                            {
+                                "type": "CodeableConcept",
+                                "cost": A(
+                                    {
+                                        "type": "CodeableConcept",
+                                        "applicability": "CodeableConcept",
+                                        "qualifiers": A("CodeableConcept"),
+                                        "value": "Quantity",
+                                    }
+                                ),
+                            }
+                        ),
+                    }
+                ),
+            }
+        ),
+    },
+    "VerificationResult": {
+        **_DOMAIN,
+        "target": A("Reference"),
+        "targetLocation": A("string"),
+        "need": "CodeableConcept",
+        "status": "code",
+        "statusDate": "dateTime",
+        "validationType": "CodeableConcept",
+        "validationProcess": A("CodeableConcept"),
+        "frequency": "Timing",
+        "lastPerformed": "dateTime",
+        "nextScheduled": "date",
+        "failureAction": "CodeableConcept",
+        "primarySource": A(
+            {
+                "who": "Reference",
+                "type": A("CodeableConcept"),
+                "communicationMethod": A("CodeableConcept"),
+                "validationStatus": "CodeableConcept",
+                "validationDate": "dateTime",
+                "canPushUpdates": "CodeableConcept",
+                "pushTypeAvailable": A("CodeableConcept"),
+            }
+        ),
+        "attestation": {
+            "who": "Reference",
+            "onBehalfOf": "Reference",
+            "communicationMethod": "CodeableConcept",
+            "date": "date",
+            "sourceIdentityCertificate": "string",
+            "proxyIdentityCertificate": "string",
+            "proxySignature": "Signature",
+            "sourceSignature": "Signature",
+        },
+        "validator": A(
+            {
+                "organization": "Reference",
+                "identityCertificate": "string",
+                "attestationSignature": "Signature",
+            }
+        ),
+    },
+    "MolecularSequence": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "type": "code",
+        "coordinateSystem": "integer",
+        "patient": "Reference",
+        "specimen": "Reference",
+        "device": "Reference",
+        "performer": "Reference",
+        "quantity": "Quantity",
+        "referenceSeq": {
+            "chromosome": "CodeableConcept",
+            "genomeBuild": "string",
+            "orientation": "code",
+            "referenceSeqId": "CodeableConcept",
+            "referenceSeqPointer": "Reference",
+            "referenceSeqString": "string",
+            "strand": "code",
+            "windowStart": "integer",
+            "windowEnd": "integer",
+        },
+        "variant": A(
+            {
+                "start": "integer",
+                "end": "integer",
+                "observedAllele": "string",
+                "referenceAllele": "string",
+                "cigar": "string",
+                "variantPointer": "Reference",
+            }
+        ),
+        "observedSeq": "string",
+        "quality": A(
+            {
+                "type": "code",
+                "standardSequence": "CodeableConcept",
+                "start": "integer",
+                "end": "integer",
+                "score": "Quantity",
+                "method": "CodeableConcept",
+                "truthTP": "decimal",
+                "queryTP": "decimal",
+                "truthFN": "decimal",
+                "queryFP": "decimal",
+                "gtFP": "decimal",
+                "precision": "decimal",
+                "recall": "decimal",
+                "fScore": "decimal",
+                "roc": {
+                    "score": A("integer"),
+                    "numTP": A("integer"),
+                    "numFP": A("integer"),
+                    "numFN": A("integer"),
+                    "precision": A("decimal"),
+                    "sensitivity": A("decimal"),
+                    "fMeasure": A("decimal"),
+                },
+            }
+        ),
+        "readCoverage": "integer",
+        "repository": A(
+            {
+                "type": "code",
+                "url": "uri",
+                "name": "string",
+                "datasetId": "string",
+                "variantsetId": "string",
+                "readsetId": "string",
+            }
+        ),
+        "pointer": A("Reference"),
+        "structureVariant": A(
+            {
+                "variantType": "CodeableConcept",
+                "exact": "boolean",
+                "length": "integer",
+                "outer": {"start": "integer", "end": "integer"},
+                "inner": {"start": "integer", "end": "integer"},
+            }
+        ),
     },
 }
 

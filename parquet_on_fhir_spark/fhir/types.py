@@ -181,8 +181,17 @@ def is_quantity_shaped(dtype: T.DataType) -> bool:
     never be treated as decimal. This structural test is how
     Quantity.value (the most common FHIR decimal site, README.md:343+)
     is recognized without a name registry: 'value' alone is ambiguous,
-    'value' inside a unit-bearing struct is the spec's Quantity."""
+    'value' inside a unit-bearing struct is the spec's Quantity.
+
+    ``value`` must itself be atomic: backbones like InsurancePlan's
+    benefit.limit are (value: Quantity, code: CodeableConcept) — same
+    field NAMES, but their value is a struct and must not be treated as
+    a decimal leaf."""
     if not isinstance(dtype, T.StructType):
         return False
     names = set(dtype.fieldNames())
-    return "value" in names and bool(names & {"unit", "code", "currency"})
+    if "value" not in names or not (names & {"unit", "code", "currency"}):
+        return False
+    return not isinstance(
+        dtype["value"].dataType, (T.StructType, T.ArrayType)
+    )

@@ -950,6 +950,164 @@ _ROUNDTRIP_DOCS.update({
                "contentType": "application/pdf",
                "securityContext": {"reference": "Patient/p1"},
                "data": "JVBERi0xLjQ="},
+    "StructureDefinition": {
+        "resourceType": "StructureDefinition", "id": "sd1",
+        "url": "http://example.org/StructureDefinition/my-patient",
+        "name": "MyPatient", "status": "active", "kind": "resource",
+        "abstract": False, "type": "Patient", "fhirVersion": "4.0.1",
+        "baseDefinition": "http://hl7.org/fhir/StructureDefinition/Patient",
+        "derivation": "constraint",
+        "differential": {"element": [
+            {"id": "Patient.birthDate", "path": "Patient.birthDate",
+             "min": 1, "max": "1", "mustSupport": True,
+             "type": [{"code": "date"}],
+             "constraint": [{"key": "mp-1", "severity": "error",
+                             "human": "birthDate required",
+                             "expression": "birthDate.exists()"}],
+             "binding": {"strength": "required",
+                          "valueSet": "http://example.org/ValueSet/x"}}]}},
+    "SearchParameter": {
+        "resourceType": "SearchParameter", "id": "sp1",
+        "url": "http://example.org/SearchParameter/patient-maiden",
+        "name": "maiden", "status": "active",
+        "description": "maiden name search",
+        "code": "maiden", "base": ["Patient"], "type": "string",
+        "expression": "Patient.name.where(use = 'maiden').family",
+        "multipleOr": True,
+        "modifier": ["exact", "contains"]},
+    "NamingSystem": {
+        "resourceType": "NamingSystem", "id": "ns1",
+        "name": "LocalMRN", "status": "active", "kind": "identifier",
+        "date": "2024-01-01T00:00:00Z",
+        "uniqueId": [{"type": "uri",
+                      "value": "http://hospital.example.org/mrn",
+                      "preferred": True}]},
+    "DocumentManifest": {
+        "resourceType": "DocumentManifest", "id": "dm2",
+        "masterIdentifier": {"value": "manifest-1"},
+        "status": "current", "subject": {"reference": "Patient/p1"},
+        "created": "2024-03-01T00:00:00Z",
+        "content": [{"reference": "DocumentReference/doc1"}],
+        "related": [{"identifier": {"value": "rel-1"},
+                     "ref": {"reference": "Encounter/e1"}}]},
+    "RequestGroup": {
+        "resourceType": "RequestGroup", "id": "rg1",
+        "status": "active", "intent": "order", "priority": "routine",
+        "subject": {"reference": "Patient/p1"},
+        "authoredOn": "2024-03-01T00:00:00Z",
+        "action": [{"title": "labs then meds",
+                    "selectionBehavior": "all",
+                    "condition": [{"kind": "applicability",
+                                   "expression": {"language": "text/cql",
+                                                  "expression": "Eligible"}}],
+                    "relatedAction": [{"actionId": "a2",
+                                       "relationship": "before-start",
+                                       "offsetDuration": {"value": 1,
+                                                          "unit": "d",
+                                                          "code": "d"}}],
+                    "resource": {"reference": "ServiceRequest/sr9"}}]},
+    "GuidanceResponse": {
+        "resourceType": "GuidanceResponse", "id": "gr2",
+        "moduleCanonical": "http://example.org/PlanDefinition/dm-care",
+        "status": "success", "subject": {"reference": "Patient/p1"},
+        "occurrenceDateTime": "2024-03-02T00:00:00Z",
+        "result": {"reference": "RequestGroup/rg1"},
+        "dataRequirement": [{"type": "Observation",
+                             "limit": 5}]},
+    "DeviceDefinition": {
+        "resourceType": "DeviceDefinition", "id": "dd1",
+        "manufacturerString": "Acme Devices",
+        "deviceName": [{"name": "PulseOx 3000", "type": "manufacturer-name"}],
+        "modelNumber": "PX-3000", "type": {"text": "pulse oximeter"},
+        "version": ["3.1"],
+        "capability": [{"type": {"text": "SpO2"},
+                        "description": [{"text": "percent saturation"}]}],
+        "property": [{"type": {"text": "accuracy"},
+                      "valueQuantity": [{"value": 2, "unit": "%"}]}],
+        "material": [{"substance": {"text": "silicone"},
+                      "allergenicIndicator": False}]},
+    "SpecimenDefinition": {
+        "resourceType": "SpecimenDefinition", "id": "spd1",
+        "identifier": {"value": "spec-def-1"},
+        "typeCollected": {"text": "venous blood"},
+        "timeAspect": "fasting",
+        "typeTested": [{"isDerived": False, "type": {"text": "serum"},
+                        "preference": "preferred",
+                        "container": {"type": {"text": "SST tube"},
+                                      "capacity": {"value": 5, "unit": "mL",
+                                                   "code": "mL"},
+                                      "minimumVolumeQuantity":
+                                          {"value": 2, "unit": "mL",
+                                           "code": "mL"}},
+                        "retentionTime": {"value": 7, "unit": "d",
+                                          "code": "d"},
+                        "handling": [{"temperatureQualifier":
+                                      {"text": "refrigerated"},
+                                      "instruction": "2-8C"}]}]},
+    "ObservationDefinition": {
+        "resourceType": "ObservationDefinition", "id": "od1",
+        "code": {"text": "HbA1c"},
+        "permittedDataType": ["Quantity"],
+        "multipleResultsAllowed": False,
+        "quantitativeDetails": {"unit": {"text": "%"},
+                                "conversionFactor": 1.0,
+                                "decimalPrecision": 1},
+        "qualifiedInterval": [{"category": "reference",
+                               "range": {"low": {"value": 4.0},
+                                         "high": {"value": 5.6}},
+                               "gender": "female"}]},
+    "InsurancePlan": {
+        "resourceType": "InsurancePlan", "id": "ip1",
+        "status": "active", "name": "Gold PPO",
+        "type": [{"text": "medical"}],
+        "ownedBy": {"reference": "Organization/org1"},
+        "coverage": [{"type": {"text": "medical"},
+                      "benefit": [{"type": {"text": "primary care"},
+                                   "limit": [{"value": {"value": 20},
+                                              "code": {"text": "visits/yr"}}]}]}],
+        "plan": [{"type": {"text": "standard"},
+                  "generalCost": [{"type": {"text": "premium"},
+                                   "groupSize": 1,
+                                   "cost": {"value": 450.00,
+                                            "currency": "USD"}}],
+                  "specificCost": [{"category": {"text": "outpatient"},
+                                    "benefit": [{"type": {"text": "copay"},
+                                                 "cost": [{"type":
+                                                           {"text": "copay"},
+                                                           "value":
+                                                           {"value": 30}}]}]}]}]},
+    "VerificationResult": {
+        "resourceType": "VerificationResult", "id": "vr1",
+        "target": [{"reference": "Practitioner/pc1"}],
+        "status": "validated",
+        "statusDate": "2024-02-01T00:00:00Z",
+        "validationType": {"text": "primary"},
+        "lastPerformed": "2024-02-01T00:00:00Z",
+        "nextScheduled": "2025-02-01",
+        "primarySource": [{"who": {"reference": "Organization/org1"},
+                           "validationStatus": {"text": "successful"},
+                           "validationDate": "2024-02-01T00:00:00Z"}],
+        "attestation": {"who": {"reference": "Practitioner/pc1"},
+                        "date": "2024-01-15"}},
+    "MolecularSequence": {
+        "resourceType": "MolecularSequence", "id": "mseq1",
+        "type": "dna", "coordinateSystem": 0,
+        "patient": {"reference": "Patient/p1"},
+        "referenceSeq": {"chromosome": {"text": "chr17"},
+                         "genomeBuild": "GRCh38", "strand": "watson",
+                         "windowStart": 43044294, "windowEnd": 43044394},
+        "variant": [{"start": 43044300, "end": 43044301,
+                     "observedAllele": "T", "referenceAllele": "C"}],
+        "quality": [{"type": "snp", "start": 43044294, "end": 43044394,
+                     "precision": 0.99, "recall": 0.95,
+                     "fScore": 0.97,
+                     "roc": {"score": [10, 20],
+                             "precision": [0.9, 0.95],
+                             "sensitivity": [0.98, 0.92]}}],
+        "readCoverage": 30,
+        "repository": [{"type": "login",
+                        "url": "https://genomics.example.org",
+                        "name": "repo", "datasetId": "ds-1"}]},
     "VisionPrescription": {"resourceType": "VisionPrescription", "id": "vp1",
                            "status": "active",
                            "created": "2024-02-01T00:00:00Z",
