@@ -192,3 +192,40 @@ def test_fuzzy_join_rejects_large_k(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with pytest.raises(ValueError):
         fuzzy_join(df, df, "s", "s", max_dist=3)
+
+
+def test_fuzzy_join_randomized_vs_brute_force(spark):
+    """Seeded random corpus (mixed alphabet, lengths 0-8, duplicates):
+    FastSS candidate generation misses no pair at k=1 and k=2."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.joins import fuzzy_join
+
+    rng = random.Random(20240814)
+    alphabet = "abcXYZ01"
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, s string"
+    )
+    for k in (1, 2):
+        got = {
+            (r.id_l, r.id_r)
+            for r in fuzzy_join(df, df, "s", "s", max_dist=k,
+                                left_id="id", right_id="id")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .collect()
+        }
+        brute = {
+            (r.a, r.b)
+            for r in df.alias("x").crossJoin(df.alias("y"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                    F.levenshtein("x.s", "y.s").alias("d"))
+            .filter((F.col("a") < F.col("b")) & (F.col("d") <= k))
+            .collect()
+        }
+        assert got == brute, (k, len(got), len(brute))
