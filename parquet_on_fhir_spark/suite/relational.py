@@ -2168,3 +2168,42 @@ FROM o FULL OUTER JOIN n USING (c_custkey)
 
 
 QUERIES.append(Q("q141_snapshot_diff", q141, Q141_ORACLE))
+
+
+# --- Q142: shuffle-key skew diagnostic -----------------------------------------------
+def q142(spark, sf_dir):
+    """Top-10 heaviest keys for the columns the suite shuffles on most
+    (operators/skew.py::skew_report) — one pass however many columns
+    are probed."""
+    from parquet_on_fhir_spark.operators.skew import skew_report
+
+    li = t(spark, sf_dir, "lineitem")
+    out = skew_report(li, ["l_orderkey", "l_partkey", "l_returnflag"], k=10)
+    return out.select(
+        "column", "key_value", "n_rows", d4(F.col("share")).alias("share"), "rank"
+    )
+
+
+Q142_ORACLE = """
+WITH total AS (SELECT count(*) AS n FROM lineitem),
+e AS (
+  SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS key_value
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', l_returnflag FROM lineitem
+),
+c AS (SELECT "column", key_value, count(*) AS n_rows FROM e GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY "column"
+              ORDER BY n_rows DESC, key_value ASC NULLS LAST) AS rank
+  FROM c
+)
+SELECT "column", key_value, n_rows,
+       round(n_rows / CAST(total.n AS DOUBLE) + 1e-9, 4) AS share, rank
+FROM r, total WHERE rank <= 10
+"""
+
+
+QUERIES.append(Q("q142_skew_report", q142, Q142_ORACLE))

@@ -286,3 +286,15 @@ def test_snapshot_diff_classifies(spark):
     o2 = spark.createDataFrame([(1, None)], "id long, s string")
     n2 = spark.createDataFrame([(1, "")], "id long, s string")
     assert snapshot_diff(o2, n2, ["id"]).collect()[0].change == "changed"
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from parquet_on_fhir_spark.operators.skew import skew_report
+
+    rows = [(1, "hot") for _ in range(90)] + [(i, f"k{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    rep = {(r.column, r.rank): r for r in skew_report(df, ["key"], k=3).collect()}
+    top = rep[("key", 1)]
+    assert top.key_value == "hot" and top.n_rows == 90
+    assert abs(top.share - 0.9) < 1e-9
+    assert len(rep) == 3  # k respected
