@@ -418,6 +418,82 @@ _CM_DEPENDS_ON = {
 # Bundle.link backbone, shared by entry.link
 _BUNDLE_LINK = {"relation": "string", "url": "uri"}
 
+# CapabilityStatement searchParam/operation backbones, shared by the
+# rest-level and resource-level mounts (hl7.org/fhir/R4/capabilitystatement.html)
+_CAP_SEARCH_PARAM = {
+    "name": "string",
+    "definition": "canonical",
+    "type": "code",
+    "documentation": "markdown",
+}
+_CAP_OPERATION = {
+    "name": "string",
+    "definition": "canonical",
+    "documentation": "markdown",
+}
+_CAP_INTERACTION = {"code": "code", "documentation": "markdown"}
+
+# TestReport operation/assert result backbones, shared by setup/test/
+# teardown actions (hl7.org/fhir/R4/testreport.html)
+_TR_OPERATION = {"result": "code", "message": "markdown", "detail": "uri"}
+_TR_ASSERT = {"result": "code", "message": "markdown", "detail": "string"}
+
+# TestScript operation/assert backbones, shared by setup/test/teardown
+# (hl7.org/fhir/R4/testscript.html)
+_TS_OPERATION = {
+    "type": "Coding",
+    "resource": "code",
+    "label": "string",
+    "description": "string",
+    "accept": "code",
+    "contentType": "code",
+    "destination": "integer",
+    "encodeRequestUrl": "boolean",
+    "method": "code",
+    "origin": "integer",
+    "params": "string",
+    "requestHeader": ({"field": "string", "value": "string"}, True),
+    "requestId": "id",
+    "responseId": "id",
+    "sourceId": "id",
+    "targetId": "id",
+    "url": "string",
+}
+_TS_ASSERT = {
+    "label": "string",
+    "description": "string",
+    "direction": "code",
+    "compareToSourceId": "string",
+    "compareToSourceExpression": "string",
+    "compareToSourcePath": "string",
+    "contentType": "code",
+    "expression": "string",
+    "headerField": "string",
+    "minimumId": "string",
+    "navigationLinks": "boolean",
+    "operator": "code",
+    "path": "string",
+    "requestMethod": "code",
+    "requestURL": "string",
+    "resource": "code",
+    "response": "code",
+    "responseCode": "string",
+    "sourceId": "id",
+    "validateProfileId": "id",
+    "value": "string",
+    "warningOnly": "boolean",
+}
+
+# Contract offer.answer / party backbones, shared by term.offer and
+# term.asset (hl7.org/fhir/R4/contract.html)
+_CONTRACT_ANSWER = {
+    "value[x]": [
+        "boolean", "decimal", "integer", "date", "dateTime", "time",
+        "string", "uri", "Attachment", "Coding", "Quantity", "Reference",
+    ],
+}
+_CONTRACT_PARTY = {"reference": ("Reference", True), "role": "CodeableConcept"}
+
 # ElementDefinition subset shared by StructureDefinition snapshot and
 # differential (hl7.org/fhir/R4/elementdefinition.html — fixed[x]/
 # pattern[x]/defaultValue[x]/example omitted: open choice over every
@@ -3602,6 +3678,651 @@ RESOURCES: dict[str, dict] = {
                 "attestationSignature": "Signature",
             }
         ),
+    },
+    "CapabilityStatement": {
+        **_DOMAIN,
+        # CapabilityStatement has no identifier element in R4
+        **{k: v for k, v in _CANONICAL_HEADER.items() if k != "identifier"},
+        "kind": "code",
+        "instantiates": A("canonical"),
+        "imports": A("canonical"),
+        "software": {
+            "name": "string",
+            "version": "string",
+            "releaseDate": "dateTime",
+        },
+        "implementation": {
+            "description": "string",
+            "url": "url",
+            "custodian": "Reference",
+        },
+        "fhirVersion": "code",
+        "format": A("code"),
+        "patchFormat": A("code"),
+        "implementationGuide": A("canonical"),
+        "rest": A(
+            {
+                "mode": "code",
+                "documentation": "markdown",
+                "security": {
+                    "cors": "boolean",
+                    "service": A("CodeableConcept"),
+                    "description": "markdown",
+                },
+                "resource": A(
+                    {
+                        "type": "code",
+                        "profile": "canonical",
+                        "supportedProfile": A("canonical"),
+                        "documentation": "markdown",
+                        "interaction": A(_CAP_INTERACTION),
+                        "versioning": "code",
+                        "readHistory": "boolean",
+                        "updateCreate": "boolean",
+                        "conditionalCreate": "boolean",
+                        "conditionalRead": "code",
+                        "conditionalUpdate": "boolean",
+                        "conditionalDelete": "code",
+                        "referencePolicy": A("code"),
+                        "searchInclude": A("string"),
+                        "searchRevInclude": A("string"),
+                        "searchParam": A(_CAP_SEARCH_PARAM),
+                        "operation": A(_CAP_OPERATION),
+                    }
+                ),
+                "interaction": A(_CAP_INTERACTION),
+                "searchParam": A(_CAP_SEARCH_PARAM),
+                "operation": A(_CAP_OPERATION),
+                "compartment": A("canonical"),
+            }
+        ),
+        "messaging": A(
+            {
+                "endpoint": A({"protocol": "Coding", "address": "url"}),
+                "reliableCache": "unsignedInt",
+                "documentation": "markdown",
+                "supportedMessage": A(
+                    {"mode": "code", "definition": "canonical"}
+                ),
+            }
+        ),
+        "document": A(
+            {
+                "mode": "code",
+                "documentation": "markdown",
+                "profile": "canonical",
+            }
+        ),
+    },
+    "OperationDefinition": {
+        **_DOMAIN,
+        # OperationDefinition has no identifier element in R4
+        **{k: v for k, v in _CANONICAL_HEADER.items() if k != "identifier"},
+        "kind": "code",
+        "affectsState": "boolean",
+        "code": "code",
+        "comment": "markdown",
+        "base": "canonical",
+        "resource": A("code"),
+        "system": "boolean",
+        "type": "boolean",
+        "instance": "boolean",
+        "inputProfile": "canonical",
+        "outputProfile": "canonical",
+        # parameter.part nests recursively; one structured level
+        "parameter": A(
+            {
+                "name": "code",
+                "use": "code",
+                "min": "integer",
+                "max": "string",
+                "documentation": "string",
+                "type": "code",
+                "targetProfile": A("canonical"),
+                "searchType": "code",
+                "binding": {"strength": "code", "valueSet": "canonical"},
+                "referencedFrom": A(
+                    {"source": "string", "sourceId": "string"}
+                ),
+            }
+        ),
+        "overload": A(
+            {"parameterName": A("string"), "comment": "string"}
+        ),
+    },
+    "MessageDefinition": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        "replaces": A("canonical"),
+        "base": "canonical",
+        "parent": A("canonical"),
+        "event[x]": ["Coding", "uri"],
+        "category": "code",
+        "focus": A(
+            {
+                "code": "code",
+                "profile": "canonical",
+                "min": "unsignedInt",
+                "max": "string",
+            }
+        ),
+        "responseRequired": "code",
+        "allowedResponse": A(
+            {"message": "canonical", "situation": "markdown"}
+        ),
+        "graph": A("canonical"),
+    },
+    "EventDefinition": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        **_ARTIFACT_TAIL,
+        "subtitle": "string",
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "usage": "string",
+        "trigger": A("TriggerDefinition"),
+    },
+    "ChargeItemDefinition": {
+        **_DOMAIN,
+        # ChargeItemDefinition has title but NO name element
+        **{k: v for k, v in _CANONICAL_HEADER.items() if k != "name"},
+        "derivedFromUri": A("uri"),
+        "partOf": A("canonical"),
+        "replaces": A("canonical"),
+        "approvalDate": "date",
+        "lastReviewDate": "date",
+        "effectivePeriod": "Period",
+        "code": "CodeableConcept",
+        "instance": A("Reference"),
+        "applicability": A(
+            {
+                "description": "string",
+                "language": "string",
+                "expression": "string",
+            }
+        ),
+        "propertyGroup": A(
+            {
+                "applicability": A(
+                    {
+                        "description": "string",
+                        "language": "string",
+                        "expression": "string",
+                    }
+                ),
+                "priceComponent": A(
+                    {
+                        "type": "code",
+                        "code": "CodeableConcept",
+                        "factor": "decimal",
+                        "amount": "Money",
+                    }
+                ),
+            }
+        ),
+    },
+    "CompartmentDefinition": {
+        **_DOMAIN,
+        "url": "uri",
+        "version": "string",
+        "name": "string",
+        "status": "code",
+        "experimental": "boolean",
+        "date": "dateTime",
+        "publisher": "string",
+        "contact": A("ContactDetail"),
+        "description": "markdown",
+        "useContext": A("UsageContext"),
+        "purpose": "markdown",
+        "code": "code",
+        "search": "boolean",
+        "resource": A(
+            {
+                "code": "code",
+                "param": A("string"),
+                "documentation": "string",
+            }
+        ),
+    },
+    "GraphDefinition": {
+        **_DOMAIN,
+        "url": "uri",
+        "version": "string",
+        "name": "string",
+        "status": "code",
+        "experimental": "boolean",
+        "date": "dateTime",
+        "publisher": "string",
+        "contact": A("ContactDetail"),
+        "description": "markdown",
+        "useContext": A("UsageContext"),
+        "jurisdiction": A("CodeableConcept"),
+        "purpose": "markdown",
+        "start": "code",
+        "profile": "canonical",
+        # link.target.link nests recursively; one structured level
+        "link": A(
+            {
+                "path": "string",
+                "sliceName": "string",
+                "min": "integer",
+                "max": "string",
+                "description": "string",
+                "target": A(
+                    {
+                        "type": "code",
+                        "params": "string",
+                        "profile": "canonical",
+                        "compartment": A(
+                            {
+                                "use": "code",
+                                "code": "code",
+                                "rule": "code",
+                                "expression": "string",
+                                "description": "string",
+                            }
+                        ),
+                    }
+                ),
+            }
+        ),
+    },
+    "TerminologyCapabilities": {
+        **_DOMAIN,
+        # TerminologyCapabilities has no identifier element in R4
+        **{k: v for k, v in _CANONICAL_HEADER.items() if k != "identifier"},
+        "kind": "code",
+        "software": {"name": "string", "version": "string"},
+        "implementation": {"description": "string", "url": "url"},
+        "lockedDate": "boolean",
+        "codeSystem": A(
+            {
+                "uri": "canonical",
+                "version": A(
+                    {
+                        "code": "string",
+                        "isDefault": "boolean",
+                        "compositional": "boolean",
+                        "language": A("code"),
+                        "filter": A({"code": "code", "op": A("code")}),
+                        "property": A("code"),
+                    }
+                ),
+                "subsumption": "boolean",
+            }
+        ),
+        "expansion": {
+            "hierarchical": "boolean",
+            "paging": "boolean",
+            "incomplete": "boolean",
+            "parameter": A({"name": "code", "documentation": "string"}),
+            "textFilter": "markdown",
+        },
+        "codeSearch": "code",
+        "validateCode": {"translations": "boolean"},
+        "translation": {"needsMap": "boolean"},
+        "closure": {"translation": "boolean"},
+    },
+    "TestReport": {
+        **_DOMAIN,
+        "identifier": "Identifier",
+        "name": "string",
+        "status": "code",
+        "testScript": "Reference",
+        "result": "code",
+        "score": "decimal",
+        "tester": "string",
+        "issued": "dateTime",
+        "participant": A(
+            {"type": "code", "uri": "uri", "display": "string"}
+        ),
+        "setup": {
+            "action": A({"operation": _TR_OPERATION, "assert": _TR_ASSERT})
+        },
+        "test": A(
+            {
+                "name": "string",
+                "description": "string",
+                "action": A(
+                    {"operation": _TR_OPERATION, "assert": _TR_ASSERT}
+                ),
+            }
+        ),
+        "teardown": {"action": A({"operation": _TR_OPERATION})},
+    },
+    "TestScript": {
+        **_DOMAIN,
+        # identifier is 0..1 on TestScript
+        **{**_CANONICAL_HEADER, "identifier": "Identifier"},
+        "origin": A({"index": "integer", "profile": "Coding"}),
+        "destination": A({"index": "integer", "profile": "Coding"}),
+        "metadata": {
+            "link": A({"url": "uri", "description": "string"}),
+            "capability": A(
+                {
+                    "required": "boolean",
+                    "validated": "boolean",
+                    "description": "string",
+                    "origin": A("integer"),
+                    "destination": "integer",
+                    "link": A("uri"),
+                    "capabilities": "canonical",
+                }
+            ),
+        },
+        "fixture": A(
+            {
+                "autocreate": "boolean",
+                "autodelete": "boolean",
+                "resource": "Reference",
+            }
+        ),
+        "profile": A("Reference"),
+        "variable": A(
+            {
+                "name": "string",
+                "defaultValue": "string",
+                "description": "string",
+                "expression": "string",
+                "headerField": "string",
+                "hint": "string",
+                "path": "string",
+                "sourceId": "id",
+            }
+        ),
+        "setup": {
+            "action": A({"operation": _TS_OPERATION, "assert": _TS_ASSERT})
+        },
+        "test": A(
+            {
+                "name": "string",
+                "description": "string",
+                "action": A(
+                    {"operation": _TS_OPERATION, "assert": _TS_ASSERT}
+                ),
+            }
+        ),
+        "teardown": {"action": A({"operation": _TS_OPERATION})},
+    },
+    "CatalogEntry": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "type": "CodeableConcept",
+        "orderable": "boolean",
+        "referencedItem": "Reference",
+        "additionalIdentifier": A("Identifier"),
+        "classification": A("CodeableConcept"),
+        "status": "code",
+        "validityPeriod": "Period",
+        "validTo": "dateTime",
+        "lastUpdated": "dateTime",
+        "additionalCharacteristic": A("CodeableConcept"),
+        "additionalClassification": A("CodeableConcept"),
+        "relatedEntry": A({"relationtype": "code", "item": "Reference"}),
+    },
+    "BiologicallyDerivedProduct": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "productCategory": "code",
+        "productCode": "CodeableConcept",
+        "status": "code",
+        "request": A("Reference"),
+        "quantity": "integer",
+        "parent": A("Reference"),
+        "collection": {
+            "collector": "Reference",
+            "source": "Reference",
+            "collected[x]": ["dateTime", "Period"],
+        },
+        "processing": A(
+            {
+                "description": "string",
+                "procedure": "CodeableConcept",
+                "additive": "Reference",
+                "time[x]": ["dateTime", "Period"],
+            }
+        ),
+        "manipulation": {
+            "description": "string",
+            "time[x]": ["dateTime", "Period"],
+        },
+        "storage": A(
+            {
+                "description": "string",
+                "temperature": "decimal",
+                "scale": "code",
+                "duration": "Period",
+            }
+        ),
+    },
+    "MedicationKnowledge": {
+        **_DOMAIN,
+        "code": "CodeableConcept",
+        "status": "code",
+        "manufacturer": "Reference",
+        "doseForm": "CodeableConcept",
+        "amount": "SimpleQuantity",
+        "synonym": A("string"),
+        "relatedMedicationKnowledge": A(
+            {"type": "CodeableConcept", "reference": A("Reference")}
+        ),
+        "associatedMedication": A("Reference"),
+        "productType": A("CodeableConcept"),
+        "monograph": A({"type": "CodeableConcept", "source": "Reference"}),
+        "ingredient": A(
+            {
+                "item[x]": ["CodeableConcept", "Reference"],
+                "isActive": "boolean",
+                "strength": "Ratio",
+            }
+        ),
+        "preparationInstruction": "markdown",
+        "intendedRoute": A("CodeableConcept"),
+        "cost": A(
+            {"type": "CodeableConcept", "source": "string", "cost": "Money"}
+        ),
+        "monitoringProgram": A(
+            {"type": "CodeableConcept", "name": "string"}
+        ),
+        "administrationGuidelines": A(
+            {
+                "dosage": A(
+                    {"type": "CodeableConcept", "dosage": A("Dosage")}
+                ),
+                "indication[x]": ["CodeableConcept", "Reference"],
+                "patientCharacteristics": A(
+                    {
+                        "characteristic[x]": [
+                            "CodeableConcept", "SimpleQuantity",
+                        ],
+                        "value": A("string"),
+                    }
+                ),
+            }
+        ),
+        "medicineClassification": A(
+            {
+                "type": "CodeableConcept",
+                "classification": A("CodeableConcept"),
+            }
+        ),
+        "packaging": {"type": "CodeableConcept", "quantity": "SimpleQuantity"},
+        "drugCharacteristic": A(
+            {
+                "type": "CodeableConcept",
+                "value[x]": [
+                    "CodeableConcept", "string", "SimpleQuantity",
+                    "base64Binary",
+                ],
+            }
+        ),
+        "contraindication": A("Reference"),
+        "regulatory": A(
+            {
+                "regulatoryAuthority": "Reference",
+                "substitution": A(
+                    {"type": "CodeableConcept", "allowed": "boolean"}
+                ),
+                "schedule": A({"schedule": "CodeableConcept"}),
+                "maxDispense": {
+                    "quantity": "SimpleQuantity",
+                    "period": "Duration",
+                },
+            }
+        ),
+        "kinetics": A(
+            {
+                "areaUnderCurve": A("SimpleQuantity"),
+                "lethalDose50": A("SimpleQuantity"),
+                "halfLifePeriod": "Duration",
+            }
+        ),
+    },
+    "Contract": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "url": "uri",
+        "version": "string",
+        "status": "code",
+        "legalState": "CodeableConcept",
+        "instantiatesCanonical": "Reference",
+        "instantiatesUri": "uri",
+        "contentDerivative": "CodeableConcept",
+        "issued": "dateTime",
+        "applies": "Period",
+        "expirationType": "CodeableConcept",
+        "subject": A("Reference"),
+        "authority": A("Reference"),
+        "domain": A("Reference"),
+        "site": A("Reference"),
+        "name": "string",
+        "title": "string",
+        "subtitle": "string",
+        "alias": A("string"),
+        "author": "Reference",
+        "scope": "CodeableConcept",
+        "topic[x]": ["CodeableConcept", "Reference"],
+        "type": "CodeableConcept",
+        "subType": A("CodeableConcept"),
+        "contentDefinition": {
+            "type": "CodeableConcept",
+            "subType": "CodeableConcept",
+            "publisher": "Reference",
+            "publicationDate": "dateTime",
+            "publicationStatus": "code",
+            "copyright": "markdown",
+        },
+        # term.group nests recursively; one structured level
+        "term": A(
+            {
+                "identifier": "Identifier",
+                "issued": "dateTime",
+                "applies": "Period",
+                "topic[x]": ["CodeableConcept", "Reference"],
+                "type": "CodeableConcept",
+                "subType": "CodeableConcept",
+                "text": "string",
+                "securityLabel": A(
+                    {
+                        "number": A("unsignedInt"),
+                        "classification": "Coding",
+                        "category": A("Coding"),
+                        "control": A("Coding"),
+                    }
+                ),
+                "offer": {
+                    "identifier": ("Identifier", True),
+                    "party": (_CONTRACT_PARTY, True),
+                    "topic": "Reference",
+                    "type": "CodeableConcept",
+                    "decision": "CodeableConcept",
+                    "decisionMode": ("CodeableConcept", True),
+                    "answer": (_CONTRACT_ANSWER, True),
+                    "text": "string",
+                    "linkId": ("string", True),
+                    "securityLabelNumber": ("unsignedInt", True),
+                },
+                "asset": A(
+                    {
+                        "scope": "CodeableConcept",
+                        "type": A("CodeableConcept"),
+                        "typeReference": A("Reference"),
+                        "subtype": A("CodeableConcept"),
+                        "relationship": "Coding",
+                        "context": A(
+                            {
+                                "reference": "Reference",
+                                "code": A("CodeableConcept"),
+                                "text": "string",
+                            }
+                        ),
+                        "condition": "string",
+                        "periodType": A("CodeableConcept"),
+                        "period": A("Period"),
+                        "usePeriod": A("Period"),
+                        "text": "string",
+                        "linkId": A("string"),
+                        "answer": A(_CONTRACT_ANSWER),
+                        "securityLabelNumber": A("unsignedInt"),
+                        "valuedItem": A(
+                            {
+                                "entity[x]": ["CodeableConcept", "Reference"],
+                                "identifier": "Identifier",
+                                "effectiveTime": "dateTime",
+                                "quantity": "SimpleQuantity",
+                                "unitPrice": "Money",
+                                "factor": "decimal",
+                                "points": "decimal",
+                                "net": "Money",
+                                "payment": "string",
+                                "paymentDate": "dateTime",
+                                "responsible": "Reference",
+                                "recipient": "Reference",
+                                "linkId": A("string"),
+                                "securityLabelNumber": A("unsignedInt"),
+                            }
+                        ),
+                    }
+                ),
+                "action": A(
+                    {
+                        "doNotPerform": "boolean",
+                        "type": "CodeableConcept",
+                        "subject": A(_CONTRACT_PARTY),
+                        "intent": "CodeableConcept",
+                        "linkId": A("string"),
+                        "status": "CodeableConcept",
+                        "context": "Reference",
+                        "contextLinkId": A("string"),
+                        "occurrence[x]": ["dateTime", "Period", "Timing"],
+                        "requester": A("Reference"),
+                        "requesterLinkId": A("string"),
+                        "performerType": A("CodeableConcept"),
+                        "performerRole": "CodeableConcept",
+                        "performer": "Reference",
+                        "performerLinkId": A("string"),
+                        "reasonCode": A("CodeableConcept"),
+                        "reasonReference": A("Reference"),
+                        "reason": A("string"),
+                        "reasonLinkId": A("string"),
+                        "note": A("Annotation"),
+                        "securityLabelNumber": A("unsignedInt"),
+                    }
+                ),
+            }
+        ),
+        "supportingInfo": A("Reference"),
+        "relevantHistory": A("Reference"),
+        "signer": A(
+            {
+                "type": "Coding",
+                "party": "Reference",
+                "signature": A("Signature"),
+            }
+        ),
+        "friendly": A({"content[x]": ["Attachment", "Reference"]}),
+        "legal": A({"content[x]": ["Attachment", "Reference"]}),
+        "rule": A({"content[x]": ["Attachment", "Reference"]}),
+        "legallyBinding[x]": ["Attachment", "Reference"],
     },
     "MolecularSequence": {
         **_DOMAIN,
