@@ -161,3 +161,81 @@ def test_paired_primitive_array_roundtrip(spark, data):
     df = encode_ndjson(spark, d, resource_type="Patient")
     back = [json.loads(r.json) for r in to_fhir_json(df).collect()]
     assert back == rows
+
+
+@st.composite
+def registry_docs(draw, i):
+    """Random sparse documents for the round-6 registry tiers — decimal
+    placement (VisionPrescription.sphere, TestReport.score,
+    adjudication.value), deep backbones (CapabilityStatement.rest,
+    Contract.term.offer), and 0..1-vs-array identifier irregularities."""
+    kind = draw(st.sampled_from(["VisionPrescription", "TestReport",
+                                 "ClaimResponse", "RiskAssessment"]))
+    doc = {"resourceType": kind, "id": f"z{i}"}
+    if kind == "VisionPrescription":
+        doc["status"] = "active"
+        spec = {"eye": draw(st.sampled_from(["right", "left"]))}
+        if draw(st.booleans()):
+            spec["sphere"] = draw(decimals)
+        if draw(st.booleans()):
+            spec["cylinder"] = draw(decimals)
+        if draw(st.booleans()):
+            spec["prism"] = [{"amount": draw(decimals), "base": "up"}]
+        doc["lensSpecification"] = [spec]
+    elif kind == "TestReport":
+        doc["status"] = "completed"
+        doc["result"] = draw(st.sampled_from(["pass", "fail"]))
+        if draw(st.booleans()):
+            doc["score"] = draw(decimals)
+        if draw(st.booleans()):
+            doc["test"] = [{"name": draw(names),
+                            "action": [{"assert": {"result": "pass"}}]}]
+    elif kind == "ClaimResponse":
+        doc["status"] = "active"
+        doc["outcome"] = "complete"
+        item = {"itemSequence": draw(st.integers(1, 9))}
+        if draw(st.booleans()):
+            adj = {"category": {"text": draw(names)}}
+            if draw(st.booleans()):
+                adj["value"] = draw(decimals)
+            item["adjudication"] = [adj]
+        doc["item"] = [item]
+    else:  # RiskAssessment
+        doc["status"] = "final"
+        pred = {}
+        if draw(st.booleans()):
+            pred["probabilityDecimal"] = draw(
+                st.integers(0, 1000).map(lambda n: n / 1000.0)
+            )
+        if draw(st.booleans()):
+            pred["relativeRisk"] = draw(decimals)
+        if pred:
+            doc["prediction"] = [pred]
+    return doc
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_random_registry_tier_roundtrip(spark, data):
+    import collections
+
+    rows = [data.draw(registry_docs(i)) for i in range(data.draw(st.integers(1, 5)))]
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        by_type[r["resourceType"]].append(r)
+    for rtype, docs in by_type.items():
+        d = tempfile.mkdtemp(prefix="fhir_fuzz_r6_")
+        with open(f"{d}/r.ndjson", "w") as f:
+            for doc in docs:
+                f.write(json.dumps(doc) + "\n")
+        df = encode_ndjson(spark, d, resource_type=rtype)
+        back = sorted(
+            (json.loads(r.json) for r in
+             to_fhir_json(df, resource_type=rtype).collect()),
+            key=lambda x: x["id"],
+        )
+        assert back == sorted(docs, key=lambda x: x["id"]), rtype
