@@ -547,3 +547,40 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__wkey", "__rn")
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    n: int = 13,
+) -> DataFrame:
+    """The audit counterpart of :func:`decontaminate`: WHICH benchmark
+    items leak into WHICH corpus documents, with the shared distinct
+    ``n``-gram count — what a contamination review actually reads
+    before deciding thresholds (and the evidence trail for reporting
+    benchmark hygiene).
+
+    Same cost shape as decontaminate: the benchmark side explodes to a
+    (gram, bench_id) frame and BROADCASTS; the corpus explodes map-side
+    and the join emits only colliding (corpus_id, bench_id, gram)
+    triples — shuffle volume is the collision set, not the corpus. One
+    hash aggregate counts distinct shared grams per pair.
+
+    Output: (corpus_id, bench_id, n_shared_ngrams), descending.
+    """
+    bench_grams = benchmark.select(
+        F.col(bench_id),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(corpus_id),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(corpus_id, bench_id)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )

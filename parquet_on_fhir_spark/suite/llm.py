@@ -1642,3 +1642,38 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
 
 
 QUERIES.append(Q("q139_weighted_sample", q139, Q139_ORACLE))
+
+
+# --- Q143: contamination audit report ------------------------------------------------
+def q143(spark, sf_dir):
+    """Which benchmark slice items (doc_id%17==0) leak into which
+    corpus documents, by shared distinct 8-gram count
+    (operators/curation.py::contamination_report)."""
+    from parquet_on_fhir_spark.operators.curation import contamination_report
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_report(d, bench, n=8)
+
+
+Q143_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 6),
+                i -> array_to_string(words[i:i+7], ' ')))) AS gram
+  FROM w WHERE len(words) >= 8
+),
+b AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 17 = 0)
+SELECT g.doc_id, b.bench_id, count(*) AS n_shared_ngrams
+FROM g JOIN b USING (gram)
+GROUP BY 1, 2
+"""
+
+
+QUERIES.append(Q("q143_contamination_report", q143, Q143_ORACLE))

@@ -532,3 +532,24 @@ def test_weighted_sample_determinism_and_bias(spark):
     heavy_rate = heavy_hits / (30 * 10)
     light_rate = light_hits / (30 * 90)
     assert heavy_rate > 3 * light_rate, (heavy_rate, light_rate)
+
+
+def test_contamination_report_counts(spark):
+    from parquet_on_fhir_spark.operators.curation import contamination_report
+
+    shared = "one two three four five"
+    corpus = spark.createDataFrame(
+        [(1, f"{shared} six seven"),      # shares 2 distinct 5-grams? no: spans
+         (2, "totally different words here entirely now"),
+         (3, shared)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"{shared} six")], "bench_id long, text string"
+    )
+    got = {(r.doc_id, r.bench_id): r.n_shared_ngrams
+           for r in contamination_report(corpus, bench, n=5).collect()}
+    # doc1 shares both 5-grams of the bench item; doc3 only the first
+    assert got[(1, 100)] == 2
+    assert got[(3, 100)] == 1
+    assert (2, 100) not in got
