@@ -163,11 +163,17 @@ def _clean(
         children: list[Column] = []
         for f in kept:
             ref = spec.get(f.name, (None,))[0] if spec else None
-            f_dec = mark and (
-                (isinstance(ref, str) and ref in DECIMAL_TYPES)
-                or fhir_type_of(f.name) in DECIMAL_TYPES
-                or (qshape and f.name == "value")
-            )
+            if ref is not None:
+                # the definition types this exact path — trust it and
+                # suppress the structural/name fallbacks (a {code,value}
+                # backbone like ImplementationGuide.definition.parameter
+                # is quantity-SHAPED but its value is a plain string)
+                f_dec = mark and isinstance(ref, str) and ref in DECIMAL_TYPES
+            else:
+                f_dec = mark and (
+                    fhir_type_of(f.name) in DECIMAL_TYPES
+                    or (qshape and f.name == "value")
+                )
             f_spec = expanded_elements(ref) if ref is not None else None
             sub = col.getField(f.name)
             partner = (

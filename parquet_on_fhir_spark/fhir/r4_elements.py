@@ -272,6 +272,48 @@ COMPLEX: dict[str, dict] = {
             "HumanName", "Annotation", "SampledData", "Money",
         ],
     },
+    # Special-purpose datatypes used only by the medicinal-product /
+    # substance-definition tier (hl7.org/fhir/R4/marketingstatus.html,
+    # population.html, prodcharacteristic.html, productshelflife.html,
+    # substanceamount.html)
+    "MarketingStatus": {
+        "country": "CodeableConcept",
+        "jurisdiction": "CodeableConcept",
+        "status": "CodeableConcept",
+        "dateRange": "Period",
+        "restoreDate": "dateTime",
+    },
+    "Population": {
+        "age[x]": ["Range", "CodeableConcept"],
+        "gender": "CodeableConcept",
+        "race": "CodeableConcept",
+        "physiologicalCondition": "CodeableConcept",
+    },
+    "ProdCharacteristic": {
+        "height": "Quantity",
+        "width": "Quantity",
+        "depth": "Quantity",
+        "weight": "Quantity",
+        "nominalVolume": "Quantity",
+        "externalDiameter": "Quantity",
+        "shape": "string",
+        "color": ("string", True),
+        "imprint": ("string", True),
+        "image": ("Attachment", True),
+        "scoring": "CodeableConcept",
+    },
+    "ProductShelfLife": {
+        "identifier": "Identifier",
+        "type": "CodeableConcept",
+        "period": "Quantity",
+        "specialPrecautionsForStorage": ("CodeableConcept", True),
+    },
+    "SubstanceAmount": {
+        "amount[x]": ["Quantity", "Range", "string"],
+        "amountType": "CodeableConcept",
+        "amountText": "string",
+        "referenceRange": {"lowLimit": "Quantity", "highLimit": "Quantity"},
+    },
 }
 
 # DomainResource base elements shared by every resource
@@ -562,6 +604,242 @@ _ELEMENT_DEF = {
 # ---------------------------------------------------------------------------
 # Resource definitions (hl7.org/fhir/R4/<resource>.html)
 # ---------------------------------------------------------------------------
+
+# Evidence-family metadata header (Evidence, EvidenceVariable,
+# EffectEvidenceSynthesis, RiskEvidenceSynthesis —
+# hl7.org/fhir/R4/evidence.html and siblings): the canonical header
+# minus experimental/purpose, plus note, plus the artifact tail.
+_EVIDENCE_HEADER = {
+    "url": "uri",
+    "identifier": ("Identifier", True),
+    "version": "string",
+    "name": "string",
+    "title": "string",
+    "status": "code",
+    "date": "dateTime",
+    "publisher": "string",
+    "contact": ("ContactDetail", True),
+    "description": "markdown",
+    "note": ("Annotation", True),
+    "useContext": ("UsageContext", True),
+    "jurisdiction": ("CodeableConcept", True),
+    "copyright": "markdown",
+    **_ARTIFACT_TAIL,
+}
+
+# Synthesis backbones shared by EffectEvidenceSynthesis and
+# RiskEvidenceSynthesis (hl7.org/fhir/R4/effectevidencesynthesis.html)
+_SYNTHESIS_CERTAINTY = {
+    "rating": ("CodeableConcept", True),
+    "note": ("Annotation", True),
+    "certaintySubcomponent": (
+        {
+            "type": "CodeableConcept",
+            "rating": ("CodeableConcept", True),
+            "note": ("Annotation", True),
+        },
+        True,
+    ),
+}
+_SYNTHESIS_SAMPLE_SIZE = {
+    "description": "string",
+    "numberOfStudies": "integer",
+    "numberOfParticipants": "integer",
+}
+_PRECISION_ESTIMATE = {
+    "type": "CodeableConcept",
+    "level": "decimal",
+    "from": "decimal",
+    "to": "decimal",
+}
+
+# MedicinalProduct{Contraindication,Indication}.otherTherapy — shared
+# verbatim (hl7.org/fhir/R4/medicinalproductcontraindication.html)
+_MP_OTHER_THERAPY = {
+    "therapyRelationshipType": "CodeableConcept",
+    "medication[x]": ["CodeableConcept", "Reference"],
+}
+
+# MedicinalProductIngredient strength backbone — two mount points
+# (specifiedSubstance.strength, substance.strength)
+_MPI_STRENGTH = {
+    "presentation": "Ratio",
+    "presentationLowLimit": "Ratio",
+    "concentration": "Ratio",
+    "concentrationLowLimit": "Ratio",
+    "measurementPoint": "string",
+    "country": ("CodeableConcept", True),
+    "referenceStrength": (
+        {
+            "substance": "CodeableConcept",
+            "strength": "Ratio",
+            "strengthLowLimit": "Ratio",
+            "measurementPoint": "string",
+            "country": ("CodeableConcept", True),
+        },
+        True,
+    ),
+}
+
+# MedicinalProductPackaged.packageItem nests recursively; one
+# structured level per the registry's recursion convention
+_MPP_PACKAGE_ITEM_LEAF = {
+    "identifier": ("Identifier", True),
+    "type": "CodeableConcept",
+    "quantity": "Quantity",
+    "material": ("CodeableConcept", True),
+    "alternateMaterial": ("CodeableConcept", True),
+    "device": ("Reference", True),
+    "manufacturedItem": ("Reference", True),
+    "physicalCharacteristics": "ProdCharacteristic",
+    "otherCharacteristics": ("CodeableConcept", True),
+    "shelfLifeStorage": ("ProductShelfLife", True),
+    "manufacturer": ("Reference", True),
+}
+_MPP_PACKAGE_ITEM = {
+    **_MPP_PACKAGE_ITEM_LEAF,
+    "packageItem": (_MPP_PACKAGE_ITEM_LEAF, True),
+}
+
+# SubstanceSpecification molecular-weight backbone — three mount points
+# (structure.isotope.molecularWeight, structure.molecularWeight, and
+# the resource-level molecularWeight list)
+_SS_MOLECULAR_WEIGHT = {
+    "method": "CodeableConcept",
+    "type": "CodeableConcept",
+    "amount": "Quantity",
+}
+
+# Structural-representation backbone shared by SubstanceSpecification
+# .structure.representation and SubstancePolymer
+# .repeat.repeatUnit.structuralRepresentation
+_SS_REPRESENTATION = {
+    "type": "CodeableConcept",
+    "representation": "string",
+    "attachment": "Attachment",
+}
+
+# SubstanceSpecification.name nests recursively via synonym/translation;
+# one structured level
+_SS_NAME_LEAF = {
+    "name": "string",
+    "type": "CodeableConcept",
+    "status": "CodeableConcept",
+    "preferred": "boolean",
+    "language": ("CodeableConcept", True),
+    "domain": ("CodeableConcept", True),
+    "jurisdiction": ("CodeableConcept", True),
+    "official": (
+        {
+            "authority": "CodeableConcept",
+            "status": "CodeableConcept",
+            "date": "dateTime",
+        },
+        True,
+    ),
+    "source": ("Reference", True),
+}
+_SS_NAME = {
+    **_SS_NAME_LEAF,
+    "synonym": (_SS_NAME_LEAF, True),
+    "translation": (_SS_NAME_LEAF, True),
+}
+
+# ExampleScenario backbones (hl7.org/fhir/R4/examplescenario.html).
+# containedInstance mounts at three points; process/step nest
+# recursively — one structured level.
+_ES_CONTAINED_INSTANCE = {"resourceId": "string", "versionId": "string"}
+_ES_OPERATION = {
+    "number": "string",
+    "type": "string",
+    "name": "string",
+    "initiator": "string",
+    "receiver": "string",
+    "description": "markdown",
+    "initiatorActive": "boolean",
+    "receiverActive": "boolean",
+    "request": _ES_CONTAINED_INSTANCE,
+    "response": _ES_CONTAINED_INSTANCE,
+}
+_ES_STEP_LEAF = {"pause": "boolean", "operation": _ES_OPERATION}
+_ES_PROCESS_LEAF = {
+    "title": "string",
+    "description": "markdown",
+    "preConditions": "markdown",
+    "postConditions": "markdown",
+}
+_ES_PROCESS = {
+    **_ES_PROCESS_LEAF,
+    "step": (
+        {
+            **_ES_STEP_LEAF,
+            "process": (_ES_PROCESS_LEAF, True),
+            "alternative": (
+                {
+                    "title": "string",
+                    "description": "markdown",
+                    "step": (_ES_STEP_LEAF, True),
+                },
+                True,
+            ),
+        },
+        True,
+    ),
+}
+
+# ImplementationGuide.definition.page nests recursively; one level
+_IG_PAGE_LEAF = {
+    "name[x]": ["url", "Reference"],
+    "title": "string",
+    "generation": "code",
+}
+
+# StructureMap backbones (hl7.org/fhir/R4/structuremap.html).
+# group.rule.rule nests recursively — one structured level.
+_SM_SOURCE = {
+    "context": "id",
+    "min": "integer",
+    "max": "string",
+    "type": "string",
+    # defaultValue[x] is the full open-type choice in R4; transcribed
+    # to the same pragmatic subset the registry uses for
+    # Extension.value[x] primitives
+    "defaultValue[x]": [
+        "boolean", "integer", "decimal", "string", "code", "uri",
+        "url", "canonical", "date", "dateTime", "instant", "time",
+        "base64Binary", "positiveInt", "unsignedInt", "markdown",
+        "id", "oid", "uuid",
+    ],
+    "element": "string",
+    "listMode": "code",
+    "variable": "id",
+    "condition": "string",
+    "check": "string",
+    "logMessage": "string",
+}
+_SM_TARGET = {
+    "context": "id",
+    "contextType": "code",
+    "element": "string",
+    "variable": "id",
+    "listMode": ("code", True),
+    "listRuleId": "id",
+    "transform": "code",
+    "parameter": (
+        {"value[x]": ["id", "string", "boolean", "integer", "decimal"]},
+        True,
+    ),
+}
+_SM_RULE_LEAF = {
+    "name": "id",
+    "source": (_SM_SOURCE, True),
+    "target": (_SM_TARGET, True),
+    "dependent": ({"name": "id", "variable": ("string", True)}, True),
+    "documentation": "string",
+}
+
+# ResearchElementDefinition / EvidenceVariable effective[x] choice
+_STUDY_EFFECTIVE = ["dateTime", "Period", "Duration", "Timing"]
 
 RESOURCES: dict[str, dict] = {
     "Patient": {
@@ -4402,6 +4680,728 @@ RESOURCES: dict[str, dict] = {
                 "length": "integer",
                 "outer": {"start": "integer", "end": "integer"},
                 "inner": {"start": "integer", "end": "integer"},
+            }
+        ),
+    },
+    # -- final tier: medicinal-product / substance-definition /
+    #    evidence-synthesis / authoring resources. Completes the
+    #    registry at all 146 R4 resource types
+    #    (hl7.org/fhir/R4/resourcelist.html).
+    "MedicinalProduct": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "type": "CodeableConcept",
+        "domain": "Coding",
+        "combinedPharmaceuticalDoseForm": "CodeableConcept",
+        "legalStatusOfSupply": "CodeableConcept",
+        "additionalMonitoringIndicator": "CodeableConcept",
+        "specialMeasures": A("string"),
+        "paediatricUseIndicator": "CodeableConcept",
+        "productClassification": A("CodeableConcept"),
+        "marketingStatus": A("MarketingStatus"),
+        "pharmaceuticalProduct": A("Reference"),
+        "packagedMedicinalProduct": A("Reference"),
+        "attachedDocument": A("Reference"),
+        "masterFile": A("Reference"),
+        "contact": A("Reference"),
+        "clinicalTrial": A("Reference"),
+        "name": A(
+            {
+                "productName": "string",
+                "namePart": A({"part": "string", "type": "Coding"}),
+                "countryLanguage": A(
+                    {
+                        "country": "CodeableConcept",
+                        "jurisdiction": "CodeableConcept",
+                        "language": "CodeableConcept",
+                    }
+                ),
+            }
+        ),
+        "crossReference": A("Identifier"),
+        "manufacturingBusinessOperation": A(
+            {
+                "operationType": "CodeableConcept",
+                "authorisationReferenceNumber": "Identifier",
+                "effectiveDate": "dateTime",
+                "confidentialityIndicator": "CodeableConcept",
+                "manufacturer": A("Reference"),
+                "regulator": "Reference",
+            }
+        ),
+        "specialDesignation": A(
+            {
+                "identifier": A("Identifier"),
+                "type": "CodeableConcept",
+                "intendedUse": "CodeableConcept",
+                "indication[x]": ["CodeableConcept", "Reference"],
+                "status": "CodeableConcept",
+                "date": "dateTime",
+                "species": "CodeableConcept",
+            }
+        ),
+    },
+    "MedicinalProductAuthorization": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "subject": "Reference",
+        "country": A("CodeableConcept"),
+        "jurisdiction": A("CodeableConcept"),
+        "status": "CodeableConcept",
+        "statusDate": "dateTime",
+        "restoreDate": "dateTime",
+        "validityPeriod": "Period",
+        "dataExclusivityPeriod": "Period",
+        "dateOfFirstAuthorization": "dateTime",
+        "internationalBirthDate": "dateTime",
+        "legalBasis": "CodeableConcept",
+        "jurisdictionalAuthorization": A(
+            {
+                "identifier": A("Identifier"),
+                "country": "CodeableConcept",
+                "jurisdiction": A("CodeableConcept"),
+                "legalStatusOfSupply": "CodeableConcept",
+                "validityPeriod": "Period",
+            }
+        ),
+        "holder": "Reference",
+        "regulator": "Reference",
+        # procedure.application nests recursively; one structured level
+        "procedure": {
+            "identifier": "Identifier",
+            "type": "CodeableConcept",
+            "date[x]": ["Period", "dateTime"],
+            "application": A(
+                {
+                    "identifier": "Identifier",
+                    "type": "CodeableConcept",
+                    "date[x]": ["Period", "dateTime"],
+                }
+            ),
+        },
+    },
+    "MedicinalProductContraindication": {
+        **_DOMAIN,
+        "subject": A("Reference"),
+        "disease": "CodeableConcept",
+        "diseaseStatus": "CodeableConcept",
+        "comorbidity": A("CodeableConcept"),
+        "therapeuticIndication": A("Reference"),
+        "otherTherapy": A(_MP_OTHER_THERAPY),
+        "population": A("Population"),
+    },
+    "MedicinalProductIndication": {
+        **_DOMAIN,
+        "subject": A("Reference"),
+        "diseaseSymptomProcedure": "CodeableConcept",
+        "diseaseStatus": "CodeableConcept",
+        "comorbidity": A("CodeableConcept"),
+        "intendedEffect": "CodeableConcept",
+        "duration": "Quantity",
+        "otherTherapy": A(_MP_OTHER_THERAPY),
+        "undesirableEffect": A("Reference"),
+        "population": A("Population"),
+    },
+    "MedicinalProductIngredient": {
+        **_DOMAIN,
+        "identifier": "Identifier",
+        "role": "CodeableConcept",
+        "allergenicIndicator": "boolean",
+        "manufacturer": A("Reference"),
+        "specifiedSubstance": A(
+            {
+                "code": "CodeableConcept",
+                "group": "CodeableConcept",
+                "confidentiality": "CodeableConcept",
+                "strength": A(_MPI_STRENGTH),
+            }
+        ),
+        "substance": {
+            "code": "CodeableConcept",
+            "strength": A(_MPI_STRENGTH),
+        },
+    },
+    "MedicinalProductInteraction": {
+        **_DOMAIN,
+        "subject": A("Reference"),
+        "description": "string",
+        "interactant": A({"item[x]": ["Reference", "CodeableConcept"]}),
+        "type": "CodeableConcept",
+        "effect": "CodeableConcept",
+        "incidence": "CodeableConcept",
+        "management": "CodeableConcept",
+    },
+    "MedicinalProductManufactured": {
+        **_DOMAIN,
+        "manufacturedDoseForm": "CodeableConcept",
+        "unitOfPresentation": "CodeableConcept",
+        "quantity": "Quantity",
+        "manufacturer": A("Reference"),
+        "ingredient": A("Reference"),
+        "physicalCharacteristics": "ProdCharacteristic",
+        "otherCharacteristics": A("CodeableConcept"),
+    },
+    "MedicinalProductPackaged": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "subject": A("Reference"),
+        "description": "string",
+        "legalStatusOfSupply": "CodeableConcept",
+        "marketingStatus": A("MarketingStatus"),
+        "marketingAuthorization": "Reference",
+        "manufacturer": A("Reference"),
+        "batchIdentifier": A(
+            {
+                "outerPackaging": "Identifier",
+                "immediatePackaging": "Identifier",
+            }
+        ),
+        "packageItem": A(_MPP_PACKAGE_ITEM),
+    },
+    "MedicinalProductPharmaceutical": {
+        **_DOMAIN,
+        "identifier": A("Identifier"),
+        "administrableDoseForm": "CodeableConcept",
+        "unitOfPresentation": "CodeableConcept",
+        "ingredient": A("Reference"),
+        "device": A("Reference"),
+        "characteristics": A(
+            {"code": "CodeableConcept", "status": "CodeableConcept"}
+        ),
+        "routeOfAdministration": A(
+            {
+                "code": "CodeableConcept",
+                "firstDose": "Quantity",
+                "maxSingleDose": "Quantity",
+                "maxDosePerDay": "Quantity",
+                "maxDosePerTreatmentPeriod": "Ratio",
+                "maxTreatmentPeriod": "Duration",
+                "targetSpecies": A(
+                    {
+                        "code": "CodeableConcept",
+                        "withdrawalPeriod": A(
+                            {
+                                "tissue": "CodeableConcept",
+                                "value": "Quantity",
+                                "supportingInformation": "string",
+                            }
+                        ),
+                    }
+                ),
+            }
+        ),
+    },
+    "MedicinalProductUndesirableEffect": {
+        **_DOMAIN,
+        "subject": A("Reference"),
+        "symptomConditionEffect": "CodeableConcept",
+        "classification": "CodeableConcept",
+        "frequencyOfOccurrence": "CodeableConcept",
+        "population": A("Population"),
+    },
+    "SubstanceNucleicAcid": {
+        **_DOMAIN,
+        "sequenceType": "CodeableConcept",
+        "numberOfSubunits": "integer",
+        "areaOfHybridisation": "string",
+        "oligoNucleotideType": "CodeableConcept",
+        "subunit": A(
+            {
+                "subunit": "integer",
+                "sequence": "string",
+                "length": "integer",
+                "sequenceAttachment": "Attachment",
+                "fivePrime": "CodeableConcept",
+                "threePrime": "CodeableConcept",
+                "linkage": A(
+                    {
+                        "connectivity": "string",
+                        "identifier": "Identifier",
+                        "name": "string",
+                        "residueSite": "string",
+                    }
+                ),
+                "sugar": A(
+                    {
+                        "identifier": "Identifier",
+                        "name": "string",
+                        "residueSite": "string",
+                    }
+                ),
+            }
+        ),
+    },
+    "SubstancePolymer": {
+        **_DOMAIN,
+        "class": "CodeableConcept",
+        "geometry": "CodeableConcept",
+        "copolymerConnectivity": A("CodeableConcept"),
+        "modification": A("string"),
+        "monomerSet": A(
+            {
+                "ratioType": "CodeableConcept",
+                "startingMaterial": A(
+                    {
+                        "material": "CodeableConcept",
+                        "type": "CodeableConcept",
+                        "isDefining": "boolean",
+                        "amount": "SubstanceAmount",
+                    }
+                ),
+            }
+        ),
+        "repeat": A(
+            {
+                "numberOfUnits": "integer",
+                "averageMolecularFormula": "string",
+                "repeatUnitAmountType": "CodeableConcept",
+                "repeatUnit": A(
+                    {
+                        "orientationOfPolymerisation": "CodeableConcept",
+                        "repeatUnit": "string",
+                        "amount": "SubstanceAmount",
+                        "degreeOfPolymerisation": A(
+                            {
+                                "degree": "CodeableConcept",
+                                "amount": "SubstanceAmount",
+                            }
+                        ),
+                        "structuralRepresentation": A(_SS_REPRESENTATION),
+                    }
+                ),
+            }
+        ),
+    },
+    "SubstanceProtein": {
+        **_DOMAIN,
+        "sequenceType": "CodeableConcept",
+        "numberOfSubunits": "integer",
+        "disulfideLinkage": A("string"),
+        "subunit": A(
+            {
+                "subunit": "integer",
+                "sequence": "string",
+                "length": "integer",
+                "sequenceAttachment": "Attachment",
+                "nTerminalModificationId": "Identifier",
+                "nTerminalModification": "string",
+                "cTerminalModificationId": "Identifier",
+                "cTerminalModification": "string",
+            }
+        ),
+    },
+    "SubstanceReferenceInformation": {
+        **_DOMAIN,
+        "comment": "string",
+        "gene": A(
+            {
+                "geneSequenceOrigin": "CodeableConcept",
+                "gene": "CodeableConcept",
+                "source": A("Reference"),
+            }
+        ),
+        "geneElement": A(
+            {
+                "type": "CodeableConcept",
+                "element": "Identifier",
+                "source": A("Reference"),
+            }
+        ),
+        "classification": A(
+            {
+                "domain": "CodeableConcept",
+                "classification": "CodeableConcept",
+                "subtype": A("CodeableConcept"),
+                "source": A("Reference"),
+            }
+        ),
+        "target": A(
+            {
+                "target": "Identifier",
+                "type": "CodeableConcept",
+                "interaction": "CodeableConcept",
+                "organism": "CodeableConcept",
+                "organismType": "CodeableConcept",
+                "amount[x]": ["Quantity", "Range", "string"],
+                "amountType": "CodeableConcept",
+                "source": A("Reference"),
+            }
+        ),
+    },
+    "SubstanceSourceMaterial": {
+        **_DOMAIN,
+        "sourceMaterialClass": "CodeableConcept",
+        "sourceMaterialType": "CodeableConcept",
+        "sourceMaterialState": "CodeableConcept",
+        "organismId": "Identifier",
+        "organismName": "string",
+        "parentSubstanceId": A("Identifier"),
+        "parentSubstanceName": A("string"),
+        "countryOfOrigin": A("CodeableConcept"),
+        "geographicalLocation": A("string"),
+        "developmentStage": "CodeableConcept",
+        "fractionDescription": A(
+            {"fraction": "string", "materialType": "CodeableConcept"}
+        ),
+        "organism": {
+            "family": "CodeableConcept",
+            "genus": "CodeableConcept",
+            "species": "CodeableConcept",
+            "intraspecificType": "CodeableConcept",
+            "intraspecificDescription": "string",
+            "author": A(
+                {
+                    "authorType": "CodeableConcept",
+                    "authorDescription": "string",
+                }
+            ),
+            "hybrid": {
+                "maternalOrganismId": "string",
+                "maternalOrganismName": "string",
+                "paternalOrganismId": "string",
+                "paternalOrganismName": "string",
+                "hybridType": "CodeableConcept",
+            },
+            "organismGeneral": {
+                "kingdom": "CodeableConcept",
+                "phylum": "CodeableConcept",
+                "class": "CodeableConcept",
+                "order": "CodeableConcept",
+            },
+        },
+        "partDescription": A(
+            {"part": "CodeableConcept", "partLocation": "CodeableConcept"}
+        ),
+    },
+    "SubstanceSpecification": {
+        **_DOMAIN,
+        "identifier": "Identifier",
+        "type": "CodeableConcept",
+        "status": "CodeableConcept",
+        "domain": "CodeableConcept",
+        "description": "string",
+        "source": A("Reference"),
+        "comment": "string",
+        "moiety": A(
+            {
+                "role": "CodeableConcept",
+                "identifier": "Identifier",
+                "name": "string",
+                "stereochemistry": "CodeableConcept",
+                "opticalActivity": "CodeableConcept",
+                "molecularFormula": "string",
+                "amount[x]": ["Quantity", "string"],
+            }
+        ),
+        "property": A(
+            {
+                "category": "CodeableConcept",
+                "code": "CodeableConcept",
+                "parameters": "string",
+                "definingSubstance[x]": ["Reference", "CodeableConcept"],
+                "amount[x]": ["Quantity", "string"],
+            }
+        ),
+        "referenceInformation": "Reference",
+        "structure": {
+            "stereochemistry": "CodeableConcept",
+            "opticalActivity": "CodeableConcept",
+            "molecularFormula": "string",
+            "molecularFormulaByMoiety": "string",
+            "isotope": A(
+                {
+                    "identifier": "Identifier",
+                    "name": "CodeableConcept",
+                    "substitution": "CodeableConcept",
+                    "halfLife": "Quantity",
+                    "molecularWeight": _SS_MOLECULAR_WEIGHT,
+                }
+            ),
+            "molecularWeight": _SS_MOLECULAR_WEIGHT,
+            "source": A("Reference"),
+            "representation": A(_SS_REPRESENTATION),
+        },
+        "code": A(
+            {
+                "code": "CodeableConcept",
+                "status": "CodeableConcept",
+                "statusDate": "dateTime",
+                "comment": "string",
+                "source": A("Reference"),
+            }
+        ),
+        "name": A(_SS_NAME),
+        "molecularWeight": A(_SS_MOLECULAR_WEIGHT),
+        "relationship": A(
+            {
+                "substance[x]": ["Reference", "CodeableConcept"],
+                "relationship": "CodeableConcept",
+                "isDefining": "boolean",
+                "amount[x]": ["Quantity", "Range", "Ratio", "string"],
+                "amountRatioLowLimit": "Ratio",
+                "amountType": "CodeableConcept",
+                "source": A("Reference"),
+            }
+        ),
+        "nucleicAcid": "Reference",
+        "polymer": "Reference",
+        "protein": "Reference",
+        "sourceMaterial": "Reference",
+    },
+    "Evidence": {
+        **_DOMAIN,
+        **_EVIDENCE_HEADER,
+        "shortTitle": "string",
+        "subtitle": "string",
+        "exposureBackground": "Reference",
+        "exposureVariant": A("Reference"),
+        "outcome": A("Reference"),
+    },
+    "EvidenceVariable": {
+        **_DOMAIN,
+        **_EVIDENCE_HEADER,
+        "shortTitle": "string",
+        "subtitle": "string",
+        "type": "code",
+        "characteristic": A(
+            {
+                "description": "string",
+                "definition[x]": [
+                    "Reference", "canonical", "CodeableConcept",
+                    "Expression", "DataRequirement", "TriggerDefinition",
+                ],
+                "usageContext": A("UsageContext"),
+                "exclude": "boolean",
+                "participantEffective[x]": _STUDY_EFFECTIVE,
+                "timeFromStart": "Duration",
+                "groupMeasure": "code",
+            }
+        ),
+    },
+    "EffectEvidenceSynthesis": {
+        **_DOMAIN,
+        **_EVIDENCE_HEADER,
+        "synthesisType": "CodeableConcept",
+        "studyType": "CodeableConcept",
+        "population": "Reference",
+        "exposure": "Reference",
+        "exposureAlternative": "Reference",
+        "outcome": "Reference",
+        "sampleSize": _SYNTHESIS_SAMPLE_SIZE,
+        "resultsByExposure": A(
+            {
+                "description": "string",
+                "exposureState": "code",
+                "variantState": "CodeableConcept",
+                "riskEvidenceSynthesis": "Reference",
+            }
+        ),
+        "effectEstimate": A(
+            {
+                "description": "string",
+                "type": "CodeableConcept",
+                "variantState": "CodeableConcept",
+                "value": "decimal",
+                "unitOfMeasure": "CodeableConcept",
+                "precisionEstimate": A(_PRECISION_ESTIMATE),
+            }
+        ),
+        "certainty": A(_SYNTHESIS_CERTAINTY),
+    },
+    "RiskEvidenceSynthesis": {
+        **_DOMAIN,
+        **_EVIDENCE_HEADER,
+        "synthesisType": "CodeableConcept",
+        "studyType": "CodeableConcept",
+        "population": "Reference",
+        "exposure": "Reference",
+        "outcome": "Reference",
+        "sampleSize": _SYNTHESIS_SAMPLE_SIZE,
+        "riskEstimate": {
+            "description": "string",
+            "type": "CodeableConcept",
+            "value": "decimal",
+            "unitOfMeasure": "CodeableConcept",
+            "denominatorCount": "integer",
+            "numeratorCount": "integer",
+            "precisionEstimate": A(_PRECISION_ESTIMATE),
+        },
+        "certainty": A(_SYNTHESIS_CERTAINTY),
+    },
+    "ResearchDefinition": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        **_ARTIFACT_TAIL,
+        "shortTitle": "string",
+        "subtitle": "string",
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "comment": A("string"),
+        "usage": "string",
+        "library": A("canonical"),
+        "population": "Reference",
+        "exposure": "Reference",
+        "exposureAlternative": "Reference",
+        "outcome": "Reference",
+    },
+    "ResearchElementDefinition": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        **_ARTIFACT_TAIL,
+        "shortTitle": "string",
+        "subtitle": "string",
+        "subject[x]": ["CodeableConcept", "Reference"],
+        "comment": A("string"),
+        "usage": "string",
+        "library": A("canonical"),
+        "type": "code",
+        "variableType": "code",
+        "characteristic": A(
+            {
+                "definition[x]": [
+                    "CodeableConcept", "canonical", "Expression",
+                    "DataRequirement",
+                ],
+                "usageContext": A("UsageContext"),
+                "exclude": "boolean",
+                "unitOfMeasure": "CodeableConcept",
+                "studyEffectiveDescription": "string",
+                "studyEffective[x]": _STUDY_EFFECTIVE,
+                "studyEffectiveTimeFromStart": "Duration",
+                "studyEffectiveGroupMeasure": "code",
+                "participantEffectiveDescription": "string",
+                "participantEffective[x]": _STUDY_EFFECTIVE,
+                "participantEffectiveTimeFromStart": "Duration",
+                "participantEffectiveGroupMeasure": "code",
+            }
+        ),
+    },
+    "ExampleScenario": {
+        **_DOMAIN,
+        "url": "uri",
+        "identifier": A("Identifier"),
+        "version": "string",
+        "name": "string",
+        "status": "code",
+        "experimental": "boolean",
+        "date": "dateTime",
+        "publisher": "string",
+        "contact": A("ContactDetail"),
+        "useContext": A("UsageContext"),
+        "jurisdiction": A("CodeableConcept"),
+        "copyright": "markdown",
+        "purpose": "markdown",
+        "actor": A(
+            {
+                "actorId": "string",
+                "type": "code",
+                "name": "string",
+                "description": "markdown",
+            }
+        ),
+        "instance": A(
+            {
+                "resourceId": "string",
+                "resourceType": "code",
+                "name": "string",
+                "description": "markdown",
+                "version": A(
+                    {"versionId": "string", "description": "markdown"}
+                ),
+                "containedInstance": A(_ES_CONTAINED_INSTANCE),
+            }
+        ),
+        "process": A(_ES_PROCESS),
+        "workflow": A("canonical"),
+    },
+    "ImplementationGuide": {
+        **_DOMAIN,
+        "url": "uri",
+        "version": "string",
+        "name": "string",
+        "title": "string",
+        "status": "code",
+        "experimental": "boolean",
+        "date": "dateTime",
+        "publisher": "string",
+        "contact": A("ContactDetail"),
+        "description": "markdown",
+        "useContext": A("UsageContext"),
+        "jurisdiction": A("CodeableConcept"),
+        "copyright": "markdown",
+        "packageId": "id",
+        "license": "code",
+        "fhirVersion": A("code"),
+        "dependsOn": A(
+            {"uri": "canonical", "packageId": "id", "version": "string"}
+        ),
+        "global": A({"type": "code", "profile": "canonical"}),
+        "definition": {
+            "grouping": A({"name": "string", "description": "string"}),
+            "resource": A(
+                {
+                    "reference": "Reference",
+                    "fhirVersion": A("code"),
+                    "name": "string",
+                    "description": "string",
+                    "example[x]": ["boolean", "canonical"],
+                    "groupingId": "id",
+                }
+            ),
+            # page.page nests recursively; one structured level
+            "page": {**_IG_PAGE_LEAF, "page": (_IG_PAGE_LEAF, True)},
+            "parameter": A({"code": "string", "value": "string"}),
+            "template": A(
+                {"code": "string", "source": "string", "scope": "string"}
+            ),
+        },
+        "manifest": {
+            "rendering": "url",
+            "resource": A(
+                {
+                    "reference": "Reference",
+                    "example[x]": ["boolean", "canonical"],
+                    "relativePath": "url",
+                }
+            ),
+            "page": A(
+                {
+                    "name": "string",
+                    "title": "string",
+                    "anchor": A("string"),
+                }
+            ),
+            "image": A("string"),
+            "other": A("string"),
+        },
+    },
+    "StructureMap": {
+        **_DOMAIN,
+        **_CANONICAL_HEADER,
+        "structure": A(
+            {
+                "url": "canonical",
+                "mode": "code",
+                "alias": "string",
+                "documentation": "string",
+            }
+        ),
+        "import": A("canonical"),
+        "group": A(
+            {
+                "name": "id",
+                "extends": "id",
+                "typeMode": "code",
+                "documentation": "string",
+                "input": A(
+                    {
+                        "name": "id",
+                        "type": "string",
+                        "mode": "code",
+                        "documentation": "string",
+                    }
+                ),
+                # rule.rule nests recursively; one structured level
+                "rule": A({**_SM_RULE_LEAF, "rule": (_SM_RULE_LEAF, True)}),
             }
         ),
     },
