@@ -584,3 +584,104 @@ def contamination_report(
         .groupBy(corpus_id, bench_id)
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    out_col: str = "clf_score",
+    seed: int = 0,
+    hash_family: str = "md5_60",
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier scoring — the serving shape
+    of a fastText-style quality/domain classifier (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification") applied at corpus
+    scale: token → hash bucket → learned weight; document score =
+    sigmoid(bias + mean bucket weight).
+
+    The trained model is just ``weights`` (n_buckets floats) + ``bias``
+    and enters the plan as an ARRAY LITERAL, so scoring is a pure map
+    over the corpus — no join, no shuffle, no Python, one scan at
+    100 TB. The token array is let-bound (1-element-array transform, see
+    :func:`~parquet_on_fhir_spark.operators.dedup.shingles`) so the
+    split runs once per document, not once per token.
+
+    ``hash_family="md5_60"`` buckets with the cross-engine portable
+    hash, making the whole scorer restatable in ANSI SQL (oracle
+    ``q144``); pass ``"xxhash64"`` for production sweeps (~3× faster,
+    Spark-only).
+    """
+    n = len(weights)
+    arr = F.array(*[F.lit(float(w)) for w in weights])
+    prefix = f"clf{seed}"
+    if hash_family == "md5_60":
+        h = md5_60
+    elif hash_family == "xxhash64":
+        h = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def per_toks(ts):
+        total = F.aggregate(
+            ts,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.element_at(
+                arr,
+                (h(F.concat_ws(":", F.lit(prefix), w)) % n + 1).cast("int"),
+            ),
+        )
+        return F.lit(float(bias)) + total / F.greatest(F.size(ts), F.lit(1))
+
+    score = F.transform(F.array(words), per_toks)[0]
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-score)))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled source mixture — the multilingual / Pile
+    recipe (Conneau & Lample 2019 §3.1): sampling mass per source ∝
+    n_k^alpha with alpha < 1, flattening the natural distribution
+    toward small sources; ``budget`` is the target total row count.
+
+    Per-source keep rate r_k = min(1, budget · n_k^alpha / Σ_j n_j^alpha
+    / n_k); rows survive by the same deterministic per-row hash
+    threshold as :func:`sample_mixture`, so the sample is reproducible
+    across cluster layouts. The rate is quantized to 12 dp before the
+    comparison: Σ n^alpha is a float sum whose last bit depends on
+    aggregation order, and quantizing makes keep/drop decisions
+    order-independent (and ANSI-SQL-restatable — oracle ``q145``).
+
+    Cost: one K-row count aggregate, one 1-row total, a BROADCAST join
+    of the K rates, and a map-side filter — the corpus shuffles nothing.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn(
+        "_w", F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    )
+    total = counts.agg(F.sum("_w").alias("_tw"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        key_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.col("_w") / F.col("_tw") / F.col("_n"),
+            ),
+            12,
+        ).alias("_rate"),
+    )
+    draw = md5_60(
+        F.concat_ws(":", F.lit(f"temp{seed}"), F.col(id_col).cast("string"))
+    ) / F.lit(_HASH_SPACE)
+    return df.join(F.broadcast(rates), key_col).filter(draw < F.col("_rate")).drop(
+        "_rate"
+    )

@@ -426,3 +426,38 @@ def check_expectations(df, rules: dict[str, "Column"]):
         )
         .withColumn("ok", F.col("n_violations") == 0)
     )
+
+
+def bpe_pair_counts(df, text_col: str = "text", top_k: int = 50):
+    """Adjacent character-pair frequencies within words — the counting
+    inner loop of a BPE merge round (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"): the most
+    frequent pair is the next merge a tokenizer-training run would
+    apply.
+
+    Pairs are built MAP-SIDE with nested higher-order expressions
+    (split → per-word substring windows → flatten); the only shuffle is
+    the pair-count hash aggregate, which ships (pair, partial-count)
+    after map-side combine — never the corpus text. Top-k via
+    TakeOrderedAndProject (count desc, pair asc for determinism).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pairs = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.when(
+                F.length(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(top_k)
+    )

@@ -1677,3 +1677,155 @@ GROUP BY 1, 2
 
 
 QUERIES.append(Q("q143_contamination_report", q143, Q143_ORACLE))
+
+
+# --- Q144: hashed bag-of-words classifier scoring ------------------------------------
+# Deterministic stand-in for trained weights: 32 buckets, values in
+# [-0.9, 0.9]. The SAME literal is formatted into the oracle below.
+_Q144_WEIGHTS = [(((i * 37 + 11) % 19) - 9) / 10.0 for i in range(32)]
+
+
+def q144(spark, sf_dir):
+    """fastText-shaped quality-classifier scoring over documents:
+    token → md5 bucket → weight; sigmoid of the mean
+    (operators/curation.py::classifier_score)."""
+    from parquet_on_fhir_spark.operators.curation import classifier_score
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = classifier_score(d, _Q144_WEIGHTS, bias=0.1, seed=0)
+    return out.select(
+        "doc_id", F.round(F.col("clf_score") + F.lit(1e-9), 6).alias("clf_score")
+    )
+
+
+_Q144_ARR = "[" + ", ".join(repr(w) for w in _Q144_WEIGHTS) + "]"
+
+Q144_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         0.1 + coalesce(list_sum(list_transform(words,
+             tok -> ({_Q144_ARR})[
+                 CAST(CAST(CONCAT('0x', substr(md5(CONCAT('clf0', ':', tok)),
+                      1, 15)) AS BIGINT) % 32 AS INT) + 1])), 0.0)
+               / greatest(len(words), 1) AS score
+  FROM w
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-score)) + 1e-9, 6) AS clf_score FROM s
+"""
+
+
+QUERIES.append(Q("q144_classifier_score", q144, Q144_ORACLE))
+
+
+# --- Q145: temperature-scaled source mixture -----------------------------------------
+def q145(spark, sf_dir):
+    """Temperature sampling to a 150-row budget at alpha=0.5 — small
+    sources upweighted relative to their natural share
+    (operators/curation.py::temperature_mixture)."""
+    from parquet_on_fhir_spark.operators.curation import temperature_mixture
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mixture(d, budget=150, alpha=0.5, seed=1)
+
+
+Q145_ORACLE = """
+WITH c AS (
+  SELECT source, count(*) AS n,
+         pow(CAST(count(*) AS DOUBLE), 0.5) AS w
+  FROM documents GROUP BY source
+),
+tw AS (SELECT sum(w) AS tw FROM c),
+r AS (
+  SELECT source,
+         round(least(1.0, 150 * w / tw / n), 12) AS rate
+  FROM c, tw
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE CAST(CONCAT('0x', substr(md5(CONCAT('temp1', ':',
+        CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < r.rate
+"""
+
+
+QUERIES.append(Q("q145_temperature_mixture", q145, Q145_ORACLE))
+
+
+# --- Q146: embedding mean + covariance (PCA/whitening prep) --------------------------
+def q146(spark, sf_dir):
+    """Distributed covariance of the 64-dim embedding column via
+    Arrow-batch Gram partials (operators/similarity.py::
+    embedding_moments) — 2080 upper-triangle entries."""
+    from parquet_on_fhir_spark.operators.similarity import embedding_moments
+
+    e = t(spark, sf_dir, "embeddings")
+    out = embedding_moments(e, "embedding")
+    return out.select(
+        "i",
+        "j",
+        F.round(F.col("cov") + F.lit(1e-12), 8).alias("cov"),
+        F.round(F.col("mean_i") + F.lit(1e-12), 8).alias("mean_i"),
+        F.round(F.col("mean_j") + F.lit(1e-12), 8).alias("mean_j"),
+    )
+
+
+Q146_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(r.i AS INT) AS i,
+         CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings, range(64) r(i)
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+s AS (SELECT i, sum(x) AS si FROM e GROUP BY i),
+xy AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT xy.i, xy.j,
+       round((sxy - s1.si * s2.si / n.n) / n.n + 1e-12, 8) AS cov,
+       round(s1.si / n.n + 1e-12, 8) AS mean_i,
+       round(s2.si / n.n + 1e-12, 8) AS mean_j
+FROM xy
+JOIN s s1 ON s1.i = xy.i
+JOIN s s2 ON s2.i = xy.j
+CROSS JOIN n
+"""
+
+
+QUERIES.append(Q("q146_embedding_covariance", q146, Q146_ORACLE))
+
+
+# --- Q147: BPE pair statistics (tokenizer-training inner loop) -----------------------
+def q147(spark, sf_dir):
+    """Top-50 adjacent character pairs within words — the pair-count
+    step of one BPE merge round (operators/text.py::bpe_pair_counts)."""
+    from parquet_on_fhir_spark.operators.text import bpe_pair_counts
+
+    d = t(spark, sf_dir, "documents").select("text")
+    return bpe_pair_counts(d, "text", top_k=50)
+
+
+Q147_ORACLE = """
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                i -> substr(word, CAST(i AS INT), 2))) AS pair
+  FROM w
+)
+SELECT pair, count(*) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 50
+"""
+
+
+QUERIES.append(Q("q147_bpe_pairs", q147, Q147_ORACLE))

@@ -469,3 +469,120 @@ def test_semantic_dedup_planted_duplicates(spark):
     # distinct members survive as their own component
     survivors = [r for r in out if r.is_survivor]
     assert all(r.component == r.vec_id for r in survivors)
+
+
+def test_classifier_score_matches_python_reference(spark):
+    """classifier_score == a plain-Python reimplementation of
+    hash-bucket → weight → sigmoid(mean) on hand-built docs."""
+    import hashlib
+    import math
+
+    from parquet_on_fhir_spark.operators.curation import classifier_score
+
+    weights = [((i * 7) % 11 - 5) / 10.0 for i in range(16)]
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "spam spam spam buy now"),
+        (3, "a"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clf_score"]
+        for r in classifier_score(df, weights, bias=0.25, seed=3).collect()
+    }
+
+    def bucket(tok):
+        h = int(hashlib.md5(f"clf3:{tok}".encode()).hexdigest()[:15], 16)
+        return h % len(weights)
+
+    for doc_id, text in docs:
+        toks = text.lower().strip().split()
+        toks = toks if toks else [""]  # split('') -> [''] in both engines
+        score = 0.25 + sum(weights[bucket(tk)] for tk in toks) / max(len(toks), 1)
+        want = 1.0 / (1.0 + math.exp(-score))
+        assert abs(got[doc_id] - want) < 1e-12, (doc_id, got[doc_id], want)
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    """alpha=0 targets EQUAL per-source row counts regardless of the
+    natural skew; alpha=1 reproduces the natural proportions; a budget
+    >= N keeps everything; and the kept set is layout-independent."""
+    from parquet_on_fhir_spark.operators.curation import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    kept_all = temperature_mixture(df, budget=5000, alpha=0.5)
+    assert kept_all.count() == 1000
+
+    flat = temperature_mixture(df, budget=200, alpha=0.0, seed=7)
+    by_src = {
+        r["source"]: r["n"]
+        for r in flat.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=0: both sources target 100 rows; small (100 rows, rate 1.0)
+    # keeps everything, big keeps a hash-thinned ~100
+    assert by_src["small"] == 100
+    assert 70 <= by_src["big"] <= 130
+
+    natural = temperature_mixture(df, budget=200, alpha=1.0, seed=7)
+    by_nat = {
+        r["source"]: r["n"]
+        for r in natural.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=1: rates are uniform 0.2 across sources
+    assert 150 <= by_nat["big"] <= 210 and by_nat.get("small", 0) <= 40
+
+    a = sorted(r["doc_id"] for r in flat.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture(
+            df.repartition(13, "doc_id"), budget=200, alpha=0.0, seed=7
+        ).collect()
+    )
+    assert a == b
+
+
+def test_embedding_moments_matches_numpy(spark):
+    """Distributed Gram-partial covariance == numpy's population
+    covariance on a small random matrix, across multiple partitions."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.similarity import embedding_moments
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(257, 5))  # odd count to exercise ragged batches
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        ["vec_id", "embedding"],
+    ).repartition(7)
+    got = {
+        (r["i"], r["j"]): (r["cov"], r["mean_i"], r["mean_j"])
+        for r in embedding_moments(df).collect()
+    }
+    cov = np.cov(m, rowvar=False, bias=True)
+    mean = m.mean(axis=0)
+    assert len(got) == 5 * 6 // 2
+    for (i, j), (c, mi, mj) in got.items():
+        assert i <= j
+        assert abs(c - cov[i, j]) < 1e-9, (i, j)
+        assert abs(mi - mean[i]) < 1e-12 and abs(mj - mean[j]) < 1e-12
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    from collections import Counter
+
+    from parquet_on_fhir_spark.operators.text import bpe_pair_counts
+
+    docs = [(1, "low lower lowest"), (2, "new newer 日本語 ab a")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(df, top_k=100).collect()]
+
+    ref = Counter()
+    for _, text in docs:
+        for w in text.lower().strip().split():
+            for i in range(len(w) - 1):
+                ref[w[i : i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
