@@ -338,3 +338,84 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             (F.col("_sj") / F.col("_cnt")).alias("mean_j"),
         )
     )
+
+
+def fit_pca(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit a k-component PCA from :func:`embedding_moments`: the
+    distributed pass reduces the corpus to a dim×dim covariance (tiny —
+    dim² doubles), and the eigendecomposition runs DRIVER-SIDE in numpy
+    (O(dim³), independent of corpus size — the correct split at 100 TB:
+    the cluster computes moments, the driver solves a 1k×1k symmetric
+    eigenproblem in milliseconds).
+
+    Returns (mean, components, eigenvalues): ``components`` is a k×dim
+    row-major list (descending eigenvalue order, sign-canonicalized so
+    the largest-|x| coordinate of each component is positive — eigh's
+    sign choice is otherwise arbitrary).
+    """
+    rows = embedding_moments(df, vec_col).collect()
+    dim = max(r["j"] for r in rows) + 1
+    cov = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+        mean[r["i"]] = r["mean_i"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return (
+        [float(x) for x in mean],
+        comps,
+        [float(vals[i]) for i in order],
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten_eigvals: list[float] | None = None,
+) -> DataFrame:
+    """Project embeddings onto precomputed principal components —
+    the dimensionality-reduction / whitening stage SemDeDup-class
+    pipelines run before clustering.
+
+    The fitted model (mean + k×dim components, optionally eigenvalues
+    for whitening) enters the plan as ARRAY LITERALS, so projection is
+    a pure map over the corpus: per component one ``zip_with``·``
+    aggregate`` dot product against the centered vector — JVM
+    expressions, no Python, no shuffle, one scan at any corpus size.
+    """
+    mean_arr = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_arr, lambda x, m: x - m
+    )
+
+    def against(c):
+        comp_arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("_centered"), comp_arr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    proj = [against(c) for c in components]
+    if whiten_eigvals is not None:
+        proj = [
+            p / F.lit(float(max(ev, 1e-12)) ** 0.5)
+            for p, ev in zip(proj, whiten_eigvals)
+        ]
+    return (
+        df.withColumn("_centered", centered)
+        .withColumn(out_col, F.array(*proj))
+        .drop("_centered")
+    )

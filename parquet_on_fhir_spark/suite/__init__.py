@@ -90,6 +90,7 @@ ROWS_ONLY_COVERAGE = {
     "q91b_embedding_near_dup_lsh": "tests/test_llm_ops.py (recall vs exact q91)",
     "q119_embedding_quantize": "tests/test_llm_ops.py (int8 roundtrip invariants)",
     "q131_semantic_dedup": "tests/test_llm_ops.py (planted duplicate pairs; KMeans not oracle-portable)",
+    "q148_pca_project": "tests/test_llm_ops.py (vs numpy eigh; eigendecomposition not oracle-portable)",
 }
 
 

@@ -1829,3 +1829,22 @@ LIMIT 50
 
 
 QUERIES.append(Q("q147_bpe_pairs", q147, Q147_ORACLE))
+
+
+# --- Q148: PCA projection (rows-only: eigendecomposition is not SQL-portable) --------
+def q148(spark, sf_dir):
+    """Fit 8-component PCA from distributed moments, project the
+    embedding table (operators/similarity.py::fit_pca/pca_project).
+    Rows-only: correctness carried by
+    tests/test_llm_ops.py::test_pca_matches_numpy_reference."""
+    from parquet_on_fhir_spark.operators.similarity import fit_pca, pca_project
+
+    e = t(spark, sf_dir, "embeddings")
+    mean, comps, eigvals = fit_pca(e, k=8)
+    out = pca_project(e, mean, comps, whiten_eigvals=eigvals)
+    return out.select(
+        "vec_id", F.round(F.element_at("pca", 1), 4).alias("pc1")
+    )
+
+
+QUERIES.append(Q("q148_pca_project", q148, None))

@@ -586,3 +586,45 @@ def test_bpe_pair_counts_matches_python_reference(spark):
                 ref[w[i : i + 2]] += 1
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
     assert got == want
+
+
+def test_pca_matches_numpy_reference(spark):
+    """fit_pca + pca_project == direct numpy PCA on the same matrix:
+    eigenvalues, per-component projections (up to the shared sign
+    canonicalization), and unit variance after whitening."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.similarity import fit_pca, pca_project
+
+    rng = np.random.default_rng(5)
+    # anisotropic data: strong axes so component order is unambiguous
+    base = rng.normal(size=(400, 6)) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    mix = rng.normal(size=(6, 6))
+    m = base @ mix + rng.normal(size=6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        ["vec_id", "embedding"],
+    ).repartition(5)
+
+    mean, comps, eigvals = fit_pca(df, k=3)
+    cov = np.cov(m, rowvar=False, bias=True)
+    ref_vals, ref_vecs = np.linalg.eigh(cov)
+    order = np.argsort(ref_vals)[::-1][:3]
+    assert np.allclose(mean, m.mean(axis=0), atol=1e-9)
+    assert np.allclose(eigvals, ref_vals[order], rtol=1e-9)
+    for got, idx in zip(comps, order):
+        v = ref_vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        assert np.allclose(got, v, atol=1e-9)
+
+    proj = pca_project(df, mean, comps)
+    got = np.array(
+        [r["pca"] for r in proj.orderBy("vec_id").collect()]
+    )
+    want = (m - m.mean(axis=0)) @ np.array(comps).T
+    assert np.allclose(got, want, atol=1e-9)
+
+    white = pca_project(df, mean, comps, whiten_eigvals=eigvals)
+    w = np.array([r["pca"] for r in white.orderBy("vec_id").collect()])
+    assert np.allclose(w.var(axis=0), 1.0, atol=1e-6)
