@@ -37,6 +37,9 @@ PROBE_QUERIES = [
     "q122_dedup_lines",
     "q124_fuzzy_join",
     "q133_funnel",
+    "q144_classifier_score",
+    "q146_embedding_covariance",
+    "q147_bpe_pairs",
 ]
 
 
@@ -54,7 +57,8 @@ def replicate(spark, sf_dir: str, out: str, k: int) -> None:
     scale("lineitem", {"l_orderkey": 1_000_000_000})
     scale("events", {"event_id": 1_000_000_000, "user_id": 10_000_000})
     scale("documents", {"doc_id": 100_000})
-    for name in ("region", "nation", "supplier", "part", "embeddings"):
+    scale("embeddings", {"vec_id": 10_000_000})
+    for name in ("region", "nation", "supplier", "part"):
         load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
