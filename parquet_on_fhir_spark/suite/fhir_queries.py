@@ -616,3 +616,69 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf13_conceptmap_translate", qf13, QF13_ORACLE))
+
+
+# --- qf14: hierarchical ValueSet filter expansion (is-a closure) ---------------------
+# A 4-level anatomy hierarchy: the is-a filter must walk nested
+# concept[].concept[] transitively (fhir/terminology.py::
+# concept_edges → concept_closure → expand_valueset(closure=...)).
+_CS_ANATOMY_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-anatomy", "status": "active",
+    "url": "http://example.org/cs/anatomy", "content": "complete",
+    "concept": [
+        {"code": "body", "display": "Body", "concept": [
+            {"code": "limb", "display": "Limb", "concept": [
+                {"code": "arm", "display": "Arm", "concept": [
+                    {"code": "hand", "display": "Hand"}]},
+                {"code": "leg", "display": "Leg", "concept": [
+                    {"code": "foot", "display": "Foot"}]}]},
+            {"code": "organ", "display": "Organ", "concept": [
+                {"code": "heart", "display": "Heart"}]}]},
+    ],
+}
+_VS_LIMBS_DOC = {
+    "resourceType": "ValueSet", "id": "vs-limbs", "status": "active",
+    "url": "http://example.org/ValueSet/limbs",
+    "compose": {
+        "include": [
+            {"system": "http://example.org/cs/anatomy",
+             "filter": [{"property": "concept", "op": "is-a",
+                          "value": "limb"}]},
+        ],
+        "exclude": [
+            {"system": "http://example.org/cs/anatomy",
+             "concept": [{"code": "foot"}]},
+        ],
+    },
+}
+
+
+def qf14(spark, sf_dir):
+    """is-a filter expansion over a 4-level hierarchy: limb + all
+    transitive descendants, minus the excluded foot."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_LIMBS_DOC, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select(
+        "url", "system", "code", "display"
+    )
+
+
+QF14_ORACLE = """
+SELECT * FROM (VALUES
+  ('http://example.org/ValueSet/limbs', 'http://example.org/cs/anatomy', 'limb', 'Limb'),
+  ('http://example.org/ValueSet/limbs', 'http://example.org/cs/anatomy', 'arm', 'Arm'),
+  ('http://example.org/ValueSet/limbs', 'http://example.org/cs/anatomy', 'hand', 'Hand'),
+  ('http://example.org/ValueSet/limbs', 'http://example.org/cs/anatomy', 'leg', 'Leg')
+) AS t(url, system, code, display)
+"""
+
+
+QUERIES.append(Q("qf14_valueset_isa_filter", qf14, QF14_ORACLE))

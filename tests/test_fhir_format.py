@@ -513,3 +513,75 @@ def test_expand_valueset_and_translate(spark):
     assert {(r.target_code, r.equivalence) for r in t} == {
         ("8462-4", "equivalent"), ("85354-9", "wider"),
     }
+
+
+def test_concept_closure_and_isa_filter(spark):
+    """Path-doubling closure over a deep chain + is-a/descendent-of
+    filter semantics; unsupported filter ops still raise."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import _encode_doc as _encode
+
+    # depth-9 chain c0 > c1 > ... > c8 exercises multiple doubling rounds
+    doc = {"code": "c8", "display": "C8"}
+    for i in range(7, -1, -1):
+        doc = {"code": f"c{i}", "display": f"C{i}", "concept": [doc]}
+    cs = _encode(
+        spark,
+        {
+            "resourceType": "CodeSystem", "id": "chain", "status": "active",
+            "url": "http://x/cs", "content": "complete", "concept": [doc],
+        },
+        "CodeSystem",
+    )
+    edges = concept_edges(cs)
+    assert edges.count() == 8
+    clo = concept_closure(edges)
+    # chain closure: sum over i of (8 - i) pairs = 36, non-reflexive
+    assert clo.count() == 36
+    assert clo.filter(
+        (F.col("ancestor") == "c0") & (F.col("descendant") == "c8")
+    ).count() == 1
+
+    def vs_with(op, value):
+        return _encode(
+            spark,
+            {
+                "resourceType": "ValueSet", "id": "v", "status": "active",
+                "url": "http://x/vs",
+                "compose": {"include": [
+                    {"system": "http://x/cs",
+                     "filter": [{"property": "concept", "op": op,
+                                  "value": value}]}]},
+            },
+            "ValueSet",
+        )
+
+    isa = {r.code for r in expand_valueset(vs_with("is-a", "c5"), cs,
+                                           closure=clo).collect()}
+    assert isa == {"c5", "c6", "c7", "c8"}
+    desc = {r.code for r in expand_valueset(vs_with("descendent-of", "c5"), cs,
+                                            closure=clo).collect()}
+    assert desc == {"c6", "c7", "c8"}
+
+    with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
+        expand_valueset(vs_with("regex", "c.*"), cs, closure=clo).collect()
+
+    # whole-system include now collects NESTED codes too
+    whole = _encode(
+        spark,
+        {
+            "resourceType": "ValueSet", "id": "w", "status": "active",
+            "url": "http://x/vs-all",
+            "compose": {"include": [{"system": "http://x/cs"}]},
+        },
+        "ValueSet",
+    )
+    assert {r.code for r in expand_valueset(whole, cs).collect()} == {
+        f"c{i}" for i in range(9)
+    }
