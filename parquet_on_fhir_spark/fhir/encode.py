@@ -16,6 +16,7 @@ matching the examples' depth-2 usage.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_on_fhir_spark.fhir.annotations import annotate
@@ -148,3 +149,126 @@ def write_table(
     finally:
         if int96_timestamps:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+
+def _entry_resource_spans(line: str) -> list[str]:
+    """Byte-exact ``entry[].resource`` subtrees of one Bundle JSON line.
+
+    A single forward scan tracks string/escape state and bracket depth
+    (``{`` and ``[`` both count): an entry's resource value opens at
+    depth 4 (bundle → entry array → entry object → value), so a
+    ``"resource"`` key seen at depth 3 marks a span whose matching
+    close brace is found by the same depth counter. Nested bundles'
+    inner ``resource`` keys sit at depth ≥ 7 and are ignored. The
+    returned substrings are the ORIGINAL bytes — no parse/re-serialize
+    cycle, so lexical number tokens (``72.50``) survive untouched.
+    """
+    spans: list[str] = []
+    i, n = 0, len(line)
+    depth = 0
+    while i < n:
+        c = line[i]
+        if c == '"':
+            j = i + 1
+            while j < n:
+                if line[j] == "\\":
+                    j += 2
+                    continue
+                if line[j] == '"':
+                    break
+                j += 1
+            if depth == 3 and line[i : j + 1] == '"resource"':
+                k = j + 1
+                while k < n and line[k] in " \t:":
+                    k += 1
+                if k < n and line[k] == "{":
+                    d = 0
+                    m = k
+                    while m < n:
+                        ch = line[m]
+                        if ch == '"':
+                            m += 1
+                            while m < n:
+                                if line[m] == "\\":
+                                    m += 2
+                                    continue
+                                if line[m] == '"':
+                                    break
+                                m += 1
+                        elif ch in "{[":
+                            d += 1
+                        elif ch in "}]":
+                            d -= 1
+                            if d == 0:
+                                spans.append(line[k : m + 1])
+                                break
+                        m += 1
+                    i = m + 1
+                    continue
+            i = j + 1
+            continue
+        if c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+        i += 1
+    return spans
+
+
+def unbundle_ndjson(
+    spark: SparkSession,
+    bundle_path: str,
+    out_root: str,
+    annotations: bool = True,
+    lexical: bool = True,
+) -> dict[str, int]:
+    """Split Bundle NDJSON (one Bundle JSON per line — the Synthea /
+    transaction-export shape, hl7.org/fhir/R4/bundle.html) into one
+    Parquet-on-FHIR table per entry resourceType.
+
+    ``lexical=True`` (default): entry resources are cut out of the
+    line as BYTE-EXACT SPANS (:func:`_entry_resource_spans`, a
+    mapPartitions string scan) — the bytes that reach the per-type
+    encoder are the bytes the bundle carried, so lexical decimal
+    fidelity (README.md:343-351) survives unbundling. This is the one
+    deliberate Python pass in the ingestion path: it exists because
+    every JVM JSON route (``from_json`` with a string-typed subtree,
+    ``get_json_object``) re-serializes numbers (72.50 → 72.5),
+    which would silently break the format's lossless contract.
+
+    ``lexical=False``: ``from_json`` subtree extraction — all-JVM and
+    faster, value-preserving but token-normalizing; use when inputs
+    are known to carry already-normalized numbers.
+
+    Either way the exploded resources stage as plain NDJSON and flow
+    through the standard mixed-split path (:func:`encode_mixed_ndjson`:
+    per-type sparse schema, annotations, validation).
+    Returns {resourceType: rows}.
+    """
+    raw = spark.read.text(bundle_path)
+    if lexical:
+        def split_lines(lines):
+            for line in lines:
+                for span in _entry_resource_spans(line.value):
+                    yield (span,)
+
+        bundles = raw.filter(
+            F.get_json_object("value", "$.resourceType") == "Bundle"
+        )
+        entries = bundles.rdd.mapPartitions(split_lines).toDF(["value"])
+    else:
+        entries = (
+            raw.select(
+                F.from_json(
+                    "value",
+                    "resourceType string, entry array<struct<resource:string>>",
+                ).alias("b")
+            )
+            .filter(F.col("b.resourceType") == "Bundle")
+            .select(F.explode("b.entry").alias("e"))
+            .select(F.col("e.resource").alias("value"))
+            .filter(F.col("value").isNotNull())
+        )
+    staged = f"{out_root}/_unbundled"
+    entries.write.mode("overwrite").text(staged)
+    return encode_mixed_ndjson(spark, staged, out_root, annotations=annotations)

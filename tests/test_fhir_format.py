@@ -585,3 +585,72 @@ def test_concept_closure_and_isa_filter(spark):
     assert {r.code for r in expand_valueset(whole, cs).collect()} == {
         f"c{i}" for i in range(9)
     }
+
+
+def test_unbundle_ndjson_splits_and_preserves_decimals(spark):
+    """Bundle NDJSON → per-type tables through the raw-subtree
+    extraction; lexical decimals inside entries survive to re-decode."""
+    import tempfile as _tf
+
+    from parquet_on_fhir_spark.fhir.encode import unbundle_ndjson
+    from parquet_on_fhir_spark.fhir.decode import to_fhir_json
+
+    def bundle(pid, oid, value):
+        # value is spliced as a LITERAL (json.dumps would normalize
+        # 72.50 → 72.5, defeating the lexical-fidelity assertion)
+        return json.dumps({
+            "resourceType": "Bundle", "type": "transaction",
+            "entry": [
+                {"resource": {"resourceType": "Patient", "id": pid,
+                               "name": [{"family": "Doe"}]}},
+                {"request": {"method": "GET", "url": "Patient"}},  # no resource
+                {"resource": {"resourceType": "Observation", "id": oid,
+                               "status": "final", "code": {"text": "hr"},
+                               "valueQuantity": {"value": "__V__",
+                                                  "unit": "bpm"}}},
+            ],
+        }).replace('"__V__"', value)
+
+    src = _tf.mkdtemp(prefix="pofs_bundle_src_")
+    out = _tf.mkdtemp(prefix="pofs_bundle_out_")
+    with open(f"{src}/bundles.ndjson", "w") as fh:
+        fh.write(bundle("p1", "o1", "72.50") + "\n")
+        fh.write(bundle("p2", "o2", "98.6") + "\n")
+        fh.write(json.dumps({"resourceType": "Patient", "id": "loose"}) + "\n")
+
+    counts = unbundle_ndjson(spark, src, out)
+    assert counts == {"Patient": 2, "Observation": 2}
+
+    obs = spark.read.parquet(f"{out}/Observation")
+    decoded = {
+        json.loads(r[0])["id"]: json.loads(r[0])
+        for r in to_fhir_json(obs, resource_type="Observation").collect()
+    }
+    # 72.50 keeps its trailing zero (lexical fidelity through unbundling)
+    assert decoded["o1"]["valueQuantity"]["value"] == 72.50
+    raw = {r[0] for r in to_fhir_json(obs, resource_type="Observation").collect()}
+    assert any('"value": 72.50' in x or '"value":72.50' in x for x in raw), raw
+
+
+def test_entry_resource_span_scanner_adversarial():
+    """Pure-string scanner: braces/brackets inside strings, escaped
+    quotes, nested bundles (inner resource keys ignored), non-object
+    resource values skipped."""
+    from parquet_on_fhir_spark.fhir.encode import _entry_resource_spans
+
+    line = ('{"resourceType":"Bundle","entry":['
+            '{"resource":{"a":"}{","b":[1,2],"c":{"d":"\\"e\\""}}},'
+            '{"request":{"url":"x"}},'
+            '{"resource":{"x":72.50}}]}')
+    assert _entry_resource_spans(line) == [
+        '{"a":"}{","b":[1,2],"c":{"d":"\\"e\\""}}',
+        '{"x":72.50}',
+    ]
+
+    nested = ('{"resourceType":"Bundle","entry":[{"resource":'
+              '{"resourceType":"Bundle","entry":[{"resource":{"deep":1}}]}'
+              '}]}')
+    spans = _entry_resource_spans(nested)
+    assert len(spans) == 1 and '"deep":1' in spans[0]
+
+    assert _entry_resource_spans('{"resourceType":"Patient","id":"p"}') == []
