@@ -99,6 +99,21 @@ def main(argv: list[str] | None = None) -> int:
     trn.add_argument("--output")
     trn.add_argument("--show", type=int, default=20)
 
+    unb = sub.add_parser(
+        "unbundle",
+        help="split Bundle NDJSON (one Bundle per line) into one "
+        "Parquet-on-FHIR table per entry resourceType",
+    )
+    unb.add_argument("input")
+    unb.add_argument("out_root")
+    unb.add_argument("--no-annotations", action="store_true")
+    unb.add_argument(
+        "--fast",
+        action="store_true",
+        help="all-JVM from_json extraction (normalizes number tokens, "
+        "e.g. 72.50 -> 72.5; default is the byte-exact span scanner)",
+    )
+
     dif = sub.add_parser(
         "diff", help="row-level snapshot diff: added/removed/changed/unchanged by id"
     )
@@ -230,6 +245,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{out.count()} rows -> {args.output}")
         else:
             out.show(args.show, truncate=40)
+        return 0
+
+    if args.cmd == "unbundle":
+        from parquet_on_fhir_spark.fhir.encode import unbundle_ndjson
+
+        counts = unbundle_ndjson(
+            spark,
+            args.input,
+            args.out_root,
+            annotations=not args.no_annotations,
+            lexical=not args.fast,
+        )
+        print(json.dumps(counts, indent=2))
         return 0
 
     if args.cmd == "diff":

@@ -100,3 +100,26 @@ sys.exit(rc)
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "added" in r.stdout and "removed" in r.stdout and "changed" in r.stdout
+
+
+def test_cli_unbundle(tmp_path):
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    bundle = {
+        "resourceType": "Bundle", "type": "collection",
+        "entry": [
+            {"resource": {"resourceType": "Patient", "id": "p1"}},
+            {"resource": {"resourceType": "Patient", "id": "p2"}},
+            {"resource": {"resourceType": "Condition", "id": "c1",
+                           "code": {"text": "HTN"}}},
+        ],
+    }
+    (src / "b.ndjson").write_text(_json.dumps(bundle) + "\n")
+    out = tmp_path / "out"
+    res = run_cli("unbundle", str(src), str(out))
+    assert res.returncode == 0, res.stderr[-2000:]
+    counts = _json.loads(res.stdout[res.stdout.index("{"):])
+    assert counts == {"Patient": 2, "Condition": 1}
+    assert (out / "Patient").exists() and (out / "Condition").exists()
