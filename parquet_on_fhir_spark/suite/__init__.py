@@ -10,28 +10,54 @@ from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
 # only, so registration order is coverage policy.  Round-6 window =
-# flagship + ALL 42 oracle queries holding exactly one lifetime green
-# driver row (computed from CORRECTNESS_r01..r05: the 26 r5
-# first-timers plus the r4 singles q36/q44/q46/q47/q49/q50, the
-# streaming "b" variants, q62/q64/q65, q71b/q73b) + 7 re-confirmation
-# anchors chosen because round 6 touches their code paths (qf04 UCUM
-# extension, qf08 registry breadth) or because they anchor the bench
-# (q21/q66/q69/q18/q43).  After this window every oracle query holds
-# >=2 lifetime rows, making the suite regression-proof against testdata
-# regeneration.  Rows-only queries are registered LAST so the window
+# flagship + ALL 30 oracle queries built this round (zero lifetime
+# driver rows — q121-q149, qf12-qf14; first-ever rows beat second rows)
+# + 19 re-confirmation picks from the 42 single-row queries, chosen
+# because round 6 touched their code paths: graph.py (q108 — decimal
+# overflow witness fix), dedup.py (q113/q114/q120 — incremental_dedup
+# cross-set banding rewrite), views.py (qf09/qf10 — ofType support),
+# store.py (qf11), curation.py (q95-q99, q111/q112/q116), text.py
+# (q109/q115), layout.py (q118), plus rollup-chain q117.  The 23
+# remaining single-row queries (TPC-H tails q100-q106, r4 scalar/
+# streaming singles) have untouched code paths and stay covered by
+# selfcheck.  Rows-only queries are registered LAST so the window
 # contains only hash-checkable entries; each names the test that
 # carries its correctness.  Full-suite verification is always
 # available via `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- single-lifetime-row: r5 first-timers (second row => 2x coverage)
-    "q100_tpch_q7_volume_shipping",
-    "q101_tpch_q8_market_share",
-    "q102_tpch_q12_late_lines",
-    "q103_tpch_q13_custdist",
-    "q104_tpch_q15_top_supplier",
-    "q105_tpch_q17_small_qty",
-    "q106_tpch_q21_waiting_supplier",
+    # -- zero-lifetime-row: round-6 queries (first-ever driver rows)
+    "q121_ngram_lm_score",
+    "q122_dedup_lines",
+    "q123_frequent_ngrams",
+    "q124_fuzzy_join",
+    "q125_resample_gapfill",
+    "q126_tpch_q2_min_cost_supplier",
+    "q127_tpch_q9_profit",
+    "q128_tpch_q11_important_parts",
+    "q129_tpch_q16_supplier_cnt",
+    "q130_tpch_q20_excess_shipments",
+    "q132_resample_interpolate",
+    "q133_funnel",
+    "q134_cohort_retention",
+    "q135_expectations",
+    "q136_anomaly_detection",
+    "q137_sessionize",
+    "q138_pagerank",
+    "q139_weighted_sample",
+    "q140_ewma",
+    "q141_snapshot_diff",
+    "q142_skew_report",
+    "q143_contamination_report",
+    "q144_classifier_score",
+    "q145_temperature_mixture",
+    "q146_embedding_covariance",
+    "q147_bpe_pairs",
+    "q149_tpch_q5_local_supplier",
+    "qf12_valueset_expand",
+    "qf13_conceptmap_translate",
+    "qf14_valueset_isa_filter",
+    # -- single-lifetime-row re-confirms whose code was touched this round
     "q108_dedup_clusters_md5",
     "q109_doc_chunking",
     "q111_importance_weights",
@@ -51,31 +77,6 @@ WINDOW = [
     "qf09_view_definition_patient",
     "qf10_view_definition_observation",
     "qf11_chained_search",
-    # -- single-lifetime-row: r4 singles that yielded their r5 slot
-    "q36_sort_within_partitions",
-    "q44_math_funcs",
-    "q46_array_funcs",
-    "q47_higher_order_funcs",
-    "q49_json_funcs",
-    "q50_struct_ops",
-    "q54b_stream_window_sliding",
-    "q55b_stream_window_session",
-    "q56b_stream_watermark_multibatch",
-    "q57b_stream_dedup",
-    "q59b_stream_stream_join",
-    "q62_pandas_udf",
-    "q64_pandas_udaf",
-    "q65_python_udtf",
-    "q71b_language_id",
-    "q73b_multimodal_frame_plan",
-    # -- re-confirmation anchors (code paths touched in round 6 + bench anchors)
-    "qf04_fhir_quantity_canonical",
-    "qf08_fhir_definition_schema",
-    "q43_fhir_partial_date_bounds",
-    "q21_agg_tpch_q1",
-    "q66_dedup_exact",
-    "q69_similarity_topk_bruteforce",
-    "q18_join_asof",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

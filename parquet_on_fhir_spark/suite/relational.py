@@ -2207,3 +2207,70 @@ FROM r, total WHERE rank <= 10
 
 
 QUERIES.append(Q("q142_skew_report", q142, Q142_ORACLE))
+
+
+# --- Q149: TPC-H Q5 (local supplier volume) — the last of the 22 -----------------
+# TPC-H queries; completes the suite.  DataFrame-API formulation (the
+# other TPC-H tails use spark.sql) to exercise the same plan through the
+# declarative surface.  Scale shape: region (5 rows) and nation (25)
+# broadcast into a 30-row asia_nations dim; the orderdate range filter
+# pushes into the orders scan; lineitem→orders shuffles on orderkey,
+# then →customer on custkey; the supplier join carries the Q5 twist —
+# the equi-key is (l_suppkey, c_nationkey=s_nationkey), so the "local"
+# constraint rides the join condition instead of a post-filter, and
+# Catalyst prunes non-local rows during the hash probe.  No hint on the
+# supplier side: at bench SF AQE picks broadcast; at 100 TB (where
+# supplier is ~10^9 rows) it degrades gracefully to a shuffle join.
+def q149(spark, sf_dir):
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            d2(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+QUERIES.append(Q("q149_tpch_q5_local_supplier", q149, TPCH_Q5_SQL))
