@@ -54,6 +54,26 @@ def _ref_ids(df: DataFrame, element: str, target_type: str) -> DataFrame:
     return ids.filter(F.col("__ref_id").isNotNull()).distinct()
 
 
+#: Patient-compartment membership elements per resource type — the
+#: subset of hl7.org/fhir/R4/compartmentdefinition-patient.html covering
+#: the resource types this repo's fixtures and the reference's examples
+#: (`/root/reference/examples/`) exercise. Elements are tried in order;
+#: only those present in the table's schema participate.
+PATIENT_COMPARTMENT: dict[str, list[str]] = {
+    "Observation": ["subject", "performer"],
+    "Condition": ["subject", "asserter"],
+    "Encounter": ["subject"],
+    "Procedure": ["subject", "performer"],
+    "MedicationRequest": ["subject", "performer"],
+    "Immunization": ["patient"],
+    "AllergyIntolerance": ["patient", "recorder", "asserter"],
+    "DiagnosticReport": ["subject"],
+    "CarePlan": ["subject"],
+    "Claim": ["patient"],
+    "ExplanationOfBenefit": ["patient"],
+}
+
+
 class FhirStore:
     """resourceType → FhirTable registry with multi-table search."""
 
@@ -199,4 +219,66 @@ class FhirStore:
                 keyed["__ref_id"] == ids["__m_id"],
                 "left_semi",
             ).drop("__ref_id")
+        return out
+
+    # -- patient compartment ($everything) ---------------------------------
+    def everything(
+        self,
+        patient_ids: list[str] | None = None,
+        patient_type: str = "Patient",
+        compartment: dict[str, list[str]] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Patient compartment extraction — the Patient ``$everything``
+        operation (hl7.org/fhir/R4/operation-patient-everything.html):
+        every resource in the store that belongs to the selected
+        patients' compartments, keyed by the membership elements in
+        :data:`PATIENT_COMPARTMENT`.
+
+        Returns ``{type: DataFrame}``; every member frame carries an
+        added ``patient_id`` column (the owning patient) so callers can
+        re-group per patient — the natural Spark shape for a bulk
+        $everything over millions of patients at once, which is the
+        100 TB use (cohort extraction), not the single-patient REST
+        call. The patient frame itself gets ``patient_id = id``.
+
+        Plan shape: the patient id set is one narrow DISTINCT
+        (broadcast when filtered, which is the common cohort case);
+        each member table is scanned once, keyed map-side by parsing
+        its first schema-present membership element, and inner-joined
+        against the broadcast id set — no member table is ever
+        shuffled. Scalar Reference elements only: the compartment
+        definition's list elements (e.g. CareTeam.participant) would
+        add an explode before the join; none of the transcribed
+        fixture types need it.
+        """
+        comp = compartment if compartment is not None else PATIENT_COMPARTMENT
+        pat = self.tables[patient_type].df
+        if patient_ids is not None:
+            pat = pat.filter(F.col("id").isin(list(patient_ids)))
+        ids = pat.select(F.col("id").alias("__pid")).distinct()
+        out: dict[str, DataFrame] = {
+            patient_type: pat.withColumn("patient_id", F.col("id"))
+        }
+        for rtype, elements in comp.items():
+            if rtype == patient_type or rtype not in self.tables:
+                continue
+            df = self.tables[rtype].df
+            keys = []
+            for el in elements:
+                if el not in df.columns:
+                    continue
+                dtype = df.schema[el].dataType
+                if not isinstance(dtype, T.StructType):
+                    continue  # list elements: out of fixture scope
+                if "reference" not in dtype.fieldNames():
+                    continue
+                keys.append(_ref_id(F.col(f"{el}.reference"), patient_type))
+            if not keys:
+                continue
+            keyed = df.withColumn("patient_id", F.coalesce(*keys))
+            out[rtype] = keyed.join(
+                F.broadcast(ids),
+                keyed["patient_id"] == ids["__pid"],
+                "inner",
+            ).drop("__pid")
         return out

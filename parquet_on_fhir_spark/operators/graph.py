@@ -307,3 +307,75 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as a
+    (possibly directed, possibly duplicated) edge list.
+
+    Algorithm: degree-based edge orientation (the MapReduce classic —
+    Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of
+    the Last Reducer"). Each undirected edge {u,v} is oriented from the
+    endpoint that is SMALLER in the total order (degree, node-id) to the
+    larger; every triangle then has exactly one source vertex with two
+    outgoing oriented edges, so it is found exactly once as a wedge
+    (u→v, u→w) closed by the oriented edge v→w.
+
+    Scale shape: orientation bounds every out-neighborhood at O(√m),
+    so the wedge self-join — the quadratic step that kills naive
+    triangle counting on skewed graphs (a celebrity node of degree d
+    would otherwise emit d² wedges) — emits at most m·√m candidates
+    regardless of skew. Three narrow shuffles: the dedup/distinct on
+    canonical pairs, the degree aggregate (joined back, broadcast-size
+    for real-world degree tables is NOT assumed — it shuffles on the
+    node key), and the wedge join on the closing edge. No collect; the
+    edge list is never materialized on the driver.
+
+    Output: (node, n_triangles) for every node with ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    # orient low(deg, id) → high(deg, id); ties impossible in (d, id)
+    oriented = keyed.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    # each unordered out-pair once: x before y in the canonical id order
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])  # (u, x, y) = one triangle
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

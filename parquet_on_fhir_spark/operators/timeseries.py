@@ -310,3 +310,129 @@ def ewma(
         lambda acc: acc["s"] / acc["z"],
     )
     return df.withColumn(out_col, weighted)
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log:
+    collapse consecutive rows per key whose tracked attributes are
+    unchanged, and emit one validity interval per surviving version —
+    (keys, attrs, valid_from, valid_to, is_current), with
+    ``valid_to`` NULL on the open current version.
+
+    Implementation: lag() flags rows whose attribute tuple differs
+    from the key's previous row (NULL-safe via eqNullSafe on a
+    struct), the flagged change rows survive a filter, and lead()
+    over the SURVIVORS supplies each version's exclusive end. Both
+    windows share one partitioning — a single shuffle keyed by the
+    dimension key, which is exactly the write-partitioning a 100 TB
+    dimension build wants anyway. No self-join: the classic
+    "join changes to next change" formulation shuffles twice and
+    breaks under equal timestamps; lead() does neither.
+    """
+    order = [ts_col, *(tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~attrs.eqNullSafe(F.lag(attrs).over(w))
+    versions = df.withColumn("__chg", F.coalesce(changed, F.lit(True))).filter(
+        F.col("__chg")
+    )
+    wv = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        versions.select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(wv).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    every: str = "1 hour",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Downsample a series to per-bucket OHLC candles: open/close are
+    the value at the bucket's earliest/latest event (equal timestamps
+    broken by ``tie_cols`` so the result is layout-independent),
+    high/low the extremes, plus event count and sum.
+
+    Single hash aggregate — min_by/max_by keyed on the (ts, *ties)
+    struct compute open/close map-side, so the shuffle carries one
+    partially-folded row per (key, bucket), never the raw events. No
+    window function: an ordered window would shuffle every event and
+    sort; the agg formulation is the one that survives 100 TB.
+
+    Output: *keys, bucket_start, open, high, low, close, n, vsum.
+    """
+    order_key = F.struct(
+        F.col(ts_col), *[F.col(c) for c in (tie_cols or [])]
+    )
+    v = F.col(value_col)
+    return (
+        df.groupBy(*key_cols, F.window(F.col(ts_col), every).alias("__w"))
+        .agg(
+            F.min_by(v, order_key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order_key).alias("close"),
+            F.count("*").alias("n"),
+            F.sum(v).alias("vsum"),
+        )
+        .select(
+            *key_cols,
+            F.col("__w.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "vsum",
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Duration-weighted mean per key: each observation is weighted by
+    the time it remained the latest value (the gap to the key's next
+    observation, microsecond precision); the final observation of a
+    key carries no weight — the TimescaleDB ``time_weight('locf')``
+    convention for an unbounded right edge.
+
+    One window shuffle (lead over the key partitioning) feeding a hash
+    aggregate on the same key — Spark keeps the partitioning, so the
+    agg is shuffle-free. Keys with a single observation yield NULL
+    (zero total weight), kept so callers can distinguish "no data"
+    from "constant".
+
+    Output: *keys, twa (double).
+    """
+    order = [ts_col, *(tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dt = (F.lead(epoch).over(w) - epoch).cast("double")
+    return (
+        df.withColumn("__dt", dt)
+        .groupBy(*key_cols)
+        .agg(
+            (
+                F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt")
+            ).alias("twa")
+        )
+    )

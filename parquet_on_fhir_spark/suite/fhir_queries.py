@@ -682,3 +682,54 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf14_valueset_isa_filter", qf14, QF14_ORACLE))
+
+
+# --- patient compartment: $everything as a bulk cohort extraction -------------------
+def qf15(spark, sf_dir):
+    """Patient $everything over the reference's three example tables
+    (fhir/store.py::FhirStore.everything): every resource in every
+    patient's compartment, flattened to (resource_type, id, patient_id)
+    rows. Bulk form — all patients at once, member tables scanned once
+    and joined against the broadcast patient-id set."""
+    from parquet_on_fhir_spark.fhir.store import FhirStore
+    from parquet_on_fhir_spark.fhir.table import FhirTable
+
+    utc(spark)
+    store = FhirStore({
+        "Patient": FhirTable.read(spark, PATIENT),
+        "Observation": FhirTable.read(spark, OBSERVATION),
+        "ExplanationOfBenefit": FhirTable.read(spark, EOB),
+    })
+    frames = store.everything()
+    out = None
+    for rtype in sorted(frames):
+        part = frames[rtype].select(
+            F.lit(rtype).alias("resource_type"),
+            F.col("id"),
+            F.col("patient_id"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+QF15_ORACLE = f"""
+SELECT 'Patient' AS resource_type, id, id AS patient_id
+FROM read_parquet('{PATIENT}')
+UNION ALL
+SELECT 'Observation', o.id,
+       regexp_replace(o.subject.reference, '^Patient/', '') AS patient_id
+FROM read_parquet('{OBSERVATION}') o
+WHERE o.subject.reference LIKE 'Patient/%'
+  AND regexp_replace(o.subject.reference, '^Patient/', '')
+      IN (SELECT id FROM read_parquet('{PATIENT}'))
+UNION ALL
+SELECT 'ExplanationOfBenefit', e.id,
+       regexp_replace(e.patient.reference, '^Patient/', '') AS patient_id
+FROM read_parquet('{EOB}') e
+WHERE e.patient.reference LIKE 'Patient/%'
+  AND regexp_replace(e.patient.reference, '^Patient/', '')
+      IN (SELECT id FROM read_parquet('{PATIENT}'))
+"""
+
+
+QUERIES.append(Q("qf15_patient_everything", qf15, QF15_ORACLE))

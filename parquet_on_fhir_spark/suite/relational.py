@@ -2274,3 +2274,160 @@ ORDER BY revenue DESC, n_name
 
 
 QUERIES.append(Q("q149_tpch_q5_local_supplier", q149, TPCH_Q5_SQL))
+
+
+# --- Q150: per-node triangle counts (degree-oriented wedge join) -------------------
+def q150(spark, sf_dir):
+    """Triangle counting over the q138 graph (operators/graph.py::
+    triangle_count, Suri-Vassilvitskii degree orientation). The oracle
+    restates it id-oriented: with every edge stored a<b, the triangle
+    (a,b,c), a<b<c joins as (a,b)+(b,c)+(a,c) — orientation changes
+    WHICH vertex finds each triangle, never the per-node counts."""
+    from parquet_on_fhir_spark.operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+Q150_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT least(l_orderkey % 500, l_partkey % 500) AS a,
+                  greatest(l_orderkey % 500, l_partkey % 500) AS b
+  FROM lineitem
+  WHERE (l_orderkey % 500) <> (l_partkey % 500)
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
+
+QUERIES.append(Q("q150_triangle_count", q150, Q150_ORACLE))
+
+
+# --- Q151: SCD type-2 dimension build from a change log ----------------------------
+def q151(spark, sf_dir):
+    """events as a change log: per user, each run of equal event_type
+    collapses to one version row with a [valid_from, valid_to) interval
+    (operators/timeseries.py::scd2 — lag-flag + filter + lead, one
+    shuffle). Open versions have NULL valid_to / is_current=true."""
+    from parquet_on_fhir_spark.operators.timeseries import scd2
+
+    e = t(spark, sf_dir, "events")
+    out = scd2(
+        e, ["user_id"], "ts", ["event_type"], tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        ts_str(F.col("valid_from"), EVENT_TS_SPARK).alias("valid_from"),
+        ts_str(F.col("valid_to"), EVENT_TS_SPARK).alias("valid_to"),
+        "is_current",
+    )
+
+
+Q151_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+v AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '{EVENT_TS_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '{EVENT_TS_DUCK}') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM v
+"""
+
+
+QUERIES.append(Q("q151_scd2_dimension", q151, Q151_ORACLE))
+
+
+# --- Q152: OHLC candle downsampling (single hash-agg, no window) -------------------
+def q152(spark, sf_dir):
+    """Hourly per-user OHLC bars (operators/timeseries.py::ohlc).
+    open/close via min_by/max_by on the (ts, event_id) struct — the
+    oracle mirrors the total order with a zero-padded
+    '(epoch_us, event_id)' string key for arg_min/arg_max, which sorts
+    identically for non-negative values."""
+    from parquet_on_fhir_spark.operators.timeseries import ohlc
+
+    e = t(spark, sf_dir, "events")
+    out = ohlc(
+        e, "ts", ["user_id"], "value", every="1 hour", tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        ts_str(F.col("bucket_start"), EVENT_TS_SPARK).alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+        d2(F.col("vsum")).alias("vsum"),
+    )
+
+
+Q152_ORACLE = f"""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '{EVENT_TS_DUCK}') AS bucket_start,
+       arg_min(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS close,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS vsum
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+QUERIES.append(Q("q152_ohlc_bars", q152, Q152_ORACLE))
+
+
+# --- Q153: time-weighted average (duration-weighted, lead-gap weights) -------------
+def q153(spark, sf_dir):
+    """Per-user time-weighted mean of value (operators/timeseries.py::
+    time_weighted_avg): each observation weighted by its holding time —
+    the gap to the user's next event; final events carry no weight."""
+    from parquet_on_fhir_spark.operators.timeseries import time_weighted_avg
+
+    e = t(spark, sf_dir, "events")
+    out = time_weighted_avg(e, "ts", ["user_id"], "value", tie_cols=["event_id"])
+    return out.select("user_id", d4(F.col("twa")).alias("twa"))
+
+
+Q153_ORACLE = """
+WITH l AS (
+  SELECT user_id, value, epoch_us(ts) AS e,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS ne
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * (ne - e)) / sum(ne - e) + 1e-9, 4) AS twa
+FROM l
+GROUP BY user_id
+"""
+
+
+QUERIES.append(Q("q153_time_weighted_avg", q153, Q153_ORACLE))

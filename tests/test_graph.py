@@ -291,3 +291,41 @@ def test_pagerank_matches_python_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # the hub (3) outranks everyone
     assert got[3] == max(got.values())
+
+
+def test_triangle_count_known_graph(spark):
+    from parquet_on_fhir_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + an
+    # isolated triangle {6,7,8}; duplicate/reversed/self edges ignored.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (1, 1), (4, 5),
+        (6, 7), (7, 8), (8, 6), (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from parquet_on_fhir_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    n, m = 40, 220
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    expected = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if {(a, b), (b, c), (a, c)} <= edges:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == expected

@@ -78,3 +78,36 @@ def test_include_bad_element_raises(store):
         store.search("Observation", "_include=Observation:status")
     with pytest.raises(ValueError, match="!= searched type"):
         store.search("Observation", "_include=Patient:subject")
+
+
+def test_patient_everything_compartment(spark):
+    from parquet_on_fhir_spark.fhir.store import FhirStore
+    from parquet_on_fhir_spark.fhir.table import FhirTable
+
+    store = FhirStore({
+        "Patient": FhirTable.read(spark, "/root/reference/examples/Patient.parquet"),
+        "Observation": FhirTable.read(
+            spark, "/root/reference/examples/Observation.parquet"
+        ),
+        "ExplanationOfBenefit": FhirTable.read(
+            spark, "/root/reference/examples/ExplanationOfBenefit.parquet"
+        ),
+    })
+    pid = store["Observation"].df.select(
+        F.regexp_replace(F.col("subject.reference"), "^Patient/", "")
+    ).first()[0]
+
+    frames = store.everything(patient_ids=[pid])
+    assert set(frames) >= {"Patient", "Observation"}
+    pats = frames["Patient"].select("id", "patient_id").collect()
+    assert [p.id for p in pats] == [pid] and pats[0].patient_id == pid
+    obs = frames["Observation"].select("patient_id").distinct().collect()
+    assert [o.patient_id for o in obs] == [pid]
+    # every member row in the unfiltered bulk form belongs to a known patient
+    bulk = store.everything()
+    n_pat = frames["Patient"].sparkSession.read.parquet(
+        "/root/reference/examples/Patient.parquet"
+    ).count()
+    assert bulk["Patient"].count() == n_pat
+    for rtype in ("Observation", "ExplanationOfBenefit"):
+        assert bulk[rtype].filter(F.col("patient_id").isNull()).count() == 0

@@ -116,3 +116,58 @@ def test_ewma_matches_truncated_reference(spark):
         assert abs(r.ewma - ws / z) < 1e-9, (t_idx, r.ewma, ws / z)
     # smoothed series is pulled toward recent values
     assert out[-1].ewma != vals[-1]
+
+
+def test_scd2_collapses_runs_and_intervals(spark):
+    from parquet_on_fhir_spark.operators.timeseries import scd2
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0), 1, "view"),
+        ("u1", datetime(2024, 1, 1, 0, 5), 2, "view"),   # unchanged: collapses
+        ("u1", datetime(2024, 1, 1, 0, 9), 3, "click"),  # new version
+        ("u1", datetime(2024, 1, 1, 0, 20), 4, "view"),  # back again: 3rd version
+        ("u2", datetime(2024, 1, 1, 1, 0), 5, "error"),  # single-version key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, a string")
+    out = scd2(df, ["k"], "ts", ["a"], tie_cols=["eid"]).collect()
+    u1 = sorted([r for r in out if r.k == "u1"], key=lambda r: r.valid_from)
+    assert [r.a for r in u1] == ["view", "click", "view"]
+    # contiguous, half-open: each valid_to == next valid_from
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+    (u2,) = [r for r in out if r.k == "u2"]
+    assert u2.is_current and u2.valid_to is None
+
+
+def test_ohlc_open_close_tie_break(spark):
+    from parquet_on_fhir_spark.operators.timeseries import ohlc
+
+    ts = datetime(2024, 1, 1, 10, 30)
+    rows = [  # equal timestamps: tie broken by eid
+        ("k", ts, 2, 5.0),
+        ("k", ts, 1, 9.0),          # open (lowest eid at earliest ts)
+        ("k", datetime(2024, 1, 1, 10, 45), 3, 1.0),  # close + low
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
+    (bar,) = ohlc(df, "ts", ["k"], "v", every="1 hour", tie_cols=["eid"]).collect()
+    assert str(bar.bucket_start) == "2024-01-01 10:00:00"
+    assert (bar.open, bar.high, bar.low, bar.close) == (9.0, 9.0, 1.0, 1.0)
+    assert (bar.n, bar.vsum) == (3, 15.0)
+
+
+def test_time_weighted_avg_weights_by_gap(spark):
+    from parquet_on_fhir_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # value 10 held 1 min, value 20 held 3 min, final value unweighted
+        ("k", datetime(2024, 1, 1, 0, 0), 1, 10.0),
+        ("k", datetime(2024, 1, 1, 0, 1), 2, 20.0),
+        ("k", datetime(2024, 1, 1, 0, 4), 3, 99.0),
+        ("solo", datetime(2024, 1, 1, 0, 0), 4, 5.0),  # no gap: NULL twa
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
+    got = {r.k: r.twa for r in time_weighted_avg(df, "ts", ["k"], "v", tie_cols=["eid"]).collect()}
+    assert abs(got["k"] - (10.0 * 60 + 20.0 * 180) / 240) < 1e-9
+    assert got["solo"] is None
