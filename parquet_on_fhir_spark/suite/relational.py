@@ -2209,10 +2209,11 @@ FROM r, total WHERE rank <= 10
 QUERIES.append(Q("q142_skew_report", q142, Q142_ORACLE))
 
 
-# --- Q149: TPC-H Q5 (local supplier volume) — the last of the 22 -----------------
-# TPC-H queries; completes the suite.  DataFrame-API formulation (the
-# other TPC-H tails use spark.sql) to exercise the same plan through the
-# declarative surface.  Scale shape: region (5 rows) and nation (25)
+# --- Q149: TPC-H Q5 (local supplier volume), DataFrame-API form -------------------
+# q75 runs the same query through spark.sql (SURVEY.md §3 Path B); this
+# is the Path-A twin — the full 6-table join expressed declaratively
+# with an explicit broadcast hint, verifying both entry paths produce
+# the same result.  Scale shape: region (5 rows) and nation (25)
 # broadcast into a 30-row asia_nations dim; the orderdate range filter
 # pushes into the orders scan; lineitem→orders shuffles on orderkey,
 # then →customer on custkey; the supplier join carries the Q5 twist —
@@ -2259,7 +2260,7 @@ def q149(spark, sf_dir):
     )
 
 
-TPCH_Q5_SQL = """
+TPCH_Q5_DF_ORACLE = """
 SELECT n_name,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
@@ -2273,7 +2274,7 @@ ORDER BY revenue DESC, n_name
 """
 
 
-QUERIES.append(Q("q149_tpch_q5_local_supplier", q149, TPCH_Q5_SQL))
+QUERIES.append(Q("q149_tpch_q5_local_supplier", q149, TPCH_Q5_DF_ORACLE))
 
 
 # --- Q150: per-node triangle counts (degree-oriented wedge join) -------------------
