@@ -337,7 +337,7 @@ def triangle_count(
 
     Output: (node, n_triangles) for every node with ≥1 triangle.
     """
-    und = (
+    und = _truncate_lineage(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -345,7 +345,7 @@ def triangle_count(
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-    )
+    )  # referenced 2x (degree agg + orientation): scan the input once
     deg = (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b").alias("n")))
@@ -365,6 +365,7 @@ def triangle_count(
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
     ).select("e.u", "e.v")
+    oriented = _truncate_lineage(oriented)  # referenced 3x (e1, e2, closing)
     e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     # each unordered out-pair once: x before y in the canonical id order
