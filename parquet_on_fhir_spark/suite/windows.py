@@ -119,3 +119,44 @@ QUERIES = [
     Q("q32_window_frames", q32, Q32_ORACLE),
     Q("q33_window_topk_per_group", q33, Q33_ORACLE),
 ]
+
+
+# --- Q154: time-RANGE window frame (trailing 1 hour per event) ----------------------
+def q154(spark, sf_dir):
+    """Per event: how many of the same user's events landed in the
+    trailing hour, and their value sum — a RANGE frame over the
+    microsecond epoch (rangeBetween is value-based, so equal-timestamp
+    rows share one frame and the result is tie-order independent,
+    unlike a ROWS frame). The sliding-window rate-limit / velocity
+    feature every fraud pipeline computes.
+
+    Scale: one shuffle on user_id; the range frame is evaluated with a
+    single sort per partition — no self-join (the naive formulation
+    joins events×events on a time band, quadratic in hot users).
+    """
+    e = t(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ → TS (UTC session)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        d2(F.sum("value").over(w)).alias("sum_1h"),
+    )
+
+
+Q154_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES.append(Q("q154_rolling_time_range", q154, Q154_ORACLE))
