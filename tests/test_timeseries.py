@@ -171,3 +171,46 @@ def test_time_weighted_avg_weights_by_gap(spark):
     got = {r.k: r.twa for r in time_weighted_avg(df, "ts", ["k"], "v", tie_cols=["eid"]).collect()}
     assert abs(got["k"] - (10.0 * 60 + 20.0 * 180) / 240) < 1e-9
     assert got["solo"] is None
+
+
+def test_scd2_matches_python_reference_random(spark):
+    import random
+
+    from parquet_on_fhir_spark.operators.timeseries import scd2
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for k in range(8):
+        t0 = 0
+        for _ in range(rng.randrange(0, 30)):
+            t0 += rng.randrange(0, 3)  # duplicate timestamps on purpose
+            rows.append((f"k{k}", datetime(2024, 1, 1, 0, 0, t0), eid,
+                         rng.choice("abc")))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, a string")
+
+    expected = {}
+    by_key = {}
+    for k, ts, e, a in rows:
+        by_key.setdefault(k, []).append((ts, e, a))
+    for k, seq in by_key.items():
+        seq.sort(key=lambda x: (x[0], x[1]))
+        versions = []
+        for ts, e, a in seq:
+            if not versions or versions[-1][0] != a:
+                versions.append([a, ts, None])
+        for i in range(len(versions) - 1):
+            versions[i][2] = versions[i + 1][1]
+        expected[k] = [(a, vf, vt) for a, vf, vt in versions]
+
+    got = {}
+    for r in scd2(df, ["k"], "ts", ["a"], tie_cols=["eid"]).collect():
+        got.setdefault(r.k, []).append((r.a, r.valid_from, r.valid_to, r.is_current))
+    for k in got:
+        got[k].sort(key=lambda x: x[1])
+        assert [(a, vf, vt) for a, vf, vt, _ in got[k]] == expected[k]
+        assert [c for *_, c in got[k]] == [False] * (len(got[k]) - 1) + [True]
+    assert set(got) == set(expected)

@@ -40,6 +40,13 @@ PROBE_QUERIES = [
     "q144_classifier_score",
     "q146_embedding_covariance",
     "q147_bpe_pairs",
+    # round-6 third wave
+    "q149_tpch_q5_local_supplier",
+    "q150_triangle_count",
+    "q151_scd2_dimension",
+    "q152_ohlc_bars",
+    "q153_time_weighted_avg",
+    "q154_rolling_time_range",
 ]
 
 
