@@ -98,3 +98,99 @@ def _every_seconds(every: str) -> int:
     from parquet_on_fhir_spark.operators.joins import _interval_seconds
 
     return _interval_seconds(every)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower, upper] quantiles —
+    the outlier-taming step feature pipelines apply before scaling or
+    aggregating heavy-tailed metrics.
+
+    Two-pass shape: a per-group quantile aggregate (one row per group,
+    broadcast back onto the data), then a pure-map clip — the 100 TB
+    data is scanned twice but shuffled ZERO times when the group count
+    is broadcast-size (the normal case: groups are categories, not
+    keys). ``exact=False`` switches the bounds to
+    ``approx_percentile`` (t-digest-style sketch, mergeable,
+    single-pass map-side partials) — the right tier when groups are
+    large enough that an exact per-group sort hurts; the clip itself
+    is unchanged.
+    """
+    keys = key_cols or []
+    q_of = F.percentile if exact else F.approx_percentile
+    bounds = df.groupBy(*keys).agg(
+        q_of(F.col(value_col), F.lit(lower)).alias("__lo"),
+        q_of(F.col(value_col), F.lit(upper)).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    name = out_col or f"{value_col}_winsorized"
+    return joined.withColumn(
+        name,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")
+
+
+def chi2_crosstab(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: the full contingency table (zero-observed cells included —
+    they carry expected mass) plus the χ² statistic and degrees of
+    freedom, in one row.
+
+    Plan: one hash aggregate over (a, b) for observed counts, two
+    marginal aggregates, then the (ka × kb) expected grid built by
+    cross-joining the two marginal frames — all three aggregates are
+    category-cardinality-sized, so every join after the first
+    aggregate is a broadcast of tiny frames; the raw table is scanned
+    exactly once.
+
+    Output: 1 row — (chi2, dof, n).
+    """
+    obs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count("*").alias("__o"))
+    ma = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    mb = obs.groupBy("__b").agg(F.sum("__o").alias("__rb"))
+    tot = obs.agg(F.sum("__o").alias("__n"))
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["__a", "__b"], "left")
+        .select(
+            "__ra",
+            "__rb",
+            "__n",
+            F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+        )
+    )
+    e = F.col("__ra") * F.col("__rb") / F.col("__n")
+    cell = (F.col("__o") - e) * (F.col("__o") - e) / e
+    ka = ma.agg(F.count("*").alias("__ka"))
+    kb = mb.agg(F.count("*").alias("__kb"))
+    return (
+        grid.agg(F.sum(cell).alias("chi2"))
+        .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "chi2",
+            ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("bigint").alias("dof"),
+            F.col("__n").cast("bigint").alias("n"),
+        )
+    )

@@ -2432,3 +2432,106 @@ GROUP BY user_id
 
 
 QUERIES.append(Q("q153_time_weighted_avg", q153, Q153_ORACLE))
+
+
+# --- Q155: linear-regression aggregates (regr_* family) ----------------------------
+def q155(spark, sf_dir):
+    """Group-wise least-squares fit of extendedprice on quantity — the
+    regr_* aggregate family (slope, intercept, r², pair count), all
+    single-pass mergeable moments, exactly as cheap as avg/var at
+    100 TB. Both engines implement the same SQL-standard definitions."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        d4(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        d4(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+        d4(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+Q155_ORACLE = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 4) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES.append(Q("q155_regression_aggs", q155, Q155_ORACLE))
+
+
+# --- Q156: winsorization (per-group quantile clip) ---------------------------------
+def q156(spark, sf_dir):
+    """Clip order totals at each status's [p05, p95]
+    (operators/analytics.py::winsorize — exact percentile bounds
+    broadcast back, map-side clip; `exact=False` flips the bounds to
+    the approx_percentile sketch for the 100 TB tier)."""
+    from parquet_on_fhir_spark.operators.analytics import winsorize
+
+    o = t(spark, sf_dir, "orders")
+    out = winsorize(o, "o_totalprice", ["o_orderstatus"], 0.05, 0.95)
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        d2(F.col("o_totalprice_winsorized")).alias("clipped"),
+    )
+
+
+Q156_ORACLE = """
+WITH b AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderkey, o.o_orderstatus,
+       round(least(greatest(o_totalprice, lo), hi), 2) AS clipped
+FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+"""
+
+
+QUERIES.append(Q("q156_winsorize", q156, Q156_ORACLE))
+
+
+# --- Q157: chi-square test of independence -----------------------------------------
+def q157(spark, sf_dir):
+    """χ² independence of event_type vs. a 5-way user cohort
+    (operators/analytics.py::chi2_crosstab): contingency cells with
+    zero-observed mass included via the marginal cross grid; one scan
+    of events, every post-aggregate join broadcast."""
+    from parquet_on_fhir_spark.operators.analytics import chi2_crosstab
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 5).cast("int")
+    )
+    out = chi2_crosstab(e, "event_type", "cohort")
+    return out.select(d4(F.col("chi2")).alias("chi2"), "dof", "n")
+
+
+Q157_ORACLE = """
+WITH src AS (
+  SELECT event_type AS a, CAST(user_id % 5 AS INT) AS b FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+obs AS (SELECT a, b, count(*) AS o FROM src GROUP BY a, b),
+ma AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+mb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY b),
+tot AS (SELECT sum(o) AS n FROM obs),
+grid AS (
+  SELECT ma.ra, mb.rb, tot.n, COALESCE(obs.o, 0) AS o
+  FROM ma CROSS JOIN mb CROSS JOIN tot
+  LEFT JOIN obs ON obs.a = ma.a AND obs.b = mb.b
+)
+SELECT round(sum((o - ra * rb / CAST(n AS DOUBLE))
+              * (o - ra * rb / CAST(n AS DOUBLE))
+              / (ra * rb / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2,
+       CAST(((SELECT count(*) FROM ma) - 1) * ((SELECT count(*) FROM mb) - 1)
+            AS BIGINT) AS dof,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n
+FROM grid
+"""
+
+
+QUERIES.append(Q("q157_chi2_crosstab", q157, Q157_ORACLE))

@@ -73,3 +73,55 @@ def test_check_expectations_single_pass(spark):
     assert out["always"].n_violations == 0 and out["always"].ok
     assert all(r.n_rows == 3 for r in out.values())
     assert abs(out["id_set"].pass_rate - 2 / 3) < 1e-9
+
+
+def test_winsorize_clips_at_group_quantiles(spark):
+    from parquet_on_fhir_spark.operators.analytics import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("h", 5.0), ("h", 50.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, "v", ["k"], 0.05, 0.95).collect()
+    g = [r.v_winsorized for r in out if r.k == "g"]
+    # exact quantile_cont bounds on 1..100: p05 = 5.95, p95 = 95.05
+    assert min(g) == 5.95 and max(g) == 95.05
+    assert sum(1 for v in g if v == 5.95) == 5  # values 1..5 clipped up
+    # untouched interior values pass through exactly
+    assert 50.0 in g
+    h = sorted(r.v_winsorized for r in out if r.k == "h")
+    assert h[0] > 5.0 and h[1] < 50.0  # 2-point group: both clipped inward
+
+
+def test_winsorize_global_no_keys(spark):
+    from parquet_on_fhir_spark.operators.analytics import winsorize
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "v double")
+    out = winsorize(df, "v", None, 0.0, 1.0)  # degenerate: no clipping
+    assert sorted(r.v_winsorized for r in out.collect()) == [float(v) for v in range(10)]
+
+
+def test_chi2_crosstab_known_table(spark):
+    from parquet_on_fhir_spark.operators.analytics import chi2_crosstab
+
+    # classic 2x2: [[10, 20], [20, 10]] -> chi2 = 60*(10*10-20*20)^2/(30*30*30*30) = 6.666...
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "p string, q string")
+    (r,) = chi2_crosstab(df, "p", "q").collect()
+    assert r.dof == 1 and r.n == 60
+    assert abs(r.chi2 - 60 * (10 * 10 - 20 * 20) ** 2 / 30**4) < 1e-9
+
+
+def test_chi2_crosstab_zero_cell_counts_expected_mass(spark):
+    from parquet_on_fhir_spark.operators.analytics import chi2_crosstab
+
+    # cell (b, y) unobserved: chi2 must include its expected mass.
+    rows = [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 4
+    df = spark.createDataFrame(rows, "p string, q string")
+    (r,) = chi2_crosstab(df, "p", "q").collect()
+    # hand computation: ra={a:8,b:4}, rb={x:8,y:4}, n=12
+    exp = {("a","x"): 16/3, ("a","y"): 8/3, ("b","x"): 8/3, ("b","y"): 4/3}
+    obs = {("a","x"): 4, ("a","y"): 4, ("b","x"): 4, ("b","y"): 0}
+    chi2 = sum((obs[c] - e) ** 2 / e for c, e in exp.items())
+    assert r.dof == 1 and r.n == 12
+    assert abs(r.chi2 - chi2) < 1e-9
