@@ -10,17 +10,16 @@ from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
 # only, so registration order is coverage policy.  Round-6 window =
-# flagship + ALL 30 oracle queries built this round (zero lifetime
-# driver rows — q121-q149, qf12-qf14; first-ever rows beat second rows)
-# + 19 re-confirmation picks from the 42 single-row queries, chosen
+# flagship + ALL 39 oracle queries built this round (zero lifetime
+# driver rows — q121-q157, qf12-qf15; first-ever rows beat second rows)
+# + 10 re-confirmation picks from the 42 single-row queries, chosen
 # because round 6 touched their code paths: graph.py (q108 — decimal
 # overflow witness fix), dedup.py (q113/q114/q120 — incremental_dedup
 # cross-set banding rewrite), views.py (qf09/qf10 — ofType support),
-# store.py (qf11), curation.py (q95-q99, q111/q112/q116), text.py
-# (q109/q115), layout.py (q118), plus rollup-chain q117.  The 23
-# remaining single-row queries (TPC-H tails q100-q106, r4 scalar/
-# streaming singles) have untouched code paths and stay covered by
-# selfcheck.  Rows-only queries are registered LAST so the window
+# store.py (qf11 — compartment addition), curation.py (q95), text.py
+# (q115), layout.py (q118).  The remaining single-row queries (TPC-H
+# tails q100-q106, r4 scalar/streaming singles, q96-q99 etc.) have
+# untouched or selfcheck-covered code paths and rotate next round.  Rows-only queries are registered LAST so the window
 # contains only hash-checkable entries; each names the test that
 # carries its correctness.  Full-suite verification is always
 # available via `python tools/selfcheck.py`.
@@ -57,23 +56,27 @@ WINDOW = [
     "qf12_valueset_expand",
     "qf13_conceptmap_translate",
     "qf14_valueset_isa_filter",
+    # -- zero-lifetime-row: built mid-round after the first rotation
+    "q150_triangle_count",
+    "q151_scd2_dimension",
+    "q152_ohlc_bars",
+    "q153_time_weighted_avg",
+    "q154_rolling_time_range",
+    "q155_regression_aggs",
+    "q156_winsorize",
+    "q157_chi2_crosstab",
+    "qf15_patient_everything",
     # -- single-lifetime-row re-confirms whose code was touched this round
+    # (graph/dedup rewrites, views ofType, store compartment; the other
+    # touched-path singles q109/q111/q112/q116/q117/q96-q99 stay
+    # selfcheck-covered and rotate in next round)
     "q108_dedup_clusters_md5",
-    "q109_doc_chunking",
-    "q111_importance_weights",
-    "q112_source_cap",
     "q113_duplicate_spans",
     "q114_bm25",
     "q115_table_profile",
-    "q116_corpus_split",
-    "q117_rollup_chain",
     "q118_zorder_write",
     "q120_incremental_dedup",
     "q95_decontaminate",
-    "q96_sample_mixture",
-    "q97_repetition_stats",
-    "q98_redact_pii",
-    "q99_pack_sequences",
     "qf09_view_definition_patient",
     "qf10_view_definition_observation",
     "qf11_chained_search",
