@@ -15,6 +15,9 @@ predicates it adds the three search features that need a SECOND table:
   the matches (keys from the match set: a broadcast-size semi join).
 - ``_revinclude=Other:refElement`` — resources REFERENCING the matches
   (semi join of the other table against match keys).
+- ``_has:Other:refElement:param=value`` — reverse chaining: keep primary
+  rows referenced by an Other row matching the tail parameter (filter
+  the referencing table, then LEFT SEMI the primary on its own id).
 
 Reference keys are the relative ``Type/id`` form (the format the
 examples and Bulk Export produce); local ``#id`` references resolve
@@ -154,6 +157,7 @@ class FhirStore:
         """
         plain: list[str] = []
         chained: list[tuple[str, str, str]] = []
+        has_clauses: list[tuple[str, str, str]] = []
         includes: list[tuple[str, str, str | None]] = []
         revincludes: list[tuple[str, str]] = []
         for clause in params.split("&"):
@@ -161,7 +165,16 @@ class FhirStore:
                 continue
             key, _, raw = clause.partition("=")
             key = key.strip()
-            if key == "_include":
+            if key.startswith("_has:"):
+                # reverse chaining (hl7.org/fhir/R4/search.html#has):
+                # _has:Other:refElement:param=value keeps primary rows
+                # that some Other row matching param=value points at.
+                parts = key.split(":", 3)
+                if len(parts) != 4:
+                    raise ValueError(f"malformed _has key {key!r}")
+                _, other, el, tail = parts
+                has_clauses.append((other, el, f"{tail}={raw}"))
+            elif key == "_include":
                 src, _, rest = raw.partition(":")
                 el, _, tgt = rest.partition(":")
                 if src != rtype:
@@ -183,6 +196,19 @@ class FhirStore:
         result = FhirStore({**self.tables, rtype: table})
         for el, tgt, tail in chained:
             result.tables[rtype] = result.where_chained(rtype, el, tgt, tail)
+        for other, el, tail in has_clauses:
+            # filter the referencing table first (usually tiny after its
+            # parameter), parse its reference keys, LEFT SEMI the primary
+            # on id — the primary table is never duplicated or exploded.
+            matched_other = self.tables[other].search(tail).df
+            ids = _ref_ids(matched_other, el, rtype)
+            result.tables[rtype] = FhirTable(
+                result.tables[rtype].df.join(
+                    F.broadcast(ids),
+                    F.col("id") == F.col("__ref_id"),
+                    "left_semi",
+                )
+            )
         primary = result.tables[rtype].df
         out: dict[str, DataFrame] = {rtype: primary}
 

@@ -194,3 +194,72 @@ def chi2_crosstab(
             F.col("__n").cast("bigint").alias("n"),
         )
     )
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 10,
+    max_basket_items: int | None = 200,
+) -> DataFrame:
+    """Item co-occurrence ("bought X, also bought Y"): for every item,
+    the top-k items sharing the most baskets with it.
+
+    Plan: distinct (basket, item) pairs → self-join on the basket key
+    with ``item < item2`` (each unordered pair counted once) → hash
+    aggregate on the pair → symmetrize → per-item top-k window over the
+    AGGREGATED counts (item-pair cardinality, not basket rows).
+
+    The quadratic hazard is basket size, not item popularity: a basket
+    of d items emits d² pairs, so one degenerate mega-basket (a crawler
+    session, a warehouse account) dominates the shuffle. ``max_basket_items``
+    caps each basket at a deterministic hash-ordered sample BEFORE the
+    self-join — co-occurrence COUNTS for frequent pairs converge under
+    uniform within-basket sampling, the same argument as the IVF/BPE
+    training samples. Set it to None for exact counts on bounded baskets.
+
+    Output: (item, also_item, n_baskets, rank), rank 1..k per item.
+    """
+    from pyspark.sql import Window
+
+    pairs_src = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_items is not None:
+        wcap = Window.partitionBy("__b").orderBy(
+            F.xxhash64("__i"), F.col("__i")
+        )
+        pairs_src = (
+            pairs_src.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= max_basket_items)
+            .drop("__rn")
+        )
+    left = pairs_src
+    right = pairs_src.select(
+        F.col("__b"), F.col("__i").alias("__j")
+    )
+    counts = (
+        left.join(right, "__b")
+        .filter(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count("*").alias("n_baskets"))
+    )
+    sym = counts.unionAll(
+        counts.select(
+            F.col("__j").alias("__i"), F.col("__i").alias("__j"), "n_baskets"
+        )
+    )
+    w = Window.partitionBy("__i").orderBy(
+        F.desc("n_baskets"), F.asc("__j")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__i").alias("item"),
+            F.col("__j").alias("also_item"),
+            "n_baskets",
+            "rank",
+        )
+    )

@@ -733,3 +733,85 @@ WHERE e.patient.reference LIKE 'Patient/%'
 
 
 QUERIES.append(Q("qf15_patient_everything", qf15, QF15_ORACLE))
+
+
+# --- _has reverse chaining ----------------------------------------------------------
+def qf16(spark, sf_dir):
+    """Patients that HAVE a final Observation — reverse chaining
+    (`_has:Observation:subject:status=final`, fhir/store.py): the
+    referencing table is filtered first, its parsed subject keys
+    broadcast, and Patient LEFT SEMI joined on its own id."""
+    from parquet_on_fhir_spark.fhir.store import FhirStore
+    from parquet_on_fhir_spark.fhir.table import FhirTable
+
+    utc(spark)
+    store = FhirStore({
+        "Patient": FhirTable.read(spark, PATIENT),
+        "Observation": FhirTable.read(spark, OBSERVATION),
+    })
+    out = store.search("Patient", "_has:Observation:subject:status=final")
+    return out["Patient"].select("id", "gender")
+
+
+QF16_ORACLE = f"""
+SELECT id, gender FROM read_parquet('{PATIENT}')
+WHERE id IN (
+  SELECT regexp_replace(subject.reference, '^Patient/', '')
+  FROM read_parquet('{OBSERVATION}')
+  WHERE status = 'final'
+)
+"""
+
+
+QUERIES.append(Q("qf16_has_reverse_chain", qf16, QF16_ORACLE))
+
+
+# --- Observation $lastn (most recent N per patient+code) ----------------------------
+def qf17(spark, sf_dir):
+    """Observation $lastn (hl7.org/fhir/R4/observation-operation-lastn):
+    the 2 most recent observations per (patient, code), ordered by the
+    parsed effectiveDateTime instant — ISO offsets normalize to UTC
+    epoch in BOTH engines, so cross-timezone ordering is correct (a
+    lexical string sort would not be). Tie-broken by id."""
+    utc(spark)
+    o = utc(spark).read.parquet(OBSERVATION)
+    eff = F.unix_micros(
+        F.to_timestamp(F.col("effectiveDateTime"), "yyyy-MM-dd'T'HH:mm:ssXXX")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("patient_id", "code").orderBy(
+        F.desc("eff_us"), F.desc("id")
+    )
+    return (
+        o.select(
+            F.regexp_replace(F.col("subject.reference"), "^Patient/", "").alias(
+                "patient_id"
+            ),
+            F.col("code.coding")[0]["code"].alias("code"),
+            F.col("id"),
+            eff.alias("eff_us"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("patient_id", "code", "id", "eff_us", "rank")
+    )
+
+
+QF17_ORACLE = f"""
+WITH o AS (
+  SELECT regexp_replace(subject.reference, '^Patient/', '') AS patient_id,
+         code.coding[1].code AS code,
+         id,
+         epoch_us(strptime(effectiveDateTime, '%Y-%m-%dT%H:%M:%S%z')) AS eff_us
+  FROM read_parquet('{OBSERVATION}')
+)
+SELECT patient_id, code, id, eff_us, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY patient_id, code
+              ORDER BY eff_us DESC, id DESC) AS rank
+  FROM o
+) WHERE rank <= 2
+"""
+
+
+QUERIES.append(Q("qf17_observation_lastn", qf17, QF17_ORACLE))

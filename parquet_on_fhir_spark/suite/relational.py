@@ -2535,3 +2535,42 @@ FROM grid
 
 
 QUERIES.append(Q("q157_chi2_crosstab", q157, Q157_ORACLE))
+
+
+# --- Q158: market-basket co-occurrence (top-k "also bought") -----------------------
+def q158(spark, sf_dir):
+    """Parts co-ordered with each part, top-5 by shared-order count
+    (operators/analytics.py::market_basket_pairs). Cap disabled here so
+    the oracle is exact — lineitem baskets are bounded by order line
+    count; the cap is for unbounded real-world baskets."""
+    from parquet_on_fhir_spark.operators.analytics import market_basket_pairs
+
+    li = t(spark, sf_dir, "lineitem")
+    return market_basket_pairs(
+        li, "l_orderkey", "l_partkey", k=5, max_basket_items=None
+    )
+
+
+Q158_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+c AS (
+  SELECT x.i AS i, y.i AS j, count(*) AS n_baskets
+  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i
+),
+s AS (
+  SELECT i, j, n_baskets FROM c
+  UNION ALL
+  SELECT j, i, n_baskets FROM c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY i
+              ORDER BY n_baskets DESC, j ASC) AS rank
+  FROM s
+)
+SELECT i AS item, j AS also_item, n_baskets, rank
+FROM r WHERE rank <= 5
+"""
+
+
+QUERIES.append(Q("q158_market_basket", q158, Q158_ORACLE))

@@ -125,3 +125,33 @@ def test_chi2_crosstab_zero_cell_counts_expected_mass(spark):
     chi2 = sum((obs[c] - e) ** 2 / e for c, e in exp.items())
     assert r.dof == 1 and r.n == 12
     assert abs(r.chi2 - chi2) < 1e-9
+
+
+def test_market_basket_pairs_exact_counts(spark):
+    from parquet_on_fhir_spark.operators.analytics import market_basket_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # duplicate item in basket: counted once
+        (4, "d"),                       # singleton basket: no pairs
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r.item, r.also_item): (r.n_baskets, r.rank)
+        for r in market_basket_pairs(df, "b", "i", k=10, max_basket_items=None).collect()
+    }
+    assert got[("a", "b")] == (3, 1) and got[("b", "a")] == (3, 1)
+    assert got[("a", "c")] == (1, 2) and got[("c", "a")][0] == 1
+    assert ("d", "a") not in got and not any(i == "d" for i, _ in got)
+
+
+def test_market_basket_cap_bounds_pair_fanout(spark):
+    from parquet_on_fhir_spark.operators.analytics import market_basket_pairs
+
+    # one mega-basket of 50 items: cap=5 must bound pairs at C(5,2)=10
+    rows = [(1, f"i{n:02d}") for n in range(50)]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = market_basket_pairs(df, "b", "i", k=100, max_basket_items=5)
+    # symmetrized: 10 unordered pairs -> 20 rows
+    assert out.count() == 20

@@ -111,3 +111,46 @@ def test_patient_everything_compartment(spark):
     assert bulk["Patient"].count() == n_pat
     for rtype in ("Observation", "ExplanationOfBenefit"):
         assert bulk[rtype].filter(F.col("patient_id").isNull()).count() == 0
+
+
+def test_has_reverse_chain_filters_primary(spark):
+    from parquet_on_fhir_spark.fhir.store import FhirStore
+    from parquet_on_fhir_spark.fhir.table import FhirTable
+
+    store = FhirStore({
+        "Patient": FhirTable.read(spark, "/root/reference/examples/Patient.parquet"),
+        "Observation": FhirTable.read(
+            spark, "/root/reference/examples/Observation.parquet"
+        ),
+    })
+    out = store.search("Patient", "_has:Observation:subject:status=final")
+    got = {r.id for r in out["Patient"].select("id").collect()}
+    expected = {
+        r[0]
+        for r in store["Observation"].df.filter(F.col("status") == "final")
+        .select(F.regexp_replace(F.col("subject.reference"), "^Patient/", ""))
+        .collect()
+    }
+    assert got == expected and got
+    # impossible tail parameter -> empty result, not an error
+    none = store.search("Patient", "_has:Observation:subject:status=entered-in-error")
+    assert none["Patient"].count() == 0
+    # composes with a plain parameter on the primary
+    both = store.search(
+        "Patient", "gender=female&_has:Observation:subject:status=final"
+    )
+    females = {r.id for r in both["Patient"].select("id").collect()}
+    assert females <= got
+
+
+def test_has_malformed_key_raises(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.store import FhirStore
+    from parquet_on_fhir_spark.fhir.table import FhirTable
+
+    store = FhirStore({
+        "Patient": FhirTable.read(spark, "/root/reference/examples/Patient.parquet"),
+    })
+    with pytest.raises(ValueError, match="_has"):
+        store.search("Patient", "_has:Observation:subject=final")
