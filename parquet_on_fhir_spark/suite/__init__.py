@@ -95,6 +95,7 @@ ROWS_ONLY_COVERAGE = {
     "q119_embedding_quantize": "tests/test_llm_ops.py (int8 roundtrip invariants)",
     "q131_semantic_dedup": "tests/test_llm_ops.py (planted duplicate pairs; KMeans not oracle-portable)",
     "q148_pca_project": "tests/test_llm_ops.py (vs numpy eigh; eigendecomposition not oracle-portable)",
+    "q159_kcore": "tests/test_graph.py (vs brute-force peeling; iterative deletion not oracle-portable)",
 }
 
 

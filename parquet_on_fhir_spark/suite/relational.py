@@ -2574,3 +2574,24 @@ FROM r WHERE rank <= 5
 
 
 QUERIES.append(Q("q158_market_basket", q158, Q158_ORACLE))
+
+
+# --- Q159: k-core extraction (peeling fixpoint; rows-only — iterative ---------------
+# node deletion is non-monotone, so no recursive-CTE oracle exists; the
+# correctness carrier is tests/test_graph.py's brute-force peeling
+# comparison on random graphs).
+def q159(spark, sf_dir):
+    """3-core of the q138/q150 graph (operators/graph.py::k_core):
+    distributed peeling — degree agg + two semi joins per round,
+    lineage-truncated, raises on non-convergence."""
+    from parquet_on_fhir_spark.operators.graph import k_core
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    return k_core(edges, k=3)
+
+
+QUERIES.append(Q("q159_kcore", q159, None))

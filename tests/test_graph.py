@@ -329,3 +329,58 @@ def test_triangle_count_matches_bruteforce_random(spark):
     df = spark.createDataFrame(sorted(edges), "src int, dst int")
     got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert got == expected
+
+
+def test_k_core_known_graph(spark):
+    from parquet_on_fhir_spark.operators.graph import k_core
+
+    # K4 {1,2,3,4} + a tail 4-5-6: 2-core = K4 only (tail peels off),
+    # 3-core = K4, 4-core = empty.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    two = {r.node: r.degree for r in k_core(df, 2).collect()}
+    assert set(two) == {1, 2, 3, 4} and all(d == 3 for d in two.values())
+    assert set(r.node for r in k_core(df, 3).collect()) == {1, 2, 3, 4}
+    assert k_core(df, 4).count() == 0
+
+
+def test_k_core_cascading_peel(spark):
+    from parquet_on_fhir_spark.operators.graph import k_core
+
+    # chain 1-2-3-4-5: every 2-core peel cascades from the endpoints;
+    # result must be empty (a naive single-pass degree filter keeps 2-4)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    assert k_core(df, 2).count() == 0
+
+
+def test_k_core_matches_bruteforce_random(spark):
+    import random
+
+    from parquet_on_fhir_spark.operators.graph import k_core
+
+    rng = random.Random(13)
+    n, m = 30, 70
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+
+    def peel(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {v for v, d in deg.items() if d < k}
+            if not weak:
+                return deg
+            es = {(a, b) for a, b in es if a not in weak and b not in weak}
+
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    for k in (2, 3, 4):
+        expected = peel(edges, k)
+        got = {r.node: r.degree for r in k_core(df, k).collect()}
+        assert got == expected, f"k={k}"
