@@ -263,3 +263,169 @@ def market_basket_pairs(
             "rank",
         )
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    key_cols: list[str] | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column, optionally per group:
+    (keys, bin, bin_lo, bin_hi, n) with every bin present (zero-count
+    bins included — a histogram with silent holes misreads as dense).
+
+    When ``lo``/``hi`` are not given they come from one global min/max
+    aggregate (1 row, broadcast). Binning itself is ``width_bucket`` —
+    a pure map expression — feeding a hash aggregate with bin
+    cardinality keys; the dense bin grid is a per-group ``sequence``
+    explode joined LEFT against the counts, all broadcast-size.
+    Values exactly at ``hi`` fold into the last bin (width_bucket's
+    overflow bin is merged, the usual histogram convention).
+    """
+    keys = key_cols or []
+    if lo is None or hi is None:
+        b = df.agg(
+            F.min(value_col).cast("double").alias("__lo"),
+            F.max(value_col).cast("double").alias("__hi"),
+        )
+        src = df.crossJoin(F.broadcast(b))
+    else:
+        src = df.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    bucket = F.least(
+        F.width_bucket(
+            F.col(value_col).cast("double"), F.col("__lo"), F.col("__hi"), F.lit(bins)
+        ),
+        F.lit(bins),
+    )
+    counts = (
+        src.filter(F.col(value_col).isNotNull())
+        .withColumn("__bin", bucket)
+        .groupBy(*keys, "__lo", "__hi", "__bin")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = (
+        counts.select(*keys, "__lo", "__hi")
+        .distinct()
+        .select(
+            *keys,
+            "__lo",
+            "__hi",
+            F.explode(F.sequence(F.lit(1), F.lit(bins))).alias("__bin"),
+        )
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    return (
+        grid.join(counts, [*keys, "__lo", "__hi", "__bin"], "left")
+        .select(
+            *keys,
+            F.col("__bin").alias("bin"),
+            (F.col("__lo") + (F.col("__bin") - 1) * width).alias("bin_lo"),
+            (F.col("__lo") + F.col("__bin") * width).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    item_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two item frequency distributions
+    (token histograms of two corpus snapshots, source mixes of two
+    training runs): KL(A‖B), KL(B‖A), Jensen-Shannon divergence, and
+    total-variation distance, in one row.
+
+    Laplace smoothing (``smoothing`` pseudo-counts on the UNION
+    vocabulary) keeps the KLs finite for items present on one side
+    only — drift on out-of-vocabulary mass is exactly what the
+    detector must see, not skip.
+
+    Plan: two hash aggregates (item cardinality), FULL OUTER join on
+    the item key, one global fold. The raw tables are scanned once
+    each; nothing larger than the vocabulary is ever shuffled.
+    """
+    ca = df_a.groupBy(F.col(item_col).alias("__i")).agg(
+        F.count("*").alias("__na")
+    )
+    cb = df_b.groupBy(F.col(item_col).alias("__i")).agg(
+        F.count("*").alias("__nb")
+    )
+    joined = ca.join(cb, "__i", "full_outer").select(
+        F.coalesce("__na", F.lit(0)).alias("__na"),
+        F.coalesce("__nb", F.lit(0)).alias("__nb"),
+    )
+    tot = joined.agg(
+        F.sum("__na").alias("__ta"),
+        F.sum("__nb").alias("__tb"),
+        F.count("*").alias("__v"),
+    )
+    s = float(smoothing)
+    withp = joined.crossJoin(F.broadcast(tot)).select(
+        ((F.col("__na") + s) / (F.col("__ta") + s * F.col("__v"))).alias("pa"),
+        ((F.col("__nb") + s) / (F.col("__tb") + s * F.col("__v"))).alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    return withp.agg(
+        F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))).alias("kl_ab"),
+        F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))).alias("kl_ba"),
+        (
+            F.sum(F.col("pa") * F.log(F.col("pa") / m)) / 2
+            + F.sum(F.col("pb") * F.log(F.col("pb") / m)) / 2
+        ).alias("jsd"),
+        (F.sum(F.abs(F.col("pa") - F.col("pb"))) / 2).alias("tvd"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD outlier flags — the Iglewicz-Hoaglin modified
+    z-score ``0.6745·(v − median)/MAD``: immune to the masking that
+    breaks mean/std detection (one huge outlier inflates std enough to
+    hide itself; it cannot move a median).
+
+    Two per-group aggregate passes (median, then median absolute
+    deviation), each a one-row-per-group frame broadcast back — the
+    data is never shuffled, only scanned. Groups with MAD = 0 (over
+    half the values identical) yield NULL scores and are never
+    flagged, rather than dividing by zero into ±inf.
+
+    Adds: med, mad, modified_z (NULL when MAD=0), is_outlier.
+    """
+    keys = key_cols or []
+    med = df.groupBy(*keys).agg(F.median(value_col).alias("med"))
+    with_med = (
+        df.join(F.broadcast(med), keys)
+        if keys
+        else df.crossJoin(F.broadcast(med))
+    )
+    dev = with_med.withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*keys).agg(F.median("__adev").alias("mad"))
+    full = (
+        dev.join(F.broadcast(mad), keys)
+        if keys
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        0.6745 * (F.col(value_col) - F.col("med")) / F.col("mad"),
+    )
+    return (
+        full.withColumn("modified_z", z)
+        .withColumn(
+            "is_outlier", F.coalesce(F.abs(z) > threshold, F.lit(False))
+        )
+        .drop("__adev")
+    )

@@ -63,5 +63,11 @@ def d4(col: Column) -> Column:
     epsilon pushes ties strictly above the boundary in both engines; it is
     ~10× larger than double noise at these magnitudes and 5000× smaller
     than the rounding step.
+    
+    Signed zero: DuckDB's round preserves the sign of a tiny negative
+    (round(-5e-05 + 1e-9, 4) = -0.0) while Spark's yields +0.0, and the
+    hash normalization distinguishes them.  Oracles whose rounded value
+    can land in (-1e-4, 0) must append ``+ 0.0`` after the round (IEEE
+    addition collapses -0.0 to +0.0) — see Q162_ORACLE.
     """
     return F.round(col + F.lit(1e-9), 4)

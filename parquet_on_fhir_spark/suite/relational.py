@@ -2595,3 +2595,145 @@ def q159(spark, sf_dir):
 
 
 QUERIES.append(Q("q159_kcore", q159, None))
+
+
+# --- Q160: dense numeric histogram (width_bucket + zero-bin grid) ------------------
+def q160(spark, sf_dir):
+    """25-bin histogram of l_quantity per returnflag
+    (operators/analytics.py::numeric_histogram). Bounds 0.5..50.5 put
+    every integer quantity strictly inside a bin — no datum sits on a
+    bin edge, so Spark's width_bucket and the oracle's floor arithmetic
+    cannot disagree on FP boundary rounding. Zero-count bins are
+    emitted (the dense grid join)."""
+    from parquet_on_fhir_spark.operators.analytics import numeric_histogram
+
+    l = t(spark, sf_dir, "lineitem")
+    out = numeric_histogram(
+        l, "l_quantity", bins=25, key_cols=["l_returnflag"], lo=0.5, hi=50.5
+    )
+    return out.select(
+        "l_returnflag",
+        "bin",
+        d2(F.col("bin_lo")).alias("bin_lo"),
+        d2(F.col("bin_hi")).alias("bin_hi"),
+        "n",
+    )
+
+
+Q160_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         least(CAST(floor((l_quantity - 0.5) / 2.0) AS INT) + 1, 25) AS bin,
+         count(*) AS n
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT DISTINCT l_returnflag, unnest(range(1, 26)) AS bin FROM lineitem
+)
+SELECT g.l_returnflag, g.bin,
+       round(0.5 + (g.bin - 1) * 2.0, 2) AS bin_lo,
+       round(0.5 + g.bin * 2.0, 2) AS bin_hi,
+       COALESCE(c.n, 0) AS n
+FROM grid g LEFT JOIN c ON g.l_returnflag = c.l_returnflag AND g.bin = c.bin
+"""
+
+
+QUERIES.append(Q("q160_numeric_histogram", q160, Q160_ORACLE))
+
+
+# --- Q161: corpus distribution drift (KL / JSD / TVD on token histograms) ----------
+def q161(spark, sf_dir):
+    """Token-distribution drift between sources src0 and src1
+    (operators/analytics.py::distribution_drift): smoothed KL both
+    ways, Jensen-Shannon, total variation — the retrain-trigger
+    numbers a corpus-refresh pipeline watches."""
+    from parquet_on_fhir_spark.operators.analytics import distribution_drift
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    a = toks.filter(F.col("source") == "src0").select("tok")
+    b = toks.filter(F.col("source") == "src1").select("tok")
+    out = distribution_drift(a, b, "tok")
+    return out.select(
+        d4(F.col("kl_ab")).alias("kl_ab"),
+        d4(F.col("kl_ba")).alias("kl_ba"),
+        d4(F.col("jsd")).alias("jsd"),
+        d4(F.col("tvd")).alias("tvd"),
+    )
+
+
+Q161_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+ft AS (SELECT source, tok FROM toks WHERE tok <> ''),
+ca AS (SELECT tok, count(*) AS na FROM ft WHERE source = 'src0' GROUP BY tok),
+cb AS (SELECT tok, count(*) AS nb FROM ft WHERE source = 'src1' GROUP BY tok),
+j AS (
+  SELECT COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS v FROM j),
+p AS (
+  SELECT (na + 0.5) / (ta + 0.5 * v) AS pa,
+         (nb + 0.5) / (tb + 0.5 * v) AS pb
+  FROM j CROSS JOIN tot
+)
+SELECT round(sum(pa * ln(pa / pb)) + 1e-9, 4) AS kl_ab,
+       round(sum(pb * ln(pb / pa)) + 1e-9, 4) AS kl_ba,
+       round(sum(pa * ln(pa / ((pa + pb) / 2))) / 2
+             + sum(pb * ln(pb / ((pa + pb) / 2))) / 2 + 1e-9, 4) AS jsd,
+       round(sum(abs(pa - pb)) / 2 + 1e-9, 4) AS tvd
+FROM p
+"""
+
+
+QUERIES.append(Q("q161_distribution_drift", q161, Q161_ORACLE))
+
+
+# --- Q162: robust outliers (median/MAD modified z-score) ---------------------------
+def q162(spark, sf_dir):
+    """Order totals flagged per status by the Iglewicz-Hoaglin modified
+    z-score (operators/analytics.py::robust_outliers) — the
+    masking-proof counterpart of q136's trailing mean/std detector."""
+    from parquet_on_fhir_spark.operators.analytics import robust_outliers
+
+    o = t(spark, sf_dir, "orders")
+    out = robust_outliers(o, "o_totalprice", ["o_orderstatus"], threshold=3.5)
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        d4(F.col("modified_z")).alias("modified_z"),
+        "is_outlier",
+    )
+
+
+Q162_ORACLE = """
+WITH med AS (
+  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderstatus
+),
+dev AS (
+  SELECT o.*, med.med, abs(o_totalprice - med.med) AS adev
+  FROM orders o JOIN med USING (o_orderstatus)
+),
+mad AS (
+  SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY o_orderstatus
+)
+SELECT o_orderkey, dev.o_orderstatus,
+       round(CASE WHEN mad.mad > 0
+             THEN 0.6745 * (o_totalprice - dev.med) / mad.mad END + 1e-9, 4)
+         + 0.0 AS modified_z,  -- + 0.0: IEEE collapses DuckDB's signed -0.0
+       COALESCE(CASE WHEN mad.mad > 0
+             THEN abs(0.6745 * (o_totalprice - dev.med) / mad.mad) > 3.5 END,
+             false) AS is_outlier
+FROM dev JOIN mad USING (o_orderstatus)
+"""
+
+
+QUERIES.append(Q("q162_robust_outliers", q162, Q162_ORACLE))

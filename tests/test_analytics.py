@@ -155,3 +155,69 @@ def test_market_basket_cap_bounds_pair_fanout(spark):
     out = market_basket_pairs(df, "b", "i", k=100, max_basket_items=5)
     # symmetrized: 10 unordered pairs -> 20 rows
     assert out.count() == 20
+
+
+def test_numeric_histogram_dense_grid_and_edges(spark):
+    from parquet_on_fhir_spark.operators.analytics import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (9.99,), (10.0,), (None,)], "v double"
+    )
+    out = {r.bin: r for r in numeric_histogram(df, "v", bins=4, lo=0.0, hi=10.0).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    # [0,2.5)={0.0}, [2.5,5)={2.5}, [5,7.5)={5.0}, [7.5,10]={9.99, 10.0}:
+    # boundary values fall in their RIGHT bin, hi-edge 10.0 folds into
+    # the last bin, NULL dropped
+    assert (out[1].n, out[2].n, out[3].n, out[4].n) == (1, 1, 1, 2)
+    assert out[4].bin_hi == 10.0
+
+
+def test_numeric_histogram_per_group_auto_bounds(spark):
+    from parquet_on_fhir_spark.operators.analytics import numeric_histogram
+
+    rows = [("g", float(v)) for v in range(11)] + [("h", 100.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = numeric_histogram(df, "v", bins=5, key_cols=["k"])  # global bounds 0..100
+    g = {r.bin: r.n for r in out.collect() if r.k == "g"}
+    assert g[1] == 11 and sum(g.values()) == 11  # all g-values in first global bin
+    h = {r.bin: r.n for r in out.collect() if r.k == "h"}
+    assert h[5] == 1
+
+
+def test_distribution_drift_identical_and_disjoint(spark):
+    from parquet_on_fhir_spark.operators.analytics import distribution_drift
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 2, "i string")
+    (same,) = distribution_drift(a, a, "i").collect()
+    assert abs(same.kl_ab) < 1e-12 and abs(same.jsd) < 1e-12 and abs(same.tvd) < 1e-12
+
+    b = spark.createDataFrame([("z",)] * 8, "i string")
+    (far,) = distribution_drift(a, b, "i").collect()
+    assert far.kl_ab > 1.0 and far.kl_ba > 1.0
+    # smoothing pseudo-counts pull JSD below its ln-2 disjoint bound
+    assert 0.3 < far.jsd <= 0.6932
+    assert far.tvd > 0.8
+    # symmetric measures are symmetric
+    (rev,) = distribution_drift(b, a, "i").collect()
+    assert abs(far.jsd - rev.jsd) < 1e-12 and abs(far.tvd - rev.tvd) < 1e-12
+
+
+def test_robust_outliers_masking_immunity(spark):
+    from parquet_on_fhir_spark.operators.analytics import robust_outliers
+
+    # one enormous outlier among a tight cluster: mean/std masks itself
+    # at z<3 thresholds in small samples; median/MAD must flag it
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.v: r.is_outlier for r in robust_outliers(df, "v").collect()}
+    assert out[1000.0] is True
+    assert sum(out.values()) == 1
+
+
+def test_robust_outliers_zero_mad_never_flags(spark):
+    from parquet_on_fhir_spark.operators.analytics import robust_outliers
+
+    df = spark.createDataFrame([(5.0,)] * 9 + [(7.0,)], "v double")
+    rows = robust_outliers(df, "v").collect()
+    assert all(r.modified_z is None for r in rows)
+    assert not any(r.is_outlier for r in rows)
