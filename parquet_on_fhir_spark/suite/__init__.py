@@ -10,9 +10,9 @@ from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
 # only, so registration order is coverage policy.  Round-6 window =
-# flagship + ALL 42 oracle queries built this round (zero lifetime
-# driver rows — q121-q158, qf12-qf17; first-ever rows beat second rows)
-# + 7 re-confirmation picks from the 42 single-row queries, chosen
+# flagship + ALL 45 oracle queries built this round (zero lifetime
+# driver rows — q121-q162, qf12-qf17; first-ever rows beat second rows)
+# + 4 re-confirmation picks from the 42 single-row queries, chosen
 # because round 6 touched their code paths: graph.py (q108 — decimal
 # overflow witness fix), dedup.py (q113/q114/q120 — incremental_dedup
 # cross-set banding rewrite), views.py (qf09/qf10 — ofType support),
@@ -69,15 +69,16 @@ WINDOW = [
     "qf15_patient_everything",
     "qf16_has_reverse_chain",
     "qf17_observation_lastn",
-    # -- single-lifetime-row re-confirms whose code was touched this round
-    # (graph/dedup rewrites, views ofType, store chaining+compartment;
-    # the other touched-path singles q95-q99/q109/q111/q112/q115-q118
-    # stay selfcheck-covered and rotate in next round)
+    "q160_numeric_histogram",
+    "q161_distribution_drift",
+    "q162_robust_outliers",
+    # -- single-lifetime-row re-confirms for the riskiest rewrites this
+    # round (graph decimal witness + CC callers, incremental-dedup
+    # cross-set banding, views ofType, store chaining+compartment); the
+    # other touched-path singles stay selfcheck-covered and rotate next
+    # round
     "q108_dedup_clusters_md5",
-    "q113_duplicate_spans",
-    "q114_bm25",
     "q120_incremental_dedup",
-    "qf09_view_definition_patient",
     "qf10_view_definition_observation",
     "qf11_chained_search",
 ]
