@@ -105,7 +105,9 @@ def test_decode_real_import_guarded():
     if not codec_available("image"):
         with pytest.raises(NotImplementedError):
             decode_real(b"bytes", "image/png")
-        assert best_codec() is stand_in_features
+        from parquet_on_fhir_spark.operators.multimodal import numpy_features
+
+        assert best_codec() is numpy_features  # built-in real decoder tier
     else:  # pragma: no cover - container has no PIL; real-cluster arm
         import io
 
@@ -254,3 +256,113 @@ def test_frequent_ngrams_topk_and_ties(spark):
     assert a[1].gram == "y z x" and a[1].n_occurrences == 2
     assert len(a) == 2  # k respected
     assert by_group["b"][0].gram == "one two three"
+
+
+def _make_bmp(pixels):
+    """HxWx3 RGB -> uncompressed 24-bit bottom-up BMP bytes (pure struct)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + info + rows
+
+
+def test_ppm_roundtrip_and_decode():
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, got = decode_ppm(encode_ppm(img))
+    assert (w, h) == (3, 2)
+    assert np.array_equal(got, img)
+    # comment + multi-whitespace headers parse
+    hand = b"P6\n# a comment\n3  2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(hand)[2], img)
+
+
+def test_bmp_decode_matches_source_pixels():
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)  # stride padding hit
+    w, h, got = decode_bmp(_make_bmp(img))
+    assert (w, h) == (3, 5)
+    assert np.array_equal(got, img)
+
+
+def test_numpy_features_real_decode_and_fallback():
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_ppm,
+        numpy_features,
+        stand_in_features,
+    )
+
+    # 8x8 white image: features = [8, 8] + 64 ones
+    white = np.full((8, 8, 3), 255, dtype=np.uint8)
+    feat = numpy_features(encode_ppm(white))
+    assert feat[:2] == [8.0, 8.0]
+    assert len(feat) == 66 and all(abs(x - 1.0) < 1e-12 for x in feat[2:])
+    # 16x16 half-black/half-white: box averages = 0 on top, 1 on bottom
+    split = np.zeros((16, 16, 3), dtype=np.uint8)
+    split[8:] = 255
+    f2 = numpy_features(encode_ppm(split))
+    assert f2[2:34] == [0.0] * 32 and f2[34:] == [1.0] * 32
+    # undecodable bytes -> deterministic stand-in
+    junk = b"\x00\x01not an image"
+    assert numpy_features(junk) == stand_in_features(junk)
+
+
+def test_numpy_resize_and_bmp_to_ppm():
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_ppm,
+        numpy_resize,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 200  # top-left quadrant bright
+    out = numpy_resize(_make_bmp(img), "image/bmp", 2, 2)
+    w, h, small = decode_ppm(out)  # canonical PPM output
+    assert (w, h) == (2, 2)
+    assert small[0, 0, 0] == 200 and small[1, 1, 0] == 0
+    # unknown payloads pass through unchanged
+    assert numpy_resize(b"???", None, 2, 2) == b"???"
+
+
+def test_extract_features_with_real_numpy_codec(spark):
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        extract_features,
+        numpy_features,
+    )
+
+    rows = []
+    for i in range(6):
+        img = np.full((8, 8, 3), i * 40, dtype=np.uint8)
+        rows.append(
+            (i, "image", bytearray(encode_ppm(img)), ("image/x-portable-pixmap", 8, 8, None))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media, codec=numpy_features).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        f = out[i].feat
+        assert f[:2] == [8.0, 8.0] and abs(f[2] - (i * 40) / 255.0) < 1e-12
