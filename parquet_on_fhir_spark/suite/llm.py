@@ -1848,3 +1848,62 @@ def q148(spark, sf_dir):
 
 
 QUERIES.append(Q("q148_pca_project", q148, None))
+
+
+# --- Q163: REAL image decode through the Arrow feature path -------------------------
+def q163(spark, sf_dir):
+    """End-to-end real decode, driver-checked: an 8x8 constant-gray P6
+    PPM is CONSTRUCTED per document (header + 192 repeated bytes, all
+    JVM expressions), decoded for real by the pure-numpy PPM codec
+    inside mapInPandas, and the resulting luminance features compared
+    to their closed form — a constant image's 8x8 grid is v/255
+    everywhere, so the oracle needs no decoder. Exercises bytes →
+    pixels → features, not a stand-in."""
+    from parquet_on_fhir_spark.operators.multimodal import (
+        extract_features,
+        numpy_features,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    v = (F.col("doc_id") % 200 + 28).cast("int")  # gray level 28..227
+    payload = F.concat(
+        F.encode(F.lit("P6\n8 8\n255\n"), "ISO-8859-1"),
+        F.encode(F.repeat(F.chr(v), 192), "ISO-8859-1"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("content"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q163_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(203 AS BIGINT) AS n_bytes,
+       66 AS feat_dim,
+       8.0 AS f_width,
+       8.0 AS f_height,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_00,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q163_multimodal_real_decode", q163, Q163_ORACLE))
