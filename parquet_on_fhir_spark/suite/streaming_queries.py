@@ -341,3 +341,54 @@ QUERIES = [
     Q("q59_stream_static_join", q59, Q59_ORACLE),
     Q("q59b_stream_stream_join", q59b, Q59B_ORACLE),
 ]
+
+
+# --- Q164: streaming CDC apply (foreachBatch merge to a versioned table) -------------
+# 4 real micro-batches of events flow through the CDC merge loop
+# (streaming/cdc.py): per-key latest-wins across batch boundaries,
+# 'error' events act as tombstones. The oracle is the single-pass batch
+# fold — streaming N batches MUST land on the same table.
+def q164(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from parquet_on_fhir_spark.streaming.cdc import (
+        read_cdc_table,
+        stream_apply_cdc,
+    )
+    from parquet_on_fhir_spark.streaming.jobs import stream_events_multibatch
+
+    target = tempfile.mkdtemp(prefix="pofs_cdc_q164_")
+    stream = stream_events_multibatch(spark, sf_dir, n_files=4).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    stream_apply_cdc(
+        stream, target, keys=["user_id"], seq_col="event_id",
+        delete_col="is_delete",
+    )
+    out = read_cdc_table(spark, target).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    rows = out.cache()
+    rows.count()  # materialize before the scratch dir vanishes
+    shutil.rmtree(target, ignore_errors=True)
+    return rows
+
+
+Q164_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, value
+FROM latest
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+QUERIES.append(Q("q164_stream_cdc_apply", q164, Q164_ORACLE))

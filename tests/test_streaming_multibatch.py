@@ -261,3 +261,81 @@ def test_stream_events_multibatch_replays_n_ordered_batches(spark, sf_dir):
     # event-time ordering across batches: batch i's max ts <= batch i+1's min
     for (_, _, _, hi), (_, _, lo, _) in zip(data, data[1:]):
         assert hi <= lo
+
+
+def test_streaming_cdc_apply_matches_global_fold(spark, sf_dir):
+    """The CDC merge loop over N micro-batches must land on exactly the
+    state a single batch fold over ALL changes produces — per-key latest
+    wins across batch boundaries, and keys whose latest change is a
+    tombstone (event_type == 'error') leave the table."""
+    import shutil
+
+    from parquet_on_fhir_spark.operators.upsert import fold_cdc_latest
+    from parquet_on_fhir_spark.streaming.cdc import (
+        read_cdc_table,
+        stream_apply_cdc,
+    )
+    from parquet_on_fhir_spark.streaming.jobs import stream_events_multibatch
+
+    def shape(df):
+        return df.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+
+    target = tempfile.mkdtemp(prefix="pofs_cdc_target_")
+    try:
+        stream = shape(stream_events_multibatch(spark, sf_dir, n_files=4))
+        stream_apply_cdc(
+            stream, target, keys=["user_id"], seq_col="event_id",
+            delete_col="is_delete",
+        )
+        got = read_cdc_table(spark, target)
+        assert got is not None
+
+        all_changes = shape(load_table(spark, sf_dir, "events"))
+        expected = fold_cdc_latest(
+            all_changes, ["user_id"], "event_id", delete_col="is_delete"
+        )
+        g = {r.user_id: (r.event_id, r.event_type, r.value) for r in got.collect()}
+        e = {r.user_id: (r.event_id, r.event_type, r.value) for r in expected.collect()}
+        assert g == e and g  # non-trivial state survived 4 merges
+        # at least one key was tombstoned along the way or at the end
+        n_users = all_changes.select("user_id").distinct().count()
+        assert len(g) < n_users
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def test_cdc_batch_replay_is_idempotent(spark):
+    """Replaying the same batch_id (foreachBatch's retry contract) must
+    leave the published table unchanged."""
+    import shutil
+
+    from parquet_on_fhir_spark.streaming.cdc import (
+        apply_cdc_batch,
+        read_cdc_table,
+    )
+
+    target = tempfile.mkdtemp(prefix="pofs_cdc_target_")
+    try:
+        b0 = spark.createDataFrame(
+            [(1, 10, "a", False), (2, 11, "b", False)],
+            "k int, seq int, v string, del boolean",
+        )
+        apply_cdc_batch(b0, 0, target, ["k"], "seq", "del")
+        b1 = spark.createDataFrame(
+            [(1, 20, "a2", False), (2, 21, None, True), (3, 22, "c", False)],
+            "k int, seq int, v string, del boolean",
+        )
+        apply_cdc_batch(b1, 1, target, ["k"], "seq", "del")
+        first = {r.k: (r.seq, r.v) for r in read_cdc_table(spark, target).collect()}
+        assert first == {1: (20, "a2"), 3: (22, "c")}  # key 2 tombstoned
+        apply_cdc_batch(b1, 1, target, ["k"], "seq", "del")  # retry
+        again = {r.k: (r.seq, r.v) for r in read_cdc_table(spark, target).collect()}
+        assert again == first
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
