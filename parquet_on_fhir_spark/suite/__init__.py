@@ -10,9 +10,9 @@ from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
 # only, so registration order is coverage policy.  Round-6 window =
-# flagship + ALL 46 oracle queries built this round (zero lifetime
-# driver rows — q121-q163, qf12-qf17; first-ever rows beat second rows)
-# + 3 re-confirmation picks from the 42 single-row queries, chosen
+# flagship + ALL 47 oracle queries built this round (zero lifetime
+# driver rows — q121-q164, qf12-qf17; first-ever rows beat second rows)
+# + 2 re-confirmation picks from the 42 single-row queries, chosen
 # because round 6 touched their code paths: graph.py (q108 — decimal
 # overflow witness fix), dedup.py (q113/q114/q120 — incremental_dedup
 # cross-set banding rewrite), views.py (qf09/qf10 — ofType support),
@@ -73,6 +73,7 @@ WINDOW = [
     "q161_distribution_drift",
     "q162_robust_outliers",
     "q163_multimodal_real_decode",
+    "q164_stream_cdc_apply",
     # -- single-lifetime-row re-confirms for the riskiest rewrites this
     # round (graph decimal witness + CC callers, incremental-dedup
     # cross-set banding, views ofType, store chaining+compartment); the
@@ -80,7 +81,6 @@ WINDOW = [
     # round
     "q108_dedup_clusters_md5",
     "q120_incremental_dedup",
-    "qf10_view_definition_observation",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named
