@@ -429,3 +429,116 @@ def robust_outliers(
         )
         .drop("__adev")
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 10.0,
+    leave_one_out: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Target (mean) encoding of a categorical feature with additive
+    smoothing toward the global mean — and, by default, leave-one-out:
+    each row's own label is excluded from its category mean, the
+    standard guard against the label leaking into its own feature.
+
+    encode(row) = (cat_sum [- y] + m·global_mean) / (cat_n [- 1] + m)
+
+    One hash aggregate per category (tiny, broadcast back) + one global
+    1-row aggregate; the data is scanned twice, shuffled never. The
+    LOO arithmetic runs on the joined row — no per-row re-aggregation.
+    Categories of size 1 under LOO fall back to the smoothed prior
+    alone (their excluded count is 0).
+    """
+    name = out_col or f"{cat_col}_te"
+    g = df.agg(
+        F.avg(label_col).cast("double").alias("__gmean")
+    )
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(label_col).cast("double").alias("__csum"),
+        F.count(label_col).alias("__cn"),
+    )
+    joined = df.join(F.broadcast(per_cat), cat_col).crossJoin(F.broadcast(g))
+    if leave_one_out:
+        num = F.col("__csum") - F.col(label_col) + smoothing * F.col("__gmean")
+        den = F.col("__cn") - 1 + smoothing
+    else:
+        num = F.col("__csum") + smoothing * F.col("__gmean")
+        den = F.col("__cn") + smoothing
+    # smoothing=0 + LOO singleton => 0/0: yield NULL (undefined encode),
+    # not an ANSI division error or a silent ±inf
+    enc = F.when(den > 0, num / den)
+    return joined.withColumn(name, enc).drop("__csum", "__cn", "__gmean")
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 4,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: assign each row the quantile bin
+    (1..bins) its value falls in, with the boundaries computed ONCE as
+    a 1-row aggregate and broadcast — unlike ``ntile``, which needs a
+    global sort/window and ties its output to row order rather than
+    value (two equal values can land in different ntiles; they never
+    land in different quantile bins).
+
+    ``exact=False`` switches boundary computation to approx_percentile
+    (sketch, single-pass) for the 100 TB tier. Bin assignment is a pure
+    map over the broadcast boundary array.
+    """
+    name = out_col or f"{value_col}_qbin"
+    q_of = F.percentile if exact else F.approx_percentile
+    cuts = [i / bins for i in range(1, bins)]
+    b = df.agg(
+        q_of(F.col(value_col), F.array(*[F.lit(c) for c in cuts])).alias("__cuts")
+    )
+    # bin = 1 + number of interior boundaries strictly below the value
+    # (boundary values fall in the LOWER bin — deterministic under ties)
+    bin_expr = F.lit(1) + F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(name, bin_expr)
+        .drop("__cuts")
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregate pass —
+    all C(k,2) corr() aggregates ride a single scan/shuffle instead of
+    k² separate jobs, then unpivot to long form via an array-of-structs
+    explode (same pivot trick as profile_table).
+
+    Output: (col_a, col_b, corr) for a < b, plus the implied symmetric
+    half omitted.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    wide = df.agg(
+        *[
+            F.corr(F.col(a), F.col(b)).alias(f"__c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__c_{i}").alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

@@ -2737,3 +2737,99 @@ FROM dev JOIN mad USING (o_orderstatus)
 
 
 QUERIES.append(Q("q162_robust_outliers", q162, Q162_ORACLE))
+
+
+# --- Q165: leave-one-out target encoding -------------------------------------------
+def q165(spark, sf_dir):
+    """Encode o_orderpriority against o_totalprice with smoothing 10 and
+    leave-one-out (operators/analytics.py::target_encode) — per-category
+    sums broadcast back; the LOO subtraction runs on the joined row."""
+    from parquet_on_fhir_spark.operators.analytics import target_encode
+
+    o = t(spark, sf_dir, "orders")
+    out = target_encode(o, "o_orderpriority", "o_totalprice", smoothing=10.0)
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        d4(F.col("o_orderpriority_te") / 1000).alias("te_k"),
+    )
+
+
+Q165_ORACLE = """
+WITH g AS (SELECT avg(o_totalprice) AS gmean FROM orders),
+c AS (
+  SELECT o_orderpriority, sum(o_totalprice) AS csum, count(*) AS cn
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       round(((csum - o_totalprice + 10.0 * gmean) / (cn - 1 + 10.0)) / 1000
+             + 1e-9, 4) AS te_k
+FROM orders o JOIN c USING (o_orderpriority) CROSS JOIN g
+"""
+
+
+QUERIES.append(Q("q165_target_encoding", q165, Q165_ORACLE))
+
+
+# --- Q166: equal-frequency quantile binning ----------------------------------------
+def q166(spark, sf_dir):
+    """Quartile-bin o_totalprice (operators/analytics.py::quantile_bin):
+    exact interpolated boundaries computed once and broadcast; bin
+    assignment is value-based, so ties are deterministic (ntile's
+    row-order assignment is not)."""
+    from parquet_on_fhir_spark.operators.analytics import quantile_bin
+
+    o = t(spark, sf_dir, "orders")
+    out = quantile_bin(o, "o_totalprice", bins=4)
+    return out.select("o_orderkey", F.col("o_totalprice_qbin").alias("qbin"))
+
+
+Q166_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+         quantile_cont(o_totalprice, 0.50) AS c2,
+         quantile_cont(o_totalprice, 0.75) AS c3
+  FROM orders
+)
+SELECT o_orderkey,
+       1 + CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END
+         + CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END
+         + CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END AS qbin
+FROM orders CROSS JOIN b
+"""
+
+
+QUERIES.append(Q("q166_quantile_bin", q166, Q166_ORACLE))
+
+
+# --- Q167: one-pass correlation matrix ---------------------------------------------
+def q167(spark, sf_dir):
+    """All pairwise correlations of four lineitem measures in a single
+    aggregate pass, unpivoted to long form
+    (operators/analytics.py::correlation_matrix)."""
+    from parquet_on_fhir_spark.operators.analytics import correlation_matrix
+
+    l = t(spark, sf_dir, "lineitem")
+    out = correlation_matrix(
+        l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.select("col_a", "col_b", d4(F.col("corr")).alias("corr"))
+
+
+Q167_ORACLE = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount) + 1e-9, 4) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax) + 1e-9, 4) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount) + 1e-9, 4) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax) + 1e-9, 4) FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax) + 1e-9, 4) FROM lineitem
+"""
+
+
+QUERIES.append(Q("q167_correlation_matrix", q167, Q167_ORACLE))

@@ -221,3 +221,71 @@ def test_robust_outliers_zero_mad_never_flags(spark):
     rows = robust_outliers(df, "v").collect()
     assert all(r.modified_z is None for r in rows)
     assert not any(r.is_outlier for r in rows)
+
+
+def test_target_encode_loo_excludes_own_label(spark):
+    from parquet_on_fhir_spark.operators.analytics import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {
+        (r.c, r.y): r.c_te
+        for r in target_encode(df, "c", "y", smoothing=0.0).collect()
+        if r.c == "a"
+    }
+    # LOO means for 'a': exclude own label from (10+20+30)/3
+    assert abs(out[("a", 10.0)] - 25.0) < 1e-9
+    assert abs(out[("a", 20.0)] - 20.0) < 1e-9
+    assert abs(out[("a", 30.0)] - 15.0) < 1e-9
+    # zero-smoothing LOO singleton is NULL, not a division error
+    b0 = [r.c_te for r in target_encode(df, "c", "y", smoothing=0.0).collect() if r.c == "b"]
+    assert b0 == [None]
+    # smoothing pulls toward the global mean (40.0)
+    sm = {
+        r.y: r.c_te
+        for r in target_encode(df, "c", "y", smoothing=1e9).collect()
+        if r.c == "a"
+    }
+    assert all(abs(v - 40.0) < 1e-3 for v in sm.values())
+    # singleton category under LOO = pure smoothed prior, not NaN/inf
+    solo = [r.c_te for r in target_encode(df, "c", "y", smoothing=2.0).collect() if r.c == "b"]
+    assert abs(solo[0] - 40.0) < 1e-9  # (0 + 2*40)/(0 + 2)
+
+
+def test_quantile_bin_equal_frequency_and_ties(spark):
+    from parquet_on_fhir_spark.operators.analytics import quantile_bin
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+    out = quantile_bin(df, "v", bins=4)
+    sizes = {r.v_qbin: 0 for r in out.collect()}
+    for r in out.collect():
+        sizes[r.v_qbin] += 1
+    assert sorted(sizes) == [1, 2, 3, 4]
+    assert all(20 <= n <= 30 for n in sizes.values())
+    # equal values always share a bin (value-based, unlike ntile)
+    ties = spark.createDataFrame([(5.0,)] * 10 + [(9.0,)] * 2, "v double")
+    tb = {r.v: set() for r in quantile_bin(ties, "v", bins=3).collect()}
+    for r in quantile_bin(ties, "v", bins=3).collect():
+        tb[r.v].add(r.v_qbin)
+    assert all(len(bins) == 1 for bins in tb.values())
+
+
+def test_correlation_matrix_matches_pairwise(spark):
+    import math
+    import random
+
+    from parquet_on_fhir_spark.operators.analytics import correlation_matrix
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(200):
+        x = rng.gauss(0, 1)
+        rows.append((x, 2 * x + rng.gauss(0, 0.1), rng.gauss(0, 1)))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r.col_a, r.col_b): r.corr for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert got[("x", "y")] > 0.99
+    assert abs(got[("x", "z")]) < 0.2
+    for (a, b), v in got.items():
+        expect = df.corr(a, b)
+        assert math.isclose(v, expect, rel_tol=1e-9)
