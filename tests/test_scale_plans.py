@@ -298,3 +298,53 @@ def test_skew_report_identifies_hot_key(spark):
     assert top.key_value == "hot" and top.n_rows == 90
     assert abs(top.share - 0.9) < 1e-9
     assert len(rep) == 3  # k respected
+
+
+def test_winsorize_bounds_join_is_broadcast(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.analytics import winsorize
+
+    o = load_table(spark, sf_dir, "orders")
+    plan = plan_of(winsorize(o, "o_totalprice", ["o_orderstatus"]))
+    # the per-group bounds come back as a broadcast, never a shuffle
+    # of the data side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_target_encode_joins_all_broadcast(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.analytics import target_encode
+
+    o = load_table(spark, sf_dir, "orders")
+    plan = plan_of(target_encode(o, "o_orderpriority", "o_totalprice"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_quantile_bin_is_map_side_after_one_agg(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.analytics import quantile_bin
+
+    o = load_table(spark, sf_dir, "orders")
+    plan = plan_of(quantile_bin(o, "o_totalprice", bins=4))
+    # boundary frame is 1 row: its join must be a broadcast nested loop
+    # (cross join of a single row), no shuffle of the data side
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.timeseries import scd2
+
+    e = load_table(spark, sf_dir, "events")
+    plan = plan_of(
+        scd2(e, ["user_id"], "ts", ["event_type"], tie_cols=["event_id"])
+    )
+    # lag-filter-lead shares one hashpartitioning(user_id) — a second
+    # Exchange would mean the lead window re-shuffled
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    from parquet_on_fhir_spark.operators.timeseries import ohlc
+
+    e = load_table(spark, sf_dir, "events")
+    plan = plan_of(ohlc(e, "ts", ["user_id"], "value", tie_cols=["event_id"]))
+    assert "Window" not in plan  # agg formulation, not an ordered window
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
