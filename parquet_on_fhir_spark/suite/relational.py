@@ -2833,3 +2833,160 @@ SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax) + 1e-9, 4) FROM line
 
 
 QUERIES.append(Q("q167_correlation_matrix", q167, Q167_ORACLE))
+
+
+# --- Q168: Kaplan-Meier survival curve ---------------------------------------------
+def q168(spark, sf_dir):
+    """Survival of users by days-to-first-purchase, churn censored
+    (operators/analytics.py::kaplan_meier). Duration = days from each
+    user's first event to first purchase (event) or last event
+    (censored). Product-limit via exp(Σ ln(1−d/n)) running sums."""
+    from parquet_on_fhir_spark.operators.analytics import kaplan_meier
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    spans = per_user.select(
+        F.datediff(
+            F.coalesce("purch_ts", "last_ts"), F.col("first_ts")
+        ).alias("duration"),
+        F.col("purch_ts").isNotNull().alias("event"),
+    )
+    out = kaplan_meier(spans, "duration", "event")
+    return out.select(
+        F.col("t").cast("int").alias("t"),
+        "n_risk",
+        "n_events",
+        d4(F.col("survival")).alias("survival"),
+    )
+
+
+Q168_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+spans AS (
+  SELECT date_diff('day', CAST(first_ts AS DATE),
+                   CAST(COALESCE(purch_ts, last_ts) AS DATE)) AS duration,
+         purch_ts IS NOT NULL AS event
+  FROM per_user
+),
+per_t AS (
+  SELECT duration AS t,
+         sum(CASE WHEN event THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN event THEN 0 ELSE 1 END) AS n_censored
+  FROM spans GROUP BY duration
+),
+risk AS (
+  SELECT *, sum(n_events + n_censored) OVER () -
+            COALESCE(sum(n_events + n_censored) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+  FROM per_t
+)
+SELECT CAST(t AS INT) AS t, n_risk, n_events,
+       round(CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) = 1
+             THEN 0.0
+             ELSE exp(sum(ln(CASE WHEN n_events < n_risk
+                             THEN 1.0 - n_events / CAST(n_risk AS DOUBLE)
+                             ELSE 1.0 END))
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+             END + 1e-9, 4) AS survival
+FROM risk
+"""
+
+
+QUERIES.append(Q("q168_kaplan_meier", q168, Q168_ORACLE))
+
+
+# --- Q169: ROC AUC via the rank-sum identity ---------------------------------------
+def q169(spark, sf_dir):
+    """AUC of n_chars as a predictor of lang='en'
+    (operators/analytics.py::binary_auc): Mann-Whitney with average
+    ranks over score ties — the exact tie convention, no threshold
+    sweep."""
+    from parquet_on_fhir_spark.operators.analytics import binary_auc
+
+    d = t(spark, sf_dir, "documents")
+    lab = d.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    out = binary_auc(lab, "score", "label")
+    return out.select(d4(F.col("auc")).alias("auc"), "n_pos", "n_neg")
+
+
+Q169_ORACLE = """
+WITH ranked AS (
+  SELECT CAST(lang = 'en' AS INT) AS lab,
+         (min(rn) OVER (PARTITION BY n_chars)
+          + max(rn) OVER (PARTITION BY n_chars)) / 2.0 AS r
+  FROM (
+    SELECT lang, n_chars,
+           row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE)) AS rn
+    FROM documents
+  )
+)
+SELECT round((sum(CASE WHEN lab = 1 THEN r END)
+              - sum(lab) * (sum(lab) + 1) / 2.0)
+             / (sum(lab) * CAST(sum(1 - lab) AS DOUBLE)) + 1e-9, 4) AS auc,
+       sum(lab) AS n_pos,
+       sum(1 - lab) AS n_neg
+FROM ranked
+"""
+
+
+QUERIES.append(Q("q169_binary_auc", q169, Q169_ORACLE))
+
+
+# --- Q170: Welch's t (A/B test) ----------------------------------------------------
+def q170(spark, sf_dir):
+    """Welch unequal-variance t between purchase and click event values
+    (operators/analytics.py::welch_t_test) — moment aggregates only."""
+    from parquet_on_fhir_spark.operators.analytics import welch_t_test
+
+    e = t(spark, sf_dir, "events")
+    out = welch_t_test(e, "event_type", "value", "purchase", "click")
+    return out.select(
+        d4(F.col("mean_a")).alias("mean_a"),
+        d4(F.col("mean_b")).alias("mean_b"),
+        d4(F.col("t_stat")).alias("t_stat"),
+        d4(F.col("dof")).alias("dof"),
+        "n_a",
+        "n_b",
+    )
+
+
+Q170_ORACLE = """
+WITH a AS (
+  SELECT avg(value) AS ma, var_samp(value) AS va, count(*) AS na
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT avg(value) AS mb, var_samp(value) AS vb, count(*) AS nb
+  FROM events WHERE event_type = 'click'
+)
+SELECT round(ma + 1e-9, 4) AS mean_a,
+       round(mb + 1e-9, 4) AS mean_b,
+       round((ma - mb) / sqrt(va / na + vb / nb) + 1e-9, 4) AS t_stat,
+       round((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)) + 1e-9, 4) AS dof,
+       na AS n_a, nb AS n_b
+FROM a CROSS JOIN b
+"""
+
+
+QUERIES.append(Q("q170_welch_t_test", q170, Q170_ORACLE))

@@ -289,3 +289,79 @@ def test_correlation_matrix_matches_pairwise(spark):
     for (a, b), v in got.items():
         expect = df.corr(a, b)
         assert math.isclose(v, expect, rel_tol=1e-9)
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    from parquet_on_fhir_spark.operators.analytics import kaplan_meier
+
+    # classic small example: durations (event=death, censor=+)
+    # 1, 2+, 3, 4, 4, 5+  -> S(1)=5/6, S(3)=5/6*3/4, S(4)=...*1/3
+    rows = [(1, True), (2, False), (3, True), (4, True), (4, True), (5, False)]
+    df = spark.createDataFrame(rows, "d int, e boolean")
+    got = {r.t: r for r in kaplan_meier(df, "d", "e").collect()}
+    assert got[1].n_risk == 6 and abs(got[1].survival - 5 / 6) < 1e-12
+    assert got[2].n_risk == 5 and abs(got[2].survival - 5 / 6) < 1e-12  # censor: no drop
+    assert got[3].n_risk == 4 and abs(got[3].survival - (5 / 6) * (3 / 4)) < 1e-12
+    assert got[4].n_risk == 3 and abs(got[4].survival - (5 / 6) * (3 / 4) * (1 / 3)) < 1e-12
+    assert got[5].n_risk == 1 and abs(got[5].survival - got[4].survival) < 1e-12
+
+
+def test_kaplan_meier_all_die_hits_zero(spark):
+    from parquet_on_fhir_spark.operators.analytics import kaplan_meier
+
+    df = spark.createDataFrame([(1, True), (2, True)], "d int, e boolean")
+    got = {r.t: r.survival for r in kaplan_meier(df, "d", "e").collect()}
+    assert abs(got[1] - 0.5) < 1e-12
+    assert got[2] == 0.0  # exact zero, not exp(ln(0)) poison
+
+
+def test_binary_auc_known_values(spark):
+    from parquet_on_fhir_spark.operators.analytics import binary_auc
+
+    # perfectly separable
+    rows = [(float(s), s >= 5) for s in range(10)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    (r,) = binary_auc(df, "s", "y").collect()
+    assert r.auc == 1.0 and r.n_pos == 5 and r.n_neg == 5
+    # all scores tied -> AUC 0.5 by the average-rank convention
+    ties = spark.createDataFrame([(1.0, True)] * 3 + [(1.0, False)] * 7, "s double, y boolean")
+    (rt,) = binary_auc(ties, "s", "y").collect()
+    assert abs(rt.auc - 0.5) < 1e-12
+    # hand case with a tie straddling classes: scores [1,2,2,3], labels [0,0,1,1]
+    hand = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (2.0, True), (3.0, True)], "s double, y boolean"
+    )
+    (rh,) = binary_auc(hand, "s", "y").collect()
+    # pairs: (2,1)=1, (2,2)=0.5, (3,1)=1, (3,2)=1 -> 3.5/4
+    assert abs(rh.auc - 3.5 / 4) < 1e-12
+    # degenerate single-class input -> NULL, not division error
+    one = spark.createDataFrame([(1.0, True), (2.0, True)], "s double, y boolean")
+    (ro,) = binary_auc(one, "s", "y").collect()
+    assert ro.auc is None
+
+
+def test_welch_t_matches_closed_form(spark):
+    import math
+    import random
+
+    from parquet_on_fhir_spark.operators.analytics import welch_t_test
+
+    rng = random.Random(9)
+    rows = [("a", rng.gauss(10, 2)) for _ in range(80)] + [
+        ("b", rng.gauss(11, 4)) for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = welch_t_test(df, "g", "v", "a", "b").collect()
+    va = [v for g, v in rows if g == "a"]
+    vb = [v for g, v in rows if g == "b"]
+
+    def var(x):
+        m = sum(x) / len(x)
+        return sum((e - m) ** 2 for e in x) / (len(x) - 1)
+
+    sa, sb = var(va) / len(va), var(vb) / len(vb)
+    t = (sum(va) / len(va) - sum(vb) / len(vb)) / math.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa**2 / (len(va) - 1) + sb**2 / (len(vb) - 1))
+    assert math.isclose(r.t_stat, t, rel_tol=1e-9)
+    assert math.isclose(r.dof, dof, rel_tol=1e-9)
+    assert (r.n_a, r.n_b) == (80, 50)
