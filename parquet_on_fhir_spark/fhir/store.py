@@ -4,7 +4,7 @@
 A :class:`FhirStore` is a set of resource tables (one Parquet-on-FHIR
 table per resourceType — the format's fundamental layout). On top of the
 single-table :class:`~parquet_on_fhir_spark.fhir.table.FhirTable`
-predicates it adds the three search features that need a SECOND table:
+predicates it adds the search features that need a SECOND table:
 
 - chained parameter ``subject:Patient.name=benne`` — filter the target
   type with the tail parameter, then LEFT SEMI join the source on the
@@ -308,3 +308,55 @@ class FhirStore:
                 "inner",
             ).drop("__pid")
         return out
+
+
+def match_patients(
+    patients: DataFrame,
+    candidates: DataFrame,
+    block_cols: list[str] | None = None,
+    family_col: str = "family",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Probabilistic patient linkage (the $match operation's batch
+    form): block on exact demographics, score within blocks by
+    case-folded Levenshtein on the family name, keep each candidate's
+    best match (distance, then id — deterministic under ties).
+
+    ``candidates`` carries (cand_id, *block_cols, <family_col>);
+    ``patients`` is a registry frame with (id, *block_cols,
+    <family_col>). Blocking is the scale story: the quadratic
+    name-comparison only runs INSIDE (gender, birthDate) blocks —
+    national-registry-sized inputs stay tractable because block sizes
+    are bounded; the blocking join itself is a plain equi-shuffle.
+    For fuzzier blocking (typos in the block key itself) compose with
+    operators/joins.py::fuzzy_join on a phonetic key instead.
+
+    Output: (cand_id, matched_id, distance) — one row per candidate
+    with at least one block-mate within ``max_distance``.
+    """
+    from pyspark.sql import Window
+
+    blocks = block_cols or ["gender", "birthDate"]
+    reg = patients.select(
+        F.col("id").alias("matched_id"),
+        *[F.col(c).alias(f"__b_{c}") for c in blocks],
+        F.lower(F.col(family_col)).alias("__reg_name"),
+    )
+    cand = candidates.select(
+        "cand_id",
+        *[F.col(c).alias(f"__b_{c}") for c in blocks],
+        F.lower(F.col(family_col)).alias("__cand_name"),
+    )
+    scored = (
+        cand.join(reg, [f"__b_{c}" for c in blocks])
+        .withColumn(
+            "distance", F.levenshtein(F.col("__cand_name"), F.col("__reg_name"))
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy("cand_id").orderBy("distance", "matched_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cand_id", "matched_id", "distance")
+    )

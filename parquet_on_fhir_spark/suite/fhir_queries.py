@@ -815,3 +815,59 @@ SELECT patient_id, code, id, eff_us, rank FROM (
 
 
 QUERIES.append(Q("qf17_observation_lastn", qf17, QF17_ORACLE))
+
+
+# --- patient linkage ($match batch form) --------------------------------------------
+def qf18(spark, sf_dir):
+    """Link perturbed patient records back to the registry
+    (fhir/store.py::match_patients): candidates are each golden patient
+    with the family name upper-cased and truncated by one character —
+    a deterministic perturbation both engines can restate — blocked on
+    (gender, birthDate), scored by case-folded Levenshtein, best match
+    per candidate."""
+    from parquet_on_fhir_spark.fhir.store import match_patients
+
+    p = utc(spark).read.parquet(PATIENT)
+    base = p.select(
+        "id",
+        "gender",
+        "birthDate",
+        F.col("name")[0]["family"].alias("family"),
+    )
+    cands = base.select(
+        F.col("id").alias("cand_id"),
+        "gender",
+        "birthDate",
+        F.upper(F.expr("substring(family, 1, length(family) - 1)")).alias(
+            "family"
+        ),
+    )
+    out = match_patients(base, cands, ["gender", "birthDate"], "family", 3)
+    return out.orderBy("cand_id")
+
+
+QF18_ORACLE = f"""
+WITH base AS (
+  SELECT id, gender, birthDate, name[1].family AS family
+  FROM read_parquet('{PATIENT}')
+),
+cand AS (
+  SELECT id AS cand_id, gender, birthDate,
+         upper(substring(family, 1, length(family) - 1)) AS family
+  FROM base
+),
+scored AS (
+  SELECT cand.cand_id, base.id AS matched_id,
+         levenshtein(lower(cand.family), lower(base.family)) AS distance
+  FROM cand JOIN base USING (gender, birthDate)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY cand_id
+              ORDER BY distance, matched_id) AS rn
+  FROM scored WHERE distance <= 3
+)
+SELECT cand_id, matched_id, distance FROM best WHERE rn = 1
+"""
+
+
+QUERIES.append(Q("qf18_patient_linkage", qf18, QF18_ORACLE))

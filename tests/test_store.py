@@ -154,3 +154,29 @@ def test_has_malformed_key_raises(spark):
     })
     with pytest.raises(ValueError, match="_has"):
         store.search("Patient", "_has:Observation:subject=final")
+
+
+def test_match_patients_links_perturbed_records(spark):
+    from parquet_on_fhir_spark.fhir.store import match_patients
+
+    base = spark.createDataFrame(
+        [
+            ("p1", "female", "1990-01-01", "Garcia"),
+            ("p2", "female", "1990-01-01", "Gracia"),  # block-mate, distance 2
+            ("p3", "male", "1990-01-01", "Garcia"),    # other block
+        ],
+        "id string, gender string, birthDate string, family string",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("c1", "female", "1990-01-01", "GARCI"),   # truncated+cased p1
+            ("c2", "male", "1990-01-01", "Smith"),     # too far from anyone
+        ],
+        "cand_id string, gender string, birthDate string, family string",
+    )
+    got = {
+        r.cand_id: (r.matched_id, r.distance)
+        for r in match_patients(base, cands, ["gender", "birthDate"], "family", 3).collect()
+    }
+    # c1: garci vs garcia = 1 (best), vs gracia = 3; p3 is blocked out
+    assert got == {"c1": ("p1", 1)}
