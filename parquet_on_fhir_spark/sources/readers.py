@@ -92,3 +92,35 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
         raise NotImplementedError(
             "avro needs the spark-avro jar (org.apache.spark:spark-avro_2.13)"
         ) from e
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:  # pragma: no cover
+    """Kafka streaming source — the production entry for every streaming
+    operator in this repo (the file-stream sources in streaming/jobs.py
+    are the test-harness stand-in; the query graphs downstream are
+    identical). The sql-kafka connector is an external jar not shipped
+    in this image; on a real cluster add
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``.
+
+    Returns the standard Kafka schema (key/value binary, topic,
+    partition, offset, timestamp); callers decode ``value`` with
+    from_json/from_avro per their payload.
+    """
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # AnalysisException: data source not found
+        raise NotImplementedError(
+            "kafka needs the sql-kafka jar "
+            "(org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from e
