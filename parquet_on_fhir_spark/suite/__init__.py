@@ -12,14 +12,13 @@ from parquet_on_fhir_spark.suite.common import Q
 # only, so registration order is coverage policy.  Round-6 window =
 # flagship + ALL 47 oracle queries built this round (zero lifetime
 # driver rows — q121-q164, qf12-qf17; first-ever rows beat second rows)
-# + 2 re-confirmation picks from the 42 single-row queries, chosen
-# because round 6 touched their code paths: graph.py (q108 — decimal
-# overflow witness fix), dedup.py (q113/q114/q120 — incremental_dedup
-# cross-set banding rewrite), views.py (qf09/qf10 — ofType support),
-# store.py (qf11 — compartment addition), curation.py (q95), text.py
-# (q115), layout.py (q118).  The remaining single-row queries (TPC-H
-# tails q100-q106, r4 scalar/streaming singles, q96-q99 etc.) have
-# untouched or selfcheck-covered code paths and rotate next round.  Rows-only queries are registered LAST so the window
+# + 2 re-confirmation picks guarding this round's riskiest rewrites:
+# q108 (graph.py decimal-overflow witness fix + CC callers) and q120
+# (dedup.py incremental cross-set banding rewrite).  Queries built
+# after the window filled (q165-q167, q168-q170, qf18) and the
+# remaining single-row queries (TPC-H tails q100-q106, r4 scalar/
+# streaming singles, q95-q99, qf09-qf11 etc.) stay selfcheck-covered
+# and rotate next round.  Rows-only queries are registered LAST so the window
 # contains only hash-checkable entries; each names the test that
 # carries its correctness.  Full-suite verification is always
 # available via `python tools/selfcheck.py`.

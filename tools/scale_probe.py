@@ -47,6 +47,10 @@ PROBE_QUERIES = [
     "q152_ohlc_bars",
     "q153_time_weighted_avg",
     "q154_rolling_time_range",
+    "q158_market_basket",
+    "q162_robust_outliers",
+    "q165_target_encoding",
+    "q168_kaplan_meier",
 ]
 
 
