@@ -349,7 +349,6 @@ QUERIES = [
 # 'error' events act as tombstones. The oracle is the single-pass batch
 # fold — streaming N batches MUST land on the same table.
 def q164(spark, sf_dir):
-    import shutil
     import tempfile
 
     from parquet_on_fhir_spark.streaming.cdc import (
@@ -373,10 +372,13 @@ def q164(spark, sf_dir):
     out = read_cdc_table(spark, target).select(
         "user_id", "event_id", "event_type", "value"
     )
-    rows = out.cache()
-    rows.count()  # materialize before the scratch dir vanishes
-    shutil.rmtree(target, ignore_errors=True)
-    return rows
+    # the result must outlive this function while its backing files sit
+    # in scratch: defer cleanup to process exit (a .cache() would not
+    # survive eviction once the directory is gone)
+    from parquet_on_fhir_spark.streaming.jobs import _SCRATCH_DIRS
+
+    _SCRATCH_DIRS.append(target)
+    return out
 
 
 Q164_ORACLE = """
