@@ -11,6 +11,8 @@
     python -m parquet_on_fhir_spark expand    VALUESET_PARQUET [--codesystems CS_PARQUET]
     python -m parquet_on_fhir_spark translate FACTS_PARQUET CONCEPTMAP_PARQUET --system-col system --code-col code
     python -m parquet_on_fhir_spark diff      OLD_PARQUET NEW_PARQUET --id-cols id
+    python -m parquet_on_fhir_spark profile   IN_PARQUET [--columns a b] [--approx]
+    python -m parquet_on_fhir_spark dedup     IN_PARQUET OUT_PARQUET [--near] [--text-col text] [--id-col doc_id]
 
 Exit code 0 on success; ``validate`` exits 1 when invariants fail.
 """
@@ -124,6 +126,27 @@ def main(argv: list[str] | None = None) -> int:
     dif.add_argument("--output")
     dif.add_argument("--summary", action="store_true",
                      help="print per-change counts instead of rows")
+
+    prof = sub.add_parser(
+        "profile", help="one-pass per-column data-quality profile of any parquet"
+    )
+    prof.add_argument("input")
+    prof.add_argument("--columns", nargs="*")
+    prof.add_argument("--approx", action="store_true",
+                      help="HLL distinct counts (the 100 TB tier)")
+
+    ddp = sub.add_parser(
+        "dedup", help="exact or MinHash-LSH near dedup of a text column"
+    )
+    ddp.add_argument("input")
+    ddp.add_argument("output")
+    ddp.add_argument("--text-col", default="text")
+    ddp.add_argument("--id-col", default="doc_id")
+    ddp.add_argument("--near", action="store_true",
+                     help="MinHash-LSH + connected-components clusters "
+                     "(default: exact sha2 dedup)")
+    ddp.add_argument("--threshold", type=float, default=0.5,
+                     help="estimated-Jaccard threshold for --near")
 
     args = ap.parse_args(argv)
 
@@ -276,6 +299,37 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{out.count()} rows -> {args.output}")
         else:
             out.filter("change <> 'unchanged'").show(50, truncate=40)
+        return 0
+
+    if args.cmd == "profile":
+        from parquet_on_fhir_spark.operators.text import profile_table
+
+        out = profile_table(
+            spark.read.parquet(args.input),
+            columns=args.columns or None,
+            exact_distinct=not args.approx,
+        )
+        out.orderBy("column").show(200, truncate=40)
+        return 0
+
+    if args.cmd == "dedup":
+        df = spark.read.parquet(args.input)
+        if args.near:
+            from parquet_on_fhir_spark.operators.dedup import near_dup_clusters
+
+            clustered = near_dup_clusters(
+                df, args.text_col, id_col=args.id_col,
+                jaccard_threshold=args.threshold,
+            )
+            keep = clustered.filter("is_survivor").select(args.id_col)
+            out = df.join(keep, args.id_col, "left_semi")
+        else:
+            from parquet_on_fhir_spark.operators.dedup import exact_dedup
+
+            out = exact_dedup(df, args.text_col, args.id_col)
+        before, after = df.count(), out.count()
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"kept {after}/{before} rows -> {args.output}")
         return 0
 
     if args.cmd == "schema":

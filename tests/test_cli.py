@@ -123,3 +123,28 @@ def test_cli_unbundle(tmp_path):
     counts = _json.loads(res.stdout[res.stdout.index("{"):])
     assert counts == {"Patient": 2, "Condition": 1}
     assert (out / "Patient").exists() and (out / "Condition").exists()
+
+
+def test_cli_profile_and_dedup(tmp_path, capsys):
+    import shutil
+
+    from parquet_on_fhir_spark.__main__ import main
+    from parquet_on_fhir_spark.session import get_session
+
+    spark = get_session("cli-test")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "unique text here")],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    assert main(["profile", src]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id" in out and "text" in out
+
+    dst = str(tmp_path / "deduped.parquet")
+    assert main(["dedup", src, dst, "--text-col", "text", "--id-col", "doc_id"]) == 0
+    kept = spark.read.parquet(dst)
+    assert kept.count() == 2  # exact dup collapsed
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {1, 3}
+    shutil.rmtree(dst, ignore_errors=True)
