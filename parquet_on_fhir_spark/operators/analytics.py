@@ -686,3 +686,138 @@ def welch_t_test(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Concentration of mass across groups — the corpus-balance audit a
+    training-mix owner runs before a source quietly becomes half the
+    data: Gini coefficient (rank identity: G = 2·Σᵢ i·xᵢ /(n·Σx) −
+    (n+1)/n over ascending xᵢ), Herfindahl-Hirschman index (Σ share²),
+    share of the top group, and effective group count (1/HHI).
+
+    One hash aggregate to group totals (group-cardinality rows), one
+    ordered window over THOSE (tiny), one fold. Weighted by
+    ``weight_col`` when given, else row counts.
+
+    Output: 1 row — (n_groups, gini, hhi, top_share, effective_groups).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    totals = df.groupBy(group_col).agg(F.sum(w).cast("double").alias("__x"))
+    ranked = totals.withColumn(
+        "__i", F.row_number().over(Window.orderBy(F.col("__x"), F.col(group_col)))
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__six"),
+        F.max("__x").alias("__mx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    gini = (
+        2.0 * F.col("__six") / (F.col("n_groups") * F.col("__sx"))
+        - (F.col("n_groups") + 1) / F.col("n_groups")
+    )
+    hhi = F.col("__sxx") / (F.col("__sx") * F.col("__sx"))
+    return agg.select(
+        "n_groups",
+        gini.alias("gini"),
+        hhi.alias("hhi"),
+        (F.col("__mx") / F.col("__sx")).alias("top_share"),
+        (F.lit(1.0) / hhi).alias("effective_groups"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Zipf fit of the corpus token-frequency distribution: the
+    least-squares slope of ln(frequency) on ln(rank) — healthy natural
+    text sits near −1; templated or synthetic corpora drift away.
+    Distribution shape is the cheapest corpus-fingerprint there is.
+
+    One token hash aggregate (vocab-sized), one ordered window over the
+    aggregated counts, one regr_slope fold. ``min_count`` trims the
+    hapax tail, which flattens the log-log line and is noise anyway.
+
+    Output: 1 row — (slope, intercept, n_types, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("__n"))
+    kept = counts.filter(F.col("__n") >= min_count)
+    ranked = kept.withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy(F.desc("__n"), F.asc("tok"))),
+    )
+    total = counts.agg(F.sum("__n").alias("__t"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .agg(
+            F.regr_slope(F.log("__n"), F.log("__r")).alias("slope"),
+            F.regr_intercept(F.log("__n"), F.log("__r")).alias("intercept"),
+            F.count("*").alias("n_types"),
+            F.first("__t").alias("n_tokens"),
+        )
+    )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-digit (Benford) audit of a positive numeric column: the
+    observed leading-digit distribution vs log₁₀(1+1/d), with the χ²
+    statistic — fabricated or unit-mangled numeric columns jump out.
+
+    Pure map to the leading digit (string of abs value, first nonzero
+    char), one 9-bucket aggregate, one fold.
+
+    Output: 9 rows — (digit, n, share, expected_share) plus the chi2
+    repeated per row for single-pass consumption.
+    """
+    from pyspark.sql import Window
+
+    digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.col(value_col)).cast("string"), "[^1-9]*", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .withColumn("__d", digit)
+        .filter(F.col("__d").isNotNull())
+        .groupBy("__d")
+        .agg(F.count("*").alias("n"))
+    )
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    expected = F.log10(1.0 + 1.0 / F.col("__d"))
+    with_share = counts.select(
+        F.col("__d").alias("digit"),
+        "n",
+        (F.col("n") / F.sum("n").over(total)).alias("share"),
+        expected.alias("expected_share"),
+        F.sum("n").over(total).alias("__t"),
+    )
+    cell = (
+        (F.col("share") - F.col("expected_share"))
+        * (F.col("share") - F.col("expected_share"))
+        / F.col("expected_share")
+        * F.col("__t")
+    )
+    chi2 = F.sum(cell).over(total)
+    return with_share.select(
+        "digit", "n", "share", "expected_share", chi2.alias("chi2")
+    )

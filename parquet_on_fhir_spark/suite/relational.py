@@ -2990,3 +2990,129 @@ FROM a CROSS JOIN b
 
 
 QUERIES.append(Q("q170_welch_t_test", q170, Q170_ORACLE))
+
+
+# --- Q172: corpus concentration report (Gini / HHI / top share) --------------------
+def q172(spark, sf_dir):
+    """Concentration of document characters across sources
+    (operators/analytics.py::concentration_report) — the training-mix
+    balance audit."""
+    from parquet_on_fhir_spark.operators.analytics import concentration_report
+
+    d = t(spark, sf_dir, "documents")
+    out = concentration_report(d, "source", "n_chars")
+    return out.select(
+        "n_groups",
+        d4(F.col("gini")).alias("gini"),
+        F.round(F.col("hhi") + 1e-12, 6).alias("hhi"),
+        d4(F.col("top_share")).alias("top_share"),
+        d4(F.col("effective_groups")).alias("effective_groups"),
+    )
+
+
+Q172_ORACLE = """
+WITH totals AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS x
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM totals
+),
+agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six,
+         max(x) AS mx, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT n AS n_groups,
+       round(2.0 * six / (n * sx) - (n + 1.0) / n + 1e-9, 4) AS gini,
+       round(sxx / (sx * sx) + 1e-12, 6) AS hhi,
+       round(mx / sx + 1e-9, 4) AS top_share,
+       round((sx * sx) / sxx + 1e-9, 4) AS effective_groups
+FROM agg
+"""
+
+
+QUERIES.append(Q("q172_concentration_report", q172, Q172_ORACLE))
+
+
+# --- Q173: Zipf slope of the token-frequency distribution --------------------------
+def q173(spark, sf_dir):
+    """Log-log least-squares fit of token frequency vs rank
+    (operators/analytics.py::zipf_slope), hapax-trimmed."""
+    from parquet_on_fhir_spark.operators.analytics import zipf_slope
+
+    d = t(spark, sf_dir, "documents")
+    out = zipf_slope(d, "text", min_count=2)
+    return out.select(
+        d4(F.col("slope")).alias("slope"),
+        d4(F.col("intercept")).alias("intercept"),
+        "n_types",
+        "n_tokens",
+    )
+
+
+Q173_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+ft AS (SELECT tok FROM toks WHERE tok <> ''),
+counts AS (SELECT tok, count(*) AS n FROM ft GROUP BY tok),
+total AS (SELECT sum(n) AS t FROM counts),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+  FROM counts WHERE n >= 2
+)
+SELECT round(regr_slope(ln(n), ln(r)) + 1e-9, 4) AS slope,
+       round(regr_intercept(ln(n), ln(r)) + 1e-9, 4) AS intercept,
+       count(*) AS n_types,
+       (SELECT t FROM total) AS n_tokens
+FROM ranked
+"""
+
+
+QUERIES.append(Q("q173_zipf_slope", q173, Q173_ORACLE))
+
+
+# --- Q174: Benford first-digit audit -----------------------------------------------
+def q174(spark, sf_dir):
+    """Leading-digit distribution of o_totalprice vs Benford's law
+    (operators/analytics.py::benford_deviation)."""
+    from parquet_on_fhir_spark.operators.analytics import benford_deviation
+
+    o = t(spark, sf_dir, "orders")
+    out = benford_deviation(o, "o_totalprice")
+    return out.select(
+        "digit",
+        "n",
+        d4(F.col("share")).alias("share"),
+        d4(F.col("expected_share")).alias("expected_share"),
+        d2(F.col("chi2")).alias("chi2"),
+    )
+
+
+Q174_ORACLE = """
+WITH d AS (
+  SELECT CAST(substring(regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
+                        '[^1-9]*', ''), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+),
+counts AS (
+  SELECT digit, count(*) AS n FROM d WHERE digit IS NOT NULL GROUP BY digit
+),
+t AS (SELECT sum(n) AS tot FROM counts),
+s AS (
+  SELECT digit, n,
+         n / CAST(tot AS DOUBLE) AS share,
+         log10(1.0 + 1.0 / digit) AS expected_share,
+         tot
+  FROM counts CROSS JOIN t
+)
+SELECT digit, n, round(share + 1e-9, 4) AS share,
+       round(expected_share + 1e-9, 4) AS expected_share,
+       round((SELECT sum((share - expected_share) * (share - expected_share)
+                         / expected_share * tot) FROM s) + 1e-9, 2) AS chi2
+FROM s
+"""
+
+
+QUERIES.append(Q("q174_benford_audit", q174, Q174_ORACLE))

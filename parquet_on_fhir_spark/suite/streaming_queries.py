@@ -394,3 +394,50 @@ WHERE rn = 1 AND event_type <> 'error'
 
 
 QUERIES.append(Q("q164_stream_cdc_apply", q164, Q164_ORACLE))
+
+
+# --- Q171: streaming OHLC (event-time window candles on a real stream) ---------------
+# The streaming form of q152: per-user hourly candles computed by a
+# watermarked window aggregate over a real file stream — min_by/max_by
+# fold map-side per micro-batch exactly as in batch, so a Kafka
+# deployment gets candle updates per trigger with bounded state.
+def q171(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+    res = run_to_memory(agg, "complete")
+    return res.select(
+        ts_str(F.col("window.start"), WINDOW_FMT_SPARK).alias("window_start"),
+        "user_id",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    )
+
+
+Q171_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{WINDOW_FMT_DUCK}') AS window_start,
+       user_id,
+       arg_min(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES.append(Q("q171_stream_ohlc", q171, Q171_ORACLE))

@@ -365,3 +365,61 @@ def test_welch_t_matches_closed_form(spark):
     assert math.isclose(r.t_stat, t, rel_tol=1e-9)
     assert math.isclose(r.dof, dof, rel_tol=1e-9)
     assert (r.n_a, r.n_b) == (80, 50)
+
+
+def test_concentration_report_extremes(spark):
+    from parquet_on_fhir_spark.operators.analytics import concentration_report
+
+    # perfectly equal: gini ~ 0, hhi = 1/n, effective = n
+    eq = spark.createDataFrame([(f"g{i}",) for i in range(4) for _ in range(5)], "g string")
+    (r,) = concentration_report(eq, "g").collect()
+    assert r.n_groups == 4 and abs(r.gini) < 1e-9
+    assert abs(r.hhi - 0.25) < 1e-9 and abs(r.effective_groups - 4) < 1e-9
+    assert abs(r.top_share - 0.25) < 1e-9
+    # one dominant group
+    skew = spark.createDataFrame(
+        [("big",)] * 97 + [("a",), ("b",), ("c",)], "g string"
+    )
+    (rs,) = concentration_report(skew, "g").collect()
+    assert rs.top_share == 0.97 and rs.gini > 0.7 and rs.hhi > 0.9
+
+
+def test_concentration_weighted_matches_expanded(spark):
+    from parquet_on_fhir_spark.operators.analytics import concentration_report
+
+    w = spark.createDataFrame([("a", 3.0), ("b", 1.0)], "g string, wt double")
+    exp = spark.createDataFrame([("a",)] * 3 + [("b",)], "g string")
+    (rw,) = concentration_report(w, "g", "wt").collect()
+    (re_,) = concentration_report(exp, "g").collect()
+    assert abs(rw.gini - re_.gini) < 1e-12 and abs(rw.hhi - re_.hhi) < 1e-12
+
+
+def test_zipf_slope_power_law_recovered(spark):
+    from parquet_on_fhir_spark.operators.analytics import zipf_slope
+
+    # construct a corpus whose counts follow f(r) = 1024 / r exactly
+    words = []
+    for r in range(1, 33):
+        words += [f"w{r:02d}"] * (1024 // r)
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    (z,) = zipf_slope(df, "text", min_count=1).collect()
+    assert abs(z.slope - (-1.0)) < 0.02  # integer truncation wiggle
+    assert z.n_types == 32
+
+
+def test_benford_digits_and_chi2(spark):
+    import math
+
+    from parquet_on_fhir_spark.operators.analytics import benford_deviation
+
+    # values engineered to known leading digits, incl. <1 and negatives
+    vals = [1.0, 12.0, 0.19, -150.0, 2.0, 25.0, 3.3, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r.digit: r for r in benford_deviation(df, "v").collect()}
+    assert {d: rows[d].n for d in rows} == {1: 4, 2: 2, 3: 1}
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-12
+    for d, r in rows.items():
+        assert abs(r.expected_share - math.log10(1 + 1 / d)) < 1e-12
+    chi2 = {r.chi2 for r in rows.values()}
+    assert len(chi2) == 1 and chi2.pop() > 0
