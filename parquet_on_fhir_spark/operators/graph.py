@@ -450,3 +450,72 @@ def k_core(
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def hierarchy_rollup(
+    nodes: DataFrame,
+    id_col: str,
+    parent_col: str,
+    value_col: str,
+    max_depth: int = 20,
+) -> DataFrame:
+    """Roll a value up a parent hierarchy (BOM cost rollup, org-chart
+    headcount): every node receives the SUM of its own value and all
+    descendants' values.
+
+    Iterative ancestor expansion: start from (node, ancestor=node),
+    join the frontier's topmost ancestor to its parent each round, and
+    accumulate (node, ancestor) pairs — ``log``-free but bounded by the
+    hierarchy DEPTH in rounds, each one equi-join of the frontier on
+    the parent key + a union. Spark has no recursive CTE; this is the
+    standard unrolling, with lineage truncation per round and a
+    RuntimeError past ``max_depth`` (a parent cycle would otherwise
+    loop forever — depth overrun is a data bug worth failing loudly
+    on). The final rollup is one (ancestor ← pairs ⋈ values) aggregate.
+
+    Output: (node, total) — total includes the node itself.
+    """
+    ids = nodes.select(
+        F.col(id_col).alias("node"), F.col(parent_col).alias("parent")
+    )
+    vals = nodes.select(
+        F.col(id_col).alias("vnode"), F.col(value_col).alias("__v")
+    )
+    pairs = ids.select(F.col("node"), F.col("node").alias("anc"))
+    frontier = ids.select("node", F.col("parent").alias("anc")).filter(
+        F.col("anc").isNotNull() & (F.col("anc") != F.col("node"))
+    )
+    depth = 0
+    while True:
+        n = frontier.count()
+        if n == 0:
+            break
+        depth += 1
+        if depth > max_depth:
+            raise RuntimeError(
+                f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+            )
+        pairs = _truncate_lineage(pairs.unionAll(frontier))
+        step = ids.select(
+            F.col("node").alias("anc"), F.col("parent").alias("next_anc")
+        )
+        nxt = _truncate_lineage(
+            frontier.join(step, "anc")
+            .select("node", F.col("next_anc").alias("anc"))
+            .filter(F.col("anc").isNotNull())
+            .distinct()
+        )
+        # a chain returning to its own node IS a cycle — raise, don't
+        # silently converge with a half-rolled-up result
+        if nxt.filter(F.col("anc") == F.col("node")).count() > 0:
+            raise RuntimeError(
+                "parent cycle detected during hierarchy_rollup "
+                f"(round {depth}) — max_depth={max_depth}"
+            )
+        frontier = nxt
+    return (
+        pairs.join(vals, pairs["node"] == vals["vnode"])
+        .groupBy("anc")
+        .agg(F.sum("__v").alias("total"))
+        .select(F.col("anc").alias("node"), "total")
+    )

@@ -436,3 +436,39 @@ def time_weighted_avg(
             ).alias("twa")
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    lags: list[int] | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sample autocorrelation at observation lags — the seasonality /
+    persistence fingerprint of a series (an ACF spike at lag 24 on an
+    hourly series IS the daily cycle). Lag is in OBSERVATIONS along the
+    key's time order, the plain statistical ACF convention.
+
+    One window shuffle builds every lagged column in the same pass
+    (shared partitioning); each lag then folds through corr() in ONE
+    aggregate — k lags cost one shuffle + one agg, not k jobs. Keys
+    with fewer than lag+2 points yield NULL for that lag.
+
+    Output: *keys, then acf_<lag> per requested lag.
+    """
+    ls = lags or [1, 2, 3]
+    order = [ts_col, *(tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    with_lags = df
+    for lag in ls:
+        with_lags = with_lags.withColumn(
+            f"__lag{lag}", F.lag(F.col(value_col), lag).over(w)
+        )
+    return with_lags.groupBy(*key_cols).agg(
+        *[
+            F.corr(F.col(value_col), F.col(f"__lag{lag}")).alias(f"acf_{lag}")
+            for lag in ls
+        ]
+    )

@@ -3116,3 +3116,86 @@ FROM s
 
 
 QUERIES.append(Q("q174_benford_audit", q174, Q174_ORACLE))
+
+
+# --- Q175: hierarchical rollup (recursive-CTE oracle vs iterative joins) -----------
+def q175(spark, sf_dir):
+    """BOM-style cost rollup over a synthetic part hierarchy
+    (parent = partkey div 10; depth ~4 at any SF):
+    operators/graph.py::hierarchy_rollup unrolls the ancestor closure
+    with one frontier join per LEVEL — Spark's recursive-CTE stand-in —
+    while the oracle uses DuckDB's real WITH RECURSIVE."""
+    from parquet_on_fhir_spark.operators.graph import hierarchy_rollup
+
+    p = t(spark, sf_dir, "part")
+    nodes = p.select(
+        F.col("p_partkey").alias("id"),
+        F.when(
+            F.col("p_partkey") >= 10, F.floor(F.col("p_partkey") / 10)
+        ).alias("parent"),
+        F.col("p_retailprice").alias("v"),
+    )
+    out = hierarchy_rollup(nodes, "id", "parent", "v")
+    return out.select("node", d2(F.col("total")).alias("total"))
+
+
+Q175_ORACLE = """
+WITH RECURSIVE nodes AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent,
+         p_retailprice AS v
+  FROM part
+),
+pairs AS (
+  SELECT node, node AS anc FROM nodes
+  UNION ALL
+  SELECT pr.node, n.parent AS anc
+  FROM pairs pr JOIN nodes n ON pr.anc = n.node
+  WHERE n.parent IS NOT NULL
+)
+SELECT anc AS node, round(sum(v), 2) AS total
+FROM pairs JOIN nodes USING (node)
+GROUP BY anc
+"""
+
+
+QUERIES.append(Q("q175_hierarchy_rollup", q175, Q175_ORACLE))
+
+
+# --- Q176: autocorrelation function (per-series ACF at several lags) ---------------
+def q176(spark, sf_dir):
+    """Per-user ACF of event values at lags 1-3
+    (operators/timeseries.py::autocorrelation) — one shared window
+    shuffle builds all lags, one aggregate folds the correlations."""
+    from parquet_on_fhir_spark.operators.timeseries import autocorrelation
+
+    e = t(spark, sf_dir, "events")
+    out = autocorrelation(
+        e, "ts", ["user_id"], "value", lags=[1, 2, 3], tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        d4(F.col("acf_1")).alias("acf_1"),
+        d4(F.col("acf_2")).alias("acf_2"),
+        d4(F.col("acf_3")).alias("acf_3"),
+    )
+
+
+Q176_ORACLE = """
+WITH l AS (
+  SELECT user_id, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       round(corr(value, l1) + 1e-9, 4) + 0.0 AS acf_1,
+       round(corr(value, l2) + 1e-9, 4) + 0.0 AS acf_2,
+       round(corr(value, l3) + 1e-9, 4) + 0.0 AS acf_3
+FROM l GROUP BY user_id
+"""
+
+
+QUERIES.append(Q("q176_autocorrelation", q176, Q176_ORACLE))

@@ -384,3 +384,35 @@ def test_k_core_matches_bruteforce_random(spark):
         expected = peel(edges, k)
         got = {r.node: r.degree for r in k_core(df, k).collect()}
         assert got == expected, f"k={k}"
+
+
+def test_hierarchy_rollup_tree(spark):
+    from parquet_on_fhir_spark.operators.graph import hierarchy_rollup
+
+    #      1
+    #     / \
+    #    2   3
+    #   / \
+    #  4   5     and an isolated root 9
+    rows = [
+        (1, None, 1.0),
+        (2, 1, 2.0),
+        (3, 1, 3.0),
+        (4, 2, 4.0),
+        (5, 2, 5.0),
+        (9, None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, parent int, v double")
+    got = {r.node: r.total for r in hierarchy_rollup(df, "id", "parent", "v").collect()}
+    assert got == {1: 15.0, 2: 11.0, 3: 3.0, 4: 4.0, 5: 5.0, 9: 9.0}
+
+
+def test_hierarchy_rollup_cycle_raises(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.graph import hierarchy_rollup
+
+    rows = [(1, 2, 1.0), (2, 1, 1.0)]
+    df = spark.createDataFrame(rows, "id int, parent int, v double")
+    with pytest.raises(RuntimeError, match="cycle"):
+        hierarchy_rollup(df, "id", "parent", "v", max_depth=5)

@@ -214,3 +214,29 @@ def test_scd2_matches_python_reference_random(spark):
         assert [(a, vf, vt) for a, vf, vt, _ in got[k]] == expected[k]
         assert [c for *_, c in got[k]] == [False] * (len(got[k]) - 1) + [True]
     assert set(got) == set(expected)
+
+
+def test_autocorrelation_alternating_and_linear(spark):
+    from parquet_on_fhir_spark.operators.timeseries import autocorrelation
+
+    rows = []
+    for i in range(40):  # alternating: acf_1 = -1, acf_2 = +1
+        rows.append(("alt", datetime(2024, 1, 1, 0, i), i, 1.0 if i % 2 else -1.0))
+    for i in range(40):  # linear ramp: all lags ~ +1
+        rows.append(("lin", datetime(2024, 1, 1, 0, i), i, float(i)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
+    got = {
+        r.k: (r.acf_1, r.acf_2)
+        for r in autocorrelation(df, "ts", ["k"], "v", lags=[1, 2], tie_cols=["eid"]).collect()
+    }
+    assert abs(got["alt"][0] + 1.0) < 1e-9 and abs(got["alt"][1] - 1.0) < 1e-9
+    assert got["lin"][0] > 0.999 and got["lin"][1] > 0.999
+
+
+def test_autocorrelation_short_series_null(spark):
+    from parquet_on_fhir_spark.operators.timeseries import autocorrelation
+
+    rows = [("s", datetime(2024, 1, 1, 0, 0), 1, 1.0), ("s", datetime(2024, 1, 1, 0, 1), 2, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
+    (r,) = autocorrelation(df, "ts", ["k"], "v", lags=[3], tie_cols=["eid"]).collect()
+    assert r.acf_3 is None
