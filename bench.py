@@ -58,6 +58,10 @@ HEADLINE = [
     "q113_duplicate_spans",            # span-level exact-substring dedup
     "q114_bm25",                       # BM25 retrieval (explode + idf join)
     "q120_incremental_dedup",          # cross-set LSH vs kept corpus
+    # round-6 mid-round additions (new lines, not regressions):
+    "q151_scd2_dimension",             # change-log collapse, single window shuffle
+    "q152_ohlc_bars",                  # candle downsample, single hash agg
+    "q154_rolling_time_range",         # value-based RANGE frame
 ]
 
 
