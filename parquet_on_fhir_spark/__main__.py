@@ -327,8 +327,11 @@ def main(argv: list[str] | None = None) -> int:
             from parquet_on_fhir_spark.operators.dedup import exact_dedup
 
             out = exact_dedup(df, args.text_col, args.id_col)
-        before, after = df.count(), out.count()
+        before = df.count()
         out.write.mode("overwrite").parquet(args.output)
+        # count the WRITTEN files: counting `out` first would execute the
+        # whole LSH/CC pipeline twice
+        after = spark.read.parquet(args.output).count()
         print(f"kept {after}/{before} rows -> {args.output}")
         return 0
 

@@ -282,8 +282,10 @@ def numeric_histogram(
     a pure map expression — feeding a hash aggregate with bin
     cardinality keys; the dense bin grid is a per-group ``sequence``
     explode joined LEFT against the counts, all broadcast-size.
-    Values exactly at ``hi`` fold into the last bin (width_bucket's
-    overflow bin is merged, the usual histogram convention).
+    With explicit bounds, out-of-range values clamp symmetrically:
+    values ≥ ``hi`` fold into the last bin and values < ``lo`` into
+    the first (clamping beats silently dropping rows — bin totals
+    always add up to the non-NULL row count); NULLs are excluded.
     """
     keys = key_cols or []
     if lo is None or hi is None:
@@ -296,11 +298,17 @@ def numeric_histogram(
         src = df.withColumn("__lo", F.lit(float(lo))).withColumn(
             "__hi", F.lit(float(hi))
         )
-    bucket = F.least(
-        F.width_bucket(
-            F.col(value_col).cast("double"), F.col("__lo"), F.col("__hi"), F.lit(bins)
+    bucket = F.greatest(
+        F.least(
+            F.width_bucket(
+                F.col(value_col).cast("double"),
+                F.col("__lo"),
+                F.col("__hi"),
+                F.lit(bins),
+            ),
+            F.lit(bins),
         ),
-        F.lit(bins),
+        F.lit(1),
     )
     counts = (
         src.filter(F.col(value_col).isNotNull())
@@ -499,11 +507,15 @@ def quantile_bin(
     )
     # bin = 1 + number of interior boundaries strictly below the value
     # (boundary values fall in the LOWER bin — deterministic under ties)
-    bin_expr = F.lit(1) + F.aggregate(
-        F.col("__cuts"),
-        F.lit(0),
-        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
-    )
+    bin_expr = F.when(
+        F.col(value_col).isNotNull(),
+        F.lit(1)
+        + F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
+        ),
+    )  # NULL value -> NULL bin (not a silent bottom-bin assignment)
     return (
         df.crossJoin(F.broadcast(b))
         .withColumn(name, bin_expr)

@@ -309,6 +309,31 @@ def pagerank(
     return ranks
 
 
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Dedup a (possibly directed, duplicated) edge list to canonical
+    undirected pairs (a < b), dropping self-loops and NULL endpoints;
+    lineage-truncated because every caller references it repeatedly."""
+    return _truncate_lineage(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+
+
+def _undirected_degrees(und: DataFrame) -> DataFrame:
+    """(n, d) degree table of a canonical undirected edge list."""
+    return (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -337,21 +362,8 @@ def triangle_count(
 
     Output: (node, n_triangles) for every node with ≥1 triangle.
     """
-    und = _truncate_lineage(
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )  # referenced 2x (degree agg + orientation): scan the input once
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
+    und = _canonical_undirected(edges, src, dst)
+    deg = _undirected_degrees(und)
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     keyed = und.join(da, "a").join(db, "b")
@@ -409,25 +421,12 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    e = _truncate_lineage(
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
+    e = _canonical_undirected(edges, src, dst)
     n_edges = e.count()
     for _ in range(max_iter):
         if n_edges == 0:
             break
-        deg = (
-            e.select(F.col("a").alias("n"))
-            .unionAll(e.select(F.col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count("*").alias("d"))
-        )
+        deg = _undirected_degrees(e)
         keep = deg.filter(F.col("d") >= k).select("n")
         e2 = _truncate_lineage(
             e.join(keep, e["a"] == keep["n"], "left_semi").join(
@@ -486,33 +485,38 @@ def hierarchy_rollup(
         F.col("anc").isNotNull() & (F.col("anc") != F.col("node"))
     )
     depth = 0
-    while True:
-        n = frontier.count()
-        if n == 0:
-            break
+    step = ids.select(
+        F.col("node").alias("anc"), F.col("parent").alias("next_anc")
+    )
+    # one driver action per round: (frontier size, self-cycle count) in
+    # a single aggregate — a separate cycle-check count would double the
+    # per-round job launches on exactly the deep hierarchies this targets
+    stat = frontier.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("anc") == F.col("node")).cast("int")).alias("cyc"),
+    ).collect()[0]
+    while stat["n"] and stat["n"] > 0:
+        if stat["cyc"]:
+            raise RuntimeError(
+                "parent cycle detected during hierarchy_rollup "
+                f"(round {depth}) — max_depth={max_depth}"
+            )
         depth += 1
         if depth > max_depth:
             raise RuntimeError(
                 f"hierarchy deeper than max_depth={max_depth} (cycle?)"
             )
         pairs = _truncate_lineage(pairs.unionAll(frontier))
-        step = ids.select(
-            F.col("node").alias("anc"), F.col("parent").alias("next_anc")
-        )
-        nxt = _truncate_lineage(
+        frontier = _truncate_lineage(
             frontier.join(step, "anc")
             .select("node", F.col("next_anc").alias("anc"))
             .filter(F.col("anc").isNotNull())
             .distinct()
         )
-        # a chain returning to its own node IS a cycle — raise, don't
-        # silently converge with a half-rolled-up result
-        if nxt.filter(F.col("anc") == F.col("node")).count() > 0:
-            raise RuntimeError(
-                "parent cycle detected during hierarchy_rollup "
-                f"(round {depth}) — max_depth={max_depth}"
-            )
-        frontier = nxt
+        stat = frontier.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("anc") == F.col("node")).cast("int")).alias("cyc"),
+        ).collect()[0]
     return (
         pairs.join(vals, pairs["node"] == vals["vnode"])
         .groupBy("anc")

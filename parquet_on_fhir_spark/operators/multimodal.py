@@ -102,7 +102,13 @@ def best_codec() -> FeatureCodec:
     ``numpy_features`` — the built-in numpy decoder handles uncompressed
     BMP/PPM for real (and itself falls back to the deterministic
     stand-in for payloads it cannot parse), so pipelines opt into the
-    best available decode without caring about the environment."""
+    best available decode without caring about the environment.
+
+    MIXED-FORMAT CAVEAT: the numpy tier emits 66-dim vectors for
+    decodable payloads and 5-dim stand-ins for the rest, so a corpus
+    mixing formats yields a ragged feature column. Fixed-width
+    consumers (cosine/PCA/covariance) must partition by kind/mime
+    first, or pin a single codec explicitly."""
     return decode_real if codec_available("image") else numpy_features
 
 

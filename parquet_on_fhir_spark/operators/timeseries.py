@@ -342,13 +342,12 @@ def scd2(
     versions = df.withColumn("__chg", F.coalesce(changed, F.lit(True))).filter(
         F.col("__chg")
     )
-    wv = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         versions.select(
             *key_cols,
             *attr_cols,
             F.col(ts_col).alias("valid_from"),
-            F.lead(F.col(ts_col)).over(wv).alias("valid_to"),
+            F.lead(F.col(ts_col)).over(w).alias("valid_to"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )

@@ -50,12 +50,20 @@ def apply_cdc_batch(
     keys: list[str],
     seq_col: str,
     delete_col: str | None = None,
+    keep_versions: int = 2,
 ) -> None:
     """One merge round: fold the batch, anti-join the current version on
     the batch's keys, append the surviving upserts, publish as
     ``v=<batch_id>``. Idempotent under foreachBatch retries — a replayed
     batch_id rewrites ITS OWN version directory and re-flips the pointer
-    to the same content."""
+    to the same content.
+
+    Retention: after the pointer flip, version directories older than
+    the newest ``keep_versions`` are deleted — without this a
+    long-running stream accumulates one full table copy per batch.
+    ``keep_versions >= 2`` leaves a grace window for readers that
+    resolved the pointer just before the flip; pass ``None`` to keep
+    every version (time-travel debugging)."""
     spark = batch_df.sparkSession
     from pyspark.sql import functions as F
 
@@ -78,6 +86,16 @@ def apply_cdc_batch(
     with open(tmp, "w") as fh:
         fh.write(f"v={batch_id}")
     os.replace(tmp, _pointer_path(target_dir))  # atomic pointer flip
+    if keep_versions is not None:
+        import shutil
+
+        versions = sorted(
+            (int(d.split("=", 1)[1]), d)
+            for d in os.listdir(target_dir)
+            if d.startswith("v=")
+        )
+        for _, stale in versions[:-keep_versions]:
+            shutil.rmtree(os.path.join(target_dir, stale), ignore_errors=True)
 
 
 def stream_apply_cdc(
@@ -87,6 +105,7 @@ def stream_apply_cdc(
     seq_col: str,
     delete_col: str | None = None,
     checkpoint_dir: str | None = None,
+    keep_versions: int = 2,
 ) -> None:
     """Run a change stream to completion (AvailableNow) through the CDC
     merge loop. ``changes`` is any streaming DataFrame whose rows are
@@ -100,7 +119,10 @@ def stream_apply_cdc(
     ck = checkpoint_dir or tempfile.mkdtemp(prefix="pofs_cdc_ck_")
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        apply_cdc_batch(batch_df, batch_id, target_dir, keys, seq_col, delete_col)
+        apply_cdc_batch(
+            batch_df, batch_id, target_dir, keys, seq_col, delete_col,
+            keep_versions=keep_versions,
+        )
 
     q = (
         changes.writeStream.foreachBatch(body)

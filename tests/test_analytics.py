@@ -423,3 +423,21 @@ def test_benford_digits_and_chi2(spark):
         assert abs(r.expected_share - math.log10(1 + 1 / d)) < 1e-12
     chi2 = {r.chi2 for r in rows.values()}
     assert len(chi2) == 1 and chi2.pop() > 0
+
+
+def test_numeric_histogram_clamps_out_of_range_symmetrically(spark):
+    from parquet_on_fhir_spark.operators.analytics import numeric_histogram
+
+    df = spark.createDataFrame([(5.0,), (12.0,), (25.0,)], "v double")
+    out = {r.bin: r.n for r in numeric_histogram(df, "v", bins=2, lo=10.0, hi=20.0).collect()}
+    # underflow 5.0 -> bin 1, overflow 25.0 -> bin 2: totals add up
+    assert out == {1: 2, 2: 1}
+
+
+def test_quantile_bin_null_propagates(spark):
+    from parquet_on_fhir_spark.operators.analytics import quantile_bin
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "v double")
+    rows = {r.v: r.v_qbin for r in quantile_bin(df, "v", bins=2).collect()}
+    assert rows[None] is None  # not silently bottom-binned
+    assert rows[1.0] == 1 and rows[4.0] == 2

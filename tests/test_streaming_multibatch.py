@@ -339,3 +339,27 @@ def test_cdc_batch_replay_is_idempotent(spark):
         assert again == first
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+def test_cdc_retention_prunes_old_versions(spark):
+    import os
+    import shutil
+
+    from parquet_on_fhir_spark.streaming.cdc import (
+        apply_cdc_batch,
+        read_cdc_table,
+    )
+
+    target = tempfile.mkdtemp(prefix="pofs_cdc_target_")
+    try:
+        for bid in range(4):
+            b = spark.createDataFrame(
+                [(1, bid, f"v{bid}", False)], "k int, seq int, v string, del boolean"
+            )
+            apply_cdc_batch(b, bid, target, ["k"], "seq", "del", keep_versions=2)
+        versions = sorted(d for d in os.listdir(target) if d.startswith("v="))
+        assert versions == ["v=2", "v=3"]  # older copies pruned
+        (row,) = read_cdc_table(spark, target).collect()
+        assert row.v == "v3"
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
