@@ -3199,3 +3199,68 @@ FROM l GROUP BY user_id
 
 
 QUERIES.append(Q("q176_autocorrelation", q176, Q176_ORACLE))
+
+
+# --- Q177: gaps-and-islands (longest consecutive-day streak per user) --------------
+def q177(spark, sf_dir):
+    """Longest run of consecutive active DAYS per user — the
+    gaps-and-islands pattern: distinct day minus its per-user dense rank
+    is constant within an island, so islands fall out of one groupBy
+    with no self-join or iteration. Two shared-partitioning window/agg
+    steps on a per-(user, day) frame (already aggregated: shuffle rows
+    = active days, not events)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "__island", F.datediff(F.col("d"), F.lit("1970-01-01")) - F.row_number().over(w)
+    )
+    runs = islands.groupBy("user_id", "__island").agg(
+        F.count("*").alias("len"),
+        F.min("d").alias("start"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start")
+    )
+    return (
+        runs.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            F.col("start").cast("string").alias("streak_start"),
+        )
+    )
+
+
+Q177_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, count(*) AS len, min(d) AS start
+  FROM islands GROUP BY user_id, island
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY len DESC, start ASC) AS rn
+  FROM runs
+)
+SELECT user_id, len AS longest_streak_days,
+       strftime(start, '%Y-%m-%d') AS streak_start
+FROM best WHERE rn = 1
+"""
+
+
+QUERIES.append(Q("q177_longest_streak", q177, Q177_ORACLE))
