@@ -685,3 +685,103 @@ def temperature_mixture(
     return df.join(F.broadcast(rates), key_col).filter(draw < F.col("_rate")).drop(
         "_rate"
     )
+
+
+def soft_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Duplicate-aware DOWN-WEIGHTING instead of deletion: a document
+    with n exact copies survives with probability 1/n, so the expected
+    surviving count per distinct text is exactly 1 while WHICH copy
+    survives stays randomized across the corpus — the softer
+    alternative to hard dedup when duplication frequency itself is a
+    (weak) quality signal the mixture should not fully erase.
+
+    One hash aggregate on sha-of-text for copy counts (text itself is
+    never shuffled — same discipline as exact_dedup), joined back on
+    the digest, then a deterministic per-(seed, id) U[0,1) draw cut at
+    1/n. Layout-independent and restatable in SQL (md5_60 family).
+
+    Output: the surviving rows of ``df`` plus ``n_copies``.
+    """
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    digest = F.sha2(F.col(text_col), 256)
+    counts = (
+        df.select(digest.alias("__dg"))
+        .groupBy("__dg")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    keyed = df.withColumn("__dg", digest).join(counts, "__dg")
+    draw = md5_60(
+        F.concat_ws(":", F.lit(f"soft{seed}"), F.col(id_col).cast("string"))
+    ) / F.lit(float(_HASH_SPACE))
+    return keyed.filter(draw < 1.0 / F.col("n_copies")).drop("__dg")
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """PMI-ranked adjacent-bigram collocations — phrase-vocabulary
+    induction (the statistical step under phrase-aware tokenizers):
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over adjacent token pairs,
+    thresholded to ``min_count`` occurrences (PMI of rare pairs is
+    noise by construction).
+
+    One explode for unigram counts, one for adjacent bigrams (n−1
+    pairs per doc — linear, not the quadratic all-pairs co-occurrence),
+    two broadcast joins of the unigram table onto the bigram table,
+    top-k by (PMI, pair). The corpus is scanned twice, shuffled only
+    at vocabulary cardinality.
+
+    Output: (w1, w2, n_pair, pmi, rank) — rank 1..k by PMI desc.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    words = df.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+    uni = words.groupBy("w").agg(F.count("*").alias("nw"))
+    n_tokens = uni.agg(F.sum("nw").alias("nt"))
+    pairs = (
+        df.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    n_pairs = bi.agg(F.sum("n_pair").alias("np"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("nw").alias("n2"))
+    scored = (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_pairs))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("n_pair") / F.col("np"))
+                / ((F.col("n1") / F.col("nt")) * (F.col("n2") / F.col("nt")))
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("w1", "w2", "n_pair", "pmi", "rank")
+    )

@@ -1907,3 +1907,84 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q163_multimodal_real_decode", q163, Q163_ORACLE))
+
+
+# --- Q178: duplicate-aware soft dedup (survive with probability 1/n) ----------------
+def q178(spark, sf_dir):
+    """operators/curation.py::soft_dedup over documents: each exact-copy
+    group survives with expectation 1 while the surviving COPY is
+    hash-randomized; the md5_60 draw makes the exact surviving set
+    restatable in SQL."""
+    from parquet_on_fhir_spark.operators.curation import soft_dedup
+
+    d = t(spark, sf_dir, "documents")
+    out = soft_dedup(d, "text", "doc_id", seed=0)
+    return out.select("doc_id", "n_copies")
+
+
+Q178_ORACLE = """
+WITH c AS (
+  SELECT md5(text) AS dg, count(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+)
+SELECT doc_id, n_copies
+FROM documents JOIN c ON md5(text) = c.dg
+WHERE CAST('0x' || substr(md5('soft0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) / CAST(1152921504606846976 AS DOUBLE)
+      < 1.0 / n_copies
+"""
+
+
+QUERIES.append(Q("q178_soft_dedup", q178, Q178_ORACLE))
+
+
+# --- Q179: PMI collocations (phrase-vocabulary induction) ---------------------------
+def q179(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by pointwise mutual
+    information (operators/curation.py::collocations) — linear bigram
+    explode, vocabulary-sized shuffles, broadcast unigram joins."""
+    from parquet_on_fhir_spark.operators.curation import collocations
+
+    d = t(spark, sf_dir, "documents")
+    out = collocations(d, "text", min_count=5, k=50)
+    return out.select("w1", "w2", "n_pair", d4(F.col("pmi")).alias("pmi"), "rank")
+
+
+Q179_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS nw FROM (
+    SELECT unnest(ts) AS w FROM toks
+  ) WHERE w <> '' GROUP BY w
+),
+nt AS (SELECT sum(nw) AS n_tokens FROM uni),
+bi AS (
+  SELECT w1, w2, count(*) AS n_pair FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, unnest(range(1, len(ts))) AS r(i)
+  ) WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2
+),
+np AS (SELECT sum(n_pair) AS n_pairs FROM bi),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.n_pair,
+         ln((bi.n_pair / np.n_pairs)
+            / ((u1.nw / CAST(nt.n_tokens AS DOUBLE))
+               * (u2.nw / CAST(nt.n_tokens AS DOUBLE)))) AS pmi
+  FROM bi
+  JOIN uni u1 ON bi.w1 = u1.w
+  JOIN uni u2 ON bi.w2 = u2.w
+  CROSS JOIN nt CROSS JOIN np
+  WHERE bi.n_pair >= 5
+)
+SELECT w1, w2, n_pair, round(pmi + 1e-9, 4) + 0.0 AS pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= 50
+"""
+
+
+QUERIES.append(Q("q179_pmi_collocations", q179, Q179_ORACLE))

@@ -553,3 +553,39 @@ def test_contamination_report_counts(spark):
     assert got[(1, 100)] == 2
     assert got[(3, 100)] == 1
     assert (2, 100) not in got
+
+
+def test_soft_dedup_singletons_always_survive(spark):
+    from parquet_on_fhir_spark.operators.curation import soft_dedup
+
+    rows = [(i, f"unique text {i}") for i in range(20)]
+    rows += [(100 + i, "copied text") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = soft_dedup(df, "text", "doc_id").collect()
+    ids = {r.doc_id for r in out}
+    # every singleton survives (draw < 1/1 is always true)
+    assert set(range(20)) <= ids
+    n_copies = {r.doc_id: r.n_copies for r in out}
+    assert all(n_copies[i] == 1 for i in range(20))
+    # the 10-copy group thins out but reports its multiplicity
+    dup_survivors = [i for i in ids if i >= 100]
+    assert len(dup_survivors) < 10
+    assert all(n_copies[i] == 10 for i in dup_survivors)
+    # deterministic: same seed, same survivors
+    again = {r.doc_id for r in soft_dedup(df, "text", "doc_id").collect()}
+    assert again == ids
+
+
+def test_collocations_finds_planted_phrase(spark):
+    from parquet_on_fhir_spark.operators.curation import collocations
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(i, f"{filler} new york {filler}") for i in range(10)]
+    docs += [(100 + i, filler) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = collocations(df, "text", min_count=5, k=10).collect()
+    top = [(r.w1, r.w2) for r in out]
+    # 'new york' always adjacent and rare -> top PMI
+    assert top[0] == ("new", "york")
+    ny = out[0]
+    assert ny.n_pair == 10 and ny.pmi > 0
