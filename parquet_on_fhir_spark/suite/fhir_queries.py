@@ -871,3 +871,64 @@ SELECT cand_id, matched_id, distance FROM best WHERE rn = 1
 
 
 QUERIES.append(Q("qf18_patient_linkage", qf18, QF18_ORACLE))
+
+
+# --- component pivot: blood pressure systolic/diastolic -----------------------------
+def qf19(spark, sf_dir):
+    """Flatten Observation.component to one (patient, systolic,
+    diastolic) row per blood-pressure panel — THE SQL-on-FHIR demo
+    query. Array filter by LOINC code picks each component (a pure map
+    over the component list, no explode/regroup round trip), and the
+    numeric comes from the format's OWN decimal annotation
+    (``__value_numeric``, /root/reference/README.md:343-363) rather
+    than a lossy string cast."""
+    utc(spark)
+    o = utc(spark).read.parquet(OBSERVATION)
+
+    def comp_value(code):
+        hit = F.filter(
+            F.col("component"),
+            lambda c: c["code"]["coding"][0]["code"] == code,
+        )
+        # try_element_at: observations lacking this component yield NULL
+        # instead of an ANSI index error on the empty filtered array
+        return (
+            F.try_element_at(hit, F.lit(1))["valueQuantity"]["__value_numeric"]
+            .cast("double")
+        )
+
+    return (
+        o.filter(F.col("component").isNotNull())
+        .select(
+            F.col("id"),
+            F.regexp_replace(F.col("subject.reference"), "^Patient/", "").alias(
+                "patient_id"
+            ),
+            comp_value("8480-6").alias("systolic"),
+            comp_value("8462-4").alias("diastolic"),
+        )
+        .filter(F.col("systolic").isNotNull() & F.col("diastolic").isNotNull())
+    )
+
+
+QF19_ORACLE = f"""
+WITH bp AS (
+  SELECT id,
+         regexp_replace(subject.reference, '^Patient/', '') AS patient_id,
+         list_filter(component,
+                     c -> c.code.coding[1].code = '8480-6') AS sys_c,
+         list_filter(component,
+                     c -> c.code.coding[1].code = '8462-4') AS dia_c
+  FROM read_parquet('{OBSERVATION}')
+  WHERE component IS NOT NULL
+)
+SELECT id, patient_id,
+       CAST(sys_c[1].valueQuantity.__value_numeric AS DOUBLE) AS systolic,
+       CAST(dia_c[1].valueQuantity.__value_numeric AS DOUBLE) AS diastolic
+FROM bp
+WHERE sys_c[1].valueQuantity.__value_numeric IS NOT NULL
+  AND dia_c[1].valueQuantity.__value_numeric IS NOT NULL
+"""
+
+
+QUERIES.append(Q("qf19_bp_component_pivot", qf19, QF19_ORACLE))
