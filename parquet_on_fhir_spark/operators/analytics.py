@@ -833,3 +833,86 @@ def benford_deviation(
     return with_share.select(
         "digit", "n", "share", "expected_share", chi2.alias("chi2")
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps: list[float],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted lower percentiles: for each p, the smallest value whose
+    cumulative weight reaches p·total — duration-weighted latency
+    percentiles, size-weighted document cuts ("what length covers 95%
+    of tokens"), anywhere rows are not equally important.
+
+    One window shuffle per key (running weight over the value order,
+    ties broken by value only — equal values share a cumulative rank)
+    feeding a conditional min per p in ONE aggregate. The lower-value
+    convention (no interpolation) is exact, deterministic, and
+    restatable; zero/negative weights are rejected up front.
+
+    Output: *keys, p_<percent> per requested p.
+    """
+    from pyspark.sql import Window
+
+    keys = key_cols or []
+    bad = df.filter(F.col(weight_col) <= 0).limit(1).count()
+    if bad:
+        raise ValueError("weighted_percentile requires strictly positive weights")
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = part.orderBy(F.col(value_col)).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = part.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum(weight_col).over(w)
+    tot = F.sum(weight_col).over(total)
+    ranked = df.withColumn("__cum", cum).withColumn("__tot", tot)
+    aggs = []
+    for p in ps:
+        name = f"p_{str(p).replace('.', '_')}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") >= p * F.col("__tot"), F.col(value_col)
+                )
+            ).alias(name)
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def lorenz_points(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Lorenz/Pareto curve points: groups sorted by descending mass,
+    each with its share and CUMULATIVE share — "the top 3 sources are
+    71% of the corpus" as data, the drill-down companion to
+    :func:`concentration_report`'s single-row summary.
+
+    Group aggregate → one ordered window over the group-cardinality
+    frame. Output: (rank, group, mass, share, cum_share), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    totals = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(wcol).cast("double").alias("mass")
+    )
+    order = Window.orderBy(F.desc("mass"), F.asc("group"))
+    full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = Window.orderBy(F.desc("mass"), F.asc("group")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(order))
+        .withColumn("share", F.col("mass") / F.sum("mass").over(full))
+        .withColumn("cum_share", F.sum("mass").over(run) / F.sum("mass").over(full))
+        .filter(F.col("rank") <= k)
+        .select("rank", "group", "mass", "share", "cum_share")
+    )

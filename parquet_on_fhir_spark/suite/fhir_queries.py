@@ -19,7 +19,7 @@ from parquet_on_fhir_spark.fhir.encode import encode_ndjson
 from parquet_on_fhir_spark.fhir.merge import merge_tables
 from parquet_on_fhir_spark.fhir.validate import validate
 from parquet_on_fhir_spark.session import utc
-from parquet_on_fhir_spark.suite.common import Q, ts_str
+from parquet_on_fhir_spark.suite.common import Q, d4, ts_str
 
 PATIENT = "/root/reference/examples/Patient.parquet"
 OBSERVATION = "/root/reference/examples/Observation.parquet"
@@ -932,3 +932,56 @@ WHERE sys_c[1].valueQuantity.__value_numeric IS NOT NULL
 
 
 QUERIES.append(Q("qf19_bp_component_pivot", qf19, QF19_ORACLE))
+
+
+# --- robust lab-value outliers (FHIR × robust stats composition) --------------------
+def qf20(spark, sf_dir):
+    """Median/MAD modified z-scores of Observation quantities per LOINC
+    code — the FHIR composition of
+    operators/analytics.py::robust_outliers: values come from the
+    format's decimal annotation, groups are the code.coding codes, and
+    the masking-proof scoring flags implausible lab entries (unit
+    mix-ups, fat-fingered magnitudes) without a reference-range
+    table."""
+    from parquet_on_fhir_spark.operators.analytics import robust_outliers
+
+    o = utc(spark).read.parquet(OBSERVATION)
+    vals = o.select(
+        "id",
+        F.col("code.coding")[0]["code"].alias("code"),
+        F.col("valueQuantity.__value_numeric").cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    out = robust_outliers(vals, "v", ["code"], threshold=3.5)
+    return out.select(
+        "id",
+        "code",
+        d4(F.col("modified_z")).alias("modified_z"),
+        "is_outlier",
+    )
+
+
+QF20_ORACLE = f"""
+WITH vals AS (
+  SELECT id, code.coding[1].code AS code,
+         CAST(valueQuantity.__value_numeric AS DOUBLE) AS v
+  FROM read_parquet('{OBSERVATION}')
+  WHERE valueQuantity.__value_numeric IS NOT NULL
+),
+med AS (SELECT code, quantile_cont(v, 0.5) AS med FROM vals GROUP BY code),
+dev AS (
+  SELECT vals.*, med.med, abs(v - med.med) AS adev
+  FROM vals JOIN med USING (code)
+),
+mad AS (SELECT code, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY code)
+SELECT id, dev.code,
+       round(CASE WHEN mad.mad > 0
+             THEN 0.6745 * (v - dev.med) / mad.mad END + 1e-9, 4) + 0.0
+         AS modified_z,
+       COALESCE(CASE WHEN mad.mad > 0
+             THEN abs(0.6745 * (v - dev.med) / mad.mad) > 3.5 END, false)
+         AS is_outlier
+FROM dev JOIN mad USING (code)
+"""
+
+
+QUERIES.append(Q("qf20_lab_value_outliers", qf20, QF20_ORACLE))

@@ -3264,3 +3264,84 @@ FROM best WHERE rn = 1
 
 
 QUERIES.append(Q("q177_longest_streak", q177, Q177_ORACLE))
+
+
+# --- Q180: weighted percentiles (cumulative-weight cut, RANGE-tie exact) -----------
+def q180(spark, sf_dir):
+    """Quantity-weighted price percentiles per returnflag
+    (operators/analytics.py::weighted_percentile): the smallest price
+    whose cumulative quantity reaches p of the flag's total. The RANGE
+    cumulative frame makes equal prices share one cumulative rank, so
+    the cut is tie-order independent in both engines."""
+    from parquet_on_fhir_spark.operators.analytics import weighted_percentile
+
+    l = t(spark, sf_dir, "lineitem")
+    out = weighted_percentile(
+        l, "l_extendedprice", "l_quantity", [0.5, 0.9], ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        d2(F.col("p_0_5")).alias("wp50"),
+        d2(F.col("p_0_9")).alias("wp90"),
+    )
+
+
+Q180_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(CASE WHEN cum >= 0.5 * tot THEN l_extendedprice END), 2) AS wp50,
+       round(min(CASE WHEN cum >= 0.9 * tot THEN l_extendedprice END), 2) AS wp90
+FROM c GROUP BY l_returnflag
+"""
+
+
+QUERIES.append(Q("q180_weighted_percentile", q180, Q180_ORACLE))
+
+
+# --- Q181: Lorenz/Pareto curve points ----------------------------------------------
+def q181(spark, sf_dir):
+    """Top-10 sources by character mass with shares and cumulative
+    shares (operators/analytics.py::lorenz_points) — the drill-down
+    behind q172's Gini/HHI single-row summary."""
+    from parquet_on_fhir_spark.operators.analytics import lorenz_points
+
+    d = t(spark, sf_dir, "documents")
+    out = lorenz_points(d, "source", "n_chars", k=10)
+    return out.select(
+        "rank",
+        F.col("group").alias("source"),
+        d2(F.col("mass")).alias("mass"),
+        d4(F.col("share")).alias("share"),
+        d4(F.col("cum_share")).alias("cum_share"),
+    )
+
+
+Q181_ORACLE = """
+WITH totals AS (
+  SELECT source AS grp, CAST(sum(n_chars) AS DOUBLE) AS mass
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT grp, mass,
+         row_number() OVER (ORDER BY mass DESC, grp ASC) AS rank,
+         mass / sum(mass) OVER () AS share,
+         sum(mass) OVER (ORDER BY mass DESC, grp ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(mass) OVER () AS cum_share
+  FROM totals
+)
+SELECT rank, grp AS source, round(mass, 2) AS mass,
+       round(share + 1e-9, 4) AS share,
+       round(cum_share + 1e-9, 4) AS cum_share
+FROM r WHERE rank <= 10
+"""
+
+
+QUERIES.append(Q("q181_lorenz_points", q181, Q181_ORACLE))

@@ -441,3 +441,39 @@ def test_quantile_bin_null_propagates(spark):
     rows = {r.v: r.v_qbin for r in quantile_bin(df, "v", bins=2).collect()}
     assert rows[None] is None  # not silently bottom-binned
     assert rows[1.0] == 1 and rows[4.0] == 2
+
+
+def test_weighted_percentile_hand_case(spark):
+    from parquet_on_fhir_spark.operators.analytics import weighted_percentile
+
+    # values 1..4 with weights 1,1,1,7: p50 cut falls on value 4
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    (r,) = weighted_percentile(df, "v", "w", [0.5, 0.2]).collect()
+    assert r.p_0_5 == 4.0      # cum: 1,2,3,10; 0.5*10=5 first reached at 4
+    assert r.p_0_2 == 2.0      # 0.2*10=2 first reached at 2
+    # equal weights degenerate to the plain lower percentile
+    eq = spark.createDataFrame([(float(v), 1.0) for v in range(1, 11)], "v double, w double")
+    (re_,) = weighted_percentile(eq, "v", "w", [0.5]).collect()
+    assert re_.p_0_5 == 5.0
+
+
+def test_weighted_percentile_rejects_nonpositive(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import weighted_percentile
+
+    df = spark.createDataFrame([(1.0, 0.0)], "v double, w double")
+    with pytest.raises(ValueError, match="positive"):
+        weighted_percentile(df, "v", "w", [0.5])
+
+
+def test_lorenz_points_cumulative_shares(spark):
+    from parquet_on_fhir_spark.operators.analytics import lorenz_points
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "g string")
+    out = {r.rank: r for r in lorenz_points(df, "g", k=10).collect()}
+    assert (out[1].group, out[1].share, out[1].cum_share) == ("a", 0.5, 0.5)
+    assert (out[2].group, out[2].cum_share) == ("b", 0.8)
+    assert (out[3].group, out[3].cum_share) == ("c", 1.0)
