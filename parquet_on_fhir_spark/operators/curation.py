@@ -785,3 +785,44 @@ def collocations(
         .filter(F.col("rank") <= k)
         .select("w1", "w2", "n_pair", "pmi", "rank")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic anti-clumping curriculum order: documents are
+    dealt round-robin across sources (every source's k-th document
+    lands in the k-th block), with hash-shuffled order inside each
+    source — the "interleave the mixture" step before sequence packing
+    so a training stream never sees long single-source runs, without a
+    global random sort.
+
+    Two window passes over one shuffle keyed by source (per-source
+    hash rank), then the global position is (round, source-draw) —
+    sortable lazily downstream; no action here. Layout-independent:
+    position depends only on (seed, ids, sources).
+
+    Output: input columns + ``position`` (0-based global order).
+    """
+    from pyspark.sql import Window
+
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    draw = md5_60(
+        F.concat_ws(":", F.lit(f"il{seed}"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy(draw, F.col(id_col))
+    sdraw = md5_60(
+        F.concat_ws(":", F.lit(f"ils{seed}"), F.col(source_col).cast("string"))
+    )
+    ranked = df.withColumn("__round", F.row_number().over(w) - 1).withColumn(
+        "__sdraw", sdraw
+    )
+    pos = Window.orderBy("__round", "__sdraw", F.col(id_col))
+    return (
+        ranked.withColumn("position", F.row_number().over(pos) - 1)
+        .drop("__round", "__sdraw")
+    )

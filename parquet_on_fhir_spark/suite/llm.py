@@ -1988,3 +1988,40 @@ QUALIFY rank <= 50
 
 
 QUERIES.append(Q("q179_pmi_collocations", q179, Q179_ORACLE))
+
+
+# --- Q182: curriculum interleave (anti-clumping mixture order) -----------------------
+def q182(spark, sf_dir):
+    """operators/curation.py::interleave_sources over documents: global
+    training order where each round holds at most one document per
+    source — no long single-source runs. The md5_60 draws make the
+    exact order SQL-restatable."""
+    from parquet_on_fhir_spark.operators.curation import interleave_sources
+
+    d = t(spark, sf_dir, "documents")
+    out = interleave_sources(d, "source", "doc_id", seed=0)
+    return out.select("doc_id", "source", "position")
+
+
+Q182_ORACLE = """
+WITH drawn AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('il0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS draw,
+         CAST('0x' || substr(md5('ils0:' || source), 1, 15) AS BIGINT) AS sdraw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, sdraw,
+         row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) - 1
+           AS rnd
+  FROM drawn
+)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY rnd, sdraw, doc_id) - 1 AS INT)
+         AS position
+FROM r
+"""
+
+
+QUERIES.append(Q("q182_curriculum_interleave", q182, Q182_ORACLE))

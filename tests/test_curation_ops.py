@@ -589,3 +589,27 @@ def test_collocations_finds_planted_phrase(spark):
     assert top[0] == ("new", "york")
     ny = out[0]
     assert ny.n_pair == 10 and ny.pmi > 0
+
+
+def test_interleave_sources_round_robin_blocks(spark):
+    from parquet_on_fhir_spark.operators.curation import interleave_sources
+
+    rows = [(s * 100 + i, f"s{s}") for s in range(3) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = sorted(
+        interleave_sources(df, "source", "doc_id").collect(),
+        key=lambda r: r.position,
+    )
+    assert [r.position for r in out] == list(range(12))
+    # equal-sized sources: every block of 3 holds all 3 sources
+    for b in range(4):
+        block = {r.source for r in out[b * 3 : (b + 1) * 3]}
+        assert block == {"s0", "s1", "s2"}, (b, block)
+    # deterministic
+    again = sorted(
+        interleave_sources(df, "source", "doc_id").collect(),
+        key=lambda r: r.position,
+    )
+    assert [(r.doc_id, r.position) for r in again] == [
+        (r.doc_id, r.position) for r in out
+    ]
