@@ -3345,3 +3345,95 @@ FROM r WHERE rank <= 10
 
 
 QUERIES.append(Q("q181_lorenz_points", q181, Q181_ORACLE))
+
+
+# --- Q183: per-series linear trend (slope of value over time) ----------------------
+def q183(spark, sf_dir):
+    """Per-user trend of event values over time: regr_slope/r2 against
+    the hour offset from the user's first event — mergeable moments, so
+    k series cost one hash aggregate (the drift detector for metrics
+    pipelines). Slope is per-hour (epoch seconds / 3600)."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    hours = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.min(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    ) / 3.6e9
+    return (
+        e.withColumn("__h", hours)
+        .groupBy("user_id")
+        .agg(
+            d4(F.regr_slope("value", "__h")).alias("slope_per_hour"),
+            d4(F.regr_r2("value", "__h")).alias("r2"),
+            F.regr_count("value", "__h").alias("n"),
+        )
+    )
+
+
+Q183_ORACLE = """
+WITH h AS (
+  SELECT user_id, value,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+           / 3.6e9 AS hh
+  FROM events
+)
+SELECT user_id,
+       round(regr_slope(value, hh) + 1e-9, 4) + 0.0 AS slope_per_hour,
+       round(regr_r2(value, hh) + 1e-9, 4) AS r2,
+       CAST(regr_count(value, hh) AS BIGINT) AS n
+FROM h GROUP BY user_id
+"""
+
+
+QUERIES.append(Q("q183_trend_slopes", q183, Q183_ORACLE))
+
+
+# --- Q184: rolling 7-day active users (distinct-over-window via contribution -------
+# explode — each active (user, day) contributes to the 7 window ends it
+# is visible from, turning COUNT DISTINCT OVER RANGE into a plain
+# groupBy: map-side explode of a 7-element sequence, shuffle rows =
+# active-(user,day) × 7, never raw events; the alternative — a windowed
+# count distinct — needs per-window state proportional to users).
+def q184(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("window_end"),
+    ).distinct()
+    # only report window ends that are actual active days (dense-range
+    # ends beyond the data's last day would misread as declining WAU)
+    real_days = days.select(F.col("d").alias("window_end")).distinct()
+    return (
+        contrib.join(real_days, "window_end", "left_semi")
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("window_end").cast("string").alias("window_end"), "wau")
+    )
+
+
+Q184_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+contrib AS (
+  SELECT DISTINCT user_id, d + CAST(x AS INT) AS window_end
+  FROM days, unnest(range(0, 7)) AS t(x)
+),
+real_days AS (SELECT DISTINCT d AS window_end FROM days)
+SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+       count(DISTINCT user_id) AS wau
+FROM contrib
+WHERE window_end IN (SELECT window_end FROM real_days)
+GROUP BY window_end
+"""
+
+
+QUERIES.append(Q("q184_rolling_active_users", q184, Q184_ORACLE))
