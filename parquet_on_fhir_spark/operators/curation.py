@@ -800,10 +800,16 @@ def interleave_sources(
     so a training stream never sees long single-source runs, without a
     global random sort.
 
-    Two window passes over one shuffle keyed by source (per-source
-    hash rank), then the global position is (round, source-draw) —
-    sortable lazily downstream; no action here. Layout-independent:
-    position depends only on (seed, ids, sources).
+    100 TB plan: ONE shuffle keyed by source (the per-source
+    ``row_number`` window); the global position is then computed
+    arithmetically from a K-row broadcast of per-source counts — a
+    row in round ``r`` from source ``s`` sits after the
+    ``sum_s' min(r, n_s')`` documents of earlier rounds plus the
+    sources that deal before ``s`` inside round ``r`` (those with
+    ``n_s' > r`` and a smaller source draw). No unpartitioned window
+    anywhere, so the corpus is never funneled through one task
+    (tests/test_scale_plans.py asserts this on the optimized plan).
+    Layout-independent: position depends only on (seed, ids, sources).
 
     Output: input columns + ``position`` (0-based global order).
     """
@@ -821,8 +827,35 @@ def interleave_sources(
     ranked = df.withColumn("__round", F.row_number().over(w) - 1).withColumn(
         "__sdraw", sdraw
     )
-    pos = Window.orderBy("__round", "__sdraw", F.col(id_col))
+    # K-row broadcast: every source's (draw, name, count), sorted so the
+    # struct order IS the intra-round deal order.
+    src = F.col(source_col).cast("string")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    tbl = counts.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    sdraw.alias("d"), src.alias("s"), F.col("__n").alias("n")
+                )
+            )
+        ).alias("__tbl")
+    )
+    r = F.col("__round").cast("long")
+    earlier_rounds = F.aggregate(
+        "__tbl", F.lit(0).cast("long"), lambda acc, x: acc + F.least(x["n"], r)
+    )
+    deals_before = F.size(
+        F.filter(
+            "__tbl",
+            lambda x: (x["n"] > r)
+            & (
+                (x["d"] < F.col("__sdraw"))
+                | ((x["d"] == F.col("__sdraw")) & (x["s"] < src))
+            ),
+        )
+    ).cast("long")
     return (
-        ranked.withColumn("position", F.row_number().over(pos) - 1)
-        .drop("__round", "__sdraw")
+        ranked.join(F.broadcast(tbl))
+        .withColumn("position", (earlier_rounds + deals_before).cast("int"))
+        .drop("__round", "__sdraw", "__tbl")
     )

@@ -2018,7 +2018,7 @@ r AS (
   FROM drawn
 )
 SELECT doc_id, source,
-       CAST(row_number() OVER (ORDER BY rnd, sdraw, doc_id) - 1 AS INT)
+       CAST(row_number() OVER (ORDER BY rnd, sdraw, source) - 1 AS INT)
          AS position
 FROM r
 """

@@ -348,3 +348,39 @@ def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
     plan = plan_of(ohlc(e, "ts", ["user_id"], "value", tie_cols=["event_id"]))
     assert "Window" not in plan  # agg formulation, not an ordered window
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def _unpartitioned_windows(df):
+    """Walk the optimized logical plan; return Window nodes whose
+    partitionSpec is empty (the corpus-through-one-task anti-pattern)."""
+    bad = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                bad.append(node.toString().splitlines()[0])
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return bad
+
+
+def test_interleave_sources_has_no_global_window(spark, sf_dir):
+    """interleave_sources must compute `position` arithmetically from the
+    K-row per-source count broadcast — NEVER via an unpartitioned
+    row_number window (which single-partitions the full corpus)."""
+    from parquet_on_fhir_spark.operators.curation import interleave_sources
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = interleave_sources(d, "source", "doc_id", seed=0)
+    assert _unpartitioned_windows(out) == []
+    # positions are a permutation of 0..n-1 and round-robin: within any
+    # source, positions increase with the per-source round.
+    n = d.count()
+    rows = out.select("position").agg(
+        F.count("*").alias("c"),
+        F.count_distinct("position").alias("d"),
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+    ).collect()[0]
+    assert (rows["c"], rows["d"], rows["lo"], rows["hi"]) == (n, n, 0, n - 1)
