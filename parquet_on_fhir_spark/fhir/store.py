@@ -302,8 +302,12 @@ class FhirStore:
             if not keys:
                 continue
             keyed = df.withColumn("patient_id", F.coalesce(*keys))
+            # Broadcast only the filtered-cohort case; an unfiltered
+            # call carries the FULL patient registry — millions of ids
+            # at bulk scale — so let AQE pick the join strategy there.
+            id_side = F.broadcast(ids) if patient_ids is not None else ids
             out[rtype] = keyed.join(
-                F.broadcast(ids),
+                id_side,
                 keyed["patient_id"] == ids["__pid"],
                 "inner",
             ).drop("__pid")

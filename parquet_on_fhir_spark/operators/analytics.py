@@ -286,6 +286,9 @@ def numeric_histogram(
     values ≥ ``hi`` fold into the last bin and values < ``lo`` into
     the first (clamping beats silently dropping rows — bin totals
     always add up to the non-NULL row count); NULLs are excluded.
+    Degenerate bounds (``lo == hi`` — e.g. a constant column with
+    auto-computed bounds) widen ``hi`` by 1 so ``width_bucket`` stays
+    defined and every row lands in bin 1 instead of vanishing.
     """
     keys = key_cols or []
     if lo is None or hi is None:
@@ -298,6 +301,12 @@ def numeric_histogram(
         src = df.withColumn("__lo", F.lit(float(lo))).withColumn(
             "__hi", F.lit(float(hi))
         )
+    src = src.withColumn(
+        "__hi",
+        F.when(F.col("__hi") > F.col("__lo"), F.col("__hi")).otherwise(
+            F.col("__lo") + 1.0
+        ),
+    )
     bucket = F.greatest(
         F.least(
             F.width_bucket(
@@ -621,31 +630,41 @@ def binary_auc(
     """ROC AUC of a score against a binary label via the Mann-Whitney
     rank-sum identity: AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) /
     (n⁺·n⁻), with average ranks for tied scores (the exact tie
-    handling sklearn uses) — no curve sweep, no thresholds, one
-    ordered window plus one aggregate.
+    handling sklearn uses) — no curve sweep, no thresholds.
 
-    The global rank is the one genuinely order-dependent step; Spark
-    plans it as a single-partition window over (score) — at 100 TB
-    replace with the histogram approximation (bucket scores, trapezoid
-    over bucket counts) or pre-aggregate per distinct score first; for
-    model-eval-sized frames (millions) the exact form is fine.
+    100 TB plan: the corpus is FIRST hash-aggregated per distinct
+    score (count + positive count); the one ordered window then runs
+    over |distinct scores| rows, not the corpus — exact (the average
+    rank of a tie group is cum_before + (cnt+1)/2), and for real model
+    scores (floats with at most millions of distinct values) the
+    windowed frame is bounded regardless of corpus size. NULL scores
+    are excluded up front (they carry no rank information).
 
     Output: 1 row — (auc, n_pos, n_neg).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(score_col))
-    # average rank over score ties: avg of min and max rank in the tie group
-    tie = Window.partitionBy(score_col)
-    rn = F.row_number().over(w)
-    ranked = df.withColumn("__rn", rn).withColumn(
-        "__rank", (F.min("__rn").over(tie) + F.max("__rn").over(tie)) / 2.0
-    )
     lab = F.col(label_col).cast("int")
+    per_score = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(score_col)
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.sum(lab).alias("__pos"),
+            F.sum(1 - lab).alias("__neg"),
+        )
+    )
+    w = Window.orderBy(F.col(score_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_score.withColumn(
+        "__rank",
+        (F.sum("__cnt").over(w) - F.col("__cnt")) + (F.col("__cnt") + 1) / 2.0,
+    )
     agg = ranked.agg(
-        F.sum(F.when(lab == 1, F.col("__rank"))).alias("__rsum"),
-        F.sum(lab).alias("n_pos"),
-        F.sum(1 - lab).alias("n_neg"),
+        F.sum(F.col("__pos") * F.col("__rank")).alias("__rsum"),
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
     )
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
@@ -841,36 +860,51 @@ def weighted_percentile(
     weight_col: str,
     ps: list[float],
     key_cols: list[str] | None = None,
+    validate_weights: bool = True,
 ) -> DataFrame:
     """Weighted lower percentiles: for each p, the smallest value whose
     cumulative weight reaches p·total — duration-weighted latency
     percentiles, size-weighted document cuts ("what length covers 95%
     of tokens"), anywhere rows are not equally important.
 
-    One window shuffle per key (running weight over the value order,
-    ties broken by value only — equal values share a cumulative rank)
-    feeding a conditional min per p in ONE aggregate. The lower-value
+    100 TB plan: the corpus is FIRST hash-aggregated per
+    (keys, distinct value) — ties share a cumulative rank by
+    construction — so the running-weight window runs over
+    |distinct values| rows per key, never the corpus. The keyless
+    form still plans one unpartitioned window, but over the
+    distinct-VALUE frame only (bounded by value cardinality, e.g.
+    latency ms or document length — NOT row count). The lower-value
     convention (no interpolation) is exact, deterministic, and
-    restatable; zero/negative weights are rejected up front.
+    restatable. Weight validation is folded into the plan
+    (``raise_error`` on NULL/zero/negative weights — no eager
+    pre-scan); pass ``validate_weights=False`` to skip it.
 
     Output: *keys, p_<percent> per requested p.
     """
     from pyspark.sql import Window
 
     keys = key_cols or []
-    bad = df.filter(F.col(weight_col) <= 0).limit(1).count()
-    if bad:
-        raise ValueError("weighted_percentile requires strictly positive weights")
+    wc = F.col(weight_col)
+    if validate_weights:
+        wc = F.when(wc > 0, wc).otherwise(
+            F.raise_error(
+                F.lit(
+                    "weighted_percentile requires strictly positive"
+                    " non-NULL weights"
+                )
+            )
+        )
+    per_val = df.groupBy(*keys, value_col).agg(F.sum(wc).alias("__w"))
     part = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    w = part.orderBy(F.col(value_col)).rangeBetween(
-        Window.unboundedPreceding, 0
+    w = part.orderBy(F.col(value_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     total = part.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cum = F.sum(weight_col).over(w)
-    tot = F.sum(weight_col).over(total)
-    ranked = df.withColumn("__cum", cum).withColumn("__tot", tot)
+    ranked = per_val.withColumn("__cum", F.sum("__w").over(w)).withColumn(
+        "__tot", F.sum("__w").over(total)
+    )
     aggs = []
     for p in ps:
         name = f"p_{str(p).replace('.', '_')}"

@@ -463,9 +463,19 @@ def test_weighted_percentile_rejects_nonpositive(spark):
 
     from parquet_on_fhir_spark.operators.analytics import weighted_percentile
 
+    # validation is folded into the plan (raise_error — no eager
+    # pre-scan), so it fires on the action, not at call time
     df = spark.createDataFrame([(1.0, 0.0)], "v double, w double")
-    with pytest.raises(ValueError, match="positive"):
-        weighted_percentile(df, "v", "w", [0.5])
+    with pytest.raises(Exception, match="positive"):
+        weighted_percentile(df, "v", "w", [0.5]).collect()
+    # NULL weights are rejected too (they'd silently pass a <=0 check)
+    dfn = spark.createDataFrame([(1.0, None)], "v double, w double")
+    with pytest.raises(Exception, match="positive"):
+        weighted_percentile(dfn, "v", "w", [0.5]).collect()
+    # opt-out path keeps running (bad-weight rows contribute NULL sums)
+    assert weighted_percentile(
+        df, "v", "w", [0.5], validate_weights=False
+    ).collect()
 
 
 def test_lorenz_points_cumulative_shares(spark):
@@ -477,3 +487,56 @@ def test_lorenz_points_cumulative_shares(spark):
     assert (out[1].group, out[1].share, out[1].cum_share) == ("a", 0.5, 0.5)
     assert (out[2].group, out[2].cum_share) == ("b", 0.8)
     assert (out[3].group, out[3].cum_share) == ("c", 1.0)
+
+
+def test_binary_auc_excludes_null_scores_and_preaggregates(spark):
+    """NULL scores carry no rank information — they must not shift the
+    ranks of real scores; and the ordered window must run over the
+    per-distinct-score aggregate, not the raw frame."""
+    from parquet_on_fhir_spark.operators.analytics import binary_auc
+
+    base = [(0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1)]
+    df = spark.createDataFrame(base, "s double, y int")
+    withnull = spark.createDataFrame(
+        base + [(None, 1), (None, 0)], "s double, y int"
+    )
+    (a,) = binary_auc(df, "s", "y").collect()
+    (b,) = binary_auc(withnull, "s", "y").collect()
+    assert abs(a.auc - b.auc) < 1e-12
+    assert (b.n_pos, b.n_neg) == (2, 2)  # NULL-score rows dropped entirely
+    # plan shape: the Window sits ABOVE an Aggregate keyed by the score
+    # (i.e. it consumes the distinct-score frame, not the raw corpus)
+    plan = binary_auc(df, "s", "y")._jdf.queryExecution().optimizedPlan().toString()
+    win_pos = plan.index("Window")
+    assert "Aggregate [s" in plan[win_pos:], (
+        "expected per-distinct-score Aggregate feeding the Window"
+    )
+
+
+def test_numeric_histogram_constant_column(spark):
+    """Auto bounds on a constant column (lo == hi) must keep every row
+    (bin 1), not vanish into NULL buckets."""
+    from parquet_on_fhir_spark.operators.analytics import numeric_histogram
+
+    df = spark.createDataFrame([(5.0,)] * 7, "v double")
+    out = numeric_histogram(df, "v", bins=4)
+    assert sum(r.n for r in out.collect()) == 7
+    ones = [r for r in out.collect() if r.bin == 1]
+    assert ones and ones[0].n == 7
+
+
+def test_weighted_percentile_windows_distinct_values_only(spark):
+    """The keyless path's one unpartitioned window must consume the
+    per-distinct-value aggregate (bounded), never the raw corpus."""
+    from parquet_on_fhir_spark.operators.analytics import weighted_percentile
+
+    rows = [(float(v % 5), 1.0) for v in range(100)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    out = weighted_percentile(df, "v", "w", [0.5, 0.9])
+    (r,) = out.collect()
+    assert (r.p_0_5, r.p_0_9) == (2.0, 4.0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    win_pos = plan.index("Window")
+    assert "Aggregate [v" in plan[win_pos:], (
+        "expected per-distinct-value Aggregate feeding the Window"
+    )
