@@ -62,6 +62,12 @@ HEADLINE = [
     "q151_scd2_dimension",             # change-log collapse, single window shuffle
     "q152_ohlc_bars",                  # candle downsample, single hash agg
     "q154_rolling_time_range",         # value-based RANGE frame
+    # round-7 additions: the heaviest round-6 fixpoints, previously
+    # untracked (new lines, not regressions vs BENCH_r06):
+    "q138_pagerank",                   # iterative rank fixpoint
+    "q150_triangle_count",             # 2-hop join + orientation trick
+    "q164_stream_cdc_apply",           # foreachBatch CDC upsert loop
+    "q175_hierarchy_rollup",           # recursive parent-chain contraction
 ]
 
 
