@@ -7,12 +7,13 @@ struct, per the format spec's base64Binary mapping
 The Spark-side plumbing (schema, partitioning, Arrow batch shape,
 mapInPandas signatures) is real and tested. Codecs come in three tiers:
 
-- ``numpy_features`` / ``numpy_resize`` — REAL decoders for
-  uncompressed formats (P6 PPM, 24-bit BMP) built on numpy alone, so
-  the bytes→pixels→features path genuinely runs in this container;
-- ``decode_real`` — the PIL seam for compressed formats (JPEG/PNG),
-  import-guarded: raises ``NotImplementedError`` with wiring guidance
-  when PIL is absent;
+- ``numpy_features`` / ``numpy_resize`` — REAL decoders for P6 PPM,
+  24-bit BMP, and 8-bit PNG (stdlib ``zlib`` inflate + numpy scanline
+  unfiltering — no codec library), so the bytes→pixels→features path
+  genuinely runs in this container, compressed formats included;
+- ``decode_real`` — the PIL seam for the remaining compressed formats
+  (JPEG/WebP/...), import-guarded: raises ``NotImplementedError`` with
+  wiring guidance when PIL is absent;
 - ``stand_in_features`` — the deterministic byte-statistics fallback
   for payloads no available codec understands.
 """
@@ -346,6 +347,167 @@ def decode_bmp(content: bytes):
     return w, h, np.ascontiguousarray(img)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes):
+    """8-bit non-interlaced PNG → (width, height, HxWx3 uint8 RGB
+    array) with NO codec library: chunk walk + stdlib ``zlib``
+    inflate + numpy scanline unfiltering. Supports color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); alpha is
+    dropped and gray replicated so every decoder in this module yields
+    the same HxWx3 shape. Filters 0–4 (None/Sub/Up/Average/Paeth) are
+    all handled — Sub as a per-lane modular cumsum, Up vectorized,
+    Average/Paeth per-byte (their recurrences are inherently
+    sequential). Raises ValueError on anything outside that envelope
+    (16-bit, interlaced, truncated) — quarantine upstream, don't
+    guess."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + payload + CRC
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or (color == 3 and plte is None):
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline size mismatch")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: per-lane modular prefix sum
+            rec = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1)
+        elif ft == 2:  # Up
+            rec = cur + prev
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = cur[i] + ((left % 256) + prev[i]) // 2
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] % 256 if i >= bpp else 0
+                b = prev[i]
+                c_ = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c_
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c_)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c_)
+                rec[i] = cur[i] + pr
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        rec = rec % 256
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, channels)
+    if color == 2:
+        img = px
+    elif color == 6:
+        img = px[:, :, :3]
+    elif color == 3:
+        img = plte[px[:, :, 0]]
+    else:  # gray / gray+alpha → replicate luminance
+        img = np.repeat(px[:, :, :1], 3, axis=2)
+    return w, h, np.ascontiguousarray(img)
+
+
+def encode_png(pixels, filter_type: int | None = None) -> bytes:
+    """HxWx3 uint8 RGB array → PNG bytes (color type 2, depth 8). The
+    test/fixture writer for :func:`decode_png`; ``filter_type`` pins
+    one scanline filter (0–4), default cycles y % 5 so round-trip
+    tests exercise every unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    bpp = 3
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        ft = (y % 5) if filter_type is None else filter_type
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            f = cur - left
+        elif ft == 2:
+            f = cur - prev
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            f = cur - (left + prev) // 2
+        elif ft == 4:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pr = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            f = cur - pr
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        lines.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
+        prev = cur
+    body = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_pixels(content: bytes, mime: str | None = None):
     """Magic-byte dispatch to the built-in decoders. ValueError when no
     built-in codec matches (caller decides: stand-in, PIL, quarantine)."""
@@ -353,6 +515,8 @@ def decode_pixels(content: bytes, mime: str | None = None):
         return decode_ppm(content)
     if content.startswith(b"BM"):
         return decode_bmp(content)
+    if content.startswith(_PNG_SIG):
+        return decode_png(content)
     raise ValueError(f"no built-in codec for payload (mime={mime!r})")
 
 

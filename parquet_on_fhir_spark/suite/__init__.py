@@ -76,7 +76,8 @@ WINDOW = [
     "qf15_patient_everything",
     "q113_duplicate_spans",
     "q114_bm25",
-    "q36_sort_within_partitions",
+    # -- first-ever row for this round's new compressed-decode query
+    "q185_png_real_decode",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

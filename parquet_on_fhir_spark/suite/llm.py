@@ -2025,3 +2025,68 @@ FROM r
 
 
 QUERIES.append(Q("q182_curriculum_interleave", q182, Q182_ORACLE))
+
+
+# --- Q185: compressed-format (PNG) real decode, driver-checked ----------------------
+def q185(spark, sf_dir):
+    """operators/multimodal.py::decode_png end-to-end: 200 genuine
+    zlib-compressed 8x8 PNGs (one per gray level 28..227, built by the
+    pure-stdlib encoder driver-side — ~60 bytes each, broadcast) are
+    joined to documents, inflated + unfiltered by the numpy PNG codec
+    inside mapInPandas, and the luminance features compared to their
+    closed form (a constant image's 8x8 grid is v/255 everywhere) — so
+    the oracle needs no decoder. Proves the COMPRESSED bytes → pixels
+    → features path runs in-container, not just PPM/BMP."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_png,
+        extract_features,
+        numpy_features,
+    )
+
+    payloads = [
+        (g, bytearray(encode_png(np.full((8, 8, 3), g, dtype=np.uint8))))
+        for g in range(28, 228)
+    ]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q185_ORACLE = """
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       8.0 AS f_width,
+       8.0 AS f_height,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_00,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_mid,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q185_png_real_decode", q185, Q185_ORACLE))

@@ -366,3 +366,127 @@ def test_extract_features_with_real_numpy_codec(spark):
     for i in range(6):
         f = out[i].feat
         assert f[:2] == [8.0, 8.0] and abs(f[2] - (i * 40) / 255.0) < 1e-12
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode is the identity for every scanline filter type,
+    including the default filter-cycling writer (exercises all five
+    unfilter paths in one image)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    for ft in [None, 0, 1, 2, 3, 4]:
+        w, h, got = decode_png(encode_png(img, filter_type=ft))
+        assert (w, h) == (9, 11)
+        assert np.array_equal(got, img), f"filter {ft} round-trip broke"
+
+
+def test_png_gray_palette_alpha_color_types():
+    """Hand-built PNGs for color types 0/3/4/6 decode to the same HxWx3
+    RGB the other codecs produce (alpha dropped, gray replicated,
+    palette resolved)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color, scanlines, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + extra
+            + chunk(b"IDAT", zlib.compress(scanlines))
+            + chunk(b"IEND", b"")
+        )
+
+    # gray 2x2 (type 0): values 10,20/30,40 -> replicated channels
+    g = png(2, 2, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    w, h, img = decode_png(g)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(img[:, :, 0], [[10, 20], [30, 40]])
+    assert np.array_equal(img[:, :, 0], img[:, :, 2])
+    # RGBA 1x2 (type 6): alpha dropped
+    ra = png(2, 1, 6, b"\x00" + bytes([1, 2, 3, 9, 4, 5, 6, 9]))
+    assert np.array_equal(decode_png(ra)[2], [[[1, 2, 3], [4, 5, 6]]])
+    # gray+alpha 1x1 (type 4)
+    ga = png(1, 1, 4, b"\x00" + bytes([77, 200]))
+    assert np.array_equal(decode_png(ga)[2], [[[77, 77, 77]]])
+    # palette 1x2 (type 3): indices 1,0 against a 2-entry PLTE
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    pa = png(2, 1, 3, b"\x00\x01\x00", extra=plte)
+    assert np.array_equal(decode_png(pa)[2], [[[0, 255, 0], [255, 0, 0]]])
+
+
+def test_png_rejects_out_of_envelope():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM notapng")
+    # 16-bit depth must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    deep = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 7)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(deep)
+    # truncated IDAT stream
+    ok = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(ok[: len(ok) - 20])
+
+
+def test_png_flows_through_numpy_features_and_resize():
+    """decode_pixels magic-dispatch picks the PNG codec, so the SAME
+    mapInPandas plumbing (extract_features / resize_images) handles
+    compressed payloads with zero code change — and features match the
+    PPM encoding of identical pixels exactly."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_png,
+        encode_ppm,
+        numpy_features,
+        numpy_resize,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    f_png = numpy_features(encode_png(img))
+    f_ppm = numpy_features(encode_ppm(img))
+    assert f_png == f_ppm and len(f_png) == 66
+    # resize canonicalizes to PPM regardless of input container
+    out = numpy_resize(encode_png(img), None, 8, 8)
+    assert out.startswith(b"P6")
