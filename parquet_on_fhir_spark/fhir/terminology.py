@@ -156,11 +156,13 @@ def expand_valueset(
     - ``include[].concept[]`` — explicitly listed codes;
     - ``include[].system`` WITHOUT concepts — all codes of that system
       (every nesting depth), resolved against the ``codesystems`` table;
-    - ``include[].filter[]`` with ``property='concept'`` and op
-      ``is-a`` (anchor + transitive descendants) or ``descendent-of``
-      (descendants only), resolved against ``closure`` (build it with
-      :func:`concept_closure` over :func:`concept_edges`); other
-      properties/ops raise;
+    - ``include[].filter[]`` — hierarchical ops (``is-a`` /
+      ``descendent-of`` / ``is-not-a``) against ``closure`` (build it
+      with :func:`concept_closure` over :func:`concept_edges`), code
+      predicates (``regex`` / ``in`` / ``not-in``) against the
+      system's concept universe, and concept-property predicates
+      (``=`` / ``regex``) against ``concept.property[]``; filters in
+      one include AND together; ``generalizes``/``exists`` raise;
     - ``exclude[].concept[]`` — anti-joined out of the result.
 
     Sparse schemas are honored: absent optional elements (no ValueSet
@@ -176,12 +178,8 @@ def expand_valueset(
             ).alias("f")
         ).filter(F.col("f"))
         if has_filter.limit(1).count() > 0:
-            if closure is None:
-                raise NotImplementedError(
-                    "ValueSet.compose.include.filter needs a concept "
-                    "closure — build one with concept_closure("
-                    "concept_edges(codesystems)) and pass closure="
-                )
+            # _expand_filters itself raises when a hierarchical op is
+            # present without a closure; code/property filters need none
             filtered = _expand_filters(valuesets, codesystems, closure)
 
     inc = valuesets.select(
@@ -238,57 +236,220 @@ def expand_valueset(
     return listed
 
 
+def _concept_properties(codesystems: DataFrame) -> DataFrame:
+    """(system, code, prop, pval) concept property assertions at every
+    ``concept`` nesting depth — CodeSystem ``concept.property[]``
+    (hl7.org/fhir/R4/codesystem.html), choice values coerced to one
+    string column so filter predicates compare uniformly. Empty frame
+    when the encoded schema carries no properties."""
+    spark = codesystems.sparkSession
+    empty = spark.createDataFrame(
+        [], "system string, code string, prop string, pval string"
+    )
+    if "property" not in _element_fields(codesystems, "concept"):
+        return empty
+
+    def prop_rows(cur: DataFrame) -> DataFrame:
+        p = cur.select(
+            "system",
+            F.col("c.code").alias("code"),
+            F.explode(F.coalesce(F.col("c.property"), F.array())).alias("p"),
+        )
+        vfields = [
+            f for f in p.schema["p"].dataType.fieldNames() if f.startswith("value")
+        ]
+        pval = (
+            F.coalesce(*[F.col(f"p.{f}").cast("string") for f in vfields])
+            if vfields
+            else F.lit(None).cast("string")
+        )
+        return p.select(
+            "system", "code", F.col("p.code").alias("prop"), pval.alias("pval")
+        )
+
+    cur = codesystems.select(
+        F.col("url").alias("system"), F.explode("concept").alias("c")
+    )
+    out = empty
+    while True:
+        fields = (
+            cur.schema["c"].dataType.fieldNames()
+            if isinstance(cur.schema["c"].dataType, T.StructType)
+            else []
+        )
+        if "property" in fields:
+            out = out.unionByName(prop_rows(cur))
+        if "concept" not in fields:
+            return out
+        cur = cur.select(
+            "system",
+            F.explode(F.coalesce(F.col("c.concept"), F.array())).alias("c"),
+        )
+
+
+_HIERARCHY_OPS = ("is-a", "descendent-of", "is-not-a")
+
+
 def _expand_filters(
-    valuesets: DataFrame, codesystems: DataFrame | None, closure: DataFrame
+    valuesets: DataFrame, codesystems: DataFrame | None, closure: DataFrame | None
 ) -> DataFrame:
-    """Resolve ``include.filter`` entries against a concept closure:
-    ``is-a`` = anchor + transitive descendants, ``descendent-of`` =
-    descendants only (hl7.org/fhir/R4/valueset.html#compose). The
-    closure and the filter list are both terminology-sized —
-    broadcast; anything else raises at plan time."""
+    """Resolve ``include.filter`` entries
+    (hl7.org/fhir/R4/valueset.html#compose). Supported:
+
+    - ``concept is-a`` (anchor + transitive descendants),
+      ``descendent-of`` (descendants only), ``is-not-a`` (whole system
+      minus anchor-or-descendants) — all against ``closure``;
+    - ``code regex`` / ``in`` / ``not-in`` — column predicates over the
+      system's concept universe (regex is whole-value, per spec;
+      ``in``/``not-in`` take comma-separated code lists);
+    - ``<property> =`` / ``regex`` — against flattened
+      ``concept.property[]`` assertions.
+
+    Multiple filters inside one include AND together (spec semantics):
+    a code qualifies only when every filter of its include matched it.
+    ``generalizes``/``exists`` raise. Closure, concept universe, and
+    property tables are all terminology-sized — broadcast; the filter
+    list itself is K rows."""
     flt = (
-        valuesets.select(F.col("url"), F.explode("compose.include").alias("i"))
+        valuesets.select(
+            F.col("url"), F.posexplode("compose.include").alias("inc_idx", "i")
+        )
+        .withColumn(
+            "n_filters", F.size(F.coalesce(F.col("i.filter"), F.array()))
+        )
+        .filter(F.col("n_filters") > 0)
         .select(
             "url",
+            "inc_idx",
+            "n_filters",
             F.col("i.system").alias("system"),
-            F.explode(F.coalesce(F.col("i.filter"), F.array())).alias("f"),
+            F.posexplode(F.coalesce(F.col("i.filter"), F.array())).alias(
+                "f_idx", "f"
+            ),
         )
         .select(
             "url",
+            "inc_idx",
+            "n_filters",
+            "f_idx",
             "system",
             F.col("f.property").alias("property"),
             F.col("f.op").alias("op"),
             F.col("f.value").alias("value"),
         )
     )
-    bad = (
-        flt.filter(
-            ~(
-                (F.col("property") == "concept")
-                & F.col("op").isin("is-a", "descendent-of")
-            )
-        )
-        .limit(1)
-        .collect()
+    is_hier = (F.col("property") == "concept") & F.col("op").isin(
+        *_HIERARCHY_OPS
     )
+    is_code = (F.col("property") == "code") & F.col("op").isin(
+        "regex", "in", "not-in"
+    )
+    is_prop = (~F.col("property").isin("concept", "code")) & F.col("op").isin(
+        "=", "regex"
+    )
+    bad = flt.filter(~(is_hier | is_code | is_prop)).limit(1).collect()
     if bad:
         raise NotImplementedError(
             f"unsupported ValueSet filter: property={bad[0]['property']!r} "
-            f"op={bad[0]['op']!r} (supported: concept is-a / descendent-of)"
+            f"op={bad[0]['op']!r} (supported: concept is-a / descendent-of "
+            "/ is-not-a; code regex / in / not-in; <property> = / regex)"
         )
-    clo = closure.select(
-        F.col("system").alias("c_system"),
-        F.col("ancestor").alias("c_anc"),
-        F.col("descendant").alias("c_desc"),
+    key = ["url", "inc_idx", "n_filters", "f_idx", "system"]
+    need_universe = flt.filter(
+        is_code | (F.col("op") == "is-not-a")
+    ).limit(1).count()
+    if need_universe and codesystems is None:
+        raise NotImplementedError(
+            "code/is-not-a ValueSet filters need the codesystems table "
+            "to enumerate the system's concept universe"
+        )
+    need_closure = flt.filter(is_hier).limit(1).count()
+    if need_closure and closure is None:
+        raise NotImplementedError(
+            "hierarchical ValueSet filters need a concept closure — "
+            "build one with concept_closure(concept_edges(codesystems)) "
+            "and pass closure="
+        )
+    uni = _all_concepts(codesystems) if codesystems is not None else None
+    parts = []
+    if need_closure:
+        clo = closure.select(
+            F.col("system").alias("c_system"),
+            F.col("ancestor").alias("c_anc"),
+            F.col("descendant").alias("c_desc"),
+        )
+        fh = flt.filter(F.col("op").isin("is-a", "descendent-of"))
+        descendants = fh.join(
+            F.broadcast(clo),
+            (F.col("system") == F.col("c_system"))
+            & (F.col("value") == F.col("c_anc")),
+        ).select(*key, F.col("c_desc").alias("code"))
+        anchors = fh.filter(F.col("op") == "is-a").select(
+            *key, F.col("value").alias("code")
+        )
+        parts += [descendants, anchors]
+        fn = flt.filter(F.col("op") == "is-not-a")
+        if need_universe and fn.limit(1).count():
+            excluded = fn.join(
+                F.broadcast(clo),
+                (F.col("system") == F.col("c_system"))
+                & (F.col("value") == F.col("c_anc")),
+            ).select(*key, F.col("c_desc").alias("code")).unionByName(
+                fn.select(*key, F.col("value").alias("code"))
+            )
+            in_system = fn.join(
+                F.broadcast(uni.select("system", "code")), "system"
+            ).select(*key, "code")
+            parts.append(
+                in_system.join(
+                    F.broadcast(excluded), key + ["code"], "left_anti"
+                )
+            )
+    if need_universe:
+        fc = flt.filter(is_code).join(
+            F.broadcast(uni.select("system", "code")), "system"
+        )
+        whole_value = F.concat(F.lit("^(?:"), F.col("value"), F.lit(")$"))
+        in_list = F.array_contains(F.split("value", ","), F.col("code"))
+        parts.append(
+            fc.filter(
+                F.when(
+                    F.col("op") == "regex",
+                    F.regexp_like(F.col("code"), whole_value),
+                )
+                .when(F.col("op") == "in", in_list)
+                .otherwise(~in_list)
+            ).select(*key, "code")
+        )
+    fp = flt.filter(is_prop)
+    if codesystems is not None and fp.limit(1).count():
+        props = _concept_properties(codesystems)
+        whole_value = F.concat(F.lit("^(?:"), F.col("value"), F.lit(")$"))
+        parts.append(
+            fp.join(
+                F.broadcast(props),
+                (fp["system"] == props["system"])
+                & (fp["property"] == props["prop"]),
+            )
+            .filter(
+                F.when(
+                    F.col("op") == "=", F.col("pval") == F.col("value")
+                ).otherwise(F.regexp_like(F.col("pval"), whole_value))
+            )
+            .select(fp["url"], "inc_idx", "n_filters", "f_idx", fp["system"], "code")
+        )
+    matches = parts[0]
+    for p in parts[1:]:
+        matches = matches.unionByName(p)
+    # AND across the filters of one include: keep codes every filter hit
+    members = (
+        matches.distinct()
+        .groupBy("url", "inc_idx", "n_filters", "system", "code")
+        .agg(F.count_distinct("f_idx").alias("__nf"))
+        .filter(F.col("__nf") == F.col("n_filters"))
+        .select("url", "system", "code")
+        .distinct()
     )
-    descendants = flt.join(
-        F.broadcast(clo),
-        (F.col("system") == F.col("c_system")) & (F.col("value") == F.col("c_anc")),
-    ).select("url", "system", F.col("c_desc").alias("code"))
-    anchors = flt.filter(F.col("op") == "is-a").select(
-        "url", "system", F.col("value").alias("code")
-    )
-    members = descendants.unionByName(anchors).distinct()
     if codesystems is not None:
         disp = _all_concepts(codesystems).withColumnRenamed("system", "d_system")
         return members.join(

@@ -71,13 +71,13 @@ WINDOW = [
     "q118_zorder_write",
     "qf09_view_definition_patient",
     "qf11_chained_search",
-    # -- re-confirms for round-7 rewrites + heavy-dedup second rows
+    # -- re-confirms for round-7 rewrites + a heavy-dedup second row
     "q160_numeric_histogram",
     "qf15_patient_everything",
-    "q113_duplicate_spans",
     "q114_bm25",
-    # -- first-ever row for this round's new compressed-decode query
+    # -- first-ever rows for this round's new queries
     "q185_png_real_decode",
+    "qf21_valueset_predicate_filters",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

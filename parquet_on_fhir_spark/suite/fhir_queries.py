@@ -557,9 +557,11 @@ _CM_DOC = {
 def _encode_doc(spark, doc, rtype):
     import json as _json
 
+    docs = doc if isinstance(doc, list) else [doc]
     base = tempfile.mkdtemp(prefix=f"pofs_term_{rtype}_")
     with open(f"{base}/r.ndjson", "w") as fh:
-        fh.write(_json.dumps(doc) + "\n")
+        for d in docs:
+            fh.write(_json.dumps(d) + "\n")
     return encode_ndjson(spark, base, resource_type=rtype)
 
 
@@ -985,3 +987,105 @@ FROM dev JOIN mad USING (code)
 
 
 QUERIES.append(Q("qf20_lab_value_outliers", qf20, QF20_ORACLE))
+
+
+# --- qf21: predicate ValueSet filters (regex / in / property / is-not-a, AND) --------
+# A status-annotated anatomy CodeSystem: concept.property[] carries
+# {status: active|retired}. Four includes across two ValueSets exercise
+# every non-hierarchical filter family fhir/terminology.py::
+# _expand_filters supports, plus AND semantics inside one include and
+# is-not-a against the closure.
+_CS_ANATOMY_PROPS_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-anatomy2", "status": "active",
+    "url": "http://example.org/cs/anatomy2", "content": "complete",
+    "concept": [
+        {"code": "body", "display": "Body",
+         "property": [{"code": "status", "valueCode": "active"}],
+         "concept": [
+            {"code": "limb", "display": "Limb",
+             "property": [{"code": "status", "valueCode": "active"}],
+             "concept": [
+                {"code": "arm", "display": "Arm",
+                 "property": [{"code": "status", "valueCode": "active"}],
+                 "concept": [
+                    {"code": "hand", "display": "Hand",
+                     "property": [{"code": "status", "valueCode": "retired"}]}]},
+                {"code": "leg", "display": "Leg",
+                 "property": [{"code": "status", "valueCode": "active"}],
+                 "concept": [
+                    {"code": "foot", "display": "Foot",
+                     "property": [{"code": "status", "valueCode": "active"}]}]}]},
+            {"code": "organ", "display": "Organ",
+             "property": [{"code": "status", "valueCode": "active"}],
+             "concept": [
+                {"code": "heart", "display": "Heart",
+                 "property": [{"code": "status", "valueCode": "active"}]}]}]},
+    ],
+}
+_VS_FILTER_DOCS = [
+    {"resourceType": "ValueSet", "id": "vs-preds", "status": "active",
+     "url": "http://example.org/ValueSet/preds",
+     "compose": {"include": [
+         # regex: whole-value match over the system's code universe
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "code", "op": "regex", "value": "h.*"}]},
+         # in: comma-separated list (unknown codes ignored)
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "code", "op": "in",
+                      "value": "arm,leg,ghost"}]},
+         # AND inside one include: limb subtree ∩ status=active
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "concept", "op": "is-a", "value": "limb"},
+                     {"property": "status", "op": "=", "value": "active"}]},
+     ]}},
+    {"resourceType": "ValueSet", "id": "vs-notlimb", "status": "active",
+     "url": "http://example.org/ValueSet/not-limbs",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "concept", "op": "is-not-a",
+                      "value": "limb"}]},
+     ]}},
+]
+
+
+def qf21(spark, sf_dir):
+    """Predicate ValueSet filters (fhir/terminology.py::_expand_filters):
+    regex / in over the concept universe, concept-property equality,
+    AND semantics across one include's filters, and is-not-a against
+    the transitive closure — the filter ops round 6 still raised on."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_FILTER_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select(
+        "url", "system", "code", "display"
+    )
+
+
+QF21_ORACLE = """
+SELECT * FROM (VALUES
+  -- preds: regex 'h.*' -> hand, heart
+  ('http://example.org/ValueSet/preds', 'http://example.org/cs/anatomy2', 'hand', 'Hand'),
+  ('http://example.org/ValueSet/preds', 'http://example.org/cs/anatomy2', 'heart', 'Heart'),
+  -- preds: in 'arm,leg,ghost' -> arm, leg
+  ('http://example.org/ValueSet/preds', 'http://example.org/cs/anatomy2', 'arm', 'Arm'),
+  ('http://example.org/ValueSet/preds', 'http://example.org/cs/anatomy2', 'leg', 'Leg'),
+  -- preds: is-a limb AND status=active -> limb, foot (arm/leg already
+  -- present; hand is retired)
+  ('http://example.org/ValueSet/preds', 'http://example.org/cs/anatomy2', 'limb', 'Limb'),
+  ('http://example.org/ValueSet/preds', 'http://example.org/cs/anatomy2', 'foot', 'Foot'),
+  -- not-limbs: everything outside the limb-or-descendant set
+  ('http://example.org/ValueSet/not-limbs', 'http://example.org/cs/anatomy2', 'body', 'Body'),
+  ('http://example.org/ValueSet/not-limbs', 'http://example.org/cs/anatomy2', 'organ', 'Organ'),
+  ('http://example.org/ValueSet/not-limbs', 'http://example.org/cs/anatomy2', 'heart', 'Heart')
+) AS t(url, system, code, display)
+"""
+
+
+QUERIES.append(Q("qf21_valueset_predicate_filters", qf21, QF21_ORACLE))
