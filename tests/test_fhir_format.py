@@ -654,3 +654,75 @@ def test_entry_resource_span_scanner_adversarial():
     assert len(spans) == 1 and '"deep":1' in spans[0]
 
     assert _entry_resource_spans('{"resourceType":"Patient","id":"p"}') == []
+
+
+def test_valueset_predicate_filters(spark):
+    """regex/in/not-in code predicates, concept-property equality and
+    regex, is-not-a, AND-across-filters, and the ops that must still
+    raise (exists/generalizes)."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/anatomy2"
+
+    def vs(filters):
+        return _encode(
+            spark,
+            {
+                "resourceType": "ValueSet", "id": "v", "status": "active",
+                "url": "http://x/vs",
+                "compose": {"include": [{"system": system, "filter": filters}]},
+            },
+            "ValueSet",
+        )
+
+    def codes(filters, closure=None):
+        return {
+            r.code
+            for r in expand_valueset(vs(filters), cs, closure=closure).collect()
+        }
+
+    # regex is WHOLE-value: 'h' matches nothing, 'h.*' matches hand+heart
+    assert codes([{"property": "code", "op": "regex", "value": "h"}]) == set()
+    assert codes([{"property": "code", "op": "regex", "value": "h.*"}]) == {
+        "hand", "heart",
+    }
+    # in / not-in over comma lists; unknown codes ignored
+    assert codes([{"property": "code", "op": "in", "value": "arm,ghost"}]) == {"arm"}
+    assert codes([{"property": "code", "op": "not-in", "value": "arm,ghost"}]) == {
+        "body", "limb", "hand", "leg", "foot", "organ", "heart",
+    }
+    # property = / regex against concept.property[]
+    assert codes([{"property": "status", "op": "=", "value": "retired"}]) == {"hand"}
+    assert codes([{"property": "status", "op": "regex", "value": "act.*"}]) == {
+        "body", "limb", "arm", "leg", "foot", "organ", "heart",
+    }
+    # AND inside one include: limb subtree ∩ retired
+    assert codes(
+        [{"property": "concept", "op": "is-a", "value": "limb"},
+         {"property": "status", "op": "=", "value": "retired"}],
+        closure=clo,
+    ) == {"hand"}
+    # is-not-a needs the closure AND the universe
+    assert codes(
+        [{"property": "concept", "op": "is-not-a", "value": "limb"}], closure=clo
+    ) == {"body", "organ", "heart"}
+    # hierarchical op without a closure → targeted error
+    with pytest.raises(NotImplementedError, match="concept closure"):
+        codes([{"property": "concept", "op": "is-a", "value": "limb"}])
+    # unsupported ops still refuse loudly
+    with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
+        codes([{"property": "status", "op": "exists", "value": "true"}])
+    with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
+        codes([{"property": "concept", "op": "generalizes", "value": "hand"}])
