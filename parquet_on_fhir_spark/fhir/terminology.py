@@ -345,23 +345,31 @@ def _expand_filters(
         "regex", "in", "not-in"
     )
     is_prop = (~F.col("property").isin("concept", "code")) & F.col("op").isin(
-        "=", "regex"
+        "=", "regex", "exists"
     )
     bad = flt.filter(~(is_hier | is_code | is_prop)).limit(1).collect()
     if bad:
         raise NotImplementedError(
             f"unsupported ValueSet filter: property={bad[0]['property']!r} "
             f"op={bad[0]['op']!r} (supported: concept is-a / descendent-of "
-            "/ is-not-a; code regex / in / not-in; <property> = / regex)"
+            "/ is-not-a; code regex / in / not-in; <property> = / regex / "
+            "exists)"
         )
     key = ["url", "inc_idx", "n_filters", "f_idx", "system"]
     need_universe = flt.filter(
-        is_code | (F.col("op") == "is-not-a")
+        is_code
+        | (F.col("op") == "is-not-a")
+        | ((F.col("op") == "exists") & (F.col("value") == "false"))
     ).limit(1).count()
     if need_universe and codesystems is None:
         raise NotImplementedError(
-            "code/is-not-a ValueSet filters need the codesystems table "
-            "to enumerate the system's concept universe"
+            "code/is-not-a/exists-false ValueSet filters need the "
+            "codesystems table to enumerate the system's concept universe"
+        )
+    if codesystems is None and flt.filter(is_prop).limit(1).count():
+        raise NotImplementedError(
+            "concept-property ValueSet filters need the codesystems "
+            "table (concept.property[] assertions live there)"
         )
     need_closure = flt.filter(is_hier).limit(1).count()
     if need_closure and closure is None:
@@ -424,20 +432,51 @@ def _expand_filters(
     fp = flt.filter(is_prop)
     if codesystems is not None and fp.limit(1).count():
         props = _concept_properties(codesystems)
+        fv = fp.filter(F.col("op").isin("=", "regex"))
         whole_value = F.concat(F.lit("^(?:"), F.col("value"), F.lit(")$"))
         parts.append(
-            fp.join(
+            fv.join(
                 F.broadcast(props),
-                (fp["system"] == props["system"])
-                & (fp["property"] == props["prop"]),
+                (fv["system"] == props["system"])
+                & (fv["property"] == props["prop"]),
             )
             .filter(
                 F.when(
                     F.col("op") == "=", F.col("pval") == F.col("value")
                 ).otherwise(F.regexp_like(F.col("pval"), whole_value))
             )
-            .select(fp["url"], "inc_idx", "n_filters", "f_idx", fp["system"], "code")
+            .select(fv["url"], "inc_idx", "n_filters", "f_idx", fv["system"], "code")
         )
+        fe = fp.filter(F.col("op") == "exists")
+        if fe.limit(1).count():
+
+            def with_prop(side):
+                return side.join(
+                    F.broadcast(props),
+                    (side["system"] == props["system"])
+                    & (side["property"] == props["prop"]),
+                ).select(
+                    side["url"],
+                    "inc_idx",
+                    "n_filters",
+                    "f_idx",
+                    side["system"],
+                    "code",
+                )
+
+            parts.append(with_prop(fe.filter(F.col("value") == "true")))
+            fe_false = fe.filter(F.col("value") == "false")
+            if need_universe and fe_false.limit(1).count():
+                in_system = fe_false.join(
+                    F.broadcast(uni.select("system", "code")), "system"
+                ).select(*key, "code")
+                parts.append(
+                    in_system.join(
+                        F.broadcast(with_prop(fe_false)),
+                        key + ["code"],
+                        "left_anti",
+                    )
+                )
     matches = parts[0]
     for p in parts[1:]:
         matches = matches.unionByName(p)

@@ -1006,12 +1006,14 @@ _CS_ANATOMY_PROPS_DOC = {
              "property": [{"code": "status", "valueCode": "active"}],
              "concept": [
                 {"code": "arm", "display": "Arm",
-                 "property": [{"code": "status", "valueCode": "active"}],
+                 "property": [{"code": "status", "valueCode": "active"},
+                              {"code": "laterality", "valueCode": "paired"}],
                  "concept": [
                     {"code": "hand", "display": "Hand",
                      "property": [{"code": "status", "valueCode": "retired"}]}]},
                 {"code": "leg", "display": "Leg",
-                 "property": [{"code": "status", "valueCode": "active"}],
+                 "property": [{"code": "status", "valueCode": "active"},
+                              {"code": "laterality", "valueCode": "paired"}],
                  "concept": [
                     {"code": "foot", "display": "Foot",
                      "property": [{"code": "status", "valueCode": "active"}]}]}]},

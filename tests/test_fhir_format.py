@@ -721,8 +721,13 @@ def test_valueset_predicate_filters(spark):
     # hierarchical op without a closure → targeted error
     with pytest.raises(NotImplementedError, match="concept closure"):
         codes([{"property": "concept", "op": "is-a", "value": "limb"}])
+    # exists: true = concepts carrying the property, false = complement
+    assert codes([{"property": "laterality", "op": "exists", "value": "true"}]) == {
+        "arm", "leg",
+    }
+    assert codes([{"property": "laterality", "op": "exists", "value": "false"}]) == {
+        "body", "limb", "hand", "foot", "organ", "heart",
+    }
     # unsupported ops still refuse loudly
-    with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
-        codes([{"property": "status", "op": "exists", "value": "true"}])
     with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
         codes([{"property": "concept", "op": "generalizes", "value": "hand"}])

@@ -24,33 +24,21 @@ from parquet_on_fhir_spark.session import get_session
 from parquet_on_fhir_spark.suite import all_queries
 
 PROBE_QUERIES = [
+    # anchors (probed every wave for run-to-run comparability)
     "q00_flagship_shipping_priority",
     "q21_agg_tpch_q1",
-    "q18_join_asof",
-    "q55_window_session",
-    "q66_dedup_exact",
-    "q72_term_idf",
     "q89_tpch_q18",
-    # round-6 additions
-    "q113_duplicate_spans",
-    "q121_ngram_lm_score",
-    "q122_dedup_lines",
-    "q124_fuzzy_join",
-    "q133_funnel",
-    "q144_classifier_score",
-    "q146_embedding_covariance",
-    "q147_bpe_pairs",
-    # round-6 third wave
-    "q149_tpch_q5_local_supplier",
-    "q150_triangle_count",
-    "q151_scd2_dimension",
-    "q152_ohlc_bars",
-    "q153_time_weighted_avg",
-    "q154_rolling_time_range",
-    "q158_market_basket",
-    "q162_robust_outliers",
-    "q165_target_encoding",
-    "q168_kaplan_meier",
+    # round-7 fifth wave: the operators built after the fourth probe,
+    # plus the three round-7 global-window rewrites (their NEW plans
+    # need fresh ratios)
+    "q175_hierarchy_rollup",
+    "q177_longest_streak",
+    "q178_soft_dedup",
+    "q179_pmi_collocations",
+    "q184_rolling_active_users",
+    "q169_binary_auc",
+    "q180_weighted_percentile",
+    "q182_curriculum_interleave",
 ]
 
 
