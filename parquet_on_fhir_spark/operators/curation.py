@@ -859,3 +859,40 @@ def interleave_sources(
         .withColumn("position", (earlier_rounds + deals_before).cast("int"))
         .drop("__round", "__sdraw", "__tbl")
     )
+
+
+def stratified_folds(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment, optionally
+    stratified: within each stratum, documents are dealt round-robin
+    over a hash-shuffled order, so every fold holds ⌈n_s/k⌉ or
+    ⌊n_s/k⌋ rows of stratum s — the balanced-fold guarantee plain
+    ``hash % k`` only gives in expectation. Layout-independent:
+    assignment depends only on (seed, ids, strata).
+
+    One window shuffle keyed by the strata (per-stratum hash rank, the
+    same shape as interleave_sources); no global window, no action.
+    With ``strata_cols=None`` the hash-mod tier is used instead — a
+    pure map with NO shuffle at all (the right default at 100 TB when
+    ±√n fold-size jitter is acceptable).
+
+    Output: input columns + ``fold`` (0..k-1).
+    """
+    from pyspark.sql import Window
+
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    draw = md5_60(
+        F.concat_ws(":", F.lit(f"fold{seed}"), F.col(id_col).cast("string"))
+    )
+    if not strata_cols:
+        return df.withColumn("fold", (draw % k).cast("int"))
+    w = Window.partitionBy(*strata_cols).orderBy(draw, F.col(id_col))
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -461,3 +461,37 @@ def bpe_pair_counts(df, text_col: str = "text", top_k: int = 50):
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(top_k)
     )
+
+
+def unigram_entropy(
+    df: DataFrame,
+    text_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shannon entropy (nats) of each group's unigram distribution,
+    plus type/token counts — the lexical-diversity fingerprint that
+    separates boilerplate-heavy sources from natural prose in a
+    training mix (low entropy = repetitive vocabulary).
+
+    Plan: whitespace-token explode (map-side, linear in tokens) → one
+    (keys, token) hash aggregate → one (keys) aggregate folding
+    −Σ p·ln p from the per-token counts — two shuffles total, both
+    keyed; the vocabulary frame is the only intermediate and entropy
+    is computed from counts WITHOUT materializing probabilities
+    (H = ln N − Σ c·ln c / N, one pass, numerically stable).
+
+    Output: *keys, n_tokens, n_types, entropy.
+    """
+    keys = key_cols or []
+    toks = df.select(
+        *keys, F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    counts = toks.groupBy(*keys, "__tok").agg(F.count("*").alias("__c"))
+    return counts.groupBy(*keys).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        (
+            F.log(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
+        ).alias("entropy"),
+    )

@@ -471,3 +471,115 @@ def autocorrelation(
             for lag in ls
         ]
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    period: int,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (value = trend +
+    seasonal + residual) along each key's observation order — the
+    moving-average method every stats text opens with, not STL.
+
+    Trend is the centered moving average over one period: for odd
+    ``period`` a plain ``avg`` over the symmetric ROWS frame; for even
+    ``period`` the standard 2×MA end-point-half-weight form, expressed
+    as (frame sum − (lag_h + lead_h)/2) / period — both pure window
+    expressions. Seasonal indices average the detrended values per
+    phase (observation index mod period) and are re-centered to sum
+    to zero. Rows whose trend window is incomplete (series edges)
+    carry NULL trend/seasonal/residual rather than a biased estimate.
+
+    Plan: ONE window shuffle keyed by the series key computes trend,
+    phase, and completeness in the same pass; the seasonal index is a
+    (key, phase) hash aggregate — at most ``period`` rows per key —
+    joined back on the SAME key columns (co-partitioned, no extra
+    shuffle of the fact side under AQE). Nothing is ever globally
+    sorted; 100 TB of series parallelize across keys.
+
+    Output: input columns + trend, seasonal, residual.
+    """
+    order = [ts_col, *(tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    h = period // 2
+    if period % 2 == 1:
+        frame = w.rowsBetween(-h, h)
+        trend = F.avg(value_col).over(frame)
+        full = F.count(value_col).over(frame) == period
+    else:
+        frame = w.rowsBetween(-h, h)
+        ends = (
+            F.lag(F.col(value_col), h).over(w)
+            + F.lead(F.col(value_col), h).over(w)
+        ) / 2.0
+        trend = (F.sum(value_col).over(frame) - ends) / period
+        full = F.count(value_col).over(frame) == period + 1
+    phase = (F.row_number().over(w) - 1) % period
+    t = (
+        df.withColumn("__trend", F.when(full, trend))
+        .withColumn("__phase", phase)
+        .withColumn("__detrend", F.col(value_col) - F.col("__trend"))
+    )
+    idx = t.groupBy(*key_cols, "__phase").agg(
+        F.avg("__detrend").alias("__raw_seasonal")
+    )
+    centered = idx.withColumn(
+        "__seasonal",
+        F.col("__raw_seasonal")
+        - F.avg("__raw_seasonal").over(Window.partitionBy(*key_cols)),
+    ).select(*key_cols, "__phase", "__seasonal")
+    return (
+        t.join(centered, [*key_cols, "__phase"], "left")
+        .withColumn("trend", F.col("__trend"))
+        .withColumn(
+            "seasonal", F.when(F.col("__trend").isNotNull(), F.col("__seasonal"))
+        )
+        .withColumn("residual", F.col("__detrend") - F.col("__seasonal"))
+        .drop("__trend", "__phase", "__detrend", "__seasonal")
+    )
+
+
+def gap_report(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    min_gap: str,
+) -> DataFrame:
+    """Outage/missing-interval report: every span between consecutive
+    observations of a key that exceeds ``min_gap`` (e.g. ``'15
+    minutes'``) — the monitoring companion to gap_fill_locf (which
+    silently repairs what this makes visible).
+
+    One window shuffle keyed by the series key (``lead`` over the time
+    order), then a filter — no densification, so a year-long outage
+    costs one output row, not a year of grid rows.
+
+    Output: *keys, gap_start, gap_end, gap_seconds.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    # NTZ timestamps have no direct long cast; the TIMESTAMP hop
+    # reinterprets in session time (UTC everywhere in this engine)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    out = (
+        df.select(*key_cols, F.col(ts_col).alias("gap_start"), nxt.alias("gap_end"))
+        .withColumn("gap_seconds", epoch("gap_end") - epoch("gap_start"))
+    )
+    secs = _every_seconds_ts(min_gap)
+    return out.filter(F.col("gap_seconds") > secs)
+
+
+def _every_seconds_ts(every: str) -> int:
+    """'15 minutes' / '2 hours' / '90 seconds' / '1 day' → seconds."""
+    n, unit = every.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(n) * mult

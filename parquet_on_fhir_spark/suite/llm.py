@@ -2090,3 +2090,68 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q185_png_real_decode", q185, Q185_ORACLE))
+
+
+# --- Q191: stratified k-fold assignment ---------------------------------------------
+def q191(spark, sf_dir):
+    """operators/curation.py::stratified_folds over documents stratified
+    by source: per-stratum hash-rank deal means every fold gets an
+    equal share of each source (the md5_60 draw makes the exact
+    assignment SQL-restatable)."""
+    from parquet_on_fhir_spark.operators.curation import stratified_folds
+
+    d = t(spark, sf_dir, "documents")
+    out = stratified_folds(d, "doc_id", 5, strata_cols=["source"], seed=0)
+    return out.select("doc_id", "source", "fold")
+
+
+Q191_ORACLE = """
+SELECT doc_id, source,
+       CAST((row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('fold0:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                        doc_id
+             ) - 1) % 5 AS INT) AS fold
+FROM documents
+"""
+
+
+QUERIES.append(Q("q191_stratified_folds", q191, Q191_ORACLE))
+
+
+# --- Q192: unigram entropy per source ------------------------------------------------
+def q192(spark, sf_dir):
+    """operators/text.py::unigram_entropy per source — the
+    lexical-diversity audit; H computed from counts in one pass
+    (ln N - sum c ln c / N)."""
+    from parquet_on_fhir_spark.operators.text import unigram_entropy
+
+    d = t(spark, sf_dir, "documents")
+    out = unigram_entropy(d, "text", key_cols=["source"])
+    return out.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        d4(F.col("entropy")).alias("entropy"),
+    )
+
+
+Q192_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (
+  SELECT source, tok, count(*) AS c
+  FROM toks WHERE tok <> '' GROUP BY source, tok
+)
+SELECT source,
+       sum(c) AS n_tokens,
+       count(*) AS n_types,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4) + 0.0
+         AS entropy
+FROM c GROUP BY source
+"""
+
+
+QUERIES.append(Q("q192_unigram_entropy", q192, Q192_ORACLE))

@@ -3437,3 +3437,236 @@ GROUP BY window_end
 
 
 QUERIES.append(Q("q184_rolling_active_users", q184, Q184_ORACLE))
+
+
+# --- Q186: classical seasonal decomposition (trend + seasonal + residual) -----------
+def q186(spark, sf_dir):
+    """operators/timeseries.py::seasonal_decompose per user at period 4
+    (the EVEN-period 2xMA path: endpoint-half-weight centered average),
+    restated in SQL with the same window frames."""
+    from parquet_on_fhir_spark.operators.timeseries import seasonal_decompose
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = seasonal_decompose(
+        e, "ts", ["user_id"], "value", period=4, tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        d4(F.col("trend")).alias("trend"),
+        d4(F.col("seasonal")).alias("seasonal"),
+        d4(F.col("residual")).alias("residual"),
+    )
+
+
+Q186_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER w - 1 AS rn,
+         CASE WHEN count(*) OVER f = 5
+              THEN (sum(value) OVER f
+                    - (lag(value, 2) OVER w + lead(value, 2) OVER w) / 2) / 4
+         END AS trend
+  FROM events
+  WHERE user_id < 20
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+),
+d AS (SELECT *, rn % 4 AS phase, value - trend AS detrend FROM o),
+s AS (
+  SELECT user_id, phase, avg(detrend) AS raw
+  FROM d GROUP BY user_id, phase
+),
+c AS (
+  SELECT user_id, phase,
+         raw - avg(raw) OVER (PARTITION BY user_id) AS seasonal
+  FROM s
+)
+SELECT d.user_id, d.event_id,
+       round(d.trend + 1e-9, 4) + 0.0 AS trend,
+       round(CASE WHEN d.trend IS NOT NULL THEN c.seasonal END + 1e-9, 4)
+         + 0.0 AS seasonal,
+       round(d.detrend - c.seasonal + 1e-9, 4) + 0.0 AS residual
+FROM d JOIN c ON d.user_id = c.user_id AND d.phase = c.phase
+"""
+
+
+QUERIES.append(Q("q186_seasonal_decompose", q186, Q186_ORACLE))
+
+
+# --- Q187: gap/outage report (missing-interval detection) ---------------------------
+def q187(spark, sf_dir):
+    """operators/timeseries.py::gap_report — spans between consecutive
+    per-user observations exceeding 30 minutes; one lead window, no
+    densification."""
+    from parquet_on_fhir_spark.operators.timeseries import gap_report
+
+    e = t(spark, sf_dir, "events")
+    out = gap_report(e, "ts", ["user_id"], "30 minutes")
+    return out.select(
+        "user_id",
+        ts_str("gap_start", EVENT_TS_SPARK).alias("gap_start"),
+        ts_str("gap_end", EVENT_TS_SPARK).alias("gap_end"),
+        "gap_seconds",
+    )
+
+
+Q187_ORACLE = f"""
+WITH l AS (
+  SELECT user_id, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+  FROM events
+)
+SELECT user_id,
+       strftime(ts, '{EVENT_TS_DUCK}') AS gap_start,
+       strftime(nxt, '{EVENT_TS_DUCK}') AS gap_end,
+       -- Spark casts each timestamp to whole seconds BEFORE subtracting
+       CAST(floor(epoch(nxt)) - floor(epoch(ts)) AS BIGINT) AS gap_seconds
+FROM l
+WHERE floor(epoch(nxt)) - floor(epoch(ts)) > 1800
+"""
+
+
+QUERIES.append(Q("q187_gap_report", q187, Q187_ORACLE))
+
+
+# --- Q188: CUPED variance-reduced metric ------------------------------------------
+def q188(spark, sf_dir):
+    """operators/analytics.py::cuped_adjust — events value adjusted by
+    the pre-period covariate (event_id as a deterministic stand-in),
+    theta from one moment aggregate per event_type."""
+    from parquet_on_fhir_spark.operators.analytics import cuped_adjust
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "covar", (F.col("event_id") % 97).cast("double")
+    )
+    out = cuped_adjust(e, "value", "covar", key_cols=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        d4(F.col("theta")).alias("theta"),
+        d4(F.col("metric_adj")).alias("metric_adj"),
+    )
+
+
+Q188_ORACLE = """
+WITH c AS (SELECT *, CAST(event_id % 97 AS DOUBLE) AS covar FROM events),
+s AS (
+  SELECT event_type,
+         CASE WHEN var_samp(covar) > 0
+              THEN covar_samp(covar, value) / var_samp(covar) ELSE 0.0 END
+           AS theta,
+         avg(covar) AS xbar
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       round(s.theta + 1e-9, 4) + 0.0 AS theta,
+       round(c.value - s.theta * (c.covar - s.xbar) + 1e-9, 4) + 0.0
+         AS metric_adj
+FROM c JOIN s USING (event_type)
+"""
+
+
+QUERIES.append(Q("q188_cuped_adjust", q188, Q188_ORACLE))
+
+
+# --- Q189: Cohen's kappa inter-annotator agreement ----------------------------------
+def q189(spark, sf_dir):
+    """operators/analytics.py::cohens_kappa between two deterministic
+    hash 'raters' over events — one cell aggregate, marginals derived
+    from the cell table."""
+    from parquet_on_fhir_spark.operators.analytics import cohens_kappa
+
+    e = t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).alias("rater_a"),
+        ((F.col("event_id") + (F.col("event_id") % 7) % 2) % 3).alias("rater_b"),
+    )
+    out = cohens_kappa(e, "rater_a", "rater_b")
+    return out.select(
+        d4(F.col("kappa")).alias("kappa"),
+        d4(F.col("p_observed")).alias("p_observed"),
+        d4(F.col("p_expected")).alias("p_expected"),
+        "n",
+    )
+
+
+Q189_ORACLE = """
+WITH r AS (
+  SELECT event_id % 3 AS ra,
+         (event_id + (event_id % 7) % 2) % 3 AS rb
+  FROM events
+),
+cells AS (SELECT ra, rb, count(*) AS c FROM r GROUP BY ra, rb),
+n AS (SELECT sum(c) AS n FROM cells),
+po AS (SELECT coalesce(sum(c), 0) AS agree FROM cells WHERE ra = rb),
+pe AS (
+  SELECT sum(ma.na * mb.nb) AS pe_num
+  FROM (SELECT ra, sum(c) AS na FROM cells GROUP BY ra) ma
+  JOIN (SELECT rb, sum(c) AS nb FROM cells GROUP BY rb) mb ON ma.ra = mb.rb
+)
+SELECT
+  round((agree / CAST(n.n AS DOUBLE) - pe_num / (CAST(n.n AS DOUBLE) * n.n))
+        / (1.0 - pe_num / (CAST(n.n AS DOUBLE) * n.n)) + 1e-9, 4) + 0.0
+    AS kappa,
+  round(agree / CAST(n.n AS DOUBLE) + 1e-9, 4) + 0.0 AS p_observed,
+  round(pe_num / (CAST(n.n AS DOUBLE) * n.n) + 1e-9, 4) + 0.0 AS p_expected,
+  CAST(n.n AS BIGINT) AS n
+FROM n CROSS JOIN po CROSS JOIN pe
+"""
+
+
+QUERIES.append(Q("q189_cohens_kappa", q189, Q189_ORACLE))
+
+
+# --- Q190: calibration bins / reliability diagram -----------------------------------
+def q190(spark, sf_dir):
+    """operators/analytics.py::calibration_bins over a deterministic
+    pseudo-probability and label derived from events — one bin-keyed
+    hash aggregate; sum(ece_term) is the model's ECE."""
+    from parquet_on_fhir_spark.operators.analytics import calibration_bins
+
+    e = t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 101) / 100.0).alias("score"),
+        ((F.col("event_id") % 7) < 3).cast("int").alias("label"),
+    )
+    out = calibration_bins(e, "score", "label", bins=10)
+    return out.select(
+        "bin",
+        d4(F.col("bin_lo")).alias("bin_lo"),
+        d4(F.col("bin_hi")).alias("bin_hi"),
+        "n",
+        d4(F.col("mean_score")).alias("mean_score"),
+        d4(F.col("pos_rate")).alias("pos_rate"),
+        d4(F.col("ece_term")).alias("ece_term"),
+    )
+
+
+Q190_ORACLE = """
+WITH s AS (
+  SELECT (event_id % 101) / 100.0 AS score,
+         CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS label
+  FROM events
+),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score, label FROM s
+),
+per AS (
+  SELECT bin, count(*) AS n, avg(score) AS mean_score,
+         avg(CAST(label AS DOUBLE)) AS pos_rate
+  FROM b GROUP BY bin
+),
+tot AS (SELECT sum(n) AS total FROM per)
+SELECT bin,
+       round(bin / 10.0 + 1e-9, 4) + 0.0 AS bin_lo,
+       round((bin + 1) / 10.0 + 1e-9, 4) + 0.0 AS bin_hi,
+       n,
+       round(mean_score + 1e-9, 4) + 0.0 AS mean_score,
+       round(pos_rate + 1e-9, 4) + 0.0 AS pos_rate,
+       round(abs(pos_rate - mean_score) * n / total + 1e-9, 4) + 0.0
+         AS ece_term
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES.append(Q("q190_calibration_bins", q190, Q190_ORACLE))

@@ -540,3 +540,61 @@ def test_weighted_percentile_windows_distinct_values_only(spark):
     assert "Aggregate [v" in plan[win_pos:], (
         "expected per-distinct-value Aggregate feeding the Window"
     )
+
+
+def test_cuped_reduces_variance_and_preserves_mean(spark):
+    from parquet_on_fhir_spark.operators.analytics import cuped_adjust
+
+    # y = 2x + noise: the covariate explains most variance
+    rows = [(float(x), 2.0 * x + (x % 3 - 1) * 0.5) for x in range(60)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = cuped_adjust(df, "y", "x")
+    r = out.agg(
+        F.avg("y").alias("my"),
+        F.avg("metric_adj").alias("ma"),
+        F.var_samp("y").alias("vy"),
+        F.var_samp("metric_adj").alias("va"),
+    ).collect()[0]
+    assert abs(r.my - r.ma) < 1e-9  # adjustment is mean-preserving
+    assert r.va < r.vy * 0.01  # ~all variance explained by x
+    # zero-variance covariate → theta 0, metric untouched
+    flat = spark.createDataFrame([(1.0, 5.0), (1.0, 7.0)], "x double, y double")
+    got = {r.y: r.metric_adj for r in cuped_adjust(flat, "y", "x").collect()}
+    assert got == {5.0: 5.0, 7.0: 7.0}
+
+
+def test_cohens_kappa_known_table(spark):
+    from parquet_on_fhir_spark.operators.analytics import cohens_kappa
+
+    # classic example: po=0.7, marginals a=(0.5,0.5), b=(0.6,0.4) -> pe=0.5
+    rows = (
+        [("yes", "yes")] * 40 + [("yes", "no")] * 10
+        + [("no", "yes")] * 20 + [("no", "no")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    (r,) = cohens_kappa(df, "a", "b").collect()
+    assert r.n == 100 and abs(r.p_observed - 0.7) < 1e-12
+    assert abs(r.p_expected - 0.5) < 1e-12
+    assert abs(r.kappa - 0.4) < 1e-12
+    # NULL rater rows excluded; degenerate single-label table -> NULL kappa
+    deg = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("x", None)], "a string, b string"
+    )
+    (d,) = cohens_kappa(deg, "a", "b").collect()
+    assert d.n == 2 and d.kappa is None and d.p_observed == 1.0
+
+
+def test_calibration_bins_ece(spark):
+    from parquet_on_fhir_spark.operators.analytics import calibration_bins
+
+    # scores 0.05 (never positive) and 0.95 (always positive): perfectly
+    # separated but miscalibrated by 0.05 in each bin
+    rows = [(0.05, 0)] * 10 + [(0.95, 1)] * 10 + [(1.0, 1)] * 2 + [(None, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r.bin: r for r in calibration_bins(df, "s", "y", bins=10).collect()}
+    assert set(out) == {0, 9}  # empty bins absent; 1.0 folds into bin 9
+    assert out[0].n == 10 and out[0].pos_rate == 0.0
+    assert out[9].n == 12
+    ece = sum(r.ece_term for r in out.values())
+    exp9 = abs(1.0 - (0.95 * 10 + 2) / 12) * 12 / 22
+    assert abs(ece - (0.05 * 10 / 22 + exp9)) < 1e-9

@@ -613,3 +613,51 @@ def test_interleave_sources_round_robin_blocks(spark):
     assert [(r.doc_id, r.position) for r in again] == [
         (r.doc_id, r.position) for r in out
     ]
+
+
+def test_stratified_folds_balanced_per_stratum(spark):
+    from parquet_on_fhir_spark.operators.curation import stratified_folds
+    from pyspark.sql import functions as F
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(101)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_folds(df, "doc_id", 4, strata_cols=["source"], seed=1)
+    per = {
+        (r.source, r.fold): r.c
+        for r in out.groupBy("source", "fold").agg(F.count("*").alias("c")).collect()
+    }
+    # every (stratum, fold) cell within 1 of the stratum's n/k
+    for s in ("s0", "s1", "s2"):
+        sizes = [per.get((s, f), 0) for f in range(4)]
+        assert max(sizes) - min(sizes) <= 1
+    # keyless tier is a pure map (no Exchange in the plan)
+    plain = stratified_folds(df, "doc_id", 4, seed=1)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plain.filter((F.col("fold") < 0) | (F.col("fold") > 3)).count() == 0
+    # determinism across layouts
+    a = {r.doc_id: r.fold for r in out.collect()}
+    b = {
+        r.doc_id: r.fold
+        for r in stratified_folds(
+            df.repartition(7), "doc_id", 4, strata_cols=["source"], seed=1
+        ).collect()
+    }
+    assert a == b
+
+
+def test_unigram_entropy_known_distribution(spark):
+    import math
+
+    from parquet_on_fhir_spark.operators.text import unigram_entropy
+
+    # "a a b c": H = -(1/2 ln 1/2 + 1/4 ln 1/4 * 2)
+    df = spark.createDataFrame([("a a b c",)], "text string")
+    (r,) = unigram_entropy(df, "text").collect()
+    expect = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert r.n_tokens == 4 and r.n_types == 3
+    assert abs(r.entropy - expect) < 1e-12
+    # uniform distribution maxes out at ln(n_types)
+    u = spark.createDataFrame([("x y z w",)], "text string")
+    (ru,) = unigram_entropy(u, "text").collect()
+    assert abs(ru.entropy - math.log(4)) < 1e-12

@@ -240,3 +240,55 @@ def test_autocorrelation_short_series_null(spark):
     df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
     (r,) = autocorrelation(df, "ts", ["k"], "v", lags=[3], tie_cols=["eid"]).collect()
     assert r.acf_3 is None
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A pure seasonal signal on a linear trend: the decomposition must
+    recover both components (up to edge rows, which stay NULL)."""
+    from parquet_on_fhir_spark.operators.timeseries import seasonal_decompose
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    season = [3.0, -1.0, -2.0, 0.0]  # sums to zero, period 4
+    rows = [
+        ("k", t0 + timedelta(hours=i), 10.0 + 0.5 * i + season[i % 4])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = seasonal_decompose(df, "ts", ["k"], "v", period=4).collect()
+    full = [r for r in out if r.trend is not None]
+    assert len(full) == 36  # 2 edge rows lost each side
+    for r in full:
+        i = int((r.ts - t0).total_seconds() // 3600)
+        assert abs(r.trend - (10.0 + 0.5 * i)) < 1e-9
+        assert abs(r.seasonal - season[i % 4]) < 1e-9
+        assert abs(r.residual) < 1e-9
+    # odd period path: period 5 on a 5-cycle
+    s5 = [2.0, 1.0, 0.0, -1.0, -2.0]
+    rows5 = [
+        ("k", t0 + timedelta(hours=i), 7.0 + s5[i % 5]) for i in range(25)
+    ]
+    df5 = spark.createDataFrame(rows5, "k string, ts timestamp, v double")
+    out5 = [r for r in seasonal_decompose(df5, "ts", ["k"], "v", period=5).collect()
+            if r.trend is not None]
+    assert len(out5) == 21
+    for r in out5:
+        i = int((r.ts - t0).total_seconds() // 3600)
+        assert abs(r.trend - 7.0) < 1e-9 and abs(r.seasonal - s5[i % 5]) < 1e-9
+
+
+def test_gap_report_flags_only_long_gaps(spark):
+    from parquet_on_fhir_spark.operators.timeseries import gap_report
+    from datetime import datetime
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0)),
+        ("a", datetime(2024, 1, 1, 0, 10)),   # 10 min: fine
+        ("a", datetime(2024, 1, 1, 2, 0)),    # 110 min gap: flagged
+        ("b", datetime(2024, 1, 1, 0, 0)),    # singleton: no gap rows
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = gap_report(df, "ts", ["k"], "15 minutes").collect()
+    assert len(got) == 1
+    (g,) = got
+    assert g.k == "a" and g.gap_seconds == 6600
