@@ -569,3 +569,88 @@ def numpy_resize(
     ys = np.minimum((np.arange(height) * h) // height, h - 1)
     xs = np.minimum((np.arange(width) * w) // width, w - 1)
     return encode_ppm(img[np.ix_(ys, xs)])
+
+
+# --- real audio codec for PCM WAV (no external library) ----------------------------
+def decode_wav(content: bytes):
+    """RIFF/WAVE PCM → (sample_rate, channels, float64 array of shape
+    (n_samples, channels) normalized to [-1, 1]) with NO codec library
+    — chunk walk + numpy frombuffer. 16-bit and 8-bit PCM supported
+    (format tag 1); compressed codecs (MP3/AAC/float WAV) raise
+    ValueError — route those through the soundfile seam in
+    ``decode_real``/quarantine upstream."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2")
+        norm = raw.astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        raw = np.frombuffer(data, dtype=np.uint8)
+        norm = (raw.astype(np.float64) - 128.0) / 128.0
+    n = len(norm) // channels
+    return sample_rate, channels, norm[: n * channels].reshape(n, channels)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """(n, channels) int16 array → 16-bit PCM WAV bytes (the
+    test/fixture writer for :func:`decode_wav`)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, ch = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def wav_features(content: bytes, mime: str | None = None) -> list[float]:
+    """REAL audio feature codec: decode PCM WAV, then [sample_rate,
+    duration_s, rms, zero_crossings_per_s, peak] over the mono mixdown
+    — the shape an audio-quality filter consumes (silence ≈ rms 0,
+    clipping ≈ peak 1). Payloads that are not PCM WAV fall back to the
+    deterministic byte-statistics stand-in (5-dim too, so the feature
+    column stays fixed-width across a mixed corpus)."""
+    import numpy as np
+
+    try:
+        sr, _ch, x = decode_wav(content)
+    except ValueError:
+        return stand_in_features(content, mime)
+    mono = x.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return [float(sr), 0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    crossings = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    dur = n / sr
+    return [float(sr), dur, rms, crossings / dur, float(np.abs(mono).max())]

@@ -2155,3 +2155,72 @@ FROM c GROUP BY source
 
 
 QUERIES.append(Q("q192_unigram_entropy", q192, Q192_ORACLE))
+
+
+# --- Q193: real audio (PCM WAV) decode, driver-checked ------------------------------
+def q193(spark, sf_dir):
+    """operators/multimodal.py::decode_wav end-to-end: 100 genuine
+    16-bit PCM WAV payloads (1 s of an 8 kHz square wave, amplitude
+    keyed by doc_id, built by the stdlib encoder driver-side and
+    broadcast) are decoded by the numpy WAV codec inside mapInPandas;
+    the resulting [sr, duration, rms, zcr, peak] features have closed
+    forms (square wave: rms = peak = a/32768, 79 sign changes) so the
+    oracle needs no decoder. Proves the bytes → samples → features
+    audio path runs in-container, like q163/q185 for images."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_wav,
+        extract_features,
+        wav_features,
+    )
+
+    payloads = []
+    for lvl in range(100):
+        a = (lvl + 10) * 256
+        half = np.full(100, a, dtype="<i2")
+        wave = np.tile(np.concatenate([half, -half]), 40)  # 8000 samples
+        payloads.append((lvl, bytearray(encode_wav(wave, 8000))))
+    pay = spark.createDataFrame(payloads, "lvl INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 100).cast("int") == F.col("lvl")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(1000).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=wav_features)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("sample_rate"),
+        d4(F.element_at("feat", 2)).alias("duration_s"),
+        d4(F.element_at("feat", 3)).alias("rms"),
+        d4(F.element_at("feat", 4)).alias("zcr_per_s"),
+        d4(F.element_at("feat", 5)).alias("peak"),
+    )
+
+
+Q193_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(16044 AS BIGINT) AS n_bytes,
+       5 AS feat_dim,
+       8000.0 AS sample_rate,
+       round(1.0 + 1e-9, 4) AS duration_s,
+       round((doc_id % 100 + 10) / 128.0 + 1e-9, 4) AS rms,
+       round(79.0 + 1e-9, 4) AS zcr_per_s,
+       round((doc_id % 100 + 10) / 128.0 + 1e-9, 4) AS peak
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+QUERIES.append(Q("q193_wav_real_decode", q193, Q193_ORACLE))

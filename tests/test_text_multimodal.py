@@ -490,3 +490,53 @@ def test_png_flows_through_numpy_features_and_resize():
     # resize canonicalizes to PPM regardless of input container
     out = numpy_resize(encode_png(img), None, 8, 8)
     assert out.startswith(b"P6")
+
+
+def test_wav_roundtrip_and_features():
+    """encode→decode identity for mono and stereo 16-bit PCM; features
+    match closed forms; non-WAV payloads fall back to the stand-in."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        stand_in_features,
+        wav_features,
+    )
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-20000, 20000, size=500, dtype="<i2")
+    sr, ch, x = decode_wav(encode_wav(mono, 16000))
+    assert (sr, ch, x.shape) == (16000, 1, (500, 1))
+    assert np.allclose(x[:, 0], mono / 32768.0)
+    stereo = rng.integers(-20000, 20000, size=(300, 2), dtype="<i2")
+    sr2, ch2, y = decode_wav(encode_wav(stereo, 44100))
+    assert (sr2, ch2, y.shape) == (44100, 2, (300, 2))
+    assert np.allclose(y, stereo / 32768.0)
+    # DC signal: rms == peak == a/32768, zero crossings 0
+    dc = np.full(8000, 16384, dtype="<i2")
+    f = wav_features(encode_wav(dc, 8000))
+    assert f == [8000.0, 1.0, 0.5, 0.0, 0.5]
+    # graceful stand-in for non-WAV payloads (fixed 5-dim width)
+    assert wav_features(b"not audio") == stand_in_features(b"not audio")
+
+
+def test_wav_rejects_out_of_envelope():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"P6 notwav")
+    # float WAV (format tag 3) must be refused, not mis-decoded
+    ok = bytearray(encode_wav(np.zeros(10, dtype="<i2"), 8000))
+    fmt_pos = ok.index(b"fmt ") + 8
+    struct.pack_into("<H", ok, fmt_pos, 3)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(ok))
+    # truncated data chunk
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bytes(encode_wav(np.zeros(10, dtype="<i2"), 8000))[:-5])
