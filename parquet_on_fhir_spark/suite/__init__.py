@@ -9,20 +9,25 @@ from __future__ import annotations
 from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
-# only, so registration order is coverage policy.  Round-7 window =
-# flagship + ALL 23 queries with zero lifetime driver rows at round-6
-# end (q165-q184, q171, qf18-qf20 -- built after the round-6 window
-# filled; first-ever rows beat second rows) + second rows for the
-# r4/r5 singles the judge queued (q95-q106, q109/q111/q112/q115-q118,
-# qf09/qf11) + re-confirms for code rewritten this round
-# (q160 numeric_histogram degenerate-bounds guard, qf15 store
-# broadcast fix) + q113/q114 second rows.  The round-7 rewrites of
-# q169/q180/q182 (global-window elimination) are already covered by
-# the zero-row block.  Remaining singles stay selfcheck-covered and
-# rotate next round.  Rows-only queries are registered LAST so the
-# window contains only hash-checkable entries; each names the test
-# that carries its correctness.  Full-suite verification is always
-# available via `python tools/selfcheck.py`.
+# only, so registration order is coverage policy.  Round-7 window
+# (first-ever rows beat second rows):
+#   1. flagship;
+#   2. ALL 23 queries with zero lifetime driver rows at round-6 end
+#      (q165-q184, q171, qf18-qf20 -- built after the round-6 window
+#      filled; includes the round-7 q169/q180/q182 global-window
+#      rewrites);
+#   3. the 10 queries NEW this round (q185-q193, qf21) so they don't
+#      become next round's backlog;
+#   4. second rows for r4/r5 singles from the judge's queue (the
+#      TPC-H tails q103-q106 and q109/q112/q113/q114/q117 give way to
+#      the first-ever block and rotate next round);
+#   5. re-confirms for q160 (histogram degenerate-bounds guard) and
+#      qf15 (store broadcast fix), both rewritten this round.
+# Remaining singles stay selfcheck-covered and rotate next round.
+# Rows-only queries are registered LAST so the window contains only
+# hash-checkable entries; each names the test that carries its
+# correctness.  Full-suite verification is always available via
+# `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
     # -- zero-lifetime-row: built after the round-6 window filled
@@ -49,7 +54,20 @@ WINDOW = [
     "qf18_patient_linkage",
     "qf19_bp_component_pivot",
     "qf20_lab_value_outliers",
-    # -- second driver rows for r4/r5 singles (judge's queue)
+    # -- first-ever rows: round-7 new queries (new operators + the
+    # PNG/WAV real-decode paths + predicate terminology filters)
+    "q185_png_real_decode",
+    "qf21_valueset_predicate_filters",
+    "q186_seasonal_decompose",
+    "q187_gap_report",
+    "q188_cuped_adjust",
+    "q189_cohens_kappa",
+    "q190_calibration_bins",
+    "q191_stratified_folds",
+    "q192_unigram_entropy",
+    "q193_wav_real_decode",
+    # -- second driver rows for r4/r5 singles (judge's queue; the
+    # remaining singles stay selfcheck-covered and rotate next round)
     "q95_decontaminate",
     "q96_sample_mixture",
     "q97_repetition_stats",
@@ -58,26 +76,15 @@ WINDOW = [
     "q100_tpch_q7_volume_shipping",
     "q101_tpch_q8_market_share",
     "q102_tpch_q12_late_lines",
-    "q103_tpch_q13_custdist",
-    "q104_tpch_q15_top_supplier",
-    "q105_tpch_q17_small_qty",
-    "q106_tpch_q21_waiting_supplier",
-    "q109_doc_chunking",
     "q111_importance_weights",
-    "q112_source_cap",
     "q115_table_profile",
     "q116_corpus_split",
-    "q117_rollup_chain",
     "q118_zorder_write",
     "qf09_view_definition_patient",
     "qf11_chained_search",
-    # -- re-confirms for round-7 rewrites + a heavy-dedup second row
+    # -- re-confirms for code rewritten this round
     "q160_numeric_histogram",
     "qf15_patient_everything",
-    "q114_bm25",
-    # -- first-ever rows for this round's new queries
-    "q185_png_real_decode",
-    "qf21_valueset_predicate_filters",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named
