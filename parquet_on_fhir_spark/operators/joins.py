@@ -282,3 +282,92 @@ def fuzzy_join(
         F.col("__rs").alias(right_col if left_col != right_col else f"{right_col}_r"),
         dist.alias("dist"),
     )
+
+
+def set_similarity_join(
+    df: "DataFrame",
+    id_col: str,
+    tokens_col: str,
+    threshold: float = 0.7,
+) -> "DataFrame":
+    """Exact set-similarity self-join: every pair of rows whose token
+    SETS have Jaccard ≥ ``threshold`` — the tag/keyword/shingle-level
+    counterpart to MinHash (operators/dedup.py), EXACT where MinHash
+    is probabilistic, for the regimes where false negatives are not
+    acceptable (entity resolution, compliance dedup).
+
+    Prefix filtering (Chaudhuri et al., ICDE'06 / Bayardo et al.
+    WWW'07 "All-Pairs"): tokens are ordered rarest-first by GLOBAL
+    frequency (one vocabulary-sized aggregate, broadcast back); a pair
+    at Jaccard ≥ t must share a token among each side's first
+    |s| − ⌈t·|s|⌉ + 1 tokens, so candidates come from an equi-join on
+    PREFIX tokens only — the frequent tokens that would explode a
+    naive token join never enter the join key unless they sit in a
+    short prefix. Length filter |y| ≥ t·|x| prunes before
+    verification; exact Jaccard via array_intersect on the carried
+    token arrays decides. Never all-pairs: cost is Σ_token
+    prefix-df(token)², the published All-Pairs bound.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, one row per qualifying
+    pair.
+    """
+    t = float(threshold)
+    if not 0 < t <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    vocab = toks.select(F.explode("__toks").alias("__tok")).groupBy(
+        "__tok"
+    ).agg(F.count("*").alias("__df"))
+    # rarest-first canonical order: sort (df, token) structs, then strip
+    exploded = toks.select(
+        "__id", F.size("__toks").alias("__n"), F.explode("__toks").alias("__tok")
+    ).join(F.broadcast(vocab), "__tok")
+    ordered = exploded.groupBy("__id", "__n").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__tok")))
+            ),
+            lambda s: s["__tok"],
+        ).alias("__sorted")
+    )
+    prefix_len = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
+    pref = ordered.select(
+        "__id",
+        "__n",
+        "__sorted",
+        F.explode(F.slice("__sorted", 1, prefix_len)).alias("__ptok"),
+    )
+    a = pref.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__sorted").alias("__ta"),
+        "__ptok",
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__sorted").alias("__tb"),
+        "__ptok",
+    )
+    cand = (
+        a.join(b, "__ptok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__nb") >= F.ceil(F.lit(t) * F.col("__na")))
+            & (F.col("__na") >= F.ceil(F.lit(t) * F.col("__nb")))
+        )
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    # verify BEFORE deduplicating so the final distinct shuffles three
+    # scalars, never the token arrays (duplicate candidates recompute
+    # the cheap intersect instead)
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )

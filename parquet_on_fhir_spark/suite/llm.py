@@ -2224,3 +2224,48 @@ WHERE doc_id < 100
 
 
 QUERIES.append(Q("q193_wav_real_decode", q193, Q193_ORACLE))
+
+
+# --- Q194: exact set-similarity self-join (prefix filtering) ------------------------
+def q194(spark, sf_dir):
+    """operators/joins.py::set_similarity_join — EXACT Jaccard >= 0.8
+    pairs over word sets via All-Pairs prefix filtering (rarest-first
+    token order bounds the candidate join); the quadratic oracle is
+    affordable at sf0.01 on the doc_id < 400 slice."""
+    from parquet_on_fhir_spark.operators.joins import set_similarity_join
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_remove(F.split(F.col("text"), " "), "").alias("toks"),
+        )
+    )
+    out = set_similarity_join(d, "doc_id", "toks", threshold=0.8)
+    return out.select("id_a", "id_b", d4(F.col("jaccard")).alias("jaccard"))
+
+
+Q194_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 200
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / CAST(sa.n + sb.n - i AS DOUBLE) + 1e-9, 4) + 0.0 AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+"""
+
+
+QUERIES.append(Q("q194_set_similarity_join", q194, Q194_ORACLE))

@@ -229,3 +229,48 @@ def test_fuzzy_join_randomized_vs_brute_force(spark):
             .collect()
         }
         assert got == brute, (k, len(got), len(brute))
+
+
+def test_set_similarity_join_matches_bruteforce(spark):
+    """Prefix-filtered exact Jaccard join == brute-force pairs on a
+    crafted corpus with shared frequent tokens (the case that forces
+    the prefix filter to earn its keep)."""
+    from itertools import combinations
+
+    from parquet_on_fhir_spark.operators.joins import set_similarity_join
+
+    sets = {
+        1: ["the", "a", "x1", "x2", "x3"],
+        2: ["the", "a", "x1", "x2", "x4"],   # jac(1,2)=4/6=0.667
+        3: ["the", "a", "x1", "x2", "x3"],   # identical to 1
+        4: ["the", "a", "y1", "y2", "y3"],   # only frequent overlap
+        5: ["z1"],
+        6: ["z1"],                            # jac=1.0 singleton pair
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "id long, toks array<string>"
+    )
+    for t in (0.5, 0.66, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in set_similarity_join(df, "id", "toks", t).collect()
+        }
+        expect = {}
+        for a, b in combinations(sorted(sets), 2):
+            sa, sb = set(sets[a]), set(sets[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                expect[(a, b)] = j
+        assert set(got) == set(expect), f"t={t}"
+        for k, v in expect.items():
+            assert abs(got[k] - v) < 1e-12
+
+
+def test_set_similarity_join_rejects_bad_threshold(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.joins import set_similarity_join
+
+    df = spark.createDataFrame([(1, ["a"])], "id long, toks array<string>")
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(df, "id", "toks", 0.0)
