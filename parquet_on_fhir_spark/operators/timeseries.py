@@ -583,3 +583,73 @@ def _every_seconds_ts(every: str) -> int:
         "day": 86400, "days": 86400,
     }[unit]
     return int(n) * mult
+
+
+def holt_smoothing(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt double-exponential smoothing per series: level ℓ_t =
+    α·y_t + (1−α)(ℓ_{t−1} + b_t−1), trend b_t = β(ℓ_t − ℓ_{t−1}) +
+    (1−β)b_{t−1}, fitted one-step-ahead ŷ_t = ℓ_{t−1} + b_{t−1} —
+    the trend-aware upgrade to :func:`ewma` (which a coupled
+    recurrence pair cannot express as a window power series).
+
+    This is the sanctioned Pandas escape hatch (SURVEY §2B Q63): the
+    recurrence is inherently sequential WITHIN a series, so each key
+    group runs as one Arrow batch under ``applyInPandas`` while keys
+    parallelize across executors — the same per-key-sequential shape
+    as stateful streaming. One shuffle on the key; a numpy loop over
+    the group, never a Python loop over Spark rows. Initialization:
+    ℓ_0 = y_0, b_0 = y_1 − y_0 (0 for singleton series); fitted is
+    NULL for the first observation.
+
+    Output: *keys, ts, value, level, trend, fitted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a, b = float(alpha), float(beta)
+    if not (0 < a <= 1 and 0 <= b <= 1):
+        raise ValueError("alpha in (0,1], beta in [0,1] required")
+
+    schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + [
+            f"`{ts_col}` {df.schema[ts_col].dataType.simpleString()}",
+            f"`{value_col}` double",
+            "level double",
+            "trend double",
+            "fitted double",
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(y)
+        lvl = np.empty(n)
+        trd = np.empty(n)
+        fit = np.full(n, np.nan)
+        lvl[0] = y[0]
+        trd[0] = (y[1] - y[0]) if n > 1 else 0.0
+        for i in range(1, n):
+            fit[i] = lvl[i - 1] + trd[i - 1]
+            lvl[i] = a * y[i] + (1 - a) * fit[i]
+            trd[i] = b * (lvl[i] - lvl[i - 1]) + (1 - b) * trd[i - 1]
+        out = pdf[[*key_cols, ts_col]].copy()
+        out[value_col] = y
+        out["level"] = lvl
+        out["trend"] = trd
+        out["fitted"] = fit
+        return out
+
+    return (
+        df.select(*key_cols, ts_col, F.col(value_col).cast("double").alias(value_col))
+        .groupBy(*key_cols)
+        .applyInPandas(smooth, schema=schema)
+    )

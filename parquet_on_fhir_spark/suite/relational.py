@@ -3670,3 +3670,26 @@ FROM per CROSS JOIN tot
 
 
 QUERIES.append(Q("q190_calibration_bins", q190, Q190_ORACLE))
+
+
+# --- Q195: Holt double-exponential smoothing (rows-only: coupled recurrence) --------
+def q195(spark, sf_dir):
+    """operators/timeseries.py::holt_smoothing per user over events —
+    the coupled level/trend recurrence is not ANSI-SQL-expressible
+    (unlike single EWMA's power series), so correctness is carried by
+    tests/test_timeseries.py::test_holt_smoothing_matches_reference_loop
+    and this query is rows-only."""
+    from parquet_on_fhir_spark.operators.timeseries import holt_smoothing
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = holt_smoothing(e, "ts", ["user_id"], "value", alpha=0.3, beta=0.1)
+    return out.select(
+        "user_id",
+        "ts",
+        d4(F.col("level")).alias("level"),
+        d4(F.col("trend")).alias("trend"),
+        d4(F.col("fitted")).alias("fitted"),
+    )
+
+
+QUERIES.append(Q("q195_holt_smoothing", q195, None))

@@ -292,3 +292,52 @@ def test_gap_report_flags_only_long_gaps(spark):
     assert len(got) == 1
     (g,) = got
     assert g.k == "a" and g.gap_seconds == 6600
+
+
+def test_holt_smoothing_matches_reference_loop(spark):
+    """applyInPandas Holt == a hand-rolled reference recurrence, per key,
+    independent of input row order."""
+    from datetime import datetime, timedelta
+
+    from parquet_on_fhir_spark.operators.timeseries import holt_smoothing
+
+    t0 = datetime(2024, 1, 1)
+    series = {
+        "a": [10.0, 12.0, 11.0, 15.0, 18.0, 17.0],
+        "b": [5.0],
+    }
+    rows = [
+        (k, t0 + timedelta(hours=i), v)
+        for k, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    import random
+
+    random.Random(0).shuffle(rows)
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = holt_smoothing(df, "ts", ["k"], "v", alpha=0.4, beta=0.2)
+    got = {
+        (r.k, r.ts): (r.level, r.trend, r.fitted) for r in out.collect()
+    }
+
+    def reference(ys, a=0.4, b=0.2):
+        lvl, trd = [ys[0]], [(ys[1] - ys[0]) if len(ys) > 1 else 0.0]
+        fits = [None]
+        for i in range(1, len(ys)):
+            f = lvl[-1] + trd[-1]
+            nl = a * ys[i] + (1 - a) * f
+            trd.append(b * (nl - lvl[-1]) + (1 - b) * trd[-1])
+            lvl.append(nl)
+            fits.append(f)
+        return lvl, trd, fits
+
+    for k, ys in series.items():
+        lvl, trd, fits = reference(ys)
+        for i in range(len(ys)):
+            g = got[(k, t0 + timedelta(hours=i))]
+            assert abs(g[0] - lvl[i]) < 1e-12
+            assert abs(g[1] - trd[i]) < 1e-12
+            if fits[i] is None:
+                assert g[2] is None
+            else:
+                assert abs(g[2] - fits[i]) < 1e-12
