@@ -1100,3 +1100,147 @@ def calibration_bins(
             ).alias("ece_term"),
         )
     )
+
+
+def frequency_sketch_topk(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 1,
+) -> DataFrame:
+    """Heavy hitters two ways in one pass pattern: exact top-k by hash
+    aggregate PLUS a Count-Min-Sketch estimate column for each of those
+    items — the side-by-side a pipeline owner uses to decide whether
+    the sketch tier (mergeable, fixed ~(e/eps)·ln(1/δ)·4 bytes
+    regardless of cardinality) can replace the exact aggregate in a
+    streaming/incremental setting.
+
+    The sketch is Spark's JVM-native ``count_min_sketch`` aggregate
+    (map-side mergeable partials, one 1-row broadcast); estimates are
+    read driver-side from the sketch's own API (K values, not data).
+    Estimate ≥ true count always (CMS overcounts only, by ≤ eps·N at
+    the given confidence).
+
+    Output: (item, n, n_est, rank) — exact counts, sketch estimates.
+    """
+    from pyspark.sql import Window
+
+    counts = df.filter(F.col(item_col).isNotNull()).groupBy(
+        F.col(item_col).alias("item")
+    ).agg(F.count("*").alias("n"))
+    top = (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("item"))),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    sk_row = (
+        df.filter(F.col(item_col).isNotNull())
+        .agg(
+            F.count_min_sketch(
+                F.col(item_col).cast("string"),
+                F.lit(float(eps)),
+                F.lit(float(confidence)),
+                F.lit(seed),
+            ).alias("sk")
+        )
+        .collect()[0]
+    )
+    # K-row driver-side estimate lookup (the sketch is one binary blob;
+    # the DATA was aggregated distributed — this collect moves ~KB)
+    import struct
+
+    sketch = _cms_parse(bytes(sk_row["sk"]))
+    items = [r["item"] for r in top.select("item").collect()]
+    est = [(it, _cms_estimate(sketch, str(it))) for it in items]
+    spark = df.sparkSession
+    est_df = spark.createDataFrame(est, f"item {df.schema[item_col].dataType.simpleString()}, n_est long")
+    return top.join(F.broadcast(est_df), "item").select(
+        "item", "n", "n_est", "rank"
+    )
+
+
+def _cms_parse(blob: bytes):
+    """Parse Spark's CountMinSketch serialized form (stream version 1:
+    int version, long totalCount, int depth, int width, long[depth]
+    hashA, long[depth][width] table — all big-endian, the format of
+    org.apache.spark.util.sketch.CountMinSketchImpl.writeTo)."""
+    import struct
+
+    version, total, depth, width = struct.unpack_from(">iqii", blob, 0)
+    if version != 1:
+        raise ValueError(f"unexpected CountMinSketch version {version}")
+    off = 4 + 8 + 4 + 4
+    hash_a = struct.unpack_from(f">{depth}q", blob, off)
+    off += depth * 8
+    table = []
+    for _ in range(depth):
+        table.append(struct.unpack_from(f">{width}q", blob, off))
+        off += width * 8
+    return {"depth": depth, "width": width, "hash_a": hash_a, "table": table}
+
+
+def _cms_estimate(sketch, item: str) -> int:
+    """CountMinSketchImpl.estimateCount for string items, restated from
+    the Apache Spark sketch module's documented scheme: two
+    Murmur3_x86_32 passes over the UTF-8 bytes (seed 0, then seed =
+    first hash), bucket_i = |(h1 + i·h2) mod width| in wrapping 32-bit
+    arithmetic, min over rows — so estimates can be read driver-side
+    without a JVM round-trip per item."""
+    data = item.encode("utf-8")
+    h1 = _murmur3_32(data, 0)
+    h2 = _murmur3_32(data, h1)
+    depth, width = sketch["depth"], sketch["width"]
+    best = None
+    for i in range(depth):
+        combined = _i32(h1 + i * h2)
+        # Java: Math.abs(combined % width) — truncating division, so
+        # |a % width| == |a| % width for positive width
+        pos = abs(combined) % width
+        v = sketch["table"][i][pos]
+        best = v if best is None else min(best, v)
+    return int(best or 0)
+
+
+def _i32(x: int) -> int:
+    """Wrap to Java signed-int semantics."""
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= 1 << 31 else x
+
+
+def _murmur3_32(data: bytes, seed: int) -> int:
+    """Murmur3 x86 32-bit as Spark's sketch module computes it for byte
+    payloads (``hashUnsafeBytes``): 4-byte little-endian words through
+    the standard rounds, then each TAIL byte — sign-extended — gets a
+    FULL mixK1+mixH1 round (unlike the reference murmur3 tail), and
+    fmix over the total length. Returns Java signed int."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+
+    def mix(h, k):
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        return (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    for i in range(0, rounded, 4):
+        h = mix(h, int.from_bytes(data[i : i + 4], "little"))
+    for i in range(rounded, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # Java bytes are signed; sign-extend before mixing
+        h = mix(h, b & 0xFFFFFFFF)
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return _i32(h)

@@ -2269,3 +2269,51 @@ WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
 
 
 QUERIES.append(Q("q194_set_similarity_join", q194, Q194_ORACLE))
+
+
+# --- Q196: Count-Min-Sketch heavy hitters vs exact ---------------------------------
+def q196(spark, sf_dir):
+    """operators/analytics.py::frequency_sketch_topk over document
+    tokens: exact top-20 heavy hitters side-by-side with JVM-native
+    count_min_sketch estimates (driver-side decode of the serialized
+    sketch — a K-item lookup, no JVM round-trips). The estimate VALUES
+    depend on sketch collisions, so the oracle checks the exact
+    counts/ranks plus the two CMS invariants (never undercounts;
+    within eps*N here, verified at this SF)."""
+    from parquet_on_fhir_spark.operators.analytics import frequency_sketch_topk
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    out = frequency_sketch_topk(toks, "tok", k=20, eps=0.001, seed=7)
+    total = toks.count()
+    return out.select(
+        F.col("item"),
+        "n",
+        "rank",
+        (F.col("n_est") >= F.col("n")).alias("est_ge_exact"),
+        (F.col("n_est") <= F.col("n") + F.lit(int(0.001 * total))).alias(
+            "est_within_eps"
+        ),
+    )
+
+
+Q196_ORACLE = """
+WITH c AS (
+  SELECT tok AS item, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+)
+SELECT item, n,
+       CAST(row_number() OVER (ORDER BY n DESC, item ASC) AS BIGINT)
+         AS rank,
+       true AS est_ge_exact,
+       true AS est_within_eps
+FROM c
+QUALIFY rank <= 20
+"""
+
+
+QUERIES.append(Q("q196_frequency_sketch", q196, Q196_ORACLE))

@@ -598,3 +598,23 @@ def test_calibration_bins_ece(spark):
     ece = sum(r.ece_term for r in out.values())
     exp9 = abs(1.0 - (0.95 * 10 + 2) / 12) * 12 / 22
     assert abs(ece - (0.05 * 10 / 22 + exp9)) < 1e-9
+
+
+def test_frequency_sketch_topk_estimates_match_jvm(spark):
+    """The driver-side CMS decode (murmur3 restatement + bucket scheme)
+    must reproduce the JVM's own estimates — exercised with unicode and
+    non-4-byte-aligned items where the tail-byte handling matters."""
+    from parquet_on_fhir_spark.operators.analytics import frequency_sketch_topk
+
+    items = ["a", "ab", "abc", "abcd", "abcde", "naïve", "日本語", "x" * 37]
+    rows = [(it,) for i, it in enumerate(items) for _ in range(10 * (i + 1))]
+    df = spark.createDataFrame(rows, "x string")
+    out = frequency_sketch_topk(df, "x", k=len(items), eps=0.0001, seed=3)
+    got = {r.item: r for r in out.collect()}
+    assert set(got) == set(items)
+    for i, it in enumerate(items):
+        assert got[it].n == 10 * (i + 1)
+        # wide sketch + tiny vocab: no collisions, estimate is exact
+        assert got[it].n_est == got[it].n
+    # ranks are dense 1..k by descending count
+    assert sorted(r.rank for r in got.values()) == list(range(1, len(items) + 1))
