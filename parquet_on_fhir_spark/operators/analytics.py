@@ -1244,3 +1244,53 @@ def _murmur3_32(data: bytes, seed: int) -> int:
     h = (h * 0xC2B2AE35) & 0xFFFFFFFF
     h ^= h >> 16
     return _i32(h)
+
+
+def distinct_sketch_rollup(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    lg_config_k: int = 14,
+) -> DataFrame:
+    """Mergeable distinct counting (Apache DataSketches HLL, JVM-native
+    ``hll_sketch_agg``): one sketch per group PLUS the union-of-sketches
+    total — the pattern that lets a 100 TB pipeline maintain per-day /
+    per-source distinct counts incrementally and roll them up WITHOUT
+    re-scanning history (sketches union in K·1.5 KB, exact distincts
+    don't merge at all).
+
+    One hash aggregate to per-group sketches (map-side mergeable
+    partials), one union aggregate over the K-row sketch frame. Exact
+    per-group counts are computed alongside so callers can audit the
+    estimate error on their own data.
+
+    Output: one row per group — (group, n_exact, n_est, rel_err) —
+    plus a final ``__TOTAL__`` row whose estimate comes from the sketch
+    UNION (never from re-aggregating raw data).
+    """
+    per = df.groupBy(F.col(group_col).cast("string").alias("group")).agg(
+        F.hll_sketch_agg(F.col(item_col).cast("string"), F.lit(lg_config_k)).alias(
+            "__sk"
+        ),
+        F.count_distinct(item_col).alias("n_exact"),
+    )
+    est = F.hll_sketch_estimate("__sk").alias("n_est")
+    groups = per.select("group", "n_exact", est)
+    total = (
+        per.agg(F.hll_union_agg("__sk").alias("__sk"))
+        .crossJoin(
+            F.broadcast(
+                df.agg(F.count_distinct(item_col).alias("n_exact"))
+            )
+        )
+        .select(
+            F.lit("__TOTAL__").alias("group"),
+            "n_exact",
+            F.hll_sketch_estimate("__sk").alias("n_est"),
+        )
+    )
+    out = groups.unionByName(total)
+    return out.withColumn(
+        "rel_err",
+        F.abs(F.col("n_est") - F.col("n_exact")) / F.greatest(F.col("n_exact"), F.lit(1)),
+    )

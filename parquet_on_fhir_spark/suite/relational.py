@@ -3693,3 +3693,34 @@ def q195(spark, sf_dir):
 
 
 QUERIES.append(Q("q195_holt_smoothing", q195, None))
+
+
+# --- Q197: mergeable HLL distinct rollup -------------------------------------------
+def q197(spark, sf_dir):
+    """operators/analytics.py::distinct_sketch_rollup — per-event-type
+    DataSketches HLL distinct-user sketches unioned into a total
+    WITHOUT re-scanning raw data. Sketch estimates aren't portable to
+    DuckDB, so the oracle checks exact counts + the estimate-accuracy
+    invariant (HLL lgK=14 keeps rel_err ~1%; verified << 2% at this
+    SF)."""
+    from parquet_on_fhir_spark.operators.analytics import distinct_sketch_rollup
+
+    e = t(spark, sf_dir, "events")
+    out = distinct_sketch_rollup(e, "event_type", "user_id")
+    return out.select(
+        "group",
+        "n_exact",
+        (F.col("rel_err") < 0.02).alias("est_ok"),
+    )
+
+
+Q197_ORACLE = """
+SELECT event_type AS "group", count(DISTINCT user_id) AS n_exact,
+       true AS est_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__TOTAL__', count(DISTINCT user_id), true FROM events
+"""
+
+
+QUERIES.append(Q("q197_hll_distinct_rollup", q197, Q197_ORACLE))

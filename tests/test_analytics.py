@@ -618,3 +618,20 @@ def test_frequency_sketch_topk_estimates_match_jvm(spark):
         assert got[it].n_est == got[it].n
     # ranks are dense 1..k by descending count
     assert sorted(r.rank for r in got.values()) == list(range(1, len(items) + 1))
+
+
+def test_distinct_sketch_rollup_union_is_sketch_based(spark):
+    from parquet_on_fhir_spark.operators.analytics import distinct_sketch_rollup
+
+    # overlapping groups: union total (500) < sum of group distincts
+    rows = [("a", f"u{i}") for i in range(400)] + [
+        ("b", f"u{i}") for i in range(100, 500)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    got = {r.group: r for r in distinct_sketch_rollup(df, "g", "u").collect()}
+    assert got["a"].n_exact == 400 and got["b"].n_exact == 400
+    assert got["__TOTAL__"].n_exact == 500
+    # HLL at lgK=14 on 500 items: essentially exact; union must NOT
+    # double-count the 300-user overlap
+    assert abs(got["__TOTAL__"].n_est - 500) <= 5
+    assert all(r.rel_err < 0.02 for r in got.values())
