@@ -1294,3 +1294,184 @@ def distinct_sketch_rollup(
         "rel_err",
         F.abs(F.col("n_est") - F.col("n_exact")) / F.greatest(F.col("n_exact"), F.lit(1)),
     )
+
+
+def attribution(
+    events: DataFrame,
+    touch_pred: Column,
+    conversion_pred: Column,
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    channel_col: str = "event_type",
+    lookback: str = "7 days",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Marketing/channel attribution: credit each conversion to the
+    touch event(s) that preceded it.
+
+    Models:
+    - ``last_touch`` / ``first_touch`` — the single most recent /
+      earliest touch strictly before the conversion. ONE window shuffle
+      keyed by user (running last/first over the user's time order) —
+      no pair join, scale-clean at any touch density.
+    - ``linear`` — every touch within ``lookback`` before the
+      conversion shares 1/n credit. This genuinely needs the
+      (conversion, touch) pairs; the join is BOUNDED by the lookback
+      interval (the standard attribution-window practice), so per-user
+      fanout is touches-per-lookback, never all history. At 100 TB
+      route it through the bucketed interval join
+      (operators/joins.py::interval_join_bucketed) — same predicate.
+
+    Conversions with no qualifying touch credit the NULL channel
+    (= "direct"). Output: (channel, conversions, credit) — integer
+    conversion count and fractional credit (equal for last/first).
+    """
+    from pyspark.sql import Window
+
+    from parquet_on_fhir_spark.operators.joins import _interval_seconds
+
+    flagged = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__tie_{c}") for c in (tie_cols or [])],
+        F.col(channel_col).alias("__ch"),
+        touch_pred.alias("__touch"),
+        conversion_pred.alias("__conv"),
+    ).filter(F.col("__touch") | F.col("__conv"))
+    order = [F.col("__ts")] + [F.col(f"__tie_{c}") for c in (tie_cols or [])]
+    if model in ("last_touch", "first_touch"):
+        w = Window.partitionBy("__u").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        touch_ch = F.when(F.col("__touch"), F.col("__ch"))
+        pick = (
+            F.last(touch_ch, ignorenulls=True).over(w)
+            if model == "last_touch"
+            else F.first(touch_ch, ignorenulls=True).over(w)
+        )
+        credited = flagged.withColumn("__credit_ch", pick).filter(
+            F.col("__conv")
+        )
+        return credited.groupBy(
+            F.col("__credit_ch").alias("channel")
+        ).agg(
+            F.count("*").alias("conversions"),
+            F.count("*").cast("double").alias("credit"),
+        )
+    if model != "linear":
+        raise ValueError(f"unknown attribution model {model!r}")
+    lb = _interval_seconds(lookback)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    conv = flagged.filter(F.col("__conv")).select(
+        "__u", F.col("__ts").alias("__cts")
+    )
+    touch = flagged.filter(F.col("__touch")).select(
+        "__u", F.col("__ts").alias("__tts"), "__ch"
+    )
+    pairs = conv.join(touch, "__u").filter(
+        (F.col("__tts") < F.col("__cts"))
+        & (epoch("__tts") >= epoch("__cts") - lb)
+    )
+    per_conv = pairs.groupBy("__u", "__cts", "__ch").agg(
+        F.count("*").alias("__n_ch")
+    )
+    tot = pairs.groupBy("__u", "__cts").agg(F.count("*").alias("__n_tot"))
+    shared = per_conv.join(tot, ["__u", "__cts"]).withColumn(
+        "__credit", F.col("__n_ch") / F.col("__n_tot")
+    )
+    credited = shared.groupBy(F.col("__ch").alias("channel")).agg(
+        F.sum("__credit").alias("credit")
+    )
+    # conversions with zero in-window touches -> NULL channel
+    orphan = (
+        conv.join(
+            tot.select("__u", "__cts"), ["__u", "__cts"], "left_anti"
+        )
+        .agg(F.count("*").alias("conversions"))
+        .select(
+            F.lit(None).cast("string").alias("channel"),
+            "conversions",
+            F.col("conversions").cast("double").alias("credit"),
+        )
+        .filter(F.col("conversions") > 0)
+    )
+    n_per_channel = shared.groupBy(F.col("__ch").alias("channel")).agg(
+        F.count("*").alias("conversions")
+    )
+    return (
+        credited.join(n_per_channel, "channel")
+        .select("channel", "conversions", "credit")
+        .unionByName(orphan)
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Differentially-private count release: per-group counts plus
+    Laplace(1/ε) noise — the standard ε-DP mechanism for unit
+    sensitivity — with the noise drawn from a HASH of (seed, group), so
+    the release is deterministic, layout-independent, and restatable
+    (u = md5-uniform in (−½, ½), noise = −(1/ε)·sign(u)·ln(1−2|u|)).
+
+    One hash aggregate; the noise is a pure expression over the
+    K-row group frame. NOTE the determinism trade-off, stated plainly:
+    a hash-seeded release is reproducible (same seed → same noise,
+    good for audited pipelines); publish each (seed, dataset) pair
+    ONCE — re-releasing with fresh seeds composes ε like any repeated
+    DP query.
+
+    Output: *groups, n (true), n_noisy (double), epsilon.
+    """
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("n"))
+    key = F.concat_ws(
+        ":", F.lit(f"dp{seed}"), *[F.col(c).cast("string") for c in group_cols]
+    )
+    u = md5_60(key) / F.lit(float(2**60)) - 0.5  # uniform (-0.5, 0.5)
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return counts.select(
+        *group_cols,
+        "n",
+        (F.col("n") + noise).alias("n_noisy"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    equivalence class smaller than ``k`` is a re-identification risk
+    (the first check before releasing microdata or training on
+    user-level records).
+
+    One hash aggregate to class sizes, one tiny summary aggregate.
+    Output: 1 row — (n_rows, n_classes, min_class_size, k, n_violating_classes,
+    n_risky_rows, k_anonymous).
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count("*").alias("__size"))
+    return classes.agg(
+        F.sum("__size").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("__size").alias("min_class_size"),
+        F.lit(k).alias("k"),
+        F.sum((F.col("__size") < k).cast("int")).alias("n_violating_classes"),
+        F.sum(F.when(F.col("__size") < k, F.col("__size")).otherwise(0)).alias(
+            "n_risky_rows"
+        ),
+        (F.min("__size") >= k).alias("k_anonymous"),
+    )

@@ -3724,3 +3724,171 @@ SELECT '__TOTAL__', count(DISTINCT user_id), true FROM events
 
 
 QUERIES.append(Q("q197_hll_distinct_rollup", q197, Q197_ORACLE))
+
+
+# --- Q198: last-touch attribution ---------------------------------------------------
+def q198(spark, sf_dir):
+    """operators/analytics.py::attribution last-touch: each purchase is
+    credited to the user's most recent view/click before it (one keyed
+    window, no pair join); purchases with no prior touch fall to the
+    NULL 'direct' channel."""
+    from parquet_on_fhir_spark.operators.analytics import attribution
+
+    e = t(spark, sf_dir, "events")
+    out = attribution(
+        e,
+        touch_pred=F.col("event_type").isin("view", "click"),
+        conversion_pred=F.col("event_type") == "purchase",
+        model="last_touch",
+        tie_cols=["event_id"],
+    )
+    return out.select("channel", "conversions", d4(F.col("credit")).alias("credit"))
+
+
+Q198_ORACLE = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         event_type IN ('view', 'click') AS is_touch,
+         event_type = 'purchase' AS is_conv
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+lt AS (
+  SELECT *,
+         last_value(CASE WHEN is_touch THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM f
+)
+SELECT channel, count(*) AS conversions,
+       round(CAST(count(*) AS DOUBLE) + 1e-9, 4) AS credit
+FROM lt WHERE is_conv GROUP BY channel
+"""
+
+
+QUERIES.append(Q("q198_attribution_last_touch", q198, Q198_ORACLE))
+
+
+# --- Q198b: linear attribution (bounded lookback pair join) -------------------------
+def q198b(spark, sf_dir):
+    """Linear model: every view/click within 12 hours before a purchase
+    shares 1/n credit — the bounded-lookback pair join; purchases with
+    zero in-window touches credit the NULL channel."""
+    from parquet_on_fhir_spark.operators.analytics import attribution
+
+    e = t(spark, sf_dir, "events")
+    out = attribution(
+        e,
+        touch_pred=F.col("event_type").isin("view", "click"),
+        conversion_pred=F.col("event_type") == "purchase",
+        model="linear",
+        lookback="12 hours",
+    )
+    return out.select("channel", "conversions", d4(F.col("credit")).alias("credit"))
+
+
+Q198B_ORACLE = """
+WITH conv AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, ts AS tts, event_type AS ch
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT c.user_id, c.cts, t.ch
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+  WHERE t.tts < c.cts AND epoch(t.tts) >= epoch(c.cts) - 43200
+),
+per AS (
+  SELECT user_id, cts, ch, count(*) AS n_ch FROM pairs GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT user_id, cts, count(*) AS n_tot FROM pairs GROUP BY 1, 2
+),
+shared AS (
+  SELECT per.ch, per.n_ch / CAST(tot.n_tot AS DOUBLE) AS credit
+  FROM per JOIN tot USING (user_id, cts)
+)
+SELECT ch AS channel, count(*) AS conversions,
+       round(sum(credit) + 1e-9, 4) AS credit
+FROM shared GROUP BY ch
+UNION ALL
+SELECT NULL, count(*), round(CAST(count(*) AS DOUBLE) + 1e-9, 4)
+FROM conv c LEFT JOIN tot ON c.user_id = tot.user_id AND c.cts = tot.cts
+WHERE tot.n_tot IS NULL
+HAVING count(*) > 0
+"""
+
+
+QUERIES.append(Q("q198b_attribution_linear", q198b, Q198B_ORACLE))
+
+
+# --- Q199: differentially-private noisy counts --------------------------------------
+def q199(spark, sf_dir):
+    """operators/analytics.py::dp_noisy_counts over document sources:
+    hash-seeded Laplace(1/eps) noise makes the DP release deterministic
+    and fully SQL-restatable."""
+    from parquet_on_fhir_spark.operators.analytics import dp_noisy_counts
+
+    d = t(spark, sf_dir, "documents")
+    out = dp_noisy_counts(d, ["source"], epsilon=0.5, seed=3)
+    return out.select(
+        "source", "n", d4(F.col("n_noisy")).alias("n_noisy"), "epsilon"
+    )
+
+
+Q199_ORACLE = """
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+u AS (
+  SELECT *, CAST('0x' || substr(md5('dp3:' || source), 1, 15) AS BIGINT)
+            / CAST(1152921504606846976 AS DOUBLE) - 0.5 AS uu
+  FROM c
+)
+SELECT source, n,
+       round(n + (-2.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu))) + 1e-9, 4)
+         AS n_noisy,
+       0.5 AS epsilon
+FROM u
+"""
+
+
+QUERIES.append(Q("q199_dp_noisy_counts", q199, Q199_ORACLE))
+
+
+# --- Q200: k-anonymity audit --------------------------------------------------------
+def q200(spark, sf_dir):
+    """operators/analytics.py::k_anonymity_report over the
+    (event_type, user bucket) quasi-identifier — class-size audit
+    before releasing user-level records."""
+    from parquet_on_fhir_spark.operators.analytics import k_anonymity_report
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 50).cast("int")
+    )
+    out = k_anonymity_report(e, ["event_type", "user_bucket"], k=5)
+    return out
+
+
+Q200_ORACLE = """
+WITH cls AS (
+  SELECT event_type, CAST(user_id % 50 AS INT) AS user_bucket,
+         count(*) AS sz
+  FROM events GROUP BY 1, 2
+)
+SELECT sum(sz) AS n_rows,
+       count(*) AS n_classes,
+       min(sz) AS min_class_size,
+       5 AS k,
+       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS n_risky_rows,
+       min(sz) >= 5 AS k_anonymous
+FROM cls
+"""
+
+
+QUERIES.append(Q("q200_k_anonymity", q200, Q200_ORACLE))

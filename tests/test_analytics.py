@@ -635,3 +635,66 @@ def test_distinct_sketch_rollup_union_is_sketch_based(spark):
     # double-count the 300-user overlap
     assert abs(got["__TOTAL__"].n_est - 500) <= 5
     assert all(r.rel_err < 0.02 for r in got.values())
+
+
+def test_attribution_models(spark):
+    from datetime import datetime
+
+    from parquet_on_fhir_spark.operators.analytics import attribution
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # u1: view -> click -> purchase (last=click, first=view, linear 50/50)
+        (1, datetime(2024, 1, 1, 0), 1, "view"),
+        (1, datetime(2024, 1, 1, 1), 2, "click"),
+        (1, datetime(2024, 1, 1, 2), 3, "purchase"),
+        # u2: purchase with no touches -> NULL/direct
+        (2, datetime(2024, 1, 1, 0), 4, "purchase"),
+        # u3: touch AFTER the purchase must not count
+        (3, datetime(2024, 1, 1, 1), 5, "purchase"),
+        (3, datetime(2024, 1, 1, 2), 6, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    touch = F.col("event_type").isin("view", "click")
+    conv = F.col("event_type") == "purchase"
+    last = {r.channel: r for r in attribution(df, touch, conv, "last_touch", tie_cols=["event_id"]).collect()}
+    assert last["click"].conversions == 1 and last[None].conversions == 2
+    first = {r.channel: r for r in attribution(df, touch, conv, "first_touch", tie_cols=["event_id"]).collect()}
+    assert first["view"].conversions == 1 and first[None].conversions == 2
+    lin = {r.channel: r for r in attribution(df, touch, conv, "linear", lookback="1 days").collect()}
+    assert abs(lin["view"].credit - 0.5) < 1e-12
+    assert abs(lin["click"].credit - 0.5) < 1e-12
+    assert lin[None].conversions == 2  # no-touch purchases -> direct
+
+
+def test_dp_noisy_counts_properties(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import dp_noisy_counts
+
+    rows = [(f"g{i % 10}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string")
+    a = {r.g: r.n_noisy for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=1).collect()}
+    b = {r.g: r.n_noisy for r in dp_noisy_counts(df.repartition(13), ["g"], epsilon=1.0, seed=1).collect()}
+    assert a == b  # deterministic, layout-independent
+    c = {r.g: r.n_noisy for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=2).collect()}
+    assert a != c  # seed changes the release
+    # noise is actually applied but Laplace(1/eps=1) stays small
+    exact = {r.g: r.n for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=1).collect()}
+    assert all(abs(a[g] - exact[g]) < 15 for g in a)
+    assert any(abs(a[g] - exact[g]) > 1e-6 for g in a)
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_k_anonymity_report(spark):
+    from parquet_on_fhir_spark.operators.analytics import k_anonymity_report
+
+    rows = [("a", 1)] * 10 + [("a", 2)] * 3 + [("b", 1)] * 2
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    (r,) = k_anonymity_report(df, ["q1", "q2"], k=5).collect()
+    assert (r.n_rows, r.n_classes, r.min_class_size) == (15, 3, 2)
+    assert (r.n_violating_classes, r.n_risky_rows) == (2, 5)
+    assert not r.k_anonymous
+    (ok,) = k_anonymity_report(df, ["q1", "q2"], k=2).collect()
+    assert ok.k_anonymous
