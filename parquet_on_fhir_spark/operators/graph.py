@@ -386,10 +386,11 @@ def triangle_count(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
     tris = wedges.join(closing, ["x", "y"])  # (u, x, y) = one triangle
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("x").alias("node")))
-        .unionAll(tris.select(F.col("y").alias("node")))
+    # one explode, not a 3-way unionAll of the SAME join subtree — the
+    # union form plans the wedge join three times (no reuse without an
+    # explicit cache); the explode scans it once
+    corners = tris.select(
+        F.explode(F.array(F.col("u"), F.col("x"), F.col("y"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
