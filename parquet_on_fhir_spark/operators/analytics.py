@@ -245,11 +245,19 @@ def market_basket_pairs(
         .groupBy("__i", "__j")
         .agg(F.count("*").alias("n_baskets"))
     )
-    sym = counts.unionAll(
-        counts.select(
-            F.col("__j").alias("__i"), F.col("__i").alias("__j"), "n_baskets"
-        )
-    )
+    # both orientations via ONE explode — a unionAll of two selects from
+    # `counts` would re-plan (and re-execute) the pair join + aggregate
+    sym = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("__i"), F.col("__j")),
+                F.struct(
+                    F.col("__j").alias("__i"), F.col("__i").alias("__j")
+                ),
+            )
+        ).alias("__p"),
+        "n_baskets",
+    ).select(F.col("__p.__i").alias("__i"), F.col("__p.__j").alias("__j"), "n_baskets")
     w = Window.partitionBy("__i").orderBy(
         F.desc("n_baskets"), F.asc("__j")
     )

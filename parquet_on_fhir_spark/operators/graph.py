@@ -326,9 +326,10 @@ def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 def _undirected_degrees(und: DataFrame) -> DataFrame:
     """(n, d) degree table of a canonical undirected edge list."""
+    # one explode, one scan of the (checkpointed) edge list — the
+    # unionAll form scans it twice
     return (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
+        und.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
