@@ -1282,6 +1282,9 @@ def distinct_sketch_rollup(
         ),
         F.count_distinct(item_col).alias("n_exact"),
     )
+    # K-row frame referenced by BOTH the per-group select and the union
+    # aggregate — lazy lineage cut so the raw-data aggregate runs once
+    per = per.localCheckpoint(eager=False)
     est = F.hll_sketch_estimate("__sk").alias("n_est")
     groups = per.select("group", "n_exact", est)
     total = (
@@ -1381,6 +1384,10 @@ def attribution(
         (F.col("__tts") < F.col("__cts"))
         & (epoch("__tts") >= epoch("__cts") - lb)
     )
+    # referenced by per-channel counts, per-conversion totals AND the
+    # orphan anti-join — lazy lineage cut computes the bounded pair
+    # join once instead of three times
+    pairs = pairs.localCheckpoint(eager=False)
     per_conv = pairs.groupBy("__u", "__cts", "__ch").agg(
         F.count("*").alias("__n_ch")
     )
