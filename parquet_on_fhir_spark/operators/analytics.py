@@ -1490,3 +1490,38 @@ def k_anonymity_report(
         ),
         (F.min("__size") >= k).alias("k_anonymous"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    state_col: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities between
+    consecutive states of each user's event stream — the page-path /
+    state-machine summary behind "where do users go after X".
+
+    One window shuffle keyed by user (lag over the time order), one
+    (from, to) hash aggregate (state-cardinality² rows), one
+    marginal-normalizing window over THAT tiny frame. Row transitions
+    never leave their user partition before aggregation.
+
+    Output: (from_state, to_state, n, p) with Σ p = 1 per from_state.
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col, *(tie_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__from", F.lag(F.col(state_col)).over(w))
+        .filter(F.col("__from").isNotNull())
+        .groupBy(
+            F.col("__from").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("from_state")
+    return pairs.withColumn("p", F.col("n") / F.sum("n").over(norm))

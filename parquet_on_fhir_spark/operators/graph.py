@@ -284,6 +284,10 @@ def pagerank(
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["u"], "left"
         ).select("node", "rank", "__deg")
+        # referenced by the dangling action AND the contribution join —
+        # lazy cut rides the dangling collect, so the rank÷deg join runs
+        # once per round, not twice
+        with_deg = with_deg.localCheckpoint(eager=False)
         # dangling mass: rank held by nodes with no outgoing edges
         dangling = (
             with_deg.filter(F.col("__deg").isNull())
@@ -524,4 +528,41 @@ def hierarchy_rollup(
         .groupBy("anc")
         .agg(F.sum("__v").alias("total"))
         .select(F.col("anc").alias("node"), "total")
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node: triangles(v) / C(deg(v),
+    2) — how close each node's neighborhood is to a clique, the
+    community-density signal on top of raw triangle counts.
+
+    Composes :func:`triangle_count` (degree-oriented wedge join, the
+    O(m^1.5) bound) with the degree table — both over ONE canonical
+    edge materialization; the final join is (node)-keyed over
+    node-cardinality frames. Degree-0/1 nodes have no possible
+    triangle and report coefficient 0.
+
+    Output: (node, degree, n_triangles, coefficient).
+    """
+    und = _canonical_undirected(edges, src, dst)
+    deg = _undirected_degrees(und)
+    tri = triangle_count(und, "a", "b")
+    possible = F.col("d") * (F.col("d") - 1) / 2.0
+    return (
+        deg.join(tri, deg["n"] == tri["node"], "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.coalesce(F.col("n_triangles"), F.lit(0)) / possible,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
     )

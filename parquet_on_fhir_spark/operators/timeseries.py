@@ -653,3 +653,74 @@ def holt_smoothing(
         .groupBy(*key_cols)
         .applyInPandas(smooth, schema=schema)
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    threshold: float = 5.0,
+    drift: float = 0.5,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page, 1954):
+    running sums S⁺ = max(0, S⁺ + z − drift), S⁻ = max(0, S⁻ − z −
+    drift) over the standardized series; an alarm fires when either
+    exceeds ``threshold``, then the accumulator resets — the classic
+    mean-shift detector that complements the trailing z-score
+    (:func:`detect_anomalies` flags POINTS; CUSUM flags sustained
+    LEVEL SHIFTS a point test never trips on).
+
+    The max(0, ·) recurrence is inherently sequential per series →
+    ``applyInPandas`` (the sanctioned per-key-sequential escape hatch,
+    like :func:`holt_smoothing`); z-scores standardize against the
+    series' own mean/std (one in-group numpy pass). Keys parallelize
+    across executors; one shuffle on the key.
+
+    Output: *keys, ts, value, cusum_pos, cusum_neg, is_changepoint.
+    """
+    import numpy as np
+    import pandas as pd
+
+    th, dr = float(threshold), float(drift)
+
+    schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + [
+            f"`{ts_col}` {df.schema[ts_col].dataType.simpleString()}",
+            f"`{value_col}` double",
+            "cusum_pos double",
+            "cusum_neg double",
+            "is_changepoint boolean",
+        ]
+    )
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype=float)
+        mu = float(np.mean(y)) if len(y) else 0.0
+        sd = float(np.std(y))
+        z = (y - mu) / sd if sd > 0 else np.zeros_like(y)
+        sp = np.zeros(len(y))
+        sn = np.zeros(len(y))
+        alarm = np.zeros(len(y), dtype=bool)
+        cp, cn = 0.0, 0.0
+        for i, zi in enumerate(z):
+            cp = max(0.0, cp + zi - dr)
+            cn = max(0.0, cn - zi - dr)
+            sp[i], sn[i] = cp, cn
+            if cp > th or cn > th:
+                alarm[i] = True
+                cp, cn = 0.0, 0.0
+        out = pdf[[*key_cols, ts_col]].copy()
+        out[value_col] = y
+        out["cusum_pos"] = sp
+        out["cusum_neg"] = sn
+        out["is_changepoint"] = alarm
+        return out
+
+    return (
+        df.select(*key_cols, ts_col, F.col(value_col).cast("double").alias(value_col))
+        .groupBy(*key_cols)
+        .applyInPandas(detect, schema=schema)
+    )

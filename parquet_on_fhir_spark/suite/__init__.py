@@ -102,6 +102,7 @@ ROWS_ONLY_COVERAGE = {
     "q148_pca_project": "tests/test_llm_ops.py (vs numpy eigh; eigendecomposition not oracle-portable)",
     "q159_kcore": "tests/test_graph.py (vs brute-force peeling; iterative deletion not oracle-portable)",
     "q195_holt_smoothing": "tests/test_timeseries.py (vs reference recurrence; coupled level/trend not oracle-portable)",
+    "q203_cusum_changepoints": "tests/test_timeseries.py (vs reference recurrence; reset accumulator not oracle-portable)",
 }
 
 

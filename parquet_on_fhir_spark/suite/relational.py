@@ -3892,3 +3892,115 @@ FROM cls
 
 
 QUERIES.append(Q("q200_k_anonymity", q200, Q200_ORACLE))
+
+
+# --- Q201: Markov transition matrix -------------------------------------------------
+def q201(spark, sf_dir):
+    """operators/analytics.py::transition_matrix over event streams:
+    consecutive-state transition counts + per-origin probabilities."""
+    from parquet_on_fhir_spark.operators.analytics import transition_matrix
+
+    e = t(spark, sf_dir, "events")
+    out = transition_matrix(e, "event_type", tie_cols=["event_id"])
+    return out.select(
+        "from_state", "to_state", "n", d4(F.col("p")).alias("p")
+    )
+
+
+Q201_ORACLE = """
+WITH lagged AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state,
+         event_type AS to_state
+  FROM events
+),
+pairs AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM lagged WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE)
+             + 1e-9, 4) AS p
+FROM pairs
+"""
+
+
+QUERIES.append(Q("q201_transition_matrix", q201, Q201_ORACLE))
+
+
+# --- Q202: local clustering coefficient ---------------------------------------------
+def q202(spark, sf_dir):
+    """operators/graph.py::clustering_coefficient over the q150 graph:
+    triangles(v) / C(deg(v), 2) — degree-oriented triangle counting
+    composed with the degree table."""
+    from parquet_on_fhir_spark.operators.graph import clustering_coefficient
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    out = clustering_coefficient(edges)
+    return out.select(
+        "node", "degree", "n_triangles", d4(F.col("coefficient")).alias("coefficient")
+    )
+
+
+Q202_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT least(l_orderkey % 500, l_partkey % 500) AS a,
+                  greatest(l_orderkey % 500, l_partkey % 500) AS b
+  FROM lineitem
+  WHERE (l_orderkey % 500) <> (l_partkey % 500)
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pertri AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT deg.n AS node, deg.d AS degree,
+       coalesce(pertri.n_triangles, 0) AS n_triangles,
+       round(CASE WHEN deg.d >= 2
+                  THEN coalesce(pertri.n_triangles, 0)
+                       / (deg.d * (deg.d - 1) / 2.0)
+                  ELSE 0.0 END + 1e-9, 4) AS coefficient
+FROM deg LEFT JOIN pertri ON deg.n = pertri.node
+"""
+
+
+QUERIES.append(Q("q202_clustering_coefficient", q202, Q202_ORACLE))
+
+
+# --- Q203: CUSUM change-point detection (rows-only: reset recurrence) --------------
+def q203(spark, sf_dir):
+    """operators/timeseries.py::cusum_changepoints per user — the
+    max(0, .)-with-reset recurrence is not SQL-expressible; correctness
+    is carried by tests/test_timeseries.py::test_cusum_detects_level_shift."""
+    from parquet_on_fhir_spark.operators.timeseries import cusum_changepoints
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = cusum_changepoints(e, "ts", ["user_id"], "value")
+    return out.select(
+        "user_id",
+        "ts",
+        d4(F.col("cusum_pos")).alias("cusum_pos"),
+        d4(F.col("cusum_neg")).alias("cusum_neg"),
+        "is_changepoint",
+    )
+
+
+QUERIES.append(Q("q203_cusum_changepoints", q203, None))

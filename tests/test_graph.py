@@ -416,3 +416,17 @@ def test_hierarchy_rollup_cycle_raises(spark):
     df = spark.createDataFrame(rows, "id int, parent int, v double")
     with pytest.raises(RuntimeError, match="cycle"):
         hierarchy_rollup(df, "id", "parent", "v", max_depth=5)
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from parquet_on_fhir_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    got = {r.node: r for r in clustering_coefficient(edges).collect()}
+    assert got[1].degree == 3 and got[1].n_triangles == 1
+    assert abs(got[1].coefficient - 1 / 3) < 1e-12
+    assert got[2].coefficient == 1.0 and got[3].coefficient == 1.0
+    assert got[4].degree == 1 and got[4].coefficient == 0.0

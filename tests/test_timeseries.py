@@ -341,3 +341,50 @@ def test_holt_smoothing_matches_reference_loop(spark):
                 assert g[2] is None
             else:
                 assert abs(g[2] - fits[i]) < 1e-12
+
+
+def test_cusum_detects_level_shift(spark):
+    """A planted mean shift must trip CUSUM shortly after onset, with
+    the accumulator resetting after the alarm; a flat series never
+    alarms. Matches a hand-rolled reference recurrence exactly."""
+    from datetime import datetime, timedelta
+
+    from parquet_on_fhir_spark.operators.timeseries import cusum_changepoints
+
+    t0 = datetime(2024, 1, 1)
+    vals = [0.0, 0.1, -0.1, 0.0, 0.1, -0.1] * 5 + [5.0] * 10  # shift at i=30
+    rows = [("k", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = sorted(
+        cusum_changepoints(df, "ts", ["k"], "v", threshold=4.0, drift=0.5).collect(),
+        key=lambda r: r.ts,
+    )
+    alarms = [i for i, r in enumerate(out) if r.is_changepoint]
+    assert alarms and 30 <= alarms[0] <= 35  # fires shortly after onset
+
+    # reference recurrence (same standardization)
+    import numpy as np
+
+    y = np.array(vals)
+    z = (y - y.mean()) / y.std()
+    cp = cn = 0.0
+    for i, r in enumerate(out):
+        cp = max(0.0, cp + z[i] - 0.5)
+        cn = max(0.0, cn - z[i] - 0.5)
+        assert abs(r.cusum_pos - cp) < 1e-9 and abs(r.cusum_neg - cn) < 1e-9
+        if cp > 4.0 or cn > 4.0:
+            assert r.is_changepoint
+            cp = cn = 0.0
+        else:
+            assert not r.is_changepoint
+
+    flat = spark.createDataFrame(
+        [("k", t0 + timedelta(hours=i), 1.0) for i in range(50)],
+        "k string, ts timestamp, v double",
+    )
+    assert (
+        cusum_changepoints(flat, "ts", ["k"], "v")
+        .filter(F.col("is_changepoint"))
+        .count()
+        == 0
+    )
