@@ -28,17 +28,19 @@ PROBE_QUERIES = [
     "q00_flagship_shipping_priority",
     "q21_agg_tpch_q1",
     "q89_tpch_q18",
-    # round-7 fifth wave: the operators built after the fourth probe,
-    # plus the three round-7 global-window rewrites (their NEW plans
-    # need fresh ratios)
-    "q175_hierarchy_rollup",
-    "q177_longest_streak",
-    "q178_soft_dedup",
-    "q179_pmi_collocations",
-    "q184_rolling_active_users",
-    "q169_binary_auc",
-    "q180_weighted_percentile",
-    "q182_curriculum_interleave",
+    # round-7 sixth wave: operators built after the fifth probe
+    "q186_seasonal_decompose",
+    "q187_gap_report",
+    "q191_stratified_folds",
+    "q192_unigram_entropy",
+    "q194_set_similarity_join",
+    "q196_frequency_sketch",
+    "q197_hll_distinct_rollup",
+    "q198_attribution_last_touch",
+    "q198b_attribution_linear",
+    "q200_k_anonymity",
+    "q201_transition_matrix",
+    "q202_clustering_coefficient",
 ]
 
 
