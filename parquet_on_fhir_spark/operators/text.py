@@ -495,3 +495,33 @@ def unigram_entropy(
             - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
         ).alias("entropy"),
     )
+
+
+def schema_diff(df_a: "DataFrame", df_b: "DataFrame") -> "DataFrame":
+    """Column-level schema diff between two frames — the pre-merge /
+    pre-union audit: which columns were added, removed, or changed
+    type. Pure metadata (no data scan, no job); returns a DataFrame so
+    it composes with the expectation/report operators.
+
+    Output: (column, type_a, type_b, status) with status in
+    {added, removed, type_changed, unchanged}.
+    """
+    spark = df_a.sparkSession
+    a = {f.name: f.dataType.simpleString() for f in df_a.schema.fields}
+    b = {f.name: f.dataType.simpleString() for f in df_b.schema.fields}
+    rows = []
+    for name in sorted(set(a) | set(b)):
+        ta, tb = a.get(name), b.get(name)
+        status = (
+            "added"
+            if ta is None
+            else "removed"
+            if tb is None
+            else "unchanged"
+            if ta == tb
+            else "type_changed"
+        )
+        rows.append((name, ta, tb, status))
+    return spark.createDataFrame(
+        rows, "column string, type_a string, type_b string, status string"
+    )

@@ -2317,3 +2317,102 @@ QUALIFY rank <= 20
 
 
 QUERIES.append(Q("q196_frequency_sketch", q196, Q196_ORACLE))
+
+
+# --- Q204: cross-source duplicate audit ---------------------------------------------
+def q204(spark, sf_dir):
+    """Curation audit composing exact-dup grouping with source overlap:
+    for each duplicated text, is it repeated WITHIN one source (likely
+    boilerplate) or ACROSS sources (likely syndication)? The decision a
+    mix owner makes differs — so the audit splits the counts."""
+    d = t(spark, sf_dir, "documents")
+    groups = (
+        d.groupBy(F.md5("text").alias("dg"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    kind = F.when(F.col("n_sources") > 1, "cross_source").otherwise(
+        "within_source"
+    )
+    return (
+        groups.groupBy(kind.alias("dup_kind"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_copies").alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).alias("n_redundant"),
+        )
+    )
+
+
+Q204_ORACLE = """
+WITH g AS (
+  SELECT md5(text) AS dg, count(*) AS n_copies,
+         count(DISTINCT source) AS n_sources
+  FROM documents GROUP BY md5(text)
+  HAVING count(*) > 1
+)
+SELECT CASE WHEN n_sources > 1 THEN 'cross_source'
+            ELSE 'within_source' END AS dup_kind,
+       count(*) AS n_groups,
+       sum(n_copies) AS n_docs,
+       sum(n_copies - 1) AS n_redundant
+FROM g GROUP BY 1
+"""
+
+
+QUERIES.append(Q("q204_cross_source_dup_audit", q204, Q204_ORACLE))
+
+
+# --- Q205: per-source token-length histogram (packing planner) ----------------------
+def q205(spark, sf_dir):
+    """operators/analytics.py::numeric_histogram composed per source
+    over whitespace token counts — the length profile a sequence-packing
+    planner reads before choosing a context length."""
+    from parquet_on_fhir_spark.operators.analytics import numeric_histogram
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.array_remove(F.split(F.col("text"), " "), "")).cast("double"),
+    )
+    out = numeric_histogram(
+        d, "n_tokens", bins=8, key_cols=["source"], lo=0.0, hi=400.0
+    )
+    return out.select(
+        "source",
+        "bin",
+        d4(F.col("bin_lo")).alias("bin_lo"),
+        d4(F.col("bin_hi")).alias("bin_hi"),
+        "n",
+    )
+
+
+Q205_ORACLE = """
+WITH lens AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS DOUBLE) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT source,
+         greatest(least(CAST(floor(n_tokens / 50.0) AS INT) + 1, 8), 1)
+           AS bin,
+         count(*) AS n
+  FROM lens GROUP BY 1, 2
+),
+grid AS (
+  SELECT DISTINCT source, b AS bin
+  FROM lens, unnest(range(1, 9)) AS r(b)
+)
+SELECT g.source, g.bin,
+       round((g.bin - 1) * 50.0 + 1e-9, 4) AS bin_lo,
+       round(g.bin * 50.0 + 1e-9, 4) AS bin_hi,
+       coalesce(binned.n, 0) AS n
+FROM grid g LEFT JOIN binned ON g.source = binned.source AND g.bin = binned.bin
+"""
+
+
+QUERIES.append(Q("q205_token_length_histogram", q205, Q205_ORACLE))

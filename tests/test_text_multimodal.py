@@ -540,3 +540,17 @@ def test_wav_rejects_out_of_envelope():
     # truncated data chunk
     with pytest.raises(ValueError, match="truncated WAV"):
         decode_wav(bytes(encode_wav(np.zeros(10, dtype="<i2"), 8000))[:-5])
+
+
+def test_schema_diff(spark):
+    from parquet_on_fhir_spark.operators.text import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "id long, s string, v double")
+    b = spark.createDataFrame([(1, "x", 2)], "id long, s string, v int")
+    c = spark.createDataFrame([(1, True)], "id long, flag boolean")
+    got = {r.column: r.status for r in schema_diff(a, b).collect()}
+    assert got == {"id": "unchanged", "s": "unchanged", "v": "type_changed"}
+    got2 = {r.column: r.status for r in schema_diff(a, c).collect()}
+    assert got2 == {
+        "id": "unchanged", "s": "removed", "v": "removed", "flag": "added",
+    }
