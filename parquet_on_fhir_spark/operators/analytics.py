@@ -14,12 +14,17 @@ def funnel(
     steps: list[tuple[str, Column]],
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_step_gap: str | None = None,
 ) -> DataFrame:
     """Ordered funnel: for each user, the earliest time each step was
     completed STRICTLY AFTER the previous step (the standard sequential
     funnel — step k's event must follow the user's step k-1 completion).
 
-    ``steps``: ordered (name, predicate Column) pairs.
+    ``steps``: ordered (name, predicate Column) pairs. With
+    ``max_step_gap`` (e.g. ``'2 hours'``) each step must also land
+    WITHIN that interval after the previous step's completion — the
+    industry "conversion window" form (a purchase a month after the
+    click is not that click's conversion).
 
     Plan: one filtered hash aggregate per step — step k aggregates only
     events passing predicate k, joined to the (tiny, one-row-per-user)
@@ -38,12 +43,25 @@ def funnel(
         .groupBy(user_col)
         .agg(F.min(ts_col).alias(f"t_{name0}"))
     )
+    gap_s = None
+    if max_step_gap is not None:
+        from parquet_on_fhir_spark.operators.joins import _interval_seconds
+
+        gap_s = _interval_seconds(max_step_gap)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
     prev = f"t_{name0}"
     for name, cond in steps[1:]:
-        nxt = (
+        step_src = (
             events.filter(cond)
             .join(out.select(user_col, prev), user_col)
             .filter(F.col(ts_col) > F.col(prev))
+        )
+        if gap_s is not None:
+            step_src = step_src.filter(
+                epoch(ts_col) <= epoch(prev) + gap_s
+            )
+        nxt = (
+            step_src
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t_{name}"))
         )

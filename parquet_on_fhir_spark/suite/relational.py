@@ -4004,3 +4004,127 @@ def q203(spark, sf_dir):
 
 
 QUERIES.append(Q("q203_cusum_changepoints", q203, None))
+
+
+# --- Q206: conversion-window funnel -------------------------------------------------
+def q206(spark, sf_dir):
+    """operators/analytics.py::funnel with max_step_gap='2 hours': each
+    step counts only within the conversion window after the previous
+    step — the industry funnel form; same k-narrow-shuffle plan."""
+    from parquet_on_fhir_spark.operators.analytics import funnel
+
+    e = t(spark, sf_dir, "events")
+    out = funnel(
+        e,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        max_step_gap="2 hours",
+    )
+    return out.select(
+        "user_id",
+        ts_str("t_view", EVENT_TS_SPARK).alias("t_view"),
+        ts_str("t_click", EVENT_TS_SPARK).alias("t_click"),
+        ts_str("t_purchase", EVENT_TS_SPARK).alias("t_purchase"),
+        "furthest_step",
+    )
+
+
+Q206_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+    AND floor(epoch(e.ts)) <= floor(epoch(s1.t_view)) + 7200
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+    AND floor(epoch(e.ts)) <= floor(epoch(s2.t_click)) + 7200
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       strftime(s1.t_view, '{EVENT_TS_DUCK}') AS t_view,
+       strftime(s2.t_click, '{EVENT_TS_DUCK}') AS t_click,
+       strftime(s3.t_purchase, '{EVENT_TS_DUCK}') AS t_purchase,
+       1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+         AS furthest_step
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+QUERIES.append(Q("q206_conversion_window_funnel", q206, Q206_ORACLE))
+
+
+# --- Q207: RFM segmentation ---------------------------------------------------------
+def q207(spark, sf_dir):
+    """RFM customer segmentation composing quantile_bin three times
+    over per-user aggregates: Recency (last-activity epoch), Frequency
+    (event count), Monetary (value sum) — each cut at its own
+    quartiles, all bounds broadcast, zero unpartitioned windows (the
+    ntile trap). Segment = concatenated R/F/M quartile digits."""
+    from parquet_on_fhir_spark.operators.analytics import quantile_bin
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("recency"),
+        F.count("*").cast("double").alias("frequency"),
+        F.sum("value").alias("monetary"),
+    )
+    out = quantile_bin(
+        quantile_bin(
+            quantile_bin(per_user, "recency", 4, out_col="r"),
+            "frequency", 4, out_col="f",
+        ),
+        "monetary", 4, out_col="m",
+    )
+    return out.select(
+        "user_id",
+        "r",
+        "f",
+        "m",
+        F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")).alias("segment"),
+    )
+
+
+Q207_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS recency,
+         CAST(count(*) AS DOUBLE) AS frequency,
+         sum(value) AS monetary
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT quantile_cont(recency, 0.25) AS r1, quantile_cont(recency, 0.5) AS r2,
+         quantile_cont(recency, 0.75) AS r3,
+         quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+         quantile_cont(frequency, 0.75) AS f3,
+         quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+         quantile_cont(monetary, 0.75) AS m3
+  FROM per_user
+),
+binned AS (
+  SELECT user_id,
+         1 + (recency > r1)::INT + (recency > r2)::INT + (recency > r3)::INT AS r,
+         1 + (frequency > f1)::INT + (frequency > f2)::INT + (frequency > f3)::INT AS f,
+         1 + (monetary > m1)::INT + (monetary > m2)::INT + (monetary > m3)::INT AS m
+  FROM per_user CROSS JOIN b
+)
+SELECT user_id, r, f, m,
+       CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-'
+         || CAST(m AS VARCHAR) AS segment
+FROM binned
+"""
+
+
+QUERIES.append(Q("q207_rfm_segmentation", q207, Q207_ORACLE))

@@ -698,3 +698,29 @@ def test_k_anonymity_report(spark):
     assert not r.k_anonymous
     (ok,) = k_anonymity_report(df, ["q1", "q2"], k=2).collect()
     assert ok.k_anonymous
+
+
+def test_funnel_conversion_window(spark):
+    from datetime import datetime
+
+    from parquet_on_fhir_spark.operators.analytics import funnel
+
+    rows = [
+        # u1: click 30min after view -> within a 1-hour window
+        (1, datetime(2024, 1, 1, 0, 0), "view"),
+        (1, datetime(2024, 1, 1, 0, 30), "click"),
+        # u2: click 2h after view -> OUTSIDE the window, step not reached
+        (2, datetime(2024, 1, 1, 0, 0), "view"),
+        (2, datetime(2024, 1, 1, 2, 0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+    ]
+    out = {r.user_id: r for r in funnel(df, steps, max_step_gap="1 hours").collect()}
+    assert out[1].furthest_step == 2
+    assert out[2].furthest_step == 1 and out[2].t_click is None
+    # without the window both convert (regression guard for q133)
+    free = {r.user_id: r for r in funnel(df, steps).collect()}
+    assert free[1].furthest_step == 2 and free[2].furthest_step == 2
