@@ -1543,3 +1543,99 @@ def transition_matrix(
     )
     norm = Window.partitionBy("from_state")
     return pairs.withColumn("p", F.col("n") / F.sum("n").over(norm))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    grid: int = 1000,
+    exact: bool = True,
+) -> DataFrame:
+    """Map every group's values onto the POOLED distribution — the
+    cross-source score-calibration step (a 0.9 quality score from a
+    lenient scorer and a 0.6 from a strict one both land at their
+    pooled percentile, making thresholds comparable across sources).
+
+    Method: per-group ``percent_rank`` (ONE window shuffle keyed by the
+    group — never a global window), then linear interpolation into a
+    ``grid``-point pooled quantile table computed as one 1-row
+    aggregate and broadcast. Grid resolution bounds the approximation;
+    ``exact=False`` swaps the pooled grid to approx_percentile for the
+    100 TB tier.
+
+    Output: input columns + ``<value>_qnorm``.
+    """
+    from pyspark.sql import Window
+
+    q_of = F.percentile if exact else F.approx_percentile
+    cuts = [i / (grid - 1) for i in range(grid)]
+    pooled = df.agg(
+        q_of(F.col(value_col), F.array(*[F.lit(c) for c in cuts])).alias(
+            "__grid"
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(value_col))
+    ranked = df.withColumn("__pr", F.percent_rank().over(w))
+    pos = F.col("__pr") * (grid - 1)
+    lo = F.floor(pos).cast("int")
+    hi = F.least(lo + 1, F.lit(grid - 1))
+    frac = pos - lo
+    g = F.col("__grid")
+    interp = g[lo] + frac * (g[hi] - g[lo])
+    return (
+        ranked.crossJoin(F.broadcast(pooled))
+        .withColumn(f"{value_col}_qnorm", interp)
+        .drop("__pr", "__grid")
+    )
+
+
+def linear_regression_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+) -> DataFrame:
+    """Multi-feature ordinary least squares via the normal equations:
+    ALL second moments (XᵀX, Xᵀy, yᵀy with an intercept column) come
+    from ONE aggregate pass — (p+1)² scalars, mergeable map-side — and
+    the (p+1)×(p+1) solve runs driver-side in numpy (the same
+    moments-then-tiny-solve split as PCA in operators/similarity.py).
+    R² falls out of the same moments (SSR = yᵀy − 2βᵀXᵀy + βᵀXᵀXβ),
+    so the data is scanned exactly once.
+
+    Output: (feature, coefficient) rows — features, then
+    ``__intercept__`` — plus a ``__r2__`` stats row.
+    """
+    import numpy as np
+
+    p = len(feature_cols)
+    cols = [F.col(c).cast("double") for c in feature_cols] + [F.lit(1.0)]
+    names = list(feature_cols) + ["__intercept__"]
+    aggs = []
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+        aggs.append(
+            F.sum(cols[i] * F.col(target_col).cast("double")).alias(f"xy_{i}")
+        )
+    aggs.append(
+        F.sum(F.col(target_col).cast("double") ** 2).alias("yy")
+    )
+    row = df.agg(*aggs).collect()[0]
+    xtx = np.zeros((p + 1, p + 1))
+    xty = np.zeros(p + 1)
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
+        xty[i] = row[f"xy_{i}"]
+    beta = np.linalg.solve(xtx, xty)
+    n = xtx[p, p]  # sum of 1*1
+    ybar = xty[p] / n
+    ss_tot = row["yy"] - n * ybar * ybar
+    ss_res = row["yy"] - 2 * beta @ xty + beta @ xtx @ beta
+    r2 = float(1.0 - ss_res / ss_tot) if ss_tot > 0 else float("nan")
+    out = [(name, float(b)) for name, b in zip(names, beta)]
+    out.append(("__r2__", r2))
+    return df.sparkSession.createDataFrame(
+        out, "feature string, coefficient double"
+    )

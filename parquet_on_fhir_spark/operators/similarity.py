@@ -419,3 +419,75 @@ def pca_project(
         .withColumn(out_col, F.array(*proj))
         .drop("_centered")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding (centroid): dimension explode → one
+    (group, dim) hash aggregate → re-assembled array (sort by ordinal
+    inside a K×dim collect). The explode shuffles (group, dim, value)
+    triples — linear in rows×dim, mergeable map-side — and the result
+    frame is groups×dim, broadcast-size for any real source count.
+
+    Output: (group, centroid array<double>, n_vectors).
+    """
+    dims = df.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    per_dim = dims.groupBy("group", "dim").agg(
+        F.avg("v").alias("m"), F.count("*").alias("c")
+    )
+    return per_dim.groupBy("group").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ),
+            lambda s: s["m"],
+        ).alias("centroid"),
+        (F.sum("c") / F.count("*")).cast("bigint").alias("n_vectors"),
+    )
+
+
+def centroid_similarity_matrix(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between group centroids — the
+    source-drift audit an embedding-pipeline owner reads to spot a
+    source whose representation collapsed or diverged. Builds on
+    :func:`group_centroids`; the pairwise step is a K² cross join of
+    the K-row centroid frame (broadcast both sides), with the dot
+    products as ``aggregate``/``zip_with`` expressions — never a
+    row-level pairwise pass over the corpus.
+
+    Output: (group_a, group_b, cosine), group_a < group_b.
+    """
+    cents = group_centroids(df, group_col, vec_col)
+    a = cents.select(
+        F.col("group").alias("group_a"), F.col("centroid").alias("__ca")
+    )
+    b = cents.select(
+        F.col("group").alias("group_b"), F.col("centroid").alias("__cb")
+    )
+    dot = F.aggregate(
+        F.zip_with("__ca", "__cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            (dot / (norm("__ca") * norm("__cb"))).alias("cosine"),
+        )
+    )

@@ -2416,3 +2416,106 @@ FROM grid g LEFT JOIN binned ON g.source = binned.source AND g.bin = binned.bin
 
 
 QUERIES.append(Q("q205_token_length_histogram", q205, Q205_ORACLE))
+
+
+# --- Q208: source-centroid cosine matrix --------------------------------------------
+def q208(spark, sf_dir):
+    """operators/similarity.py::centroid_similarity_matrix over the
+    embeddings table grouped by label: per-label mean vectors via one
+    (group, dim) aggregate, then the K^2 cosine grid over the K-row
+    centroid frame."""
+    from parquet_on_fhir_spark.operators.similarity import (
+        centroid_similarity_matrix,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    out = centroid_similarity_matrix(e, "label", "embedding")
+    return out.select(
+        "group_a", "group_b", d4(F.col("cosine")).alias("cosine")
+    )
+
+
+Q208_ORACLE = """
+WITH dims AS (
+  SELECT label AS grp, i AS dim, embedding[i] AS v
+  FROM read_parquet_embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+cent AS (
+  SELECT grp, dim, avg(v) AS m FROM dims GROUP BY grp, dim
+),
+dots AS (
+  SELECT a.grp AS group_a, b.grp AS group_b,
+         sum(a.m * b.m) AS dot,
+         sqrt(sum(a.m * a.m)) AS na, sqrt(sum(b.m * b.m)) AS nb
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.grp < b.grp
+  GROUP BY a.grp, b.grp
+)
+SELECT group_a, group_b, round(dot / (na * nb) + 1e-9, 4) AS cosine
+FROM dots
+"""
+# DuckDB view name differs from the literal above; patch in the real
+# table reference at declaration time.
+Q208_ORACLE = Q208_ORACLE.replace("read_parquet_embeddings", "embeddings")
+
+
+QUERIES.append(Q("q208_centroid_similarity", q208, Q208_ORACLE))
+
+
+# --- Q209: cross-source quantile normalization --------------------------------------
+def q209(spark, sf_dir):
+    """operators/analytics.py::quantile_normalize — per-source document
+    lengths mapped onto the pooled length distribution (keyed
+    percent_rank window + broadcast 101-point pooled grid)."""
+    from parquet_on_fhir_spark.operators.analytics import quantile_normalize
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "len_chars", F.col("n_chars").cast("double")
+    )
+    out = quantile_normalize(d, "len_chars", ["source"], grid=101)
+    return out.select(
+        "doc_id", "source", d4(F.col("len_chars_qnorm")).alias("len_norm")
+    )
+
+
+_Q209_CUTS = ", ".join(str(i / 100) for i in range(101))
+Q209_ORACLE = f"""
+WITH pooled AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), [{_Q209_CUTS}]) AS g
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY CAST(n_chars AS DOUBLE)) AS pr
+  FROM documents
+)
+SELECT doc_id, source,
+       round(g[CAST(floor(pr * 100) AS INT) + 1]
+             + (pr * 100 - floor(pr * 100))
+               * (g[least(CAST(floor(pr * 100) AS INT) + 2, 101)]
+                  - g[CAST(floor(pr * 100) AS INT) + 1]) + 1e-9, 4)
+         AS len_norm
+FROM ranked CROSS JOIN pooled
+"""
+
+
+QUERIES.append(Q("q209_quantile_normalize", q209, Q209_ORACLE))
+
+
+# --- Q210: multi-feature OLS fit (rows-only: matrix solve) --------------------------
+def q210(spark, sf_dir):
+    """operators/analytics.py::linear_regression_fit — one-pass normal
+    equations over lineitem (price ~ quantity + discount + tax); the
+    (p+1)x(p+1) numpy solve is not SQL-restatable beyond one feature,
+    so correctness is carried by
+    tests/test_analytics.py::test_linear_regression_fit_matches_numpy."""
+    from parquet_on_fhir_spark.operators.analytics import linear_regression_fit
+
+    l = t(spark, sf_dir, "lineitem")
+    out = linear_regression_fit(
+        l, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    )
+    return out.select("feature", d4(F.col("coefficient")).alias("coefficient"))
+
+
+QUERIES.append(Q("q210_ols_fit", q210, None))

@@ -724,3 +724,44 @@ def test_funnel_conversion_window(spark):
     # without the window both convert (regression guard for q133)
     free = {r.user_id: r for r in funnel(df, steps).collect()}
     assert free[1].furthest_step == 2 and free[2].furthest_step == 2
+
+
+def test_quantile_normalize_aligns_groups(spark):
+    from parquet_on_fhir_spark.operators.analytics import quantile_normalize
+
+    # group b = group a scaled 10x + 5: after normalization the two
+    # groups' sorted values must coincide (both map onto the pooled grid
+    # by rank)
+    base = [float(v) for v in range(100)]
+    rows = [("a", v) for v in base] + [("b", 10 * v + 5) for v in base]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize(df, "v", ["g"], grid=201)
+    a = sorted(r.v_qnorm for r in out.filter(F.col("g") == "a").collect())
+    b = sorted(r.v_qnorm for r in out.filter(F.col("g") == "b").collect())
+    assert len(a) == len(b) == 100
+    for x, y in zip(a, b):
+        assert abs(x - y) < 1e-9  # identical ranks -> identical pooled values
+    # normalized values live inside the pooled range
+    assert min(a) >= 0.0 and max(a) <= 995.0
+
+
+def test_linear_regression_fit_matches_numpy(spark):
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import linear_regression_fit
+
+    rng = np.random.default_rng(5)
+    x1 = rng.normal(size=200)
+    x2 = rng.normal(size=200)
+    y = 3.0 * x1 - 2.0 * x2 + 7.0 + rng.normal(scale=0.01, size=200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    got = {r.feature: r.coefficient for r in linear_regression_fit(df, ["x1", "x2"], "y").collect()}
+    X = np.column_stack([x1, x2, np.ones_like(x1)])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(got["x1"] - ref[0]) < 1e-6
+    assert abs(got["x2"] - ref[1]) < 1e-6
+    assert abs(got["__intercept__"] - ref[2]) < 1e-6
+    assert got["__r2__"] > 0.999
