@@ -1639,3 +1639,154 @@ def linear_regression_fit(
     return df.sparkSession.createDataFrame(
         out, "feature string, coefficient double"
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — the
+    additive sibling of :func:`kaplan_meier` (same risk-set machinery,
+    a running SUM instead of a product-limit), preferred when hazard
+    RATES are the quantity of interest or deaths are sparse.
+
+    Identical plan shape to kaplan_meier: one hash aggregate to
+    distinct event times, two running sums over the per-key ordered
+    window (time-cardinality frame when keyless).
+
+    Output: (keys, t, n_risk, n_events, cum_hazard).
+    """
+    keys = key_cols or []
+    per_t = df.groupBy(*keys, F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("int")).alias("n_events"),
+        F.sum(1 - F.col(event_col).cast("int")).alias("n_censored"),
+    )
+    from pyspark.sql import Window
+
+    total = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    upto_prev = total.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    upto_now = total.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    left_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(upto_prev),
+        F.lit(0),
+    )
+    n_risk = (
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            total.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        - left_before
+    )
+    with_risk = per_t.withColumn("n_risk", n_risk)
+    hazard = F.sum(F.col("n_events") / F.col("n_risk")).over(upto_now)
+    return with_risk.withColumn("cum_hazard", hazard).select(
+        *keys, "t", "n_risk", "n_events", "cum_hazard"
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction over a table
+    of test p-values: reject every hypothesis with p ≤ p_(k*) where k*
+    is the largest rank k with p_(k) ≤ k·q/m — the multiple-testing
+    gate for metric sweeps and feature screens.
+
+    The ranking window runs over the TEST table (one row per
+    hypothesis — experiment-sized, bounded like the zipf/vocab frames,
+    never raw data). Also emits the BH-adjusted p-value
+    (min over j≥k of m·p_(j)/j, monotone-corrected via a running min
+    from the top).
+
+    Output: input columns + rank, p_adj, rejected.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < q < 1:
+        raise ValueError("q must be in (0, 1)")
+    m_w = Window.partitionBy()
+    # deterministic rank: break p ties with tie_cols (pass the test-id
+    # column) — a physical-order tiebreak would make `rank` layout-
+    # dependent even though p_adj/rejected are tie-invariant
+    ties = [F.col(c) for c in (tie_cols or [])]
+    order = Window.orderBy(
+        F.col(p_col).asc(), *ties, F.monotonically_increasing_id()
+    )
+    m = F.count("*").over(m_w)
+    ranked = df.filter(F.col(p_col).isNotNull()).withColumn(
+        "rank", F.row_number().over(order)
+    ).withColumn("__m", m)
+    raw_adj = F.col(p_col) * F.col("__m") / F.col("rank")
+    from_top = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = F.least(F.min(raw_adj).over(from_top), F.lit(1.0))
+    passed = F.when(
+        F.col(p_col) <= F.col("rank") * q / F.col("__m"), F.col("rank")
+    )
+    kstar = F.max(passed).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ranked.withColumn("p_adj", adj)
+        .withColumn("rejected", F.coalesce(F.col("rank") <= kstar, F.lit(False)))
+        .drop("__m")
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns:
+    I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) from the contingency
+    table — the feature-screening companion to :func:`chi2_crosstab`
+    (same one-scan cell aggregate; marginals derived from the cells).
+    Also emits the normalized variant I/min(H(A), H(B)) in [0,1].
+
+    Output: 1 row — (mi, nmi, h_a, h_b, n).
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count("*").alias("__c"))
+    )
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    ma = cells.groupBy("__a").agg(F.sum("__c").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    joined = (
+        cells.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("__c") / F.col("__n")) * F.log(
+        (F.col("__c") * F.col("__n"))
+        / (F.col("__na") * F.col("__nb"))
+    )
+    mi = joined.agg(F.sum(term).alias("mi")).crossJoin(F.broadcast(tot))
+    ent = lambda marg, cnt: marg.crossJoin(F.broadcast(tot)).agg(  # noqa: E731
+        (
+            F.log(F.first("__n"))
+            - F.sum(F.col(cnt) * F.log(cnt)) / F.first("__n")
+        ).alias("h")
+    )
+    ha = ent(ma, "__na").withColumnRenamed("h", "h_a")
+    hb = ent(mb, "__nb").withColumnRenamed("h", "h_b")
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "mi",
+            (F.col("mi") / F.least("h_a", "h_b")).alias("nmi"),
+            "h_a",
+            "h_b",
+            F.col("__n").alias("n"),
+        )
+    )

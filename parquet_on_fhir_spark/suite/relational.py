@@ -4128,3 +4128,204 @@ FROM binned
 
 
 QUERIES.append(Q("q207_rfm_segmentation", q207, Q207_ORACLE))
+
+
+# --- Q211: Nelson-Aalen cumulative hazard -------------------------------------------
+def q211(spark, sf_dir):
+    """operators/analytics.py::nelson_aalen over synthetic churn
+    durations derived from events (value as duration, deterministic
+    censoring flag) — additive-hazard sibling of q168's KM curve."""
+    from parquet_on_fhir_spark.operators.analytics import nelson_aalen
+
+    e = t(spark, sf_dir, "events").select(
+        F.round(F.col("value"), 0).alias("dur"),
+        ((F.col("event_id") % 3) > 0).alias("churned"),
+    )
+    out = nelson_aalen(e, "dur", "churned")
+    return out.select(
+        "t",
+        "n_risk",
+        "n_events",
+        d4(F.col("cum_hazard")).alias("cum_hazard"),
+    )
+
+
+Q211_ORACLE = """
+WITH base AS (
+  SELECT round(value, 0) AS t,
+         CASE WHEN event_id % 3 > 0 THEN 1 ELSE 0 END AS ev
+  FROM events
+),
+per_t AS (
+  SELECT t, sum(ev) AS n_events, sum(1 - ev) AS n_censored
+  FROM base GROUP BY t
+),
+risk AS (
+  SELECT t, n_events,
+         sum(n_events + n_censored) OVER ()
+           - coalesce(sum(n_events + n_censored)
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+)
+SELECT t, n_risk, n_events,
+       round(sum(CAST(n_events AS DOUBLE) / n_risk)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) + 1e-9, 4) AS cum_hazard
+FROM risk
+"""
+
+
+QUERIES.append(Q("q211_nelson_aalen", q211, Q211_ORACLE))
+
+
+# --- Q212: naive-forecast accuracy evaluation ---------------------------------------
+def q212(spark, sf_dir):
+    """Forecast-accuracy scoreboard: per-user MAE/RMSE of the lag-1
+    naive forecast — the baseline every real model must beat (and the
+    denominator of MASE). One keyed lag window + one aggregate."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    err = F.col("value") - F.lag("value").over(w)
+    scored = e.withColumn("__e", err).filter(F.col("__e").isNotNull())
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_forecasts"),
+            F.avg(F.abs("__e")).alias("mae"),
+            F.sqrt(F.avg(F.col("__e") * F.col("__e"))).alias("rmse"),
+        )
+        .select(
+            "user_id",
+            "n_forecasts",
+            d4(F.col("mae")).alias("mae"),
+            d4(F.col("rmse")).alias("rmse"),
+        )
+    )
+
+
+Q212_ORACLE = """
+WITH lagged AS (
+  SELECT user_id,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS e
+  FROM events
+)
+SELECT user_id, count(*) AS n_forecasts,
+       round(avg(abs(e)) + 1e-9, 4) AS mae,
+       round(sqrt(avg(e * e)) + 1e-9, 4) AS rmse
+FROM lagged WHERE e IS NOT NULL
+GROUP BY user_id
+"""
+
+
+QUERIES.append(Q("q212_naive_forecast_eval", q212, Q212_ORACLE))
+
+
+# --- Q213: Benjamini-Hochberg FDR over a p-value sweep ------------------------------
+def q213(spark, sf_dir):
+    """operators/analytics.py::bh_fdr over a deterministic p-value
+    table (one pseudo-test per part brand/container cell) — the
+    multiple-testing gate; ranking window runs over the TEST frame."""
+    from parquet_on_fhir_spark.operators.analytics import bh_fdr
+
+    p = t(spark, sf_dir, "part")
+    tests = p.groupBy("p_brand", "p_size").agg(
+        (
+            (F.percentile(F.col("p_retailprice"), F.lit(0.5)) % 100) / 100.0
+        ).alias("p_value")
+    )
+    out = bh_fdr(tests, "p_value", q=0.1, tie_cols=["p_brand", "p_size"])
+    return out.select(
+        "p_brand",
+        "p_size",
+        d4(F.col("p_value")).alias("p_value"),
+        "rank",
+        d4(F.col("p_adj")).alias("p_adj"),
+        "rejected",
+    )
+
+
+Q213_ORACLE = """
+WITH tests AS (
+  SELECT p_brand, p_size,
+         (quantile_cont(p_retailprice, 0.5) % 100) / 100.0 AS p_value
+  FROM part GROUP BY p_brand, p_size
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value, p_brand, p_size)
+              AS rank,
+         count(*) OVER () AS m
+  FROM tests
+),
+adj AS (
+  SELECT *, least(min(p_value * m / rank)
+                  OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW), 1.0) AS p_adj,
+         max(CASE WHEN p_value <= rank * 0.1 / m THEN rank END) OVER ()
+           AS kstar
+  FROM ranked
+)
+SELECT p_brand, p_size, round(p_value + 1e-9, 4) AS p_value,
+       CAST(rank AS BIGINT) AS rank,
+       round(p_adj + 1e-9, 4) AS p_adj,
+       coalesce(rank <= kstar, false) AS rejected
+FROM adj
+"""
+
+
+QUERIES.append(Q("q213_bh_fdr", q213, Q213_ORACLE))
+
+
+# --- Q214: mutual information between categoricals ----------------------------------
+def q214(spark, sf_dir):
+    """operators/analytics.py::mutual_information between lineitem's
+    returnflag and linestatus categoricals — feature-screening MI from
+    one contingency aggregate."""
+    from parquet_on_fhir_spark.operators.analytics import mutual_information
+
+    l = t(spark, sf_dir, "lineitem")
+    out = mutual_information(l, "l_returnflag", "l_linestatus")
+    return out.select(
+        d4(F.col("mi")).alias("mi"),
+        d4(F.col("nmi")).alias("nmi"),
+        d4(F.col("h_a")).alias("h_a"),
+        d4(F.col("h_b")).alias("h_b"),
+        "n",
+    )
+
+
+Q214_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT sum(c) AS n FROM cells),
+ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY a),
+mb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY b),
+mi AS (
+  SELECT sum((c / CAST(n AS DOUBLE))
+             * ln((c * CAST(n AS DOUBLE)) / (na * CAST(nb AS DOUBLE))))
+           AS mi
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+),
+ha AS (
+  SELECT ln(max(n)) - sum(na * ln(na)) / max(n) AS h_a
+  FROM ma CROSS JOIN tot
+),
+hb AS (
+  SELECT ln(max(n)) - sum(nb * ln(nb)) / max(n) AS h_b
+  FROM mb CROSS JOIN tot
+)
+SELECT round(mi + 1e-9, 4) + 0.0 AS mi,
+       round(mi / least(h_a, h_b) + 1e-9, 4) + 0.0 AS nmi,
+       round(h_a + 1e-9, 4) AS h_a,
+       round(h_b + 1e-9, 4) AS h_b,
+       CAST(n AS BIGINT) AS n
+FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot
+"""
+
+
+QUERIES.append(Q("q214_mutual_information", q214, Q214_ORACLE))

@@ -765,3 +765,56 @@ def test_linear_regression_fit_matches_numpy(spark):
     assert abs(got["x2"] - ref[1]) < 1e-6
     assert abs(got["__intercept__"] - ref[2]) < 1e-6
     assert got["__r2__"] > 0.999
+
+
+def test_nelson_aalen_known_values(spark):
+    from parquet_on_fhir_spark.operators.analytics import nelson_aalen
+
+    # durations: events at t=1 (1 death of 4 at risk), t=2 (censor),
+    # t=3 (1 death of 2 at risk)
+    rows = [(1.0, True), (2.0, False), (3.0, True), (3.0, False)]
+    df = spark.createDataFrame(rows, "dur double, ev boolean")
+    got = {r.t: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert got[1.0].n_risk == 4 and abs(got[1.0].cum_hazard - 0.25) < 1e-12
+    assert got[2.0].n_risk == 3 and abs(got[2.0].cum_hazard - 0.25) < 1e-12
+    assert got[3.0].n_risk == 2 and abs(got[3.0].cum_hazard - 0.75) < 1e-12
+
+
+def test_bh_fdr_textbook_example(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import bh_fdr
+
+    # m=5, q=0.25: thresholds 0.05,0.10,0.15,0.20,0.25
+    ps = [("t1", 0.01), ("t2", 0.04), ("t3", 0.20), ("t4", 0.30), ("t5", 0.90)]
+    df = spark.createDataFrame(ps, "tid string, p double")
+    got = {r.tid: r for r in bh_fdr(df, "p", q=0.25, tie_cols=["tid"]).collect()}
+    # k*=2 (0.04 <= 0.10); 0.20 > 0.15 so t3 not rejected
+    assert got["t1"].rejected and got["t2"].rejected
+    assert not got["t3"].rejected and not got["t5"].rejected
+    # adjusted p: monotone min-from-top of p*m/rank
+    assert abs(got["t1"].p_adj - 0.05) < 1e-12   # min(0.05, 0.1, ...) 
+    assert abs(got["t2"].p_adj - 0.1) < 1e-12
+    assert abs(got["t5"].p_adj - 0.9) < 1e-12
+    with pytest.raises(ValueError, match="q must"):
+        bh_fdr(df, "p", q=1.5)
+
+
+def test_mutual_information_known_cases(spark):
+    import math
+
+    from parquet_on_fhir_spark.operators.analytics import mutual_information
+
+    # perfectly dependent: MI = H(A) = ln 2, NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5, "a string, b string"
+    )
+    (r,) = mutual_information(dep, "a", "b").collect()
+    assert abs(r.mi - math.log(2)) < 1e-12 and abs(r.nmi - 1.0) < 1e-12
+    # independent uniform: MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string",
+    )
+    (ri,) = mutual_information(ind, "a", "b").collect()
+    assert abs(ri.mi) < 1e-12
