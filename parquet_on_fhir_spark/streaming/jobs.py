@@ -201,3 +201,20 @@ def run_to_memory(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` as a file-stream source (one staged immutable copy
+    per sf_dir, like :func:`stream_events`) — the incremental-corpus
+    entry point for streaming curation pipelines."""
+    key = f"{sf_dir}::documents"
+    src = _SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="pofs_stream_docs_")
+        shutil.copy(f"{sf_dir}/documents.parquet", src)
+        _SRC_CACHE[key] = src
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    )
+    return spark.readStream.schema(schema).parquet(src)

@@ -441,3 +441,41 @@ GROUP BY 1, 2
 
 
 QUERIES.append(Q("q171_stream_ohlc", q171, Q171_ORACLE))
+
+
+# --- Q215: streaming corpus curation (quality gate + incremental dedup groups) -----
+def q215(spark, sf_dir):
+    """Incremental corpus curation as a REAL stream: documents arrive
+    via readStream, pass a pure-map quality gate, and fold into
+    per-digest duplicate groups (complete-mode aggregation = the
+    streaming form of exact dedup's group table; the kept-set is the
+    digest keys, deterministic regardless of arrival order). The
+    batch restatement is exact, so the stream output is oracle-checked
+    like any batch query."""
+    from parquet_on_fhir_spark.streaming.jobs import stream_documents
+
+    s = stream_documents(spark, sf_dir)
+    gated = s.filter(
+        (F.length("text") >= 200)
+        & (F.size(F.array_remove(F.split(F.col("text"), " "), "")) >= 30)
+    )
+    # count_distinct is unsupported in streaming aggs; min(source) is the
+    # deterministic per-group witness instead
+    groups = gated.groupBy(F.md5("text").alias("digest")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("source").alias("first_source"),
+    )
+    return run_to_memory(groups, "complete")
+
+
+Q215_ORACLE = """
+SELECT md5(text) AS digest, count(*) AS n_copies,
+       min(source) AS first_source
+FROM documents
+WHERE len(text) >= 200
+  AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30
+GROUP BY md5(text)
+"""
+
+
+QUERIES.append(Q("q215_stream_curation", q215, Q215_ORACLE))
