@@ -161,8 +161,9 @@ def expand_valueset(
       with :func:`concept_closure` over :func:`concept_edges`), code
       predicates (``regex`` / ``in`` / ``not-in``) against the
       system's concept universe, and concept-property predicates
-      (``=`` / ``regex``) against ``concept.property[]``; filters in
-      one include AND together; ``generalizes``/``exists`` raise;
+      (``=`` / ``regex`` / ``exists`` true|false) against
+      ``concept.property[]``; filters in one include AND together;
+      ``generalizes`` and ``exists`` ON THE CODE itself raise;
     - ``exclude[].concept[]`` — anti-joined out of the result.
 
     Sparse schemas are honored: absent optional elements (no ValueSet
@@ -302,12 +303,12 @@ def _expand_filters(
     - ``code regex`` / ``in`` / ``not-in`` — column predicates over the
       system's concept universe (regex is whole-value, per spec;
       ``in``/``not-in`` take comma-separated code lists);
-    - ``<property> =`` / ``regex`` — against flattened
-      ``concept.property[]`` assertions.
+    - ``<property> =`` / ``regex`` / ``exists`` (true|false) — against
+      flattened ``concept.property[]`` assertions.
 
     Multiple filters inside one include AND together (spec semantics):
     a code qualifies only when every filter of its include matched it.
-    ``generalizes``/``exists`` raise. Closure, concept universe, and
+    ``generalizes`` and ``code exists`` raise. Closure, concept universe, and
     property tables are all terminology-sized — broadcast; the filter
     list itself is K rows."""
     flt = (

@@ -596,6 +596,7 @@ def kaplan_meier(
     duration_col: str,
     event_col: str,
     key_cols: list[str] | None = None,
+    term_dp: int | None = None,
 ) -> DataFrame:
     """Kaplan-Meier survival curve: S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
     distinct event times, with right-censoring (``event_col`` false =
@@ -609,6 +610,15 @@ def kaplan_meier(
     per-key partitioning; with no keys the aggregated curve is
     time-cardinality-sized, so the single-partition window over it is
     a non-issue.
+
+    ``term_dp`` quantizes each ln(1−dᵢ/nᵢ) factor to that many decimal
+    places BEFORE the running sum. Transcendental terms differ across
+    libm builds in the last ulp; summed over many time points the
+    chain error can flip a downstream rounding digit. Per-term
+    quantization (12 dp is the repo convention) pins every factor to
+    an identical value in any engine, so cross-engine error stops
+    accumulating — use it whenever the curve is compared across
+    engines.
 
     Output: (keys, t, n_risk, n_events, survival).
     """
@@ -639,6 +649,8 @@ def kaplan_meier(
     # F.sum SKIPS nulls, which would silently drop the factor instead)
     factor = 1.0 - F.col("n_events") / F.col("n_risk")
     safe_log = F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))
+    if term_dp is not None:
+        safe_log = F.round(safe_log, term_dp)
     hit_zero = F.max((factor <= 0).cast("int")).over(upto_now)
     survival = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
         F.exp(F.sum(safe_log).over(upto_now))
@@ -652,50 +664,71 @@ def binary_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    quantize: float | None = None,
 ) -> DataFrame:
     """ROC AUC of a score against a binary label via the Mann-Whitney
     rank-sum identity: AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) /
     (n⁺·n⁻), with average ranks for tied scores (the exact tie
     handling sklearn uses) — no curve sweep, no thresholds.
 
+    Integer-exact formulation: average ranks are exact half-integers
+    (cum_before + (cnt+1)/2), so DOUBLED ranks are integers and the
+    identity restates as ``auc = (2·Σ⁺rank − n⁺(n⁺+1)) / (2·n⁺·n⁻)``
+    with numerator and denominator both integral. All sums run in
+    DECIMAL(38,0) (order-independent, overflow-safe to ~1e38 — 2n² at
+    n=1e12 rows is 2e24), leaving ONE final double division — the
+    result is bit-identical across engines and partitionings, no
+    float accumulation anywhere.
+
     100 TB plan: the corpus is FIRST hash-aggregated per distinct
     score (count + positive count); the one ordered window then runs
-    over |distinct scores| rows, not the corpus — exact (the average
-    rank of a tie group is cum_before + (cnt+1)/2), and for real model
-    scores (floats with at most millions of distinct values) the
-    windowed frame is bounded regardless of corpus size. NULL scores
-    are excluded up front (they carry no rank information).
+    over |distinct scores| rows, not the corpus. For integer-ish
+    scores that frame is naturally bounded; for truly CONTINUOUS
+    model scores pass ``quantize`` (a bucket width, e.g. 1e-4) to
+    round scores to multiples of it before the pre-aggregation —
+    bounded window (≤ range/quantize rows) at bounded AUC error
+    (ties created at bucket edges shift AUC by at most the mass on
+    the edge; error → 0 with the bucket width). NULL scores are
+    excluded up front (they carry no rank information).
 
     Output: 1 row — (auc, n_pos, n_neg).
     """
     from pyspark.sql import Window
 
     lab = F.col(label_col).cast("int")
+    score = F.col(score_col)
+    if quantize is not None:
+        score = F.round(score / F.lit(quantize)) * F.lit(quantize)
     per_score = (
-        df.filter(F.col(score_col).isNotNull())
-        .groupBy(score_col)
+        df.filter(score.isNotNull())
+        .groupBy(score.alias("__score"))
         .agg(
             F.count("*").alias("__cnt"),
             F.sum(lab).alias("__pos"),
             F.sum(1 - lab).alias("__neg"),
         )
     )
-    w = Window.orderBy(F.col(score_col)).rowsBetween(
+    w = Window.orderBy(F.col("__score")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # doubled average rank of the tie group: 2·cum_before + cnt + 1
     ranked = per_score.withColumn(
-        "__rank",
-        (F.sum("__cnt").over(w) - F.col("__cnt")) + (F.col("__cnt") + 1) / 2.0,
+        "__rank2",
+        2 * (F.sum("__cnt").over(w) - F.col("__cnt")) + F.col("__cnt") + 1,
     )
+    dec = "decimal(38,0)"
     agg = ranked.agg(
-        F.sum(F.col("__pos") * F.col("__rank")).alias("__rsum"),
+        F.sum((F.col("__pos") * F.col("__rank2")).cast(dec)).alias("__rsum2"),
         F.sum("__pos").alias("n_pos"),
         F.sum("__neg").alias("n_neg"),
     )
+    num = F.col("__rsum2") - (
+        F.col("n_pos").cast(dec) * (F.col("n_pos") + 1).cast(dec)
+    )
+    den = 2 * F.col("n_pos").cast(dec) * F.col("n_neg").cast(dec)
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-        (F.col("__rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-        / (F.col("n_pos") * F.col("n_neg")),
+        num.cast("double") / den.cast("double"),
     )
     return agg.select(auc.alias("auc"), "n_pos", "n_neg")
 
@@ -794,6 +827,7 @@ def zipf_slope(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 2,
+    term_dp: int | None = None,
 ) -> DataFrame:
     """Zipf fit of the corpus token-frequency distribution: the
     least-squares slope of ln(frequency) on ln(rank) — healthy natural
@@ -803,6 +837,11 @@ def zipf_slope(
     One token hash aggregate (vocab-sized), one ordered window over the
     aggregated counts, one regr_slope fold. ``min_count`` trims the
     hapax tail, which flattens the log-log line and is noise anyway.
+
+    ``term_dp`` rounds each ln(freq)/ln(rank) term to that many
+    decimal places before the regression fold (12 dp is the repo
+    convention) so per-term libm differences cannot accumulate across
+    the vocab-sized sum when the fit is compared across engines.
 
     Output: 1 row — (slope, intercept, n_types, n_tokens).
     """
@@ -818,11 +857,14 @@ def zipf_slope(
         F.row_number().over(Window.orderBy(F.desc("__n"), F.asc("tok"))),
     )
     total = counts.agg(F.sum("__n").alias("__t"))
+    ln_n, ln_r = F.log("__n"), F.log("__r")
+    if term_dp is not None:
+        ln_n, ln_r = F.round(ln_n, term_dp), F.round(ln_r, term_dp)
     return (
         ranked.crossJoin(F.broadcast(total))
         .agg(
-            F.regr_slope(F.log("__n"), F.log("__r")).alias("slope"),
-            F.regr_intercept(F.log("__n"), F.log("__r")).alias("intercept"),
+            F.regr_slope(ln_n, ln_r).alias("slope"),
+            F.regr_intercept(ln_n, ln_r).alias("intercept"),
             F.count("*").alias("n_types"),
             F.first("__t").alias("n_tokens"),
         )
@@ -887,6 +929,7 @@ def weighted_percentile(
     ps: list[float],
     key_cols: list[str] | None = None,
     validate_weights: bool = True,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Weighted lower percentiles: for each p, the smallest value whose
     cumulative weight reaches p·total — duration-weighted latency
@@ -905,11 +948,23 @@ def weighted_percentile(
     (``raise_error`` on NULL/zero/negative weights — no eager
     pre-scan); pass ``validate_weights=False`` to skip it.
 
+    For truly CONTINUOUS values (where |distinct values| ≈ corpus
+    size and the window degenerates), pass ``quantize`` — a bucket
+    width; values are floored to multiples of it before the per-value
+    pre-aggregation, so the window is ≤ range/quantize rows and the
+    reported percentile is the bucket lower edge (error < quantize,
+    one-sided, consistent with the lower-value convention).
+
     Output: *keys, p_<percent> per requested p.
     """
     from pyspark.sql import Window
 
     keys = key_cols or []
+    if quantize is not None:
+        df = df.withColumn(
+            value_col,
+            F.floor(F.col(value_col) / F.lit(quantize)) * F.lit(quantize),
+        )
     wc = F.col(weight_col)
     if validate_weights:
         wc = F.when(wc > 0, wc).otherwise(
@@ -1177,13 +1232,25 @@ def frequency_sketch_topk(
     )
     # K-row driver-side estimate lookup (the sketch is one binary blob;
     # the DATA was aggregated distributed — this collect moves ~KB)
-    import struct
-
-    sketch = _cms_parse(bytes(sk_row["sk"]))
-    items = [r["item"] for r in top.select("item").collect()]
-    est = [(it, _cms_estimate(sketch, str(it))) for it in items]
     spark = df.sparkSession
-    est_df = spark.createDataFrame(est, f"item {df.schema[item_col].dataType.simpleString()}, n_est long")
+    item_type = df.schema[item_col].dataType.simpleString()
+    if sk_row["sk"] is None:
+        # empty / all-NULL input: count_min_sketch aggregates to NULL
+        return spark.createDataFrame(
+            [], f"item {item_type}, n bigint, n_est bigint, rank int"
+        )
+    sketch = _cms_parse(bytes(sk_row["sk"]))
+    # estimate keys come from the SAME cast('string') rendering the
+    # sketch was built over — Python str() diverges for non-string
+    # item types (booleans, floats, decimals)
+    items = [
+        (r["item"], r["__s"])
+        for r in top.select(
+            "item", F.col("item").cast("string").alias("__s")
+        ).collect()
+    ]
+    est = [(it, _cms_estimate(sketch, s)) for it, s in items]
+    est_df = spark.createDataFrame(est, f"item {item_type}, n_est long")
     return top.join(F.broadcast(est_df), "item").select(
         "item", "n", "n_est", "rank"
     )

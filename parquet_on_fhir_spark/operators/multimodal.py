@@ -599,9 +599,17 @@ def decode_wav(content: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _brate, _align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+    # sample_rate == 0 would ZeroDivisionError in downstream duration /
+    # feature math, escaping the ValueError → stand-in fallback
+    if (
+        audio_format != 1
+        or bits not in (8, 16)
+        or channels < 1
+        or sample_rate < 1
+    ):
         raise ValueError(
-            f"unsupported WAV (format={audio_format}, bits={bits})"
+            f"unsupported WAV (format={audio_format}, bits={bits},"
+            f" rate={sample_rate})"
         )
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2")

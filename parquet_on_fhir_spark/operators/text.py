@@ -467,6 +467,7 @@ def unigram_entropy(
     df: DataFrame,
     text_col: str,
     key_cols: list[str] | None = None,
+    term_dp: int | None = None,
 ) -> DataFrame:
     """Shannon entropy (nats) of each group's unigram distribution,
     plus type/token counts — the lexical-diversity fingerprint that
@@ -480,6 +481,11 @@ def unigram_entropy(
     is computed from counts WITHOUT materializing probabilities
     (H = ln N − Σ c·ln c / N, one pass, numerically stable).
 
+    ``term_dp`` rounds each ln(c) term (and the final ln N) to that
+    many decimal places before the fold (12 dp is the repo
+    convention) so per-term libm differences cannot accumulate across
+    the vocab-sized sum when H is compared across engines.
+
     Output: *keys, n_tokens, n_types, entropy.
     """
     keys = key_cols or []
@@ -487,12 +493,14 @@ def unigram_entropy(
         *keys, F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
     ).filter(F.col("__tok") != "")
     counts = toks.groupBy(*keys, "__tok").agg(F.count("*").alias("__c"))
+    ln_tot, ln_c = F.log(F.sum("__c")), F.log("__c")
+    if term_dp is not None:
+        ln_tot, ln_c = F.round(ln_tot, term_dp), F.round(ln_c, term_dp)
     return counts.groupBy(*keys).agg(
         F.sum("__c").alias("n_tokens"),
         F.count("*").alias("n_types"),
         (
-            F.log(F.sum("__c"))
-            - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
+            ln_tot - F.sum(F.col("__c") * ln_c) / F.sum("__c")
         ).alias("entropy"),
     )
 

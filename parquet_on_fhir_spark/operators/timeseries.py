@@ -592,6 +592,7 @@ def holt_smoothing(
     value_col: str,
     alpha: float = 0.3,
     beta: float = 0.1,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Holt double-exponential smoothing per series: level ℓ_t =
     α·y_t + (1−α)(ℓ_{t−1} + b_t−1), trend b_t = β(ℓ_t − ℓ_{t−1}) +
@@ -606,7 +607,10 @@ def holt_smoothing(
     as stateful streaming. One shuffle on the key; a numpy loop over
     the group, never a Python loop over Spark rows. Initialization:
     ℓ_0 = y_0, b_0 = y_1 − y_0 (0 for singleton series); fitted is
-    NULL for the first observation.
+    NULL for the first observation. ``tie_cols`` break timestamp ties
+    deterministically (like :func:`seasonal_decompose` /
+    :func:`transition_matrix`) — without them, series with tied
+    timestamps smooth in a layout-dependent order.
 
     Output: *keys, ts, value, level, trend, fitted.
     """
@@ -616,6 +620,7 @@ def holt_smoothing(
     a, b = float(alpha), float(beta)
     if not (0 < a <= 1 and 0 <= b <= 1):
         raise ValueError("alpha in (0,1], beta in [0,1] required")
+    ties = tie_cols or []
 
     schema = ", ".join(
         [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
@@ -629,7 +634,7 @@ def holt_smoothing(
     )
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf = pdf.sort_values([ts_col, *ties], kind="mergesort")
         y = pdf[value_col].to_numpy(dtype=float)
         n = len(y)
         lvl = np.empty(n)
@@ -649,7 +654,12 @@ def holt_smoothing(
         return out
 
     return (
-        df.select(*key_cols, ts_col, F.col(value_col).cast("double").alias(value_col))
+        df.select(
+            *key_cols,
+            ts_col,
+            *ties,
+            F.col(value_col).cast("double").alias(value_col),
+        )
         .groupBy(*key_cols)
         .applyInPandas(smooth, schema=schema)
     )
@@ -662,6 +672,7 @@ def cusum_changepoints(
     value_col: str,
     threshold: float = 5.0,
     drift: float = 0.5,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection per series (Page, 1954):
     running sums S⁺ = max(0, S⁺ + z − drift), S⁻ = max(0, S⁻ − z −
@@ -675,7 +686,10 @@ def cusum_changepoints(
     ``applyInPandas`` (the sanctioned per-key-sequential escape hatch,
     like :func:`holt_smoothing`); z-scores standardize against the
     series' own mean/std (one in-group numpy pass). Keys parallelize
-    across executors; one shuffle on the key.
+    across executors; one shuffle on the key. ``tie_cols`` break
+    timestamp ties deterministically — the reset accumulator is
+    order-sensitive, so tied timestamps otherwise give
+    layout-dependent output.
 
     Output: *keys, ts, value, cusum_pos, cusum_neg, is_changepoint.
     """
@@ -683,6 +697,7 @@ def cusum_changepoints(
     import pandas as pd
 
     th, dr = float(threshold), float(drift)
+    ties = tie_cols or []
 
     schema = ", ".join(
         [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
@@ -696,7 +711,7 @@ def cusum_changepoints(
     )
 
     def detect(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf = pdf.sort_values([ts_col, *ties], kind="mergesort")
         y = pdf[value_col].to_numpy(dtype=float)
         mu = float(np.mean(y)) if len(y) else 0.0
         sd = float(np.std(y))
@@ -720,7 +735,12 @@ def cusum_changepoints(
         return out
 
     return (
-        df.select(*key_cols, ts_col, F.col(value_col).cast("double").alias(value_col))
+        df.select(
+            *key_cols,
+            ts_col,
+            *ties,
+            F.col(value_col).cast("double").alias(value_col),
+        )
         .groupBy(*key_cols)
         .applyInPandas(detect, schema=schema)
     )

@@ -69,5 +69,29 @@ def d4(col: Column) -> Column:
     hash normalization distinguishes them.  Oracles whose rounded value
     can land in (-1e-4, 0) must append ``+ 0.0`` after the round (IEEE
     addition collapses -0.0 to +0.0) — see Q162_ORACLE.
+
+    TRANSCENDENTAL SUMS: the 1e-9 nudge is sized for SINGLE-step
+    noise (a quotient, a moment). Any oracle that SUMS transcendental
+    terms (exp/ln/log₂/log₁₀ per row or per group, then Σ) must
+    quantize EACH term to 12 dp in both engines before the sum —
+    ``round(ln(x), 12)`` in SQL, ``term_dp=12`` on the operator.
+    Per-term libm error (~1 ulp, engine-build-dependent) summed over
+    thousands of terms can exceed the nudge near a 4-dp boundary;
+    per-term quantization pins every term to an identical double in
+    any engine so chain error never accumulates. Precedents: q145
+    keep rates; r8 fixes for q168 (Σ ln(1−d/n)), q173 (regr over ln),
+    q192 (Σ c·ln c). Integer-restatable chains should instead go all
+    the way to exact integers (q169 AUC: doubled ranks in
+    DECIMAL(38,0), one final division).
+
+    Audit of the remaining ln/exp oracles (r8): q179 PMI and q199
+    Laplace apply ONE ln per output row — no accumulation, nudge
+    covers the single-term ulp. q121 LM score sums per document —
+    bounded by doc length (≤ ~10³ terms of magnitude ~15 ⇒ chain
+    error ≲ 1e-12 < nudge). q161 KL/JSD sums vocab-sized but each
+    term is probability-scale (pa·ln(pa/pb) ~ 1e-5·ln ⇒ per-term
+    absolute error ~1e-20, 1e5-term chain ≲ 1e-15). None needs
+    per-term quantization; re-audit any NEW oracle whose summed term
+    magnitude × term count approaches 1e-9.
     """
     return F.round(col + F.lit(1e-9), 4)

@@ -2124,11 +2124,12 @@ QUERIES.append(Q("q191_stratified_folds", q191, Q191_ORACLE))
 def q192(spark, sf_dir):
     """operators/text.py::unigram_entropy per source — the
     lexical-diversity audit; H computed from counts in one pass
-    (ln N - sum c ln c / N)."""
+    (ln N - sum c ln c / N). Each ln term is 12-dp-quantized in BOTH
+    engines (the transcendental-sum convention, suite/common.py)."""
     from parquet_on_fhir_spark.operators.text import unigram_entropy
 
     d = t(spark, sf_dir, "documents")
-    out = unigram_entropy(d, "text", key_cols=["source"])
+    out = unigram_entropy(d, "text", key_cols=["source"], term_dp=12)
     return out.select(
         "source",
         "n_tokens",
@@ -2148,7 +2149,8 @@ c AS (
 SELECT source,
        sum(c) AS n_tokens,
        count(*) AS n_types,
-       round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4) + 0.0
+       round(round(ln(sum(c)), 12)
+             - sum(c * round(ln(c), 12)) / sum(c) + 1e-9, 4) + 0.0
          AS entropy
 FROM c GROUP BY source
 """
@@ -2324,8 +2326,23 @@ def q204(spark, sf_dir):
     """Curation audit composing exact-dup grouping with source overlap:
     for each duplicated text, is it repeated WITHIN one source (likely
     boilerplate) or ACROSS sources (likely syndication)? The decision a
-    mix owner makes differs — so the audit splits the counts."""
-    d = t(spark, sf_dir, "documents")
+    mix owner makes differs — so the audit splits the counts.
+
+    The base table has no exact-duplicate texts at small SF (r7 ran
+    this vacuously at 0 rows), so duplicates are PLANTED, mirrored in
+    the oracle: docs with doc_id%10==0 get a same-source copy
+    (within_source groups) and doc_id%10==1 a copy under source
+    'syndicated' (cross_source groups)."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    within = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+    )
+    cross = base.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit("syndicated").alias("source"),
+        "text",
+    )
+    d = base.unionAll(within).unionAll(cross)
     groups = (
         d.groupBy(F.md5("text").alias("dg"))
         .agg(
@@ -2348,10 +2365,17 @@ def q204(spark, sf_dir):
 
 
 Q204_ORACLE = """
-WITH g AS (
+WITH planted AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'syndicated', text FROM documents WHERE doc_id % 10 = 1
+),
+g AS (
   SELECT md5(text) AS dg, count(*) AS n_copies,
          count(DISTINCT source) AS n_sources
-  FROM documents GROUP BY md5(text)
+  FROM planted GROUP BY md5(text)
   HAVING count(*) > 1
 )
 SELECT CASE WHEN n_sources > 1 THEN 'cross_source'

@@ -2840,7 +2840,11 @@ def q168(spark, sf_dir):
     """Survival of users by days-to-first-purchase, churn censored
     (operators/analytics.py::kaplan_meier). Duration = days from each
     user's first event to first purchase (event) or last event
-    (censored). Product-limit via exp(Σ ln(1−d/n)) running sums."""
+    (censored). Product-limit via exp(Σ ln(1−d/n)) running sums;
+    each ln factor is 12-dp-quantized in BOTH engines (term_dp=12 /
+    round(ln(...), 12)) so libm per-term noise cannot accumulate past
+    the d4 nudge — the transcendental-sum convention
+    (suite/common.py)."""
     from parquet_on_fhir_spark.operators.analytics import kaplan_meier
 
     e = t(spark, sf_dir, "events")
@@ -2857,7 +2861,7 @@ def q168(spark, sf_dir):
         ).alias("duration"),
         F.col("purch_ts").isNotNull().alias("event"),
     )
-    out = kaplan_meier(spans, "duration", "event")
+    out = kaplan_meier(spans, "duration", "event", term_dp=12)
     return out.select(
         F.col("t").cast("int").alias("t"),
         "n_risk",
@@ -2898,9 +2902,9 @@ SELECT CAST(t AS INT) AS t, n_risk, n_events,
                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) = 1
              THEN 0.0
-             ELSE exp(sum(ln(CASE WHEN n_events < n_risk
+             ELSE exp(sum(round(ln(CASE WHEN n_events < n_risk
                              THEN 1.0 - n_events / CAST(n_risk AS DOUBLE)
-                             ELSE 1.0 END))
+                             ELSE 1.0 END), 12))
                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW))
              END + 1e-9, 4) AS survival
@@ -2916,7 +2920,10 @@ def q169(spark, sf_dir):
     """AUC of n_chars as a predictor of lang='en'
     (operators/analytics.py::binary_auc): Mann-Whitney with average
     ranks over score ties — the exact tie convention, no threshold
-    sweep."""
+    sweep. Integer-exact in BOTH engines: doubled ranks are integers,
+    so auc = (2·Σ⁺rank − n⁺(n⁺+1)) / (2·n⁺·n⁻) with an integral
+    numerator/denominator and ONE final double division — no float
+    accumulation for the driver hash to diverge on."""
     from parquet_on_fhir_spark.operators.analytics import binary_auc
 
     d = t(spark, sf_dir, "documents")
@@ -2931,17 +2938,17 @@ def q169(spark, sf_dir):
 Q169_ORACLE = """
 WITH ranked AS (
   SELECT CAST(lang = 'en' AS INT) AS lab,
-         (min(rn) OVER (PARTITION BY n_chars)
-          + max(rn) OVER (PARTITION BY n_chars)) / 2.0 AS r
+         min(rn) OVER (PARTITION BY n_chars)
+          + max(rn) OVER (PARTITION BY n_chars) AS r2
   FROM (
     SELECT lang, n_chars,
            row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE)) AS rn
     FROM documents
   )
 )
-SELECT round((sum(CASE WHEN lab = 1 THEN r END)
-              - sum(lab) * (sum(lab) + 1) / 2.0)
-             / (sum(lab) * CAST(sum(1 - lab) AS DOUBLE)) + 1e-9, 4) AS auc,
+SELECT round(CAST(sum(CASE WHEN lab = 1 THEN r2 ELSE 0 END)
+                  - sum(lab) * (sum(lab) + 1) AS DOUBLE)
+             / CAST(2 * sum(lab) * sum(1 - lab) AS DOUBLE) + 1e-9, 4) AS auc,
        sum(lab) AS n_pos,
        sum(1 - lab) AS n_neg
 FROM ranked
@@ -3038,11 +3045,13 @@ QUERIES.append(Q("q172_concentration_report", q172, Q172_ORACLE))
 # --- Q173: Zipf slope of the token-frequency distribution --------------------------
 def q173(spark, sf_dir):
     """Log-log least-squares fit of token frequency vs rank
-    (operators/analytics.py::zipf_slope), hapax-trimmed."""
+    (operators/analytics.py::zipf_slope), hapax-trimmed. Each ln term
+    is 12-dp-quantized in BOTH engines before the regression fold
+    (the transcendental-sum convention, suite/common.py)."""
     from parquet_on_fhir_spark.operators.analytics import zipf_slope
 
     d = t(spark, sf_dir, "documents")
-    out = zipf_slope(d, "text", min_count=2)
+    out = zipf_slope(d, "text", min_count=2, term_dp=12)
     return out.select(
         d4(F.col("slope")).alias("slope"),
         d4(F.col("intercept")).alias("intercept"),
@@ -3062,8 +3071,8 @@ ranked AS (
   SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
   FROM counts WHERE n >= 2
 )
-SELECT round(regr_slope(ln(n), ln(r)) + 1e-9, 4) AS slope,
-       round(regr_intercept(ln(n), ln(r)) + 1e-9, 4) AS intercept,
+SELECT round(regr_slope(round(ln(n), 12), round(ln(r), 12)) + 1e-9, 4) AS slope,
+       round(regr_intercept(round(ln(n), 12), round(ln(r), 12)) + 1e-9, 4) AS intercept,
        count(*) AS n_types,
        (SELECT t FROM total) AS n_tokens
 FROM ranked
@@ -3799,7 +3808,8 @@ touch AS (
 pairs AS (
   SELECT c.user_id, c.cts, t.ch
   FROM conv c JOIN touch t ON c.user_id = t.user_id
-  WHERE t.tts < c.cts AND epoch(t.tts) >= epoch(c.cts) - 43200
+  WHERE t.tts < c.cts
+    AND floor(epoch(t.tts)) >= floor(epoch(c.cts)) - 43200
 ),
 per AS (
   SELECT user_id, cts, ch, count(*) AS n_ch FROM pairs GROUP BY 1, 2, 3
