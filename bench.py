@@ -68,6 +68,11 @@ HEADLINE = [
     "q150_triangle_count",             # 2-hop join + orientation trick
     "q164_stream_cdc_apply",           # foreachBatch CDC upsert loop
     "q175_hierarchy_rollup",           # recursive parent-chain contraction
+    # round-8 additions: the heaviest round-7 operators, previously
+    # untracked (new lines, not regressions vs BENCH_r07 — compare the
+    # shared-query subtotal across rounds, never totals):
+    "q194_set_similarity_join",        # All-Pairs prefix-filter self-join
+    "q197_hll_distinct_rollup",        # mergeable HLL sketch rollup
 ]
 
 

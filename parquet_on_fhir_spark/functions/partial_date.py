@@ -70,8 +70,13 @@ def _bound(c: Column | str, fill: str) -> Column:
     timed = F.concat(date_part, F.lit("T"), _pad_time(time_part, fill), tz)
 
     month_start = F.concat(s, F.lit("-01T00:00:00.000Z"))
+    # try_to_date: the length-7 branch admits ANY 7-char string
+    # ('garbage', '2015-13'); a plain to_date would throw under ANSI
+    # instead of yielding the contracted NULL bounds
     month_end = F.concat(
-        F.date_format(F.last_day(F.to_date(F.concat(s, F.lit("-01")))), "yyyy-MM-dd"),
+        F.date_format(
+            F.last_day(F.try_to_date(F.concat(s, F.lit("-01")))), "yyyy-MM-dd"
+        ),
         F.lit("T23:59:59.999Z"),
     )
 
@@ -83,7 +88,12 @@ def _bound(c: Column | str, fill: str) -> Column:
         .otherwise(F.lit(None))
     )
     # try_to_timestamp: malformed lexical forms yield NULL bounds instead
-    # of failing the encode job under ANSI mode
+    # of failing the encode job under ANSI mode.  Instants in the first
+    # days of year 0001 sit below Spark's Julian-rebase floor and raise
+    # "year 0 is out of range" even under try_ — NULL them explicitly
+    # (the ±14:00 FHIR offset range can shift 0001-01-03/04 under the
+    # floor too, so the guard covers 0001-01-01 through -09).
+    iso = F.when(iso.rlike("^0001-01-0"), F.lit(None)).otherwise(iso)
     return F.try_to_timestamp(iso)
 
 

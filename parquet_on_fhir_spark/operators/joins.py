@@ -304,16 +304,67 @@ def set_similarity_join(
     PREFIX tokens only — the frequent tokens that would explode a
     naive token join never enter the join key unless they sit in a
     short prefix. Length filter |y| ≥ t·|x| prunes before
-    verification; exact Jaccard via array_intersect on the carried
-    token arrays decides. Never all-pairs: cost is Σ_token
-    prefix-df(token)², the published All-Pairs bound.
+    verification; exact Jaccard via array_intersect decides. Never
+    all-pairs: cost is Σ_token prefix-df(token)², the published
+    All-Pairs bound. That bound is the honest scale lever: on Zipfian
+    tag/shingle/entity sets it is ≪ n², but on dense TEMPLATE corpora
+    (every row drawing from one small shared vocabulary) it
+    degenerates toward n² — measured at 52% of all-pairs on the
+    synthetic documents table (SCALE_NOTES.md, seventh wave). In that
+    regime reach for MinHash-LSH (operators/dedup.py) and accept the
+    probabilistic recall; this operator is for the exactness-required
+    regimes.
 
     Output: (id_a, id_b, jaccard), id_a < id_b, one row per qualifying
     pair.
+
+    The candidate join is SKINNY (id, set-size, prefix-token — never
+    the token arrays): a pair sharing m prefix tokens appears m times,
+    and dense template-vocabulary corpora push Σ prefix-df² toward n²
+    (the r8 ×10 probe measured 2.3× all-pairs ROW multiplicity on the
+    synthetic documents table) — shuffling arrays at that multiplicity
+    would move prefix-length × corpus-text bytes. Instead candidates
+    are DISTINCT'd to unique id pairs first, then the token arrays
+    join back once per side and each surviving pair is verified
+    exactly once.
     """
     t = float(threshold)
     if not 0 < t <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    ordered = _set_similarity_ordered(df, id_col, tokens_col)
+    # candidate frames reference `ordered` three times (two candidate
+    # sides + the verify re-join); cut the lineage so the vocab join +
+    # rarest-first sort computes once
+    ordered = ordered.localCheckpoint(eager=False)
+    pairs = _set_similarity_candidates(ordered, t).select(
+        "id_a", "id_b"
+    ).distinct()
+    va = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__sorted").alias("__ta"),
+    )
+    vb = ordered.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__sorted").alias("__tb"),
+    )
+    verified = pairs.join(va, "id_a").join(vb, "id_b")
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _set_similarity_ordered(
+    df: "DataFrame", id_col: str, tokens_col: str
+) -> "DataFrame":
+    """(__id, __n, __sorted): each row's distinct token set in the
+    rarest-first canonical order (global df ascending, token as the
+    tie-break) that prefix filtering requires."""
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(tokens_col)).alias("__toks"),
@@ -321,11 +372,10 @@ def set_similarity_join(
     vocab = toks.select(F.explode("__toks").alias("__tok")).groupBy(
         "__tok"
     ).agg(F.count("*").alias("__df"))
-    # rarest-first canonical order: sort (df, token) structs, then strip
     exploded = toks.select(
         "__id", F.size("__toks").alias("__n"), F.explode("__toks").alias("__tok")
     ).join(F.broadcast(vocab), "__tok")
-    ordered = exploded.groupBy("__id", "__n").agg(
+    return exploded.groupBy("__id", "__n").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct(F.col("__df"), F.col("__tok")))
@@ -333,41 +383,32 @@ def set_similarity_join(
             lambda s: s["__tok"],
         ).alias("__sorted")
     )
+
+
+def _set_similarity_candidates(ordered: "DataFrame", t: float):
+    """Candidate stage of :func:`set_similarity_join`: the SKINNY
+    prefix-token equi-join + length filter, before verification —
+    (id_a, id_b) with one row per SHARED prefix token. Only (id, n,
+    ptok) enters the shuffle; the token arrays stay home. Exposed so
+    the scale probe can measure the All-Pairs cost lever (candidate
+    rows vs the n² bound) directly."""
     prefix_len = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
     pref = ordered.select(
         "__id",
         "__n",
-        "__sorted",
         F.explode(F.slice("__sorted", 1, prefix_len)).alias("__ptok"),
     )
     a = pref.select(
-        F.col("__id").alias("id_a"),
-        F.col("__n").alias("__na"),
-        F.col("__sorted").alias("__ta"),
-        "__ptok",
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__ptok"
     )
     b = pref.select(
-        F.col("__id").alias("id_b"),
-        F.col("__n").alias("__nb"),
-        F.col("__sorted").alias("__tb"),
-        "__ptok",
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__ptok"
     )
-    cand = (
+    return (
         a.join(b, "__ptok")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             (F.col("__nb") >= F.ceil(F.lit(t) * F.col("__na")))
             & (F.col("__na") >= F.ceil(F.lit(t) * F.col("__nb")))
         )
-    )
-    inter = F.size(F.array_intersect("__ta", "__tb"))
-    jac = inter / (F.col("__na") + F.col("__nb") - inter)
-    # verify BEFORE deduplicating so the final distinct shuffles three
-    # scalars, never the token arrays (duplicate candidates recompute
-    # the cheap intersect instead)
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= t)
-        .select("id_a", "id_b", "jaccard")
-        .distinct()
     )

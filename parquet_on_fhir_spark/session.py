@@ -11,8 +11,17 @@ Arrow for any pandas exchange.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Catalyst extension jar (annotation-aware predicate rewrite, SURVEY
+# §4.1 v2 — built by tools/build_jvm_ext.py and committed). Wired only
+# when present; SPARK_GRAFT_NO_EXT=1 is the kill switch. If the JVM was
+# already launched without the jar, Spark logs a warning and builds the
+# session without the extension — never fatal.
+_EXT_JAR = Path(__file__).resolve().parent / "jvm" / "pofs-catalyst-ext.jar"
+_EXT_CLASS = "org.pofs.spark.FhirAnnotationExtensions"
 
 
 def get_session(app_name: str = "parquet-on-fhir-spark") -> SparkSession:
@@ -42,6 +51,10 @@ def get_session(app_name: str = "parquet-on-fhir-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if _EXT_JAR.exists() and os.environ.get("SPARK_GRAFT_NO_EXT") != "1":
+        builder = builder.config("spark.jars", str(_EXT_JAR)).config(
+            "spark.sql.extensions", _EXT_CLASS
+        )
     return builder.getOrCreate()
 
 

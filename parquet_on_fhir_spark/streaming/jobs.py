@@ -58,6 +58,21 @@ EVENTS_LONG_SCHEMA = (
 )
 
 
+def _stage_parquet(path: str, dest: str) -> None:
+    """Stage a parquet table into ``dest`` for a file-stream source.
+    The driver's testdata are single ``.parquet`` FILES, but
+    Spark-written tables (scale_probe replicas, user pipelines) are
+    DIRECTORIES of part files — copy whichever shape ``path`` is."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        for f in sorted(p.glob("*.parquet")):
+            shutil.copy(f, dest)
+    else:
+        shutil.copy(p, dest)
+
+
 def _ts_micros_expr(path: str):
     """ts-normalization for a staged events file: the stream reads the
     raw INT64 (schema pins ts BIGINT) and converts JVM-side, because the
@@ -87,7 +102,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one staged copy per sf_dir per process (the file-stream source
         # needs a directory it owns; the copy itself is immutable)
         src = tempfile.mkdtemp(prefix="pofs_stream_src_")
-        shutil.copy(f"{sf_dir}/events.parquet", src)
+        _stage_parquet(f"{sf_dir}/events.parquet", src)
         _SRC_CACHE[sf_dir] = src
     sdf = spark.readStream.schema(EVENTS_LONG_SCHEMA).parquet(src)
     return sdf.withColumn("ts", _ts_micros_expr(f"{sf_dir}/events.parquet"))
@@ -211,7 +226,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _SRC_CACHE.get(key)
     if src is None:
         src = tempfile.mkdtemp(prefix="pofs_stream_docs_")
-        shutil.copy(f"{sf_dir}/documents.parquet", src)
+        _stage_parquet(f"{sf_dir}/documents.parquet", src)
         _SRC_CACHE[key] = src
     schema = (
         "doc_id BIGINT, text STRING, lang STRING, source STRING, "

@@ -818,3 +818,77 @@ def test_mutual_information_known_cases(spark):
     )
     (ri,) = mutual_information(ind, "a", "b").collect()
     assert abs(ri.mi) < 1e-12
+
+
+def test_frequency_sketch_topk_empty_and_nonstring(spark):
+    """Empty / all-NULL input short-circuits (count_min_sketch
+    aggregates to NULL) instead of raising; non-string item dtypes use
+    the sketch's own cast('string') rendering for estimate keys."""
+    from parquet_on_fhir_spark.operators.analytics import frequency_sketch_topk
+
+    empty = spark.createDataFrame([], "x string")
+    out = frequency_sketch_topk(empty, "x", k=5)
+    assert out.columns == ["item", "n", "n_est", "rank"]
+    assert out.count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "x string")
+    assert frequency_sketch_topk(nulls, "x", k=5).count() == 0
+    # booleans render 'true'/'false' in Spark but 'True'/'False' via
+    # Python str() — the estimate must still match the exact count
+    bools = spark.createDataFrame(
+        [(True,)] * 7 + [(False,)] * 3, "x boolean"
+    )
+    got = {r.item: r for r in frequency_sketch_topk(bools, "x", k=2).collect()}
+    assert got[True].n == 7 and got[True].n_est == 7
+    assert got[False].n == 3 and got[False].n_est == 3
+    # doubles: Spark renders 2.5 as '2.5' (same as str) but exercises
+    # the numeric path end-to-end
+    dbl = spark.createDataFrame([(2.5,)] * 4 + [(1.25,)] * 2, "x double")
+    gd = {r.item: r for r in frequency_sketch_topk(dbl, "x", k=2).collect()}
+    assert gd[2.5].n_est == 4 and gd[1.25].n_est == 2
+
+
+def test_binary_auc_quantize_tier(spark):
+    """quantize= buckets continuous scores before the per-distinct-value
+    pre-aggregation: the windowed frame is bounded by range/quantize and
+    the AUC error is bounded by the tie mass created at bucket edges."""
+    import random
+
+    from parquet_on_fhir_spark.operators.analytics import binary_auc
+
+    rng = random.Random(4)
+    # continuous scores, positives shifted up: every score distinct
+    rows = [(rng.random() * 0.8 + (0.2 if y else 0.0), y)
+            for y in ([True] * 300 + [False] * 300)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    (exact,) = binary_auc(df, "s", "y").collect()
+    (coarse,) = binary_auc(df, "s", "y", quantize=0.01).collect()
+    assert coarse.n_pos == exact.n_pos and coarse.n_neg == exact.n_neg
+    # bucket width 0.01 over range 1.0: ≤ ~101 distinct values enter
+    # the window, and AUC moves by at most the per-bucket tie mass
+    assert abs(coarse.auc - exact.auc) < 0.02
+    # exact path untouched: quantize=None reproduces the hand case
+    hand = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (2.0, True), (3.0, True)],
+        "s double, y boolean",
+    )
+    (rh,) = binary_auc(hand, "s", "y").collect()
+    assert abs(rh.auc - 3.5 / 4) < 1e-12
+
+
+def test_weighted_percentile_quantize_tier(spark):
+    """quantize= floors values to bucket lower edges: the window is
+    bounded by range/quantize and the answer is within one bucket of
+    the exact lower percentile, on the low side."""
+    import random
+
+    from parquet_on_fhir_spark.operators.analytics import weighted_percentile
+
+    rng = random.Random(11)
+    rows = [(rng.random() * 100.0, 1.0 + rng.random()) for _ in range(500)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    (exact,) = weighted_percentile(df, "v", "w", [0.5, 0.9]).collect()
+    (q,) = weighted_percentile(df, "v", "w", [0.5, 0.9], quantize=1.0).collect()
+    for name in ("p_0_5", "p_0_9"):
+        e, b = getattr(exact, name), getattr(q, name)
+        assert b == float(int(b))           # a bucket edge
+        assert b <= e and e - b < 2.0       # low side, within ~a bucket

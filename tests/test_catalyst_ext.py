@@ -1,0 +1,94 @@
+"""Injected Catalyst rule (SURVEY §4.1 v2): raw SQL text over annotated
+tables gets implied __x_start conjuncts pushed into the Parquet scan —
+no typed-API call — with semantics exactly preserved.
+
+The extension must be registered at SparkSession creation, and the
+session-scoped fixture's JVM may predate the jar config, so the whole
+scenario runs in ONE subprocess with a fresh JVM (slow but honest; the
+rule's unit semantics are covered by the inline A/B loop inside it).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+SCENARIO = r"""
+import sys
+sys.path.insert(0, %r)
+from parquet_on_fhir_spark.session import get_session
+from pyspark.sql import functions as F
+from parquet_on_fhir_spark.functions.partial_date import (
+    fhir_date_start, fhir_date_end,
+)
+
+spark = get_session("catalyst-ext-test")
+spark.sparkContext.setLogLevel("FATAL")
+assert spark.conf.get("spark.sql.extensions", "") \
+    == "org.pofs.spark.FhirAnnotationExtensions"
+
+vals = [
+    "2015", "2015-03", "2015-03-14", "2015-03-14T12:05Z",
+    "2015-03-14T23:30:00+14:00", "2015-03-14T00:30:00-14:00",
+    "2014-12-31", "2016-01-01", "garbage", "2015-13", "2015-02-30",
+    None, "0001", "9999-12-31T23:59:59.999Z", "2015-03-14T12:05:30.123Z",
+]
+df = spark.createDataFrame(
+    [(i, v) for i, v in enumerate(vals)], "id int, birthDate string"
+)
+ann = (
+    df.withColumn("__birthDate_start", fhir_date_start(F.col("birthDate")))
+    .withColumn("__birthDate_end", fhir_date_end(F.col("birthDate")))
+)
+import tempfile
+path = tempfile.mkdtemp(prefix="pofs_ext_") + "/p.parquet"
+ann.write.mode("overwrite").parquet(path)
+spark.read.parquet(path).createOrReplaceTempView("p")
+df.createOrReplaceTempView("raw")
+
+# 1) pushdown: the implied annotation conjunct reaches PushedFilters
+q = spark.sql("SELECT id FROM p WHERE birthDate >= '2015-03'")
+plan = q._jdf.queryExecution().executedPlan().toString()
+assert "__birthDate_start" in plan and "PushedFilters" in plan, plan
+# toString truncates long filter lists; the Or(IsNull(...)) head of the
+# implied conjunct is within the untruncated prefix
+assert "Or(IsNull(__birthDate_start)" in plan, plan
+assert "__birthDate_start#" in plan.split("Filter")[1], plan
+
+# 2) semantics: extension results == plain string-predicate results
+preds = [
+    "birthDate >= '2015-03'", "birthDate > '2015'",
+    "birthDate <= '2015-03-14'", "birthDate < '2015-03-14T12:05Z'",
+    "birthDate = '2015-03'", "'2015-03' <= birthDate",
+    "'2015-06' > birthDate", "birthDate = 'garbage'",
+    "birthDate >= '2015-13'", "birthDate >= 'zzz'",
+    "birthDate = '0001'",
+    "birthDate >= '0001' AND birthDate <= '2015-03-14'",
+]
+for pred in preds:
+    got = sorted(r.id for r in spark.sql(
+        "SELECT id FROM p WHERE " + pred).collect())
+    ref = sorted(r.id for r in spark.sql(
+        "SELECT id FROM raw WHERE " + pred).collect())
+    assert got == ref, (pred, got, ref)
+
+# 3) idempotent under the fixpoint batch: exactly one implied conjunct
+cond = q._jdf.queryExecution().optimizedPlan().toString()
+assert cond.count("__birthDate_start#") <= 3, cond  # filter ref + output
+
+print("CATALYST_EXT_OK")
+""" % (str(REPO),)
+
+
+def test_injected_rule_pushdown_and_semantics():
+    r = subprocess.run(
+        [sys.executable, "-c", SCENARIO],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(REPO),
+    )
+    assert "CATALYST_EXT_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-3000:]

@@ -540,6 +540,18 @@ def test_wav_rejects_out_of_envelope():
     # truncated data chunk
     with pytest.raises(ValueError, match="truncated WAV"):
         decode_wav(bytes(encode_wav(np.zeros(10, dtype="<i2"), 8000))[:-5])
+    # sample_rate 0 must raise (ValueError -> stand-in fallback), not
+    # ZeroDivisionError out of the feature math (fails the whole task)
+    from parquet_on_fhir_spark.operators.multimodal import (
+        stand_in_features,
+        wav_features,
+    )
+
+    zr = bytearray(encode_wav(np.zeros(10, dtype="<i2"), 8000))
+    struct.pack_into("<I", zr, zr.index(b"fmt ") + 8 + 4, 0)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(zr))
+    assert wav_features(bytes(zr)) == stand_in_features(bytes(zr))
 
 
 def test_schema_diff(spark):

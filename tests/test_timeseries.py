@@ -388,3 +388,46 @@ def test_cusum_detects_level_shift(spark):
         .count()
         == 0
     )
+
+
+def test_holt_cusum_tie_cols_deterministic(spark):
+    """Series with TIED timestamps produce layout-dependent output
+    unless tie_cols pins the in-group order — both recurrences must
+    return identical values across shuffled input layouts."""
+    from datetime import datetime, timedelta
+
+    from parquet_on_fhir_spark.operators.timeseries import (
+        cusum_changepoints,
+        holt_smoothing,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # two observations share each timestamp; seq breaks the tie
+    rows = [
+        ("k", t0 + timedelta(hours=i // 2), i, float((i * 7) % 13))
+        for i in range(12)
+    ]
+    import random
+
+    for seed in (0, 1):
+        shuffled = rows[:]
+        random.Random(seed).shuffle(shuffled)
+        df = spark.createDataFrame(
+            shuffled, "k string, ts timestamp, seq int, v double"
+        ).repartition(4)
+        h = {
+            (r.ts, r.v): (r.level, r.trend)
+            for r in holt_smoothing(
+                df, "ts", ["k"], "v", tie_cols=["seq"]
+            ).collect()
+        }
+        c = {
+            (r.ts, r.v): (r.cusum_pos, r.cusum_neg)
+            for r in cusum_changepoints(
+                df, "ts", ["k"], "v", threshold=2.0, drift=0.1,
+                tie_cols=["seq"],
+            ).collect()
+        }
+        if seed == 0:
+            h0, c0 = h, c
+    assert h == h0 and c == c0
