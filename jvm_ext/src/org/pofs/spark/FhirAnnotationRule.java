@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.And;
 import org.apache.spark.sql.catalyst.expressions.Attribute;
 import org.apache.spark.sql.catalyst.expressions.AttributeReference;
 import org.apache.spark.sql.catalyst.expressions.BinaryComparison;
+import org.apache.spark.sql.catalyst.expressions.Cast;
 import org.apache.spark.sql.catalyst.expressions.EqualTo;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThan;
@@ -29,6 +30,9 @@ import org.apache.spark.sql.catalyst.plans.logical.Filter;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
 import org.apache.spark.sql.catalyst.rules.Rule;
 import org.apache.spark.sql.types.DataTypes;
+import org.apache.spark.sql.types.DecimalType;
+import org.apache.spark.sql.types.DoubleType;
+import org.apache.spark.sql.types.FloatType;
 import org.apache.spark.sql.types.StringType;
 import org.apache.spark.sql.types.TimestampType;
 import org.apache.spark.unsafe.types.UTF8String;
@@ -119,6 +123,9 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
         List<Expression> implied = new ArrayList<>();
         for (Expression c : conjuncts) {
             Expression imp = implyAnnotation(c, outs);
+            if (imp == null) {
+                imp = implyNumeric(c, outs);
+            }
             if (imp != null
                     && !alreadyPresent(imp, conjuncts)
                     && !alreadyPresent(imp, implied)) {
@@ -211,6 +218,115 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
             core = new LessThanOrEqual(start, tsLit(bounds[0] + SLACK_MICROS));
         }
         return new Or(new IsNull(start), core);
+    }
+
+    /**
+     * CAST(elem AS DOUBLE/FLOAT/DECIMAL) cmp numeric-literal, where a
+     * DECIMAL(38,6) annotation __elem_numeric exists (lossless string
+     * decimals + derived numeric column, reference README.md:349-363).
+     * The annotation is the string rounded to 6 dp, so |ann − value| ≤
+     * 5e-7 and a ±1e-6 slack makes the range implication sound:
+     *   v > L  ⇒  ann ≥ L − 1e-6      v < L  ⇒  ann ≤ L + 1e-6
+     * Equality gets the same slackened RANGE (not equality: round-trip
+     * through double may not hit the 6-dp value exactly). Strings that
+     * fail the decimal cast have a NULL annotation while the user's own
+     * ANSI cast would error — the IsNull escape keeps semantics exact
+     * for rows the user's predicate would accept.
+     */
+    private Expression implyNumeric(Expression c, Map<String, Attribute> outs) {
+        if (!(c instanceof BinaryComparison)) {
+            return null;
+        }
+        BinaryComparison bc = (BinaryComparison) c;
+        Attribute attr;
+        Object litVal;
+        boolean attrLeft;
+        Expression l = bc.left(), r = bc.right();
+        if (isNumericCastOfStringAttr(l) && r instanceof Literal) {
+            attr = (Attribute) ((Cast) l).child();
+            litVal = ((Literal) r).value();
+            attrLeft = true;
+        } else if (isNumericCastOfStringAttr(r) && l instanceof Literal) {
+            attr = (Attribute) ((Cast) r).child();
+            litVal = ((Literal) l).value();
+            attrLeft = false;
+        } else {
+            return null;
+        }
+        Double v = numericValue(litVal);
+        if (v == null || !Double.isFinite(v) || Math.abs(v) > 1e30) {
+            return null;
+        }
+        Attribute num = outs.get("__" + attr.name() + "_numeric");
+        if (num == null || !(num.dataType() instanceof DecimalType)) {
+            return null;
+        }
+        String op;
+        if (c instanceof EqualTo) {
+            op = "eq";
+        } else if (c instanceof GreaterThan || c instanceof GreaterThanOrEqual) {
+            op = attrLeft ? "ge" : "le";
+        } else if (c instanceof LessThan || c instanceof LessThanOrEqual) {
+            op = attrLeft ? "le" : "ge";
+        } else {
+            return null;
+        }
+        // lower bounds round the literal DOWN and upper bounds UP, so
+        // 6-dp literal quantization can only widen the slack
+        Literal lo = decLit(v - 1e-6, java.math.RoundingMode.FLOOR);
+        Literal hi = decLit(v + 1e-6, java.math.RoundingMode.CEILING);
+        Expression core;
+        if (op.equals("eq")) {
+            core = new And(
+                    new GreaterThanOrEqual(num, lo),
+                    new LessThanOrEqual(num, hi));
+        } else if (op.equals("ge")) {
+            core = new GreaterThanOrEqual(num, lo);
+        } else {
+            core = new LessThanOrEqual(num, hi);
+        }
+        return new Or(new IsNull(num), core);
+    }
+
+    private static boolean isNumericCastOfStringAttr(Expression e) {
+        if (!(e instanceof Cast)) {
+            return false;
+        }
+        Cast cast = (Cast) e;
+        boolean numericTarget = cast.dataType() instanceof DoubleType
+                || cast.dataType() instanceof FloatType
+                || cast.dataType() instanceof DecimalType;
+        return numericTarget
+                && cast.child() instanceof AttributeReference
+                && ((Attribute) cast.child()).dataType() instanceof StringType;
+    }
+
+    private static Double numericValue(Object litVal) {
+        if (litVal instanceof Double) {
+            return (Double) litVal;
+        }
+        if (litVal instanceof Float) {
+            return ((Float) litVal).doubleValue();
+        }
+        if (litVal instanceof Integer) {
+            return ((Integer) litVal).doubleValue();
+        }
+        if (litVal instanceof Long) {
+            return ((Long) litVal).doubleValue();
+        }
+        if (litVal instanceof org.apache.spark.sql.types.Decimal) {
+            return ((org.apache.spark.sql.types.Decimal) litVal)
+                    .toJavaBigDecimal().doubleValue();
+        }
+        return null;
+    }
+
+    private static Literal decLit(double v, java.math.RoundingMode mode) {
+        java.math.BigDecimal bd = java.math.BigDecimal.valueOf(v)
+                .setScale(6, mode);
+        return new Literal(
+                org.apache.spark.sql.types.Decimal.apply(bd),
+                new DecimalType(38, 6));
     }
 
     private static Literal tsLit(long micros) {

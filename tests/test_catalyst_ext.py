@@ -79,6 +79,36 @@ for pred in preds:
 cond = q._jdf.queryExecution().optimizedPlan().toString()
 assert cond.count("__birthDate_start#") <= 3, cond  # filter ref + output
 
+# 4) numeric annotation path: CAST(elem) cmp literal implies a
+#    __elem_numeric range conjunct (±1e-6 slack for the 6-dp rounding)
+nvals = ["5.5", "10", "9", "0.0000005", "-3.25", "1e31", "junk", None,
+         "5.5000004", "5.4999996"]
+ndf = spark.createDataFrame(
+    [(i, v) for i, v in enumerate(nvals)], "id int, riskScore string"
+)
+nann = ndf.withColumn(
+    "__riskScore_numeric", F.col("riskScore").try_cast("decimal(38,6)")
+)
+npath = tempfile.mkdtemp(prefix="pofs_ext_") + "/n.parquet"
+nann.write.mode("overwrite").parquet(npath)
+spark.read.parquet(npath).createOrReplaceTempView("pn")
+ndf.createOrReplaceTempView("rawn")
+for pred in [
+    "try_cast(riskScore as double) > 5.5",
+    "try_cast(riskScore as double) >= 9",
+    "try_cast(riskScore as double) < 0.5",
+    "try_cast(riskScore as double) = 5.5",
+    "5.5 <= try_cast(riskScore as double)",
+]:
+    got = sorted(r.id for r in spark.sql(
+        "SELECT id FROM pn WHERE " + pred).collect())
+    ref = sorted(r.id for r in spark.sql(
+        "SELECT id FROM rawn WHERE " + pred).collect())
+    assert got == ref, (pred, got, ref)
+nq = spark.sql("SELECT id FROM pn WHERE try_cast(riskScore as double) > 5.5")
+nplan = nq._jdf.queryExecution().executedPlan().toString()
+assert "Or(IsNull(__riskScore_numeric)" in nplan, nplan
+
 print("CATALYST_EXT_OK")
 """ % (str(REPO),)
 
