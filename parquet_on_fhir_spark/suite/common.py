@@ -90,8 +90,11 @@ def d4(col: Column) -> Column:
     bounded by doc length (≤ ~10³ terms of magnitude ~15 ⇒ chain
     error ≲ 1e-12 < nudge). q161 KL/JSD sums vocab-sized but each
     term is probability-scale (pa·ln(pa/pb) ~ 1e-5·ln ⇒ per-term
-    absolute error ~1e-20, 1e5-term chain ≲ 1e-15). None needs
-    per-term quantization; re-audit any NEW oracle whose summed term
-    magnitude × term count approaches 1e-9.
+    absolute error ~1e-20, 1e5-term chain ≲ 1e-15). The r8 window's
+    new entries were checked too: q214 MI/entropy sums run over a ≤6-
+    cell contingency table and are divided by n (≲1e-14); q211/q213
+    are rational-only. None needs per-term quantization; re-audit any
+    NEW oracle whose summed term magnitude × term count approaches
+    1e-9.
     """
     return F.round(col + F.lit(1e-9), 4)

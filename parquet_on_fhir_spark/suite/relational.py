@@ -859,17 +859,24 @@ SELECT o_custkey AS c_custkey FROM orders
 
 # --- Q40: except all ------------------------------------------------------------------------------------
 def q40(spark, sf_dir):
-    c = t(spark, sf_dir, "customer")
+    """EXCEPT ALL with real multiset semantics: every customer's order
+    keys minus the 'F'-status subset — each surviving key keeps
+    (total − F-count) occurrences, so per-occurrence removal is
+    actually exercised. (The original customer-minus-orderers form ran
+    vacuously at 0 rows: this SF's generator gives every customer at
+    least one order.)"""
     o = t(spark, sf_dir, "orders")
-    all_keys = c.select("c_custkey")
-    ordering = o.select(F.col("o_custkey").alias("c_custkey"))
-    return all_keys.exceptAll(ordering)
+    all_keys = o.select(F.col("o_custkey").alias("custkey"))
+    fulfilled = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_keys.exceptAll(fulfilled)
 
 
 Q40_ORACLE = """
-SELECT c_custkey FROM customer
+SELECT o_custkey AS custkey FROM orders
 EXCEPT ALL
-SELECT o_custkey AS c_custkey FROM orders
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
