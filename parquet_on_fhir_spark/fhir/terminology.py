@@ -157,13 +157,13 @@ def expand_valueset(
     - ``include[].system`` WITHOUT concepts — all codes of that system
       (every nesting depth), resolved against the ``codesystems`` table;
     - ``include[].filter[]`` — hierarchical ops (``is-a`` /
-      ``descendent-of`` / ``is-not-a``) against ``closure`` (build it
-      with :func:`concept_closure` over :func:`concept_edges`), code
-      predicates (``regex`` / ``in`` / ``not-in``) against the
-      system's concept universe, and concept-property predicates
-      (``=`` / ``regex`` / ``exists`` true|false) against
-      ``concept.property[]``; filters in one include AND together;
-      ``generalizes`` and ``exists`` ON THE CODE itself raise;
+      ``descendent-of`` / ``is-not-a`` / ``generalizes``) against
+      ``closure`` (build it with :func:`concept_closure` over
+      :func:`concept_edges`), code predicates (``regex`` / ``in`` /
+      ``not-in``) against the system's concept universe, and
+      concept-property predicates (``=`` / ``regex`` / ``exists``
+      true|false) against ``concept.property[]``; filters in one
+      include AND together; ``exists`` ON THE CODE itself raises;
     - ``exclude[].concept[]`` — anti-joined out of the result.
 
     Sparse schemas are honored: absent optional elements (no ValueSet
@@ -288,7 +288,7 @@ def _concept_properties(codesystems: DataFrame) -> DataFrame:
         )
 
 
-_HIERARCHY_OPS = ("is-a", "descendent-of", "is-not-a")
+_HIERARCHY_OPS = ("is-a", "descendent-of", "is-not-a", "generalizes")
 
 
 def _expand_filters(
@@ -299,7 +299,9 @@ def _expand_filters(
 
     - ``concept is-a`` (anchor + transitive descendants),
       ``descendent-of`` (descendants only), ``is-not-a`` (whole system
-      minus anchor-or-descendants) — all against ``closure``;
+      minus anchor-or-descendants), ``generalizes`` (ancestors
+      including the anchor — the closure read in the other direction)
+      — all against ``closure``;
     - ``code regex`` / ``in`` / ``not-in`` — column predicates over the
       system's concept universe (regex is whole-value, per spec;
       ``in``/``not-in`` take comma-separated code lists);
@@ -308,7 +310,7 @@ def _expand_filters(
 
     Multiple filters inside one include AND together (spec semantics):
     a code qualifies only when every filter of its include matched it.
-    ``generalizes`` and ``code exists`` raise. Closure, concept universe, and
+    ``code exists`` raises. Closure, concept universe, and
     property tables are all terminology-sized — broadcast; the filter
     list itself is K rows."""
     flt = (
@@ -353,8 +355,8 @@ def _expand_filters(
         raise NotImplementedError(
             f"unsupported ValueSet filter: property={bad[0]['property']!r} "
             f"op={bad[0]['op']!r} (supported: concept is-a / descendent-of "
-            "/ is-not-a; code regex / in / not-in; <property> = / regex / "
-            "exists)"
+            "/ is-not-a / generalizes; code regex / in / not-in; "
+            "<property> = / regex / exists)"
         )
     key = ["url", "inc_idx", "n_filters", "f_idx", "system"]
     need_universe = flt.filter(
@@ -397,6 +399,19 @@ def _expand_filters(
             *key, F.col("value").alias("code")
         )
         parts += [descendants, anchors]
+        # generalizes: concepts the anchor is-a — the closure read in
+        # the ANCESTOR direction, plus the anchor itself (FHIR
+        # valueset-filter-operator: "including the provided concept")
+        fg = flt.filter(F.col("op") == "generalizes")
+        ancestors = fg.join(
+            F.broadcast(clo),
+            (F.col("system") == F.col("c_system"))
+            & (F.col("value") == F.col("c_desc")),
+        ).select(*key, F.col("c_anc").alias("code"))
+        parts += [
+            ancestors,
+            fg.select(*key, F.col("value").alias("code")),
+        ]
         fn = flt.filter(F.col("op") == "is-not-a")
         if need_universe and fn.limit(1).count():
             excluded = fn.join(

@@ -659,7 +659,7 @@ def test_entry_resource_span_scanner_adversarial():
 def test_valueset_predicate_filters(spark):
     """regex/in/not-in code predicates, concept-property equality and
     regex, is-not-a, AND-across-filters, and the ops that must still
-    raise (exists/generalizes)."""
+    raise (code exists)."""
     import pytest
 
     from parquet_on_fhir_spark.fhir.terminology import (
@@ -728,6 +728,18 @@ def test_valueset_predicate_filters(spark):
     assert codes([{"property": "laterality", "op": "exists", "value": "false"}]) == {
         "body", "limb", "hand", "foot", "organ", "heart",
     }
+    # generalizes: ancestors including the anchor (closure read in the
+    # other direction)
+    assert codes(
+        [{"property": "concept", "op": "generalizes", "value": "hand"}],
+        closure=clo,
+    ) == {"hand", "arm", "limb", "body"}
+    # ... and it ANDs with other filters like any include filter
+    assert codes(
+        [{"property": "concept", "op": "generalizes", "value": "hand"},
+         {"property": "status", "op": "=", "value": "retired"}],
+        closure=clo,
+    ) == {"hand"}
     # unsupported ops still refuse loudly
     with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
-        codes([{"property": "concept", "op": "generalizes", "value": "hand"}])
+        codes([{"property": "code", "op": "exists", "value": "true"}])
