@@ -1689,6 +1689,12 @@ def linear_regression_fit(
         F.sum(F.col(target_col).cast("double") ** 2).alias("yy")
     )
     row = df.agg(*aggs).collect()[0]
+    if row[f"xx_{p}_{p}"] is None:
+        # empty / all-NULL input: sums aggregate to NULL and the numpy
+        # solve below would die on a TypeError instead of saying why
+        raise ValueError(
+            "linear_regression_fit requires at least one non-NULL row"
+        )
     xtx = np.zeros((p + 1, p + 1))
     xty = np.zeros(p + 1)
     for i in range(p + 1):

@@ -356,6 +356,10 @@ def fit_pca(
     sign choice is otherwise arbitrary).
     """
     rows = embedding_moments(df, vec_col).collect()
+    if not rows:
+        # empty / all-NULL input: max() over no moments would raise a
+        # bare ValueError from builtins instead of saying why
+        raise ValueError("fit_pca requires at least one embedding row")
     dim = max(r["j"] for r in rows) + 1
     cov = np.zeros((dim, dim))
     mean = np.zeros(dim)

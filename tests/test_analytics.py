@@ -892,3 +892,49 @@ def test_weighted_percentile_quantize_tier(spark):
         e, b = getattr(exact, name), getattr(q, name)
         assert b == float(int(b))           # a bucket edge
         assert b <= e and e - b < 2.0       # low side, within ~a bucket
+
+
+def test_operators_graceful_on_empty_input(spark):
+    """Aggregating operators return empty/NULL frames on empty input;
+    driver-solve operators raise a NAMED ValueError — never a bare
+    TypeError/ValueError from inside numpy (the frequency_sketch_topk
+    crash class, r8 ADVICE)."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators import analytics as A
+    from parquet_on_fhir_spark.operators import dedup as D
+    from parquet_on_fhir_spark.operators import similarity as S
+    from parquet_on_fhir_spark.operators import text as T
+    from parquet_on_fhir_spark.operators import timeseries as TS
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    nums = spark.createDataFrame(
+        [], "v double, w double, g string, y boolean, ts timestamp, k string"
+    )
+    emb = spark.createDataFrame([], "vec_id bigint, vec array<float>")
+
+    # frame-returning operators: run to completion, 0 or 1 (all-NULL) rows
+    assert A.kaplan_meier(
+        nums.selectExpr("v as duration", "y as event"), "duration", "event"
+    ).count() == 0
+    (auc,) = A.binary_auc(nums, "v", "y").collect()
+    assert auc.auc is None
+    assert A.weighted_percentile(nums, "v", "w", [0.5]).count() == 1
+    assert A.zipf_slope(docs, "text").count() == 1
+    assert A.benford_deviation(nums, "v").count() == 0
+    assert A.lorenz_points(nums, "g").count() == 0
+    assert A.welch_t_test(nums, "g", "v", "a", "b").count() == 0
+    assert A.frequency_sketch_topk(docs, "text").count() == 0
+    assert A.distinct_sketch_rollup(nums, "g", "v").count() == 1
+    assert T.unigram_entropy(docs, "text").count() == 1
+    assert D.exact_dedup(docs, "text", "doc_id").count() == 0
+    assert TS.holt_smoothing(nums, "ts", ["k"], "v").count() == 0
+    assert TS.cusum_changepoints(nums, "ts", ["k"], "v").count() == 0
+
+    # driver-solve operators: a clean, named refusal
+    with pytest.raises(ValueError, match="linear_regression_fit"):
+        A.linear_regression_fit(
+            nums.selectExpr("v as x1", "w as y2"), ["x1"], "y2"
+        )
+    with pytest.raises(ValueError, match="fit_pca"):
+        S.fit_pca(emb, 2, "vec")
