@@ -384,3 +384,52 @@ def test_interleave_sources_has_no_global_window(spark, sf_dir):
         F.max("position").alias("hi"),
     ).collect()[0]
     assert (rows["c"], rows["d"], rows["lo"], rows["hi"]) == (n, n, 0, n - 1)
+
+
+def test_set_similarity_candidate_exchange_is_skinny(spark, sf_dir):
+    """The All-Pairs candidate join must shuffle (id, n, prefix-token)
+    only — the sorted token ARRAYS may never enter a prefix-keyed
+    exchange (at the measured 2.3× all-pairs row multiplicity that
+    would move prefix-len × corpus-text bytes; SCALE_NOTES seventh
+    wave). Arrays are allowed in id-keyed exchanges (the verify
+    re-join) and aggregates, just not under a __ptok partitioning."""
+    from parquet_on_fhir_spark.operators.joins import set_similarity_join
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .limit(200)
+        .select(
+            "doc_id",
+            F.array_remove(F.split(F.col("text"), " "), "").alias("toks"),
+        )
+    )
+    # at toy size AQE broadcasts the candidate join and no __ptok
+    # exchange exists; disable broadcast so the plan takes the shape it
+    # would at scale (sort-merge over __ptok-hashed exchanges)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = set_similarity_join(d, "doc_id", "toks", threshold=0.8)
+        plan_root = out._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bad = []
+    seen_ptok = 0
+    stack = [plan_root]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            # AQE wrapper is childless — descend into the wrapped plan
+            stack.append(node.initialPlan())
+            continue
+        if "ShuffleExchange" in name:
+            part = node.outputPartitioning().toString()
+            if "__ptok" in part:
+                seen_ptok += 1
+                if "__sorted" in node.child().output().toString():
+                    bad.append(part)
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    assert seen_ptok >= 2, "candidate join exchanges not found — vacuous"
+    assert bad == [], bad
