@@ -85,3 +85,25 @@ def test_invalid_and_null_inputs(spark):
     got = _bounds(spark, ["not-a-date", ""])
     for v, (s, e) in got.items():
         assert s is None and e is None
+
+
+def test_ansi_hostile_inputs_yield_null_not_error(spark):
+    """The contracted NULL-bounds behavior for lexically-shaped junk:
+    7-char non-dates ('garbage', month 13) used to hit ANSI to_date in
+    the month-end branch and FAIL the job; instants in the first days
+    of year 0001 sit below Spark's Julian-rebase floor and raise 'year
+    0 is out of range' even under try_ (r8 fix: explicit guards)."""
+    got = _bounds(
+        spark,
+        ["garbage", "2015-13", "2015-02-30", "0001", "0001-01-01",
+         "0001-01-01T05:00:00Z"],
+    )
+    for v, (s, e) in got.items():
+        if v == "0001":
+            # only the START (Jan 1) is under the floor; Dec 31 is fine
+            assert s is None and str(e).startswith("0001-12-31")
+        else:
+            assert s is None and e is None, v
+    # the floor guard must not leak into ordinary early years
+    (se,) = _bounds(spark, ["0002"]).values()
+    assert str(se[0]).startswith("0002-01-01")
