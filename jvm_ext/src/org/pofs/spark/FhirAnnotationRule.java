@@ -161,6 +161,10 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
     }
 
     private Expression implyAnnotation(Expression c, Map<String, Attribute> outs) {
+        if (c instanceof org.apache.spark.sql.catalyst.expressions.In) {
+            return implyInList(
+                    (org.apache.spark.sql.catalyst.expressions.In) c, outs);
+        }
         if (!(c instanceof BinaryComparison)) {
             return null;
         }
@@ -286,6 +290,49 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
             core = new LessThanOrEqual(num, hi);
         }
         return new Or(new IsNull(num), core);
+    }
+
+    /**
+     * elem IN ('v1', ..., 'vk') with every vi a FHIR date implies
+     * __elem_start BETWEEN min(start(vi)) and max(start(vi)) — the
+     * equality implication (annotation = deterministic function of the
+     * matched string) relaxed to the envelope, which is what prunes
+     * row groups / partitions for IN-list date filters.
+     */
+    private Expression implyInList(
+            org.apache.spark.sql.catalyst.expressions.In in,
+            Map<String, Attribute> outs) {
+        if (!(in.value() instanceof AttributeReference)
+                || !(((Attribute) in.value()).dataType() instanceof StringType)) {
+            return null;
+        }
+        Attribute attr = (Attribute) in.value();
+        Attribute start = outs.get("__" + attr.name() + "_start");
+        if (start == null || !(start.dataType() instanceof TimestampType)) {
+            return null;
+        }
+        long lo = Long.MAX_VALUE, hi = Long.MIN_VALUE;
+        scala.collection.Iterator<Expression> it = in.list().iterator();
+        while (it.hasNext()) {
+            Expression e = it.next();
+            if (!(e instanceof Literal)
+                    || !(((Literal) e).value() instanceof UTF8String)) {
+                return null;
+            }
+            long[] b = fhirBounds(((Literal) e).value().toString());
+            if (b == null) {
+                return null; // one non-date member voids the envelope
+            }
+            lo = Math.min(lo, b[0]);
+            hi = Math.max(hi, b[0]);
+        }
+        if (lo > hi) {
+            return null; // empty IN list
+        }
+        Expression core = new And(
+                new GreaterThanOrEqual(start, tsLit(lo)),
+                new LessThanOrEqual(start, tsLit(hi)));
+        return new Or(new IsNull(start), core);
     }
 
     private static boolean isNumericCastOfStringAttr(Expression e) {

@@ -109,6 +109,49 @@ nq = spark.sql("SELECT id FROM pn WHERE try_cast(riskScore as double) > 5.5")
 nplan = nq._jdf.queryExecution().executedPlan().toString()
 assert "Or(IsNull(__riskScore_numeric)" in nplan, nplan
 
+# 5) randomized soundness sweep: generated dates x generated predicates
+#    (all precisions, timezones, junk) must agree with the raw table —
+#    property-level evidence for the monotonicity + slack argument
+import random
+rng = random.Random(8)
+def rand_date():
+    y, m, d = rng.randint(1990, 2030), rng.randint(1, 12), rng.randint(1, 28)
+    p = rng.random()
+    if p < 0.2: return f"{y:04d}"
+    if p < 0.4: return f"{y:04d}-{m:02d}"
+    if p < 0.6: return f"{y:04d}-{m:02d}-{d:02d}"
+    tz = rng.choice(["Z", "+05:30", "-11:00", "+14:00"])
+    sec = rng.choice(["", f":{rng.randint(0,59):02d}",
+                      f":{rng.randint(0,59):02d}.{rng.randint(0,999):03d}"])
+    return (f"{y:04d}-{m:02d}-{d:02d}T{rng.randint(0,23):02d}:"
+            f"{rng.randint(0,59):02d}{sec}{tz}")
+rvals = [rand_date() for _ in range(300)] + ["junk", "", None, "2020-99"]
+rdf = spark.createDataFrame(
+    [(i, v) for i, v in enumerate(rvals)], "id int, d string"
+)
+rann = (
+    rdf.withColumn("__d_start", fhir_date_start(F.col("d")))
+    .withColumn("__d_end", fhir_date_end(F.col("d")))
+)
+rpath = tempfile.mkdtemp(prefix="pofs_ext_") + "/r.parquet"
+rann.write.mode("overwrite").parquet(rpath)
+spark.read.parquet(rpath).createOrReplaceTempView("pr")
+rdf.createOrReplaceTempView("rawr")
+for _ in range(25):
+    op = rng.choice([">", ">=", "<", "<=", "="])
+    lit = rng.choice(rvals[:300])
+    pred = f"d {op} '{lit}'"
+    got = sorted(r.id for r in spark.sql(
+        "SELECT id FROM pr WHERE " + pred).collect())
+    ref = sorted(r.id for r in spark.sql(
+        "SELECT id FROM rawr WHERE " + pred).collect())
+    assert got == ref, (pred, got[:5], ref[:5])
+ins = rng.sample(rvals[:300], 5)
+pred = "d IN (" + ", ".join(f"'{v}'" for v in ins) + ")"
+got = sorted(r.id for r in spark.sql("SELECT id FROM pr WHERE " + pred).collect())
+ref = sorted(r.id for r in spark.sql("SELECT id FROM rawr WHERE " + pred).collect())
+assert got == ref, pred
+
 print("CATALYST_EXT_OK")
 """ % (str(REPO),)
 
