@@ -298,6 +298,12 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
      * equality implication (annotation = deterministic function of the
      * matched string) relaxed to the envelope, which is what prunes
      * row groups / partitions for IN-list date filters.
+     *
+     * Lists past spark.sql.optimizer.inSetConversionThreshold
+     * (default 10) may reach the optimizer already converted to InSet,
+     * which this rule deliberately does not match — large IN lists
+     * usually span wide date ranges where the envelope prunes little
+     * anyway, and the user predicate itself still pushes down.
      */
     private Expression implyInList(
             org.apache.spark.sql.catalyst.expressions.In in,
