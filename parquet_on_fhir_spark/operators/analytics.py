@@ -37,6 +37,12 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    for s in steps:
+        if not (isinstance(s, tuple) and len(s) == 2):
+            raise ValueError(
+                "funnel steps are (name, predicate Column) pairs, got "
+                f"{s!r} — e.g. ('view', F.col('event_type') == 'view')"
+            )
     name0, cond0 = steps[0]
     out = (
         events.filter(cond0)

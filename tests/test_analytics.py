@@ -931,6 +931,24 @@ def test_operators_graceful_on_empty_input(spark):
     assert TS.holt_smoothing(nums, "ts", ["k"], "v").count() == 0
     assert TS.cusum_changepoints(nums, "ts", ["k"], "v").count() == 0
 
+    # graph / curation / join operators on empty inputs
+    from parquet_on_fhir_spark.operators import curation as Cu
+    from parquet_on_fhir_spark.operators import graph as G
+    from parquet_on_fhir_spark.operators import joins as J
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert G.connected_components(edges).count() == 0
+    assert G.pagerank(edges, iterations=3).count() == 0
+    assert G.triangle_count(edges).count() == 0
+    assert G.k_core(edges, 2).count() == 0
+    assert Cu.temperature_mixture(docs, budget=10, alpha=0.5, seed=1).count() == 0
+    assert Cu.interleave_sources(docs, "source", "doc_id", seed=0).count() == 0
+    assert J.set_similarity_join(
+        docs.select("doc_id", F.split("text", " ").alias("toks")),
+        "doc_id",
+        "toks",
+    ).count() == 0
+
     # driver-solve operators: a clean, named refusal
     with pytest.raises(ValueError, match="linear_regression_fit"):
         A.linear_regression_fit(
@@ -938,3 +956,6 @@ def test_operators_graceful_on_empty_input(spark):
         )
     with pytest.raises(ValueError, match="fit_pca"):
         S.fit_pca(emb, 2, "vec")
+    # malformed step specs refuse by name, not an unpack TypeError
+    with pytest.raises(ValueError, match="predicate Column"):
+        A.funnel(nums, ["view", "purchase"])
