@@ -261,9 +261,14 @@ def pagerank(
     Scale shape: outdegrees are one hash aggregate computed ONCE and
     joined by src each round; each round is one shuffle of
     (dst, contribution) pairs into a hash aggregate — identical to the
-    CC fixpoint's per-round cost profile. Lineage truncates per round
-    (lazy localCheckpoint riding the dangling-mass action, one job per
-    round). N and the node set are computed once up front.
+    CC fixpoint's per-round cost profile. The dangling mass is a 1-ROW
+    aggregate broadcast into the rank update — NOT a per-round driver
+    collect, so no action (and no job-scheduling round-trip) runs per
+    iteration: the per-round lazy localCheckpoints cascade at the
+    FINAL action, materializing each round exactly once, in order.
+    (The collect form cost ~0.1-0.2 s of scheduling latency per round
+    at any data size — pure driver overhead, 10 rounds of it.)
+    N and the node set are computed once up front.
 
     Output: (node, rank); ranks sum to 1 up to float error.
     """
@@ -284,15 +289,17 @@ def pagerank(
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["u"], "left"
         ).select("node", "rank", "__deg")
-        # referenced by the dangling action AND the contribution join —
-        # lazy cut rides the dangling collect, so the rank÷deg join runs
-        # once per round, not twice
+        # referenced by the dangling aggregate AND the contribution
+        # join — the lazy cut makes the rank÷deg join compute once per
+        # round when the final action cascades the checkpoints
         with_deg = with_deg.localCheckpoint(eager=False)
-        # dangling mass: rank held by nodes with no outgoing edges
+        # dangling mass: rank held by nodes with no outgoing edges —
+        # a 1-row aggregate BROADCAST into the update (same IEEE op
+        # order as the former driver-collected scalar: d*dang/n
+        # left-associated, added to the constant (1-d)/n)
         dangling = (
             with_deg.filter(F.col("__deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         contrib = (
             ends.join(with_deg, ends["u"] == with_deg["node"])
@@ -300,13 +307,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("__in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("__dang") / F.lit(float(n))
+        )
         ranks = (
             nodes.select(F.col("u").alias("node"))
             .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("rank"),
+                (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
