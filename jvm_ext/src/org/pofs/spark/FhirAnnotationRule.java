@@ -165,6 +165,10 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
             return implyInList(
                     (org.apache.spark.sql.catalyst.expressions.In) c, outs);
         }
+        if (c instanceof org.apache.spark.sql.catalyst.expressions.InSet) {
+            return implyInSet(
+                    (org.apache.spark.sql.catalyst.expressions.InSet) c, outs);
+        }
         if (!(c instanceof BinaryComparison)) {
             return null;
         }
@@ -300,10 +304,8 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
      * row groups / partitions for IN-list date filters.
      *
      * Lists past spark.sql.optimizer.inSetConversionThreshold
-     * (default 10) may reach the optimizer already converted to InSet,
-     * which this rule deliberately does not match — large IN lists
-     * usually span wide date ranges where the envelope prunes little
-     * anyway, and the user predicate itself still pushes down.
+     * (default 10) reach the optimizer converted to InSet and are
+     * handled by {@link #implyInSet} with the same envelope.
      */
     private Expression implyInList(
             org.apache.spark.sql.catalyst.expressions.In in,
@@ -334,6 +336,44 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
         }
         if (lo > hi) {
             return null; // empty IN list
+        }
+        Expression core = new And(
+                new GreaterThanOrEqual(start, tsLit(lo)),
+                new LessThanOrEqual(start, tsLit(hi)));
+        return new Or(new IsNull(start), core);
+    }
+
+    /** The InSet form of {@link #implyInList} (lists past the
+     *  inSetConversionThreshold, default 10): same envelope over the
+     *  materialized literal set. */
+    private Expression implyInSet(
+            org.apache.spark.sql.catalyst.expressions.InSet in,
+            Map<String, Attribute> outs) {
+        if (!(in.child() instanceof AttributeReference)
+                || !(((Attribute) in.child()).dataType() instanceof StringType)) {
+            return null;
+        }
+        Attribute attr = (Attribute) in.child();
+        Attribute start = outs.get("__" + attr.name() + "_start");
+        if (start == null || !(start.dataType() instanceof TimestampType)) {
+            return null;
+        }
+        long lo = Long.MAX_VALUE, hi = Long.MIN_VALUE;
+        scala.collection.Iterator<Object> it = in.hset().iterator();
+        while (it.hasNext()) {
+            Object v = it.next();
+            if (!(v instanceof UTF8String)) {
+                return null;
+            }
+            long[] b = fhirBounds(v.toString());
+            if (b == null) {
+                return null;
+            }
+            lo = Math.min(lo, b[0]);
+            hi = Math.max(hi, b[0]);
+        }
+        if (lo > hi) {
+            return null;
         }
         Expression core = new And(
                 new GreaterThanOrEqual(start, tsLit(lo)),
