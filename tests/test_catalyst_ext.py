@@ -146,11 +146,14 @@ for _ in range(25):
     ref = sorted(r.id for r in spark.sql(
         "SELECT id FROM rawr WHERE " + pred).collect())
     assert got == ref, (pred, got[:5], ref[:5])
-ins = rng.sample(rvals[:300], 5)
-pred = "d IN (" + ", ".join(f"'{v}'" for v in ins) + ")"
-got = sorted(r.id for r in spark.sql("SELECT id FROM pr WHERE " + pred).collect())
-ref = sorted(r.id for r in spark.sql("SELECT id FROM rawr WHERE " + pred).collect())
-assert got == ref, pred
+for k in (5, 12):  # 12 > inSetConversionThreshold -> the InSet path
+    ins = rng.sample(rvals[:300], k)
+    pred = "d IN (" + ", ".join(f"'{v}'" for v in ins) + ")"
+    got = sorted(r.id for r in spark.sql(
+        "SELECT id FROM pr WHERE " + pred).collect())
+    ref = sorted(r.id for r in spark.sql(
+        "SELECT id FROM rawr WHERE " + pred).collect())
+    assert got == ref, pred
 
 print("CATALYST_EXT_OK")
 """ % (str(REPO),)
