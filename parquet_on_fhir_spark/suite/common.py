@@ -12,6 +12,20 @@ after sorting columns by name — /root/repo/__spark_entry__.py docstring):
   a distributed plan.
 - Rankings/limits always order by a unique key suffix so top-k sets are
   deterministic.
+- **No oracle output column may be HUGEINT** (PROVEN, r8→r9): DuckDB
+  ``sum(<integer>)`` returns HUGEINT, which the driver's normalization
+  renders differently from Spark BIGINT (Arrow/pandas fetch widens it
+  to float64 → ``"600000.0"`` vs ``"600000"``) while a local
+  ``fetchall()`` yields Python ints and hides it.  All 7 round-8
+  driver hash-reds — and only them — had a HUGEINT output column.
+  Wrap EVERY integer-sum output in ``CAST(... AS BIGINT)``
+  (``count(*)``/``min``/``max`` already return BIGINT and are safe).
+  Enforced by tools/oracle_lint.py, run inside tools/selfcheck.py /
+  tools/verify_window.py and by tests/test_oracle_portability.py over
+  the full suite.  NOTE: the r7 diagnosis of those reds as
+  transcendental-accumulation noise was wrong for THIS class — keep
+  the d4/12-dp convention below for genuine float chains, but an
+  integer-typed hash mismatch means oracle typing, not libm.
 """
 
 from __future__ import annotations

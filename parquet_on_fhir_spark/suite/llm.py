@@ -2147,7 +2147,7 @@ c AS (
   FROM toks WHERE tok <> '' GROUP BY source, tok
 )
 SELECT source,
-       sum(c) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
        count(*) AS n_types,
        round(round(ln(sum(c)), 12)
              - sum(c * round(ln(c), 12)) / sum(c) + 1e-9, 4) + 0.0
@@ -2381,8 +2381,8 @@ g AS (
 SELECT CASE WHEN n_sources > 1 THEN 'cross_source'
             ELSE 'within_source' END AS dup_kind,
        count(*) AS n_groups,
-       sum(n_copies) AS n_docs,
-       sum(n_copies - 1) AS n_redundant
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_redundant
 FROM g GROUP BY 1
 """
 

@@ -2904,7 +2904,9 @@ risk AS (
             AS n_risk
   FROM per_t
 )
-SELECT CAST(t AS INT) AS t, n_risk, n_events,
+SELECT CAST(t AS INT) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
        round(CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) = 1
@@ -2956,8 +2958,8 @@ WITH ranked AS (
 SELECT round(CAST(sum(CASE WHEN lab = 1 THEN r2 ELSE 0 END)
                   - sum(lab) * (sum(lab) + 1) AS DOUBLE)
              / CAST(2 * sum(lab) * sum(1 - lab) AS DOUBLE) + 1e-9, 4) AS auc,
-       sum(lab) AS n_pos,
-       sum(1 - lab) AS n_neg
+       CAST(sum(lab) AS BIGINT) AS n_pos,
+       CAST(sum(1 - lab) AS BIGINT) AS n_neg
 FROM ranked
 """
 
@@ -3081,7 +3083,7 @@ ranked AS (
 SELECT round(regr_slope(round(ln(n), 12), round(ln(r), 12)) + 1e-9, 4) AS slope,
        round(regr_intercept(round(ln(n), 12), round(ln(r), 12)) + 1e-9, 4) AS intercept,
        count(*) AS n_types,
-       (SELECT t FROM total) AS n_tokens
+       CAST((SELECT t FROM total) AS BIGINT) AS n_tokens
 FROM ranked
 """
 
@@ -3896,13 +3898,14 @@ WITH cls AS (
          count(*) AS sz
   FROM events GROUP BY 1, 2
 )
-SELECT sum(sz) AS n_rows,
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
        count(*) AS n_classes,
        min(sz) AS min_class_size,
        5 AS k,
        CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_violating_classes,
-       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS n_risky_rows,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
        min(sz) >= 5 AS k_anonymous
 FROM cls
 """
@@ -4185,7 +4188,9 @@ risk AS (
                             AND 1 PRECEDING), 0) AS n_risk
   FROM per_t
 )
-SELECT t, n_risk, n_events,
+SELECT t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
        round(sum(CAST(n_events AS DOUBLE) / n_risk)
              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW) + 1e-9, 4) AS cum_hazard

@@ -20,6 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from parquet_on_fhir_spark.api import TABLES  # noqa: E402
 from parquet_on_fhir_spark.session import get_session  # noqa: E402
 from parquet_on_fhir_spark.suite import all_queries  # noqa: E402
+from tools.oracle_lint import (  # noqa: E402
+    lint_oracle_types,
+    lint_type_divergence,
+)
 
 
 def norm_cell(v):
@@ -77,10 +81,14 @@ def main() -> int:
                 n_rows_only += 1
                 print(f"ROWSONLY {q.name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
                 continue
+            # Portability lint FIRST (bind-only, no execution): HUGEINT
+            # etc. pass fetchall() locally but red the driver (r8 proof).
+            problems = lint_oracle_types(con, q.oracle)
+            for w in lint_type_divergence(con, q.oracle, sdf.dtypes):
+                print(f"WARN     {q.name}: {w}")
             cur = con.execute(q.oracle)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
-            problems = []
             if len(srows) != len(orows):
                 problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
             if sorted(scols) != sorted(ocols):
