@@ -280,9 +280,19 @@ public class FhirAnnotationRule extends Rule<LogicalPlan> {
             return null;
         }
         // lower bounds round the literal DOWN and upper bounds UP, so
-        // 6-dp literal quantization can only widen the slack
-        Literal lo = decLit(v - 1e-6, java.math.RoundingMode.FLOOR);
-        Literal hi = decLit(v + 1e-6, java.math.RoundingMode.CEILING);
+        // 6-dp literal quantization can only widen the slack.
+        // The slack must be ulp-aware: above |v| ~ 1e10 double ulp
+        // exceeds 1e-6, so (v - 1e-6) collapses back to v while the
+        // user's cast(string->double) of a data value can legitimately
+        // land up to ~ulp(v)/2 away from the 6-dp annotation — a fixed
+        // 1e-6 envelope would silently DROP matching rows.  1e-6 covers
+        // the annotation's 5e-7 rounding; 2*ulp(v) covers the double
+        // rounding of both the literal and the cast value at any
+        // magnitude (soundness over selectivity: at 1e30 the envelope
+        // is wide but still prunes nothing incorrectly).
+        double slack = 1e-6 + 2.0 * Math.ulp(v);
+        Literal lo = decLit(v - slack, java.math.RoundingMode.FLOOR);
+        Literal hi = decLit(v + slack, java.math.RoundingMode.CEILING);
         Expression core;
         if (op.equals("eq")) {
             core = new And(

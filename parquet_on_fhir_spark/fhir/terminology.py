@@ -347,16 +347,31 @@ def _expand_filters(
     is_code = (F.col("property") == "code") & F.col("op").isin(
         "regex", "in", "not-in"
     )
-    is_prop = (~F.col("property").isin("concept", "code")) & F.col("op").isin(
-        "=", "regex", "exists"
+    # exists requires the literal strings 'true'/'false' (FHIR boolean
+    # rendering); anything else ('True', NULL, '1') must RAISE here —
+    # if it slipped past as is_prop it would contribute no match part
+    # and the include would silently expand empty.
+    is_prop = (~F.col("property").isin("concept", "code")) & (
+        F.col("op").isin("=", "regex")
+        | (
+            (F.col("op") == "exists")
+            & F.col("value").isin("true", "false")
+        )
     )
-    bad = flt.filter(~(is_hier | is_code | is_prop)).limit(1).collect()
+    # coalesce: a NULL filter value makes the isin() predicates NULL,
+    # and a plain filter(~NULL) would drop (not flag) the bad row
+    bad = (
+        flt.filter(~F.coalesce(is_hier | is_code | is_prop, F.lit(False)))
+        .limit(1)
+        .collect()
+    )
     if bad:
         raise NotImplementedError(
             f"unsupported ValueSet filter: property={bad[0]['property']!r} "
-            f"op={bad[0]['op']!r} (supported: concept is-a / descendent-of "
+            f"op={bad[0]['op']!r} value={bad[0]['value']!r} "
+            "(supported: concept is-a / descendent-of "
             "/ is-not-a / generalizes; code regex / in / not-in; "
-            "<property> = / regex / exists)"
+            "<property> = / regex / exists with value 'true'|'false')"
         )
     key = ["url", "inc_idx", "n_filters", "f_idx", "system"]
     need_universe = flt.filter(

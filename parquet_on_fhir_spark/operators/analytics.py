@@ -723,8 +723,15 @@ def binary_auc(
         2 * (F.sum("__cnt").over(w) - F.col("__cnt")) + F.col("__cnt") + 1,
     )
     dec = "decimal(38,0)"
+    # Cast each operand BEFORE multiplying: a BIGINT·BIGINT product
+    # (__pos·__rank2 ≈ cnt·2n) overflows int64 near n≈2e9 on heavily
+    # tied scores — silently wrong with ANSI off.  DECIMAL(38,0)
+    # operands keep the product exact to ~1e38.  __rank2 itself is
+    # ≤ 2n+1 and stays a safe BIGINT until n ~ 4.6e18.
     agg = ranked.agg(
-        F.sum((F.col("__pos") * F.col("__rank2")).cast(dec)).alias("__rsum2"),
+        F.sum(F.col("__pos").cast(dec) * F.col("__rank2").cast(dec)).alias(
+            "__rsum2"
+        ),
         F.sum("__pos").alias("n_pos"),
         F.sum("__neg").alias("n_neg"),
     )

@@ -67,8 +67,31 @@ def _stage_parquet(path: str, dest: str) -> None:
 
     p = pathlib.Path(path)
     if p.is_dir():
-        for f in sorted(p.glob("*.parquet")):
-            shutil.copy(f, dest)
+        # rglob, not glob: a partitioned Spark table keeps its part
+        # files under key=value subdirectories — a top-level glob would
+        # stage ZERO files and the stream would silently read 0 rows.
+        # Flat staging loses the partition-column values (they live in
+        # the directory names), so refuse quietly-empty stages either
+        # way.
+        staged = 0
+        for i, f in enumerate(sorted(p.rglob("*.parquet"))):
+            shutil.copy(f, os.path.join(dest, f"part_{i:05d}_{f.name}"))
+            staged += 1
+        if staged == 0:
+            raise FileNotFoundError(
+                f"no .parquet part files found under directory {path!r} "
+                f"— nothing to stage for the file-stream source"
+            )
+        if any(
+            "=" in part.name for part in p.rglob("*") if part.is_dir()
+        ):
+            import warnings
+
+            warnings.warn(
+                f"staging partitioned table {path!r} flat: partition "
+                f"columns encoded in directory names are NOT recovered",
+                stacklevel=2,
+            )
     else:
         shutil.copy(p, dest)
 

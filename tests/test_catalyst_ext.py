@@ -82,7 +82,13 @@ assert cond.count("__birthDate_start#") <= 3, cond  # filter ref + output
 # 4) numeric annotation path: CAST(elem) cmp literal implies a
 #    __elem_numeric range conjunct (±1e-6 slack for the 6-dp rounding)
 nvals = ["5.5", "10", "9", "0.0000005", "-3.25", "1e31", "junk", None,
-         "5.5000004", "5.4999996"]
+         "5.5000004", "5.4999996",
+         # large magnitudes: above ~1e10 double ulp exceeds 1e-6, so a
+         # FIXED 1e-6 slack collapses (v-1e-6 == v) while the data
+         # value's string->double cast can cross the literal — the
+         # ulp-aware slack must keep these rows (ADVICE r8 high)
+         "99999999999.999998", "100000000000.000002", "1e11",
+         "1000000000000000.1", "-99999999999.999998"]
 ndf = spark.createDataFrame(
     [(i, v) for i, v in enumerate(nvals)], "id int, riskScore string"
 )
@@ -99,6 +105,12 @@ for pred in [
     "try_cast(riskScore as double) < 0.5",
     "try_cast(riskScore as double) = 5.5",
     "5.5 <= try_cast(riskScore as double)",
+    "try_cast(riskScore as double) >= 1e11",
+    "try_cast(riskScore as double) <= 1e11",
+    "try_cast(riskScore as double) = 1e11",
+    "try_cast(riskScore as double) > 99999999999.999997",
+    "try_cast(riskScore as double) < -99999999999.999997",
+    "try_cast(riskScore as double) >= 1000000000000000.0",
 ]:
     got = sorted(r.id for r in spark.sql(
         "SELECT id FROM pn WHERE " + pred).collect())

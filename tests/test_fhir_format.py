@@ -743,3 +743,12 @@ def test_valueset_predicate_filters(spark):
     # unsupported ops still refuse loudly
     with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
         codes([{"property": "code", "op": "exists", "value": "true"}])
+    # exists with a non-canonical boolean rendering must RAISE, not
+    # silently expand empty ('True' / '1' / NULL are not FHIR booleans)
+    for bad_val in ("True", "1", None):
+        with pytest.raises(
+            NotImplementedError, match="unsupported ValueSet filter"
+        ):
+            codes(
+                [{"property": "laterality", "op": "exists", "value": bad_val}]
+            )
