@@ -289,6 +289,7 @@ def set_similarity_join(
     id_col: str,
     tokens_col: str,
     threshold: float = 0.7,
+    candidate_budget: float | None = 0.25,
 ) -> "DataFrame":
     """Exact set-similarity self-join: every pair of rows whose token
     SETS have Jaccard ≥ ``threshold`` — the tag/keyword/shingle-level
@@ -313,7 +314,12 @@ def set_similarity_join(
     synthetic documents table (SCALE_NOTES.md, seventh wave). In that
     regime reach for MinHash-LSH (operators/dedup.py) and accept the
     probabilistic recall; this operator is for the exactness-required
-    regimes.
+    regimes.  ``candidate_budget`` (default 25% of all-pairs) enforces
+    that boundary mechanically: the exact Σ C(prefix-df, 2) bound is
+    computed BEFORE the candidate join (one vocabulary-sized
+    aggregate) and a breach raises with a MinHash pointer instead of
+    silently going quadratic — see :func:`_set_similarity_guard`.
+    ``candidate_budget=None`` opts out.
 
     Output: (id_a, id_b, jaccard), id_a < id_b, one row per qualifying
     pair.
@@ -336,6 +342,8 @@ def set_similarity_join(
     # sides + the verify re-join); cut the lineage so the vocab join +
     # rarest-first sort computes once
     ordered = ordered.localCheckpoint(eager=False)
+    if candidate_budget is not None:
+        _set_similarity_guard(ordered, t, float(candidate_budget))
     pairs = _set_similarity_candidates(ordered, t).select(
         "id_a", "id_b"
     ).distinct()
@@ -357,6 +365,74 @@ def set_similarity_join(
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _set_similarity_guard(
+    ordered: "DataFrame",
+    t: float,
+    budget: float,
+    min_candidates: float = 1e5,
+) -> None:
+    """Pre-flight cost check for :func:`set_similarity_join` — the
+    guard the r8 verdict asked for.  The candidate join's row count is
+    bounded by Σ_token C(prefix-df(token), 2) (the published All-Pairs
+    cost lever); on template-vocabulary corpora (every row drawing
+    from one small shared vocabulary) that bound degenerates toward
+    the n² all-pairs count — measured at 52% of all pairs on the
+    synthetic documents table, with ×10 docs → ×100 candidates
+    (SCALE_NOTES.md, seventh/eighth waves).  A docstring warning is
+    not a guard at 100 TB, so this computes the EXACT bound before the
+    join: one prefix-explode aggregate (vocabulary-sized, trivially
+    cheaper than the candidate join it protects) + one count, and
+    raises when the bound exceeds ``budget × C(n, 2)``.
+
+    Raises ValueError naming the measured ratio and pointing at
+    MinHash-LSH (operators/dedup.py::dedup_minhash_lsh) — the right
+    tool for the degenerate regime; pass ``candidate_budget=None`` (or
+    a larger fraction) to accept quadratic cost knowingly.  Estimates
+    run in DOUBLE: they only steer a decision, and pdf² would overflow
+    BIGINT near df ~ 3e9.
+    """
+    prefix_len = (
+        F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1
+    ).cast("int")
+    n = ordered.count()
+    if n < 2:
+        return
+    row = (
+        ordered.select(
+            F.explode(F.slice("__sorted", 1, prefix_len)).alias("__ptok")
+        )
+        .groupBy("__ptok")
+        .agg(F.count("*").alias("__pdf"))
+        .agg(
+            F.sum(
+                F.col("__pdf").cast("double")
+                * (F.col("__pdf") - 1).cast("double")
+                / 2.0
+            ).alias("est")
+        )
+        .collect()[0]
+    )
+    est = float(row["est"] or 0.0)
+    all_pairs = n * (n - 1) / 2.0
+    # the ratio alone is meaningless on toy corpora (6 rows sharing a
+    # token is "80% of all pairs" but costs nothing); the guard exists
+    # to stop CLUSTER-scale quadratic joins, so it fires only when the
+    # bound is also large in absolute terms
+    if est > budget * all_pairs and est > min_candidates:
+        raise ValueError(
+            f"set_similarity_join candidate budget exceeded: the "
+            f"All-Pairs prefix-filter bound is {est:.3g} candidate "
+            f"pairs = {est / all_pairs:.1%} of the n*(n-1)/2 all-pairs "
+            f"count (n={n}, budget={budget:.0%}). This corpus is in "
+            f"the prefix filter's degenerate (template-vocabulary) "
+            f"regime where the join goes quadratic at scale. Use "
+            f"MinHash-LSH (operators/dedup.py::dedup_minhash_lsh) for "
+            f"probabilistic near-dup at linear cost, or pass "
+            f"candidate_budget=None / a larger fraction to proceed "
+            f"anyway."
+        )
 
 
 def _set_similarity_ordered(

@@ -2233,7 +2233,13 @@ def q194(spark, sf_dir):
     """operators/joins.py::set_similarity_join — EXACT Jaccard >= 0.8
     pairs over word sets via All-Pairs prefix filtering (rarest-first
     token order bounds the candidate join); the quadratic oracle is
-    affordable at sf0.01 on the doc_id < 400 slice."""
+    affordable at sf0.01 on the doc_id < 400 slice.
+
+    candidate_budget=None: the synthetic documents table is the
+    prefix filter's DEGENERATE template-vocabulary regime (52% of
+    all-pairs survive — SCALE_NOTES.md) and the r9 guard would
+    correctly refuse it; this 200-doc slice accepts quadratic cost
+    knowingly because the point here is exactness vs the oracle."""
     from parquet_on_fhir_spark.operators.joins import set_similarity_join
 
     d = (
@@ -2244,7 +2250,9 @@ def q194(spark, sf_dir):
             F.array_remove(F.split(F.col("text"), " "), "").alias("toks"),
         )
     )
-    out = set_similarity_join(d, "doc_id", "toks", threshold=0.8)
+    out = set_similarity_join(
+        d, "doc_id", "toks", threshold=0.8, candidate_budget=None
+    )
     return out.select("id_a", "id_b", d4(F.col("jaccard")).alias("jaccard"))
 
 

@@ -266,6 +266,52 @@ def test_set_similarity_join_matches_bruteforce(spark):
             assert abs(got[k] - v) < 1e-12
 
 
+def test_set_similarity_candidate_budget_guard(spark):
+    """The r9 pre-flight guard: a template-vocabulary corpus (every row
+    drawing from one small shared vocabulary — the regime SCALE_NOTES
+    measured at 52% of all-pairs on the synthetic documents table)
+    must RAISE before the candidate join goes quadratic; a Zipfian
+    corpus with rare discriminative tokens must pass; and
+    candidate_budget=None must accept the degenerate corpus and still
+    return exact results."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.joins import set_similarity_join
+
+    # template regime: 2000 docs, every token set drawn from the same
+    # 8-word vocabulary -> prefixes collide everywhere.  At t=0.8 the
+    # 2-token prefixes spread 4000 rows over 8 tokens (df~500), so the
+    # bound ~ 8*C(500,2) ~ 1e6 pairs = ~50% of C(2000,2) — over both
+    # the 25% ratio and the 1e5 absolute floor.
+    vocab = [f"w{i}" for i in range(8)]
+    template = spark.createDataFrame(
+        [(i, [vocab[(i + k) % 8] for k in range(5)]) for i in range(2000)],
+        "id long, toks array<string>",
+    )
+    with pytest.raises(ValueError, match="candidate budget exceeded"):
+        set_similarity_join(template, "id", "toks", 0.8)
+
+    # opt-out still computes, exactly: pairs with the same i%8 carry
+    # identical sets -> jaccard 1.0, 8 classes of 250 ids each
+    got = set_similarity_join(
+        template, "id", "toks", 0.99, candidate_budget=None
+    )
+    assert got.filter("jaccard < 1.0").count() == 0
+    assert got.count() == 8 * (250 * 249 // 2)
+
+    # Zipfian regime at the same n: each doc carries unique rare
+    # tokens + a couple of frequent ones -> prefix dfs stay tiny,
+    # guard passes (est ~ 0 pairs)
+    zipf = spark.createDataFrame(
+        [
+            (i, ["the", "a", f"r{i}_1", f"r{i}_2", f"r{i}_3", f"r{i}_4"])
+            for i in range(2000)
+        ],
+        "id long, toks array<string>",
+    )
+    assert set_similarity_join(zipf, "id", "toks", 0.8).count() == 0
+
+
 def test_set_similarity_join_rejects_bad_threshold(spark):
     import pytest
 
