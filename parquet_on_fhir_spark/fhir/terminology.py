@@ -11,6 +11,8 @@ fact table is never shuffled by these helpers.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -237,6 +239,145 @@ def expand_valueset(
     return listed
 
 
+_ECL_TOKEN = re.compile(r"<<|>>|<|>|\(|\)|\*|AND\b|OR\b|MINUS\b|[^\s()<>]+")
+_ECL_UNSUPPORTED = re.compile(r"[:^{}|,.!#]|\bR\b")
+
+
+def _ecl_parse(ecl: str):
+    """Parse the supported ECL subset into a tiny AST (driver-side — an
+    expression constraint is metadata, never data):
+
+        expr := term (OP term)*     OP := AND | OR | MINUS (no mixing —
+                                    ECL requires parentheses to mix)
+        term := '(' expr ')' | PREFIX? ('*' | CODE)
+        PREFIX := '<<' (desc-or-self) | '<' (desc) | '>>' (anc-or-self)
+                  | '>' (anc)
+
+    Refinements (':'), member-of ('^'), cardinality, attribute groups,
+    nested definitions and the rest of the language raise
+    NotImplementedError with the offending token.
+    """
+    if _ECL_UNSUPPORTED.search(ecl):
+        raise NotImplementedError(
+            f"unsupported ECL feature in {ecl!r}: only <|<<|>|>> "
+            "prefixes, '*', codes, parentheses and AND/OR/MINUS "
+            "are supported (no refinements/member-of/cardinality)"
+        )
+    toks = _ECL_TOKEN.findall(ecl)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = peek()
+        pos += 1
+        return t
+
+    def term():
+        t = take()
+        if t == "(":
+            node = expr()
+            if take() != ")":
+                raise NotImplementedError(f"unbalanced parens in {ecl!r}")
+            return node
+        prefix = None
+        if t in ("<", "<<", ">", ">>"):
+            prefix, t = t, take()
+        if t is None or t in (")", "AND", "OR", "MINUS"):
+            raise NotImplementedError(f"malformed ECL {ecl!r}")
+        if t == "*":
+            if prefix is not None:
+                raise NotImplementedError(
+                    f"prefixed wildcard not supported in {ecl!r}"
+                )
+            return ("any",)
+        return ("focus", prefix, t)
+
+    def expr():
+        node = term()
+        op = None
+        while peek() in ("AND", "OR", "MINUS"):
+            nxt = take()
+            if op is None:
+                op = nxt
+            elif nxt != op:
+                raise NotImplementedError(
+                    f"mixed {op}/{nxt} without parentheses in {ecl!r} — "
+                    "ECL requires explicit grouping"
+                )
+            node = (op, node, term())
+        return node
+
+    root = expr()
+    if pos != len(toks):
+        raise NotImplementedError(f"trailing tokens in ECL {ecl!r}")
+    return root
+
+
+def ecl_expand(
+    ecl: str,
+    codesystems: DataFrame,
+    closure: DataFrame,
+    system: str,
+) -> DataFrame:
+    """Evaluate an ECL (SNOMED Expression Constraint Language) subset
+    against a CodeSystem + its transitive closure, returning the
+    matching concepts as a DataFrame of (code).
+
+    Every set operation is a DataFrame op over the closure/universe —
+    hierarchy lookups are broadcast joins against the closure (the same
+    frame :func:`_expand_filters` uses), AND is an inner join, OR a
+    union-distinct, MINUS a left-anti join — so an expression over a
+    million-concept system never leaves the executors; only the
+    expression STRING is parsed on the driver.
+
+    Supported: ``*``, bare codes, ``<``/``<<``/``>``/``>>`` prefixes,
+    parentheses, and non-mixed ``AND``/``OR``/``MINUS`` chains.
+    Also reachable through :func:`expand_valueset` via the standard
+    SNOMED ValueSet idiom ``filter: [{property: 'constraint', op: '=',
+    value: '<ecl>'}]``.
+    """
+    uni = (
+        _all_concepts(codesystems)
+        .filter(F.col("system") == system)
+        .select("code")
+    )
+    clo = closure.filter(F.col("system") == system).select(
+        "ancestor", "descendant"
+    )
+
+    def ev(node) -> DataFrame:
+        kind = node[0]
+        if kind == "any":
+            return uni
+        if kind == "focus":
+            _, prefix, code = node
+            anchor = uni.filter(F.col("code") == code)
+            if prefix is None:
+                return anchor
+            if prefix in ("<", "<<"):
+                rel = clo.filter(F.col("ancestor") == code).select(
+                    F.col("descendant").alias("code")
+                )
+            else:
+                rel = clo.filter(F.col("descendant") == code).select(
+                    F.col("ancestor").alias("code")
+                )
+            if prefix in ("<<", ">>"):
+                rel = rel.unionByName(anchor)
+            return rel.distinct()
+        a, b = ev(node[1]), ev(node[2])
+        if kind == "AND":
+            return a.join(b, "code", "left_semi")
+        if kind == "OR":
+            return a.unionByName(b).distinct()
+        return a.join(b, "code", "left_anti")  # MINUS
+
+    return ev(_ecl_parse(ecl)).distinct()
+
+
 def _concept_properties(codesystems: DataFrame) -> DataFrame:
     """(system, code, prop, pval) concept property assertions at every
     ``concept`` nesting depth — CodeSystem ``concept.property[]``
@@ -344,9 +485,14 @@ def _expand_filters(
     is_hier = (F.col("property") == "concept") & F.col("op").isin(
         *_HIERARCHY_OPS
     )
-    is_code = (F.col("property") == "code") & F.col("op").isin(
-        "regex", "in", "not-in"
+    is_code = (F.col("property") == "code") & (
+        F.col("op").isin("regex", "in", "not-in")
+        | (
+            (F.col("op") == "exists")
+            & F.col("value").isin("true", "false")
+        )
     )
+    is_ecl = (F.col("property") == "constraint") & (F.col("op") == "=")
     # exists requires the literal strings 'true'/'false' (FHIR boolean
     # rendering); anything else ('True', NULL, '1') must RAISE here —
     # if it slipped past as is_prop it would contribute no match part
@@ -361,7 +507,9 @@ def _expand_filters(
     # coalesce: a NULL filter value makes the isin() predicates NULL,
     # and a plain filter(~NULL) would drop (not flag) the bad row
     bad = (
-        flt.filter(~F.coalesce(is_hier | is_code | is_prop, F.lit(False)))
+        flt.filter(
+            ~F.coalesce(is_hier | is_code | is_prop | is_ecl, F.lit(False))
+        )
         .limit(1)
         .collect()
     )
@@ -370,8 +518,9 @@ def _expand_filters(
             f"unsupported ValueSet filter: property={bad[0]['property']!r} "
             f"op={bad[0]['op']!r} value={bad[0]['value']!r} "
             "(supported: concept is-a / descendent-of "
-            "/ is-not-a / generalizes; code regex / in / not-in; "
-            "<property> = / regex / exists with value 'true'|'false')"
+            "/ is-not-a / generalizes; code regex / in / not-in / exists; "
+            "<property> = / regex / exists with value 'true'|'false'; "
+            "constraint = <ECL subset>)"
         )
     key = ["url", "inc_idx", "n_filters", "f_idx", "system"]
     need_universe = flt.filter(
@@ -395,6 +544,17 @@ def _expand_filters(
             "hierarchical ValueSet filters need a concept closure — "
             "build one with concept_closure(concept_edges(codesystems)) "
             "and pass closure="
+        )
+    # ECL constraint filters: the expression strings are filter METADATA
+    # (K rows), so they are collected and each evaluated distributedly
+    # by ecl_expand; the resulting code frames join the same per-filter
+    # AND machinery as every other part.
+    ecl_rows = flt.filter(is_ecl).collect()
+    if ecl_rows and (codesystems is None or closure is None):
+        raise NotImplementedError(
+            "constraint (ECL) ValueSet filters need both the "
+            "codesystems table and a concept closure — pass "
+            "codesystems= and closure="
         )
     uni = _all_concepts(codesystems) if codesystems is not None else None
     parts = []
@@ -457,6 +617,9 @@ def _expand_filters(
                     F.regexp_like(F.col("code"), whole_value),
                 )
                 .when(F.col("op") == "in", in_list)
+                # every concept HAS a code, so `code exists true` is the
+                # whole system and `exists false` is empty
+                .when(F.col("op") == "exists", F.col("value") == "true")
                 .otherwise(~in_list)
             ).select(*key, "code")
         )
@@ -508,6 +671,22 @@ def _expand_filters(
                         "left_anti",
                     )
                 )
+    flt_types = dict(flt.dtypes)
+
+    def _kl(col, val):  # literal cast to flt's own dtype so unions line up
+        return F.lit(val).cast(flt_types[col]).alias(col)
+
+    for r in ecl_rows:
+        parts.append(
+            ecl_expand(r["value"], codesystems, closure, r["system"]).select(
+                _kl("url", r["url"]),
+                _kl("inc_idx", r["inc_idx"]),
+                _kl("n_filters", r["n_filters"]),
+                _kl("f_idx", r["f_idx"]),
+                _kl("system", r["system"]),
+                "code",
+            )
+        )
     matches = parts[0]
     for p in parts[1:]:
         matches = matches.unionByName(p)

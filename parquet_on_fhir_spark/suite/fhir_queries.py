@@ -1091,3 +1091,129 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf21_valueset_predicate_filters", qf21, QF21_ORACLE))
+
+
+# --- qf22: `code exists` ValueSet filters (r8 verdict gap, closed r9) ---------------
+_VS_CODE_EXISTS_DOCS = [
+    {"resourceType": "ValueSet", "id": "vs-allcodes", "status": "active",
+     "url": "http://example.org/ValueSet/all-codes",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "code", "op": "exists",
+                      "value": "true"}]},
+     ]}},
+    {"resourceType": "ValueSet", "id": "vs-nocodes", "status": "active",
+     "url": "http://example.org/ValueSet/no-codes",
+     "compose": {"include": [
+         # `code exists false` is vacuously empty (every concept has a
+         # code); OR'd with a second include so the ValueSet itself is
+         # not vacuous and the oracle pins BOTH behaviors
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "code", "op": "exists",
+                      "value": "false"}]},
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "code", "op": "in", "value": "heart"}]},
+     ]}},
+]
+
+
+def qf22(spark, sf_dir):
+    """`code exists` ValueSet filters (fhir/terminology.py::
+    _expand_filters, r9): every concept has a code, so exists=true
+    expands to the system's whole concept universe and exists=false to
+    nothing — previously a NotImplementedError (r8 verdict gap #4)."""
+    from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_CODE_EXISTS_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    return expand_valueset(vs, cs).select("url", "code", "display")
+
+
+QF22_ORACLE = """
+SELECT * FROM (VALUES
+  ('http://example.org/ValueSet/all-codes', 'body', 'Body'),
+  ('http://example.org/ValueSet/all-codes', 'limb', 'Limb'),
+  ('http://example.org/ValueSet/all-codes', 'arm', 'Arm'),
+  ('http://example.org/ValueSet/all-codes', 'hand', 'Hand'),
+  ('http://example.org/ValueSet/all-codes', 'leg', 'Leg'),
+  ('http://example.org/ValueSet/all-codes', 'foot', 'Foot'),
+  ('http://example.org/ValueSet/all-codes', 'organ', 'Organ'),
+  ('http://example.org/ValueSet/all-codes', 'heart', 'Heart'),
+  ('http://example.org/ValueSet/no-codes', 'heart', 'Heart')
+) AS t(url, code, display)
+"""
+
+
+QUERIES.append(Q("qf22_valueset_code_exists", qf22, QF22_ORACLE))
+
+
+# --- qf23: ECL constraint filters (SNOMED expression-constraint subset) -------------
+_VS_ECL_DOCS = [
+    {"resourceType": "ValueSet", "id": f"vs-ecl{i}", "status": "active",
+     "url": f"http://example.org/ValueSet/ecl{i}",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "constraint", "op": "=",
+                      "value": ecl}]},
+     ]}}
+    for i, ecl in enumerate(
+        [
+            "<< limb",                      # descendant-or-self
+            "(<< limb) MINUS (<< arm)",     # exclusion
+            "> hand",                       # strict ancestors
+            "(< body) AND (>> heart)",      # conjunction of desc + anc-or-self
+            "* MINUS << limb",              # wildcard + exclusion
+        ],
+        start=1,
+    )
+]
+
+
+def qf23(spark, sf_dir):
+    """ECL subset evaluation (fhir/terminology.py::ecl_expand, r9):
+    SNOMED's standard ValueSet idiom `constraint = <ecl>` with <|<<|>|>>
+    prefixes, '*', parentheses and AND/OR/MINUS — all evaluated as
+    broadcast joins / set ops against the concept closure, never on the
+    driver. Previously raised (r8 verdict gap #4)."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_ECL_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select("url", "code")
+
+
+QF23_ORACLE = """
+SELECT * FROM (VALUES
+  -- ecl1: << limb
+  ('http://example.org/ValueSet/ecl1', 'limb'),
+  ('http://example.org/ValueSet/ecl1', 'arm'),
+  ('http://example.org/ValueSet/ecl1', 'hand'),
+  ('http://example.org/ValueSet/ecl1', 'leg'),
+  ('http://example.org/ValueSet/ecl1', 'foot'),
+  -- ecl2: (<< limb) MINUS (<< arm)
+  ('http://example.org/ValueSet/ecl2', 'limb'),
+  ('http://example.org/ValueSet/ecl2', 'leg'),
+  ('http://example.org/ValueSet/ecl2', 'foot'),
+  -- ecl3: > hand
+  ('http://example.org/ValueSet/ecl3', 'arm'),
+  ('http://example.org/ValueSet/ecl3', 'limb'),
+  ('http://example.org/ValueSet/ecl3', 'body'),
+  -- ecl4: (< body) AND (>> heart)
+  ('http://example.org/ValueSet/ecl4', 'organ'),
+  ('http://example.org/ValueSet/ecl4', 'heart'),
+  -- ecl5: * MINUS << limb
+  ('http://example.org/ValueSet/ecl5', 'body'),
+  ('http://example.org/ValueSet/ecl5', 'organ'),
+  ('http://example.org/ValueSet/ecl5', 'heart')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf23_ecl_expand", qf23, QF23_ORACLE))

@@ -657,9 +657,9 @@ def test_entry_resource_span_scanner_adversarial():
 
 
 def test_valueset_predicate_filters(spark):
-    """regex/in/not-in code predicates, concept-property equality and
-    regex, is-not-a, AND-across-filters, and the ops that must still
-    raise (code exists)."""
+    """regex/in/not-in/exists code predicates, concept-property
+    equality and regex, is-not-a, AND-across-filters, and malformed
+    filters that must raise."""
     import pytest
 
     from parquet_on_fhir_spark.fhir.terminology import (
@@ -740,9 +740,12 @@ def test_valueset_predicate_filters(spark):
          {"property": "status", "op": "=", "value": "retired"}],
         closure=clo,
     ) == {"hand"}
-    # unsupported ops still refuse loudly
-    with pytest.raises(NotImplementedError, match="unsupported ValueSet filter"):
-        codes([{"property": "code", "op": "exists", "value": "true"}])
+    # code exists (r9): every concept has a code -> true = the whole
+    # system, false = empty include
+    assert codes([{"property": "code", "op": "exists", "value": "true"}]) == {
+        "body", "limb", "arm", "hand", "leg", "foot", "organ", "heart",
+    }
+    assert codes([{"property": "code", "op": "exists", "value": "false"}]) == set()
     # exists with a non-canonical boolean rendering must RAISE, not
     # silently expand empty ('True' / '1' / NULL are not FHIR booleans)
     for bad_val in ("True", "1", None):
@@ -752,3 +755,57 @@ def test_valueset_predicate_filters(spark):
             codes(
                 [{"property": "laterality", "op": "exists", "value": bad_val}]
             )
+
+
+def test_ecl_expand_subset(spark):
+    """fhir/terminology.py::ecl_expand (r9): the supported ECL subset
+    over the anatomy CodeSystem — prefixes, wildcard, parens,
+    AND/OR/MINUS — plus targeted refusals for the unsupported language
+    (refinements, member-of, mixed operators, malformed input)."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/anatomy2"
+
+    def ev(ecl):
+        return sorted(r.code for r in ecl_expand(ecl, cs, clo, system).collect())
+
+    assert ev("<< limb") == ["arm", "foot", "hand", "leg", "limb"]
+    assert ev("< limb") == ["arm", "foot", "hand", "leg"]
+    assert ev(">> hand") == ["arm", "body", "hand", "limb"]
+    assert ev("> hand") == ["arm", "body", "limb"]
+    assert ev("hand") == ["hand"]
+    assert ev("ghost") == []          # unknown focus -> empty, not error
+    assert ev("< hand") == []         # leaf has no descendants
+    assert ev("*") == sorted(
+        ["body", "limb", "arm", "hand", "leg", "foot", "organ", "heart"]
+    )
+    assert ev("(<< limb) MINUS (<< arm)") == ["foot", "leg", "limb"]
+    assert ev("(< body) AND (>> heart)") == ["heart", "organ"]
+    assert ev("hand OR heart OR ghost") == ["hand", "heart"]
+    assert ev("* MINUS << limb") == ["body", "heart", "organ"]
+    # nesting
+    assert ev("(( << limb ) MINUS ( << arm )) MINUS leg") == ["foot", "limb"]
+
+    for bad in (
+        "<< limb : laterality = paired",  # refinement
+        "^ refset",                       # member-of
+        "hand AND heart OR body",         # mixed ops need parens
+        "<< *",                           # prefixed wildcard
+        "(hand OR heart",                 # unbalanced
+        "",                               # empty
+        "hand heart",                     # trailing tokens
+    ):
+        with pytest.raises(NotImplementedError):
+            ecl_expand(bad, cs, clo, system).collect()
