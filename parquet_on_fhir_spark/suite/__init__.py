@@ -9,85 +9,78 @@ from __future__ import annotations
 from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
-# only, so registration order is coverage policy.  Round-8 window
-# (drain the verification debt — the r7 verdict's explicit order):
+# only, so registration order is coverage policy.  Round-9 window
+# (the r8 verdict's prescription, task 3):
 #   1. flagship;
-#   2. the 4 r7-red queries, rewritten this round for driver-hash
-#      robustness (per-term 12-dp quantization / integer-exact AUC) —
-#      the only hard-signal failures in the repo;
-#   3. ALL 20 never-driver-checked oracle queries from the r7 wave
-#      (q194-q215; q204 de-vacuated this round with planted
-#      duplicates, q198b oracle boundary floored);
-#   4. the 7 rows-only queries with zero lifetime driver rows
-#      (q119/q131/q148/q159/q195/q203/q210): the driver records
-#      spark_rows even without an oracle (r3 precedent), documenting
-#      that each at least executes under the driver's environment;
-#   5. second rows for the TPC-H tails dropped from the r7 window
-#      (q103-q106, q109, q112-q114, q117);
-#   6. remaining slots: the oldest singles (r3-vintage q44-q50 funcs,
-#      q62/q64/q65 UDF surface, q71b).
-# NO net-new queries this round until the backlog drains (r7 verdict
-# task 2).  Remaining singles stay selfcheck-covered and rotate.
+#   2. the 7 r8-red queries — root cause was DuckDB HUGEINT rendering
+#      in the ORACLES (not engine output); fixed this round with
+#      CAST(... AS BIGINT) and a permanent bind-time lint
+#      (tools/oracle_lint.py, tests/test_oracle_portability.py);
+#   3. the round-9 debut queries (qf22 code-exists filter, qf23 ECL
+#      subset) — new queries land WITH a driver row in their debut
+#      window (r8 verdict task 7);
+#   4. remaining 40 slots: re-confirmation rows for the stalest
+#      lifetime-greens (r1/r2-vintage q01-q40 singles + TPC-H/SQL
+#      tails q75-q77 — last driver-checked in round 2).
+# Rows-only queries are all registered AFTER position 50 this round
+# (their spark_rows documentation run completed in r8), so the window
+# is 50/50 oracle-backed — zero no_oracle rows expected.
 # Full-suite verification is always available via
 # `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- the four r7 driver-hash reds, fixed this round
+    # -- the seven r8 HUGEINT-oracle reds, oracle-side cast this round
     "q168_kaplan_meier",
     "q169_binary_auc",
     "q173_zipf_slope",
     "q192_unigram_entropy",
-    # -- first-ever rows: the r7 never-driver-checked wave
-    "q194_set_similarity_join",
-    "q196_frequency_sketch",
-    "q197_hll_distinct_rollup",
-    "q198_attribution_last_touch",
-    "q198b_attribution_linear",
-    "q199_dp_noisy_counts",
     "q200_k_anonymity",
-    "q201_transition_matrix",
-    "q202_clustering_coefficient",
     "q204_cross_source_dup_audit",
-    "q205_token_length_histogram",
-    "q206_conversion_window_funnel",
-    "q207_rfm_segmentation",
-    "q208_centroid_similarity",
-    "q209_quantile_normalize",
     "q211_nelson_aalen",
-    "q212_naive_forecast_eval",
-    "q213_bh_fdr",
-    "q214_mutual_information",
-    "q215_stream_curation",
-    # -- rows-only with zero lifetime driver rows: executed under the
-    # driver for a spark_rows record (hash correctness carried by the
-    # tests named in ROWS_ONLY_COVERAGE)
-    "q119_embedding_quantize",
-    "q131_semantic_dedup",
-    "q148_pca_project",
-    "q159_kcore",
-    "q195_holt_smoothing",
-    "q203_cusum_changepoints",
-    "q210_ols_fit",
-    # -- second driver rows: TPC-H tails dropped from the r7 window
-    "q103_tpch_q13_custdist",
-    "q104_tpch_q15_top_supplier",
-    "q105_tpch_q17_small_qty",
-    "q106_tpch_q21_waiting_supplier",
-    "q109_doc_chunking",
-    "q112_source_cap",
-    "q113_duplicate_spans",
-    "q114_bm25",
-    "q117_rollup_chain",
-    # -- second driver rows: the oldest (r3) singles
-    "q44_math_funcs",
-    "q46_array_funcs",
-    "q47_higher_order_funcs",
-    "q49_json_funcs",
-    "q50_struct_ops",
-    "q62_pandas_udf",
-    "q64_pandas_udaf",
-    "q65_python_udtf",
-    "q71b_language_id",
+    # -- round-9 debuts (terminology gaps closed)
+    "qf22_valueset_code_exists",
+    "qf23_ecl_expand",
+    # -- stalest lifetime-greens (r2-vintage evidence refresh)
+    "q01_parquet_scan_pushdown",
+    "q02_schema_merged_scan",
+    "q03_ndjson_source",
+    "q04_csv_source",
+    "q05_parquet_sink_roundtrip",
+    "q06_partitioned_sink",
+    "q07_nested_projection",
+    "q08_filter_predicates",
+    "q09_in_between_like",
+    "q10_conditional_expr",
+    "q11_distinct",
+    "q12_join_inner_3way",
+    "q13_join_left_outer",
+    "q13b_join_full_outer",
+    "q14_join_semi_anti",
+    "q15_join_broadcast",
+    "q16_join_theta_range",
+    "q17_join_cross",
+    "q18_join_asof",
+    "q19_join_interval_overlap",
+    "q20_join_self",
+    "q21_agg_tpch_q1",
+    "q22_agg_distinct",
+    "q24_agg_rollup_grouping",
+    "q25_agg_stats",
+    "q26_agg_median",
+    "q27_agg_minby_maxby_collect",
+    "q28_agg_global",
+    "q29_pivot",
+    "q34_sort_multikey",
+    "q35_limit_topk",
+    "q36_sort_within_partitions",
+    "q37_union_all",
+    "q37b_union_distinct",
+    "q38_union_by_name",
+    "q39_intersect",
+    "q40_except_all",
+    "q75_sql_tpch_q5",
+    "q76_agg_cube",
+    "q77_orc_source_sink",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named
