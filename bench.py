@@ -76,7 +76,11 @@ HEADLINE = [
 ]
 
 
-N_RUNS = 3
+N_RUNS = 5  # r9: medians of >=5 reps (r8 verdict task 4) — the r7->r8
+# 1.22x shared-subtotal drift re-measured inside the r8 verdict's own
+# A/B at r7 levels, implicating machine load during the r8 bench run;
+# 5-rep medians + the spread_max self-diagnostic pin that class of
+# artifact without blaming plans.
 
 
 def main() -> None:
@@ -89,11 +93,17 @@ def main() -> None:
     # Warm pass: JVM/codegen/catalog warmup plus one execution of every
     # headline plan, so the timed pass measures steady-state query cost
     # (what a long-lived cluster session would see), not first-run JIT.
+    # Streaming queries get a SECOND warm run: their first execution
+    # pays micro-batch/state-store setup that a steady-state stream
+    # never sees (r8 q55b mean-min gap was 2.2x, all startup).
     for name in HEADLINE:
         specs[name].fn(spark, sf_dir).count()
+        if "stream" in name:
+            specs[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
+    spread_max = 0.0
     for name in HEADLINE:
         fn = specs[name].fn
         runs: list[float] = []
@@ -105,6 +115,8 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(statistics.median(runs), 3)
         minima[name] = round(min(runs), 3)
+        if min(runs) > 0:
+            spread_max = max(spread_max, max(runs) / min(runs))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -116,6 +128,11 @@ def main() -> None:
                 "queries_min": minima,
                 "value_min": round(sum(minima.values()), 3),
                 "n": N_RUNS,
+                # largest per-query max/min ratio across the timed reps:
+                # >2 on several queries = machine contention during THIS
+                # run; compare queries_min across rounds before calling
+                # a regression (r8 lesson)
+                "spread_max": round(spread_max, 2),
                 "sf": sf,
             }
         )
