@@ -239,29 +239,41 @@ def expand_valueset(
     return listed
 
 
-_ECL_TOKEN = re.compile(r"<<|>>|<|>|\(|\)|\*|AND\b|OR\b|MINUS\b|[^\s()<>]+")
-_ECL_UNSUPPORTED = re.compile(r"[:^{}|,.!#]|\bR\b")
+_ECL_TOKEN = re.compile(
+    r"<<|>>|<|>|\(|\)|\*|:|=|,|AND\b|OR\b|MINUS\b|[^\s()<>:=,]+"
+)
+_ECL_UNSUPPORTED = re.compile(r"[\^{}|.!#\[\]]|\bR\b")
 
 
 def _ecl_parse(ecl: str):
     """Parse the supported ECL subset into a tiny AST (driver-side — an
     expression constraint is metadata, never data):
 
-        expr := term (OP term)*     OP := AND | OR | MINUS (no mixing —
-                                    ECL requires parentheses to mix)
+        expr := refined (OP refined)*   OP := AND | OR | MINUS (no
+                                        mixing — ECL requires parens)
+        refined := term (':' refinement (',' refinement)*)?
+        refinement := (ATTR | '*') '=' term
         term := '(' expr ')' | PREFIX? ('*' | CODE)
         PREFIX := '<<' (desc-or-self) | '<' (desc) | '>>' (anc-or-self)
                   | '>' (anc)
 
-    Refinements (':'), member-of ('^'), cardinality, attribute groups,
-    nested definitions and the rest of the language raise
+    Attribute refinements follow the SNOMED syntax ``focus : attr =
+    value`` with comma = conjunction; the attribute matches CodeSystem
+    ``concept.property[]`` assertions ('*' = any property), and the
+    value is either a bare token (matched against the property value
+    as a string — which for concept-valued properties is exactly
+    single-code membership) or a prefixed/parenthesized expression
+    (membership of the property value in that concept set, via the
+    closure). Member-of ('^'), cardinality ('[..]'), attribute groups
+    ('{}'), reverse flags and the rest of the language raise
     NotImplementedError with the offending token.
     """
     if _ECL_UNSUPPORTED.search(ecl):
         raise NotImplementedError(
             f"unsupported ECL feature in {ecl!r}: only <|<<|>|>> "
-            "prefixes, '*', codes, parentheses and AND/OR/MINUS "
-            "are supported (no refinements/member-of/cardinality)"
+            "prefixes, '*', codes, parentheses, AND/OR/MINUS and "
+            "': attr = value' refinements are supported "
+            "(no member-of/cardinality/attribute-groups)"
         )
     toks = _ECL_TOKEN.findall(ecl)
     pos = 0
@@ -285,7 +297,7 @@ def _ecl_parse(ecl: str):
         prefix = None
         if t in ("<", "<<", ">", ">>"):
             prefix, t = t, take()
-        if t is None or t in (")", "AND", "OR", "MINUS"):
+        if t is None or t in (")", "AND", "OR", "MINUS", ":", "=", ","):
             raise NotImplementedError(f"malformed ECL {ecl!r}")
         if t == "*":
             if prefix is not None:
@@ -295,8 +307,35 @@ def _ecl_parse(ecl: str):
             return ("any",)
         return ("focus", prefix, t)
 
-    def expr():
+    def refined():
         node = term()
+        if peek() != ":":
+            return node
+        take()
+        refs = []
+        while True:
+            attr = take()
+            if attr is None or (
+                attr != "*"
+                and attr
+                in ("(", ")", ":", "=", ",", "<", "<<", ">", ">>",
+                    "AND", "OR", "MINUS")
+            ):
+                raise NotImplementedError(
+                    f"malformed refinement attribute in {ecl!r}"
+                )
+            if take() != "=":
+                raise NotImplementedError(
+                    f"refinement needs 'attr = value' in {ecl!r}"
+                )
+            refs.append((attr, term()))
+            if peek() != ",":
+                break
+            take()
+        return ("refine", node, refs)
+
+    def expr():
+        node = refined()
         op = None
         while peek() in ("AND", "OR", "MINUS"):
             nxt = take()
@@ -307,7 +346,7 @@ def _ecl_parse(ecl: str):
                     f"mixed {op}/{nxt} without parentheses in {ecl!r} — "
                     "ECL requires explicit grouping"
                 )
-            node = (op, node, term())
+            node = (op, node, refined())
         return node
 
     root = expr()
@@ -334,7 +373,16 @@ def ecl_expand(
     expression STRING is parsed on the driver.
 
     Supported: ``*``, bare codes, ``<``/``<<``/``>``/``>>`` prefixes,
-    parentheses, and non-mixed ``AND``/``OR``/``MINUS`` chains.
+    parentheses, non-mixed ``AND``/``OR``/``MINUS`` chains, and
+    attribute refinements ``focus : attr = value`` (comma =
+    conjunction): the attribute names a CodeSystem
+    ``concept.property[]`` assertion (``*`` = any property) and the
+    value is a literal token (string equality on the property value —
+    for concept-valued properties this is single-code membership) or a
+    prefixed/parenthesized expression (property value ∈ that concept
+    set). A refinement is a semi-join of the focus set against the
+    matching property assertions — the property table is
+    terminology-sized and broadcasts, like the closure.
     Also reachable through :func:`expand_valueset` via the standard
     SNOMED ValueSet idiom ``filter: [{property: 'constraint', op: '=',
     value: '<ecl>'}]``.
@@ -347,6 +395,16 @@ def ecl_expand(
     clo = closure.filter(F.col("system") == system).select(
         "ancestor", "descendant"
     )
+    props_cache: list[DataFrame] = []
+
+    def props() -> DataFrame:
+        if not props_cache:
+            props_cache.append(
+                _concept_properties(codesystems)
+                .filter(F.col("system") == system)
+                .select("code", "prop", "pval")
+            )
+        return props_cache[0]
 
     def ev(node) -> DataFrame:
         kind = node[0]
@@ -368,6 +426,25 @@ def ecl_expand(
             if prefix in ("<<", ">>"):
                 rel = rel.unionByName(anchor)
             return rel.distinct()
+        if kind == "refine":
+            base = ev(node[1])
+            for attr, vnode in node[2]:
+                p = props()
+                if attr != "*":
+                    p = p.filter(F.col("prop") == attr)
+                if vnode[0] == "focus" and vnode[1] is None:
+                    # bare token: literal value match (== membership in
+                    # the one-code set when the property is a concept)
+                    m = p.filter(F.col("pval") == vnode[2])
+                else:
+                    vals = ev(vnode).select(F.col("code").alias("pval"))
+                    m = p.join(F.broadcast(vals), "pval", "left_semi")
+                base = base.join(
+                    F.broadcast(m.select("code").distinct()),
+                    "code",
+                    "left_semi",
+                )
+            return base
         a, b = ev(node[1]), ev(node[2])
         if kind == "AND":
             return a.join(b, "code", "left_semi")
@@ -388,7 +465,11 @@ def _concept_properties(codesystems: DataFrame) -> DataFrame:
     empty = spark.createDataFrame(
         [], "system string, code string, prop string, pval string"
     )
-    if "property" not in _element_fields(codesystems, "concept"):
+    # NOTE: property may appear at ANY concept nesting depth (a child
+    # concept can carry properties its parents lack — the encoded
+    # schema is sparse per level), so the walk below checks per level;
+    # only a missing `concept` column short-circuits.
+    if not _element_fields(codesystems, "concept"):
         return empty
 
     def prop_rows(cur: DataFrame) -> DataFrame:
@@ -755,3 +836,51 @@ def translate_codes(
         & (F.col(code_col) == F.col("__src_code")),
         "left",
     ).drop("__src_system", "__src_code")
+
+
+def validate_codes(
+    df: DataFrame,
+    valuesets: DataFrame,
+    system_col: str,
+    code_col: str,
+    vs_url: str,
+    codesystems: DataFrame | None = None,
+    closure: DataFrame | None = None,
+) -> DataFrame:
+    """FHIR ``ValueSet/$validate-code`` as a batch operation
+    (hl7.org/fhir/R4/valueset-operation-validate-code.html): for every
+    (system, code) row of ``df``, is the code a member of the ValueSet
+    at ``vs_url``? Adds ``in_valueset`` (boolean, never NULL) and the
+    member ``display`` (NULL for non-members) — the set-membership
+    twin of :func:`translate_codes`.
+
+    The ValueSet is expanded ONCE via :func:`expand_valueset` (so every
+    compose feature that expansion supports — filters, hierarchy,
+    ECL constraints, excludes — is honored) and the expansion, a
+    terminology-sized frame, broadcasts against the fact table: the
+    data is never shuffled, exactly how a 100 TB observation table
+    wants its codes checked.
+    """
+    vs = valuesets.filter(F.col("url") == vs_url)
+    members = (
+        expand_valueset(vs, codesystems, closure=closure)
+        .select(
+            F.col("system").alias("__m_system"),
+            F.col("code").alias("__m_code"),
+            F.col("display").alias("display"),
+        )
+        .dropDuplicates(["__m_system", "__m_code"])
+        .withColumn("in_valueset", F.lit(True))
+    )
+    return (
+        df.join(
+            F.broadcast(members),
+            (F.col(system_col) == F.col("__m_system"))
+            & (F.col(code_col) == F.col("__m_code")),
+            "left",
+        )
+        .withColumn(
+            "in_valueset", F.coalesce(F.col("in_valueset"), F.lit(False))
+        )
+        .drop("__m_system", "__m_code")
+    )

@@ -1876,3 +1876,168 @@ def mutual_information(
             F.col("__n").alias("n"),
         )
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    term_dp: int | None = None,
+) -> DataFrame:
+    """Two-sample log-rank test — the survival A/B primitive that goes
+    with :func:`kaplan_meier` / :func:`nelson_aalen`: does arm A's
+    time-to-event distribution differ from arm B's, with censoring
+    handled exactly (censored subjects leave the risk set, contribute
+    no event)?
+
+    At each distinct event time t the 2×2 hypergeometric comparison
+    contributes, for arm A: expected events e₁(t) = d(t)·n₁(t)/n(t)
+    and variance v(t) = d(t)·n₁·n₂·(n−d) / (n²·(n−1)); the statistic
+    is χ² = (O₁−E₁)²/V with 1 dof.
+
+    Plan (the kaplan_meier scale shape): ONE hash aggregate collapses
+    the corpus to (t, d₁, c₁, d₂, c₂) — distinct-time-cardinality rows
+    — then per-arm risk sets are running sums over that frame and the
+    three totals are a single final aggregate. The ordered window runs
+    over distinct times, never the corpus; nothing is collected.
+
+    Numeric convention: e₁(t)/v(t) are rationals evaluated in double
+    with a fixed association order (int products first, one division);
+    ``term_dp`` (repo convention 12) quantizes each term before the
+    running sum so cross-engine libm/association noise cannot
+    accumulate — see suite/common.py.
+
+    Output: 1 row — (n_a, n_b, o_a, e_a, var_a, chi2).
+    """
+    from pyspark.sql import Window
+
+    is_a = F.col(group_col) == F.lit(group_a)
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.when(is_a, ev).otherwise(0)).alias("d1"),
+            F.sum(F.when(is_a, 1 - ev).otherwise(0)).alias("c1"),
+            F.sum(F.when(~is_a, ev).otherwise(0)).alias("d2"),
+            F.sum(F.when(~is_a, 1 - ev).otherwise(0)).alias("c2"),
+        )
+    )
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    before = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    left1 = F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(before), F.lit(0))
+    left2 = F.coalesce(F.sum(F.col("d2") + F.col("c2")).over(before), F.lit(0))
+    risk = per_t.withColumn(
+        "n1", F.sum(F.col("d1") + F.col("c1")).over(full) - left1
+    ).withColumn("n2", F.sum(F.col("d2") + F.col("c2")).over(full) - left2)
+    n = F.col("n1") + F.col("n2")
+    d = F.col("d1") + F.col("d2")
+    # Fixed association order, mirrored verbatim in SQL oracles:
+    # int products stay exact, ONE double division per term.
+    e1_t = F.when(n > 0, (d * F.col("n1")).cast("double") / n.cast("double"))
+    v_t = F.when(
+        n > 1,
+        (
+            d.cast("double")
+            * (n - d).cast("double")
+            * F.col("n1").cast("double")
+            * F.col("n2").cast("double")
+        )
+        / ((n * n).cast("double") * (n - F.lit(1)).cast("double")),
+    )
+    if term_dp is not None:
+        e1_t = F.round(e1_t, term_dp)
+        v_t = F.round(v_t, term_dp)
+    terms = risk.select(
+        "d1", "c1", "d2", "c2",
+        e1_t.alias("e1_t"),
+        v_t.alias("v_t"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("d1") + F.col("c1")).alias("n_a"),
+        F.sum(F.col("d2") + F.col("c2")).alias("n_b"),
+        F.sum("d1").alias("o_a"),
+        F.sum("e1_t").alias("e_a"),
+        F.sum("v_t").alias("var_a"),
+    )
+    chi2 = F.when(
+        F.col("var_a") > 0,
+        (F.col("o_a") - F.col("e_a"))
+        * (F.col("o_a") - F.col("e_a"))
+        / F.col("var_a"),
+    )
+    return agg.select("n_a", "n_b", "o_a", "e_a", "var_a", chi2.alias("chi2"))
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: float | None = None,
+    term_dp: int | None = None,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-interpolation convention sklearn uses): AP = Σᵢ ΔRᵢ·Pᵢ over
+    distinct score thresholds descending, Pᵢ = cumpos/cumcnt and
+    ΔRᵢ = posᵢ/n⁺ — the ranking metric that complements
+    :func:`binary_auc` when positives are rare (class-imbalanced
+    retrieval/dedup/quality classifiers), since AUC saturates there.
+
+    Ties share one threshold (the tie group enters the curve as a
+    block), which is exactly the distinct-score pre-aggregation: the
+    corpus collapses to (score, cnt, pos) in one hash aggregate, the
+    ordered window runs over |distinct scores| rows, and AP is one
+    final sum — the binary_auc scale shape, including the ``quantize``
+    bucket-width escape hatch for truly continuous scores (window ≤
+    range/quantize rows at an AP error bounded by the bucket mass).
+
+    Per-term double work is ONE int product + ONE division in a fixed
+    order; ``term_dp`` quantizes each term before the sum (repo
+    cross-engine convention, suite/common.py). NULL scores carry no
+    rank: excluded up front.
+
+    Output: 1 row — (ap, n_pos, n).
+    """
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("int")
+    score = F.col(score_col)
+    if quantize is not None:
+        score = F.round(score / F.lit(quantize)) * F.lit(quantize)
+    per_score = (
+        df.filter(score.isNotNull())
+        .groupBy(score.alias("__score"))
+        .agg(F.count("*").alias("__cnt"), F.sum(lab).alias("__pos"))
+    )
+    w = Window.orderBy(F.col("__score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "__pos",
+        F.sum("__cnt").over(w).alias("__cumcnt"),
+        F.sum("__pos").over(w).alias("__cumpos"),
+    )
+    term = (F.col("__pos") * F.col("__cumpos")).cast("double") / F.col(
+        "__cumcnt"
+    ).cast("double")
+    if term_dp is not None:
+        term = F.round(term, term_dp)
+    agg = cum.agg(
+        F.sum(term).alias("__tsum"),
+        F.sum("__pos").alias("n_pos"),
+        F.max("__cumcnt").alias("n"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0, F.col("__tsum") / F.col("n_pos").cast("double")
+    )
+    return agg.select(ap.alias("ap"), "n_pos", "n")

@@ -17,11 +17,12 @@ from parquet_on_fhir_spark.suite.common import Q
 #      CAST(... AS BIGINT) and a permanent bind-time lint
 #      (tools/oracle_lint.py, tests/test_oracle_portability.py);
 #   3. the round-9 debut queries (qf22 code-exists filter, qf23 ECL
-#      subset) — new queries land WITH a driver row in their debut
-#      window (r8 verdict task 7);
-#   4. remaining 40 slots: re-confirmation rows for the stalest
+#      subset, qf24 ECL refinements, qf25 batch $validate-code, q216
+#      log-rank test, q217 average precision) — new queries land WITH
+#      a driver row in their debut window (r8 verdict task 7);
+#   4. remaining 36 slots: re-confirmation rows for the stalest
 #      lifetime-greens (r1/r2-vintage q01-q40 singles + TPC-H/SQL
-#      tails q75-q77 — last driver-checked in round 2).
+#      tails q75/q77 — last driver-checked in round 2).
 # Rows-only queries are all registered AFTER position 50 this round
 # (their spark_rows documentation run completed in r8), so the window
 # is 50/50 oracle-backed — zero no_oracle rows expected.
@@ -37,9 +38,16 @@ WINDOW = [
     "q200_k_anonymity",
     "q204_cross_source_dup_audit",
     "q211_nelson_aalen",
-    # -- round-9 debuts (terminology gaps closed)
+    # -- round-9 debuts (terminology gaps closed + survival/ranking
+    #    stack completed); four refresh slots ceded to keep the window
+    #    at 50: q13b/q37b/q76/q22 — each has its base operator still in
+    #    the window (q13/q37/q24/q21) and r1-r6 lifetime greens
     "qf22_valueset_code_exists",
     "qf23_ecl_expand",
+    "qf24_ecl_refinement",
+    "qf25_validate_code",
+    "q216_log_rank",
+    "q217_average_precision",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q02_schema_merged_scan",
@@ -54,7 +62,6 @@ WINDOW = [
     "q11_distinct",
     "q12_join_inner_3way",
     "q13_join_left_outer",
-    "q13b_join_full_outer",
     "q14_join_semi_anti",
     "q15_join_broadcast",
     "q16_join_theta_range",
@@ -63,7 +70,6 @@ WINDOW = [
     "q19_join_interval_overlap",
     "q20_join_self",
     "q21_agg_tpch_q1",
-    "q22_agg_distinct",
     "q24_agg_rollup_grouping",
     "q25_agg_stats",
     "q26_agg_median",
@@ -74,12 +80,10 @@ WINDOW = [
     "q35_limit_topk",
     "q36_sort_within_partitions",
     "q37_union_all",
-    "q37b_union_distinct",
     "q38_union_by_name",
     "q39_intersect",
     "q40_except_all",
     "q75_sql_tpch_q5",
-    "q76_agg_cube",
     "q77_orc_source_sink",
 ]
 

@@ -1217,3 +1217,146 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf23_ecl_expand", qf23, QF23_ORACLE))
+
+
+# --- qf24: ECL attribute refinements ------------------------------------------------
+_CS_FINDINGS_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-findings", "status": "active",
+    "url": "http://example.org/cs/findings", "content": "complete",
+    "concept": [
+        {"code": "anatomy", "display": "Anatomy", "concept": [
+            {"code": "limb", "display": "Limb", "concept": [
+                {"code": "arm", "display": "Arm", "concept": [
+                    {"code": "hand", "display": "Hand"}]},
+                {"code": "leg", "display": "Leg"}]}]},
+        {"code": "finding", "display": "Finding", "concept": [
+            {"code": "arm-fracture", "display": "Arm fracture",
+             "property": [{"code": "site", "valueCode": "arm"},
+                          {"code": "severity", "valueCode": "high"}]},
+            {"code": "hand-burn", "display": "Hand burn",
+             "property": [{"code": "site", "valueCode": "hand"},
+                          {"code": "severity", "valueCode": "low"}]},
+            {"code": "leg-sprain", "display": "Leg sprain",
+             "property": [{"code": "site", "valueCode": "leg"},
+                          {"code": "severity", "valueCode": "low"}]}]},
+    ],
+}
+_VS_ECL_REFINE_DOCS = [
+    {"resourceType": "ValueSet", "id": f"vs-eclr{i}", "status": "active",
+     "url": f"http://example.org/ValueSet/eclr{i}",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/findings",
+          "filter": [{"property": "constraint", "op": "=",
+                      "value": ecl}]},
+     ]}}
+    for i, ecl in enumerate(
+        [
+            # concept-set value: site ∈ descendants-or-self(arm)
+            "<< finding : site = << arm",
+            # literal value match
+            "<< finding : severity = high",
+            # parenthesized set-expression value
+            "<< finding : site = (<< limb MINUS << arm)",
+            # comma = refinement conjunction
+            "<< finding : site = << arm , severity = low",
+            # wildcard attribute
+            "* : * = high",
+        ],
+        start=1,
+    )
+]
+
+
+def qf24(spark, sf_dir):
+    """ECL attribute refinements (fhir/terminology.py::ecl_expand, r9):
+    ``focus : attr = value`` against CodeSystem concept.property[]
+    assertions — value as literal (string equality) or as a concept
+    set expression (membership via the closure), comma conjunction,
+    '*' wildcard attribute. Each refinement is a broadcast semi-join
+    of the focus set against the matching property rows; previously
+    ':' raised NotImplementedError (the last gap qf23 left open)."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_ECL_REFINE_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_FINDINGS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select("url", "code")
+
+
+QF24_ORACLE = """
+SELECT * FROM (VALUES
+  -- eclr1: << finding : site = << arm  (site ∈ {arm, hand})
+  ('http://example.org/ValueSet/eclr1', 'arm-fracture'),
+  ('http://example.org/ValueSet/eclr1', 'hand-burn'),
+  -- eclr2: << finding : severity = high
+  ('http://example.org/ValueSet/eclr2', 'arm-fracture'),
+  -- eclr3: << finding : site = (<< limb MINUS << arm)  (site ∈ {limb, leg})
+  ('http://example.org/ValueSet/eclr3', 'leg-sprain'),
+  -- eclr4: << finding : site = << arm , severity = low
+  ('http://example.org/ValueSet/eclr4', 'hand-burn'),
+  -- eclr5: * : * = high
+  ('http://example.org/ValueSet/eclr5', 'arm-fracture')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf24_ecl_refinement", qf24, QF24_ORACLE))
+
+
+# --- qf25: batch $validate-code ------------------------------------------------------
+def qf25(spark, sf_dir):
+    """Batch ValueSet $validate-code (fhir/terminology.py::
+    validate_codes, r9): every (system, code) row of a fact-side frame
+    gets in_valueset + member display by a BROADCAST join against the
+    one-time ValueSet expansion — the fact table is never shuffled.
+    Probes a member reached via regex filter, one via is-a+property
+    AND, a real-but-nonmember code, an unknown code, and a code under
+    the wrong system."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        validate_codes,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_FILTER_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    codes = spark.createDataFrame(
+        [
+            ("http://example.org/cs/anatomy2", "hand"),
+            ("http://example.org/cs/anatomy2", "body"),
+            ("http://example.org/cs/anatomy2", "ghost"),
+            ("http://example.org/cs/anatomy2", "heart"),
+            ("http://example.org/cs/other", "hand"),
+        ],
+        "system string, code string",
+    )
+    return validate_codes(
+        codes,
+        vs,
+        "system",
+        "code",
+        "http://example.org/ValueSet/preds",
+        codesystems=cs,
+        closure=closure,
+    ).select("system", "code", "in_valueset", "display")
+
+
+QF25_ORACLE = """
+SELECT * FROM (VALUES
+  ('http://example.org/cs/anatomy2', 'hand', TRUE, 'Hand'),
+  ('http://example.org/cs/anatomy2', 'body', FALSE, CAST(NULL AS VARCHAR)),
+  ('http://example.org/cs/anatomy2', 'ghost', FALSE, CAST(NULL AS VARCHAR)),
+  ('http://example.org/cs/anatomy2', 'heart', TRUE, 'Heart'),
+  ('http://example.org/cs/other', 'hand', FALSE, CAST(NULL AS VARCHAR))
+) AS t(system, code, in_valueset, display)
+"""
+
+
+QUERIES.append(Q("qf25_validate_code", qf25, QF25_ORACLE))

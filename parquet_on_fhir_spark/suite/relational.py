@@ -4351,3 +4351,159 @@ FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot
 
 
 QUERIES.append(Q("q214_mutual_information", q214, Q214_ORACLE))
+
+
+# --- Q216: two-sample log-rank test --------------------------------------------------
+def q216(spark, sf_dir):
+    """Log-rank survival A/B test (operators/analytics.py::
+    log_rank_test): do even- and odd-id user cohorts convert (first
+    purchase) at different hazards, churn censored? Completes the
+    survival stack (q168 KM, q211 Nelson-Aalen) with its hypothesis
+    test. Distinct-time frame + per-term 12-dp quantization — the
+    suite/common.py transcendental-sum convention; int products stay
+    exact, one double division per term, association order mirrored in
+    the oracle verbatim."""
+    from parquet_on_fhir_spark.operators.analytics import log_rank_test
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    spans = per_user.select(
+        F.datediff(
+            F.coalesce("purch_ts", "last_ts"), F.col("first_ts")
+        ).alias("duration"),
+        F.col("purch_ts").isNotNull().alias("event"),
+        (F.col("user_id") % 2).alias("arm"),
+    )
+    out = log_rank_test(
+        spans, "duration", "event", "arm", 0, 1, term_dp=12
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "o_a",
+        d4(F.col("e_a")).alias("e_a"),
+        d4(F.col("chi2")).alias("chi2"),
+    )
+
+
+Q216_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+spans AS (
+  SELECT date_diff('day', CAST(first_ts AS DATE),
+                   CAST(COALESCE(purch_ts, last_ts) AS DATE)) AS duration,
+         CAST(purch_ts IS NOT NULL AS INT) AS ev,
+         user_id % 2 AS arm
+  FROM per_user
+),
+per_t AS (
+  SELECT duration AS t,
+         sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS d1,
+         sum(CASE WHEN arm = 0 THEN 1 - ev ELSE 0 END) AS c1,
+         sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS d2,
+         sum(CASE WHEN arm = 1 THEN 1 - ev ELSE 0 END) AS c2
+  FROM spans GROUP BY duration
+),
+risk AS (
+  SELECT d1, d2, c1, c2,
+         sum(d1 + c1) OVER ()
+           - coalesce(sum(d1 + c1) OVER (ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         sum(d2 + c2) OVER ()
+           - coalesce(sum(d2 + c2) OVER (ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+  FROM per_t
+),
+terms AS (
+  SELECT d1, c1, d2, c2,
+         round(CASE WHEN n1 + n2 > 0 THEN
+           CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+         END, 12) AS e1_t,
+         round(CASE WHEN n1 + n2 > 1 THEN
+           (CAST(d1 + d2 AS DOUBLE)
+              * CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
+              * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+              * CAST((n1 + n2) - 1 AS DOUBLE))
+         END, 12) AS v_t
+  FROM risk
+),
+agg AS (
+  SELECT sum(d1 + c1) AS n_a, sum(d2 + c2) AS n_b, sum(d1) AS o_a,
+         sum(e1_t) AS e_a, sum(v_t) AS var_a
+  FROM terms
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(o_a AS BIGINT) AS o_a,
+       round(e_a + 1e-9, 4) AS e_a,
+       round(CASE WHEN var_a > 0
+             THEN (o_a - e_a) * (o_a - e_a) / var_a END + 1e-9, 4) AS chi2
+FROM agg
+"""
+
+
+QUERIES.append(Q("q216_log_rank", q216, Q216_ORACLE))
+
+
+# --- Q217: average precision (area under the PR curve) -------------------------------
+def q217(spark, sf_dir):
+    """Average precision of n_chars as a retrieval score for lang='en'
+    (operators/analytics.py::average_precision) — the class-imbalance
+    companion to q169's ROC AUC, sklearn step convention with tied
+    scores entering as one threshold block. Same scale shape as
+    binary_auc: distinct-score pre-aggregation, one window over that
+    frame, per-term 12-dp quantization."""
+    from parquet_on_fhir_spark.operators.analytics import average_precision
+
+    d = t(spark, sf_dir, "documents")
+    lab = d.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    out = average_precision(lab, "score", "label", term_dp=12)
+    return out.select(d4(F.col("ap")).alias("ap"), "n_pos", "n")
+
+
+Q217_ORACLE = """
+WITH per_score AS (
+  SELECT CAST(n_chars AS DOUBLE) AS score,
+         count(*) AS cnt,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT pos,
+         sum(cnt) OVER (ORDER BY score DESC ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcnt,
+         sum(pos) OVER (ORDER BY score DESC ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+  FROM per_score
+),
+agg AS (
+  SELECT sum(round(CAST(pos * cumpos AS DOUBLE)
+                   / CAST(cumcnt AS DOUBLE), 12)) AS tsum,
+         sum(pos) AS n_pos,
+         max(cumcnt) AS n
+  FROM cum
+)
+SELECT round(CASE WHEN n_pos > 0
+             THEN tsum / CAST(n_pos AS DOUBLE) END + 1e-9, 4) AS ap,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n AS BIGINT) AS n
+FROM agg
+"""
+
+
+QUERIES.append(Q("q217_average_precision", q217, Q217_ORACLE))

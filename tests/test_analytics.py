@@ -959,3 +959,62 @@ def test_operators_graceful_on_empty_input(spark):
     # malformed step specs refuse by name, not an unpack TypeError
     with pytest.raises(ValueError, match="predicate Column"):
         A.funnel(nums, ["view", "purchase"])
+
+
+def test_log_rank_known_values(spark):
+    """operators/analytics.py::log_rank_test vs the hand-computed
+    hypergeometric terms of a 6-subject two-arm example (O=2, E=1.5,
+    V=7/12), censoring in both arms and a time where only arm B
+    remains at risk (n=1: variance term undefined -> excluded)."""
+    from parquet_on_fhir_spark.operators.analytics import log_rank_test
+
+    rows = [
+        ("a", 1.0, True), ("a", 2.0, True), ("a", 3.0, False),
+        ("b", 1.0, False), ("b", 2.0, True), ("b", 4.0, True),
+    ]
+    df = spark.createDataFrame(rows, "arm string, dur double, ev boolean")
+    r = log_rank_test(df, "dur", "ev", "arm", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.o_a) == (3, 3, 2)
+    assert abs(r.e_a - 1.5) < 1e-9
+    assert abs(r.var_a - 7.0 / 12.0) < 1e-9
+    assert abs(r.chi2 - 0.25 / (7.0 / 12.0)) < 1e-9
+    # identical arms -> O == E, chi2 == 0
+    same = spark.createDataFrame(
+        [("a", 1.0, True), ("a", 2.0, True),
+         ("b", 1.0, True), ("b", 2.0, True)],
+        "arm string, dur double, ev boolean",
+    )
+    r2 = log_rank_test(same, "dur", "ev", "arm", "a", "b").collect()[0]
+    assert abs(r2.o_a - r2.e_a) < 1e-12 and abs(r2.chi2) < 1e-12
+
+
+def test_average_precision_known_values(spark):
+    """operators/analytics.py::average_precision vs the sklearn step
+    convention computed by hand: AP = sum((R_i - R_{i-1}) * P_i) over
+    descending distinct thresholds with ties as one block."""
+    from parquet_on_fhir_spark.operators.analytics import average_precision
+
+    rows = [(0.9, True), (0.8, False), (0.8, True), (0.7, False),
+            (0.6, True)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = average_precision(df, "score", "label").collect()[0]
+    assert (r.n_pos, r.n) == (3, 5)
+    assert abs(r.ap - (1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0) < 1e-9
+    # perfect ranking -> AP = 1; no positives -> NULL ap, not error
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.5, False)], "score double, label boolean"
+    )
+    assert abs(average_precision(perfect, "score", "label").collect()[0].ap
+               - 1.0) < 1e-12
+    negs = spark.createDataFrame(
+        [(0.9, False), (0.5, False)], "score double, label boolean"
+    )
+    r3 = average_precision(negs, "score", "label").collect()[0]
+    assert r3.ap is None and r3.n_pos == 0
+    # NULL scores carry no rank information
+    withnull = spark.createDataFrame(
+        [(None, True), (0.9, True), (0.5, False)],
+        "score double, label boolean",
+    )
+    r4 = average_precision(withnull, "score", "label").collect()[0]
+    assert r4.n == 2 and abs(r4.ap - 1.0) < 1e-12

@@ -797,15 +797,122 @@ def test_ecl_expand_subset(spark):
     assert ev("* MINUS << limb") == ["body", "heart", "organ"]
     # nesting
     assert ev("(( << limb ) MINUS ( << arm )) MINUS leg") == ["foot", "limb"]
+    # attribute refinements (r9): focus set semi-joined against
+    # concept.property[] assertions
+    assert ev("<< limb : laterality = paired") == ["arm", "leg"]
+    assert ev("<< limb : status = active") == ["arm", "foot", "leg", "limb"]
+    assert ev("* : status = retired") == ["hand"]
+    # comma = conjunction; '*' = any attribute
+    assert ev("<< limb : status = active , laterality = paired") == [
+        "arm", "leg",
+    ]
+    assert ev("<< limb : * = retired") == ["hand"]
+    # unknown attribute / value -> empty, not error
+    assert ev("<< limb : ghost = paired") == []
+    assert ev("<< limb : laterality = ghost") == []
+    # refinement binds tighter than set operators
+    assert ev("(<< limb : laterality = paired) OR heart") == [
+        "arm", "heart", "leg",
+    ]
 
     for bad in (
-        "<< limb : laterality = paired",  # refinement
         "^ refset",                       # member-of
         "hand AND heart OR body",         # mixed ops need parens
         "<< *",                           # prefixed wildcard
         "(hand OR heart",                 # unbalanced
         "",                               # empty
         "hand heart",                     # trailing tokens
+        "<< limb : laterality",           # refinement missing '= value'
+        "<< limb : = paired",             # refinement missing attribute
+        "<< limb : laterality = ",        # refinement missing value
+        "<< limb [1..2]",                 # cardinality
+        "<< limb {: laterality = paired}",  # attribute group
     ):
         with pytest.raises(NotImplementedError):
             ecl_expand(bad, cs, clo, system).collect()
+
+
+def test_ecl_refinement_concept_set_values(spark):
+    """fhir/terminology.py::ecl_expand refinements with SET-valued
+    right-hand sides (r9): `attr = << X` means the property value lies
+    in that concept set (closure membership), vs a bare token's string
+    equality. Uses the findings CodeSystem whose `site` property is
+    concept-valued — and whose properties live at nesting depth 2,
+    pinning the _concept_properties per-level schema walk."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_FINDINGS_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_FINDINGS_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/findings"
+
+    def ev(ecl):
+        return sorted(
+            r.code for r in ecl_expand(ecl, cs, clo, system).collect()
+        )
+
+    assert ev("<< finding : site = << arm") == ["arm-fracture", "hand-burn"]
+    assert ev("<< finding : site = (<< limb MINUS << arm)") == ["leg-sprain"]
+    assert ev("<< finding : site = << arm , severity = low") == ["hand-burn"]
+    # bare token on a concept-valued property == one-code membership
+    assert ev("<< finding : site = hand") == ["hand-burn"]
+    # wildcard value set: any concept -> any finding with a site
+    assert ev("<< finding : site = *") == [
+        "arm-fracture", "hand-burn", "leg-sprain",
+    ]
+
+
+def test_validate_codes_batch(spark):
+    """fhir/terminology.py::validate_codes (r9): batch $validate-code —
+    membership + display via one broadcast of the expansion; unknown
+    codes, wrong systems, and an unknown ValueSet url all yield
+    in_valueset=false (never NULL) without shuffling the fact side."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        validate_codes,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _VS_FILTER_DOCS,
+        _encode_doc as _encode,
+    )
+
+    vs = _encode(spark, _VS_FILTER_DOCS, "ValueSet")
+    cs = _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    codes = spark.createDataFrame(
+        [
+            ("http://example.org/cs/anatomy2", "hand"),
+            ("http://example.org/cs/anatomy2", "body"),
+            ("http://example.org/cs/other", "hand"),
+        ],
+        "system string, code string",
+    )
+    out = validate_codes(
+        codes, vs, "system", "code",
+        "http://example.org/ValueSet/preds",
+        codesystems=cs, closure=clo,
+    )
+    got = {(r.system, r.code): r for r in out.collect()}
+    assert len(got) == 3  # broadcast join must not duplicate fact rows
+    hand = got[("http://example.org/cs/anatomy2", "hand")]
+    assert hand.in_valueset and hand.display == "Hand"
+    body = got[("http://example.org/cs/anatomy2", "body")]
+    assert (not body.in_valueset) and body.display is None
+    other = got[("http://example.org/cs/other", "hand")]
+    assert not other.in_valueset
+    # unknown ValueSet url -> empty expansion -> everything false
+    none = validate_codes(
+        codes, vs, "system", "code",
+        "http://example.org/ValueSet/ghost",
+        codesystems=cs, closure=clo,
+    ).collect()
+    assert all(not r.in_valueset for r in none)
