@@ -2041,3 +2041,127 @@ def average_precision(
         F.col("n_pos") > 0, F.col("__tsum") / F.col("n_pos").cast("double")
     )
     return agg.select(ap.alias("ap"), "n_pos", "n")
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    strata_cols: list[str],
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a
+    stratified propensity estimate — the observational-causal
+    counterpart of :func:`welch_t_test` (which assumes randomized
+    arms) and :func:`cuped_adjust` (which assumes one): within each
+    stratum the propensity is the observed treated share
+    p̂ₛ = n_t/n, and the Horvitz-Thompson estimate is
+    ATE = (1/N)·Σᵢ[TᵢYᵢ/p̂ − (1−Tᵢ)Yᵢ/(1−p̂)].
+
+    Because p̂ is constant within a stratum, the row-level weighted sum
+    collapses algebraically to per-stratum terms: Σ_yₜ·n/n_t −
+    Σ_y_c·n/(n−n_t) — so the whole estimator is ONE hash aggregate to
+    the strata frame (K rows) plus one final aggregate; no per-row
+    weights ever materialize and nothing is collected. Strata without
+    overlap (p̂ ∈ {0,1} — positivity violated) are excluded, the
+    standard practice, and reported via n_used vs n_units. NULL
+    outcomes contribute zero (aggregate-skip semantics in both
+    engines).
+
+    Output: 1 row — (ate, n_units, n_used, n_treated, n_control);
+    ate is NULL when no stratum overlaps.
+    """
+    if not strata_cols:
+        raise ValueError("ipw_ate needs at least one stratum column")
+    T = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col)
+    per_s = df.groupBy(*strata_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(T).alias("n_t"),
+        F.sum(F.when(T == 1, y)).alias("y_t"),
+        F.sum(F.when(T == 0, y)).alias("y_c"),
+    )
+    tot = df.agg(F.count("*").alias("n_units"))
+    overlap = per_s.filter((F.col("n_t") > 0) & (F.col("n_t") < F.col("n")))
+    # fixed association order, mirrored in SQL oracles: double sum ×
+    # double(n), ONE division per term
+    t_term = (
+        F.coalesce(F.col("y_t"), F.lit(0.0)) * F.col("n").cast("double")
+    ) / F.col("n_t").cast("double")
+    c_term = (
+        F.coalesce(F.col("y_c"), F.lit(0.0)) * F.col("n").cast("double")
+    ) / (F.col("n") - F.col("n_t")).cast("double")
+    agg = overlap.agg(
+        F.sum(t_term).alias("__t"),
+        F.sum(c_term).alias("__c"),
+        F.sum("n").alias("n_used"),
+        F.sum("n_t").alias("n_treated"),
+        F.sum(F.col("n") - F.col("n_t")).alias("n_control"),
+    )
+    ate = F.when(
+        F.col("n_used") > 0,
+        (F.col("__t") - F.col("__c")) / F.col("n_used").cast("double"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        ate.alias("ate"),
+        "n_units",
+        F.coalesce("n_used", F.lit(0)).alias("n_used"),
+        F.coalesce("n_treated", F.lit(0)).alias("n_treated"),
+        F.coalesce("n_control", F.lit(0)).alias("n_control"),
+    )
+
+
+def diff_in_differences(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    outcome_col: str,
+    treated_value,
+    control_value,
+    pre_value,
+    post_value,
+) -> DataFrame:
+    """Two-by-two difference-in-differences: the parallel-trends
+    estimate (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post −
+    ȳ_control,pre) — the launch-evaluation primitive when treatment
+    wasn't randomized but both cohorts are observed before and after.
+
+    One hash aggregate to the 4-cell frame, conditional means pivoted
+    by expression (no Spark pivot needed); rows outside the declared
+    groups/periods are ignored, and a missing cell yields NULL did
+    rather than a silent zero.
+
+    Output: 1 row — (mean_treated_pre, mean_treated_post,
+    mean_control_pre, mean_control_post, did, n).
+    """
+    g = F.col(group_col)
+    is_post = F.col(period_col) == F.lit(post_value)
+    is_t = g == F.lit(treated_value)
+    cells = df.filter(
+        g.isin([treated_value, control_value])
+        & F.col(period_col).isin([pre_value, post_value])
+    ).agg(
+        F.avg(F.when(is_t & ~is_post, F.col(outcome_col))).alias(
+            "mean_treated_pre"
+        ),
+        F.avg(F.when(is_t & is_post, F.col(outcome_col))).alias(
+            "mean_treated_post"
+        ),
+        F.avg(F.when(~is_t & ~is_post, F.col(outcome_col))).alias(
+            "mean_control_pre"
+        ),
+        F.avg(F.when(~is_t & is_post, F.col(outcome_col))).alias(
+            "mean_control_post"
+        ),
+        F.count(outcome_col).alias("n"),
+    )
+    did = (F.col("mean_treated_post") - F.col("mean_treated_pre")) - (
+        F.col("mean_control_post") - F.col("mean_control_pre")
+    )
+    return cells.select(
+        "mean_treated_pre",
+        "mean_treated_post",
+        "mean_control_pre",
+        "mean_control_post",
+        did.alias("did"),
+        "n",
+    )

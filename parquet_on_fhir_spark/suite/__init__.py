@@ -18,9 +18,10 @@ from parquet_on_fhir_spark.suite.common import Q
 #      (tools/oracle_lint.py, tests/test_oracle_portability.py);
 #   3. the round-9 debut queries (qf22 code-exists filter, qf23 ECL
 #      subset, qf24 ECL refinements, qf25 batch $validate-code, q216
-#      log-rank test, q217 average precision) — new queries land WITH
+#      log-rank test, q217 average precision, q218 IPW ATE, q219
+#      diff-in-differences) — new queries land WITH
 #      a driver row in their debut window (r8 verdict task 7);
-#   4. remaining 36 slots: re-confirmation rows for the stalest
+#   4. remaining 34 slots: re-confirmation rows for the stalest
 #      lifetime-greens (r1/r2-vintage q01-q40 singles + TPC-H/SQL
 #      tails q75/q77 — last driver-checked in round 2).
 # Rows-only queries are all registered AFTER position 50 this round
@@ -38,16 +39,18 @@ WINDOW = [
     "q200_k_anonymity",
     "q204_cross_source_dup_audit",
     "q211_nelson_aalen",
-    # -- round-9 debuts (terminology gaps closed + survival/ranking
-    #    stack completed); four refresh slots ceded to keep the window
-    #    at 50: q13b/q37b/q76/q22 — each has its base operator still in
-    #    the window (q13/q37/q24/q21) and r1-r6 lifetime greens
+    # -- round-9 debuts (terminology gaps closed + survival/ranking/
+    #    causal stacks completed); six refresh slots ceded to keep the
+    #    window at 50: q13b/q37b/q76/q22/q29/q35 — each has family
+    #    coverage still windowed (q13/q37/q24/q21/q34...) + r1-r6 greens
     "qf22_valueset_code_exists",
     "qf23_ecl_expand",
     "qf24_ecl_refinement",
     "qf25_validate_code",
     "q216_log_rank",
     "q217_average_precision",
+    "q218_ipw_ate",
+    "q219_diff_in_did",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q02_schema_merged_scan",
@@ -75,9 +78,7 @@ WINDOW = [
     "q26_agg_median",
     "q27_agg_minby_maxby_collect",
     "q28_agg_global",
-    "q29_pivot",
     "q34_sort_multikey",
-    "q35_limit_topk",
     "q36_sort_within_partitions",
     "q37_union_all",
     "q38_union_by_name",

@@ -4507,3 +4507,139 @@ FROM agg
 
 
 QUERIES.append(Q("q217_average_precision", q217, Q217_ORACLE))
+
+
+# --- Q218: IPW average treatment effect ----------------------------------------------
+def q218(spark, sf_dir):
+    """Stratified inverse-propensity-weighted ATE (operators/
+    analytics.py::ipw_ate): effect of having signed up (treatment) on
+    per-user purchase spend (outcome), stratified by a 4-way user
+    cohort. The row-level Horvitz-Thompson sum collapses to
+    per-stratum terms, so the plan is two hash aggregates + a K-row
+    strata frame; non-overlap strata excluded (positivity)."""
+    from parquet_on_fhir_spark.operators.analytics import ipw_ate
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.max((F.col("event_type") == "signup").cast("int")) == 1
+        ).alias("treated"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("spend"),
+    )
+    units = per_user.select(
+        "treated", "spend", (F.col("user_id") % 4).alias("stratum")
+    )
+    out = ipw_ate(units, "treated", "spend", ["stratum"])
+    return out.select(
+        d4(F.col("ate")).alias("ate"),
+        "n_units",
+        "n_used",
+        "n_treated",
+        "n_control",
+    )
+
+
+Q218_ORACLE = """
+WITH per_user AS (
+  SELECT user_id % 4 AS stratum,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0) AS y
+  FROM events GROUP BY user_id
+),
+per_s AS (
+  SELECT stratum, count(*) AS n, sum(t) AS n_t,
+         sum(CASE WHEN t = 1 THEN y END) AS y_t,
+         sum(CASE WHEN t = 0 THEN y END) AS y_c
+  FROM per_user GROUP BY stratum
+),
+overlap AS (SELECT * FROM per_s WHERE n_t > 0 AND n_t < n),
+tot AS (SELECT count(*) AS n_units FROM per_user),
+agg AS (
+  SELECT sum((coalesce(y_t, 0.0) * CAST(n AS DOUBLE))
+             / CAST(n_t AS DOUBLE)) AS tt,
+         sum((coalesce(y_c, 0.0) * CAST(n AS DOUBLE))
+             / CAST(n - n_t AS DOUBLE)) AS cc,
+         sum(n) AS n_used, sum(n_t) AS n_treated,
+         sum(n - n_t) AS n_control
+  FROM overlap
+)
+SELECT round(CASE WHEN n_used > 0
+             THEN (tt - cc) / CAST(n_used AS DOUBLE) END + 1e-9, 4) AS ate,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(coalesce(n_used, 0) AS BIGINT) AS n_used,
+       CAST(coalesce(n_treated, 0) AS BIGINT) AS n_treated,
+       CAST(coalesce(n_control, 0) AS BIGINT) AS n_control
+FROM agg CROSS JOIN tot
+"""
+
+
+QUERIES.append(Q("q218_ipw_ate", q218, Q218_ORACLE))
+
+
+# --- Q219: difference-in-differences --------------------------------------------------
+def q219(spark, sf_dir):
+    """2x2 difference-in-differences (operators/analytics.py::
+    diff_in_differences): even- vs odd-id user cohorts, first vs
+    second half of the month — one hash aggregate to the 4-cell frame,
+    conditional means, NULL did on a missing cell."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        diff_in_differences,
+    )
+
+    e = t(spark, sf_dir, "events")
+    labeled = e.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        F.when(F.dayofmonth("ts") >= 16, "post").otherwise("pre").alias(
+            "period"
+        ),
+        "value",
+    )
+    out = diff_in_differences(
+        labeled, "grp", "period", "value", "A", "B", "pre", "post"
+    )
+    return out.select(
+        d4(F.col("mean_treated_pre")).alias("mean_treated_pre"),
+        d4(F.col("mean_treated_post")).alias("mean_treated_post"),
+        d4(F.col("mean_control_pre")).alias("mean_control_pre"),
+        d4(F.col("mean_control_post")).alias("mean_control_post"),
+        d4(F.col("did")).alias("did"),
+        "n",
+    )
+
+
+Q219_ORACLE = """
+WITH labeled AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+         CASE WHEN date_part('day', ts) >= 16 THEN 'post' ELSE 'pre' END
+           AS period,
+         value
+  FROM events
+),
+cells AS (
+  SELECT avg(CASE WHEN grp = 'A' AND period = 'pre' THEN value END)
+           AS mean_treated_pre,
+         avg(CASE WHEN grp = 'A' AND period = 'post' THEN value END)
+           AS mean_treated_post,
+         avg(CASE WHEN grp = 'B' AND period = 'pre' THEN value END)
+           AS mean_control_pre,
+         avg(CASE WHEN grp = 'B' AND period = 'post' THEN value END)
+           AS mean_control_post,
+         count(value) AS n
+  FROM labeled
+)
+SELECT round(mean_treated_pre + 1e-9, 4) AS mean_treated_pre,
+       round(mean_treated_post + 1e-9, 4) AS mean_treated_post,
+       round(mean_control_pre + 1e-9, 4) AS mean_control_pre,
+       round(mean_control_post + 1e-9, 4) AS mean_control_post,
+       round((mean_treated_post - mean_treated_pre)
+             - (mean_control_post - mean_control_pre) + 1e-9, 4) AS did,
+       CAST(n AS BIGINT) AS n
+FROM cells
+"""
+
+
+QUERIES.append(Q("q219_diff_in_did", q219, Q219_ORACLE))

@@ -1018,3 +1018,64 @@ def test_average_precision_known_values(spark):
     )
     r4 = average_precision(withnull, "score", "label").collect()[0]
     assert r4.n == 2 and abs(r4.ap - 1.0) < 1e-12
+
+
+def test_ipw_ate_known_values(spark):
+    """operators/analytics.py::ipw_ate vs the hand-computed stratified
+    Horvitz-Thompson sum: two overlapping strata + one positivity-
+    violating stratum (all treated) that must be excluded but still
+    counted in n_units."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import ipw_ate
+
+    rows = [
+        ("s1", True, 10.0), ("s1", True, 20.0),
+        ("s1", False, 5.0), ("s1", False, 15.0),
+        ("s2", True, 8.0), ("s2", False, 2.0),
+        ("s3", True, 100.0),  # no controls -> excluded
+    ]
+    df = spark.createDataFrame(rows, "stratum string, t boolean, y double")
+    r = ipw_ate(df, "t", "y", ["stratum"]).collect()[0]
+    # t-sum: 30*4/2 + 8*2/1 = 76; c-sum: 20*4/2 + 2*2/1 = 44
+    assert abs(r.ate - (76.0 - 44.0) / 6.0) < 1e-9
+    assert (r.n_units, r.n_used, r.n_treated, r.n_control) == (7, 6, 3, 3)
+    # no overlapping stratum anywhere -> NULL ate, zero counts, no error
+    solo = spark.createDataFrame(
+        [("s1", True, 1.0), ("s2", False, 2.0)],
+        "stratum string, t boolean, y double",
+    )
+    r2 = ipw_ate(solo, "t", "y", ["stratum"]).collect()[0]
+    assert r2.ate is None and r2.n_used == 0 and r2.n_units == 2
+    with pytest.raises(ValueError, match="stratum"):
+        ipw_ate(df, "t", "y", [])
+
+
+def test_diff_in_differences_known_values(spark):
+    """operators/analytics.py::diff_in_differences: textbook 2x2 —
+    (7-2)-(6-3)=2 — with out-of-scope groups/periods ignored and a
+    missing cell yielding NULL did."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        diff_in_differences,
+    )
+
+    rows = [
+        ("A", "pre", 1.0), ("A", "pre", 3.0),
+        ("A", "post", 5.0), ("A", "post", 9.0),
+        ("B", "pre", 2.0), ("B", "pre", 4.0),
+        ("B", "post", 4.0), ("B", "post", 8.0),
+        ("C", "post", 999.0), ("A", "mid", 999.0),  # ignored
+    ]
+    df = spark.createDataFrame(rows, "grp string, period string, y double")
+    r = diff_in_differences(
+        df, "grp", "period", "y", "A", "B", "pre", "post"
+    ).collect()[0]
+    assert abs(r.did - 2.0) < 1e-12 and r.n == 8
+    assert abs(r.mean_treated_pre - 2.0) < 1e-12
+    assert abs(r.mean_control_post - 6.0) < 1e-12
+    # missing treated-post cell -> NULL did, not 0
+    partial = df.filter("NOT (grp = 'A' AND period = 'post')")
+    r2 = diff_in_differences(
+        partial, "grp", "period", "y", "A", "B", "pre", "post"
+    ).collect()[0]
+    assert r2.did is None and r2.mean_treated_post is None

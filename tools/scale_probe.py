@@ -28,22 +28,12 @@ PROBE_QUERIES = [
     "q00_flagship_shipping_priority",
     "q21_agg_tpch_q1",
     "q89_tpch_q18",
-    # round-8 seventh wave: q204-q215 shipped after the sixth probe,
-    # plus the three rows-only recurrence/solve operators
-    "q195_holt_smoothing",
-    "q203_cusum_changepoints",
-    "q204_cross_source_dup_audit",
-    "q205_token_length_histogram",
-    "q206_conversion_window_funnel",
-    "q207_rfm_segmentation",
-    "q208_centroid_similarity",
-    "q209_quantile_normalize",
-    "q210_ols_fit",
-    "q211_nelson_aalen",
-    "q212_naive_forecast_eval",
-    "q213_bh_fdr",
-    "q214_mutual_information",
-    "q215_stream_curation",
+    # round-9 ninth wave: the two new distinct-value-frame analytics
+    # (their survival/ranking siblings q168/q169/q211 were probed in
+    # earlier waves; the qf24/qf25 terminology debuts are sf-independent
+    # inline-doc queries, so replication tells us nothing about them)
+    "q216_log_rank",
+    "q217_average_precision",
 ]
 
 
@@ -123,9 +113,13 @@ def main() -> None:
         "base_seconds": base,
         "scaled_seconds": big,
         "ratio": {q: round(big[q] / max(base[q], 1e-3), 2) for q in base},
-        "allpairs_base": allpairs_candidates(spark, base_dir),
-        "allpairs_scaled": allpairs_candidates(spark, scaled_dir),
     }
+    # the All-Pairs candidate census is its own (expensive) experiment —
+    # measured through wave 8 and now guarded in-operator
+    # (operators/joins.py::_set_similarity_guard); opt in explicitly
+    if "--allpairs" in sys.argv:
+        report["allpairs_base"] = allpairs_candidates(spark, base_dir)
+        report["allpairs_scaled"] = allpairs_candidates(spark, scaled_dir)
     print(json.dumps(report, indent=2))
 
 
