@@ -10,6 +10,7 @@
     python -m parquet_on_fhir_spark ingest   SRC_DIR OUT_TABLE CHECKPOINT --resource-type Patient
     python -m parquet_on_fhir_spark expand    VALUESET_PARQUET [--codesystems CS_PARQUET]
     python -m parquet_on_fhir_spark translate FACTS_PARQUET CONCEPTMAP_PARQUET --system-col system --code-col code
+    python -m parquet_on_fhir_spark validate-code FACTS_PARQUET VALUESET_PARQUET VS_URL [--codesystems CS_PARQUET]
     python -m parquet_on_fhir_spark diff      OLD_PARQUET NEW_PARQUET --id-cols id
     python -m parquet_on_fhir_spark profile   IN_PARQUET [--columns a b] [--approx]
     python -m parquet_on_fhir_spark dedup     IN_PARQUET OUT_PARQUET [--near] [--text-col text] [--id-col doc_id]
@@ -100,6 +101,23 @@ def main(argv: list[str] | None = None) -> int:
     trn.add_argument("--map-url")
     trn.add_argument("--output")
     trn.add_argument("--show", type=int, default=20)
+
+    vcd = sub.add_parser(
+        "validate-code",
+        help="batch $validate-code: flag (system, code) rows against one ValueSet",
+    )
+    vcd.add_argument("facts")
+    vcd.add_argument("valuesets")
+    vcd.add_argument("vs_url")
+    vcd.add_argument(
+        "--codesystems",
+        help="CodeSystem table (needed for filter/whole-system includes; "
+        "enables hierarchical/ECL filters via an in-memory closure)",
+    )
+    vcd.add_argument("--system-col", default="system")
+    vcd.add_argument("--code-col", default="code")
+    vcd.add_argument("--output")
+    vcd.add_argument("--show", type=int, default=20)
 
     unb = sub.add_parser(
         "unbundle",
@@ -262,6 +280,31 @@ def main(argv: list[str] | None = None) -> int:
             args.system_col,
             args.code_col,
             map_url=args.map_url,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} rows -> {args.output}")
+        else:
+            out.show(args.show, truncate=40)
+        return 0
+
+    if args.cmd == "validate-code":
+        from parquet_on_fhir_spark.fhir.terminology import (
+            concept_closure,
+            concept_edges,
+            validate_codes,
+        )
+
+        cs = spark.read.parquet(args.codesystems) if args.codesystems else None
+        clo = concept_closure(concept_edges(cs)) if cs is not None else None
+        out = validate_codes(
+            spark.read.parquet(args.facts),
+            spark.read.parquet(args.valuesets),
+            args.system_col,
+            args.code_col,
+            args.vs_url,
+            codesystems=cs,
+            closure=clo,
         )
         if args.output:
             out.write.mode("overwrite").parquet(args.output)

@@ -2165,3 +2165,62 @@ def diff_in_differences(
         did.alias("did"),
         "n",
     )
+
+
+def restricted_mean_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+    term_dp: int | None = None,
+) -> DataFrame:
+    """Restricted mean survival time RMST(τ) = ∫₀^τ S(t)dt under the
+    Kaplan-Meier step curve, plus the median survival time — the two
+    scalar summaries every survival analysis reports next to the curve
+    (RMST is the recommended effect measure when hazards aren't
+    proportional and the log-rank premise breaks).
+
+    Builds on :func:`kaplan_meier` (same distinct-time frame), then
+    one lead() window turns the step curve into segments: RMST =
+    min(t₁,τ)·1 + Σ_{tᵢ<τ} S(tᵢ)·(min(tᵢ₊₁,τ)−tᵢ). Median = first t
+    with S(t) ≤ 0.5 (NULL when the curve never falls that far). Both
+    windows run over the distinct-time frame, never the corpus.
+
+    ``term_dp`` is forwarded to kaplan_meier AND applied to each S(tᵢ)
+    before the segment product: survival is exp(Σ ln …) — a
+    transcendental whose last ulp differs across libm builds — so the
+    quantization pins every segment term cross-engine (repo
+    convention, suite/common.py). Durations are assumed ≥ 0.
+
+    Output: 1 row — (rmst, median_t, tau).
+    """
+    from pyspark.sql import Window
+
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    km = kaplan_meier(df, duration_col, event_col, term_dp=term_dp)
+    s = F.col("survival")
+    if term_dp is not None:
+        s = F.round(s, term_dp)
+    w = Window.orderBy("t")
+    seg = km.select(
+        F.col("t").cast("double").alias("t"),
+        s.alias("s"),
+        F.lead(F.col("t").cast("double")).over(w).alias("next_t"),
+    )
+    contrib = F.when(
+        F.col("t") < tau,
+        F.col("s")
+        * (F.least(F.coalesce("next_t", F.lit(tau)), F.lit(tau)) - F.col("t")),
+    )
+    agg = seg.agg(
+        F.min("t").alias("__first_t"),
+        F.sum(contrib).alias("__area"),
+        F.min(F.when(F.col("s") <= 0.5, F.col("t"))).alias("median_t"),
+    )
+    rmst = F.least(F.col("__first_t"), F.lit(tau)) + F.coalesce(
+        F.col("__area"), F.lit(0.0)
+    )
+    return agg.select(
+        rmst.alias("rmst"), "median_t", F.lit(float(tau)).alias("tau")
+    )

@@ -19,9 +19,9 @@ from parquet_on_fhir_spark.suite.common import Q
 #   3. the round-9 debut queries (qf22 code-exists filter, qf23 ECL
 #      subset, qf24 ECL refinements, qf25 batch $validate-code, q216
 #      log-rank test, q217 average precision, q218 IPW ATE, q219
-#      diff-in-differences) — new queries land WITH
+#      diff-in-differences, q220 RMST/median survival) — new queries land WITH
 #      a driver row in their debut window (r8 verdict task 7);
-#   4. remaining 34 slots: re-confirmation rows for the stalest
+#   4. remaining 33 slots: re-confirmation rows for the stalest
 #      lifetime-greens (r1/r2-vintage q01-q40 singles + TPC-H/SQL
 #      tails q75/q77 — last driver-checked in round 2).
 # Rows-only queries are all registered AFTER position 50 this round
@@ -40,8 +40,8 @@ WINDOW = [
     "q204_cross_source_dup_audit",
     "q211_nelson_aalen",
     # -- round-9 debuts (terminology gaps closed + survival/ranking/
-    #    causal stacks completed); six refresh slots ceded to keep the
-    #    window at 50: q13b/q37b/q76/q22/q29/q35 — each has family
+    #    causal stacks completed); seven refresh slots ceded to keep the
+    #    window at 50: q13b/q37b/q76/q22/q29/q35/q10 — each has family
     #    coverage still windowed (q13/q37/q24/q21/q34...) + r1-r6 greens
     "qf22_valueset_code_exists",
     "qf23_ecl_expand",
@@ -51,6 +51,7 @@ WINDOW = [
     "q217_average_precision",
     "q218_ipw_ate",
     "q219_diff_in_did",
+    "q220_rmst",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q02_schema_merged_scan",
@@ -61,7 +62,6 @@ WINDOW = [
     "q07_nested_projection",
     "q08_filter_predicates",
     "q09_in_between_like",
-    "q10_conditional_expr",
     "q11_distinct",
     "q12_join_inner_3way",
     "q13_join_left_outer",

@@ -4643,3 +4643,100 @@ FROM cells
 
 
 QUERIES.append(Q("q219_diff_in_did", q219, Q219_ORACLE))
+
+
+# --- Q220: restricted mean survival time + median survival ---------------------------
+def q220(spark, sf_dir):
+    """RMST(14d) + median survival of days-to-first-purchase
+    (operators/analytics.py::restricted_mean_survival) — the scalar
+    summaries of q168's KM curve, via one lead() window over the same
+    distinct-time frame. Survival terms quantized at 12 dp BEFORE the
+    segment products (exp is transcendental — the suite/common.py
+    convention), d4 output."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        restricted_mean_survival,
+    )
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    spans = per_user.select(
+        F.datediff(
+            F.coalesce("purch_ts", "last_ts"), F.col("first_ts")
+        ).alias("duration"),
+        F.col("purch_ts").isNotNull().alias("event"),
+    )
+    out = restricted_mean_survival(
+        spans, "duration", "event", tau=14.0, term_dp=12
+    )
+    return out.select(
+        d4(F.col("rmst")).alias("rmst"),
+        d4(F.col("median_t")).alias("median_t"),
+        "tau",
+    )
+
+
+Q220_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+spans AS (
+  SELECT date_diff('day', CAST(first_ts AS DATE),
+                   CAST(COALESCE(purch_ts, last_ts) AS DATE)) AS duration,
+         purch_ts IS NOT NULL AS event
+  FROM per_user
+),
+per_t AS (
+  SELECT duration AS t,
+         sum(CASE WHEN event THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN event THEN 0 ELSE 1 END) AS n_censored
+  FROM spans GROUP BY duration
+),
+risk AS (
+  SELECT *, sum(n_events + n_censored) OVER () -
+            COALESCE(sum(n_events + n_censored) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+  FROM per_t
+),
+km AS (
+  SELECT CAST(t AS DOUBLE) AS t,
+         round(CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) = 1
+               THEN 0.0
+               ELSE exp(sum(round(ln(CASE WHEN n_events < n_risk
+                               THEN 1.0 - n_events / CAST(n_risk AS DOUBLE)
+                               ELSE 1.0 END), 12))
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW))
+               END, 12) AS s
+  FROM risk
+),
+seg AS (
+  SELECT t, s, lead(t) OVER (ORDER BY t) AS next_t FROM km
+),
+agg AS (
+  SELECT min(t) AS first_t,
+         sum(CASE WHEN t < 14.0
+             THEN s * (least(coalesce(next_t, 14.0), 14.0) - t) END) AS area,
+         min(CASE WHEN s <= 0.5 THEN t END) AS median_t
+  FROM seg
+)
+SELECT round(least(first_t, 14.0) + coalesce(area, 0.0) + 1e-9, 4) AS rmst,
+       round(median_t + 1e-9, 4) AS median_t,
+       CAST(14.0 AS DOUBLE) AS tau
+FROM agg
+"""
+
+
+QUERIES.append(Q("q220_rmst", q220, Q220_ORACLE))

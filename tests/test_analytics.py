@@ -1079,3 +1079,32 @@ def test_diff_in_differences_known_values(spark):
         partial, "grp", "period", "y", "A", "B", "pre", "post"
     ).collect()[0]
     assert r2.did is None and r2.mean_treated_post is None
+
+
+def test_restricted_mean_survival_known_values(spark):
+    """operators/analytics.py::restricted_mean_survival vs the
+    hand-integrated KM step curve (S: 1 -> .75 @1 -> .75 @2 (censor)
+    -> .375 @3): RMST(10)=5.125, RMST(2.5)=2.125, median=3."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        restricted_mean_survival,
+    )
+
+    rows = [(1.0, True), (2.0, False), (3.0, True), (3.0, False)]
+    df = spark.createDataFrame(rows, "dur double, ev boolean")
+    r = restricted_mean_survival(df, "dur", "ev", tau=10.0).collect()[0]
+    assert abs(r.rmst - 5.125) < 1e-9
+    assert r.median_t == 3.0 and r.tau == 10.0
+    # tau cuts inside a segment; median is a property of the full curve
+    r2 = restricted_mean_survival(df, "dur", "ev", tau=2.5).collect()[0]
+    assert abs(r2.rmst - 2.125) < 1e-9 and r2.median_t == 3.0
+    # curve never reaches 0.5 -> NULL median; rmst still defined
+    alive = spark.createDataFrame(
+        [(1.0, True), (2.0, False), (3.0, False), (4.0, False)],
+        "dur double, ev boolean",
+    )
+    r3 = restricted_mean_survival(alive, "dur", "ev", tau=5.0).collect()[0]
+    assert r3.median_t is None and r3.rmst is not None
+    with pytest.raises(ValueError, match="tau"):
+        restricted_mean_survival(df, "dur", "ev", tau=0.0)

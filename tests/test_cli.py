@@ -148,3 +148,33 @@ def test_cli_profile_and_dedup(tmp_path, capsys):
     assert kept.count() == 2  # exact dup collapsed
     assert {r.doc_id for r in kept.select("doc_id").collect()} == {1, 3}
     shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_cli_validate_code(tmp_path, capsys):
+    from parquet_on_fhir_spark.__main__ import main
+    from parquet_on_fhir_spark.session import get_session
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _VS_FILTER_DOCS,
+        _encode_doc as _encode,
+    )
+
+    spark = get_session("cli-test")
+    vs_p = str(tmp_path / "vs.parquet")
+    cs_p = str(tmp_path / "cs.parquet")
+    _encode(spark, _VS_FILTER_DOCS, "ValueSet").write.parquet(vs_p)
+    _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem").write.parquet(cs_p)
+    facts_p = str(tmp_path / "facts.parquet")
+    spark.createDataFrame(
+        [("http://example.org/cs/anatomy2", "hand"),
+         ("http://example.org/cs/anatomy2", "ghost")],
+        "system string, code string",
+    ).write.parquet(facts_p)
+    out_p = str(tmp_path / "out.parquet")
+    assert main([
+        "validate-code", facts_p, vs_p,
+        "http://example.org/ValueSet/preds",
+        "--codesystems", cs_p, "--output", out_p,
+    ]) == 0
+    got = {r.code: r.in_valueset for r in spark.read.parquet(out_p).collect()}
+    assert got == {"hand": True, "ghost": False}

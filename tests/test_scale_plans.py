@@ -433,3 +433,72 @@ def test_set_similarity_candidate_exchange_is_skinny(spark, sf_dir):
             stack.append(node.children().apply(i))
     assert seen_ptok >= 2, "candidate join exchanges not found — vacuous"
     assert bad == [], bad
+
+
+def _single_partition_exchanges_post_aggregate(df):
+    """For every SinglePartition shuffle in the executed plan, walk its
+    subtree and require a HashAggregate BEFORE any scan — i.e. the one
+    ordered window runs over an aggregated (distinct-value / K-row)
+    frame, never the corpus. Returns the offending subtree names."""
+    def children(node):
+        out = []
+        for i in range(node.children().size()):
+            out.append(node.children().apply(i))
+        return out
+
+    def has_agg_before_scan(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            return has_agg_before_scan(node.initialPlan())
+        if "HashAggregate" in name or "SortAggregate" in name:
+            return True
+        if "Scan" in name:
+            return False
+        kids = children(node)
+        if not kids:
+            return True  # leaf that is not a scan (empty relation etc.)
+        return all(has_agg_before_scan(k) for k in kids)
+
+    bad = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        if "ShuffleExchange" in name and "SinglePartition" in str(
+            node.outputPartitioning().toString()
+        ):
+            if not has_agg_before_scan(node):
+                bad.append(name)
+        stack.extend(children(node))
+    return bad
+
+
+def test_survival_ranking_windows_are_frame_bound(spark, sf_dir):
+    """log_rank_test / average_precision / restricted_mean_survival
+    (r9): their ordered windows may only see the distinct-value frame —
+    every SinglePartition exchange must sit above a hash aggregate,
+    the binary_auc/kaplan_meier scale shape (SCALE_NOTES ninth wave:
+    1.44x / 1.10x at x30 data)."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        average_precision,
+        log_rank_test,
+        restricted_mean_survival,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.round("value", 0).alias("dur"),
+        (F.col("event_id") % 3 > 0).alias("ev"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    for df in (
+        log_rank_test(e, "dur", "ev", "arm", 0, 1),
+        average_precision(e, "score", "label"),
+        restricted_mean_survival(e, "dur", "ev", tau=30.0),
+    ):
+        df.count()  # materialize so AQE finalizes the executed plan
+        assert _single_partition_exchanges_post_aggregate(df) == []
