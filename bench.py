@@ -73,6 +73,9 @@ HEADLINE = [
     # shared-query subtotal across rounds, never totals):
     "q194_set_similarity_join",        # All-Pairs prefix-filter self-join
     "q197_hll_distinct_rollup",        # mergeable HLL sketch rollup
+    # round-9 additions (new lines, not regressions vs BENCH_r08):
+    "q216_log_rank",                   # survival A/B over distinct-time frames
+    "q217_average_precision",          # PR-curve area over distinct-score frames
 ]
 
 

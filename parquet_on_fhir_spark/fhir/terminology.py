@@ -150,6 +150,7 @@ def expand_valueset(
     valuesets: DataFrame,
     codesystems: DataFrame | None = None,
     closure: DataFrame | None = None,
+    _nested: bool = False,
 ) -> DataFrame:
     """Expand ValueSet.compose into concrete (url, system, code, display)
     membership rows.
@@ -183,7 +184,15 @@ def expand_valueset(
         if has_filter.limit(1).count() > 0:
             # _expand_filters itself raises when a hierarchical op is
             # present without a closure; code/property filters need none
-            filtered = _expand_filters(valuesets, codesystems, closure)
+            filtered = _expand_filters(
+                valuesets, codesystems, closure,
+                # ECL member-of resolves refsets against the SAME
+                # table being expanded — but only at the top level;
+                # inside a refset expansion a further ^ raises
+                # (depth-1 by design, no recursive/self-referential
+                # refset resolution)
+                refsets=None if _nested else valuesets,
+            )
 
     inc = valuesets.select(
         F.col("url"), F.explode("compose.include").alias("i")
@@ -240,9 +249,9 @@ def expand_valueset(
 
 
 _ECL_TOKEN = re.compile(
-    r"<<|>>|<|>|\(|\)|\*|:|=|,|AND\b|OR\b|MINUS\b|[^\s()<>:=,]+"
+    r"<<|>>|<|>|\(|\)|\*|:|=|,|\^|AND\b|OR\b|MINUS\b|[^\s()<>:=,^]+"
 )
-_ECL_UNSUPPORTED = re.compile(r"[\^{}|.!#\[\]]|\bR\b")
+_ECL_UNSUPPORTED = re.compile(r"[{}|.!#\[\]]|\bR\b")
 
 
 def _ecl_parse(ecl: str):
@@ -294,10 +303,18 @@ def _ecl_parse(ecl: str):
             if take() != ")":
                 raise NotImplementedError(f"unbalanced parens in {ecl!r}")
             return node
+        if t == "^":
+            target = take()
+            if target is None or not target[0].isalnum():
+                raise NotImplementedError(
+                    f"member-of needs a refset id/url token in {ecl!r} "
+                    "(colon-free — use the ValueSet resource id)"
+                )
+            return ("member", target)
         prefix = None
         if t in ("<", "<<", ">", ">>"):
             prefix, t = t, take()
-        if t is None or t in (")", "AND", "OR", "MINUS", ":", "=", ","):
+        if t is None or t in (")", "AND", "OR", "MINUS", ":", "=", ",", "^"):
             raise NotImplementedError(f"malformed ECL {ecl!r}")
         if t == "*":
             if prefix is not None:
@@ -360,6 +377,7 @@ def ecl_expand(
     codesystems: DataFrame,
     closure: DataFrame,
     system: str,
+    valuesets: DataFrame | None = None,
 ) -> DataFrame:
     """Evaluate an ECL (SNOMED Expression Constraint Language) subset
     against a CodeSystem + its transitive closure, returning the
@@ -383,9 +401,17 @@ def ecl_expand(
     set). A refinement is a semi-join of the focus set against the
     matching property assertions — the property table is
     terminology-sized and broadcasts, like the closure.
+    ``^ <refset>`` (member-of) treats a ValueSet as the reference set:
+    the token is matched against ValueSet ``id`` OR ``url`` in
+    ``valuesets`` (colon-free tokens only — use the resource id for
+    http urls), that ValueSet is expanded once, and its codes under
+    ``system`` become the set. Nested ``^`` inside the referenced
+    ValueSet's own ECL raises (depth-1 by design — no recursive refset
+    resolution).
     Also reachable through :func:`expand_valueset` via the standard
     SNOMED ValueSet idiom ``filter: [{property: 'constraint', op: '=',
-    value: '<ecl>'}]``.
+    value: '<ecl>'}]`` (which forwards the full ValueSet table, so
+    member-of works there too).
     """
     uni = (
         _all_concepts(codesystems)
@@ -426,6 +452,31 @@ def ecl_expand(
             if prefix in ("<<", ">>"):
                 rel = rel.unionByName(anchor)
             return rel.distinct()
+        if kind == "member":
+            if valuesets is None:
+                raise NotImplementedError(
+                    "ECL member-of (^) needs the ValueSet table (pass "
+                    "valuesets=; the refset token matches ValueSet "
+                    "id/url) and is depth-1: a ^ inside a referenced "
+                    "refset's own ECL is not resolved"
+                )
+            target = node[1]
+            vs = valuesets.filter(
+                (F.col("url") == target)
+                | (
+                    F.col("id") == target
+                    if "id" in valuesets.columns
+                    else F.lit(False)
+                )
+            )
+            exp = expand_valueset(
+                vs, codesystems, closure=closure, _nested=True
+            )
+            return (
+                exp.filter(F.col("system") == system)
+                .select("code")
+                .distinct()
+            )
         if kind == "refine":
             base = ev(node[1])
             for attr, vnode in node[2]:
@@ -514,7 +565,10 @@ _HIERARCHY_OPS = ("is-a", "descendent-of", "is-not-a", "generalizes")
 
 
 def _expand_filters(
-    valuesets: DataFrame, codesystems: DataFrame | None, closure: DataFrame | None
+    valuesets: DataFrame,
+    codesystems: DataFrame | None,
+    closure: DataFrame | None,
+    refsets: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve ``include.filter`` entries
     (hl7.org/fhir/R4/valueset.html#compose). Supported:
@@ -759,7 +813,10 @@ def _expand_filters(
 
     for r in ecl_rows:
         parts.append(
-            ecl_expand(r["value"], codesystems, closure, r["system"]).select(
+            ecl_expand(
+                r["value"], codesystems, closure, r["system"],
+                valuesets=refsets,
+            ).select(
                 _kl("url", r["url"]),
                 _kl("inc_idx", r["inc_idx"]),
                 _kl("n_filters", r["n_filters"]),

@@ -2065,13 +2065,16 @@ def ipw_ate(
     overlap (p̂ ∈ {0,1} — positivity violated) are excluded, the
     standard practice, and reported via n_used vs n_units. NULL
     outcomes contribute zero (aggregate-skip semantics in both
-    engines).
+    engines); rows with a NULL treatment flag carry no arm information
+    and are excluded up front (they would otherwise inflate the
+    control denominator without contributing outcome).
 
     Output: 1 row — (ate, n_units, n_used, n_treated, n_control);
     ate is NULL when no stratum overlaps.
     """
     if not strata_cols:
         raise ValueError("ipw_ate needs at least one stratum column")
+    df = df.filter(F.col(treatment_col).isNotNull())
     T = F.col(treatment_col).cast("int")
     y = F.col(outcome_col)
     per_s = df.groupBy(*strata_cols).agg(

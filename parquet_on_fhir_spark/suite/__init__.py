@@ -19,9 +19,9 @@ from parquet_on_fhir_spark.suite.common import Q
 #   3. the round-9 debut queries (qf22 code-exists filter, qf23 ECL
 #      subset, qf24 ECL refinements, qf25 batch $validate-code, q216
 #      log-rank test, q217 average precision, q218 IPW ATE, q219
-#      diff-in-differences, q220 RMST/median survival) — new queries land WITH
+#      diff-in-differences, q220 RMST/median survival, qf26 ECL member-of) — new queries land WITH
 #      a driver row in their debut window (r8 verdict task 7);
-#   4. remaining 33 slots: re-confirmation rows for the stalest
+#   4. remaining 32 slots: re-confirmation rows for the stalest
 #      lifetime-greens (r1/r2-vintage q01-q40 singles + TPC-H/SQL
 #      tails q75/q77 — last driver-checked in round 2).
 # Rows-only queries are all registered AFTER position 50 this round
@@ -40,13 +40,14 @@ WINDOW = [
     "q204_cross_source_dup_audit",
     "q211_nelson_aalen",
     # -- round-9 debuts (terminology gaps closed + survival/ranking/
-    #    causal stacks completed); seven refresh slots ceded to keep the
-    #    window at 50: q13b/q37b/q76/q22/q29/q35/q10 — each has family
+    #    causal stacks completed); eight refresh slots ceded to keep the
+    #    window at 50: q13b/q37b/q76/q22/q29/q35/q10/q09 — each has family
     #    coverage still windowed (q13/q37/q24/q21/q34...) + r1-r6 greens
     "qf22_valueset_code_exists",
     "qf23_ecl_expand",
     "qf24_ecl_refinement",
     "qf25_validate_code",
+    "qf26_ecl_member_of",
     "q216_log_rank",
     "q217_average_precision",
     "q218_ipw_ate",
@@ -61,7 +62,6 @@ WINDOW = [
     "q06_partitioned_sink",
     "q07_nested_projection",
     "q08_filter_predicates",
-    "q09_in_between_like",
     "q11_distinct",
     "q12_join_inner_3way",
     "q13_join_left_outer",

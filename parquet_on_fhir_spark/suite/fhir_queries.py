@@ -1360,3 +1360,69 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf25_validate_code", qf25, QF25_ORACLE))
+
+
+# --- qf26: ECL member-of (^ refset) ---------------------------------------------------
+_VS_MEMBER_DOCS = [
+    {"resourceType": "ValueSet", "id": "vs-m1", "status": "active",
+     "url": "http://example.org/ValueSet/m1",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "code", "op": "in",
+                      "value": "arm,heart"}]},
+     ]}},
+    {"resourceType": "ValueSet", "id": "vs-m2", "status": "active",
+     "url": "http://example.org/ValueSet/m2",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "constraint", "op": "=",
+                      "value": "(^ vs-m1) OR hand"}]},
+     ]}},
+    {"resourceType": "ValueSet", "id": "vs-m3", "status": "active",
+     "url": "http://example.org/ValueSet/m3",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "constraint", "op": "=",
+                      "value": "(<< limb) MINUS (^ vs-m1)"}]},
+     ]}},
+]
+
+
+def qf26(spark, sf_dir):
+    """ECL member-of (fhir/terminology.py::ecl_expand `^ refset`, r9):
+    a ValueSet acts as the reference set, resolved against the same
+    ValueSet table being expanded (depth-1; nested ^ raises). vs-m2/
+    vs-m3 compose the refset with OR/MINUS; vs-m1 is the refset itself
+    and also expands normally."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_MEMBER_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select("url", "code")
+
+
+QF26_ORACLE = """
+SELECT * FROM (VALUES
+  -- m1 (the refset): in 'arm,heart'
+  ('http://example.org/ValueSet/m1', 'arm'),
+  ('http://example.org/ValueSet/m1', 'heart'),
+  -- m2: (^ vs-m1) OR hand
+  ('http://example.org/ValueSet/m2', 'arm'),
+  ('http://example.org/ValueSet/m2', 'heart'),
+  ('http://example.org/ValueSet/m2', 'hand'),
+  -- m3: (<< limb) MINUS (^ vs-m1)
+  ('http://example.org/ValueSet/m3', 'limb'),
+  ('http://example.org/ValueSet/m3', 'hand'),
+  ('http://example.org/ValueSet/m3', 'leg'),
+  ('http://example.org/ValueSet/m3', 'foot')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf26_ecl_member_of", qf26, QF26_ORACLE))

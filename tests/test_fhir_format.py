@@ -916,3 +916,61 @@ def test_validate_codes_batch(spark):
         codesystems=cs, closure=clo,
     ).collect()
     assert all(not r.in_valueset for r in none)
+
+
+def test_ecl_member_of(spark):
+    """fhir/terminology.py::ecl_expand `^ refset` (r9): a ValueSet acts
+    as the reference set (token matches id OR url), expanded once and
+    composed like any concept set; depth-1 only — ^ inside the
+    referenced refset raises instead of recursing."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+        expand_valueset,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _VS_FILTER_DOCS,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    vs = _encode(spark, _VS_FILTER_DOCS, "ValueSet")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/anatomy2"
+
+    def ev(ecl):
+        return sorted(
+            r.code
+            for r in ecl_expand(ecl, cs, clo, system, valuesets=vs).collect()
+        )
+
+    # vs-preds (by resource id) expands to {hand, heart, arm, leg, limb, foot}
+    assert ev("^ vs-preds") == ["arm", "foot", "hand", "heart", "leg", "limb"]
+    assert ev("(^ vs-preds) MINUS << arm") == ["foot", "heart", "leg", "limb"]
+    assert ev("(^ vs-preds) AND (^ vs-notlimb)") == ["heart"]
+    assert ev("^ ghost-refset") == []  # unknown refset -> empty set
+    # member-of composes with refinements
+    assert ev("(^ vs-preds) : laterality = paired") == ["arm", "leg"]
+    # without the ValueSet table the operator refuses
+    with pytest.raises(NotImplementedError, match="member-of"):
+        ecl_expand("^ vs-preds", cs, clo, system).collect()
+    # a ValueSet whose own ECL uses ^ cannot be used AS a refset
+    # (depth-1): the nested expansion raises instead of recursing
+    nested_doc = [{
+        "resourceType": "ValueSet", "id": "vs-nested", "status": "active",
+        "url": "http://example.org/ValueSet/nested",
+        "compose": {"include": [
+            {"system": system,
+             "filter": [{"property": "constraint", "op": "=",
+                         "value": "^ vs-nested"}]},
+        ]}}]
+    vs2 = _encode(spark, nested_doc, "ValueSet")
+    with pytest.raises(NotImplementedError, match="member-of"):
+        ecl_expand("^ vs-nested", cs, clo, system, valuesets=vs2).collect()
+    # ... and the same guard holds via expand_valueset itself
+    with pytest.raises(NotImplementedError, match="member-of"):
+        expand_valueset(vs2, cs, closure=clo).count()
