@@ -2221,8 +2221,13 @@ def restricted_mean_survival(
         F.sum(contrib).alias("__area"),
         F.min(F.when(F.col("s") <= 0.5, F.col("t"))).alias("median_t"),
     )
-    rmst = F.least(F.col("__first_t"), F.lit(tau)) + F.coalesce(
-        F.col("__area"), F.lit(0.0)
+    # least() skips NULLs in both Spark and DuckDB, so an EMPTY cohort
+    # would silently report rmst = tau; surface NULL instead (an empty
+    # population has no survival curve to integrate)
+    rmst = F.when(
+        F.col("__first_t").isNotNull(),
+        F.least(F.col("__first_t"), F.lit(tau))
+        + F.coalesce(F.col("__area"), F.lit(0.0)),
     )
     return agg.select(
         rmst.alias("rmst"), "median_t", F.lit(float(tau)).alias("tau")

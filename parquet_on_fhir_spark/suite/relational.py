@@ -4732,7 +4732,9 @@ agg AS (
          min(CASE WHEN s <= 0.5 THEN t END) AS median_t
   FROM seg
 )
-SELECT round(least(first_t, 14.0) + coalesce(area, 0.0) + 1e-9, 4) AS rmst,
+SELECT round(CASE WHEN first_t IS NOT NULL
+             THEN least(first_t, 14.0) + coalesce(area, 0.0) END
+             + 1e-9, 4) AS rmst,
        round(median_t + 1e-9, 4) AS median_t,
        CAST(14.0 AS DOUBLE) AS tau
 FROM agg

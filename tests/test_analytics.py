@@ -927,6 +927,27 @@ def test_operators_graceful_on_empty_input(spark):
     assert A.frequency_sketch_topk(docs, "text").count() == 0
     assert A.distinct_sketch_rollup(nums, "g", "v").count() == 1
     assert T.unigram_entropy(docs, "text").count() == 1
+    # r9 additions: the 1-row aggregates surface NULL estimates, the
+    # curve operators surface empty frames
+    (lr,) = A.log_rank_test(
+        nums.selectExpr("v as dur", "y as ev", "g as arm"),
+        "dur", "ev", "arm", "a", "b",
+    ).collect()
+    assert lr.chi2 is None and lr.o_a is None
+    (ap,) = A.average_precision(nums, "v", "y").collect()
+    assert ap.ap is None
+    (ipw,) = A.ipw_ate(
+        nums.selectExpr("y as t", "v", "g"), "t", "v", ["g"]
+    ).collect()
+    assert ipw.ate is None and ipw.n_units == 0
+    (did,) = A.diff_in_differences(
+        nums, "g", "k", "v", "a", "b", "pre", "post"
+    ).collect()
+    assert did.did is None and did.n == 0
+    (rm,) = A.restricted_mean_survival(
+        nums.selectExpr("v as dur", "y as ev"), "dur", "ev", tau=5.0
+    ).collect()
+    assert rm.rmst is None and rm.median_t is None
     assert D.exact_dedup(docs, "text", "doc_id").count() == 0
     assert TS.holt_smoothing(nums, "ts", ["k"], "v").count() == 0
     assert TS.cusum_changepoints(nums, "ts", ["k"], "v").count() == 0
