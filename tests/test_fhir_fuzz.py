@@ -239,3 +239,152 @@ def test_random_registry_tier_roundtrip(spark, data):
             key=lambda x: x["id"],
         )
         assert back == sorted(docs, key=lambda x: x["id"]), rtype
+
+
+# --- ECL differential fuzz: engine vs a pure-Python reference evaluator -------------
+_ECL_UNI = ["body", "limb", "arm", "hand", "leg", "foot", "organ", "heart"]
+_ECL_DESC = {
+    "body": {"limb", "arm", "hand", "leg", "foot", "organ", "heart"},
+    "limb": {"arm", "hand", "leg", "foot"},
+    "arm": {"hand"},
+    "leg": {"foot"},
+    "organ": {"heart"},
+}
+_ECL_PROPS = {
+    "body": [("status", "active")],
+    "limb": [("status", "active")],
+    "arm": [("status", "active"), ("laterality", "paired")],
+    "hand": [("status", "retired")],
+    "leg": [("status", "active"), ("laterality", "paired")],
+    "foot": [("status", "active")],
+    "organ": [("status", "active")],
+    "heart": [("status", "active")],
+}
+
+
+def _ecl_ref_eval(node):
+    """Reference ECL semantics over the anatomy2 tree in plain Python."""
+    uni = set(_ECL_UNI)
+    kind = node[0]
+    if kind == "any":
+        return uni
+    if kind == "focus":
+        _, prefix, code = node
+        anchor = {code} & uni
+        if prefix is None:
+            return anchor
+        if prefix in ("<", "<<"):
+            rel = set(_ECL_DESC.get(code, set()))
+        else:
+            rel = {a for a, ds in _ECL_DESC.items() if code in ds}
+        return rel | anchor if prefix in ("<<", ">>") else rel
+    if kind == "refine":
+        base = _ecl_ref_eval(node[1])
+        for attr, vnode in node[2]:
+            if vnode[0] == "focus" and vnode[1] is None:
+                ok = lambda v: v == vnode[2]  # noqa: E731
+            else:
+                vals = _ecl_ref_eval(vnode)
+                ok = lambda v: v in vals  # noqa: E731
+            base = {
+                c
+                for c in base
+                if any(
+                    (attr == "*" or p == attr) and ok(v)
+                    for p, v in _ECL_PROPS.get(c, [])
+                )
+            }
+        return base
+    a, b = _ecl_ref_eval(node[1]), _ecl_ref_eval(node[2])
+    return {"AND": a & b, "OR": a | b, "MINUS": a - b}[kind]
+
+
+def _ecl_render(node):
+    kind = node[0]
+    if kind == "any":
+        return "*"
+    if kind == "focus":
+        _, prefix, code = node
+        return f"{prefix or ''} {code}".strip()
+    if kind == "refine":
+        refs = " , ".join(
+            f"{attr} = {_ecl_render(v) if v[0] != 'focus' or v[1] else v[2]}"
+            if v[0] == "focus" and v[1] is None
+            else f"{attr} = ({_ecl_render(v)})"
+            for attr, v in node[2]
+        )
+        return f"({_ecl_render(node[1])}) : {refs}"
+    return f"({_ecl_render(node[1])}) {kind} ({_ecl_render(node[2])})"
+
+
+def _ecl_terms():
+    codes = st.sampled_from(_ECL_UNI + ["ghost"])
+    prefixes = st.sampled_from([None, "<", "<<", ">", ">>"])
+    return st.one_of(
+        st.just(("any",)),
+        st.tuples(st.just("focus"), prefixes, codes),
+    )
+
+
+def _ecl_exprs(depth=2):
+    if depth == 0:
+        return _ecl_terms()
+    sub = _ecl_exprs(depth - 1)
+    refinement = st.tuples(
+        st.sampled_from(["status", "laterality", "site", "*"]),
+        st.one_of(
+            st.tuples(
+                st.just("focus"),
+                st.just(None),
+                st.sampled_from(["active", "retired", "paired", "arm"]),
+            ),
+            _ecl_terms(),
+        ),
+    )
+    return st.one_of(
+        sub,
+        st.tuples(st.sampled_from(["AND", "OR", "MINUS"]), sub, sub),
+        st.tuples(
+            st.just("refine"), sub, st.lists(refinement, min_size=1, max_size=2)
+        ),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_ecl_exprs())
+def test_ecl_engine_matches_reference_semantics(spark, node):
+    """Differential fuzz (r9): random ECL ASTs rendered to strings,
+    evaluated by fhir/terminology.py::ecl_expand (broadcast joins over
+    the closure) and by a 30-line pure-Python reference over the same
+    anatomy tree — results must be set-equal. Covers prefix/wildcard/
+    set-op/refinement composition orders no hand-written case does."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _encode_doc as _encode,
+    )
+
+    global _ECL_CS_CACHE
+    try:
+        cs, clo = _ECL_CS_CACHE
+    except NameError:
+        cs = _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+        clo = concept_closure(concept_edges(cs)).cache()
+        clo.count()
+        _ECL_CS_CACHE = (cs, clo)
+    ecl = _ecl_render(node)
+    got = {
+        r.code
+        for r in ecl_expand(
+            ecl, cs, clo, "http://example.org/cs/anatomy2"
+        ).collect()
+    }
+    assert got == _ecl_ref_eval(node), ecl
