@@ -2083,8 +2083,11 @@ def ipw_ate(
         F.sum(F.when(T == 1, y)).alias("y_t"),
         F.sum(F.when(T == 0, y)).alias("y_c"),
     )
-    tot = df.agg(F.count("*").alias("n_units"))
-    overlap = per_s.filter((F.col("n_t") > 0) & (F.col("n_t") < F.col("n")))
+    # ONE conditional aggregate over the strata frame yields both the
+    # overlap sums and the all-strata total — the per_s lineage (and
+    # the corpus scan under it) is evaluated exactly once, no second
+    # frame, no crossJoin.
+    is_ov = (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
     # fixed association order, mirrored in SQL oracles: double sum ×
     # double(n), ONE division per term
     t_term = (
@@ -2093,20 +2096,21 @@ def ipw_ate(
     c_term = (
         F.coalesce(F.col("y_c"), F.lit(0.0)) * F.col("n").cast("double")
     ) / (F.col("n") - F.col("n_t")).cast("double")
-    agg = overlap.agg(
-        F.sum(t_term).alias("__t"),
-        F.sum(c_term).alias("__c"),
-        F.sum("n").alias("n_used"),
-        F.sum("n_t").alias("n_treated"),
-        F.sum(F.col("n") - F.col("n_t")).alias("n_control"),
+    agg = per_s.agg(
+        F.sum(F.when(is_ov, t_term)).alias("__t"),
+        F.sum(F.when(is_ov, c_term)).alias("__c"),
+        F.sum(F.when(is_ov, F.col("n"))).alias("n_used"),
+        F.sum(F.when(is_ov, F.col("n_t"))).alias("n_treated"),
+        F.sum(F.when(is_ov, F.col("n") - F.col("n_t"))).alias("n_control"),
+        F.sum("n").alias("n_units"),
     )
     ate = F.when(
         F.col("n_used") > 0,
         (F.col("__t") - F.col("__c")) / F.col("n_used").cast("double"),
     )
-    return agg.crossJoin(F.broadcast(tot)).select(
+    return agg.select(
         ate.alias("ate"),
-        "n_units",
+        F.coalesce("n_units", F.lit(0)).alias("n_units"),
         F.coalesce("n_used", F.lit(0)).alias("n_used"),
         F.coalesce("n_treated", F.lit(0)).alias("n_treated"),
         F.coalesce("n_control", F.lit(0)).alias("n_control"),
