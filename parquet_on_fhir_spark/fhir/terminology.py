@@ -249,9 +249,13 @@ def expand_valueset(
 
 
 _ECL_TOKEN = re.compile(
-    r"<<|>>|<|>|\(|\)|\*|:|=|,|\^|AND\b|OR\b|MINUS\b|[^\s()<>:=,^]+"
+    r"<<|>>|<|>|\(|\)|\*|:|=|,|\^|"
+    r"\[[0-9]+\.\.(?:[0-9]+|\*)\]|"  # cardinality [m..n] — one token
+    r"(?<!\S)\.(?!\S)|"  # dotted attribute '.' (whitespace-delimited)
+    r"AND\b|OR\b|MINUS\b|R\b|[^\s()<>:=,^]+"
 )
-_ECL_UNSUPPORTED = re.compile(r"[{}|.!#\[\]]|\bR\b")
+_ECL_CARD = re.compile(r"\[([0-9]+)\.\.([0-9]+|\*)\]\Z")
+_ECL_UNSUPPORTED = re.compile(r"[{}|!#]")
 
 
 def _ecl_parse(ecl: str):
@@ -260,8 +264,10 @@ def _ecl_parse(ecl: str):
 
         expr := refined (OP refined)*   OP := AND | OR | MINUS (no
                                         mixing — ECL requires parens)
-        refined := term (':' refinement (',' refinement)*)?
-        refinement := (ATTR | '*') '=' term
+        refined := dotted (':' refinement (',' refinement)*)?
+        dotted := term ('.' (ATTR | '*'))*
+        refinement := CARD? 'R'? (ATTR | '*') '=' term
+        CARD := '[' INT '..' (INT | '*') ']'
         term := '(' expr ')' | PREFIX? ('*' | CODE)
         PREFIX := '<<' (desc-or-self) | '<' (desc) | '>>' (anc-or-self)
                   | '>' (anc)
@@ -273,18 +279,33 @@ def _ecl_parse(ecl: str):
     as a string — which for concept-valued properties is exactly
     single-code membership) or a prefixed/parenthesized expression
     (membership of the property value in that concept set, via the
-    closure). Member-of ('^'), cardinality ('[..]'), attribute groups
-    ('{}'), reverse flags and the rest of the language raise
-    NotImplementedError with the offending token.
+    closure). ``R attr`` (reverse flag, r9) swaps the roles: the focus
+    member must appear as the VALUE of an ``attr`` assertion whose
+    source concept satisfies the value condition. ``[m..n] attr``
+    (cardinality, r9) counts the matching assertions per focus concept
+    and keeps m ≤ count ≤ n (n = '*' → unbounded; ``[0..0]`` =
+    must-not-have). Dotted notation ``focus . attr`` (r9) walks to the
+    attribute VALUES of the focus set — the '.' must be
+    whitespace-delimited, so dotted tokens (urls, OID-style codes)
+    still lex as single tokens. Attribute groups ('{}') and the rest
+    of the language raise NotImplementedError with the offending
+    token.
     """
     if _ECL_UNSUPPORTED.search(ecl):
         raise NotImplementedError(
             f"unsupported ECL feature in {ecl!r}: only <|<<|>|>> "
-            "prefixes, '*', codes, parentheses, AND/OR/MINUS and "
-            "': attr = value' refinements are supported "
-            "(no member-of/cardinality/attribute-groups)"
+            "prefixes, '*', codes, parentheses, AND/OR/MINUS, "
+            "'^ refset', '. attr' dotted walks and "
+            "'[m..n]? R? attr = value' refinements are supported "
+            "(no attribute groups / nested expressions)"
         )
     toks = _ECL_TOKEN.findall(ecl)
+    for tk in toks:
+        if ("[" in tk or "]" in tk) and not _ECL_CARD.match(tk):
+            raise NotImplementedError(
+                f"malformed cardinality {tk!r} in {ecl!r} — expected "
+                "'[m..n]' with integer m and integer-or-'*' n"
+            )
     pos = 0
 
     def peek():
@@ -314,7 +335,11 @@ def _ecl_parse(ecl: str):
         prefix = None
         if t in ("<", "<<", ">", ">>"):
             prefix, t = t, take()
-        if t is None or t in (")", "AND", "OR", "MINUS", ":", "=", ",", "^"):
+        if (
+            t is None
+            or t in (")", "AND", "OR", "MINUS", ":", "=", ",", "^", ".")
+            or t.startswith("[")
+        ):
             raise NotImplementedError(f"malformed ECL {ecl!r}")
         if t == "*":
             if prefix is not None:
@@ -324,19 +349,45 @@ def _ecl_parse(ecl: str):
             return ("any",)
         return ("focus", prefix, t)
 
+    _BAD_ATTR = ("(", ")", ":", "=", ",", ".", "<", "<<", ">", ">>",
+                 "AND", "OR", "MINUS", "R")
+
     def refined():
         node = term()
+        while peek() == ".":  # dotted attribute walk (r9)
+            take()
+            attr = take()
+            if attr is None or (
+                attr != "*" and (attr in _BAD_ATTR or attr.startswith("["))
+            ):
+                raise NotImplementedError(
+                    f"dotted walk needs '. attr' in {ecl!r}"
+                )
+            node = ("dot", node, attr)
         if peek() != ":":
             return node
         take()
         refs = []
         while True:
+            card = None
+            nxt = peek()
+            if nxt is not None and nxt.startswith("["):
+                m = _ECL_CARD.match(take())
+                card = (
+                    int(m.group(1)),
+                    None if m.group(2) == "*" else int(m.group(2)),
+                )
+                if card[1] is not None and card[1] < card[0]:
+                    raise NotImplementedError(
+                        f"empty cardinality range {nxt!r} in {ecl!r}"
+                    )
+            rev = peek() == "R"
+            if rev:
+                take()
             attr = take()
             if attr is None or (
                 attr != "*"
-                and attr
-                in ("(", ")", ":", "=", ",", "<", "<<", ">", ">>",
-                    "AND", "OR", "MINUS")
+                and (attr in _BAD_ATTR or attr.startswith("["))
             ):
                 raise NotImplementedError(
                     f"malformed refinement attribute in {ecl!r}"
@@ -345,7 +396,7 @@ def _ecl_parse(ecl: str):
                 raise NotImplementedError(
                     f"refinement needs 'attr = value' in {ecl!r}"
                 )
-            refs.append((attr, term()))
+            refs.append((card, rev, attr, term()))
             if peek() != ",":
                 break
             take()
@@ -401,6 +452,14 @@ def ecl_expand(
     set). A refinement is a semi-join of the focus set against the
     matching property assertions — the property table is
     terminology-sized and broadcasts, like the closure.
+    ``R attr`` (reverse, r9) swaps the assertion roles: focus members
+    that appear as the VALUE of an ``attr`` assertion whose source
+    satisfies the value condition. ``[m..n] attr`` (cardinality, r9)
+    left-joins the focus set against the per-concept count of matching
+    assertions (zero included) and keeps m ≤ count ≤ n ('*' = no upper
+    bound; ``[0..0]`` = must-not-have). Dotted walks ``focus . attr``
+    (r9, '.' whitespace-delimited) project the attribute values of the
+    focus set back into the system's concept universe.
     ``^ <refset>`` (member-of) treats a ValueSet as the reference set:
     the token is matched against ValueSet ``id`` OR ``url`` in
     ``valuesets`` (colon-free tokens only — use the resource id for
@@ -477,24 +536,70 @@ def ecl_expand(
                 .select("code")
                 .distinct()
             )
+        if kind == "dot":
+            # focus . attr → the attribute VALUES of the focus set that
+            # are themselves concepts of the system (r9)
+            base = ev(node[1])
+            p = props()
+            if node[2] != "*":
+                p = p.filter(F.col("prop") == node[2])
+            vals = (
+                p.join(F.broadcast(base.select("code")), "code", "left_semi")
+                .select(F.col("pval").alias("code"))
+                .distinct()
+            )
+            return uni.join(F.broadcast(vals), "code", "left_semi")
         if kind == "refine":
             base = ev(node[1])
-            for attr, vnode in node[2]:
+            for card, rev, attr, vnode in node[2]:
                 p = props()
                 if attr != "*":
                     p = p.filter(F.col("prop") == attr)
-                if vnode[0] == "focus" and vnode[1] is None:
-                    # bare token: literal value match (== membership in
-                    # the one-code set when the property is a concept)
-                    m = p.filter(F.col("pval") == vnode[2])
+                literal = vnode[0] == "focus" and vnode[1] is None
+                if rev:
+                    # R attr (r9): the focus member is the VALUE of an
+                    # assertion whose SOURCE satisfies the condition
+                    if literal:
+                        m = p.filter(F.col("code") == vnode[2])
+                    else:
+                        vals = ev(vnode).select("code")
+                        m = p.join(F.broadcast(vals), "code", "left_semi")
+                    matched = m.select(F.col("pval").alias("code"))
                 else:
-                    vals = ev(vnode).select(F.col("code").alias("pval"))
-                    m = p.join(F.broadcast(vals), "pval", "left_semi")
-                base = base.join(
-                    F.broadcast(m.select("code").distinct()),
-                    "code",
-                    "left_semi",
-                )
+                    if literal:
+                        # bare token: literal value match (== membership
+                        # in the one-code set when the property is a
+                        # concept)
+                        m = p.filter(F.col("pval") == vnode[2])
+                    else:
+                        vals = ev(vnode).select(F.col("code").alias("pval"))
+                        m = p.join(F.broadcast(vals), "pval", "left_semi")
+                    matched = m.select("code")
+                if card is None:
+                    base = base.join(
+                        F.broadcast(matched.distinct()), "code", "left_semi"
+                    )
+                else:
+                    # cardinality (r9): count matching ASSERTIONS per
+                    # focus concept, zero included — a left join against
+                    # the K-row count frame, so [0..0] (must-not-have)
+                    # falls out of the same plan
+                    lo, hi = card
+                    cnts = matched.groupBy("code").agg(
+                        F.count("*").alias("__n_match")
+                    )
+                    cond = F.col("__n_match") >= lo
+                    if hi is not None:
+                        cond = cond & (F.col("__n_match") <= hi)
+                    base = (
+                        base.join(F.broadcast(cnts), "code", "left")
+                        .withColumn(
+                            "__n_match",
+                            F.coalesce("__n_match", F.lit(0)),
+                        )
+                        .filter(cond)
+                        .drop("__n_match")
+                    )
             return base
         a, b = ev(node[1]), ev(node[2])
         if kind == "AND":

@@ -1426,3 +1426,187 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf26_ecl_member_of", qf26, QF26_ORACLE))
+
+
+# --- qf27/qf28/qf29: ECL dotted walks, cardinality, reverse attributes (r9) ----------
+# One richer findings tree exercises all three: multi-trauma carries TWO
+# site assertions (cardinality > 1), fatigue carries none ([0..0]), and
+# the site values land back in the anatomy branch (dotted / reverse).
+_CS_FINDINGS2_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-findings2", "status": "active",
+    "url": "http://example.org/cs/findings2", "content": "complete",
+    "concept": [
+        {"code": "anatomy", "display": "Anatomy", "concept": [
+            {"code": "limb", "display": "Limb", "concept": [
+                {"code": "arm", "display": "Arm", "concept": [
+                    {"code": "hand", "display": "Hand"}]},
+                {"code": "leg", "display": "Leg"}]}]},
+        {"code": "finding", "display": "Finding", "concept": [
+            {"code": "arm-fracture", "display": "Arm fracture",
+             "property": [{"code": "site", "valueCode": "arm"},
+                          {"code": "severity", "valueCode": "high"}]},
+            {"code": "hand-burn", "display": "Hand burn",
+             "property": [{"code": "site", "valueCode": "hand"},
+                          {"code": "severity", "valueCode": "low"}]},
+            {"code": "leg-sprain", "display": "Leg sprain",
+             "property": [{"code": "site", "valueCode": "leg"},
+                          {"code": "severity", "valueCode": "low"}]},
+            {"code": "multi-trauma", "display": "Multiple trauma",
+             "property": [{"code": "site", "valueCode": "arm"},
+                          {"code": "site", "valueCode": "leg"},
+                          {"code": "severity", "valueCode": "high"}]},
+            {"code": "fatigue", "display": "Fatigue",
+             "property": [{"code": "severity", "valueCode": "low"}]}]},
+    ],
+}
+
+
+def _ecl_vs_docs(tag, ecls):
+    return [
+        {"resourceType": "ValueSet", "id": f"vs-{tag}{i}", "status": "active",
+         "url": f"http://example.org/ValueSet/{tag}{i}",
+         "compose": {"include": [
+             {"system": "http://example.org/cs/findings2",
+              "filter": [{"property": "constraint", "op": "=",
+                          "value": ecl}]},
+         ]}}
+        for i, ecl in enumerate(ecls, start=1)
+    ]
+
+
+def _ecl_findings2(spark, vs_docs):
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, vs_docs, "ValueSet")
+    cs = _encode_doc(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select("url", "code")
+
+
+def qf27(spark, sf_dir):
+    """ECL dotted attribute walks (fhir/terminology.py::ecl_expand
+    `focus . attr`, r9): project the focus set to its attribute VALUES,
+    semi-joined back into the concept universe (severity values 'high'/
+    'low' are not concepts, so '*' walks drop them) — evaluated as one
+    broadcast semi-join against the property assertions plus one
+    against the universe, chainable and composable with set ops."""
+    return _ecl_findings2(spark, _ecl_vs_docs("dot", [
+        "<< finding . site",
+        "(<< finding : severity = high) . site",
+        "<< finding . *",
+        "(<< finding . site) AND (<< arm)",
+        "multi-trauma . site",
+    ]))
+
+
+QF27_ORACLE = """
+SELECT * FROM (VALUES
+  -- dot1: << finding . site
+  ('http://example.org/ValueSet/dot1', 'arm'),
+  ('http://example.org/ValueSet/dot1', 'hand'),
+  ('http://example.org/ValueSet/dot1', 'leg'),
+  -- dot2: (<< finding : severity = high) . site
+  ('http://example.org/ValueSet/dot2', 'arm'),
+  ('http://example.org/ValueSet/dot2', 'leg'),
+  -- dot3: << finding . *  (severity values are not concepts)
+  ('http://example.org/ValueSet/dot3', 'arm'),
+  ('http://example.org/ValueSet/dot3', 'hand'),
+  ('http://example.org/ValueSet/dot3', 'leg'),
+  -- dot4: (<< finding . site) AND (<< arm)
+  ('http://example.org/ValueSet/dot4', 'arm'),
+  ('http://example.org/ValueSet/dot4', 'hand'),
+  -- dot5: multi-trauma . site
+  ('http://example.org/ValueSet/dot5', 'arm'),
+  ('http://example.org/ValueSet/dot5', 'leg')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf27_ecl_dotted", qf27, QF27_ORACLE))
+
+
+def qf28(spark, sf_dir):
+    """ECL attribute cardinality (fhir/terminology.py::ecl_expand
+    `[m..n] attr`, r9): matching-assertion counts per focus concept via
+    a left join against the K-row count frame (zero included), so
+    `[0..0]` must-not-have and `[2..*]` multi-valued fall out of one
+    plan shape; value conditions compose (`[1..2] site = << arm`)."""
+    return _ecl_findings2(spark, _ecl_vs_docs("card", [
+        "< finding : [2..*] site = *",
+        "< finding : [0..0] site = *",
+        "< finding : [1..1] site = << limb",
+        "< finding : [1..2] site = << arm",
+        "< finding : [0..1] site = *",
+    ]))
+
+
+QF28_ORACLE = """
+SELECT * FROM (VALUES
+  -- card1: < finding : [2..*] site = *
+  ('http://example.org/ValueSet/card1', 'multi-trauma'),
+  -- card2: < finding : [0..0] site = *
+  ('http://example.org/ValueSet/card2', 'fatigue'),
+  -- card3: < finding : [1..1] site = << limb
+  ('http://example.org/ValueSet/card3', 'arm-fracture'),
+  ('http://example.org/ValueSet/card3', 'hand-burn'),
+  ('http://example.org/ValueSet/card3', 'leg-sprain'),
+  -- card4: < finding : [1..2] site = << arm  (multi-trauma: only site=arm matches)
+  ('http://example.org/ValueSet/card4', 'arm-fracture'),
+  ('http://example.org/ValueSet/card4', 'hand-burn'),
+  ('http://example.org/ValueSet/card4', 'multi-trauma'),
+  -- card5: < finding : [0..1] site = *
+  ('http://example.org/ValueSet/card5', 'arm-fracture'),
+  ('http://example.org/ValueSet/card5', 'hand-burn'),
+  ('http://example.org/ValueSet/card5', 'leg-sprain'),
+  ('http://example.org/ValueSet/card5', 'fatigue')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf28_ecl_cardinality", qf28, QF28_ORACLE))
+
+
+def qf29(spark, sf_dir):
+    """ECL reverse attributes (fhir/terminology.py::ecl_expand
+    `R attr`, r9): the focus member must be the VALUE of an assertion
+    whose SOURCE satisfies the condition (literal = source-code
+    equality; expression = source ∈ that set) — the same broadcast
+    semi-join with the assertion roles swapped, composable with
+    cardinality (`[2..*] R site` = 'site of at least two findings')."""
+    return _ecl_findings2(spark, _ecl_vs_docs("rev", [
+        "* : R site = << finding",
+        "* : R site = multi-trauma",
+        "(<< limb) : R site = (< finding : severity = high)",
+        "* : [2..*] R site = < finding",
+        "(<< anatomy) MINUS (* : R site = < finding)",
+    ]))
+
+
+QF29_ORACLE = """
+SELECT * FROM (VALUES
+  -- rev1: * : R site = << finding
+  ('http://example.org/ValueSet/rev1', 'arm'),
+  ('http://example.org/ValueSet/rev1', 'hand'),
+  ('http://example.org/ValueSet/rev1', 'leg'),
+  -- rev2: * : R site = multi-trauma (literal source code)
+  ('http://example.org/ValueSet/rev2', 'arm'),
+  ('http://example.org/ValueSet/rev2', 'leg'),
+  -- rev3: (<< limb) : R site = (< finding : severity = high)
+  ('http://example.org/ValueSet/rev3', 'arm'),
+  ('http://example.org/ValueSet/rev3', 'leg'),
+  -- rev4: * : [2..*] R site = < finding  (site of >= 2 findings)
+  ('http://example.org/ValueSet/rev4', 'arm'),
+  ('http://example.org/ValueSet/rev4', 'leg'),
+  -- rev5: (<< anatomy) MINUS (* : R site = < finding)
+  ('http://example.org/ValueSet/rev5', 'anatomy'),
+  ('http://example.org/ValueSet/rev5', 'limb')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf29_ecl_reverse", qf29, QF29_ORACLE))

@@ -974,3 +974,74 @@ def test_ecl_member_of(spark):
     # ... and the same guard holds via expand_valueset itself
     with pytest.raises(NotImplementedError, match="member-of"):
         expand_valueset(vs2, cs, closure=clo).count()
+
+
+def test_ecl_dotted_cardinality_reverse(spark):
+    """fhir/terminology.py::ecl_expand r9 extensions: dotted attribute
+    walks (`focus . attr` → attribute values ∩ universe), cardinality
+    (`[m..n] attr` — matching-assertion counts with zero included) and
+    reverse attributes (`R attr` — focus member is the assertion
+    VALUE), plus their compositions and targeted refusals."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_FINDINGS2_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/findings2"
+
+    def ev(ecl):
+        return sorted(r.code for r in ecl_expand(ecl, cs, clo, system).collect())
+
+    # dotted walks: values land back in the concept universe
+    assert ev("<< finding . site") == ["arm", "hand", "leg"]
+    assert ev("multi-trauma . site") == ["arm", "leg"]
+    # non-concept values ('high'/'low') are dropped by the universe join
+    assert ev("<< finding . *") == ["arm", "hand", "leg"]
+    assert ev("<< finding . severity") == []
+    # chained dots walk stepwise (site values carry no 'site' property)
+    assert ev("<< finding . site . site") == []
+    assert ev("fatigue . site") == []  # no assertion -> empty, not error
+    # cardinality: assertion counts, zero included
+    assert ev("< finding : [2..*] site = *") == ["multi-trauma"]
+    assert ev("< finding : [0..0] site = *") == ["fatigue"]
+    assert ev("<< finding : [0..0] site = *") == ["fatigue", "finding"]
+    assert ev("< finding : [1..1] site = << limb") == [
+        "arm-fracture", "hand-burn", "leg-sprain",
+    ]
+    # value condition bounds the COUNT: multi-trauma's site=leg does not
+    # match << arm, so only one assertion counts
+    assert ev("< finding : [1..2] site = << arm") == [
+        "arm-fracture", "hand-burn", "multi-trauma",
+    ]
+    assert ev("< finding : [3..*] site = *") == []
+    # reverse: focus member is the assertion VALUE
+    assert ev("* : R site = << finding") == ["arm", "hand", "leg"]
+    assert ev("* : R site = multi-trauma") == ["arm", "leg"]
+    assert ev("(<< limb) : R site = (< finding : severity = high)") == [
+        "arm", "leg",
+    ]
+    # reverse + cardinality: site of at least two findings
+    assert ev("* : [2..*] R site = < finding") == ["arm", "leg"]
+    # reverse + conjunction with a forward refinement on the same focus
+    assert ev("(<< anatomy) MINUS (* : R site = < finding)") == [
+        "anatomy", "limb",
+    ]
+    for bad in (
+        "< finding : [2..1] site = *",    # empty range
+        "< finding : [x..y] site = *",    # non-integer bounds
+        "<< finding . ",                  # dotted walk missing attr
+        "<< finding . : site = arm",      # dot straight into refinement
+        "< finding : [1..2]",             # cardinality without attr
+        "< finding : R",                  # reverse without attr/value
+    ):
+        with pytest.raises(NotImplementedError):
+            ecl_expand(bad, cs, clo, system).collect()

@@ -262,9 +262,18 @@ _ECL_PROPS = {
 }
 
 
-def _ecl_ref_eval(node):
-    """Reference ECL semantics over the anatomy2 tree in plain Python."""
-    uni = set(_ECL_UNI)
+def _norm_ref(ref):
+    """Accept both the legacy 2-tuple (attr, vnode) and the r9 4-tuple
+    (card, rev, attr, vnode) refinement shapes."""
+    return ref if len(ref) == 4 else (None, False) + tuple(ref)
+
+
+def _ecl_ref_eval(node, uni=None, desc=None, props=None):
+    """Reference ECL semantics over a (uni, desc, props) fixture in
+    plain Python — defaults to the anatomy2 tree."""
+    uni = set(_ECL_UNI if uni is None else uni)
+    desc = _ECL_DESC if desc is None else desc
+    props = _ECL_PROPS if props is None else props
     kind = node[0]
     if kind == "any":
         return uni
@@ -274,28 +283,52 @@ def _ecl_ref_eval(node):
         if prefix is None:
             return anchor
         if prefix in ("<", "<<"):
-            rel = set(_ECL_DESC.get(code, set()))
+            rel = set(desc.get(code, set()))
         else:
-            rel = {a for a, ds in _ECL_DESC.items() if code in ds}
+            rel = {a for a, ds in desc.items() if code in ds}
         return rel | anchor if prefix in ("<<", ">>") else rel
+    if kind == "dot":
+        base = _ecl_ref_eval(node[1], uni, desc, props)
+        attr = node[2]
+        return {
+            v
+            for c in base
+            for p, v in props.get(c, [])
+            if attr == "*" or p == attr
+        } & uni
     if kind == "refine":
-        base = _ecl_ref_eval(node[1])
-        for attr, vnode in node[2]:
+        base = _ecl_ref_eval(node[1], uni, desc, props)
+        for ref in node[2]:
+            card, rev, attr, vnode = _norm_ref(ref)
             if vnode[0] == "focus" and vnode[1] is None:
-                ok = lambda v: v == vnode[2]  # noqa: E731
+                ok = lambda x, t=vnode[2]: x == t  # noqa: E731
             else:
-                vals = _ecl_ref_eval(vnode)
-                ok = lambda v: v in vals  # noqa: E731
+                vals = _ecl_ref_eval(vnode, uni, desc, props)
+                ok = lambda x, s=vals: x in s  # noqa: E731
+
+            def count(c, attr=attr, rev=rev, ok=ok):
+                if rev:
+                    return sum(
+                        1
+                        for s in uni
+                        for p, v in props.get(s, [])
+                        if (attr == "*" or p == attr) and v == c and ok(s)
+                    )
+                return sum(
+                    1
+                    for p, v in props.get(c, [])
+                    if (attr == "*" or p == attr) and ok(v)
+                )
+
+            lo, hi = card if card is not None else (1, None)
             base = {
                 c
                 for c in base
-                if any(
-                    (attr == "*" or p == attr) and ok(v)
-                    for p, v in _ECL_PROPS.get(c, [])
-                )
+                if lo <= count(c) and (hi is None or count(c) <= hi)
             }
         return base
-    a, b = _ecl_ref_eval(node[1]), _ecl_ref_eval(node[2])
+    a = _ecl_ref_eval(node[1], uni, desc, props)
+    b = _ecl_ref_eval(node[2], uni, desc, props)
     return {"AND": a & b, "OR": a | b, "MINUS": a - b}[kind]
 
 
@@ -306,14 +339,25 @@ def _ecl_render(node):
     if kind == "focus":
         _, prefix, code = node
         return f"{prefix or ''} {code}".strip()
+    if kind == "dot":
+        return f"({_ecl_render(node[1])}) . {node[2]}"
     if kind == "refine":
-        refs = " , ".join(
-            f"{attr} = {_ecl_render(v) if v[0] != 'focus' or v[1] else v[2]}"
-            if v[0] == "focus" and v[1] is None
-            else f"{attr} = ({_ecl_render(v)})"
-            for attr, v in node[2]
-        )
-        return f"({_ecl_render(node[1])}) : {refs}"
+        parts = []
+        for ref in node[2]:
+            card, rev, attr, v = _norm_ref(ref)
+            cs_ = (
+                f"[{card[0]}..{'*' if card[1] is None else card[1]}] "
+                if card is not None
+                else ""
+            )
+            rv = "R " if rev else ""
+            val = (
+                v[2]
+                if v[0] == "focus" and v[1] is None
+                else f"({_ecl_render(v)})"
+            )
+            parts.append(f"{cs_}{rv}{attr} = {val}")
+        return f"({_ecl_render(node[1])}) : {' , '.join(parts)}"
     return f"({_ecl_render(node[1])}) {kind} ({_ecl_render(node[2])})"
 
 
@@ -388,3 +432,115 @@ def test_ecl_engine_matches_reference_semantics(spark, node):
         ).collect()
     }
     assert got == _ecl_ref_eval(node), ecl
+
+
+# --- ECL r9-extension fuzz (dot / cardinality / reverse) over findings2 -------------
+# Mirror of suite/fhir_queries.py::_CS_FINDINGS2_DOC — site is
+# concept-valued (so dotted walks and reverse attributes are non-empty)
+# and multi-trauma carries TWO site assertions (so cardinality > 1 and
+# assertion-vs-concept counting diverge if the engine gets it wrong).
+_F2_UNI = [
+    "anatomy", "limb", "arm", "hand", "leg",
+    "finding", "arm-fracture", "hand-burn", "leg-sprain",
+    "multi-trauma", "fatigue",
+]
+_F2_DESC = {
+    "anatomy": {"limb", "arm", "hand", "leg"},
+    "limb": {"arm", "hand", "leg"},
+    "arm": {"hand"},
+    "finding": {
+        "arm-fracture", "hand-burn", "leg-sprain", "multi-trauma", "fatigue"
+    },
+}
+_F2_PROPS = {
+    "arm-fracture": [("site", "arm"), ("severity", "high")],
+    "hand-burn": [("site", "hand"), ("severity", "low")],
+    "leg-sprain": [("site", "leg"), ("severity", "low")],
+    "multi-trauma": [("site", "arm"), ("site", "leg"), ("severity", "high")],
+    "fatigue": [("severity", "low")],
+}
+
+
+def _f2_terms():
+    codes = st.sampled_from(_F2_UNI + ["ghost"])
+    prefixes = st.sampled_from([None, "<", "<<", ">", ">>"])
+    return st.one_of(
+        st.just(("any",)),
+        st.tuples(st.just("focus"), prefixes, codes),
+    )
+
+
+def _f2_exprs(depth=2):
+    if depth == 0:
+        return _f2_terms()
+    sub = _f2_exprs(depth - 1)
+    attrs = st.sampled_from(["site", "severity", "*"])
+    card = st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ).filter(lambda c: c[1] is None or c[1] >= c[0]),
+    )
+    value = st.one_of(
+        st.tuples(
+            st.just("focus"),
+            st.just(None),
+            st.sampled_from(
+                ["arm", "leg", "high", "low", "multi-trauma", "ghost"]
+            ),
+        ),
+        _f2_terms(),
+    )
+    refinement = st.tuples(card, st.booleans(), attrs, value)
+    return st.one_of(
+        sub,
+        st.tuples(st.sampled_from(["AND", "OR", "MINUS"]), sub, sub),
+        st.tuples(st.just("dot"), sub, attrs),
+        st.tuples(
+            st.just("refine"),
+            sub,
+            st.lists(refinement, min_size=1, max_size=2),
+        ),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_f2_exprs())
+def test_ecl_extension_fuzz_matches_reference(spark, node):
+    """Differential fuzz for the r9 ECL extensions: random ASTs with
+    dotted walks, cardinality windows and reverse attributes over the
+    findings2 tree, rendered to strings and compared against the plain-
+    Python reference evaluator — assertion counting (multi-trauma's two
+    site assertions), zero-count [0..0] windows and role-swapped
+    matching must agree set-for-set with the broadcast-join engine."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_FINDINGS2_DOC,
+        _encode_doc as _encode,
+    )
+
+    global _F2_CS_CACHE
+    try:
+        cs, clo = _F2_CS_CACHE
+    except NameError:
+        cs = _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+        clo = concept_closure(concept_edges(cs)).cache()
+        clo.count()
+        _F2_CS_CACHE = (cs, clo)
+    ecl = _ecl_render(node)
+    got = {
+        r.code
+        for r in ecl_expand(
+            ecl, cs, clo, "http://example.org/cs/findings2"
+        ).collect()
+    }
+    assert got == _ecl_ref_eval(node, _F2_UNI, _F2_DESC, _F2_PROPS), ecl
