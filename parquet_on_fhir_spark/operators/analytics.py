@@ -2236,3 +2236,274 @@ def restricted_mean_survival(
     return agg.select(
         rmst.alias("rmst"), "median_t", F.lit(float(tau)).alias("tau")
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test: the
+    nonparametric sibling of :func:`welch_t_test` — does group A's
+    value distribution stochastically dominate group B's? — with
+    average ranks for ties, the tie-corrected normal-approximation
+    variance, and no continuity correction (documented choice: the
+    statistic stays an exact rational, so the cross-engine contract
+    needs no half-step special case).
+
+    Integer-exact formulation (the :func:`binary_auc` recipe — AUC is
+    this same statistic normalized): doubled average ranks
+    ``2·cum_before + cnt + 1`` are integers, so ``2·R_A`` folds in
+    DECIMAL(38,0) with zero float accumulation; ``2·U_A = 2·R_A −
+    n_A(n_A+1)`` and the z numerator ``2·U_A − n_A·n_B`` stay exact
+    integers. The tie term ``T = Σ(t³−t)`` also folds in
+    DECIMAL(38,0) (t=1e12 → 1e36 < 1e38). Exactly TWO double ops
+    happen at the end: the variance expression and one division.
+
+    100 TB plan: one hash aggregate collapses the corpus to the
+    (value, cnt, cnt_a) distinct-value frame; the single ordered
+    window runs over |distinct values| rows, never the corpus — the
+    binary_auc/KM scale shape. NULL values and rows outside the two
+    groups are excluded up front.
+
+    Output: 1 row — (n_a, n_b, u_a, z). u_a is exact (a half-integer);
+    z is NULL when either group is empty or all values are tied
+    (variance 0).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    is_a = (g == group_a).cast("int")
+    per_value = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count("*").alias("__cnt"), F.sum(is_a).alias("__ca"))
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_value.withColumn(
+        "__rank2",
+        2 * (F.sum("__cnt").over(w) - F.col("__cnt")) + F.col("__cnt") + 1,
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.sum(F.col("__ca").cast(dec) * F.col("__rank2").cast(dec)).alias(
+            "__r2a"
+        ),
+        F.sum("__ca").alias("n_a"),
+        F.sum(F.col("__cnt") - F.col("__ca")).alias("n_b"),
+        # Σ(t³−t) per distinct value, folded exactly
+        F.sum(
+            F.col("__cnt").cast(dec) * F.col("__cnt").cast(dec)
+            * F.col("__cnt").cast(dec)
+            - F.col("__cnt").cast(dec)
+        ).alias("__ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2 = F.col("__r2a") - na.cast(dec) * (na + 1).cast(dec)  # 2·U_A
+    num2 = u2 - na.cast(dec) * nb.cast(dec)  # 2·(U_A − μ)
+    var = (
+        na.cast("double")
+        * nb.cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("__ties").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = F.when(
+        (na > 0) & (nb > 0) & (var > 0),
+        num2.cast("double") / (2.0 * F.sqrt(var)),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / 2.0).alias("u_a"),
+        z.alias("z"),
+    )
+
+
+def spearman_correlation(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation ρ between two columns: Pearson over
+    average ranks (the standard tie handling), the robust sibling of
+    the moment-based ``corr`` — monotone association without the
+    normality assumption.
+
+    Exactness: DOUBLED average ranks (``2·cum_before + cnt + 1``, see
+    :func:`binary_auc`) are integers and ρ is invariant under the ×2
+    affine map, so ALL SIX moment sums (n, Σx, Σy, Σx², Σy², Σxy over
+    doubled ranks) fold in DECIMAL(38,0) — order-independent and exact
+    to n ~ 1e12 (Σrx·ry ≈ 4n³ ≈ 4e36 < 1e38). The final correlation
+    is one fixed-order double expression over those exact sums, so the
+    result is bit-stable across engines and partitionings.
+
+    100 TB plan: each column collapses to its distinct-value rank
+    frame via one hash aggregate + one frame-sized window (never the
+    corpus); the corpus then equi-joins the two frames to pair
+    per-row ranks (AQE broadcasts a small frame) and folds the six
+    moments map-side. Rows with a NULL in either column are excluded
+    up front (no rank information).
+
+    Output: 1 row — (rho, n). rho is NULL when n < 2 or either column
+    is constant (zero rank variance).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def rank_frame(col: str, out: str) -> DataFrame:
+        pv = base.groupBy(F.col(col).alias("__v")).agg(
+            F.count("*").alias("__cnt")
+        )
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return pv.select(
+            F.col("__v").alias(col),
+            (
+                2 * (F.sum("__cnt").over(w) - F.col("__cnt"))
+                + F.col("__cnt")
+                + 1
+            ).alias(out),
+        )
+
+    paired = base.join(rank_frame("__x", "__rx"), "__x").join(
+        rank_frame("__y", "__ry"), "__y"
+    )
+    dec = "decimal(38,0)"
+    rx, ry = F.col("__rx").cast(dec), F.col("__ry").cast(dec)
+    agg = paired.agg(
+        F.count("*").alias("n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+        F.sum(rx * ry).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    rho = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return agg.select(rho.alias("rho"), "n")
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int,
+    tiebreak_col: str,
+    term_dp: int | None = None,
+) -> DataFrame:
+    """Per-group NDCG@k (normalized discounted cumulative gain,
+    exponential-gain convention): DCG = Σ_{i≤k} (2^relᵢ − 1) /
+    log₂(i+1) over the ranking induced by ``score_col`` descending
+    (``tiebreak_col`` ascending makes tied scores deterministic —
+    REQUIRED for a cross-engine contract), IDCG the same sum over the
+    relevance-sorted ideal ranking, NDCG their ratio — the standard
+    graded-relevance retrieval metric complementing the binary
+    :func:`binary_auc` / :func:`average_precision` pair.
+
+    Each log₂ term is quantized to ``term_dp`` decimals before the
+    sum when set (the suite/common.py transcendental-sum convention —
+    at most k terms per group, but the contract costs nothing).
+
+    100 TB plan: two keyed windows (predicted + ideal order), both
+    partitioned by group — rank truncation to k happens before the
+    aggregate, so each group contributes ≤ 2k rows past its window;
+    no global window, no corpus-sized state. NULL relevance counts as
+    gain 0; NULL scores sort last (Spark default desc_nulls_last,
+    mirrored in the oracle).
+
+    Output: one row per group — (group, dcg, idcg, ndcg); ndcg NULL
+    when the group has no positive gain (idcg = 0).
+    """
+    from pyspark.sql import Window
+
+    gain = F.pow(F.lit(2.0), F.coalesce(F.col(rel_col), F.lit(0)).cast(
+        "double"
+    )) - 1.0
+    pred = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(tiebreak_col).asc()
+    )
+    ideal = Window.partitionBy(group_col).orderBy(
+        F.coalesce(F.col(rel_col), F.lit(0)).desc(),
+        F.col(tiebreak_col).asc(),
+    )
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        gain.alias("__gain"),
+        F.row_number().over(pred).alias("__rp"),
+        F.row_number().over(ideal).alias("__ri"),
+    )
+
+    def term(rank_col: str) -> Column:
+        t_ = F.when(
+            F.col(rank_col) <= k,
+            F.col("__gain") / F.log2(F.col(rank_col).cast("double") + 1.0),
+        ).otherwise(F.lit(0.0))
+        return F.round(t_, term_dp) if term_dp is not None else t_
+
+    agg = ranked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.sum(term("__rp")).alias("dcg"),
+        F.sum(term("__ri")).alias("idcg"),
+    )
+    ndcg = F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+    return agg.select(group_col, "dcg", "idcg", ndcg.alias("ndcg"))
+
+
+def mean_reciprocal_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Mean reciprocal rank: per group, the reciprocal of the first
+    relevant item's rank in the ``score_col``-descending order
+    (``tiebreak_col`` ascending for deterministic ties), 0 when the
+    group has no relevant item (the standard convention), averaged
+    over ALL groups — the navigational-search companion of
+    :func:`ndcg_at_k`.
+
+    100 TB plan: one keyed window ranks each group, one hash
+    aggregate takes min(rank of first relevant) per group, one global
+    mean over the per-group frame. Reciprocals are single divisions
+    of small integers — exact doubles, no accumulation concern at
+    4-dp output.
+
+    Output: 1 row — (mrr, n_groups, n_hit).
+    """
+    from pyspark.sql import Window
+
+    pred = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(tiebreak_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        (F.coalesce(F.col(rel_col), F.lit(0)) > 0).alias("__rel"),
+        F.row_number().over(pred).alias("__rn"),
+    )
+    per_group = ranked.groupBy("__g").agg(
+        F.min(F.when(F.col("__rel"), F.col("__rn"))).alias("__first")
+    )
+    rr = F.coalesce(1.0 / F.col("__first"), F.lit(0.0))
+    return per_group.agg(
+        F.avg(rr).alias("mrr"),
+        F.count("*").alias("n_groups"),
+        F.count("__first").alias("n_hit"),
+    )

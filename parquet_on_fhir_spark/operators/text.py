@@ -533,3 +533,48 @@ def schema_diff(df_a: "DataFrame", df_b: "DataFrame") -> "DataFrame":
     return spark.createDataFrame(
         rows, "column string, type_a string, type_b string, status string"
     )
+
+
+def repeated_ngram_fraction(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Per-document duplicate word-n-gram fraction — the repetition
+    quality signal from the Gopher filtering rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1: documents whose n-grams are dominated
+    by repeats are templates/chaff): ``(total n-grams − distinct
+    n-grams) / total n-grams``, i.e. the fraction of n-gram slots
+    occupied by a repeat of an earlier n-gram (count-based variant).
+
+    Plan (the :func:`frequent_ngrams` shape): map-side n-gram explode
+    (``_word_ngrams`` — one nested expression, no UDF) → hash
+    aggregate on (doc, gram) with partial combine → per-doc recount.
+    Shuffle rows ≈ distinct (doc, gram) pairs; the text column itself
+    never shuffles. Documents shorter than ``n`` words yield no
+    n-grams and surface with NULL ``dup_fraction`` (nothing to score),
+    not 0.
+
+    Output: (id_col, n_ngrams, n_distinct, dup_fraction).
+    """
+    from parquet_on_fhir_spark.operators.curation import _word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__c"))
+    doc = per.groupBy(id_col).agg(
+        F.sum("__c").alias("n_ngrams"),
+        F.count("*").alias("n_distinct"),
+    )
+    return doc.select(
+        id_col,
+        "n_ngrams",
+        "n_distinct",
+        (
+            (F.col("n_ngrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_ngrams").cast("double")
+        ).alias("dup_fraction"),
+    )

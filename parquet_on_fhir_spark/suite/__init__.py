@@ -42,36 +42,45 @@ WINDOW = [
     # -- round-9 debuts (terminology gaps closed + survival/ranking/
     #    causal stacks completed); eight refresh slots ceded to keep the
     #    window at 50: q13b/q37b/q76/q22/q29/q35/q10/q09 — each has family
-    #    coverage still windowed (q13/q37/q24/q21/q34...) + r1-r6 greens
+    #    coverage still windowed (q13/q37/q24/q21/q34...) + r1-r6 greens.
+    #    Second r9 wave (this session): qf27 ECL dotted walks, qf28 ECL
+    #    cardinality, qf29 ECL reverse attributes, q221 Mann-Whitney U,
+    #    q222 NDCG@10, q223 MRR, q224 Spearman rho, q225 repetition
+    #    audit — eight more refresh slots ceded (q02/q04/q07/q11/q17/
+    #    q20/q38/q39), each with in-window family coverage (q01 scan,
+    #    q03 source, q08 project+filter, q21 agg, q12-q19 joins,
+    #    q37/q40 set-ops) + r1-r6 lifetime greens
     "qf22_valueset_code_exists",
     "qf23_ecl_expand",
     "qf24_ecl_refinement",
     "qf25_validate_code",
     "qf26_ecl_member_of",
+    "qf27_ecl_dotted",
+    "qf28_ecl_cardinality",
+    "qf29_ecl_reverse",
     "q216_log_rank",
     "q217_average_precision",
     "q218_ipw_ate",
     "q219_diff_in_did",
     "q220_rmst",
+    "q221_mann_whitney",
+    "q222_ndcg_at_k",
+    "q223_mrr",
+    "q224_spearman",
+    "q225_repetition_audit",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
-    "q02_schema_merged_scan",
     "q03_ndjson_source",
-    "q04_csv_source",
     "q05_parquet_sink_roundtrip",
     "q06_partitioned_sink",
-    "q07_nested_projection",
     "q08_filter_predicates",
-    "q11_distinct",
     "q12_join_inner_3way",
     "q13_join_left_outer",
     "q14_join_semi_anti",
     "q15_join_broadcast",
     "q16_join_theta_range",
-    "q17_join_cross",
     "q18_join_asof",
     "q19_join_interval_overlap",
-    "q20_join_self",
     "q21_agg_tpch_q1",
     "q24_agg_rollup_grouping",
     "q25_agg_stats",
@@ -81,8 +90,6 @@ WINDOW = [
     "q34_sort_multikey",
     "q36_sort_within_partitions",
     "q37_union_all",
-    "q38_union_by_name",
-    "q39_intersect",
     "q40_except_all",
     "q75_sql_tpch_q5",
     "q77_orc_source_sink",

@@ -2551,3 +2551,66 @@ def q210(spark, sf_dir):
 
 
 QUERIES.append(Q("q210_ols_fit", q210, None))
+
+
+# --- Q225: repeated-trigram repetition audit (Gopher rule) ---------------------------
+def q225(spark, sf_dir):
+    """Per-source repetition audit via the duplicate-trigram fraction
+    (operators/text.py::repeated_ngram_fraction — the Gopher/Rae'21
+    repetition quality rule): docs whose trigram slots are >30%
+    repeats are template chaff. The flag threshold compares scaled
+    INTEGERS (10·dups > 3·total), so the cut is exact in both
+    engines; short docs (<3 tokens) stay n_docs-counted but unscored.
+    Plan: map-side trigram explode → (doc,gram) hash agg → per-doc
+    recount → K-row source aggregate; text never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    rnf = tx.repeated_ngram_fraction(d, "doc_id", "text", 3)
+    j = d.select("doc_id", "source").join(rnf, "doc_id", "left")
+    dups = F.col("n_ngrams") - F.col("n_distinct")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_ngrams").alias("n_scored"),
+        F.count(F.when(10 * dups > 3 * F.col("n_ngrams"), 1)).alias(
+            "n_flagged"
+        ),
+        d4(F.avg("dup_fraction")).alias("avg_dup"),
+    )
+
+
+Q225_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(tk) - 2),
+           i -> array_to_string(tk[i:i+2], ' '))) AS gram
+  FROM toks WHERE len(tk) >= 3
+),
+per AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+),
+doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         count(*) AS n_distinct
+  FROM per GROUP BY doc_id
+),
+j AS (
+  SELECT d.source, doc.n_ngrams, doc.n_distinct,
+         CAST(doc.n_ngrams - doc.n_distinct AS DOUBLE)
+           / CAST(doc.n_ngrams AS DOUBLE) AS dup_fraction
+  FROM documents d LEFT JOIN doc USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(n_ngrams) AS n_scored,
+       CAST(count(CASE WHEN 10 * (n_ngrams - n_distinct) > 3 * n_ngrams
+                  THEN 1 END) AS BIGINT) AS n_flagged,
+       round(avg(dup_fraction) + 1e-9, 4) AS avg_dup
+FROM j GROUP BY source
+"""
+
+
+QUERIES.append(Q("q225_repetition_audit", q225, Q225_ORACLE))

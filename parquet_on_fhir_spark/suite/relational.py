@@ -4742,3 +4742,259 @@ FROM agg
 
 
 QUERIES.append(Q("q220_rmst", q220, Q220_ORACLE))
+
+
+# --- Q221: Mann-Whitney U rank-sum test ----------------------------------------------
+def q221(spark, sf_dir):
+    """Mann-Whitney U (operators/analytics.py::mann_whitney_u): do
+    purchase and click event values differ in distribution? — the
+    nonparametric counterpart of q170's Welch t over the same arms.
+    Distinct-value frame + doubled average ranks in DECIMAL(38,0)
+    (the binary_auc recipe), tie term folded exactly, two double ops
+    at the end — the oracle restates the identical op order, with
+    min+max row_number per value standing in for the doubled rank."""
+    from parquet_on_fhir_spark.operators.analytics import mann_whitney_u
+
+    e = t(spark, sf_dir, "events")
+    out = mann_whitney_u(e, "value", "event_type", "purchase", "click")
+    return out.select(
+        "n_a",
+        "n_b",
+        "u_a",
+        d4(F.col("z")).alias("z"),
+    )
+
+
+Q221_ORACLE = """
+WITH vals AS (
+  SELECT value AS v, CAST(event_type = 'purchase' AS INT) AS ga
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+ranked AS (
+  SELECT ga,
+         min(rn) OVER (PARTITION BY v) + max(rn) OVER (PARTITION BY v) AS r2,
+         count(*) OVER (PARTITION BY v) AS tie
+  FROM (SELECT v, ga, row_number() OVER (ORDER BY v) AS rn FROM vals)
+),
+agg AS (
+  SELECT sum(ga) AS n_a,
+         sum(1 - ga) AS n_b,
+         sum(CASE WHEN ga = 1 THEN r2 ELSE 0 END) AS r2a,
+         -- Σ(t³−t): each tie group of size t contributes t rows of
+         -- (t²−1), exact in HUGEINT like the Spark DECIMAL(38,0) fold
+         sum(tie * tie - 1) AS ties
+  FROM ranked
+),
+terms AS (
+  SELECT n_a, n_b, ties,
+         r2a - n_a * (n_a + 1) AS u2,
+         r2a - n_a * (n_a + 1) - n_a * n_b AS num2,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * (CAST(n_a + n_b + 1 AS DOUBLE)
+              - CAST(ties AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE)
+                   * CAST(n_a + n_b - 1 AS DOUBLE))) AS var
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       round(CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+             THEN CAST(num2 AS DOUBLE) / (2.0 * sqrt(var)) END + 1e-9,
+             4) AS z
+FROM terms
+"""
+
+
+QUERIES.append(Q("q221_mann_whitney", q221, Q221_ORACLE))
+
+
+# --- Q222: NDCG@10 per user ----------------------------------------------------------
+def q222(spark, sf_dir):
+    """Per-user NDCG@10 (operators/analytics.py::ndcg_at_k): treat
+    each user's event feed as a retrieval ranking — predicted order by
+    event value (event_id tiebreak), graded relevance purchase=3 /
+    signup=2 / click=1 — the graded-relevance retrieval metric
+    completing the AUC (q169) / AP (q217) ranking stack. Two KEYED
+    windows (never global), rank truncation at k, per-term 12-dp
+    quantization on the log₂ terms."""
+    from parquet_on_fhir_spark.operators.analytics import ndcg_at_k
+
+    e = t(spark, sf_dir, "events")
+    rel = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+    )
+    out = ndcg_at_k(
+        e.withColumn("rel", rel),
+        "user_id",
+        "value",
+        "rel",
+        10,
+        "event_id",
+        term_dp=12,
+    )
+    return out.select(
+        "user_id",
+        d4(F.col("dcg")).alias("dcg"),
+        d4(F.col("idcg")).alias("idcg"),
+        d4(F.col("ndcg")).alias("ndcg"),
+    )
+
+
+Q222_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, value,
+         CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+              WHEN 'click' THEN 1 ELSE 0 END AS rel
+  FROM events
+),
+ranked AS (
+  SELECT user_id,
+         power(2.0, CAST(rel AS DOUBLE)) - 1.0 AS gain,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY value DESC NULLS LAST, event_id) AS rp,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY rel DESC, event_id) AS ri
+  FROM base
+),
+agg AS (
+  SELECT user_id,
+         sum(CASE WHEN rp <= 10
+             THEN round(gain / log2(CAST(rp AS DOUBLE) + 1.0), 12)
+             ELSE 0.0 END) AS dcg,
+         sum(CASE WHEN ri <= 10
+             THEN round(gain / log2(CAST(ri AS DOUBLE) + 1.0), 12)
+             ELSE 0.0 END) AS idcg
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id,
+       round(dcg + 1e-9, 4) AS dcg,
+       round(idcg + 1e-9, 4) AS idcg,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg END + 1e-9, 4) AS ndcg
+FROM agg
+"""
+
+
+QUERIES.append(Q("q222_ndcg_at_k", q222, Q222_ORACLE))
+
+
+# --- Q223: mean reciprocal rank ------------------------------------------------------
+def q223(spark, sf_dir):
+    """MRR (operators/analytics.py::mean_reciprocal_rank): reciprocal
+    rank of each user's first purchase in their value-ordered feed, 0
+    for users who never purchase, averaged over ALL users — one keyed
+    window + one per-group min + one global mean over the per-user
+    frame."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        mean_reciprocal_rank,
+    )
+
+    e = t(spark, sf_dir, "events")
+    out = mean_reciprocal_rank(
+        e.withColumn("rel", (F.col("event_type") == "purchase").cast("int")),
+        "user_id",
+        "value",
+        "rel",
+        "event_id",
+    )
+    return out.select(
+        d4(F.col("mrr")).alias("mrr"),
+        "n_groups",
+        "n_hit",
+    )
+
+
+Q223_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type = 'purchase' AS rel,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY value DESC NULLS LAST, event_id) AS rn
+  FROM events
+),
+per AS (
+  SELECT user_id, min(CASE WHEN rel THEN rn END) AS first_rel
+  FROM ranked GROUP BY user_id
+)
+SELECT round(avg(COALESCE(1.0 / first_rel, 0.0)) + 1e-9, 4) AS mrr,
+       count(*) AS n_groups,
+       count(first_rel) AS n_hit
+FROM per
+"""
+
+
+QUERIES.append(Q("q223_mrr", q223, Q223_ORACLE))
+
+
+# --- Q224: Spearman rank correlation -------------------------------------------------
+def q224(spark, sf_dir):
+    """Spearman ρ between lineitem quantity and extended price
+    (operators/analytics.py::spearman_correlation) — monotone
+    association robust to the price distribution's shape; quantity's
+    50 distinct values exercise heavy ties. All six moments fold
+    exactly over doubled average ranks (DECIMAL(38,0) Spark-side,
+    HUGEINT in the oracle); the final ρ is one mirrored double
+    expression."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        spearman_correlation,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    out = spearman_correlation(
+        li.select(
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        ),
+        "qty",
+        "price",
+    )
+    return out.select(d4(F.col("rho")).alias("rho"), "n")
+
+
+Q224_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+ranked AS (
+  SELECT min(rnx) OVER (PARTITION BY x)
+           + max(rnx) OVER (PARTITION BY x) AS rx,
+         min(rny) OVER (PARTITION BY y)
+           + max(rny) OVER (PARTITION BY y) AS ry
+  FROM (
+    SELECT x, y,
+           row_number() OVER (ORDER BY x) AS rnx,
+           row_number() OVER (ORDER BY y) AS rny
+    FROM base
+  )
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+         sum(rx * ry) AS sxy
+  FROM ranked
+)
+SELECT round(CASE WHEN n >= 2
+         AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END + 1e-9, 4) AS rho,
+       n
+FROM agg
+"""
+
+
+QUERIES.append(Q("q224_spearman", q224, Q224_ORACLE))

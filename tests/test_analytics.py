@@ -951,6 +951,20 @@ def test_operators_graceful_on_empty_input(spark):
     assert D.exact_dedup(docs, "text", "doc_id").count() == 0
     assert TS.holt_smoothing(nums, "ts", ["k"], "v").count() == 0
     assert TS.cusum_changepoints(nums, "ts", ["k"], "v").count() == 0
+    # second r9 wave: rank/IR operators follow the same contract
+    (mw,) = A.mann_whitney_u(nums, "v", "g", "a", "b").collect()
+    assert mw.z is None and mw.u_a is None and mw.n_a is None
+    (sp,) = A.spearman_correlation(nums, "v", "w").collect()
+    assert sp.rho is None and sp.n == 0
+    assert A.ndcg_at_k(
+        nums.selectExpr("g", "v", "cast(y as int) as rel", "w"),
+        "g", "v", "rel", 5, "w",
+    ).count() == 0
+    assert A.mean_reciprocal_rank(
+        nums.selectExpr("g", "v", "cast(y as int) as rel", "w"),
+        "g", "v", "rel", "w",
+    ).count() == 1
+    assert T.repeated_ngram_fraction(docs, "doc_id", "text", 3).count() == 0
 
     # graph / curation / join operators on empty inputs
     from parquet_on_fhir_spark.operators import curation as Cu
@@ -1129,3 +1143,128 @@ def test_restricted_mean_survival_known_values(spark):
     assert r3.median_t is None and r3.rmst is not None
     with pytest.raises(ValueError, match="tau"):
         restricted_mean_survival(df, "dur", "ev", tau=0.0)
+
+
+def test_mann_whitney_known_values(spark):
+    """operators/analytics.py::mann_whitney_u vs hand-computed rank
+    sums: the untied textbook case, an average-rank tie case with the
+    tie-corrected variance, the empty-arm and all-tied NULL-z guards."""
+    import math
+
+    from parquet_on_fhir_spark.operators.analytics import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 3.0), ("b", 5.0)],
+        "grp string, v double",
+    )
+    r = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    # ranks 1,2,4 -> R_A=7, U_A = 7 - 3*4/2 = 1; mu = 3; var = 3
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u_a == 1.0
+    assert abs(r.z - (1.0 - 3.0) / math.sqrt(3.0)) < 1e-12
+
+    tied = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+        "grp string, v double",
+    )
+    r2 = mann_whitney_u(tied, "v", "grp", "a", "b").collect()[0]
+    # three 2.0s share avg rank 3: R_A = 1+3+3 = 7, U_A = 1
+    # T = 3^3-3 = 24; var = (6/12)*((5+1) - 24/(5*4)) = 2.4
+    assert r2.u_a == 1.0
+    assert abs(r2.z - (1.0 - 3.0) / math.sqrt(2.4)) < 1e-12
+
+    # one empty arm -> U = 0, z NULL (no comparison possible)
+    solo = mann_whitney_u(df.filter("grp = 'a'"), "v", "grp", "a", "b")
+    r3 = solo.collect()[0]
+    assert (r3.n_a, r3.n_b, r3.u_a, r3.z) == (3, 0, 0.0, None)
+
+    # all values tied -> zero variance -> z NULL, u_a = mu exactly
+    flat = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], "grp string, v double"
+    )
+    r4 = mann_whitney_u(flat, "v", "grp", "a", "b").collect()[0]
+    assert (r4.u_a, r4.z) == (1.0, None)
+
+
+def test_spearman_known_values(spark):
+    """operators/analytics.py::spearman_correlation vs hand-computed
+    average-rank Pearson: perfect monotone = ±1, a tie case, and the
+    constant-column NULL guard."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        spearman_correlation,
+    )
+
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 35.0)], "x double, y double"
+    )
+    assert abs(
+        spearman_correlation(mono, "x", "y").collect()[0].rho - 1.0
+    ) < 1e-12
+    rev = spark.createDataFrame(
+        [(1.0, 30.0), (2.0, 20.0), (3.0, 10.0)], "x double, y double"
+    )
+    assert abs(
+        spearman_correlation(rev, "x", "y").collect()[0].rho + 1.0
+    ) < 1e-12
+    # ties: rx = [1, 2.5, 2.5, 4], ry = [1, 3, 2, 4]
+    # cov = 4.5, var_rx = 4.5, var_ry = 5 -> rho = 4.5/sqrt(22.5)
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)],
+        "x double, y double",
+    )
+    r = spearman_correlation(tied, "x", "y").collect()[0]
+    assert r.n == 4
+    assert abs(r.rho - 4.5 / (22.5 ** 0.5)) < 1e-12
+    # constant column -> zero rank variance -> NULL
+    flat = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0)], "x double, y double"
+    )
+    assert spearman_correlation(flat, "x", "y").collect()[0].rho is None
+    # NULLs excluded pairwise
+    nulls = spark.createDataFrame(
+        [(1.0, 10.0), (None, 5.0), (2.0, 20.0), (3.0, None), (3.0, 30.0)],
+        "x double, y double",
+    )
+    r2 = spearman_correlation(nulls, "x", "y").collect()[0]
+    assert r2.n == 3 and abs(r2.rho - 1.0) < 1e-12
+
+
+def test_ndcg_and_mrr_known_values(spark):
+    """operators/analytics.py::ndcg_at_k / mean_reciprocal_rank vs
+    hand-computed DCG chains: exponential gains, log2 discounts, rank
+    truncation, the zero-gain NULL guard, and the miss-as-zero MRR
+    convention."""
+    import math
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        mean_reciprocal_rank,
+        ndcg_at_k,
+    )
+
+    rows = [
+        ("g1", 0.9, 3, 1), ("g1", 0.8, 0, 2), ("g1", 0.7, 2, 3),
+        ("g2", 0.5, 0, 4), ("g2", 0.4, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, rel int, id int")
+    out = {r.g: r for r in ndcg_at_k(df, "g", "score", "rel", 2, "id").collect()}
+    idcg = 7.0 + 3.0 / math.log2(3.0)
+    assert abs(out["g1"].dcg - 7.0) < 1e-12
+    assert abs(out["g1"].idcg - idcg) < 1e-12
+    assert abs(out["g1"].ndcg - 7.0 / idcg) < 1e-12
+    # zero-gain group: idcg = 0 -> ndcg NULL, not division error
+    assert out["g2"].ndcg is None and out["g2"].idcg == 0.0
+    # k=1 truncation: only the top item counts -> perfect score
+    out1 = {r.g: r for r in ndcg_at_k(df, "g", "score", "rel", 1, "id").collect()}
+    assert out1["g1"].ndcg == 1.0
+
+    mrr_rows = [
+        ("u1", 0.9, 0, 1), ("u1", 0.8, 1, 2),   # first hit at rank 2
+        ("u2", 0.9, 0, 3),                       # no hit -> rr 0
+        ("u3", 0.9, 1, 4), ("u3", 0.8, 1, 5),   # hit at rank 1
+    ]
+    mdf = spark.createDataFrame(
+        mrr_rows, "g string, score double, rel int, id int"
+    )
+    m = mean_reciprocal_rank(mdf, "g", "score", "rel", "id").collect()[0]
+    assert (m.n_groups, m.n_hit) == (3, 2)
+    assert abs(m.mrr - (0.5 + 0.0 + 1.0) / 3.0) < 1e-12

@@ -566,3 +566,31 @@ def test_schema_diff(spark):
     assert got2 == {
         "id": "unchanged", "s": "removed", "v": "removed", "flag": "added",
     }
+
+
+def test_repeated_ngram_fraction_known_values(spark):
+    """operators/text.py::repeated_ngram_fraction vs hand-counted
+    trigram multisets: the Gopher repetition rule's count-based
+    duplicate fraction, short docs unscored (absent), no-repeat docs
+    at exactly 0."""
+    from parquet_on_fhir_spark.operators.text import repeated_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            # trigrams: 'a b a','b a b','a b a','b a b','a b a'
+            # -> 5 total, 2 distinct -> dup 3/5
+            (1, "a b a b a b a"),
+            (2, "a b c d"),        # 2 distinct trigrams, 0 repeats
+            (3, "x y"),            # < 3 tokens -> no trigrams -> absent
+            (4, "T T t t"),        # lowercased: 't t t' x2 -> dup 1/2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           repeated_ngram_fraction(docs, "doc_id", "text", 3).collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1].n_ngrams, out[1].n_distinct) == (5, 2)
+    assert abs(out[1].dup_fraction - 0.6) < 1e-12
+    assert out[2].dup_fraction == 0.0
+    assert (out[4].n_ngrams, out[4].n_distinct) == (2, 1)
+    assert abs(out[4].dup_fraction - 0.5) < 1e-12
