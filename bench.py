@@ -76,6 +76,8 @@ HEADLINE = [
     # round-9 additions (new lines, not regressions vs BENCH_r08):
     "q216_log_rank",                   # survival A/B over distinct-time frames
     "q217_average_precision",          # PR-curve area over distinct-score frames
+    "q221_mann_whitney",               # rank-sum over a GROWING distinct-value frame
+    "q225_repetition_audit",           # per-doc trigram explode-agg (Gopher rule)
 ]
 
 

@@ -2244,6 +2244,7 @@ def mann_whitney_u(
     group_col: str,
     group_a,
     group_b,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test: the
     nonparametric sibling of :func:`welch_t_test` — does group A's
@@ -2265,8 +2266,14 @@ def mann_whitney_u(
     100 TB plan: one hash aggregate collapses the corpus to the
     (value, cnt, cnt_a) distinct-value frame; the single ordered
     window runs over |distinct values| rows, never the corpus — the
-    binary_auc/KM scale shape. NULL values and rows outside the two
-    groups are excluded up front.
+    binary_auc/KM scale shape, INCLUDING the ``quantize`` bucket-width
+    escape hatch: for a truly continuous metric the distinct-value
+    frame is corpus-sized, so pass a width (e.g. 1e-4) to round values
+    to multiples of it first — the window shrinks to ≤ range/quantize
+    rows and the rank statistic moves by at most the mass rebucketed
+    at bin edges (ties created there get average ranks, which the
+    variance's tie term then accounts for). NULL values and rows
+    outside the two groups are excluded up front.
 
     Output: 1 row — (n_a, n_b, u_a, z). u_a is exact (a half-integer);
     z is NULL when either group is empty or all values are tied
@@ -2276,9 +2283,12 @@ def mann_whitney_u(
 
     g = F.col(group_col)
     is_a = (g == group_a).cast("int")
+    val = F.col(value_col)
+    if quantize is not None:
+        val = F.round(val / F.lit(quantize)) * F.lit(quantize)
     per_value = (
-        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("__v"))
+        df.filter(g.isin([group_a, group_b]) & val.isNotNull())
+        .groupBy(val.alias("__v"))
         .agg(F.count("*").alias("__cnt"), F.sum(is_a).alias("__ca"))
     )
     w = Window.orderBy("__v").rowsBetween(
@@ -2328,7 +2338,12 @@ def mann_whitney_u(
     )
 
 
-def spearman_correlation(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize: float | None = None,
+) -> DataFrame:
     """Spearman rank correlation ρ between two columns: Pearson over
     average ranks (the standard tie handling), the robust sibling of
     the moment-based ``corr`` — monotone association without the
@@ -2346,17 +2361,27 @@ def spearman_correlation(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     frame via one hash aggregate + one frame-sized window (never the
     corpus); the corpus then equi-joins the two frames to pair
     per-row ranks (AQE broadcasts a small frame) and folds the six
-    moments map-side. Rows with a NULL in either column are excluded
-    up front (no rank information).
+    moments map-side. For truly CONTINUOUS columns the frames are
+    corpus-sized — pass ``quantize`` (a bucket width applied to both
+    columns before ranking) to bound them at ≤ range/quantize rows;
+    bucketed ties get average ranks, moving ρ by at most the
+    rebucketed edge mass (the binary_auc escape-hatch convention).
+    Rows with a NULL in either column are excluded up front (no rank
+    information).
 
     Output: 1 row — (rho, n). rho is NULL when n < 2 or either column
     is constant (zero rank variance).
     """
     from pyspark.sql import Window
 
+    def q(c: Column) -> Column:
+        if quantize is None:
+            return c
+        return F.round(c / F.lit(quantize)) * F.lit(quantize)
+
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    ).select(q(F.col(x_col)).alias("__x"), q(F.col(y_col)).alias("__y"))
 
     def rank_frame(col: str, out: str) -> DataFrame:
         pv = base.groupBy(F.col(col).alias("__v")).agg(

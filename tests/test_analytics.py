@@ -1185,6 +1185,16 @@ def test_mann_whitney_known_values(spark):
     r4 = mann_whitney_u(flat, "v", "grp", "a", "b").collect()[0]
     assert (r4.u_a, r4.z) == (1.0, None)
 
+    # quantize tier: coarse buckets collapse near-equal values into
+    # ties, reproducing the hand-tied case above exactly
+    near = spark.createDataFrame(
+        [("a", 1.01), ("a", 1.99), ("a", 2.02), ("b", 2.01), ("b", 3.02)],
+        "grp string, v double",
+    )
+    rq = mann_whitney_u(near, "v", "grp", "a", "b", quantize=1.0).collect()[0]
+    assert rq.u_a == 1.0
+    assert abs(rq.z - (1.0 - 3.0) / math.sqrt(2.4)) < 1e-12
+
 
 def test_spearman_known_values(spark):
     """operators/analytics.py::spearman_correlation vs hand-computed
@@ -1227,6 +1237,13 @@ def test_spearman_known_values(spark):
     )
     r2 = spearman_correlation(nulls, "x", "y").collect()[0]
     assert r2.n == 3 and abs(r2.rho - 1.0) < 1e-12
+    # quantize tier: bucketing both columns reproduces the tied case
+    nearq = spark.createDataFrame(
+        [(1.02, 0.99), (2.01, 2.98), (1.98, 2.02), (3.01, 4.02)],
+        "x double, y double",
+    )
+    rq = spearman_correlation(nearq, "x", "y", quantize=1.0).collect()[0]
+    assert abs(rq.rho - 4.5 / (22.5 ** 0.5)) < 1e-12
 
 
 def test_ndcg_and_mrr_known_values(spark):

@@ -502,3 +502,41 @@ def test_survival_ranking_windows_are_frame_bound(spark, sf_dir):
     ):
         df.count()  # materialize so AQE finalizes the executed plan
         assert _single_partition_exchanges_post_aggregate(df) == []
+
+
+def test_rank_stat_windows_are_frame_bound(spark, sf_dir):
+    """mann_whitney_u / spearman_correlation (r9 wave 2): their ordered
+    windows may only see the distinct-value frame — every
+    SinglePartition exchange must sit above a hash aggregate (the
+    binary_auc scale shape). ndcg_at_k / mean_reciprocal_rank use only
+    KEYED windows, so their plans must contain NO SinglePartition
+    window exchange at all below the final 1-row aggregate."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        mann_whitney_u,
+        mean_reciprocal_rank,
+        ndcg_at_k,
+        spearman_correlation,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+        (F.col("event_id") % 4).cast("int").alias("rel"),
+    )
+    for df in (
+        mann_whitney_u(e, "value", "event_type", "purchase", "click"),
+        spearman_correlation(
+            e.select(
+                F.round("value", 1).alias("x"),
+                F.col("user_id").cast("double").alias("y"),
+            ),
+            "x",
+            "y",
+        ),
+        ndcg_at_k(e, "user_id", "value", "rel", 10, "event_id"),
+        mean_reciprocal_rank(e, "user_id", "value", "rel", "event_id"),
+    ):
+        df.count()
+        assert _single_partition_exchanges_post_aggregate(df) == []

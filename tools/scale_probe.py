@@ -34,6 +34,13 @@ PROBE_QUERIES = [
     # inline-doc queries, so replication tells us nothing about them)
     "q216_log_rank",
     "q217_average_precision",
+    # round-9 second wave: Mann-Whitney shares the distinct-value-frame
+    # shape (continuous values -> the frame GROWS with replication, the
+    # interesting stress), Spearman adds the rank-frame equi-joins back
+    # against the corpus, repetition adds the (doc,gram) explode-agg
+    "q221_mann_whitney",
+    "q224_spearman",
+    "q225_repetition_audit",
 ]
 
 
