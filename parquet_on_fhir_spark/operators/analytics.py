@@ -2532,3 +2532,154 @@ def mean_reciprocal_rank(
         F.count("*").alias("n_groups"),
         F.count("__first").alias("n_hit"),
     )
+
+
+def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F test across ALL groups of ``group_col`` — does
+    the mean of ``value_col`` differ somewhere? — the k-sample
+    generalization of :func:`welch_t_test` (classical equal-variance
+    form). F = [Σ n_g(x̄_g − x̄)² / (k−1)] / [Σ(x − x̄_g)² / (N−k)],
+    with η² = SSB/SST as the effect size.
+
+    Plan: ONE hash aggregate to the per-group (n, Σx, Σx²) moment
+    frame (K rows), then a K-row reduce — SSW = Σ_g(Σx² − (Σx)²/n_g)
+    and SSB from the same moments, so the corpus is read once and
+    nothing but the K-row frame crosses a shuffle. NULL values
+    excluded up front.
+
+    Output: 1 row — (f, eta_sq, df_between, df_within, n, k). f is
+    NULL when k < 2, N ≤ k, or SSW = 0 (all groups constant).
+    """
+    per_g = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col(value_col).cast("double")).alias("__s"),
+            F.sum(
+                F.col(value_col).cast("double")
+                * F.col(value_col).cast("double")
+            ).alias("__ss"),
+        )
+    )
+    agg = per_g.agg(
+        F.count("*").alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum("__s").alias("__ts"),
+        F.sum("__ss").alias("__tss"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sb"),
+    )
+    n = F.col("n").cast("double")
+    sst = F.col("__tss") - F.col("__ts") * F.col("__ts") / n
+    ssb = F.col("__sb") - F.col("__ts") * F.col("__ts") / n
+    ssw = F.col("__tss") - F.col("__sb")
+    dfb = (F.col("k") - 1).cast("double")
+    dfw = (F.col("n") - F.col("k")).cast("double")
+    f = F.when(
+        (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0),
+        (ssb / dfb) / (ssw / dfw),
+    )
+    eta = F.when(sst > 0, ssb / sst)
+    return agg.select(
+        f.alias("f"),
+        eta.alias("eta_sq"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        "n",
+        "k",
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Kruskal-Wallis H: the k-sample rank test (the nonparametric
+    sibling of :func:`anova_f`, generalizing :func:`mann_whitney_u`
+    beyond two groups), with average ranks for ties and the standard
+    tie correction H / (1 − Σ(t³−t)/(N³−N)).
+
+    Exactness: per-group DOUBLED rank sums 2·R_g fold in
+    DECIMAL(38,0) over the (value, group) count frame (the
+    :func:`binary_auc` recipe — doubled average ranks are integers),
+    as does the tie term Σ(t³−t). Since (2R_g)² can exceed
+    DECIMAL(38,0) at extreme n, the K-row combination Σ(2R_g)²/n_g
+    runs in double over the exact per-group sums — K bounded terms,
+    one mirrored expression.
+
+    100 TB plan: one hash aggregate to the (value, group) frame, one
+    frame-sized aggregate to the distinct-value frame, ONE ordered
+    window over it (never the corpus), one frame-frame join back, and
+    a K-row reduce. ``quantize`` bounds the frame for continuous
+    values (the escape-hatch convention of this module).
+
+    Output: 1 row — (h, df, n, k). h is NULL when k < 2, n ≤ 1, or
+    all values are tied (tie correction hits 0).
+    """
+    from pyspark.sql import Window
+
+    val = F.col(value_col)
+    if quantize is not None:
+        val = F.round(val / F.lit(quantize)) * F.lit(quantize)
+    per_vg = (
+        df.filter(val.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(val.alias("__v"), F.col(group_col).alias("__g"))
+        .agg(F.count("*").alias("__c"))
+    )
+    per_v = per_vg.groupBy("__v").agg(F.sum("__c").alias("__cnt"))
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.select(
+        "__v",
+        "__cnt",
+        (
+            2 * (F.sum("__cnt").over(w) - F.col("__cnt"))
+            + F.col("__cnt")
+            + 1
+        ).alias("__rank2"),
+    )
+    dec = "decimal(38,0)"
+    per_g = (
+        per_vg.join(ranked, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__ng"),
+            F.sum(F.col("__c").cast(dec) * F.col("__rank2").cast(dec)).alias(
+                "__r2g"
+            ),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("__cnt").cast(dec) * F.col("__cnt").cast(dec)
+            * F.col("__cnt").cast(dec)
+            - F.col("__cnt").cast(dec)
+        ).alias("__t")
+    )
+    agg = per_g.agg(
+        F.count("*").alias("k"),
+        F.sum("__ng").alias("n"),
+        F.sum(
+            F.col("__r2g").cast("double")
+            * F.col("__r2g").cast("double")
+            / F.col("__ng").cast("double")
+        ).alias("__s2"),
+    ).crossJoin(ties)
+    n = F.col("n").cast("double")
+    # H on doubled ranks: Σ(2R_g)²/n_g = 4·ΣR_g²/n_g, so the classic
+    # 12/(N(N+1))·ΣR_g²/n_g − 3(N+1) becomes 3/(N(N+1))·Σ(2R_g)²/n_g
+    # − 3(N+1)
+    h_raw = 3.0 / (n * (n + 1.0)) * F.col("__s2") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("__t").cast("double") / (n * n * n - n)
+    h = F.when(
+        (F.col("k") >= 2) & (F.col("n") > 1) & (corr > 0), h_raw / corr
+    )
+    return agg.select(
+        h.alias("h"),
+        (F.col("k") - 1).alias("df"),
+        "n",
+        "k",
+    )

@@ -578,3 +578,74 @@ def repeated_ngram_fraction(
             / F.col("n_ngrams").cast("double")
         ).alias("dup_fraction"),
     )
+
+
+def source_ngram_overlap(
+    df: "DataFrame",
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Pairwise n-gram Jaccard overlap between document groups
+    (sources): |grams(A) ∩ grams(B)| / |grams(A) ∪ grams(B)| over the
+    DISTINCT n-gram vocabulary of each group — the corpus-leakage /
+    syndication audit between sources (complements
+    :func:`repeated_ngram_fraction` within docs and the exact
+    cross-source duplicate audit: overlap shows up here even when no
+    document is an exact copy).
+
+    Plan: map-side n-gram explode → (group, gram) DISTINCT (one hash
+    aggregate, text never shuffles) → self-equi-join on gram with
+    ``group_a < group_b`` (each shared gram emits one row per source
+    pair) → K²-row pair aggregate joined against the K-row per-group
+    vocabulary sizes. Shuffle volume ≈ the distinct (group, gram)
+    vocabulary, never the corpus; the pair/size frames are K-bounded
+    broadcasts.
+
+    Output: one row per unordered pair WITH at least one shared gram
+    (zero-overlap pairs carry no audit signal and are omitted) —
+    (group_a, group_b, grams_a, grams_b, shared, jaccard).
+    """
+    from parquet_on_fhir_spark.operators.curation import _word_ngrams
+
+    vocab = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("group").agg(F.count("*").alias("n_grams"))
+    a = vocab.select(F.col("group").alias("group_a"), "gram")
+    b = vocab.select(F.col("group").alias("group_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"group": "group_a", "n_grams": "grams_a"}
+            )),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"group": "group_b", "n_grams": "grams_b"}
+            )),
+            "group_b",
+        )
+    )
+    union = F.col("grams_a") + F.col("grams_b") - F.col("shared")
+    return out.select(
+        "group_a",
+        "group_b",
+        "grams_a",
+        "grams_b",
+        "shared",
+        (F.col("shared").cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
+    )

@@ -46,10 +46,12 @@ WINDOW = [
     #    Second r9 wave (this session): qf27 ECL dotted walks, qf28 ECL
     #    cardinality, qf29 ECL reverse attributes, q221 Mann-Whitney U,
     #    q222 NDCG@10, q223 MRR, q224 Spearman rho, q225 repetition
-    #    audit — eight more refresh slots ceded (q02/q04/q07/q11/q17/
-    #    q20/q38/q39), each with in-window family coverage (q01 scan,
-    #    q03 source, q08 project+filter, q21 agg, q12-q19 joins,
-    #    q37/q40 set-ops) + r1-r6 lifetime greens
+    #    audit, q226 ANOVA F, q227 Kruskal-Wallis, q228 cross-source
+    #    n-gram overlap — eleven more refresh slots ceded (q02/q04/q07/
+    #    q11/q17/q20/q38/q39 then q05/q26/q27), each with in-window
+    #    family coverage (q01 scan, q03 source, q06 sink, q08
+    #    project+filter, q21/q25/q28 aggs, q12-q19 joins, q37/q40
+    #    set-ops) + r1-r6 lifetime greens
     "qf22_valueset_code_exists",
     "qf23_ecl_expand",
     "qf24_ecl_refinement",
@@ -68,10 +70,12 @@ WINDOW = [
     "q223_mrr",
     "q224_spearman",
     "q225_repetition_audit",
+    "q226_anova_f",
+    "q227_kruskal_wallis",
+    "q228_source_overlap",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q03_ndjson_source",
-    "q05_parquet_sink_roundtrip",
     "q06_partitioned_sink",
     "q08_filter_predicates",
     "q12_join_inner_3way",
@@ -84,8 +88,6 @@ WINDOW = [
     "q21_agg_tpch_q1",
     "q24_agg_rollup_grouping",
     "q25_agg_stats",
-    "q26_agg_median",
-    "q27_agg_minby_maxby_collect",
     "q28_agg_global",
     "q34_sort_multikey",
     "q36_sort_within_partitions",

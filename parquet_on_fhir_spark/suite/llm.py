@@ -2614,3 +2614,57 @@ FROM j GROUP BY source
 
 
 QUERIES.append(Q("q225_repetition_audit", q225, Q225_ORACLE))
+
+
+# --- Q228: cross-source n-gram overlap audit -----------------------------------------
+def q228(spark, sf_dir):
+    """Pairwise trigram-vocabulary Jaccard between sources
+    (operators/text.py::source_ngram_overlap): the corpus-leakage /
+    syndication audit that catches cross-source overlap even when no
+    document is an exact copy (q204's complement). Shuffle volume is
+    the distinct (source, gram) vocabulary — text never moves; the
+    pair and size frames are K-bounded broadcasts."""
+    d = t(spark, sf_dir, "documents")
+    out = tx.source_ngram_overlap(d, "source", "text", 3)
+    return out.select(
+        "group_a",
+        "group_b",
+        "grams_a",
+        "grams_b",
+        "shared",
+        d4(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+Q228_ORACLE = """
+WITH toks AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+vocab AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           generate_series(1, len(tk) - 2),
+           i -> array_to_string(tk[i:i+2], ' '))) AS gram
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT source, count(*) AS n_grams FROM vocab GROUP BY source),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b, count(*) AS shared
+  FROM vocab a JOIN vocab b USING (gram)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT group_a, group_b,
+       sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+       CAST(shared AS BIGINT) AS shared,
+       round(CAST(shared AS DOUBLE)
+             / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE)
+             + 1e-9, 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.source = group_a
+JOIN sizes sb ON sb.source = group_b
+"""
+
+
+QUERIES.append(Q("q228_source_overlap", q228, Q228_ORACLE))

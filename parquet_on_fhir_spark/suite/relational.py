@@ -4998,3 +4998,109 @@ FROM agg
 
 
 QUERIES.append(Q("q224_spearman", q224, Q224_ORACLE))
+
+
+# --- Q226: one-way ANOVA F -----------------------------------------------------------
+def q226(spark, sf_dir):
+    """One-way ANOVA F across all five event types (operators/
+    analytics.py::anova_f): the k-sample mean test completing the
+    q170 Welch-t / q221 Mann-Whitney pairwise stack — one hash
+    aggregate to the K-row moment frame, K-row reduce, nothing but
+    moments crosses a shuffle."""
+    from parquet_on_fhir_spark.operators.analytics import anova_f
+
+    e = t(spark, sf_dir, "events")
+    out = anova_f(e, "value", "event_type")
+    return out.select(
+        d4(F.col("f")).alias("f"),
+        d4(F.col("eta_sq")).alias("eta_sq"),
+        "df_between",
+        "df_within",
+        "n",
+        "k",
+    )
+
+
+Q226_ORACLE = """
+WITH per_g AS (
+  SELECT event_type AS g, count(*) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type
+),
+agg AS (
+  SELECT count(*) AS k, sum(n) AS n, sum(s) AS ts, sum(ss) AS tss,
+         sum(s * s / n) AS sb
+  FROM per_g
+)
+SELECT round(CASE WHEN k >= 2 AND n > k AND (tss - sb) > 0
+         THEN ((sb - ts * ts / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+              / ((tss - sb) / CAST(n - k AS DOUBLE)) END + 1e-9, 4) AS f,
+       round(CASE WHEN (tss - ts * ts / CAST(n AS DOUBLE)) > 0
+         THEN (sb - ts * ts / CAST(n AS DOUBLE))
+              / (tss - ts * ts / CAST(n AS DOUBLE)) END + 1e-9, 4) AS eta_sq,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       CAST(n AS BIGINT) AS n,
+       k
+FROM agg
+"""
+
+
+QUERIES.append(Q("q226_anova_f", q226, Q226_ORACLE))
+
+
+# --- Q227: Kruskal-Wallis H ----------------------------------------------------------
+def q227(spark, sf_dir):
+    """Kruskal-Wallis H across all five event types (operators/
+    analytics.py::kruskal_wallis) — q226's rank sibling. Doubled rank
+    sums and the tie term fold exactly (DECIMAL(38,0) / HUGEINT); the
+    K-row Σ(2R_g)²/n_g combination and the H expression are mirrored
+    double ops."""
+    from parquet_on_fhir_spark.operators.analytics import kruskal_wallis
+
+    e = t(spark, sf_dir, "events")
+    out = kruskal_wallis(e, "value", "event_type")
+    return out.select(d4(F.col("h")).alias("h"), "df", "n", "k")
+
+
+Q227_ORACLE = """
+WITH vals AS (
+  SELECT value AS v, event_type AS g FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+ranked AS (
+  SELECT g,
+         min(rn) OVER (PARTITION BY v) + max(rn) OVER (PARTITION BY v) AS r2,
+         count(*) OVER (PARTITION BY v) AS tie
+  FROM (SELECT v, g, row_number() OVER (ORDER BY v) AS rn FROM vals)
+),
+per_g AS (
+  SELECT g, count(*) AS ng, sum(r2) AS r2g FROM ranked GROUP BY g
+),
+tt AS (SELECT sum(tie * tie - 1) AS t FROM ranked),
+agg AS (
+  SELECT count(*) AS k, sum(ng) AS n,
+         sum(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+             / CAST(ng AS DOUBLE)) AS s2
+  FROM per_g
+)
+SELECT round(CASE WHEN k >= 2 AND n > 1
+         AND 1.0 - CAST(t AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE)) > 0
+         THEN (3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s2
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+              / (1.0 - CAST(t AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+         END + 1e-9, 4) AS h,
+       CAST(k - 1 AS BIGINT) AS df,
+       CAST(n AS BIGINT) AS n,
+       k
+FROM agg CROSS JOIN tt
+"""
+
+
+QUERIES.append(Q("q227_kruskal_wallis", q227, Q227_ORACLE))

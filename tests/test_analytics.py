@@ -1285,3 +1285,60 @@ def test_ndcg_and_mrr_known_values(spark):
     m = mean_reciprocal_rank(mdf, "g", "score", "rel", "id").collect()[0]
     assert (m.n_groups, m.n_hit) == (3, 2)
     assert abs(m.mrr - (0.5 + 0.0 + 1.0) / 3.0) < 1e-12
+
+
+def test_anova_kruskal_known_values(spark):
+    """operators/analytics.py::anova_f / kruskal_wallis vs textbook
+    hand computations: three-group ANOVA (F=13, eta2=0.8125), untied
+    Kruskal-Wallis (H = 32/7), the tie-corrected case, and NULL
+    guards."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        anova_f,
+        kruskal_wallis,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0),
+            ("c", 5.0), ("c", 6.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_f(df, "v", "g").collect()[0]
+    assert (r.df_between, r.df_within, r.n, r.k) == (2, 6, 9, 3)
+    assert abs(r.f - 13.0) < 1e-9
+    assert abs(r.eta_sq - 26.0 / 32.0) < 1e-12
+    # single group / constant groups -> NULL f
+    solo = anova_f(df.filter("g = 'a'"), "v", "g").collect()[0]
+    assert solo.f is None and solo.k == 1
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    rf = anova_f(flat, "v", "g").collect()[0]
+    assert rf.f is None and abs(rf.eta_sq - 1.0) < 1e-12
+
+    kw = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+         ("c", 5.0), ("c", 6.0)],
+        "g string, v double",
+    )
+    r2 = kruskal_wallis(kw, "v", "g").collect()[0]
+    assert (r2.df, r2.n, r2.k) == (2, 6, 3)
+    assert abs(r2.h - 32.0 / 7.0) < 1e-12
+    # ties: a=[1,1], b=[2,3] -> H_raw = 2.4, corr = 0.9
+    tied = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    r3 = kruskal_wallis(tied, "v", "g").collect()[0]
+    assert abs(r3.h - 2.4 / 0.9) < 1e-12
+    # all values identical -> correction hits 0 -> NULL
+    allt = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    assert kruskal_wallis(allt, "v", "g").collect()[0].h is None
+    # quantize tier reuses the escape hatch
+    nearq = spark.createDataFrame(
+        [("a", 1.02), ("a", 0.98), ("b", 2.01), ("b", 2.99)],
+        "g string, v double",
+    )
+    rq = kruskal_wallis(nearq, "v", "g", quantize=1.0).collect()[0]
+    assert abs(rq.h - 2.4 / 0.9) < 1e-12

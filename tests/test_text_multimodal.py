@@ -594,3 +594,27 @@ def test_repeated_ngram_fraction_known_values(spark):
     assert out[2].dup_fraction == 0.0
     assert (out[4].n_ngrams, out[4].n_distinct) == (2, 1)
     assert abs(out[4].dup_fraction - 0.5) < 1e-12
+
+
+def test_source_ngram_overlap_known_values(spark):
+    """operators/text.py::source_ngram_overlap vs hand-built vocab
+    sets: shared/union counts, zero-overlap pairs omitted, distinct
+    semantics (repeated grams within a source count once)."""
+    from parquet_on_fhir_spark.operators.text import source_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),        # vocab {a b c, b c d}
+            (2, "a b c x", "s2"),        # vocab {a b c, b c x}
+            (3, "a b c a b c a", "s2"),  # adds {c a b, b c a} + repeats
+            (4, "z z z z", "s3"),        # vocab {z z z}
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.group_a, r.group_b): r
+           for r in source_ngram_overlap(docs, "source", "text", 3).collect()}
+    # s2 vocab: {a b c, b c x, c a b, b c a} (distinct across both docs)
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert (r.grams_a, r.grams_b, r.shared) == (2, 4, 1)
+    assert abs(r.jaccard - 1.0 / 5.0) < 1e-12
