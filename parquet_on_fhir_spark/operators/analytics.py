@@ -2627,6 +2627,11 @@ def kruskal_wallis(
         df.filter(val.isNotNull() & F.col(group_col).isNotNull())
         .groupBy(val.alias("__v"), F.col(group_col).alias("__g"))
         .agg(F.count("*").alias("__c"))
+        # the frame feeds BOTH the rank window (via per-value re-agg)
+        # and the per-group join below — a lazy localCheckpoint
+        # materializes it once instead of re-scanning the corpus per
+        # branch (frame-sized write, corpus-sized saving)
+        .localCheckpoint(eager=False)
     )
     per_v = per_vg.groupBy("__v").agg(F.sum("__c").alias("__cnt"))
     w = Window.orderBy("__v").rowsBetween(

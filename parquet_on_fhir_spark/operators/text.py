@@ -594,13 +594,16 @@ def source_ngram_overlap(
     cross-source duplicate audit: overlap shows up here even when no
     document is an exact copy).
 
-    Plan: map-side n-gram explode → (group, gram) DISTINCT (one hash
-    aggregate, text never shuffles) → self-equi-join on gram with
-    ``group_a < group_b`` (each shared gram emits one row per source
-    pair) → K²-row pair aggregate joined against the K-row per-group
-    vocabulary sizes. Shuffle volume ≈ the distinct (group, gram)
-    vocabulary, never the corpus; the pair/size frames are K-bounded
-    broadcasts.
+    Plan (ONE corpus scan): map-side n-gram explode → one (gram)
+    hash aggregate to per-gram GROUP SETS (``collect_set`` bounded by
+    K groups per gram — never document lists) — lazily
+    localCheckpointed so the sizes branch and the pair branch reuse
+    the materialized frame instead of re-scanning the corpus (the
+    first formulation scanned text 4×; PLANS.md). Sizes come from one
+    explode of the sets; shared counts from the within-set pair
+    explode with ``group_a < group_b``. Shuffle volume ≈ the distinct
+    gram vocabulary, never the corpus; the pair/size frames are
+    K-bounded broadcasts.
 
     Output: one row per unordered pair WITH at least one shared gram
     (zero-overlap pairs carry no audit signal and are omitted) —
@@ -608,18 +611,25 @@ def source_ngram_overlap(
     """
     from parquet_on_fhir_spark.operators.curation import _word_ngrams
 
-    vocab = (
+    per_gram = (
         df.select(
             F.col(group_col).alias("group"),
             F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
         )
-        .distinct()
+        .groupBy("gram")
+        .agg(F.collect_set("group").alias("__gs"))
+        .localCheckpoint(eager=False)
     )
-    sizes = vocab.groupBy("group").agg(F.count("*").alias("n_grams"))
-    a = vocab.select(F.col("group").alias("group_a"), "gram")
-    b = vocab.select(F.col("group").alias("group_b"), "gram")
+    sizes = (
+        per_gram.select(F.explode("__gs").alias("group"))
+        .groupBy("group")
+        .agg(F.count("*").alias("n_grams"))
+    )
     shared = (
-        a.join(b, "gram")
+        per_gram.select(
+            F.explode("__gs").alias("group_a"), F.col("__gs")
+        )
+        .select("group_a", F.explode("__gs").alias("group_b"))
         .filter(F.col("group_a") < F.col("group_b"))
         .groupBy("group_a", "group_b")
         .agg(F.count("*").alias("shared"))
