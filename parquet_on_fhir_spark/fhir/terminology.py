@@ -1046,3 +1046,69 @@ def validate_codes(
         )
         .drop("__m_system", "__m_code")
     )
+
+
+def subsumes(
+    pairs: DataFrame,
+    closure: DataFrame,
+    system: str,
+    code_a_col: str = "code_a",
+    code_b_col: str = "code_b",
+) -> DataFrame:
+    """CodeSystem ``$subsumes`` (hl7.org/fhir/R4/codesystem-operation-
+    subsumes.html) evaluated in batch: for each (codeA, codeB) pair,
+    the standard outcome code — ``equivalent`` (same concept),
+    ``subsumes`` (A is an ancestor of B), ``subsumed-by`` (B is an
+    ancestor of A), ``not-subsumed`` — against the transitive concept
+    :func:`concept_closure` of one system.
+
+    Plan: the fact-side pair table is never shuffled — two broadcast
+    left joins against the (ancestor, descendant) closure (one per
+    direction) and a pure map to the outcome. This is the set-scale
+    version of the one-pair REST operation: classify a billion pairs
+    in one pass.
+
+    Output: the input columns + ``outcome``. Pairs with a NULL code
+    yield a NULL outcome (unknown codes that never appear in the
+    closure correctly fall out as ``not-subsumed``; the spec leaves
+    unknown-code behavior to the server — callers wanting a hard
+    error can anti-join :func:`_all_concepts` first).
+    """
+    clo = closure.filter(F.col("system") == system).select(
+        F.col("ancestor").alias("__anc"), F.col("descendant").alias("__desc")
+    )
+    a_over_b = clo.select(
+        F.col("__anc").alias("__sa"),
+        F.col("__desc").alias("__sb"),
+        F.lit(True).alias("__a_subsumes_b"),
+    )
+    b_over_a = clo.select(
+        F.col("__desc").alias("__sa"),
+        F.col("__anc").alias("__sb"),
+        F.lit(True).alias("__b_subsumes_a"),
+    )
+    ca, cb = F.col(code_a_col), F.col(code_b_col)
+    out = (
+        pairs.join(
+            F.broadcast(a_over_b),
+            (ca == F.col("__sa")) & (cb == F.col("__sb")),
+            "left",
+        )
+        .drop("__sa", "__sb")
+        .join(
+            F.broadcast(b_over_a),
+            (ca == F.col("__sa")) & (cb == F.col("__sb")),
+            "left",
+        )
+        .drop("__sa", "__sb")
+    )
+    outcome = (
+        F.when(ca.isNull() | cb.isNull(), F.lit(None).cast("string"))
+        .when(ca == cb, F.lit("equivalent"))
+        .when(F.col("__a_subsumes_b").isNotNull(), F.lit("subsumes"))
+        .when(F.col("__b_subsumes_a").isNotNull(), F.lit("subsumed-by"))
+        .otherwise(F.lit("not-subsumed"))
+    )
+    return out.withColumn("outcome", outcome).drop(
+        "__a_subsumes_b", "__b_subsumes_a"
+    )

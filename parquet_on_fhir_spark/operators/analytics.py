@@ -2688,3 +2688,44 @@ def kruskal_wallis(
         "n",
         "k",
     )
+
+
+def variance_homogeneity(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with MEDIAN centers — the
+    robust default): are group variances equal? — the assumption check
+    for :func:`anova_f` and the classic heteroscedasticity audit
+    before pooling cohorts. W is the one-way ANOVA F statistic over
+    the absolute deviations z = |x − median_g|.
+
+    Plan: one hash aggregate computes each group's EXACT median
+    (``percentile``, the interpolating sort-based aggregate — the
+    K-row frame then broadcasts back), one map produces z, and the
+    moment fold of :func:`anova_f` finishes — two passes over the
+    corpus (medians are not one-pass computable), nothing but K-row
+    frames shuffled.
+
+    Output: 1 row — (w, df_between, df_within, n, k), NULL w under
+    the same degeneracies as anova_f.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    meds = base.groupBy(F.col(group_col).alias("__g")).agg(
+        F.expr(f"percentile(`{value_col}`, 0.5)").alias("__med")
+    )
+    z = base.join(
+        F.broadcast(meds), F.col(group_col) == F.col("__g")
+    ).select(
+        F.col("__g"),
+        F.abs(F.col(value_col).cast("double") - F.col("__med")).alias("__z"),
+    )
+    out = anova_f(z, "__z", "__g")
+    return out.select(
+        F.col("f").alias("w"),
+        "df_between",
+        "df_within",
+        "n",
+        "k",
+    )

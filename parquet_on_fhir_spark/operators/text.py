@@ -659,3 +659,57 @@ def source_ngram_overlap(
             "jaccard"
         ),
     )
+
+
+def vocab_richness(
+    df: "DataFrame",
+    text_col: str = "text",
+    group_col: str | None = None,
+):
+    """Vocabulary richness and coverage estimates from the token
+    frequency spectrum: distinct vocabulary D, hapax/dis legomena
+    counts (F1, F2), the Chao1 lower-bound richness estimate
+    D + F1·(F1−1)/(2·(F2+1)) (the bias-corrected form, defined even at
+    F2=0) and Good-Turing coverage 1 − F1/N — "how much of this
+    corpus's true vocabulary have we actually seen", the
+    diminishing-returns audit for corpus growth.
+
+    Plan: one (token) hash aggregate with map-side combine (shuffle ≈
+    vocabulary), one K-row spectrum aggregate over it; with
+    ``group_col`` both keys include the group and the output is one
+    row per group. All counts integral; the two estimate divisions
+    are the only double ops.
+
+    Output: (group?,) n_tokens, vocab, f1, f2, chao1, coverage.
+    """
+    keys = [group_col] if group_col else []
+    counts = (
+        df.select(
+            *keys, F.explode(tokens(F.col(text_col))).alias("__tok")
+        )
+        .groupBy(*keys, "__tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    agg = counts.groupBy(*keys).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.count(F.when(F.col("__c") == 1, 1)).alias("f1"),
+        F.count(F.when(F.col("__c") == 2, 1)).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    chao1 = F.col("vocab").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (F.col("f2").cast("double") + 1.0)
+    )
+    coverage = F.when(
+        F.col("n_tokens") > 0,
+        1.0 - f1 / F.col("n_tokens").cast("double"),
+    )
+    return agg.select(
+        *keys,
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        chao1.alias("chao1"),
+        coverage.alias("coverage"),
+    )

@@ -47,8 +47,8 @@ WINDOW = [
     #    cardinality, qf29 ECL reverse attributes, q221 Mann-Whitney U,
     #    q222 NDCG@10, q223 MRR, q224 Spearman rho, q225 repetition
     #    audit, q226 ANOVA F, q227 Kruskal-Wallis, q228 cross-source
-    #    n-gram overlap — eleven more refresh slots ceded (q02/q04/q07/
-    #    q11/q17/q20/q38/q39 then q05/q26/q27), each with in-window
+    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness — fourteen more refresh slots ceded (q02/q04/q07/
+    #    q11/q17/q19/q20/q36/q38/q39 then q05/q24/q26/q27), each with in-window
     #    family coverage (q01 scan, q03 source, q06 sink, q08
     #    project+filter, q21/q25/q28 aggs, q12-q19 joins, q37/q40
     #    set-ops) + r1-r6 lifetime greens
@@ -60,6 +60,7 @@ WINDOW = [
     "qf27_ecl_dotted",
     "qf28_ecl_cardinality",
     "qf29_ecl_reverse",
+    "qf30_subsumes",
     "q216_log_rank",
     "q217_average_precision",
     "q218_ipw_ate",
@@ -73,6 +74,8 @@ WINDOW = [
     "q226_anova_f",
     "q227_kruskal_wallis",
     "q228_source_overlap",
+    "q229_brown_forsythe",
+    "q230_vocab_richness",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q03_ndjson_source",
@@ -84,13 +87,10 @@ WINDOW = [
     "q15_join_broadcast",
     "q16_join_theta_range",
     "q18_join_asof",
-    "q19_join_interval_overlap",
     "q21_agg_tpch_q1",
-    "q24_agg_rollup_grouping",
     "q25_agg_stats",
     "q28_agg_global",
     "q34_sort_multikey",
-    "q36_sort_within_partitions",
     "q37_union_all",
     "q40_except_all",
     "q75_sql_tpch_q5",

@@ -1610,3 +1610,50 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf29_ecl_reverse", qf29, QF29_ORACLE))
+
+
+# --- qf30: CodeSystem $subsumes in batch ---------------------------------------------
+def qf30(spark, sf_dir):
+    """Batch CodeSystem $subsumes (fhir/terminology.py::subsumes, r9
+    wave 3): classify (codeA, codeB) pairs into equivalent / subsumes
+    / subsumed-by / not-subsumed against the anatomy closure — two
+    broadcast left joins, the pair side never shuffles. Covers every
+    outcome plus unknown-code and NULL behavior."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        subsumes,
+    )
+
+    utc(spark)
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    pairs = spark.createDataFrame(
+        [
+            ("limb", "hand"),   # ancestor -> subsumes
+            ("hand", "limb"),   # descendant -> subsumed-by
+            ("arm", "arm"),     # same concept -> equivalent
+            ("arm", "leg"),     # siblings -> not-subsumed
+            ("body", "heart"),  # deep ancestor -> subsumes
+            ("ghost", "arm"),   # unknown code -> not-subsumed
+        ],
+        "code_a string, code_b string",
+    )
+    return subsumes(
+        pairs, closure, "http://example.org/cs/anatomy2"
+    ).select("code_a", "code_b", "outcome")
+
+
+QF30_ORACLE = """
+SELECT * FROM (VALUES
+  ('limb', 'hand', 'subsumes'),
+  ('hand', 'limb', 'subsumed-by'),
+  ('arm', 'arm', 'equivalent'),
+  ('arm', 'leg', 'not-subsumed'),
+  ('body', 'heart', 'subsumes'),
+  ('ghost', 'arm', 'not-subsumed')
+) AS t(code_a, code_b, outcome)
+"""
+
+
+QUERIES.append(Q("qf30_subsumes", qf30, QF30_ORACLE))

@@ -2668,3 +2668,55 @@ JOIN sizes sb ON sb.source = group_b
 
 
 QUERIES.append(Q("q228_source_overlap", q228, Q228_ORACLE))
+
+
+# --- Q230: vocabulary richness / coverage --------------------------------------------
+def q230(spark, sf_dir):
+    """Per-source vocabulary richness (operators/text.py::
+    vocab_richness): token frequency spectrum → Chao1 lower-bound
+    richness (bias-corrected form) and Good-Turing coverage 1 − F1/N —
+    the "is more data from this source still adding vocabulary" audit.
+    One (source, token) hash aggregate (shuffle ≈ vocabulary) + K-row
+    spectrum reduce; counts integral, two double divisions at the
+    end."""
+    d = t(spark, sf_dir, "documents")
+    out = tx.vocab_richness(d, "text", "source")
+    return out.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        d4(F.col("chao1")).alias("chao1"),
+        d4(F.col("coverage")).alias("coverage"),
+    )
+
+
+Q230_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS vocab,
+         count(CASE WHEN c = 1 THEN 1 END) AS f1,
+         count(CASE WHEN c = 2 THEN 1 END) AS f2
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       round(CAST(vocab AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) + 1e-9, 4) AS chao1,
+       round(CASE WHEN n_tokens > 0
+             THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             END + 1e-9, 4) AS coverage
+FROM agg
+"""
+
+
+QUERIES.append(Q("q230_vocab_richness", q230, Q230_ORACLE))

@@ -5104,3 +5104,57 @@ FROM agg CROSS JOIN tt
 
 
 QUERIES.append(Q("q227_kruskal_wallis", q227, Q227_ORACLE))
+
+
+# --- Q229: Brown-Forsythe variance homogeneity ---------------------------------------
+def q229(spark, sf_dir):
+    """Brown-Forsythe W across the five event types (operators/
+    analytics.py::variance_homogeneity): Levene's test with median
+    centers — the q226 ANOVA assumption check. Exact per-group medians
+    broadcast back (K-row frame), then the anova_f moment fold over
+    |x − median_g|; two corpus passes, K-row shuffles only."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        variance_homogeneity,
+    )
+
+    e = t(spark, sf_dir, "events")
+    out = variance_homogeneity(e, "value", "event_type")
+    return out.select(
+        d4(F.col("w")).alias("w"),
+        "df_between",
+        "df_within",
+        "n",
+        "k",
+    )
+
+
+Q229_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+meds AS (SELECT g, median(v) AS med FROM base GROUP BY g),
+z AS (
+  SELECT base.g, abs(v - med) AS z FROM base JOIN meds USING (g)
+),
+per_g AS (
+  SELECT g, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+  FROM z GROUP BY g
+),
+agg AS (
+  SELECT count(*) AS k, sum(n) AS n, sum(s) AS ts, sum(ss) AS tss,
+         sum(s * s / n) AS sb
+  FROM per_g
+)
+SELECT round(CASE WHEN k >= 2 AND n > k AND (tss - sb) > 0
+         THEN ((sb - ts * ts / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+              / ((tss - sb) / CAST(n - k AS DOUBLE)) END + 1e-9, 4) AS w,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       CAST(n AS BIGINT) AS n,
+       k
+FROM agg
+"""
+
+
+QUERIES.append(Q("q229_brown_forsythe", q229, Q229_ORACLE))

@@ -1342,3 +1342,34 @@ def test_anova_kruskal_known_values(spark):
     )
     rq = kruskal_wallis(nearq, "v", "g", quantize=1.0).collect()[0]
     assert abs(rq.h - 2.4 / 0.9) < 1e-12
+
+
+def test_variance_homogeneity_known_values(spark):
+    """operators/analytics.py::variance_homogeneity (Brown-Forsythe)
+    vs a hand computation: equal-spread groups give W = 0; a
+    wide-vs-narrow pair reproduces the ANOVA-on-|x−median| statistic
+    computed by hand."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        variance_homogeneity,
+    )
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0)],
+        "g string, v double",
+    )
+    r = variance_homogeneity(same, "v", "g").collect()[0]
+    # both groups have |x - med| = 1 for every row -> SSB = SSW = 0 ->
+    # degenerate 0/0 guard: W NULL (ssw = 0)
+    assert r.w is None and (r.n, r.k) == (4, 2)
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 2.0), ("a", 4.0),     # med 2, z = [2,0,2]
+         ("b", 10.0), ("b", 10.5), ("b", 11.0)],  # med 10.5, z=[.5,0,.5]
+        "g string, v double",
+    )
+    r2 = variance_homogeneity(df, "v", "g").collect()[0]
+    # z-means: a=4/3, b=1/3; grand 5/6; SSB = 3(1/4+1/4) = 3/2
+    # SSW = a:(2-4/3)^2*2+(0-4/3)^2 = 8/3; b:(1/6)^2*2+(1/3)^2 = 1/6
+    # W = (1.5/1) / ((8/3+1/6)/4) = 1.5/(17/24) = 36/17
+    assert (r2.df_between, r2.df_within) == (1, 4)
+    assert abs(r2.w - 36.0 / 17.0) < 1e-9

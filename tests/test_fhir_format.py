@@ -1045,3 +1045,36 @@ def test_ecl_dotted_cardinality_reverse(spark):
     ):
         with pytest.raises(NotImplementedError):
             ecl_expand(bad, cs, clo, system).collect()
+
+
+def test_subsumes_batch(spark):
+    """fhir/terminology.py::subsumes (r9): every $subsumes outcome over
+    the anatomy closure, NULL codes yield NULL outcome, extra input
+    columns pass through, and no row is duplicated by the closure
+    joins."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        subsumes,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    pairs = spark.createDataFrame(
+        [
+            (1, "body", "foot"), (2, "foot", "body"), (3, "heart", "heart"),
+            (4, "heart", "foot"), (5, "ghost", "ghost2"), (6, None, "arm"),
+        ],
+        "pair_id int, code_a string, code_b string",
+    )
+    out = subsumes(pairs, clo, "http://example.org/cs/anatomy2")
+    rows = {r.pair_id: r.outcome for r in out.collect()}
+    assert rows == {
+        1: "subsumes", 2: "subsumed-by", 3: "equivalent",
+        4: "not-subsumed", 5: "not-subsumed", 6: None,
+    }
+    assert out.count() == 6  # left joins never duplicate the fact side

@@ -618,3 +618,33 @@ def test_source_ngram_overlap_known_values(spark):
     r = out[("s1", "s2")]
     assert (r.grams_a, r.grams_b, r.shared) == (2, 4, 1)
     assert abs(r.jaccard - 1.0 / 5.0) < 1e-12
+
+
+def test_vocab_richness_known_values(spark):
+    """operators/text.py::vocab_richness vs a hand-built frequency
+    spectrum: Chao1 bias-corrected form (defined at F2 = 0) and
+    Good-Turing coverage, grouped and ungrouped."""
+    from parquet_on_fhir_spark.operators.text import vocab_richness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c", "s1"),   # spectrum: a:3 b:2 c:1
+            (2, "x y", "s2"),           # x:1 y:1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in
+           vocab_richness(docs, "text", "source").collect()}
+    s1 = out["s1"]
+    assert (s1.n_tokens, s1.vocab, s1.f1, s1.f2) == (6, 3, 1, 1)
+    # chao1 = 3 + 1*0/(2*2) = 3; coverage = 1 - 1/6
+    assert abs(s1.chao1 - 3.0) < 1e-12
+    assert abs(s1.coverage - 5.0 / 6.0) < 1e-12
+    s2 = out["s2"]
+    assert (s2.n_tokens, s2.vocab, s2.f1, s2.f2) == (2, 2, 2, 0)
+    # bias-corrected chao1 = 2 + 2*1/(2*1) = 3; coverage = 0
+    assert abs(s2.chao1 - 3.0) < 1e-12
+    assert abs(s2.coverage - 0.0) < 1e-12
+    # ungrouped: one row over the pooled spectrum
+    (tot,) = vocab_richness(docs, "text").collect()
+    assert (tot.n_tokens, tot.vocab) == (8, 5)
