@@ -2729,3 +2729,166 @@ def variance_homogeneity(
         "n",
         "k",
     )
+
+
+def logistic_regression_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_iter: int = 25,
+    tol: float = 1e-10,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Multi-feature logistic regression by IRLS / Newton iterations —
+    the propensity-score companion of :func:`ipw_ate` (fit treatment
+    propensities distributedly, then weight) and the GLM sibling of
+    :func:`linear_regression_fit`.
+
+    Each iteration is ONE aggregate over the corpus: with the current
+    β broadcast as literals, the executors fold the gradient
+    ``Σ x(y − p)`` and Hessian ``Σ p(1−p)·x xᵀ`` — (p+1)(p+4)/2
+    scalars, mergeable map-side — and the (p+1)-dim Newton step solves
+    driver-side in numpy (the moments-then-tiny-solve split of OLS /
+    PCA; the corpus never leaves the executors, β never exceeds p+1
+    doubles). The logit is clipped to ±30 so perfect separation
+    degrades to a bounded step instead of overflowing; ``ridge`` adds
+    an optional L2 diagonal for ill-conditioned Hessians. Stops when
+    ‖Δβ‖∞ < ``tol`` or after ``max_iter`` rounds (the MLE is the
+    unique optimum of a convex problem, so the path is irrelevant —
+    differently-partitioned runs land on the same fit to float noise,
+    which is why this operator is tested against an independent numpy
+    IRLS rather than an SQL oracle).
+
+    Output: (feature, coefficient) rows — features, then
+    ``__intercept__`` — plus ``__log_likelihood__`` and ``__n_iter__``
+    stats rows. Raises a named ValueError on empty/all-NULL input.
+    """
+    import numpy as np
+
+    p = len(feature_cols)
+    if p == 0:
+        raise ValueError("logistic_regression_fit needs >= 1 feature")
+    cols = [F.col(c).cast("double") for c in feature_cols] + [F.lit(1.0)]
+    names = list(feature_cols) + ["__intercept__"]
+    y = F.col(label_col).cast("double")
+    cond = y.isNotNull()
+    for c in cols[:p]:
+        cond = cond & c.isNotNull()
+    base = df.filter(cond)
+    beta = np.zeros(p + 1)
+    it_done = 0
+    for it in range(max_iter):
+        z = sum(
+            (float(beta[i]) * cols[i] for i in range(p + 1)),
+            start=F.lit(0.0),
+        )
+        z = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), z))
+        prob = 1.0 / (1.0 + F.exp(-z))
+        wgt = prob * (1.0 - prob)
+        aggs = []
+        for i in range(p + 1):
+            aggs.append(F.sum(cols[i] * (y - prob)).alias(f"g_{i}"))
+            for j in range(i, p + 1):
+                aggs.append(
+                    F.sum(wgt * cols[i] * cols[j]).alias(f"h_{i}_{j}")
+                )
+        row = base.agg(*aggs).collect()[0]
+        if row[f"h_{p}_{p}"] is None:
+            raise ValueError(
+                "logistic_regression_fit requires at least one non-NULL row"
+            )
+        g = np.array([row[f"g_{i}"] for i in range(p + 1)])
+        h = np.zeros((p + 1, p + 1))
+        for i in range(p + 1):
+            for j in range(i, p + 1):
+                h[i, j] = h[j, i] = row[f"h_{i}_{j}"]
+        if ridge:
+            h += ridge * np.eye(p + 1)
+        delta = np.linalg.solve(h, g)
+        beta += delta
+        it_done = it + 1
+        if float(np.max(np.abs(delta))) < tol:
+            break
+    z = sum(
+        (float(beta[i]) * cols[i] for i in range(p + 1)), start=F.lit(0.0)
+    )
+    z = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), z))
+    ll = base.agg(
+        F.sum(y * z - F.log(1.0 + F.exp(z))).alias("ll")
+    ).collect()[0]["ll"]
+    out = [(name, float(b)) for name, b in zip(names, beta)]
+    out.append(("__log_likelihood__", float(ll)))
+    out.append(("__n_iter__", float(it_done)))
+    return df.sparkSession.createDataFrame(
+        out, "feature string, coefficient double"
+    )
+
+
+def population_stability_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group,
+    cand_group,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a candidate
+    cohort: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over ``bins``
+    equal-width bins spanning the POOLED min/max — the standard model-
+    monitoring drift score (rule of thumb: <0.1 stable, >0.25 shifted),
+    the binned practitioner's counterpart of the KL/JSD drift report.
+    Proportions are Laplace-smoothed ((c + 0.5)/(n + bins/2)) so empty
+    bins stay finite and the score is defined for disjoint supports.
+
+    Cross-engine exactness: bin edges derive from exact min/max (no
+    accumulation), bin assignment is the same double expression in
+    both engines, counts are integers, and each of the ≤``bins`` ln
+    terms is quantized to 12 dp before the sum (the suite/common.py
+    transcendental-sum convention).
+
+    Plan: one 2-row min/max aggregate (broadcast as literals via a
+    cross join of a 1-row frame), one (bin, side) hash aggregate, one
+    ≤bins-row reduce. Two corpus passes, K-row shuffles only.
+
+    Output: 1 row — (psi, n_ref, n_cand, n_bins).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(g.isin([ref_group, cand_group]) & v.isNotNull()).select(
+        v.alias("__v"), (g == ref_group).alias("__is_ref")
+    )
+    ext = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        "__is_ref",
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / bins)
+                ).cast("int"),
+                F.lit(bins - 1),
+            )
+        ).alias("__bin"),
+    )
+    per_bin = binned.groupBy("__bin").agg(
+        F.count(F.when(F.col("__is_ref"), 1)).alias("__cr"),
+        F.count(F.when(~F.col("__is_ref"), 1)).alias("__cc"),
+    )
+    totals = per_bin.agg(
+        F.sum("__cr").alias("n_ref"), F.sum("__cc").alias("n_cand")
+    )
+    j = per_bin.crossJoin(F.broadcast(totals))
+    pr = (F.col("__cr") + 0.5) / (F.col("n_ref") + 0.5 * bins)
+    pc = (F.col("__cc") + 0.5) / (F.col("n_cand") + 0.5 * bins)
+    term = F.round((pr - pc) * F.log(pr / pc), 12)
+    agg = j.agg(
+        F.sum(term).alias("psi"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cand").alias("n_cand"),
+        F.count("*").alias("n_bins"),
+    )
+    return agg.select("psi", "n_ref", "n_cand", "n_bins")

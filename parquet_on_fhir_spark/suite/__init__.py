@@ -47,8 +47,8 @@ WINDOW = [
     #    cardinality, qf29 ECL reverse attributes, q221 Mann-Whitney U,
     #    q222 NDCG@10, q223 MRR, q224 Spearman rho, q225 repetition
     #    audit, q226 ANOVA F, q227 Kruskal-Wallis, q228 cross-source
-    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness — fourteen more refresh slots ceded (q02/q04/q07/
-    #    q11/q17/q19/q20/q36/q38/q39 then q05/q24/q26/q27), each with in-window
+    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness, q232 PSI drift — fifteen more refresh slots ceded (q02/q04/q07/
+    #    q11/q16/q17/q19/q20/q36/q38/q39 then q05/q24/q26/q27), each with in-window
     #    family coverage (q01 scan, q03 source, q06 sink, q08
     #    project+filter, q21/q25/q28 aggs, q12-q19 joins, q37/q40
     #    set-ops) + r1-r6 lifetime greens
@@ -76,6 +76,7 @@ WINDOW = [
     "q228_source_overlap",
     "q229_brown_forsythe",
     "q230_vocab_richness",
+    "q232_psi_drift",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q03_ndjson_source",
@@ -85,7 +86,6 @@ WINDOW = [
     "q13_join_left_outer",
     "q14_join_semi_anti",
     "q15_join_broadcast",
-    "q16_join_theta_range",
     "q18_join_asof",
     "q21_agg_tpch_q1",
     "q25_agg_stats",
@@ -114,6 +114,7 @@ ROWS_ONLY_COVERAGE = {
     "q195_holt_smoothing": "tests/test_timeseries.py (vs reference recurrence; coupled level/trend not oracle-portable)",
     "q203_cusum_changepoints": "tests/test_timeseries.py (vs reference recurrence; reset accumulator not oracle-portable)",
     "q210_ols_fit": "tests/test_analytics.py (vs numpy lstsq; multi-feature matrix solve not oracle-portable)",
+    "q231_logistic_fit": "tests/test_analytics.py (vs independent numpy IRLS; iterative MLE not oracle-portable)",
 }
 
 

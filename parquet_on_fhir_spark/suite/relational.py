@@ -5158,3 +5158,91 @@ FROM agg
 
 
 QUERIES.append(Q("q229_brown_forsythe", q229, Q229_ORACLE))
+
+
+# --- Q231: distributed logistic regression (rows-only) -------------------------------
+def q231(spark, sf_dir):
+    """Propensity-style logistic fit (operators/analytics.py::
+    logistic_regression_fit): P(user purchases | activity features)
+    by IRLS — each Newton round is ONE corpus aggregate with β
+    broadcast as literals; the (p+1)-dim solve is driver-side numpy.
+    Rows-only: an iterative MLE has no ANSI-SQL restatement; the
+    covering test pits it against an independent numpy IRLS."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        logistic_regression_fit,
+    )
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.avg("value").alias("avg_value"),
+        F.sum((F.col("event_type") == "click").cast("int")).alias("n_clicks"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "purchased"
+        ),
+    )
+    return logistic_regression_fit(
+        per_user, ["n_events", "avg_value", "n_clicks"], "purchased"
+    )
+
+
+QUERIES.append(Q("q231_logistic_fit", q231, None))
+
+
+# --- Q232: population stability index ------------------------------------------------
+def q232(spark, sf_dir):
+    """PSI drift between click (reference) and purchase (candidate)
+    event values (operators/analytics.py::population_stability_index):
+    10 equal-width bins over the pooled range, Laplace-smoothed
+    proportions, each ln term 12-dp-quantized — the binned
+    practitioner's drift score beside q161's KL/JSD."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        population_stability_index,
+    )
+
+    e = t(spark, sf_dir, "events")
+    out = population_stability_index(
+        e, "value", "event_type", "click", "purchase", bins=10
+    )
+    return out.select(
+        d4(F.col("psi")).alias("psi"), "n_ref", "n_cand", "n_bins"
+    )
+
+
+Q232_ORACLE = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_type = 'click' AS is_ref
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+ext AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+binned AS (
+  SELECT is_ref,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 9)
+         END AS bin
+  FROM base CROSS JOIN ext
+),
+per_bin AS (
+  SELECT bin,
+         count(CASE WHEN is_ref THEN 1 END) AS cr,
+         count(CASE WHEN NOT is_ref THEN 1 END) AS cc
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT sum(cr) AS n_ref, sum(cc) AS n_cand FROM per_bin),
+terms AS (
+  SELECT round(((cr + 0.5) / (n_ref + 5.0) - (cc + 0.5) / (n_cand + 5.0))
+               * ln(((cr + 0.5) / (n_ref + 5.0))
+                    / ((cc + 0.5) / (n_cand + 5.0))), 12) AS term,
+         n_ref, n_cand
+  FROM per_bin CROSS JOIN tot
+)
+SELECT round(sum(term) + 1e-9, 4) AS psi,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cand) AS BIGINT) AS n_cand,
+       count(*) AS n_bins
+FROM terms
+"""
+
+
+QUERIES.append(Q("q232_psi_drift", q232, Q232_ORACLE))

@@ -1373,3 +1373,84 @@ def test_variance_homogeneity_known_values(spark):
     # W = (1.5/1) / ((8/3+1/6)/4) = 1.5/(17/24) = 36/17
     assert (r2.df_between, r2.df_within) == (1, 4)
     assert abs(r2.w - 36.0 / 17.0) < 1e-9
+
+
+def test_logistic_regression_fit_matches_numpy_irls(spark):
+    """operators/analytics.py::logistic_regression_fit vs an
+    independent numpy IRLS on the same rows: the convex MLE is unique,
+    so both must land on the same coefficients; empty input refuses by
+    name."""
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        logistic_regression_fit,
+    )
+
+    rng_rows = []
+    # deterministic synthetic: y depends on x1 strongly, x2 weakly
+    for i in range(200):
+        x1 = (i % 20) / 10.0 - 1.0
+        x2 = ((i * 7) % 13) / 13.0
+        logit = 2.0 * x1 - 1.0 * x2 + 0.5
+        p = 1.0 / (1.0 + np.exp(-logit))
+        y = 1 if (((i * 2654435761) % 1000) / 1000.0) < p else 0
+        rng_rows.append((float(x1), float(x2), y))
+    df = spark.createDataFrame(rng_rows, "x1 double, x2 double, y int")
+    got = {
+        r.feature: r.coefficient
+        for r in logistic_regression_fit(df, ["x1", "x2"], "y").collect()
+    }
+
+    X = np.array([[r[0], r[1], 1.0] for r in rng_rows])
+    Y = np.array([r[2] for r in rng_rows], dtype=float)
+    beta = np.zeros(3)
+    for _ in range(50):
+        z = np.clip(X @ beta, -30, 30)
+        pr = 1.0 / (1.0 + np.exp(-z))
+        g = X.T @ (Y - pr)
+        H = (X * (pr * (1 - pr))[:, None]).T @ X
+        step = np.linalg.solve(H, g)
+        beta += step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    assert abs(got["x1"] - beta[0]) < 1e-6
+    assert abs(got["x2"] - beta[1]) < 1e-6
+    assert abs(got["__intercept__"] - beta[2]) < 1e-6
+    # log-likelihood matches the numpy fit's
+    z = np.clip(X @ beta, -30, 30)
+    ll = float(np.sum(Y * z - np.log1p(np.exp(z))))
+    assert abs(got["__log_likelihood__"] - ll) < 1e-6
+    assert got["__n_iter__"] >= 2
+
+    empty = spark.createDataFrame([], "x1 double, x2 double, y int")
+    with pytest.raises(ValueError, match="logistic_regression_fit"):
+        logistic_regression_fit(empty, ["x1", "x2"], "y")
+
+
+def test_psi_known_values(spark):
+    """operators/analytics.py::population_stability_index vs a hand
+    computation on 2 bins, plus the identical-distribution zero case."""
+    import math
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        population_stability_index,
+    )
+
+    rows = (
+        [("r", 0.0)] * 3 + [("r", 10.0)] * 1
+        + [("c", 0.0)] * 1 + [("c", 10.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = population_stability_index(df, "v", "g", "r", "c", bins=2).collect()[0]
+    assert (r.n_ref, r.n_cand, r.n_bins) == (4, 4, 2)
+    # smoothed: bin0 p=(3.5/5), q=(1.5/5); bin1 mirrored
+    p0, q0 = 3.5 / 5.0, 1.5 / 5.0
+    want = 2 * round((p0 - q0) * math.log(p0 / q0), 12)
+    assert abs(r.psi - want) < 1e-12
+    same = spark.createDataFrame(
+        [("r", 1.0), ("r", 2.0), ("c", 1.0), ("c", 2.0)],
+        "g string, v double",
+    )
+    r2 = population_stability_index(same, "v", "g", "r", "c", bins=2).collect()[0]
+    assert abs(r2.psi) < 1e-12
