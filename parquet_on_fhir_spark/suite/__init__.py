@@ -47,8 +47,8 @@ WINDOW = [
     #    cardinality, qf29 ECL reverse attributes, q221 Mann-Whitney U,
     #    q222 NDCG@10, q223 MRR, q224 Spearman rho, q225 repetition
     #    audit, q226 ANOVA F, q227 Kruskal-Wallis, q228 cross-source
-    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness, q232 PSI drift — fifteen more refresh slots ceded (q02/q04/q07/
-    #    q11/q16/q17/q19/q20/q36/q38/q39 then q05/q24/q26/q27), each with in-window
+    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness, q232 PSI drift, q233 streaming drift monitor — sixteen more refresh slots ceded (q02/q04/q07/
+    #    q11/q16/q17/q19/q20/q36/q37/q38/q39 then q05/q24/q26/q27), each with in-window
     #    family coverage (q01 scan, q03 source, q06 sink, q08
     #    project+filter, q21/q25/q28 aggs, q12-q19 joins, q37/q40
     #    set-ops) + r1-r6 lifetime greens
@@ -77,6 +77,7 @@ WINDOW = [
     "q229_brown_forsythe",
     "q230_vocab_richness",
     "q232_psi_drift",
+    "q233_stream_drift_monitor",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q03_ndjson_source",
@@ -91,7 +92,6 @@ WINDOW = [
     "q25_agg_stats",
     "q28_agg_global",
     "q34_sort_multikey",
-    "q37_union_all",
     "q40_except_all",
     "q75_sql_tpch_q5",
     "q77_orc_source_sink",

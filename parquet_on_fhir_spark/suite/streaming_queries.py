@@ -19,7 +19,7 @@ from parquet_on_fhir_spark.streaming.jobs import (
     stream_events_multibatch,
 )
 from parquet_on_fhir_spark.streaming.stateful import running_user_totals
-from parquet_on_fhir_spark.suite.common import Q, d2, t, ts_str
+from parquet_on_fhir_spark.suite.common import Q, d2, d4, t, ts_str
 
 WINDOW_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 WINDOW_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -479,3 +479,113 @@ GROUP BY md5(text)
 
 
 QUERIES.append(Q("q215_stream_curation", q215, Q215_ORACLE))
+
+
+# --- Q233: streaming drift monitor (PSI bins over a live stream) ---------------------
+def q233(spark, sf_dir):
+    """Streaming PSI drift monitor: the candidate cohort (purchase
+    values) arrives via readStream and folds into per-bin counts
+    (complete mode) against FIXED bin edges derived from the static
+    reference cohort (click values) — the stream-static form of
+    q232's batch PSI, i.e. the model-monitoring loop as it actually
+    runs in production (reference frozen, live traffic binned
+    incrementally). Per-bin smoothed PSI terms are computed batch-side
+    from the streamed counts; out-of-range live values clamp into the
+    edge bins. The batch restatement is exact."""
+    from parquet_on_fhir_spark.streaming.jobs import (
+        run_to_memory,
+        stream_events,
+    )
+
+    bins = 10
+    e = t(spark, sf_dir, "events")
+    ref = e.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select(F.col("value").cast("double").alias("v"))
+    lo, hi = ref.agg(F.min("v"), F.max("v")).collect()[0]
+
+    def bin_of(col):
+        if hi == lo:
+            return F.lit(0)
+        return F.least(
+            F.greatest(
+                F.floor((col - F.lit(lo)) / F.lit((hi - lo) / bins)).cast(
+                    "int"
+                ),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+
+    refbins = ref.groupBy(bin_of(F.col("v")).alias("bin")).agg(
+        F.count("*").alias("n_ref")
+    )
+    s = stream_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    cand = run_to_memory(
+        s.groupBy(
+            bin_of(F.col("value").cast("double")).alias("bin")
+        ).agg(F.count("*").alias("n_cand")),
+        "complete",
+    )
+    per_bin = (
+        refbins.join(cand, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+    )
+    totals = per_bin.agg(
+        F.sum("n_ref").alias("__nr"), F.sum("n_cand").alias("__nc")
+    )
+    j = per_bin.crossJoin(F.broadcast(totals))
+    pr = (F.col("n_ref") + 0.5) / (F.col("__nr") + 0.5 * bins)
+    pc = (F.col("n_cand") + 0.5) / (F.col("__nc") + 0.5 * bins)
+    term = F.round((pr - pc) * F.log(pr / pc), 12)
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_cand",
+        d4(term).alias("term"),
+    )
+
+
+Q233_ORACLE = """
+WITH ref AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type = 'click' AND value IS NOT NULL
+),
+ext AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+allv AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_type = 'click' AS is_ref
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+binned AS (
+  SELECT is_ref,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(greatest(
+                CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT), 0), 9)
+         END AS bin
+  FROM allv CROSS JOIN ext
+),
+per_bin AS (
+  SELECT bin,
+         count(CASE WHEN is_ref THEN 1 END) AS cr,
+         count(CASE WHEN NOT is_ref THEN 1 END) AS cc
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM per_bin)
+SELECT bin,
+       CAST(cr AS BIGINT) AS n_ref,
+       CAST(cc AS BIGINT) AS n_cand,
+       round(round(((cr + 0.5) / (nr + 5.0) - (cc + 0.5) / (nc + 5.0))
+                   * ln(((cr + 0.5) / (nr + 5.0))
+                        / ((cc + 0.5) / (nc + 5.0))), 12) + 1e-9, 4) AS term
+FROM per_bin CROSS JOIN tot
+"""
+
+
+QUERIES.append(Q("q233_stream_drift_monitor", q233, Q233_ORACLE))
