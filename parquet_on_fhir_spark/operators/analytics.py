@@ -2846,9 +2846,12 @@ def population_stability_index(
     terms is quantized to 12 dp before the sum (the suite/common.py
     transcendental-sum convention).
 
-    Plan: one 2-row min/max aggregate (broadcast as literals via a
-    cross join of a 1-row frame), one (bin, side) hash aggregate, one
-    ≤bins-row reduce. Two corpus passes, K-row shuffles only.
+    Plan: one 2-scalar min/max aggregate (collected driver-side —
+    edges are configuration, the sanctioned scalar-witness collect
+    class), one (bin, side) hash aggregate over the SINGLE remaining
+    corpus pass, one ≤bins-row reduce; the bin frame takes a lazy
+    localCheckpoint so the totals and term branches reuse it (the
+    first formulation recompiled into 4 corpus scans — PLANS.md).
 
     Output: 1 row — (psi, n_ref, n_cand, n_bins).
     """
@@ -2857,26 +2860,25 @@ def population_stability_index(
     base = df.filter(g.isin([ref_group, cand_group]) & v.isNotNull()).select(
         v.alias("__v"), (g == ref_group).alias("__is_ref")
     )
-    ext = base.agg(
-        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
-    )
-    binned = base.crossJoin(F.broadcast(ext)).select(
-        "__is_ref",
-        F.when(
-            F.col("__hi") == F.col("__lo"), F.lit(0)
-        ).otherwise(
-            F.least(
-                F.floor(
-                    (F.col("__v") - F.col("__lo"))
-                    / ((F.col("__hi") - F.col("__lo")) / bins)
-                ).cast("int"),
-                F.lit(bins - 1),
-            )
-        ).alias("__bin"),
-    )
-    per_bin = binned.groupBy("__bin").agg(
-        F.count(F.when(F.col("__is_ref"), 1)).alias("__cr"),
-        F.count(F.when(~F.col("__is_ref"), 1)).alias("__cc"),
+    lo, hi = base.agg(F.min("__v"), F.max("__v")).collect()[0]
+    if lo is None:  # empty input: fall through to a 1-row NULL frame
+        lo = hi = 0.0
+    if hi == lo:
+        bin_expr = F.lit(0)
+    else:
+        bin_expr = F.least(
+            F.floor(
+                (F.col("__v") - F.lit(lo)) / F.lit((hi - lo) / bins)
+            ).cast("int"),
+            F.lit(bins - 1),
+        )
+    per_bin = (
+        base.groupBy(bin_expr.alias("__bin"))
+        .agg(
+            F.count(F.when(F.col("__is_ref"), 1)).alias("__cr"),
+            F.count(F.when(~F.col("__is_ref"), 1)).alias("__cc"),
+        )
+        .localCheckpoint(eager=False)
     )
     totals = per_bin.agg(
         F.sum("__cr").alias("n_ref"), F.sum("__cc").alias("n_cand")

@@ -965,6 +965,21 @@ def test_operators_graceful_on_empty_input(spark):
         "g", "v", "rel", "w",
     ).count() == 1
     assert T.repeated_ngram_fraction(docs, "doc_id", "text", 3).count() == 0
+    # wave 3/4: K-row stat frames degrade to empty/NULL rows cleanly
+    (av,) = A.anova_f(nums, "v", "g").collect()
+    assert av.f is None and av.k == 0
+    (kwr,) = A.kruskal_wallis(nums, "v", "g").collect()
+    assert kwr.h is None and kwr.k == 0
+    (bf,) = A.variance_homogeneity(nums, "v", "g").collect()
+    assert bf.w is None
+    (ps,) = A.population_stability_index(nums, "v", "g", "a", "b").collect()
+    assert ps.psi is None and ps.n_bins == 0
+    assert T.source_ngram_overlap(docs, "source", "text", 3).count() == 0
+    assert T.vocab_richness(docs, "text", "source").count() == 0
+    with pytest.raises(ValueError, match="logistic_regression_fit"):
+        A.logistic_regression_fit(
+            nums.selectExpr("v as x1", "y"), ["x1"], "y"
+        )
 
     # graph / curation / join operators on empty inputs
     from parquet_on_fhir_spark.operators import curation as Cu
