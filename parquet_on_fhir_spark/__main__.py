@@ -11,6 +11,7 @@
     python -m parquet_on_fhir_spark expand    VALUESET_PARQUET [--codesystems CS_PARQUET]
     python -m parquet_on_fhir_spark translate FACTS_PARQUET CONCEPTMAP_PARQUET --system-col system --code-col code
     python -m parquet_on_fhir_spark validate-code FACTS_PARQUET VALUESET_PARQUET VS_URL [--codesystems CS_PARQUET]
+    python -m parquet_on_fhir_spark subsumes PAIRS_PARQUET CS_PARQUET SYSTEM_URL
     python -m parquet_on_fhir_spark diff      OLD_PARQUET NEW_PARQUET --id-cols id
     python -m parquet_on_fhir_spark profile   IN_PARQUET [--columns a b] [--approx]
     python -m parquet_on_fhir_spark dedup     IN_PARQUET OUT_PARQUET [--near] [--text-col text] [--id-col doc_id]
@@ -118,6 +119,19 @@ def main(argv: list[str] | None = None) -> int:
     vcd.add_argument("--code-col", default="code")
     vcd.add_argument("--output")
     vcd.add_argument("--show", type=int, default=20)
+
+    sbs = sub.add_parser(
+        "subsumes",
+        help="batch CodeSystem $subsumes: classify (code_a, code_b) "
+        "pair rows against one system's hierarchy",
+    )
+    sbs.add_argument("pairs")
+    sbs.add_argument("codesystems")
+    sbs.add_argument("system")
+    sbs.add_argument("--code-a-col", default="code_a")
+    sbs.add_argument("--code-b-col", default="code_b")
+    sbs.add_argument("--output")
+    sbs.add_argument("--show", type=int, default=20)
 
     unb = sub.add_parser(
         "unbundle",
@@ -305,6 +319,28 @@ def main(argv: list[str] | None = None) -> int:
             args.vs_url,
             codesystems=cs,
             closure=clo,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} rows -> {args.output}")
+        else:
+            out.show(args.show, truncate=40)
+        return 0
+
+    if args.cmd == "subsumes":
+        from parquet_on_fhir_spark.fhir.terminology import (
+            concept_closure,
+            concept_edges,
+            subsumes,
+        )
+
+        cs = spark.read.parquet(args.codesystems)
+        out = subsumes(
+            spark.read.parquet(args.pairs),
+            concept_closure(concept_edges(cs)),
+            args.system,
+            args.code_a_col,
+            args.code_b_col,
         )
         if args.output:
             out.write.mode("overwrite").parquet(args.output)

@@ -178,3 +178,36 @@ def test_cli_validate_code(tmp_path, capsys):
     ]) == 0
     got = {r.code: r.in_valueset for r in spark.read.parquet(out_p).collect()}
     assert got == {"hand": True, "ghost": False}
+
+
+def test_cli_subsumes(tmp_path, capsys):
+    from parquet_on_fhir_spark.__main__ import main
+    from parquet_on_fhir_spark.session import get_session
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _encode_doc as _encode,
+    )
+
+    spark = get_session("cli-test")
+    cs_p = str(tmp_path / "cs.parquet")
+    _encode(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem").write.parquet(cs_p)
+    pairs_p = str(tmp_path / "pairs.parquet")
+    spark.createDataFrame(
+        [("limb", "hand"), ("hand", "limb"), ("arm", "arm"), ("arm", "leg")],
+        "code_a string, code_b string",
+    ).write.parquet(pairs_p)
+    out_p = str(tmp_path / "out.parquet")
+    assert main([
+        "subsumes", pairs_p, cs_p, "http://example.org/cs/anatomy2",
+        "--output", out_p,
+    ]) == 0
+    got = {
+        (r.code_a, r.code_b): r.outcome
+        for r in spark.read.parquet(out_p).collect()
+    }
+    assert got == {
+        ("limb", "hand"): "subsumes",
+        ("hand", "limb"): "subsumed-by",
+        ("arm", "arm"): "equivalent",
+        ("arm", "leg"): "not-subsumed",
+    }

@@ -41,6 +41,11 @@ PROBE_QUERIES = [
     "q221_mann_whitney",
     "q224_spearman",
     "q225_repetition_audit",
+    # round-9 wave 3/4: vocabulary-sized shuffles (per-gram group sets /
+    # token spectrum) and the two-pass binned drift score
+    "q228_source_overlap",
+    "q230_vocab_richness",
+    "q232_psi_drift",
 ]
 
 
