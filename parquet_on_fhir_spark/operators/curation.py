@@ -33,19 +33,29 @@ _HASH_SPACE = float(2**60)
 
 
 def _word_ngrams(text_col: Column, n: int) -> Column:
-    """Lower-cased word-level n-grams as strings (map-side only).
+    """Lower-cased word-level n-grams as strings (map-side only — one
+    nested expression, no explode, no shuffle; empty/short docs yield
+    an empty array).
 
-    ``sequence`` + ``transform`` + ``slice`` keeps it one nested
-    expression — no explode, no shuffle; empty/short docs yield an
-    empty array.
+    Built by ``zip_with``-ing the token array against its own k-shifted
+    slices (k = 1..n−1) rather than ``transform``-ing per position:
+    inside a higher-order lambda Catalyst INLINES the captured ``words``
+    expression into every element evaluation, so the transform form
+    re-ran ``split(lower(trim(text)))`` once per gram — O(tokens²)
+    string work per document (measured 86 s → 15 s on the ×30 probe's
+    7.8 M-gram explode). The zip form references ``words`` a constant
+    ~2n times per ROW. ``zip_with`` null-pads the shorter (shifted)
+    side and ``concat_ws`` skips nulls, so the tail entries are
+    short grams — sliced off by the final ``slice(1, n_words−n+1)``.
     """
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    acc = words
+    for k in range(1, n):
+        shifted = F.slice(words, k + 1, F.size(words))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
     n_words = F.size(words)
     return F.when(n_words < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_words - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
+        F.slice(acc, 1, n_words - n + 1)
     )
 
 

@@ -611,11 +611,17 @@ def source_ngram_overlap(
     """
     from parquet_on_fhir_spark.operators.curation import _word_ngrams
 
+    # distinct FIRST (codegen hash aggregate over the corpus-sized
+    # explode — collect_set straight off the explode trips
+    # ObjectHashAggregate's sort-based fallback at >128 grams per task
+    # and sorted 22M rows in the ×30 probe), then the set collection
+    # runs over the already-deduped vocabulary×K frame
     per_gram = (
         df.select(
             F.col(group_col).alias("group"),
             F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
         )
+        .distinct()
         .groupBy("gram")
         .agg(F.collect_set("group").alias("__gs"))
         .localCheckpoint(eager=False)
