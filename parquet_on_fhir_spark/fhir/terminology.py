@@ -958,14 +958,29 @@ def translate_codes(
     system_col: str,
     code_col: str,
     map_url: str | None = None,
+    _nested: bool = False,
 ) -> DataFrame:
     """Translate (system, code) pairs through ConceptMap
     group[].element[].target[] — adds ``target_system``,
     ``target_code``, ``target_display``, ``equivalence`` (NULL when no
     mapping exists; rows multiply when a code maps to several targets).
 
-    The flattened mapping table broadcasts; the fact table is never
-    shuffled. ``map_url`` restricts to one ConceptMap.
+    ``group.unmapped`` (hl7.org/fhir/R4/conceptmap.html, r9) applies to
+    rows whose system matches a group's source but whose code has no
+    element mapping: mode ``provided`` echoes the source code into
+    ``target_code`` (target_system from the group), ``fixed``
+    substitutes the rule's code/display, ``other-map`` re-translates
+    the leftover rows through the referenced ConceptMap — resolved
+    DEPTH-1 (the referenced map's own unmapped rules are not applied;
+    a self-referencing map therefore terminates). ``equivalence``
+    stays NULL for unmapped-rule hits, distinguishing them from
+    element matches. Groups are independent per the spec, so a source
+    system appearing in several groups applies each group's rule.
+
+    The flattened mapping and unmapped-rule tables broadcast; the fact
+    table is never shuffled (other-map adds one broadcast join per
+    referenced map — map COUNT is metadata-sized). ``map_url``
+    restricts to one ConceptMap.
     """
     maps = conceptmaps
     if map_url is not None:
@@ -992,12 +1007,82 @@ def translate_codes(
             F.col("tgt.equivalence").alias("equivalence"),
         )
     )
-    return df.join(
+    out = df.join(
         F.broadcast(flat),
         (F.col(system_col) == F.col("__src_system"))
         & (F.col(code_col) == F.col("__src_code")),
         "left",
     ).drop("__src_system", "__src_code")
+    tgt_cols = ["target_system", "target_code", "target_display", "equivalence"]
+    if _nested or "unmapped" not in _element_fields(maps, "group"):
+        return out
+    ufields = _element_fields(maps, "group", "unmapped")
+
+    def upick(name):
+        return (
+            F.col(f"g.unmapped.{name}")
+            if name in ufields
+            else F.lit(None).cast("string")
+        )
+
+    un = (
+        maps.select(F.explode("group").alias("g"))
+        .select(
+            F.col("g.source").alias("__u_system"),
+            F.col("g.target").alias("__u_tsystem"),
+            upick("mode").alias("__u_mode"),
+            upick("code").alias("__u_code"),
+            upick("display").alias("__u_display"),
+            upick("url").alias("__u_url"),
+        )
+        .filter(F.col("__u_mode").isNotNull())
+    )
+    u_cols = [
+        "__u_system", "__u_tsystem", "__u_mode", "__u_code",
+        "__u_display", "__u_url",
+    ]
+    mapped = out.filter(F.col("target_code").isNotNull())
+    left = out.filter(F.col("target_code").isNull()).join(
+        F.broadcast(un), F.col(system_col) == F.col("__u_system"), "left"
+    )
+    parts = [mapped, left.filter(F.col("__u_mode").isNull()).drop(*u_cols)]
+    inline = left.filter(F.col("__u_mode").isin("provided", "fixed"))
+    parts.append(
+        inline.select(
+            *[c for c in out.columns if c not in tgt_cols],
+            F.col("__u_tsystem").alias("target_system"),
+            F.when(
+                F.col("__u_mode") == "provided", F.col(code_col)
+            ).otherwise(F.col("__u_code")).alias("target_code"),
+            F.when(
+                F.col("__u_mode") == "fixed", F.col("__u_display")
+            ).alias("target_display"),
+            F.lit(None).cast("string").alias("equivalence"),
+        )
+    )
+    other = left.filter(F.col("__u_mode") == "other-map")
+    # referenced-map urls are ConceptMap METADATA (K rows), collected to
+    # drive one broadcast re-translate per map — depth-1 by _nested
+    urls = [
+        r[0]
+        for r in other.select("__u_url").distinct().collect()
+        if r[0] is not None
+    ]
+    for u in urls:
+        sub = other.filter(F.col("__u_url") == u).drop(*u_cols, *tgt_cols)
+        parts.append(
+            translate_codes(
+                sub, conceptmaps, system_col, code_col,
+                map_url=u, _nested=True,
+            )
+        )
+    parts.append(
+        other.filter(F.col("__u_url").isNull()).drop(*u_cols)
+    )
+    res = parts[0]
+    for prt in parts[1:]:
+        res = res.unionByName(prt)
+    return res
 
 
 def validate_codes(

@@ -1657,3 +1657,87 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf30_subsumes", qf30, QF30_ORACLE))
+
+
+# --- qf31: ConceptMap group.unmapped modes -------------------------------------------
+_CM_UNMAPPED_DOCS = [
+    {"resourceType": "ConceptMap", "id": "cm-main", "status": "active",
+     "url": "http://example.org/cm/main",
+     "group": [
+         {"source": "http://example.org/cs/a",
+          "target": "http://example.org/cs/t",
+          "element": [{"code": "x", "target": [
+              {"code": "X", "display": "Big X", "equivalence": "equal"}]}],
+          "unmapped": {"mode": "provided"}},
+         {"source": "http://example.org/cs/b",
+          "target": "http://example.org/cs/t",
+          "element": [{"code": "y", "target": [
+              {"code": "Y", "equivalence": "equal"}]}],
+          "unmapped": {"mode": "fixed", "code": "UNK",
+                       "display": "Unknown"}},
+         {"source": "http://example.org/cs/c",
+          "target": "http://example.org/cs/t",
+          "element": [{"code": "z", "target": [
+              {"code": "Z", "equivalence": "equal"}]}],
+          "unmapped": {"mode": "other-map",
+                       "url": "http://example.org/cm/fallback"}},
+     ]},
+    {"resourceType": "ConceptMap", "id": "cm-fallback", "status": "active",
+     "url": "http://example.org/cm/fallback",
+     "group": [
+         {"source": "http://example.org/cs/c",
+          "target": "http://example.org/cs/t2",
+          "element": [{"code": "w", "target": [
+              {"code": "W2", "equivalence": "wider"}]}],
+          # self-referencing other-map: depth-1 resolution terminates
+          "unmapped": {"mode": "other-map",
+                       "url": "http://example.org/cm/fallback"}},
+     ]},
+]
+
+
+def qf31(spark, sf_dir):
+    """ConceptMap group.unmapped (fhir/terminology.py::translate_codes,
+    r9): per-group fallback rules for codes with no element mapping —
+    `provided` echoes the source code, `fixed` substitutes a constant,
+    `other-map` re-translates through the referenced map (depth-1; the
+    fallback map's self-referencing unmapped rule terminates instead
+    of recursing). Unmapped-rule hits keep equivalence NULL so element
+    matches stay distinguishable; the fact side never shuffles."""
+    from parquet_on_fhir_spark.fhir.terminology import translate_codes
+
+    utc(spark)
+    cm = _encode_doc(spark, _CM_UNMAPPED_DOCS, "ConceptMap")
+    facts = spark.createDataFrame(
+        [
+            (1, "http://example.org/cs/a", "x"),   # element match
+            (2, "http://example.org/cs/a", "q"),   # provided -> q
+            (3, "http://example.org/cs/b", "q"),   # fixed -> UNK
+            (4, "http://example.org/cs/c", "w"),   # other-map -> W2
+            (5, "http://example.org/cs/c", "v"),   # unmapped everywhere
+            (6, "http://other.org", "q"),          # no group at all
+        ],
+        "row_id long, system string, code string",
+    )
+    out = translate_codes(
+        facts, cm, "system", "code", map_url="http://example.org/cm/main"
+    )
+    return out.select(
+        "row_id", "code", "target_system", "target_code",
+        "target_display", "equivalence",
+    )
+
+
+QF31_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'x', 'http://example.org/cs/t', 'X', 'Big X', 'equal'),
+  (2, 'q', 'http://example.org/cs/t', 'q', NULL, NULL),
+  (3, 'q', 'http://example.org/cs/t', 'UNK', 'Unknown', NULL),
+  (4, 'w', 'http://example.org/cs/t2', 'W2', NULL, 'wider'),
+  (5, 'v', NULL, NULL, NULL, NULL),
+  (6, 'q', NULL, NULL, NULL, NULL)
+) AS t(row_id, code, target_system, target_code, target_display, equivalence)
+"""
+
+
+QUERIES.append(Q("qf31_conceptmap_unmapped", qf31, QF31_ORACLE))

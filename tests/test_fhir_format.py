@@ -1078,3 +1078,42 @@ def test_subsumes_batch(spark):
         4: "not-subsumed", 5: "not-subsumed", 6: None,
     }
     assert out.count() == 6  # left joins never duplicate the fact side
+
+
+def test_conceptmap_unmapped_modes(spark):
+    """fhir/terminology.py::translate_codes group.unmapped (r9):
+    provided/fixed/other-map fallbacks, depth-1 other-map resolution
+    (self-referencing fallback terminates), equivalence NULL on rule
+    hits, maps without unmapped unchanged, and no fact-row loss or
+    duplication across the union."""
+    from parquet_on_fhir_spark.fhir.terminology import translate_codes
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CM_UNMAPPED_DOCS,
+        _encode_doc as _encode,
+    )
+
+    cm = _encode(spark, _CM_UNMAPPED_DOCS, "ConceptMap")
+    facts = spark.createDataFrame(
+        [
+            (1, "http://example.org/cs/a", "x"),
+            (2, "http://example.org/cs/a", "q"),
+            (3, "http://example.org/cs/b", "q"),
+            (4, "http://example.org/cs/c", "w"),
+            (5, "http://example.org/cs/c", "v"),
+            (6, "http://other.org", "q"),
+        ],
+        "row_id long, system string, code string",
+    )
+    out = translate_codes(
+        facts, cm, "system", "code", map_url="http://example.org/cm/main"
+    )
+    rows = {r.row_id: r for r in out.collect()}
+    assert len(rows) == 6 and out.count() == 6  # no loss, no duplication
+    assert (rows[1].target_code, rows[1].equivalence) == ("X", "equal")
+    assert (rows[2].target_code, rows[2].target_system, rows[2].equivalence) == (
+        "q", "http://example.org/cs/t", None,
+    )
+    assert (rows[3].target_code, rows[3].target_display) == ("UNK", "Unknown")
+    assert (rows[4].target_code, rows[4].equivalence) == ("W2", "wider")
+    assert rows[5].target_code is None  # depth-1: fallback's own rule unused
+    assert rows[6].target_code is None  # no group for the system
