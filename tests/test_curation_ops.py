@@ -661,3 +661,46 @@ def test_unigram_entropy_known_distribution(spark):
     u = spark.createDataFrame([("x y z w",)], "text string")
     (ru,) = unigram_entropy(u, "text").collect()
     assert abs(ru.entropy - math.log(4)) < 1e-12
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    """operators/curation.py::_word_ngrams (r9 zip_with rewrite) vs a
+    character-exact Python reference of the ORIGINAL semantics
+    (trim spaces -> lower -> split \\s+ -> join n-windows with ' '):
+    the 6x rewrite must be bit-identical across edge cases — leading
+    tabs (empty first token), repeated separators, unicode, exact-n
+    docs, short docs -> empty array."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.curation import _word_ngrams
+
+    texts = [
+        "a b a b a b a",
+        "x y",
+        "  A  b\tC d ",
+        "",
+        "one two three",
+        "a  b c",
+        "\tleading tab",
+        "ünïcode Tökens ünïcode Tökens more",
+        "exactly three tokens",
+        "spécial  chârs  spécial",
+    ]
+
+    def ref(text, n):
+        toks = re.split(r"\s+", text.strip(" ").lower())
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (2, 3, 5):
+        got = [
+            r.g
+            for r in df.select(_word_ngrams(F.col("text"), n).alias("g"))
+            .collect()
+        ]
+        want = [ref(t, n) for t in texts]
+        assert got == want, (n, got, want)
