@@ -2894,3 +2894,164 @@ def population_stability_index(
         F.count("*").alias("n_bins"),
     )
     return agg.select("psi", "n_ref", "n_cand", "n_bins")
+
+
+def proportions_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled variance) plus the effect sizes a
+    conversion A/B readout actually reports: risk ratio and odds ratio
+    — the categorical-outcome sibling of :func:`welch_t_test` (means)
+    and :func:`mann_whitney_u` (ranks), covering THE most common
+    experiment metric (did arm A convert more often?).
+
+    z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    rate. Counts are exact integers from ONE hash aggregate to a
+    2×2 frame; the z / ratio expressions are a fixed double sequence
+    over those four integers, so the result is bit-stable across
+    engines and partitionings. NULL guards: z NULL when a group is
+    empty or the pooled rate is 0 or 1 (zero variance); odds_ratio
+    NULL when any cell is zero; risk_ratio NULL when p̂_b = 0.
+
+    Output: 1 row — (n_a, n_b, x_a, x_b, p_a, p_b, z, risk_ratio,
+    odds_ratio).
+    """
+    g = F.col(group_col)
+    s = F.col(success_col).cast("int")
+    agg = (
+        df.filter(g.isin([group_a, group_b]) & s.isNotNull())
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(g == group_a, s).otherwise(0)).alias("x_a"),
+            F.sum(F.when(g == group_b, s).otherwise(0)).alias("x_b"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    var = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (pool > 0) & (pool < 1),
+        (pa - pb) / F.sqrt(var),
+    )
+    rr = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (pb > 0), pa / pb)
+    odds = F.when(
+        (xa > 0) & (xb > 0) & (na - xa > 0) & (nb - xb > 0),
+        (xa * (nb - xb)) / (xb * (na - xa)),
+    )
+    return agg.select(
+        "n_a", "n_b", "x_a", "x_b",
+        F.when(F.col("n_a") > 0, pa).alias("p_a"),
+        F.when(F.col("n_b") > 0, pb).alias("p_b"),
+        z.alias("z"),
+        rr.alias("risk_ratio"),
+        odds.alias("odds_ratio"),
+    )
+
+
+# Poisson(1) CDF thresholds for the hash-seeded bootstrap weights —
+# module constants so the operator AND any SQL oracle built from them
+# embed bit-identical literals.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    seed: int = 0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean — corpus-
+    metric uncertainty ("mean document quality is 0.62 ± what?")
+    without collecting or resampling rows: each (row, replicate) draws
+    a Poisson(1) weight from a HASH of (seed, id, replicate)
+    (md5-uniform inverted through the Poisson CDF thresholds,
+    ``POISSON1_CDF``), the classic streaming approximation of
+    with-replacement resampling. Deterministic, layout-independent,
+    and restatable in any engine with md5 — the q199 DP-release
+    recipe.
+
+    The CI is ORDER-STATISTIC (k-th smallest replicate mean, k =
+    ⌊α/2·B⌋+1, no interpolation), so engines only need to agree on the
+    ORDER of the B means; per-replicate weighted sums carry float
+    accumulation noise (~1e-12), but a swap between two that close
+    moves the selected bound by less than output rounding.
+
+    100 TB plan: the corpus explodes ×B (map-side — B·partitions
+    partial aggregates combine before the shuffle, so shuffle rows =
+    B × partitions, never corpus × B), the B-row mean frame sorts in
+    one tiny window, and the point estimate folds in the same pass
+    budget. B is the knob: 200 replicates ≈ 200× map work, fully
+    parallel.
+
+    Output: 1 row — (mean, ci_lo, ci_hi, n, n_replicates).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    from pyspark.sql import Window
+
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"), x.alias("__x")
+    )
+    reps = base.select(
+        "__x",
+        "__id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("__b"),
+    )
+    u = md5_60(
+        F.concat_ws(
+            ":", F.lit(f"bs{seed}"), F.col("__id"),
+            F.col("__b").cast("string"),
+        )
+    ) / F.lit(float(2**60))
+    wgt = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        wgt = F.when(u < POISSON1_CDF[k], k).otherwise(wgt)
+    wgt = wgt.cast("double")
+    means = (
+        reps.groupBy("__b")
+        .agg(F.sum(wgt * F.col("__x")).alias("__sx"), F.sum(wgt).alias("__sw"))
+        .filter(F.col("__sw") > 0)
+        .select((F.col("__sx") / F.col("__sw")).alias("__m"))
+    )
+    w = Window.orderBy("__m")
+    ranked = means.select(
+        "__m",
+        F.row_number().over(w).alias("__r"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__nb"),
+    )
+    k_lo = F.floor(F.lit(alpha / 2.0) * F.col("__nb")).cast("int") + 1
+    k_hi = F.col("__nb") - k_lo + 1
+    bounds = ranked.agg(
+        F.min(F.when(F.col("__r") == k_lo, F.col("__m"))).alias("ci_lo"),
+        F.min(F.when(F.col("__r") == k_hi, F.col("__m"))).alias("ci_hi"),
+        F.max("__nb").alias("n_replicates"),
+    )
+    point = base.agg(F.avg("__x").alias("mean"), F.count("*").alias("n"))
+    return point.crossJoin(F.broadcast(bounds)).select(
+        "mean", "ci_lo", "ci_hi", "n", "n_replicates"
+    )

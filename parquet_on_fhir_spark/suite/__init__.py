@@ -47,8 +47,8 @@ WINDOW = [
     #    cardinality, qf29 ECL reverse attributes, q221 Mann-Whitney U,
     #    q222 NDCG@10, q223 MRR, q224 Spearman rho, q225 repetition
     #    audit, q226 ANOVA F, q227 Kruskal-Wallis, q228 cross-source
-    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness, q232 PSI drift, q233 streaming drift monitor, qf31 ConceptMap unmapped modes — seventeen more refresh slots ceded (q02/q04/q07/
-    #    q11/q14/q16/q17/q19/q20/q36/q37/q38/q39 then q05/q24/q26/q27), each with in-window
+    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness, q232 PSI drift, q233 streaming drift monitor, qf31 ConceptMap unmapped modes, q234 two-proportion z-test, q235 hash-seeded bootstrap CI — nineteen more refresh slots ceded (q02/q04/q07/
+    #    q11/q13/q14/q16/q17/q19/q20/q28/q36/q37/q38/q39 then q05/q24/q26/q27), each with in-window
     #    family coverage (q01 scan, q03 source, q06 sink, q08
     #    project+filter, q21/q25/q28 aggs, q12-q19 joins, q37/q40
     #    set-ops) + r1-r6 lifetime greens
@@ -79,18 +79,18 @@ WINDOW = [
     "q230_vocab_richness",
     "q232_psi_drift",
     "q233_stream_drift_monitor",
+    "q234_proportions_ztest",
+    "q235_bootstrap_ci",
     # -- stalest lifetime-greens (r2-vintage evidence refresh)
     "q01_parquet_scan_pushdown",
     "q03_ndjson_source",
     "q06_partitioned_sink",
     "q08_filter_predicates",
     "q12_join_inner_3way",
-    "q13_join_left_outer",
     "q15_join_broadcast",
     "q18_join_asof",
     "q21_agg_tpch_q1",
     "q25_agg_stats",
-    "q28_agg_global",
     "q34_sort_multikey",
     "q40_except_all",
     "q75_sql_tpch_q5",

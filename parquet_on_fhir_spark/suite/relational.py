@@ -5246,3 +5246,145 @@ FROM terms
 
 
 QUERIES.append(Q("q232_psi_drift", q232, Q232_ORACLE))
+
+
+# --- Q234: two-proportion z-test -------------------------------------------------------
+def q234(spark, sf_dir):
+    """Conversion A/B readout (operators/analytics.py::
+    proportions_ztest): do even- and odd-id user cohorts purchase at
+    different rates? One hash aggregate to the exact 2×2 frame, fixed
+    double sequence for z / risk ratio / odds ratio — the categorical
+    sibling of q170 (means) and q221 (ranks)."""
+    from parquet_on_fhir_spark.operators.analytics import proportions_ztest
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    out = proportions_ztest(per_user, "arm", 0, 1, "converted")
+    return out.select(
+        "n_a", "n_b", "x_a", "x_b",
+        d4(F.col("p_a")).alias("p_a"),
+        d4(F.col("p_b")).alias("p_b"),
+        d4(F.col("z")).alias("z"),
+        d4(F.col("risk_ratio")).alias("risk_ratio"),
+        d4(F.col("odds_ratio")).alias("odds_ratio"),
+    )
+
+
+Q234_ORACLE = """
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS x_a,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x_b
+  FROM per_user
+),
+d AS (
+  SELECT n_a, n_b, x_a, x_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(x_a AS DOUBLE) AS xa, CAST(x_b AS DOUBLE) AS xb
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
+       round(CASE WHEN n_a > 0 THEN xa / na END + 1e-9, 4) AS p_a,
+       round(CASE WHEN n_b > 0 THEN xb / nb END + 1e-9, 4) AS p_b,
+       round(CASE WHEN n_a > 0 AND n_b > 0
+         AND (xa + xb) / (na + nb) > 0 AND (xa + xb) / (na + nb) < 1
+         THEN (xa / na - xb / nb)
+              / sqrt((xa + xb) / (na + nb) * (1.0 - (xa + xb) / (na + nb))
+                     * (1.0 / na + 1.0 / nb)) END + 1e-9, 4) AS z,
+       round(CASE WHEN n_a > 0 AND n_b > 0 AND xb / nb > 0
+         THEN (xa / na) / (xb / nb) END + 1e-9, 4) AS risk_ratio,
+       round(CASE WHEN xa > 0 AND xb > 0 AND na - xa > 0 AND nb - xb > 0
+         THEN (xa * (nb - xb)) / (xb * (na - xa)) END + 1e-9, 4)
+         AS odds_ratio
+FROM d
+"""
+
+
+QUERIES.append(Q("q234_proportions_ztest", q234, Q234_ORACLE))
+
+
+# --- Q235: Poisson-bootstrap CI for a corpus mean -------------------------------------
+def q235(spark, sf_dir):
+    """Hash-seeded Poisson-bootstrap CI for mean document length
+    (operators/analytics.py::bootstrap_mean_ci): 200 deterministic
+    replicates from md5-uniform weights, order-statistic bounds over
+    the B-row mean frame — corpus-metric uncertainty without
+    collecting a row. Shuffle = B × partitions partials, never
+    corpus × B."""
+    from parquet_on_fhir_spark.operators.analytics import bootstrap_mean_ci
+
+    d = t(spark, sf_dir, "documents")
+    out = bootstrap_mean_ci(
+        d, "n_chars", "doc_id", n_replicates=200, seed=0, alpha=0.05
+    )
+    return out.select(
+        d4(F.col("mean")).alias("mean"),
+        d4(F.col("ci_lo")).alias("ci_lo"),
+        d4(F.col("ci_hi")).alias("ci_hi"),
+        "n",
+        "n_replicates",
+    )
+
+
+def _q235_oracle() -> str:
+    from parquet_on_fhir_spark.operators.analytics import POISSON1_CDF
+
+    case = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS DOUBLE) AS x
+  FROM documents WHERE n_chars IS NOT NULL
+),
+reps AS (
+  SELECT id, x, b FROM base
+  CROSS JOIN (SELECT unnest(range(0, 200)) AS b)
+),
+uu AS (
+  SELECT x, b,
+         CAST('0x' || substr(md5('bs0:' || id || ':' || CAST(b AS VARCHAR)),
+                             1, 15) AS BIGINT)
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM reps
+),
+wt AS (SELECT b, x, CASE {case} ELSE 6 END AS wgt FROM uu),
+means AS (
+  SELECT b, sum(wgt * x) / sum(wgt) AS m
+  FROM wt GROUP BY b HAVING sum(wgt) > 0
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS r,
+         count(*) OVER () AS nb
+  FROM means
+),
+bounds AS (
+  SELECT min(CASE WHEN r = CAST(floor(0.025 * nb) AS INT) + 1 THEN m END)
+           AS ci_lo,
+         min(CASE WHEN r = nb - CAST(floor(0.025 * nb) AS INT) THEN m END)
+           AS ci_hi,
+         max(nb) AS nb
+  FROM ranked
+),
+pt AS (SELECT avg(x) AS mean, count(*) AS n FROM base)
+SELECT round(mean + 1e-9, 4) AS mean,
+       round(ci_lo + 1e-9, 4) AS ci_lo,
+       round(ci_hi + 1e-9, 4) AS ci_hi,
+       n,
+       CAST(nb AS BIGINT) AS n_replicates
+FROM pt CROSS JOIN bounds
+"""
+
+
+QUERIES.append(Q("q235_bootstrap_ci", q235, _q235_oracle()))

@@ -1469,3 +1469,69 @@ def test_psi_known_values(spark):
     )
     r2 = population_stability_index(same, "v", "g", "r", "c", bins=2).collect()[0]
     assert abs(r2.psi) < 1e-12
+
+
+def test_proportions_ztest_known_values(spark):
+    """operators/analytics.py::proportions_ztest vs the hand-computed
+    pooled z, risk ratio and odds ratio, plus the degenerate NULL
+    guards."""
+    import math
+
+    from parquet_on_fhir_spark.operators.analytics import proportions_ztest
+
+    rows = [("a", 1), ("a", 1), ("a", 0), ("a", 0),
+            ("b", 1), ("b", 0), ("b", 0), ("b", 0)]
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = proportions_ztest(df, "g", "a", "b", "s").collect()[0]
+    assert (r.n_a, r.n_b, r.x_a, r.x_b) == (4, 4, 2, 1)
+    pool = 3.0 / 8.0
+    want_z = (0.5 - 0.25) / math.sqrt(pool * (1 - pool) * 0.5)
+    assert abs(r.z - want_z) < 1e-12
+    assert abs(r.risk_ratio - 2.0) < 1e-12
+    assert abs(r.odds_ratio - 3.0) < 1e-12
+    # all-success pooled rate 1 -> zero variance -> z NULL; OR NULL on
+    # a zero cell
+    ones = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "g string, s int"
+    )
+    r2 = proportions_ztest(ones, "g", "a", "b", "s").collect()[0]
+    assert r2.z is None and r2.odds_ratio is None
+    assert abs(r2.risk_ratio - 1.0) < 1e-12
+    # empty arm
+    solo = proportions_ztest(
+        df.filter("g = 'a'"), "g", "a", "b", "s"
+    ).collect()[0]
+    assert solo.z is None and solo.p_b is None and solo.n_b == 0
+
+
+def test_bootstrap_mean_ci_properties(spark):
+    """operators/analytics.py::bootstrap_mean_ci: deterministic across
+    runs AND partitionings (integer values make the replicate sums
+    exact), ordered bounds bracketing the mean, seed sensitivity, and
+    the alpha guard."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import bootstrap_mean_ci
+
+    rows = [(i, float((i * 37) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = bootstrap_mean_ci(df, "v", "id", n_replicates=100, seed=1).collect()[0]
+    assert r.n == 300 and r.n_replicates == 100
+    assert r.ci_lo <= r.mean <= r.ci_hi
+    # exact determinism: rerun + different partitioning
+    r2 = bootstrap_mean_ci(
+        df.repartition(7), "v", "id", n_replicates=100, seed=1
+    ).collect()[0]
+    assert (r.ci_lo, r.ci_hi, r.mean) == (r2.ci_lo, r2.ci_hi, r2.mean)
+    # a different seed moves the bounds (same point estimate)
+    r3 = bootstrap_mean_ci(df, "v", "id", n_replicates=100, seed=2).collect()[0]
+    assert r3.mean == r.mean and (r3.ci_lo, r3.ci_hi) != (r.ci_lo, r.ci_hi)
+    # CI width shrinks roughly with sqrt(n): a 10x larger sample from
+    # the same distribution gives a clearly narrower interval
+    big = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(3000)], "id long, v double"
+    )
+    rb = bootstrap_mean_ci(big, "v", "id", n_replicates=100, seed=1).collect()[0]
+    assert (rb.ci_hi - rb.ci_lo) < (r.ci_hi - r.ci_lo)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_mean_ci(df, "v", "id", alpha=1.5)
