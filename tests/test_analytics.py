@@ -980,6 +980,15 @@ def test_operators_graceful_on_empty_input(spark):
         A.logistic_regression_fit(
             nums.selectExpr("v as x1", "y"), ["x1"], "y"
         )
+    # wave 5
+    (pz,) = A.proportions_ztest(
+        nums.selectExpr("g", "cast(y as int) as s"), "g", "a", "b", "s"
+    ).collect()
+    assert pz.z is None and pz.n_a is None and pz.p_a is None
+    (bci,) = A.bootstrap_mean_ci(
+        nums.selectExpr("v", "k as id"), "v", "id", n_replicates=10
+    ).collect()
+    assert bci.mean is None and bci.n == 0 and bci.ci_lo is None
 
     # graph / curation / join operators on empty inputs
     from parquet_on_fhir_spark.operators import curation as Cu
