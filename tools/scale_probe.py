@@ -46,6 +46,9 @@ PROBE_QUERIES = [
     "q228_source_overlap",
     "q230_vocab_richness",
     "q232_psi_drift",
+    # round-9 wave 5: the x200 bootstrap explode is the stress of interest
+    "q234_proportions_ztest",
+    "q235_bootstrap_ci",
 ]
 
 
