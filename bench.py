@@ -1,15 +1,26 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "queries_min": {...}, "value_min": N, "n": 3, "sf": ...}
+Prints ONE JSON line to stdout (the driver's record):
+  {"metric": "...", "queries": {...}, "unit": "sec", "n": 5,
+   "spread_max": R, "value_min": N, "value": N, "sf": ...}
+
+The driver captures only the LAST 2000 chars of stdout (BENCH_r09's
+single line outgrew that and came back ``parsed: null``), so the
+stdout line is kept under 1900 chars by construction: per-query
+MINIMA and any overflow move to ``BENCH_FULL.json`` (written next to
+this script) and stderr, and the headline scalars sit at the END of
+the dict so even a front-truncated tail preserves them. If the
+``queries`` dict alone would overflow, it is cut to the slowest
+entries and flagged ``"queries_truncated": true`` — the full map is
+always in BENCH_FULL.json.
 
 ``queries`` holds per-query MEDIANS (the headline number);
-``queries_min`` holds per-query MINIMA. A noisy run is self-diagnosing:
-median >> min on the same commit means scheduler/IO contention in that
-run, not a plan regression (the round-3 driver bench read 2× on three
-queries that re-measured at round-2 levels).
+``queries_min`` (BENCH_FULL.json) holds per-query MINIMA. A noisy run
+is self-diagnosing: median >> min on the same commit means
+scheduler/IO contention in that run, not a plan regression (the
+round-3 driver bench read 2× on three queries that re-measured at
+round-2 levels).
 
 Headline set = one representative per operator family, weighted toward
 the plans that matter at 100 TB (join+agg pipelines, windows, dedup,
@@ -78,6 +89,8 @@ HEADLINE = [
     "q217_average_precision",          # PR-curve area over distinct-score frames
     "q221_mann_whitney",               # rank-sum over a GROWING distinct-value frame
     "q225_repetition_audit",           # per-doc trigram explode-agg (Gopher rule)
+    # round-10 additions (new lines, not regressions vs BENCH_r09):
+    "qf23_ecl_expand",                 # terminology closure join (qf-family's first bench line)
 ]
 
 
@@ -123,25 +136,46 @@ def main() -> None:
         if min(runs) > 0:
             spread_max = max(spread_max, max(runs) / min(runs))
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": minima,
-                "value_min": round(sum(minima.values()), 3),
-                "n": N_RUNS,
-                # largest per-query max/min ratio across the timed reps:
-                # >2 on several queries = machine contention during THIS
-                # run; compare queries_min across rounds before calling
-                # a regression (r8 lesson)
-                "spread_max": round(spread_max, 2),
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_suite_seconds",
+        "queries": timings,
+        "queries_min": minima,
+        "unit": "sec",
+        "n": N_RUNS,
+        # largest per-query max/min ratio across the timed reps:
+        # >2 on several queries = machine contention during THIS
+        # run; compare queries_min across rounds before calling
+        # a regression (r8 lesson)
+        "spread_max": round(spread_max, 2),
+        "value_min": round(sum(minima.values()), 3),
+        "value": total,
+        "sf": sf,
+    }
+    Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+        json.dumps(full, indent=2) + "\n"
     )
+    print(json.dumps(full), file=sys.stderr)
+    # Driver-facing line: last-2000-char tail capture → must stay short.
+    # Scalars LAST in dict order so a front-truncated tail still shows
+    # the headline; queries_min lives only in BENCH_FULL.json/stderr.
+    line = {k: v for k, v in full.items() if k != "queries_min"}
+    if len(json.dumps(line)) > 1900:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+        line = {
+            "metric": full["metric"],
+            "queries": slowest,
+            "queries_truncated": True,
+            "queries_full_in": "BENCH_FULL.json",
+            "unit": "sec",
+            "n": N_RUNS,
+            "spread_max": full["spread_max"],
+            "value_min": full["value_min"],
+            "value": total,
+            "sf": sf,
+        }
+    out = json.dumps(line)
+    assert len(out) <= 1900, f"bench stdout line too long: {len(out)}"
+    print(out)
 
 
 if __name__ == "__main__":

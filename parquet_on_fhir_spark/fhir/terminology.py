@@ -249,13 +249,13 @@ def expand_valueset(
 
 
 _ECL_TOKEN = re.compile(
-    r"<<|>>|<|>|\(|\)|\*|:|=|,|\^|"
+    r"<<|>>|<|>|\(|\)|\{|\}|\*|:|=|,|\^|"
     r"\[[0-9]+\.\.(?:[0-9]+|\*)\]|"  # cardinality [m..n] — one token
     r"(?<!\S)\.(?!\S)|"  # dotted attribute '.' (whitespace-delimited)
-    r"AND\b|OR\b|MINUS\b|R\b|[^\s()<>:=,^]+"
+    r"AND\b|OR\b|MINUS\b|R\b|[^\s(){}<>:=,^]+"
 )
 _ECL_CARD = re.compile(r"\[([0-9]+)\.\.([0-9]+|\*)\]\Z")
-_ECL_UNSUPPORTED = re.compile(r"[{}|!#]")
+_ECL_UNSUPPORTED = re.compile(r"[|!#]")
 
 
 def _ecl_parse(ecl: str):
@@ -287,17 +287,25 @@ def _ecl_parse(ecl: str):
     must-not-have). Dotted notation ``focus . attr`` (r9) walks to the
     attribute VALUES of the focus set — the '.' must be
     whitespace-delimited, so dotted tokens (urls, OID-style codes)
-    still lex as single tokens. Attribute groups ('{}') and the rest
-    of the language raise NotImplementedError with the offending
-    token.
+    still lex as single tokens. Attribute groups ``{ attr = value ,
+    ... }`` (r10) require all member refinements to be satisfied by
+    assertions in the SAME relationship group; FHIR R4
+    ``concept.property[]`` carries no group ids, so each assertion is
+    self-grouped per the SNOMED ECL rule for ungrouped relationship
+    data ("each ungrouped attribute is treated as if in a group of its
+    own") — a multi-refinement group then matches only when ONE
+    assertion satisfies every member (reachable via '*' attributes or
+    repeated attribute names). Cardinality/reverse flags inside a
+    group, and the rest of the language, raise NotImplementedError
+    with the offending token.
     """
     if _ECL_UNSUPPORTED.search(ecl):
         raise NotImplementedError(
             f"unsupported ECL feature in {ecl!r}: only <|<<|>|>> "
             "prefixes, '*', codes, parentheses, AND/OR/MINUS, "
-            "'^ refset', '. attr' dotted walks and "
-            "'[m..n]? R? attr = value' refinements are supported "
-            "(no attribute groups / nested expressions)"
+            "'^ refset', '. attr' dotted walks, "
+            "'[m..n]? R? attr = value' refinements and "
+            "'{ attr = value , ... }' attribute groups are supported"
         )
     toks = _ECL_TOKEN.findall(ecl)
     for tk in toks:
@@ -337,7 +345,8 @@ def _ecl_parse(ecl: str):
             prefix, t = t, take()
         if (
             t is None
-            or t in (")", "AND", "OR", "MINUS", ":", "=", ",", "^", ".")
+            or t in (")", "{", "}", "AND", "OR", "MINUS", ":", "=", ",",
+                     "^", ".")
             or t.startswith("[")
         ):
             raise NotImplementedError(f"malformed ECL {ecl!r}")
@@ -349,8 +358,8 @@ def _ecl_parse(ecl: str):
             return ("any",)
         return ("focus", prefix, t)
 
-    _BAD_ATTR = ("(", ")", ":", "=", ",", ".", "<", "<<", ">", ">>",
-                 "AND", "OR", "MINUS", "R")
+    _BAD_ATTR = ("(", ")", "{", "}", ":", "=", ",", ".", "<", "<<",
+                 ">", ">>", "AND", "OR", "MINUS", "R")
 
     def refined():
         node = term()
@@ -367,11 +376,16 @@ def _ecl_parse(ecl: str):
         if peek() != ":":
             return node
         take()
-        refs = []
-        while True:
+
+        def one_ref(in_group):
             card = None
             nxt = peek()
             if nxt is not None and nxt.startswith("["):
+                if in_group:
+                    raise NotImplementedError(
+                        f"cardinality inside an attribute group in "
+                        f"{ecl!r} is not supported"
+                    )
                 m = _ECL_CARD.match(take())
                 card = (
                     int(m.group(1)),
@@ -383,6 +397,11 @@ def _ecl_parse(ecl: str):
                     )
             rev = peek() == "R"
             if rev:
+                if in_group:
+                    raise NotImplementedError(
+                        f"reverse flag inside an attribute group in "
+                        f"{ecl!r} is not supported"
+                    )
                 take()
             attr = take()
             if attr is None or (
@@ -396,7 +415,23 @@ def _ecl_parse(ecl: str):
                 raise NotImplementedError(
                     f"refinement needs 'attr = value' in {ecl!r}"
                 )
-            refs.append((card, rev, attr, term()))
+            return (card, rev, attr, term())
+
+        refs = []
+        while True:
+            if peek() == "{":  # attribute group (r10)
+                take()
+                grp = [one_ref(True)]
+                while peek() == ",":
+                    take()
+                    grp.append(one_ref(True))
+                if take() != "}":
+                    raise NotImplementedError(
+                        f"unbalanced attribute group braces in {ecl!r}"
+                    )
+                refs.append(("grp", grp))
+            else:
+                refs.append(one_ref(False))
             if peek() != ",":
                 break
             take()
@@ -460,6 +495,14 @@ def ecl_expand(
     bound; ``[0..0]`` = must-not-have). Dotted walks ``focus . attr``
     (r9, '.' whitespace-delimited) project the attribute values of the
     focus set back into the system's concept universe.
+    Attribute groups ``{ attr = value , ... }`` (r10) require all
+    member refinements to hit assertions in the same relationship
+    group — evaluated as (code, grp) inner joins across the members'
+    matched-assertion frames, then a semi-join against the focus set.
+    R4 ``concept.property[]`` carries no group ids, so assertions are
+    self-grouped (``grp`` = array position): a multi-member group
+    matches only when one assertion satisfies every member, per the
+    SNOMED ECL rule for ungrouped relationship data.
     ``^ <refset>`` (member-of) treats a ValueSet as the reference set:
     the token is matched against ValueSet ``id`` OR ``url`` in
     ``valuesets`` (colon-free tokens only — use the resource id for
@@ -487,7 +530,7 @@ def ecl_expand(
             props_cache.append(
                 _concept_properties(codesystems)
                 .filter(F.col("system") == system)
-                .select("code", "prop", "pval")
+                .select("code", "prop", "pval", "grp")
             )
         return props_cache[0]
 
@@ -551,7 +594,41 @@ def ecl_expand(
             return uni.join(F.broadcast(vals), "code", "left_semi")
         if kind == "refine":
             base = ev(node[1])
-            for card, rev, attr, vnode in node[2]:
+            for ref in node[2]:
+                if ref[0] == "grp":
+                    # attribute group (r10): every member refinement must
+                    # be satisfied by an assertion in the SAME relationship
+                    # group — (code, grp) inner joins across members.  R4
+                    # properties are self-grouped (grp = assertion index),
+                    # so multi-member groups require ONE assertion to
+                    # satisfy all members (spec rule for ungrouped data).
+                    joint = None
+                    for _, _, attr, vnode in ref[1]:
+                        p = props()
+                        if attr != "*":
+                            p = p.filter(F.col("prop") == attr)
+                        if vnode[0] == "focus" and vnode[1] is None:
+                            m = p.filter(F.col("pval") == vnode[2])
+                        else:
+                            vals = ev(vnode).select(
+                                F.col("code").alias("pval")
+                            )
+                            m = p.join(
+                                F.broadcast(vals), "pval", "left_semi"
+                            )
+                        m = m.select("code", "grp").distinct()
+                        joint = (
+                            m
+                            if joint is None
+                            else joint.join(m, ["code", "grp"])
+                        )
+                    base = base.join(
+                        F.broadcast(joint.select("code").distinct()),
+                        "code",
+                        "left_semi",
+                    )
+                    continue
+                card, rev, attr, vnode = ref
                 p = props()
                 if attr != "*":
                     p = p.filter(F.col("prop") == attr)
@@ -612,14 +689,18 @@ def ecl_expand(
 
 
 def _concept_properties(codesystems: DataFrame) -> DataFrame:
-    """(system, code, prop, pval) concept property assertions at every
-    ``concept`` nesting depth — CodeSystem ``concept.property[]``
+    """(system, code, prop, pval, grp) concept property assertions at
+    every ``concept`` nesting depth — CodeSystem ``concept.property[]``
     (hl7.org/fhir/R4/codesystem.html), choice values coerced to one
-    string column so filter predicates compare uniformly. Empty frame
+    string column so filter predicates compare uniformly. ``grp`` is
+    the assertion's position in its concept's property array — R4
+    properties carry no relationship-group ids, so each assertion is
+    SELF-GROUPED (the SNOMED ECL rule for ungrouped relationship data);
+    ECL attribute groups match on (code, grp) equality. Empty frame
     when the encoded schema carries no properties."""
     spark = codesystems.sparkSession
     empty = spark.createDataFrame(
-        [], "system string, code string, prop string, pval string"
+        [], "system string, code string, prop string, pval string, grp int"
     )
     # NOTE: property may appear at ANY concept nesting depth (a child
     # concept can carry properties its parents lack — the encoded
@@ -632,7 +713,9 @@ def _concept_properties(codesystems: DataFrame) -> DataFrame:
         p = cur.select(
             "system",
             F.col("c.code").alias("code"),
-            F.explode(F.coalesce(F.col("c.property"), F.array())).alias("p"),
+            F.posexplode(
+                F.coalesce(F.col("c.property"), F.array())
+            ).alias("grp", "p"),
         )
         vfields = [
             f for f in p.schema["p"].dataType.fieldNames() if f.startswith("value")
@@ -643,7 +726,11 @@ def _concept_properties(codesystems: DataFrame) -> DataFrame:
             else F.lit(None).cast("string")
         )
         return p.select(
-            "system", "code", F.col("p.code").alias("prop"), pval.alias("pval")
+            "system",
+            "code",
+            F.col("p.code").alias("prop"),
+            pval.alias("pval"),
+            F.col("grp").cast("int").alias("grp"),
         )
 
     cur = codesystems.select(
@@ -967,7 +1054,12 @@ def translate_codes(
 
     ``group.unmapped`` (hl7.org/fhir/R4/conceptmap.html, r9) applies to
     rows whose system matches a group's source but whose code has no
-    element mapping: mode ``provided`` echoes the source code into
+    element mapping — detected from the join itself (a ``__matched``
+    witness on the flattened mapping), NOT from ``target_code``
+    nullity: ``target.code`` is optional in R4 (equivalence
+    ``unmatched``/``disjoint`` targets are codeless), and such
+    explicitly-mapped rows keep their stated equivalence instead of
+    falling into the unmapped fallback. Mode ``provided`` echoes the source code into
     ``target_code`` (target_system from the group), ``fixed``
     substitutes the rule's code/display, ``other-map`` re-translates
     the leftover rows through the referenced ConceptMap — resolved
@@ -1005,6 +1097,12 @@ def translate_codes(
             F.col("tgt.code").alias("target_code"),
             F.col("tgt.display").alias("target_display"),
             F.col("tgt.equivalence").alias("equivalence"),
+            # join-match witness: unmapped rules apply only to rows with
+            # NO element entry (spec), and target.code is OPTIONAL
+            # (equivalence unmatched/disjoint ships codeless targets) —
+            # so matched-ness must come from the join, not target_code
+            # nullity (round-9 ADVICE, medium).
+            F.lit(True).alias("__matched"),
         )
     )
     out = df.join(
@@ -1015,7 +1113,7 @@ def translate_codes(
     ).drop("__src_system", "__src_code")
     tgt_cols = ["target_system", "target_code", "target_display", "equivalence"]
     if _nested or "unmapped" not in _element_fields(maps, "group"):
-        return out
+        return out.drop("__matched")
     ufields = _element_fields(maps, "group", "unmapped")
 
     def upick(name):
@@ -1041,15 +1139,16 @@ def translate_codes(
         "__u_system", "__u_tsystem", "__u_mode", "__u_code",
         "__u_display", "__u_url",
     ]
-    mapped = out.filter(F.col("target_code").isNotNull())
-    left = out.filter(F.col("target_code").isNull()).join(
+    mapped = out.filter(F.col("__matched").isNotNull()).drop("__matched")
+    left = out.filter(F.col("__matched").isNull()).drop("__matched").join(
         F.broadcast(un), F.col(system_col) == F.col("__u_system"), "left"
     )
+    base_cols = [c for c in out.columns if c not in tgt_cols and c != "__matched"]
     parts = [mapped, left.filter(F.col("__u_mode").isNull()).drop(*u_cols)]
     inline = left.filter(F.col("__u_mode").isin("provided", "fixed"))
     parts.append(
         inline.select(
-            *[c for c in out.columns if c not in tgt_cols],
+            *base_cols,
             F.col("__u_tsystem").alias("target_system"),
             F.when(
                 F.col("__u_mode") == "provided", F.col(code_col)

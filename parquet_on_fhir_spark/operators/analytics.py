@@ -2804,7 +2804,17 @@ def logistic_regression_fit(
                 h[i, j] = h[j, i] = row[f"h_{i}_{j}"]
         if ridge:
             h += ridge * np.eye(p + 1)
-        delta = np.linalg.solve(h, g)
+        try:
+            delta = np.linalg.solve(h, g)
+        except np.linalg.LinAlgError as exc:
+            # constant-zero or duplicated features with ridge=0 make the
+            # Hessian singular; surface the operator's documented named
+            # error contract instead of a raw LinAlgError (r9 ADVICE)
+            raise ValueError(
+                "logistic_regression_fit: singular Hessian at iteration "
+                f"{it + 1} (collinear or constant feature?) — pass "
+                "ridge > 0 to regularize"
+            ) from exc
         beta += delta
         it_done = it + 1
         if float(np.max(np.abs(delta))) < tol:
@@ -2917,19 +2927,39 @@ def proportions_ztest(
     empty or the pooled rate is 0 or 1 (zero variance); odds_ratio
     NULL when any cell is zero; risk_ratio NULL when p̂_b = 0.
 
+    ``success_col`` must be 0/1-valued (int-like or boolean). The
+    domain is validated inside the SAME aggregate pass: values outside
+    {0, 1}, or non-null values that fail the int cast (e.g. the string
+    "yes"), raise at action time instead of silently producing
+    x_a > n_a or dropping rows (round-9 ADVICE).
+
     Output: 1 row — (n_a, n_b, x_a, x_b, p_a, p_b, z, risk_ratio,
     odds_ratio).
     """
     g = F.col(group_col)
-    s = F.col(success_col).cast("int")
+    raw = F.col(success_col)
+    # try_cast: ANSI mode would make a plain cast throw Spark's own
+    # CAST_INVALID_INPUT mid-aggregate on e.g. "yes"; NULL-on-failure
+    # lets the named domain guard below report the contract instead
+    s = raw.try_cast("int")
     agg = (
-        df.filter(g.isin([group_a, group_b]) & s.isNotNull())
+        df.filter(g.isin([group_a, group_b]))
         .agg(
-            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("n_a"),
-            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when((g == group_a) & s.isNotNull(), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when((g == group_b) & s.isNotNull(), 1).otherwise(0)).alias("n_b"),
             F.sum(F.when(g == group_a, s).otherwise(0)).alias("x_a"),
             F.sum(F.when(g == group_b, s).otherwise(0)).alias("x_b"),
+            F.min(s).alias("__smin"),
+            F.max(s).alias("__smax"),
+            F.sum(
+                F.when(raw.isNotNull() & s.isNull(), 1).otherwise(0)
+            ).alias("__badcast"),
         )
+    )
+    bad_domain = (
+        (F.col("__smin") < 0)
+        | (F.col("__smax") > 1)
+        | (F.col("__badcast") > 0)
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
@@ -2949,7 +2979,18 @@ def proportions_ztest(
         "n_a", "n_b", "x_a", "x_b",
         F.when(F.col("n_a") > 0, pa).alias("p_a"),
         F.when(F.col("n_b") > 0, pb).alias("p_b"),
-        z.alias("z"),
+        # domain guard rides the z column: evaluated on the single
+        # output row, raises at action time on a bad success domain
+        F.when(
+            bad_domain,
+            F.raise_error(
+                F.lit(
+                    "proportions_ztest: success_col must be 0/1 or "
+                    "boolean — found values outside {0, 1} or non-null "
+                    "values that do not cast to int"
+                )
+            ).cast("double"),
+        ).otherwise(z).alias("z"),
         rr.alias("risk_ratio"),
         odds.alias("odds_ratio"),
     )
@@ -3003,6 +3044,10 @@ def bootstrap_mean_ci(
     """
     if not 0 < alpha < 1:
         raise ValueError("alpha must be in (0, 1)")
+    if int(n_replicates) < 1:
+        # F.sequence(0, n-1) with n=0 would infer step -1 and silently
+        # emit [0, -1] — a bogus 2-replicate "CI" (round-9 ADVICE).
+        raise ValueError("n_replicates must be >= 1")
     from pyspark.sql import Window
 
     from parquet_on_fhir_spark.operators.dedup import md5_60

@@ -553,8 +553,9 @@ def repeated_ngram_fraction(
     aggregate on (doc, gram) with partial combine → per-doc recount.
     Shuffle rows ≈ distinct (doc, gram) pairs; the text column itself
     never shuffles. Documents shorter than ``n`` words yield no
-    n-grams and surface with NULL ``dup_fraction`` (nothing to score),
-    not 0.
+    n-grams and are OMITTED from the output (explode drops empty gram
+    arrays) — callers that need every document left-join back to the
+    id frame, as q225 does (round-9 ADVICE docstring fix).
 
     Output: (id_col, n_ngrams, n_distinct, dup_fraction).
     """

@@ -1671,8 +1671,14 @@ _CM_UNMAPPED_DOCS = [
           "unmapped": {"mode": "provided"}},
          {"source": "http://example.org/cs/b",
           "target": "http://example.org/cs/t",
-          "element": [{"code": "y", "target": [
-              {"code": "Y", "equivalence": "equal"}]}],
+          "element": [
+              {"code": "y", "target": [
+                  {"code": "Y", "equivalence": "equal"}]},
+              # explicit CODELESS target (target.code is optional in
+              # R4): equivalence 'unmatched' must survive as-is and
+              # must NOT fall into the fixed-UNK fallback (r9 ADVICE)
+              {"code": "n", "target": [{"equivalence": "unmatched"}]},
+          ],
           "unmapped": {"mode": "fixed", "code": "UNK",
                        "display": "Unknown"}},
          {"source": "http://example.org/cs/c",
@@ -1716,6 +1722,7 @@ def qf31(spark, sf_dir):
             (4, "http://example.org/cs/c", "w"),   # other-map -> W2
             (5, "http://example.org/cs/c", "v"),   # unmapped everywhere
             (6, "http://other.org", "q"),          # no group at all
+            (7, "http://example.org/cs/b", "n"),   # codeless explicit target
         ],
         "row_id long, system string, code string",
     )
@@ -1735,7 +1742,8 @@ SELECT * FROM (VALUES
   (3, 'q', 'http://example.org/cs/t', 'UNK', 'Unknown', NULL),
   (4, 'w', 'http://example.org/cs/t2', 'W2', NULL, 'wider'),
   (5, 'v', NULL, NULL, NULL, NULL),
-  (6, 'q', NULL, NULL, NULL, NULL)
+  (6, 'q', NULL, NULL, NULL, NULL),
+  (7, 'n', 'http://example.org/cs/t', NULL, NULL, 'unmatched')
 ) AS t(row_id, code, target_system, target_code, target_display, equivalence)
 """
 

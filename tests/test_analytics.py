@@ -1544,3 +1544,55 @@ def test_bootstrap_mean_ci_properties(spark):
     assert (rb.ci_hi - rb.ci_lo) < (r.ci_hi - r.ci_lo)
     with pytest.raises(ValueError, match="alpha"):
         bootstrap_mean_ci(df, "v", "id", alpha=1.5)
+
+
+def test_round9_advice_guards(spark):
+    """Round-9 ADVICE regression guards: bootstrap n_replicates >= 1,
+    logistic singular-Hessian named error, proportions_ztest success
+    domain validation (values outside {0,1} and uncastable strings
+    raise; booleans pass)."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        bootstrap_mean_ci,
+        logistic_regression_fit,
+        proportions_ztest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(20)], "id long, v double"
+    )
+    with pytest.raises(ValueError, match="n_replicates"):
+        bootstrap_mean_ci(df, "v", "id", n_replicates=0)
+
+    # constant-zero feature with ridge=0 -> singular Hessian -> named
+    # ValueError pointing at ridge, not a raw numpy LinAlgError
+    sing = spark.createDataFrame(
+        [(0.0, 1.0, 1), (0.0, 2.0, 0), (0.0, 3.0, 1), (0.0, 4.0, 0)],
+        "x1 double, x2 double, y int",
+    )
+    with pytest.raises(ValueError, match="ridge"):
+        logistic_regression_fit(sing, ["x1", "x2"], "y", ridge=0.0)
+
+    # count-valued success column: raises at action time
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    from py4j.protocol import Py4JJavaError
+
+    counts = spark.createDataFrame(
+        [("a", 3), ("a", 0), ("b", 1), ("b", 1)], "g string, s int"
+    )
+    with pytest.raises(Exception, match="success_col must be 0/1"):
+        proportions_ztest(counts, "g", "a", "b", "s").collect()
+    # string success column that fails the int cast: raises, never drops
+    strs = spark.createDataFrame(
+        [("a", "yes"), ("a", "no"), ("b", "1"), ("b", "0")], "g string, s string"
+    )
+    with pytest.raises(Exception, match="success_col must be 0/1"):
+        proportions_ztest(strs, "g", "a", "b", "s").collect()
+    # boolean success column still works
+    bools = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True), ("b", True)],
+        "g string, s boolean",
+    )
+    r = proportions_ztest(bools, "g", "a", "b", "s").collect()[0]
+    assert (r.n_a, r.n_b, r.x_a, r.x_b) == (2, 2, 1, 2)

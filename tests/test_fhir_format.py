@@ -1101,6 +1101,7 @@ def test_conceptmap_unmapped_modes(spark):
             (4, "http://example.org/cs/c", "w"),
             (5, "http://example.org/cs/c", "v"),
             (6, "http://other.org", "q"),
+            (7, "http://example.org/cs/b", "n"),
         ],
         "row_id long, system string, code string",
     )
@@ -1108,7 +1109,7 @@ def test_conceptmap_unmapped_modes(spark):
         facts, cm, "system", "code", map_url="http://example.org/cm/main"
     )
     rows = {r.row_id: r for r in out.collect()}
-    assert len(rows) == 6 and out.count() == 6  # no loss, no duplication
+    assert len(rows) == 7 and out.count() == 7  # no loss, no duplication
     assert (rows[1].target_code, rows[1].equivalence) == ("X", "equal")
     assert (rows[2].target_code, rows[2].target_system, rows[2].equivalence) == (
         "q", "http://example.org/cs/t", None,
@@ -1117,3 +1118,9 @@ def test_conceptmap_unmapped_modes(spark):
     assert (rows[4].target_code, rows[4].equivalence) == ("W2", "wider")
     assert rows[5].target_code is None  # depth-1: fallback's own rule unused
     assert rows[6].target_code is None  # no group for the system
+    # codeless explicit target (R4 optional target.code): keeps its
+    # stated equivalence, does NOT fall into the fixed-UNK fallback
+    assert (rows[7].target_code, rows[7].target_display) == (None, None)
+    assert (rows[7].target_system, rows[7].equivalence) == (
+        "http://example.org/cs/t", "unmatched",
+    )
