@@ -1749,3 +1749,62 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf31_conceptmap_unmapped", qf31, QF31_ORACLE))
+
+
+# --- qf32: ECL attribute groups + parenthesized AND/OR mixing -------------------------
+def qf32(spark, sf_dir):
+    """ECL attribute groups (fhir/terminology.py::ecl_expand
+    `{ attr = value , ... }`, r10): every member refinement must be
+    satisfied by assertions in the SAME relationship group — (code,
+    grp) inner joins across the members' matched-assertion frames. R4
+    concept.property[] carries no group ids, so assertions are
+    self-grouped per the SNOMED ECL rule for ungrouped data: grp2's
+    two-attribute group matches NOTHING (site/severity live on
+    different assertions) while the ungrouped twin grp4 does — the
+    semantic split a conjunction-only reading would miss. grp5
+    exercises mixed AND/OR composition through explicit parentheses
+    (the no-mixing rule applies per chain, spec-correct)."""
+    return _ecl_findings2(spark, _ecl_vs_docs("grp", [
+        # single-member group == plain refinement
+        "< finding : { site = arm }",
+        # two attrs on DIFFERENT assertions: self-grouped -> empty
+        "< finding : { site = arm , severity = high }",
+        # one assertion satisfies both members (wildcard attr)
+        "< finding : { * = arm , site = << limb }",
+        # group + ungrouped refinement conjunction
+        "< finding : { site = << limb } , severity = high",
+        # parenthesized mixed AND/OR + cardinality composition
+        "(( < finding : severity = low ) OR ( < finding : site = arm ))"
+        " AND ( < finding : [1..*] site = * )",
+        # expression-valued group members
+        "< finding : { site = ( << arm OR leg ) , * = << anatomy }",
+    ]))
+
+
+QF32_ORACLE = """
+SELECT * FROM (VALUES
+  -- grp1: single-member group == plain refinement
+  ('http://example.org/ValueSet/grp1', 'arm-fracture'),
+  ('http://example.org/ValueSet/grp1', 'multi-trauma'),
+  -- grp2: { site = arm , severity = high } self-grouped -> no rows
+  -- grp3: { * = arm , site = << limb } (the site=arm assertion)
+  ('http://example.org/ValueSet/grp3', 'arm-fracture'),
+  ('http://example.org/ValueSet/grp3', 'multi-trauma'),
+  -- grp4: { site = << limb } , severity = high (ungrouped conj)
+  ('http://example.org/ValueSet/grp4', 'arm-fracture'),
+  ('http://example.org/ValueSet/grp4', 'multi-trauma'),
+  -- grp5: (low OR site=arm) AND [1..*] site
+  ('http://example.org/ValueSet/grp5', 'arm-fracture'),
+  ('http://example.org/ValueSet/grp5', 'hand-burn'),
+  ('http://example.org/ValueSet/grp5', 'leg-sprain'),
+  ('http://example.org/ValueSet/grp5', 'multi-trauma'),
+  -- grp6: { site = (<< arm OR leg) , * = << anatomy }
+  ('http://example.org/ValueSet/grp6', 'arm-fracture'),
+  ('http://example.org/ValueSet/grp6', 'hand-burn'),
+  ('http://example.org/ValueSet/grp6', 'leg-sprain'),
+  ('http://example.org/ValueSet/grp6', 'multi-trauma')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf32_ecl_attribute_groups", qf32, QF32_ORACLE))

@@ -1047,6 +1047,67 @@ def test_ecl_dotted_cardinality_reverse(spark):
             ecl_expand(bad, cs, clo, system).collect()
 
 
+def test_ecl_attribute_groups(spark):
+    """fhir/terminology.py::ecl_expand r10 extension: attribute groups
+    `{ attr = value , ... }` — self-grouped R4 semantics (one assertion
+    must satisfy every member), composition with ungrouped refinements
+    and set ops, and the targeted refusals (card/rev inside a group,
+    unbalanced braces)."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_FINDINGS2_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/findings2"
+
+    def ev(ecl):
+        return sorted(r.code for r in ecl_expand(ecl, cs, clo, system).collect())
+
+    # single-member group == plain refinement
+    assert ev("< finding : { site = arm }") == ev("< finding : site = arm")
+    # members on DIFFERENT assertions: self-grouped -> empty, while the
+    # ungrouped twin matches (the split a conjunction reading misses)
+    assert ev("< finding : { site = arm , severity = high }") == []
+    assert ev("< finding : site = arm , severity = high") == [
+        "arm-fracture", "multi-trauma",
+    ]
+    # one assertion satisfying both members (wildcard attr) matches
+    assert ev("< finding : { * = arm , site = << limb }") == [
+        "arm-fracture", "multi-trauma",
+    ]
+    # repeated attr in one group: x = arm AND x = leg on ONE assertion
+    assert ev("< finding : { site = arm , site = leg }") == []
+    # group mixes with ungrouped refinements and set ops
+    assert ev("< finding : { site = << limb } , severity = high") == [
+        "arm-fracture", "multi-trauma",
+    ]
+    assert ev(
+        "(< finding : { site = leg }) MINUS (< finding : severity = high)"
+    ) == ["leg-sprain"]
+    # expression-valued members
+    assert ev("< finding : { site = ( << arm OR leg ) }") == [
+        "arm-fracture", "hand-burn", "leg-sprain", "multi-trauma",
+    ]
+    for bad in (
+        "< finding : { [1..2] site = arm }",   # cardinality inside group
+        "< finding : { R site = arm }",        # reverse inside group
+        "< finding : { site = arm",            # unbalanced braces
+        "< finding : site = arm }",            # stray close brace
+        "< finding : { }",                     # empty group
+    ):
+        with pytest.raises(NotImplementedError):
+            ecl_expand(bad, cs, clo, system).collect()
+
+
 def test_subsumes_batch(spark):
     """fhir/terminology.py::subsumes (r9): every $subsumes outcome over
     the anatomy closure, NULL codes yield NULL outcome, extra input

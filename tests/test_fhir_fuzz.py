@@ -299,6 +299,30 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
     if kind == "refine":
         base = _ecl_ref_eval(node[1], uni, desc, props)
         for ref in node[2]:
+            if ref[0] == "grp":
+                # r10 attribute group: with self-grouped (ungrouped R4)
+                # data a concept matches iff ONE assertion satisfies
+                # every member refinement
+                conds = []
+                for _, _, attr, vnode in ref[1]:
+                    if vnode[0] == "focus" and vnode[1] is None:
+                        vok = lambda x, t=vnode[2]: x == t  # noqa: E731
+                    else:
+                        vals = _ecl_ref_eval(vnode, uni, desc, props)
+                        vok = lambda x, s=vals: x in s  # noqa: E731
+                    conds.append(
+                        lambda p, v, a=attr, vk=vok: (a == "*" or p == a)
+                        and vk(v)
+                    )
+                base = {
+                    c
+                    for c in base
+                    if any(
+                        all(cond(p, v) for cond in conds)
+                        for p, v in props.get(c, [])
+                    )
+                }
+                continue
             card, rev, attr, vnode = _norm_ref(ref)
             if vnode[0] == "focus" and vnode[1] is None:
                 ok = lambda x, t=vnode[2]: x == t  # noqa: E731
@@ -342,8 +366,8 @@ def _ecl_render(node):
     if kind == "dot":
         return f"({_ecl_render(node[1])}) . {node[2]}"
     if kind == "refine":
-        parts = []
-        for ref in node[2]:
+
+        def render_one(ref):
             card, rev, attr, v = _norm_ref(ref)
             cs_ = (
                 f"[{card[0]}..{'*' if card[1] is None else card[1]}] "
@@ -356,7 +380,15 @@ def _ecl_render(node):
                 if v[0] == "focus" and v[1] is None
                 else f"({_ecl_render(v)})"
             )
-            parts.append(f"{cs_}{rv}{attr} = {val}")
+            return f"{cs_}{rv}{attr} = {val}"
+
+        parts = []
+        for ref in node[2]:
+            if ref[0] == "grp":
+                inner = " , ".join(render_one(r) for r in ref[1])
+                parts.append("{ " + inner + " }")
+            else:
+                parts.append(render_one(ref))
         return f"({_ecl_render(node[1])}) : {' , '.join(parts)}"
     return f"({_ecl_render(node[1])}) {kind} ({_ecl_render(node[2])})"
 
@@ -493,6 +525,12 @@ def _f2_exprs(depth=2):
         _f2_terms(),
     )
     refinement = st.tuples(card, st.booleans(), attrs, value)
+    # r10 attribute group: card/rev are banned inside groups, so group
+    # members are plain (None, False, attr, value) refinements
+    plain_ref = st.tuples(st.none(), st.just(False), attrs, value)
+    group = st.tuples(
+        st.just("grp"), st.lists(plain_ref, min_size=1, max_size=2)
+    )
     return st.one_of(
         sub,
         st.tuples(st.sampled_from(["AND", "OR", "MINUS"]), sub, sub),
@@ -500,7 +538,9 @@ def _f2_exprs(depth=2):
         st.tuples(
             st.just("refine"),
             sub,
-            st.lists(refinement, min_size=1, max_size=2),
+            st.lists(
+                st.one_of(refinement, group), min_size=1, max_size=2
+            ),
         ),
     )
 
