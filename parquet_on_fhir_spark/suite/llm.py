@@ -2553,6 +2553,70 @@ def q210(spark, sf_dir):
 QUERIES.append(Q("q210_ols_fit", q210, None))
 
 
+# --- Q210b: OLS normal-equation moments (exact-decimal oracle twin of q210) ----------
+def q210b(spark, sf_dir):
+    """The complete normal-equation INPUT of q210's fit — X'X and X'y
+    over (1, l_quantity, l_discount, l_tax) -> l_extendedprice — as one
+    hash-checkable aggregate row (r9 verdict task 5: the numpy solve
+    stays rows-only in q210, but everything Spark computes to FEED it
+    is exact decimal arithmetic and fully SQL-restatable). All four
+    columns are 2dp-exact in the data, so each is cast to
+    DECIMAL(18,2) before multiplying: products (scale 4) and sums stay
+    EXACT in both engines — no float summation-order risk. One
+    map-side-combined aggregate, no shuffle beyond the 1-row combine;
+    the same plan shape linear_regression_fit uses internally
+    (operators/analytics.py)."""
+    l = t(spark, sf_dir, "lineitem")
+    names = [
+        ("q", "l_quantity"), ("d", "l_discount"),
+        ("x", "l_tax"), ("y", "l_extendedprice"),
+    ]
+    base = l.select(
+        *[F.col(c).cast("decimal(18,2)").alias(a) for a, c in names]
+    )
+    keys = [a for a, _ in names]
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, a in enumerate(keys):
+        aggs.append(F.sum(F.col(a)).cast("decimal(38,4)").alias(f"s_{a}"))
+        for b in keys[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b))
+                .cast("decimal(38,4)")
+                .alias(f"s_{a}{b}")
+            )
+    return base.agg(*aggs)
+
+
+Q210B_ORACLE = """
+WITH b AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,
+         CAST(l_discount AS DECIMAL(18,2)) AS d,
+         CAST(l_tax AS DECIMAL(18,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS DECIMAL(38,4)) AS s_q,
+       CAST(SUM(q*q) AS DECIMAL(38,4)) AS s_qq,
+       CAST(SUM(q*d) AS DECIMAL(38,4)) AS s_qd,
+       CAST(SUM(q*x) AS DECIMAL(38,4)) AS s_qx,
+       CAST(SUM(q*y) AS DECIMAL(38,4)) AS s_qy,
+       CAST(SUM(d) AS DECIMAL(38,4)) AS s_d,
+       CAST(SUM(d*d) AS DECIMAL(38,4)) AS s_dd,
+       CAST(SUM(d*x) AS DECIMAL(38,4)) AS s_dx,
+       CAST(SUM(d*y) AS DECIMAL(38,4)) AS s_dy,
+       CAST(SUM(x) AS DECIMAL(38,4)) AS s_x,
+       CAST(SUM(x*x) AS DECIMAL(38,4)) AS s_xx,
+       CAST(SUM(x*y) AS DECIMAL(38,4)) AS s_xy,
+       CAST(SUM(y) AS DECIMAL(38,4)) AS s_y,
+       CAST(SUM(y*y) AS DECIMAL(38,4)) AS s_yy
+FROM b
+"""
+
+
+QUERIES.append(Q("q210b_ols_moments", q210b, Q210B_ORACLE))
+
+
 # --- Q225: repeated-trigram repetition audit (Gopher rule) ---------------------------
 def q225(spark, sf_dir):
     """Per-source repetition audit via the duplicate-trigram fraction

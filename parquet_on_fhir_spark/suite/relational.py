@@ -5189,6 +5189,87 @@ def q231(spark, sf_dir):
 QUERIES.append(Q("q231_logistic_fit", q231, None))
 
 
+# --- Q231b: logistic round-0 score + Hessian moments (oracle twin of q231) -----------
+def q231b(spark, sf_dir):
+    """The IRLS round-0 moments of a q231-style logistic fit, as one
+    hash-checkable row (r9 verdict task 5): at beta = 0 the score is
+    X'(y - 1/2) and the Hessian is X'X / 4, so emitting the X'X upper
+    triangle plus the gradient makes everything Spark computes to FEED
+    the solve oracle-checkable (the iterative solve itself stays
+    rows-only in q231). Features are the exact-arithmetic variant of
+    q231's: n_events, SUM(value) and n_clicks per user — sum_value
+    replaces avg_value (= sum/count) because value is 2dp-exact, so
+    per-user sums cast to DECIMAL(18,2) keep every product and sum
+    EXACT in both engines, where an avg would reintroduce float
+    division. Two aggregates total (per-user, then 1-row combine)."""
+    e = t(spark, sf_dir, "events")
+    half = F.expr("CAST(0.5 AS DECIMAL(2,1))")
+    pu = e.groupBy("user_id").agg(
+        F.count("*").cast("decimal(18,2)").alias("f1"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("f2"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("decimal(18,2)")
+        .alias("f3"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("decimal(2,1)")
+        .alias("y"),
+    )
+    keys = ["f1", "f2", "f3"]
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, a in enumerate(keys):
+        aggs.append(F.sum(F.col(a)).cast("decimal(38,4)").alias(f"s_{a}"))
+        for b in keys[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b))
+                .cast("decimal(38,4)")
+                .alias(f"s_{a}{b}")
+            )
+    aggs.append(
+        F.sum(F.col("y") - half).cast("decimal(38,4)").alias("g_0")
+    )
+    for a in keys:
+        aggs.append(
+            F.sum(F.col(a) * (F.col("y") - half))
+            .cast("decimal(38,4)")
+            .alias(f"g_{a}")
+        )
+    return pu.agg(*aggs)
+
+
+Q231B_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(count(*) AS DECIMAL(18,2)) AS f1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS f2,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DECIMAL(18,2)) AS f3,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DECIMAL(2,1)) AS y
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(f1) AS DECIMAL(38,4)) AS s_f1,
+       CAST(SUM(f1*f1) AS DECIMAL(38,4)) AS s_f1f1,
+       CAST(SUM(f1*f2) AS DECIMAL(38,4)) AS s_f1f2,
+       CAST(SUM(f1*f3) AS DECIMAL(38,4)) AS s_f1f3,
+       CAST(SUM(f2) AS DECIMAL(38,4)) AS s_f2,
+       CAST(SUM(f2*f2) AS DECIMAL(38,4)) AS s_f2f2,
+       CAST(SUM(f2*f3) AS DECIMAL(38,4)) AS s_f2f3,
+       CAST(SUM(f3) AS DECIMAL(38,4)) AS s_f3,
+       CAST(SUM(f3*f3) AS DECIMAL(38,4)) AS s_f3f3,
+       CAST(SUM(y - CAST(0.5 AS DECIMAL(2,1))) AS DECIMAL(38,4)) AS g_0,
+       CAST(SUM(f1 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS g_f1,
+       CAST(SUM(f2 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS g_f2,
+       CAST(SUM(f3 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS g_f3
+FROM pu
+"""
+
+
+QUERIES.append(Q("q231b_logistic_moments", q231b, Q231B_ORACLE))
+
+
 # --- Q232: population stability index ------------------------------------------------
 def q232(spark, sf_dir):
     """PSI drift between click (reference) and purchase (candidate)
