@@ -3100,3 +3100,419 @@ def bootstrap_mean_ci(
     return point.crossJoin(F.broadcast(bounds)).select(
         "mean", "ci_lo", "ci_hi", "n", "n_replicates"
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = sup_x |F_a(x) −
+    F_b(x)| — the workhorse distribution-shift test for feature /
+    score drift between two cohorts (train-vs-serve, source-vs-source)
+    that, unlike PSI (:func:`population_stability_index`), needs no
+    binning choice.
+
+    Integer-exact formulation: on the pooled distinct-value frame the
+    ECDF gap at value v is |cumA(v)·n_b − cumB(v)·n_a| / (n_a·n_b) —
+    the numerator is an exact integer (folded in DECIMAL(38,0): cum ≤
+    1e12 rows × counterpart n ≤ 1e12 keeps products < 1e24 ≪ 1e38),
+    so max() happens on exact integers and exactly ONE double division
+    produces D. The Kolmogorov z = D·√(n_a·n_b/(n_a+n_b)) adds one
+    sqrt.
+
+    100 TB plan: one hash aggregate collapses the corpus to the
+    (value, cnt, cnt_a) distinct-value frame; the single ordered
+    window runs over |distinct values| rows, never the corpus — the
+    :func:`mann_whitney_u`/:func:`binary_auc` scale shape, including
+    the same ``quantize`` bucket-width escape hatch for truly
+    continuous metrics (D then moves by at most the mass rebucketed
+    at bin edges, i.e. ≤ quantize·density). NULLs and rows outside
+    the two groups are excluded up front.
+
+    Output: 1 row — (n_a, n_b, d_stat, ks_z); both NULL when either
+    group is empty.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    is_a = (g == group_a).cast("long")
+    val = F.col(value_col)
+    if quantize is not None:
+        val = F.round(val / F.lit(quantize)) * F.lit(quantize)
+    per_value = (
+        df.filter(g.isin([group_a, group_b]) & val.isNotNull())
+        .groupBy(val.alias("__v"))
+        .agg(F.count("*").alias("__cnt"), F.sum(is_a).alias("__ca"))
+    )
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    cur = per_value.select(
+        F.sum("__ca").over(wcum).alias("__cum_a"),
+        (F.sum("__cnt").over(wcum) - F.sum("__ca").over(wcum)).alias(
+            "__cum_b"
+        ),
+        F.sum("__ca").over(wall).alias("__na"),
+        (F.sum("__cnt").over(wall) - F.sum("__ca").over(wall)).alias(
+            "__nb"
+        ),
+    )
+    agg = cur.agg(
+        F.max(
+            F.abs(
+                F.col("__cum_a").cast(dec) * F.col("__nb").cast(dec)
+                - F.col("__cum_b").cast(dec) * F.col("__na").cast(dec)
+            )
+        ).alias("__num"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d = F.col("__num").cast("double") / (na * nb)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, d).alias("d_stat"),
+        F.when(ok, d * F.sqrt(na * nb / (na + nb))).alias("ks_z"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    term_dp: int = 12,
+) -> DataFrame:
+    """Theil T inequality index T = (1/N)·Σᵢ (xᵢ/μ)·ln(xᵢ/μ) with the
+    exact between/within decomposition T = T_between + Σ_g s_g·T_g
+    when ``group_col`` is given (s_g = group value share S_g/S;
+    T_between = Σ_g s_g·ln(μ_g/μ)) — the additive-decomposability
+    property that makes Theil (not Gini) the standard for attributing
+    inequality/concentration to a grouping (region, source, shard).
+
+    Cross-engine contract: ``value_col`` must be 2-decimal-exact
+    (money); per-entity values and all totals fold in DECIMAL(18,2)+,
+    so μ, μ_g and every share are ratios of EXACT ingredients —
+    bit-identical doubles in any engine. The only transcendental is
+    ln; each summed term is quantized to ``term_dp`` (suite/common.py
+    convention) so per-term libm ulps cannot accumulate. Rows with
+    NULL or non-positive values are excluded (ln domain), n reports
+    the rows kept.
+
+    100 TB plan: one hash aggregate to the per-group frame (K rows,
+    broadcast), one 1-row total (broadcast), then a single map-side-
+    combined pass over the rows — no corpus shuffle at all when the
+    caller pre-aggregates to entities, one groupBy otherwise.
+
+    Output: 1 row — (n, theil) or (n, theil, theil_between,
+    theil_within).
+    """
+    xd = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(F.col(value_col).isNotNull() & (xd > 0))
+    if group_col is None:
+        tot = base.agg(
+            F.sum(xd).alias("__s"), F.count("*").alias("__n")
+        )
+        mu = F.col("__s").cast("double") / F.col("__n").cast("double")
+        rows = base.crossJoin(F.broadcast(tot))
+        ratio = xd.cast("double") / mu
+        term = F.round(ratio * F.log(ratio), term_dp)
+        out = rows.agg(
+            F.max("__n").alias("n"),
+            (F.sum(term) / F.max("__n").cast("double")).alias("theil"),
+        )
+        return out.select("n", "theil")
+    gagg = base.groupBy(F.col(group_col).alias("__g")).agg(
+        F.sum(xd).alias("__sg"), F.count("*").alias("__ng")
+    )
+    tot = gagg.agg(
+        F.sum("__sg").cast("decimal(38,2)").alias("__s"),
+        F.sum("__ng").alias("__n"),
+    )
+    gb = gagg.crossJoin(F.broadcast(tot))
+    s_d = F.col("__s").cast("double")
+    mu = s_d / F.col("__n").cast("double")
+    mug = F.col("__sg").cast("double") / F.col("__ng").cast("double")
+    share = F.col("__sg").cast("double") / s_d
+    between = gb.agg(
+        F.sum(F.round(share * F.log(mug / mu), term_dp)).alias(
+            "theil_between"
+        ),
+        F.max("__n").alias("n"),
+    )
+    rows = base.join(
+        F.broadcast(gb), F.col(group_col) == F.col("__g"), "inner"
+    )
+    ratio_t = xd.cast("double") / mu
+    ratio_g = xd.cast("double") / mug
+    # within contribution per row: s_g·(1/N_g)·term_g, with term_g
+    # 12-dp-quantized BEFORE the exact-ingredient multiplier
+    w_term = F.round(ratio_g * F.log(ratio_g), term_dp) * (
+        share / F.col("__ng").cast("double")
+    )
+    t_term = F.round(ratio_t * F.log(ratio_t), term_dp)
+    totals = rows.agg(
+        (F.sum(t_term) / F.max("__n").cast("double")).alias("theil"),
+        F.sum(w_term).alias("theil_within"),
+    )
+    return totals.crossJoin(F.broadcast(between)).select(
+        "n", "theil", "theil_between", "theil_within"
+    )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    causes: list,
+    term_dp: int | None = None,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence for competing risks: the
+    multi-cause generalization of :func:`kaplan_meier`. With K causes,
+    CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) where S is the ALL-cause
+    product-limit survival and d_k counts cause-k events — naive
+    1−KM_k overestimates each cause because it treats competitors as
+    censoring (Putter et al. 2007, Stat Med 26:2389, the standard
+    tutorial derivation).
+
+    All-window formulation (the KM shape, one extra running sum per
+    cause): one hash aggregate to the (t, d_1..d_K, total-leaving)
+    frame, then n(t) = N − cum-prev(leaving), S(t−) =
+    exp(cum-prev Σ ln(1−d/n)) with the exact-zero guard, and each
+    CIF_k a cum-now running sum of increments — all windows share one
+    global time order over the time-cardinality-sized frame, never
+    the corpus. ``cause_col`` NULL = censored; non-NULL values not in
+    ``causes`` are treated as censored too (documented narrowing —
+    pass every competing cause for correct risk sets). ``term_dp``
+    quantizes BOTH each ln factor and each CIF increment (both are
+    transcendental-derived sums; suite/common.py convention).
+
+    Output: (t, cause, n_risk, n_events, cif) — |times| × K rows;
+    Σ_k CIF_k(∞) + S(∞) = 1 up to quantization.
+    """
+    from pyspark.sql import Window
+
+    ks = list(causes)
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        *[
+            F.sum((F.col(cause_col) == k).cast("int")).alias(f"__d{i}")
+            for i in range(len(ks))
+            for k in [ks[i]]
+        ],
+        F.count("*").alias("__leave"),
+    )
+    total = Window.partitionBy()
+    upto_prev = total.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    upto_now = total.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    everything = total.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d_tot = sum(F.col(f"__d{i}") for i in range(len(ks)))
+    left_before = F.coalesce(F.sum("__leave").over(upto_prev), F.lit(0))
+    cur = per_t.withColumn(
+        "__n_risk", F.sum("__leave").over(everything) - left_before
+    ).withColumn("__d_tot", d_tot)
+    factor = 1.0 - F.col("__d_tot") / F.col("__n_risk")
+    safe_log = F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))
+    if term_dp is not None:
+        safe_log = F.round(safe_log, term_dp)
+    cur = cur.withColumn("__lnf", safe_log).withColumn(
+        "__dead", (factor <= 0).cast("int")
+    )
+    hit_zero_prev = F.coalesce(
+        F.max("__dead").over(upto_prev), F.lit(0)
+    )
+    s_prev = F.when(hit_zero_prev == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.sum("__lnf").over(upto_prev), F.lit(0.0)))
+    )
+    cur = cur.withColumn("__s_prev", s_prev)
+    for i in range(len(ks)):
+        inc = (
+            F.col("__s_prev")
+            * F.col(f"__d{i}")
+            / F.col("__n_risk")
+        )
+        if term_dp is not None:
+            inc = F.round(inc, term_dp)
+        cur = cur.withColumn(f"__cif{i}", F.sum(inc).over(upto_now))
+    stack_args = ", ".join(
+        f"'{k}', __d{i}, __cif{i}" for i, k in enumerate(ks)
+    )
+    return cur.select(
+        "t",
+        F.col("__n_risk").alias("n_risk"),
+        F.expr(
+            f"stack({len(ks)}, {stack_args}) AS (cause, n_events, cif)"
+        ),
+    ).select("t", "cause", "n_risk", "n_events", "cif")
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    bucket_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary outcome's rate
+    monotonically associated with an ORDERED grouping (dose, activity
+    decile, model-version number)? More powerful than the omnibus
+    chi-square (:func:`chi2_crosstab`) exactly when the alternative is
+    a trend. z = [Σ wᵢxᵢ − p̄·Σ wᵢnᵢ] / √(p̄(1−p̄)·[Σ wᵢ²nᵢ −
+    (Σ wᵢnᵢ)²/N]) with wᵢ the integer bucket score, xᵢ the bucket's
+    successes, nᵢ its size (Armitage 1955, Biometrics 11:375 —
+    textbook normal approximation form).
+
+    ``bucket_col`` must be integer-valued (the scores); ``success_col``
+    0/1. Every Σ folds EXACT in DECIMAL(38,0) (w ≤ 1e6-ish buckets,
+    counts ≤ 1e12 keep all products ≪ 1e38); p̄ and the final z are
+    the only float ops. NULL buckets/outcomes are excluded.
+
+    100 TB plan: one map-side-combined hash aggregate to the K-bucket
+    frame, one 1-row fold — the corpus never shuffles.
+
+    Output: 1 row — (n, k_buckets, z); z NULL when the pooled rate is
+    0 or 1 or all mass is in one score (zero variance).
+    """
+    dec = "decimal(38,0)"
+    w = F.col(bucket_col).cast("long")
+    s = F.col(success_col).cast("long")
+    per = (
+        df.filter(w.isNotNull() & s.isNotNull())
+        .groupBy(w.alias("__w"))
+        .agg(F.count("*").alias("__n"), F.sum(s).alias("__x"))
+    )
+    wd = F.col("__w").cast(dec)
+    agg = per.agg(
+        F.sum("__n").alias("n"),
+        F.count("*").alias("k_buckets"),
+        F.sum("__x").cast(dec).alias("__sx"),
+        F.sum(wd * F.col("__x").cast(dec)).alias("__swx"),
+        F.sum(wd * F.col("__n").cast(dec)).alias("__swn"),
+        F.sum(wd * wd * F.col("__n").cast(dec)).alias("__swwn"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("__sx").cast("double") / nd
+    num = F.col("__swx").cast("double") - p * F.col("__swn").cast(
+        "double"
+    )
+    var = (
+        p
+        * (1.0 - p)
+        * (
+            F.col("__swwn").cast("double")
+            - F.col("__swn").cast("double")
+            * F.col("__swn").cast("double")
+            / nd
+        )
+    )
+    return agg.select(
+        "n",
+        "k_buckets",
+        F.when(var > 0, num / F.sqrt(var)).alias("z"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Hosmer-Lemeshow calibration bins: rank the scored rows, cut
+    into ``bins`` equal-count groups (ntile ordered by (score, id) —
+    the id tiebreak makes the cut DETERMINISTIC, engine-independently)
+    and compare observed positives against the score-implied
+    expectation per bin. The per-bin χ² contribution is
+    (O−E)²/(n·π̄·(1−π̄)) with π̄ = E/n (Hosmer & Lemeshow 1980 —
+    textbook form); Σ contrib ~ χ²(bins−2) under calibration.
+
+    Scale note: ntile is a single global sort — the right tool for
+    model-diagnostic SAMPLES (ranked scores are the semantics). For
+    corpus-scale calibration use :func:`calibration_bins` /
+    :func:`quantile_bin`, which cut on approximate quantiles without
+    a global order.
+
+    Output: ``bins`` rows — (bin, n, observed, expected, contrib);
+    contrib NULL for a degenerate bin (π̄ 0 or 1).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    binned = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).withColumn("bin", F.ntile(bins).over(w))
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("observed"),
+        F.sum(F.col(score_col).cast("double")).alias("expected"),
+    )
+    nd = F.col("n").cast("double")
+    pi = F.col("expected") / nd
+    dev = F.col("observed").cast("double") - F.col("expected")
+    return per.select(
+        "bin",
+        "n",
+        "observed",
+        "expected",
+        F.when(
+            (pi > 0) & (pi < 1), dev * dev / (nd * pi * (1.0 - pi))
+        ).alias("contrib"),
+    )
+
+
+def quantile_forecast_eval(
+    train: DataFrame,
+    test: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    taus: list[float],
+) -> DataFrame:
+    """Quantile-forecast evaluation by pinball (quantile) loss: fit
+    per-key empirical quantiles on ``train`` (exact
+    ``F.percentile`` — linear interpolation, the percentile_cont
+    semantics), score ``test`` with L_τ(y, q) = max(τ·(y−q),
+    (τ−1)·(y−q)) and report the mean loss per key and τ — the proper
+    scoring rule for quantile predictions (Koenker & Bassett 1978),
+    and the standard backtest for per-segment latency / spend / load
+    quantile forecasts.
+
+    100 TB plan: the train pass is one hash aggregate to K rows
+    (percentile is an exact sort-based agg per group — for truly
+    huge groups swap in approx_percentile, documented knob); the K-row
+    quantile frame then BROADCASTS onto the test scan, so scoring is
+    map-side only; one final K-row aggregate.
+
+    Output: one row per key — (keys…, n_test, q_<τ>…, loss_<τ>…).
+    """
+    tags = [str(t).replace(".", "") for t in taus]
+    qs = train.groupBy(*key_cols).agg(
+        *[
+            F.percentile(F.col(value_col), F.lit(t)).alias(f"q_{tag}")
+            for t, tag in zip(taus, tags)
+        ]
+    )
+    joined = test.join(F.broadcast(qs), key_cols, "inner")
+    y = F.col(value_col).cast("double")
+    aggs = [F.count("*").alias("n_test")]
+    for t, tag in zip(taus, tags):
+        err = y - F.col(f"q_{tag}")
+        aggs.append(F.max(F.col(f"q_{tag}")).alias(f"q_{tag}"))
+        aggs.append(
+            F.avg(
+                F.greatest(F.lit(t) * err, F.lit(t - 1.0) * err)
+            ).alias(f"loss_{tag}")
+        )
+    return joined.groupBy(*key_cols).agg(*aggs)

@@ -857,3 +857,44 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def effective_sample_size(
+    df: "DataFrame",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Duplicate-inflation audit: exact-duplicate clusters by full-text
+    hash, and the EFFECTIVE sample size of the corpus when each
+    document is down-weighted to 1/cluster_size (the standard dedup
+    weighting for loss/eval reweighting instead of dropping rows).
+    With w_d = 1/|cluster(d)|, Kish's ESS = (Σw)²/Σw² collapses to
+    C² / Σ_clusters (1/size) where C = cluster count — so a corpus of
+    pure uniques has ESS = N and a corpus of one giant cluster has
+    ESS = 1, and the gap to n_clusters quantifies how SKEWED the
+    duplication is (many singletons + one megacluster), which
+    dup_rate alone hides.
+
+    100 TB plan: one (hash)-keyed aggregate with map-side combine
+    (shuffle rows = distinct texts, 16-byte keys — the
+    :func:`exact_dedup` shuffle), then a 1-row fold. md5 keeps the
+    audit engine-portable; collision probability at 1e12 docs is
+    ~1e-13 (birthday bound on 128 bits).
+
+    Output: 1 row — (n_docs, n_clusters, dup_rate, ess).
+    """
+    sizes = (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.count("*").alias("__size"))
+    )
+    agg = sizes.agg(
+        F.sum("__size").alias("n_docs"),
+        F.count("*").alias("n_clusters"),
+        F.sum(1.0 / F.col("__size").cast("double")).alias("__inv"),
+    )
+    c = F.col("n_clusters").cast("double")
+    return agg.select(
+        "n_docs",
+        "n_clusters",
+        (1.0 - c / F.col("n_docs").cast("double")).alias("dup_rate"),
+        (c * c / F.col("__inv")).alias("ess"),
+    )

@@ -495,3 +495,60 @@ def centroid_similarity_matrix(
             (dot / (norm("__ca") * norm("__cb"))).alias("cosine"),
         )
     )
+
+
+def embedding_isotropy(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space isotropy audit WITHOUT a pairwise join: for
+    L2-normalized vectors v̂ᵢ the mean pairwise cosine satisfies the
+    exact identity  mean_{i≠j} v̂ᵢ·v̂ⱼ = (‖Σᵢv̂ᵢ‖² − n) / (n(n−1))
+    (expand ‖Σv̂‖² = Σᵢⱼ v̂ᵢ·v̂ⱼ and split the diagonal, which is
+    exactly n) — so the O(n²) statistic collapses to one O(n·d)
+    aggregate. High mean cosine = anisotropic/collapsed embedding
+    space (Ethayarajh 2019, arXiv:1909.00512); the standard health
+    check before cosine-threshold dedup or ANN recall tuning.
+
+    Plan: per-row norm is a map-side array fold (``F.aggregate``,
+    double accumulator — no UDF); the component sum is ONE
+    (dimension)-keyed hash aggregate after posexplode — shuffle rows =
+    n·d reduced map-side to partitions·d — then a d-row fold. Zero
+    vectors are excluded (reported via n vs the caller's count).
+
+    Output: 1 row — (n, dim, mean_norm, mean_cosine).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+        )
+    )
+    base = (
+        df.select(vec.alias("__v"), norm.alias("__nrm"))
+        .filter(F.col("__nrm") > 0)
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.avg("__nrm").alias("mean_norm"),
+        F.max(F.size("__v")).alias("dim"),
+    )
+    # normalize AFTER the explode: a transform lambda capturing __nrm
+    # would inline the whole sqrt-of-fold expression per ELEMENT under
+    # projection collapse (O(d²) per row — the q228 lesson), whereas
+    # here the norm is evaluated once per row by the Generate input
+    # and the division is a plain per-output-row column op
+    comps = base.select(
+        "__nrm", F.posexplode("__v").alias("__i", "__raw")
+    ).select("__i", (F.col("__raw") / F.col("__nrm")).alias("__x"))
+    dims = comps.groupBy("__i").agg(F.sum("__x").alias("__s"))
+    sq = dims.agg(
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss")
+    )
+    nd = F.col("n").cast("double")
+    return stats.crossJoin(F.broadcast(sq)).select(
+        "n",
+        "dim",
+        "mean_norm",
+        F.when(
+            F.col("n") > 1,
+            (F.col("__ss") - nd) / (nd * (nd - 1.0)),
+        ).alias("mean_cosine"),
+    )

@@ -720,3 +720,53 @@ def vocab_richness(
         chao1.alias("chao1"),
         coverage.alias("coverage"),
     )
+
+
+def ngram_novelty(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    batch_width: int = 100,
+):
+    """N-gram novelty curve over ingestion order: batch the corpus by
+    ``floor(id / batch_width)`` (monotone ids = arrival order) and
+    report, per batch, the fraction of n-gram OCCURRENCES whose gram
+    was never seen in any earlier batch — the saturation signal a
+    crawl/ingest pipeline watches to decide when a source is mined
+    out (novelty → 0 means new data repeats the old corpus), and the
+    dual of the within-doc Gopher repetition rule
+    (:func:`repeated_ngram_fraction`).
+
+    Plan (ONE corpus scan): map-side n-gram explode → one (batch,
+    gram) hash aggregate with partial combine → per-gram first-seen
+    batch via a second gram-keyed aggregate over the ALREADY-REDUCED
+    (batch, gram) frame (shuffle rows = distinct (batch, gram) pairs,
+    never occurrences) → K-batch recount. No window, no self-join;
+    the text column never shuffles.
+
+    Output: (batch, occurrences, new_occurrences, distinct_grams,
+    new_distinct_grams, novelty_rate) — novelty_rate =
+    new_occurrences / occurrences; batch 0 is 1.0 by construction.
+    """
+    from parquet_on_fhir_spark.operators.curation import _word_ngrams
+
+    grams = df.select(
+        F.floor(F.col(id_col) / batch_width).alias("batch"),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per = grams.groupBy("batch", "gram").agg(F.count("*").alias("__c"))
+    first = per.groupBy("gram").agg(F.min("batch").alias("__fb"))
+    tagged = per.join(first, "gram")
+    is_new = (F.col("batch") == F.col("__fb")).cast("int")
+    out = tagged.groupBy("batch").agg(
+        F.sum("__c").alias("occurrences"),
+        F.sum(F.col("__c") * is_new).alias("new_occurrences"),
+        F.count("*").alias("distinct_grams"),
+        F.sum(is_new.cast("long")).alias("new_distinct_grams"),
+    )
+    return out.withColumn(
+        "novelty_rate",
+        F.col("new_occurrences").cast("double")
+        / F.col("occurrences").cast("double"),
+    )

@@ -1596,3 +1596,173 @@ def test_round9_advice_guards(spark):
     )
     r = proportions_ztest(bools, "g", "a", "b", "s").collect()[0]
     assert (r.n_a, r.n_b, r.x_a, r.x_b) == (2, 2, 1, 2)
+
+
+def test_ks_two_sample_matches_numpy(spark):
+    """ks_two_sample vs a numpy ECDF reference: exact D on pooled
+    distinct values, z scaling, and the empty-group NULL contract."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import ks_two_sample
+
+    rng = np.random.RandomState(7)
+    a = np.round(rng.normal(10, 2, 300), 1)
+    b = np.round(rng.normal(11, 3, 200), 1)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    pooled = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    d_ref = np.max(np.abs(fa - fb))
+    assert (r.n_a, r.n_b) == (300, 200)
+    assert abs(r.d_stat - d_ref) < 1e-12
+    assert abs(r.ks_z - d_ref * np.sqrt(300 * 200 / 500)) < 1e-12
+    # identical distributions -> D from sampling only; same sample -> 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 2.0), ("b", 2.0)], "g string, v double"
+    )
+    assert ks_two_sample(same, "v", "g", "a", "b").collect()[0].d_stat == 0.0
+    empty = ks_two_sample(
+        df.filter("g = 'a'"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert empty.d_stat is None and empty.ks_z is None
+
+
+def test_theil_index_matches_numpy(spark):
+    """theil_index vs numpy: total, between, within, the exact
+    decomposition T = T_between + T_within, and the ungrouped path."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import theil_index
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.lognormal(3, 1, 500), 2)
+    g = rng.choice(["x", "y", "z"], 500)
+    df = spark.createDataFrame(
+        [(str(gg), float(v)) for gg, v in zip(g, vals)], "g string, v double"
+    )
+    r = theil_index(df, "v", "g").collect()[0]
+    mu = vals.mean()
+    t_ref = np.mean((vals / mu) * np.log(vals / mu))
+    s = vals.sum()
+    tb = tw = 0.0
+    for gg in ("x", "y", "z"):
+        m = vals[g == gg]
+        mug = m.mean()
+        tb += (m.sum() / s) * np.log(mug / mu)
+        tw += (m.sum() / s) * np.mean((m / mug) * np.log(m / mug))
+    assert abs(r.theil - t_ref) < 1e-9
+    assert abs(r.theil_between - tb) < 1e-9
+    assert abs(r.theil_within - tw) < 1e-9
+    assert abs(r.theil - (r.theil_between + r.theil_within)) < 1e-9
+    ru = theil_index(df, "v").collect()[0]
+    assert abs(ru.theil - t_ref) < 1e-9 and ru.n == 500
+    # perfectly equal values -> T exactly 0 (ln 1 terms)
+    eq = spark.createDataFrame([("x", 5.0)] * 10, "g string, v double")
+    assert theil_index(eq, "v").collect()[0].theil == 0.0
+
+
+def test_aalen_johansen_matches_reference(spark):
+    """aalen_johansen vs a sequential pure-python CIF: risk sets,
+    per-cause increments, and the identity S(inf) + sum_k CIF_k = 1."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import aalen_johansen
+
+    rng = np.random.RandomState(3)
+    n = 200
+    dur = rng.randint(1, 30, n)
+    cause = rng.choice([None, "a", "b"], n, p=[0.3, 0.4, 0.3])
+    df = spark.createDataFrame(
+        [(int(d), c) for d, c in zip(dur, cause)], "dur int, cause string"
+    )
+    res = {
+        (r.t, r.cause): (r.n_risk, r.n_events, r.cif)
+        for r in aalen_johansen(df, "dur", "cause", ["a", "b"]).collect()
+    }
+    surv, left = 1.0, 0
+    cif = {"a": 0.0, "b": 0.0}
+    for tt in sorted(set(dur)):
+        at = [c for d, c in zip(dur, cause) if d == tt]
+        nr = n - left
+        d_at = {k: sum(1 for c in at if c == k) for k in ("a", "b")}
+        for k in ("a", "b"):
+            cif[k] += surv * d_at[k] / nr
+            got = res[(tt, k)]
+            assert got[0] == nr and got[1] == d_at[k]
+            assert abs(got[2] - cif[k]) < 1e-9
+        surv *= 1 - (d_at["a"] + d_at["b"]) / nr
+        left += len(at)
+    assert abs(surv + cif["a"] + cif["b"] - 1.0) < 1e-9
+
+
+def test_cochran_armitage_and_hosmer_lemeshow(spark):
+    """cochran_armitage_trend vs the Armitage formula in numpy;
+    hosmer_lemeshow vs a lexsort+slice reference (deterministic
+    (score, id) ntile cut)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        cochran_armitage_trend,
+        hosmer_lemeshow,
+    )
+
+    rng = np.random.RandomState(5)
+    buckets = rng.randint(1, 6, 500)
+    y = (rng.rand(500) < buckets / 10.0).astype(int)
+    df = spark.createDataFrame(
+        [(int(b), int(t)) for b, t in zip(buckets, y)], "b int, y int"
+    )
+    r = cochran_armitage_trend(df, "b", "y").collect()[0]
+    nn, x = 500, y.sum()
+    p = x / nn
+    swx = (buckets * y).sum()
+    swn = buckets.sum()
+    swwn = (buckets * buckets).sum()
+    z_ref = (swx - p * swn) / np.sqrt(
+        p * (1 - p) * (swwn - swn**2 / nn)
+    )
+    assert abs(r.z - z_ref) < 1e-9 and r.k_buckets == 5
+    # constant outcome -> zero variance -> NULL z
+    const = spark.createDataFrame([(1, 1), (2, 1)], "b int, y int")
+    assert cochran_armitage_trend(const, "b", "y").collect()[0].z is None
+
+    score = np.round(rng.rand(200), 3)
+    lab = (rng.rand(200) < score).astype(int)
+    df2 = spark.createDataFrame(
+        [(i, float(s), int(v)) for i, (s, v) in enumerate(zip(score, lab))],
+        "id int, s double, y int",
+    )
+    bins = hosmer_lemeshow(df2, "s", "y", "id", 10).collect()
+    order = np.lexsort((np.arange(200), score))
+    assert len(bins) == 10
+    for b in bins:
+        idx = order[(b.bin - 1) * 20 : b.bin * 20]
+        o, e = lab[idx].sum(), score[idx].sum()
+        pi = e / 20
+        assert b.n == 20 and b.observed == o
+        assert abs(b.expected - e) < 1e-9
+        assert abs(b.contrib - (o - e) ** 2 / (20 * pi * (1 - pi))) < 1e-9
+
+
+def test_quantile_forecast_eval_matches_numpy(spark):
+    """quantile_forecast_eval vs numpy percentile + pinball loss."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        quantile_forecast_eval,
+    )
+
+    rng = np.random.RandomState(9)
+    trv = rng.rand(100) * 10
+    tev = rng.rand(50) * 10
+    tr = spark.createDataFrame([("k", float(v)) for v in trv], "k string, v double")
+    te = spark.createDataFrame([("k", float(v)) for v in tev], "k string, v double")
+    r = quantile_forecast_eval(tr, te, ["k"], "v", [0.5, 0.9]).collect()[0]
+    q5, q9 = np.percentile(trv, 50), np.percentile(trv, 90)
+    l5 = np.mean(np.maximum(0.5 * (tev - q5), -0.5 * (tev - q5)))
+    l9 = np.mean(np.maximum(0.9 * (tev - q9), -0.1 * (tev - q9)))
+    assert abs(r.q_05 - q5) < 1e-9 and abs(r.q_09 - q9) < 1e-9
+    assert abs(r.loss_05 - l5) < 1e-9 and abs(r.loss_09 - l9) < 1e-9
+    assert r.n_test == 50

@@ -628,3 +628,73 @@ def test_pca_matches_numpy_reference(spark):
     white = pca_project(df, mean, comps, whiten_eigvals=eigvals)
     w = np.array([r["pca"] for r in white.orderBy("vec_id").collect()])
     assert np.allclose(w.var(axis=0), 1.0, atol=1e-6)
+
+
+def test_ngram_novelty_curve(spark):
+    """ngram_novelty: hand-computed batch novelty over a 4-doc corpus
+    (first batch 100% novel; later batches count only first-seen
+    grams' occurrences as new)."""
+    from parquet_on_fhir_spark.operators.text import ngram_novelty
+
+    docs = [
+        (0, "a b c d"),       # batch 0: ab bc cd
+        (50, "a b c e"),      # batch 0: ab bc ce
+        (120, "b c d f g"),   # batch 1: bc cd df fg (df/fg new)
+        (250, "x y z"),       # batch 2: xy yz (all new)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    nv = {
+        r.batch: r
+        for r in ngram_novelty(df, "doc_id", "text", 2, 100).collect()
+    }
+    b0, b1, b2 = nv[0], nv[1], nv[2]
+    assert (b0.occurrences, b0.new_occurrences) == (6, 6)
+    assert (b0.distinct_grams, b0.new_distinct_grams) == (4, 4)
+    assert b0.novelty_rate == 1.0
+    assert (b1.occurrences, b1.new_occurrences) == (4, 2)
+    assert (b1.distinct_grams, b1.new_distinct_grams) == (4, 2)
+    assert abs(b1.novelty_rate - 0.5) < 1e-12
+    assert (b2.occurrences, b2.new_occurrences) == (2, 2)
+
+
+def test_effective_sample_size_kish(spark):
+    """effective_sample_size: Kish ESS over exact-dup clusters —
+    uniques give ESS = N, a skewed megacluster drags ESS toward
+    n_clusters' harmonic bound."""
+    from parquet_on_fhir_spark.operators.dedup import (
+        effective_sample_size,
+    )
+
+    texts = ["u%d" % i for i in range(10)] + ["dup"] * 5 + ["dup2"] * 2
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    r = effective_sample_size(df, "text").collect()[0]
+    assert (r.n_docs, r.n_clusters) == (17, 12)
+    assert abs(r.dup_rate - (1 - 12 / 17)) < 1e-12
+    assert abs(r.ess - 144 / 10.7) < 1e-9  # C^2 / (10·1 + 1/5 + 1/2)
+    uniq = spark.createDataFrame([("t%d" % i,) for i in range(8)], "text string")
+    ru = effective_sample_size(uniq, "text").collect()[0]
+    assert ru.ess == 8.0 and ru.dup_rate == 0.0
+
+
+def test_embedding_isotropy_identity(spark):
+    """embedding_isotropy vs the O(n^2) gram-matrix reference: the
+    ||sum v_hat||^2 identity must reproduce the exact mean pairwise
+    cosine; zero vectors are excluded."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.similarity import (
+        embedding_isotropy,
+    )
+
+    rng = np.random.RandomState(13)
+    v = rng.normal(0.1, 1.0, (50, 8))
+    rows = [(i, [float(x) for x in vv]) for i, vv in enumerate(v)]
+    rows.append((50, [0.0] * 8))  # zero vector: excluded
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    r = embedding_isotropy(df, "embedding").collect()[0]
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    g = vn @ vn.T
+    ref = (g.sum() - np.trace(g)) / (50 * 49)
+    assert r.n == 50 and r.dim == 8
+    assert abs(r.mean_norm - np.linalg.norm(v, axis=1).mean()) < 1e-9
+    assert abs(r.mean_cosine - ref) < 1e-9
