@@ -9,92 +9,90 @@ from __future__ import annotations
 from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
-# only, so registration order is coverage policy.  Round-9 window
-# (the r8 verdict's prescription, task 3):
+# only, so registration order is coverage policy.  Round-10 window
+# (the r9 verdict's prescription, tasks 1a/2/5):
 #   1. flagship;
-#   2. the 7 r8-red queries — root cause was DuckDB HUGEINT rendering
-#      in the ORACLES (not engine output); fixed this round with
-#      CAST(... AS BIGINT) and a permanent bind-time lint
-#      (tools/oracle_lint.py, tests/test_oracle_portability.py);
-#   3. the round-9 debut queries (qf22 code-exists filter, qf23 ECL
-#      subset, qf24 ECL refinements, qf25 batch $validate-code, q216
-#      log-rank test, q217 average precision, q218 IPW ATE, q219
-#      diff-in-differences, q220 RMST/median survival, qf26 ECL member-of) — new queries land WITH
-#      a driver row in their debut window (r8 verdict task 7);
-#   4. remaining 32 slots: re-confirmation rows for the stalest
-#      lifetime-greens (r1/r2-vintage q01-q40 singles + TPC-H/SQL
-#      tails q75/q77 — last driver-checked in round 2).
-# Rows-only queries are all registered AFTER position 50 this round
-# (their spark_rows documentation run completed in r8), so the window
-# is 50/50 oracle-backed — zero no_oracle rows expected.
+#   2. q231_logistic_fit — the only declared query with no lifetime
+#      driver row after round 9 (rows-only: the driver records its
+#      spark_rows, closing the last evidence gap);
+#   3. the round-10 debuts (qf32 ECL attribute groups; q210b/q231b
+#      exact-decimal moment oracles; q236-q244 analytics/curation
+#      wave) — new queries land WITH a driver row in their debut
+#      window;
+#   4. remaining 36 slots oldest-first: r3-vintage scalars/UDF/FHIR
+#      rows (q41-q45, q61/q63, qf01-qf08), the full r4/r5-vintage
+#      streaming family (q52-q59b) + map/hash scalars (q48/q51/q51b),
+#      then the oldest remaining FHIR view/terminology rows
+#      (qf09-qf14).
+# 49 of the 50 are oracle-backed; the one rows-only entry
+# (q231_logistic_fit) is deliberate — see ROWS_ONLY_COVERAGE.
 # Full-suite verification is always available via
 # `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- the seven r8 HUGEINT-oracle reds, oracle-side cast this round
-    "q168_kaplan_meier",
-    "q169_binary_auc",
-    "q173_zipf_slope",
-    "q192_unigram_entropy",
-    "q200_k_anonymity",
-    "q204_cross_source_dup_audit",
-    "q211_nelson_aalen",
-    # -- round-9 debuts (terminology gaps closed + survival/ranking/
-    #    causal stacks completed); eight refresh slots ceded to keep the
-    #    window at 50: q13b/q37b/q76/q22/q29/q35/q10/q09 — each has family
-    #    coverage still windowed (q13/q37/q24/q21/q34...) + r1-r6 greens.
-    #    Second r9 wave (this session): qf27 ECL dotted walks, qf28 ECL
-    #    cardinality, qf29 ECL reverse attributes, q221 Mann-Whitney U,
-    #    q222 NDCG@10, q223 MRR, q224 Spearman rho, q225 repetition
-    #    audit, q226 ANOVA F, q227 Kruskal-Wallis, q228 cross-source
-    #    n-gram overlap, qf30 batch $subsumes, q229 Brown-Forsythe, q230 Chao1 vocabulary richness, q232 PSI drift, q233 streaming drift monitor, qf31 ConceptMap unmapped modes, q234 two-proportion z-test, q235 hash-seeded bootstrap CI — nineteen more refresh slots ceded (q02/q04/q07/
-    #    q11/q13/q14/q16/q17/q19/q20/q28/q36/q37/q38/q39 then q05/q24/q26/q27), each with in-window
-    #    family coverage (q01 scan, q03 source, q06 sink, q08
-    #    project+filter, q21/q25/q28 aggs, q12-q19 joins, q37/q40
-    #    set-ops) + r1-r6 lifetime greens
-    "qf22_valueset_code_exists",
-    "qf23_ecl_expand",
-    "qf24_ecl_refinement",
-    "qf25_validate_code",
-    "qf26_ecl_member_of",
-    "qf27_ecl_dotted",
-    "qf28_ecl_cardinality",
-    "qf29_ecl_reverse",
-    "qf30_subsumes",
-    "qf31_conceptmap_unmapped",
-    "q216_log_rank",
-    "q217_average_precision",
-    "q218_ipw_ate",
-    "q219_diff_in_did",
-    "q220_rmst",
-    "q221_mann_whitney",
-    "q222_ndcg_at_k",
-    "q223_mrr",
-    "q224_spearman",
-    "q225_repetition_audit",
-    "q226_anova_f",
-    "q227_kruskal_wallis",
-    "q228_source_overlap",
-    "q229_brown_forsythe",
-    "q230_vocab_richness",
-    "q232_psi_drift",
-    "q233_stream_drift_monitor",
-    "q234_proportions_ztest",
-    "q235_bootstrap_ci",
-    # -- stalest lifetime-greens (r2-vintage evidence refresh)
-    "q01_parquet_scan_pushdown",
-    "q03_ndjson_source",
-    "q06_partitioned_sink",
-    "q08_filter_predicates",
-    "q12_join_inner_3way",
-    "q15_join_broadcast",
-    "q18_join_asof",
-    "q21_agg_tpch_q1",
-    "q25_agg_stats",
-    "q34_sort_multikey",
-    "q40_except_all",
-    "q75_sql_tpch_q5",
-    "q77_orc_source_sink",
+    # -- r9 verdict task 1a: the ONLY declared query with no lifetime
+    #    driver row — rows-only (ROWS_ONLY_COVERAGE), so the driver
+    #    records spark_rows for it (r3 precedent)
+    "q231_logistic_fit",
+    # -- round-10 debuts (every new query lands WITH a driver row):
+    #    qf32 ECL attribute groups; q210b/q231b exact-decimal moment
+    #    oracles for the two matrix-solve rows-only queries (r9 verdict
+    #    task 5); q236-q244 analytics/curation wave (KS drift, Theil
+    #    decomposition, Aalen-Johansen competing risks, Cochran-
+    #    Armitage trend, Hosmer-Lemeshow calibration, n-gram novelty,
+    #    Kish ESS, embedding isotropy, pinball backtest)
+    "qf32_ecl_attribute_groups",
+    "q210b_ols_moments",
+    "q231b_logistic_moments",
+    "q236_ks_two_sample",
+    "q237_theil_index",
+    "q238_aalen_johansen",
+    "q239_cochran_armitage",
+    "q240_hosmer_lemeshow",
+    "q241_ngram_novelty",
+    "q242_effective_sample_size",
+    "q243_embedding_isotropy",
+    "q244_pinball_backtest",
+    # -- r9 verdict task 2: stalest-first evidence refresh.
+    #    r3-vintage scalars/UDFs/FHIR:
+    "q41_string_funcs",
+    "q42_datetime_funcs",
+    "q43_fhir_partial_date_bounds",
+    "q45_decimal_precision",
+    "q61_python_udf",
+    "q63_apply_in_pandas",
+    "qf01_fhir_nested_query",
+    "qf02_fhir_roundtrip_reencode",
+    "qf03_fhir_date_annotations",
+    "qf04_fhir_quantity_canonical",
+    "qf05_fhir_schema_merge",
+    "qf06_fhir_validate",
+    "qf07_fhir_reference_join",
+    "qf08_fhir_definition_schema",
+    #    r4/r5-vintage map/hash scalars + the full streaming family:
+    "q48_map_funcs",
+    "q51_hash_funcs",
+    "q51b_hash_ids_local",
+    "q52_stream_source_sink_available_now",
+    "q53_stream_window_tumbling",
+    "q54_window_sliding",
+    "q54b_stream_window_sliding",
+    "q55_window_session",
+    "q55b_stream_window_session",
+    "q56_stream_watermark",
+    "q56b_stream_watermark_multibatch",
+    "q57_dedup_keep_first",
+    "q57b_stream_dedup",
+    "q58_stream_stateful",
+    "q59_stream_static_join",
+    "q59b_stream_stream_join",
+    #    oldest remaining FHIR view/terminology rows (r5/r6 vintage):
+    "qf09_view_definition_patient",
+    "qf10_view_definition_observation",
+    "qf11_chained_search",
+    "qf12_valueset_expand",
+    "qf13_conceptmap_translate",
+    "qf14_valueset_isa_filter",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

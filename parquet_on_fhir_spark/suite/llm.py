@@ -2784,3 +2784,156 @@ FROM agg
 
 
 QUERIES.append(Q("q230_vocab_richness", q230, Q230_ORACLE))
+
+
+# --- Q241: n-gram novelty curve over ingestion order ----------------------------------
+def q241(spark, sf_dir):
+    """Crawl-saturation audit (operators/text.py::ngram_novelty):
+    per 100-doc ingestion batch, the fraction of trigram occurrences
+    whose gram was never seen in an earlier batch. One corpus scan:
+    gram explode → (batch, gram) reduce → per-gram first-seen over
+    the REDUCED frame → K-batch recount; the text never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    out = tx.ngram_novelty(d, "doc_id", "text", 3, 100)
+    return out.select(
+        "batch",
+        "occurrences",
+        "new_occurrences",
+        "distinct_grams",
+        "new_distinct_grams",
+        d4(F.col("novelty_rate")).alias("novelty_rate"),
+    )
+
+
+Q241_ORACLE = """
+WITH toks AS (
+  SELECT doc_id // 100 AS batch,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT batch,
+         unnest(list_transform(
+           generate_series(1, len(tk) - 2),
+           i -> array_to_string(tk[i:i+2], ' '))) AS gram
+  FROM toks WHERE len(tk) >= 3
+),
+per AS (
+  SELECT batch, gram, count(*) AS c FROM grams GROUP BY batch, gram
+),
+first_ AS (
+  SELECT gram, min(batch) AS fb FROM per GROUP BY gram
+)
+SELECT batch,
+       CAST(sum(c) AS BIGINT) AS occurrences,
+       CAST(sum(CASE WHEN batch = fb THEN c ELSE 0 END) AS BIGINT)
+         AS new_occurrences,
+       count(*) AS distinct_grams,
+       CAST(sum(CASE WHEN batch = fb THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_distinct_grams,
+       round(CAST(sum(CASE WHEN batch = fb THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS novelty_rate
+FROM per JOIN first_ USING (gram)
+GROUP BY batch
+"""
+
+
+QUERIES.append(Q("q241_ngram_novelty", q241, Q241_ORACLE))
+
+
+# --- Q242: duplicate-inflation / effective sample size --------------------------------
+def q242(spark, sf_dir):
+    """Dedup-weighting audit (operators/dedup.py::
+    effective_sample_size): Kish ESS of the corpus when each document
+    is down-weighted to 1/cluster_size over exact-hash duplicate
+    clusters — ESS vs n_clusters quantifies how SKEWED duplication
+    is, which dup_rate hides. One 16-byte-keyed aggregate plus a
+    1-row fold."""
+    from parquet_on_fhir_spark.operators.dedup import (
+        effective_sample_size,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = effective_sample_size(d, "text")
+    return out.select(
+        "n_docs",
+        "n_clusters",
+        d4(F.col("dup_rate")).alias("dup_rate"),
+        d4(F.col("ess")).alias("ess"),
+    )
+
+
+Q242_ORACLE = """
+WITH sizes AS (
+  SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY h
+),
+agg AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+         count(*) AS n_clusters,
+         sum(1.0 / CAST(sz AS DOUBLE)) AS inv
+  FROM sizes
+)
+SELECT n_docs, n_clusters,
+       round(1.0 - CAST(n_clusters AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             + 1e-9, 4) AS dup_rate,
+       round(CAST(n_clusters AS DOUBLE) * CAST(n_clusters AS DOUBLE)
+             / inv + 1e-9, 4) AS ess
+FROM agg
+"""
+
+
+QUERIES.append(Q("q242_effective_sample_size", q242, Q242_ORACLE))
+
+
+# --- Q243: embedding-space isotropy without a pairwise join ---------------------------
+def q243(spark, sf_dir):
+    """Embedding health check (operators/similarity.py::
+    embedding_isotropy): mean pairwise cosine via the exact
+    ||sum of unit vectors||^2 identity — the O(n^2) statistic as one
+    O(n·d) aggregate (per-row norm is a map-side array fold; one
+    dimension-keyed hash aggregate; d-row fold). Cosine outputs use
+    the 6dp rounding convention of the similarity family (q68)."""
+    from parquet_on_fhir_spark.operators.similarity import (
+        embedding_isotropy,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    out = embedding_isotropy(e, "embedding")
+    return out.select(
+        "n",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("mean_norm") + F.lit(1e-9), 6).alias("mean_norm"),
+        F.round(F.col("mean_cosine") + F.lit(1e-9), 6).alias(
+            "mean_cosine"
+        ),
+    )
+
+
+Q243_ORACLE = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+nr AS (
+  SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+),
+base AS (SELECT v, nrm FROM nr WHERE nrm > 0),
+stats AS (
+  SELECT count(*) AS n, avg(nrm) AS mean_norm,
+         CAST(max(len(v)) AS BIGINT) AS dim
+  FROM base
+),
+comps AS (
+  SELECT generate_subscripts(v, 1) AS i, unnest(v) / nrm AS x FROM base
+),
+dims AS (SELECT i, sum(x) AS s FROM comps GROUP BY i),
+sq AS (SELECT sum(s * s) AS ss FROM dims)
+SELECT n, dim,
+       round(mean_norm + 1e-9, 6) AS mean_norm,
+       round((ss - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             + 1e-9, 6) AS mean_cosine
+FROM stats CROSS JOIN sq
+"""
+
+
+QUERIES.append(Q("q243_embedding_isotropy", q243, Q243_ORACLE))

@@ -5469,3 +5469,453 @@ FROM pt CROSS JOIN bounds
 
 
 QUERIES.append(Q("q235_bootstrap_ci", q235, _q235_oracle()))
+
+
+# --- Q236: two-sample Kolmogorov-Smirnov drift test -----------------------------------
+def q236(spark, sf_dir):
+    """Distribution drift between cohorts without a binning choice
+    (operators/analytics.py::ks_two_sample): KS D over document
+    lengths, English vs German — integer-exact ECDF-gap numerator on
+    the pooled distinct-value frame (the mann_whitney/binary_auc scale
+    shape: one hash aggregate, one distinct-value window, exactly one
+    double division)."""
+    from parquet_on_fhir_spark.operators.analytics import ks_two_sample
+
+    d = t(spark, sf_dir, "documents")
+    out = ks_two_sample(d, "n_chars", "lang", "en", "de")
+    return out.select(
+        "n_a",
+        "n_b",
+        d4(F.col("d_stat")).alias("d_stat"),
+        d4(F.col("ks_z")).alias("ks_z"),
+    )
+
+
+Q236_ORACLE = """
+WITH f AS (
+  SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE lang IN ('en', 'de')
+),
+pv AS (SELECT v, count(*) AS c, sum(ia) AS ca FROM f GROUP BY v),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         sum(c - ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_b,
+         sum(ca) OVER () AS na,
+         sum(c - ca) OVER () AS nb
+  FROM pv
+),
+agg AS (
+  SELECT max(abs(cum_a * nb - cum_b * na)) AS num,
+         max(na) AS na, max(nb) AS nb
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(CAST(num AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1e-9, 4)
+         AS d_stat,
+       round(CAST(num AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+             + 1e-9, 4) AS ks_z
+FROM agg
+"""
+
+
+QUERIES.append(Q("q236_ks_two_sample", q236, Q236_ORACLE))
+
+
+# --- Q237: Theil inequality decomposition of customer revenue -------------------------
+def q237(spark, sf_dir):
+    """Revenue-concentration attribution (operators/analytics.py::
+    theil_index): Theil T of per-customer revenue decomposed into
+    between-nation and within-nation inequality — the additive
+    decomposition Gini lacks. Revenue folds in DECIMAL(18,2) (2dp-
+    exact money) so every mean/share is a ratio of exact ingredients;
+    ln terms are 12dp-quantized per the transcendental-sum
+    convention."""
+    from parquet_on_fhir_spark.operators.analytics import theil_index
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    j = rev.join(
+        F.broadcast(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+        ),
+        "o_custkey",
+    )
+    out = theil_index(j, "revenue", "c_nationkey", term_dp=12)
+    return out.select(
+        "n",
+        d4(F.col("theil")).alias("theil"),
+        d4(F.col("theil_between")).alias("theil_between"),
+        d4(F.col("theil_within")).alias("theil_within"),
+    )
+
+
+Q237_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS x
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT r.x, c.c_nationkey AS g
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+  WHERE r.x > 0
+),
+ga AS (
+  SELECT g, CAST(SUM(x) AS DECIMAL(38,2)) AS sg, count(*) AS ng
+  FROM j GROUP BY g
+),
+tot AS (
+  SELECT CAST(SUM(sg) AS DECIMAL(38,2)) AS s, CAST(SUM(ng) AS BIGINT) AS n
+  FROM ga
+),
+btw AS (
+  SELECT SUM(round((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+                   * ln((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                        / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))),
+             12)) AS tb
+  FROM ga CROSS JOIN tot
+),
+rws AS (
+  SELECT round((CAST(x AS DOUBLE)
+                / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ln(CAST(x AS DOUBLE)
+                    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 12)
+           AS tt,
+         round((CAST(x AS DOUBLE)
+                / (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+               * ln(CAST(x AS DOUBLE)
+                    / (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))), 12)
+           * ((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+              / CAST(ng AS DOUBLE)) AS tw,
+         n
+  FROM j JOIN ga USING (g) CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       round(SUM(tt) / CAST(max(n) AS DOUBLE) + 1e-9, 4) AS theil,
+       round((SELECT tb FROM btw) + 1e-9, 4) AS theil_between,
+       round(SUM(tw) + 1e-9, 4) AS theil_within
+FROM rws
+"""
+
+
+QUERIES.append(Q("q237_theil_index", q237, Q237_ORACLE))
+
+
+# --- Q238: Aalen-Johansen competing-risks cumulative incidence ------------------------
+def q238(spark, sf_dir):
+    """Competing-risks funnel (operators/analytics.py::aalen_johansen):
+    per user, days from first event to whichever of PURCHASE or ERROR
+    strikes first (the other cause then can never happen first — the
+    competing-risks structure naive 1−KM ignores), censored at the
+    last event. CIF via running-sum windows over the distinct-time
+    frame; ln factors AND CIF increments 12dp-quantized
+    (suite/common.py transcendental-sum convention)."""
+    from parquet_on_fhir_spark.operators.analytics import aalen_johansen
+
+    e = t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "e_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    p_first = F.col("p_ts").isNotNull() & (
+        F.col("e_ts").isNull() | (F.col("p_ts") <= F.col("e_ts"))
+    )
+    end_ts = (
+        F.when(p_first, F.col("p_ts"))
+        .when(F.col("e_ts").isNotNull(), F.col("e_ts"))
+        .otherwise(F.col("last_ts"))
+    )
+    spans = pu.select(
+        F.when(p_first, F.lit("purchase"))
+        .when(F.col("e_ts").isNotNull(), F.lit("error"))
+        .alias("cause"),
+        F.datediff(end_ts, F.col("first_ts")).alias("duration"),
+    )
+    out = aalen_johansen(
+        spans, "duration", "cause", ["purchase", "error"], term_dp=12
+    )
+    return out.select(
+        F.col("t").cast("int").alias("t"),
+        "cause",
+        "n_risk",
+        "n_events",
+        d4(F.col("cif")).alias("cif"),
+    )
+
+
+Q238_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts,
+         min(CASE WHEN event_type = 'error' THEN ts END) AS e_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+spans AS (
+  SELECT CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts)
+              THEN 'purchase'
+              WHEN e_ts IS NOT NULL THEN 'error' END AS cause,
+         date_diff('day', CAST(first_ts AS DATE),
+                   CAST(CASE WHEN p_ts IS NOT NULL
+                                  AND (e_ts IS NULL OR p_ts <= e_ts)
+                             THEN p_ts
+                             WHEN e_ts IS NOT NULL THEN e_ts
+                             ELSE last_ts END AS DATE)) AS t
+  FROM pu
+),
+per_t AS (
+  SELECT t,
+         sum(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END) AS d0,
+         sum(CASE WHEN cause = 'error' THEN 1 ELSE 0 END) AS d1,
+         count(*) AS lv
+  FROM spans GROUP BY t
+),
+risk AS (
+  SELECT *, sum(lv) OVER () -
+            COALESCE(sum(lv) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+lnf AS (
+  SELECT *,
+         round(ln(CASE WHEN (d0 + d1) < n_risk
+                       THEN 1.0 - CAST(d0 + d1 AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)
+                       ELSE 1.0 END), 12) AS lf,
+         CASE WHEN (d0 + d1) >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+),
+sp AS (
+  SELECT *,
+         CASE WHEN COALESCE(max(dead) OVER (ORDER BY t ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+              THEN 0.0
+              ELSE exp(COALESCE(sum(lf) OVER (ORDER BY t ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+              END AS s_prev
+  FROM lnf
+),
+cifs AS (
+  SELECT t, n_risk, d0, d1,
+         sum(round(s_prev * d0 / CAST(n_risk AS DOUBLE), 12))
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS cif0,
+         sum(round(s_prev * d1 / CAST(n_risk AS DOUBLE), 12))
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS cif1
+  FROM sp
+)
+SELECT CAST(t AS INT) AS t, 'purchase' AS cause,
+       CAST(n_risk AS BIGINT) AS n_risk, CAST(d0 AS INT) AS n_events,
+       round(cif0 + 1e-9, 4) AS cif
+FROM cifs
+UNION ALL
+SELECT CAST(t AS INT) AS t, 'error' AS cause,
+       CAST(n_risk AS BIGINT) AS n_risk, CAST(d1 AS INT) AS n_events,
+       round(cif1 + 1e-9, 4) AS cif
+FROM cifs
+"""
+
+
+QUERIES.append(Q("q238_aalen_johansen", q238, Q238_ORACLE))
+
+
+# --- Q239: Cochran-Armitage trend test over activity quintiles ------------------------
+def q239(spark, sf_dir):
+    """Dose-response check (operators/analytics.py::
+    cochran_armitage_trend): does purchase conversion rise
+    monotonically with activity? Users are cut into ntile(5) quintiles
+    by event count — (n_events, user_id) order makes the cut
+    deterministic in any engine — and the quintile index is the
+    integer trend score. All sums fold exact in DECIMAL(38,0); z is
+    the only float chain."""
+    from pyspark.sql import Window
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        cochran_armitage_trend,
+    )
+
+    e = t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("purchased"),
+    )
+    w = Window.orderBy("n_events", "user_id")
+    b = pu.withColumn("bucket", F.ntile(5).over(w))
+    out = cochran_armitage_trend(b, "bucket", "purchased")
+    return out.select("n", "k_buckets", d4(F.col("z")).alias("z"))
+
+
+Q239_ORACLE = """
+WITH pu AS (
+  SELECT user_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT y, ntile(5) OVER (ORDER BY n_events, user_id) AS w FROM pu
+),
+per AS (
+  SELECT w, count(*) AS n, sum(y) AS x FROM b GROUP BY w
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, count(*) AS k_buckets,
+         sum(x) AS sx, sum(w * x) AS swx, sum(w * n) AS swn,
+         sum(w * w * n) AS swwn
+  FROM per
+)
+SELECT n, k_buckets,
+       round((CAST(swx AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * CAST(swn AS DOUBLE))
+             / sqrt((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(swwn AS DOUBLE)
+                       - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                         / CAST(n AS DOUBLE)))
+             + 1e-9, 4) AS z
+FROM agg
+"""
+
+
+QUERIES.append(Q("q239_cochran_armitage", q239, Q239_ORACLE))
+
+
+# --- Q240: Hosmer-Lemeshow calibration bins -------------------------------------------
+def q240(spark, sf_dir):
+    """Calibration audit (operators/analytics.py::hosmer_lemeshow):
+    score = percent_rank of user activity (a deterministic, exactly
+    rational score in [0,1]), outcome = purchased; ten equal-count
+    bins cut by (score, user_id) ntile compare observed conversions
+    against the score-implied expectation. Global-sort diagnostics
+    are the semantics here (ranked scores); the corpus-scale
+    alternative is quantile_bin/calibration_bins."""
+    from pyspark.sql import Window
+
+    from parquet_on_fhir_spark.operators.analytics import hosmer_lemeshow
+
+    e = t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("purchased"),
+    )
+    w = Window.orderBy("n_events", "user_id")
+    scored = pu.withColumn("score", F.percent_rank().over(w))
+    out = hosmer_lemeshow(scored, "score", "purchased", "user_id", 10)
+    return out.select(
+        "bin",
+        "n",
+        "observed",
+        d4(F.col("expected")).alias("expected"),
+        d4(F.col("contrib")).alias("contrib"),
+    )
+
+
+Q240_ORACLE = """
+WITH pu AS (
+  SELECT user_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+sc AS (
+  SELECT user_id, y,
+         percent_rank() OVER (ORDER BY n_events, user_id) AS s
+  FROM pu
+),
+b AS (
+  SELECT y, s, ntile(10) OVER (ORDER BY s, user_id) AS bin FROM sc
+),
+per AS (
+  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS observed,
+         sum(s) AS expected
+  FROM b GROUP BY bin
+)
+SELECT bin, n, observed,
+       round(expected + 1e-9, 4) AS expected,
+       round((CAST(observed AS DOUBLE) - expected)
+             * (CAST(observed AS DOUBLE) - expected)
+             / (CAST(n AS DOUBLE) * (expected / CAST(n AS DOUBLE))
+                * (1.0 - expected / CAST(n AS DOUBLE)))
+             + 1e-9, 4) AS contrib
+FROM per
+"""
+
+
+QUERIES.append(Q("q240_hosmer_lemeshow", q240, Q240_ORACLE))
+
+
+# --- Q244: quantile-forecast backtest by pinball loss ---------------------------------
+def q244(spark, sf_dir):
+    """Per-segment quantile backtest (operators/analytics.py::
+    quantile_forecast_eval): fit exact P50/P90 of event value per
+    event_type on the even-id half, score the odd-id half with
+    pinball loss — the proper scoring rule for quantile predictions.
+    The K-row quantile frame broadcasts onto the test scan, so
+    scoring is map-side only."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        quantile_forecast_eval,
+    )
+
+    e = t(spark, sf_dir, "events")
+    train = e.filter(F.col("event_id") % 2 == 0)
+    test = e.filter(F.col("event_id") % 2 == 1)
+    out = quantile_forecast_eval(
+        train, test, ["event_type"], "value", [0.5, 0.9]
+    )
+    return out.select(
+        "event_type",
+        "n_test",
+        d4(F.col("q_05")).alias("q_05"),
+        d4(F.col("q_09")).alias("q_09"),
+        d4(F.col("loss_05")).alias("loss_05"),
+        d4(F.col("loss_09")).alias("loss_09"),
+    )
+
+
+Q244_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS q_05,
+         quantile_cont(value, 0.9) AS q_09
+  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+),
+te AS (SELECT event_type, value FROM events WHERE event_id % 2 = 1)
+SELECT te.event_type,
+       count(*) AS n_test,
+       round(max(q_05) + 1e-9, 4) AS q_05,
+       round(max(q_09) + 1e-9, 4) AS q_09,
+       round(avg(greatest(0.5 * (value - q_05),
+                          -0.5 * (value - q_05))) + 1e-9, 4) AS loss_05,
+       round(avg(greatest(0.9 * (value - q_09),
+                          (0.9 - 1.0) * (value - q_09))) + 1e-9, 4)
+         AS loss_09
+FROM te JOIN q USING (event_type)
+GROUP BY te.event_type
+"""
+
+
+QUERIES.append(Q("q244_pinball_backtest", q244, Q244_ORACLE))

@@ -28,27 +28,20 @@ PROBE_QUERIES = [
     "q00_flagship_shipping_priority",
     "q21_agg_tpch_q1",
     "q89_tpch_q18",
-    # round-9 ninth wave: the two new distinct-value-frame analytics
-    # (their survival/ranking siblings q168/q169/q211 were probed in
-    # earlier waves; the qf24/qf25 terminology debuts are sf-independent
-    # inline-doc queries, so replication tells us nothing about them)
-    "q216_log_rank",
-    "q217_average_precision",
-    # round-9 second wave: Mann-Whitney shares the distinct-value-frame
-    # shape (continuous values -> the frame GROWS with replication, the
-    # interesting stress), Spearman adds the rank-frame equi-joins back
-    # against the corpus, repetition adds the (doc,gram) explode-agg
-    "q221_mann_whitney",
-    "q224_spearman",
-    "q225_repetition_audit",
-    # round-9 wave 3/4: vocabulary-sized shuffles (per-gram group sets /
-    # token spectrum) and the two-pass binned drift score
-    "q228_source_overlap",
-    "q230_vocab_richness",
-    "q232_psi_drift",
-    # round-9 wave 5: the x200 bootstrap explode is the stress of interest
-    "q234_proportions_ztest",
-    "q235_bootstrap_ci",
+    # round-10 wave (earlier waves' bands are pinned in SCALE_NOTES.md;
+    # q210b/q231b are single map-side-combined hash aggregates anchored
+    # by q21; qf32 is a sf-independent inline-doc terminology query —
+    # its scaling axis is CONCEPT COUNT, probed by
+    # tools/terminology_probe.py instead of table replication):
+    "q236_ks_two_sample",       # distinct-value frame GROWS with corpus
+    "q237_theil_index",         # per-entity agg + broadcast row pass
+    "q238_aalen_johansen",      # per-user agg -> time-frame windows
+    "q239_cochran_armitage",    # global ntile over per-user frame
+    "q240_hosmer_lemeshow",     # percent_rank + ntile global sorts
+    "q241_ngram_novelty",       # (batch, gram) reduce before first-seen
+    "q242_effective_sample_size",  # text-hash-keyed aggregate
+    "q243_embedding_isotropy",  # n*d posexplode -> d-row fold
+    "q244_pinball_backtest",    # exact per-group percentile sort-agg
 ]
 
 

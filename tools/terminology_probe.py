@@ -1,0 +1,111 @@
+"""Terminology scaling probe: the qf-family's queries run on inline
+fixture CodeSystems, so table replication (tools/scale_probe.py) tells
+us nothing about them — their scaling axis is CONCEPT COUNT and
+hierarchy depth. This probe generates synthetic CodeSystems of N
+concepts (a branching tree with per-concept properties), times the
+closure build (path-doubling fixpoint) and representative ECL
+evaluations (prefix, refinement, attribute group), and prints one JSON
+line per N so bands land in SCALE_NOTES.md.
+
+Usage: python tools/terminology_probe.py [N ...]   (default 1000 10000 50000)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BRANCH = 10  # tree fanout -> depth = ceil(log10 N): 50k concepts = depth 5
+
+
+def synth_codesystem(n: int) -> dict:
+    """Branching-tree CodeSystem of ~n concepts; every leaf carries a
+    'site' property pointing at an internal node (so refinements and
+    groups have non-trivial matches) and a 'parity' literal property."""
+    counter = [0]
+
+    def node(depth_budget: int, remaining: list[int]) -> dict:
+        i = counter[0]
+        counter[0] += 1
+        remaining[0] -= 1
+        c: dict = {"code": f"c{i}", "display": f"Concept {i}"}
+        if i > 0:  # root carries no properties
+            c["property"] = [
+                {"code": "site", "valueCode": f"c{max(0, i // BRANCH)}"},
+                {"code": "parity", "valueCode": "even" if i % 2 == 0 else "odd"},
+            ]
+        if depth_budget > 0 and remaining[0] > 0:
+            kids = []
+            for _ in range(BRANCH):
+                if remaining[0] <= 0:
+                    break
+                kids.append(node(depth_budget - 1, remaining))
+            if kids:
+                c["concept"] = kids
+        return c
+
+    remaining = [n]
+    depth = 1
+    while BRANCH**depth < n:
+        depth += 1
+    root = node(depth, remaining)
+    return {
+        "resourceType": "CodeSystem", "id": "cs-probe", "status": "active",
+        "url": "http://example.org/cs/probe", "content": "complete",
+        "concept": [root],
+    }
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:]] or [1000, 10000, 50000]
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.session import get_session
+    from parquet_on_fhir_spark.suite.fhir_queries import _encode_doc
+
+    spark = get_session()
+    for n in ns:
+        doc = synth_codesystem(n)
+        t0 = time.time()
+        cs = _encode_doc(spark, doc, "CodeSystem")
+        cs = cs.cache()
+        cs.count()
+        t_encode = time.time() - t0
+        t0 = time.time()
+        clo = concept_closure(concept_edges(cs)).cache()
+        closure_rows = clo.count()
+        t_closure = time.time() - t0
+        sysu = "http://example.org/cs/probe"
+        timings = {}
+        for tag, ecl in [
+            ("prefix", "<< c0"),
+            ("minus", "(<< c0) MINUS (<< c1)"),
+            ("refine", "<< c0 : site = << c1"),
+            # one assertion must satisfy both members (self-grouped
+            # semantics): wildcard + literal on the parity assertion
+            ("group", "<< c0 : { * = even , parity = even }"),
+        ]:
+            t0 = time.time()
+            cnt = ecl_expand(ecl, cs, clo, sysu).count()
+            timings[tag] = round(time.time() - t0, 2)
+            timings[f"{tag}_rows"] = cnt
+        print(json.dumps({
+            "n_concepts": n,
+            "closure_rows": closure_rows,
+            "encode_s": round(t_encode, 2),
+            "closure_s": round(t_closure, 2),
+            **timings,
+        }))
+        cs.unpersist()
+        clo.unpersist()
+
+
+if __name__ == "__main__":
+    main()
