@@ -3,6 +3,18 @@ query on Spark AND its DuckDB oracle, compare row-count + schema-width +
 order-insensitive value-hash. Usage:
 
     python tools/selfcheck.py [sf_dir] [name-substring ...]
+    python tools/selfcheck.py [sf_dir] --changed-since <git-ref> [--sample N]
+
+``--changed-since`` (r9 verdict task 7 — keeps the inner loop fast as
+the suite grows) selects only queries plausibly affected by the diff
+against <git-ref>: a query is selected when its own suite module
+changed, when its function source references a changed module path
+(function-local imports), or when its suite MODULE imports a changed
+operator module (module-top imports — conservative over-selection by
+design). A deterministic random re-confirmation sample of N unaffected
+queries (default 10, seeded by the ref string) rides along to catch
+drift the file heuristic misses. The full sweep stays the per-round
+event.
 """
 
 from __future__ import annotations
@@ -55,9 +67,78 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def select_changed_since(specs, ref: str, sample_n: int) -> list:
+    """Queries plausibly affected by the diff vs ``ref`` plus a
+    deterministic random re-confirmation sample (module docstring)."""
+    import importlib
+    import inspect
+    import random
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        check=True,
+    ).stdout.split()
+    changed_mods = {
+        Path(p).with_suffix("").as_posix().replace("/", ".")
+        for p in out
+        if p.endswith(".py") and p.startswith("parquet_on_fhir_spark/")
+    }
+    if not changed_mods:
+        print(f"# --changed-since {ref}: no package files changed")
+    module_src: dict[str, str] = {}
+
+    def mod_source(modname: str) -> str:
+        if modname not in module_src:
+            try:
+                module_src[modname] = inspect.getsource(
+                    importlib.import_module(modname)
+                )
+            except Exception:
+                module_src[modname] = ""
+        return module_src[modname]
+
+    selected = []
+    for q in specs:
+        mod = q.fn.__module__
+        try:
+            fn_src = inspect.getsource(q.fn)
+        except Exception:
+            fn_src = ""
+        hit = mod in changed_mods
+        for m in changed_mods:
+            if m in fn_src or m in mod_source(mod):
+                hit = True
+        if hit:
+            selected.append(q)
+    rng = random.Random(ref)
+    rest = [q for q in specs if q not in selected]
+    sample = rng.sample(rest, min(sample_n, len(rest)))
+    print(
+        f"# --changed-since {ref}: {len(selected)} affected + "
+        f"{len(sample)} random re-confirmation of {len(specs)} declared"
+    )
+    return selected + sample
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    changed_ref = None
+    sample_n = 10
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--changed-since" in args:
+        i = args.index("--changed-since")
+        changed_ref = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
 
     con = duckdb.connect()
     for t in TABLES:
@@ -67,6 +148,8 @@ def main() -> int:
     spark = get_session("selfcheck")
 
     specs = all_queries()
+    if changed_ref is not None:
+        specs = select_changed_since(specs, changed_ref, sample_n)
     if filters:
         specs = [q for q in specs if any(f in q.name for f in filters)]
 
