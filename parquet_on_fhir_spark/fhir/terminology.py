@@ -146,6 +146,115 @@ def concept_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     )
 
 
+def closure_delta(
+    old_closure: DataFrame,
+    new_edges: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Incremental transitive-closure maintenance — the ConceptMap
+    ``$closure`` operation pattern (hl7.org/fhir/R4/conceptmap-
+    operation-closure.html: a terminology server keeps a registered
+    closure table and each new-concept registration returns ONLY the
+    new subsumption pairs). Given a transitively-closed
+    ``old_closure`` (system, ancestor, descendant) and a batch of NEW
+    direct edges (system, parent, child), return the DELTA pairs —
+    reachabilities that exist in closure(old ∪ new) but not in
+    ``old_closure`` — without re-closing the old graph.
+
+    Algorithm: every new reachability decomposes into old-closed
+    segments alternating with new edges, so (1) bridge each new edge
+    through the old closure on both sides — S₀ = (C∪I)∘E_new∘(C∪I),
+    three broadcast-sized joins when the edge batch is small — then
+    (2) path-double S against itself (S-pairs absorb old segments at
+    both ends, so composing S∘S covers paths through 2, 4, 8… new
+    edges), the :func:`concept_closure` fixpoint shape with the SAME
+    convergence contract. Work is bounded by pairs touching new edges,
+    never by |old_closure| — the property that makes nightly SNOMED
+    increments cheap at scale. Output excludes pairs already in
+    ``old_closure`` and self-pairs (the closure is non-reflexive).
+
+    Output: (system, ancestor, descendant) delta rows;
+    ``old_closure.unionByName(delta)`` is the new registered closure.
+    """
+    from parquet_on_fhir_spark.operators.graph import _truncate_lineage
+
+    e = new_edges.select(
+        "system",
+        F.col("parent").alias("ancestor"),
+        F.col("child").alias("descendant"),
+    ).distinct()
+    up = old_closure.select(
+        F.col("system").alias("u_system"),
+        F.col("ancestor").alias("u_anc"),
+        F.col("descendant").alias("u_desc"),
+    )
+    down = old_closure.select(
+        F.col("system").alias("d_system"),
+        F.col("ancestor").alias("d_anc"),
+        F.col("descendant").alias("d_desc"),
+    )
+    # (C ∪ I) ∘ E_new: extend each new edge upward through old ancestors
+    seeded = e.join(
+        up,
+        (F.col("system") == F.col("u_system"))
+        & (F.col("ancestor") == F.col("u_desc")),
+        "left",
+    ).select(
+        "system",
+        F.coalesce(F.col("u_anc"), F.col("ancestor")).alias("ancestor"),
+        "descendant",
+    ).unionByName(e).distinct()
+    # ... ∘ (C ∪ I): and downward through old descendants
+    seeded = seeded.join(
+        down,
+        (F.col("system") == F.col("d_system"))
+        & (F.col("descendant") == F.col("d_anc")),
+        "left",
+    ).select(
+        "system",
+        "ancestor",
+        F.coalesce(F.col("d_desc"), F.col("descendant")).alias(
+            "descendant"
+        ),
+    ).unionByName(seeded).distinct()
+    s = _truncate_lineage(seeded)
+    n = s.count()
+    for _ in range(max_rounds):
+        hop = s.select(
+            F.col("system").alias("h_system"),
+            F.col("ancestor").alias("h_anc"),
+            F.col("descendant").alias("h_desc"),
+        )
+        grown = (
+            s.join(
+                hop,
+                (F.col("system") == F.col("h_system"))
+                & (F.col("descendant") == F.col("h_anc")),
+            )
+            .select(
+                "system", "ancestor", F.col("h_desc").alias("descendant")
+            )
+            .unionByName(s)
+            .distinct()
+        )
+        grown = _truncate_lineage(grown)
+        m = grown.count()
+        if m == n:
+            return (
+                grown.filter(F.col("ancestor") != F.col("descendant"))
+                .join(
+                    old_closure,
+                    ["system", "ancestor", "descendant"],
+                    "left_anti",
+                )
+            )
+        s, n = grown, m
+    raise RuntimeError(
+        f"closure delta did not converge in {max_rounds} doubling "
+        "rounds (new edges deeper than 2^max_rounds? cycle introduced?)"
+    )
+
+
 def expand_valueset(
     valuesets: DataFrame,
     codesystems: DataFrame | None = None,
