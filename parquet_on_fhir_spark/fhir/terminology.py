@@ -1154,6 +1154,7 @@ def translate_codes(
     system_col: str,
     code_col: str,
     map_url: str | None = None,
+    reverse: bool = False,
     _nested: bool = False,
 ) -> DataFrame:
     """Translate (system, code) pairs through ConceptMap
@@ -1182,10 +1183,58 @@ def translate_codes(
     table is never shuffled (other-map adds one broadcast join per
     referenced map — map COUNT is metadata-sized). ``map_url``
     restricts to one ConceptMap.
+
+    ``reverse=True`` is the $translate ``reverse`` parameter
+    (hl7.org/fhir/R4/conceptmap-operation-translate.html): facts are
+    matched against (group.target, element.target.code) and the
+    ELEMENT side comes back as the translation — "what might translate
+    TO this code". Equivalence is reported AS STATED (the forward
+    source→target relationship, per the operation's definition — a
+    'wider' forward mapping means the returned source is narrower than
+    the fact code). ``group.unmapped`` is a forward-direction concept
+    and does not apply; codeless targets (equivalence
+    unmatched/disjoint) cannot be matched by code and are naturally
+    absent. Same broadcast shape, roles swapped.
     """
     maps = conceptmaps
     if map_url is not None:
         maps = maps.filter(F.col("url") == map_url)
+    if reverse:
+        efields = _element_fields(maps, "group", "element")
+        flat_r = (
+            maps.select(F.explode("group").alias("g"))
+            .select(
+                F.col("g.target").alias("__src_system"),
+                F.col("g.source").alias("target_system"),
+                F.explode("g.element").alias("el"),
+            )
+            .select(
+                "__src_system",
+                "target_system",
+                F.col("el.code").alias("target_code"),
+                (
+                    F.col("el.display")
+                    if "display" in efields
+                    else F.lit(None).cast("string")
+                ).alias("target_display"),
+                F.explode("el.target").alias("tgt"),
+            )
+            .select(
+                "__src_system",
+                F.col("tgt.code").alias("__src_code"),
+                "target_system",
+                "target_code",
+                "target_display",
+                F.col("tgt.equivalence").alias("equivalence"),
+            )
+            .filter(F.col("__src_code").isNotNull())
+        )
+        return df.join(
+            F.broadcast(flat_r),
+            (F.col(system_col) == F.col("__src_system"))
+            & (F.col(code_col) == F.col("__src_code")),
+            "left",
+        ).drop("__src_system", "__src_code")
     flat = (
         maps.select(F.explode("group").alias("g"))
         .select(

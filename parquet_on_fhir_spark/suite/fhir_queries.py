@@ -1808,3 +1808,109 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf32_ecl_attribute_groups", qf32, QF32_ORACLE))
+
+
+# --- qf33: incremental closure maintenance ($closure operation pattern) ---------------
+_CS_CLOSURE_V1_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-clo", "status": "active",
+    "url": "http://example.org/cs/clo", "content": "complete",
+    "version": "1",
+    "concept": [
+        {"code": "root", "concept": [
+            {"code": "a", "concept": [{"code": "c"}]},
+            {"code": "b"}]},
+    ],
+}
+_CS_CLOSURE_V2_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-clo", "status": "active",
+    "url": "http://example.org/cs/clo", "content": "complete",
+    "version": "2",
+    "concept": [
+        {"code": "root", "concept": [
+            {"code": "a", "concept": [
+                {"code": "c", "concept": [
+                    {"code": "d", "concept": [{"code": "f"}]}]}]},
+            {"code": "b", "concept": [{"code": "e"}]}]},
+    ],
+}
+
+
+def qf33(spark, sf_dir):
+    """Incremental closure maintenance (fhir/terminology.py::
+    closure_delta — the ConceptMap $closure operation pattern, r10):
+    version 2 of a CodeSystem adds concepts d/e/f under the registered
+    version-1 hierarchy; the delta returns ONLY the new subsumption
+    pairs, computed by bridging the new edges through the OLD closure
+    and path-doubling the bridged frame — never re-closing the old
+    graph (the nightly-SNOMED-increment shape). New edges are detected
+    as edges(v2) anti-join edges(v1)."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        closure_delta,
+        concept_closure,
+        concept_edges,
+    )
+
+    utc(spark)
+    e1 = concept_edges(_encode_doc(spark, _CS_CLOSURE_V1_DOC, "CodeSystem"))
+    e2 = concept_edges(_encode_doc(spark, _CS_CLOSURE_V2_DOC, "CodeSystem"))
+    old = concept_closure(e1)
+    new_edges = e2.join(e1, ["system", "parent", "child"], "left_anti")
+    return closure_delta(old, new_edges).select("ancestor", "descendant")
+
+
+QF33_ORACLE = """
+SELECT * FROM (VALUES
+  -- new concepts d (under c), e (under b), f (under d):
+  ('root', 'd'), ('root', 'e'), ('root', 'f'),
+  ('a', 'd'), ('a', 'f'),
+  ('c', 'd'), ('c', 'f'),
+  ('d', 'f'),
+  ('b', 'e')
+) AS t(ancestor, descendant)
+"""
+
+
+QUERIES.append(Q("qf33_closure_delta", qf33, QF33_ORACLE))
+
+
+# --- qf34: reverse $translate ----------------------------------------------------------
+def qf34(spark, sf_dir):
+    """Reverse $translate (fhir/terminology.py::translate_codes
+    reverse=True, r10 — the operation's ``reverse`` parameter): LOINC
+    facts matched against element.target.code, the element side
+    returned as the translation ("what maps TO this code"); 85354-9
+    comes back from bp-dia's 'wider' forward mapping with the
+    equivalence AS STATED, unknown/foreign-system codes fall through
+    with NULLs, and group.unmapped (a forward-direction rule) does not
+    fire. Same broadcast join shape as forward, roles swapped."""
+    from parquet_on_fhir_spark.fhir.terminology import translate_codes
+
+    utc(spark)
+    cm = _encode_doc(spark, _CM_DOC, "ConceptMap")
+    facts = spark.createDataFrame(
+        [
+            (1, "http://loinc.org", "8480-6"),
+            (2, "http://loinc.org", "8462-4"),
+            (3, "http://loinc.org", "85354-9"),
+            (4, "http://loinc.org", "9999-9"),
+            (5, "http://example.org/cs/local", "bp-sys"),
+        ],
+        "row_id long, system string, code string",
+    )
+    return translate_codes(
+        facts, cm, "system", "code", reverse=True
+    ).select("row_id", "code", "target_system", "target_code", "equivalence")
+
+
+QF34_ORACLE = """
+SELECT * FROM (VALUES
+  (1, '8480-6', 'http://example.org/cs/local', 'bp-sys', 'equivalent'),
+  (2, '8462-4', 'http://example.org/cs/local', 'bp-dia', 'equivalent'),
+  (3, '85354-9', 'http://example.org/cs/local', 'bp-dia', 'wider'),
+  (4, '9999-9', NULL, NULL, NULL),
+  (5, 'bp-sys', NULL, NULL, NULL)
+) AS t(row_id, code, target_system, target_code, equivalence)
+"""
+
+
+QUERIES.append(Q("qf34_translate_reverse", qf34, QF34_ORACLE))

@@ -1185,3 +1185,79 @@ def test_conceptmap_unmapped_modes(spark):
     assert (rows[7].target_system, rows[7].equivalence) == (
         "http://example.org/cs/t", "unmatched",
     )
+
+
+def test_closure_delta_matches_full_recompute(spark):
+    """fhir/terminology.py::closure_delta (r10): on random layered DAGs
+    split into old/new edge sets, old_closure ∪ delta must equal the
+    full re-closure, the delta must be disjoint from the old closure,
+    and an empty new-edge batch yields an empty delta."""
+    import random
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        closure_delta,
+        concept_closure,
+    )
+
+    rng = random.Random(42)
+
+    def df(pairs):
+        return spark.createDataFrame(
+            [("s", f"c{a}", f"c{b}") for a, b in pairs],
+            "system string, parent string, child string",
+        )
+
+    for _ in range(3):
+        n = 30
+        edges = set()
+        for child in range(1, n):
+            for p in rng.sample(range(child), min(child, rng.randint(1, 2))):
+                edges.add((p, child))
+        edges = sorted(edges)
+        new = rng.sample(edges, len(edges) // 3)
+        old = [e for e in edges if e not in set(new)]
+        old_clo = concept_closure(df(old))
+        delta = closure_delta(old_clo, df(new))
+        oset = {(r.ancestor, r.descendant) for r in old_clo.collect()}
+        dset = {(r.ancestor, r.descendant) for r in delta.collect()}
+        full = {
+            (r.ancestor, r.descendant)
+            for r in concept_closure(df(edges)).collect()
+        }
+        assert oset | dset == full
+        assert not (oset & dset)
+    empty = spark.createDataFrame(
+        [], "system string, parent string, child string"
+    )
+    assert closure_delta(concept_closure(df([(0, 1)])), empty).count() == 0
+
+
+def test_translate_codes_reverse(spark):
+    """translate_codes(reverse=True) (r10): element side returned,
+    equivalence as stated, unmapped rules do not fire in reverse, and
+    codeless targets are unmatched rather than erroring."""
+    from parquet_on_fhir_spark.fhir.terminology import translate_codes
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CM_UNMAPPED_DOCS,
+        _encode_doc as _encode,
+    )
+
+    cm = _encode(spark, _CM_UNMAPPED_DOCS, "ConceptMap")
+    facts = spark.createDataFrame(
+        [
+            (1, "http://example.org/cs/t", "X"),   # reverse of a->x: X<-x
+            (2, "http://example.org/cs/t", "Y"),   # reverse of b->y
+            (3, "http://example.org/cs/t", "UNK"), # fixed-rule code: NOT
+                                                   # an element target ->
+                                                   # no reverse match
+            (4, "http://example.org/cs/b", "n"),   # source-side system
+        ],
+        "row_id long, system string, code string",
+    )
+    out = translate_codes(facts, cm, "system", "code", reverse=True)
+    rows = {r.row_id: r for r in out.collect()}
+    assert len(rows) == 4  # no duplication, no loss
+    assert rows[1].target_code == "x" and rows[1].equivalence == "equal"
+    assert rows[2].target_code == "y"
+    assert rows[3].target_code is None  # unmapped rules are forward-only
+    assert rows[4].target_code is None
