@@ -577,3 +577,74 @@ def clustering_coefficient(
             .alias("coefficient"),
         )
     )
+
+
+def common_neighbors(
+    df: DataFrame,
+    node_col: str,
+    attr_col: str,
+    max_attr_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over a bipartite (node, attr)
+    incidence: for every node pair sharing ≥1 attribute, the shared
+    count and the Jaccard score |A∩B| / (|A|+|B|−|A∩B|) — the
+    classical "suppliers stocking the same parts / users touching the
+    same items" candidate generator (Liben-Nowell & Kleinberg 2003).
+
+    Plan: distinct (attr, node) incidence → per-attr self-join with
+    ``node_a < node_b`` (the WEDGE join — shuffle keyed by attr, pair
+    volume Σ_attr C(deg_attr, 2), the triangle_count bound) → one hash
+    aggregate per pair → two degree joins for Jaccard.
+    ``max_attr_degree`` is the skew guard: a hub attribute shared by
+    10⁶ nodes contributes 5·10¹¹ wedges while carrying ~no signal
+    (everyone shares it), so production runs CAP attr degree and drop
+    hubs — degrees (and therefore Jaccard) are computed on the capped
+    incidence, consistently. Zero-overlap pairs are absent by
+    construction (they carry no candidate signal).
+
+    Output: (node_a, node_b, common, degree_a, degree_b, jaccard).
+    """
+    pairs = df.select(
+        F.col(node_col).alias("__n"), F.col(attr_col).alias("__a")
+    ).distinct()
+    if max_attr_degree is not None:
+        keep = (
+            pairs.groupBy("__a")
+            .agg(F.count("*").alias("__ad"))
+            .filter(F.col("__ad") <= max_attr_degree)
+            .select("__a")
+        )
+        pairs = pairs.join(keep, "__a", "left_semi")
+    ndeg = pairs.groupBy("__n").agg(F.count("*").alias("__nd"))
+    left = pairs.select("__a", F.col("__n").alias("node_a"))
+    right = pairs.select("__a", F.col("__n").alias("node_b"))
+    common = (
+        left.join(right, "__a")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = common.join(
+        ndeg.select(
+            F.col("__n").alias("node_a"), F.col("__nd").alias("degree_a")
+        ),
+        "node_a",
+    ).join(
+        ndeg.select(
+            F.col("__n").alias("node_b"), F.col("__nd").alias("degree_b")
+        ),
+        "node_b",
+    )
+    return out.select(
+        "node_a",
+        "node_b",
+        "common",
+        "degree_a",
+        "degree_b",
+        (
+            F.col("common").cast("double")
+            / (
+                F.col("degree_a") + F.col("degree_b") - F.col("common")
+            ).cast("double")
+        ).alias("jaccard"),
+    )

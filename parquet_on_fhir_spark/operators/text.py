@@ -770,3 +770,67 @@ def ngram_novelty(
         F.col("new_occurrences").cast("double")
         / F.col("occurrences").cast("double"),
     )
+
+
+def script_profile(
+    df: "DataFrame",
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-group Unicode script/char-class census: counts of Latin
+    letters, digits, whitespace and CJK-ideograph characters (explicit
+    BMP range U+4E00–U+9FFF — spelled as a literal class so the same
+    semantics are expressible in any regex dialect) plus the leftover
+    bucket — the pre-training corpus audit that catches mislabeled
+    languages, mojibake floods and markup-heavy sources before
+    tokenizer training sees them (a 'de' source that is 40% CJK is a
+    pipeline bug, not data).
+
+    Pure JVM-side expressions (length-of-regexp_replace per class —
+    no UDF, no explode) folded map-side into one K-row hash aggregate;
+    the text column never shuffles.
+
+    Output: (group, n_docs, chars, latin, digit, space, cjk, other,
+    latin_frac, cjk_frac).
+    """
+    c = F.col(text_col)
+
+    def cnt(cls: str):
+        return F.length(F.regexp_replace(c, cls, ""))
+
+    total = F.length(c)
+    latin = total - cnt("[A-Za-z]")
+    digit = total - cnt("[0-9]")
+    space = total - cnt("[ \\t\\n\\r]")
+    cjk = total - cnt("[\\x{4e00}-\\x{9fff}]")
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(total.cast("long")).alias("chars"),
+        F.sum(latin.cast("long")).alias("latin"),
+        F.sum(digit.cast("long")).alias("digit"),
+        F.sum(space.cast("long")).alias("space"),
+        F.sum(cjk.cast("long")).alias("cjk"),
+    )
+    other = (
+        F.col("chars")
+        - F.col("latin")
+        - F.col("digit")
+        - F.col("space")
+        - F.col("cjk")
+    )
+    frac = lambda col: F.when(  # noqa: E731
+        F.col("chars") > 0,
+        F.col(col).cast("double") / F.col("chars").cast("double"),
+    )
+    return per.select(
+        "group",
+        "n_docs",
+        "chars",
+        "latin",
+        "digit",
+        "space",
+        "cjk",
+        other.alias("other"),
+        frac("latin").alias("latin_frac"),
+        frac("cjk").alias("cjk_frac"),
+    )

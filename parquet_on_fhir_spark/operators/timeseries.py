@@ -744,3 +744,80 @@ def cusum_changepoints(
         .groupBy(*key_cols)
         .applyInPandas(detect, schema=schema)
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    max_lag: int = 5,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ljung-Box portmanteau test: Q = n(n+2)·Σ_{k≤m} ρ̂ₖ²/(n−k) over
+    the first m STANDARD autocorrelations (fixed series mean, full
+    Σ(x−x̄)² denominator — the Box-Jenkins convention, which differs
+    from :func:`autocorrelation`'s corr-of-lagged-pairs) — the "is
+    this residual series white noise" gate run after any forecast /
+    detrending step; Q ~ χ²(m) under independence (Ljung & Box 1978,
+    Biometrika 65:297).
+
+    One window pass builds all m lag columns under the shared per-key
+    ordering; ONE aggregate then folds, per key, the raw moments
+    (Σx, Σx², n, and per lag Σx·x₋ₖ, the pair-restricted Σx / Σx₋ₖ and
+    pair count), from which each ρ̂ₖ = (Σxx₋ₖ − x̄(Σxₚ+Σx₋ₖₚ) + cₖx̄²)
+    / (Σx² − nx̄²) is a closed-form select expression — m lags cost
+    one shuffle + one agg, never m jobs, and the per-key frame the
+    window sorts is the series itself (the ACF scale shape).
+
+    Output: (*keys, n, acf_1..acf_m, q_stat, dof); q_stat NULL when
+    the series is constant (zero variance) or shorter than max_lag+1.
+    """
+    ls = list(range(1, max_lag + 1))
+    order = [ts_col, *(tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    x = F.col(value_col).cast("double")
+    cur = df
+    for k in ls:
+        cur = cur.withColumn(f"__lag{k}", F.lag(x, k).over(w))
+    aggs = [
+        F.count(x).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+    ]
+    for k in ls:
+        lg = F.col(f"__lag{k}")
+        pair = lg.isNotNull()
+        aggs += [
+            F.sum(F.when(pair, x * lg)).alias(f"__sxy{k}"),
+            F.sum(F.when(pair, x)).alias(f"__sxp{k}"),
+            F.sum(F.when(pair, lg)).alias(f"__syp{k}"),
+            F.sum(pair.cast("long")).alias(f"__c{k}"),
+        ]
+    g = cur.groupBy(*key_cols).agg(*aggs)
+    n = F.col("__n").cast("double")
+    mean = F.col("__sx") / n
+    denom = F.col("__sxx") - n * mean * mean
+    rhos = {
+        k: (
+            F.col(f"__sxy{k}")
+            - mean * (F.col(f"__sxp{k}") + F.col(f"__syp{k}"))
+            + F.col(f"__c{k}").cast("double") * mean * mean
+        )
+        / denom
+        for k in ls
+    }
+    q = n * (n + 2.0) * sum(
+        rhos[k] * rhos[k] / (n - F.lit(float(k))) for k in ls
+    )
+    ok = (denom > 0) & (F.col("__n") > max_lag)
+    return g.select(
+        *key_cols,
+        F.col("__n").alias("n"),
+        *[
+            F.when(ok, rhos[k]).alias(f"acf_{k}")
+            for k in ls
+        ],
+        F.when(ok, q).alias("q_stat"),
+        F.lit(max_lag).alias("dof"),
+    )

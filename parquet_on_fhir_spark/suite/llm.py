@@ -2937,3 +2937,67 @@ FROM stats CROSS JOIN sq
 
 
 QUERIES.append(Q("q243_embedding_isotropy", q243, Q243_ORACLE))
+
+
+# --- Q247: Unicode script / char-class census -----------------------------------------
+def q247(spark, sf_dir):
+    """Per-source script census (operators/text.py::script_profile):
+    Latin / digit / whitespace / CJK-ideograph character counts as
+    pure length-of-regexp_replace expressions folded map-side into one
+    K-row aggregate — the mislabeled-language / mojibake / markup
+    audit a tokenizer-training pipeline runs before anything else.
+    The CJK class is the literal BMP range U+4E00-9FFF so both regex
+    dialects mean the same thing."""
+    from parquet_on_fhir_spark.operators.text import script_profile
+
+    d = t(spark, sf_dir, "documents")
+    out = script_profile(d, "source", "text")
+    return out.select(
+        F.col("group").alias("source"),
+        "n_docs",
+        "chars",
+        "latin",
+        "digit",
+        "space",
+        "cjk",
+        "other",
+        d4(F.col("latin_frac")).alias("latin_frac"),
+        d4(F.col("cjk_frac")).alias("cjk_frac"),
+    )
+
+
+Q247_ORACLE = """
+WITH per AS (
+  SELECT source,
+         length(text) AS total,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS latin,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digit,
+         length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))
+           AS space,
+         length(text)
+           - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))
+           AS cjk
+  FROM documents
+),
+g AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(total) AS BIGINT) AS chars,
+         CAST(sum(latin) AS BIGINT) AS latin,
+         CAST(sum(digit) AS BIGINT) AS digit,
+         CAST(sum(space) AS BIGINT) AS space,
+         CAST(sum(cjk) AS BIGINT) AS cjk
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, chars, latin, digit, space, cjk,
+       CAST(chars - latin - digit - space - cjk AS BIGINT) AS other,
+       round(CAST(latin AS DOUBLE) / CAST(chars AS DOUBLE) + 1e-9, 4)
+         AS latin_frac,
+       round(CAST(cjk AS DOUBLE) / CAST(chars AS DOUBLE) + 1e-9, 4)
+         AS cjk_frac
+FROM g
+"""
+
+
+QUERIES.append(Q("q247_script_profile", q247, Q247_ORACLE))

@@ -5919,3 +5919,129 @@ GROUP BY te.event_type
 
 
 QUERIES.append(Q("q244_pinball_backtest", q244, Q244_ORACLE))
+
+
+# --- Q245: Ljung-Box white-noise test --------------------------------------------------
+def q245(spark, sf_dir):
+    """Residual whiteness gate (operators/timeseries.py::ljung_box):
+    per event_type, the first five STANDARD autocorrelations of the
+    event-value series (fixed mean, full-variance denominator — the
+    Box-Jenkins convention) and Q = n(n+2)·Σ ρ̂ₖ²/(n−k) ~ χ²(5) under
+    independence. One per-key window pass builds all five lags; one
+    aggregate folds the raw moments; ρ̂ₖ and Q are closed-form select
+    expressions."""
+    from parquet_on_fhir_spark.operators.timeseries import ljung_box
+
+    e = t(spark, sf_dir, "events")
+    out = ljung_box(
+        e, "ts", ["event_type"], "value", max_lag=5, tie_cols=["event_id"]
+    )
+    return out.select(
+        "event_type",
+        "n",
+        *[d4(F.col(f"acf_{k}")).alias(f"acf_{k}") for k in range(1, 6)],
+        d4(F.col("q_stat")).alias("q_stat"),
+        "dof",
+    )
+
+
+_Q245_LAG_COLS = ",\n         ".join(
+    f"lag(value, {k}) OVER w AS l{k}" for k in range(1, 6)
+)
+_Q245_MOMENTS = ",\n    ".join(
+    f"sum(CASE WHEN l{k} IS NOT NULL THEN x * l{k} END) AS sxy{k},\n"
+    f"    sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS sxp{k},\n"
+    f"    sum(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS syp{k},\n"
+    f"    CAST(sum(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+    f" AS c{k}"
+    for k in range(1, 6)
+)
+_Q245_RHO = "\n".join(
+    f"  (sxy{k} - (sx / CAST(n AS DOUBLE)) * (sxp{k} + syp{k})"
+    f" + c{k} * (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))"
+    f" / (sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))"
+    f" * (sx / CAST(n AS DOUBLE))) AS rho{k},"
+    for k in range(1, 6)
+)
+Q245_ORACLE = f"""
+WITH s AS (
+  SELECT event_type AS k, value AS x,
+         {_Q245_LAG_COLS}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+g AS (
+  SELECT k, count(x) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+    {_Q245_MOMENTS}
+  FROM s GROUP BY k
+),
+r AS (
+  SELECT k, n,
+{_Q245_RHO}
+  sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE)) AS denom
+  FROM g
+)
+SELECT k AS event_type, n,
+       {", ".join(f"CASE WHEN denom > 0 AND n > 5 THEN round(rho{k} + 1e-9, 4) END AS acf_{k}" for k in range(1, 6))},
+       CASE WHEN denom > 0 AND n > 5 THEN
+         round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (
+           {" + ".join(f"rho{k} * rho{k} / (CAST(n AS DOUBLE) - {k}.0)" for k in range(1, 6))}
+         ) + 1e-9, 4) END AS q_stat,
+       5 AS dof
+FROM r
+"""
+
+
+QUERIES.append(Q("q245_ljung_box", q245, Q245_ORACLE))
+
+
+# --- Q246: common-neighbor link prediction ---------------------------------------------
+def q246(spark, sf_dir):
+    """Supplier similarity by shared parts (operators/graph.py::
+    common_neighbors): the bipartite wedge join over the distinct
+    (part, supplier) incidence — pair volume Σ_part C(deg,2), the
+    triangle_count bound, with the hub-cap knob for skewed attrs.
+    Top-20 pairs by (common desc, ids) keeps the output deterministic."""
+    from parquet_on_fhir_spark.operators.graph import common_neighbors
+
+    li = t(spark, sf_dir, "lineitem")
+    out = common_neighbors(li, "l_suppkey", "l_partkey")
+    return (
+        out.orderBy(
+            F.desc("common"), F.asc("node_a"), F.asc("node_b")
+        )
+        .limit(20)
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            "degree_a",
+            "degree_b",
+            d4(F.col("jaccard")).alias("jaccard"),
+        )
+    )
+
+
+Q246_ORACLE = """
+WITH inc AS (
+  SELECT DISTINCT l_partkey AS a, l_suppkey AS n FROM lineitem
+),
+deg AS (SELECT n, count(*) AS d FROM inc GROUP BY n),
+pr AS (
+  SELECT l.n AS node_a, r.n AS node_b, count(*) AS common
+  FROM inc l JOIN inc r ON l.a = r.a AND l.n < r.n
+  GROUP BY l.n, r.n
+)
+SELECT node_a, node_b, CAST(common AS BIGINT) AS common,
+       da.d AS degree_a, db.d AS degree_b,
+       round(CAST(common AS DOUBLE)
+             / CAST(da.d + db.d - common AS DOUBLE) + 1e-9, 4) AS jaccard
+FROM pr JOIN deg da ON pr.node_a = da.n
+        JOIN deg db ON pr.node_b = db.n
+ORDER BY common DESC, node_a, node_b
+LIMIT 20
+"""
+
+
+QUERIES.append(Q("q246_common_neighbors", q246, Q246_ORACLE))

@@ -430,3 +430,38 @@ def test_clustering_coefficient_known_graphs(spark):
     assert abs(got[1].coefficient - 1 / 3) < 1e-12
     assert got[2].coefficient == 1.0 and got[3].coefficient == 1.0
     assert got[4].degree == 1 and got[4].coefficient == 0.0
+
+
+def test_common_neighbors_bipartite(spark):
+    """common_neighbors: hand-computed shared counts + Jaccard over a
+    small bipartite incidence; the hub cap drops high-degree attrs and
+    degrees stay consistent with the CAPPED incidence."""
+    from parquet_on_fhir_spark.operators.graph import common_neighbors
+
+    rows = [
+        (1, "p1"), (1, "p2"), (1, "p3"),
+        (2, "p1"), (2, "p2"),
+        (3, "p3"), (3, "p4"),
+        (4, "hub"), (1, "hub"), (2, "hub"), (3, "hub"),
+        (1, "p1"),  # duplicate incidence row: must not double-count
+    ]
+    df = spark.createDataFrame(rows, "n int, a string")
+    out = {
+        (r.node_a, r.node_b): r
+        for r in common_neighbors(df, "n", "a").collect()
+    }
+    # uncapped: hub links everyone
+    r12 = out[(1, 2)]
+    assert r12.common == 3 and r12.degree_a == 4 and r12.degree_b == 3
+    assert abs(r12.jaccard - 3 / 4) < 1e-12
+    assert out[(1, 3)].common == 2  # p3 + hub
+    assert (2, 4) in out  # only via hub
+    # cap 3 drops the degree-4 hub attr entirely
+    capped = {
+        (r.node_a, r.node_b): r
+        for r in common_neighbors(df, "n", "a", max_attr_degree=3).collect()
+    }
+    assert (2, 4) not in capped and (1, 4) not in capped
+    c12 = capped[(1, 2)]
+    assert c12.common == 2 and c12.degree_a == 3 and c12.degree_b == 2
+    assert capped[(1, 3)].common == 1

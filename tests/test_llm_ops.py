@@ -698,3 +698,22 @@ def test_embedding_isotropy_identity(spark):
     assert r.n == 50 and r.dim == 8
     assert abs(r.mean_norm - np.linalg.norm(v, axis=1).mean()) < 1e-9
     assert abs(r.mean_cosine - ref) < 1e-9
+
+
+def test_script_profile_counts(spark):
+    """script_profile: hand-counted Latin/digit/space/CJK census and
+    the leftover bucket; fractions NULL-guarded on empty groups."""
+    from parquet_on_fhir_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [("a", "Hello 42 世界"), ("a", "abc!"), ("b", "你好 world")],
+        "source string, text string",
+    )
+    rows = {r.group: r for r in script_profile(df).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_docs, a.chars, a.latin, a.digit, a.space, a.cjk, a.other) == (
+        2, 15, 8, 2, 2, 2, 1,
+    )
+    assert abs(a.latin_frac - 8 / 15) < 1e-12
+    assert (b.chars, b.latin, b.cjk) == (8, 5, 2)
+    assert abs(b.cjk_frac - 0.25) < 1e-12

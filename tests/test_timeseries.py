@@ -431,3 +431,34 @@ def test_holt_cusum_tie_cols_deterministic(spark):
         if seed == 0:
             h0, c0 = h, c
     assert h == h0 and c == c0
+
+
+def test_ljung_box_matches_numpy(spark):
+    """ljung_box vs a numpy standard-ACF + Box-Jenkins Q reference;
+    constant series yields NULL q_stat (zero variance)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.timeseries import ljung_box
+
+    rng = np.random.RandomState(17)
+    x = rng.randn(300).cumsum() * 0.3 + rng.randn(300)
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(x)],
+        "k string, t int, v double",
+    )
+    r = ljung_box(df, "t", ["k"], "v", 5).collect()[0]
+    n = len(x)
+    d = x - x.mean()
+    den = (d * d).sum()
+    rhos = [(d[k:] * d[:-k]).sum() / den for k in range(1, 6)]
+    q_ref = n * (n + 2) * sum(
+        rho**2 / (n - k) for k, rho in zip(range(1, 6), rhos)
+    )
+    for k in range(1, 6):
+        assert abs(getattr(r, f"acf_{k}") - rhos[k - 1]) < 1e-9
+    assert abs(r.q_stat - q_ref) < 1e-6
+    assert r.n == 300 and r.dof == 5
+    const = spark.createDataFrame(
+        [("k", i, 5.0) for i in range(20)], "k string, t int, v double"
+    )
+    assert ljung_box(const, "t", ["k"], "v", 3).collect()[0].q_stat is None
