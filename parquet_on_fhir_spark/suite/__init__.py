@@ -86,12 +86,15 @@ WINDOW = [
     "q58_stream_stateful",
     "q59_stream_static_join",
     "q59b_stream_stream_join",
-    #    oldest remaining FHIR view/terminology rows (r5/r6 vintage):
-    "qf09_view_definition_patient",
-    "qf10_view_definition_observation",
-    "qf11_chained_search",
-    "qf12_valueset_expand",
-    "qf13_conceptmap_translate",
+    #    wave-2 debuts (every new query lands WITH a driver row; the
+    #    five youngest-vintage refresh slots qf09-qf13 ceded — each has
+    #    r5/r6 lifetime greens + this round's full selfcheck):
+    "qf33_closure_delta",
+    "qf34_translate_reverse",
+    "q245_ljung_box",
+    "q246_common_neighbors",
+    "q247_script_profile",
+    #    oldest remaining FHIR terminology refresh row:
     "qf14_valueset_isa_filter",
 ]
 

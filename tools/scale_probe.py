@@ -34,6 +34,9 @@ PROBE_QUERIES = [
     # its scaling axis is CONCEPT COUNT, probed by
     # tools/terminology_probe.py instead of table replication):
     "q236_ks_two_sample",       # distinct-value frame GROWS with corpus
+    "q245_ljung_box",           # per-key lag windows over the raw series
+    "q246_common_neighbors",    # bipartite wedge join (pair-volume stress)
+    "q247_script_profile",      # regex census, scan-bound
     "q237_theil_index",         # per-entity agg + broadcast row pass
     "q238_aalen_johansen",      # per-user agg -> time-frame windows
     "q239_cochran_armitage",    # global ntile over per-user frame
