@@ -94,8 +94,10 @@ WINDOW = [
     "q245_ljung_box",
     "q246_common_neighbors",
     "q247_script_profile",
-    #    oldest remaining FHIR terminology refresh row:
-    "qf14_valueset_isa_filter",
+    #    q248 Cox PH debuts rows-only (ROWS_ONLY_COVERAGE) for its
+    #    spark_rows record, like q231 — the last refresh filler
+    #    (qf14, r6-vintage + green in this round's selfcheck) ceded:
+    "q248_cox_ph",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named
@@ -116,6 +118,7 @@ ROWS_ONLY_COVERAGE = {
     "q203_cusum_changepoints": "tests/test_timeseries.py (vs reference recurrence; reset accumulator not oracle-portable)",
     "q210_ols_fit": "tests/test_analytics.py (vs numpy lstsq; multi-feature matrix solve not oracle-portable)",
     "q231_logistic_fit": "tests/test_analytics.py (vs independent numpy IRLS; iterative MLE not oracle-portable)",
+    "q248_cox_ph": "tests/test_analytics.py (vs independent brute-force numpy Breslow Cox; iterative partial MLE not oracle-portable)",
 }
 
 

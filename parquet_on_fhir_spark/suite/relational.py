@@ -6045,3 +6045,42 @@ LIMIT 20
 
 
 QUERIES.append(Q("q246_common_neighbors", q246, Q246_ORACLE))
+
+
+# --- Q248: Cox proportional hazards (rows-only: iterative partial MLE) ------------------
+def q248(spark, sf_dir):
+    """Hazard regression for days-to-first-purchase (operators/
+    analytics.py::cox_ph): which user covariates move the purchase
+    hazard, censored at the last observed event — the regression
+    capstone of the KM/Nelson-Aalen/log-rank/RMST/Aalen-Johansen
+    stack. Each Newton round is one distinct-time hash aggregate plus
+    one reverse-cumulative window (never a per-row risk-set scan);
+    the p-dim solve is driver numpy. Rows-only: an iterative partial
+    MLE has no ANSI-SQL restatement; the covering test pits it
+    against an independent brute-force numpy Cox."""
+    from parquet_on_fhir_spark.operators.analytics import cox_ph
+
+    e = t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).alias("n_clicks"),
+        F.avg("value").alias("avg_value"),
+    )
+    spans = pu.select(
+        F.datediff(
+            F.coalesce("p_ts", "last_ts"), F.col("first_ts")
+        ).alias("duration"),
+        F.col("p_ts").isNotNull().cast("int").alias("event"),
+        "n_clicks",
+        "avg_value",
+    )
+    return cox_ph(spans, "duration", "event", ["n_clicks", "avg_value"])
+
+
+QUERIES.append(Q("q248_cox_ph", q248, None))
