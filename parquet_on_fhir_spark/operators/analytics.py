@@ -3676,3 +3676,105 @@ def cox_ph(
     return spark.createDataFrame(
         rows, "feature string, coefficient double, hazard_ratio double"
     )
+
+
+def propensity_match_att(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    id_col: str,
+    strata_cols: list[str] | None = None,
+    caliper: float | None = None,
+) -> DataFrame:
+    """1-nearest-neighbor propensity-score matching WITH replacement
+    and the matched-pair ATT — the matching companion of
+    :func:`ipw_ate` (weighting) and :func:`cohens_kappa`-era balance
+    checks: each treated unit is paired to the control with the
+    closest score, the ATT is the mean treated-minus-matched-control
+    outcome gap (Rosenbaum & Rubin 1983; with-replacement matching is
+    the order-independent variant — greedy without-replacement is
+    inherently sequential and NOT implemented).
+
+    One sorted window does all the matching: rows ordered by (score,
+    treated, id) — controls sort before treated at equal scores, so
+    an exact-score control is always the backward candidate at
+    distance 0 — and each treated row reads the nearest control
+    behind (``last(…, ignorenulls)``) and ahead (``first``) as
+    (score, outcome) structs, taking the closer (backward on ties).
+    Equal-distance, equal-score control choice is deterministic via
+    the id tiebreak (documented arbitrariness — matching theory is
+    indifferent). ``caliper`` drops pairs with |Δscore| > caliper
+    (unmatched treated are reported, not silently averaged).
+
+    100 TB posture: pass ``strata_cols`` (site, cohort, coarse score
+    bands) — the window partitions by strata and matches WITHIN each,
+    which is both the methodologically standard exact-match-on-strata
+    refinement and what keeps the sort distributed; a single global
+    sort is the no-strata small-cohort case (study semantics).
+
+    Output: 1 row — (n_treated, n_control, n_matched, att,
+    avg_treated, avg_matched_control); att NULL when nothing matches.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    tr = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    keys = list(strata_cols or [])
+    base = df.filter(
+        s.isNotNull() & tr.isNotNull() & y.isNotNull()
+    ).select(
+        *keys,
+        s.alias("__s"),
+        tr.alias("__t"),
+        y.alias("__y"),
+        F.col(id_col).alias("__id"),
+    )
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    order = part.orderBy("__s", "__t", "__id")
+    back = order.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    ctl = F.when(F.col("__t") == 0, F.struct("__s", "__y"))
+    prev = F.last(ctl, ignorenulls=True).over(back)
+    nxt = F.first(ctl, ignorenulls=True).over(fwd)
+    cur = base.withColumn("__prev", prev).withColumn("__next", nxt)
+    d_prev = F.abs(F.col("__s") - F.col("__prev.__s"))
+    d_next = F.abs(F.col("__s") - F.col("__next.__s"))
+    pick = F.when(
+        F.col("__prev").isNotNull()
+        & (F.col("__next").isNull() | (d_prev <= d_next)),
+        F.col("__prev"),
+    ).otherwise(F.col("__next"))
+    treated = cur.filter(F.col("__t") == 1).withColumn("__m", pick)
+    if caliper is not None:
+        treated = treated.withColumn(
+            "__m",
+            F.when(
+                F.abs(F.col("__s") - F.col("__m.__s")) <= caliper,
+                F.col("__m"),
+            ),
+        )
+    n_control = base.filter(F.col("__t") == 0).count()
+    agg = treated.agg(
+        F.count("*").alias("n_treated"),
+        F.count("__m").alias("n_matched"),
+        F.avg(F.when(F.col("__m").isNotNull(), F.col("__y"))).alias(
+            "avg_treated"
+        ),
+        F.avg(F.col("__m.__y")).alias("avg_matched_control"),
+        F.avg(
+            F.when(
+                F.col("__m").isNotNull(),
+                F.col("__y") - F.col("__m.__y"),
+            )
+        ).alias("att"),
+    )
+    return agg.select(
+        "n_treated",
+        F.lit(n_control).alias("n_control"),
+        "n_matched",
+        "att",
+        "avg_treated",
+        "avg_matched_control",
+    )

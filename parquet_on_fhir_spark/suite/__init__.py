@@ -72,13 +72,16 @@ WINDOW = [
     #    r4/r5-vintage map/hash scalars + the full streaming family:
     "q48_map_funcs",
     "q51_hash_funcs",
-    "q51b_hash_ids_local",
     "q52_stream_source_sink_available_now",
     "q53_stream_window_tumbling",
-    "q54_window_sliding",
     "q54b_stream_window_sliding",
-    "q55_window_session",
     "q55b_stream_window_session",
+    #    wave-3 debuts (q51b/q54/q55 ceded — each is the batch/local
+    #    twin of a windowed sibling that stays, with r4/r5 lifetime
+    #    greens + this round's selfcheck):
+    "q249_psm_att",
+    "q250_dup_cluster_histogram",
+    "q251_tokenizer_fertility",
     "q56_stream_watermark",
     "q56b_stream_watermark_multibatch",
     "q57_dedup_keep_first",

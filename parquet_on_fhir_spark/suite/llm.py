@@ -3001,3 +3001,88 @@ FROM g
 
 
 QUERIES.append(Q("q247_script_profile", q247, Q247_ORACLE))
+
+
+# --- Q250: duplicate-cluster size histogram --------------------------------------------
+def q250(spark, sf_dir):
+    """Duplication SHAPE audit (completes q66 exact dedup + q242 ESS):
+    the log2 histogram of exact-duplicate cluster sizes — many
+    singletons + one megacluster and uniform pair-duplication have the
+    same dup_rate but opposite remediations. Bucket = len(bin(size))-1
+    (exact integer floor(log2), no float-log boundary risk at powers
+    of two); one 16-byte-keyed aggregate + one K-bucket recount."""
+    d = t(spark, sf_dir, "documents")
+    sizes = d.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.count("*").alias("size")
+    )
+    return (
+        sizes.groupBy(
+            (F.length(F.expr("bin(size)")) - 1).alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("size").alias("n_docs"),
+        )
+        .select("log2_bucket", "n_clusters", "n_docs")
+    )
+
+
+Q250_ORACLE = """
+WITH sizes AS (
+  SELECT md5(text) AS h, count(*) AS size FROM documents GROUP BY h
+)
+SELECT CAST(length(bin(size)) - 1 AS INT) AS log2_bucket,
+       count(*) AS n_clusters,
+       CAST(sum(size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
+QUERIES.append(Q("q250_dup_cluster_histogram", q250, Q250_ORACLE))
+
+
+# --- Q251: tokenizer fertility / chars-per-token budget audit ---------------------------
+def q251(spark, sf_dir):
+    """Token-budget audit (operators/text.py::bpe_ish_token_count):
+    per-source characters-per-token fertility under the ~4-chars/piece
+    BPE estimate — the number a pretraining budget is priced in; CJK-
+    heavy sources (q247's census) surface here as low fertility. All
+    JVM expressions (array fold + punct regex), one K-row aggregate."""
+    d = t(spark, sf_dir, "documents")
+    toks = tx.bpe_ish_token_count(F.col("text"))
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("chars"),
+        F.sum(toks).alias("tokens"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "chars",
+        "tokens",
+        d4(
+            F.col("chars").cast("double") / F.col("tokens").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+Q251_ORACLE = """
+WITH per AS (
+  SELECT source,
+         length(text) AS chars,
+         list_sum(list_transform(
+           string_split_regex(lower(text), '\\s+'),
+           w -> CAST(ceil(length(w) / 4.0) AS INT)))
+         + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS toks
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(sum(toks) AS BIGINT) AS tokens,
+       round(CAST(sum(chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+             + 1e-9, 4) AS chars_per_token
+FROM per GROUP BY source
+"""
+
+
+QUERIES.append(Q("q251_tokenizer_fertility", q251, Q251_ORACLE))

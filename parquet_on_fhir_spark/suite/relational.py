@@ -6084,3 +6084,91 @@ def q248(spark, sf_dir):
 
 
 QUERIES.append(Q("q248_cox_ph", q248, None))
+
+
+# --- Q249: propensity-score matching ATT ------------------------------------------------
+def q249(spark, sf_dir):
+    """Matched-cohort treatment effect (operators/analytics.py::
+    propensity_match_att): did signing up lift total spend? Treated =
+    users with a signup event, score = percent_rank of click count (a
+    deterministic, exactly rational propensity proxy), outcome = total
+    event value; each treated user pairs to the nearest control by
+    score (with replacement, backward on ties) via ONE sorted window —
+    the matching companion of q218's IPW estimator."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        propensity_match_att,
+    )
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).alias("n_clicks"),
+        F.max(
+            (F.col("event_type") == "signup").cast("int")
+        ).alias("treated"),
+        F.sum("value").alias("outcome"),
+    )
+    scored = pu.withColumn(
+        "score",
+        F.percent_rank().over(Window.orderBy("n_clicks", "user_id")),
+    )
+    out = propensity_match_att(
+        scored, "score", "treated", "outcome", "user_id"
+    )
+    return out.select(
+        "n_treated",
+        "n_control",
+        "n_matched",
+        d4(F.col("att")).alias("att"),
+        d4(F.col("avg_treated")).alias("avg_treated"),
+        d4(F.col("avg_matched_control")).alias("avg_matched_control"),
+    )
+
+
+Q249_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+         sum(value) AS y
+  FROM events GROUP BY user_id
+),
+sc AS (
+  SELECT user_id, t, y,
+         percent_rank() OVER (ORDER BY n_clicks, user_id) AS s
+  FROM pu
+),
+m AS (
+  SELECT user_id, t, s, y,
+         last_value(CASE WHEN t = 0 THEN struct_pack(cs := s, cy := y) END
+                    IGNORE NULLS)
+           OVER (ORDER BY s, t, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prv,
+         first_value(CASE WHEN t = 0 THEN struct_pack(cs := s, cy := y) END
+                     IGNORE NULLS)
+           OVER (ORDER BY s, t, user_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM sc
+),
+tm AS (
+  SELECT s, y,
+         CASE WHEN prv IS NOT NULL AND (nxt IS NULL
+                    OR abs(s - prv.cs) <= abs(s - nxt.cs))
+              THEN prv ELSE nxt END AS mt
+  FROM m WHERE t = 1
+)
+SELECT count(*) AS n_treated,
+       (SELECT count(*) FROM sc WHERE t = 0) AS n_control,
+       count(mt) AS n_matched,
+       round(avg(CASE WHEN mt IS NOT NULL THEN y - mt.cy END) + 1e-9, 4)
+         AS att,
+       round(avg(CASE WHEN mt IS NOT NULL THEN y END) + 1e-9, 4)
+         AS avg_treated,
+       round(avg(mt.cy) + 1e-9, 4) AS avg_matched_control
+FROM tm
+"""
+
+
+QUERIES.append(Q("q249_psm_att", q249, Q249_ORACLE))
