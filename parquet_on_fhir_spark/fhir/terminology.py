@@ -358,13 +358,14 @@ def expand_valueset(
 
 
 _ECL_TOKEN = re.compile(
-    r"<<|>>|<|>|\(|\)|\{|\}|\*|:|=|,|\^|"
+    r"<<|<!|>>|>!|<|>|\(|\)|\{|\}|\*|:|=|,|\^|!|"
     r"\[[0-9]+\.\.(?:[0-9]+|\*)\]|"  # cardinality [m..n] — one token
     r"(?<!\S)\.(?!\S)|"  # dotted attribute '.' (whitespace-delimited)
-    r"AND\b|OR\b|MINUS\b|R\b|[^\s(){}<>:=,^]+"
+    r"AND\b|OR\b|MINUS\b|R\b|[^\s(){}<>:=,^!]+"
 )
 _ECL_CARD = re.compile(r"\[([0-9]+)\.\.([0-9]+|\*)\]\Z")
-_ECL_UNSUPPORTED = re.compile(r"[|!#]")
+_ECL_TERM = re.compile(r"\|[^|]*\|")  # |display term| annotations
+_ECL_UNSUPPORTED = re.compile(r"[|#]")
 
 
 def _ecl_parse(ecl: str):
@@ -378,8 +379,8 @@ def _ecl_parse(ecl: str):
         refinement := CARD? 'R'? (ATTR | '*') '=' term
         CARD := '[' INT '..' (INT | '*') ']'
         term := '(' expr ')' | PREFIX? ('*' | CODE)
-        PREFIX := '<<' (desc-or-self) | '<' (desc) | '>>' (anc-or-self)
-                  | '>' (anc)
+        PREFIX := '<<' (desc-or-self) | '<' (desc) | '<!' (children)
+                  | '>>' (anc-or-self) | '>' (anc) | '>!' (parents)
 
     Attribute refinements follow the SNOMED syntax ``focus : attr =
     value`` with comma = conjunction; the attribute matches CodeSystem
@@ -408,13 +409,19 @@ def _ecl_parse(ecl: str):
     group, and the rest of the language, raise NotImplementedError
     with the offending token.
     """
+    # |display term| annotations are documentation, not constraint
+    # (SNOMED ECL composite grammar, r10) — stripped before lexing; a
+    # leftover unpaired '|' then trips the unsupported check below
+    ecl_src = ecl
+    ecl = _ECL_TERM.sub(" ", ecl)
     if _ECL_UNSUPPORTED.search(ecl):
         raise NotImplementedError(
-            f"unsupported ECL feature in {ecl!r}: only <|<<|>|>> "
-            "prefixes, '*', codes, parentheses, AND/OR/MINUS, "
-            "'^ refset', '. attr' dotted walks, "
-            "'[m..n]? R? attr = value' refinements and "
-            "'{ attr = value , ... }' attribute groups are supported"
+            f"unsupported ECL feature in {ecl_src!r}: only "
+            "<|<<|<!|>|>>|>! prefixes, '*', codes, '|term|' "
+            "annotations, parentheses, AND/OR/MINUS, '^ refset', "
+            "'. attr' dotted walks, '[m..n]? R? attr = value' "
+            "refinements and '{ attr = value , ... }' attribute "
+            "groups are supported"
         )
     toks = _ECL_TOKEN.findall(ecl)
     for tk in toks:
@@ -450,12 +457,12 @@ def _ecl_parse(ecl: str):
                 )
             return ("member", target)
         prefix = None
-        if t in ("<", "<<", ">", ">>"):
+        if t in ("<", "<<", "<!", ">", ">>", ">!"):
             prefix, t = t, take()
         if (
             t is None
             or t in (")", "{", "}", "AND", "OR", "MINUS", ":", "=", ",",
-                     "^", ".")
+                     "^", ".", "!")
             or t.startswith("[")
         ):
             raise NotImplementedError(f"malformed ECL {ecl!r}")
@@ -467,8 +474,8 @@ def _ecl_parse(ecl: str):
             return ("any",)
         return ("focus", prefix, t)
 
-    _BAD_ATTR = ("(", ")", "{", "}", ":", "=", ",", ".", "<", "<<",
-                 ">", ">>", "AND", "OR", "MINUS", "R")
+    _BAD_ATTR = ("(", ")", "{", "}", ":", "=", ",", ".", "!", "<",
+                 "<<", "<!", ">", ">>", ">!", "AND", "OR", "MINUS", "R")
 
     def refined():
         node = term()
@@ -632,6 +639,20 @@ def ecl_expand(
     clo = closure.filter(F.col("system") == system).select(
         "ancestor", "descendant"
     )
+    edges_cache: list[DataFrame] = []
+
+    def direct_edges() -> DataFrame:
+        # <! children / >! parents (r10) need DIRECT is-a edges, which
+        # the transitive closure cannot recover — derived lazily from
+        # the same CodeSystem table (map-side explodes, no shuffle)
+        if not edges_cache:
+            edges_cache.append(
+                concept_edges(codesystems)
+                .filter(F.col("system") == system)
+                .select("parent", "child")
+            )
+        return edges_cache[0]
+
     props_cache: list[DataFrame] = []
 
     def props() -> DataFrame:
@@ -652,7 +673,15 @@ def ecl_expand(
             anchor = uni.filter(F.col("code") == code)
             if prefix is None:
                 return anchor
-            if prefix in ("<", "<<"):
+            if prefix == "<!":  # immediate children (r10)
+                rel = direct_edges().filter(
+                    F.col("parent") == code
+                ).select(F.col("child").alias("code"))
+            elif prefix == ">!":  # immediate parents (r10)
+                rel = direct_edges().filter(
+                    F.col("child") == code
+                ).select(F.col("parent").alias("code"))
+            elif prefix in ("<", "<<"):
                 rel = clo.filter(F.col("ancestor") == code).select(
                     F.col("descendant").alias("code")
                 )

@@ -69,8 +69,10 @@ WINDOW = [
     "qf06_fhir_validate",
     "qf07_fhir_reference_join",
     "qf08_fhir_definition_schema",
-    #    r4/r5-vintage map/hash scalars + the full streaming family:
-    "q48_map_funcs",
+    #    r4/r5-vintage hash scalars + the streaming family (q48 map
+    #    funcs ceded to the qf35 debut — scalar family keeps five
+    #    in-window rows q41/q42/q43/q45/q51):
+    "qf35_ecl_children_terms",
     "q51_hash_funcs",
     "q52_stream_source_sink_available_now",
     "q53_stream_window_tumbling",

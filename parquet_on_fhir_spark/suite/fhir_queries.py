@@ -1914,3 +1914,44 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf34_translate_reverse", qf34, QF34_ORACLE))
+
+
+# --- qf35: ECL child-of/parent-of + term annotations ------------------------------------
+def qf35(spark, sf_dir):
+    """ECL immediate-hierarchy operators and term annotations
+    (fhir/terminology.py::_ecl_parse + ecl_expand, r10): `<!` children
+    and `>!` parents evaluate against the DIRECT is-a edge frame
+    (derived lazily from the CodeSystem — the closure cannot recover
+    direct edges), and `|display term|` annotations are documentation
+    stripped before lexing (unpaired '|' still refuses). Composes
+    with closure prefixes, set ops and refinements."""
+    return _ecl_findings2(spark, _ecl_vs_docs("chp", [
+        "<! limb",
+        ">! hand |Hand structure|",
+        "( <! finding ) : severity = high |High severity|",
+        "<< limb |Limb structure| MINUS <! limb",
+        "<! arm OR >! leg",
+    ]))
+
+
+QF35_ORACLE = """
+SELECT * FROM (VALUES
+  -- chp1: <! limb (direct children)
+  ('http://example.org/ValueSet/chp1', 'arm'),
+  ('http://example.org/ValueSet/chp1', 'leg'),
+  -- chp2: >! hand (direct parents)
+  ('http://example.org/ValueSet/chp2', 'arm'),
+  -- chp3: (<! finding) : severity = high
+  ('http://example.org/ValueSet/chp3', 'arm-fracture'),
+  ('http://example.org/ValueSet/chp3', 'multi-trauma'),
+  -- chp4: << limb MINUS <! limb
+  ('http://example.org/ValueSet/chp4', 'limb'),
+  ('http://example.org/ValueSet/chp4', 'hand'),
+  -- chp5: <! arm OR >! leg
+  ('http://example.org/ValueSet/chp5', 'hand'),
+  ('http://example.org/ValueSet/chp5', 'limb')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf35_ecl_children_terms", qf35, QF35_ORACLE))

@@ -1187,6 +1187,44 @@ def test_conceptmap_unmapped_modes(spark):
     )
 
 
+def test_ecl_children_parents_terms(spark):
+    """ecl_expand r10: `<!` children / `>!` parents against the direct
+    edge frame, `|term|` annotation stripping, and the refusals
+    (stray '!', unpaired '|')."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_FINDINGS2_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/findings2"
+
+    def ev(ecl):
+        return sorted(r.code for r in ecl_expand(ecl, cs, clo, system).collect())
+
+    assert ev("<! limb") == ["arm", "leg"]          # direct, not << limb
+    assert ev("<! arm") == ["hand"]
+    assert ev("<! hand") == []                       # leaf
+    assert ev(">! hand") == ["arm"]
+    assert ev(">! anatomy") == []                    # root
+    # terms are stripped anywhere a code can appear
+    assert ev("<< limb |Limb| MINUS <! limb |x|") == ["hand", "limb"]
+    assert ev("( <! finding ) : site |Site| = << limb") == [
+        "arm-fracture", "hand-burn", "leg-sprain", "multi-trauma",
+    ]
+    for bad in ("< a ! b", "< a |unclosed", "! a", "<! "):
+        with pytest.raises(NotImplementedError):
+            ecl_expand(bad, cs, clo, system).collect()
+
+
 def test_closure_delta_matches_full_recompute(spark):
     """fhir/terminology.py::closure_delta (r10): on random layered DAGs
     split into old/new edge sets, old_closure ∪ delta must equal the

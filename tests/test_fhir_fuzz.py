@@ -282,6 +282,17 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
         anchor = {code} & uni
         if prefix is None:
             return anchor
+        if prefix in ("<!", ">!"):
+            # direct edges derived from the transitive map: c is a
+            # direct child of p iff no intermediate m separates them
+            def direct(p, c):
+                return c in desc.get(p, set()) and not any(
+                    c in desc.get(m, set()) for m in desc.get(p, set())
+                )
+
+            if prefix == "<!":
+                return {c for c in desc.get(code, set()) if direct(code, c)}
+            return {p for p in desc if direct(p, code)}
         if prefix in ("<", "<<"):
             rel = set(desc.get(code, set()))
         else:
@@ -362,7 +373,8 @@ def _ecl_render(node):
         return "*"
     if kind == "focus":
         _, prefix, code = node
-        return f"{prefix or ''} {code}".strip()
+        term = f" |{code} structure|" if len(code) % 2 == 0 else ""
+        return f"{prefix or ''} {code}{term}".strip()
     if kind == "dot":
         return f"({_ecl_render(node[1])}) . {node[2]}"
     if kind == "refine":
@@ -395,7 +407,7 @@ def _ecl_render(node):
 
 def _ecl_terms():
     codes = st.sampled_from(_ECL_UNI + ["ghost"])
-    prefixes = st.sampled_from([None, "<", "<<", ">", ">>"])
+    prefixes = st.sampled_from([None, "<", "<<", ">", ">>", "<!", ">!"])
     return st.one_of(
         st.just(("any",)),
         st.tuples(st.just("focus"), prefixes, codes),
@@ -495,7 +507,7 @@ _F2_PROPS = {
 
 def _f2_terms():
     codes = st.sampled_from(_F2_UNI + ["ghost"])
-    prefixes = st.sampled_from([None, "<", "<<", ">", ">>"])
+    prefixes = st.sampled_from([None, "<", "<<", ">", ">>", "<!", ">!"])
     return st.one_of(
         st.just(("any",)),
         st.tuples(st.just("focus"), prefixes, codes),
