@@ -276,7 +276,20 @@ def expand_valueset(
       concept-property predicates (``=`` / ``regex`` / ``exists``
       true|false) against ``concept.property[]``; filters in one
       include AND together; ``exists`` ON THE CODE itself raises;
-    - ``exclude[].concept[]`` — anti-joined out of the result.
+    - ``include[].valueSet[]`` (r10) — ValueSet-by-reference
+      composition (hl7.org/fhir/R4/valueset-definitions.html): an
+      include holding ONLY canonical references contributes the
+      INTERSECTION of the referenced expansions (k refs → codes in all
+      k), unioned with the other includes; references resolve against
+      the SAME ``valuesets`` table, depth-1 (a referenced ValueSet's
+      own references are not chased — self/cyclic references therefore
+      terminate; the member-of contract). An include mixing
+      ``valueSet`` with system/concept/filter raises
+      NotImplementedError (honest narrowing — the spec's
+      system∩valueSets conjunction is not implemented);
+    - ``exclude[].concept[]`` — anti-joined out of the result — and
+      ``exclude[].valueSet[]`` (r10): referenced expansions anti-joined
+      on (system, code), same depth-1 resolution.
 
     Sparse schemas are honored: absent optional elements (no ValueSet
     populates ``filter``/``exclude``/``display``…) read as empty.
@@ -306,6 +319,69 @@ def expand_valueset(
     inc = valuesets.select(
         F.col("url"), F.explode("compose.include").alias("i")
     )
+    n_vs_refs = (
+        F.size(F.coalesce(F.col("i.valueSet"), F.array()))
+        if "valueSet" in inc_fields
+        else F.lit(0)
+    )
+    by_reference = None
+    if "valueSet" in inc_fields:
+        withref = valuesets.select(
+            F.col("url"), F.posexplode("compose.include").alias("inc_idx", "i")
+        ).filter(F.size(F.coalesce(F.col("i.valueSet"), F.array())) > 0)
+        if _nested and withref.limit(1).count():
+            # depth-1 by USE, not by schema: only an actually-present
+            # nested reference refuses (the member-of contract)
+            raise NotImplementedError(
+                "ValueSet-by-reference composition is depth-1: a "
+                "referenced ValueSet's own compose.include.valueSet "
+                "references are not resolved"
+            )
+        mixed = withref.filter(
+            (F.size(F.coalesce(F.col("i.concept"), F.array())) > 0
+             if "concept" in inc_fields else F.lit(False))
+            | (F.size(F.coalesce(F.col("i.filter"), F.array())) > 0
+               if "filter" in inc_fields else F.lit(False))
+            | F.col("i.system").isNotNull()
+        )
+        if (not _nested) and mixed.limit(1).count():
+            raise NotImplementedError(
+                "compose.include mixing valueSet references with "
+                "system/concept/filter is not supported — split the "
+                "intersection into separate ValueSets"
+            )
+        refs = withref.select(
+            "url",
+            "inc_idx",
+            F.size("i.valueSet").alias("__n_refs"),
+            F.explode("i.valueSet").alias("__ref"),
+        )
+        ref_urls = (
+            []
+            if _nested
+            else [r[0] for r in refs.select("__ref").distinct().collect()]
+        )
+        ref_exp = None
+        if ref_urls:
+            ref_exp = expand_valueset(
+                valuesets.filter(F.col("url").isin(ref_urls)),
+                codesystems,
+                closure=closure,
+                _nested=True,
+            ).select(
+                F.col("url").alias("__ref"), "system", "code", "display"
+            )
+        by_reference = None if ref_exp is None else (
+            refs.join(ref_exp, "__ref")
+            .groupBy("url", "inc_idx", "system", "code")
+            .agg(
+                F.max("display").alias("display"),
+                F.countDistinct("__ref").alias("__hit"),
+                F.max("__n_refs").alias("__need"),
+            )
+            .filter(F.col("__hit") == F.col("__need"))
+            .select("url", "system", "code", "display")
+        )
     concept_fields = _element_fields(valuesets, "compose", "include", "concept")
     display = (
         F.col("c.display") if "display" in concept_fields else F.lit(None).cast("string")
@@ -324,10 +400,12 @@ def expand_valueset(
         ).select(
             "url", "system", F.col("c.code").alias("code"), display.alias("display")
         )
-        whole = inc.filter((n_concepts == 0) & (n_filters == 0))
+        whole = inc.filter(
+            (n_concepts == 0) & (n_filters == 0) & (n_vs_refs == 0)
+        )
     else:
         listed = None
-        whole = inc.filter(n_filters == 0)
+        whole = inc.filter((n_filters == 0) & (n_vs_refs == 0))
     whole = whole.select("url", F.col("i.system").alias("system"))
     if codesystems is not None:
         whole_rows = whole.join(F.broadcast(_all_concepts(codesystems)), "system").select(
@@ -336,24 +414,63 @@ def expand_valueset(
         listed = whole_rows if listed is None else listed.unionByName(whole_rows)
     if filtered is not None:
         listed = filtered if listed is None else listed.unionByName(filtered)
+    if by_reference is not None:
+        listed = (
+            by_reference
+            if listed is None
+            else listed.unionByName(by_reference)
+        )
     if listed is None:
         raise ValueError(
             "ValueSet has whole-system includes but no codesystems table "
             "was supplied to resolve them"
         )
 
-    if "exclude" in _element_fields(valuesets, "compose"):
-        exc = valuesets.select(
+    exc_fields = _element_fields(valuesets, "compose", "exclude")
+    if exc_fields:
+        exploded_exc = valuesets.select(
             F.col("url"),
             F.explode(F.coalesce(F.col("compose.exclude"), F.array())).alias("e"),
-        ).select(
-            "url",
-            F.col("e.system").alias("system"),
-            F.explode(F.coalesce(F.col("e.concept"), F.array())).alias("c"),
-        ).select("url", "system", F.col("c.code").alias("code"))
-        listed = listed.join(
-            F.broadcast(exc), ["url", "system", "code"], "left_anti"
         )
+        if "concept" in exc_fields:
+            exc = exploded_exc.select(
+                "url",
+                F.col("e.system").alias("system"),
+                F.explode(F.coalesce(F.col("e.concept"), F.array())).alias("c"),
+            ).select("url", "system", F.col("c.code").alias("code"))
+            listed = listed.join(
+                F.broadcast(exc), ["url", "system", "code"], "left_anti"
+            )
+        if "valueSet" in exc_fields:
+            xrefs = exploded_exc.select(
+                "url", F.explode(F.coalesce(F.col("e.valueSet"), F.array())).alias("__ref")
+            )
+            xref_urls = [
+                r[0] for r in xrefs.select("__ref").distinct().collect()
+            ]
+            if xref_urls and _nested:
+                raise NotImplementedError(
+                    "ValueSet-by-reference composition is depth-1: a "
+                    "referenced ValueSet's own compose.exclude.valueSet "
+                    "references are not resolved"
+                )
+            if xref_urls:
+                xexp = expand_valueset(
+                    valuesets.filter(F.col("url").isin(xref_urls)),
+                    codesystems,
+                    closure=closure,
+                    _nested=True,
+                ).select(
+                    F.col("url").alias("__ref"), "system", "code"
+                )
+                drop = xrefs.join(xexp, "__ref").select(
+                    "url", "system", "code"
+                )
+                listed = listed.join(
+                    F.broadcast(drop.distinct()),
+                    ["url", "system", "code"],
+                    "left_anti",
+                )
     return listed
 
 
@@ -1483,3 +1600,54 @@ def subsumes(
     return out.withColumn("outcome", outcome).drop(
         "__a_subsumes_b", "__b_subsumes_a"
     )
+
+
+def lookup_codes(
+    df: DataFrame,
+    codesystems: DataFrame,
+    system_col: str,
+    code_col: str,
+) -> DataFrame:
+    """Batch CodeSystem ``$lookup``
+    (hl7.org/fhir/R4/codesystem-operation-lookup.html): for each fact
+    (system, code) pair, the concept's display and its property
+    assertions — the "what IS this code" operation a terminology
+    server answers one code at a time, here as one broadcast join over
+    the whole fact column. ``found`` is a join-match witness (the
+    translate_codes r9 lesson: never infer matching from a nullable
+    payload column — display is optional). Rows MULTIPLY per property
+    assertion (long form, the oracle-checkable shape); concepts
+    without properties keep one row with NULL prop/pval, unknown codes
+    one row with found=false.
+
+    The concept and property frames are terminology-sized broadcasts;
+    the fact table never shuffles.
+
+    Output: df columns + (found, display, prop, pval).
+    """
+    concepts = _all_concepts(codesystems).select(
+        F.col("system").alias("__l_system"),
+        F.col("code").alias("__l_code"),
+        F.col("display").alias("display"),
+        F.lit(True).alias("found"),
+    )
+    out = df.join(
+        F.broadcast(concepts),
+        (F.col(system_col) == F.col("__l_system"))
+        & (F.col(code_col) == F.col("__l_code")),
+        "left",
+    ).drop("__l_system", "__l_code")
+    props = _concept_properties(codesystems).select(
+        F.col("system").alias("__p_system"),
+        F.col("code").alias("__p_code"),
+        "prop",
+        "pval",
+    )
+    out = out.join(
+        F.broadcast(props),
+        (F.col(system_col) == F.col("__p_system"))
+        & (F.col(code_col) == F.col("__p_code"))
+        & F.col("found").isNotNull(),
+        "left",
+    ).drop("__p_system", "__p_code")
+    return out.withColumn("found", F.coalesce("found", F.lit(False)))

@@ -75,7 +75,11 @@ WINDOW = [
     "qf35_ecl_children_terms",
     "q51_hash_funcs",
     "q52_stream_source_sink_available_now",
-    "q53_stream_window_tumbling",
+    #    wave-4 debuts took the q53/q56/q59 slots — each family
+    #    keeps its harder sibling in-window (q54b/q55b windows,
+    #    q56b multibatch watermark, q57b stream dedup, q58
+    #    stateful, q59b stream-stream join):
+    "qf37_lookup",
     "q54b_stream_window_sliding",
     "q55b_stream_window_session",
     #    wave-3 debuts (q51b/q54/q55 ceded — each is the batch/local
@@ -84,12 +88,13 @@ WINDOW = [
     "q249_psm_att",
     "q250_dup_cluster_histogram",
     "q251_tokenizer_fertility",
-    "q56_stream_watermark",
+    "q252_wasserstein_drift",
     "q56b_stream_watermark_multibatch",
-    "q57_dedup_keep_first",
     "q57b_stream_dedup",
+    #    qf36 debuts (q57 batch-twin ceded — q57b streaming dedup stays):
+    "qf36_valueset_references",
     "q58_stream_stateful",
-    "q59_stream_static_join",
+    "q253_conformal_interval",
     "q59b_stream_stream_join",
     #    wave-2 debuts (every new query lands WITH a driver row; the
     #    five youngest-vintage refresh slots qf09-qf13 ceded — each has

@@ -1955,3 +1955,127 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf35_ecl_children_terms", qf35, QF35_ORACLE))
+
+
+# --- qf36: ValueSet-by-reference composition --------------------------------------------
+_VS_REF_DOCS = [
+    {"resourceType": "ValueSet", "id": "vr1", "status": "active",
+     "url": "http://example.org/ValueSet/ref1",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy",
+          "concept": [{"code": "arm"}, {"code": "hand"}, {"code": "leg"}]}]}},
+    {"resourceType": "ValueSet", "id": "vr2", "status": "active",
+     "url": "http://example.org/ValueSet/ref2",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy",
+          "concept": [{"code": "hand"}, {"code": "leg"}, {"code": "foot"}]}]}},
+    # intersection of two referenced sets
+    {"resourceType": "ValueSet", "id": "vr3", "status": "active",
+     "url": "http://example.org/ValueSet/ref3",
+     "compose": {"include": [
+         {"valueSet": ["http://example.org/ValueSet/ref1",
+                       "http://example.org/ValueSet/ref2"]}]}},
+    # reference-include unioned with a listed include
+    {"resourceType": "ValueSet", "id": "vr4", "status": "active",
+     "url": "http://example.org/ValueSet/ref4",
+     "compose": {"include": [
+         {"valueSet": ["http://example.org/ValueSet/ref2"]},
+         {"system": "http://example.org/cs/anatomy",
+          "concept": [{"code": "heart"}]}]}},
+    # whole-system include minus a referenced set
+    {"resourceType": "ValueSet", "id": "vr5", "status": "active",
+     "url": "http://example.org/ValueSet/ref5",
+     "compose": {"include": [{"system": "http://example.org/cs/anatomy"}],
+                 "exclude": [{"valueSet": ["http://example.org/ValueSet/ref1"]}]}},
+]
+
+
+def qf36(spark, sf_dir):
+    """ValueSet-by-reference composition (fhir/terminology.py::
+    expand_valueset, r10): compose.include.valueSet — an include of
+    canonical references contributes the INTERSECTION of the
+    referenced expansions (spec: codes must be in all referenced value
+    sets), unioned with the other includes; exclude.valueSet
+    anti-joins a referenced expansion. References resolve against the
+    same ValueSet table, depth-1 (nested references refuse, so cycles
+    terminate)."""
+    from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_REF_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_DOC, "CodeSystem")
+    out = expand_valueset(vs, cs)
+    return out.filter(
+        F.col("url").isin(
+            "http://example.org/ValueSet/ref3",
+            "http://example.org/ValueSet/ref4",
+            "http://example.org/ValueSet/ref5",
+        )
+    ).select("url", "code")
+
+
+QF36_ORACLE = """
+SELECT * FROM (VALUES
+  -- ref3: ref1 ∩ ref2
+  ('http://example.org/ValueSet/ref3', 'hand'),
+  ('http://example.org/ValueSet/ref3', 'leg'),
+  -- ref4: ref2 ∪ {heart}
+  ('http://example.org/ValueSet/ref4', 'hand'),
+  ('http://example.org/ValueSet/ref4', 'leg'),
+  ('http://example.org/ValueSet/ref4', 'foot'),
+  ('http://example.org/ValueSet/ref4', 'heart'),
+  -- ref5: whole anatomy system minus ref1
+  ('http://example.org/ValueSet/ref5', 'body'),
+  ('http://example.org/ValueSet/ref5', 'limb'),
+  ('http://example.org/ValueSet/ref5', 'foot'),
+  ('http://example.org/ValueSet/ref5', 'organ'),
+  ('http://example.org/ValueSet/ref5', 'heart')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf36_valueset_references", qf36, QF36_ORACLE))
+
+
+# --- qf37: batch CodeSystem $lookup ------------------------------------------------------
+def qf37(spark, sf_dir):
+    """Batch $lookup (fhir/terminology.py::lookup_codes, r10): display
+    + property assertions for every fact (system, code) pair via two
+    terminology-sized broadcasts — found is a join-match witness (the
+    translate_codes r9 lesson), rows multiply per property assertion,
+    unknown codes and foreign systems come back found=false with one
+    row."""
+    from parquet_on_fhir_spark.fhir.terminology import lookup_codes
+
+    utc(spark)
+    cs = _encode_doc(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+    facts = spark.createDataFrame(
+        [
+            (1, "http://example.org/cs/findings2", "arm-fracture"),
+            (2, "http://example.org/cs/findings2", "multi-trauma"),
+            (3, "http://example.org/cs/findings2", "anatomy"),
+            (4, "http://example.org/cs/findings2", "nope"),
+            (5, "http://other.org", "arm-fracture"),
+        ],
+        "row_id long, system string, code string",
+    )
+    return lookup_codes(facts, cs, "system", "code").select(
+        "row_id", "code", "found", "display", "prop", "pval"
+    )
+
+
+QF37_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'arm-fracture', true, 'Arm fracture', 'site', 'arm'),
+  (1, 'arm-fracture', true, 'Arm fracture', 'severity', 'high'),
+  (2, 'multi-trauma', true, 'Multiple trauma', 'site', 'arm'),
+  (2, 'multi-trauma', true, 'Multiple trauma', 'site', 'leg'),
+  (2, 'multi-trauma', true, 'Multiple trauma', 'severity', 'high'),
+  (3, 'anatomy', true, 'Anatomy', NULL, NULL),
+  (4, 'nope', false, NULL, NULL, NULL),
+  (5, 'arm-fracture', false, NULL, NULL, NULL)
+) AS t(row_id, code, found, display, prop, pval)
+"""
+
+
+QUERIES.append(Q("qf37_lookup", qf37, QF37_ORACLE))

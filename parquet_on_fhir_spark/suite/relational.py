@@ -6172,3 +6172,123 @@ FROM tm
 
 
 QUERIES.append(Q("q249_psm_att", q249, Q249_ORACLE))
+
+
+# --- Q252: Wasserstein-1 drift magnitude -------------------------------------------------
+def q252(spark, sf_dir):
+    """Drift MAGNITUDE in the feature's own units (operators/
+    analytics.py::wasserstein_1d): W1 = integral |F_en − F_de| over
+    document lengths — the L1 companion of q236's KS sup-gap (whether
+    vs how much). Same distinct-value frame and window; one lead()
+    adds the segment widths; the gap numerator stays integer-exact."""
+    from parquet_on_fhir_spark.operators.analytics import wasserstein_1d
+
+    d = t(spark, sf_dir, "documents")
+    out = wasserstein_1d(d, "n_chars", "lang", "en", "de")
+    return out.select("n_a", "n_b", d4(F.col("w1")).alias("w1"))
+
+
+Q252_ORACLE = """
+WITH f AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE lang IN ('en', 'de')
+),
+pv AS (SELECT v, count(*) AS c, sum(ia) AS ca FROM f GROUP BY v),
+cum AS (
+  SELECT v, lead(v) OVER (ORDER BY v) AS vn,
+         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         sum(c - ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_b,
+         sum(ca) OVER () AS na,
+         sum(c - ca) OVER () AS nb
+  FROM pv
+),
+agg AS (
+  SELECT sum(CASE WHEN vn IS NOT NULL
+                  THEN CAST(abs(cum_a * nb - cum_b * na) AS DOUBLE)
+                       * (vn - v) END) AS area,
+         max(na) AS na, max(nb) AS nb
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(COALESCE(area, 0.0)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1e-9, 4) AS w1
+FROM agg
+"""
+
+
+QUERIES.append(Q("q252_wasserstein_drift", q252, Q252_ORACLE))
+
+
+# --- Q253: split-conformal prediction intervals ------------------------------------------
+def q253(spark, sf_dir):
+    """Distribution-free prediction intervals per event type
+    (operators/analytics.py::conformal_interval): train/calibration/
+    test splits by event_id mod 4 ({0,2} / {1} / {3} — deterministic,
+    disjoint), point = train median, half-width = the exact
+    ceil((n+1)(1-alpha))-th smallest calibration residual (no
+    interpolation -> engine-portable), coverage audited on test."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        conformal_interval,
+    )
+
+    e = t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    out = conformal_interval(
+        e.filter(m.isin(0, 2)),
+        e.filter(m == 1),
+        e.filter(m == 3),
+        ["event_type"],
+        "value",
+        alpha=0.1,
+    )
+    return out.select(
+        "event_type",
+        d4(F.col("point")).alias("point"),
+        "n_cal",
+        d4(F.col("q_hat")).alias("q_hat"),
+        "n_test",
+        d4(F.col("coverage")).alias("coverage"),
+    )
+
+
+Q253_ORACLE = """
+WITH meds AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS point
+  FROM events WHERE event_id % 4 IN (0, 2) GROUP BY event_type
+),
+scores AS (
+  SELECT e.event_type, abs(e.value - m.point) AS score
+  FROM events e JOIN meds m USING (event_type)
+  WHERE e.event_id % 4 = 1
+),
+ranked AS (
+  SELECT event_type, score,
+         row_number() OVER (PARTITION BY event_type ORDER BY score) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM scores
+),
+qh AS (
+  SELECT event_type, CAST(max(n_cal) AS BIGINT) AS n_cal,
+         max(CASE WHEN r = CAST(ceil((n_cal + 1) * 0.9) AS INT)
+                  THEN score END) AS q_hat
+  FROM ranked GROUP BY event_type
+)
+SELECT t.event_type,
+       round(max(m.point) + 1e-9, 4) AS point,
+       max(q.n_cal) AS n_cal,
+       round(max(q.q_hat) + 1e-9, 4) AS q_hat,
+       count(*) AS n_test,
+       round(avg(CASE WHEN abs(t.value - m.point) <= q.q_hat
+                      THEN 1 ELSE 0 END) + 1e-9, 4) AS coverage
+FROM events t
+JOIN meds m USING (event_type)
+JOIN qh q ON q.event_type = t.event_type
+WHERE t.event_id % 4 = 3
+GROUP BY t.event_type
+"""
+
+
+QUERIES.append(Q("q253_conformal_interval", q253, Q253_ORACLE))

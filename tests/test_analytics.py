@@ -1889,3 +1889,70 @@ def test_propensity_match_att_reference(spark):
     # a tiny caliper unmatches pairs (scores are 3dp-grid, most gaps > 0)
     rc = propensity_match_att(df, "s", "t", "y", "id", caliper=0.0).collect()[0]
     assert rc.n_matched < r.n_matched
+
+
+def test_wasserstein_1d_matches_numpy(spark):
+    """wasserstein_1d vs the numpy ECDF-area reference (equal-weight
+    empirical distributions); zero for identical samples; empty-arm
+    NULL."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import wasserstein_1d
+
+    rng = np.random.RandomState(21)
+    a = np.round(rng.normal(10, 2, 250), 1)
+    b = np.round(rng.normal(12, 3, 150), 1)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    # reference: integral of |Fa - Fb| over the pooled grid
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    ref = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
+    assert abs(r.w1 - ref) < 1e-9
+    assert (r.n_a, r.n_b) == (250, 150)
+    same = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    assert wasserstein_1d(same, "v", "g", "a", "b").collect()[0].w1 == 0.0
+    empty = wasserstein_1d(
+        df.filter("g = 'a'"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert empty.w1 is None
+
+
+def test_conformal_interval_guarantee(spark):
+    """conformal_interval vs a numpy split-conformal reference: exact
+    k-th order statistic half-width, finite-sample coverage >= 1-alpha
+    in expectation (checked loosely), tiny-calibration NULL q_hat, and
+    the alpha guard."""
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        conformal_interval,
+    )
+
+    rng = np.random.RandomState(33)
+    mk = lambda n: [("k", float(v)) for v in rng.normal(50, 5, n)]  # noqa: E731
+    tr = spark.createDataFrame(mk(200), "k string, v double")
+    ca_vals = rng.normal(50, 5, 99)
+    ca = spark.createDataFrame(
+        [("k", float(v)) for v in ca_vals], "k string, v double"
+    )
+    te = spark.createDataFrame(mk(300), "k string, v double")
+    r = conformal_interval(tr, ca, te, ["k"], "v", alpha=0.1).collect()[0]
+    point = np.percentile(np.array([row.v for row in tr.collect()]), 50)
+    scores = np.sort(np.abs(ca_vals - point))
+    k = int(np.ceil(100 * 0.9))  # (n_cal+1)(1-alpha) = 90
+    assert abs(r.point - point) < 1e-9
+    assert r.n_cal == 99
+    assert abs(r.q_hat - scores[k - 1]) < 1e-9
+    assert r.coverage >= 0.8  # guarantee is >= 0.9 in expectation
+    # calibration too small for the level -> NULL q_hat, not the max
+    tiny = spark.createDataFrame(mk(5), "k string, v double")
+    rt = conformal_interval(tr, tiny, te, ["k"], "v", alpha=0.1).collect()[0]
+    assert rt.q_hat is None
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_interval(tr, ca, te, ["k"], "v", alpha=1.5)

@@ -1299,3 +1299,90 @@ def test_translate_codes_reverse(spark):
     assert rows[2].target_code == "y"
     assert rows[3].target_code is None  # unmapped rules are forward-only
     assert rows[4].target_code is None
+
+
+def test_valueset_by_reference_composition(spark):
+    """expand_valueset r10: include.valueSet intersection semantics,
+    union with other includes, exclude.valueSet anti-join, depth-1-by-
+    use refusal (nested refs), and the mixed-include refusal."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_DOC,
+        _VS_REF_DOCS,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_ANATOMY_DOC, "CodeSystem")
+    vs = _encode(spark, _VS_REF_DOCS, "ValueSet")
+    out = expand_valueset(vs, cs)
+    res = {}
+    for r in out.collect():
+        res.setdefault(r.url, []).append(r.code)
+    assert sorted(res["http://example.org/ValueSet/ref3"]) == ["hand", "leg"]
+    assert sorted(res["http://example.org/ValueSet/ref4"]) == [
+        "foot", "hand", "heart", "leg",
+    ]
+    assert sorted(res["http://example.org/ValueSet/ref5"]) == [
+        "body", "foot", "heart", "limb", "organ",
+    ]
+    # referenced sets still expand normally themselves
+    assert sorted(res["http://example.org/ValueSet/ref1"]) == [
+        "arm", "hand", "leg",
+    ]
+
+    # nested references refuse (depth-1 by use)
+    nested = _VS_REF_DOCS + [{
+        "resourceType": "ValueSet", "id": "vr7", "status": "active",
+        "url": "http://example.org/ValueSet/ref7",
+        "compose": {"include": [
+            {"valueSet": ["http://example.org/ValueSet/ref3"]}]},
+    }]
+    with pytest.raises(NotImplementedError, match="depth-1"):
+        expand_valueset(_encode(spark, nested, "ValueSet"), cs).collect()
+
+    # mixing valueSet with system in one include refuses
+    mixed = [{
+        "resourceType": "ValueSet", "id": "vm", "status": "active",
+        "url": "http://example.org/ValueSet/mixed",
+        "compose": {"include": [
+            {"system": "http://example.org/cs/anatomy",
+             "valueSet": ["http://example.org/ValueSet/ref1"]}]},
+    }] + _VS_REF_DOCS[:1]
+    with pytest.raises(NotImplementedError, match="mixing"):
+        expand_valueset(_encode(spark, mixed, "ValueSet"), cs).collect()
+
+
+def test_lookup_codes_batch(spark):
+    """lookup_codes (r10 batch $lookup): property multiplication,
+    propertyless concepts keep one NULL-prop row, unknown codes and
+    foreign systems come back found=false exactly once."""
+    from parquet_on_fhir_spark.fhir.terminology import lookup_codes
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_FINDINGS2_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+    facts = spark.createDataFrame(
+        [
+            (1, "http://example.org/cs/findings2", "multi-trauma"),
+            (2, "http://example.org/cs/findings2", "limb"),
+            (3, "http://example.org/cs/findings2", "nope"),
+        ],
+        "row_id long, system string, code string",
+    )
+    rows = lookup_codes(facts, cs, "system", "code").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.row_id, []).append(r)
+    assert len(by_id[1]) == 3  # two site assertions + severity
+    assert {(r.prop, r.pval) for r in by_id[1]} == {
+        ("site", "arm"), ("site", "leg"), ("severity", "high"),
+    }
+    assert all(r.found and r.display == "Multiple trauma" for r in by_id[1])
+    assert len(by_id[2]) == 1 and by_id[2][0].found
+    assert by_id[2][0].prop is None  # propertyless concept: one row
+    assert len(by_id[3]) == 1 and by_id[3][0].found is False
+    assert by_id[3][0].display is None
