@@ -45,6 +45,8 @@ PROBE_QUERIES = [
     "q242_effective_sample_size",  # text-hash-keyed aggregate
     "q243_embedding_isotropy",  # n*d posexplode -> d-row fold
     "q244_pinball_backtest",    # exact per-group percentile sort-agg
+    "q252_wasserstein_drift",   # q236's frame + one lead()
+    "q253_conformal_interval",  # per-key percentile + ranked window
 ]
 
 
