@@ -91,6 +91,9 @@ HEADLINE = [
     "q225_repetition_audit",           # per-doc trigram explode-agg (Gopher rule)
     # round-10 additions (new lines, not regressions vs BENCH_r09):
     "qf23_ecl_expand",                 # terminology closure join (qf-family's first bench line)
+    "q241_ngram_novelty",              # the round-10 wave's biggest absolute cost (gram explode)
+    "q243_embedding_isotropy",         # n*d posexplode -> d-row fold
+    "q252_wasserstein_drift",          # distinct-value-frame drift (KS shape + lead)
 ]
 
 
