@@ -74,7 +74,10 @@ WINDOW = [
     #    in-window rows q41/q42/q43/q45/q51):
     "qf35_ecl_children_terms",
     "q51_hash_funcs",
-    "q52_stream_source_sink_available_now",
+    #    q254 (streaming conformal monitor) debuts in q52's slot —
+    #    q254 itself drives readStream + AvailableNow end-to-end, so
+    #    the source/sink family stays exercised in-window:
+    "q254_stream_conformal_monitor",
     #    wave-4 debuts took the q53/q56/q59 slots — each family
     #    keeps its harder sibling in-window (q54b/q55b windows,
     #    q56b multibatch watermark, q57b stream dedup, q58

@@ -589,3 +589,108 @@ FROM per_bin CROSS JOIN tot
 
 
 QUERIES.append(Q("q233_stream_drift_monitor", q233, Q233_ORACLE))
+
+
+# --- Q254: streaming conformal-coverage monitor ------------------------------------------
+def q254(spark, sf_dir):
+    """Streaming conformal-coverage monitor — the production
+    counterpart of q253 and the coverage sibling of q233's PSI loop:
+    the conformal band (per-type train median ± the exact
+    ceil((n_cal+1)(1−α))-th calibration residual) is FROZEN from the
+    historical splits (event_id mod 4 ∈ {0,2} train, =1 calibration),
+    live traffic (=3) arrives via readStream, stream-static-joins the
+    broadcast band and folds into per-type (n, breaches) counts in
+    complete mode. A band breach rate far above α means the world
+    drifted and the intervals no longer cover — the distribution-free
+    retraining alarm. The alarm threshold is integer-exact
+    (5·breaches > n ⇔ rate > 0.2 = 2α); the batch restatement is
+    exact."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        conformal_interval,
+    )
+    from parquet_on_fhir_spark.streaming.jobs import (
+        run_to_memory,
+        stream_events,
+    )
+
+    e = t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    # frozen band: conformal_interval's train/calib path, audited on an
+    # EMPTY test frame is wasteful — reuse its internals cheaply by
+    # passing calib as test only to drop the audit columns after
+    band = conformal_interval(
+        e.filter(m.isin(0, 2)),
+        e.filter(m == 1),
+        e.filter(m == 1),
+        ["event_type"],
+        "value",
+        alpha=0.1,
+    ).select("event_type", "point", "q_hat")
+    live = stream_events(spark, sf_dir).filter(
+        (F.col("event_id") % 4 == 3) & F.col("value").isNotNull()
+    )
+    flagged = live.join(F.broadcast(band), "event_type").withColumn(
+        "__breach",
+        (
+            F.abs(F.col("value").cast("double") - F.col("point"))
+            > F.col("q_hat")
+        ).cast("int"),
+    )
+    counts = run_to_memory(
+        flagged.groupBy("event_type").agg(
+            F.count("*").alias("n_live"),
+            F.sum("__breach").alias("n_breaches"),
+        ),
+        "complete",
+    )
+    return counts.select(
+        "event_type",
+        "n_live",
+        "n_breaches",
+        d4(
+            F.col("n_breaches").cast("double")
+            / F.col("n_live").cast("double")
+        ).alias("breach_rate"),
+        (5 * F.col("n_breaches") > F.col("n_live")).alias("alarm"),
+    )
+
+
+Q254_ORACLE = """
+WITH meds AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS point
+  FROM events WHERE event_id % 4 IN (0, 2) GROUP BY event_type
+),
+ranked AS (
+  SELECT e.event_type, abs(e.value - m.point) AS score,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - m.point)) AS r,
+         count(*) OVER (PARTITION BY e.event_type) AS n_cal
+  FROM events e JOIN meds m USING (event_type)
+  WHERE e.event_id % 4 = 1
+),
+qh AS (
+  SELECT event_type,
+         max(CASE WHEN r = CAST(ceil((n_cal + 1) * 0.9) AS INT)
+                  THEN score END) AS q_hat
+  FROM ranked GROUP BY event_type
+),
+live AS (
+  SELECT t.event_type,
+         CASE WHEN abs(t.value - m.point) > q.q_hat
+              THEN 1 ELSE 0 END AS breach
+  FROM events t
+  JOIN meds m USING (event_type)
+  JOIN qh q ON q.event_type = t.event_type
+  WHERE t.event_id % 4 = 3 AND t.value IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_live,
+       CAST(sum(breach) AS BIGINT) AS n_breaches,
+       round(CAST(sum(breach) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             + 1e-9, 4) AS breach_rate,
+       5 * sum(breach) > count(*) AS alarm
+FROM live GROUP BY event_type
+"""
+
+
+QUERIES.append(Q("q254_stream_conformal_monitor", q254, Q254_ORACLE))
