@@ -3526,6 +3526,7 @@ def cox_ph(
     max_iter: int = 25,
     tol: float = 1e-9,
     ridge: float = 0.0,
+    ties: str = "breslow",
 ) -> DataFrame:
     """Cox proportional-hazards regression (Breslow tie handling) by
     distributed Newton iterations — the regression capstone of the
@@ -3546,9 +3547,15 @@ def cox_ph(
     (S1/S0)(S1/S0)ᵀ] fold to (p)(p+3)/2 scalars executor-side; the
     p-dim solve is driver numpy (the IRLS split of
     :func:`logistic_regression_fit` — no intercept, Cox absorbs it in
-    the baseline hazard). Breslow's approximation charges tied events
-    the full risk set (the standard large-data choice; Efron differs
-    only on heavily-tied small data). ``ridge`` regularizes a
+    the baseline hazard). ``ties="breslow"`` charges tied events
+    the full risk set (the cheap large-data choice); ``ties="efron"``
+    (r10 — the R/survival and lifelines DEFAULT) removes an expected
+    (j/d) fraction of the tied-event mass before each of the d tied
+    events: per event time the S−(j/d)E terms fold over an
+    executor-side ``explode(sequence(0, d−1))`` — total exploded rows
+    = total events, so the correction is LINEAR, never a pair scan,
+    and the two estimators coincide exactly on tie-free data (pinned
+    test). ``ridge`` regularizes a
     singular Hessian (monotone/separating covariates), reported via a
     named ValueError otherwise. Stops at ‖Δβ‖∞ < ``tol``.
 
@@ -3562,6 +3569,8 @@ def cox_ph(
     p = len(feature_cols)
     if p == 0:
         raise ValueError("cox_ph needs >= 1 feature")
+    if ties not in ("breslow", "efron"):
+        raise ValueError("ties must be 'breslow' or 'efron'")
     from pyspark.sql import Window
 
     xs = [F.col(c).cast("double") for c in feature_cols]
@@ -3598,14 +3607,24 @@ def cox_ph(
             aggs.append(F.sum(ev * xs[i]).alias(f"ex_{i}"))
             for j in range(i, p):
                 aggs.append(F.sum(r * xs[i] * xs[j]).alias(f"r2_{i}_{j}"))
+        if ties == "efron":
+            aggs.append(F.sum(ev * r).alias("e0"))
+            for i in range(p):
+                aggs.append(F.sum(ev * r * xs[i]).alias(f"e1_{i}"))
+                for j in range(i, p):
+                    aggs.append(
+                        F.sum(ev * r * xs[i] * xs[j]).alias(f"e2_{i}_{j}")
+                    )
         per_t = base.groupBy(
             F.col(duration_col).alias("__t")
         ).agg(*aggs)
+        carry = ["d", "exb", *[f"ex_{i}" for i in range(p)]]
+        if ties == "efron":
+            carry += ["e0", *[f"e1_{i}" for i in range(p)]]
+            carry += [f"e2_{i}_{j}" for i in range(p) for j in range(i, p)]
         cum = per_t.select(
             "__t",
-            "d",
-            "exb",
-            *[F.col(f"ex_{i}") for i in range(p)],
+            *carry,
             F.sum("r0").over(w_rev).alias("s0"),
             *[
                 F.sum(f"r1_{i}").over(w_rev).alias(f"s1_{i}")
@@ -3618,28 +3637,59 @@ def cox_ph(
             ],
         ).filter(F.col("d") > 0)
         dd = F.col("d").cast("double")
-        final = [
-            F.sum(dd).alias("n_events"),
-            F.sum(F.col("exb") - dd * F.log("s0")).alias("ll"),
-        ]
-        for i in range(p):
-            final.append(
-                F.sum(
-                    F.col(f"ex_{i}") - dd * F.col(f"s1_{i}") / F.col("s0")
-                ).alias(f"g_{i}")
+        if ties == "efron":
+            # one row per (event time, j < d): total rows = total
+            # events — the Efron correction is a LINEAR explode
+            ej = cum.withColumn(
+                "__j", F.explode(F.expr("sequence(0, d - 1)"))
             )
-            for j in range(i, p):
+            frac = F.col("__j").cast("double") / dd
+            s0s = F.col("s0") - frac * F.col("e0")
+            final = [
+                F.count("*").cast("double").alias("n_events"),
+                F.sum(F.col("exb") / dd - F.log(s0s)).alias("ll"),
+            ]
+            for i in range(p):
+                s1i = F.col(f"s1_{i}") - frac * F.col(f"e1_{i}")
+                final.append(
+                    F.sum(F.col(f"ex_{i}") / dd - s1i / s0s).alias(
+                        f"g_{i}"
+                    )
+                )
+                for j in range(i, p):
+                    s1j = F.col(f"s1_{j}") - frac * F.col(f"e1_{j}")
+                    s2ij = F.col(f"s2_{i}_{j}") - frac * F.col(
+                        f"e2_{i}_{j}"
+                    )
+                    final.append(
+                        F.sum(
+                            s2ij / s0s - (s1i / s0s) * (s1j / s0s)
+                        ).alias(f"h_{i}_{j}")
+                    )
+            row = ej.agg(*final).collect()[0]
+        else:
+            final = [
+                F.sum(dd).alias("n_events"),
+                F.sum(F.col("exb") - dd * F.log("s0")).alias("ll"),
+            ]
+            for i in range(p):
                 final.append(
                     F.sum(
-                        dd
-                        * (
-                            F.col(f"s2_{i}_{j}") / F.col("s0")
-                            - (F.col(f"s1_{i}") / F.col("s0"))
-                            * (F.col(f"s1_{j}") / F.col("s0"))
-                        )
-                    ).alias(f"h_{i}_{j}")
+                        F.col(f"ex_{i}") - dd * F.col(f"s1_{i}") / F.col("s0")
+                    ).alias(f"g_{i}")
                 )
-        row = cum.agg(*final).collect()[0]
+                for j in range(i, p):
+                    final.append(
+                        F.sum(
+                            dd
+                            * (
+                                F.col(f"s2_{i}_{j}") / F.col("s0")
+                                - (F.col(f"s1_{i}") / F.col("s0"))
+                                * (F.col(f"s1_{j}") / F.col("s0"))
+                            )
+                        ).alias(f"h_{i}_{j}")
+                    )
+            row = cum.agg(*final).collect()[0]
         if row["n_events"] is None or row["n_events"] == 0:
             raise ValueError(
                 "cox_ph requires at least one event row "

@@ -1956,3 +1956,94 @@ def test_conformal_interval_guarantee(spark):
     assert rt.q_hat is None
     with pytest.raises(ValueError, match="alpha"):
         conformal_interval(tr, ca, te, ["k"], "v", alpha=1.5)
+
+
+def test_cox_ph_efron_ties(spark):
+    """cox_ph(ties='efron') vs an independent brute-force numpy Efron
+    reference on heavily-tied data; differs from Breslow exactly where
+    ties exist and coincides bit-for-bit on tie-free durations; bad
+    ties value raises."""
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import cox_ph
+
+    def cox_ref(t_arr, e_arr, x_mat, max_iter=50, tol=1e-10):
+        n, p = x_mat.shape
+        beta = np.zeros(p)
+        for _ in range(max_iter):
+            r = np.exp(x_mat @ beta)
+            g = np.zeros(p)
+            hess = np.zeros((p, p))
+            for tt in np.unique(t_arr[e_arr == 1]):
+                atrisk = t_arr >= tt
+                evs = (t_arr == tt) & (e_arr == 1)
+                d = evs.sum()
+                s0 = r[atrisk].sum()
+                s1 = (r[atrisk, None] * x_mat[atrisk]).sum(0)
+                s2 = (
+                    r[atrisk, None, None]
+                    * x_mat[atrisk, :, None]
+                    * x_mat[atrisk, None, :]
+                ).sum(0)
+                e0 = r[evs].sum()
+                e1 = (r[evs, None] * x_mat[evs]).sum(0)
+                e2 = (
+                    r[evs, None, None]
+                    * x_mat[evs, :, None]
+                    * x_mat[evs, None, :]
+                ).sum(0)
+                gx = x_mat[evs].sum(0)
+                for j in range(d):
+                    f = j / d
+                    s0s, s1s, s2s = s0 - f * e0, s1 - f * e1, s2 - f * e2
+                    g += gx / d - s1s / s0s
+                    hess += s2s / s0s - np.outer(s1s / s0s, s1s / s0s)
+            delta = np.linalg.solve(hess, g)
+            beta += delta
+            if np.abs(delta).max() < tol:
+                break
+        return beta
+
+    rng = np.random.RandomState(5)
+    n = 250
+    x = np.column_stack([rng.binomial(1, 0.5, n), np.round(rng.randn(n), 2)])
+    true = np.array([0.8, -0.5])
+    t_true = np.ceil(
+        -np.log(rng.rand(n)) / (0.15 * np.exp(x @ true))
+    ).astype(int)
+    c = rng.randint(1, 20, n)
+    e = (t_true <= c).astype(int)
+    t_obs = np.minimum(t_true, c)
+    df = spark.createDataFrame(
+        [
+            (int(tt), int(ee), int(x0), float(x1))
+            for tt, ee, x0, x1 in zip(t_obs, e, x[:, 0], x[:, 1])
+        ],
+        "dur int, ev int, x0 int, x1 double",
+    )
+    ef = {
+        r.feature: r.coefficient
+        for r in cox_ph(df, "dur", "ev", ["x0", "x1"], ties="efron").collect()
+    }
+    b_ref = cox_ref(t_obs, e, x)
+    assert abs(ef["x0"] - b_ref[0]) < 1e-6 and abs(ef["x1"] - b_ref[1]) < 1e-6
+    br = {
+        r.feature: r.coefficient
+        for r in cox_ph(df, "dur", "ev", ["x0", "x1"]).collect()
+    }
+    assert abs(br["x0"] - ef["x0"]) > 1e-4  # ties present -> estimators differ
+    # tie-free: identical
+    t_u = t_obs * 1000 + np.arange(n)
+    dfu = spark.createDataFrame(
+        [
+            (int(tt), int(ee), int(x0), float(x1))
+            for tt, ee, x0, x1 in zip(t_u, e, x[:, 0], x[:, 1])
+        ],
+        "dur long, ev int, x0 int, x1 double",
+    )
+    oe = {r.feature: r.coefficient for r in cox_ph(dfu, "dur", "ev", ["x0", "x1"], ties="efron").collect()}
+    ob = {r.feature: r.coefficient for r in cox_ph(dfu, "dur", "ev", ["x0", "x1"]).collect()}
+    assert abs(oe["x0"] - ob["x0"]) < 1e-9 and abs(oe["x1"] - ob["x1"]) < 1e-9
+    with pytest.raises(ValueError, match="ties"):
+        cox_ph(df, "dur", "ev", ["x0"], ties="exact")
