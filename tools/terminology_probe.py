@@ -96,13 +96,46 @@ def main() -> None:
             cnt = ecl_expand(ecl, cs, clo, sysu).count()
             timings[tag] = round(time.time() - t0, 2)
             timings[f"{tag}_rows"] = cnt
+        # incremental maintenance (closure_delta, r10): register the
+        # DEEPEST 10% of edges as "new" against a closure of the rest —
+        # the nightly-increment shape; time the delta vs the full build
+        from parquet_on_fhir_spark.fhir.terminology import (
+            closure_delta,
+            concept_edges,
+        )
+
+        edges = concept_edges(cs).cache()
+        n_edges = edges.count()
+        cutoff = int(n_edges * 0.9)
+        from pyspark.sql import functions as FF
+        from pyspark.sql import Window as W
+
+        ranked = edges.withColumn(
+            "__r",
+            FF.row_number().over(W.orderBy("parent", "child")),
+        )
+        old_e = ranked.filter(FF.col("__r") <= cutoff).drop("__r")
+        new_e = ranked.filter(FF.col("__r") > cutoff).drop("__r")
+        t0 = time.time()
+        old_clo = concept_closure(old_e).cache()
+        old_clo.count()
+        t_oldclo = time.time() - t0
+        t0 = time.time()
+        delta_rows = closure_delta(old_clo, new_e).count()
+        t_delta = time.time() - t0
         print(json.dumps({
             "n_concepts": n,
             "closure_rows": closure_rows,
             "encode_s": round(t_encode, 2),
             "closure_s": round(t_closure, 2),
             **timings,
+            "delta_new_edges": n_edges - cutoff,
+            "delta_rows": delta_rows,
+            "delta_s": round(t_delta, 2),
+            "old_closure_s": round(t_oldclo, 2),
         }))
+        edges.unpersist()
+        old_clo.unpersist()
         cs.unpersist()
         clo.unpersist()
 
