@@ -2047,3 +2047,40 @@ def test_cox_ph_efron_ties(spark):
     assert abs(oe["x0"] - ob["x0"]) < 1e-9 and abs(oe["x1"] - ob["x1"]) < 1e-9
     with pytest.raises(ValueError, match="ties"):
         cox_ph(df, "dur", "ev", ["x0"], ties="exact")
+
+
+def test_ks_w1_invariance_properties(spark):
+    """Distribution-test invariants: KS D is invariant under strictly
+    monotone transforms (it only reads ECDF order), W1 is
+    scale-EQUIVARIANT (W1(c·X) = c·W1(X)) and shift-invariant in the
+    gap sense (W1(X+c, Y+c) = W1(X, Y)) — the properties that make
+    them trustworthy drift metrics."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        ks_two_sample,
+        wasserstein_1d,
+    )
+
+    rng = np.random.RandomState(41)
+    a = np.round(rng.gamma(2, 3, 200), 2)
+    b = np.round(rng.gamma(3, 3, 150), 2)
+
+    def frame(xa, xb):
+        rows = [("a", float(v)) for v in xa] + [("b", float(v)) for v in xb]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    d0 = ks_two_sample(frame(a, b), "v", "g", "a", "b").collect()[0].d_stat
+    # strictly monotone transform: exp(x/10)
+    d1 = ks_two_sample(
+        frame(np.exp(a / 10), np.exp(b / 10)), "v", "g", "a", "b"
+    ).collect()[0].d_stat
+    assert abs(d0 - d1) < 1e-12
+
+    w0 = wasserstein_1d(frame(a, b), "v", "g", "a", "b").collect()[0].w1
+    w3 = wasserstein_1d(frame(3 * a, 3 * b), "v", "g", "a", "b").collect()[0].w1
+    assert abs(w3 - 3 * w0) < 1e-9
+    ws = wasserstein_1d(
+        frame(a + 100, b + 100), "v", "g", "a", "b"
+    ).collect()[0].w1
+    assert abs(ws - w0) < 1e-9
