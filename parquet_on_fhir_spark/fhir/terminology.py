@@ -1623,7 +1623,9 @@ def lookup_codes(
     The concept and property frames are terminology-sized broadcasts;
     the fact table never shuffles.
 
-    Output: df columns + (found, display, prop, pval).
+    Output: df columns + (found, display, prop, pval) — the fact table
+    must not already carry columns with those four names (rename
+    before calling; a collision would be silently ambiguous).
     """
     concepts = _all_concepts(codesystems).select(
         F.col("system").alias("__l_system"),

@@ -3302,6 +3302,10 @@ def aalen_johansen(
     from pyspark.sql import Window
 
     ks = list(causes)
+    # NULL durations would sort FIRST under the time windows and
+    # silently poison every risk set — excluded with the same contract
+    # as NULL causes (censored rows must still carry a duration)
+    df = df.filter(F.col(duration_col).isNotNull())
     per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
         *[
             F.sum((F.col(cause_col) == k).cast("int")).alias(f"__d{i}")
@@ -3391,12 +3395,26 @@ def cochran_armitage_trend(
     per = (
         df.filter(w.isNotNull() & s.isNotNull())
         .groupBy(w.alias("__w"))
-        .agg(F.count("*").alias("__n"), F.sum(s).alias("__x"))
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(s).alias("__x"),
+            # domain guards ride the aggregate (the proportions_ztest
+            # pattern): fractional bucket scores would silently
+            # TRUNCATE under the long cast, and non-0/1 successes
+            # would inflate x beyond n
+            F.max(
+                (F.col(bucket_col).cast("double") != w.cast("double"))
+                .cast("int")
+            ).alias("__badw"),
+            F.max(((s < 0) | (s > 1)).cast("int")).alias("__bads"),
+        )
     )
     wd = F.col("__w").cast(dec)
     agg = per.agg(
         F.sum("__n").alias("n"),
         F.count("*").alias("k_buckets"),
+        F.max("__badw").alias("__bw"),
+        F.max("__bads").alias("__bs"),
         F.sum("__x").cast(dec).alias("__sx"),
         F.sum(wd * F.col("__x").cast(dec)).alias("__swx"),
         F.sum(wd * F.col("__n").cast(dec)).alias("__swn"),
@@ -3417,10 +3435,20 @@ def cochran_armitage_trend(
             / nd
         )
     )
+    guard = (F.col("__bw") > 0) | (F.col("__bs") > 0)
     return agg.select(
         "n",
         "k_buckets",
-        F.when(var > 0, num / F.sqrt(var)).alias("z"),
+        F.when(
+            guard,
+            F.raise_error(
+                F.lit(
+                    "cochran_armitage_trend: bucket_col must be "
+                    "integer-valued and success_col 0/1 — found "
+                    "fractional scores or out-of-domain successes"
+                )
+            ).cast("double"),
+        ).otherwise(F.when(var > 0, num / F.sqrt(var))).alias("z"),
     )
 
 

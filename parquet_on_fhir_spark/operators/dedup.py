@@ -883,7 +883,10 @@ def effective_sample_size(
     Output: 1 row — (n_docs, n_clusters, dup_rate, ess).
     """
     sizes = (
-        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        # md5(NULL) is NULL: unfiltered, all NULL-text rows would fuse
+        # into one phantom "cluster" and silently deflate the ESS
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(F.count("*").alias("__size"))
     )
     agg = sizes.agg(

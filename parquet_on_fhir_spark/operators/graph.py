@@ -604,9 +604,13 @@ def common_neighbors(
 
     Output: (node_a, node_b, common, degree_a, degree_b, jaccard).
     """
-    pairs = df.select(
-        F.col(node_col).alias("__n"), F.col(attr_col).alias("__a")
-    ).distinct()
+    pairs = (
+        df.filter(
+            F.col(node_col).isNotNull() & F.col(attr_col).isNotNull()
+        )
+        .select(F.col(node_col).alias("__n"), F.col(attr_col).alias("__a"))
+        .distinct()
+    )
     if max_attr_degree is not None:
         keep = (
             pairs.groupBy("__a")

@@ -625,7 +625,13 @@ def q254(spark, sf_dir):
         ["event_type"],
         "value",
         alpha=0.1,
-    ).select("event_type", "point", "q_hat")
+    ).select("event_type", "point", "q_hat").filter(
+        # a type whose calibration split is too small for the level has
+        # NULL q_hat (conformal_interval contract) and CANNOT be
+        # monitored — excluded on both engine and oracle sides, else
+        # Spark's NULL-skipping sum and SQL's CASE..ELSE 0 diverge
+        F.col("q_hat").isNotNull()
+    )
     live = stream_events(spark, sf_dir).filter(
         (F.col("event_id") % 4 == 3) & F.col("value").isNotNull()
     )
@@ -682,6 +688,7 @@ live AS (
   JOIN meds m USING (event_type)
   JOIN qh q ON q.event_type = t.event_type
   WHERE t.event_id % 4 = 3 AND t.value IS NOT NULL
+    AND q.q_hat IS NOT NULL
 )
 SELECT event_type,
        count(*) AS n_live,

@@ -2084,3 +2084,33 @@ def test_ks_w1_invariance_properties(spark):
         frame(a + 100, b + 100), "v", "g", "a", "b"
     ).collect()[0].w1
     assert abs(ws - w0) < 1e-9
+
+
+def test_round10_hardening_guards(spark):
+    """Round-10 self-review guards: cochran_armitage raises on
+    fractional bucket scores and non-0/1 successes; aalen_johansen
+    excludes NULL durations from risk sets."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        aalen_johansen,
+        cochran_armitage_trend,
+    )
+
+    frac = spark.createDataFrame(
+        [(1.5, 1), (2.0, 0), (2.5, 1), (3.0, 0)], "b double, y int"
+    )
+    with pytest.raises(Exception, match="integer-valued"):
+        cochran_armitage_trend(frac, "b", "y").collect()
+    counts = spark.createDataFrame(
+        [(1, 3), (2, 0), (3, 1)], "b int, y int"
+    )
+    with pytest.raises(Exception, match="0/1"):
+        cochran_armitage_trend(counts, "b", "y").collect()
+
+    rows = [(5, "a"), (None, "a"), (7, None), (None, None), (9, "b")]
+    df = spark.createDataFrame(rows, "dur int, cause string")
+    out = aalen_johansen(df, "dur", "cause", ["a", "b"]).collect()
+    # only non-NULL durations participate: times {5, 7, 9}, N = 3
+    assert sorted({r.t for r in out}) == [5, 7, 9]
+    assert max(r.n_risk for r in out) == 3

@@ -717,3 +717,25 @@ def test_script_profile_counts(spark):
     assert abs(a.latin_frac - 8 / 15) < 1e-12
     assert (b.chars, b.latin, b.cjk) == (8, 5, 2)
     assert abs(b.cjk_frac - 0.25) < 1e-12
+
+
+def test_round10_null_input_guards(spark):
+    """Round-10 self-review: NULL texts must not fuse into a phantom
+    ESS cluster; NULL incidences are excluded from the wedge join."""
+    from parquet_on_fhir_spark.operators.dedup import (
+        effective_sample_size,
+    )
+    from parquet_on_fhir_spark.operators.graph import common_neighbors
+
+    texts = [("a",), ("a",), ("b",), (None,), (None,), (None,)]
+    df = spark.createDataFrame(texts, "text string")
+    r = effective_sample_size(df, "text").collect()[0]
+    assert (r.n_docs, r.n_clusters) == (3, 2)  # NULLs excluded entirely
+
+    inc = spark.createDataFrame(
+        [(1, "p"), (2, "p"), (None, "p"), (1, None)], "n int, a string"
+    )
+    out = common_neighbors(inc, "n", "a").collect()
+    assert len(out) == 1
+    assert (out[0].node_a, out[0].node_b, out[0].common) == (1, 2, 1)
+    assert out[0].degree_a == 1  # the (1, NULL) incidence did not count
