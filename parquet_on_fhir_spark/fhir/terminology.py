@@ -767,6 +767,10 @@ def ecl_expand(
                 concept_edges(codesystems)
                 .filter(F.col("system") == system)
                 .select("parent", "child")
+                # deduped ONCE here so the focus branch can skip its
+                # per-node distinct (a doc listing the same child twice
+                # must not duplicate <! results)
+                .distinct()
             )
         return edges_cache[0]
 
@@ -808,7 +812,14 @@ def ecl_expand(
                 )
             if prefix in ("<<", ">>"):
                 rel = rel.unionByName(anchor)
-            return rel.distinct()
+            # no .distinct(): closure rows are unique per (ancestor,
+            # descendant) by construction (concept_closure ends in
+            # distinct), a fixed-anchor filter preserves that, the
+            # direct-edge frame is a distinct explode, and the
+            # -or-self union cannot duplicate because the closure is
+            # NON-reflexive — removing the exchange here drops one
+            # shuffle stage per prefix node (r10 qf23 stage audit)
+            return rel
         if kind == "member":
             if valuesets is None:
                 raise NotImplementedError(
