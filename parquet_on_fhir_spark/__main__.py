@@ -102,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
     trn.add_argument("--map-url")
     trn.add_argument("--output")
     trn.add_argument("--show", type=int, default=20)
+    trn.add_argument(
+        "--reverse", action="store_true",
+        help="$translate reverse mode: match element.target.code, return "
+        "the element side (equivalence as stated; unmapped rules are "
+        "forward-only)",
+    )
 
     vcd = sub.add_parser(
         "validate-code",
@@ -132,6 +138,29 @@ def main(argv: list[str] | None = None) -> int:
     sbs.add_argument("--code-b-col", default="code_b")
     sbs.add_argument("--output")
     sbs.add_argument("--show", type=int, default=20)
+
+    lkp = sub.add_parser(
+        "lookup",
+        help="batch CodeSystem $lookup: display + property assertions "
+        "for (system, code) rows",
+    )
+    lkp.add_argument("facts")
+    lkp.add_argument("codesystems")
+    lkp.add_argument("--system-col", default="system")
+    lkp.add_argument("--code-col", default="code")
+    lkp.add_argument("--output")
+    lkp.add_argument("--show", type=int, default=20)
+
+    cld = sub.add_parser(
+        "closure-delta",
+        help="incremental $closure: subsumption pairs ADDED by a new "
+        "CodeSystem version (edges(v2) minus edges(v1) bridged through "
+        "closure(v1) — the old graph is never re-closed)",
+    )
+    cld.add_argument("codesystems_v1")
+    cld.add_argument("codesystems_v2")
+    cld.add_argument("--output")
+    cld.add_argument("--show", type=int, default=20)
 
     unb = sub.add_parser(
         "unbundle",
@@ -294,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
             args.system_col,
             args.code_col,
             map_url=args.map_url,
+            reverse=args.reverse,
         )
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
@@ -342,6 +372,41 @@ def main(argv: list[str] | None = None) -> int:
             args.code_a_col,
             args.code_b_col,
         )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} rows -> {args.output}")
+        else:
+            out.show(args.show, truncate=40)
+        return 0
+
+    if args.cmd == "lookup":
+        from parquet_on_fhir_spark.fhir.terminology import lookup_codes
+
+        out = lookup_codes(
+            spark.read.parquet(args.facts),
+            spark.read.parquet(args.codesystems),
+            args.system_col,
+            args.code_col,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"{out.count()} rows -> {args.output}")
+        else:
+            out.show(args.show, truncate=40)
+        return 0
+
+    if args.cmd == "closure-delta":
+        from parquet_on_fhir_spark.fhir.terminology import (
+            closure_delta,
+            concept_closure,
+            concept_edges,
+        )
+
+        e1 = concept_edges(spark.read.parquet(args.codesystems_v1))
+        e2 = concept_edges(spark.read.parquet(args.codesystems_v2))
+        old_clo = concept_closure(e1)
+        new_edges = e2.join(e1, ["system", "parent", "child"], "left_anti")
+        out = closure_delta(old_clo, new_edges)
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
             print(f"{out.count()} rows -> {args.output}")

@@ -211,3 +211,59 @@ def test_cli_subsumes(tmp_path, capsys):
         ("arm", "arm"): "equivalent",
         ("arm", "leg"): "not-subsumed",
     }
+
+
+def test_cli_lookup_and_closure_delta(tmp_path, capsys):
+    """r10 CLI surface: `lookup` (batch $lookup) and `closure-delta`
+    (incremental $closure between two CodeSystem versions), plus
+    `translate --reverse`."""
+    from parquet_on_fhir_spark.__main__ import main
+    from parquet_on_fhir_spark.session import get_session
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CM_DOC,
+        _CS_CLOSURE_V1_DOC,
+        _CS_CLOSURE_V2_DOC,
+        _CS_FINDINGS2_DOC,
+        _encode_doc as _encode,
+    )
+
+    spark = get_session("cli-test")
+    cs_p = str(tmp_path / "cs.parquet")
+    _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem").write.parquet(cs_p)
+    facts_p = str(tmp_path / "facts.parquet")
+    spark.createDataFrame(
+        [("http://example.org/cs/findings2", "multi-trauma"),
+         ("http://example.org/cs/findings2", "nope")],
+        "system string, code string",
+    ).write.parquet(facts_p)
+    out_p = str(tmp_path / "lk.parquet")
+    assert main(["lookup", facts_p, cs_p, "--output", out_p]) == 0
+    rows = spark.read.parquet(out_p).collect()
+    assert sum(1 for r in rows if r.code == "multi-trauma" and r.found) == 3
+    assert sum(1 for r in rows if r.code == "nope" and not r.found) == 1
+
+    v1_p = str(tmp_path / "v1.parquet")
+    v2_p = str(tmp_path / "v2.parquet")
+    _encode(spark, _CS_CLOSURE_V1_DOC, "CodeSystem").write.parquet(v1_p)
+    _encode(spark, _CS_CLOSURE_V2_DOC, "CodeSystem").write.parquet(v2_p)
+    d_p = str(tmp_path / "delta.parquet")
+    assert main(["closure-delta", v1_p, v2_p, "--output", d_p]) == 0
+    delta = {
+        (r.ancestor, r.descendant)
+        for r in spark.read.parquet(d_p).collect()
+    }
+    assert ("root", "f") in delta and ("b", "e") in delta
+    assert len(delta) == 9  # the qf33 fixture delta
+
+    cm_p = str(tmp_path / "cm.parquet")
+    _encode(spark, _CM_DOC, "ConceptMap").write.parquet(cm_p)
+    rf_p = str(tmp_path / "rfacts.parquet")
+    spark.createDataFrame(
+        [("http://loinc.org", "8480-6")], "system string, code string"
+    ).write.parquet(rf_p)
+    ro_p = str(tmp_path / "rev.parquet")
+    assert main([
+        "translate", rf_p, cm_p, "--reverse", "--output", ro_p,
+    ]) == 0
+    rev = spark.read.parquet(ro_p).collect()
+    assert len(rev) == 1 and rev[0].target_code == "bp-sys"
