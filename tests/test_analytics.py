@@ -2114,3 +2114,32 @@ def test_round10_hardening_guards(spark):
     # only non-NULL durations participate: times {5, 7, 9}, N = 3
     assert sorted({r.t for r in out}) == [5, 7, 9]
     assert max(r.n_risk for r in out) == 3
+
+
+def test_ks_w1_quantize_hatch(spark):
+    """The continuous-metric escape hatch: quantized KS/W1 stay within
+    the documented error bounds of the unquantized statistics (D moves
+    by at most the rebucketed mass; W1 by at most quantize/2) and the
+    distinct-value frame actually shrinks."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        ks_two_sample,
+        wasserstein_1d,
+    )
+
+    rng = np.random.RandomState(55)
+    a = rng.normal(10, 2, 400)   # full-precision doubles
+    b = rng.normal(11, 2, 300)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    d0 = ks_two_sample(df, "v", "g", "a", "b").collect()[0].d_stat
+    dq = ks_two_sample(
+        df, "v", "g", "a", "b", quantize=0.1
+    ).collect()[0].d_stat
+    assert abs(dq - d0) < 0.05  # rebucketed mass at 0.1-wide edges
+    w0 = wasserstein_1d(df, "v", "g", "a", "b").collect()[0].w1
+    wq = wasserstein_1d(
+        df, "v", "g", "a", "b", quantize=0.1
+    ).collect()[0].w1
+    assert abs(wq - w0) <= 0.05 + 1e-9  # quantize/2 bound
