@@ -2992,10 +2992,12 @@ g AS (
 )
 SELECT source, n_docs, chars, latin, digit, space, cjk,
        CAST(chars - latin - digit - space - cjk AS BIGINT) AS other,
-       round(CAST(latin AS DOUBLE) / CAST(chars AS DOUBLE) + 1e-9, 4)
-         AS latin_frac,
-       round(CAST(cjk AS DOUBLE) / CAST(chars AS DOUBLE) + 1e-9, 4)
-         AS cjk_frac
+       CASE WHEN chars > 0 THEN
+         round(CAST(latin AS DOUBLE) / CAST(chars AS DOUBLE) + 1e-9, 4)
+       END AS latin_frac,
+       CASE WHEN chars > 0 THEN
+         round(CAST(cjk AS DOUBLE) / CAST(chars AS DOUBLE) + 1e-9, 4)
+       END AS cjk_frac
 FROM g
 """
 

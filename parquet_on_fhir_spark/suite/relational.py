@@ -5513,14 +5513,16 @@ agg AS (
 )
 SELECT CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b,
-       round(CAST(num AS DOUBLE)
-             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1e-9, 4)
-         AS d_stat,
-       round(CAST(num AS DOUBLE)
-             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-             * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
-                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
-             + 1e-9, 4) AS ks_z
+       CASE WHEN na > 0 AND nb > 0 THEN
+         round(CAST(num AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1e-9, 4)
+       END AS d_stat,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         round(CAST(num AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+               * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+               + 1e-9, 4) END AS ks_z
 FROM agg
 """
 
@@ -5787,6 +5789,11 @@ agg AS (
   FROM per
 )
 SELECT n, k_buckets,
+       CASE WHEN (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                 AND (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) < 1
+                 AND (CAST(swwn AS DOUBLE)
+                      - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                        / CAST(n AS DOUBLE)) > 0 THEN
        round((CAST(swx AS DOUBLE)
               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                 * CAST(swn AS DOUBLE))
@@ -5795,7 +5802,7 @@ SELECT n, k_buckets,
                     * (CAST(swwn AS DOUBLE)
                        - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
                          / CAST(n AS DOUBLE)))
-             + 1e-9, 4) AS z
+             + 1e-9, 4) END AS z
 FROM agg
 """
 
@@ -5856,11 +5863,13 @@ per AS (
 )
 SELECT bin, n, observed,
        round(expected + 1e-9, 4) AS expected,
-       round((CAST(observed AS DOUBLE) - expected)
-             * (CAST(observed AS DOUBLE) - expected)
-             / (CAST(n AS DOUBLE) * (expected / CAST(n AS DOUBLE))
-                * (1.0 - expected / CAST(n AS DOUBLE)))
-             + 1e-9, 4) AS contrib
+       CASE WHEN expected / CAST(n AS DOUBLE) > 0
+                 AND expected / CAST(n AS DOUBLE) < 1 THEN
+         round((CAST(observed AS DOUBLE) - expected)
+               * (CAST(observed AS DOUBLE) - expected)
+               / (CAST(n AS DOUBLE) * (expected / CAST(n AS DOUBLE))
+                  * (1.0 - expected / CAST(n AS DOUBLE)))
+               + 1e-9, 4) END AS contrib
 FROM per
 """
 
@@ -6213,8 +6222,10 @@ agg AS (
   FROM cum
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-       round(COALESCE(area, 0.0)
-             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1e-9, 4) AS w1
+       CASE WHEN na > 0 AND nb > 0 THEN
+         round(COALESCE(area, 0.0)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1e-9, 4)
+       END AS w1
 FROM agg
 """
 
@@ -6281,7 +6292,8 @@ SELECT t.event_type,
        max(q.n_cal) AS n_cal,
        round(max(q.q_hat) + 1e-9, 4) AS q_hat,
        count(*) AS n_test,
-       round(avg(CASE WHEN abs(t.value - m.point) <= q.q_hat
+       round(avg(CASE WHEN q.q_hat IS NULL THEN NULL
+                      WHEN abs(t.value - m.point) <= q.q_hat
                       THEN 1 ELSE 0 END) + 1e-9, 4) AS coverage
 FROM events t
 JOIN meds m USING (event_type)
