@@ -596,3 +596,191 @@ def test_ecl_extension_fuzz_matches_reference(spark, node):
         ).collect()
     }
     assert got == _ecl_ref_eval(node, _F2_UNI, _F2_DESC, _F2_PROPS), ecl
+
+
+# --- ValueSet compose differential fuzz (r10) ----------------------------------------
+# Random compose structures over a fixed anatomy tree + a flat second
+# system, evaluated by fhir/terminology.py::expand_valueset and by a
+# pure-Python set evaluator — catches cross-feature interactions
+# (whole-system + exclude, reference-intersection + is-a, ...) no
+# hand-written case covers. References only point at PREVIOUSLY
+# generated ValueSets (which are reference-free), matching the
+# engine's depth-1 contract.
+_VSF_SYS_A = "http://example.org/cs/anatomy2"
+_VSF_SYS_B = "http://example.org/cs/flat"
+_VSF_TREE = {  # direct children (anatomy2 fixture shape)
+    "body": ["limb", "organ"],
+    "limb": ["arm", "leg"],
+    "arm": ["hand"],
+    "leg": ["foot"],
+    "organ": ["heart"],
+}
+_VSF_A = ["body", "limb", "arm", "hand", "leg", "foot", "organ", "heart"]
+_VSF_B = ["b1", "b2", "b3"]
+
+
+def _vsf_desc_or_self(code):
+    out = {code}
+    stack = [code]
+    while stack:
+        for c in _VSF_TREE.get(stack.pop(), []):
+            if c not in out:
+                out.add(c)
+                stack.append(c)
+    return out
+
+
+def _vsf_ref_eval(vs_specs):
+    """Pure-python expansion: {url: {(system, code)}} in definition
+    order (refs resolve against earlier entries only)."""
+    out = {}
+    for url, includes, excludes in vs_specs:
+        acc = set()
+        for inc in includes:
+            kind = inc[0]
+            if kind == "concepts":
+                acc |= {(inc[1], c) for c in inc[2]}
+            elif kind == "whole":
+                uni = _VSF_A if inc[1] == _VSF_SYS_A else _VSF_B
+                acc |= {(inc[1], c) for c in uni}
+            elif kind == "isa":
+                acc |= {(_VSF_SYS_A, c) for c in _vsf_desc_or_self(inc[1])}
+            else:  # refs: intersection of referenced expansions
+                sets = [out[r] for r in inc[1]]
+                inter = set.intersection(*sets) if sets else set()
+                acc |= inter
+        for exc in excludes:
+            if exc[0] == "concepts":
+                acc -= {(exc[1], c) for c in exc[2]}
+            else:  # ref
+                acc -= out[exc[1]]
+        out[url] = acc
+    return out
+
+
+def _vsf_to_doc(url, includes, excludes):
+    def inc_json(inc):
+        if inc[0] == "concepts":
+            return {"system": inc[1],
+                    "concept": [{"code": c} for c in inc[2]]}
+        if inc[0] == "whole":
+            return {"system": inc[1]}
+        if inc[0] == "isa":
+            return {"system": _VSF_SYS_A,
+                    "filter": [{"property": "concept", "op": "is-a",
+                                "value": inc[1]}]}
+        return {"valueSet": list(inc[1])}
+
+    doc = {"resourceType": "ValueSet", "id": url.rsplit("/", 1)[1],
+           "status": "active", "url": url,
+           "compose": {"include": [inc_json(i) for i in includes]}}
+    if excludes:
+        doc["compose"]["exclude"] = [
+            {"system": e[1], "concept": [{"code": c} for c in e[2]]}
+            if e[0] == "concepts"
+            else {"valueSet": [e[1]]}
+            for e in excludes
+        ]
+    return doc
+
+
+@st.composite
+def _vsf_specs(draw):
+    specs = []
+    n_vs = draw(st.integers(2, 4))
+    for i in range(n_vs):
+        url = f"http://example.org/ValueSet/fz{i}"
+        prior = [s[0] for s in specs]
+        inc_strats = [
+            st.tuples(
+                st.just("concepts"),
+                st.sampled_from([_VSF_SYS_A, _VSF_SYS_B]),
+                st.lists(
+                    st.sampled_from(_VSF_A + _VSF_B), min_size=1,
+                    max_size=4, unique=True,
+                ),
+            ),
+            st.tuples(st.just("whole"),
+                      st.sampled_from([_VSF_SYS_A, _VSF_SYS_B])),
+            st.tuples(st.just("isa"), st.sampled_from(_VSF_A)),
+        ]
+        if prior:
+            inc_strats.append(
+                st.tuples(
+                    st.just("refs"),
+                    st.lists(
+                        st.sampled_from(prior), min_size=1, max_size=2,
+                        unique=True,
+                    ).map(tuple),
+                )
+            )
+        includes = draw(
+            st.lists(st.one_of(inc_strats), min_size=1, max_size=2)
+        )
+        exc_strats = [
+            st.tuples(
+                st.just("concepts"),
+                st.sampled_from([_VSF_SYS_A, _VSF_SYS_B]),
+                st.lists(
+                    st.sampled_from(_VSF_A + _VSF_B), min_size=1,
+                    max_size=3, unique=True,
+                ),
+            ),
+        ]
+        if prior:
+            exc_strats.append(
+                st.tuples(st.just("ref"), st.sampled_from(prior))
+            )
+        excludes = draw(
+            st.lists(st.one_of(exc_strats), min_size=0, max_size=1)
+        )
+        specs.append((url, includes, excludes))
+    return specs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_vsf_specs())
+def test_valueset_compose_fuzz_matches_reference(spark, specs):
+    """Differential fuzz over expand_valueset's full compose surface:
+    random mixes of listed concepts, whole-system includes, is-a
+    filters, reference intersections and (concept | reference)
+    excludes must match a pure-python set evaluator per URL. Listed
+    concepts are NOT membership-checked against the CodeSystem (spec:
+    enumerated includes are authoritative), which the reference
+    mirrors."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_PROPS_DOC,
+        _encode_doc as _encode,
+    )
+
+    global _VSF_CS_CACHE
+    try:
+        cs, clo = _VSF_CS_CACHE
+    except NameError:
+        flat = {
+            "resourceType": "CodeSystem", "id": "cs-flat",
+            "status": "active", "url": _VSF_SYS_B,
+            "content": "complete",
+            "concept": [{"code": c} for c in _VSF_B],
+        }
+        cs = _encode(spark, [_CS_ANATOMY_PROPS_DOC, flat], "CodeSystem")
+        clo = concept_closure(concept_edges(cs)).cache()
+        clo.count()
+        _VSF_CS_CACHE = (cs, clo)
+    docs = [_vsf_to_doc(*s) for s in specs]
+    vs = _encode(spark, docs, "ValueSet")
+    got: dict = {}
+    for r in expand_valueset(vs, cs, closure=clo).collect():
+        got.setdefault(r.url, set()).add((r.system, r.code))
+    ref = _vsf_ref_eval(specs)
+    for url, expect in ref.items():
+        assert got.get(url, set()) == expect, (url, specs)
