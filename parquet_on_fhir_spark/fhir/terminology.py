@@ -1356,6 +1356,19 @@ def translate_codes(
     maps = conceptmaps
     if map_url is not None:
         maps = maps.filter(F.col("url") == map_url)
+    # sparse-schema discipline: EVERY optional ConceptMap element may be
+    # absent as a column — a map whose targets are all codeless
+    # (equivalence unmatched/disjoint) encodes NO target.code field at
+    # all (r10 differential fuzz catch)
+    tfields = _element_fields(maps, "group", "element", "target")
+
+    def tpick(name):
+        return (
+            F.col(f"tgt.{name}")
+            if name in tfields
+            else F.lit(None).cast("string")
+        )
+
     if reverse:
         efields = _element_fields(maps, "group", "element")
         flat_r = (
@@ -1368,7 +1381,11 @@ def translate_codes(
             .select(
                 "__src_system",
                 "target_system",
-                F.col("el.code").alias("target_code"),
+                (
+                    F.col("el.code")
+                    if "code" in efields
+                    else F.lit(None).cast("string")
+                ).alias("target_code"),
                 (
                     F.col("el.display")
                     if "display" in efields
@@ -1378,11 +1395,11 @@ def translate_codes(
             )
             .select(
                 "__src_system",
-                F.col("tgt.code").alias("__src_code"),
+                tpick("code").alias("__src_code"),
                 "target_system",
                 "target_code",
                 "target_display",
-                F.col("tgt.equivalence").alias("equivalence"),
+                tpick("equivalence").alias("equivalence"),
             )
             .filter(F.col("__src_code").isNotNull())
         )
@@ -1402,16 +1419,20 @@ def translate_codes(
         .select(
             "__src_system",
             "target_system",
-            F.col("el.code").alias("__src_code"),
+            (
+                F.col("el.code")
+                if "code" in _element_fields(maps, "group", "element")
+                else F.lit(None).cast("string")
+            ).alias("__src_code"),
             F.explode("el.target").alias("tgt"),
         )
         .select(
             "__src_system",
             "__src_code",
             "target_system",
-            F.col("tgt.code").alias("target_code"),
-            F.col("tgt.display").alias("target_display"),
-            F.col("tgt.equivalence").alias("equivalence"),
+            tpick("code").alias("target_code"),
+            tpick("display").alias("target_display"),
+            tpick("equivalence").alias("equivalence"),
             # join-match witness: unmapped rules apply only to rows with
             # NO element entry (spec), and target.code is OPTIONAL
             # (equivalence unmatched/disjoint ships codeless targets) —

@@ -784,3 +784,162 @@ def test_valueset_compose_fuzz_matches_reference(spark, specs):
     ref = _vsf_ref_eval(specs)
     for url, expect in ref.items():
         assert got.get(url, set()) == expect, (url, specs)
+
+
+# --- ConceptMap $translate differential fuzz (r10) ------------------------------------
+# Random ConceptMaps (groups, multi-target elements, codeless targets,
+# unmapped modes) and random fact rows, evaluated forward AND reverse
+# by fhir/terminology.py::translate_codes and by a pure-python
+# evaluator. Covers the r9 codeless-target regression class and the
+# reverse-mode narrowings by construction.
+_TRF_SRC_SYS = ["http://x/s1", "http://x/s2"]
+_TRF_TGT_SYS = ["http://x/t1", "http://x/t2"]
+_TRF_CODES = ["a", "b", "c", "d"]
+_TRF_TCODES = ["A", "B", "C"]
+
+
+@st.composite
+def _trf_case(draw):
+    groups = []
+    for src in draw(
+        st.lists(st.sampled_from(_TRF_SRC_SYS), min_size=1, max_size=2,
+                 unique=True)
+    ):
+        tgt = draw(st.sampled_from(_TRF_TGT_SYS))
+        elements = []
+        for code in draw(
+            st.lists(st.sampled_from(_TRF_CODES), min_size=1, max_size=3,
+                     unique=True)
+        ):
+            targets = draw(
+                st.lists(
+                    st.one_of(
+                        st.tuples(
+                            st.sampled_from(_TRF_TCODES),
+                            st.sampled_from(
+                                ["equivalent", "wider", "narrower"]
+                            ),
+                        ),
+                        # codeless target (equivalence unmatched)
+                        st.just((None, "unmatched")),
+                    ),
+                    min_size=1,
+                    max_size=2,
+                )
+            )
+            elements.append((code, targets))
+        unmapped = draw(
+            st.sampled_from([None, ("provided",), ("fixed", "UNK")])
+        )
+        groups.append((src, tgt, elements, unmapped))
+    facts = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(_TRF_SRC_SYS + _TRF_TGT_SYS + ["http://x/other"]),
+                st.sampled_from(_TRF_CODES + _TRF_TCODES + ["zz"]),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    return groups, facts
+
+
+def _trf_doc(groups):
+    def tgt_json(t):
+        code, eq = t
+        d = {"equivalence": eq}
+        if code is not None:
+            d["code"] = code
+        return d
+
+    gj = []
+    for src, tgt, elements, unmapped in groups:
+        g = {
+            "source": src,
+            "target": tgt,
+            "element": [
+                {"code": c, "target": [tgt_json(t) for t in ts]}
+                for c, ts in elements
+            ],
+        }
+        if unmapped is not None:
+            g["unmapped"] = (
+                {"mode": "provided"}
+                if unmapped[0] == "provided"
+                else {"mode": "fixed", "code": unmapped[1]}
+            )
+        gj.append(g)
+    return {"resourceType": "ConceptMap", "id": "cm-fz",
+            "status": "active", "url": "http://x/cm/fz", "group": gj}
+
+
+def _trf_ref(groups, facts, reverse):
+    """Expected multiset of (row_id, target_system, target_code,
+    equivalence) rows."""
+    rows = []
+    for rid, (sys_, code) in enumerate(facts):
+        hits = []
+        for src, tgt, elements, unmapped in groups:
+            if not reverse:
+                if sys_ != src:
+                    continue
+                matched = False
+                for c, ts in elements:
+                    if c == code:
+                        matched = True
+                        for tc, eq in ts:
+                            hits.append((tgt, tc, eq))
+                if not matched and unmapped is not None:
+                    if unmapped[0] == "provided":
+                        hits.append((tgt, code, None))
+                    else:
+                        hits.append((tgt, unmapped[1], None))
+            else:
+                if sys_ != tgt:
+                    continue
+                for c, ts in elements:
+                    for tc, eq in ts:
+                        if tc == code:  # codeless targets never match
+                            hits.append((src, c, eq))
+        if hits:
+            rows.extend((rid, *h) for h in hits)
+        else:
+            rows.append((rid, None, None, None))
+    return sorted(rows, key=lambda r: (r[0], str(r[1]), str(r[2]), str(r[3])))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_trf_case())
+def test_translate_fuzz_matches_reference(spark, case):
+    """Differential fuzz for $translate forward (multi-target
+    elements, codeless targets keeping their stated equivalence,
+    provided/fixed unmapped fallbacks, multi-group fan-out) and
+    reverse (element side returned, unmapped never fires, codeless
+    targets unmatched) against a pure-python evaluator."""
+    from parquet_on_fhir_spark.fhir.terminology import translate_codes
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _encode_doc as _encode,
+    )
+
+    groups, facts = case
+    cm = _encode(spark, _trf_doc(groups), "ConceptMap")
+    fdf = spark.createDataFrame(
+        [(i, s, c) for i, (s, c) in enumerate(facts)],
+        "row_id long, system string, code string",
+    )
+    for reverse in (False, True):
+        got = sorted(
+            (
+                (r.row_id, r.target_system, r.target_code, r.equivalence)
+                for r in translate_codes(
+                    fdf, cm, "system", "code", reverse=reverse
+                ).collect()
+            ),
+            key=lambda r: (r[0], str(r[1]), str(r[2]), str(r[3])),
+        )
+        assert got == _trf_ref(groups, facts, reverse), (reverse, case)
