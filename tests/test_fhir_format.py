@@ -1386,3 +1386,40 @@ def test_lookup_codes_batch(spark):
     assert by_id[2][0].prop is None  # propertyless concept: one row
     assert len(by_id[3]) == 1 and by_id[3][0].found is False
     assert by_id[3][0].display is None
+
+
+def test_lookup_and_delta_sparse_and_multisystem(spark):
+    """Sparse-schema + multi-system robustness: lookup against a
+    CodeSystem with NO display and NO properties returns found rows
+    with NULL payloads; closure_delta keeps systems separate."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        closure_delta,
+        concept_closure,
+        lookup_codes,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _encode_doc as _encode,
+    )
+
+    bare = {"resourceType": "CodeSystem", "id": "b", "status": "active",
+            "url": "http://x/bare", "content": "complete",
+            "concept": [{"code": "k1"}, {"code": "k2"}]}
+    cs = _encode(spark, bare, "CodeSystem")
+    facts = spark.createDataFrame(
+        [(1, "http://x/bare", "k1"), (2, "http://x/bare", "zz")],
+        "row_id long, system string, code string",
+    )
+    rows = {r.row_id: r for r in lookup_codes(facts, cs, "system", "code").collect()}
+    assert rows[1].found and rows[1].display is None and rows[1].prop is None
+    assert rows[2].found is False
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            pairs, "system string, parent string, child string"
+        )
+
+    old = concept_closure(edges([("s1", "a", "b"), ("s2", "a", "b")]))
+    # new edge b->c ONLY in s1: s2 must not gain (a, c)
+    delta = closure_delta(old, edges([("s1", "b", "c")]))
+    got = {(r.system, r.ancestor, r.descendant) for r in delta.collect()}
+    assert got == {("s1", "b", "c"), ("s1", "a", "c")}
