@@ -687,10 +687,12 @@ def _vsf_to_doc(url, includes, excludes):
 @st.composite
 def _vsf_specs(draw):
     specs = []
+    ref_free = []  # urls safe to reference (depth-1 engine contract:
+    #                a referenced ValueSet must itself be reference-free)
     n_vs = draw(st.integers(2, 4))
     for i in range(n_vs):
         url = f"http://example.org/ValueSet/fz{i}"
-        prior = [s[0] for s in specs]
+        prior = list(ref_free)
         inc_strats = [
             st.tuples(
                 st.just("concepts"),
@@ -735,6 +737,11 @@ def _vsf_specs(draw):
             st.lists(st.one_of(exc_strats), min_size=0, max_size=1)
         )
         specs.append((url, includes, excludes))
+        has_refs = any(i[0] == "refs" for i in includes) or any(
+            e[0] == "ref" for e in excludes
+        )
+        if not has_refs:
+            ref_free.append(url)
     return specs
 
 
