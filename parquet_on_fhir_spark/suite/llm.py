@@ -1897,8 +1897,8 @@ Q163_ORACLE = """
 SELECT doc_id AS media_id,
        CAST(203 AS BIGINT) AS n_bytes,
        66 AS feat_dim,
-       8.0 AS f_width,
-       8.0 AS f_height,
+       CAST(8.0 AS DOUBLE) AS f_width,
+       CAST(8.0 AS DOUBLE) AS f_height,
        round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_00,
        round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_77
 FROM documents
@@ -2079,8 +2079,8 @@ def q185(spark, sf_dir):
 Q185_ORACLE = """
 SELECT doc_id AS media_id,
        66 AS feat_dim,
-       8.0 AS f_width,
-       8.0 AS f_height,
+       CAST(8.0 AS DOUBLE) AS f_width,
+       CAST(8.0 AS DOUBLE) AS f_height,
        round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_00,
        round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_mid,
        round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_77
@@ -2215,7 +2215,7 @@ Q193_ORACLE = """
 SELECT doc_id AS media_id,
        CAST(16044 AS BIGINT) AS n_bytes,
        5 AS feat_dim,
-       8000.0 AS sample_rate,
+       CAST(8000.0 AS DOUBLE) AS sample_rate,
        round(1.0 + 1e-9, 4) AS duration_s,
        round((doc_id % 100 + 10) / 128.0 + 1e-9, 4) AS rms,
        round(79.0 + 1e-9, 4) AS zcr_per_s,
@@ -2565,7 +2565,13 @@ def q210b(spark, sf_dir):
     EXACT in both engines — no float summation-order risk. One
     map-side-combined aggregate, no shuffle beyond the 1-row combine;
     the same plan shape linear_regression_fit uses internally
-    (operators/analytics.py)."""
+    (operators/analytics.py). The moment columns are projected as
+    STRINGS on both sides (r10 verdict task 1): the arithmetic stays
+    exact decimal, but a DECIMAL(38,4) *output* column degrades to
+    float64 in the driver's Arrow fetch (223183329690674.7423 ->
+    ...674.75), so the final row renders each moment via the
+    fixed-scale decimal->string cast, which Spark and DuckDB format
+    identically ('1524135.0000')."""
     l = t(spark, sf_dir, "lineitem")
     names = [
         ("q", "l_quantity"), ("d", "l_discount"),
@@ -2577,11 +2583,17 @@ def q210b(spark, sf_dir):
     keys = [a for a, _ in names]
     aggs = [F.count("*").cast("long").alias("n")]
     for i, a in enumerate(keys):
-        aggs.append(F.sum(F.col(a)).cast("decimal(38,4)").alias(f"s_{a}"))
+        aggs.append(
+            F.sum(F.col(a))
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias(f"s_{a}")
+        )
         for b in keys[i:]:
             aggs.append(
                 F.sum(F.col(a) * F.col(b))
                 .cast("decimal(38,4)")
+                .cast("string")
                 .alias(f"s_{a}{b}")
             )
     return base.agg(*aggs)
@@ -2596,20 +2608,20 @@ WITH b AS (
   FROM lineitem
 )
 SELECT CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(q) AS DECIMAL(38,4)) AS s_q,
-       CAST(SUM(q*q) AS DECIMAL(38,4)) AS s_qq,
-       CAST(SUM(q*d) AS DECIMAL(38,4)) AS s_qd,
-       CAST(SUM(q*x) AS DECIMAL(38,4)) AS s_qx,
-       CAST(SUM(q*y) AS DECIMAL(38,4)) AS s_qy,
-       CAST(SUM(d) AS DECIMAL(38,4)) AS s_d,
-       CAST(SUM(d*d) AS DECIMAL(38,4)) AS s_dd,
-       CAST(SUM(d*x) AS DECIMAL(38,4)) AS s_dx,
-       CAST(SUM(d*y) AS DECIMAL(38,4)) AS s_dy,
-       CAST(SUM(x) AS DECIMAL(38,4)) AS s_x,
-       CAST(SUM(x*x) AS DECIMAL(38,4)) AS s_xx,
-       CAST(SUM(x*y) AS DECIMAL(38,4)) AS s_xy,
-       CAST(SUM(y) AS DECIMAL(38,4)) AS s_y,
-       CAST(SUM(y*y) AS DECIMAL(38,4)) AS s_yy
+       CAST(CAST(SUM(q) AS DECIMAL(38,4)) AS VARCHAR) AS s_q,
+       CAST(CAST(SUM(q*q) AS DECIMAL(38,4)) AS VARCHAR) AS s_qq,
+       CAST(CAST(SUM(q*d) AS DECIMAL(38,4)) AS VARCHAR) AS s_qd,
+       CAST(CAST(SUM(q*x) AS DECIMAL(38,4)) AS VARCHAR) AS s_qx,
+       CAST(CAST(SUM(q*y) AS DECIMAL(38,4)) AS VARCHAR) AS s_qy,
+       CAST(CAST(SUM(d) AS DECIMAL(38,4)) AS VARCHAR) AS s_d,
+       CAST(CAST(SUM(d*d) AS DECIMAL(38,4)) AS VARCHAR) AS s_dd,
+       CAST(CAST(SUM(d*x) AS DECIMAL(38,4)) AS VARCHAR) AS s_dx,
+       CAST(CAST(SUM(d*y) AS DECIMAL(38,4)) AS VARCHAR) AS s_dy,
+       CAST(CAST(SUM(x) AS DECIMAL(38,4)) AS VARCHAR) AS s_x,
+       CAST(CAST(SUM(x*x) AS DECIMAL(38,4)) AS VARCHAR) AS s_xx,
+       CAST(CAST(SUM(x*y) AS DECIMAL(38,4)) AS VARCHAR) AS s_xy,
+       CAST(CAST(SUM(y) AS DECIMAL(38,4)) AS VARCHAR) AS s_y,
+       CAST(CAST(SUM(y*y) AS DECIMAL(38,4)) AS VARCHAR) AS s_yy
 FROM b
 """
 

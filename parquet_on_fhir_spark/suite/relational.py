@@ -2640,8 +2640,8 @@ grid AS (
   SELECT DISTINCT l_returnflag, unnest(range(1, 26)) AS bin FROM lineitem
 )
 SELECT g.l_returnflag, g.bin,
-       round(0.5 + (g.bin - 1) * 2.0, 2) AS bin_lo,
-       round(0.5 + g.bin * 2.0, 2) AS bin_hi,
+       CAST(round(0.5 + (g.bin - 1) * 2.0, 2) AS DOUBLE) AS bin_lo,
+       CAST(round(0.5 + g.bin * 2.0, 2) AS DOUBLE) AS bin_hi,
        COALESCE(c.n, 0) AS n
 FROM grid g LEFT JOIN c ON g.l_returnflag = c.l_returnflag AND g.bin = c.bin
 """
@@ -3870,7 +3870,7 @@ u AS (
 SELECT source, n,
        round(n + (-2.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu))) + 1e-9, 4)
          AS n_noisy,
-       0.5 AS epsilon
+       CAST(0.5 AS DOUBLE) AS epsilon
 FROM u
 """
 
@@ -5201,7 +5201,12 @@ def q231b(spark, sf_dir):
     replaces avg_value (= sum/count) because value is 2dp-exact, so
     per-user sums cast to DECIMAL(18,2) keep every product and sum
     EXACT in both engines, where an avg would reintroduce float
-    division. Two aggregates total (per-user, then 1-row combine)."""
+    division. Two aggregates total (per-user, then 1-row combine).
+    Moment columns are projected as STRINGS on both sides (r10
+    verdict task 1): DECIMAL(38,4) *output* columns degrade to
+    float64 in the driver's Arrow fetch, so the final row renders
+    each moment via the fixed-scale decimal->string cast, which
+    Spark and DuckDB format identically."""
     e = t(spark, sf_dir, "events")
     half = F.expr("CAST(0.5 AS DECIMAL(2,1))")
     pu = e.groupBy("user_id").agg(
@@ -5219,20 +5224,30 @@ def q231b(spark, sf_dir):
     keys = ["f1", "f2", "f3"]
     aggs = [F.count("*").cast("long").alias("n")]
     for i, a in enumerate(keys):
-        aggs.append(F.sum(F.col(a)).cast("decimal(38,4)").alias(f"s_{a}"))
+        aggs.append(
+            F.sum(F.col(a))
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias(f"s_{a}")
+        )
         for b in keys[i:]:
             aggs.append(
                 F.sum(F.col(a) * F.col(b))
                 .cast("decimal(38,4)")
+                .cast("string")
                 .alias(f"s_{a}{b}")
             )
     aggs.append(
-        F.sum(F.col("y") - half).cast("decimal(38,4)").alias("g_0")
+        F.sum(F.col("y") - half)
+        .cast("decimal(38,4)")
+        .cast("string")
+        .alias("g_0")
     )
     for a in keys:
         aggs.append(
             F.sum(F.col(a) * (F.col("y") - half))
             .cast("decimal(38,4)")
+            .cast("string")
             .alias(f"g_{a}")
         )
     return pu.agg(*aggs)
@@ -5250,19 +5265,19 @@ WITH pu AS (
   FROM events GROUP BY user_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(f1) AS DECIMAL(38,4)) AS s_f1,
-       CAST(SUM(f1*f1) AS DECIMAL(38,4)) AS s_f1f1,
-       CAST(SUM(f1*f2) AS DECIMAL(38,4)) AS s_f1f2,
-       CAST(SUM(f1*f3) AS DECIMAL(38,4)) AS s_f1f3,
-       CAST(SUM(f2) AS DECIMAL(38,4)) AS s_f2,
-       CAST(SUM(f2*f2) AS DECIMAL(38,4)) AS s_f2f2,
-       CAST(SUM(f2*f3) AS DECIMAL(38,4)) AS s_f2f3,
-       CAST(SUM(f3) AS DECIMAL(38,4)) AS s_f3,
-       CAST(SUM(f3*f3) AS DECIMAL(38,4)) AS s_f3f3,
-       CAST(SUM(y - CAST(0.5 AS DECIMAL(2,1))) AS DECIMAL(38,4)) AS g_0,
-       CAST(SUM(f1 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS g_f1,
-       CAST(SUM(f2 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS g_f2,
-       CAST(SUM(f3 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS g_f3
+       CAST(CAST(SUM(f1) AS DECIMAL(38,4)) AS VARCHAR) AS s_f1,
+       CAST(CAST(SUM(f1*f1) AS DECIMAL(38,4)) AS VARCHAR) AS s_f1f1,
+       CAST(CAST(SUM(f1*f2) AS DECIMAL(38,4)) AS VARCHAR) AS s_f1f2,
+       CAST(CAST(SUM(f1*f3) AS DECIMAL(38,4)) AS VARCHAR) AS s_f1f3,
+       CAST(CAST(SUM(f2) AS DECIMAL(38,4)) AS VARCHAR) AS s_f2,
+       CAST(CAST(SUM(f2*f2) AS DECIMAL(38,4)) AS VARCHAR) AS s_f2f2,
+       CAST(CAST(SUM(f2*f3) AS DECIMAL(38,4)) AS VARCHAR) AS s_f2f3,
+       CAST(CAST(SUM(f3) AS DECIMAL(38,4)) AS VARCHAR) AS s_f3,
+       CAST(CAST(SUM(f3*f3) AS DECIMAL(38,4)) AS VARCHAR) AS s_f3f3,
+       CAST(CAST(SUM(y - CAST(0.5 AS DECIMAL(2,1))) AS DECIMAL(38,4)) AS VARCHAR) AS g_0,
+       CAST(CAST(SUM(f1 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS VARCHAR) AS g_f1,
+       CAST(CAST(SUM(f2 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS VARCHAR) AS g_f2,
+       CAST(CAST(SUM(f3 * (y - CAST(0.5 AS DECIMAL(2,1)))) AS DECIMAL(38,4)) AS VARCHAR) AS g_f3
 FROM pu
 """
 

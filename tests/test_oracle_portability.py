@@ -69,3 +69,22 @@ def test_known_red_class_is_fixed(con):
             seen.add(q.name)
             assert lint_oracle_types(con, q.oracle) == [], q.name
     assert seen == fixed
+
+
+def test_decimal_output_class_fires(con):
+    """Round-10 red class regression (VERDICT r10 task 2): the lint must
+    fire on the UNFIXED q210b shape — a DECIMAL(38,4) output column —
+    which degraded to float64 in the driver's fetch
+    (223183329690674.7423 -> ...674.75) while fetchall() hid it."""
+    unfixed = (
+        "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) "
+        "AS DECIMAL(38,4)) AS s_q FROM lineitem"
+    )
+    problems = lint_oracle_types(con, unfixed)
+    assert problems and "DECIMAL" in problems[0] and "VARCHAR" in problems[0]
+    # the fixed projection (VARCHAR both sides) is clean
+    fixed = (
+        "SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) "
+        "AS DECIMAL(38,4)) AS VARCHAR) AS s_q FROM lineitem"
+    )
+    assert lint_oracle_types(con, fixed) == []

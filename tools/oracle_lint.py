@@ -85,6 +85,19 @@ def lint_oracle_types(con, oracle: str) -> list[str]:
                 f"wrap in CAST(... AS BIGINT); HUGEINT is driver-red "
                 f"(VERDICT r8)"
             )
+        elif base == "DECIMAL":
+            # Round-10 red class (VERDICT r10 "What's wrong" 1): DECIMAL
+            # *output* columns degrade to float64 through the driver's
+            # Arrow/pandas fetch (223183329690674.7423 -> ...674.75;
+            # "1524135.0" vs Spark Decimal "1524135.0000").  Internal
+            # decimal arithmetic is fine — the final projection must
+            # render as VARCHAR (fixed-scale decimal->string is
+            # identical in Spark and DuckDB) or fit a BIGINT/DOUBLE.
+            problems.append(
+                f"oracle column `{col}` is {u} — DECIMAL output columns "
+                f"are driver-red (VERDICT r10); project as "
+                f"CAST(... AS VARCHAR) on both sides"
+            )
         elif base in ("TIMESTAMP", "TIMESTAMPTZ", "DATE", "TIME", "INTERVAL"):
             problems.append(
                 f"oracle column `{col}` is {u} — render temporals as "
