@@ -255,11 +255,75 @@ def closure_delta(
     )
 
 
+def _compose_ref_edges(valuesets: DataFrame) -> dict[str, set[str]]:
+    """Driver-side (url → direct canonical references) from
+    ``compose.include[].valueSet`` and ``compose.exclude[].valueSet``.
+    The ValueSet table is terminology metadata (K rows), so collecting
+    the edge LIST is cheap; the expansions themselves stay
+    distributed."""
+    parts = []
+    for elem in ("include", "exclude"):
+        if "valueSet" in _element_fields(valuesets, "compose", elem):
+            parts.append(
+                F.flatten(
+                    F.transform(
+                        F.coalesce(F.col(f"compose.{elem}"), F.array()),
+                        lambda e: F.coalesce(e["valueSet"], F.array()),
+                    )
+                )
+            )
+    if not parts:
+        return {}
+    allrefs = parts[0] if len(parts) == 1 else F.concat(*parts)
+    rows = (
+        valuesets.select("url", F.explode(allrefs).alias("__ref"))
+        .distinct()
+        .collect()
+    )
+    edges: dict[str, set[str]] = {}
+    for r in rows:
+        edges.setdefault(r["url"], set()).add(r["__ref"])
+    return edges
+
+
+def _check_ref_cycles(edges: dict[str, set[str]]) -> None:
+    """Raise ValueError on any circular ``compose...valueSet`` reference
+    chain (iterative DFS; FHIR forbids a value set from including or
+    excluding itself transitively — an unguarded cycle would otherwise
+    deadlock depth-N resolution)."""
+    state: dict[str, int] = {}  # 1 = on stack, 2 = done
+    for start in sorted(edges):
+        if state.get(start) == 2:
+            continue
+        state[start] = 1
+        path = [start]
+        stack = [iter(sorted(edges[start]))]
+        while stack:
+            nxt = next(stack[-1], None)
+            if nxt is None:
+                state[path.pop()] = 2
+                stack.pop()
+                continue
+            st = state.get(nxt)
+            if st == 1:
+                cyc = path[path.index(nxt):] + [nxt]
+                raise ValueError(
+                    "circular ValueSet reference: " + " -> ".join(cyc)
+                )
+            if st is None:
+                if nxt in edges:
+                    state[nxt] = 1
+                    path.append(nxt)
+                    stack.append(iter(sorted(edges[nxt])))
+                else:
+                    state[nxt] = 2
+
+
 def expand_valueset(
     valuesets: DataFrame,
     codesystems: DataFrame | None = None,
     closure: DataFrame | None = None,
-    _nested: bool = False,
+    _no_ecl_refsets: bool = False,
 ) -> DataFrame:
     """Expand ValueSet.compose into concrete (url, system, code, display)
     membership rows.
@@ -276,150 +340,264 @@ def expand_valueset(
       concept-property predicates (``=`` / ``regex`` / ``exists``
       true|false) against ``concept.property[]``; filters in one
       include AND together; ``exists`` ON THE CODE itself raises;
-    - ``include[].valueSet[]`` (r10) — ValueSet-by-reference
-      composition (hl7.org/fhir/R4/valueset-definitions.html): an
-      include holding ONLY canonical references contributes the
-      INTERSECTION of the referenced expansions (k refs → codes in all
-      k), unioned with the other includes; references resolve against
-      the SAME ``valuesets`` table, depth-1 (a referenced ValueSet's
-      own references are not chased — self/cyclic references therefore
-      terminate; the member-of contract). An include mixing
-      ``valueSet`` with system/concept/filter raises
-      NotImplementedError (honest narrowing — the spec's
-      system∩valueSets conjunction is not implemented);
+    - ``include[].valueSet[]`` — ValueSet-by-reference composition
+      (hl7.org/fhir/R4/valueset-definitions.html): an include holding
+      ONLY canonical references contributes the INTERSECTION of the
+      referenced expansions (k refs → codes in all k), unioned with the
+      other includes. References resolve against the SAME ``valuesets``
+      table to ANY depth (r11): the reference graph is collected
+      driver-side (metadata scale), cycles raise ValueError (FHIR
+      forbids them), and the acyclic chains resolve in topological
+      strata — each stratum is one table-level expansion whose lineage
+      is cut so depth-k chains stay O(k) plans, not O(k²). An include
+      mixing ``valueSet`` with system/concept/filter applies the
+      spec's conjunction (r11): the system-side selection ∩ every
+      referenced expansion. A reference to a url absent from the table
+      contributes an empty expansion (so its intersections are empty);
     - ``exclude[].concept[]`` — anti-joined out of the result — and
-      ``exclude[].valueSet[]`` (r10): referenced expansions anti-joined
-      on (system, code), same depth-1 resolution.
+      ``exclude[].valueSet[]``: referenced expansions anti-joined on
+      (system, code), same depth-N resolution.
+
+    ECL ``^ refset`` filters resolve against this same table at the
+    top level only (``_no_ecl_refsets`` marks a member-of refset
+    expansion, inside which a further ``^`` raises — that depth-1
+    contract is separate from compose-reference depth-N and is what
+    bounds the Python recursion).
 
     Sparse schemas are honored: absent optional elements (no ValueSet
     populates ``filter``/``exclude``/``display``…) read as empty.
     """
-    inc_fields = _element_fields(valuesets, "compose", "include")
-    filtered = None
-    if "filter" in inc_fields:
-        has_filter = valuesets.select(
-            F.exists(
-                F.coalesce(F.col("compose.include"), F.array()),
-                lambda inc: F.size(F.coalesce(inc["filter"], F.array())) > 0,
-            ).alias("f")
-        ).filter(F.col("f"))
-        if has_filter.limit(1).count() > 0:
-            # _expand_filters itself raises when a hierarchical op is
-            # present without a closure; code/property filters need none
-            filtered = _expand_filters(
-                valuesets, codesystems, closure,
-                # ECL member-of resolves refsets against the SAME
-                # table being expanded — but only at the top level;
-                # inside a refset expansion a further ^ raises
-                # (depth-1 by design, no recursive/self-referential
-                # refset resolution)
-                refsets=None if _nested else valuesets,
-            )
+    refsets = None if _no_ecl_refsets else valuesets
+    edges = _compose_ref_edges(valuesets)
+    if not edges:
+        return _expand_compose(valuesets, codesystems, closure, None, refsets)
+    _check_ref_cycles(edges)
+    from parquet_on_fhir_spark.operators.graph import _truncate_lineage
 
+    table_urls = {
+        r[0] for r in valuesets.select("url").distinct().collect()
+    }
+    referenced = {r for refs in edges.values() for r in refs}
+    resolved: dict[str, DataFrame] = {}
+    out_parts: list[DataFrame] = []
+    pending = set(table_urls)
+    while pending:
+        ready = {
+            u
+            for u in pending
+            if all(
+                r in resolved or r not in table_urls
+                for r in edges.get(u, ())
+            )
+        }
+        assert ready, "unresolvable ValueSet references (cycle guard hole)"
+        needed = sorted(
+            {r for u in ready for r in edges.get(u, ()) if r in resolved}
+        )
+        ref_exp = None
+        for r in needed:
+            tagged = resolved[r].select(
+                F.lit(r).alias("__ref"), "system", "code", "display"
+            )
+            ref_exp = tagged if ref_exp is None else ref_exp.unionByName(tagged)
+        exp = _expand_compose(
+            valuesets.filter(F.col("url").isin(sorted(ready))),
+            codesystems,
+            closure,
+            ref_exp,
+            refsets,
+        )
+        pending -= ready
+        if pending:
+            # later strata re-read this stratum's rows (possibly through
+            # several levels) — cut lineage so a depth-k chain costs k
+            # plans, not a k²-deep nested one
+            exp = _truncate_lineage(exp)
+        out_parts.append(exp)
+        for u in ready & referenced:
+            resolved[u] = exp.filter(F.col("url") == u)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _expand_compose(
+    valuesets: DataFrame,
+    codesystems: DataFrame | None,
+    closure: DataFrame | None,
+    ref_exp: DataFrame | None,
+    refsets: DataFrame | None,
+) -> DataFrame:
+    """One table-level compose expansion, assuming every DIRECT
+    ``valueSet`` reference of this batch is already expanded in
+    ``ref_exp`` (``__ref``, system, code, display) — the per-stratum
+    worker of :func:`expand_valueset`; never call with unresolved
+    references (``ref_exp=None`` asserts the batch is reference-free)."""
+    inc_fields = _element_fields(valuesets, "compose", "include")
     inc = valuesets.select(
-        F.col("url"), F.explode("compose.include").alias("i")
+        F.col("url"), F.posexplode("compose.include").alias("inc_idx", "i")
     )
-    n_vs_refs = (
+    key2 = ["url", "inc_idx"]
+    n_refs = (
         F.size(F.coalesce(F.col("i.valueSet"), F.array()))
         if "valueSet" in inc_fields
         else F.lit(0)
-    )
-    by_reference = None
-    if "valueSet" in inc_fields:
-        withref = valuesets.select(
-            F.col("url"), F.posexplode("compose.include").alias("inc_idx", "i")
-        ).filter(F.size(F.coalesce(F.col("i.valueSet"), F.array())) > 0)
-        if _nested and withref.limit(1).count():
-            # depth-1 by USE, not by schema: only an actually-present
-            # nested reference refuses (the member-of contract)
-            raise NotImplementedError(
-                "ValueSet-by-reference composition is depth-1: a "
-                "referenced ValueSet's own compose.include.valueSet "
-                "references are not resolved"
-            )
-        mixed = withref.filter(
-            (F.size(F.coalesce(F.col("i.concept"), F.array())) > 0
-             if "concept" in inc_fields else F.lit(False))
-            | (F.size(F.coalesce(F.col("i.filter"), F.array())) > 0
-               if "filter" in inc_fields else F.lit(False))
-            | F.col("i.system").isNotNull()
-        )
-        if (not _nested) and mixed.limit(1).count():
-            raise NotImplementedError(
-                "compose.include mixing valueSet references with "
-                "system/concept/filter is not supported — split the "
-                "intersection into separate ValueSets"
-            )
-        refs = withref.select(
-            "url",
-            "inc_idx",
-            F.size("i.valueSet").alias("__n_refs"),
-            F.explode("i.valueSet").alias("__ref"),
-        )
-        ref_urls = (
-            []
-            if _nested
-            else [r[0] for r in refs.select("__ref").distinct().collect()]
-        )
-        ref_exp = None
-        if ref_urls:
-            ref_exp = expand_valueset(
-                valuesets.filter(F.col("url").isin(ref_urls)),
-                codesystems,
-                closure=closure,
-                _nested=True,
-            ).select(
-                F.col("url").alias("__ref"), "system", "code", "display"
-            )
-        by_reference = None if ref_exp is None else (
-            refs.join(ref_exp, "__ref")
-            .groupBy("url", "inc_idx", "system", "code")
-            .agg(
-                F.max("display").alias("display"),
-                F.countDistinct("__ref").alias("__hit"),
-                F.max("__n_refs").alias("__need"),
-            )
-            .filter(F.col("__hit") == F.col("__need"))
-            .select("url", "system", "code", "display")
-        )
-    concept_fields = _element_fields(valuesets, "compose", "include", "concept")
-    display = (
-        F.col("c.display") if "display" in concept_fields else F.lit(None).cast("string")
     )
     n_filters = (
         F.size(F.coalesce(F.col("i.filter"), F.array()))
         if "filter" in inc_fields
         else F.lit(0)
     )
+    n_concepts = (
+        F.size(F.coalesce(F.col("i.concept"), F.array()))
+        if "concept" in inc_fields
+        else F.lit(0)
+    )
+
+    # sparse schemas: a batch can carry EXCLUDE-side references only,
+    # in which case the include struct has no valueSet field at all
+    has_inc_refs = ref_exp is not None and "valueSet" in inc_fields
+    withref_keys = (
+        inc.filter(n_refs > 0).select(*key2).distinct()
+        if has_inc_refs
+        else None
+    )
+
+    def split(side):
+        """Route per-include rows: reference-free includes contribute
+        directly; includes that also hold valueSet references become
+        the system-side of the spec's system∩valueSets conjunction
+        (intersected with the reference expansions below)."""
+        if withref_keys is None:
+            return side, None
+        return (
+            side.join(F.broadcast(withref_keys), key2, "left_anti"),
+            side.join(F.broadcast(withref_keys), key2, "left_semi"),
+        )
+
+    parts: list[DataFrame] = []  # (url, system, code, display)
+    mixed_sides: list[DataFrame] = []  # per-include, awaiting refs ∩
+
+    concept_fields = _element_fields(
+        valuesets, "compose", "include", "concept"
+    )
+    display = (
+        F.col("c.display")
+        if "display" in concept_fields
+        else F.lit(None).cast("string")
+    )
     if "concept" in inc_fields:
-        n_concepts = F.size(F.coalesce(F.col("i.concept"), F.array()))
-        listed = inc.filter(n_concepts > 0).select(
-            "url",
-            F.col("i.system").alias("system"),
-            F.explode("i.concept").alias("c"),
-        ).select(
-            "url", "system", F.col("c.code").alias("code"), display.alias("display")
-        )
-        whole = inc.filter(
-            (n_concepts == 0) & (n_filters == 0) & (n_vs_refs == 0)
-        )
-    else:
-        listed = None
-        whole = inc.filter((n_filters == 0) & (n_vs_refs == 0))
-    whole = whole.select("url", F.col("i.system").alias("system"))
-    if codesystems is not None:
-        whole_rows = whole.join(F.broadcast(_all_concepts(codesystems)), "system").select(
-            "url", "system", "code", "display"
-        )
-        listed = whole_rows if listed is None else listed.unionByName(whole_rows)
-    if filtered is not None:
-        listed = filtered if listed is None else listed.unionByName(filtered)
-    if by_reference is not None:
         listed = (
-            by_reference
-            if listed is None
-            else listed.unionByName(by_reference)
+            inc.filter(n_concepts > 0)
+            .select(
+                "url",
+                "inc_idx",
+                F.col("i.system").alias("system"),
+                F.explode("i.concept").alias("c"),
+            )
+            .select(
+                "url",
+                "inc_idx",
+                "system",
+                F.col("c.code").alias("code"),
+                display.alias("display"),
+            )
         )
+        d, m = split(listed)
+        parts.append(d.drop("inc_idx"))
+        if m is not None:
+            mixed_sides.append(m)
+
+    whole = inc.filter(
+        (n_concepts == 0) & (n_filters == 0) & F.col("i.system").isNotNull()
+    )
+    if codesystems is not None:
+        whole_rows = (
+            whole.select(
+                "url", "inc_idx", F.col("i.system").alias("system")
+            )
+            .join(F.broadcast(_all_concepts(codesystems)), "system")
+            .select("url", "inc_idx", "system", "code", "display")
+        )
+        d, m = split(whole_rows)
+        parts.append(d.drop("inc_idx"))
+        if m is not None:
+            mixed_sides.append(m)
+
+    if "filter" in inc_fields:
+        has_filter = valuesets.select(
+            F.exists(
+                F.coalesce(F.col("compose.include"), F.array()),
+                lambda i: F.size(F.coalesce(i["filter"], F.array())) > 0,
+            ).alias("f")
+        ).filter(F.col("f"))
+        if has_filter.limit(1).count() > 0:
+            # _expand_filters itself raises when a hierarchical op is
+            # present without a closure; code/property filters need none
+            fpi = _expand_filters(
+                valuesets, codesystems, closure, refsets=refsets,
+                per_include=True,
+            )
+            d, m = split(fpi)
+            # cross-include dedup (pre-r11 output contract: filter
+            # members are distinct per url)
+            parts.append(d.drop("inc_idx").distinct())
+            if m is not None:
+                mixed_sides.append(m)
+
+    if has_inc_refs:
+        withref = inc.filter(n_refs > 0)
+        refs = withref.select(
+            "url",
+            "inc_idx",
+            F.size("i.valueSet").alias("__need"),
+            F.explode("i.valueSet").alias("__ref"),
+        )
+        # intersection across an include's references: a code counts
+        # only when EVERY referenced expansion contains it
+        refs_int = (
+            refs.join(F.broadcast(ref_exp), "__ref")
+            .groupBy("url", "inc_idx", "system", "code")
+            .agg(
+                F.max("display").alias("display"),
+                F.countDistinct("__ref").alias("__hit"),
+                F.max("__need").alias("__need"),
+            )
+            .filter(F.col("__hit") == F.col("__need"))
+            .select("url", "inc_idx", "system", "code", "display")
+        )
+        sys_keys = (
+            withref.filter(
+                (n_concepts > 0)
+                | (n_filters > 0)
+                | F.col("i.system").isNotNull()
+            )
+            .select(*key2)
+            .distinct()
+        )
+        parts.append(
+            refs_int.join(F.broadcast(sys_keys), key2, "left_anti").drop(
+                "inc_idx"
+            )
+        )
+        for m in mixed_sides:
+            # mixed include (r11): system-side selection ∩ all refs
+            parts.append(
+                m.join(
+                    refs_int.select(*key2, "system", "code"),
+                    key2 + ["system", "code"],
+                    "left_semi",
+                ).drop("inc_idx")
+            )
+    else:
+        assert withref_keys is None and not mixed_sides, (
+            "reference-bearing batch without ref_exp"
+        )
+
+    listed = None
+    for p in parts:
+        listed = p if listed is None else listed.unionByName(p)
     if listed is None:
         raise ValueError(
             "ValueSet has whole-system includes but no codesystems table "
@@ -441,36 +619,20 @@ def expand_valueset(
             listed = listed.join(
                 F.broadcast(exc), ["url", "system", "code"], "left_anti"
             )
-        if "valueSet" in exc_fields:
+        if "valueSet" in exc_fields and ref_exp is not None:
             xrefs = exploded_exc.select(
-                "url", F.explode(F.coalesce(F.col("e.valueSet"), F.array())).alias("__ref")
+                "url",
+                F.explode(F.coalesce(F.col("e.valueSet"), F.array())).alias("__ref"),
             )
-            xref_urls = [
-                r[0] for r in xrefs.select("__ref").distinct().collect()
-            ]
-            if xref_urls and _nested:
-                raise NotImplementedError(
-                    "ValueSet-by-reference composition is depth-1: a "
-                    "referenced ValueSet's own compose.exclude.valueSet "
-                    "references are not resolved"
-                )
-            if xref_urls:
-                xexp = expand_valueset(
-                    valuesets.filter(F.col("url").isin(xref_urls)),
-                    codesystems,
-                    closure=closure,
-                    _nested=True,
-                ).select(
-                    F.col("url").alias("__ref"), "system", "code"
-                )
-                drop = xrefs.join(xexp, "__ref").select(
-                    "url", "system", "code"
-                )
-                listed = listed.join(
-                    F.broadcast(drop.distinct()),
-                    ["url", "system", "code"],
-                    "left_anti",
-                )
+            drop = xrefs.join(
+                F.broadcast(ref_exp.select("__ref", "system", "code")),
+                "__ref",
+            ).select("url", "system", "code")
+            listed = listed.join(
+                F.broadcast(drop.distinct()),
+                ["url", "system", "code"],
+                "left_anti",
+            )
     return listed
 
 
@@ -522,9 +684,15 @@ def _ecl_parse(ecl: str):
     data ("each ungrouped attribute is treated as if in a group of its
     own") — a multi-refinement group then matches only when ONE
     assertion satisfies every member (reachable via '*' attributes or
-    repeated attribute names). Cardinality/reverse flags inside a
-    group, and the rest of the language, raise NotImplementedError
-    with the offending token.
+    repeated attribute names). Reverse flags and cardinalities are
+    also accepted INSIDE groups (r11): a reverse member binds the
+    focus to the assertion's VALUE side, and a within-group
+    cardinality counts matching assertions per group (0 or 1 under
+    self-grouping, so ``[0..0]`` keeps non-matching groups). The one
+    refused combination is cardinality+reverse on the SAME group
+    member (no coherent group universe); prefixed wildcards
+    (``< *`` …) evaluate the hierarchy with an unconstrained anchor.
+    Anything else raises NotImplementedError with the offending token.
     """
     # |display term| annotations are documentation, not constraint
     # (SNOMED ECL composite grammar, r10) — stripped before lexing; a
@@ -584,11 +752,11 @@ def _ecl_parse(ecl: str):
         ):
             raise NotImplementedError(f"malformed ECL {ecl!r}")
         if t == "*":
-            if prefix is not None:
-                raise NotImplementedError(
-                    f"prefixed wildcard not supported in {ecl!r}"
-                )
-            return ("any",)
+            # prefixed wildcard (r11): '< *' = concepts with any
+            # ancestor (non-roots), '> *' = concepts with any
+            # descendant (non-leaves), '<!'/'>!' the direct-edge
+            # variants, '<< *'/'>> *' = everything
+            return ("anyprefixed", prefix) if prefix is not None else ("any",)
         return ("focus", prefix, t)
 
     _BAD_ATTR = ("(", ")", "{", "}", ":", "=", ",", ".", "!", "<",
@@ -614,11 +782,6 @@ def _ecl_parse(ecl: str):
             card = None
             nxt = peek()
             if nxt is not None and nxt.startswith("["):
-                if in_group:
-                    raise NotImplementedError(
-                        f"cardinality inside an attribute group in "
-                        f"{ecl!r} is not supported"
-                    )
                 m = _ECL_CARD.match(take())
                 card = (
                     int(m.group(1)),
@@ -630,10 +793,16 @@ def _ecl_parse(ecl: str):
                     )
             rev = peek() == "R"
             if rev:
-                if in_group:
+                if in_group and card is not None:
+                    # a within-group cardinality counts the FOCUS
+                    # concept's own group members; a reverse member's
+                    # matching assertions live in OTHER concepts'
+                    # groups — the combination has no coherent group
+                    # universe, so it refuses rather than guessing
                     raise NotImplementedError(
-                        f"reverse flag inside an attribute group in "
-                        f"{ecl!r} is not supported"
+                        f"cardinality combined with the reverse flag "
+                        f"inside an attribute group in {ecl!r} is not "
+                        "supported"
                     )
                 take()
             attr = take()
@@ -789,6 +958,34 @@ def ecl_expand(
         kind = node[0]
         if kind == "any":
             return uni
+        if kind == "anyprefixed":
+            # prefixed wildcard (r11): the hierarchy read with an
+            # unconstrained anchor — '<< *'/'>> *' are the universe,
+            # '< *' is every concept with an ancestor (non-roots),
+            # '> *' every concept with a descendant (non-leaves), and
+            # the '!' forms are the direct-edge variants (identical
+            # sets here, but evaluated off the edge frame per ECL
+            # semantics). All terminology-sized projections.
+            prefix = node[1]
+            if prefix in ("<<", ">>"):
+                return uni
+            if prefix == "<!":
+                return (
+                    direct_edges()
+                    .select(F.col("child").alias("code"))
+                    .distinct()
+                )
+            if prefix == ">!":
+                return (
+                    direct_edges()
+                    .select(F.col("parent").alias("code"))
+                    .distinct()
+                )
+            if prefix == "<":
+                return clo.select(
+                    F.col("descendant").alias("code")
+                ).distinct()
+            return clo.select(F.col("ancestor").alias("code")).distinct()
         if kind == "focus":
             _, prefix, code = node
             anchor = uni.filter(F.col("code") == code)
@@ -838,7 +1035,7 @@ def ecl_expand(
                 )
             )
             exp = expand_valueset(
-                vs, codesystems, closure=closure, _nested=True
+                vs, codesystems, closure=closure, _no_ecl_refsets=True
             )
             return (
                 exp.filter(F.col("system") == system)
@@ -862,34 +1059,89 @@ def ecl_expand(
             base = ev(node[1])
             for ref in node[2]:
                 if ref[0] == "grp":
-                    # attribute group (r10): every member refinement must
-                    # be satisfied by an assertion in the SAME relationship
-                    # group — (code, grp) inner joins across members.  R4
-                    # properties are self-grouped (grp = assertion index),
-                    # so multi-member groups require ONE assertion to
-                    # satisfy all members (spec rule for ungrouped data).
+                    # attribute group (r10/r11): every member refinement
+                    # must be satisfied by an assertion in the SAME
+                    # relationship group. R4 properties are self-grouped
+                    # (grp = assertion index), so the group key IS the
+                    # assertion identity (a_src, a_grp); multi-member
+                    # groups then require ONE assertion to satisfy all
+                    # members (spec rule for ungrouped data). Members
+                    # join on (fcode, a_src, a_grp): forward members
+                    # have a_src == fcode (the pre-r11 (code, grp) join),
+                    # reverse members (r11) have fcode = the assertion's
+                    # VALUE, and within-group cardinality (r11) counts
+                    # matches per group — 0 or 1 under self-grouping, so
+                    # [0..0] keeps non-matching groups, [m..] with m ≥ 2
+                    # is unsatisfiable by construction.
+                    gkey = ["fcode", "a_src", "a_grp"]
                     joint = None
-                    for _, _, attr, vnode in ref[1]:
+                    for card, rev, attr, vnode in ref[1]:
                         p = props()
                         if attr != "*":
                             p = p.filter(F.col("prop") == attr)
-                        if vnode[0] == "focus" and vnode[1] is None:
-                            m = p.filter(F.col("pval") == vnode[2])
+                        literal = vnode[0] == "focus" and vnode[1] is None
+                        if rev:
+                            if literal:
+                                m = p.filter(F.col("code") == vnode[2])
+                            else:
+                                vals = ev(vnode).select("code")
+                                m = p.join(
+                                    F.broadcast(vals), "code", "left_semi"
+                                )
+                            member = m.select(
+                                F.col("pval").alias("fcode"),
+                                F.col("code").alias("a_src"),
+                                F.col("grp").alias("a_grp"),
+                            )
                         else:
-                            vals = ev(vnode).select(
-                                F.col("code").alias("pval")
+                            if literal:
+                                m = p.filter(F.col("pval") == vnode[2])
+                            else:
+                                vals = ev(vnode).select(
+                                    F.col("code").alias("pval")
+                                )
+                                m = p.join(
+                                    F.broadcast(vals), "pval", "left_semi"
+                                )
+                            member = m.select(
+                                F.col("code").alias("fcode"),
+                                F.col("code").alias("a_src"),
+                                F.col("grp").alias("a_grp"),
                             )
-                            m = p.join(
-                                F.broadcast(vals), "pval", "left_semi"
-                            )
-                        m = m.select("code", "grp").distinct()
+                        member = member.distinct()
+                        if card is not None:
+                            lo, hi = card
+                            pieces = []
+                            if lo <= 1 and (hi is None or hi >= 1):
+                                pieces.append(member)
+                            if lo == 0:
+                                all_groups = props().select(
+                                    F.col("code").alias("fcode"),
+                                    F.col("code").alias("a_src"),
+                                    F.col("grp").alias("a_grp"),
+                                )
+                                pieces.append(
+                                    all_groups.join(
+                                        F.broadcast(member), gkey, "left_anti"
+                                    )
+                                )
+                            if not pieces:
+                                member = member.limit(0)
+                            else:
+                                member = pieces[0]
+                                for pc in pieces[1:]:
+                                    member = member.unionByName(pc)
                         joint = (
-                            m
+                            member
                             if joint is None
-                            else joint.join(m, ["code", "grp"])
+                            else joint.join(member, gkey)
                         )
                     base = base.join(
-                        F.broadcast(joint.select("code").distinct()),
+                        F.broadcast(
+                            joint.select(
+                                F.col("fcode").alias("code")
+                            ).distinct()
+                        ),
                         "code",
                         "left_semi",
                     )
@@ -1027,6 +1279,7 @@ def _expand_filters(
     codesystems: DataFrame | None,
     closure: DataFrame | None,
     refsets: DataFrame | None = None,
+    per_include: bool = False,
 ) -> DataFrame:
     """Resolve ``include.filter`` entries
     (hl7.org/fhir/R4/valueset.html#compose). Supported:
@@ -1287,12 +1540,15 @@ def _expand_filters(
     for p in parts[1:]:
         matches = matches.unionByName(p)
     # AND across the filters of one include: keep codes every filter hit
+    out_key = (
+        ["url", "inc_idx", "system"] if per_include else ["url", "system"]
+    )
     members = (
         matches.distinct()
         .groupBy("url", "inc_idx", "n_filters", "system", "code")
         .agg(F.count_distinct("f_idx").alias("__nf"))
         .filter(F.col("__nf") == F.col("n_filters"))
-        .select("url", "system", "code")
+        .select(*out_key, "code")
         .distinct()
     )
     if codesystems is not None:
@@ -1301,7 +1557,7 @@ def _expand_filters(
             F.broadcast(disp),
             (F.col("system") == F.col("d_system")) & (members["code"] == disp["code"]),
             "left",
-        ).select("url", "system", members["code"].alias("code"), "display")
+        ).select(*out_key, members["code"].alias("code"), "display")
     return members.withColumn("display", F.lit(None).cast("string"))
 
 

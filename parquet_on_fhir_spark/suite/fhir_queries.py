@@ -1997,8 +1997,8 @@ def qf36(spark, sf_dir):
     referenced expansions (spec: codes must be in all referenced value
     sets), unioned with the other includes; exclude.valueSet
     anti-joins a referenced expansion. References resolve against the
-    same ValueSet table, depth-1 (nested references refuse, so cycles
-    terminate)."""
+    same ValueSet table to any depth since r11 (qf38 covers nesting;
+    cycles raise ValueError)."""
     from parquet_on_fhir_spark.fhir.terminology import expand_valueset
 
     utc(spark)
@@ -2079,3 +2079,219 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf37_lookup", qf37, QF37_ORACLE))
+
+
+# --- qf38: depth-N ValueSet references + mixed-include conjunction ----------------------
+_VS_NESTED_DOCS = [
+    {"resourceType": "ValueSet", "id": "nr1", "status": "active",
+     "url": "http://example.org/ValueSet/nr1",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy",
+          "concept": [{"code": "arm"}, {"code": "hand"},
+                      {"code": "leg"}, {"code": "foot"}]}]}},
+    {"resourceType": "ValueSet", "id": "nr2", "status": "active",
+     "url": "http://example.org/ValueSet/nr2",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy",
+          "concept": [{"code": "hand"}, {"code": "foot"},
+                      {"code": "heart"}]}]}},
+    # depth 1: intersection of two leaf references
+    {"resourceType": "ValueSet", "id": "nr3", "status": "active",
+     "url": "http://example.org/ValueSet/nr3",
+     "compose": {"include": [
+         {"valueSet": ["http://example.org/ValueSet/nr1",
+                       "http://example.org/ValueSet/nr2"]}]}},
+    # depth 2: references a ValueSet that itself references (plus a
+    # listed include with a code outside the CodeSystem — enumerated
+    # includes are authoritative, so 'ghost' survives HERE...)
+    {"resourceType": "ValueSet", "id": "nr4", "status": "active",
+     "url": "http://example.org/ValueSet/nr4",
+     "compose": {"include": [
+         {"valueSet": ["http://example.org/ValueSet/nr3"]},
+         {"system": "http://example.org/cs/anatomy",
+          "concept": [{"code": "organ"}, {"code": "ghost"}]}]}},
+    # depth 3 + MIXED include: whole-system ∩ referenced expansion
+    # (...and is dropped here, because the system side cannot
+    # enumerate it)
+    {"resourceType": "ValueSet", "id": "nr5", "status": "active",
+     "url": "http://example.org/ValueSet/nr5",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy",
+          "valueSet": ["http://example.org/ValueSet/nr4"]}]}},
+    # mixed include: hierarchy filter ∩ reference
+    {"resourceType": "ValueSet", "id": "nr6", "status": "active",
+     "url": "http://example.org/ValueSet/nr6",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy",
+          "filter": [{"property": "concept", "op": "is-a",
+                      "value": "limb"}],
+          "valueSet": ["http://example.org/ValueSet/nr1"]}]}},
+    # exclude referencing a REFERENCE-BEARING ValueSet (depth-2
+    # resolution through the exclude side)
+    {"resourceType": "ValueSet", "id": "nr7", "status": "active",
+     "url": "http://example.org/ValueSet/nr7",
+     "compose": {"include": [{"system": "http://example.org/cs/anatomy"}],
+                 "exclude": [
+                     {"valueSet": ["http://example.org/ValueSet/nr3"]}]}},
+    # mixed include: listed concepts ∩ reference
+    {"resourceType": "ValueSet", "id": "nr8", "status": "active",
+     "url": "http://example.org/ValueSet/nr8",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy",
+          "concept": [{"code": "arm"}, {"code": "heart"}],
+          "valueSet": ["http://example.org/ValueSet/nr1"]}]}},
+]
+
+
+def qf38(spark, sf_dir):
+    """Depth-N ValueSet-by-reference composition + mixed includes
+    (fhir/terminology.py::expand_valueset, r11 — the r10 verdict's
+    task 4): nr5 resolves a 3-deep reference chain (nr5 → nr4 → nr3 →
+    nr1/nr2) via driver-side topological strata with a cycle guard
+    (cycles raise ValueError); an include MIXING valueSet references
+    with system/concept/filter applies the spec's conjunction — the
+    system-side selection intersected with every referenced expansion
+    (hl7.org/fhir/R4/valueset-definitions.html compose.include.
+    valueSet) — covering whole-system (nr5), is-a-filter (nr6) and
+    listed-concept (nr8) system sides; nr7 resolves a reference-bearing
+    ValueSet through the EXCLUDE side. Each stratum is one table-level
+    expansion over broadcast terminology frames; lineage is cut per
+    stratum so a depth-k chain stays k plans."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_NESTED_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    out = expand_valueset(vs, cs, closure=closure)
+    return out.filter(
+        F.col("url").isin(
+            *[f"http://example.org/ValueSet/nr{i}" for i in range(4, 9)]
+        )
+    ).select("url", "code")
+
+
+QF38_ORACLE = """
+SELECT * FROM (VALUES
+  -- nr4 (depth 2): (nr1 ∩ nr2) ∪ {organ, ghost} — listed includes are
+  -- authoritative, so the CodeSystem-less 'ghost' survives
+  ('http://example.org/ValueSet/nr4', 'hand'),
+  ('http://example.org/ValueSet/nr4', 'foot'),
+  ('http://example.org/ValueSet/nr4', 'organ'),
+  ('http://example.org/ValueSet/nr4', 'ghost'),
+  -- nr5 (depth 3, mixed whole-system ∩ nr4): ghost is not enumerable
+  -- from the system side, so it drops
+  ('http://example.org/ValueSet/nr5', 'hand'),
+  ('http://example.org/ValueSet/nr5', 'foot'),
+  ('http://example.org/ValueSet/nr5', 'organ'),
+  -- nr6 (is-a limb ∩ nr1)
+  ('http://example.org/ValueSet/nr6', 'arm'),
+  ('http://example.org/ValueSet/nr6', 'hand'),
+  ('http://example.org/ValueSet/nr6', 'leg'),
+  ('http://example.org/ValueSet/nr6', 'foot'),
+  -- nr7 (whole system minus referenced nr3 = {hand, foot})
+  ('http://example.org/ValueSet/nr7', 'body'),
+  ('http://example.org/ValueSet/nr7', 'limb'),
+  ('http://example.org/ValueSet/nr7', 'arm'),
+  ('http://example.org/ValueSet/nr7', 'leg'),
+  ('http://example.org/ValueSet/nr7', 'organ'),
+  ('http://example.org/ValueSet/nr7', 'heart'),
+  -- nr8 (listed {arm, heart} ∩ nr1)
+  ('http://example.org/ValueSet/nr8', 'arm')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf38_valueset_nested_refs", qf38, QF38_ORACLE))
+
+
+# --- qf39: ECL remainder — prefixed wildcards + card/reverse inside groups ---------------
+def qf39(spark, sf_dir):
+    """ECL grammar remainder (fhir/terminology.py::ecl_expand, r11 —
+    the r10 verdict's task 5): prefixed wildcards evaluate the
+    hierarchy with an unconstrained anchor ('< *' = concepts with any
+    ancestor, '>! *' = concepts with a direct child, '<< *' = the
+    universe — terminology-sized closure/edge projections); REVERSE
+    flags inside attribute groups bind the focus to the assertion's
+    VALUE side of the same-group join; and within-group CARDINALITY
+    counts matching assertions per group — under R4's self-grouped
+    properties each group holds one assertion, so '{ [0..0] site =
+    arm }' keeps focus concepts having ANY non-site-arm assertion
+    (wc4: all five findings) while the UNGROUPED '[0..0] site = arm'
+    (wc5) keeps only those with no site=arm assertion at all — the
+    semantic split that proves the group universe is per-assertion."""
+    return _ecl_findings2(spark, _ecl_vs_docs("wc", [
+        # prefixed wildcards
+        "< *",
+        ">! *",
+        "( << * ) MINUS ( < finding )",
+        # within-group [0..0] vs ungrouped [0..0]
+        "< finding : { [0..0] site = arm }",
+        "< finding : [0..0] site = arm",
+        # group-internal card + plain member: one assertion that is
+        # severity=low (and trivially not site=arm)
+        "< finding : { [0..0] site = arm , severity = low }",
+        # reverse inside a group: anatomy codes appearing as the site
+        # VALUE of a finding's assertion
+        "< anatomy : { R site = << finding }",
+        # group card over an expression value + wildcard composition
+        "( < finding : { [1..*] site = << limb } ) AND ( < * )",
+    ]))
+
+
+QF39_ORACLE = """
+SELECT * FROM (VALUES
+  -- wc1: '< *' — every concept with an ancestor (non-roots)
+  ('http://example.org/ValueSet/wc1', 'limb'),
+  ('http://example.org/ValueSet/wc1', 'arm'),
+  ('http://example.org/ValueSet/wc1', 'hand'),
+  ('http://example.org/ValueSet/wc1', 'leg'),
+  ('http://example.org/ValueSet/wc1', 'arm-fracture'),
+  ('http://example.org/ValueSet/wc1', 'hand-burn'),
+  ('http://example.org/ValueSet/wc1', 'leg-sprain'),
+  ('http://example.org/ValueSet/wc1', 'multi-trauma'),
+  ('http://example.org/ValueSet/wc1', 'fatigue'),
+  -- wc2: '>! *' — concepts with a direct child
+  ('http://example.org/ValueSet/wc2', 'anatomy'),
+  ('http://example.org/ValueSet/wc2', 'limb'),
+  ('http://example.org/ValueSet/wc2', 'arm'),
+  ('http://example.org/ValueSet/wc2', 'finding'),
+  -- wc3: universe minus finding-descendants
+  ('http://example.org/ValueSet/wc3', 'anatomy'),
+  ('http://example.org/ValueSet/wc3', 'limb'),
+  ('http://example.org/ValueSet/wc3', 'arm'),
+  ('http://example.org/ValueSet/wc3', 'hand'),
+  ('http://example.org/ValueSet/wc3', 'leg'),
+  ('http://example.org/ValueSet/wc3', 'finding'),
+  -- wc4: within-group [0..0] — any assertion that is not site=arm
+  ('http://example.org/ValueSet/wc4', 'arm-fracture'),
+  ('http://example.org/ValueSet/wc4', 'hand-burn'),
+  ('http://example.org/ValueSet/wc4', 'leg-sprain'),
+  ('http://example.org/ValueSet/wc4', 'multi-trauma'),
+  ('http://example.org/ValueSet/wc4', 'fatigue'),
+  -- wc5: ungrouped [0..0] — NO site=arm assertion at all
+  ('http://example.org/ValueSet/wc5', 'hand-burn'),
+  ('http://example.org/ValueSet/wc5', 'leg-sprain'),
+  ('http://example.org/ValueSet/wc5', 'fatigue'),
+  -- wc6: a severity=low assertion that is not site=arm
+  ('http://example.org/ValueSet/wc6', 'hand-burn'),
+  ('http://example.org/ValueSet/wc6', 'leg-sprain'),
+  ('http://example.org/ValueSet/wc6', 'fatigue'),
+  -- wc7: reverse-in-group — site values of finding assertions
+  ('http://example.org/ValueSet/wc7', 'arm'),
+  ('http://example.org/ValueSet/wc7', 'hand'),
+  ('http://example.org/ValueSet/wc7', 'leg'),
+  -- wc8: group card [1..*] over << limb sites, ∩ non-roots
+  ('http://example.org/ValueSet/wc8', 'arm-fracture'),
+  ('http://example.org/ValueSet/wc8', 'hand-burn'),
+  ('http://example.org/ValueSet/wc8', 'leg-sprain'),
+  ('http://example.org/ValueSet/wc8', 'multi-trauma')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf39_ecl_wildcard_group_flags", qf39, QF39_ORACLE))

@@ -815,10 +815,20 @@ def test_ecl_expand_subset(spark):
         "arm", "heart", "leg",
     ]
 
+    # prefixed wildcards are supported since r11
+    assert ev("<< *") == sorted(
+        ["body", "limb", "arm", "hand", "leg", "foot", "organ", "heart"]
+    )
+    assert ev("< *") == sorted(
+        ["limb", "arm", "hand", "leg", "foot", "organ", "heart"]
+    )
+    assert ev(">! *") == sorted(["body", "limb", "arm", "leg", "organ"])
+
     for bad in (
         "^ refset",                       # member-of
         "hand AND heart OR body",         # mixed ops need parens
-        "<< *",                           # prefixed wildcard
+        # card+rev on one GROUP member has no coherent group universe
+        "<< limb : { [1..2] R laterality = paired }",
         "(hand OR heart",                 # unbalanced
         "",                               # empty
         "hand heart",                     # trailing tokens
@@ -1051,8 +1061,9 @@ def test_ecl_attribute_groups(spark):
     """fhir/terminology.py::ecl_expand r10 extension: attribute groups
     `{ attr = value , ... }` — self-grouped R4 semantics (one assertion
     must satisfy every member), composition with ungrouped refinements
-    and set ops, and the targeted refusals (card/rev inside a group,
-    unbalanced braces)."""
+    and set ops, the r11 in-group cardinality/reverse flags, and the
+    targeted refusals (card+rev on one group member, unbalanced
+    braces)."""
     import pytest
 
     from parquet_on_fhir_spark.fhir.terminology import (
@@ -1097,9 +1108,29 @@ def test_ecl_attribute_groups(spark):
     assert ev("< finding : { site = ( << arm OR leg ) }") == [
         "arm-fracture", "hand-burn", "leg-sprain", "multi-trauma",
     ]
+    # r11: cardinality INSIDE a group counts matches per group — 0 or 1
+    # under self-grouping, so [0..0] keeps concepts with ANY
+    # non-matching assertion (vs the ungrouped [0..0] = none at all)
+    assert ev("< finding : { [0..0] site = arm }") == [
+        "arm-fracture", "fatigue", "hand-burn", "leg-sprain",
+        "multi-trauma",
+    ]
+    assert ev("< finding : [0..0] site = arm") == [
+        "fatigue", "hand-burn", "leg-sprain",
+    ]
+    assert ev("< finding : { [1..1] site = << limb }") == [
+        "arm-fracture", "hand-burn", "leg-sprain", "multi-trauma",
+    ]
+    # [2..*] within a self-grouped group is unsatisfiable by
+    # construction (each group holds exactly one assertion)
+    assert ev("< finding : { [2..*] site = * }") == []
+    # r11: reverse INSIDE a group binds the focus to the assertion's
+    # VALUE side — anatomy codes appearing as a finding's site
+    assert ev("< anatomy : { R site = << finding }") == [
+        "arm", "hand", "leg",
+    ]
     for bad in (
-        "< finding : { [1..2] site = arm }",   # cardinality inside group
-        "< finding : { R site = arm }",        # reverse inside group
+        "< finding : { [1..2] R site = arm }",  # card+rev on one member
         "< finding : { site = arm",            # unbalanced braces
         "< finding : site = arm }",            # stray close brace
         "< finding : { }",                     # empty group
@@ -1302,9 +1333,10 @@ def test_translate_codes_reverse(spark):
 
 
 def test_valueset_by_reference_composition(spark):
-    """expand_valueset r10: include.valueSet intersection semantics,
-    union with other includes, exclude.valueSet anti-join, depth-1-by-
-    use refusal (nested refs), and the mixed-include refusal."""
+    """expand_valueset r10/r11: include.valueSet intersection semantics,
+    union with other includes, exclude.valueSet anti-join, depth-N
+    nested references (r11), the mixed-include system∩valueSets
+    conjunction (r11), and the cycle guard."""
     import pytest
 
     from parquet_on_fhir_spark.fhir.terminology import expand_valueset
@@ -1332,17 +1364,21 @@ def test_valueset_by_reference_composition(spark):
         "arm", "hand", "leg",
     ]
 
-    # nested references refuse (depth-1 by use)
+    # nested references resolve to any depth (r11): ref7 → ref3 →
+    # {ref1 ∩ ref2}
     nested = _VS_REF_DOCS + [{
         "resourceType": "ValueSet", "id": "vr7", "status": "active",
         "url": "http://example.org/ValueSet/ref7",
         "compose": {"include": [
             {"valueSet": ["http://example.org/ValueSet/ref3"]}]},
     }]
-    with pytest.raises(NotImplementedError, match="depth-1"):
-        expand_valueset(_encode(spark, nested, "ValueSet"), cs).collect()
+    nres = {}
+    for r in expand_valueset(_encode(spark, nested, "ValueSet"), cs).collect():
+        nres.setdefault(r.url, []).append(r.code)
+    assert sorted(nres["http://example.org/ValueSet/ref7"]) == ["hand", "leg"]
 
-    # mixing valueSet with system in one include refuses
+    # mixing valueSet with system in one include applies the spec's
+    # conjunction (r11): whole-anatomy ∩ ref1
     mixed = [{
         "resourceType": "ValueSet", "id": "vm", "status": "active",
         "url": "http://example.org/ValueSet/mixed",
@@ -1350,8 +1386,40 @@ def test_valueset_by_reference_composition(spark):
             {"system": "http://example.org/cs/anatomy",
              "valueSet": ["http://example.org/ValueSet/ref1"]}]},
     }] + _VS_REF_DOCS[:1]
-    with pytest.raises(NotImplementedError, match="mixing"):
-        expand_valueset(_encode(spark, mixed, "ValueSet"), cs).collect()
+    mres = {}
+    for r in expand_valueset(_encode(spark, mixed, "ValueSet"), cs).collect():
+        mres.setdefault(r.url, []).append(r.code)
+    assert sorted(mres["http://example.org/ValueSet/mixed"]) == [
+        "arm", "hand", "leg",
+    ]
+
+    # circular references raise (FHIR forbids them; the guard names
+    # the cycle instead of deadlocking depth-N resolution)
+    cyc = [
+        {"resourceType": "ValueSet", "id": "ca", "status": "active",
+         "url": "http://example.org/ValueSet/ca",
+         "compose": {"include": [
+             {"valueSet": ["http://example.org/ValueSet/cb"]}]}},
+        {"resourceType": "ValueSet", "id": "cb", "status": "active",
+         "url": "http://example.org/ValueSet/cb",
+         "compose": {"include": [
+             {"valueSet": ["http://example.org/ValueSet/ca"]}]}},
+    ]
+    with pytest.raises(ValueError, match="circular"):
+        expand_valueset(_encode(spark, cyc, "ValueSet"), cs).collect()
+    selfref = [{
+        "resourceType": "ValueSet", "id": "cs1", "status": "active",
+        "url": "http://example.org/ValueSet/cself",
+        "compose": {
+            "include": [
+                {"system": "http://example.org/cs/anatomy",
+                 "concept": [{"code": "arm"}]}],
+            "exclude": [
+                {"valueSet": ["http://example.org/ValueSet/cself"]}],
+        },
+    }]
+    with pytest.raises(ValueError, match="circular"):
+        expand_valueset(_encode(spark, selfref, "ValueSet"), cs).collect()
 
 
 def test_lookup_codes_batch(spark):

@@ -277,6 +277,17 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
     kind = node[0]
     if kind == "any":
         return uni
+    if kind == "anyprefixed":
+        # r11 prefixed wildcard: '<'/'<!' = any concept with an
+        # ancestor/parent (the same set — every descendant has a direct
+        # parent), '>'/'>!' = any with a descendant/child, '<<'/'>>' =
+        # the universe
+        prefix = node[1]
+        if prefix in ("<<", ">>"):
+            return uni
+        if prefix in ("<", "<!"):
+            return {c for ds in desc.values() for c in ds} & uni
+        return {a for a, ds in desc.items() if ds} & uni
     if kind == "focus":
         _, prefix, code = node
         anchor = {code} & uni
@@ -311,28 +322,52 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
         base = _ecl_ref_eval(node[1], uni, desc, props)
         for ref in node[2]:
             if ref[0] == "grp":
-                # r10 attribute group: with self-grouped (ungrouped R4)
-                # data a concept matches iff ONE assertion satisfies
-                # every member refinement
-                conds = []
-                for _, _, attr, vnode in ref[1]:
+                # r10/r11 attribute group: with self-grouped (ungrouped
+                # R4) data the group IS the assertion — a concept
+                # matches iff ONE assertion satisfies every member.
+                # Members bind (fcode, assertion-id): forward members
+                # have fcode = the assertion's source, reverse members
+                # (r11) its VALUE; within-group cardinality (r11)
+                # counts matches per group (0 or 1 under
+                # self-grouping), so [0..0] keeps non-matching groups.
+                assertions = [
+                    (s, i, p, v)
+                    for s in uni
+                    for i, (p, v) in enumerate(props.get(s, []))
+                ]
+                member_sets = []
+                for mref in ref[1]:
+                    card, rev, attr, vnode = _norm_ref(mref)
                     if vnode[0] == "focus" and vnode[1] is None:
                         vok = lambda x, t=vnode[2]: x == t  # noqa: E731
                     else:
                         vals = _ecl_ref_eval(vnode, uni, desc, props)
                         vok = lambda x, s=vals: x in s  # noqa: E731
-                    conds.append(
-                        lambda p, v, a=attr, vk=vok: (a == "*" or p == a)
-                        and vk(v)
-                    )
-                base = {
-                    c
-                    for c in base
-                    if any(
-                        all(cond(p, v) for cond in conds)
-                        for p, v in props.get(c, [])
-                    )
-                }
+                    if rev:
+                        sat = {
+                            (v, s, i)
+                            for (s, i, p, v) in assertions
+                            if (attr == "*" or p == attr) and vok(s)
+                        }
+                    else:
+                        sat = {
+                            (s, s, i)
+                            for (s, i, p, v) in assertions
+                            if (attr == "*" or p == attr) and vok(v)
+                        }
+                    if card is not None:
+                        lo, hi = card
+                        pieces = set()
+                        if lo <= 1 and (hi is None or hi >= 1):
+                            pieces |= sat
+                        if lo == 0:
+                            pieces |= {
+                                (s, s, i) for (s, i, _, _) in assertions
+                            } - sat
+                        sat = pieces
+                    member_sets.append(sat)
+                joint = set.intersection(*member_sets)
+                base = {c for c in base if c in {f for f, _, _ in joint}}
                 continue
             card, rev, attr, vnode = _norm_ref(ref)
             if vnode[0] == "focus" and vnode[1] is None:
@@ -371,6 +406,8 @@ def _ecl_render(node):
     kind = node[0]
     if kind == "any":
         return "*"
+    if kind == "anyprefixed":
+        return f"{node[1]} *"
     if kind == "focus":
         _, prefix, code = node
         term = f" |{code} structure|" if len(code) % 2 == 0 else ""
@@ -408,8 +445,10 @@ def _ecl_render(node):
 def _ecl_terms():
     codes = st.sampled_from(_ECL_UNI + ["ghost"])
     prefixes = st.sampled_from([None, "<", "<<", ">", ">>", "<!", ">!"])
+    wild = st.sampled_from(["<", "<<", ">", ">>", "<!", ">!"])
     return st.one_of(
         st.just(("any",)),
+        st.tuples(st.just("anyprefixed"), wild),
         st.tuples(st.just("focus"), prefixes, codes),
     )
 
@@ -508,8 +547,10 @@ _F2_PROPS = {
 def _f2_terms():
     codes = st.sampled_from(_F2_UNI + ["ghost"])
     prefixes = st.sampled_from([None, "<", "<<", ">", ">>", "<!", ">!"])
+    wild = st.sampled_from(["<", "<<", ">", ">>", "<!", ">!"])
     return st.one_of(
         st.just(("any",)),
+        st.tuples(st.just("anyprefixed"), wild),
         st.tuples(st.just("focus"), prefixes, codes),
     )
 
@@ -537,11 +578,13 @@ def _f2_exprs(depth=2):
         _f2_terms(),
     )
     refinement = st.tuples(card, st.booleans(), attrs, value)
-    # r10 attribute group: card/rev are banned inside groups, so group
-    # members are plain (None, False, attr, value) refinements
-    plain_ref = st.tuples(st.none(), st.just(False), attrs, value)
+    # r11: card and rev are each allowed inside groups; only their
+    # COMBINATION on one member refuses (no coherent group universe)
+    group_ref = st.tuples(card, st.booleans(), attrs, value).filter(
+        lambda r: not (r[0] is not None and r[1])
+    )
     group = st.tuples(
-        st.just("grp"), st.lists(plain_ref, min_size=1, max_size=2)
+        st.just("grp"), st.lists(group_ref, min_size=1, max_size=2)
     )
     return st.one_of(
         sub,
@@ -603,9 +646,12 @@ def test_ecl_extension_fuzz_matches_reference(spark, node):
 # system, evaluated by fhir/terminology.py::expand_valueset and by a
 # pure-Python set evaluator — catches cross-feature interactions
 # (whole-system + exclude, reference-intersection + is-a, ...) no
-# hand-written case covers. References only point at PREVIOUSLY
-# generated ValueSets (which are reference-free), matching the
-# engine's depth-1 contract.
+# hand-written case covers. References point at ANY previously
+# generated ValueSet (r11) — including reference-bearing ones, so
+# depth-N chains arise naturally (definition order keeps the graph
+# acyclic; the cycle guard has its own directed test) — and includes
+# may MIX a system-side selection with references (the r11
+# system∩valueSets conjunction).
 _VSF_SYS_A = "http://example.org/cs/anatomy2"
 _VSF_SYS_B = "http://example.org/cs/flat"
 _VSF_TREE = {  # direct children (anatomy2 fixture shape)
@@ -645,10 +691,16 @@ def _vsf_ref_eval(vs_specs):
                 acc |= {(inc[1], c) for c in uni}
             elif kind == "isa":
                 acc |= {(_VSF_SYS_A, c) for c in _vsf_desc_or_self(inc[1])}
-            else:  # refs: intersection of referenced expansions
+            elif kind == "refs":  # intersection of referenced expansions
                 sets = [out[r] for r in inc[1]]
                 inter = set.intersection(*sets) if sets else set()
                 acc |= inter
+            else:  # mixed (r11): system-side selection ∩ all refs
+                side_spec, refs = inc[1], inc[2]
+                side = _vsf_ref_eval([("side", [side_spec], [])])["side"]
+                for r in refs:
+                    side &= out[r]
+                acc |= side
         for exc in excludes:
             if exc[0] == "concepts":
                 acc -= {(exc[1], c) for c in exc[2]}
@@ -669,6 +721,10 @@ def _vsf_to_doc(url, includes, excludes):
             return {"system": _VSF_SYS_A,
                     "filter": [{"property": "concept", "op": "is-a",
                                 "value": inc[1]}]}
+        if inc[0] == "mixed":
+            side = inc_json(inc[1])
+            side["valueSet"] = list(inc[2])
+            return side
         return {"valueSet": list(inc[1])}
 
     doc = {"resourceType": "ValueSet", "id": url.rsplit("/", 1)[1],
@@ -687,13 +743,13 @@ def _vsf_to_doc(url, includes, excludes):
 @st.composite
 def _vsf_specs(draw):
     specs = []
-    ref_free = []  # urls safe to reference (depth-1 engine contract:
-    #                a referenced ValueSet must itself be reference-free)
+    prior_urls = []  # any previously generated url may be referenced
+    #                  (r11 depth-N: definition order keeps it acyclic)
     n_vs = draw(st.integers(2, 4))
     for i in range(n_vs):
         url = f"http://example.org/ValueSet/fz{i}"
-        prior = list(ref_free)
-        inc_strats = [
+        prior = list(prior_urls)
+        side_strats = [
             st.tuples(
                 st.just("concepts"),
                 st.sampled_from([_VSF_SYS_A, _VSF_SYS_B]),
@@ -706,14 +762,17 @@ def _vsf_specs(draw):
                       st.sampled_from([_VSF_SYS_A, _VSF_SYS_B])),
             st.tuples(st.just("isa"), st.sampled_from(_VSF_A)),
         ]
+        inc_strats = list(side_strats)
         if prior:
+            ref_lists = st.lists(
+                st.sampled_from(prior), min_size=1, max_size=2,
+                unique=True,
+            ).map(tuple)
+            inc_strats.append(st.tuples(st.just("refs"), ref_lists))
+            # r11 mixed include: system-side selection ∩ references
             inc_strats.append(
                 st.tuples(
-                    st.just("refs"),
-                    st.lists(
-                        st.sampled_from(prior), min_size=1, max_size=2,
-                        unique=True,
-                    ).map(tuple),
+                    st.just("mixed"), st.one_of(side_strats), ref_lists
                 )
             )
         includes = draw(
@@ -737,11 +796,7 @@ def _vsf_specs(draw):
             st.lists(st.one_of(exc_strats), min_size=0, max_size=1)
         )
         specs.append((url, includes, excludes))
-        has_refs = any(i[0] == "refs" for i in includes) or any(
-            e[0] == "ref" for e in excludes
-        )
-        if not has_refs:
-            ref_free.append(url)
+        prior_urls.append(url)
     return specs
 
 
