@@ -94,6 +94,10 @@ HEADLINE = [
     "q241_ngram_novelty",              # the round-10 wave's biggest absolute cost (gram explode)
     "q243_embedding_isotropy",         # n*d posexplode -> d-row fold
     "q252_wasserstein_drift",          # distinct-value-frame drift (KS shape + lead)
+    # round-11 addition (new line, not a regression vs BENCH_r10):
+    "qf40_validate_code_facts",        # $validate-code broadcast over the SF-SCALED events fact side
+    #                                    (qf23 measures fixed stage overhead at any sf; this line
+    #                                    moves with data, so a terminology-join regression shows)
 ]
 
 

@@ -8,12 +8,14 @@ The Spark-side plumbing (schema, partitioning, Arrow batch shape,
 mapInPandas signatures) is real and tested. Codecs come in three tiers:
 
 - ``numpy_features`` / ``numpy_resize`` — REAL decoders for P6 PPM,
-  24-bit BMP, and 8-bit PNG (stdlib ``zlib`` inflate + numpy scanline
-  unfiltering — no codec library), so the bytes→pixels→features path
-  genuinely runs in this container, compressed formats included;
-- ``decode_real`` — the PIL seam for the remaining compressed formats
-  (JPEG/WebP/...), import-guarded: raises ``NotImplementedError`` with
-  wiring guidance when PIL is absent;
+  24-bit BMP, 8-bit PNG (stdlib ``zlib`` inflate + numpy scanline
+  unfiltering) and baseline JPEG (marker walk + canonical Huffman +
+  IDCT, r11 — no codec library anywhere), so the
+  bytes→pixels→features path genuinely runs in this container,
+  compressed formats included;
+- ``decode_real`` — the PIL seam for the remaining exotic formats
+  (WebP/AVIF/progressive JPEG/...), import-guarded: raises
+  ``NotImplementedError`` with wiring guidance when PIL is absent;
 - ``stand_in_features`` — the deterministic byte-statistics fallback
   for payloads no available codec understands.
 """
@@ -508,6 +510,505 @@ def encode_png(pixels, filter_type: int | None = None) -> bytes:
     )
 
 
+# --- baseline JPEG codec (no external library, r11) ---------------------------------
+# ITU T.81 baseline sequential DCT: marker walk, canonical Huffman
+# decode, dequant + dezigzag, separable float IDCT, chroma upsample,
+# YCbCr→RGB. Pure numpy + stdlib struct — the last compressed-format
+# seam closed (r10 verdict task 8). The encoder is the fixture writer
+# (Annex K quantization tables, single-length canonical Huffman
+# tables, optional 4:2:0 subsampling and restart intervals) so
+# round-trip tests exercise every decoder path in-container.
+
+
+def _jpeg_zigzag():
+    """Natural (row-major) index of each coefficient in zigzag order:
+    generated, not transcribed — diagonals alternate direction."""
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else -rc[0],
+        ),
+    )
+    return [r * 8 + c for r, c in order]
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# ITU T.81 Annex K.1/K.2 example quantization tables (public spec
+# constants) — the encoder's defaults; the decoder reads whatever DQT
+# carries.
+_JPEG_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _jpeg_dct_matrix():
+    """A[x, u] = c(u)/2 · cos((2x+1)uπ/16) — orthogonal, so
+    spatial = A @ F @ A.T and F = A.T @ spatial @ A."""
+    import numpy as np
+
+    x = np.arange(8).reshape(8, 1)
+    u = np.arange(8).reshape(1, 8)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[:, 0] *= 1 / np.sqrt(2)
+    return a
+
+
+def _jpeg_build_decode_table(bits, vals):
+    """Canonical Huffman (length, code) → symbol map from the DHT
+    BITS/HUFFVAL lists (T.81 C.2)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one destuffed entropy segment."""
+
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n):
+        v = 0
+        for _ in range(n):
+            byte = self.buf[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def _jpeg_extend(v, s):
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(content: bytes):
+    """Baseline JPEG → (width, height, HxWx3 uint8 RGB array) with NO
+    codec library. Envelope: SOF0/SOF1 (baseline + extended sequential
+    Huffman), 8-bit, 1 or 3 components, any h/v sampling factors ≤ 4
+    (4:4:4, 4:2:2, 4:2:0, ...), restart intervals, multi-table DQT/DHT
+    segments, 16-bit quantizer precision. Progressive (SOF2),
+    arithmetic coding, 12-bit and hierarchical modes raise ValueError
+    — quarantine upstream or route through the PIL seam. Per-bit
+    Huffman decode is Python-loop bound: right for fixture-scale
+    payloads; production volumes belong on the ``decode_real`` seam."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    scan = None
+    ri = 0
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment
+        (length,) = struct.unpack_from(">H", content, pos)
+        data = content[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(data, np.uint8, 64, i).astype(
+                        np.int32
+                    )
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _jpeg_build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            prec = data[0]
+            h, w = struct.unpack_from(">HH", data, 1)
+            nc = data[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tqi = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tqi))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (progressive/arithmetic/"
+                "hierarchical) — baseline sequential Huffman only"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = data[0]
+            scan = [
+                (data[1 + 2 * s], data[2 + 2 * s] >> 4, data[2 + 2 * s] & 15)
+                for s in range(ns)
+            ]
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("JPEG non-interleaved scans not supported")
+
+    # destuff the entropy stream, splitting on restart markers
+    segs, cur, p = [], bytearray(), pos
+    while p < len(content):
+        b = content[p]
+        if b == 0xFF:
+            nxt = content[p + 1] if p + 1 < len(content) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI (or any other marker) ends the scan
+        cur.append(b)
+        p += 1
+    segs.append(bytes(cur))
+
+    by_id = {cid: (hi, vi, tqi) for cid, hi, vi, tqi in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hi, vi, _ in comps:
+        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8))
+    amat = _jpeg_dct_matrix()
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    seg_i = 0
+    bits_ = _JpegBitReader(segs[0])
+
+    def read_block(dcid, acid):
+        zz = np.zeros(64, np.int64)
+        s = _jpeg_huffdecode(bits_, huff[(0, dcid)])
+        zz[0] = _jpeg_extend(bits_.read(s), s) if s else 0
+        k = 1
+        while k < 64:
+            rs = _jpeg_huffdecode(bits_, huff[(1, acid)])
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC coefficient overflow")
+            zz[k] = _jpeg_extend(bits_.read(size), size)
+            k += 1
+        return zz
+
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and nmcu and nmcu % ri == 0:
+                seg_i += 1
+                bits_ = _JpegBitReader(segs[seg_i])
+                preds = {cid: 0 for cid in preds}
+            for cid, td, ta in scan:
+                hi, vi, tqi = by_id[cid]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz = read_block(td, ta)
+                        preds[cid] += int(zz[0])
+                        zz[0] = preds[cid]
+                        blk = np.zeros(64)
+                        blk[_JPEG_ZZ] = zz * qt[tqi]
+                        spatial = (
+                            amat @ blk.reshape(8, 8) @ amat.T + 128.0
+                        )
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            nmcu += 1
+
+    out = []
+    for cid, hi, vi, _ in comps:
+        pl = np.repeat(
+            np.repeat(planes[cid], vmax // vi, axis=0), hmax // hi, axis=1
+        )[:h, :w]
+        out.append(pl)
+    if len(out) == 1:
+        rgb = np.repeat(out[0][:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = out
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+    img = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, np.ascontiguousarray(img)
+
+
+def _jpeg_huffdecode(bits_, table):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits_.read(1)
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_encode_tables():
+    """Single-length canonical Huffman tables for the encoder: all 12
+    DC categories at 5 bits, all 162 AC symbols at 9 bits — valid
+    per-spec tables that are NOT Annex K, so decoder round-trips prove
+    the decoder reads DHT generally instead of assuming the standard
+    tables. Returns (dc_bits, dc_vals, ac_bits, ac_vals, dc_map,
+    ac_map) where the maps are symbol → (code, length)."""
+    dc_vals = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[4] = 12  # all DC symbols at length 5
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_vals)  # all AC symbols at length 9
+    dc_map = {v: (i, 5) for i, v in enumerate(dc_vals)}
+    ac_map = {v: (i, 9) for i, v in enumerate(ac_vals)}
+    return dc_bits, dc_vals, ac_bits, ac_vals, dc_map, ac_map
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def encode_jpeg(
+    pixels,
+    subsampling: tuple[int, int] = (1, 1),
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB array → baseline JPEG bytes (Annex K quant
+    tables, non-standard single-length Huffman tables, optional chroma
+    ``subsampling`` (1,1)=4:4:4 / (2,2)=4:2:0, optional restart
+    intervals). The fixture writer for :func:`decode_jpeg` — lossy, so
+    round-trip tests compare with a quantization-error tolerance; a
+    solid-gray block with even gray level survives EXACTLY (DC 8·(v−128)
+    is divisible by the luminance quantizer 16)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    h, w, _ = arr.shape
+    sh, sv = subsampling
+    amat = _jpeg_dct_matrix()
+    qts = [
+        np.array(_JPEG_QT_LUM, dtype=np.float64),
+        np.array(_JPEG_QT_CHR, dtype=np.float64),
+    ]
+    dc_bits, dc_vals, ac_bits, ac_vals, dc_map, ac_map = (
+        _jpeg_encode_tables()
+    )
+
+    if grayscale:
+        comps = [(1, 1, 1, 0)]
+        planes = [arr.mean(axis=2)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [(1, sh, sv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    prepped = []
+    for (cid, hi, vi, tqi), pl in zip(comps, planes):
+        # downsample by box mean, pad to the MCU grid by edge replicate
+        if (hmax // hi, vmax // vi) != (1, 1):
+            fy, fx = vmax // vi, hmax // hi
+            py = -(-pl.shape[0] // fy) * fy
+            px = -(-pl.shape[1] // fx) * fx
+            tmp = np.pad(
+                pl,
+                ((0, py - pl.shape[0]), (0, px - pl.shape[1])),
+                mode="edge",
+            )
+            pl = tmp.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        pl = np.pad(
+            pl,
+            ((0, th - pl.shape[0]), (0, tw - pl.shape[1])),
+            mode="edge",
+        )
+        prepped.append(pl)
+
+    def put_block(bw, blk, tqi, pred):
+        coef = amat.T @ (blk - 128.0) @ amat
+        q = np.round(coef.reshape(-1) / qts[tqi]).astype(np.int64)
+        zz = q[_JPEG_ZZ]
+        diff = int(zz[0]) - pred
+        s = int(abs(diff)).bit_length()
+        code, length = dc_map[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_map[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            sz = int(abs(v)).bit_length()
+            c, ln = ac_map[(run << 4) | sz]
+            bw.write(c, ln)
+            bw.write(v if v >= 0 else v + (1 << sz) - 1, sz)
+            run = 0
+        if run:
+            c, ln = ac_map[0x00]
+            bw.write(c, ln)
+        return int(zz[0])
+
+    def seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    out = bytearray(b"\xff\xd8")
+    n_qt = 1 if grayscale else 2
+    for tqi in range(n_qt):
+        out += seg(
+            0xDB,
+            bytes([tqi])
+            + bytes(int(qts[tqi][i]) for i in _JPEG_ZZ),
+        )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hi, vi, tqi in comps:
+        sof += bytes([cid, (hi << 4) | vi, tqi])
+    out += seg(0xC0, sof)
+    for th in range(n_qt):  # one DC + one AC table per quant class
+        out += seg(
+            0xC4, bytes([0x00 | th]) + bytes(dc_bits) + bytes(dc_vals)
+        )
+        out += seg(
+            0xC4, bytes([0x10 | th]) + bytes(ac_bits) + bytes(ac_vals)
+        )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, hi, vi, tqi in comps:
+        sos += bytes([cid, (tqi << 4) | tqi])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    bw = _JpegBitWriter()
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    nmcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _JpegBitWriter()
+                preds = {cid: 0 for cid in preds}
+            for (cid, hi, vi, tqi), pl in zip(comps, prepped):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        preds[cid] = put_block(
+                            bw,
+                            pl[y0 : y0 + 8, x0 : x0 + 8],
+                            tqi,
+                            preds[cid],
+                        )
+            nmcu += 1
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_pixels(content: bytes, mime: str | None = None):
     """Magic-byte dispatch to the built-in decoders. ValueError when no
     built-in codec matches (caller decides: stand-in, PIL, quarantine)."""
@@ -517,6 +1018,8 @@ def decode_pixels(content: bytes, mime: str | None = None):
         return decode_bmp(content)
     if content.startswith(_PNG_SIG):
         return decode_png(content)
+    if content.startswith(b"\xff\xd8"):
+        return decode_jpeg(content)
     raise ValueError(f"no built-in codec for payload (mime={mime!r})")
 
 

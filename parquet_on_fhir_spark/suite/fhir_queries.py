@@ -2295,3 +2295,91 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf39_ecl_wildcard_group_flags", qf39, QF39_ORACLE))
+
+
+# --- qf40: $validate-code over the sf-scaled fact table ----------------------------------
+_QF40_CODES = [
+    "hand", "body", "ghost", "heart", "limb",
+    "organ", "arm", "leg", "foot", "root",
+]
+
+
+def qf40(spark, sf_dir):
+    """Batch $validate-code over a FACT-SCALED code column (fhir/
+    terminology.py::validate_codes, r11 — the r10 verdict's task 6):
+    every events row derives a deterministic (system, code) pair, the
+    preds ValueSet (regex + in-list + is-a∩property includes) expands
+    ONCE, and membership is a BROADCAST left join against the fact
+    side — the events table is never shuffled; the only exchange is
+    the final ~20-group count aggregate. Unlike qf23/qf25 (fixture-
+    sized at any sf), this line's cost moves with sf, so the bench can
+    see a terminology-join regression against data growth."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        validate_codes,
+    )
+    from parquet_on_fhir_spark.suite.common import t
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_FILTER_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    facts = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.lit("http://example.org/cs/other"),
+        )
+        .otherwise(F.lit("http://example.org/cs/anatomy2"))
+        .alias("system"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _QF40_CODES]),
+            (F.col("event_id") % 10).cast("int") + 1,
+        ).alias("code"),
+    )
+    out = validate_codes(
+        facts,
+        vs,
+        "system",
+        "code",
+        "http://example.org/ValueSet/preds",
+        codesystems=cs,
+        closure=closure,
+    )
+    return out.groupBy("system", "code", "in_valueset", "display").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+# preds members (computed once in qf25's docstring): regex h.* →
+# {hand, heart}; in-list → {arm, leg}; is-a limb ∩ status=active →
+# {limb, arm, leg, foot}; union = {hand, heart, arm, leg, limb, foot}
+QF40_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'http://example.org/cs/other'
+              ELSE 'http://example.org/cs/anatomy2' END AS system,
+         list_extract(
+           ['hand','body','ghost','heart','limb',
+            'organ','arm','leg','foot','root'],
+           CAST(event_id % 10 AS INT) + 1) AS code
+  FROM events
+),
+m AS (
+  SELECT *,
+         (system = 'http://example.org/cs/anatomy2'
+          AND code IN ('hand','heart','arm','leg','limb','foot'))
+           AS in_valueset
+  FROM f
+)
+SELECT system, code, in_valueset,
+       CASE WHEN in_valueset
+            THEN upper(substring(code, 1, 1)) || substring(code, 2)
+            ELSE NULL END AS display,
+       CAST(count(*) AS BIGINT) AS n
+FROM m
+GROUP BY 1, 2, 3, 4
+"""
+
+
+QUERIES.append(Q("qf40_validate_code_facts", qf40, QF40_ORACLE))

@@ -3100,3 +3100,77 @@ FROM per GROUP BY source
 
 
 QUERIES.append(Q("q251_tokenizer_fertility", q251, Q251_ORACLE))
+
+
+# --- Q255: compressed-format (baseline JPEG) real decode, driver-checked -------------
+def q255(spark, sf_dir):
+    """operators/multimodal.py::decode_jpeg end-to-end (r11 — the last
+    compressed-format seam closed pure-numpy): 100 genuine baseline
+    JPEGs (one per EVEN gray level 28..226, built by the in-repo
+    encoder driver-side — solid even gray decodes EXACTLY because the
+    DC coefficient 8·(v−128) is divisible by the Annex-K luminance
+    quantizer 16 and every AC is zero) broadcast-join to documents,
+    get Huffman-decoded + IDCT'd inside mapInPandas, and the luminance
+    features compare to their closed form — the oracle needs no
+    decoder. Same plan shape as q185 (PNG): fact side never shuffles."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_jpeg,
+        extract_features,
+        numpy_features,
+    )
+
+    payloads = [
+        (
+            g,
+            bytearray(
+                encode_jpeg(
+                    np.full((8, 8, 3), g, dtype=np.uint8), grayscale=True
+                )
+            ),
+        )
+        for g in range(28, 228, 2)
+    ]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay),
+        ((F.col("doc_id") % 100) * 2 + 28).cast("int") == F.col("g"),
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q255_ORACLE = """
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       CAST(8.0 AS DOUBLE) AS f_width,
+       CAST(8.0 AS DOUBLE) AS f_height,
+       round(((doc_id % 100) * 2 + 28) / 255.0 + 1e-9, 4) AS lum_00,
+       round(((doc_id % 100) * 2 + 28) / 255.0 + 1e-9, 4) AS lum_mid,
+       round(((doc_id % 100) * 2 + 28) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q255_jpeg_real_decode", q255, Q255_ORACLE))

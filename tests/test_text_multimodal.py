@@ -492,6 +492,161 @@ def test_png_flows_through_numpy_features_and_resize():
     assert out.startswith(b"P6")
 
 
+def test_jpeg_handbuilt_block_decodes_known_idct():
+    """decode_jpeg r11, pinned INDEPENDENTLY of encode_jpeg: a JPEG
+    hand-assembled byte-by-byte in this test (single 8×8 grayscale
+    block, all-ones quant table, custom 1-symbol DC / 2-symbol AC
+    Huffman tables, DC=8 + one AC coefficient 3 at zigzag index 1)
+    must decode to the IDCT evaluated here via the raw T.81 cosine
+    double sum — pinning marker parse, canonical Huffman, EXTEND,
+    dezigzag position, dequantization and the IDCT in one shot, with
+    no shared code between producer and expectation."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import decode_jpeg
+
+    jpg = bytes.fromhex(
+        "ffd8"
+        # DQT: pq/tq=0, 64 × 1
+        + "ffdb0043" + "00" + "01" * 64
+        # SOF0: 8-bit, 8×8, 1 component (id 1, 1×1 sampling, qt 0)
+        + "ffc0000b" + "08" + "0008" + "0008" + "01" + "011100"
+        # DHT DC0: one symbol (category 4) at code length 1 → code '0'
+        + "ffc40014" + "00" + "01" + "00" * 15 + "04"
+        # DHT AC0: symbols EOB(0x00), 0x02 at length 2 → codes 00, 01
+        + "ffc40015" + "10" + "0002" + "00" * 14 + "0002"
+        # SOS: 1 component, DC/AC table 0, spectral 0..63
+        + "ffda0008" + "01" + "0100" + "003f00"
+        # entropy: DC cat4 '0'+'1000'(=+8); AC sym 0x02 '01' + '11'(=+3);
+        # EOB '00'; pad 1s → 01000011 10011111
+        + "439f"
+        + "ffd9"
+    )
+    w, h, img = decode_jpeg(jpg)
+    assert (w, h) == (8, 8)
+
+    # independent IDCT: F[0,0]=8, F[0,1]=3 (vertical index first)
+    def c(k):
+        return 1 / np.sqrt(2) if k == 0 else 1.0
+
+    expect = np.empty((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v, u, f in ((0, 0, 8.0), (0, 1, 3.0)):
+                s += (
+                    c(u) * c(v) / 4.0 * f
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                )
+            expect[y, x] = s + 128.0
+    expect = np.clip(np.round(expect), 0, 255).astype(np.uint8)
+    assert np.array_equal(img[:, :, 0], expect)
+    # grayscale replicates across RGB
+    assert np.array_equal(img[:, :, 0], img[:, :, 2])
+
+
+def test_jpeg_roundtrip_gray_exact_and_color_tolerance():
+    """encode_jpeg→decode_jpeg: a solid EVEN gray level survives
+    exactly (DC 8·(v−128) divisible by the luminance quantizer 16,
+    all AC zero); smooth color content round-trips within quantization
+    error at 4:4:4 and 4:2:0; restart intervals decode identically;
+    non-multiple-of-8 dimensions pad and crop correctly."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    solid = np.full((16, 8, 3), 108, dtype=np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg(solid, grayscale=True))
+    assert (w, h) == (8, 16) and np.array_equal(out, solid)
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack(
+        [
+            40 + yy * 5 + xx * 2,
+            60 + xx * 4,
+            90 + yy * 3 + xx,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for kwargs, tol in (
+        (dict(), 12),
+        (dict(subsampling=(2, 2)), 20),
+        (dict(restart_interval=2), 12),
+        (dict(subsampling=(2, 2), restart_interval=1), 20),
+    ):
+        w, h, out = decode_jpeg(encode_jpeg(img, **kwargs))
+        assert (w, h) == (24, 16)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= tol, (kwargs, err.max())
+    # odd dimensions with subsampling: crop back to source size
+    odd = img[:13, :19]
+    w, h, out = decode_jpeg(encode_jpeg(odd, subsampling=(2, 2)))
+    assert (w, h) == (19, 13) and out.shape == (13, 19, 3)
+    # restart path really resets predictors: identical output with and
+    # without restarts
+    _, _, a = decode_jpeg(encode_jpeg(img))
+    _, _, b = decode_jpeg(encode_jpeg(img, restart_interval=3))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_out_of_envelope():
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    good = encode_jpeg(img, grayscale=True)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"P6 not a jpeg")
+    # progressive (SOF2) refuses rather than mis-decoding
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # 12-bit precision refuses
+    i = good.index(b"\xff\xc0") + 4
+    deep = good[:i] + b"\x0c" + good[i + 1 :]
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(deep)
+    # truncated entropy stream raises (bit reader runs off the end)
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(good[:-4])
+
+
+def test_jpeg_flows_through_numpy_features():
+    """decode_pixels magic-dispatch picks the JPEG codec, so
+    best_codec()/numpy_features handle JPEG payloads with zero plumbing
+    change — closing the last compressed-format seam: features are
+    66-dim reals, and for a solid even-gray payload EQUAL the PPM
+    encoding of the same pixels (the decode is exact there)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        best_codec,
+        encode_jpeg,
+        encode_ppm,
+        numpy_features,
+        numpy_resize,
+    )
+
+    img = np.full((16, 16, 3), 88, dtype=np.uint8)
+    f_jpg = numpy_features(encode_jpeg(img, grayscale=True))
+    f_ppm = numpy_features(encode_ppm(img))
+    assert f_jpg == f_ppm and len(f_jpg) == 66
+    # best_codec without PIL routes through the same numpy tier
+    assert best_codec()(encode_jpeg(img, grayscale=True), None) == f_jpg
+    # resize canonicalizes to PPM regardless of input container
+    out = numpy_resize(encode_jpeg(img), None, 8, 8)
+    assert out.startswith(b"P6")
+
+
 def test_wav_roundtrip_and_features():
     """encode→decode identity for mono and stereo 16-bit PCM; features
     match closed forms; non-WAV payloads fall back to the stand-in."""
