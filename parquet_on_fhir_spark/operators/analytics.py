@@ -4013,3 +4013,192 @@ def conformal_interval(
     return audited.select(
         *key_cols, "point", "n_cal", "q_hat", "n_test", "coverage"
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over equal-width
+    probability bins: BRIER = mean((p−o)²), RELIABILITY =
+    Σ n_b (f̄_b − ō_b)²/N (calibration error — small is good),
+    RESOLUTION = Σ n_b (ō_b − ō)²/N (how much the forecast separates
+    outcomes — large is good), UNCERTAINTY = ō(1−ō). The forecast-
+    quality triptych behind every reliability diagram; complements
+    hosmer_lemeshow (a TEST) with the decomposition (a MEASURE).
+
+    Resolution uses the difference-of-squares identity
+    Σ n_b ō_b²/N − ō² so the whole thing is TWO hash aggregates
+    (rows → n_bins rows → 1 row per key), both map-side combined —
+    no second pass to subtract a precomputed grand mean, no window.
+
+    Output: (keys, n, brier, reliability, resolution, uncertainty).
+    """
+    keys = list(key_cols or [])
+    o = F.col(outcome_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    binned = (
+        df.select(
+            *keys,
+            F.least(F.floor(p * n_bins), F.lit(n_bins - 1))
+            .cast("int")
+            .alias("__bin"),
+            p.alias("__p"),
+            o.alias("__o"),
+            ((p - o) * (p - o)).alias("__sq"),
+        )
+        .groupBy(*keys, "__bin")
+        .agg(
+            F.count("*").cast("double").alias("__nb"),
+            F.avg("__p").alias("__fbar"),
+            F.avg("__o").alias("__obar"),
+            F.sum("__sq").alias("__sqs"),
+        )
+    )
+    fb, ob, nb = F.col("__fbar"), F.col("__obar"), F.col("__nb")
+    agg = binned.groupBy(*keys).agg(
+        F.sum("__nb").alias("__n"),
+        F.sum("__sqs").alias("__sq_all"),
+        F.sum(nb * ob).alias("__o_sum"),
+        F.sum(nb * ob * ob).alias("__o2_sum"),
+        F.sum(nb * (fb - ob) * (fb - ob)).alias("__rel_sum"),
+    )
+    obar_g = F.col("__o_sum") / F.col("__n")
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        (F.col("__sq_all") / F.col("__n")).alias("brier"),
+        (F.col("__rel_sum") / F.col("__n")).alias("reliability"),
+        (F.col("__o2_sum") / F.col("__n") - obar_g * obar_g).alias(
+            "resolution"
+        ),
+        (obar_g * (F.lit(1.0) - obar_g)).alias("uncertainty"),
+    )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    score_col: str,
+    p: float = 0.9,
+    depth: int = 20,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between two
+    rankings: RBO@d = Σ_{k=1..d} (1−p)·p^{k−1}·|A_k ∩ B_k|/k, the
+    top-weighted agreement measure for comparing rankers (exact vs ANN
+    retrieval, yesterday's vs today's ranking) — unlike Spearman it
+    tolerates non-conjoint lists and discounts the tail geometrically.
+
+    Both sides are ranked by ``score_col`` DESC (ties broken by
+    ``id_col`` for determinism), truncated to ``depth`` FIRST, so
+    every later frame is depth-bounded metadata: the common-item join,
+    the (key, k) grid and the cumulative-overlap window all hold ≤
+    depth rows per key. With ``key_cols`` (e.g. per-query evaluation)
+    the ranking windows partition by key — the scale path; keyless
+    means one global ranking (a single top-depth sort).
+
+    Output: (keys, depth, overlap_at_depth, rbo).
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols or [])
+
+    def top(df, side):
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        return (
+            df.select(*keys, id_col, score_col)
+            .withColumn(f"__r{side}", F.row_number().over(w))
+            .filter(F.col(f"__r{side}") <= depth)
+            .drop(score_col)
+        )
+
+    ta, tb = top(a, "a"), top(b, "b")
+    common = ta.join(tb, keys + [id_col]).select(
+        *keys, F.greatest("__ra", "__rb").alias("__m")
+    )
+    cnt = common.groupBy(*keys, "__m").agg(F.count("*").alias("__c"))
+    keyspace = ta.select(*keys).unionByName(tb.select(*keys)).distinct()
+    grid = keyspace.select(
+        *keys, F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("__m")
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("__m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ov = grid.join(cnt, keys + ["__m"], "left").withColumn(
+        "__ov", F.sum(F.coalesce("__c", F.lit(0))).over(wcum)
+    )
+    return ov.groupBy(*keys).agg(
+        F.lit(depth).alias("depth"),
+        F.max(F.when(F.col("__m") == depth, F.col("__ov"))).alias(
+            "overlap_at_depth"
+        ),
+        F.sum(
+            F.lit(1.0 - p)
+            * F.pow(F.lit(p), F.col("__m") - 1)
+            * F.col("__ov")
+            / F.col("__m")
+        ).alias("rbo"),
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    key_cols: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR adjustment: rank the m p-values
+    ascending, p_adj(i) = min_{j≥i} (m·p_(j)/j) capped at 1, reject
+    where p_adj ≤ q — THE multiple-testing correction for metric
+    sweeps (a thousand A/B metrics, per-segment drift tests), where
+    Bonferroni is hopeless and uncorrected p-values are dishonest.
+
+    Two windows over the per-key hypothesis frame (rank, then the
+    suffix running-min read in reverse rank order) — hypotheses are
+    GROUPS (metadata-sized relative to the facts that produced the
+    p-values), so the per-key window is the scale path, exactly like
+    the repo's other distinct-frame statistics. Tied p-values receive
+    identical p_adj regardless of tie order (the suffix min over equal
+    p collapses); ``tie_cols`` pins the REPORTED rank deterministically.
+
+    Output: input columns + rank, p_adj, rejected.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols or [])
+    ties = [F.col(c) for c in (tie_cols or [])]
+    wrank = Window.partitionBy(*keys).orderBy(F.col(p_col).asc(), *ties)
+    wall = Window.partitionBy(*keys)
+    wsuffix = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__rank").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ranked = df.withColumn("__rank", F.row_number().over(wrank)).withColumn(
+        "__m", F.count("*").over(wall)
+    )
+    adj = ranked.withColumn(
+        "__p_adj",
+        F.least(
+            F.min(
+                F.col(p_col) * F.col("__m") / F.col("__rank")
+            ).over(wsuffix),
+            F.lit(1.0),
+        ),
+    )
+    return adj.select(
+        *df.columns,
+        F.col("__rank").alias("rank"),
+        F.col("__p_adj").alias("p_adj"),
+        (F.col("__p_adj") <= q).alias("rejected"),
+    )

@@ -906,3 +906,45 @@ def stratified_folds(
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    exponential keys: each row draws u ~ U(0,1) deterministically from
+    md5(seed:id) and the k rows with the largest u^(1/w) — equivalently
+    the largest ln(u)/w, the monotone form computed here — are the
+    sample. One pass, no per-round rejection loop, provably the
+    weighted-WOR distribution (Efraimidis & Spirakis 2006); the
+    standard way to draw a quality-weighted training subset where
+    ``df.sample`` (Bernoulli, unweighted) cannot.
+
+    Plan: a map-side key computation followed by ORDER BY + LIMIT k,
+    which Spark executes as TakeOrdered (per-partition top-k heaps +
+    a k-row merge) — no global sort shuffle, no window. The md5 draw
+    makes the exact sample SQL-restatable cross-engine. Rows with
+    NULL or non-positive weight are excluded (they have zero selection
+    probability in the WOR scheme; an explicit filter beats a NaN key).
+
+    Output: the k sampled input rows + ``sample_key`` (the ln(u)/w
+    draw, for audit/reproducibility).
+    """
+    u = (
+        md5_60(
+            F.concat_ws(
+                ":", F.lit(f"ws{seed}"), F.col(id_col).cast("string")
+            )
+        )
+        + F.lit(1)
+    ) / F.lit(float(2**60))
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("sample_key", F.ln(u) / F.col(weight_col))
+    return keyed.orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    ).limit(k)

@@ -652,3 +652,78 @@ def common_neighbors(
             ).cast("double")
         ).alias("jaccard"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    term_dp: int | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over a directed edge
+    list, run for a FIXED iteration count with L2 normalization after
+    every half-step — a deterministic function of the graph (no
+    convergence test), so the whole computation restates as a
+    chained-CTE SQL oracle, exactly like :func:`pagerank`'s
+    fixed-round form.
+
+    Per half-step: one shuffle of (node, partial) pairs into a hash
+    aggregate, then the L2 norm is a 1-ROW aggregate BROADCAST back
+    into the update — never a per-round driver collect; the lazy
+    localCheckpoints cascade at the final action so each half-step
+    materializes once, in order (the pagerank lesson). The edge list
+    is deduped up front — a doubled edge must not double-count.
+
+    ``term_dp`` quantizes each normalized score (the repo's
+    transcendental convention: sqrt differs across libm builds in the
+    last ulp; 12-dp pinning stops cross-engine drift from compounding
+    through the next half-step's sums).
+
+    Output: (node, hub, authority) over all edge endpoints; hub
+    (authority) is 0.0 for nodes with no outgoing (incoming) edges.
+    """
+    e = _truncate_lineage(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    )
+
+    def rnd(c):
+        return F.round(c, term_dp) if term_dp is not None else c
+
+    def normalize(df, col):
+        nrm = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__nrm")
+        )
+        return (
+            df.crossJoin(F.broadcast(nrm))
+            .select("node", rnd(F.col(col) / F.col("__nrm")).alias(col))
+            .localCheckpoint(eager=False)
+        )
+
+    hubs = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("h"))
+    )
+    auth = None
+    for _ in range(iterations):
+        auth = normalize(
+            e.join(hubs, e["u"] == hubs["node"])
+            .groupBy(e["v"].alias("node"))
+            .agg(F.sum("h").alias("a")),
+            "a",
+        )
+        hubs = normalize(
+            e.join(auth, e["v"] == auth["node"])
+            .groupBy(e["u"].alias("node"))
+            .agg(F.sum("a").alias("h")),
+            "h",
+        )
+    return (
+        hubs.join(auth, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("authority"),
+        )
+    )

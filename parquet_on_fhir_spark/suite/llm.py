@@ -3174,3 +3174,41 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q255_jpeg_real_decode", q255, Q255_ORACLE))
+
+
+# --- Q258: weighted training-subset sampling (Efraimidis-Spirakis) --------------------
+def q258(spark, sf_dir):
+    """Weighted sampling without replacement (operators/curation.py::
+    weighted_sample_wor, r11): the 50 documents drawn by
+    length-weighted Efraimidis-Spirakis exponential keys — one
+    map-side key computation + TakeOrdered (per-partition top-k heaps,
+    no global sort, no window), the quality-weighted subset draw
+    ``df.sample`` (Bernoulli, unweighted) cannot express. The md5 draw
+    makes the exact sample SQL-restatable; only the integer columns
+    return (key ordering is cross-engine stable, the float key itself
+    stays internal)."""
+    from parquet_on_fhir_spark.operators.curation import (
+        weighted_sample_wor,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = weighted_sample_wor(d, "doc_id", "n_chars", k=50, seed=7)
+    return out.select("doc_id", "n_chars")
+
+
+Q258_ORACLE = """
+SELECT doc_id, n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         ln((CAST('0x' || substr(md5('ws7:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) + 1)
+            / CAST(1152921504606846976 AS DOUBLE)) / n_chars AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+ORDER BY k DESC, doc_id
+LIMIT 50
+"""
+
+
+QUERIES.append(Q("q258_weighted_sample", q258, Q258_ORACLE))

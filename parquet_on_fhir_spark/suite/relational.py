@@ -6319,3 +6319,256 @@ GROUP BY t.event_type
 
 
 QUERIES.append(Q("q253_conformal_interval", q253, Q253_ORACLE))
+
+
+# --- Q256: Brier score decomposition -------------------------------------------------
+def q256(spark, sf_dir):
+    """Murphy decomposition of the Brier score (operators/analytics.py
+    ::brier_decomposition, r11): forecasts are deterministic md5-draws
+    over events, outcomes are purchase events, 10 equal-width bins.
+    Reliability/resolution/uncertainty via the difference-of-squares
+    identity — two map-side-combined hash aggregates, no second pass
+    for the grand mean, no window. Complements q240 (Hosmer-Lemeshow
+    TESTS calibration; this MEASURES the forecast-quality triptych)."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        brier_decomposition,
+    )
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    e = t(spark, sf_dir, "events").select(
+        (
+            md5_60(F.concat(F.lit("br:"), F.col("event_id").cast("string")))
+            / F.lit(float(2**60))
+        ).alias("prob"),
+        (F.col("event_type") == "purchase").alias("outcome"),
+    )
+    out = brier_decomposition(e, "prob", "outcome", n_bins=10)
+    return out.select(
+        "n",
+        d4(F.col("brier")).alias("brier"),
+        d4(F.col("reliability")).alias("reliability"),
+        d4(F.col("resolution")).alias("resolution"),
+        d4(F.col("uncertainty")).alias("uncertainty"),
+    )
+
+
+Q256_ORACLE = """
+WITH f AS (
+  SELECT CAST('0x' || substr(md5('br:' || CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS o
+  FROM events
+),
+b AS (
+  SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+         CAST(count(*) AS DOUBLE) AS nb,
+         avg(p) AS fbar, avg(o) AS obar,
+         sum((p - o) * (p - o)) AS sqs
+  FROM f GROUP BY 1
+),
+g AS (
+  SELECT sum(nb) AS n, sum(sqs) AS sq_all,
+         sum(nb * obar) AS o_sum, sum(nb * obar * obar) AS o2_sum,
+         sum(nb * (fbar - obar) * (fbar - obar)) AS rel_sum
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sq_all / n + 1e-9, 4) AS brier,
+       round(rel_sum / n + 1e-9, 4) AS reliability,
+       round(o2_sum / n - (o_sum / n) * (o_sum / n) + 1e-9, 4)
+         AS resolution,
+       round((o_sum / n) * (1.0 - o_sum / n) + 1e-9, 4) AS uncertainty
+FROM g
+"""
+
+
+QUERIES.append(Q("q256_brier_decomposition", q256, Q256_ORACLE))
+
+
+# --- Q257: rank-biased overlap between two supplier rankings -------------------------
+def q257(spark, sf_dir):
+    """Truncated rank-biased overlap (operators/analytics.py::
+    rank_biased_overlap, r11 — Webber et al. 2010): how much does
+    ranking suppliers by REVENUE agree with ranking them by QUANTITY
+    shipped? Top-weighted geometric discount (p=0.9, depth 20) — the
+    ranker-comparison measure Spearman can't give on non-conjoint
+    truncated lists. Both rankings are depth-truncated FIRST, so every
+    frame after the two ranking windows is ≤ depth rows."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        rank_biased_overlap,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "score"
+        )
+    )
+    qty = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("score"))
+    out = rank_biased_overlap(
+        rev, qty, "l_suppkey", "score", p=0.9, depth=20
+    )
+    return out.select(
+        "depth",
+        F.col("overlap_at_depth").cast("long").alias("overlap_at_depth"),
+        d4(F.col("rbo")).alias("rbo"),
+    )
+
+
+Q257_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS score
+  FROM lineitem GROUP BY l_suppkey
+),
+qty AS (
+  SELECT l_suppkey, sum(l_quantity) AS score
+  FROM lineitem GROUP BY l_suppkey
+),
+ra AS (
+  SELECT l_suppkey,
+         row_number() OVER (ORDER BY score DESC, l_suppkey) AS r
+  FROM rev QUALIFY r <= 20
+),
+rb AS (
+  SELECT l_suppkey,
+         row_number() OVER (ORDER BY score DESC, l_suppkey) AS r
+  FROM qty QUALIFY r <= 20
+),
+common AS (
+  SELECT GREATEST(ra.r, rb.r) AS m
+  FROM ra JOIN rb USING (l_suppkey)
+),
+grid AS (SELECT unnest(range(1, 21)) AS k),
+ov AS (
+  SELECT k, (SELECT count(*) FROM common WHERE m <= k) AS o
+  FROM grid
+)
+SELECT 20 AS depth,
+       (SELECT CAST(o AS BIGINT) FROM ov WHERE k = 20) AS overlap_at_depth,
+       round(sum(0.1 * power(0.9, k - 1) * o / k) + 1e-9, 4) AS rbo
+FROM ov
+"""
+
+
+QUERIES.append(Q("q257_rank_biased_overlap", q257, Q257_ORACLE))
+
+
+# --- Q259: Benjamini-Hochberg FDR over a metric sweep --------------------------------
+def q259(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR (operators/analytics.py::
+    benjamini_hochberg, r11): 200 hypotheses with deterministic
+    md5-draw p-values — every 10th customer group carries a planted
+    effect (p scaled by 1/50) — adjusted at q=0.10. Two windows over
+    the 200-row hypothesis frame (rank, then the suffix running min);
+    the facts that would produce real p-values never enter the
+    adjustment, which is the scale point: hypotheses are metadata."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        benjamini_hochberg,
+    )
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    hyp = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").alias("hypothesis"),
+            (
+                md5_60(
+                    F.concat(
+                        F.lit("bh:"), F.col("c_custkey").cast("string")
+                    )
+                )
+                / F.lit(float(2**60))
+                * F.when(F.col("c_custkey") % 10 == 0, 0.02).otherwise(1.0)
+            ).alias("p_value"),
+        )
+    )
+    out = benjamini_hochberg(
+        hyp, "p_value", q=0.10, tie_cols=["hypothesis"]
+    )
+    return out.select(
+        "hypothesis",
+        d4(F.col("p_value")).alias("p_value"),
+        "rank",
+        d4(F.col("p_adj")).alias("p_adj"),
+        "rejected",
+    )
+
+
+Q259_ORACLE = """
+WITH hyp AS (
+  SELECT c_custkey AS hypothesis,
+         CAST('0x' || substr(md5('bh:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) / CAST(1152921504606846976 AS DOUBLE)
+           * CASE WHEN c_custkey % 10 = 0 THEN 0.02 ELSE 1.0 END AS p
+  FROM customer WHERE c_custkey <= 200
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p ASC, hypothesis) AS r,
+         count(*) OVER () AS m
+  FROM hyp
+),
+adj AS (
+  SELECT *,
+         LEAST(min(p * m / r) OVER (
+                 ORDER BY r ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING), 1.0) AS p_adj
+  FROM ranked
+)
+SELECT hypothesis,
+       round(p + 1e-9, 4) AS p_value,
+       CAST(r AS INT) AS rank,
+       round(p_adj + 1e-9, 4) AS p_adj,
+       p_adj <= 0.10 AS rejected
+FROM adj
+"""
+
+
+QUERIES.append(Q("q259_bh_fdr", q259, Q259_ORACLE))
+
+
+# --- Q260: HITS hubs and authorities -------------------------------------------------
+def q260(spark, sf_dir):
+    """HITS (operators/graph.py::hits, r11 — Kleinberg hubs/
+    authorities) over the supplier→part shipment graph, 2 fixed
+    iterations with 12-dp-pinned L2 normalization per half-step (the
+    pagerank fixed-round convention, so the power iteration restates
+    as a chained-CTE oracle). Each half-step is one (node, partial)
+    shuffle into a hash aggregate; norms are 1-row aggregates
+    broadcast back — no per-round driver collect."""
+    from parquet_on_fhir_spark.operators.graph import hits
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    out = hits(edges, iterations=2, term_dp=12)
+    return out.select(
+        "node",
+        d4(F.col("hub")).alias("hub"),
+        d4(F.col("authority")).alias("authority"),
+    )
+
+
+Q260_ORACLE = """
+WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS v FROM lineitem),
+a1 AS (SELECT v AS node, CAST(count(*) AS DOUBLE) AS a FROM e GROUP BY v),
+a1n AS (SELECT node, round(a / sqrt(sum(a * a) OVER ()), 12) AS a FROM a1),
+h1 AS (SELECT e.u AS node, sum(a1n.a) AS h
+       FROM e JOIN a1n ON e.v = a1n.node GROUP BY e.u),
+h1n AS (SELECT node, round(h / sqrt(sum(h * h) OVER ()), 12) AS h FROM h1),
+a2 AS (SELECT e.v AS node, sum(h1n.h) AS a
+       FROM e JOIN h1n ON e.u = h1n.node GROUP BY e.v),
+a2n AS (SELECT node, round(a / sqrt(sum(a * a) OVER ()), 12) AS a FROM a2),
+h2 AS (SELECT e.u AS node, sum(a2n.a) AS h
+       FROM e JOIN a2n ON e.v = a2n.node GROUP BY e.u),
+h2n AS (SELECT node, round(h / sqrt(sum(h * h) OVER ()), 12) AS h FROM h2)
+SELECT COALESCE(h.node, a.node) AS node,
+       round(COALESCE(h.h, 0.0) + 1e-9, 4) AS hub,
+       round(COALESCE(a.a, 0.0) + 1e-9, 4) AS authority
+FROM h2n h FULL JOIN a2n a ON h.node = a.node
+"""
+
+
+QUERIES.append(Q("q260_hits", q260, Q260_ORACLE))

@@ -2143,3 +2143,165 @@ def test_ks_w1_quantize_hatch(spark):
         df, "v", "g", "a", "b", quantize=0.1
     ).collect()[0].w1
     assert abs(wq - w0) <= 0.05 + 1e-9  # quantize/2 bound
+
+
+def test_brier_decomposition_matches_numpy(spark):
+    """brier_decomposition (r11) vs a direct numpy computation of the
+    Murphy components, plus the exact identity binned-Brier =
+    REL - RES + UNC (which holds when forecasts are collapsed to their
+    bin means — the decomposition's defining property)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        brier_decomposition,
+    )
+
+    rng = np.random.default_rng(5)
+    p = rng.uniform(0, 1, 400)
+    o = (rng.uniform(0, 1, 400) < p * 0.8 + 0.1).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), bool(b)) for a, b in zip(p, o)], "prob double, outcome boolean"
+    )
+    row = brier_decomposition(df, "prob", "outcome", n_bins=10).collect()[0]
+
+    bins = np.minimum((p * 10).astype(int), 9)
+    n = len(p)
+    obar = o.mean()
+    rel = res = 0.0
+    binned_brier = 0.0
+    for b in range(10):
+        m = bins == b
+        if not m.any():
+            continue
+        nb, fb, ob = m.sum(), p[m].mean(), o[m].mean()
+        rel += nb * (fb - ob) ** 2 / n
+        res += nb * (ob - obar) ** 2 / n
+        binned_brier += ((fb - o[m]) ** 2).sum() / n
+    assert row["n"] == n
+    assert abs(row["brier"] - ((p - o) ** 2).mean()) < 1e-12
+    assert abs(row["reliability"] - rel) < 1e-12
+    assert abs(row["resolution"] - res) < 1e-12
+    assert abs(row["uncertainty"] - obar * (1 - obar)) < 1e-12
+    # Murphy identity on the binned forecast
+    assert abs(
+        (row["reliability"] - row["resolution"] + row["uncertainty"])
+        - binned_brier
+    ) < 1e-12
+
+
+def test_rank_biased_overlap_reference_and_extremes(spark):
+    """rank_biased_overlap (r11) vs a pure-python truncated RBO;
+    identical rankings give 1 - p^d, disjoint top-d give 0, and a
+    partial agreement matches the reference sum term-for-term."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        rank_biased_overlap,
+    )
+
+    def ref_rbo(la, lb, p, d):
+        tot = 0.0
+        for k in range(1, d + 1):
+            ov = len(set(la[:k]) & set(lb[:k]))
+            tot += (1 - p) * p ** (k - 1) * ov / k
+        return tot
+
+    def to_df(lst):
+        # score = descending position
+        return spark.createDataFrame(
+            [(x, float(len(lst) - i)) for i, x in enumerate(lst)],
+            "item long, score double",
+        )
+
+    la = [1, 2, 3, 4, 5, 6, 7, 8]
+    lb = [2, 1, 3, 9, 5, 10, 7, 11]
+    d = 6
+    got = rank_biased_overlap(
+        to_df(la), to_df(lb), "item", "score", p=0.8, depth=d
+    ).collect()[0]
+    assert abs(got["rbo"] - ref_rbo(la, lb, 0.8, d)) < 1e-12
+    assert got["overlap_at_depth"] == len(set(la[:d]) & set(lb[:d]))
+    same = rank_biased_overlap(
+        to_df(la), to_df(la), "item", "score", p=0.8, depth=d
+    ).collect()[0]
+    assert abs(same["rbo"] - (1 - 0.8**d)) < 1e-12
+    disj = rank_biased_overlap(
+        to_df([1, 2, 3]), to_df([4, 5, 6]), "item", "score", p=0.8, depth=3
+    ).collect()[0]
+    assert disj["rbo"] == 0.0
+
+
+def test_benjamini_hochberg_matches_reference(spark):
+    """benjamini_hochberg (r11) vs the textbook step-up procedure run
+    in plain python (sort, suffix min of m·p/i, cap at 1), including
+    tied p-values receiving identical adjusted values."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        benjamini_hochberg,
+    )
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.205, 0.8, 1.0, 0.0001]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "hid long, p double"
+    )
+    got = {
+        r["hid"]: (r["p_adj"], r["rejected"])
+        for r in benjamini_hochberg(
+            df, "p", q=0.05, tie_cols=["hid"]
+        ).collect()
+    }
+    # reference: step-up on the sorted values
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: (ps[i], i))
+    raw = [ps[i] * m / (r + 1) for r, i in enumerate(order)]
+    suffix = raw[:]
+    for r in range(m - 2, -1, -1):
+        suffix[r] = min(suffix[r], suffix[r + 1])
+    for r, i in enumerate(order):
+        exp = min(suffix[r], 1.0)
+        assert abs(got[i][0] - exp) < 1e-12, (i, got[i][0], exp)
+        assert got[i][1] == (exp <= 0.05)
+    # the two tied 0.205 hypotheses get the same adjusted value
+    assert got[7][0] == got[8][0]
+
+
+def test_weighted_sample_wor_matches_reference(spark):
+    """weighted_sample_wor (r11) vs a hashlib recomputation of the
+    Efraimidis-Spirakis keys: same top-k set, zero/negative/NULL
+    weights excluded, and heavier items dominate across seeds."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.curation import (
+        weighted_sample_wor,
+    )
+
+    rows = [(i, float(w)) for i, w in enumerate(
+        [1, 5, 0, 100, 2, 50, 3, -1, 10, 4, 7, 20, 1, 1, 1, 60]
+    )]
+    df = spark.createDataFrame(rows, "id long, w double").withColumn(
+        "w", F.when(F.col("id") == 14, None).otherwise(F.col("w"))
+    )
+
+    def key(i, w, seed):
+        u = (int(hashlib.md5(
+            f"ws{seed}:{i}".encode()).hexdigest()[:15], 16) + 1) / 2**60
+        import math
+
+        return math.log(u) / w
+
+    for seed in (0, 7):
+        got = {
+            r["id"]
+            for r in weighted_sample_wor(df, "id", "w", 5, seed=seed).collect()
+        }
+        eligible = [(i, w) for i, w in rows if w > 0 and i != 14]
+        exp = {
+            i
+            for i, _ in sorted(
+                eligible, key=lambda t: (-key(t[0], t[1], seed), t[0])
+            )[:5]
+        }
+        assert got == exp, (seed, got, exp)
+    # excluded ids never appear even with k > eligible count
+    allr = weighted_sample_wor(df, "id", "w", 100, seed=0).collect()
+    assert {r["id"] for r in allr}.isdisjoint({2, 7, 14})

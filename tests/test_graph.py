@@ -465,3 +465,42 @@ def test_common_neighbors_bipartite(spark):
     c12 = capped[(1, 2)]
     assert c12.common == 2 and c12.degree_a == 3 and c12.degree_b == 2
     assert capped[(1, 3)].common == 1
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """hits (r11) vs a direct numpy power iteration with the same
+    per-half-step L2 normalization and 12-dp pinning, on a small
+    directed graph with a dangling node (no outgoing edges → hub 0)
+    and a source-only node (no incoming → authority 0); duplicated
+    edges must not double-count."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (1, 2)]  # dup (1,2)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iterations=2, term_dp=12).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for s, d in set(edges):
+        adj[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    # hub init only on nodes WITH outgoing edges (engine contract)
+    h = (adj.sum(axis=1) > 0).astype(float)
+    for _ in range(2):
+        a = adj.T @ h
+        a = np.round(a / np.sqrt((a * a).sum()), 12)
+        h = adj @ a
+        h = np.round(h / np.sqrt((h * h).sum()), 12)
+    for n in nodes:
+        eh, ea = h[idx[n]], a[idx[n]]
+        gh, ga = got[n]
+        assert abs(gh - eh) < 1e-9, (n, gh, eh)
+        assert abs(ga - ea) < 1e-9, (n, ga, ea)
+    # node 4 is dangling (hub 0), node 1 and 5 are source-only (auth 0)
+    assert got[4][0] == 0.0 and got[1][1] == 0.0 and got[5][1] == 0.0
