@@ -9,108 +9,87 @@ from __future__ import annotations
 from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
-# only, so registration order is coverage policy.  Round-10 window
-# (the r9 verdict's prescription, tasks 1a/2/5):
+# only, so registration order is coverage policy.  Round-11 window
+# (the r10 verdict's prescription, tasks 1/3):
 #   1. flagship;
-#   2. q231_logistic_fit — the only declared query with no lifetime
-#      driver row after round 9 (rows-only: the driver records its
-#      spark_rows, closing the last evidence gap);
-#   3. the round-10 debuts (qf32 ECL attribute groups; q210b/q231b
-#      exact-decimal moment oracles; q236-q244 analytics/curation
-#      wave) — new queries land WITH a driver row in their debut
-#      window;
-#   4. remaining 36 slots oldest-first: r3-vintage scalars/UDF/FHIR
-#      rows (q41-q45, q61/q63, qf01-qf08), the full r4/r5-vintage
-#      streaming family (q52-q59b) + map/hash scalars (q48/q51/q51b),
-#      then the oldest remaining FHIR view/terminology rows
-#      (qf09-qf14).
-# 49 of the 50 are oracle-backed; the one rows-only entry
-# (q231_logistic_fit) is deliberate — see ROWS_ONLY_COVERAGE.
-# Full-suite verification is always available via
+#   2. q210b/q231b — the two r10 hash-reds, repaired (moment columns
+#      now project as strings on both sides; the r10 verdict's task 1
+#      requires both back in-window until green);
+#   3. the round-11 debuts (qf38 depth-N ValueSet references + mixed
+#      includes; qf39 ECL prefixed wildcards + in-group card/reverse;
+#      qf40 sf-scaled $validate-code — the data-scaling qf bench line;
+#      q255 baseline-JPEG real decode; q256-q260 analytics wave:
+#      Brier decomposition, rank-biased overlap, weighted WOR
+#      sampling, BH-FDR, HITS) — every new query lands WITH a driver
+#      row in its debut window;
+#   4. remaining 38 slots strictly oldest-first by lifetime driver
+#      row (computed across CORRECTNESS_r01-r10): the r2-vintage
+#      relational cohort (q02-q85 — sources/sinks, join family, agg
+#      family, set ops, TPC-H line), then the r3-vintage q73b and the
+#      two stalest rows-only families (q67 MinHash/LSH, q70 ANN),
+#      which get refreshed spark_rows records (ROWS_ONLY_COVERAGE).
+# 48 of the 50 are oracle-backed; the two rows-only entries are
+# deliberate. Full-suite verification is always available via
 # `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- r9 verdict task 1a: the ONLY declared query with no lifetime
-    #    driver row — rows-only (ROWS_ONLY_COVERAGE), so the driver
-    #    records spark_rows for it (r3 precedent)
-    "q231_logistic_fit",
-    # -- round-10 debuts (every new query lands WITH a driver row):
-    #    qf32 ECL attribute groups; q210b/q231b exact-decimal moment
-    #    oracles for the two matrix-solve rows-only queries (r9 verdict
-    #    task 5); q236-q244 analytics/curation wave (KS drift, Theil
-    #    decomposition, Aalen-Johansen competing risks, Cochran-
-    #    Armitage trend, Hosmer-Lemeshow calibration, n-gram novelty,
-    #    Kish ESS, embedding isotropy, pinball backtest)
-    "qf32_ecl_attribute_groups",
+    # -- r10 verdict task 1: the repaired DECIMAL-output reds stay
+    #    in-window until the driver confirms hash_match
     "q210b_ols_moments",
     "q231b_logistic_moments",
-    "q236_ks_two_sample",
-    "q237_theil_index",
-    "q238_aalen_johansen",
-    "q239_cochran_armitage",
-    "q240_hosmer_lemeshow",
-    "q241_ngram_novelty",
-    "q242_effective_sample_size",
-    "q243_embedding_isotropy",
-    "q244_pinball_backtest",
-    # -- r9 verdict task 2: stalest-first evidence refresh.
-    #    r3-vintage scalars/UDFs/FHIR:
-    "q41_string_funcs",
-    "q42_datetime_funcs",
-    "q43_fhir_partial_date_bounds",
-    "q45_decimal_precision",
-    "q61_python_udf",
-    "q63_apply_in_pandas",
-    "qf01_fhir_nested_query",
-    "qf02_fhir_roundtrip_reencode",
-    "qf03_fhir_date_annotations",
-    "qf04_fhir_quantity_canonical",
-    "qf05_fhir_schema_merge",
-    "qf06_fhir_validate",
-    "qf07_fhir_reference_join",
-    "qf08_fhir_definition_schema",
-    #    r4/r5-vintage hash scalars + the streaming family (q48 map
-    #    funcs ceded to the qf35 debut — scalar family keeps five
-    #    in-window rows q41/q42/q43/q45/q51):
-    "qf35_ecl_children_terms",
-    "q51_hash_funcs",
-    #    q254 (streaming conformal monitor) debuts in q52's slot —
-    #    q254 itself drives readStream + AvailableNow end-to-end, so
-    #    the source/sink family stays exercised in-window:
-    "q254_stream_conformal_monitor",
-    #    wave-4 debuts took the q53/q56/q59 slots — each family
-    #    keeps its harder sibling in-window (q54b/q55b windows,
-    #    q56b multibatch watermark, q57b stream dedup, q58
-    #    stateful, q59b stream-stream join):
-    "qf37_lookup",
-    "q54b_stream_window_sliding",
-    "q55b_stream_window_session",
-    #    wave-3 debuts (q51b/q54/q55 ceded — each is the batch/local
-    #    twin of a windowed sibling that stays, with r4/r5 lifetime
-    #    greens + this round's selfcheck):
-    "q249_psm_att",
-    "q250_dup_cluster_histogram",
-    "q251_tokenizer_fertility",
-    "q252_wasserstein_drift",
-    "q56b_stream_watermark_multibatch",
-    "q57b_stream_dedup",
-    #    qf36 debuts (q57 batch-twin ceded — q57b streaming dedup stays):
-    "qf36_valueset_references",
-    "q58_stream_stateful",
-    "q253_conformal_interval",
-    "q59b_stream_stream_join",
-    #    wave-2 debuts (every new query lands WITH a driver row; the
-    #    five youngest-vintage refresh slots qf09-qf13 ceded — each has
-    #    r5/r6 lifetime greens + this round's full selfcheck):
-    "qf33_closure_delta",
-    "qf34_translate_reverse",
-    "q245_ljung_box",
-    "q246_common_neighbors",
-    "q247_script_profile",
-    #    q248 Cox PH debuts rows-only (ROWS_ONLY_COVERAGE) for its
-    #    spark_rows record, like q231 — the last refresh filler
-    #    (qf14, r6-vintage + green in this round's selfcheck) ceded:
-    "q248_cox_ph",
+    # -- round-11 debuts:
+    "qf38_valueset_nested_refs",
+    "qf39_ecl_wildcard_group_flags",
+    "qf40_validate_code_facts",
+    "q255_jpeg_real_decode",
+    "q256_brier_decomposition",
+    "q257_rank_biased_overlap",
+    "q258_weighted_sample",
+    "q259_bh_fdr",
+    "q260_hits",
+    # -- r10 verdict task 3: stalest-first refresh. The r2-vintage
+    #    relational cohort (last driver rows in CORRECTNESS_r02):
+    "q02_schema_merged_scan",
+    "q04_csv_source",
+    "q05_parquet_sink_roundtrip",
+    "q07_nested_projection",
+    "q09_in_between_like",
+    "q10_conditional_expr",
+    "q11_distinct",
+    "q13_join_left_outer",
+    "q13b_join_full_outer",
+    "q14_join_semi_anti",
+    "q16_join_theta_range",
+    "q17_join_cross",
+    "q19_join_interval_overlap",
+    "q20_join_self",
+    "q22_agg_distinct",
+    "q24_agg_rollup_grouping",
+    "q26_agg_median",
+    "q27_agg_minby_maxby_collect",
+    "q28_agg_global",
+    "q29_pivot",
+    "q35_limit_topk",
+    "q36_sort_within_partitions",
+    "q37_union_all",
+    "q37b_union_distinct",
+    "q38_union_by_name",
+    "q39_intersect",
+    "q76_agg_cube",
+    "q78_join_salted_skew",
+    "q79_array_sequence_collect",
+    "q80_unpivot",
+    "q81_subqueries",
+    "q82_tpch_q6",
+    "q83_tpch_q14",
+    "q84_tpch_q10",
+    "q85_tpch_q19",
+    #    r3-vintage: the multimodal frame plan + the two stalest
+    #    rows-only families (spark_rows refresh; recall/property tests
+    #    named in ROWS_ONLY_COVERAGE carry correctness):
+    "q73b_multimodal_frame_plan",
+    "q67_dedup_minhash_lsh",
+    "q70_similarity_ann_lsh",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named
