@@ -28,25 +28,17 @@ PROBE_QUERIES = [
     "q00_flagship_shipping_priority",
     "q21_agg_tpch_q1",
     "q89_tpch_q18",
-    # round-10 wave (earlier waves' bands are pinned in SCALE_NOTES.md;
-    # q210b/q231b are single map-side-combined hash aggregates anchored
-    # by q21; qf32 is a sf-independent inline-doc terminology query —
-    # its scaling axis is CONCEPT COUNT, probed by
-    # tools/terminology_probe.py instead of table replication):
-    "q236_ks_two_sample",       # distinct-value frame GROWS with corpus
-    "q245_ljung_box",           # per-key lag windows over the raw series
-    "q246_common_neighbors",    # bipartite wedge join (pair-volume stress)
-    "q247_script_profile",      # regex census, scan-bound
-    "q237_theil_index",         # per-entity agg + broadcast row pass
-    "q238_aalen_johansen",      # per-user agg -> time-frame windows
-    "q239_cochran_armitage",    # global ntile over per-user frame
-    "q240_hosmer_lemeshow",     # percent_rank + ntile global sorts
-    "q241_ngram_novelty",       # (batch, gram) reduce before first-seen
-    "q242_effective_sample_size",  # text-hash-keyed aggregate
-    "q243_embedding_isotropy",  # n*d posexplode -> d-row fold
-    "q244_pinball_backtest",    # exact per-group percentile sort-agg
-    "q252_wasserstein_drift",   # q236's frame + one lead()
-    "q253_conformal_interval",  # per-key percentile + ranked window
+    # round-11 wave (earlier waves' bands are pinned in SCALE_NOTES.md;
+    # q255/q259 are fixture-bounded by design — q255 joins a fixed
+    # 100-payload probe table onto doc_id<200 like q185, q259's
+    # hypothesis frame is 200 rows whatever the sf; qf38/qf39 are
+    # inline-doc terminology queries whose scaling axes (concept count,
+    # reference-chain depth) are probed by tools/terminology_probe.py):
+    "qf40_validate_code_facts",    # broadcast expansion over SF-SCALED events
+    "q256_brier_decomposition",    # two map-side-combined hash aggregates
+    "q257_rank_biased_overlap",    # two lineitem aggs -> depth-20 frames
+    "q258_weighted_sample",        # map-side keys + TakeOrdered top-k
+    "q260_hits",                   # 4 half-step shuffles over distinct edges
 ]
 
 

@@ -91,6 +91,11 @@ def main() -> None:
             # one assertion must satisfy both members (self-grouped
             # semantics): wildcard + literal on the parity assertion
             ("group", "<< c0 : { * = even , parity = even }"),
+            # r11: prefixed wildcard (closure projection, anchor-free)
+            ("wild", "( < * ) MINUS ( << c1 )"),
+            # r11: within-group cardinality ([0..0] complements against
+            # the whole assertion table — the heaviest group form)
+            ("grpcard", "<< c0 : { [0..0] site = c1 }"),
         ]:
             t0 = time.time()
             cnt = ecl_expand(ecl, cs, clo, sysu).count()
@@ -123,6 +128,44 @@ def main() -> None:
         t0 = time.time()
         delta_rows = closure_delta(old_clo, new_e).count()
         t_delta = time.time() - t0
+        # r11 depth-N ValueSet reference chains: vs_0 selects `is-a c1`,
+        # vs_i references vs_{i-1} — the expansion resolves in i strata
+        # (one table-level expansion + lineage cut per level), so chain
+        # time should grow LINEARLY in depth, not quadratically
+        from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+
+        chain_timings = {}
+        for depth in (2, 8):
+            docs = [{
+                "resourceType": "ValueSet", "id": "vs0",
+                "status": "active",
+                "url": "http://example.org/ValueSet/chain0",
+                "compose": {"include": [
+                    {"system": sysu,
+                     "filter": [{"property": "concept", "op": "is-a",
+                                 "value": "c1"}]}]},
+            }]
+            for i in range(1, depth + 1):
+                docs.append({
+                    "resourceType": "ValueSet", "id": f"vs{i}",
+                    "status": "active",
+                    "url": f"http://example.org/ValueSet/chain{i}",
+                    "compose": {"include": [
+                        {"valueSet":
+                         [f"http://example.org/ValueSet/chain{i-1}"]}]},
+                })
+            vs = _encode_doc(spark, docs, "ValueSet")
+            t0 = time.time()
+            rows = (
+                expand_valueset(vs, cs, closure=clo)
+                .filter(
+                    FF.col("url")
+                    == f"http://example.org/ValueSet/chain{depth}"
+                )
+                .count()
+            )
+            chain_timings[f"chain_d{depth}_s"] = round(time.time() - t0, 2)
+            chain_timings[f"chain_d{depth}_rows"] = rows
         print(json.dumps({
             "n_concepts": n,
             "closure_rows": closure_rows,
@@ -133,6 +176,7 @@ def main() -> None:
             "delta_rows": delta_rows,
             "delta_s": round(t_delta, 2),
             "old_closure_s": round(t_oldclo, 2),
+            **chain_timings,
         }))
         edges.unpersist()
         old_clo.unpersist()
