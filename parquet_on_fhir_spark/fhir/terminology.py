@@ -40,18 +40,22 @@ def _all_concepts(codesystems: DataFrame) -> DataFrame:
     whole-system include must collect the nested levels too. The walk
     is unrolled statically over the encoded schema's finite depth
     (sparse schemas nest exactly as deep as the data does)."""
-    has_display = "display" in _element_fields(codesystems, "concept")
 
-    def pick(c):
-        return (
-            F.col("c.display") if has_display else F.lit(None).cast("string")
-        )
+    def pick(cur):
+        # sparse schemas are PER-LEVEL (r11): a fixture whose nested
+        # concepts carry no display encodes the field only at the
+        # depths that populate it, so the presence check must follow
+        # the walk instead of reading depth 1 once
+        dt = cur.schema["c"].dataType
+        if isinstance(dt, T.StructType) and "display" in dt.fieldNames():
+            return F.col("c.display")
+        return F.lit(None).cast("string")
 
     cur = codesystems.select(
         F.col("url").alias("system"), F.explode("concept").alias("c")
     )
     out = cur.select(
-        "system", F.col("c.code").alias("code"), pick("c").alias("display")
+        "system", F.col("c.code").alias("code"), pick(cur).alias("display")
     )
     while isinstance(
         cur.schema["c"].dataType, T.StructType
@@ -64,7 +68,7 @@ def _all_concepts(codesystems: DataFrame) -> DataFrame:
             cur.select(
                 "system",
                 F.col("c.code").alias("code"),
-                pick("c").alias("display"),
+                pick(cur).alias("display"),
             )
         )
     return out
@@ -323,7 +327,8 @@ def expand_valueset(
     valuesets: DataFrame,
     codesystems: DataFrame | None = None,
     closure: DataFrame | None = None,
-    _no_ecl_refsets: bool = False,
+    _ecl_stack: frozenset = frozenset(),
+    _context: DataFrame | None = None,
 ) -> DataFrame:
     """Expand ValueSet.compose into concrete (url, system, code, display)
     membership rows.
@@ -358,54 +363,80 @@ def expand_valueset(
       ``exclude[].valueSet[]``: referenced expansions anti-joined on
       (system, code), same depth-N resolution.
 
-    ECL ``^ refset`` filters resolve against this same table at the
-    top level only (``_no_ecl_refsets`` marks a member-of refset
-    expansion, inside which a further ``^`` raises — that depth-1
-    contract is separate from compose-reference depth-N and is what
-    bounds the Python recursion).
+    ECL ``^ refset`` filters resolve against this same table to ANY
+    depth (r11): a referenced refset's own ``^`` filters resolve
+    recursively, with ``_ecl_stack`` (the id/url set of every refset
+    currently being expanded through a ``^``) as the cycle guard —
+    a circular member-of chain raises ValueError instead of recursing
+    forever. That guard is what bounds the Python recursion; the
+    compose-reference depth-N machinery below is independent of it.
+    ``_context`` (internal) is the FULL ValueSet table a member-of
+    refset expansion resolves its own ``^`` and compose references
+    against, while ``valuesets`` holds just the rows whose expansion
+    is requested — only the requested urls (plus their transitive
+    compose references) are expanded and only the requested urls are
+    returned.
 
     Sparse schemas are honored: absent optional elements (no ValueSet
     populates ``filter``/``exclude``/``display``…) read as empty.
     """
-    refsets = None if _no_ecl_refsets else valuesets
-    edges = _compose_ref_edges(valuesets)
+    ctx = valuesets if _context is None else _context
+    refsets = ctx
+    edges = _compose_ref_edges(ctx)
     if not edges:
-        return _expand_compose(valuesets, codesystems, closure, None, refsets)
-    _check_ref_cycles(edges)
+        return _expand_compose(
+            valuesets, codesystems, closure, None, refsets, _ecl_stack
+        )
     from parquet_on_fhir_spark.operators.graph import _truncate_lineage
 
-    table_urls = {
-        r[0] for r in valuesets.select("url").distinct().collect()
+    ctx_urls = {r[0] for r in ctx.select("url").distinct().collect()}
+    want_urls = (
+        ctx_urls
+        if _context is None
+        else {r[0] for r in valuesets.select("url").distinct().collect()}
+    )
+    # restrict the work to the requested urls + their transitive
+    # compose references (the whole table when _context is None)
+    needed = set(want_urls)
+    frontier = list(want_urls)
+    while frontier:
+        for r in edges.get(frontier.pop(), ()):
+            if r in ctx_urls and r not in needed:
+                needed.add(r)
+                frontier.append(r)
+    sub_edges = {
+        u: {r for r in edges[u] if r in ctx_urls}
+        for u in needed
+        if u in edges
     }
-    referenced = {r for refs in edges.values() for r in refs}
+    _check_ref_cycles(sub_edges)
+    referenced = {r for refs in sub_edges.values() for r in refs}
     resolved: dict[str, DataFrame] = {}
     out_parts: list[DataFrame] = []
-    pending = set(table_urls)
+    pending = set(needed)
     while pending:
         ready = {
             u
             for u in pending
-            if all(
-                r in resolved or r not in table_urls
-                for r in edges.get(u, ())
-            )
+            if all(r in resolved for r in sub_edges.get(u, ()))
         }
         assert ready, "unresolvable ValueSet references (cycle guard hole)"
-        needed = sorted(
-            {r for u in ready for r in edges.get(u, ()) if r in resolved}
+        batch_refs = sorted(
+            {r for u in ready for r in sub_edges.get(u, ())}
         )
         ref_exp = None
-        for r in needed:
+        for r in batch_refs:
             tagged = resolved[r].select(
                 F.lit(r).alias("__ref"), "system", "code", "display"
             )
             ref_exp = tagged if ref_exp is None else ref_exp.unionByName(tagged)
         exp = _expand_compose(
-            valuesets.filter(F.col("url").isin(sorted(ready))),
+            ctx.filter(F.col("url").isin(sorted(ready))),
             codesystems,
             closure,
             ref_exp,
             refsets,
+            _ecl_stack,
         )
         pending -= ready
         if pending:
@@ -419,6 +450,8 @@ def expand_valueset(
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)
+    if needed != want_urls:
+        out = out.filter(F.col("url").isin(sorted(want_urls)))
     return out
 
 
@@ -428,6 +461,7 @@ def _expand_compose(
     closure: DataFrame | None,
     ref_exp: DataFrame | None,
     refsets: DataFrame | None,
+    _ecl_stack: frozenset = frozenset(),
 ) -> DataFrame:
     """One table-level compose expansion, assuming every DIRECT
     ``valueSet`` reference of this batch is already expanded in
@@ -537,7 +571,7 @@ def _expand_compose(
             # present without a closure; code/property filters need none
             fpi = _expand_filters(
                 valuesets, codesystems, closure, refsets=refsets,
-                per_include=True,
+                per_include=True, _ecl_stack=_ecl_stack,
             )
             d, m = split(fpi)
             # cross-include dedup (pre-r11 output contract: filter
@@ -655,7 +689,7 @@ def _ecl_parse(ecl: str):
                                         mixing — ECL requires parens)
         refined := dotted (':' refinement (',' refinement)*)?
         dotted := term ('.' (ATTR | '*'))*
-        refinement := CARD? 'R'? (ATTR | '*') '=' term
+        refinement := CARD? 'R'? (ATTR | '*' | term) '=' term
         CARD := '[' INT '..' (INT | '*') ']'
         term := '(' expr ')' | PREFIX? ('*' | CODE)
         PREFIX := '<<' (desc-or-self) | '<' (desc) | '<!' (children)
@@ -692,6 +726,10 @@ def _ecl_parse(ecl: str):
     refused combination is cardinality+reverse on the SAME group
     member (no coherent group universe); prefixed wildcards
     (``< *`` …) evaluate the hierarchy with an unconstrained anchor.
+    Attribute NAMES may themselves be expressions (r11 —
+    ``(<< attrConcept) = value``, the SNOMED attribute-hierarchy
+    form): the attribute set evaluates like any concept set and
+    matches assertions whose property CODE lies in it.
     Anything else raises NotImplementedError with the offending token.
     """
     # |display term| annotations are documentation, not constraint
@@ -805,14 +843,21 @@ def _ecl_parse(ecl: str):
                         "supported"
                     )
                 take()
-            attr = take()
-            if attr is None or (
-                attr != "*"
-                and (attr in _BAD_ATTR or attr.startswith("["))
-            ):
-                raise NotImplementedError(
-                    f"malformed refinement attribute in {ecl!r}"
-                )
+            if peek() in ("(", "<", "<<", "<!", ">", ">>", ">!", "^"):
+                # expression-valued attribute NAME (r11): the SNOMED
+                # attribute-hierarchy form '(<< attrConcept) = value' —
+                # the attribute set is any sub-expression; matches
+                # assertions whose property code lies in that set
+                attr = term()
+            else:
+                attr = take()
+                if attr is None or (
+                    attr != "*"
+                    and (attr in _BAD_ATTR or attr.startswith("["))
+                ):
+                    raise NotImplementedError(
+                        f"malformed refinement attribute in {ecl!r}"
+                    )
             if take() != "=":
                 raise NotImplementedError(
                     f"refinement needs 'attr = value' in {ecl!r}"
@@ -866,6 +911,7 @@ def ecl_expand(
     closure: DataFrame,
     system: str,
     valuesets: DataFrame | None = None,
+    _ecl_stack: frozenset = frozenset(),
 ) -> DataFrame:
     """Evaluate an ECL (SNOMED Expression Constraint Language) subset
     against a CodeSystem + its transitive closure, returning the
@@ -910,8 +956,10 @@ def ecl_expand(
     ``valuesets`` (colon-free tokens only — use the resource id for
     http urls), that ValueSet is expanded once, and its codes under
     ``system`` become the set. Nested ``^`` inside the referenced
-    ValueSet's own ECL raises (depth-1 by design — no recursive refset
-    resolution).
+    ValueSet's own ECL resolves recursively to any depth (r11);
+    ``_ecl_stack`` carries the id/url of every refset on the
+    ^-expansion path as the cycle guard — a circular member-of chain
+    (even one mixing id- and url-form references) raises ValueError.
     Also reachable through :func:`expand_valueset` via the standard
     SNOMED ValueSet idiom ``filter: [{property: 'constraint', op: '=',
     value: '<ecl>'}]`` (which forwards the full ValueSet table, so
@@ -953,6 +1001,20 @@ def ecl_expand(
                 .select("code", "prop", "pval", "grp")
             )
         return props_cache[0]
+
+    def attr_filtered(attr) -> DataFrame:
+        """Property assertions whose attribute matches ``attr``: '*'
+        keeps all, a token matches the property code literally, and an
+        AST tuple (r11 attribute-hierarchy form) semi-joins the
+        assertion table against the evaluated attribute-concept set —
+        terminology-sized, broadcast like every other ECL frame."""
+        p = props()
+        if attr == "*":
+            return p
+        if isinstance(attr, tuple):
+            names = ev(attr).select(F.col("code").alias("prop"))
+            return p.join(F.broadcast(names), "prop", "left_semi")
+        return p.filter(F.col("prop") == attr)
 
     def ev(node) -> DataFrame:
         kind = node[0]
@@ -1022,10 +1084,15 @@ def ecl_expand(
                 raise NotImplementedError(
                     "ECL member-of (^) needs the ValueSet table (pass "
                     "valuesets=; the refset token matches ValueSet "
-                    "id/url) and is depth-1: a ^ inside a referenced "
-                    "refset's own ECL is not resolved"
+                    "id/url)"
                 )
             target = node[1]
+            if target in _ecl_stack:
+                raise ValueError(
+                    "circular ECL member-of chain: refset "
+                    f"{target!r} is already being expanded "
+                    f"(stack: {sorted(_ecl_stack)})"
+                )
             vs = valuesets.filter(
                 (F.col("url") == target)
                 | (
@@ -1034,8 +1101,28 @@ def ecl_expand(
                     else F.lit(False)
                 )
             )
+            # the stack carries BOTH the id and the url of every refset
+            # on the ^-expansion path, so an A-by-id → B → A-by-url
+            # cycle is still caught (the match-rows are metadata —
+            # one tiny collect per ^ node)
+            idcols = ["url"] + (["id"] if "id" in vs.columns else [])
+            aliases = {
+                target,
+                *(
+                    v
+                    for row in vs.select(*idcols).distinct().collect()
+                    for v in row
+                    if v is not None
+                ),
+            }
             exp = expand_valueset(
-                vs, codesystems, closure=closure, _no_ecl_refsets=True
+                vs,
+                codesystems,
+                closure=closure,
+                _ecl_stack=_ecl_stack | aliases,
+                # the refset's own ^ and compose references resolve
+                # against the FULL table, not just the target slice
+                _context=valuesets,
             )
             return (
                 exp.filter(F.col("system") == system)
@@ -1076,9 +1163,7 @@ def ecl_expand(
                     gkey = ["fcode", "a_src", "a_grp"]
                     joint = None
                     for card, rev, attr, vnode in ref[1]:
-                        p = props()
-                        if attr != "*":
-                            p = p.filter(F.col("prop") == attr)
+                        p = attr_filtered(attr)
                         literal = vnode[0] == "focus" and vnode[1] is None
                         if rev:
                             if literal:
@@ -1147,9 +1232,7 @@ def ecl_expand(
                     )
                     continue
                 card, rev, attr, vnode = ref
-                p = props()
-                if attr != "*":
-                    p = p.filter(F.col("prop") == attr)
+                p = attr_filtered(attr)
                 literal = vnode[0] == "focus" and vnode[1] is None
                 if rev:
                     # R attr (r9): the focus member is the VALUE of an
@@ -1280,6 +1363,7 @@ def _expand_filters(
     closure: DataFrame | None,
     refsets: DataFrame | None = None,
     per_include: bool = False,
+    _ecl_stack: frozenset = frozenset(),
 ) -> DataFrame:
     """Resolve ``include.filter`` entries
     (hl7.org/fhir/R4/valueset.html#compose). Supported:
@@ -1526,7 +1610,7 @@ def _expand_filters(
         parts.append(
             ecl_expand(
                 r["value"], codesystems, closure, r["system"],
-                valuesets=refsets,
+                valuesets=refsets, _ecl_stack=_ecl_stack,
             ).select(
                 _kl("url", r["url"]),
                 _kl("inc_idx", r["inc_idx"]),

@@ -25,12 +25,14 @@ from parquet_on_fhir_spark.suite.common import Q
 #   4. remaining 38 slots strictly oldest-first by lifetime driver
 #      row (computed across CORRECTNESS_r01-r10): the r2-vintage
 #      relational cohort (q02-q85 — sources/sinks, join family, agg
-#      family, set ops, TPC-H line), then the r3-vintage q73b and the
-#      two stalest rows-only families (q67 MinHash/LSH, q70 ANN),
-#      which get refreshed spark_rows records (ROWS_ONLY_COVERAGE).
-# 48 of the 50 are oracle-backed; the two rows-only entries are
-# deliberate. Full-suite verification is always available via
-# `python tools/selfcheck.py`.
+#      family, set ops, TPC-H line) and the r3-vintage q73b; the last
+#      two refresh slots ceded to the late-round debuts qf41 (nested
+#      ECL member-of) and qf42 (expression-valued attributes) per the
+#      debuts-land-with-a-driver-row rule (the displaced q67/q70
+#      rows-only refreshes keep their r3 lifetime rows + the
+#      recall/property tests in ROWS_ONLY_COVERAGE).
+# All 50 are oracle-backed this round. Full-suite verification is
+# always available via `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
     # -- r10 verdict task 1: the repaired DECIMAL-output reds stay
@@ -84,12 +86,10 @@ WINDOW = [
     "q83_tpch_q14",
     "q84_tpch_q10",
     "q85_tpch_q19",
-    #    r3-vintage: the multimodal frame plan + the two stalest
-    #    rows-only families (spark_rows refresh; recall/property tests
-    #    named in ROWS_ONLY_COVERAGE carry correctness):
+    #    r3-vintage multimodal frame plan, then the late-round debuts:
     "q73b_multimodal_frame_plan",
-    "q67_dedup_minhash_lsh",
-    "q70_similarity_ann_lsh",
+    "qf41_ecl_member_of_nested",
+    "qf42_ecl_attribute_expressions",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

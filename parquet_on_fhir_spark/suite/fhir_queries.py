@@ -1391,9 +1391,10 @@ _VS_MEMBER_DOCS = [
 def qf26(spark, sf_dir):
     """ECL member-of (fhir/terminology.py::ecl_expand `^ refset`, r9):
     a ValueSet acts as the reference set, resolved against the same
-    ValueSet table being expanded (depth-1; nested ^ raises). vs-m2/
-    vs-m3 compose the refset with OR/MINUS; vs-m1 is the refset itself
-    and also expands normally."""
+    ValueSet table being expanded (depth-N since r11 — qf41 covers
+    nesting; circular ^ chains raise ValueError). vs-m2/vs-m3 compose
+    the refset with OR/MINUS; vs-m1 is the refset itself and also
+    expands normally."""
     from parquet_on_fhir_spark.fhir.terminology import (
         concept_closure,
         concept_edges,
@@ -2383,3 +2384,159 @@ GROUP BY 1, 2, 3, 4
 
 
 QUERIES.append(Q("qf40_validate_code_facts", qf40, QF40_ORACLE))
+
+
+# --- qf41: nested ECL member-of (depth-N ^ chains) ---------------------------------------
+_VS_MEMBER_NESTED_DOCS = _VS_MEMBER_DOCS + [
+    # ^ through a refset whose OWN ECL uses ^ (refused before r11)
+    {"resourceType": "ValueSet", "id": "vs-m4", "status": "active",
+     "url": "http://example.org/ValueSet/m4",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "constraint", "op": "=",
+                      "value": "(^ vs-m2) MINUS (^ vs-m1)"}]},
+     ]}},
+    # depth 3: m5 -> m4 -> m2 -> m1
+    {"resourceType": "ValueSet", "id": "vs-m5", "status": "active",
+     "url": "http://example.org/ValueSet/m5",
+     "compose": {"include": [
+         {"system": "http://example.org/cs/anatomy2",
+          "filter": [{"property": "constraint", "op": "=",
+                      "value": "(^ vs-m4) OR (^ vs-m3)"}]},
+     ]}},
+]
+
+
+def qf41(spark, sf_dir):
+    """Nested ECL member-of (fhir/terminology.py::ecl_expand, r11): a
+    `^ refset` whose referenced ValueSet's own ECL uses `^` resolves
+    RECURSIVELY — vs-m4's constraint subtracts one refset expansion
+    from another nested one, and vs-m5 chains three levels deep
+    (m5 → m4 → m2 → m1). The `_ecl_stack` cycle guard carries every
+    refset id/url on the ^-path, so circular chains (even mixing id-
+    and url-form references) raise ValueError instead of recursing;
+    the refset's own ^ and compose references resolve against the
+    FULL table via the `_context` seam, not the filtered slice."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _VS_MEMBER_NESTED_DOCS, "ValueSet")
+    cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return (
+        expand_valueset(vs, cs, closure=closure)
+        .filter(
+            F.col("url").isin(
+                "http://example.org/ValueSet/m4",
+                "http://example.org/ValueSet/m5",
+            )
+        )
+        .select("url", "code")
+    )
+
+
+QF41_ORACLE = """
+SELECT * FROM (VALUES
+  -- m4: (^ m2) MINUS (^ m1) = {arm,heart,hand} - {arm,heart}
+  ('http://example.org/ValueSet/m4', 'hand'),
+  -- m5: (^ m4) OR (^ m3) = {hand} ∪ {limb,hand,leg,foot}
+  ('http://example.org/ValueSet/m5', 'hand'),
+  ('http://example.org/ValueSet/m5', 'limb'),
+  ('http://example.org/ValueSet/m5', 'leg'),
+  ('http://example.org/ValueSet/m5', 'foot')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf41_ecl_member_of_nested", qf41, QF41_ORACLE))
+
+
+# --- qf42: ECL expression-valued attribute names (attribute hierarchy) -------------------
+_CS_FINDINGS3_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-findings3", "status": "active",
+    "url": "http://example.org/cs/findings3", "content": "complete",
+    "concept": [
+        # the property CODES are themselves concepts under 'attribute'
+        # — the SNOMED attribute-hierarchy arrangement
+        {"code": "attribute", "concept": [
+            {"code": "site"}, {"code": "severity"}]},
+        {"code": "anatomy", "concept": [
+            {"code": "limb", "concept": [
+                {"code": "arm"}, {"code": "leg"}]}]},
+        {"code": "finding", "concept": [
+            {"code": "arm-fracture", "property": [
+                {"code": "site", "valueCode": "arm"},
+                {"code": "severity", "valueCode": "high"}]},
+            {"code": "leg-sprain", "property": [
+                {"code": "site", "valueCode": "leg"},
+                {"code": "severity", "valueCode": "low"}]},
+            {"code": "fatigue", "property": [
+                {"code": "severity", "valueCode": "low"}]}]},
+    ],
+}
+
+
+def qf42(spark, sf_dir):
+    """ECL expression-valued attribute NAMES (fhir/terminology.py::
+    ecl_expand, r11 — the SNOMED attribute-hierarchy form): the
+    attribute slot of a refinement may be any sub-expression —
+    `( < attribute ) = arm` matches assertions whose property CODE
+    lies in the evaluated concept set, via one broadcast semi-join on
+    the assertion table's prop column. Works in plain refinements,
+    inside attribute groups, and under the reverse flag; the findings3
+    fixture models property codes as concepts under an 'attribute'
+    parent, so hierarchy prefixes select attribute sets."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    ecls = [
+        "< finding : ( < attribute ) = arm",
+        "< finding : ( <! attribute ) = << limb",
+        "< finding : ( < attribute ) = low",
+        "< finding : { ( << attribute ) = leg }",
+        "< anatomy : { R ( < attribute ) = ( < finding ) }",
+    ]
+    docs = [
+        {"resourceType": "ValueSet", "id": f"vs-ax{i}", "status": "active",
+         "url": f"http://example.org/ValueSet/ax{i}",
+         "compose": {"include": [
+             {"system": "http://example.org/cs/findings3",
+              "filter": [{"property": "constraint", "op": "=",
+                          "value": ecl}]}]}}
+        for i, ecl in enumerate(ecls, start=1)
+    ]
+    vs = _encode_doc(spark, docs, "ValueSet")
+    cs = _encode_doc(spark, _CS_FINDINGS3_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select("url", "code")
+
+
+QF42_ORACLE = """
+SELECT * FROM (VALUES
+  -- ax1: any attribute under 'attribute' valued arm
+  ('http://example.org/ValueSet/ax1', 'arm-fracture'),
+  -- ax2: direct children of 'attribute', value in << limb
+  ('http://example.org/ValueSet/ax2', 'arm-fracture'),
+  ('http://example.org/ValueSet/ax2', 'leg-sprain'),
+  -- ax3: any attribute valued low
+  ('http://example.org/ValueSet/ax3', 'leg-sprain'),
+  ('http://example.org/ValueSet/ax3', 'fatigue'),
+  -- ax4: group with expression attribute, value leg
+  ('http://example.org/ValueSet/ax4', 'leg-sprain'),
+  -- ax5: reverse expression attribute — anatomy codes appearing as
+  -- any attribute VALUE of a finding
+  ('http://example.org/ValueSet/ax5', 'arm'),
+  ('http://example.org/ValueSet/ax5', 'leg')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf42_ecl_attribute_expressions", qf42, QF42_ORACLE))

@@ -968,8 +968,27 @@ def test_ecl_member_of(spark):
     # without the ValueSet table the operator refuses
     with pytest.raises(NotImplementedError, match="member-of"):
         ecl_expand("^ vs-preds", cs, clo, system).collect()
-    # a ValueSet whose own ECL uses ^ cannot be used AS a refset
-    # (depth-1): the nested expansion raises instead of recursing
+    # r11: a refset whose own ECL uses ^ resolves RECURSIVELY — vs-deep
+    # references vs-preds through a nested member-of and intersects it
+    # with << limb
+    deep_doc = _VS_FILTER_DOCS + [{
+        "resourceType": "ValueSet", "id": "vs-deep", "status": "active",
+        "url": "http://example.org/ValueSet/deep",
+        "compose": {"include": [
+            {"system": system,
+             "filter": [{"property": "constraint", "op": "=",
+                         "value": "(^ vs-preds) AND (<< limb)"}]},
+        ]}}]
+    vs3 = _encode(spark, deep_doc, "ValueSet")
+    got = sorted(
+        r.code
+        for r in ecl_expand(
+            "^ vs-deep", cs, clo, system, valuesets=vs3
+        ).collect()
+    )
+    assert got == ["arm", "foot", "hand", "leg", "limb"]
+    # a CIRCULAR member-of chain raises ValueError (even a
+    # self-reference) instead of recursing forever
     nested_doc = [{
         "resourceType": "ValueSet", "id": "vs-nested", "status": "active",
         "url": "http://example.org/ValueSet/nested",
@@ -979,11 +998,30 @@ def test_ecl_member_of(spark):
                          "value": "^ vs-nested"}]},
         ]}}]
     vs2 = _encode(spark, nested_doc, "ValueSet")
-    with pytest.raises(NotImplementedError, match="member-of"):
+    with pytest.raises(ValueError, match="circular ECL member-of"):
         ecl_expand("^ vs-nested", cs, clo, system, valuesets=vs2).collect()
-    # ... and the same guard holds via expand_valueset itself
-    with pytest.raises(NotImplementedError, match="member-of"):
+    # ... and the same guard holds via expand_valueset itself — ALSO
+    # when the cycle mixes id- and url-form references (the stack
+    # carries both aliases)
+    with pytest.raises(ValueError, match="circular ECL member-of"):
         expand_valueset(vs2, cs, closure=clo).count()
+    mixed_cycle = [
+        {"resourceType": "ValueSet", "id": "vs-ca", "status": "active",
+         "url": "http://example.org/ValueSet/ca",
+         "compose": {"include": [
+             {"system": system,
+              "filter": [{"property": "constraint", "op": "=",
+                          "value": "^ vs-cb"}]}]}},
+        {"resourceType": "ValueSet", "id": "vs-cb", "status": "active",
+         "url": "http://example.org/ValueSet/cb",
+         "compose": {"include": [
+             {"system": system,
+              "filter": [{"property": "constraint", "op": "=",
+                          "value": "^ vs-ca"}]}]}},
+    ]
+    vs4 = _encode(spark, mixed_cycle, "ValueSet")
+    with pytest.raises(ValueError, match="circular ECL member-of"):
+        ecl_expand("^ vs-ca", cs, clo, system, valuesets=vs4).collect()
 
 
 def test_ecl_dotted_cardinality_reverse(spark):

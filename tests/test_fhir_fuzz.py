@@ -268,6 +268,18 @@ def _norm_ref(ref):
     return ref if len(ref) == 4 else (None, False) + tuple(ref)
 
 
+def _attr_ok(attr, uni, desc, props):
+    """Attribute-name predicate: '*' matches any property code, a token
+    matches literally, an AST tuple (r11 expression-valued attribute)
+    matches property codes in the evaluated concept set."""
+    if attr == "*":
+        return lambda p: True
+    if isinstance(attr, tuple):
+        names = _ecl_ref_eval(attr, uni, desc, props)
+        return lambda p: p in names
+    return lambda p: p == attr
+
+
 def _ecl_ref_eval(node, uni=None, desc=None, props=None):
     """Reference ECL semantics over a (uni, desc, props) fixture in
     plain Python — defaults to the anatomy2 tree."""
@@ -338,6 +350,7 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
                 member_sets = []
                 for mref in ref[1]:
                     card, rev, attr, vnode = _norm_ref(mref)
+                    aok = _attr_ok(attr, uni, desc, props)
                     if vnode[0] == "focus" and vnode[1] is None:
                         vok = lambda x, t=vnode[2]: x == t  # noqa: E731
                     else:
@@ -347,13 +360,13 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
                         sat = {
                             (v, s, i)
                             for (s, i, p, v) in assertions
-                            if (attr == "*" or p == attr) and vok(s)
+                            if aok(p) and vok(s)
                         }
                     else:
                         sat = {
                             (s, s, i)
                             for (s, i, p, v) in assertions
-                            if (attr == "*" or p == attr) and vok(v)
+                            if aok(p) and vok(v)
                         }
                     if card is not None:
                         lo, hi = card
@@ -370,24 +383,25 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
                 base = {c for c in base if c in {f for f, _, _ in joint}}
                 continue
             card, rev, attr, vnode = _norm_ref(ref)
+            aok = _attr_ok(attr, uni, desc, props)
             if vnode[0] == "focus" and vnode[1] is None:
                 ok = lambda x, t=vnode[2]: x == t  # noqa: E731
             else:
                 vals = _ecl_ref_eval(vnode, uni, desc, props)
                 ok = lambda x, s=vals: x in s  # noqa: E731
 
-            def count(c, attr=attr, rev=rev, ok=ok):
+            def count(c, aok=aok, rev=rev, ok=ok):
                 if rev:
                     return sum(
                         1
                         for s in uni
                         for p, v in props.get(s, [])
-                        if (attr == "*" or p == attr) and v == c and ok(s)
+                        if aok(p) and v == c and ok(s)
                     )
                 return sum(
                     1
                     for p, v in props.get(c, [])
-                    if (attr == "*" or p == attr) and ok(v)
+                    if aok(p) and ok(v)
                 )
 
             lo, hi = card if card is not None else (1, None)
@@ -424,12 +438,17 @@ def _ecl_render(node):
                 else ""
             )
             rv = "R " if rev else ""
+            at = (
+                f"({_ecl_render(attr)})"
+                if isinstance(attr, tuple)
+                else attr
+            )
             val = (
                 v[2]
                 if v[0] == "focus" and v[1] is None
                 else f"({_ecl_render(v)})"
             )
-            return f"{cs_}{rv}{attr} = {val}"
+            return f"{cs_}{rv}{at} = {val}"
 
         parts = []
         for ref in node[2]:
@@ -559,7 +578,12 @@ def _f2_exprs(depth=2):
     if depth == 0:
         return _f2_terms()
     sub = _f2_exprs(depth - 1)
-    attrs = st.sampled_from(["site", "severity", "*"])
+    tok_attrs = st.sampled_from(["site", "severity", "*"])
+    # r11: refinement attribute names may be expressions — in findings2
+    # property codes are not concepts, so expression attributes mostly
+    # match empty, which the reference evaluator must agree on exactly.
+    # Dotted walks stay token-only (the engine's contract).
+    attrs = st.one_of(tok_attrs, _f2_terms())
     card = st.one_of(
         st.none(),
         st.tuples(
@@ -589,7 +613,7 @@ def _f2_exprs(depth=2):
     return st.one_of(
         sub,
         st.tuples(st.sampled_from(["AND", "OR", "MINUS"]), sub, sub),
-        st.tuples(st.just("dot"), sub, attrs),
+        st.tuples(st.just("dot"), sub, tok_attrs),
         st.tuples(
             st.just("refine"),
             sub,
