@@ -1778,6 +1778,7 @@ def bh_fdr(
     p_col: str,
     q: float = 0.05,
     tie_cols: list[str] | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Benjamini-Hochberg false-discovery-rate correction over a table
     of test p-values: reject every hypothesis with p ≤ p_(k*) where k*
@@ -1788,7 +1789,10 @@ def bh_fdr(
     hypothesis — experiment-sized, bounded like the zipf/vocab frames,
     never raw data). Also emits the BH-adjusted p-value
     (min over j≥k of m·p_(j)/j, monotone-corrected via a running min
-    from the top).
+    from the top); ``rejected`` via the k* step-up rule is exactly
+    ``p_adj ≤ q``. ``key_cols`` (r11) partitions every window so each
+    key runs its own independent BH family (per-segment drift sweeps)
+    — the scale path when hypothesis families multiply.
 
     Output: input columns + rank, p_adj, rejected.
     """
@@ -1796,12 +1800,13 @@ def bh_fdr(
 
     if not 0 < q < 1:
         raise ValueError("q must be in (0, 1)")
-    m_w = Window.partitionBy()
+    keys = list(key_cols or [])
+    m_w = Window.partitionBy(*keys)
     # deterministic rank: break p ties with tie_cols (pass the test-id
     # column) — a physical-order tiebreak would make `rank` layout-
     # dependent even though p_adj/rejected are tie-invariant
     ties = [F.col(c) for c in (tie_cols or [])]
-    order = Window.orderBy(
+    order = Window.partitionBy(*keys).orderBy(
         F.col(p_col).asc(), *ties, F.monotonically_increasing_id()
     )
     m = F.count("*").over(m_w)
@@ -1809,15 +1814,19 @@ def bh_fdr(
         "rank", F.row_number().over(order)
     ).withColumn("__m", m)
     raw_adj = F.col(p_col) * F.col("__m") / F.col("rank")
-    from_top = Window.orderBy(F.col("rank").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    from_top = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     adj = F.least(F.min(raw_adj).over(from_top), F.lit(1.0))
     passed = F.when(
         F.col(p_col) <= F.col("rank") * q / F.col("__m"), F.col("rank")
     )
     kstar = F.max(passed).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Window.partitionBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
     )
     return (
         ranked.withColumn("p_adj", adj)
@@ -4150,55 +4159,3 @@ def rank_biased_overlap(
     )
 
 
-def benjamini_hochberg(
-    df: DataFrame,
-    p_col: str,
-    q: float = 0.05,
-    key_cols: list[str] | None = None,
-    tie_cols: list[str] | None = None,
-) -> DataFrame:
-    """Benjamini–Hochberg step-up FDR adjustment: rank the m p-values
-    ascending, p_adj(i) = min_{j≥i} (m·p_(j)/j) capped at 1, reject
-    where p_adj ≤ q — THE multiple-testing correction for metric
-    sweeps (a thousand A/B metrics, per-segment drift tests), where
-    Bonferroni is hopeless and uncorrected p-values are dishonest.
-
-    Two windows over the per-key hypothesis frame (rank, then the
-    suffix running-min read in reverse rank order) — hypotheses are
-    GROUPS (metadata-sized relative to the facts that produced the
-    p-values), so the per-key window is the scale path, exactly like
-    the repo's other distinct-frame statistics. Tied p-values receive
-    identical p_adj regardless of tie order (the suffix min over equal
-    p collapses); ``tie_cols`` pins the REPORTED rank deterministically.
-
-    Output: input columns + rank, p_adj, rejected.
-    """
-    from pyspark.sql import Window
-
-    keys = list(key_cols or [])
-    ties = [F.col(c) for c in (tie_cols or [])]
-    wrank = Window.partitionBy(*keys).orderBy(F.col(p_col).asc(), *ties)
-    wall = Window.partitionBy(*keys)
-    wsuffix = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__rank").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    ranked = df.withColumn("__rank", F.row_number().over(wrank)).withColumn(
-        "__m", F.count("*").over(wall)
-    )
-    adj = ranked.withColumn(
-        "__p_adj",
-        F.least(
-            F.min(
-                F.col(p_col) * F.col("__m") / F.col("__rank")
-            ).over(wsuffix),
-            F.lit(1.0),
-        ),
-    )
-    return adj.select(
-        *df.columns,
-        F.col("__rank").alias("rank"),
-        F.col("__p_adj").alias("p_adj"),
-        (F.col("__p_adj") <= q).alias("rejected"),
-    )

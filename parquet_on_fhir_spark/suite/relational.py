@@ -6455,16 +6455,14 @@ QUERIES.append(Q("q257_rank_biased_overlap", q257, Q257_ORACLE))
 
 # --- Q259: Benjamini-Hochberg FDR over a metric sweep --------------------------------
 def q259(spark, sf_dir):
-    """Benjamini-Hochberg step-up FDR (operators/analytics.py::
-    benjamini_hochberg, r11): 200 hypotheses with deterministic
-    md5-draw p-values — every 10th customer group carries a planted
-    effect (p scaled by 1/50) — adjusted at q=0.10. Two windows over
-    the 200-row hypothesis frame (rank, then the suffix running min);
-    the facts that would produce real p-values never enter the
-    adjustment, which is the scale point: hypotheses are metadata."""
-    from parquet_on_fhir_spark.operators.analytics import (
-        benjamini_hochberg,
-    )
+    """Benjamini-Hochberg step-up FDR (operators/analytics.py::bh_fdr
+    — the q213 operator, exercised here on md5-draw p-values with
+    PLANTED effects and the adjusted-p rejection reading): 200
+    hypotheses — every 10th customer group's p is scaled by 1/50 —
+    adjusted at q=0.10. Rank + reverse-rank running-min windows over
+    the 200-row hypothesis frame; the facts that would produce real
+    p-values never enter the adjustment (hypotheses are metadata)."""
+    from parquet_on_fhir_spark.operators.analytics import bh_fdr
     from parquet_on_fhir_spark.operators.dedup import md5_60
 
     hyp = (
@@ -6483,9 +6481,7 @@ def q259(spark, sf_dir):
             ).alias("p_value"),
         )
     )
-    out = benjamini_hochberg(
-        hyp, "p_value", q=0.10, tie_cols=["hypothesis"]
-    )
+    out = bh_fdr(hyp, "p_value", q=0.10, tie_cols=["hypothesis"])
     return out.select(
         "hypothesis",
         d4(F.col("p_value")).alias("p_value"),

@@ -2229,13 +2229,12 @@ def test_rank_biased_overlap_reference_and_extremes(spark):
     assert disj["rbo"] == 0.0
 
 
-def test_benjamini_hochberg_matches_reference(spark):
-    """benjamini_hochberg (r11) vs the textbook step-up procedure run
-    in plain python (sort, suffix min of m·p/i, cap at 1), including
-    tied p-values receiving identical adjusted values."""
-    from parquet_on_fhir_spark.operators.analytics import (
-        benjamini_hochberg,
-    )
+def test_bh_fdr_matches_reference_and_per_key(spark):
+    """bh_fdr vs the textbook step-up procedure run in plain python
+    (sort, suffix min of m·p/i, cap at 1), including tied p-values
+    receiving identical adjusted values, plus the r11 key_cols mode:
+    each key runs its own independent BH family."""
+    from parquet_on_fhir_spark.operators.analytics import bh_fdr
 
     ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
           0.205, 0.8, 1.0, 0.0001]
@@ -2244,23 +2243,45 @@ def test_benjamini_hochberg_matches_reference(spark):
     )
     got = {
         r["hid"]: (r["p_adj"], r["rejected"])
-        for r in benjamini_hochberg(
-            df, "p", q=0.05, tie_cols=["hid"]
-        ).collect()
+        for r in bh_fdr(df, "p", q=0.05, tie_cols=["hid"]).collect()
     }
-    # reference: step-up on the sorted values
-    m = len(ps)
-    order = sorted(range(m), key=lambda i: (ps[i], i))
-    raw = [ps[i] * m / (r + 1) for r, i in enumerate(order)]
-    suffix = raw[:]
-    for r in range(m - 2, -1, -1):
-        suffix[r] = min(suffix[r], suffix[r + 1])
-    for r, i in enumerate(order):
-        exp = min(suffix[r], 1.0)
-        assert abs(got[i][0] - exp) < 1e-12, (i, got[i][0], exp)
-        assert got[i][1] == (exp <= 0.05)
+
+    def ref(ps_, q):
+        m = len(ps_)
+        order = sorted(range(m), key=lambda i: (ps_[i], i))
+        raw = [ps_[i] * m / (r + 1) for r, i in enumerate(order)]
+        suffix = raw[:]
+        for r in range(m - 2, -1, -1):
+            suffix[r] = min(suffix[r], suffix[r + 1])
+        return {
+            i: min(suffix[r], 1.0) for r, i in enumerate(order)
+        }
+
+    exp = ref(ps, 0.05)
+    for i in range(len(ps)):
+        assert abs(got[i][0] - exp[i]) < 1e-12, (i, got[i][0], exp[i])
+        # k* step-up rejection == adjusted-p ≤ q (the standard identity)
+        assert got[i][1] == (exp[i] <= 0.05)
     # the two tied 0.205 hypotheses get the same adjusted value
     assert got[7][0] == got[8][0]
+
+    # key_cols: two segments adjust INDEPENDENTLY — segment b's small
+    # family must not inflate segment a's m
+    seg = [("a", i, p) for i, p in enumerate(ps)] + [
+        ("b", i, p) for i, p in enumerate([0.01, 0.2, 0.9])
+    ]
+    sdf = spark.createDataFrame(seg, "seg string, hid long, p double")
+    per = {
+        (r["seg"], r["hid"]): r["p_adj"]
+        for r in bh_fdr(
+            sdf, "p", q=0.05, tie_cols=["hid"], key_cols=["seg"]
+        ).collect()
+    }
+    expb = ref([0.01, 0.2, 0.9], 0.05)
+    for i in range(len(ps)):
+        assert abs(per[("a", i)] - exp[i]) < 1e-12
+    for i in range(3):
+        assert abs(per[("b", i)] - expb[i]) < 1e-12
 
 
 def test_weighted_sample_wor_matches_reference(spark):
