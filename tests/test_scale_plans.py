@@ -540,3 +540,34 @@ def test_rank_stat_windows_are_frame_bound(spark, sf_dir):
     ):
         df.count()
         assert _single_partition_exchanges_post_aggregate(df) == []
+
+
+def test_r11_wave_plan_shapes(spark, sf_dir):
+    """Plan-shape assertions for the round-11 wave: qf40's membership
+    join BROADCASTS the terminology side and prunes the events scan to
+    event_id alone; q258 executes as TakeOrderedAndProject (per-
+    partition top-k heaps, no global Exchange-then-sort pair for the
+    limit) with the weight filter pushed to the scan; q260's plan
+    contains no cartesian product and its half-step norms come back
+    through broadcast joins."""
+    from parquet_on_fhir_spark.suite.fhir_queries import qf40
+    from parquet_on_fhir_spark.suite.llm import q258
+    from parquet_on_fhir_spark.suite.relational import q260
+
+    p40 = plan_of(qf40(spark, sf_dir))
+    assert "BroadcastHashJoin" in p40, p40
+    assert "ReadSchema: struct<event_id:bigint>" in p40, p40
+
+    p258 = plan_of(q258(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p258, p258
+    assert "GreaterThan(n_chars,0)" in p258, p258
+    assert "SortMergeJoin" not in p258, p258
+
+    p260 = plan_of(q260(spark, sf_dir))
+    assert "CartesianProduct" not in p260, p260
+    assert "BroadcastNestedLoopJoin" not in p260.replace(
+        # the 1-row norm broadcasts are the ONLY acceptable nested-loop
+        # joins (crossJoin(broadcast(1-row agg)) lowers to BNLJ); a
+        # data-sized BNLJ would list join keys here
+        "BroadcastNestedLoopJoin BuildRight, Cross", ""
+    ), p260
