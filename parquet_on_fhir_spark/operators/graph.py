@@ -584,25 +584,34 @@ def common_neighbors(
     node_col: str,
     attr_col: str,
     max_attr_degree: int | None = None,
+    term_dp: int | None = 12,
 ) -> DataFrame:
     """Common-neighbor link prediction over a bipartite (node, attr)
     incidence: for every node pair sharing ≥1 attribute, the shared
-    count and the Jaccard score |A∩B| / (|A|+|B|−|A∩B|) — the
-    classical "suppliers stocking the same parts / users touching the
-    same items" candidate generator (Liben-Nowell & Kleinberg 2003).
+    count, the Jaccard score |A∩B| / (|A|+|B|−|A∩B|), and the
+    Adamic–Adar score Σ_{shared a} 1/ln(deg(a)) (r11 — rare shared
+    attributes weigh more than ubiquitous ones) — the classical
+    "suppliers stocking the same parts / users touching the same
+    items" candidate generators (Liben-Nowell & Kleinberg 2003).
 
     Plan: distinct (attr, node) incidence → per-attr self-join with
     ``node_a < node_b`` (the WEDGE join — shuffle keyed by attr, pair
     volume Σ_attr C(deg_attr, 2), the triangle_count bound) → one hash
-    aggregate per pair → two degree joins for Jaccard.
+    aggregate per pair → two degree joins for Jaccard. The Adamic–Adar
+    term rides the SAME wedge rows: attr degrees join onto the left
+    side pre-wedge (same shuffle key — no extra exchange), and every
+    wedge row sums 1/ln(deg) with each term ``term_dp``-quantized
+    (the cross-engine transcendental convention; shared attrs always
+    have degree ≥ 2, so ln never hits 0).
     ``max_attr_degree`` is the skew guard: a hub attribute shared by
     10⁶ nodes contributes 5·10¹¹ wedges while carrying ~no signal
     (everyone shares it), so production runs CAP attr degree and drop
-    hubs — degrees (and therefore Jaccard) are computed on the capped
-    incidence, consistently. Zero-overlap pairs are absent by
-    construction (they carry no candidate signal).
+    hubs — degrees (and therefore Jaccard/Adamic–Adar) are computed on
+    the capped incidence, consistently. Zero-overlap pairs are absent
+    by construction (they carry no candidate signal).
 
-    Output: (node_a, node_b, common, degree_a, degree_b, jaccard).
+    Output: (node_a, node_b, common, degree_a, degree_b, jaccard,
+    adamic_adar).
     """
     pairs = (
         df.filter(
@@ -620,13 +629,22 @@ def common_neighbors(
         )
         pairs = pairs.join(keep, "__a", "left_semi")
     ndeg = pairs.groupBy("__n").agg(F.count("*").alias("__nd"))
-    left = pairs.select("__a", F.col("__n").alias("node_a"))
+    adeg = pairs.groupBy("__a").agg(F.count("*").alias("__ad"))
+    left = pairs.select("__a", F.col("__n").alias("node_a")).join(
+        adeg, "__a"
+    )
     right = pairs.select("__a", F.col("__n").alias("node_b"))
+    aa_term = F.lit(1.0) / F.ln(F.col("__ad").cast("double"))
+    if term_dp is not None:
+        aa_term = F.round(aa_term, term_dp)
     common = (
         left.join(right, "__a")
         .filter(F.col("node_a") < F.col("node_b"))
         .groupBy("node_a", "node_b")
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(aa_term).alias("adamic_adar"),
+        )
     )
     out = common.join(
         ndeg.select(
@@ -651,6 +669,7 @@ def common_neighbors(
                 F.col("degree_a") + F.col("degree_b") - F.col("common")
             ).cast("double")
         ).alias("jaccard"),
+        "adamic_adar",
     )
 
 

@@ -834,3 +834,63 @@ def script_profile(
         frac("latin").alias("latin_frac"),
         frac("cjk").alias("cjk_frac"),
     )
+
+
+def heaps_law(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_width: int = 100,
+    term_dp: int = 12,
+):
+    """Heaps'-law vocabulary-growth fit V(T) ≈ K·T^β over ingestion
+    order: cumulative (tokens seen, distinct vocabulary) points per
+    id-ordered batch, then the log-log OLS closed form — the scaling
+    exponent a crawl pipeline extrapolates to answer "how much new
+    vocabulary does the next 10× of this source buy?" (β → 0 = mined
+    out; English corpora sit near 0.5). Complements the per-batch
+    novelty RATE (:func:`ngram_novelty`, whose unigram frame this
+    reuses) with the fitted growth LAW.
+
+    Plan: the one-scan novelty machinery reduces the corpus to a
+    K-batch frame; the cumulative window and the 5-sum OLS fold run
+    over those K rows (batch-cardinality-sized, the q173 zipf_slope
+    shape — the single-partition window is over K batches, never
+    data). ``term_dp`` quantizes each ln term before summing (the
+    cross-engine transcendental convention).
+
+    Output: 1 row — (n_points, tokens_total, vocab_total, beta, k).
+    """
+    from pyspark.sql import Window
+
+    curve = ngram_novelty(df, id_col, text_col, 1, batch_width)
+    w = (
+        Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = curve.select(
+        F.sum("occurrences").over(w).alias("__T"),
+        F.sum("new_distinct_grams").over(w).alias("__V"),
+    ).filter((F.col("__T") > 0) & (F.col("__V") > 0))
+    x = F.round(F.ln(F.col("__T").cast("double")), term_dp)
+    y = F.round(F.ln(F.col("__V").cast("double")), term_dp)
+    s = pts.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.max("__T").cast("long").alias("tokens_total"),
+        F.max("__V").cast("long").alias("vocab_total"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_points").cast("double")
+    beta = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return s.select(
+        "n_points",
+        "tokens_total",
+        "vocab_total",
+        beta.alias("beta"),
+        F.exp((F.col("__sy") - beta * F.col("__sx")) / n).alias("k"),
+    )

@@ -26,8 +26,9 @@ from parquet_on_fhir_spark.suite.common import Q
 #      row (computed across CORRECTNESS_r01-r10): the r2-vintage
 #      relational cohort (q02-q85 — sources/sinks, join family, agg
 #      family, set ops, TPC-H line) and the r3-vintage q73b; the last
-#      two refresh slots ceded to the late-round debuts qf41 (nested
-#      ECL member-of) and qf42 (expression-valued attributes) per the
+#      refresh slots ceded to the late-round debuts qf41 (nested
+#      ECL member-of), qf42 (expression-valued attributes), q261
+#      (Heaps-law fit) and q262 (Adamic-Adar) per the
 #      debuts-land-with-a-driver-row rule (the displaced q67/q70
 #      rows-only refreshes keep their r3 lifetime rows + the
 #      recall/property tests in ROWS_ONLY_COVERAGE).
@@ -59,7 +60,10 @@ WINDOW = [
     "q10_conditional_expr",
     "q11_distinct",
     "q13_join_left_outer",
-    "q13b_join_full_outer",
+    #    twin-cede (r10 pattern): q13b/q37b are the harder-sibling
+    #    twins of in-window q13/q37 — their slots go to the last two
+    #    r11 debuts q261/q262 so every debut lands with a driver row
+    "q261_heaps_law",
     "q14_join_semi_anti",
     "q16_join_theta_range",
     "q17_join_cross",
@@ -74,7 +78,7 @@ WINDOW = [
     "q35_limit_topk",
     "q36_sort_within_partitions",
     "q37_union_all",
-    "q37b_union_distinct",
+    "q262_adamic_adar",
     "q38_union_by_name",
     "q39_intersect",
     "q76_agg_cube",

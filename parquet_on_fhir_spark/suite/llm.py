@@ -3212,3 +3212,78 @@ LIMIT 50
 
 
 QUERIES.append(Q("q258_weighted_sample", q258, Q258_ORACLE))
+
+
+# --- Q261: Heaps-law vocabulary-growth fit --------------------------------------------
+def q261(spark, sf_dir):
+    """Heaps'-law fit V ≈ K·T^β over ingestion order (operators/
+    text.py::heaps_law, r11): cumulative (tokens, vocabulary) points
+    per 50-doc batch from the one-scan novelty machinery, log-log OLS
+    closed form with 12-dp ln pinning — the growth-law companion of
+    the q241 novelty RATE and the q173 Zipf slope; all windows run
+    over the K-batch frame, never the corpus."""
+    out = tx.heaps_law(
+        t(spark, sf_dir, "documents"), "doc_id", "text", batch_width=50
+    )
+    return out.select(
+        "n_points",
+        "tokens_total",
+        "vocab_total",
+        d4(F.col("beta")).alias("beta"),
+        d4(F.col("k")).alias("k"),
+    )
+
+
+Q261_ORACLE = """
+WITH toks AS (
+  SELECT doc_id // 50 AS batch,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT batch, unnest(tk) AS gram FROM toks WHERE len(tk) >= 1
+),
+per AS (
+  SELECT batch, gram, count(*) AS c FROM grams GROUP BY batch, gram
+),
+first_ AS (
+  SELECT gram, min(batch) AS fb FROM per GROUP BY gram
+),
+curve AS (
+  SELECT batch,
+         sum(c) AS occurrences,
+         sum(CASE WHEN batch = fb THEN 1 ELSE 0 END) AS newv
+  FROM per JOIN first_ USING (gram)
+  GROUP BY batch
+),
+pts AS (
+  SELECT sum(occurrences) OVER (ORDER BY batch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+         sum(newv) OVER (ORDER BY batch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM curve
+),
+lg AS (
+  SELECT round(ln(CAST(t AS DOUBLE)), 12) AS x,
+         round(ln(CAST(v AS DOUBLE)), 12) AS y,
+         t, v
+  FROM pts WHERE t > 0 AND v > 0
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(max(t) AS BIGINT) AS tokens_total,
+         CAST(max(v) AS BIGINT) AS vocab_total,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM lg
+)
+SELECT n_points, tokens_total, vocab_total,
+       round((n_points * sxy - sx * sy)
+             / (n_points * sxx - sx * sx) + 1e-9, 4) AS beta,
+       round(exp((sy - (n_points * sxy - sx * sy)
+                       / (n_points * sxx - sx * sx) * sx) / n_points)
+             + 1e-9, 4) AS k
+FROM s
+"""
+
+
+QUERIES.append(Q("q261_heaps_law", q261, Q261_ORACLE))

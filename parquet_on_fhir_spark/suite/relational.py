@@ -6568,3 +6568,57 @@ FROM h2n h FULL JOIN a2n a ON h.node = a.node
 
 
 QUERIES.append(Q("q260_hits", q260, Q260_ORACLE))
+
+
+# --- Q262: Adamic-Adar link prediction -----------------------------------------------
+def q262(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.py::
+    common_neighbors adamic_adar column, r11): the q246 wedge frame
+    re-read with rarity weighting — Σ 1/ln(deg(shared part)) per
+    supplier pair, each term 12-dp-pinned; attr degrees join the wedge
+    on its OWN shuffle key (no extra exchange). Same deterministic
+    top-20 ordering as q246 so the two scores are directly
+    comparable row-for-row."""
+    from parquet_on_fhir_spark.operators.graph import common_neighbors
+
+    li = t(spark, sf_dir, "lineitem")
+    out = common_neighbors(li, "l_suppkey", "l_partkey")
+    return (
+        out.orderBy(F.desc("common"), F.asc("node_a"), F.asc("node_b"))
+        .limit(20)
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            d4(F.col("jaccard")).alias("jaccard"),
+            d4(F.col("adamic_adar")).alias("adamic_adar"),
+        )
+    )
+
+
+Q262_ORACLE = """
+WITH inc AS (
+  SELECT DISTINCT l_partkey AS a, l_suppkey AS n FROM lineitem
+),
+deg AS (SELECT n, count(*) AS d FROM inc GROUP BY n),
+adeg AS (SELECT a, count(*) AS ad FROM inc GROUP BY a),
+pr AS (
+  SELECT l.n AS node_a, r.n AS node_b, count(*) AS common,
+         sum(round(1.0 / ln(CAST(adeg.ad AS DOUBLE)), 12)) AS aa
+  FROM inc l
+  JOIN inc r ON l.a = r.a AND l.n < r.n
+  JOIN adeg ON l.a = adeg.a
+  GROUP BY l.n, r.n
+)
+SELECT node_a, node_b, CAST(common AS BIGINT) AS common,
+       round(CAST(common AS DOUBLE)
+             / CAST(da.d + db.d - common AS DOUBLE) + 1e-9, 4) AS jaccard,
+       round(aa + 1e-9, 4) AS adamic_adar
+FROM pr JOIN deg da ON pr.node_a = da.n
+        JOIN deg db ON pr.node_b = db.n
+ORDER BY common DESC, node_a, node_b
+LIMIT 20
+"""
+
+
+QUERIES.append(Q("q262_adamic_adar", q262, Q262_ORACLE))

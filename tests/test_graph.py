@@ -504,3 +504,49 @@ def test_hits_matches_numpy_power_iteration(spark):
         assert abs(ga - ea) < 1e-9, (n, ga, ea)
     # node 4 is dangling (hub 0), node 1 and 5 are source-only (auth 0)
     assert got[4][0] == 0.0 and got[1][1] == 0.0 and got[5][1] == 0.0
+
+
+def test_adamic_adar_matches_reference(spark):
+    """common_neighbors' adamic_adar column (r11) vs a hand-computed
+    Σ 1/ln(deg) on a small bipartite incidence: rarity weighting ranks
+    a rare shared attribute above several ubiquitous ones, degree-1
+    attrs never reach the wedge (no ln(1) division), and the hub cap
+    removes the capped attr from BOTH scores consistently."""
+    import math
+
+    from parquet_on_fhir_spark.operators.graph import common_neighbors
+
+    # attrs: h shared by 4 nodes (hub), r shared by 2 (rare),
+    # s shared by 3, x touched once (degree 1 — never a wedge)
+    inc = [
+        (1, "h"), (2, "h"), (3, "h"), (4, "h"),
+        (1, "r"), (2, "r"),
+        (1, "s"), (2, "s"), (3, "s"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(inc, "n long, a string")
+    got = {
+        (r["node_a"], r["node_b"]): (r["common"], r["adamic_adar"])
+        for r in common_neighbors(df, "n", "a", term_dp=None).collect()
+    }
+
+    def aa(*degs):
+        return sum(1.0 / math.log(d) for d in degs)
+
+    def close(got_pair, common, expect_aa):
+        return got_pair[0] == common and abs(got_pair[1] - expect_aa) < 1e-12
+
+    assert close(got[(1, 2)], 3, aa(4, 2, 3))  # h + r + s
+    assert close(got[(1, 3)], 2, aa(4, 3))
+    assert close(got[(3, 4)], 1, aa(4))
+    # the rare pair's AA beats a pure-hub pair despite equal common=1
+    assert close(got[(1, 4)], 1, aa(4)) and aa(2) > aa(4)
+    # hub cap drops 'h' everywhere: (3,4) loses its only shared attr
+    capped = {
+        (r["node_a"], r["node_b"]): (r["common"], r["adamic_adar"])
+        for r in common_neighbors(
+            df, "n", "a", max_attr_degree=3, term_dp=None
+        ).collect()
+    }
+    assert (3, 4) not in capped
+    assert close(capped[(1, 2)], 2, aa(2, 3))

@@ -739,3 +739,33 @@ def test_round10_null_input_guards(spark):
     assert len(out) == 1
     assert (out[0].node_a, out[0].node_b, out[0].common) == (1, 2, 1)
     assert out[0].degree_a == 1  # the (1, NULL) incidence did not count
+
+
+def test_heaps_law_matches_numpy_fit(spark):
+    """heaps_law (r11) vs a numpy log-log least-squares fit over the
+    same cumulative (tokens, vocab) points, on a corpus built so the
+    points are hand-enumerable; a single-batch corpus yields a
+    degenerate (NaN) slope rather than a wrong one."""
+    import math
+
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.text import heaps_law
+
+    docs = [
+        (0, "a b c"),          # batch 0: T=3, V=3
+        (1, "a b d d"),        # batch 1: +4 occ, +1 new (d)
+        (2, "e f a"),          # batch 2: +3 occ, +2 new
+        (3, "a a a a"),        # batch 3: +4 occ, +0 new
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = heaps_law(df, "doc_id", "text", batch_width=1).collect()[0]
+    T = np.cumsum([3, 4, 3, 4])
+    V = np.cumsum([3, 1, 2, 0])
+    x = np.round(np.log(T), 12)
+    y = np.round(np.log(V), 12)
+    beta, lnk = np.polyfit(x, y, 1)
+    assert row["n_points"] == 4
+    assert row["tokens_total"] == 14 and row["vocab_total"] == 6
+    assert abs(row["beta"] - beta) < 1e-9
+    assert abs(row["k"] - math.exp(lnk)) < 1e-9
