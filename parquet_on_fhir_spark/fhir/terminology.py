@@ -447,6 +447,13 @@ def expand_valueset(
         out_parts.append(exp)
         for u in ready & referenced:
             resolved[u] = exp.filter(F.col("url") == u)
+    if not out_parts:
+        # requested urls absent from the context (e.g. an unknown
+        # ^ refset token against a reference-bearing table): empty
+        # membership, not an error — the member-of contract
+        return valuesets.sparkSession.createDataFrame(
+            [], "url string, system string, code string, display string"
+        )
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)

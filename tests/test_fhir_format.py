@@ -963,6 +963,26 @@ def test_ecl_member_of(spark):
     assert ev("(^ vs-preds) MINUS << arm") == ["foot", "heart", "leg", "limb"]
     assert ev("(^ vs-preds) AND (^ vs-notlimb)") == ["heart"]
     assert ev("^ ghost-refset") == []  # unknown refset -> empty set
+    # ... also when the ValueSet table carries compose REFERENCES (the
+    # depth-N strata path — an unknown target there must yield the
+    # same empty set, not an empty-strata crash; r11 regression)
+    refy = [
+        {"resourceType": "ValueSet", "id": "vs-ra", "status": "active",
+         "url": "http://example.org/ValueSet/ra",
+         "compose": {"include": [
+             {"system": system, "concept": [{"code": "arm"}]}]}},
+        {"resourceType": "ValueSet", "id": "vs-rb", "status": "active",
+         "url": "http://example.org/ValueSet/rb",
+         "compose": {"include": [
+             {"valueSet": ["http://example.org/ValueSet/ra"]}]}},
+    ]
+    vs_ref = _encode(spark, refy, "ValueSet")
+    assert (
+        ecl_expand(
+            "^ ghost-refset", cs, clo, system, valuesets=vs_ref
+        ).collect()
+        == []
+    )
     # member-of composes with refinements
     assert ev("(^ vs-preds) : laterality = paired") == ["arm", "leg"]
     # without the ValueSet table the operator refuses
