@@ -4050,7 +4050,10 @@ def brier_decomposition(
     o = F.col(outcome_col).cast("double")
     p = F.col(prob_col).cast("double")
     binned = (
-        df.select(
+        # NULL forecasts/outcomes are excluded up front: F.sum skips
+        # NULLs but count(*) would not, silently biasing every /N term
+        df.filter(p.isNotNull() & o.isNotNull())
+        .select(
             *keys,
             F.least(F.floor(p * n_bins), F.lit(n_bins - 1))
             .cast("int")

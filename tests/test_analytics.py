@@ -2160,7 +2160,9 @@ def test_brier_decomposition_matches_numpy(spark):
     p = rng.uniform(0, 1, 400)
     o = (rng.uniform(0, 1, 400) < p * 0.8 + 0.1).astype(float)
     df = spark.createDataFrame(
-        [(float(a), bool(b)) for a, b in zip(p, o)], "prob double, outcome boolean"
+        [(float(a), bool(b)) for a, b in zip(p, o)]
+        + [(None, True), (0.5, None)],  # NULLs are excluded, not biased in
+        "prob double, outcome boolean",
     )
     row = brier_decomposition(df, "prob", "outcome", n_bins=10).collect()[0]
 
