@@ -575,6 +575,9 @@ def test_jpeg_roundtrip_gray_exact_and_color_tolerance():
     for kwargs, tol in (
         (dict(), 12),
         (dict(subsampling=(2, 2)), 20),
+        (dict(subsampling=(2, 1)), 16),   # 4:2:2
+        (dict(subsampling=(1, 2)), 16),   # 4:4:0
+        (dict(subsampling=(4, 2)), 24),   # asymmetric high factor
         (dict(restart_interval=2), 12),
         (dict(subsampling=(2, 2), restart_interval=1), 20),
     ):
