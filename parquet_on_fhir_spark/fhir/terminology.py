@@ -329,6 +329,7 @@ def expand_valueset(
     closure: DataFrame | None = None,
     _ecl_stack: frozenset = frozenset(),
     _context: DataFrame | None = None,
+    _vs_cache: dict | None = None,
 ) -> DataFrame:
     """Expand ValueSet.compose into concrete (url, system, code, display)
     membership rows.
@@ -382,10 +383,17 @@ def expand_valueset(
     """
     ctx = valuesets if _context is None else _context
     refsets = ctx
+    if _vs_cache is None:
+        # per-top-level-call memo: ``alias`` maps a ^ refset token to
+        # its resolved id/url alias set, ``exp`` maps an alias set to
+        # its (lineage-cut) expansion — a refset referenced k times
+        # along a ^ chain/DAG expands ONCE, not k times (r12)
+        _vs_cache = {"alias": {}, "exp": {}}
     edges = _compose_ref_edges(ctx)
     if not edges:
         return _expand_compose(
-            valuesets, codesystems, closure, None, refsets, _ecl_stack
+            valuesets, codesystems, closure, None, refsets, _ecl_stack,
+            _vs_cache,
         )
     from parquet_on_fhir_spark.operators.graph import _truncate_lineage
 
@@ -437,6 +445,7 @@ def expand_valueset(
             ref_exp,
             refsets,
             _ecl_stack,
+            _vs_cache,
         )
         pending -= ready
         if pending:
@@ -469,12 +478,15 @@ def _expand_compose(
     ref_exp: DataFrame | None,
     refsets: DataFrame | None,
     _ecl_stack: frozenset = frozenset(),
+    _vs_cache: dict | None = None,
 ) -> DataFrame:
-    """One table-level compose expansion, assuming every DIRECT
-    ``valueSet`` reference of this batch is already expanded in
+    """One table-level compose expansion, assuming every RESOLVABLE
+    direct ``valueSet`` reference of this batch is already expanded in
     ``ref_exp`` (``__ref``, system, code, display) — the per-stratum
-    worker of :func:`expand_valueset`; never call with unresolved
-    references (``ref_exp=None`` asserts the batch is reference-free)."""
+    worker of :func:`expand_valueset`. ``ref_exp=None`` means no
+    reference of this batch resolved to a url present in the table;
+    reference-bearing includes then intersect with EMPTY expansions
+    (r12 fix), they never fall back to reference-free routing."""
     inc_fields = _element_fields(valuesets, "compose", "include")
     inc = valuesets.select(
         F.col("url"), F.posexplode("compose.include").alias("inc_idx", "i")
@@ -497,8 +509,14 @@ def _expand_compose(
     )
 
     # sparse schemas: a batch can carry EXCLUDE-side references only,
-    # in which case the include struct has no valueSet field at all
-    has_inc_refs = ref_exp is not None and "valueSet" in inc_fields
+    # in which case the include struct has no valueSet field at all.
+    # withref_keys must be built from the include rows alone (NOT gated
+    # on ref_exp): a stratum whose references all point at urls absent
+    # from the table arrives with ref_exp=None, and its
+    # reference-bearing includes still must be excluded from the
+    # whole-system/concept/filter routing — their conjunction
+    # intersects with an EMPTY expansion, not with "everything".
+    has_inc_refs = "valueSet" in inc_fields
     withref_keys = (
         inc.filter(n_refs > 0).select(*key2).distinct()
         if has_inc_refs
@@ -579,6 +597,7 @@ def _expand_compose(
             fpi = _expand_filters(
                 valuesets, codesystems, closure, refsets=refsets,
                 per_include=True, _ecl_stack=_ecl_stack,
+                _vs_cache=_vs_cache,
             )
             d, m = split(fpi)
             # cross-include dedup (pre-r11 output contract: filter
@@ -595,6 +614,16 @@ def _expand_compose(
             F.size("i.valueSet").alias("__need"),
             F.explode("i.valueSet").alias("__ref"),
         )
+        if ref_exp is None:
+            # every reference in this stratum resolves to a url absent
+            # from the table: each referenced expansion is empty, so the
+            # cross-reference intersection is empty — mixed includes
+            # intersect to nothing and pure-ref includes contribute
+            # nothing (the documented member-of contract).
+            ref_exp = valuesets.sparkSession.createDataFrame(
+                [],
+                "__ref string, system string, code string, display string",
+            )
         # intersection across an include's references: a code counts
         # only when EVERY referenced expansion contains it
         refs_int = (
@@ -632,8 +661,9 @@ def _expand_compose(
                 ).drop("inc_idx")
             )
     else:
+        # no valueSet field in the include schema at all
         assert withref_keys is None and not mixed_sides, (
-            "reference-bearing batch without ref_exp"
+            "mixed include routed without a valueSet include field"
         )
 
     listed = None
@@ -919,6 +949,7 @@ def ecl_expand(
     system: str,
     valuesets: DataFrame | None = None,
     _ecl_stack: frozenset = frozenset(),
+    _vs_cache: dict | None = None,
 ) -> DataFrame:
     """Evaluate an ECL (SNOMED Expression Constraint Language) subset
     against a CodeSystem + its transitive closure, returning the
@@ -972,6 +1003,8 @@ def ecl_expand(
     value: '<ecl>'}]`` (which forwards the full ValueSet table, so
     member-of works there too).
     """
+    if _vs_cache is None:
+        _vs_cache = {"alias": {}, "exp": {}}
     uni = (
         _all_concepts(codesystems)
         .filter(F.col("system") == system)
@@ -1111,26 +1144,50 @@ def ecl_expand(
             # the stack carries BOTH the id and the url of every refset
             # on the ^-expansion path, so an A-by-id → B → A-by-url
             # cycle is still caught (the match-rows are metadata —
-            # one tiny collect per ^ node)
-            idcols = ["url"] + (["id"] if "id" in vs.columns else [])
-            aliases = {
-                target,
-                *(
-                    v
-                    for row in vs.select(*idcols).distinct().collect()
-                    for v in row
-                    if v is not None
-                ),
-            }
-            exp = expand_valueset(
-                vs,
-                codesystems,
-                closure=closure,
-                _ecl_stack=_ecl_stack | aliases,
-                # the refset's own ^ and compose references resolve
-                # against the FULL table, not just the target slice
-                _context=valuesets,
-            )
+            # one tiny collect per ^ node, memoized per token)
+            memo = _vs_cache
+            aliases = memo["alias"].get(target)
+            if aliases is None:
+                idcols = ["url"] + (["id"] if "id" in vs.columns else [])
+                aliases = frozenset(
+                    {
+                        target,
+                        *(
+                            v
+                            for row in vs.select(*idcols).distinct().collect()
+                            for v in row
+                            if v is not None
+                        ),
+                    }
+                )
+                memo["alias"][target] = aliases
+            # memoize by the resolved alias set: a refset referenced k
+            # times along a ^ chain/DAG (by id AND by url) expands once
+            # per top-level expand call, lineage-cut so every reuse
+            # reads the materialized rows instead of re-running the
+            # expansion plan (r12; a completed expansion is acyclic by
+            # construction, so reuse under a different stack is sound —
+            # genuine cycles raise above before the cache is consulted)
+            exp = memo["exp"].get(aliases)
+            if exp is None:
+                from parquet_on_fhir_spark.operators.graph import (
+                    _truncate_lineage,
+                )
+
+                exp = _truncate_lineage(
+                    expand_valueset(
+                        vs,
+                        codesystems,
+                        closure=closure,
+                        _ecl_stack=_ecl_stack | aliases,
+                        # the refset's own ^ and compose references
+                        # resolve against the FULL table, not just the
+                        # target slice
+                        _context=valuesets,
+                        _vs_cache=memo,
+                    )
+                )
+                memo["exp"][aliases] = exp
             return (
                 exp.filter(F.col("system") == system)
                 .select("code")
@@ -1371,6 +1428,7 @@ def _expand_filters(
     refsets: DataFrame | None = None,
     per_include: bool = False,
     _ecl_stack: frozenset = frozenset(),
+    _vs_cache: dict | None = None,
 ) -> DataFrame:
     """Resolve ``include.filter`` entries
     (hl7.org/fhir/R4/valueset.html#compose). Supported:
@@ -1618,6 +1676,7 @@ def _expand_filters(
             ecl_expand(
                 r["value"], codesystems, closure, r["system"],
                 valuesets=refsets, _ecl_stack=_ecl_stack,
+                _vs_cache=_vs_cache,
             ).select(
                 _kl("url", r["url"]),
                 _kl("inc_idx", r["inc_idx"]),

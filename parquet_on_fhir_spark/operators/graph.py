@@ -702,6 +702,12 @@ def hits(
     Output: (node, hub, authority) over all edge endpoints; hub
     (authority) is 0.0 for nodes with no outgoing (incoming) edges.
     """
+    if iterations < 1:
+        raise ValueError(
+            "hits() requires iterations >= 1: with zero iterations the "
+            "authority vector is undefined and hubs would be the "
+            "unnormalized all-ones seed"
+        )
     e = _truncate_lineage(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     )

@@ -9,91 +9,82 @@ from __future__ import annotations
 from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
-# only, so registration order is coverage policy.  Round-11 window
-# (the r10 verdict's prescription, tasks 1/3):
+# only, so registration order is coverage policy.  Round-12 window
+# (the r11 verdict's prescription, task 1 — rotate the stale-evidence
+# families so that after r12 no green is older than r5; computed
+# oldest-first across CORRECTNESS_r01-r11):
 #   1. flagship;
-#   2. q210b/q231b — the two r10 hash-reds, repaired (moment columns
-#      now project as strings on both sides; the r10 verdict's task 1
-#      requires both back in-window until green);
-#   3. the round-11 debuts (qf38 depth-N ValueSet references + mixed
-#      includes; qf39 ECL prefixed wildcards + in-group card/reverse;
-#      qf40 sf-scaled $validate-code — the data-scaling qf bench line;
-#      q255 baseline-JPEG real decode; q256-q260 analytics wave:
-#      Brier decomposition, rank-biased overlap, weighted WOR
-#      sampling, BH-FDR, HITS) — every new query lands WITH a driver
-#      row in its debut window;
-#   4. remaining 38 slots strictly oldest-first by lifetime driver
-#      row (computed across CORRECTNESS_r01-r10): the r2-vintage
-#      relational cohort (q02-q85 — sources/sinks, join family, agg
-#      family, set ops, TPC-H line) and the r3-vintage q73b; the last
-#      refresh slots ceded to the late-round debuts qf41 (nested
-#      ECL member-of), qf42 (expression-valued attributes), q261
-#      (Heaps-law fit) and q262 (Adamic-Adar) per the
-#      debuts-land-with-a-driver-row rule (the displaced q67/q70
-#      rows-only refreshes keep their r3 lifetime rows + the
-#      recall/property tests in ROWS_ONLY_COVERAGE).
+#   2. the 13 genuinely stale rows: the r2-vintage twins
+#      q13b/q37b and the r4-vintage window/streaming/LLM cores
+#      (q30-q33, q52/q53, q66/q68/q69/q71/q74b) — 7+ rounds of
+#      refactors since their last driver hash;
+#   3. the full r5-vintage cohort (22 queries — approx-distinct, map
+#      funcs, streaming windows/watermark, dedup/minhash/embedding
+#      twins, tf-idf, multimodal, curation, TPC-H q4/q18/q22, upsert,
+#      clustered write, the Observation ViewDefinition);
+#   4. remaining slots oldest-first from the r6 cohort; r12 debuts
+#      displace the NEWEST of these fills as they land (the
+#      debuts-land-with-a-driver-row rule).
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- r10 verdict task 1: the repaired DECIMAL-output reds stay
-    #    in-window until the driver confirms hash_match
-    "q210b_ols_moments",
-    "q231b_logistic_moments",
-    # -- round-11 debuts:
-    "qf38_valueset_nested_refs",
-    "qf39_ecl_wildcard_group_flags",
-    "qf40_validate_code_facts",
-    "q255_jpeg_real_decode",
-    "q256_brier_decomposition",
-    "q257_rank_biased_overlap",
-    "q258_weighted_sample",
-    "q259_bh_fdr",
-    "q260_hits",
-    # -- r10 verdict task 3: stalest-first refresh. The r2-vintage
-    #    relational cohort (last driver rows in CORRECTNESS_r02):
-    "q02_schema_merged_scan",
-    "q04_csv_source",
-    "q05_parquet_sink_roundtrip",
-    "q07_nested_projection",
-    "q09_in_between_like",
-    "q10_conditional_expr",
-    "q11_distinct",
-    "q13_join_left_outer",
-    #    twin-cede (r10 pattern): q13b/q37b are the harder-sibling
-    #    twins of in-window q13/q37 — their slots go to the last two
-    #    r11 debuts q261/q262 so every debut lands with a driver row
-    "q261_heaps_law",
-    "q14_join_semi_anti",
-    "q16_join_theta_range",
-    "q17_join_cross",
-    "q19_join_interval_overlap",
-    "q20_join_self",
-    "q22_agg_distinct",
-    "q24_agg_rollup_grouping",
-    "q26_agg_median",
-    "q27_agg_minby_maxby_collect",
-    "q28_agg_global",
-    "q29_pivot",
-    "q35_limit_topk",
-    "q36_sort_within_partitions",
-    "q37_union_all",
-    "q262_adamic_adar",
-    "q38_union_by_name",
-    "q39_intersect",
-    "q76_agg_cube",
-    "q78_join_salted_skew",
-    "q79_array_sequence_collect",
-    "q80_unpivot",
-    "q81_subqueries",
-    "q82_tpch_q6",
-    "q83_tpch_q14",
-    "q84_tpch_q10",
-    "q85_tpch_q19",
-    #    r3-vintage multimodal frame plan, then the late-round debuts:
-    "q73b_multimodal_frame_plan",
-    "qf41_ecl_member_of_nested",
-    "qf42_ecl_attribute_expressions",
+    # -- r2-vintage (last driver hash: CORRECTNESS_r02)
+    "q13b_join_full_outer",
+    "q37b_union_distinct",
+    # -- r4-vintage window functions
+    "q30_window_ranking",
+    "q31_window_lag_lead",
+    "q32_window_frames",
+    "q33_window_topk_per_group",
+    # -- r4-vintage streaming core
+    "q52_stream_source_sink_available_now",
+    "q53_stream_window_tumbling",
+    # -- r4-vintage LLM core
+    "q66_dedup_exact",
+    "q68_cosine_similarity",
+    "q69_similarity_topk_bruteforce",
+    "q71_text_stats",
+    "q74b_quality_scoring",
+    # -- r5-vintage cohort (entire tier refreshed: after r12 the
+    #    oldest lifetime row is r6)
+    "q23_agg_approx_distinct",
+    "q48_map_funcs",
+    "q51b_hash_ids_local",
+    "q54_window_sliding",
+    "q55_window_session",
+    "q56_stream_watermark",
+    "q57_dedup_keep_first",
+    "q59_stream_static_join",
+    "q67c_dedup_minhash_md5",
+    "q72_term_idf",
+    "q73_multimodal_features",
+    "q74_quality_filter",
+    "q74d_doc_fingerprints_md5",
+    "q86c_curation_pipeline_md5",
+    "q87_merge_upsert",
+    "q89_tpch_q18",
+    "q90_scale10_agg",
+    "q91_embedding_near_dup",
+    "q92_tpch_q4_exists",
+    "q93_tpch_q22_not_exists",
+    "q94_clustered_write",
+    "qf10_view_definition_observation",
+    # -- r6-vintage fills, oldest-first; newest fills cede to debuts
+    "q108_dedup_clusters_md5",
+    "q120_incremental_dedup",
+    "q121_ngram_lm_score",
+    "q122_dedup_lines",
+    "q123_frequent_ngrams",
+    "q124_fuzzy_join",
+    "q125_resample_gapfill",
+    "q126_tpch_q2_min_cost_supplier",
+    "q127_tpch_q9_profit",
+    "q128_tpch_q11_important_parts",
+    "q129_tpch_q16_supplier_cnt",
+    "q130_tpch_q20_excess_shipments",
+    "q132_resample_interpolate",
+    "q133_funnel",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

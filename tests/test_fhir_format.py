@@ -1480,6 +1480,75 @@ def test_valueset_by_reference_composition(spark):
         expand_valueset(_encode(spark, selfref, "ValueSet"), cs).collect()
 
 
+def test_valueset_absent_reference_is_empty_intersection(spark):
+    """r12 pinned (ADVICE): an include whose valueSet references all
+    point at urls ABSENT from the table intersects to EMPTY — it must
+    never fall back to the whole-system / listed-concept selection
+    (previously withref_keys was only built when ref_exp was non-None,
+    so a stratum with no resolvable references routed its
+    reference-bearing includes as if they had no references at all)."""
+    from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_ANATOMY_DOC,
+        _VS_REF_DOCS,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_ANATOMY_DOC, "CodeSystem")
+    absent = "http://example.org/ValueSet/absent"
+
+    def expand(docs):
+        res = {}
+        for r in expand_valueset(_encode(spark, docs, "ValueSet"), cs).collect():
+            res.setdefault(r.url, set()).add(r.code)
+        return res
+
+    # system + absent ref: whole-system ∩ ∅ = ∅ (not the whole system)
+    mixed_sys = [{
+        "resourceType": "ValueSet", "id": "va1", "status": "active",
+        "url": "http://example.org/ValueSet/va1",
+        "compose": {"include": [
+            {"system": "http://example.org/cs/anatomy",
+             "valueSet": [absent]}]},
+    }]
+    assert expand(mixed_sys).get("http://example.org/ValueSet/va1", set()) == set()
+
+    # listed concepts + absent ref: concepts ∩ ∅ = ∅
+    mixed_concept = [{
+        "resourceType": "ValueSet", "id": "va2", "status": "active",
+        "url": "http://example.org/ValueSet/va2",
+        "compose": {"include": [
+            {"system": "http://example.org/cs/anatomy",
+             "concept": [{"code": "arm"}, {"code": "leg"}],
+             "valueSet": [absent]}]},
+    }]
+    assert expand(mixed_concept).get("http://example.org/ValueSet/va2", set()) == set()
+
+    # pure absent ref contributes nothing; a sibling include still does
+    union_ok = [{
+        "resourceType": "ValueSet", "id": "va3", "status": "active",
+        "url": "http://example.org/ValueSet/va3",
+        "compose": {"include": [
+            {"valueSet": [absent]},
+            {"system": "http://example.org/cs/anatomy",
+             "concept": [{"code": "heart"}]}]},
+    }]
+    assert expand(union_ok)["http://example.org/ValueSet/va3"] == {"heart"}
+
+    # one resolvable + one absent ref in the SAME include: the
+    # intersection still requires EVERY reference to contain the code
+    half = _VS_REF_DOCS[:1] + [{
+        "resourceType": "ValueSet", "id": "va4", "status": "active",
+        "url": "http://example.org/ValueSet/va4",
+        "compose": {"include": [
+            {"valueSet": ["http://example.org/ValueSet/ref1", absent]}]},
+    }]
+    got = expand(half)
+    assert got.get("http://example.org/ValueSet/va4", set()) == set()
+    # the resolvable sibling set still expands on its own
+    assert got["http://example.org/ValueSet/ref1"] == {"arm", "hand", "leg"}
+
+
 def test_lookup_codes_batch(spark):
     """lookup_codes (r10 batch $lookup): property multiplication,
     propertyless concepts keep one NULL-prop row, unknown codes and

@@ -550,3 +550,19 @@ def test_adamic_adar_matches_reference(spark):
     }
     assert (3, 4) not in capped
     assert close(capped[(1, 2)], 2, aa(2, 3))
+
+
+def test_hits_iteration_bounds(spark):
+    """r12 pinned (ADVICE): iterations < 1 raises up front instead of
+    crashing on hubs.join(None) after the loop; iterations=1 runs."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(e, iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        hits(e, iterations=-1)
+    rows = {r.node: r for r in hits(e, iterations=1).collect()}
+    assert set(rows) == {1, 2, 3}
