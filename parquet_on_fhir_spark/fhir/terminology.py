@@ -708,14 +708,16 @@ def _expand_compose(
 
 
 _ECL_TOKEN = re.compile(
-    r"<<|<!|>>|>!|<|>|\(|\)|\{|\}|\*|:|=|,|\^|!|"
+    r"<<|<!|<=|>>|>!|>=|!=|<|>|\(|\)|\{|\}|\*|:|=|,|\^|!|"
     r"\[[0-9]+\.\.(?:[0-9]+|\*)\]|"  # cardinality [m..n] — one token
     r"(?<!\S)\.(?!\S)|"  # dotted attribute '.' (whitespace-delimited)
     r"AND\b|OR\b|MINUS\b|R\b|[^\s(){}<>:=,^!]+"
 )
 _ECL_CARD = re.compile(r"\[([0-9]+)\.\.([0-9]+|\*)\]\Z")
 _ECL_TERM = re.compile(r"\|[^|]*\|")  # |display term| annotations
-_ECL_UNSUPPORTED = re.compile(r"[|#]")
+_ECL_UNSUPPORTED = re.compile(r"\|")
+_ECL_NUM = re.compile(r"#(-?[0-9]+(?:\.[0-9]+)?)\Z")  # concrete numeric
+_ECL_CMP = ("=", "!=", "<", "<=", ">", ">=")
 
 
 def _ecl_parse(ecl: str):
@@ -726,7 +728,9 @@ def _ecl_parse(ecl: str):
                                         mixing — ECL requires parens)
         refined := dotted (':' refinement (',' refinement)*)?
         dotted := term ('.' (ATTR | '*'))*
-        refinement := CARD? 'R'? (ATTR | '*' | term) '=' term
+        refinement := CARD? 'R'? (ATTR | '*' | term) CMP value
+        CMP := '=' | '!=' | '<' | '<=' | '>' | '>='
+        value := term | '#' NUMBER   (non-equality CMP needs a number)
         CARD := '[' INT '..' (INT | '*') ']'
         term := '(' expr ')' | PREFIX? ('*' | CODE)
         PREFIX := '<<' (desc-or-self) | '<' (desc) | '<!' (children)
@@ -756,13 +760,21 @@ def _ecl_parse(ecl: str):
     own") — a multi-refinement group then matches only when ONE
     assertion satisfies every member (reachable via '*' attributes or
     repeated attribute names). Reverse flags and cardinalities are
-    also accepted INSIDE groups (r11): a reverse member binds the
-    focus to the assertion's VALUE side, and a within-group
-    cardinality counts matching assertions per group (0 or 1 under
-    self-grouping, so ``[0..0]`` keeps non-matching groups). The one
-    refused combination is cardinality+reverse on the SAME group
-    member (no coherent group universe); prefixed wildcards
+    also accepted INSIDE groups (r11), including combined on the same
+    member (r12): a reverse member binds the focus to the assertion's
+    VALUE side, and a within-group cardinality counts matching
+    assertions per group (0 or 1 under self-grouping, so ``[0..0]``
+    keeps non-matching groups — for a reverse member the group
+    universe is every assertion in the system); prefixed wildcards
     (``< *`` …) evaluate the hierarchy with an unconstrained anchor.
+    Comparison operators (r12, SNOMED ECL concrete values): ``!=``
+    accepts a concept/expression value (assertions whose value —
+    source, under R — is NOT the/in the set); ``< <= > >=`` and
+    ``=``/``!=`` also accept ``#``-prefixed numeric literals
+    (``strength >= #250``), compared against the property value as a
+    number (non-numeric values never match). Numeric comparison with
+    the reverse flag is refused (reverse attributes are concept-valued
+    by construction).
     Attribute NAMES may themselves be expressions (r11 —
     ``(<< attrConcept) = value``, the SNOMED attribute-hierarchy
     form): the attribute set evaluates like any concept set and
@@ -779,9 +791,10 @@ def _ecl_parse(ecl: str):
             f"unsupported ECL feature in {ecl_src!r}: only "
             "<|<<|<!|>|>>|>! prefixes, '*', codes, '|term|' "
             "annotations, parentheses, AND/OR/MINUS, '^ refset', "
-            "'. attr' dotted walks, '[m..n]? R? attr = value' "
-            "refinements and '{ attr = value , ... }' attribute "
-            "groups are supported"
+            "'. attr' dotted walks, '[m..n]? R? attr CMP value' "
+            "refinements (CMP: = != < <= > >=; non-equality needs a "
+            "'#'-numeric value) and '{ attr = value , ... }' "
+            "attribute groups are supported"
         )
     toks = _ECL_TOKEN.findall(ecl)
     for tk in toks:
@@ -822,10 +835,15 @@ def _ecl_parse(ecl: str):
         if (
             t is None
             or t in (")", "{", "}", "AND", "OR", "MINUS", ":", "=", ",",
-                     "^", ".", "!")
+                     "^", ".", "!", "!=", "<=", ">=")
             or t.startswith("[")
         ):
             raise NotImplementedError(f"malformed ECL {ecl!r}")
+        if t.startswith("#"):
+            raise NotImplementedError(
+                f"numeric literal {t!r} in {ecl!r} is only valid as a "
+                "refinement comparison value"
+            )
         if t == "*":
             # prefixed wildcard (r11): '< *' = concepts with any
             # ancestor (non-roots), '> *' = concepts with any
@@ -835,7 +853,8 @@ def _ecl_parse(ecl: str):
         return ("focus", prefix, t)
 
     _BAD_ATTR = ("(", ")", "{", "}", ":", "=", ",", ".", "!", "<",
-                 "<<", "<!", ">", ">>", ">!", "AND", "OR", "MINUS", "R")
+                 "<<", "<!", "<=", ">", ">>", ">!", ">=", "!=",
+                 "AND", "OR", "MINUS", "R")
 
     def refined():
         node = term()
@@ -853,7 +872,7 @@ def _ecl_parse(ecl: str):
             return node
         take()
 
-        def one_ref(in_group):
+        def one_ref():
             card = None
             nxt = peek()
             if nxt is not None and nxt.startswith("["):
@@ -868,17 +887,6 @@ def _ecl_parse(ecl: str):
                     )
             rev = peek() == "R"
             if rev:
-                if in_group and card is not None:
-                    # a within-group cardinality counts the FOCUS
-                    # concept's own group members; a reverse member's
-                    # matching assertions live in OTHER concepts'
-                    # groups — the combination has no coherent group
-                    # universe, so it refuses rather than guessing
-                    raise NotImplementedError(
-                        f"cardinality combined with the reverse flag "
-                        f"inside an attribute group in {ecl!r} is not "
-                        "supported"
-                    )
                 take()
             if peek() in ("(", "<", "<<", "<!", ">", ">>", ">!", "^"):
                 # expression-valued attribute NAME (r11): the SNOMED
@@ -895,27 +903,50 @@ def _ecl_parse(ecl: str):
                     raise NotImplementedError(
                         f"malformed refinement attribute in {ecl!r}"
                     )
-            if take() != "=":
+            op = take()
+            if op not in _ECL_CMP:
                 raise NotImplementedError(
-                    f"refinement needs 'attr = value' in {ecl!r}"
+                    f"refinement needs 'attr (=|!=|<|<=|>|>=) value' "
+                    f"in {ecl!r}"
                 )
-            return (card, rev, attr, term())
+            nxt = peek()
+            if nxt is not None and nxt.startswith("#"):
+                m = _ECL_NUM.match(take())
+                if m is None:
+                    raise NotImplementedError(
+                        f"malformed numeric literal {nxt!r} in {ecl!r} "
+                        "— expected '#' followed by a decimal number"
+                    )
+                if rev:
+                    raise NotImplementedError(
+                        f"the reverse flag with a numeric comparison "
+                        f"in {ecl!r} is not supported — reverse "
+                        "attributes need concept values"
+                    )
+                return (card, rev, attr, op, ("num", float(m.group(1))))
+            if op not in ("=", "!="):
+                raise NotImplementedError(
+                    f"{op!r} comparison in {ecl!r} needs a "
+                    "'#'-prefixed numeric value (concept values "
+                    "support = and != only)"
+                )
+            return (card, rev, attr, op, term())
 
         refs = []
         while True:
             if peek() == "{":  # attribute group (r10)
                 take()
-                grp = [one_ref(True)]
+                grp = [one_ref()]
                 while peek() == ",":
                     take()
-                    grp.append(one_ref(True))
+                    grp.append(one_ref())
                 if take() != "}":
                     raise NotImplementedError(
                         f"unbalanced attribute group braces in {ecl!r}"
                     )
                 refs.append(("grp", grp))
             else:
-                refs.append(one_ref(False))
+                refs.append(one_ref())
             if peek() != ",":
                 break
             take()
@@ -1208,6 +1239,47 @@ def ecl_expand(
             return uni.join(F.broadcast(vals), "code", "left_semi")
         if kind == "refine":
             base = ev(node[1])
+
+            def match_frame(rev, attr, op, vnode) -> DataFrame:
+                """Property assertions satisfying one refinement's
+                (attr, op, value) condition. Forward conditions test
+                the assertion VALUE, reverse conditions its SOURCE
+                concept. Numeric values ('#' literals, r12) compare
+                the value cast to double (non-numeric → NULL → never
+                matches, including under !=); concept values support
+                = (equality / semi-join) and != (inequality /
+                anti-join; NULL-valued assertions never match)."""
+                p = attr_filtered(attr)
+                if vnode[0] == "num":
+                    # try_cast: ANSI mode would throw on non-numeric
+                    # property values; NULL (= never matches) is the
+                    # documented semantics
+                    v = F.col("pval").try_cast("double")
+                    n = F.lit(vnode[1])
+                    return p.filter(
+                        {
+                            "=": v == n, "!=": v != n,
+                            "<": v < n, "<=": v <= n,
+                            ">": v > n, ">=": v >= n,
+                        }[op]
+                    )
+                side = "code" if rev else "pval"
+                if vnode[0] == "focus" and vnode[1] is None:
+                    # bare token: literal match (== membership in the
+                    # one-code set when the property is a concept)
+                    c = F.col(side)
+                    return p.filter(
+                        c == vnode[2]
+                        if op == "="
+                        else c.isNotNull() & (c != vnode[2])
+                    )
+                vals = ev(vnode).select(F.col("code").alias(side))
+                if op == "=":
+                    return p.join(F.broadcast(vals), side, "left_semi")
+                return p.filter(F.col(side).isNotNull()).join(
+                    F.broadcast(vals), side, "left_anti"
+                )
+
             for ref in node[2]:
                 if ref[0] == "grp":
                     # attribute group (r10/r11): every member refinement
@@ -1223,43 +1295,33 @@ def ecl_expand(
                     # VALUE, and within-group cardinality (r11) counts
                     # matches per group — 0 or 1 under self-grouping, so
                     # [0..0] keeps non-matching groups, [m..] with m ≥ 2
-                    # is unsatisfiable by construction.
+                    # is unsatisfiable by construction. Reverse+card on
+                    # the same member (r12): a reverse member's group
+                    # universe is EVERY assertion in the system crossed
+                    # with every focus, so [0..0] becomes an
+                    # anti-constraint on the positive joint (or, with no
+                    # positive member at all, a per-focus excluded-group
+                    # count compared to the total group count — never a
+                    # materialized cross product), and [0..n≥1] is
+                    # vacuous under self-grouping (count ∈ {0, 1}).
                     gkey = ["fcode", "a_src", "a_grp"]
-                    joint = None
-                    for card, rev, attr, vnode in ref[1]:
-                        p = attr_filtered(attr)
-                        literal = vnode[0] == "focus" and vnode[1] is None
-                        if rev:
-                            if literal:
-                                m = p.filter(F.col("code") == vnode[2])
-                            else:
-                                vals = ev(vnode).select("code")
-                                m = p.join(
-                                    F.broadcast(vals), "code", "left_semi"
-                                )
-                            member = m.select(
-                                F.col("pval").alias("fcode"),
-                                F.col("code").alias("a_src"),
-                                F.col("grp").alias("a_grp"),
-                            )
-                        else:
-                            if literal:
-                                m = p.filter(F.col("pval") == vnode[2])
-                            else:
-                                vals = ev(vnode).select(
-                                    F.col("code").alias("pval")
-                                )
-                                m = p.join(
-                                    F.broadcast(vals), "pval", "left_semi"
-                                )
-                            member = m.select(
-                                F.col("code").alias("fcode"),
-                                F.col("code").alias("a_src"),
-                                F.col("grp").alias("a_grp"),
-                            )
-                        member = member.distinct()
-                        if card is not None:
-                            lo, hi = card
+                    pos: list[DataFrame] = []
+                    anti: list[DataFrame] = []
+                    vacuous = 0
+                    for card, rev, attr, op, vnode in ref[1]:
+                        m = match_frame(rev, attr, op, vnode)
+                        member = m.select(
+                            F.col("pval" if rev else "code").alias("fcode"),
+                            F.col("code").alias("a_src"),
+                            F.col("grp").alias("a_grp"),
+                        ).distinct()
+                        if card is None:
+                            pos.append(member)
+                            continue
+                        lo, hi = card
+                        if not rev:
+                            # forward member: the group universe is the
+                            # focus concept's own self-grouped assertions
                             pieces = []
                             if lo <= 1 and (hi is None or hi >= 1):
                                 pieces.append(member)
@@ -1280,43 +1342,70 @@ def ecl_expand(
                                 member = pieces[0]
                                 for pc in pieces[1:]:
                                     member = member.unionByName(pc)
-                        joint = (
-                            member
-                            if joint is None
-                            else joint.join(member, gkey)
+                            pos.append(member)
+                        elif lo >= 2:  # self-grouped count is 0 or 1
+                            pos.append(member.limit(0))
+                        elif lo == 1:  # ≡ no cardinality (hi ≥ lo ≥ 1)
+                            pos.append(member)
+                        elif hi == 0:
+                            anti.append(member)
+                        else:  # [0..*] / [0..n≥1]: count ≤ 1 always
+                            vacuous += 1
+                    if pos:
+                        joint = pos[0]
+                        for mm in pos[1:]:
+                            joint = joint.join(mm, gkey)
+                        for am in anti:
+                            joint = joint.join(
+                                F.broadcast(am), gkey, "left_anti"
+                            )
+                        base = base.join(
+                            F.broadcast(
+                                joint.select(
+                                    F.col("fcode").alias("code")
+                                ).distinct()
+                            ),
+                            "code",
+                            "left_semi",
                         )
-                    base = base.join(
-                        F.broadcast(
-                            joint.select(
-                                F.col("fcode").alias("code")
-                            ).distinct()
-                        ),
-                        "code",
-                        "left_semi",
-                    )
+                    elif anti:
+                        # only [0..0]-reverse members: a focus matches
+                        # iff SOME group matches none of them — its
+                        # excluded-group count stays below the total
+                        # group count (terminology-sized aggregates)
+                        bad = anti[0]
+                        for am in anti[1:]:
+                            bad = bad.unionByName(am)
+                        badcnt = (
+                            bad.distinct()
+                            .groupBy(F.col("fcode").alias("code"))
+                            .agg(F.count("*").alias("__bad"))
+                        )
+                        total = (
+                            props().select("code", "grp").distinct().count()
+                        )
+                        base = (
+                            base.join(F.broadcast(badcnt), "code", "left")
+                            .filter(
+                                F.coalesce(F.col("__bad"), F.lit(0))
+                                < F.lit(total)
+                            )
+                            .drop("__bad")
+                        )
+                    elif vacuous and props().limit(1).count() == 0:
+                        # all members vacuous, but the existential still
+                        # needs at least one group to exist
+                        base = base.limit(0)
                     continue
-                card, rev, attr, vnode = ref
-                p = attr_filtered(attr)
-                literal = vnode[0] == "focus" and vnode[1] is None
-                if rev:
-                    # R attr (r9): the focus member is the VALUE of an
-                    # assertion whose SOURCE satisfies the condition
-                    if literal:
-                        m = p.filter(F.col("code") == vnode[2])
-                    else:
-                        vals = ev(vnode).select("code")
-                        m = p.join(F.broadcast(vals), "code", "left_semi")
-                    matched = m.select(F.col("pval").alias("code"))
-                else:
-                    if literal:
-                        # bare token: literal value match (== membership
-                        # in the one-code set when the property is a
-                        # concept)
-                        m = p.filter(F.col("pval") == vnode[2])
-                    else:
-                        vals = ev(vnode).select(F.col("code").alias("pval"))
-                        m = p.join(F.broadcast(vals), "pval", "left_semi")
-                    matched = m.select("code")
+                card, rev, attr, op, vnode = ref
+                m = match_frame(rev, attr, op, vnode)
+                # R attr (r9): the focus member is the VALUE of an
+                # assertion whose SOURCE satisfies the condition
+                matched = (
+                    m.select(F.col("pval").alias("code"))
+                    if rev
+                    else m.select("code")
+                )
                 if card is None:
                     base = base.join(
                         F.broadcast(matched.distinct()), "code", "left_semi"

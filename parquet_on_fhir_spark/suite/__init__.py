@@ -46,6 +46,9 @@ WINDOW = [
     "q69_similarity_topk_bruteforce",
     "q71_text_stats",
     "q74b_quality_scoring",
+    # -- r12 debuts (land with a driver row; each displaces the newest
+    #    r6 fill below)
+    "qf43_ecl_comparisons",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -84,7 +87,6 @@ WINDOW = [
     "q129_tpch_q16_supplier_cnt",
     "q130_tpch_q20_excess_shipments",
     "q132_resample_interpolate",
-    "q133_funnel",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

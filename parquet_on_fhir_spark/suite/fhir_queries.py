@@ -2540,3 +2540,139 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf42_ecl_attribute_expressions", qf42, QF42_ORACLE))
+
+
+# --- qf43: ECL comparison operators (!=, numeric concrete values) ------------------------
+_CS_MEDS_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-meds", "status": "active",
+    "url": "http://example.org/cs/meds", "content": "complete",
+    "concept": [
+        # numeric-valued 'strength' properties (valueDecimal) drive the
+        # '#'-literal comparisons; concept-valued 'form' drives != and
+        # reverse refinements (tablet/capsule are concepts under
+        # form-kind)
+        {"code": "drug", "display": "Drug", "concept": [
+            {"code": "amoxicillin-250", "property": [
+                {"code": "strength", "valueDecimal": 250},
+                {"code": "form", "valueCode": "tablet"}]},
+            {"code": "amoxicillin-500", "property": [
+                {"code": "strength", "valueDecimal": 500},
+                {"code": "form", "valueCode": "capsule"}]},
+            {"code": "ibuprofen-200", "property": [
+                {"code": "strength", "valueDecimal": 200},
+                {"code": "form", "valueCode": "tablet"}]},
+            {"code": "ibuprofen-400-plus", "property": [
+                {"code": "strength", "valueDecimal": 400},
+                {"code": "strength", "valueDecimal": 100},
+                {"code": "form", "valueCode": "tablet"}]},
+            {"code": "placebo", "property": [
+                {"code": "form", "valueCode": "tablet"}]}]},
+        {"code": "form-kind", "concept": [
+            {"code": "tablet"}, {"code": "capsule"}]},
+    ],
+}
+
+
+def qf43(spark, sf_dir):
+    """ECL refinement comparison operators (fhir/terminology.py::
+    ecl_expand, r12 — the r11 verdict's task 4): '!=' on concept
+    values (literal inequality / broadcast anti-join for expression
+    values; NULL-valued assertions never match), numeric concrete
+    values ('#'-prefixed literals with = != < <= > >=, compared via
+    try_cast to double so non-numeric property values never match),
+    their composition with cardinality ('[0..0] strength > #300' =
+    must-not-have) and attribute groups (cmp7 requires ONE assertion
+    inside [150, 300] — ibuprofen-400-plus fails with assertions at
+    400 and 100 — while the ungrouped twin cmp8 admits different
+    assertions per side and keeps it), and the previously-refused
+    in-group cardinality+reverse combination (cmp10: a [0..0] reverse
+    member is an anti-constraint on the positive joint; cmp11: with no
+    positive member it becomes a per-focus excluded-group count
+    against the total group count — never a cross product)."""
+    return _ecl_meds(spark, _ecl_vs_docs_for(
+        "http://example.org/cs/meds", "cmp", [
+            "< drug : strength >= #250",
+            "< drug : strength < #250",
+            "< drug : strength != #250",
+            "< drug : form != tablet",
+            "< drug : form != ( << capsule )",
+            "< drug : [0..0] strength > #300",
+            "< drug : { strength >= #150 , strength <= #300 }",
+            "< drug : strength >= #150 , strength <= #300",
+            "< form-kind : [2..*] R form = ( < drug : strength >= #250 )",
+            "< form-kind : { [1..1] R form = ( << drug ) , "
+            "[0..0] R form = ( << drug : strength >= #500 ) }",
+            "< form-kind : { [0..0] R form = ( << drug : strength >= #500 ) }",
+        ]))
+
+
+def _ecl_vs_docs_for(system, tag, ecls):
+    return [
+        {"resourceType": "ValueSet", "id": f"vs-{tag}{i}", "status": "active",
+         "url": f"http://example.org/ValueSet/{tag}{i}",
+         "compose": {"include": [
+             {"system": system,
+              "filter": [{"property": "constraint", "op": "=",
+                          "value": ecl}]},
+         ]}}
+        for i, ecl in enumerate(ecls, start=1)
+    ]
+
+
+def _ecl_meds(spark, vs_docs):
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, vs_docs, "ValueSet")
+    cs = _encode_doc(spark, _CS_MEDS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select("url", "code")
+
+
+QF43_ORACLE = """
+SELECT * FROM (VALUES
+  -- cmp1: strength >= 250
+  ('http://example.org/ValueSet/cmp1', 'amoxicillin-250'),
+  ('http://example.org/ValueSet/cmp1', 'amoxicillin-500'),
+  ('http://example.org/ValueSet/cmp1', 'ibuprofen-400-plus'),
+  -- cmp2: strength < 250
+  ('http://example.org/ValueSet/cmp2', 'ibuprofen-200'),
+  ('http://example.org/ValueSet/cmp2', 'ibuprofen-400-plus'),
+  -- cmp3: a strength assertion != 250
+  ('http://example.org/ValueSet/cmp3', 'amoxicillin-500'),
+  ('http://example.org/ValueSet/cmp3', 'ibuprofen-200'),
+  ('http://example.org/ValueSet/cmp3', 'ibuprofen-400-plus'),
+  -- cmp4: form != tablet (literal)
+  ('http://example.org/ValueSet/cmp4', 'amoxicillin-500'),
+  -- cmp5: form != (<< capsule) (expression anti-join)
+  ('http://example.org/ValueSet/cmp5', 'amoxicillin-250'),
+  ('http://example.org/ValueSet/cmp5', 'ibuprofen-200'),
+  ('http://example.org/ValueSet/cmp5', 'ibuprofen-400-plus'),
+  ('http://example.org/ValueSet/cmp5', 'placebo'),
+  -- cmp6: [0..0] strength > 300 (no high-strength assertion)
+  ('http://example.org/ValueSet/cmp6', 'amoxicillin-250'),
+  ('http://example.org/ValueSet/cmp6', 'ibuprofen-200'),
+  ('http://example.org/ValueSet/cmp6', 'placebo'),
+  -- cmp7: ONE assertion inside [150, 300]
+  ('http://example.org/ValueSet/cmp7', 'amoxicillin-250'),
+  ('http://example.org/ValueSet/cmp7', 'ibuprofen-200'),
+  -- cmp8: ungrouped twin — different assertions per side allowed
+  ('http://example.org/ValueSet/cmp8', 'amoxicillin-250'),
+  ('http://example.org/ValueSet/cmp8', 'ibuprofen-200'),
+  ('http://example.org/ValueSet/cmp8', 'ibuprofen-400-plus'),
+  -- cmp9: >= 2 reverse form matches from strength>=250 drugs
+  ('http://example.org/ValueSet/cmp9', 'tablet'),
+  -- cmp10: positive reverse member minus [0..0] reverse member
+  ('http://example.org/ValueSet/cmp10', 'tablet'),
+  -- cmp11: [0..0]-only group — excluded-group count < total groups
+  ('http://example.org/ValueSet/cmp11', 'tablet'),
+  ('http://example.org/ValueSet/cmp11', 'capsule')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf43_ecl_comparisons", qf43, QF43_ORACLE))

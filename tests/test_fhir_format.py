@@ -825,10 +825,8 @@ def test_ecl_expand_subset(spark):
     assert ev(">! *") == sorted(["body", "limb", "arm", "leg", "organ"])
 
     for bad in (
-        "^ refset",                       # member-of
+        "^ refset",                       # member-of needs valuesets=
         "hand AND heart OR body",         # mixed ops need parens
-        # card+rev on one GROUP member has no coherent group universe
-        "<< limb : { [1..2] R laterality = paired }",
         "(hand OR heart",                 # unbalanced
         "",                               # empty
         "hand heart",                     # trailing tokens
@@ -1119,9 +1117,9 @@ def test_ecl_attribute_groups(spark):
     """fhir/terminology.py::ecl_expand r10 extension: attribute groups
     `{ attr = value , ... }` — self-grouped R4 semantics (one assertion
     must satisfy every member), composition with ungrouped refinements
-    and set ops, the r11 in-group cardinality/reverse flags, and the
-    targeted refusals (card+rev on one group member, unbalanced
-    braces)."""
+    and set ops, the r11 in-group cardinality/reverse flags, their r12
+    combination on one member, and the targeted refusals (unbalanced
+    braces, empty group)."""
     import pytest
 
     from parquet_on_fhir_spark.fhir.terminology import (
@@ -1187,11 +1185,93 @@ def test_ecl_attribute_groups(spark):
     assert ev("< anatomy : { R site = << finding }") == [
         "arm", "hand", "leg",
     ]
+    # r12: cardinality combined with reverse on ONE group member —
+    # under self-grouping [1..1] ≡ no cardinality, [2..*] is
+    # unsatisfiable, and [0..0] keeps foci with SOME group holding no
+    # matching assertion (here: every anatomy code, since only
+    # arm-fracture's own site group is excluded for 'arm')
+    assert ev("< anatomy : { [1..1] R site = << finding }") == [
+        "arm", "hand", "leg",
+    ]
+    assert ev("< anatomy : { [2..*] R site = << finding }") == []
+    assert ev("< anatomy : { [0..0] R site = arm-fracture }") == [
+        "arm", "hand", "leg", "limb",
+    ]
+    # positive + [0..0] reverse members in one group: site values whose
+    # assertion does NOT come from a severity=high finding
+    assert ev(
+        "< anatomy : { [1..*] R site = << finding , "
+        "[0..0] R site = ( << finding : severity = high ) }"
+    ) == ["hand", "leg"]
     for bad in (
-        "< finding : { [1..2] R site = arm }",  # card+rev on one member
         "< finding : { site = arm",            # unbalanced braces
         "< finding : site = arm }",            # stray close brace
         "< finding : { }",                     # empty group
+    ):
+        with pytest.raises(NotImplementedError):
+            ecl_expand(bad, cs, clo, system).collect()
+
+
+def test_ecl_comparison_operators(spark):
+    """fhir/terminology.py::ecl_expand r12 extension: '!=' on concept
+    values, numeric '#' concrete values with = != < <= > >=, their
+    composition with cardinality, and the targeted refusals (numeric
+    with the reverse flag, non-equality comparator with a concept
+    value, malformed numeric literal, '#' outside a refinement
+    value)."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_MEDS_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_MEDS_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/meds"
+
+    def ev(ecl):
+        return sorted(r.code for r in ecl_expand(ecl, cs, clo, system).collect())
+
+    assert ev("< drug : strength >= #250") == [
+        "amoxicillin-250", "amoxicillin-500", "ibuprofen-400-plus",
+    ]
+    assert ev("< drug : strength <= #100") == ["ibuprofen-400-plus"]
+    assert ev("< drug : strength = #200") == ["ibuprofen-200"]
+    assert ev("< drug : strength != #250") == [
+        "amoxicillin-500", "ibuprofen-200", "ibuprofen-400-plus",
+    ]
+    # numeric against a non-numeric property value: never matches,
+    # including under != (try_cast → NULL)
+    assert ev("< drug : form != #1") == []
+    assert ev("< drug : form != tablet") == ["amoxicillin-500"]
+    assert ev("< drug : form != ( << capsule )") == [
+        "amoxicillin-250", "ibuprofen-200", "ibuprofen-400-plus",
+        "placebo",
+    ]
+    # cardinality composes: no strength assertion above 300
+    assert ev("< drug : [0..0] strength > #300") == [
+        "amoxicillin-250", "ibuprofen-200", "placebo",
+    ]
+    # group: ONE assertion inside the window (400/100 both fail) vs the
+    # ungrouped twin (different assertions per side)
+    assert ev("< drug : { strength >= #150 , strength <= #300 }") == [
+        "amoxicillin-250", "ibuprofen-200",
+    ]
+    assert ev("< drug : strength >= #150 , strength <= #300") == [
+        "amoxicillin-250", "ibuprofen-200", "ibuprofen-400-plus",
+    ]
+    for bad in (
+        "< drug : R form < #2",       # reverse + numeric comparison
+        "< drug : strength < tablet",  # non-equality needs '#'-numeric
+        "< drug : strength = #2x",     # malformed numeric literal
+        "< drug : form = ( #5 )",      # '#' outside a refinement value
+        "#5",                          # '#' as a focus term
     ):
         with pytest.raises(NotImplementedError):
             ecl_expand(bad, cs, clo, system).collect()

@@ -263,9 +263,43 @@ _ECL_PROPS = {
 
 
 def _norm_ref(ref):
-    """Accept both the legacy 2-tuple (attr, vnode) and the r9 4-tuple
-    (card, rev, attr, vnode) refinement shapes."""
-    return ref if len(ref) == 4 else (None, False) + tuple(ref)
+    """Accept the legacy 2-tuple (attr, vnode), the r9 4-tuple
+    (card, rev, attr, vnode) and the r12 5-tuple (card, rev, attr, op,
+    vnode) refinement shapes — normalized to the 5-tuple."""
+    if len(ref) == 2:
+        ref = (None, False) + tuple(ref)
+    if len(ref) == 4:
+        ref = ref[:3] + ("=",) + ref[3:]
+    return ref
+
+
+def _val_ok(op, vnode, uni, desc, props):
+    """Value predicate for one refinement: numeric '#' literals compare
+    the property value as a number (non-numeric never matches), concept
+    values support = and != (None never matches !=)."""
+    if vnode[0] == "num":
+        x = vnode[1]
+
+        def ok(v):
+            try:
+                f = float(v)
+            except (TypeError, ValueError):
+                return False
+            return {
+                "=": f == x, "!=": f != x, "<": f < x,
+                "<=": f <= x, ">": f > x, ">=": f >= x,
+            }[op]
+
+        return ok
+    if vnode[0] == "focus" and vnode[1] is None:
+        t = vnode[2]
+        if op == "=":
+            return lambda v: v == t
+        return lambda v: v is not None and v != t
+    vals = _ecl_ref_eval(vnode, uni, desc, props)
+    if op == "=":
+        return lambda v: v in vals
+    return lambda v: v is not None and v not in vals
 
 
 def _attr_ok(attr, uni, desc, props):
@@ -349,13 +383,9 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
                 ]
                 member_sets = []
                 for mref in ref[1]:
-                    card, rev, attr, vnode = _norm_ref(mref)
+                    card, rev, attr, op, vnode = _norm_ref(mref)
                     aok = _attr_ok(attr, uni, desc, props)
-                    if vnode[0] == "focus" and vnode[1] is None:
-                        vok = lambda x, t=vnode[2]: x == t  # noqa: E731
-                    else:
-                        vals = _ecl_ref_eval(vnode, uni, desc, props)
-                        vok = lambda x, s=vals: x in s  # noqa: E731
+                    vok = _val_ok(op, vnode, uni, desc, props)
                     if rev:
                         sat = {
                             (v, s, i)
@@ -374,21 +404,26 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
                         if lo <= 1 and (hi is None or hi >= 1):
                             pieces |= sat
                         if lo == 0:
-                            pieces |= {
-                                (s, s, i) for (s, i, _, _) in assertions
-                            } - sat
+                            # r12: a reverse member's group universe is
+                            # every assertion crossed with every focus
+                            univ = (
+                                {
+                                    (f, s, i)
+                                    for f in uni
+                                    for (s, i, _, _) in assertions
+                                }
+                                if rev
+                                else {(s, s, i) for (s, i, _, _) in assertions}
+                            )
+                            pieces |= univ - sat
                         sat = pieces
                     member_sets.append(sat)
                 joint = set.intersection(*member_sets)
                 base = {c for c in base if c in {f for f, _, _ in joint}}
                 continue
-            card, rev, attr, vnode = _norm_ref(ref)
+            card, rev, attr, op, vnode = _norm_ref(ref)
             aok = _attr_ok(attr, uni, desc, props)
-            if vnode[0] == "focus" and vnode[1] is None:
-                ok = lambda x, t=vnode[2]: x == t  # noqa: E731
-            else:
-                vals = _ecl_ref_eval(vnode, uni, desc, props)
-                ok = lambda x, s=vals: x in s  # noqa: E731
+            ok = _val_ok(op, vnode, uni, desc, props)
 
             def count(c, aok=aok, rev=rev, ok=ok):
                 if rev:
@@ -431,7 +466,7 @@ def _ecl_render(node):
     if kind == "refine":
 
         def render_one(ref):
-            card, rev, attr, v = _norm_ref(ref)
+            card, rev, attr, op, v = _norm_ref(ref)
             cs_ = (
                 f"[{card[0]}..{'*' if card[1] is None else card[1]}] "
                 if card is not None
@@ -443,12 +478,13 @@ def _ecl_render(node):
                 if isinstance(attr, tuple)
                 else attr
             )
-            val = (
-                v[2]
-                if v[0] == "focus" and v[1] is None
-                else f"({_ecl_render(v)})"
-            )
-            return f"{cs_}{rv}{at} = {val}"
+            if v[0] == "num":
+                val = f"#{v[1]:g}"
+            elif v[0] == "focus" and v[1] is None:
+                val = v[2]
+            else:
+                val = f"({_ecl_render(v)})"
+            return f"{cs_}{rv}{at} {op} {val}"
 
         parts = []
         for ref in node[2]:
@@ -601,12 +637,23 @@ def _f2_exprs(depth=2):
         ),
         _f2_terms(),
     )
-    refinement = st.tuples(card, st.booleans(), attrs, value)
-    # r11: card and rev are each allowed inside groups; only their
-    # COMBINATION on one member refuses (no coherent group universe)
-    group_ref = st.tuples(card, st.booleans(), attrs, value).filter(
-        lambda r: not (r[0] is not None and r[1])
+    # r12 ops: concept values take =/!=; numeric '#' literals take all
+    # six comparators but never the reverse flag (parser contract).
+    # findings2 property values are non-numeric, so numeric refinements
+    # exercise the all-miss path (and its [0..0] inversion).
+    concept_ref = st.tuples(
+        card, st.booleans(), attrs, st.sampled_from(["=", "!="]), value
     )
+    num_ref = st.tuples(
+        card,
+        st.just(False),
+        attrs,
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.tuples(st.just("num"), st.sampled_from([0.0, 1.0, -2.5])),
+    )
+    refinement = st.one_of(concept_ref, num_ref)
+    # r12: card+rev combined on one group member is now supported
+    group_ref = refinement
     group = st.tuples(
         st.just("grp"), st.lists(group_ref, min_size=1, max_size=2)
     )
@@ -663,6 +710,133 @@ def test_ecl_extension_fuzz_matches_reference(spark, node):
         ).collect()
     }
     assert got == _ecl_ref_eval(node, _F2_UNI, _F2_DESC, _F2_PROPS), ecl
+
+
+# --- ECL r12 comparison-operator fuzz over the numeric meds tree --------------------
+# Mirror of suite/fhir_queries.py::_CS_MEDS_DOC — strength is
+# numeric-valued (valueDecimal; the engine sees its DECIMAL(38,6)
+# string form, the reference the float — try_cast/float() must agree),
+# ibuprofen-400-plus carries TWO strength assertions (count vs group
+# divergence), and form is concept-valued (tablet/capsule under
+# form-kind) so != and reverse refinements hit non-empty sets.
+_MEDS_UNI = [
+    "drug", "amoxicillin-250", "amoxicillin-500", "ibuprofen-200",
+    "ibuprofen-400-plus", "placebo", "form-kind", "tablet", "capsule",
+]
+_MEDS_DESC = {
+    "drug": {
+        "amoxicillin-250", "amoxicillin-500", "ibuprofen-200",
+        "ibuprofen-400-plus", "placebo",
+    },
+    "form-kind": {"tablet", "capsule"},
+}
+_MEDS_PROPS = {
+    "amoxicillin-250": [("strength", 250.0), ("form", "tablet")],
+    "amoxicillin-500": [("strength", 500.0), ("form", "capsule")],
+    "ibuprofen-200": [("strength", 200.0), ("form", "tablet")],
+    "ibuprofen-400-plus": [
+        ("strength", 400.0), ("strength", 100.0), ("form", "tablet")
+    ],
+    "placebo": [("form", "tablet")],
+}
+
+
+def _meds_terms():
+    codes = st.sampled_from(_MEDS_UNI + ["ghost"])
+    prefixes = st.sampled_from([None, "<", "<<", ">", ">>", "<!", ">!"])
+    return st.one_of(
+        st.just(("any",)),
+        st.tuples(st.just("focus"), prefixes, codes),
+    )
+
+
+def _meds_exprs(depth=2):
+    if depth == 0:
+        return _meds_terms()
+    sub = _meds_exprs(depth - 1)
+    attrs = st.sampled_from(["strength", "form", "*"])
+    card = st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ).filter(lambda c: c[1] is None or c[1] >= c[0]),
+    )
+    concept_value = st.one_of(
+        st.tuples(
+            st.just("focus"),
+            st.just(None),
+            st.sampled_from(["tablet", "capsule", "ghost"]),
+        ),
+        _meds_terms(),
+    )
+    concept_ref = st.tuples(
+        card, st.booleans(), attrs, st.sampled_from(["=", "!="]),
+        concept_value,
+    )
+    num_ref = st.tuples(
+        card,
+        st.just(False),
+        attrs,
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.tuples(
+            st.just("num"),
+            st.sampled_from([100.0, 150.5, 200.0, 250.0, 400.0, 500.0]),
+        ),
+    )
+    refinement = st.one_of(concept_ref, num_ref)
+    group = st.tuples(
+        st.just("grp"), st.lists(refinement, min_size=1, max_size=2)
+    )
+    return st.one_of(
+        sub,
+        st.tuples(st.sampled_from(["AND", "OR", "MINUS"]), sub, sub),
+        st.tuples(
+            st.just("refine"),
+            sub,
+            st.lists(st.one_of(refinement, group), min_size=1, max_size=2),
+        ),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_meds_exprs())
+def test_ecl_comparison_fuzz_matches_reference(spark, node):
+    """Differential fuzz for the r12 comparison operators: random ASTs
+    with != on concept values, numeric '#' comparisons over the
+    DECIMAL-backed strength property, cardinality windows, and
+    card+reverse group members, rendered to strings and compared
+    against the plain-Python reference evaluator."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_MEDS_DOC,
+        _encode_doc as _encode,
+    )
+
+    global _MEDS_CS_CACHE
+    try:
+        cs, clo = _MEDS_CS_CACHE
+    except NameError:
+        cs = _encode(spark, _CS_MEDS_DOC, "CodeSystem")
+        clo = concept_closure(concept_edges(cs)).cache()
+        clo.count()
+        _MEDS_CS_CACHE = (cs, clo)
+    ecl = _ecl_render(node)
+    got = {
+        r.code
+        for r in ecl_expand(
+            ecl, cs, clo, "http://example.org/cs/meds"
+        ).collect()
+    }
+    assert got == _ecl_ref_eval(node, _MEDS_UNI, _MEDS_DESC, _MEDS_PROPS), ecl
 
 
 # --- ValueSet compose differential fuzz (r10) ----------------------------------------
