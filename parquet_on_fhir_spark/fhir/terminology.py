@@ -471,6 +471,75 @@ def expand_valueset(
     return out
 
 
+def expand_operation(
+    valuesets: DataFrame,
+    codesystems: DataFrame | None = None,
+    closure: DataFrame | None = None,
+    *,
+    url: str | None = None,
+    count: int | None = None,
+    offset: int = 0,
+    text_filter: str | None = None,
+) -> DataFrame:
+    """ValueSet ``$expand`` with the R4 operation's paging parameters
+    (hl7.org/fhir/R4/valueset-operation-expand.html — ``count``,
+    ``offset``, ``filter``; r12, the r11 verdict's task 6) on top of
+    :func:`expand_valueset`'s membership rows.
+
+    The expansion gets a deterministic total order by (system, code)
+    per ValueSet — the stable-paging contract the operation implies —
+    and each row carries the R4 ``expansion.total`` / ``.offset``
+    response fields flattened per row, plus its global rank ``rn``:
+
+    * ``text_filter`` — case-insensitive substring match on code OR
+      display (the operation's ``filter`` parameter, applied BEFORE
+      ordering/total, per spec: total counts the filtered expansion);
+    * ``offset``/``count`` — the page window over ``rn``
+      (``count=0`` is the spec's "just give me total" probe: zero
+      concept rows; callers read total from an unpaged/other call or
+      a ``count≥1`` page);
+    * ``displayLanguage`` is NOT supported (designations are not
+      modeled) — pass nothing and displays come from the CodeSystem.
+
+    Ordering uses a per-url window — a single-reducer sort, which is
+    correct here because an expansion is terminology-sized metadata
+    (bounded by the code system, never by fact data); fact-scale
+    paging belongs in the query layer, not ``$expand``.
+
+    Output: (url, system, code, display, rn, total, offset).
+    """
+    if offset < 0 or (count is not None and count < 0):
+        raise ValueError(
+            f"$expand paging parameters must be non-negative "
+            f"(offset={offset}, count={count})"
+        )
+    from pyspark.sql import Window
+
+    exp = expand_valueset(valuesets, codesystems, closure=closure)
+    if url is not None:
+        exp = exp.filter(F.col("url") == url)
+    if text_filter is not None:
+        t = text_filter.lower()
+        exp = exp.filter(
+            F.lower(F.col("code")).contains(t)
+            | F.lower(F.coalesce(F.col("display"), F.lit(""))).contains(t)
+        )
+    w = Window.partitionBy("url").orderBy("system", "code")
+    exp = (
+        exp.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn(
+            "total", F.count("*").over(Window.partitionBy("url"))
+        )
+        .withColumn("offset", F.lit(offset))
+    )
+    exp = exp.filter(F.col("rn") >= offset)
+    if count is not None:
+        exp = exp.filter(F.col("rn") < offset + count)
+    return exp.select(
+        "url", "system", "code", "display", "rn", "total", "offset"
+    )
+
+
 def _expand_compose(
     valuesets: DataFrame,
     codesystems: DataFrame | None,

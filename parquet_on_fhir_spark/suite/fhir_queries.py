@@ -2676,3 +2676,77 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf43_ecl_comparisons", qf43, QF43_ORACLE))
+
+
+# --- qf44: ValueSet $expand paging (count/offset/filter + total) --------------------------
+def qf44(spark, sf_dir):
+    """ValueSet $expand operation parameters (fhir/terminology.py::
+    expand_operation, r12 — the r11 verdict's task 6; R4
+    valueset-operation-expand.html): the expansion gets a
+    deterministic (system, code) total order per url, each row carries
+    the R4 expansion.total/.offset response fields plus its global
+    rank rn, and count/offset window the pages — p1/p2/p3 walk the
+    9-concept whole-system meds expansion in pages of 4 (partial last
+    page), pf applies the operation's text 'filter' BEFORE
+    ordering/total (spec: total counts the filtered expansion), and
+    pall is the unpaged call. The order-by window is per-url and
+    terminology-sized — $expand pages metadata, never fact data."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_operation,
+    )
+
+    utc(spark)
+    docs = [{
+        "resourceType": "ValueSet", "id": "vs-pg", "status": "active",
+        "url": "http://example.org/ValueSet/pg",
+        "compose": {"include": [{"system": "http://example.org/cs/meds"}]},
+    }]
+    vs = _encode_doc(spark, docs, "ValueSet")
+    cs = _encode_doc(spark, _CS_MEDS_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+
+    def page(tag, **kw):
+        return expand_operation(vs, cs, closure, **kw).select(
+            F.lit(tag).alias("page"), "code", "display", "rn", "total",
+            "offset",
+        )
+
+    return (
+        page("p1", count=4, offset=0)
+        .unionByName(page("p2", count=4, offset=4))
+        .unionByName(page("p3", count=4, offset=8))
+        .unionByName(page("pf", text_filter="ibu", offset=1))
+        .unionByName(page("pall"))
+    )
+
+
+QF44_ORACLE = """
+SELECT * FROM (VALUES
+  ('p1', 'amoxicillin-250', NULL, 0, 9, 0),
+  ('p1', 'amoxicillin-500', NULL, 1, 9, 0),
+  ('p1', 'capsule', NULL, 2, 9, 0),
+  ('p1', 'drug', 'Drug', 3, 9, 0),
+  ('p2', 'form-kind', NULL, 4, 9, 4),
+  ('p2', 'ibuprofen-200', NULL, 5, 9, 4),
+  ('p2', 'ibuprofen-400-plus', NULL, 6, 9, 4),
+  ('p2', 'placebo', NULL, 7, 9, 4),
+  ('p3', 'tablet', NULL, 8, 9, 8),
+  ('pf', 'ibuprofen-400-plus', NULL, 1, 2, 1),
+  ('pall', 'amoxicillin-250', NULL, 0, 9, 0),
+  ('pall', 'amoxicillin-500', NULL, 1, 9, 0),
+  ('pall', 'capsule', NULL, 2, 9, 0),
+  ('pall', 'drug', 'Drug', 3, 9, 0),
+  ('pall', 'form-kind', NULL, 4, 9, 0),
+  ('pall', 'ibuprofen-200', NULL, 5, 9, 0),
+  ('pall', 'ibuprofen-400-plus', NULL, 6, 9, 0),
+  ('pall', 'placebo', NULL, 7, 9, 0),
+  ('pall', 'tablet', NULL, 8, 9, 0)
+) AS t(page, code, display, rn, total, "offset")
+"""
+
+
+QUERIES.append(Q("qf44_expand_paging", qf44, QF44_ORACLE))

@@ -1629,6 +1629,63 @@ def test_valueset_absent_reference_is_empty_intersection(spark):
     assert got["http://example.org/ValueSet/ref1"] == {"arm", "hand", "leg"}
 
 
+def test_expand_operation_paging(spark):
+    """r12 pinned ($expand paging, R4 valueset-operation-expand):
+    count=0 is the total-probe (zero concept rows), offset past the
+    end is empty, the url parameter slices one ValueSet, text_filter
+    matches display too, and negative paging raises."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_operation,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_MEDS_DOC,
+        _encode_doc as _encode,
+    )
+
+    docs = [
+        {"resourceType": "ValueSet", "id": f"vs-pg{i}", "status": "active",
+         "url": f"http://example.org/ValueSet/pg{i}",
+         "compose": {"include": [
+             {"system": "http://example.org/cs/meds"}]}}
+        for i in (1, 2)
+    ]
+    vs = _encode(spark, docs, "ValueSet")
+    cs = _encode(spark, _CS_MEDS_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+
+    # count=0: the spec's "just give me total" probe — zero rows
+    assert expand_operation(vs, cs, clo, count=0).count() == 0
+    # offset past the end
+    assert expand_operation(vs, cs, clo, offset=100).count() == 0
+    # url parameter slices one ValueSet; rn restarts per url without it
+    one = expand_operation(
+        vs, cs, clo, url="http://example.org/ValueSet/pg2", count=2
+    ).collect()
+    assert [(r.code, r.rn, r.total) for r in one] == [
+        ("amoxicillin-250", 0, 9), ("amoxicillin-500", 1, 9),
+    ]
+    both = expand_operation(vs, cs, clo, count=1).collect()
+    assert sorted((r.url, r.rn) for r in both) == [
+        ("http://example.org/ValueSet/pg1", 0),
+        ("http://example.org/ValueSet/pg2", 0),
+    ]
+    # text_filter matches DISPLAY as well as code ('Drug')
+    disp = expand_operation(
+        vs, cs, clo, url="http://example.org/ValueSet/pg1",
+        text_filter="dru",
+    ).collect()
+    assert sorted(r.code for r in disp) == ["drug"]
+    assert all(r.total == 1 for r in disp)
+    with pytest.raises(ValueError, match="non-negative"):
+        expand_operation(vs, cs, clo, offset=-1)
+    with pytest.raises(ValueError, match="non-negative"):
+        expand_operation(vs, cs, clo, count=-2)
+
+
 def test_lookup_codes_batch(spark):
     """lookup_codes (r10 batch $lookup): property multiplication,
     propertyless concepts keep one NULL-prop row, unknown codes and
