@@ -12,10 +12,65 @@ fact table is never shuffled by these helpers.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def _metadata_execution(spark):
+    """Run terminology-METADATA materializations with AQE off: adaptive
+    execution turns every shuffle stage of every tiny collect/count/
+    checkpoint into its own re-optimized job (measured: one
+    single-ValueSet ECL expansion = 23 jobs ≈ 5 s of pure per-job
+    overhead on local[32]), which is the right trade for fact-scale
+    queries and the wrong one for K-row terminology plans. Scoped +
+    restored in ``finally``; fact-side operations (validate_codes
+    joins, $expand consumers) run OUTSIDE this guard and keep AQE."""
+    wanted = {
+        "spark.sql.adaptive.enabled": "false",
+        # K-row shuffles (distinct/union-distinct over concept sets)
+        # need one reducer, not spark.sql.shuffle.partitions micro-tasks
+        "spark.sql.shuffle.partitions": "1",
+        # whole-stage codegen compiles+JITs a class per stage — a cost
+        # that amortizes over millions of rows and never over dozens;
+        # interpreted execution is strictly faster here (measured ~5 s
+        # of qf41's wall)
+        "spark.sql.codegen.wholeStage": "false",
+    }
+    old: dict[str, str | None] = {}
+    for key, val in wanted.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:  # pragma: no cover - conf not readable
+            old[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, val in old.items():
+            if val is not None:
+                spark.conf.set(key, val)
+
+
+def _localize(df: DataFrame) -> DataFrame:
+    """Materialize a TERMINOLOGY-SIZED frame to the driver and rebuild
+    it as a local relation: one job now, zero jobs per downstream
+    reuse — vs ``localCheckpoint(eager=True)``, which costs a
+    full-task-count job up front AND leaves a scan that re-reads block
+    manager partitions in every consumer plan. Local rows also fold
+    straight into broadcast joins (no exchange). ONLY for metadata
+    frames (ValueSet expansions, concept sets, closures of fixture
+    systems) — never fact rows; callers own that invariant (the same
+    contract as the ValueSet-metadata collects the plan police
+    allows). JVM-side single-partition checkpoint: reuses are one
+    block-manager read per consumer job — NOT a driver collect +
+    re-parallelize, whose Python-RDD backing would drag a Python
+    worker round-trip into every downstream job (measured 20-30%
+    SLOWER on qf41 than this)."""
+    return df.coalesce(1).localCheckpoint(eager=True)
 
 
 def _element_fields(df: DataFrame, *path: str) -> set[str]:
@@ -115,35 +170,53 @@ def concept_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """
     from parquet_on_fhir_spark.operators.graph import _truncate_lineage
 
-    clo = _truncate_lineage(
-        edges.select(
-            "system",
-            F.col("parent").alias("ancestor"),
-            F.col("child").alias("descendant"),
-        ).distinct()
-    )
-    n = clo.count()
-    for _ in range(max_rounds):
-        hop = clo.select(
-            F.col("system").alias("h_system"),
-            F.col("ancestor").alias("h_anc"),
-            F.col("descendant").alias("h_desc"),
+    def sized(df: DataFrame, rows: int) -> DataFrame:
+        # ALWAYS checkpoint: every ECL/filter consumer embeds the
+        # closure, so a lazy doubling plan would be re-analyzed inside
+        # every consumer job (measured 2-3× qf23/qf41 wall when tried).
+        # Checkpointed partitioning is FROZEN (AQE cannot re-coalesce a
+        # checkpoint scan) and every downstream consumer pays one map
+        # task per frozen partition — so shrink to ~1M rows per
+        # partition BEFORE the checkpoint (fixture systems: 1 task,
+        # SNOMED-scale ~10M-row closures: a handful) instead of
+        # carrying spark.sql.shuffle.partitions micro-tasks forever.
+        return _truncate_lineage(df.coalesce(max(1, rows // 1_000_000)))
+
+    with _metadata_execution(edges.sparkSession):
+        clo = sized(
+            edges.select(
+                "system",
+                F.col("parent").alias("ancestor"),
+                F.col("child").alias("descendant"),
+            ).distinct(),
+            1,
         )
-        grown = (
-            clo.join(
-                hop,
-                (F.col("system") == F.col("h_system"))
-                & (F.col("descendant") == F.col("h_anc")),
+        n = clo.count()
+        for _ in range(max_rounds):
+            hop = clo.select(
+                F.col("system").alias("h_system"),
+                F.col("ancestor").alias("h_anc"),
+                F.col("descendant").alias("h_desc"),
             )
-            .select("system", "ancestor", F.col("h_desc").alias("descendant"))
-            .unionByName(clo)
-            .distinct()
-        )
-        grown = _truncate_lineage(grown)
-        m = grown.count()
-        if m == n:
-            return grown
-        clo, n = grown, m
+            grown = (
+                clo.join(
+                    hop,
+                    (F.col("system") == F.col("h_system"))
+                    & (F.col("descendant") == F.col("h_anc")),
+                )
+                .select(
+                    "system", "ancestor", F.col("h_desc").alias("descendant")
+                )
+                .unionByName(clo)
+                .distinct()
+            )
+            # size estimate: last round's count (path doubling at most
+            # squares reachability; 2n is a fine partition-count proxy)
+            grown = sized(grown, 2 * n)
+            m = grown.count()
+            if m == n:
+                return grown
+            clo, n = grown, m
     raise RuntimeError(
         f"concept closure did not converge in {max_rounds} doubling rounds "
         f"(hierarchy deeper than 2^{max_rounds}? cyclic is-a edges?)"
@@ -290,6 +363,56 @@ def _compose_ref_edges(valuesets: DataFrame) -> dict[str, set[str]]:
     return edges
 
 
+_ECL_MEMBER_REF = re.compile(r"\^\s*([^\s(){}<>:=,^!|]+)")
+
+
+def _ecl_member_tokens(valuesets: DataFrame) -> dict[str, set[str]]:
+    """Driver-side (url → ``^ refset`` tokens) parsed from the ECL
+    'constraint' filter strings of ``compose.include/exclude`` (r12):
+    feeds the strata scheduler so ^-referenced ValueSets expand FIRST
+    and seed the member-of memo. The regex mirrors the ECL lexer's
+    token class after |term| stripping; over-matching is harmless
+    (an unresolvable token simply adds no edge) and under-matching
+    only costs a nested re-expansion. Filter rows are terminology
+    metadata — one small collect, same contract as
+    :func:`_compose_ref_edges`."""
+    parts = []
+    for elem in ("include", "exclude"):
+        if "filter" in _element_fields(valuesets, "compose", elem):
+            parts.append(
+                F.flatten(
+                    F.transform(
+                        F.coalesce(F.col(f"compose.{elem}"), F.array()),
+                        lambda e: F.coalesce(e["filter"], F.array()),
+                    )
+                )
+            )
+    if not parts:
+        return {}
+    allf = parts[0] if len(parts) == 1 else F.concat(*parts)
+    f = valuesets.select("url", F.explode(allf).alias("f"))
+    ffields = {fl.name for fl in f.schema["f"].dataType.fields}
+    if "property" not in ffields or "value" not in ffields:
+        return {}
+    rows = (
+        f.filter(F.col("f.property") == "constraint")
+        .select("url", F.col("f.value").alias("v"))
+        .collect()
+    )
+    out: dict[str, set[str]] = {}
+    for r in rows:
+        if not r["v"]:
+            continue
+        toks = {
+            m.group(1)
+            for m in _ECL_MEMBER_REF.finditer(_ECL_TERM.sub(" ", r["v"]))
+            if m.group(1)[0].isalnum()
+        }
+        if toks:
+            out.setdefault(r["url"], set()).update(toks)
+    return out
+
+
 def _check_ref_cycles(edges: dict[str, set[str]]) -> None:
     """Raise ValueError on any circular ``compose...valueSet`` reference
     chain (iterative DFS; FHIR forbids a value set from including or
@@ -380,31 +503,86 @@ def expand_valueset(
 
     Sparse schemas are honored: absent optional elements (no ValueSet
     populates ``filter``/``exclude``/``display``…) read as empty.
+
+    The TOP-LEVEL call (``_vs_cache is None``) runs the whole
+    expansion under :func:`_metadata_execution` (AQE off — every
+    intermediate materialization is a single job instead of a
+    per-shuffle-stage job cascade) and returns the result LOCALIZED
+    (single-partition checkpoint): expansions are terminology-sized
+    metadata, so the caller's action is one trivial job and repeated
+    consumption never re-runs the expansion plan (r12).
     """
-    ctx = valuesets if _context is None else _context
-    refsets = ctx
     if _vs_cache is None:
         # per-top-level-call memo: ``alias`` maps a ^ refset token to
         # its resolved id/url alias set, ``exp`` maps an alias set to
-        # its (lineage-cut) expansion — a refset referenced k times
+        # its (localized) expansion — a refset referenced k times
         # along a ^ chain/DAG expands ONCE, not k times (r12)
         _vs_cache = {"alias": {}, "exp": {}}
-    edges = _compose_ref_edges(ctx)
-    if not edges:
+        with _metadata_execution(valuesets.sparkSession):
+            # localize the terminology INPUTS once (they are metadata
+            # by the module contract): every compose batch, filter
+            # parse, and ECL node then plans against single-partition
+            # checkpoint scans instead of re-analyzing the wide
+            # nested-schema source scans — plan analysis is the
+            # dominant cost at this scale, not task work
+            vs_l = _localize(valuesets)
+            ctx_l = None if _context is None else _localize(_context)
+            cs_l = None if codesystems is None else _localize(codesystems)
+            return _localize(
+                expand_valueset(
+                    vs_l,
+                    cs_l,
+                    closure,
+                    _ecl_stack,
+                    ctx_l,
+                    _vs_cache,
+                )
+            )
+    ctx = valuesets if _context is None else _context
+    refsets = ctx
+    comp_edges = _compose_ref_edges(ctx)
+    ecl_tokens = _ecl_member_tokens(ctx)
+    if not comp_edges and not ecl_tokens:
         return _expand_compose(
             valuesets, codesystems, closure, None, refsets, _ecl_stack,
             _vs_cache,
         )
-    from parquet_on_fhir_spark.operators.graph import _truncate_lineage
-
-    ctx_urls = {r[0] for r in ctx.select("url").distinct().collect()}
+    idc = (
+        F.col("id") if "id" in ctx.columns else F.lit(None).cast("string")
+    )
+    pairs = ctx.select(F.col("url"), idc.alias("id")).distinct().collect()
+    ctx_urls = {r["url"] for r in pairs}
+    # token → url resolution + per-url alias sets ({url, id}) — the
+    # matching rule of ecl_expand's ^ branch, computed once
+    tok2url: dict[str, str] = {}
+    url_aliases: dict[str, set] = {}
+    for r in pairs:
+        al = url_aliases.setdefault(r["url"], {r["url"]})
+        tok2url.setdefault(r["url"], r["url"])
+        if r["id"] is not None:
+            al.add(r["id"])
+            tok2url.setdefault(r["id"], r["url"])
+    # ^-refset references join the scheduling graph (r12): a referenced
+    # refset is expanded in an EARLIER stratum and seeded into the
+    # member-of memo, so each ^ node is a zero-job cache hit instead of
+    # a full nested re-expansion. Unresolvable tokens get no edge (the
+    # nested path still yields their empty expansion).
+    ecl_edges: dict[str, set[str]] = {}
+    for u, toks in ecl_tokens.items():
+        refs = {tok2url[t] for t in toks if t in tok2url}
+        if refs:
+            ecl_edges[u] = refs
+    edges = {
+        u: comp_edges.get(u, set()) | ecl_edges.get(u, set())
+        for u in set(comp_edges) | set(ecl_edges)
+    }
     want_urls = (
         ctx_urls
         if _context is None
         else {r[0] for r in valuesets.select("url").distinct().collect()}
     )
     # restrict the work to the requested urls + their transitive
-    # compose references (the whole table when _context is None)
+    # compose/^ references (the whole table when _context is None)
     needed = set(want_urls)
     frontier = list(want_urls)
     while frontier:
@@ -417,8 +595,19 @@ def expand_valueset(
         for u in needed
         if u in edges
     }
-    _check_ref_cycles(sub_edges)
+    comp_sub = {
+        u: {r for r in comp_edges[u] if r in ctx_urls}
+        for u in needed
+        if u in comp_edges
+    }
+    # compose cycles are hard errors (FHIR forbids them); ^ cycles are
+    # NOT checked here — the member-of stack raises its own
+    # "circular ECL member-of chain" when the batch evaluates
+    _check_ref_cycles(comp_sub)
     referenced = {r for refs in sub_edges.values() for r in refs}
+    ecl_referenced = {
+        r for refs in ecl_edges.values() for r in refs if r in needed
+    }
     resolved: dict[str, DataFrame] = {}
     out_parts: list[DataFrame] = []
     pending = set(needed)
@@ -428,9 +617,21 @@ def expand_valueset(
             for u in pending
             if all(r in resolved for r in sub_edges.get(u, ()))
         }
+        if not ready:
+            # a ^-reference cycle stalls the combined graph: fall back
+            # to compose-only readiness and let the member-of stack
+            # raise the proper circular-chain error during evaluation
+            ready = {
+                u
+                for u in pending
+                if all(r in resolved for r in comp_sub.get(u, ()))
+            }
         assert ready, "unresolvable ValueSet references (cycle guard hole)"
+        # only COMPOSE references feed ref_exp (the valueSet-reference
+        # intersection machinery); ^ references are consumed through
+        # the member-of memo instead
         batch_refs = sorted(
-            {r for u in ready for r in sub_edges.get(u, ())}
+            {r for u in ready for r in comp_sub.get(u, ())}
         )
         ref_exp = None
         for r in batch_refs:
@@ -450,9 +651,22 @@ def expand_valueset(
         pending -= ready
         if pending:
             # later strata re-read this stratum's rows (possibly through
-            # several levels) — cut lineage so a depth-k chain costs k
-            # plans, not a k²-deep nested one
-            exp = _truncate_lineage(exp)
+            # several levels) — localize so a depth-k chain costs k
+            # plans, not a k²-deep nested one, and each re-read is a
+            # single-partition checkpoint scan (expansions are
+            # terminology-sized metadata)
+            exp = _localize(exp)
+            # seed the member-of memo with this stratum's ^-referenced
+            # expansions: later strata's ^ nodes become zero-job cache
+            # hits (same value the nested path would compute — the
+            # stratum resolves its references against the full ctx)
+            for u in ready & ecl_referenced:
+                al = frozenset(url_aliases[u])
+                for t in al:
+                    _vs_cache["alias"].setdefault(t, al)
+                _vs_cache["exp"].setdefault(
+                    al, exp.filter(F.col("url") == u)
+                )
         out_parts.append(exp)
         for u in ready & referenced:
             resolved[u] = exp.filter(F.col("url") == u)
@@ -654,20 +868,17 @@ def _expand_compose(
             mixed_sides.append(m)
 
     if "filter" in inc_fields:
-        has_filter = valuesets.select(
-            F.exists(
-                F.coalesce(F.col("compose.include"), F.array()),
-                lambda i: F.size(F.coalesce(i["filter"], F.array())) > 0,
-            ).alias("f")
-        ).filter(F.col("f"))
-        if has_filter.limit(1).count() > 0:
-            # _expand_filters itself raises when a hierarchical op is
-            # present without a closure; code/property filters need none
-            fpi = _expand_filters(
-                valuesets, codesystems, closure, refsets=refsets,
-                per_include=True, _ecl_stack=_ecl_stack,
-                _vs_cache=_vs_cache,
-            )
+        # _expand_filters itself raises when a hierarchical op is
+        # present without a closure (code/property filters need none)
+        # and returns None when no include carries filter entries — it
+        # collects the K-row filter metadata up front anyway, so the
+        # emptiness probe is free (r12: was a separate limit(1) job)
+        fpi = _expand_filters(
+            valuesets, codesystems, closure, refsets=refsets,
+            per_include=True, _ecl_stack=_ecl_stack,
+            _vs_cache=_vs_cache,
+        )
+        if fpi is not None:
             d, m = split(fpi)
             # cross-include dedup (pre-r11 output contract: filter
             # members are distinct per url)
@@ -1104,43 +1315,71 @@ def ecl_expand(
     member-of works there too).
     """
     if _vs_cache is None:
+        # top-level call: metadata execution mode + localized result,
+        # same contract as expand_valueset (one trivial caller job,
+        # repeated consumption never re-runs the ECL plan)
         _vs_cache = {"alias": {}, "exp": {}}
-    uni = (
-        _all_concepts(codesystems)
+        with _metadata_execution(codesystems.sparkSession):
+            return _localize(
+                ecl_expand(
+                    ecl, codesystems, closure, system,
+                    valuesets=valuesets, _ecl_stack=_ecl_stack,
+                    _vs_cache=_vs_cache,
+                )
+            )
+    # the per-system derived frames (universe, closure slice, direct
+    # edges, property assertions) are terminology-sized and consumed by
+    # DOZENS of ev() nodes — and, via _vs_cache, by every nested
+    # ^-refset expansion in the same top-level call. Localize each once
+    # (one checkpoint job) so every consumer's plan carries a
+    # checkpoint scan instead of re-analyzing the encode/explode
+    # subplan over the wide nested CodeSystem schema — plan analysis,
+    # not task work, is the overhead unit at metadata scale.
+    _derived = _vs_cache.setdefault("derived", {})
+    key = (id(codesystems), id(closure), system)
+
+    def derived(name, build):
+        got = _derived.get((name, key))
+        if got is None:
+            got = _localize(build())
+            _derived[(name, key)] = got
+        return got
+
+    uni = derived(
+        "uni",
+        lambda: _all_concepts(codesystems)
         .filter(F.col("system") == system)
-        .select("code")
+        .select("code"),
     )
-    clo = closure.filter(F.col("system") == system).select(
-        "ancestor", "descendant"
+    clo = derived(
+        "clo",
+        lambda: closure.filter(F.col("system") == system).select(
+            "ancestor", "descendant"
+        ),
     )
-    edges_cache: list[DataFrame] = []
 
     def direct_edges() -> DataFrame:
         # <! children / >! parents (r10) need DIRECT is-a edges, which
         # the transitive closure cannot recover — derived lazily from
-        # the same CodeSystem table (map-side explodes, no shuffle)
-        if not edges_cache:
-            edges_cache.append(
-                concept_edges(codesystems)
-                .filter(F.col("system") == system)
-                .select("parent", "child")
-                # deduped ONCE here so the focus branch can skip its
-                # per-node distinct (a doc listing the same child twice
-                # must not duplicate <! results)
-                .distinct()
-            )
-        return edges_cache[0]
-
-    props_cache: list[DataFrame] = []
+        # the same CodeSystem table (map-side explodes, no shuffle).
+        # Deduped ONCE here so the focus branch can skip its per-node
+        # distinct (a doc listing the same child twice must not
+        # duplicate <! results).
+        return derived(
+            "edges",
+            lambda: concept_edges(codesystems)
+            .filter(F.col("system") == system)
+            .select("parent", "child")
+            .distinct(),
+        )
 
     def props() -> DataFrame:
-        if not props_cache:
-            props_cache.append(
-                _concept_properties(codesystems)
-                .filter(F.col("system") == system)
-                .select("code", "prop", "pval", "grp")
-            )
-        return props_cache[0]
+        return derived(
+            "props",
+            lambda: _concept_properties(codesystems)
+            .filter(F.col("system") == system)
+            .select("code", "prop", "pval", "grp"),
+        )
 
     def attr_filtered(attr) -> DataFrame:
         """Property assertions whose attribute matches ``attr``: '*'
@@ -1263,18 +1502,15 @@ def ecl_expand(
                 memo["alias"][target] = aliases
             # memoize by the resolved alias set: a refset referenced k
             # times along a ^ chain/DAG (by id AND by url) expands once
-            # per top-level expand call, lineage-cut so every reuse
-            # reads the materialized rows instead of re-running the
-            # expansion plan (r12; a completed expansion is acyclic by
-            # construction, so reuse under a different stack is sound —
-            # genuine cycles raise above before the cache is consulted)
+            # per top-level expand call, LOCALIZED so every reuse is a
+            # zero-job fold-able local relation instead of re-running
+            # the expansion plan (r12; a completed expansion is acyclic
+            # by construction, so reuse under a different stack is
+            # sound — genuine cycles raise above before the cache is
+            # consulted)
             exp = memo["exp"].get(aliases)
             if exp is None:
-                from parquet_on_fhir_spark.operators.graph import (
-                    _truncate_lineage,
-                )
-
-                exp = _truncate_lineage(
+                exp = _localize(
                     expand_valueset(
                         vs,
                         codesystems,
@@ -1587,9 +1823,9 @@ def _expand_filters(
     per_include: bool = False,
     _ecl_stack: frozenset = frozenset(),
     _vs_cache: dict | None = None,
-) -> DataFrame:
-    """Resolve ``include.filter`` entries
-    (hl7.org/fhir/R4/valueset.html#compose). Supported:
+) -> DataFrame | None:
+    """Resolve ``include.filter`` entries — ``None`` when no include
+    carries any (hl7.org/fhir/R4/valueset.html#compose). Supported:
 
     - ``concept is-a`` (anchor + transitive descendants),
       ``descendent-of`` (descendants only), ``is-not-a`` (whole system
@@ -1657,15 +1893,38 @@ def _expand_filters(
             & F.col("value").isin("true", "false")
         )
     )
-    # coalesce: a NULL filter value makes the isin() predicates NULL,
-    # and a plain filter(~NULL) would drop (not flag) the bad row
-    bad = (
-        flt.filter(
-            ~F.coalesce(is_hier | is_code | is_prop | is_ecl, F.lit(False))
+    # the filter LIST is metadata (K rows): ONE collect answers every
+    # capability probe in plain Python (r12 — each probe used to be its
+    # own limit(1).count() job, ~7 jobs per compose batch); the
+    # distributed joins below still read the lazy flt plan, which
+    # replays inside their own jobs for free under _metadata_execution
+    flt_rows = flt.collect()
+    if not flt_rows:
+        return None
+
+    def _p_hier(r):
+        return r["property"] == "concept" and r["op"] in _HIERARCHY_OPS
+
+    def _p_code(r):
+        return r["property"] == "code" and (
+            r["op"] in ("regex", "in", "not-in")
+            or (r["op"] == "exists" and r["value"] in ("true", "false"))
         )
-        .limit(1)
-        .collect()
-    )
+
+    def _p_ecl(r):
+        return r["property"] == "constraint" and r["op"] == "="
+
+    def _p_prop(r):
+        return r["property"] not in ("concept", "code", None) and (
+            r["op"] in ("=", "regex")
+            or (r["op"] == "exists" and r["value"] in ("true", "false"))
+        )
+
+    bad = [
+        r
+        for r in flt_rows
+        if not (_p_hier(r) or _p_code(r) or _p_prop(r) or _p_ecl(r))
+    ][:1]
     if bad:
         raise NotImplementedError(
             f"unsupported ValueSet filter: property={bad[0]['property']!r} "
@@ -1676,33 +1935,33 @@ def _expand_filters(
             "constraint = <ECL subset>)"
         )
     key = ["url", "inc_idx", "n_filters", "f_idx", "system"]
-    need_universe = flt.filter(
-        is_code
-        | (F.col("op") == "is-not-a")
-        | ((F.col("op") == "exists") & (F.col("value") == "false"))
-    ).limit(1).count()
+    need_universe = any(
+        _p_code(r)
+        or r["op"] == "is-not-a"
+        or (r["op"] == "exists" and r["value"] == "false")
+        for r in flt_rows
+    )
     if need_universe and codesystems is None:
         raise NotImplementedError(
             "code/is-not-a/exists-false ValueSet filters need the "
             "codesystems table to enumerate the system's concept universe"
         )
-    if codesystems is None and flt.filter(is_prop).limit(1).count():
+    if codesystems is None and any(_p_prop(r) for r in flt_rows):
         raise NotImplementedError(
             "concept-property ValueSet filters need the codesystems "
             "table (concept.property[] assertions live there)"
         )
-    need_closure = flt.filter(is_hier).limit(1).count()
+    need_closure = any(_p_hier(r) for r in flt_rows)
     if need_closure and closure is None:
         raise NotImplementedError(
             "hierarchical ValueSet filters need a concept closure — "
             "build one with concept_closure(concept_edges(codesystems)) "
             "and pass closure="
         )
-    # ECL constraint filters: the expression strings are filter METADATA
-    # (K rows), so they are collected and each evaluated distributedly
-    # by ecl_expand; the resulting code frames join the same per-filter
-    # AND machinery as every other part.
-    ecl_rows = flt.filter(is_ecl).collect()
+    # ECL constraint filters: each expression string is evaluated
+    # distributedly by ecl_expand; the resulting code frames join the
+    # same per-filter AND machinery as every other part.
+    ecl_rows = [r for r in flt_rows if _p_ecl(r)]
     if ecl_rows and (codesystems is None or closure is None):
         raise NotImplementedError(
             "constraint (ECL) ValueSet filters need both the "
@@ -1741,7 +2000,7 @@ def _expand_filters(
             fg.select(*key, F.col("value").alias("code")),
         ]
         fn = flt.filter(F.col("op") == "is-not-a")
-        if need_universe and fn.limit(1).count():
+        if need_universe and any(r["op"] == "is-not-a" for r in flt_rows):
             excluded = fn.join(
                 F.broadcast(clo),
                 (F.col("system") == F.col("c_system"))
@@ -1777,7 +2036,7 @@ def _expand_filters(
             ).select(*key, "code")
         )
     fp = flt.filter(is_prop)
-    if codesystems is not None and fp.limit(1).count():
+    if codesystems is not None and any(_p_prop(r) for r in flt_rows):
         props = _concept_properties(codesystems)
         fv = fp.filter(F.col("op").isin("=", "regex"))
         whole_value = F.concat(F.lit("^(?:"), F.col("value"), F.lit(")$"))
@@ -1795,7 +2054,7 @@ def _expand_filters(
             .select(fv["url"], "inc_idx", "n_filters", "f_idx", fv["system"], "code")
         )
         fe = fp.filter(F.col("op") == "exists")
-        if fe.limit(1).count():
+        if any(_p_prop(r) and r["op"] == "exists" for r in flt_rows):
 
             def with_prop(side):
                 return side.join(
@@ -1813,7 +2072,10 @@ def _expand_filters(
 
             parts.append(with_prop(fe.filter(F.col("value") == "true")))
             fe_false = fe.filter(F.col("value") == "false")
-            if need_universe and fe_false.limit(1).count():
+            if need_universe and any(
+                _p_prop(r) and r["op"] == "exists" and r["value"] == "false"
+                for r in flt_rows
+            ):
                 in_system = fe_false.join(
                     F.broadcast(uni.select("system", "code")), "system"
                 ).select(*key, "code")

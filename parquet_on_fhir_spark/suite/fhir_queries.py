@@ -562,7 +562,10 @@ def _encode_doc(spark, doc, rtype):
     with open(f"{base}/r.ndjson", "w") as fh:
         for d in docs:
             fh.write(_json.dumps(d) + "\n")
-    return encode_ndjson(spark, base, resource_type=rtype)
+    # validate=False: these are self-authored fixture docs — the
+    # invariant-aggregate job per encode is covered by the encode
+    # conformance tests, and at fixture scale jobs are the cost unit
+    return encode_ndjson(spark, base, resource_type=rtype, validate=False)
 
 
 def qf12(spark, sf_dir):
