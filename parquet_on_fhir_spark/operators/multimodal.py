@@ -9,12 +9,13 @@ mapInPandas signatures) is real and tested. Codecs come in three tiers:
 
 - ``numpy_features`` / ``numpy_resize`` — REAL decoders for P6 PPM,
   24-bit BMP, 8-bit PNG (stdlib ``zlib`` inflate + numpy scanline
-  unfiltering) and baseline JPEG (marker walk + canonical Huffman +
-  IDCT, r11 — no codec library anywhere), so the
-  bytes→pixels→features path genuinely runs in this container,
-  compressed formats included;
+  unfiltering), baseline JPEG (marker walk + canonical Huffman +
+  IDCT, r11) and progressive JPEG (SOF2 multi-scan spectral
+  selection + successive approximation, r12 — no codec library
+  anywhere), so the bytes→pixels→features path genuinely runs in
+  this container, compressed formats included;
 - ``decode_real`` — the PIL seam for the remaining exotic formats
-  (WebP/AVIF/progressive JPEG/...), import-guarded: raises
+  (WebP/AVIF/12-bit & arithmetic JPEG/...), import-guarded: raises
   ``NotImplementedError`` with wiring guidance when PIL is absent;
 - ``stand_in_features`` — the deterministic byte-statistics fallback
   for payloads no available codec understands.
@@ -611,7 +612,8 @@ def decode_jpeg(content: bytes):
     codec library. Envelope: SOF0/SOF1 (baseline + extended sequential
     Huffman), 8-bit, 1 or 3 components, any h/v sampling factors ≤ 4
     (4:4:4, 4:2:2, 4:2:0, ...), restart intervals, multi-table DQT/DHT
-    segments, 16-bit quantizer precision. Progressive (SOF2),
+    segments, 16-bit quantizer precision. Progressive (SOF2)
+    dispatches to :func:`_decode_jpeg_progressive` (r12);
     arithmetic coding, 12-bit and hierarchical modes raise ValueError
     — quarantine upstream or route through the PIL seam. Per-bit
     Huffman decode is Python-loop bound: right for fixture-scale
@@ -676,11 +678,13 @@ def decode_jpeg(content: bytes):
                 cid, hv, tqi = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tqi))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2 — progressive DCT (r12)
+            return _decode_jpeg_progressive(content)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG mode (progressive/arithmetic/"
-                "hierarchical) — baseline sequential Huffman only"
+                "unsupported JPEG mode (arithmetic/hierarchical/"
+                "lossless) — sequential or progressive Huffman only"
             )
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", data, 0)
@@ -804,6 +808,304 @@ def _jpeg_huffdecode(bits_, table):
         if (length, code) in table:
             return table[(length, code)]
     raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_destuff(content: bytes, pos: int):
+    """Destuffed entropy segments starting at ``pos``, split on RSTn
+    markers; returns (segs, pos-of-next-marker)."""
+    segs, cur, p = [], bytearray(), pos
+    while p < len(content):
+        b = content[p]
+        if b == 0xFF:
+            nxt = content[p + 1] if p + 1 < len(content) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # any other marker ends the scan
+        cur.append(b)
+        p += 1
+    segs.append(bytes(cur))
+    return segs, p
+
+
+def _decode_jpeg_progressive(content: bytes):
+    """Progressive JPEG (SOF2, T.81 Annex G Huffman) → (width, height,
+    HxWx3 uint8 RGB). The multi-scan loop on top of the baseline
+    decoder's machinery (r12 — the r11 verdict's task 5): spectral
+    selection (per-band scans, EOB runs per G.1.2.2), successive
+    approximation (DC arithmetic point transform + one-bit refinement,
+    AC magnitude point transform + the G.1.2.3 correction-bit
+    algorithm), interleaved DC scans / non-interleaved AC scans with
+    their T.81 A.2 per-component block grids, restart intervals
+    (resetting DC predictors AND the EOB run), and DHT/DQT/DRI
+    redefinition between scans. Coefficients accumulate across scans
+    in per-component zigzag arrays; one vectorized dequantize + IDCT +
+    upsample + color-convert pass at EOI. Same pure-numpy,
+    fixture-scale contract as :func:`decode_jpeg`."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    ri = 0
+    coefs: dict = {}
+    tq_of: dict = {}
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", content, pos)
+        data = content[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(data, np.uint8, 64, i).astype(
+                        np.int32
+                    )
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _jpeg_build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:
+            prec = data[0]
+            h, w = struct.unpack_from(">HH", data, 1)
+            nc = data[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tqi = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tqi))
+                tq_of[cid] = tqi
+            frame = (w, h, comps)
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hi, vi, _ in comps:
+                coefs[cid] = np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unexpected SOF marker inside progressive JPEG")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG scan before SOF2")
+            ns = data[0]
+            scomps = [
+                (data[1 + 2 * s], data[2 + 2 * s] >> 4, data[2 + 2 * s] & 15)
+                for s in range(ns)
+            ]
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            segs, pos = _jpeg_destuff(content, pos)
+            _jpeg_decode_prog_scan(
+                frame, coefs, huff, scomps, ss, se, ah, al, segs, ri
+            )
+        # APPn / COM: skipped
+    if frame is None:
+        raise ValueError("JPEG missing SOF2")
+    w, h, comps = frame
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    amat = _jpeg_dct_matrix()
+    out = []
+    for cid, hi, vi, tqi in comps:
+        zz = coefs[cid].astype(np.float64) * qt[tqi][None, None, :]
+        blk = np.zeros_like(zz)
+        blk[:, :, _JPEG_ZZ] = zz
+        by, bx = blk.shape[0], blk.shape[1]
+        spatial = amat @ blk.reshape(by, bx, 8, 8) @ amat.T + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        pl = np.repeat(
+            np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+        )[:h, :w]
+        out.append(pl)
+    if len(out) == 1:
+        rgb = np.repeat(out[0][:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = out
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+    img = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, np.ascontiguousarray(img)
+
+
+def _jpeg_decode_prog_scan(
+    frame, coefs, huff, scomps, ss, se, ah, al, segs, ri
+):
+    """Decode ONE progressive scan into the zigzag coefficient arrays
+    (T.81 G.2): DC first/refine (Ss=0, interleaved or single), AC
+    first/refine (single component, per-band). Restart segments reset
+    DC predictors and the EOB run."""
+    w, h, comps = frame
+    by_id = {cid: (hi, vi, tqi) for cid, hi, vi, tqi in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # unit-of-restart sequence: interleaved scans step MCUs, single-
+    # component scans step that component's T.81 A.2 block grid
+    if ss == 0 and se != 0:
+        # a baseline stream relabeled SOF2 lands here (Ss=0, Se=63)
+        raise ValueError(
+            "invalid progressive scan: Ss=0 (DC) requires Se=0"
+        )
+    if se > 63 or ss > se:
+        raise ValueError("invalid progressive spectral selection")
+    units: list = []
+    if len(scomps) > 1:
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for cid, td, ta in scomps:
+                    hi, vi, _ = by_id[cid]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            blocks.append(
+                                (cid, td, ta, my * vi + byy, mx * hi + bxx)
+                            )
+                units.append(blocks)
+    else:
+        cid, td, ta = scomps[0]
+        hi, vi, _ = by_id[cid]
+        cw = -(-(w * hi) // hmax)  # T.81 A.1.1 component dimensions
+        ch = -(-(h * vi) // vmax)
+        bw_c = -(-cw // 8)
+        bh_c = -(-ch // 8)
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                units.append([(cid, td, ta, by, bx)])
+
+    p1 = 1 << al
+    m1 = -1 << al
+    seg_i = 0
+    bits_ = _JpegBitReader(segs[0])
+    preds = {cid: 0 for cid, _, _ in scomps}
+    eobrun = 0
+
+    def refine_nonzero(blkc, k):
+        # G.1.2.3: correction bit for a coefficient with nonzero history
+        if bits_.read(1) and (int(blkc[k]) & p1) == 0:
+            blkc[k] += p1 if blkc[k] >= 0 else m1
+
+    for nunit, blocks in enumerate(units):
+        if ri and nunit and nunit % ri == 0:
+            seg_i += 1
+            bits_ = _JpegBitReader(segs[seg_i])
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        for cid, td, ta, by, bx in blocks:
+            blkc = coefs[cid][by, bx]
+            if ss == 0 and ah == 0:  # DC first
+                s = _jpeg_huffdecode(bits_, huff[(0, td)])
+                diff = _jpeg_extend(bits_.read(s), s) if s else 0
+                preds[cid] += diff
+                blkc[0] = preds[cid] << al
+            elif ss == 0:  # DC refinement: one bit at position Al
+                if bits_.read(1):
+                    blkc[0] |= p1
+            elif ah == 0:  # AC first (G.1.2.2 EOB-run decode)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huffdecode(bits_, huff[(1, ta)])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits_.read(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC coefficient overflow")
+                    blkc[k] = _jpeg_extend(bits_.read(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_huffdecode(bits_, huff[(1, ta)])
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid refinement magnitude"
+                                )
+                            val = p1 if bits_.read(1) else m1
+                        elif r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits_.read(r)
+                            break
+                        # advance over r zero-history positions,
+                        # refining nonzero-history ones along the way
+                        while k <= se:
+                            if blkc[k] != 0:
+                                refine_nonzero(blkc, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blkc[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # remainder of the band inside an EOB run: only
+                    # correction bits for nonzero-history coefficients
+                    while k <= se:
+                        if blkc[k] != 0:
+                            refine_nonzero(blkc, k)
+                        k += 1
+                    eobrun -= 1
 
 
 def _jpeg_encode_tables():
@@ -1005,6 +1307,288 @@ def encode_jpeg(
                         )
             nmcu += 1
     out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_encode_tables_prog():
+    """Encoder Huffman tables for progressive scans: the baseline
+    single-length layout PLUS the EOBn symbols (r<<4 | 0 for r 1..14,
+    G.1.2.2 end-of-band run lengths) the baseline table never needs.
+    All 12 DC categories at 5 bits, all 176 AC symbols at 9 bits."""
+    dc_vals = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[4] = 12
+    ac_vals = [r << 4 for r in range(15)] + [0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_vals)
+    dc_map = {v: (i, 5) for i, v in enumerate(dc_vals)}
+    ac_map = {v: (i, 9) for i, v in enumerate(ac_vals)}
+    return dc_bits, dc_vals, ac_bits, ac_vals, dc_map, ac_map
+
+
+def encode_jpeg_progressive(
+    pixels,
+    subsampling: tuple[int, int] = (1, 1),
+    grayscale: bool = False,
+) -> bytes:
+    """HxWx3 uint8 RGB array → progressive JPEG bytes (SOF2) — the
+    fixture writer for :func:`_decode_jpeg_progressive` (r12). Scan
+    script exercises the whole Annex G surface: interleaved DC first
+    scan at Al=1 (arithmetic point transform), DC refinement
+    (Ah=1→Al=0, one bit per block), then per-component AC bands
+    1..5 and 6..63 each as a first scan at Al=1 (magnitude point
+    transform + EOB runs) followed by its correction-bit refinement
+    scan (G.1.2.3, buffered bits riding the EOB run). Entropy layers
+    are lossless over the quantized coefficients, so decode of the
+    progressive stream must equal decode of :func:`encode_jpeg` of the
+    same pixels EXACTLY — the round-trip contract the tests pin."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    h, w, _ = arr.shape
+    sh, sv = subsampling
+    amat = _jpeg_dct_matrix()
+    qts = [
+        np.array(_JPEG_QT_LUM, dtype=np.float64),
+        np.array(_JPEG_QT_CHR, dtype=np.float64),
+    ]
+    dc_bits, dc_vals, ac_bits, ac_vals, dc_map, ac_map = (
+        _jpeg_encode_tables_prog()
+    )
+    if grayscale:
+        comps = [(1, 1, 1, 0)]
+        planes = [arr.mean(axis=2)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        comps = [(1, sh, sv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # quantized zigzag coefficient arrays per component (same prep as
+    # encode_jpeg: box-mean downsample, edge-replicate pad)
+    coefs = {}
+    for (cid, hi, vi, tqi), pl in zip(comps, planes):
+        if (hmax // hi, vmax // vi) != (1, 1):
+            fy, fx = vmax // vi, hmax // hi
+            py = -(-pl.shape[0] // fy) * fy
+            px = -(-pl.shape[1] // fx) * fx
+            tmp = np.pad(
+                pl,
+                ((0, py - pl.shape[0]), (0, px - pl.shape[1])),
+                mode="edge",
+            )
+            pl = tmp.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th_, tw_ = mcuy * vi * 8, mcux * hi * 8
+        pl = np.pad(
+            pl,
+            ((0, th_ - pl.shape[0]), (0, tw_ - pl.shape[1])),
+            mode="edge",
+        )
+        by, bx = th_ // 8, tw_ // 8
+        blocks = pl.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        f = amat.T @ (blocks - 128.0) @ amat
+        q = np.round(f.reshape(by, bx, 64) / qts[tqi]).astype(np.int64)
+        coefs[cid] = q[:, :, _JPEG_ZZ]
+
+    def seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    out = bytearray(b"\xff\xd8")
+    n_qt = 1 if grayscale else 2
+    for tqi in range(n_qt):
+        out += seg(
+            0xDB,
+            bytes([tqi]) + bytes(int(qts[tqi][i]) for i in _JPEG_ZZ),
+        )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hi, vi, tqi in comps:
+        sof += bytes([cid, (hi << 4) | vi, tqi])
+    out += seg(0xC2, sof)
+    for th in range(n_qt):
+        out += seg(
+            0xC4, bytes([0x00 | th]) + bytes(dc_bits) + bytes(dc_vals)
+        )
+        out += seg(
+            0xC4, bytes([0x10 | th]) + bytes(ac_bits) + bytes(ac_vals)
+        )
+
+    def sos_header(scomps, ss, se, ah, al):
+        p = bytes([len(scomps)])
+        for cid, tqi in scomps:
+            p += bytes([cid, (tqi << 4) | tqi])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    def put_extend(bw, v, s):
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+    # --- scan 1: DC first, interleaved, Al=1 (arithmetic shift) ------
+    out += sos_header([(cid, tqi) for cid, _, _, tqi in comps], 0, 0, 0, 1)
+    bw = _JpegBitWriter()
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, tqi in comps:
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        v = int(coefs[cid][my * vi + byy, mx * hi + bxx, 0])
+                        v >>= 1  # DC point transform is ARITHMETIC
+                        diff = v - preds[cid]
+                        preds[cid] = v
+                        s = int(abs(diff)).bit_length()
+                        c, ln = dc_map[s]
+                        bw.write(c, ln)
+                        if s:
+                            put_extend(bw, diff, s)
+    out += bw.flush()
+
+    # --- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block) ----
+    out += sos_header([(cid, tqi) for cid, _, _, tqi in comps], 0, 0, 1, 0)
+    bw = _JpegBitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, tqi in comps:
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        v = int(coefs[cid][my * vi + byy, mx * hi + bxx, 0])
+                        bw.write(v & 1, 1)
+    out += bw.flush()
+
+    # --- per-component AC bands: first pass Al=1, then refinement ----
+    def ac_blocks(cid, hi, vi):
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def emit_ac_first(cid, tqi, hi, vi, ss, se, al):
+        bw = _JpegBitWriter()
+        bh_c, bw_c = ac_blocks(cid, hi, vi)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_map[nb << 4]
+                bw.write(c, ln)
+                if nb:
+                    bw.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                blk = coefs[cid][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    t = int(blk[k])
+                    v = (abs(t) >> al) * (1 if t >= 0 else -1)
+                    if v == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        c, ln = ac_map[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    c, ln = ac_map[(run << 4) | s]
+                    bw.write(c, ln)
+                    put_extend(bw, v, s)
+                    run = 0
+                if run:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    def emit_ac_refine(cid, tqi, hi, vi, ss, se, al):
+        # jcphuff-style G.1.2.3 encoder: newly-nonzero coefficients as
+        # (run,1)+sign, nonzero-history ones as buffered correction
+        # bits that ride the next EOB-run/ZRL/(run,1) emission
+        bw = _JpegBitWriter()
+        bh_c, bw_c = ac_blocks(cid, hi, vi)
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_map[nb << 4]
+                bw.write(c, ln)
+                if nb:
+                    bw.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+            for b in eob_bits:
+                bw.write(b, 1)
+            eob_bits.clear()
+
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                blk = coefs[cid][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # index AFTER the last newly-nonzero coefficient
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob = i + 1
+                run = 0
+                br: list[int] = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i < eob:
+                        flush_eob()
+                        c, ln = ac_map[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush_eob()
+                    c, ln = ac_map[(run << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    run = 0
+                if run or br:
+                    eobrun += 1
+                    eob_bits.extend(br)
+                    if eobrun == 0x7FFF or len(eob_bits) > 900:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    for cid, hi, vi, tqi in comps:
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([(cid, tqi)], ss, se, 0, 1)
+            out += emit_ac_first(cid, tqi, hi, vi, ss, se, 1)
+    for cid, hi, vi, tqi in comps:
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([(cid, tqi)], ss, se, 1, 0)
+            out += emit_ac_refine(cid, tqi, hi, vi, ss, se, 0)
+
     out += b"\xff\xd9"
     return bytes(out)
 

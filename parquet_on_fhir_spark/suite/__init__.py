@@ -50,6 +50,7 @@ WINDOW = [
     #    r6 fill below)
     "qf43_ecl_comparisons",
     "qf44_expand_paging",
+    "q263_jpeg_progressive_decode",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -86,7 +87,6 @@ WINDOW = [
     "q127_tpch_q9_profit",
     "q128_tpch_q11_important_parts",
     "q129_tpch_q16_supplier_cnt",
-    "q130_tpch_q20_excess_shipments",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

@@ -3287,3 +3287,79 @@ FROM s
 
 
 QUERIES.append(Q("q261_heaps_law", q261, Q261_ORACLE))
+
+
+# --- Q263: progressive JPEG real decode --------------------------------------------
+def q263(spark, sf_dir):
+    """operators/multimodal.py::_decode_jpeg_progressive end-to-end
+    (r12 — the r11 verdict's task 5): same plan shape as q255, but the
+    payloads are genuine SOF2 PROGRESSIVE streams built driver-side by
+    encode_jpeg_progressive (interleaved DC scan at Al=1, one-bit DC
+    refinement, per-component spectral-selection AC bands + the
+    G.1.2.3 correction-bit refinement). Solid even gray decodes
+    EXACTLY — the DC scans recover 8·(v−128) (divisible by the Annex-K
+    luminance quantizer 16) through the successive-approximation split
+    and every AC is zero in every band — so the luminance features
+    compare to their closed form and the oracle needs no decoder.
+    Broadcast join to documents; the fact side never shuffles."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+        extract_features,
+        numpy_features,
+    )
+
+    payloads = [
+        (
+            g,
+            bytearray(
+                encode_jpeg_progressive(
+                    np.full((8, 8, 3), g, dtype=np.uint8), grayscale=True
+                )
+            ),
+        )
+        for g in range(30, 230, 2)
+    ]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay),
+        ((F.col("doc_id") % 100) * 2 + 30).cast("int") == F.col("g"),
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q263_ORACLE = """
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       CAST(8.0 AS DOUBLE) AS f_width,
+       CAST(8.0 AS DOUBLE) AS f_height,
+       round(((doc_id % 100) * 2 + 30) / 255.0 + 1e-9, 4) AS lum_00,
+       round(((doc_id % 100) * 2 + 30) / 255.0 + 1e-9, 4) AS lum_mid,
+       round(((doc_id % 100) * 2 + 30) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q263_jpeg_progressive_decode", q263, Q263_ORACLE))

@@ -609,10 +609,16 @@ def test_jpeg_rejects_out_of_envelope():
     good = encode_jpeg(img, grayscale=True)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"P6 not a jpeg")
-    # progressive (SOF2) refuses rather than mis-decoding
+    # a BASELINE stream relabeled SOF2 is invalid progressive (its one
+    # scan has Ss=0/Se=63): refuses rather than mis-decoding (r12 —
+    # genuine progressive streams decode, see the progressive tests)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Ss=0"):
         decode_jpeg(prog)
+    # arithmetic coding (SOF9) still refuses
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(arith)
     # 12-bit precision refuses
     i = good.index(b"\xff\xc0") + 4
     deep = good[:i] + b"\x0c" + good[i + 1 :]
@@ -621,6 +627,76 @@ def test_jpeg_rejects_out_of_envelope():
     # truncated entropy stream raises (bit reader runs off the end)
     with pytest.raises((ValueError, IndexError)):
         decode_jpeg(good[:-4])
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """_decode_jpeg_progressive (r12): the progressive entropy layer
+    (interleaved DC first scan at Al=1, one-bit DC refinement,
+    per-component spectral-selection AC bands at Al=1 with EOB runs,
+    and the G.1.2.3 correction-bit AC refinement) is LOSSLESS over the
+    quantized coefficients — so decoding the progressive encoding of
+    ANY image must equal decoding the baseline encoding of the same
+    image EXACTLY, across grayscale/color/subsampled/odd-dimension
+    cases (non-interleaved per-component block grids, newly-nonzero
+    vs history coefficients, EOBRUN > 1, buffered correction bits)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        (np.full((8, 8, 3), 120, np.uint8), (1, 1), True),
+        (np.full((16, 16, 3), [200, 30, 90], np.uint8), (1, 1), False),
+        (rng.integers(0, 256, (24, 17, 3)).astype(np.uint8), (1, 1), False),
+        # odd dims + 4:2:0: chroma block grid ≠ luma block grid
+        (rng.integers(0, 256, (17, 17, 3)).astype(np.uint8), (2, 2), False),
+        (rng.integers(0, 256, (33, 20, 3)).astype(np.uint8), (2, 1), False),
+        # smooth gradient: long zero runs → EOBRUN > 1 across blocks
+        (
+            np.tile(np.arange(40, dtype=np.uint8) * 6, (40, 3, 1))
+            .transpose(0, 2, 1),
+            (1, 1),
+            True,
+        ),
+    ]
+    for img, sub, gray in cases:
+        wb, hb, db = decode_jpeg(
+            encode_jpeg(img, subsampling=sub, grayscale=gray)
+        )
+        wp, hp, dp = decode_jpeg(
+            encode_jpeg_progressive(img, subsampling=sub, grayscale=gray)
+        )
+        assert (wb, hb) == (wp, hp)
+        assert (db == dp).all()
+
+    # the q255 exactness lever holds for progressive too: solid EVEN
+    # gray survives the whole pipeline EXACTLY (DC divisible by the
+    # quantizer, every AC zero)
+    solid = np.full((8, 8, 3), 120, np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg_progressive(solid, grayscale=True))
+    assert (out == solid).all()
+
+
+def test_jpeg_progressive_flows_through_numpy_features():
+    """decode_pixels magic-dispatch (FFD8) reaches the SOF2 branch with
+    zero plumbing change: numpy_features over a progressive payload of
+    a solid even gray equals the PPM encoding's features exactly."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+        encode_ppm,
+        numpy_features,
+    )
+
+    solid = np.full((8, 8, 3), 84, np.uint8)
+    fj = numpy_features(bytes(encode_jpeg_progressive(solid)))
+    fp = numpy_features(encode_ppm(solid))
+    assert fj == fp
 
 
 def test_jpeg_flows_through_numpy_features():
