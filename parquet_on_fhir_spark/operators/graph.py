@@ -401,6 +401,15 @@ def triangle_count(
     closing = oriented.select(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
+    # the wedge side is the BIG side by construction (m·√m candidates
+    # vs m closing edges), but AQE cannot see through the checkpoint to
+    # size the closing side — so decide here: the checkpoint makes the
+    # edge count a near-free job, and under ~1M edges broadcasting the
+    # closing set keeps the m·√m wedge stream map-side instead of
+    # shuffling it on (x, y). Bigger graphs keep the shuffle join (the
+    # 100 TB shape — a closing set that big must not be broadcast).
+    if oriented.count() <= 1_000_000:
+        closing = F.broadcast(closing)
     tris = wedges.join(closing, ["x", "y"])  # (u, x, y) = one triangle
     # one explode, not a 3-way unionAll of the SAME join subtree — the
     # union form plans the wedge join three times (no reuse without an
