@@ -1006,7 +1006,11 @@ def _ecl_parse(ecl: str):
 
         expr := refined (OP refined)*   OP := AND | OR | MINUS (no
                                         mixing — ECL requires parens)
-        refined := dotted (':' refinement (',' refinement)*)?
+        refined := dotted (':' refset)?
+        refset := refterm ((',' | AND | OR) refterm)*   (',' ≡ AND;
+                                        no AND/OR mixing — parens)
+        refterm := '(' refset ')' | '{' refinement (',' refinement)* '}'
+                 | refinement
         dotted := term ('.' (ATTR | '*'))*
         refinement := CARD? 'R'? (ATTR | '*' | term) CMP value
         CMP := '=' | '!=' | '<' | '<=' | '>' | '>='
@@ -1017,7 +1021,15 @@ def _ecl_parse(ecl: str):
                   | '>>' (anc-or-self) | '>' (anc) | '>!' (parents)
 
     Attribute refinements follow the SNOMED syntax ``focus : attr =
-    value`` with comma = conjunction; the attribute matches CodeSystem
+    value`` with comma = conjunction and, since r12, ``AND``/``OR``
+    between refinement items (the SNOMED eclRefinement
+    conjunction/disjunction grammar) with parentheses for grouping —
+    per the ECL spec a set operator after a refined constraint binds
+    to the REFINEMENT (combining whole refined constraints requires
+    parenthesizing them). A parenthesized group that is followed by a
+    comparator is an expression-valued attribute NAME, not a
+    refinement group (one-token lookahead past the matching paren).
+    The attribute matches CodeSystem
     ``concept.property[]`` assertions ('*' = any property), and the
     value is either a bare token (matched against the property value
     as a string — which for concept-valued properties is exactly
@@ -1212,9 +1224,9 @@ def _ecl_parse(ecl: str):
                 )
             return (card, rev, attr, op, term())
 
-        refs = []
-        while True:
-            if peek() == "{":  # attribute group (r10)
+        def refterm():
+            nxt = peek()
+            if nxt == "{":  # attribute group (r10)
                 take()
                 grp = [one_ref()]
                 while peek() == ",":
@@ -1224,13 +1236,50 @@ def _ecl_parse(ecl: str):
                     raise NotImplementedError(
                         f"unbalanced attribute group braces in {ecl!r}"
                     )
-                refs.append(("grp", grp))
-            else:
-                refs.append(one_ref())
-            if peek() != ",":
-                break
-            take()
-        return ("refine", node, refs)
+                return ("grp", grp)
+            if nxt == "(":
+                # '( ... ) CMP value' is an expression-valued attribute
+                # NAME (one_ref's job); any other '(' opens a
+                # parenthesized refinement-set (r12) — disambiguated by
+                # one token of lookahead past the matching paren
+                depth, j = 0, pos
+                while j < len(toks):
+                    if toks[j] == "(":
+                        depth += 1
+                    elif toks[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                after = toks[j + 1] if j + 1 < len(toks) else None
+                if after not in _ECL_CMP:
+                    take()
+                    sub = refset()
+                    if take() != ")":
+                        raise NotImplementedError(
+                            f"unbalanced refinement parens in {ecl!r}"
+                        )
+                    return sub
+            return one_ref()
+
+        def refset():
+            # refinement conjunction/disjunction (r12): ',' ≡ AND;
+            # AND/OR mixing requires parentheses, mirroring expr()
+            items = [refterm()]
+            op = None
+            while peek() in (",", "AND", "OR"):
+                cls = "rOR" if take() == "OR" else "rAND"
+                if op is None:
+                    op = cls
+                elif cls != op:
+                    raise NotImplementedError(
+                        f"mixed AND/OR refinements without parentheses "
+                        f"in {ecl!r} — ECL requires explicit grouping"
+                    )
+                items.append(refterm())
+            return items[0] if len(items) == 1 else (op, items)
+
+        return ("refine", node, refset())
 
     def expr():
         node = refined()
@@ -1585,124 +1634,121 @@ def ecl_expand(
                     F.broadcast(vals), side, "left_anti"
                 )
 
-            for ref in node[2]:
-                if ref[0] == "grp":
-                    # attribute group (r10/r11): every member refinement
-                    # must be satisfied by an assertion in the SAME
-                    # relationship group. R4 properties are self-grouped
-                    # (grp = assertion index), so the group key IS the
-                    # assertion identity (a_src, a_grp); multi-member
-                    # groups then require ONE assertion to satisfy all
-                    # members (spec rule for ungrouped data). Members
-                    # join on (fcode, a_src, a_grp): forward members
-                    # have a_src == fcode (the pre-r11 (code, grp) join),
-                    # reverse members (r11) have fcode = the assertion's
-                    # VALUE, and within-group cardinality (r11) counts
-                    # matches per group — 0 or 1 under self-grouping, so
-                    # [0..0] keeps non-matching groups, [m..] with m ≥ 2
-                    # is unsatisfiable by construction. Reverse+card on
-                    # the same member (r12): a reverse member's group
-                    # universe is EVERY assertion in the system crossed
-                    # with every focus, so [0..0] becomes an
-                    # anti-constraint on the positive joint (or, with no
-                    # positive member at all, a per-focus excluded-group
-                    # count compared to the total group count — never a
-                    # materialized cross product), and [0..n≥1] is
-                    # vacuous under self-grouping (count ∈ {0, 1}).
-                    gkey = ["fcode", "a_src", "a_grp"]
-                    pos: list[DataFrame] = []
-                    anti: list[DataFrame] = []
-                    vacuous = 0
-                    for card, rev, attr, op, vnode in ref[1]:
-                        m = match_frame(rev, attr, op, vnode)
-                        member = m.select(
-                            F.col("pval" if rev else "code").alias("fcode"),
-                            F.col("code").alias("a_src"),
-                            F.col("grp").alias("a_grp"),
-                        ).distinct()
-                        if card is None:
-                            pos.append(member)
-                            continue
-                        lo, hi = card
-                        if not rev:
-                            # forward member: the group universe is the
-                            # focus concept's own self-grouped assertions
-                            pieces = []
-                            if lo <= 1 and (hi is None or hi >= 1):
-                                pieces.append(member)
-                            if lo == 0:
-                                all_groups = props().select(
-                                    F.col("code").alias("fcode"),
-                                    F.col("code").alias("a_src"),
-                                    F.col("grp").alias("a_grp"),
-                                )
-                                pieces.append(
-                                    all_groups.join(
-                                        F.broadcast(member), gkey, "left_anti"
-                                    )
-                                )
-                            if not pieces:
-                                member = member.limit(0)
-                            else:
-                                member = pieces[0]
-                                for pc in pieces[1:]:
-                                    member = member.unionByName(pc)
-                            pos.append(member)
-                        elif lo >= 2:  # self-grouped count is 0 or 1
-                            pos.append(member.limit(0))
-                        elif lo == 1:  # ≡ no cardinality (hi ≥ lo ≥ 1)
-                            pos.append(member)
-                        elif hi == 0:
-                            anti.append(member)
-                        else:  # [0..*] / [0..n≥1]: count ≤ 1 always
-                            vacuous += 1
-                    if pos:
-                        joint = pos[0]
-                        for mm in pos[1:]:
-                            joint = joint.join(mm, gkey)
-                        for am in anti:
-                            joint = joint.join(
-                                F.broadcast(am), gkey, "left_anti"
+            def grp_set(members) -> DataFrame:
+                # attribute group (r10/r11): every member refinement
+                # must be satisfied by an assertion in the SAME
+                # relationship group. R4 properties are self-grouped
+                # (grp = assertion index), so the group key IS the
+                # assertion identity (a_src, a_grp); multi-member
+                # groups then require ONE assertion to satisfy all
+                # members (spec rule for ungrouped data). Members
+                # join on (fcode, a_src, a_grp): forward members
+                # have a_src == fcode (the pre-r11 (code, grp) join),
+                # reverse members (r11) have fcode = the assertion's
+                # VALUE, and within-group cardinality (r11) counts
+                # matches per group — 0 or 1 under self-grouping, so
+                # [0..0] keeps non-matching groups, [m..] with m ≥ 2
+                # is unsatisfiable by construction. Reverse+card on
+                # the same member (r12): a reverse member's group
+                # universe is EVERY assertion in the system crossed
+                # with every focus, so [0..0] becomes an
+                # anti-constraint on the positive joint (or, with no
+                # positive member at all, a per-focus excluded-group
+                # count compared to the total group count — never a
+                # materialized cross product), and [0..n≥1] is
+                # vacuous under self-grouping (count ∈ {0, 1}).
+                # Returns the matching FOCUS-CODE SET over the
+                # universe (r12 — so groups compose under
+                # refinement-level AND/OR).
+                gkey = ["fcode", "a_src", "a_grp"]
+                pos: list[DataFrame] = []
+                anti: list[DataFrame] = []
+                vacuous = 0
+                for card, rev, attr, op, vnode in members:
+                    m = match_frame(rev, attr, op, vnode)
+                    member = m.select(
+                        F.col("pval" if rev else "code").alias("fcode"),
+                        F.col("code").alias("a_src"),
+                        F.col("grp").alias("a_grp"),
+                    ).distinct()
+                    if card is None:
+                        pos.append(member)
+                        continue
+                    lo, hi = card
+                    if not rev:
+                        # forward member: the group universe is the
+                        # focus concept's own self-grouped assertions
+                        pieces = []
+                        if lo <= 1 and (hi is None or hi >= 1):
+                            pieces.append(member)
+                        if lo == 0:
+                            all_groups = props().select(
+                                F.col("code").alias("fcode"),
+                                F.col("code").alias("a_src"),
+                                F.col("grp").alias("a_grp"),
                             )
-                        base = base.join(
-                            F.broadcast(
-                                joint.select(
-                                    F.col("fcode").alias("code")
-                                ).distinct()
-                            ),
-                            "code",
-                            "left_semi",
-                        )
-                    elif anti:
-                        # only [0..0]-reverse members: a focus matches
-                        # iff SOME group matches none of them — its
-                        # excluded-group count stays below the total
-                        # group count (terminology-sized aggregates)
-                        bad = anti[0]
-                        for am in anti[1:]:
-                            bad = bad.unionByName(am)
-                        badcnt = (
-                            bad.distinct()
-                            .groupBy(F.col("fcode").alias("code"))
-                            .agg(F.count("*").alias("__bad"))
-                        )
-                        total = (
-                            props().select("code", "grp").distinct().count()
-                        )
-                        base = (
-                            base.join(F.broadcast(badcnt), "code", "left")
-                            .filter(
-                                F.coalesce(F.col("__bad"), F.lit(0))
-                                < F.lit(total)
+                            pieces.append(
+                                all_groups.join(
+                                    F.broadcast(member), gkey, "left_anti"
+                                )
                             )
-                            .drop("__bad")
+                        if not pieces:
+                            member = member.limit(0)
+                        else:
+                            member = pieces[0]
+                            for pc in pieces[1:]:
+                                member = member.unionByName(pc)
+                        pos.append(member)
+                    elif lo >= 2:  # self-grouped count is 0 or 1
+                        pos.append(member.limit(0))
+                    elif lo == 1:  # ≡ no cardinality (hi ≥ lo ≥ 1)
+                        pos.append(member)
+                    elif hi == 0:
+                        anti.append(member)
+                    else:  # [0..*] / [0..n≥1]: count ≤ 1 always
+                        vacuous += 1
+                if pos:
+                    joint = pos[0]
+                    for mm in pos[1:]:
+                        joint = joint.join(mm, gkey)
+                    for am in anti:
+                        joint = joint.join(
+                            F.broadcast(am), gkey, "left_anti"
                         )
-                    elif vacuous and props().limit(1).count() == 0:
-                        # all members vacuous, but the existential still
-                        # needs at least one group to exist
-                        base = base.limit(0)
-                    continue
-                card, rev, attr, op, vnode = ref
+                    return joint.select(
+                        F.col("fcode").alias("code")
+                    ).distinct()
+                if anti:
+                    # only [0..0]-reverse members: a focus matches
+                    # iff SOME group matches none of them — its
+                    # excluded-group count stays below the total
+                    # group count (terminology-sized aggregates)
+                    bad = anti[0]
+                    for am in anti[1:]:
+                        bad = bad.unionByName(am)
+                    badcnt = (
+                        bad.distinct()
+                        .groupBy(F.col("fcode").alias("code"))
+                        .agg(F.count("*").alias("__bad"))
+                    )
+                    total = (
+                        props().select("code", "grp").distinct().count()
+                    )
+                    return (
+                        uni.join(F.broadcast(badcnt), "code", "left")
+                        .filter(
+                            F.coalesce(F.col("__bad"), F.lit(0))
+                            < F.lit(total)
+                        )
+                        .select("code")
+                    )
+                if vacuous and props().limit(1).count() == 0:
+                    # all members vacuous, but the existential still
+                    # needs at least one group to exist
+                    return uni.limit(0)
+                return uni
+
+            def leaf_set(card, rev, attr, op, vnode) -> DataFrame:
                 m = match_frame(rev, attr, op, vnode)
                 # R attr (r9): the focus member is the VALUE of an
                 # assertion whose SOURCE satisfies the condition
@@ -1712,31 +1758,53 @@ def ecl_expand(
                     else m.select("code")
                 )
                 if card is None:
-                    base = base.join(
-                        F.broadcast(matched.distinct()), "code", "left_semi"
+                    return matched.distinct()
+                # cardinality (r9): count matching ASSERTIONS per
+                # focus concept, zero included — a left join against
+                # the K-row count frame over the UNIVERSE, so [0..0]
+                # (must-not-have) falls out of the same plan
+                lo, hi = card
+                cnts = matched.groupBy("code").agg(
+                    F.count("*").alias("__n_match")
+                )
+                cond = F.col("__n_match") >= lo
+                if hi is not None:
+                    cond = cond & (F.col("__n_match") <= hi)
+                return (
+                    uni.join(F.broadcast(cnts), "code", "left")
+                    .withColumn(
+                        "__n_match", F.coalesce("__n_match", F.lit(0))
                     )
-                else:
-                    # cardinality (r9): count matching ASSERTIONS per
-                    # focus concept, zero included — a left join against
-                    # the K-row count frame, so [0..0] (must-not-have)
-                    # falls out of the same plan
-                    lo, hi = card
-                    cnts = matched.groupBy("code").agg(
-                        F.count("*").alias("__n_match")
-                    )
-                    cond = F.col("__n_match") >= lo
-                    if hi is not None:
-                        cond = cond & (F.col("__n_match") <= hi)
-                    base = (
-                        base.join(F.broadcast(cnts), "code", "left")
-                        .withColumn(
-                            "__n_match",
-                            F.coalesce("__n_match", F.lit(0)),
-                        )
-                        .filter(cond)
-                        .drop("__n_match")
-                    )
-            return base
+                    .filter(cond)
+                    .select("code")
+                )
+
+            def ref_set(r) -> DataFrame:
+                # refinement-set tree (r12): leaves are refinements or
+                # groups, inner nodes AND (∩) / OR (∪) over the
+                # universe-relative matching sets
+                if r[0] == "rAND" or r[0] == "rOR":
+                    out = ref_set(r[1][0])
+                    for item in r[1][1:]:
+                        nxt = ref_set(item)
+                        if r[0] == "rAND":
+                            out = out.join(
+                                F.broadcast(nxt.distinct()),
+                                "code",
+                                "left_semi",
+                            )
+                        else:
+                            out = out.unionByName(nxt)
+                    return out
+                if r[0] == "grp":
+                    return grp_set(r[1])
+                return leaf_set(*r)
+
+            return base.join(
+                F.broadcast(ref_set(node[2]).distinct()),
+                "code",
+                "left_semi",
+            )
         a, b = ev(node[1]), ev(node[2])
         if kind == "AND":
             return a.join(b, "code", "left_semi")

@@ -52,9 +52,10 @@ def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:  # pragma: n
 
     NOT runnable in this container: the API's driver-side runner needs a
     working ``google.protobuf`` install, which this image lacks
-    (ImportError: cannot import name 'descriptor' — verified 2026-08-13).
-    Kept as the documented migration target; ``running_user_totals``
-    (applyInPandasWithState) is the supported path here.
+    (ModuleNotFoundError: No module named 'google' — re-verified r12,
+    2026-08-15). Kept as the documented migration target;
+    ``running_user_totals`` (applyInPandasWithState) is the supported
+    path here.
     """
     import pandas as pd  # noqa: F811
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor

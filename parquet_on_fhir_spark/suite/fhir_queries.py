@@ -2753,3 +2753,57 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf44_expand_paging", qf44, QF44_ORACLE))
+
+
+# --- qf45: ECL refinement conjunction/disjunction (AND/OR between refinements) ----------
+def qf45(spark, sf_dir):
+    """ECL refinement-level AND/OR (fhir/terminology.py::_ecl_parse
+    refset grammar, r12): refinement items combine with ',' ≡ AND and
+    the OR keyword (the SNOMED eclRefinement conjunction/disjunction),
+    parentheses group, and mixing without parens refuses — evaluated
+    as universe-relative matching SETS intersected/unioned before the
+    focus semi-join, so groups ('ro3'), cardinality windows ('ro4' —
+    [0..0] relative to the whole universe) and reverse members ('ro6')
+    all compose under OR. Per the ECL grammar a set operator after a
+    refined constraint binds to the REFINEMENT — combining whole
+    refined constraints still requires parenthesizing them."""
+    return _ecl_findings2(spark, _ecl_vs_docs("ro", [
+        "< finding : site = arm OR severity = low",
+        "< finding : ( site = arm OR site = leg ) AND severity = high",
+        "< finding : { site = arm , severity = high } OR severity = low",
+        "< finding : [0..0] site = * OR site = arm",
+        "< finding : site = leg AND severity = low",
+        "< anatomy : R site = ( << finding : severity = high ) "
+        "OR R severity = *",
+    ]))
+
+
+QF45_ORACLE = """
+SELECT * FROM (VALUES
+  -- ro1: site=arm OR severity=low
+  ('http://example.org/ValueSet/ro1', 'arm-fracture'),
+  ('http://example.org/ValueSet/ro1', 'hand-burn'),
+  ('http://example.org/ValueSet/ro1', 'leg-sprain'),
+  ('http://example.org/ValueSet/ro1', 'multi-trauma'),
+  ('http://example.org/ValueSet/ro1', 'fatigue'),
+  -- ro2: (site=arm OR site=leg) AND severity=high
+  ('http://example.org/ValueSet/ro2', 'arm-fracture'),
+  ('http://example.org/ValueSet/ro2', 'multi-trauma'),
+  -- ro3: unsatisfiable group OR severity=low
+  ('http://example.org/ValueSet/ro3', 'hand-burn'),
+  ('http://example.org/ValueSet/ro3', 'leg-sprain'),
+  ('http://example.org/ValueSet/ro3', 'fatigue'),
+  -- ro4: no site assertion at all OR site=arm
+  ('http://example.org/ValueSet/ro4', 'arm-fracture'),
+  ('http://example.org/ValueSet/ro4', 'fatigue'),
+  ('http://example.org/ValueSet/ro4', 'multi-trauma'),
+  -- ro5: AND keyword == comma
+  ('http://example.org/ValueSet/ro5', 'leg-sprain'),
+  -- ro6: reverse members under OR (severity values are not concepts)
+  ('http://example.org/ValueSet/ro6', 'arm'),
+  ('http://example.org/ValueSet/ro6', 'leg')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf45_ecl_refinement_sets", qf45, QF45_ORACLE))

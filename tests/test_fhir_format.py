@@ -1277,6 +1277,67 @@ def test_ecl_comparison_operators(spark):
             ecl_expand(bad, cs, clo, system).collect()
 
 
+def test_ecl_refinement_and_or(spark):
+    """fhir/terminology.py r12: AND/OR between refinement items (',' ≡
+    AND), parenthesized nesting, groups/cardinality/reverse members
+    composing under OR, the expression-valued-attribute lookahead
+    ('( ... ) =' is an attribute NAME, not a parenthesized set), and
+    the unparenthesized-mixing refusal."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        ecl_expand,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_FINDINGS2_DOC,
+        _encode_doc as _encode,
+    )
+
+    cs = _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+    system = "http://example.org/cs/findings2"
+
+    def ev(ecl):
+        return sorted(r.code for r in ecl_expand(ecl, cs, clo, system).collect())
+
+    # AND keyword ≡ comma
+    assert ev("< finding : site = arm AND severity = high") == ev(
+        "< finding : site = arm , severity = high"
+    )
+    assert ev("< finding : site = arm OR severity = low") == [
+        "arm-fracture", "fatigue", "hand-burn", "leg-sprain",
+        "multi-trauma",
+    ]
+    # parenthesized nesting mixes AND with OR
+    assert ev(
+        "< finding : ( site = arm OR site = leg ) AND severity = high"
+    ) == ["arm-fracture", "multi-trauma"]
+    # a group and a cardinality window compose under OR
+    assert ev(
+        "< finding : { site = arm , severity = high } OR severity = low"
+    ) == ["fatigue", "hand-burn", "leg-sprain"]
+    assert ev("< finding : [0..0] site = * OR site = arm") == [
+        "arm-fracture", "fatigue", "multi-trauma",
+    ]
+    # '( ... ) =' lookahead: expression-valued attribute NAME, not a
+    # parenthesized refinement set (property codes are not concepts
+    # here, so the attribute set matches nothing)
+    assert ev("< finding : ( * ) = arm") == []
+    # a redundant single-item paren is a refinement set
+    assert ev("< finding : ( site = arm )") == ev("< finding : site = arm")
+    with pytest.raises(NotImplementedError, match="mixed AND/OR"):
+        ecl_expand(
+            "< finding : site = arm OR severity = low , site = leg",
+            cs, clo, system,
+        ).collect()
+    with pytest.raises(NotImplementedError, match="refinement parens"):
+        ecl_expand(
+            "< finding : ( site = arm OR severity = low", cs, clo, system
+        ).collect()
+
+
 def test_subsumes_batch(spark):
     """fhir/terminology.py::subsumes (r9): every $subsumes outcome over
     the anatomy closure, NULL codes yield NULL outcome, extra input

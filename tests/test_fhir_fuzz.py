@@ -366,89 +366,97 @@ def _ecl_ref_eval(node, uni=None, desc=None, props=None):
         } & uni
     if kind == "refine":
         base = _ecl_ref_eval(node[1], uni, desc, props)
-        for ref in node[2]:
-            if ref[0] == "grp":
-                # r10/r11 attribute group: with self-grouped (ungrouped
-                # R4) data the group IS the assertion — a concept
-                # matches iff ONE assertion satisfies every member.
-                # Members bind (fcode, assertion-id): forward members
-                # have fcode = the assertion's source, reverse members
-                # (r11) its VALUE; within-group cardinality (r11)
-                # counts matches per group (0 or 1 under
-                # self-grouping), so [0..0] keeps non-matching groups.
-                assertions = [
-                    (s, i, p, v)
-                    for s in uni
-                    for i, (p, v) in enumerate(props.get(s, []))
-                ]
-                member_sets = []
-                for mref in ref[1]:
-                    card, rev, attr, op, vnode = _norm_ref(mref)
-                    aok = _attr_ok(attr, uni, desc, props)
-                    vok = _val_ok(op, vnode, uni, desc, props)
-                    if rev:
-                        sat = {
-                            (v, s, i)
-                            for (s, i, p, v) in assertions
-                            if aok(p) and vok(s)
-                        }
-                    else:
-                        sat = {
-                            (s, s, i)
-                            for (s, i, p, v) in assertions
-                            if aok(p) and vok(v)
-                        }
-                    if card is not None:
-                        lo, hi = card
-                        pieces = set()
-                        if lo <= 1 and (hi is None or hi >= 1):
-                            pieces |= sat
-                        if lo == 0:
-                            # r12: a reverse member's group universe is
-                            # every assertion crossed with every focus
-                            univ = (
-                                {
-                                    (f, s, i)
-                                    for f in uni
-                                    for (s, i, _, _) in assertions
-                                }
-                                if rev
-                                else {(s, s, i) for (s, i, _, _) in assertions}
-                            )
-                            pieces |= univ - sat
-                        sat = pieces
-                    member_sets.append(sat)
-                joint = set.intersection(*member_sets)
-                base = {c for c in base if c in {f for f, _, _ in joint}}
-                continue
-            card, rev, attr, op, vnode = _norm_ref(ref)
-            aok = _attr_ok(attr, uni, desc, props)
-            ok = _val_ok(op, vnode, uni, desc, props)
-
-            def count(c, aok=aok, rev=rev, ok=ok):
-                if rev:
-                    return sum(
-                        1
-                        for s in uni
-                        for p, v in props.get(s, [])
-                        if aok(p) and v == c and ok(s)
-                    )
-                return sum(
-                    1
-                    for p, v in props.get(c, [])
-                    if aok(p) and ok(v)
-                )
-
-            lo, hi = card if card is not None else (1, None)
-            base = {
-                c
-                for c in base
-                if lo <= count(c) and (hi is None or count(c) <= hi)
-            }
-        return base
+        refs = node[2]
+        if isinstance(refs, list):  # legacy conjunction list
+            refs = ("rAND", refs) if len(refs) != 1 else refs[0]
+        return base & _ref_set(refs, uni, desc, props)
     a = _ecl_ref_eval(node[1], uni, desc, props)
     b = _ecl_ref_eval(node[2], uni, desc, props)
     return {"AND": a & b, "OR": a | b, "MINUS": a - b}[kind]
+
+
+def _ref_set(ref, uni, desc, props):
+    """Universe-relative matching set of one refinement-tree node
+    (r12): rAND/rOR combine by ∩/∪, 'grp' is the self-grouped
+    attribute-group set, leaves are single refinements (cardinality
+    evaluated over the whole universe, zero counts included)."""
+    uni = set(uni)
+    if ref[0] in ("rAND", "rOR"):
+        sets = [_ref_set(i, uni, desc, props) for i in ref[1]]
+        return (
+            set.intersection(*sets) if ref[0] == "rAND" else set.union(*sets)
+        )
+    if ref[0] == "grp":
+        # r10/r11 attribute group: with self-grouped (ungrouped
+        # R4) data the group IS the assertion — a concept
+        # matches iff ONE assertion satisfies every member.
+        # Members bind (fcode, assertion-id): forward members
+        # have fcode = the assertion's source, reverse members
+        # (r11) its VALUE; within-group cardinality (r11)
+        # counts matches per group (0 or 1 under
+        # self-grouping), so [0..0] keeps non-matching groups.
+        assertions = [
+            (s, i, p, v)
+            for s in uni
+            for i, (p, v) in enumerate(props.get(s, []))
+        ]
+        member_sets = []
+        for mref in ref[1]:
+            card, rev, attr, op, vnode = _norm_ref(mref)
+            aok = _attr_ok(attr, uni, desc, props)
+            vok = _val_ok(op, vnode, uni, desc, props)
+            if rev:
+                sat = {
+                    (v, s, i)
+                    for (s, i, p, v) in assertions
+                    if aok(p) and vok(s)
+                }
+            else:
+                sat = {
+                    (s, s, i)
+                    for (s, i, p, v) in assertions
+                    if aok(p) and vok(v)
+                }
+            if card is not None:
+                lo, hi = card
+                pieces = set()
+                if lo <= 1 and (hi is None or hi >= 1):
+                    pieces |= sat
+                if lo == 0:
+                    # r12: a reverse member's group universe is
+                    # every assertion crossed with every focus
+                    univ = (
+                        {
+                            (f, s, i)
+                            for f in uni
+                            for (s, i, _, _) in assertions
+                        }
+                        if rev
+                        else {(s, s, i) for (s, i, _, _) in assertions}
+                    )
+                    pieces |= univ - sat
+                sat = pieces
+            member_sets.append(sat)
+        joint = set.intersection(*member_sets)
+        return {f for f, _, _ in joint}
+    card, rev, attr, op, vnode = _norm_ref(ref)
+    aok = _attr_ok(attr, uni, desc, props)
+    ok = _val_ok(op, vnode, uni, desc, props)
+
+    def count(c):
+        if rev:
+            return sum(
+                1
+                for s in uni
+                for p, v in props.get(s, [])
+                if aok(p) and v == c and ok(s)
+            )
+        return sum(1 for p, v in props.get(c, []) if aok(p) and ok(v))
+
+    lo, hi = card if card is not None else (1, None)
+    return {
+        c for c in uni if lo <= count(c) and (hi is None or count(c) <= hi)
+    }
 
 
 def _ecl_render(node):
@@ -486,14 +494,21 @@ def _ecl_render(node):
                 val = f"({_ecl_render(v)})"
             return f"{cs_}{rv}{at} {op} {val}"
 
-        parts = []
-        for ref in node[2]:
+        def render_ref(ref):
+            if ref[0] == "rAND" or ref[0] == "rOR":
+                sep = " AND " if ref[0] == "rAND" else " OR "
+                return "( " + sep.join(render_ref(i) for i in ref[1]) + " )"
             if ref[0] == "grp":
                 inner = " , ".join(render_one(r) for r in ref[1])
-                parts.append("{ " + inner + " }")
-            else:
-                parts.append(render_one(ref))
-        return f"({_ecl_render(node[1])}) : {' , '.join(parts)}"
+                return "{ " + inner + " }"
+            return render_one(ref)
+
+        refs = node[2]
+        if isinstance(refs, list):  # legacy conjunction list
+            rendered = " , ".join(render_ref(r) for r in refs)
+        else:
+            rendered = render_ref(refs)
+        return f"({_ecl_render(node[1])}) : {rendered}"
     return f"({_ecl_render(node[1])}) {kind} ({_ecl_render(node[2])})"
 
 
@@ -657,17 +672,31 @@ def _f2_exprs(depth=2):
     group = st.tuples(
         st.just("grp"), st.lists(group_ref, min_size=1, max_size=2)
     )
+    ref_item = st.one_of(refinement, group)
+    # r12 refinement conjunction/disjunction trees (one nesting level),
+    # alongside the legacy comma-conjunction list form
+    ref_tree = st.one_of(
+        st.lists(ref_item, min_size=1, max_size=2),
+        st.tuples(
+            st.sampled_from(["rAND", "rOR"]),
+            st.lists(
+                st.one_of(
+                    ref_item,
+                    st.tuples(
+                        st.sampled_from(["rAND", "rOR"]),
+                        st.lists(ref_item, min_size=2, max_size=2),
+                    ),
+                ),
+                min_size=2,
+                max_size=3,
+            ),
+        ),
+    )
     return st.one_of(
         sub,
         st.tuples(st.sampled_from(["AND", "OR", "MINUS"]), sub, sub),
         st.tuples(st.just("dot"), sub, tok_attrs),
-        st.tuples(
-            st.just("refine"),
-            sub,
-            st.lists(
-                st.one_of(refinement, group), min_size=1, max_size=2
-            ),
-        ),
+        st.tuples(st.just("refine"), sub, ref_tree),
     )
 
 
@@ -788,14 +817,18 @@ def _meds_exprs(depth=2):
     group = st.tuples(
         st.just("grp"), st.lists(refinement, min_size=1, max_size=2)
     )
+    ref_item = st.one_of(refinement, group)
+    ref_tree = st.one_of(
+        st.lists(ref_item, min_size=1, max_size=2),
+        st.tuples(
+            st.sampled_from(["rAND", "rOR"]),
+            st.lists(ref_item, min_size=2, max_size=3),
+        ),
+    )
     return st.one_of(
         sub,
         st.tuples(st.sampled_from(["AND", "OR", "MINUS"]), sub, sub),
-        st.tuples(
-            st.just("refine"),
-            sub,
-            st.lists(st.one_of(refinement, group), min_size=1, max_size=2),
-        ),
+        st.tuples(st.just("refine"), sub, ref_tree),
     )
 
 
