@@ -488,3 +488,83 @@ def _set_similarity_candidates(ordered: "DataFrame", t: float):
             & (F.col("__na") >= F.ceil(F.lit(t) * F.col("__nb")))
         )
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Exact LEFT SEMI join with a Bloom-filter PREFILTER on the fact
+    side (r12) — the runtime-filter pattern (Spark's
+    InjectRuntimeFilter / the classic semi-join reduction) as an
+    explicit operator, for when the dim side is too big to broadcast
+    but the fact side is much bigger still.
+
+    Build: each dim key sets ``n_hashes`` bit positions
+    (xxhash64(key, seed) mod m), the positions fold into a
+    ``m_bits/64``-word bitmap with one bit_or hash aggregate — the dim
+    table reduces to a FIXED-SIZE bitmap (1M bits = 16 KB) on the
+    executors regardless of its row count, and only the bitmap reaches
+    the driver (metadata, not rows). Probe: the bitmap is embedded as
+    an array literal and the fact side filters with k word-lookups
+    (element_at + bitwise AND) BEFORE the exact semi join — Bloom
+    false positives are removed by the join, false negatives are
+    impossible, so results are EXACT and the shuffle only carries
+    fact rows that (probably) match.
+
+    At 100 TB: the prefilter runs map-side inside the fact scan stage
+    (no exchange), cutting the semi join's shuffle volume by the
+    filter's selectivity; the bitmap build is one aggregation over the
+    dim at ~16 KB of state. Size ``m_bits`` ≈ 10-15 bits per distinct
+    dim key for a ~1% false-positive rate.
+
+    Output: fact rows whose ``fact_key`` appears in dim's ``dim_key``
+    (exact semi-join semantics; NULL keys never match).
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    dim_key = dim_key or fact_key
+    n_words = m_bits // 64
+
+    def positions(col: str):
+        return [
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+
+    bits = dim.filter(F.col(dim_key).isNotNull()).select(
+        F.explode(F.array(*positions(dim_key))).alias("p")
+    )
+    words = (
+        bits.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, int(p % 64))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bm"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["w"]] = r["bm"]
+    checks = " AND ".join(
+        f"(element_at(__bloom_arr, "
+        f"int(pmod(xxhash64(`{fact_key}`, {i}), {m_bits}) div 64) + 1) "
+        f"& shiftleft(1L, "
+        f"int(pmod(xxhash64(`{fact_key}`, {i}), {m_bits}) % 64))) != 0"
+        for i in range(n_hashes)
+    )
+    pre = (
+        fact.withColumn("__bloom_arr", F.lit(bitmap))
+        .filter(F.col(fact_key).isNotNull() & F.expr(checks))
+        .drop("__bloom_arr")
+    )
+    return pre.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

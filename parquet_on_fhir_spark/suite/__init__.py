@@ -52,6 +52,7 @@ WINDOW = [
     "qf44_expand_paging",
     "q263_jpeg_progressive_decode",
     "qf45_ecl_refinement_sets",
+    "q264_bloom_semi_join",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -86,7 +87,6 @@ WINDOW = [
     "q125_resample_gapfill",
     "q126_tpch_q2_min_cost_supplier",
     "q127_tpch_q9_profit",
-    "q128_tpch_q11_important_parts",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

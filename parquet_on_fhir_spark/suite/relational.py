@@ -6622,3 +6622,51 @@ LIMIT 20
 
 
 QUERIES.append(Q("q262_adamic_adar", q262, Q262_ORACLE))
+
+
+# --- Q264: bloom-prefiltered semi join (runtime-filter pattern) --------------------------
+def q264(spark, sf_dir):
+    """Bloom-prefiltered exact semi join (operators/joins.py::
+    bloom_semi_join, r12 — the runtime-filter / semi-join-reduction
+    pattern as an explicit operator): orders from BUILDING-segment
+    customers. The dim side reduces to a FIXED 16 KB bitmap via one
+    bit_or hash aggregate (never broadcasting its rows), the fact side
+    filters with k map-side word-lookups inside its scan stage BEFORE
+    the exact semi join, and Bloom false positives die in the join —
+    results are exactly the plain left-semi join, with the shuffle
+    carrying only (probable) matches."""
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = t(spark, sf_dir, "orders")
+    from parquet_on_fhir_spark.operators.joins import bloom_semi_join
+
+    got = bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+    return (
+        got.groupBy(F.col("o_orderpriority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q264_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_price
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES.append(Q("q264_bloom_semi_join", q264, Q264_ORACLE))

@@ -39,6 +39,9 @@ PROBE_QUERIES = [
     "q257_rank_biased_overlap",    # two lineitem aggs -> depth-20 frames
     "q258_weighted_sample",        # map-side keys + TakeOrdered top-k
     "q260_hits",                   # 4 half-step shuffles over distinct edges
+    # round-12 wave (qf43/qf44/qf45 are inline-fixture terminology —
+    # terminology_probe.py axis; q263 is fixture-bounded like q255):
+    "q264_bloom_semi_join",        # 16KB-bitmap build + map-side prefilter over SF-SCALED orders
 ]
 
 
