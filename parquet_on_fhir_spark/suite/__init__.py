@@ -24,7 +24,10 @@ from parquet_on_fhir_spark.suite.common import Q
 #      clustered write, the Observation ViewDefinition);
 #   4. remaining slots oldest-first from the r6 cohort; r12 debuts
 #      displace the NEWEST of these fills as they land (the
-#      debuts-land-with-a-driver-row rule).
+#      debuts-land-with-a-driver-row rule). Exception (the r10/r11
+#      twin-cede pattern, inverted): q57c_stream_dedup_within_watermark
+#      debuts WITHOUT a slot because both its twins (q57, q57b — the
+#      same oracle) are already in-window this round.
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [

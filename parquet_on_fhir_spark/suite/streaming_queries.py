@@ -244,6 +244,28 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+# --- Q57c: streaming dropDuplicatesWithinWatermark (r12) ---------------------------------
+# The Spark 3.5+ dedup that BOUNDS state: per-key state expires at
+# first-seen event time + the watermark delay, so unbounded streams
+# don't accumulate unbounded dedup state (dropDuplicates keeps keys
+# forever). With a delay wider than the fixture's event-time span the
+# output is exactly the distinct key set — the q57b oracle — while the
+# operator exercises the watermark-evicted state path.
+def q57c(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "87600 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dedup, "append")
+
+
+Q57C_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 # --- Q58: custom stateful operator (applyInPandasWithState) ----------------------------------
 # AvailableNow over the single staged file = ONE micro-batch, so the
 # update-mode emission is exactly one final row per user: the running
@@ -337,6 +359,7 @@ QUERIES = [
     Q("q56b_stream_watermark_multibatch", q56b, Q56_ORACLE),
     Q("q57_dedup_keep_first", q57, Q57_ORACLE),
     Q("q57b_stream_dedup", q57b, Q57B_ORACLE),
+    Q("q57c_stream_dedup_within_watermark", q57c, Q57C_ORACLE),
     Q("q58_stream_stateful", q58, Q58_ORACLE),
     Q("q59_stream_static_join", q59, Q59_ORACLE),
     Q("q59b_stream_stream_join", q59b, Q59B_ORACLE),

@@ -363,3 +363,36 @@ def test_cdc_retention_prunes_old_versions(spark):
         assert row.v == "v3"
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+def test_drop_duplicates_within_watermark_cross_batch(spark, sf_dir):
+    """q57c's operator over REAL micro-batches (r12): with a delay
+    wider than the event-time span, dropDuplicatesWithinWatermark over
+    4 sequential batches emits each (user_id, event_type) key exactly
+    once — cross-batch dedup state survives and is keyed by first-seen
+    event time, unlike plain dropDuplicates' forever-state."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.streaming.jobs import (
+        run_to_memory,
+        stream_events_multibatch,
+    )
+
+    s = stream_events_multibatch(spark, sf_dir, n_files=4)
+    dedup = (
+        s.withWatermark("ts", "87600 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    got = run_to_memory(dedup, "append")
+    rows = {(r.user_id, r.event_type) for r in got.collect()}
+    assert got.count() == len(rows), "a key was emitted twice"
+    want = {
+        (r[0], r[1])
+        for r in duckdb.sql(
+            "SELECT DISTINCT user_id, event_type FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    }
+    assert rows == want
