@@ -948,3 +948,51 @@ def weighted_sample_wor(
     return keyed.orderBy(
         F.col("sample_key").desc(), F.col(id_col)
     ).limit(k)
+
+
+def weighted_sample_wor_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Stratified weighted sampling without replacement (r12): the
+    Efraimidis–Spirakis draw of :func:`weighted_sample_wor`, but the
+    top-k selection runs PER GROUP — the training-mixture primitive
+    ("at most k docs per source/domain/language, weighted by quality")
+    that a global top-k cannot express and per-group loops would run
+    G jobs for.
+
+    Plan: the same map-side deterministic md5 key, then ONE
+    row_number window partitioned by the group — a single shuffle on
+    the group key with per-partition top-k semantics; groups are
+    processed independently, so skewed group sizes cost only their own
+    partitions. The md5 draw keeps the exact sample SQL-restatable.
+    NULL groups are kept as their own stratum (the SQL twin must
+    partition the same way); NULL/non-positive weights are excluded.
+
+    Output: the ≤k sampled rows per group + ``sample_key``.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        md5_60(
+            F.concat_ws(
+                ":", F.lit(f"wsg{seed}"), F.col(id_col).cast("string")
+            )
+        )
+        + F.lit(1)
+    ) / F.lit(float(2**60))
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("sample_key", F.ln(u) / F.col(weight_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

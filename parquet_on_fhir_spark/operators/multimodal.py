@@ -103,10 +103,11 @@ def decode_real(content: bytes, mime: str | None = None) -> list[float]:
 
 def best_codec() -> FeatureCodec:
     """``decode_real`` when a codec library is importable, else
-    ``numpy_features`` — the built-in numpy decoder handles uncompressed
-    BMP/PPM for real (and itself falls back to the deterministic
-    stand-in for payloads it cannot parse), so pipelines opt into the
-    best available decode without caring about the environment.
+    ``numpy_features`` — the built-in numpy decoder handles PPM, BMP,
+    PNG and JPEG (baseline + progressive, r12) for real (and itself
+    falls back to the deterministic stand-in for payloads it cannot
+    parse), so pipelines opt into the best available decode without
+    caring about the environment.
 
     MIXED-FORMAT CAVEAT: the numpy tier emits 66-dim vectors for
     decodable payloads and 5-dim stand-ins for the rest, so a corpus

@@ -56,6 +56,7 @@ WINDOW = [
     "q263_jpeg_progressive_decode",
     "qf45_ecl_refinement_sets",
     "q264_bloom_semi_join",
+    "q265_stratified_weighted_sample",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -89,7 +90,6 @@ WINDOW = [
     "q124_fuzzy_join",
     "q125_resample_gapfill",
     "q126_tpch_q2_min_cost_supplier",
-    "q127_tpch_q9_profit",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

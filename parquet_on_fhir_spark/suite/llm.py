@@ -3363,3 +3363,46 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q263_jpeg_progressive_decode", q263, Q263_ORACLE))
+
+
+# --- Q265: stratified weighted sampling (per-group Efraimidis-Spirakis) ---------------
+def q265(spark, sf_dir):
+    """Stratified weighted sampling without replacement (operators/
+    curation.py::weighted_sample_wor_per_group, r12): at most 10 docs
+    PER SOURCE, drawn by length-weighted Efraimidis-Spirakis keys —
+    the training-mixture primitive ("cap each domain, prefer higher
+    quality") a global top-k cannot express. One map-side md5 key
+    computation + one row_number window partitioned by source: a
+    single shuffle on the group key, no per-group jobs; the md5 draw
+    makes the exact sample SQL-restatable."""
+    from parquet_on_fhir_spark.operators.curation import (
+        weighted_sample_wor_per_group,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = weighted_sample_wor_per_group(
+        d, "source", "doc_id", "n_chars", k=10, seed=11
+    )
+    return out.select("source", "doc_id", "n_chars")
+
+
+Q265_ORACLE = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST('0x' || substr(md5('wsg11:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) + 1)
+            / CAST(1152921504606846976 AS DOUBLE)) / n_chars AS sample_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sample_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 10
+"""
+
+
+QUERIES.append(Q("q265_stratified_weighted_sample", q265, Q265_ORACLE))

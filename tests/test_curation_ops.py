@@ -704,3 +704,54 @@ def test_word_ngrams_matches_python_reference(spark):
         ]
         want = [ref(t, n) for t in texts]
         assert got == want, (n, got, want)
+
+
+def test_weighted_sample_wor_per_group(spark):
+    """r12 stratified WOR sampling: ≤k rows per group, deterministic
+    across calls, heavy weights over-represented within each group,
+    NULL groups form their own stratum, and non-positive weights are
+    excluded."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.curation import (
+        weighted_sample_wor_per_group,
+    )
+
+    rows = []
+    for g in ("a", "b", None):
+        for i in range(40):
+            # ids unique across groups; weight 100 for ids % 4 == 0
+            gid = {"a": 0, "b": 1, None: 2}[g] * 100 + i
+            rows.append((g, gid, 100.0 if i % 4 == 0 else 1.0))
+    rows.append(("a", 999, 0.0))   # excluded: non-positive weight
+    rows.append(("b", 998, None))  # excluded: NULL weight
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+
+    out = weighted_sample_wor_per_group(df, "grp", "id", "w", k=8, seed=3)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.grp, []).append(r.id)
+    # <=k per group, all three strata present (incl. the NULL group)
+    assert set(per) == {"a", "b", None}
+    assert all(len(v) == 8 for v in per.values())
+    assert 999 not in per["a"] and 998 not in per["b"]
+    # heavy weights (10 of 40 per group) dominate each stratum
+    heavy = sum(1 for g, ids in per.items() for i in ids if i % 4 == 0)
+    assert heavy >= 16, f"heavy items under-represented: {heavy}/24"
+    # deterministic
+    again = {
+        (r.grp, r.id)
+        for r in weighted_sample_wor_per_group(
+            df, "grp", "id", "w", k=8, seed=3
+        ).collect()
+    }
+    assert again == {(r.grp, r.id) for r in got}
+    # a different seed draws a different sample
+    other = {
+        (r.grp, r.id)
+        for r in weighted_sample_wor_per_group(
+            df, "grp", "id", "w", k=8, seed=4
+        ).collect()
+    }
+    assert other != again
