@@ -98,6 +98,9 @@ HEADLINE = [
     "qf40_validate_code_facts",        # $validate-code broadcast over the SF-SCALED events fact side
     #                                    (qf23 measures fixed stage overhead at any sf; this line
     #                                    moves with data, so a terminology-join regression shows)
+    # round-12 addition (new line, not a regression vs BENCH_r11):
+    "q264_bloom_semi_join",            # 16KB-bitmap build + map-side Bloom prefilter before the
+    #                                    exact semi join over SF-SCALED orders
 ]
 
 

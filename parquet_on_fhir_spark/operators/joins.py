@@ -506,15 +506,18 @@ def bloom_semi_join(
 
     Build: each dim key sets ``n_hashes`` bit positions
     (xxhash64(key, seed) mod m), the positions fold into a
-    ``m_bits/64``-word bitmap with one bit_or hash aggregate — the dim
-    table reduces to a FIXED-SIZE bitmap (1M bits = 16 KB) on the
-    executors regardless of its row count, and only the bitmap reaches
-    the driver (metadata, not rows). Probe: the bitmap is embedded as
-    an array literal and the fact side filters with k word-lookups
+    ``m_bits/64``-word bitmap with one bit_or hash aggregate, and the
+    words densify into ONE array row — the dim table reduces to a
+    FIXED-SIZE bitmap (1M bits = 16 KB) entirely on the executors,
+    never touching the driver. Probe: the bitmap row broadcast-cross-
+    joins the fact side (one row — a broadcast nested loop that is
+    really a constant), which then filters with k word-lookups
     (element_at + bitwise AND) BEFORE the exact semi join — Bloom
     false positives are removed by the join, false negatives are
     impossible, so results are EXACT and the shuffle only carries
-    fact rows that (probably) match.
+    fact rows that (probably) match. (An array LITERAL instead of the
+    broadcast row costs ~10 s of plan serialization/codegen at the
+    default m_bits — measured; the data path is the fix.)
 
     At 100 TB: the prefilter runs map-side inside the fact scan stage
     (no exchange), cutting the semi join's shuffle volume by the
@@ -546,22 +549,37 @@ def bloom_semi_join(
         )
         .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("bm"))
-        .collect()
     )
-    bitmap = [0] * n_words
-    for r in words:
-        bitmap[r["w"]] = r["bm"]
+    # densify the sparse word rows into one array<long> row, JVM-side:
+    # left-join a range frame so every word index exists exactly once,
+    # then sort-collect and project — O(n log n), NOT a per-index map
+    # lookup (element_at over a 16k-entry map is a linear scan; the
+    # O(n²) variant measured 13 s at the default m_bits)
+    dense = (
+        fact.sparkSession.range(n_words)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select(
+            "w", F.coalesce("bm", F.lit(0).cast("long")).alias("bm")
+        )
+    )
+    bm_row = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bm"))),
+            lambda x: x["bm"],
+        ).alias("__bloom_arr")
+    )
     checks = " AND ".join(
-        f"(element_at(__bloom_arr, "
-        f"int(pmod(xxhash64(`{fact_key}`, {i}), {m_bits}) div 64) + 1) "
-        f"& shiftleft(1L, "
-        f"int(pmod(xxhash64(`{fact_key}`, {i}), {m_bits}) % 64))) != 0"
+        f"(element_at(__bloom_arr, int(element_at(__bp, {i + 1}) div 64) + 1)"
+        f" & shiftleft(1L, int(element_at(__bp, {i + 1}) % 64))) != 0"
         for i in range(n_hashes)
     )
     pre = (
-        fact.withColumn("__bloom_arr", F.lit(bitmap))
-        .filter(F.col(fact_key).isNotNull() & F.expr(checks))
-        .drop("__bloom_arr")
+        fact.filter(F.col(fact_key).isNotNull())
+        .crossJoin(F.broadcast(bm_row))
+        .withColumn("__bp", F.array(*positions(fact_key)))
+        .filter(F.expr(checks))
+        .drop("__bloom_arr", "__bp")
     )
     return pre.join(
         dim.select(F.col(dim_key).alias(fact_key)).distinct(),
