@@ -4162,3 +4162,203 @@ def rank_biased_overlap(
     )
 
 
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 512,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    with_global: bool = True,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch with interpolated quantile
+    estimates — the fixed-size, commutative-monoid alternative to a
+    global sort when an approximate quantile with a KNOWN error bound
+    (±bin width) is enough.
+
+    The sketch is the ``(group, bin, count)`` frame: counts are
+    sum-mergeable, so shards/partitions/days combine by addition — the
+    property t-digest/KLL buy with adaptive bins, bought here with a
+    fixed domain ``[lo, hi)`` instead (values clamp into the edge
+    bins). Estimates interpolate linearly inside the bin containing
+    rank ``ceil(q·n)``.
+
+    ``with_global=True`` demonstrates the merge: the ALL row's
+    quantiles are derived by re-aggregating the per-group SKETCH (bins
+    summed, data never rescanned) — exactly how a 100 TB rollup would
+    combine per-day sketches without touching the fact table again.
+
+    Engine-portability: the bin index ``floor((v−lo)·bins/(hi−lo))``
+    and the interpolation are fixed double expression CHAINS over
+    exact integer counts, restated verbatim in the oracle, so both
+    engines compute identical doubles.
+
+    Scale shape: ONE map-side-combined hash aggregate over the facts
+    (the only pass that touches data), then windows/joins over the
+    K = groups×bins sketch frame. Output: one row per (group, q) plus
+    the ALL rows — (group, n, q, estimate).
+    """
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use a literal group")
+    width_expr = (F.col(value_col) - F.lit(lo)) * bins / F.lit(hi - lo)
+    bin_col = F.least(
+        F.greatest(F.floor(width_expr).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    grp = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    sketch = (
+        df.select(grp.alias("grp"), bin_col.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if with_global:
+        sketch = sketch.unionByName(
+            sketch.groupBy("bin").agg(
+                F.lit("ALL").alias("grp"), F.sum("cnt").alias("cnt")
+            ).select("grp", "bin", "cnt")
+        )
+    totals = sketch.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    ranked = cum.join(totals, "grp").select(
+        "*", qs
+    ).withColumn("r", F.ceil(F.col("q") * F.col("n")))
+    hit = ranked.filter(
+        (F.col("cum") >= F.col("r")) & (F.col("cum_prev") < F.col("r"))
+    )
+    w = F.lit((hi - lo) / bins)
+    est = (
+        F.lit(lo)
+        + w
+        * (
+            F.col("bin")
+            + (F.col("r") - F.col("cum_prev")).cast("double") / F.col("cnt")
+        )
+    )
+    return hit.select(
+        "grp", F.col("n").cast("long").alias("n"), "q", est.alias("estimate")
+    )
+
+
+def _strict_inversions(y) -> int:
+    """Count strict inversions (i < j, y[i] > y[j]) in O(n log² n) via
+    vectorized divide-and-conquer: cross-inversions between sorted
+    halves fall out of one searchsorted per level. Exact integers."""
+    import numpy as np
+
+    y = np.asarray(y)
+
+    def rec(a):
+        n = len(a)
+        if n < 2:
+            return 0, a
+        mid = n // 2
+        inv_l, ls = rec(a[:mid])
+        inv_r, rs = rec(a[mid:])
+        # elements of the left half strictly greater than each right
+        # element: left precedes right positionally, so every such pair
+        # is an inversion
+        cross = int(
+            (len(ls) - np.searchsorted(ls, rs, side="right")).sum()
+        )
+        merged = np.concatenate([ls, rs])
+        merged.sort(kind="mergesort")
+        return inv_l + inv_r + cross, merged
+
+    total, _ = rec(y)
+    return total
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Kendall's τ-b rank correlation per group, tie-corrected (Kendall
+    1945), computed with Knight's O(n log n) algorithm (Knight, JASA
+    1966) instead of the O(n²) pair classification the textbook
+    definition implies.
+
+    Per group: sort by (x, y); discordant pairs are then EXACTLY the
+    strict inversions of the y sequence (pairs inside an x-tie run are
+    y-sorted and contribute none), counted by vectorized merge-sort.
+    Tie terms n1/n2/n3 (pairs tied on x / y / both) come from value
+    counts, concordant from the identity nc = n0−n1−n2+n3−nd. Every
+    count is an exact integer; τ-b = (nc−nd)/√((n0−n1)(n0−n2)) is one
+    float expression at the end — the integer-moments discipline, so
+    an oracle can restate the counts quadratically and match bitwise.
+
+    Scale shape: ``applyInPandas`` per group — the group is the unit
+    of correlation (a segment, a cohort, a day), assumed
+    executor-sized; corpus-wide monotone association over unbounded
+    rows is what :func:`spearman_correlation` (window-rank + moments)
+    is for. NULL x/y rows are excluded up front. τ-b is NULL for
+    groups with zero x- or y-variance (√ of 0).
+
+    Output: one row per group — (group_cols…, n, concordant,
+    discordant, tied_x, tied_y, tied_both, tau_b).
+    """
+    import pandas as pd
+
+    work = df.select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).dropna(subset=["__x", "__y"])
+
+    out_fields = ", ".join(
+        f"`{c}` string" for c in group_cols
+    )
+    schema = (
+        f"{out_fields}, n long, concordant long, discordant long, "
+        "tied_x long, tied_y long, tied_both long, tau_b double"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: str(pdf[c].iloc[0]) for c in group_cols}
+        s = pdf.sort_values(["__x", "__y"], kind="mergesort")
+        n = len(s)
+        n0 = n * (n - 1) // 2
+        tx = s["__x"].value_counts()
+        ty = s["__y"].value_counts()
+        txy = s.groupby(["__x", "__y"]).size()
+        n1 = int((tx * (tx - 1) // 2).sum())
+        n2 = int((ty * (ty - 1) // 2).sum())
+        n3 = int((txy * (txy - 1) // 2).sum())
+        nd = _strict_inversions(s["__y"].to_numpy())
+        nc = n0 - n1 - n2 + n3 - nd
+        denom = (n0 - n1) * (n0 - n2)
+        import math
+
+        tau = (nc - nd) / math.sqrt(float(denom)) if denom > 0 else None
+        return pd.DataFrame(
+            [
+                {
+                    **keys,
+                    "n": n,
+                    "concordant": nc,
+                    "discordant": nd,
+                    "tied_x": n1,
+                    "tied_y": n2,
+                    "tied_both": n3,
+                    "tau_b": tau,
+                }
+            ]
+        )
+
+    return work.groupBy(*group_cols).applyInPandas(per_group, schema=schema)

@@ -761,3 +761,83 @@ def hits(
             F.coalesce("a", F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation between the degrees at the two ends of an edge — the
+    one-number audit of whether hubs attach to hubs (r > 0, social
+    graphs) or to leaves (r < 0, supply/dependency graphs).
+
+    ``directed=True`` correlates (out-degree(src), in-degree(dst)) over
+    the DISTINCT edge set; ``directed=False`` canonicalizes {a, b} and
+    correlates total degrees over BOTH orientations of each undirected
+    edge (the symmetric form the undirected coefficient requires — one
+    orientation alone biases r whenever degree distributions are
+    asymmetric within edges).
+
+    Exactness: all five moments (Σx, Σy, Σxy, Σx², Σy², plus n) fold in
+    DECIMAL(38,0) — degrees are integers, so every ingredient is exact
+    in any engine and the coefficient is ONE double expression at the
+    end (the q169/q210b integer-moments discipline).
+
+    Scale shape: one distinct on the edge key, two node-sized degree
+    aggregates REUSED from the same deduped frame, two joins each on
+    the edge frame's own src/dst key, one global 1-row aggregate (all
+    partial-aggregated map-side). Degree tables are node-sized, not
+    edge-sized; nothing collects. Output: 1 row (n_edges = correlated
+    endpoint samples — the distinct edge count when directed, 2m when
+    undirected — mean_src_deg, mean_dst_deg, assortativity; the
+    coefficient is NULL when either degree variance is zero).
+    """
+    if directed:
+        e = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).distinct()
+        dsrc = e.groupBy("u").agg(F.count("*").alias("x"))
+        ddst = e.groupBy("v").agg(F.count("*").alias("y"))
+        pairs = e.join(dsrc, "u").join(ddst, "v").select("x", "y")
+    else:
+        und = _canonical_undirected(edges, src, dst)
+        deg = _undirected_degrees(und)
+        da = deg.select(F.col("n").alias("a"), F.col("d").alias("xa"))
+        db = deg.select(F.col("n").alias("b"), F.col("d").alias("xb"))
+        keyed = und.join(da, "a").join(db, "b")
+        pairs = keyed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("xa").alias("x"), F.col("xb").alias("y")
+                    ),
+                    F.struct(
+                        F.col("xb").alias("x"), F.col("xa").alias("y")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.x", "p.y")
+    dec = "decimal(38,0)"
+    m = pairs.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    return m.select(
+        n.cast("long").alias("n_edges"),
+        (sx.cast("double") / n.cast("double")).alias("mean_src_deg"),
+        (sy.cast("double") / n.cast("double")).alias("mean_dst_deg"),
+        F.when(
+            (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+        ).alias("assortativity"),
+    )

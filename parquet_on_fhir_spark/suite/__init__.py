@@ -50,13 +50,16 @@ WINDOW = [
     "q71_text_stats",
     "q74b_quality_scoring",
     # -- r12 debuts (land with a driver row; each displaces the newest
-    #    r6 fill below)
+    #    r6 fill below — wave 2 added q266-q268, ceding q124/q125/q126)
     "qf43_ecl_comparisons",
     "qf44_expand_paging",
     "q263_jpeg_progressive_decode",
     "qf45_ecl_refinement_sets",
     "q264_bloom_semi_join",
     "q265_stratified_weighted_sample",
+    "q266_degree_assortativity",
+    "q267_histogram_sketch_quantiles",
+    "q268_kendall_tau",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -87,9 +90,6 @@ WINDOW = [
     "q121_ngram_lm_score",
     "q122_dedup_lines",
     "q123_frequent_ngrams",
-    "q124_fuzzy_join",
-    "q125_resample_gapfill",
-    "q126_tpch_q2_min_cost_supplier",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

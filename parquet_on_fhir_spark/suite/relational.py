@@ -6670,3 +6670,224 @@ ORDER BY o_orderpriority
 
 
 QUERIES.append(Q("q264_bloom_semi_join", q264, Q264_ORACLE))
+
+
+# --- Q266: degree assortativity coefficient ------------------------------------------
+def q266(spark, sf_dir):
+    """Degree assortativity (operators/graph.py::degree_assortativity,
+    r12 — Newman 2002): do high-volume suppliers ship high-demand
+    parts? Pearson correlation of (out-degree(supplier), in-degree(
+    part)) over the DISTINCT supplier→part edge set, every moment
+    folded exactly in DECIMAL(38,0) so the coefficient is one double
+    expression over engine-identical integers. One distinct + two
+    node-sized degree aggregates + two hash joins on the edge frame's
+    own keys + a 1-row map-side-combined aggregate; no collect."""
+    from parquet_on_fhir_spark.operators.graph import degree_assortativity
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    out = degree_assortativity(edges, directed=True)
+    return out.select(
+        "n_edges",
+        d4(F.col("mean_src_deg")).alias("mean_src_deg"),
+        d4(F.col("mean_dst_deg")).alias("mean_dst_deg"),
+        (d4(F.col("assortativity")) + F.lit(0.0)).alias("assortativity"),
+    )
+
+
+Q266_ORACLE = """
+WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS v FROM lineitem),
+ds AS (SELECT u, count(*) AS x FROM e GROUP BY u),
+dd AS (SELECT v, count(*) AS y FROM e GROUP BY v),
+p AS (SELECT x, y FROM e JOIN ds USING (u) JOIN dd USING (v)),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 4) AS mean_src_deg,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 4) AS mean_dst_deg,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       + 1e-9, 4) + 0.0
+       END AS assortativity
+FROM m
+"""
+
+
+QUERIES.append(Q("q266_degree_assortativity", q266, Q266_ORACLE))
+
+
+# --- Q267: mergeable histogram-sketch quantiles --------------------------------------
+def q267(spark, sf_dir):
+    """Mergeable equi-width histogram-sketch quantiles (operators/
+    analytics.py::histogram_quantile_sketch, r12): P50/P90/P99 of
+    l_extendedprice per returnflag from a 512-bin fixed-domain sketch
+    — ONE map-side-combined hash aggregate touches the facts; the ALL
+    rows re-aggregate the per-group SKETCH (bins summed, data never
+    rescanned), which is the monoid merge a 100 TB per-day rollup
+    runs. Estimates are fixed double chains over exact integer counts
+    (bin width 104100/512 divides exactly), restated verbatim in the
+    oracle."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        histogram_quantile_sketch,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    out = histogram_quantile_sketch(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        lo=900.0,
+        hi=105000.0,
+        bins=512,
+        quantiles=(0.5, 0.9, 0.99),
+    )
+    return out.select(
+        "grp", "n", "q", d4(F.col("estimate")).alias("estimate")
+    )
+
+
+Q267_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         LEAST(GREATEST(CAST(floor((l_extendedprice - 900.0) * 512
+                                   / 104100.0) AS INT), 0), 511) AS bin
+  FROM lineitem
+),
+sk0 AS (SELECT grp, bin, count(*) AS cnt FROM base GROUP BY grp, bin),
+sk AS (
+  SELECT * FROM sk0
+  UNION ALL
+  SELECT 'ALL' AS grp, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM sk0 GROUP BY bin
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) - cnt AS cum_prev,
+         sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM sk
+),
+qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+ranked AS (
+  SELECT cum.*, qs.q,
+         CAST(ceil(qs.q * CAST(n AS DOUBLE)) AS BIGINT) AS r
+  FROM cum CROSS JOIN qs
+)
+SELECT grp, CAST(n AS BIGINT) AS n, q,
+       round(900.0 + (104100.0 / 512)
+             * (bin + CAST(r - cum_prev AS DOUBLE) / CAST(cnt AS DOUBLE))
+             + 1e-9, 4) AS estimate
+FROM ranked
+WHERE cum >= r AND cum_prev < r
+"""
+
+
+QUERIES.append(Q("q267_histogram_sketch_quantiles", q267, Q267_ORACLE))
+
+
+# --- Q268: Kendall tau-b rank correlation --------------------------------------------
+def q268(spark, sf_dir):
+    """Kendall τ-b per market segment (operators/analytics.py::
+    kendall_tau, r12 — Knight's O(n log n) merge-sort algorithm, not
+    the O(n²) pair scan): does account-balance rank agree with
+    total-spend rank? x/y are tie-rich integer buckets (acctbal/500,
+    exact-DECIMAL spend/10000) so all five tie terms are exercised;
+    every count is an exact integer and τ-b is one √ expression, so
+    the oracle restates the counts with a quadratic pair join and
+    matches bitwise. Spend folds in DECIMAL(18,2) (order-independent)
+    before bucketing."""
+    from parquet_on_fhir_spark.operators.analytics import kendall_tau
+
+    cust = t(spark, sf_dir, "customer")
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+        )
+    )
+    feats = cust.join(
+        spend, cust["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500.0).cast("long").alias("x"),
+        F.floor(
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,2)"))
+            / 10000
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    out = kendall_tau(feats, "x", "y", ["c_mktsegment"])
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n",
+        "concordant",
+        "discordant",
+        "tied_x",
+        "tied_y",
+        "tied_both",
+        d4(F.col("tau_b")).alias("tau_b"),
+    )
+
+
+Q268_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey
+),
+feats AS (
+  SELECT c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 500.0) AS BIGINT) AS x,
+         CAST(floor(COALESCE(s, 0) / 10000) AS BIGINT) AS y
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+),
+pairs AS (
+  SELECT a.segment,
+         CASE WHEN (a.x < b.x AND a.y < b.y)
+                OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS c,
+         CASE WHEN (a.x < b.x AND a.y > b.y)
+                OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS d,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS t1,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS t2,
+         CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END AS t3
+  FROM (SELECT segment, x, y,
+               row_number() OVER (ORDER BY segment, x, y) AS rid
+        FROM feats) a
+  JOIN (SELECT segment, x, y,
+               row_number() OVER (ORDER BY segment, x, y) AS rid
+        FROM feats) b
+    ON a.segment = b.segment AND a.rid < b.rid
+),
+agg AS (
+  SELECT segment,
+         CAST(sum(c) AS BIGINT) AS nc, CAST(sum(d) AS BIGINT) AS nd,
+         CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t2) AS BIGINT) AS n2,
+         CAST(sum(t3) AS BIGINT) AS n3,
+         CAST(count(*) AS BIGINT) AS n0
+  FROM pairs GROUP BY segment
+),
+sizes AS (SELECT segment, CAST(count(*) AS BIGINT) AS n FROM feats GROUP BY segment)
+SELECT s.segment, s.n, nc AS concordant, nd AS discordant,
+       n1 AS tied_x, n2 AS tied_y, n3 AS tied_both,
+       CASE WHEN (n0 - n1) * (n0 - n2) > 0
+            THEN round(CAST(nc - nd AS DOUBLE)
+                       / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
+                       + 1e-9, 4)
+       END AS tau_b
+FROM agg a JOIN sizes s USING (segment)
+"""
+
+
+QUERIES.append(Q("q268_kendall_tau", q268, Q268_ORACLE))
