@@ -1605,6 +1605,8 @@ def decode_pixels(content: bytes, mime: str | None = None):
         return decode_png(content)
     if content.startswith(b"\xff\xd8"):
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     raise ValueError(f"no built-in codec for payload (mime={mime!r})")
 
 
@@ -1780,3 +1782,227 @@ def best_audio_codec() -> FeatureCodec:
         return [float(sr), dur, rms, crossings / dur, float(np.abs(mono).max())]
 
     return soundfile_features
+
+
+# --- GIF (LZW) ------------------------------------------------------------------------
+#
+# GIF87a/89a baseline: global color table, one image, variable-width
+# LZW (GIF flavor: clear/EOI codes, LSB-first bit packing, 12-bit cap)
+# with the 4-pass row interlace. 89a extension blocks (GCE, comment,
+# application) are SKIPPED on decode — animation frames beyond the
+# first, local-palette multi-image streams and transparency
+# compositing are out of scope for feature extraction and route to the
+# decode_real PIL seam like progressive web formats do.
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (first row, stride) ×4
+
+
+def _gif_interlace_order(h: int):
+    order = []
+    for start, step in _GIF_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def decode_gif(content: bytes):
+    """First image of a GIF87a/GIF89a stream → (width, height, HxWx3
+    uint8 RGB). Pure stdlib+numpy: header + logical screen descriptor,
+    global/local color table, 89a extension-block skipping, canonical
+    variable-width LZW (the decoder is one code behind the encoder —
+    the ``code == next_code`` case — width bumps at table size
+    2^width, growth stops at 4096 until a clear), 4-pass interlace
+    reorder. Raises ValueError outside that envelope (truncated
+    stream, bad code) — quarantine upstream, don't guess."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    else:
+        raise ValueError("no image descriptor")
+    if pos + 10 > len(content):
+        raise ValueError("truncated image descriptor")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+    pos += 10
+    if ipacked & 0x80:  # local color table wins
+        n = 2 << (ipacked & 0x07)
+        lct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8)
+        if lct.size != 3 * n:
+            raise ValueError("truncated local color table")
+        gct = lct.reshape(n, 3)
+        pos += 3 * n
+    if gct is None:
+        raise ValueError("GIF image with no color table")
+    interlaced = bool(ipacked & 0x40)
+    if pos >= len(content):
+        raise ValueError("truncated before LZW min code size")
+    mcs = content[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(content) and content[pos] != 0:
+        ln = content[pos]
+        if pos + 1 + ln > len(content):
+            raise ValueError("truncated GIF sub-block")
+        data += content[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    # LZW decompress
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [(i,) for i in range(1 << mcs)] + [None, None]
+    table = list(base)
+    cs = mcs + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    needed = w * h
+    prev = None
+    acc = nbits = 0
+    bytepos = 0
+    ended = False
+    # minimal real-world GIFs omit/truncate the EOI code and rely on the
+    # pixel count (the canonical 43-byte 1x1 does) — stop at w*h too
+    while not ended and len(out) < needed:
+        while nbits < cs:
+            if bytepos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[bytepos] << nbits
+            nbits += 8
+            bytepos += 1
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        if code == clear:
+            table = list(base)
+            cs = mcs + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            ended = True
+            continue
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < next_code and code < len(table) and table[code]:
+            entry = table[code]
+        elif code == next_code and table[prev]:
+            entry = table[prev] + (table[prev][0],)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(table[prev] + (entry[0],))
+            next_code += 1
+            if next_code == (1 << cs) and cs < 12:
+                cs += 1
+        prev = code
+    if len(out) < w * h:
+        raise ValueError("LZW stream shorter than image")
+    idx = np.asarray(out[: w * h], dtype=np.int32).reshape(h, w)
+    if interlaced:
+        rows = np.empty(h, dtype=np.int32)
+        rows[_gif_interlace_order(h)] = np.arange(h)
+        idx = idx[rows]
+    if int(idx.max(initial=0)) >= len(gct):
+        raise ValueError("palette index out of range")
+    return int(w), int(h), gct[idx]
+
+
+def encode_gif(pixels, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 array (≤256 distinct colors) → single-image GIF87a
+    bytes — the test/fixture writer proving decode_gif handles real
+    LZW streams (variable width, 12-bit table resets, interlace).
+    Raises ValueError beyond 256 colors (this writer does not
+    quantize; quantization is a modeling choice, not a codec one)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors; GIF palette caps at 256")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    tsize = 1 << bits
+    palette = np.zeros((tsize, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    idx = inverse.astype(np.int32).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    symbols = idx.ravel().tolist()
+    mcs = max(2, bits)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes: list[tuple[int, int]] = []  # (code, width)
+    cs = mcs + 1
+    tab: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    codes.append((clear, cs))
+    cur = symbols[0]
+    for s in symbols[1:]:
+        key = (cur, s)
+        if key in tab:
+            cur = tab[key]
+            continue
+        codes.append((cur, cs))
+        if next_code < 4096:
+            tab[key] = next_code
+            next_code += 1
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
+        else:  # table full: reset, mirroring the decoder
+            codes.append((clear, cs))
+            tab.clear()
+            cs = mcs + 1
+            next_code = eoi + 1
+        cur = s
+    codes.append((cur, cs))
+    codes.append((eoi, cs))
+    acc = nbits = 0
+    packed = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(mcs)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -821,3 +821,66 @@ def ljung_box(
         F.when(ok, q).alias("q_stat"),
         F.lit(max_lag).alias("dof"),
     )
+
+
+def cross_correlation(
+    aligned: DataFrame,
+    date_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Cross-correlation function (CCF) between two daily series: the
+    Pearson correlation of (x_t, y_{t+k}) for each lead k = 0..max_lag
+    — "does today's x predict y k days later?", the lead-lag audit
+    between an upstream and a downstream metric.
+
+    Input is the ALIGNED frame (one row per date with both values —
+    build it with a full-outer date join, zero-filling each side);
+    pairs whose t+k is absent from the grid drop (pairwise-complete
+    CCF), so n varies by lag and is reported.
+
+    Exactness: integer-valued series (counts) fold every moment in
+    DECIMAL(38,0); r_k is one double expression per lag — the q266
+    integer-moments discipline, quadratically restatable.
+
+    Scale shape: the lag fan-out is ``explode(sequence(0, L))`` on the
+    DAILY frame (K rows × L lags, never the facts), one self-join on
+    the shifted date, one hash aggregate per lag — all map-side
+    partial. Output: (lag, n, ccf), ccf NULL where either window
+    variance is zero.
+    """
+    base = aligned.select(
+        F.col(date_col).alias("d"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    lags = base.select(
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(max_lag))).alias("lag"),
+    )
+    shifted = base.select(
+        F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    pairs = lags.join(
+        shifted, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
+    )
+    dec = "decimal(38,0)"
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y2").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y2")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y2").cast(dec) * F.col("y2")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n"),
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("ccf"),
+    )

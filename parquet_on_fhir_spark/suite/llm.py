@@ -3406,3 +3406,73 @@ SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 10
 
 
 QUERIES.append(Q("q265_stratified_weighted_sample", q265, Q265_ORACLE))
+
+
+# --- Q270: GIF (LZW) real decode ------------------------------------------------------
+def q270(spark, sf_dir):
+    """operators/multimodal.py::decode_gif end-to-end (r12 wave 2):
+    200 genuine GIF87a files — two-color 8x8 images (rows 0-3 gray g,
+    rows 4-7 its inverse), REAL variable-width LZW streams, every
+    even g stored INTERLACED (the 4-pass row order) — broadcast onto
+    documents and decoded by the pure-python LZW codec inside
+    mapInPandas. The top/bottom split makes the closed-form oracle
+    sensitive to interlace mistakes: lum_00 must be g/255 and lum_77
+    its inverse, which a wrong row reorder scrambles. Same plan shape
+    as q185/q255: the fact side never shuffles. Animation/transparency
+    composites route to the decode_real PIL seam (module docstring)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_gif,
+        extract_features,
+        numpy_features,
+    )
+
+    def make(g: int) -> bytearray:
+        img = np.empty((8, 8, 3), dtype=np.uint8)
+        img[:4] = g
+        img[4:] = 255 - g
+        return bytearray(encode_gif(img, interlace=(g % 2 == 0)))
+
+    payloads = [(g, make(g)) for g in range(28, 228)]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q270_ORACLE = """
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       CAST(8.0 AS DOUBLE) AS f_width,
+       CAST(8.0 AS DOUBLE) AS f_height,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_00,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_mid,
+       round((255 - (doc_id % 200 + 28)) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q270_gif_real_decode", q270, Q270_ORACLE))

@@ -6891,3 +6891,86 @@ FROM agg a JOIN sizes s USING (segment)
 
 
 QUERIES.append(Q("q268_kendall_tau", q268, Q268_ORACLE))
+
+
+# --- Q269: cross-correlation function (lead-lag audit) -------------------------------
+def q269(spark, sf_dir):
+    """Cross-correlation function (operators/timeseries.py::
+    cross_correlation, r12 wave 2): does daily order volume predict
+    daily shipment volume k days later? Daily counts aligned on the
+    UNION date grid (zero-filled sides), leads k = 0..7; counts are
+    integers so every moment folds exactly in DECIMAL(38,0) and r_k
+    is one double expression per lag. The lag fan-out explodes the
+    DAILY frame (K×8 rows), never the facts; the facts are touched by
+    exactly two map-side-combined date aggregates."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    od = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    sd = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.count("*").alias("y"))
+    )
+    aligned = (
+        od.join(sd, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    out = cross_correlation(aligned, "d", "x", "y", max_lag=7)
+    return out.select(
+        "lag", "n", (d4(F.col("ccf")) + F.lit(0.0)).alias("ccf")
+    ).orderBy("lag")
+
+
+Q269_ORACLE = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x
+  FROM orders GROUP BY 1
+),
+sd AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS y
+  FROM lineitem GROUP BY 1
+),
+aligned AS (
+  SELECT COALESCE(od.d, sd.d) AS d,
+         COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+  FROM od FULL JOIN sd ON od.d = sd.d
+),
+lags AS (SELECT unnest(range(0, 8)) AS lag),
+pairs AS (
+  SELECT lag, a.x, b.y AS y2
+  FROM aligned a CROSS JOIN lags
+  JOIN aligned b ON b.d = a.d + CAST(lag AS INT)
+),
+m AS (
+  SELECT lag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y2) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y2) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y2 AS HUGEINT) * y2) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       + 1e-9, 4) + 0.0
+       END AS ccf
+FROM m
+ORDER BY lag
+"""
+
+
+QUERIES.append(Q("q269_cross_correlation", q269, Q269_ORACLE))

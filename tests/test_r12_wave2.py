@@ -217,3 +217,155 @@ def test_kendall_tau_drops_null_rows(spark):
     r = kendall_tau(df, "x", "y", ["g"]).collect()[0]
     assert r["n"] == 2
     assert r["tau_b"] == pytest.approx(1.0)
+
+
+# --- GIF codec ------------------------------------------------------------------------
+
+import base64
+import datetime
+
+import numpy as np
+
+from parquet_on_fhir_spark.operators.multimodal import (
+    decode_gif,
+    decode_pixels,
+    encode_gif,
+)
+from parquet_on_fhir_spark.operators.timeseries import cross_correlation
+
+TINY_GIF = base64.b64decode(
+    "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+)
+
+
+@pytest.mark.parametrize(
+    "shape,ncol,inter",
+    [
+        ((8, 8), 2, False),
+        ((13, 7), 5, True),
+        ((100, 100), 8, False),  # >4096 LZW entries: exercises the reset
+        ((100, 100), 8, True),
+        ((1, 1), 1, False),
+        ((33, 1), 3, True),
+        ((3, 257), 250, False),
+    ],
+)
+def test_gif_round_trip(shape, ncol, inter):
+    rng = np.random.default_rng(shape[0] * 1000 + ncol)
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, size=shape)]
+    w, h, out = decode_gif(encode_gif(img, interlace=inter))
+    assert (w, h) == (shape[1], shape[0])
+    assert np.array_equal(out, img)
+
+
+def test_gif_external_minimal_file():
+    # the canonical 43-byte 1x1 transparent GIF89a: GCE extension block
+    # to skip, EOI omitted (pixel-count termination), black palette 0
+    w, h, img = decode_gif(TINY_GIF)
+    assert (w, h) == (1, 1)
+    assert img.tolist() == [[[0, 0, 0]]]
+
+
+def test_gif_dispatches_from_decode_pixels():
+    img = np.full((4, 4, 3), 77, dtype=np.uint8)
+    w, h, out = decode_pixels(encode_gif(img))
+    assert (w, h) == (4, 4) and np.array_equal(out, img)
+
+
+def test_gif_interlace_bit_changes_row_order():
+    # flipping the stored interlace flag must scramble a split image —
+    # proves the 4-pass reorder is real, not an identity
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[4:] = 200
+    data = bytearray(encode_gif(img, interlace=True))
+    # image descriptor: 6 header + 7 LSD + 3*2 palette -> 0x2C at 19
+    assert data[19] == 0x2C
+    assert data[28] == 0x40
+    data[28] = 0  # clear the interlace flag
+    _, _, scrambled = decode_gif(bytes(data))
+    assert not np.array_equal(scrambled, img)
+
+
+def test_gif_local_color_table_wins():
+    img = np.array([[[10, 20, 30], [200, 210, 220]]], dtype=np.uint8)
+    data = bytearray(encode_gif(img))
+    # surgically rewrite: GCT (2 entries, 6 bytes at 13..19) becomes an
+    # LCT after the image descriptor; LSD loses its GCT flag
+    palette = bytes(data[13:19])
+    rest = bytes(data[19:])
+    assert rest[0] == 0x2C
+    lsd_packed = data[10]
+    data2 = bytearray(data[:13])
+    data2 += rest[:10] + palette + rest[10:]
+    data2[10] = lsd_packed & 0x7F
+    data2[13 + 9] = (rest[9] | 0x80) | (lsd_packed & 0x07)
+    w, h, out = decode_gif(bytes(data2))
+    assert (w, h) == (2, 1) and np.array_equal(out, img)
+
+
+def test_gif_refusals():
+    rng = np.random.default_rng(5)
+    too_many = rng.integers(0, 256, size=(17, 17, 3), dtype=np.uint8)
+    while len(np.unique(too_many.reshape(-1, 3), axis=0)) <= 256:
+        too_many = rng.integers(0, 256, size=(17, 17, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="caps at 256"):
+        encode_gif(too_many)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + bytes(40))
+    data = encode_gif(np.full((4, 4, 3), 9, dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(data[: len(data) - 8])
+    with pytest.raises(ValueError, match="trailer before"):
+        decode_gif(data[:19] + b"\x3b")
+
+
+# --- cross-correlation ----------------------------------------------------------------
+
+
+def _mkdates(spark, rows):
+    return spark.createDataFrame(
+        [(datetime.date(2024, 1, 1) + datetime.timedelta(days=d), x, y)
+         for d, x, y in rows],
+        "d date, x long, y long",
+    )
+
+
+def test_ccf_detects_known_lag(spark):
+    # y is x shifted forward by 2 days -> perfect correlation at lag 2
+    base = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = [
+        (i, base[i], base[i - 2] if i >= 2 else 0) for i in range(len(base))
+    ]
+    out = {
+        r["lag"]: r
+        for r in cross_correlation(
+            _mkdates(spark, rows), "d", "x", "y", max_lag=3
+        ).collect()
+    }
+    assert out[2]["ccf"] == pytest.approx(1.0, abs=1e-12)
+    assert out[2]["n"] == len(base) - 2
+    # reference check at lag 1 vs numpy
+    xs = np.array([r[1] for r in rows[:-1]], dtype=float)
+    ys = np.array([r[2] for r in rows[1:]], dtype=float)
+    ref = np.corrcoef(xs, ys)[0, 1]
+    assert out[1]["ccf"] == pytest.approx(ref, abs=1e-12)
+
+
+def test_ccf_pairwise_complete_n_shrinks(spark):
+    rows = [(d, d + 1, 2 * d) for d in range(10)]
+    out = {
+        r["lag"]: r["n"]
+        for r in cross_correlation(
+            _mkdates(spark, rows), "d", "x", "y", max_lag=4
+        ).collect()
+    }
+    assert out == {0: 10, 1: 9, 2: 8, 3: 7, 4: 6}
+
+
+def test_ccf_zero_variance_null(spark):
+    rows = [(d, 5, d) for d in range(6)]
+    out = cross_correlation(
+        _mkdates(spark, rows), "d", "x", "y", max_lag=1
+    ).collect()
+    assert all(r["ccf"] is None for r in out)
