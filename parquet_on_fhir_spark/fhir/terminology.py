@@ -129,6 +129,66 @@ def _all_concepts(codesystems: DataFrame) -> DataFrame:
     return out
 
 
+def concept_designations(codesystems: DataFrame) -> DataFrame:
+    """(system, code, language, value) from ``concept.designation`` at
+    EVERY nesting depth (hl7.org/fhir/R4/codesystem.html — designation
+    carries per-language display terms). Same statically-unrolled walk
+    as :func:`_all_concepts`; per-level sparse-schema presence checks
+    because a fixture whose nested concepts carry no designations
+    encodes the field only at populated depths. Map-side explodes
+    only, no shuffle; empty frame when no depth has designations."""
+
+    def level(cur):
+        dt = cur.schema["c"].dataType
+        if not (
+            isinstance(dt, T.StructType)
+            and "designation" in dt.fieldNames()
+        ):
+            return None
+        d = cur.select(
+            "system",
+            F.col("c.code").alias("code"),
+            F.explode(
+                F.coalesce(F.col("c.designation"), F.array())
+            ).alias("d"),
+        )
+        ddt = d.schema["d"].dataType
+        lang = (
+            F.col("d.language")
+            if isinstance(ddt, T.StructType)
+            and "language" in ddt.fieldNames()
+            else F.lit(None).cast("string")
+        )
+        val = (
+            F.col("d.value")
+            if isinstance(ddt, T.StructType) and "value" in ddt.fieldNames()
+            else F.lit(None).cast("string")
+        )
+        return d.select(
+            "system", "code", lang.alias("language"), val.alias("value")
+        )
+
+    cur = codesystems.select(
+        F.col("url").alias("system"), F.explode("concept").alias("c")
+    )
+    out = level(cur)
+    while isinstance(
+        cur.schema["c"].dataType, T.StructType
+    ) and "concept" in cur.schema["c"].dataType.fieldNames():
+        cur = cur.select(
+            "system",
+            F.explode(F.coalesce(F.col("c.concept"), F.array())).alias("c"),
+        )
+        lvl = level(cur)
+        if lvl is not None:
+            out = lvl if out is None else out.unionByName(lvl)
+    if out is None:
+        return codesystems.sparkSession.createDataFrame(
+            [], "system string, code string, language string, value string"
+        )
+    return out
+
+
 def concept_edges(codesystems: DataFrame) -> DataFrame:
     """(system, parent, child) direct is-a edges from CodeSystem
     ``concept`` nesting, statically unrolled over the schema depth —
@@ -694,6 +754,8 @@ def expand_operation(
     count: int | None = None,
     offset: int = 0,
     text_filter: str | None = None,
+    display_language: str | None = None,
+    include_designations: bool = False,
 ) -> DataFrame:
     """ValueSet ``$expand`` with the R4 operation's paging parameters
     (hl7.org/fhir/R4/valueset-operation-expand.html — ``count``,
@@ -712,15 +774,27 @@ def expand_operation(
       (``count=0`` is the spec's "just give me total" probe: zero
       concept rows; callers read total from an unpaged/other call or
       a ``count≥1`` page);
-    * ``displayLanguage`` is NOT supported (designations are not
-      modeled) — pass nothing and displays come from the CodeSystem.
+    * ``display_language`` — the operation's ``displayLanguage``
+      (r12 wave 2): when a concept carries a ``designation`` in that
+      language (:func:`concept_designations`), its value REPLACES the
+      CodeSystem display (min value per language for determinism when
+      a concept repeats a language); concepts without one keep their
+      default display. Applied BEFORE the text filter, which matches
+      what the caller will actually see;
+    * ``include_designations`` — the operation's
+      ``includeDesignations``: every designation of a page row comes
+      back as (d_language, d_value) columns, rows multiplying per
+      designation (the qf37 $lookup convention) AFTER paging, so
+      rn/total keep counting CONCEPTS, not designation rows.
 
     Ordering uses a per-url window — a single-reducer sort, which is
     correct here because an expansion is terminology-sized metadata
     (bounded by the code system, never by fact data); fact-scale
     paging belongs in the query layer, not ``$expand``.
 
-    Output: (url, system, code, display, rn, total, offset).
+    Output: (url, system, code, display, rn, total, offset
+    [, d_language, d_value]). Designation joins are terminology-sized
+    metadata joins (never fact-scale).
     """
     if offset < 0 or (count is not None and count < 0):
         raise ValueError(
@@ -732,6 +806,26 @@ def expand_operation(
     exp = expand_valueset(valuesets, codesystems, closure=closure)
     if url is not None:
         exp = exp.filter(F.col("url") == url)
+    desig = None
+    if display_language is not None or include_designations:
+        if codesystems is None:
+            raise ValueError(
+                "display_language/include_designations need codesystems"
+            )
+        desig = concept_designations(codesystems)
+    if display_language is not None:
+        pick = (
+            desig.filter(F.col("language") == display_language)
+            .groupBy("system", "code")
+            .agg(F.min("value").alias("__dl_value"))
+        )
+        exp = (
+            exp.join(pick, ["system", "code"], "left")
+            .withColumn(
+                "display", F.coalesce("__dl_value", "display")
+            )
+            .drop("__dl_value")
+        )
     if text_filter is not None:
         t = text_filter.lower()
         exp = exp.filter(
@@ -749,9 +843,20 @@ def expand_operation(
     exp = exp.filter(F.col("rn") >= offset)
     if count is not None:
         exp = exp.filter(F.col("rn") < offset + count)
-    return exp.select(
-        "url", "system", "code", "display", "rn", "total", "offset"
-    )
+    out_cols = ["url", "system", "code", "display", "rn", "total", "offset"]
+    if include_designations:
+        exp = exp.join(
+            desig.select(
+                "system",
+                "code",
+                F.col("language").alias("d_language"),
+                F.col("value").alias("d_value"),
+            ),
+            ["system", "code"],
+            "left",
+        )
+        out_cols += ["d_language", "d_value"]
+    return exp.select(*out_cols)
 
 
 def _expand_compose(

@@ -50,7 +50,7 @@ WINDOW = [
     "q71_text_stats",
     "q74b_quality_scoring",
     # -- r12 debuts (land with a driver row; each displaces the newest
-    #    r6 fill below — wave 2 added q266-q270, ceding q122-q126)
+    #    r6 fill below — wave 2 added q266-q270 + qf46/qf47, ceding q120-q126)
     "qf43_ecl_comparisons",
     "qf44_expand_paging",
     "q263_jpeg_progressive_decode",
@@ -62,6 +62,8 @@ WINDOW = [
     "q268_kendall_tau",
     "q269_cross_correlation",
     "q270_gif_real_decode",
+    "qf46_bundle_ingest",
+    "qf47_expand_designations",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -88,8 +90,6 @@ WINDOW = [
     "qf10_view_definition_observation",
     # -- r6-vintage fills, oldest-first; newest fills cede to debuts
     "q108_dedup_clusters_md5",
-    "q120_incremental_dedup",
-    "q121_ngram_lm_score",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

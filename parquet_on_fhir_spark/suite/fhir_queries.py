@@ -2807,3 +2807,192 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf45_ecl_refinement_sets", qf45, QF45_ORACLE))
+
+
+# --- qf47: $expand displayLanguage + includeDesignations ------------------------------
+_CS_I18N_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-i18n", "status": "active",
+    "content": "complete", "url": "http://example.org/cs/findings-i18n",
+    "concept": [
+        {"code": "pain", "display": "Pain",
+         "designation": [
+             {"language": "de", "value": "Schmerz"},
+             {"language": "fr", "value": "Douleur"},
+         ],
+         "concept": [
+             {"code": "headache", "display": "Headache",
+              "designation": [{"language": "de", "value": "Kopfschmerz"}]},
+             {"code": "backpain", "display": "Back pain"},
+         ]},
+        {"code": "fever", "display": "Fever",
+         "designation": [
+             {"language": "de", "value": "Fieber"},
+             {"language": "de", "value": "Pyrexie"},
+         ]},
+        {"code": "cough", "display": "Cough"},
+    ],
+}
+
+
+def qf47(spark, sf_dir):
+    """$expand displayLanguage + includeDesignations (fhir/
+    terminology.py::expand_operation + concept_designations, r12 wave
+    2 — the r11 verdict's missing-item 4 remainder): designations are
+    collected from EVERY concept nesting depth (headache's sits at
+    depth 2), displayLanguage substitutes the matching designation
+    value for the display (min per language when a concept repeats
+    one — fever carries two 'de' terms; unknown languages and
+    designation-less concepts keep their default), the text filter
+    runs against the SUBSTITUTED display, and includeDesignations
+    fans rows out per designation AFTER paging so rn/total keep
+    counting concepts. All joins are terminology-sized metadata."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_operation,
+    )
+
+    utc(spark)
+    docs = [{
+        "resourceType": "ValueSet", "id": "vs-i18n", "status": "active",
+        "url": "http://example.org/ValueSet/i18n",
+        "compose": {"include": [
+            {"system": "http://example.org/cs/findings-i18n"}
+        ]},
+    }]
+    vs = _encode_doc(spark, docs, "ValueSet")
+    cs = _encode_doc(spark, _CS_I18N_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+
+    def page(tag, **kw):
+        out = expand_operation(vs, cs, closure, **kw)
+        if "d_language" not in out.columns:
+            out = out.withColumn(
+                "d_language", F.lit(None).cast("string")
+            ).withColumn("d_value", F.lit(None).cast("string"))
+        return out.select(
+            F.lit(tag).alias("page"), "code", "display", "rn", "total",
+            "d_language", "d_value",
+        )
+
+    return (
+        page("de", display_language="de")
+        .unionByName(page("fr", display_language="fr"))
+        .unionByName(page("dz", display_language="dz"))
+        .unionByName(page("dd", include_designations=True))
+        .unionByName(page("pg", display_language="de", count=2, offset=2))
+        .unionByName(page("ft", display_language="de", text_filter="schmerz"))
+    )
+
+
+QF47_ORACLE = """
+SELECT * FROM (VALUES
+  -- de: designation value substitutes the display where one exists
+  ('de', 'backpain', 'Back pain', 0, 5, NULL, NULL),
+  ('de', 'cough', 'Cough', 1, 5, NULL, NULL),
+  ('de', 'fever', 'Fieber', 2, 5, NULL, NULL),
+  ('de', 'headache', 'Kopfschmerz', 3, 5, NULL, NULL),
+  ('de', 'pain', 'Schmerz', 4, 5, NULL, NULL),
+  -- fr: only pain has a French designation
+  ('fr', 'backpain', 'Back pain', 0, 5, NULL, NULL),
+  ('fr', 'cough', 'Cough', 1, 5, NULL, NULL),
+  ('fr', 'fever', 'Fever', 2, 5, NULL, NULL),
+  ('fr', 'headache', 'Headache', 3, 5, NULL, NULL),
+  ('fr', 'pain', 'Douleur', 4, 5, NULL, NULL),
+  -- dz: unknown language, defaults throughout
+  ('dz', 'backpain', 'Back pain', 0, 5, NULL, NULL),
+  ('dz', 'cough', 'Cough', 1, 5, NULL, NULL),
+  ('dz', 'fever', 'Fever', 2, 5, NULL, NULL),
+  ('dz', 'headache', 'Headache', 3, 5, NULL, NULL),
+  ('dz', 'pain', 'Pain', 4, 5, NULL, NULL),
+  -- dd: rows multiply per designation, rn/total still count concepts
+  ('dd', 'backpain', 'Back pain', 0, 5, NULL, NULL),
+  ('dd', 'cough', 'Cough', 1, 5, NULL, NULL),
+  ('dd', 'fever', 'Fever', 2, 5, 'de', 'Fieber'),
+  ('dd', 'fever', 'Fever', 2, 5, 'de', 'Pyrexie'),
+  ('dd', 'headache', 'Headache', 3, 5, 'de', 'Kopfschmerz'),
+  ('dd', 'pain', 'Pain', 4, 5, 'de', 'Schmerz'),
+  ('dd', 'pain', 'Pain', 4, 5, 'fr', 'Douleur'),
+  -- pg: paging composes with displayLanguage
+  ('pg', 'fever', 'Fieber', 2, 5, NULL, NULL),
+  ('pg', 'headache', 'Kopfschmerz', 3, 5, NULL, NULL),
+  -- ft: text filter sees the SUBSTITUTED display
+  ('ft', 'headache', 'Kopfschmerz', 0, 2, NULL, NULL),
+  ('ft', 'pain', 'Schmerz', 1, 2, NULL, NULL)
+) AS t(page, code, display, rn, total, d_language, d_value)
+"""
+
+
+QUERIES.append(Q("qf47_expand_designations", qf47, QF47_ORACLE))
+
+
+# --- qf46: Bundle NDJSON ingestion (transaction-export transport) ---------------------
+def qf46(spark, sf_dir):
+    """Bundle NDJSON → per-type Parquet-on-FHIR tables (fhir/
+    encode.py::unbundle_ndjson, r12 wave 2 — the FHIR transaction/
+    Synthea export transport, hl7.org/fhir/R4/bundle.html): entry
+    resources are cut out as BYTE-EXACT spans (the one deliberate
+    Python pass in ingestion — every JVM JSON route re-serializes
+    72.50 → 72.5, breaking the spec's lossless contract,
+    README.md:11-13), resource-less request entries are skipped, and
+    each type flows through the standard sparse-schema encode. The
+    driver row reads the RESULTING tables and emits the lexical
+    decimal — trailing zero intact — so losslessness-through-
+    unbundling is hash-checked, not just unit-tested."""
+    import json as _json
+
+    utc(spark)
+
+    def bundle(pid, gender, oid, value):
+        s = _json.dumps({
+            "resourceType": "Bundle", "type": "transaction",
+            "entry": [
+                {"resource": {"resourceType": "Patient", "id": pid,
+                              "gender": gender}},
+                {"request": {"method": "GET", "url": "Patient"}},
+                {"resource": {"resourceType": "Observation", "id": oid,
+                              "status": "final", "code": {"text": "hr"},
+                              "valueQuantity": {"value": "__V__",
+                                                "unit": "bpm"}}},
+            ],
+        })
+        return s.replace('"__V__"', value)
+
+    from parquet_on_fhir_spark.fhir.encode import unbundle_ndjson
+
+    src = tempfile.mkdtemp(prefix="pofs_qf46_src_")
+    out = tempfile.mkdtemp(prefix="pofs_qf46_out_")
+    with open(f"{src}/bundles.ndjson", "w") as fh:
+        fh.write(bundle("p1", "male", "o1", "72.50") + "\n")
+        fh.write(bundle("p2", "female", "o2", "98.6") + "\n")
+        fh.write(bundle("p3", "other", "o3", "120") + "\n")
+    unbundle_ndjson(spark, src, out)
+    pats = spark.read.parquet(f"{out}/Patient").select(
+        F.lit("Patient").alias("resource_type"),
+        "id",
+        F.col("gender").alias("detail"),
+    )
+    obs = spark.read.parquet(f"{out}/Observation").select(
+        F.lit("Observation").alias("resource_type"),
+        "id",
+        F.col("valueQuantity.value").alias("detail"),
+    )
+    return pats.unionByName(obs)
+
+
+QF46_ORACLE = """
+SELECT * FROM (VALUES
+  ('Patient', 'p1', 'male'),
+  ('Patient', 'p2', 'female'),
+  ('Patient', 'p3', 'other'),
+  -- lexical decimals survive unbundling: 72.50 keeps its zero
+  ('Observation', 'o1', '72.50'),
+  ('Observation', 'o2', '98.6'),
+  ('Observation', 'o3', '120')
+) AS t(resource_type, id, detail)
+"""
+
+
+QUERIES.append(Q("qf46_bundle_ingest", qf46, QF46_ORACLE))

@@ -1816,3 +1816,67 @@ def test_lookup_and_delta_sparse_and_multisystem(spark):
     delta = closure_delta(old, edges([("s1", "b", "c")]))
     got = {(r.system, r.ancestor, r.descendant) for r in delta.collect()}
     assert got == {("s1", "b", "c"), ("s1", "a", "c")}
+
+
+def test_expand_operation_designations(spark):
+    """r12 wave-2 pinned ($expand displayLanguage/includeDesignations):
+    depth-2 designations collected, substitution + min-per-language
+    determinism, unknown-language fallthrough, designation fan-out
+    AFTER paging (rn/total count concepts), and the codesystems=None
+    refusal."""
+    import pytest
+
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_designations,
+        concept_edges,
+        expand_operation,
+    )
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _CS_I18N_DOC,
+        _encode_doc as _encode,
+    )
+
+    vs_doc = {
+        "resourceType": "ValueSet", "id": "vs-ds", "status": "active",
+        "url": "http://example.org/ValueSet/ds",
+        "compose": {"include": [
+            {"system": "http://example.org/cs/findings-i18n"}]},
+    }
+    vs = _encode(spark, vs_doc, "ValueSet")
+    cs = _encode(spark, _CS_I18N_DOC, "CodeSystem")
+    clo = concept_closure(concept_edges(cs))
+
+    # the walk collects every depth: headache's designation is nested
+    des = {
+        (r.code, r.language): r.value
+        for r in concept_designations(cs).collect()
+    }
+    assert des[("headache", "de")] == "Kopfschmerz"
+    assert des[("pain", "fr")] == "Douleur"
+    assert len(des) == 4  # (fever,de) deduped to one KEY but two rows
+    assert concept_designations(cs).count() == 5
+
+    # min-per-language determinism: fever carries Fieber AND Pyrexie
+    de = {
+        r.code: r.display
+        for r in expand_operation(
+            vs, cs, clo, display_language="de"
+        ).collect()
+    }
+    assert de["fever"] == "Fieber"
+    assert de["backpain"] == "Back pain"  # no designation -> default
+
+    # includeDesignations fans out AFTER paging: page of 1 concept
+    # (pain) comes back with BOTH its designations, total still 5
+    page = expand_operation(
+        vs, cs, clo, offset=4, count=1, include_designations=True
+    ).collect()
+    assert sorted((r.code, r.d_language, r.d_value, r.rn, r.total)
+                  for r in page) == [
+        ("pain", "de", "Schmerz", 4, 5),
+        ("pain", "fr", "Douleur", 4, 5),
+    ]
+
+    with pytest.raises(ValueError, match="codesystems"):
+        expand_operation(vs, None, clo, display_language="de")
