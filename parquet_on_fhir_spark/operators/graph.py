@@ -841,3 +841,73 @@ def degree_assortativity(
             (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
         ).alias("assortativity"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected graph, made DETERMINISTIC: every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors, ties broken by the smallest label; isolated nodes
+    (and a round-1 node whose neighbors all tie at count 1) resolve by
+    the same (count DESC, label ASC) rule. FIXED iteration count — the
+    pagerank/HITS convention that makes a power-method algorithm
+    restatable as chained SQL CTEs, hash-checkable by an oracle
+    instead of rows-only.
+
+    Unlike :func:`connected_components` (min-label fixpoint = exact
+    components), frequency-based propagation finds DENSE communities:
+    a bridge node between two cliques lands with the bigger clique
+    even though everything is one component.
+
+    Per round: one edge⋈label join, one (node, label) count aggregate,
+    one rank-1 window — all shuffling 16-byte pairs; lineage cut per
+    round so round k never replays rounds 1..k-1. Output: (node,
+    label).
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    ends = _truncate_lineage(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    nodes = (
+        ends.select("u")
+        .unionAll(ends.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+    )
+    bidir = ends.filter(F.col("u") != F.col("v"))
+    bidir = bidir.unionAll(
+        bidir.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        nbr = (
+            bidir.join(labels, bidir["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("c"), F.asc("label")
+        )
+        adopted = (
+            nbr.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(adopted, "node", "left")
+            .select(
+                "node",
+                F.coalesce(adopted["label"], nodes["node"]).alias("label"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=False)
+    return labels

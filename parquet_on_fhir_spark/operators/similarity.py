@@ -552,3 +552,45 @@ def embedding_isotropy(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             (F.col("__ss") - nd) / (nd * (nd - 1.0)),
         ).alias("mean_cosine"),
     )
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-best-match (mutual-nearest-neighbor) filter over a
+    SCORED candidate-pair frame: keep (l, r) only when r is l's best
+    right-side match AND l is r's best left-side match — the alignment
+    primitive for cross-corpus entity matching / bilingual document
+    pairing, where one-directional argmax keeps asymmetric junk pairs.
+
+    Takes pairs, not raw vectors, ON PURPOSE: at corpus scale the
+    candidate frame comes from an LSH/IVF stage (q70's machinery) and
+    this operator is the cheap two-window epilogue on candidates —
+    never an all-pairs product. The brute-force pair builder for
+    query-sized inputs is :func:`brute_force_topk` (broadcast side).
+
+    Both argmaxes are rank-1 windows ordered (score DESC, other-id ASC)
+    — deterministic under score ties; the mutual condition is an inner
+    join of the two rank-1 frames on the pair key. Shuffles: one per
+    window (each keyed by its own id column) + the pair-key join.
+    """
+    wl = Window.partitionBy(left_id).orderBy(
+        F.desc(score_col), F.col(right_id)
+    )
+    wr = Window.partitionBy(right_id).orderBy(
+        F.desc(score_col), F.col(left_id)
+    )
+    best_l = (
+        pairs.withColumn("__rl", F.row_number().over(wl))
+        .filter(F.col("__rl") == 1)
+        .select(left_id, right_id, score_col)
+    )
+    best_r = (
+        pairs.withColumn("__rr", F.row_number().over(wr))
+        .filter(F.col("__rr") == 1)
+        .select(left_id, right_id)
+    )
+    return best_l.join(best_r, [left_id, right_id])

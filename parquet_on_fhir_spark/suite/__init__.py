@@ -50,7 +50,9 @@ WINDOW = [
     "q71_text_stats",
     "q74b_quality_scoring",
     # -- r12 debuts (land with a driver row; each displaces the newest
-    #    r6 fill below — wave 2 added q266-q270 + qf46/qf47, ceding q120-q126)
+    #    r6 fill below — wave 2 added q266-q272 + qf46/qf47,
+    #    ceding the whole r6 fill tier q108-q126 plus q51b, whose q51
+    #    family twin carries r10 evidence)
     "qf43_ecl_comparisons",
     "qf44_expand_paging",
     "q263_jpeg_progressive_decode",
@@ -64,11 +66,12 @@ WINDOW = [
     "q270_gif_real_decode",
     "qf46_bundle_ingest",
     "qf47_expand_designations",
+    "q271_mutual_best_match",
+    "q272_label_propagation",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
     "q48_map_funcs",
-    "q51b_hash_ids_local",
     "q54_window_sliding",
     "q55_window_session",
     "q56_stream_watermark",
@@ -88,8 +91,6 @@ WINDOW = [
     "q93_tpch_q22_not_exists",
     "q94_clustered_write",
     "qf10_view_definition_observation",
-    # -- r6-vintage fills, oldest-first; newest fills cede to debuts
-    "q108_dedup_clusters_md5",
 ]
 
 # Rows-only by design (no portable oracle); each is carried by the named

@@ -3476,3 +3476,68 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q270_gif_real_decode", q270, Q270_ORACLE))
+
+
+# --- Q271: reciprocal-best-match (mutual nearest neighbor) alignment -------------------
+def q271(spark, sf_dir):
+    """Reciprocal-best-match alignment (operators/similarity.py::
+    mutual_best_match, r12 wave 2): pair two embedding corpora (ids
+    0-59 vs 100-159) keeping only MUTUAL cosine argmaxes — the
+    cross-corpus alignment primitive where one-directional argmax
+    keeps asymmetric junk. The operator consumes a SCORED PAIR frame
+    (two rank-1 windows + a pair-key join), so at corpus scale it
+    rides an LSH/IVF candidate stage; here the candidates are the
+    broadcast brute-force product (query-sized sides), cosine rounded
+    to 6dp before ranking (q68's determinism recipe)."""
+    from parquet_on_fhir_spark.functions.vectors import cosine_similarity
+    from parquet_on_fhir_spark.operators.similarity import mutual_best_match
+
+    e = t(spark, sf_dir, "embeddings")
+    left = e.filter(F.col("vec_id") < 60).select(
+        F.col("vec_id").alias("left_id"), F.col("embedding").alias("lv")
+    )
+    right = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 160)
+    ).select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("rv"))
+    pairs = left.join(F.broadcast(right)).select(
+        "left_id",
+        "right_id",
+        F.round(
+            cosine_similarity(F.col("lv"), F.col("rv")) + F.lit(1e-9), 6
+        ).alias("score"),
+    )
+    out = mutual_best_match(pairs, "left_id", "right_id", "score")
+    return out.select("left_id", "right_id", F.col("score").alias("cosine"))
+
+
+Q271_ORACLE = """
+WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+           FROM embeddings WHERE vec_id < 60),
+r AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+      FROM embeddings WHERE vec_id >= 100 AND vec_id < 160),
+lx AS (SELECT left_id, unnest(lv) AS v, generate_subscripts(lv, 1) AS i FROM l),
+rx AS (SELECT right_id, unnest(rv) AS v, generate_subscripts(rv, 1) AS i FROM r),
+p AS (
+  SELECT lx.left_id, rx.right_id,
+         round(sum(lx.v * rx.v)
+               / (sqrt(sum(lx.v * lx.v)) * sqrt(sum(rx.v * rx.v)))
+               + 1e-9, 6) AS score
+  FROM lx JOIN rx ON lx.i = rx.i
+  GROUP BY lx.left_id, rx.right_id
+),
+bl AS (
+  SELECT left_id, right_id, score FROM p
+  QUALIFY row_number() OVER (PARTITION BY left_id
+                             ORDER BY score DESC, right_id) = 1
+),
+br AS (
+  SELECT left_id, right_id FROM p
+  QUALIFY row_number() OVER (PARTITION BY right_id
+                             ORDER BY score DESC, left_id) = 1
+)
+SELECT bl.left_id, bl.right_id, bl.score AS cosine
+FROM bl JOIN br USING (left_id, right_id)
+"""
+
+
+QUERIES.append(Q("q271_mutual_best_match", q271, Q271_ORACLE))

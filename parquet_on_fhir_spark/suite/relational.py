@@ -6974,3 +6974,73 @@ ORDER BY lag
 
 
 QUERIES.append(Q("q269_cross_correlation", q269, Q269_ORACLE))
+
+
+# --- Q272: label propagation communities ----------------------------------------------
+def q272(spark, sf_dir):
+    """Deterministic synchronous label propagation (operators/
+    graph.py::label_propagation, r12 wave 2 — Raghavan 2007 with the
+    pagerank/HITS fixed-iteration convention): 2 rounds over the
+    supplier↔part incidence graph (part ids offset by 1e6), each node
+    adopting its most frequent neighbor label, ties to the smallest —
+    which makes the power-method restatable as chained SQL CTEs
+    instead of rows-only. Per round: one edge⋈label join + one
+    (node,label) count + one rank-1 window, 16-byte rows, lineage cut
+    per round. (Synchronous LPA on a bipartite graph oscillates
+    label SIDES by design — determinism, not modularity, is what the
+    driver row checks; the community behavior is pinned on clique
+    fixtures in tests/test_graph.py.)"""
+    from parquet_on_fhir_spark.operators.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    out = label_propagation(edges, iterations=2)
+    return out.select("node", "label")
+
+
+Q272_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+         CAST(l_partkey + 1000000 AS BIGINT) AS v
+  FROM lineitem
+),
+bid AS (
+  SELECT u, v FROM e0 WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM e0 WHERE u <> v
+),
+nodes AS (
+  SELECT DISTINCT u AS node FROM (
+    SELECT u FROM e0 UNION ALL SELECT v FROM e0
+  )
+),
+l0 AS (SELECT node, node AS label FROM nodes),
+n1 AS (
+  SELECT b.v AS node, l.label, count(*) AS c
+  FROM bid b JOIN l0 l ON b.u = l.node GROUP BY 1, 2
+),
+a1 AS (
+  SELECT node, label FROM n1
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+),
+l1 AS (
+  SELECT nodes.node, COALESCE(a1.label, nodes.node) AS label
+  FROM nodes LEFT JOIN a1 USING (node)
+),
+n2 AS (
+  SELECT b.v AS node, l.label, count(*) AS c
+  FROM bid b JOIN l1 l ON b.u = l.node GROUP BY 1, 2
+),
+a2 AS (
+  SELECT node, label FROM n2
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+)
+SELECT nodes.node, COALESCE(a2.label, nodes.node) AS label
+FROM nodes LEFT JOIN a2 USING (node)
+"""
+
+
+QUERIES.append(Q("q272_label_propagation", q272, Q272_ORACLE))

@@ -369,3 +369,65 @@ def test_ccf_zero_variance_null(spark):
         _mkdates(spark, rows), "d", "x", "y", max_lag=1
     ).collect()
     assert all(r["ccf"] is None for r in out)
+
+
+# --- mutual best match ------------------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.graph import label_propagation
+from parquet_on_fhir_spark.operators.similarity import mutual_best_match
+
+
+def test_mutual_best_match_drops_asymmetric_pairs(spark):
+    pairs = spark.createDataFrame(
+        [("l1", "r1", 0.9), ("l1", "r2", 0.8),
+         ("l2", "r1", 0.95), ("l2", "r2", 0.5)],
+        "left_id string, right_id string, score double",
+    )
+    got = mutual_best_match(pairs).collect()
+    # l1's best is r1, but r1's best is l2 -> only (l2, r1) is mutual
+    assert [(r["left_id"], r["right_id"]) for r in got] == [("l2", "r1")]
+
+
+def test_mutual_best_match_tie_break_is_deterministic(spark):
+    pairs = spark.createDataFrame(
+        [("l1", "r2", 0.5), ("l1", "r1", 0.5), ("l2", "r2", 0.4)],
+        "left_id string, right_id string, score double",
+    )
+    got = {(r["left_id"], r["right_id"]) for r in mutual_best_match(pairs).collect()}
+    # tie at 0.5: l1 -> r1 (smaller id); r1's only candidate is l1
+    assert ("l1", "r1") in got
+    assert ("l1", "r2") not in got
+
+
+def test_mutual_best_match_perfect_matching(spark):
+    rows = [(f"l{i}", f"r{j}", 1.0 if i == j else 0.1)
+            for i in range(4) for j in range(4)]
+    pairs = spark.createDataFrame(
+        rows, "left_id string, right_id string, score double"
+    )
+    got = sorted((r["left_id"], r["right_id"])
+                 for r in mutual_best_match(pairs).collect())
+    assert got == [(f"l{i}", f"r{i}") for i in range(4)]
+
+
+# --- label propagation --------------------------------------------------------------------
+
+
+def test_label_propagation_two_cliques(spark):
+    clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    clique2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(
+        clique1 + clique2 + bridge, "src long, dst long"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=2).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_isolated_and_guard(spark):
+    df = spark.createDataFrame([(5, 5)], "src long, dst long")  # self-loop only
+    got = label_propagation(df, iterations=1).collect()
+    assert [(r["node"], r["label"]) for r in got] == [(5, 5)]
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(df, iterations=0)
