@@ -4362,3 +4362,95 @@ def kendall_tau(
         )
 
     return work.groupBy(*group_cols).applyInPandas(per_group, schema=schema)
+
+
+def mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Sen's slope per series —
+    the standard nonparametric "is this metric drifting" pair (Mann
+    1945 / Kendall 1975; Sen 1968): S = Σ sign(v_j − v_i) over time-
+    ordered pairs, tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    Σ t(t−1)(2t+5)]/18 over VALUE tie runs, continuity-corrected
+    z = (S∓1)/√Var(S), and the Sen estimator = median of all pairwise
+    slopes (robust to outliers where OLS is not).
+
+    S comes from the same O(n log n) Knight machinery as
+    :func:`kendall_tau` — with unique timestamps S = nc − nd exactly,
+    so no O(n²) sign scan; the Sen slopes ARE the O(n²) part and are
+    built with one numpy broadcast per group (an n² float block —
+    fine for series-length groups, which is this operator's unit of
+    work; duplicate timestamps raise, resample first). Every
+    ingredient except the final z/slope chain is an exact integer, so
+    a quadratic SQL restatement matches bitwise.
+
+    Output per group: (group_cols…, n, s_stat, var_s, z, sen_slope);
+    z is NULL for degenerate series (all values tied or n < 2), and
+    sen_slope NULL when n < 2.
+    """
+    import numpy as np
+    import pandas as pd
+
+    work = df.select(
+        *group_cols,
+        F.col(time_col).cast("double").alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).dropna(subset=["__t", "__v"])
+
+    out_fields = ", ".join(f"`{c}` string" for c in group_cols)
+    schema = (
+        f"{out_fields}, n long, s_stat long, var_s double, z double, "
+        "sen_slope double"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        keys = {c: str(pdf[c].iloc[0]) for c in group_cols}
+        s = pdf.sort_values(["__t", "__v"], kind="mergesort")
+        t = s["__t"].to_numpy()
+        v = s["__v"].to_numpy()
+        n = len(s)
+        if len(np.unique(t)) != n:
+            raise ValueError(
+                "mann_kendall needs unique timestamps per series — "
+                "resample/aggregate duplicates first"
+            )
+        if n < 2:
+            return pd.DataFrame(
+                [{**keys, "n": n, "s_stat": 0, "var_s": 0.0,
+                  "z": None, "sen_slope": None}]
+            )
+        # S = nc - nd of (time, value): time has no ties, so pairs are
+        # concordant/discordant/value-tied only
+        n0 = n * (n - 1) // 2
+        ty = pd.Series(v).value_counts()
+        n2 = int((ty * (ty - 1) // 2).sum())
+        nd = _strict_inversions(v)
+        nc = n0 - n2 - nd
+        s_stat = nc - nd
+        tie_term = int((ty * (ty - 1) * (2 * ty + 5)).sum())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        if var_s > 0:
+            if s_stat > 0:
+                z = (s_stat - 1) / math.sqrt(var_s)
+            elif s_stat < 0:
+                z = (s_stat + 1) / math.sqrt(var_s)
+            else:
+                z = 0.0
+        else:
+            z = None
+        dv = v[None, :] - v[:, None]
+        dt = t[None, :] - t[:, None]
+        iu = np.triu_indices(n, k=1)
+        slopes = dv[iu] / dt[iu]
+        sen = float(np.median(slopes))
+        return pd.DataFrame(
+            [{**keys, "n": n, "s_stat": int(s_stat), "var_s": var_s,
+              "z": z, "sen_slope": sen}]
+        )
+
+    return work.groupBy(*group_cols).applyInPandas(per_group, schema=schema)

@@ -901,3 +901,57 @@ def effective_sample_size(
         (1.0 - c / F.col("n_docs").cast("double")).alias("dup_rate"),
         (c * c / F.col("__inv")).alias("ess"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    shingle_cap: int | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: (a, b) where
+    ``|sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold`` over distinct word
+    k-shingles — the subset/quote detector Jaccard misses by design
+    (a 20-word fragment inside a 500-word article has Jaccard ≈ 0.04
+    but containment ≈ 1.0; Broder 1997 separates the two resemblance
+    measures for exactly this reason). The pretraining use: drop
+    fragments whose content already ships inside a kept document.
+
+    Plan: one shingle explode (the inverted index), a self-equi-join
+    on the shingle key, one (a, b) count, one |sh(a)| join, one
+    division. ``shingle_cap`` drops shingles present in more than cap
+    documents BEFORE the join (the `_cap_buckets` hot-key guard —
+    stop-word shingles are the worst join keys and carry no subset
+    signal); capped runs under-count shared shingles, so cap=None is
+    the exact/oracle mode and capped mode is the corpus-scale posture.
+    Text itself never shuffles — only (id, shingle-string) pairs.
+
+    Output: (id_a, id_b, shared, n_sh_a, containment), directed both
+    ways when both directions clear the threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    capped = _cap_buckets(sh, ["sh"], shingle_cap, False)
+    a = capped.select(F.col("id").alias("id_a"), "sh")
+    b = capped.select(F.col("id").alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = shared.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_sh_a")),
+        "id_a",
+    ).withColumn(
+        "containment",
+        F.col("shared").cast("double") / F.col("n_sh_a").cast("double"),
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "shared", "n_sh_a", "containment"
+    )

@@ -51,8 +51,10 @@ WINDOW = [
     "q74b_quality_scoring",
     # -- r12 debuts (land with a driver row; each displaces the newest
     #    r6 fill below — wave 2 added q266-q272 + qf46/qf47,
-    #    ceding the whole r6 fill tier q108-q126 plus q51b, whose q51
-    #    family twin carries r10 evidence)
+    #    ceding the whole r6 fill tier q108-q126, plus four r5 rows
+    #    with covered families: q51b (q51 carries r10), q74d (q74/q74b
+    #    stay in-window), q90 (its q21 base anchors bench every round),
+    #    and — see below — none of the streaming tier)
     "qf43_ecl_comparisons",
     "qf44_expand_paging",
     "q263_jpeg_progressive_decode",
@@ -68,6 +70,8 @@ WINDOW = [
     "qf47_expand_designations",
     "q271_mutual_best_match",
     "q272_label_propagation",
+    "q273_containment_pairs",
+    "q274_mann_kendall",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -81,11 +85,9 @@ WINDOW = [
     "q72_term_idf",
     "q73_multimodal_features",
     "q74_quality_filter",
-    "q74d_doc_fingerprints_md5",
     "q86c_curation_pipeline_md5",
     "q87_merge_upsert",
     "q89_tpch_q18",
-    "q90_scale10_agg",
     "q91_embedding_near_dup",
     "q92_tpch_q4_exists",
     "q93_tpch_q22_not_exists",

@@ -3541,3 +3541,62 @@ FROM bl JOIN br USING (left_id, right_id)
 
 
 QUERIES.append(Q("q271_mutual_best_match", q271, Q271_ORACLE))
+
+
+# --- Q273: n-gram containment pairs (quote/subset detection) ----------------------------
+def q273(spark, sf_dir):
+    """Directed shingle-containment pairs (operators/dedup.py::
+    containment_pairs, r12 wave 2 — Broder 1997's containment measure,
+    the subset/quote detector Jaccard misses): documents ∪ 20-word
+    FRAGMENTS of docs 0-29 (id+2000000); a fragment's trigram set
+    sits inside its source (containment ≈ 1.0) while Jaccard would
+    stay ≈ fragment/source ratio. Exact mode (no hot-shingle cap) so
+    the inverted-index join restates verbatim in SQL; only (id,
+    shingle) pairs shuffle, never the text."""
+    from parquet_on_fhir_spark.operators.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    frags = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 20))
+        .alias("text"),
+    )
+    out = containment_pairs(
+        d.unionAll(frags), "text", "doc_id", k=3, threshold=0.8
+    )
+    return out.select(
+        "id_a", "id_b", "shared", "n_sh_a",
+        d4(F.col("containment")).alias("containment"),
+    )
+
+
+Q273_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(string_split_regex(text, '\s+')[1:20], ' ') AS text
+  FROM documents WHERE doc_id < 30
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)),
+           i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS s
+  FROM base
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST(n_sh AS BIGINT) AS n_sh_a,
+       round(CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) + 1e-9, 4)
+         AS containment
+FROM shared JOIN sizes ON shared.id_a = sizes.id
+WHERE CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.8
+"""
+
+
+QUERIES.append(Q("q273_containment_pairs", q273, Q273_ORACLE))

@@ -7044,3 +7044,90 @@ FROM nodes LEFT JOIN a2 USING (node)
 
 
 QUERIES.append(Q("q272_label_propagation", q272, Q272_ORACLE))
+
+
+# --- Q274: Mann-Kendall trend test + Sen's slope -------------------------------------
+def q274(spark, sf_dir):
+    """Mann-Kendall monotone-trend test + Sen's slope (operators/
+    analytics.py::mann_kendall, r12 wave 2): is weekly order revenue
+    drifting, per priority? Weekly buckets make the series the unit of
+    work (sf-flat length — data growth widens the weekly AGGREGATE,
+    not the series); revenue folds exactly in DECIMAL(18,2) before the
+    double cast so every pair sign is engine-identical; S comes from
+    the Knight inversion machinery (no O(n²) sign scan), the Sen
+    median from one numpy broadcast per group. The quadratic oracle
+    restates S/ties/slopes pairwise and matches bitwise on the integer
+    ingredients."""
+    from parquet_on_fhir_spark.operators.analytics import mann_kendall
+
+    wk = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date(F.date_trunc("week", F.col("o_orderdate"))),
+                F.to_date(F.lit("1970-01-01")),
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    out = mann_kendall(wk, "t", "v", ["o_orderpriority"])
+    return out.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        "s_stat",
+        d4(F.col("var_s")).alias("var_s"),
+        (d4(F.col("z")) + F.lit(0.0)).alias("z"),
+        (d4(F.col("sen_slope")) + F.lit(0.0)).alias("sen_slope"),
+    )
+
+
+Q274_ORACLE = """
+WITH wk AS (
+  SELECT o_orderpriority AS grp,
+         CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+           - DATE '1970-01-01' AS t,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders GROUP BY 1, 2
+),
+p AS (
+  SELECT a.grp,
+         CASE WHEN a.v < b.v THEN 1 WHEN a.v > b.v THEN -1
+              ELSE 0 END AS sgn,
+         (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM wk a JOIN wk b ON a.grp = b.grp AND a.t < b.t
+),
+agg AS (
+  SELECT grp, CAST(sum(sgn) AS BIGINT) AS s_stat,
+         median(slope) AS sen
+  FROM p GROUP BY grp
+),
+ties AS (
+  SELECT grp,
+         CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM (SELECT grp, v, count(*) AS c FROM wk GROUP BY grp, v)
+  GROUP BY grp
+),
+m AS (
+  SELECT a.grp, t2.n, a.s_stat, a.sen,
+         (t2.n * (t2.n - 1) * (2 * t2.n + 5) - t2.tie_term) / 18.0 AS var_s
+  FROM agg a JOIN ties t2 USING (grp)
+)
+SELECT grp AS priority, n, s_stat,
+       round(var_s + 1e-9, 4) AS var_s,
+       CASE WHEN var_s > 0 THEN
+         round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                    ELSE 0.0 END + 1e-9, 4) + 0.0
+       END AS z,
+       round(sen + 1e-9, 4) + 0.0 AS sen_slope
+FROM m
+"""
+
+
+QUERIES.append(Q("q274_mann_kendall", q274, Q274_ORACLE))

@@ -431,3 +431,105 @@ def test_label_propagation_isolated_and_guard(spark):
     assert [(r["node"], r["label"]) for r in got] == [(5, 5)]
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(df, iterations=0)
+
+
+# --- containment pairs ------------------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.analytics import mann_kendall
+from parquet_on_fhir_spark.operators.dedup import containment_pairs
+
+
+def test_containment_detects_planted_fragment(spark):
+    words = [f"w{i}" for i in range(60)]
+    doc = " ".join(words)
+    frag = " ".join(words[:12])  # trigrams of frag all inside doc
+    other = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, doc), (2, frag), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (2, 1) in got  # fragment contained in doc
+    assert got[(2, 1)]["containment"] == pytest.approx(1.0)
+    assert got[(2, 1)]["n_sh_a"] == 10  # 12 words -> 10 trigrams
+    # the big doc is NOT contained in the fragment
+    assert (1, 2) not in got
+    assert all(3 not in pair for pair in got)
+
+
+def test_containment_cap_drops_hot_shingles(spark):
+    # a shingle shared by all docs is dropped under cap=2, so the pair
+    # loses that shared shingle from its count
+    shared_tail = "common tail shingle"
+    rows = [(i, f"u{i} v{i} w{i} " + shared_tail) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = containment_pairs(df, threshold=0.01).count()
+    capped = containment_pairs(df, threshold=0.01, shingle_cap=2).count()
+    assert exact > 0
+    assert capped == 0  # only the hot shingle connected the docs
+
+
+# --- Mann-Kendall -------------------------------------------------------------------------
+
+
+def _brute_mk(points):
+    import math
+
+    pts = sorted(points)
+    n = len(pts)
+    s = sum(
+        (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(v for _, v in pts)
+    tie_term = sum(c * (c - 1) * (2 * c + 5) for c in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if var_s > 0:
+        z = ((s - 1) / math.sqrt(var_s) if s > 0
+             else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+    else:
+        z = None
+    slopes = sorted(
+        (pts[j][1] - pts[i][1]) / (pts[j][0] - pts[i][0])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    m = len(slopes)
+    sen = (slopes[m // 2] if m % 2 else
+           (slopes[m // 2 - 1] + slopes[m // 2]) / 2)
+    return s, var_s, z, sen
+
+
+def test_mann_kendall_vs_brute(spark):
+    rng = random.Random(9)
+    series = {
+        "up": [(float(i), 2.0 * i + 1) for i in range(30)],
+        "noisy": [(float(i), float(rng.randrange(6))) for i in range(50)],
+        "flat": [(float(i), 7.0) for i in range(10)],
+    }
+    rows = [(g, t_, v) for g, pts in series.items() for t_, v in pts]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {r["g"]: r for r in mann_kendall(df, "t", "v", ["g"]).collect()}
+    for g, pts in series.items():
+        s, var_s, z, sen = _brute_mk(pts)
+        r = got[g]
+        assert r["s_stat"] == s, g
+        assert r["var_s"] == pytest.approx(var_s, abs=1e-9), g
+        if z is None:
+            assert r["z"] is None
+        else:
+            assert r["z"] == pytest.approx(z, abs=1e-12), g
+        assert r["sen_slope"] == pytest.approx(sen, abs=1e-12), g
+    assert got["up"]["sen_slope"] == pytest.approx(2.0)
+    assert got["flat"]["z"] is None
+
+
+def test_mann_kendall_duplicate_timestamps_raise(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 1.0, 2.0)], "g string, t double, v double"
+    )
+    with pytest.raises(Exception, match="unique timestamps"):
+        mann_kendall(df, "t", "v", ["g"]).collect()

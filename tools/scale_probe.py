@@ -42,6 +42,15 @@ PROBE_QUERIES = [
     # round-12 wave (qf43/qf44/qf45 are inline-fixture terminology —
     # terminology_probe.py axis; q263 is fixture-bounded like q255):
     "q264_bloom_semi_join",        # 16KB-bitmap build + map-side prefilter over SF-SCALED orders
+    # round-12 wave 2 (q270 is fixture-bounded like q255/q263; q271's
+    # brute-force candidate builder is query-sized by contract — its
+    # scalable core is pair-frame-relative; qf46/qf47 are fixture
+    # terminology/format rows):
+    "q266_degree_assortativity",   # distinct + degree aggs + 2 joins over SF-SCALED lineitem
+    "q267_histogram_sketch_quantiles",  # ONE map-side-combined pass over SF-SCALED lineitem
+    "q268_kendall_tau",            # per-segment applyInPandas over SF-SCALED customer/orders
+    "q269_cross_correlation",      # two date aggs over SF-SCALED facts + K-day lag join
+    "q272_label_propagation",      # 2 LPA rounds over the SF-SCALED incidence graph
 ]
 
 
