@@ -4454,3 +4454,83 @@ def mann_kendall(
         )
 
     return work.groupBy(*group_cols).applyInPandas(per_group, schema=schema)
+
+
+def isotonic_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Isotonic regression per group via pool-adjacent-violators
+    (Ayer et al. 1955; the calibration map behind isotonic probability
+    calibration — the nonparametric sibling of Platt scaling): the
+    least-squares non-decreasing step function through (x, y).
+
+    PAV is inherently sequential (a stack of pooled blocks), so each
+    group fits inside ``applyInPandas`` — the group (a model's score
+    segment, a classifier head) is the unit of work, executor-sized by
+    contract like :func:`kendall_tau`. Ties in x are pre-averaged
+    (the standard secondary reduction) so the fit is a function of x.
+
+    Output: one row per fitted block — (group_cols…, block, x_lo,
+    x_hi, y_hat, weight) with y_hat non-decreasing in block order;
+    calibrating a score s means looking up the block whose [x_lo,
+    x_hi] brackets s (interval join / searchsorted downstream).
+    Deterministic: numpy float ops over sorted input, no RNG. Not
+    SQL-restatable (the pooling stack) — rows-only + property tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    work = df.select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).dropna(subset=["__x", "__y"])
+
+    out_fields = ", ".join(f"`{c}` string" for c in group_cols)
+    schema = (
+        f"{out_fields}, block int, x_lo double, x_hi double, "
+        "y_hat double, weight long"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: str(pdf[c].iloc[0]) for c in group_cols}
+        g = (
+            pdf.groupby("__x")["__y"]
+            .agg(["mean", "count"])
+            .sort_index()
+        )
+        xs = g.index.to_numpy()
+        means = g["mean"].to_numpy()
+        counts = g["count"].to_numpy().astype(np.int64)
+        # PAV: blocks of (sum_w, sum_wy, x_lo, x_hi); merge backwards
+        # while the monotonicity constraint is violated
+        blocks: list[list[float]] = []
+        for x, m, w in zip(xs, means, counts):
+            blocks.append([float(w), float(m) * w, x, x])
+            while (
+                len(blocks) > 1
+                and blocks[-2][1] / blocks[-2][0]
+                >= blocks[-1][1] / blocks[-1][0]
+            ):
+                w2, wy2, lo2, _ = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += wy2
+                blocks[-1][3] = x
+        return pd.DataFrame(
+            [
+                {
+                    **keys,
+                    "block": i,
+                    "x_lo": b[2],
+                    "x_hi": b[3],
+                    "y_hat": b[1] / b[0],
+                    "weight": int(b[0]),
+                }
+                for i, b in enumerate(blocks)
+            ]
+        )
+
+    return work.groupBy(*group_cols).applyInPandas(per_group, schema=schema)

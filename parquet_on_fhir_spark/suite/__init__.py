@@ -114,6 +114,7 @@ ROWS_ONLY_COVERAGE = {
     "q210_ols_fit": "tests/test_analytics.py (vs numpy lstsq; multi-feature matrix solve not oracle-portable)",
     "q231_logistic_fit": "tests/test_analytics.py (vs independent numpy IRLS; iterative MLE not oracle-portable)",
     "q248_cox_ph": "tests/test_analytics.py (vs independent brute-force numpy Breslow Cox; iterative partial MLE not oracle-portable)",
+    "q275_isotonic_calibration": "tests/test_r12_wave2.py (PAV hand example, monotonicity, mean preservation, tie pre-averaging; the pooling stack is not oracle-portable)",
 }
 
 

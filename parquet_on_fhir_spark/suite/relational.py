@@ -7131,3 +7131,41 @@ FROM m
 
 
 QUERIES.append(Q("q274_mann_kendall", q274, Q274_ORACLE))
+
+
+# --- Q275: isotonic calibration fit (PAV) --------------------------------------------
+def q275(spark, sf_dir):
+    """Isotonic regression per segment (operators/analytics.py::
+    isotonic_fit, r12 wave 2 — pool-adjacent-violators, the
+    nonparametric calibration map): fit conversion (customer has ≥1
+    order) as a non-decreasing function of account balance. PAV's
+    pooling stack is sequential, so the fit runs per executor-sized
+    group inside applyInPandas; the pooled blocks are the calibration
+    lookup table downstream. Rows-only by design (the stack is not
+    SQL-restatable); properties pinned in tests/test_r12_wave2.py."""
+    from parquet_on_fhir_spark.operators.analytics import isotonic_fit
+
+    cust = t(spark, sf_dir, "customer")
+    buyers = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("converted", F.lit(1.0))
+    )
+    feats = cust.join(buyers, "c_custkey", "left").select(
+        "c_mktsegment",
+        F.col("c_acctbal").alias("score"),
+        F.coalesce("converted", F.lit(0.0)).alias("y"),
+    )
+    out = isotonic_fit(feats, "score", "y", ["c_mktsegment"])
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        "block",
+        d4(F.col("x_lo")).alias("x_lo"),
+        d4(F.col("x_hi")).alias("x_hi"),
+        d4(F.col("y_hat")).alias("y_hat"),
+        "weight",
+    )
+
+
+QUERIES.append(Q("q275_isotonic_calibration", q275, None))

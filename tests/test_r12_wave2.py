@@ -533,3 +533,63 @@ def test_mann_kendall_duplicate_timestamps_raise(spark):
     )
     with pytest.raises(Exception, match="unique timestamps"):
         mann_kendall(df, "t", "v", ["g"]).collect()
+
+
+# --- isotonic regression (PAV) ------------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.analytics import isotonic_fit
+
+
+def test_isotonic_hand_example(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0)],
+        "g string, x double, y double",
+    )
+    got = sorted(
+        (r["block"], r["x_lo"], r["x_hi"], r["y_hat"], r["weight"])
+        for r in isotonic_fit(df, "x", "y", ["g"]).collect()
+    )
+    assert got == [(0, 1.0, 1.0, 1.0, 1), (1, 2.0, 3.0, 2.5, 2)]
+
+
+def test_isotonic_properties(spark):
+    rng = random.Random(77)
+    rows = [("g", float(i), float(rng.randrange(10))) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    blocks = sorted(
+        isotonic_fit(df, "x", "y", ["g"]).collect(),
+        key=lambda r: r["block"],
+    )
+    # non-decreasing fit
+    fits = [r["y_hat"] for r in blocks]
+    assert all(a < b for a, b in zip(fits, fits[1:]))  # strictly, post-merge
+    # weighted mean preserved
+    total = sum(r["y_hat"] * r["weight"] for r in blocks)
+    assert total == pytest.approx(sum(y for _, _, y in rows), rel=1e-12)
+    # blocks tile the x range in order
+    assert blocks[0]["x_lo"] == 0.0 and blocks[-1]["x_hi"] == 199.0
+    for a, b in zip(blocks, blocks[1:]):
+        assert a["x_hi"] < b["x_lo"]
+
+
+def test_isotonic_monotone_input_is_identity(spark):
+    df = spark.createDataFrame(
+        [("g", float(i), float(2 * i)) for i in range(5)],
+        "g string, x double, y double",
+    )
+    got = isotonic_fit(df, "x", "y", ["g"]).collect()
+    assert sorted((r["x_lo"], r["y_hat"], r["weight"]) for r in got) == [
+        (float(i), float(2 * i), 1) for i in range(5)
+    ]
+
+
+def test_isotonic_x_ties_preaveraged(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 0.0), ("g", 1.0, 2.0), ("g", 2.0, 5.0)],
+        "g string, x double, y double",
+    )
+    got = sorted(
+        (r["x_lo"], r["y_hat"], r["weight"])
+        for r in isotonic_fit(df, "x", "y", ["g"]).collect()
+    )
+    assert got == [(1.0, 1.0, 2), (2.0, 5.0, 1)]

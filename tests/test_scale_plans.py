@@ -571,3 +571,32 @@ def test_r11_wave_plan_shapes(spark, sf_dir):
         # data-sized BNLJ would list join keys here
         "BroadcastNestedLoopJoin BuildRight, Cross", ""
     ), p260
+
+
+def test_r12_wave2_plan_shapes(spark, sf_dir):
+    """Plan-shape assertions for the round-12 wave-2 debuts: q266/q269/
+    q272 contain no cartesian product (their joins are all keyed);
+    q267's only fact-side stage is ONE hash aggregate with a partial
+    (map-side-combine) phase and the windows/joins run on the sketch
+    frame; q271's candidate builder broadcasts the query-sized side so
+    the corpus side never shuffles into the product."""
+    from parquet_on_fhir_spark.suite.llm import q271
+    from parquet_on_fhir_spark.suite.relational import q266, q267, q272
+
+    p266 = plan_of(q266(spark, sf_dir))
+    assert "CartesianProduct" not in p266, p266
+
+    p267 = plan_of(q267(spark, sf_dir))
+    assert "CartesianProduct" not in p267, p267
+    # the fact pass: partial_count before the exchange (map-side combine)
+    assert "partial_count" in p267, p267
+
+    p271 = plan_of(q271(spark, sf_dir))
+    # the all-pairs product is explicitly broadcast (query-sized side)
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in p271 or (
+        "BroadcastExchange" in p271
+    ), p271
+    assert "SortMergeJoin Cross" not in p271, p271
+
+    p272 = plan_of(q272(spark, sf_dir))
+    assert "CartesianProduct" not in p272, p272
