@@ -1804,87 +1804,23 @@ def _gif_interlace_order(h: int):
     return order
 
 
-def decode_gif(content: bytes):
-    """First image of a GIF87a/GIF89a stream → (width, height, HxWx3
-    uint8 RGB). Pure stdlib+numpy: header + logical screen descriptor,
-    global/local color table, 89a extension-block skipping, canonical
-    variable-width LZW (the decoder is one code behind the encoder —
-    the ``code == next_code`` case — width bumps at table size
-    2^width, growth stops at 4096 until a clear), 4-pass interlace
-    reorder. Raises ValueError outside that envelope (truncated
-    stream, bad code) — quarantine upstream, don't guess."""
-    import struct
-
-    import numpy as np
-
-    if content[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
-    if len(content) < 13:
-        raise ValueError("truncated GIF header")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8)
-        if gct.size != 3 * n:
-            raise ValueError("truncated global color table")
-        gct = gct.reshape(n, 3)
-        pos += 3 * n
-    while pos < len(content):
-        block = content[pos]
-        if block == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while pos < len(content) and content[pos] != 0:
-                pos += 1 + content[pos]
-            pos += 1
-        elif block == 0x2C:
-            break
-        elif block == 0x3B:
-            raise ValueError("GIF trailer before any image")
-        else:
-            raise ValueError(f"unknown GIF block 0x{block:02x}")
-    else:
-        raise ValueError("no image descriptor")
-    if pos + 10 > len(content):
-        raise ValueError("truncated image descriptor")
-    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
-    pos += 10
-    if ipacked & 0x80:  # local color table wins
-        n = 2 << (ipacked & 0x07)
-        lct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8)
-        if lct.size != 3 * n:
-            raise ValueError("truncated local color table")
-        gct = lct.reshape(n, 3)
-        pos += 3 * n
-    if gct is None:
-        raise ValueError("GIF image with no color table")
-    interlaced = bool(ipacked & 0x40)
-    if pos >= len(content):
-        raise ValueError("truncated before LZW min code size")
-    mcs = content[pos]
-    pos += 1
-    data = bytearray()
-    while pos < len(content) and content[pos] != 0:
-        ln = content[pos]
-        if pos + 1 + ln > len(content):
-            raise ValueError("truncated GIF sub-block")
-        data += content[pos + 1 : pos + 1 + ln]
-        pos += 1 + ln
-    # LZW decompress
+def _gif_lzw(data, mcs: int, needed: int):
+    """Canonical GIF variable-width LZW decompress → list of palette
+    indices. The decoder is one code behind the encoder (the
+    ``code == next_code`` case); width bumps at table size 2^width,
+    growth stops at 4096 until a clear. Stops at ``needed`` symbols —
+    minimal real-world GIFs omit/truncate the EOI code and rely on the
+    pixel count (the canonical 43-byte 1x1 does)."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     base = [(i,) for i in range(1 << mcs)] + [None, None]
     table = list(base)
     cs = mcs + 1
     next_code = eoi + 1
     out: list[int] = []
-    needed = w * h
     prev = None
     acc = nbits = 0
     bytepos = 0
     ended = False
-    # minimal real-world GIFs omit/truncate the EOI code and rely on the
-    # pixel count (the canonical 43-byte 1x1 does) — stop at w*h too
     while not ended and len(out) < needed:
         while nbits < cs:
             if bytepos >= len(data):
@@ -1921,43 +1857,184 @@ def decode_gif(content: bytes):
             if next_code == (1 << cs) and cs < 12:
                 cs += 1
         prev = code
-    if len(out) < w * h:
+    if len(out) < needed:
         raise ValueError("LZW stream shorter than image")
-    idx = np.asarray(out[: w * h], dtype=np.int32).reshape(h, w)
-    if interlaced:
-        rows = np.empty(h, dtype=np.int32)
-        rows[_gif_interlace_order(h)] = np.arange(h)
-        idx = idx[rows]
-    if int(idx.max(initial=0)) >= len(gct):
-        raise ValueError("palette index out of range")
-    return int(w), int(h), gct[idx]
+    return out
 
 
-def encode_gif(pixels, interlace: bool = False) -> bytes:
-    """HxWx3 uint8 array (≤256 distinct colors) → single-image GIF87a
-    bytes — the test/fixture writer proving decode_gif handles real
-    LZW streams (variable width, 12-bit table resets, interlace).
-    Raises ValueError beyond 256 colors (this writer does not
-    quantize; quantization is a modeling choice, not a codec one)."""
+def _gif_color_table(content: bytes, pos: int, packed: int, what: str):
+    import numpy as np
+
+    n = 2 << (packed & 0x07)
+    tbl = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8)
+    if tbl.size != 3 * n:
+        raise ValueError(f"truncated {what} color table")
+    return tbl.reshape(n, 3), pos + 3 * n
+
+
+def _gif_image_block(content: bytes, pos: int, gct):
+    """Parse one image descriptor + optional LCT + LZW data starting at
+    the 0x2C byte → ((left, top, w, h), index array HxW, next pos)."""
     import struct
 
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = arr.shape
-    flat = arr.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError(f"{len(colors)} colors; GIF palette caps at 256")
-    bits = max(1, int(len(colors) - 1).bit_length())
-    tsize = 1 << bits
-    palette = np.zeros((tsize, 3), dtype=np.uint8)
-    palette[: len(colors)] = colors
-    idx = inverse.astype(np.int32).reshape(h, w)
-    if interlace:
-        idx = idx[_gif_interlace_order(h)]
-    symbols = idx.ravel().tolist()
-    mcs = max(2, bits)
+    if pos + 10 > len(content):
+        raise ValueError("truncated image descriptor")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+    pos += 10
+    pal = gct
+    if ipacked & 0x80:  # local color table wins
+        pal, pos = _gif_color_table(content, pos, ipacked, "local")
+    if pal is None:
+        raise ValueError("GIF image with no color table")
+    if pos >= len(content):
+        raise ValueError("truncated before LZW min code size")
+    mcs = content[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(content) and content[pos] != 0:
+        ln = content[pos]
+        if pos + 1 + ln > len(content):
+            raise ValueError("truncated GIF sub-block")
+        data += content[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1  # sub-block terminator
+    idx = np.asarray(_gif_lzw(data, mcs, w * h), dtype=np.int32).reshape(h, w)
+    if ipacked & 0x40:  # interlaced: stored rows are in 4-pass order
+        rows = np.empty(h, dtype=np.int32)
+        rows[_gif_interlace_order(h)] = np.arange(h)
+        idx = idx[rows]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    return (left, top, w, h), pal, idx, pos
+
+
+def decode_gif(content: bytes):
+    """First image of a GIF87a/GIF89a stream → (width, height, HxWx3
+    uint8 RGB). Pure stdlib+numpy: header + logical screen descriptor,
+    global/local color table, 89a extension-block skipping, canonical
+    variable-width LZW (:func:`_gif_lzw`), 4-pass interlace reorder.
+    Raises ValueError outside that envelope (truncated stream, bad
+    code) — quarantine upstream, don't guess. Animated streams:
+    :func:`decode_gif_frames` composites every frame; this returns
+    frame 1 as stored (no compositing — frame 1 IS the canvas for
+    full-screen first frames, the overwhelmingly common layout)."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _gif_color_table(content, pos, packed, "global")
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    else:
+        raise ValueError("no image descriptor")
+    (_l, _t, w, h), pal, idx, _pos = _gif_image_block(content, pos, gct)
+    return int(w), int(h), pal[idx]
+
+
+def decode_gif_frames(content: bytes, max_frames: int | None = None):
+    """Animated GIF → list of (delay_ms, screen-sized HxWx3 uint8 RGB)
+    COMPOSITED frames (hl7-unrelated; the multimodal crawl case —
+    animated GIFs are frame-sampled like video via frame_sample_plan).
+
+    Graphic Control Extension state (delay, transparency index,
+    disposal) applies to the following image; compositing supports
+    disposal 0/1 (leave), 2 (restore rect to background) and 3
+    (restore previous canvas), with transparent pixels leaving the
+    canvas through. Frames may be sub-rectangles with local palettes.
+    ``max_frames`` bounds work for long animations (frame-sampling
+    reads the first k). The canvas starts as the background color
+    when a global table exists, else black."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _gif_color_table(content, pos, packed, "global")
+    if gct is not None and bg < len(gct):
+        canvas = np.broadcast_to(gct[bg], (sh, sw, 3)).copy()
+    else:
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[tuple[int, "np.ndarray"]] = []
+    delay_ms = 0
+    tindex = None
+    disposal = 0
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = content[pos + 1] if pos + 1 < len(content) else 0
+            if label == 0xF9 and pos + 7 < len(content):
+                gpacked, d_lo, d_hi, ti = struct.unpack_from(
+                    "<xxxBBBB", content, pos
+                )
+                delay_ms = (d_lo | (d_hi << 8)) * 10
+                disposal = (gpacked >> 2) & 0x07
+                tindex = ti if (gpacked & 0x01) else None
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        (left, top, w, h), pal, idx, pos = _gif_image_block(
+            content, pos, gct
+        )
+        if top + h > sh or left + w > sw:
+            raise ValueError("GIF frame rect outside the screen")
+        before = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + h, left : left + w]
+        if tindex is None:
+            rect[:] = pal[idx]
+        else:
+            opaque = idx != tindex
+            rect[opaque] = pal[idx[opaque]]
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:
+            if gct is not None and bg < len(gct):
+                canvas[top : top + h, left : left + w] = gct[bg]
+            else:
+                canvas[top : top + h, left : left + w] = 0
+        elif disposal == 3 and before is not None:
+            canvas = before
+        delay_ms, tindex, disposal = 0, None, 0
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no image descriptor")
+    return frames
+
+
+def _gif_lzw_encode(symbols, mcs: int) -> bytearray:
+    """GIF variable-width LZW compress (mirror of :func:`_gif_lzw`,
+    incl. the 12-bit table reset), LSB-first bit packing."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     codes: list[tuple[int, int]] = []  # (code, width)
     cs = mcs + 1
@@ -1995,14 +2072,152 @@ def encode_gif(pixels, interlace: bool = False) -> bytes:
             nbits -= 8
     if nbits:
         packed.append(acc & 0xFF)
+    return packed
+
+
+def _gif_palette(flat):
+    """distinct colors → (bits, padded palette, inverse indices)."""
+    import numpy as np
+
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors; GIF palette caps at 256")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    palette = np.zeros((1 << bits, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    return bits, palette, inverse
+
+
+def _gif_subblocks(packed: bytearray) -> bytearray:
+    out = bytearray()
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return out
+
+
+def encode_gif(pixels, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 array (≤256 distinct colors) → single-image GIF87a
+    bytes — the test/fixture writer proving decode_gif handles real
+    LZW streams (variable width, 12-bit table resets, interlace).
+    Raises ValueError beyond 256 colors (this writer does not
+    quantize; quantization is a modeling choice, not a codec one)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    bits, palette, inverse = _gif_palette(arr.reshape(-1, 3))
+    idx = inverse.astype(np.int32).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    mcs = max(2, bits)
+    packed = _gif_lzw_encode(idx.ravel().tolist(), mcs)
     out = bytearray(b"GIF87a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
     out += palette.tobytes()
     out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
     out.append(mcs)
-    for i in range(0, len(packed), 255):
-        chunk = packed[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    out += _gif_subblocks(packed)
+    out += b"\x3b"
     return bytes(out)
+
+
+def encode_gif_animation(
+    frames,
+    delays_ms=None,
+    rects=None,
+    transparent=None,
+    disposals=None,
+) -> bytes:
+    """Multi-frame GIF89a writer (the test/fixture twin of
+    :func:`decode_gif_frames`): one GLOBAL palette over every frame's
+    colors, a Graphic Control Extension per frame (delay in ms,
+    optional transparency index, disposal), optional per-frame
+    sub-rectangles ``(left, top)``. ``transparent``, when given for a
+    frame, is an (r, g, b) color whose pixels become the transparent
+    index for that frame."""
+    import struct
+
+    import numpy as np
+
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not arrs:
+        raise ValueError("need at least one frame")
+    n = len(arrs)
+    delays_ms = delays_ms or [0] * n
+    rects = rects or [(0, 0)] * n
+    disposals = disposals or [1] * n
+    transparent = transparent or [None] * n
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    tcolors = [t for t in transparent if t is not None]
+    if tcolors:
+        flat = np.concatenate(
+            [flat, np.asarray(tcolors, dtype=np.uint8).reshape(-1, 3)]
+        )
+    bits, palette, _ = _gif_palette(flat)
+    lut = {tuple(c): i for i, c in enumerate(palette.tolist())}
+    sw = max(l + a.shape[1] for a, (l, _t) in zip(arrs, rects))
+    sh = max(t + a.shape[0] for a, (_l, t) in zip(arrs, rects))
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += palette.tobytes()
+    for a, d, (left, top), disp, tcol in zip(
+        arrs, delays_ms, rects, disposals, transparent
+    ):
+        h, w, _ = a.shape
+        ti = lut[tuple(tcol)] if tcol is not None else 0
+        gpacked = ((disp & 0x07) << 2) | (1 if tcol is not None else 0)
+        out += struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, gpacked, d // 10, ti, 0
+        )
+        idx = np.array(
+            [[lut[tuple(px)] for px in row] for row in a.tolist()],
+            dtype=np.int32,
+        )
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        out.append(mcs)
+        out += _gif_subblocks(_gif_lzw_encode(idx.ravel().tolist(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_animation_features(media: DataFrame, max_frames: int | None = None) -> DataFrame:
+    """Animated-GIF frame extraction via ``mapInPandas`` (Arrow
+    batches — the frame-sampling shape :func:`frame_sample_plan`
+    plans for video, executed for real here because the GIF codec is
+    in-repo): each media row becomes one row per COMPOSITED frame
+    with its delay and mean luminance. ``max_frames`` bounds decode
+    work per payload (the long-animation guard). Output: (media_id,
+    frame_idx, delay_ms, mean_lum)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, delays, lums = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif_frames(bytes(content), max_frames)
+                for i, (d, img) in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    delays.append(d)
+                    lums.append(
+                        float(img.astype("float64").mean()) / 255.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "delay_ms": pd.Series(delays, dtype="int64"),
+                    "mean_lum": pd.Series(lums, dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches,
+        schema="media_id long, frame_idx int, delay_ms long, mean_lum double",
+    )

@@ -27,7 +27,10 @@ from parquet_on_fhir_spark.suite.common import Q
 #      debuts-land-with-a-driver-row rule). Exception (the r10/r11
 #      twin-cede pattern, inverted): q57c_stream_dedup_within_watermark
 #      debuts WITHOUT a slot because both its twins (q57, q57b — the
-#      same oracle) are already in-window this round.
+#      same oracle) are already in-window this round; likewise the
+#      wave-2 late debuts q275 (rows-only, carried by its property
+#      tests) and q276 (its multimodal codec family q73/q270 is
+#      in-window) cede their slots to the r5 freshness cohort.
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [

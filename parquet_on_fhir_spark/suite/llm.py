@@ -3600,3 +3600,58 @@ WHERE CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.8
 
 
 QUERIES.append(Q("q273_containment_pairs", q273, Q273_ORACLE))
+
+
+# --- Q276: animated-GIF frame extraction ---------------------------------------------
+def q276(spark, sf_dir):
+    """Animated-GIF frame extraction (operators/multimodal.py::
+    gif_animation_features over decode_gif_frames, r12 wave 2): 200
+    three-frame GIF89a animations — Graphic Control Extensions with
+    per-frame delays, full-frame compositing — decoded inside
+    mapInPandas; solid frames give a closed-form oracle (frame k of
+    payload g has known luminance), so the GCE walk, frame order and
+    delay parsing are hash-checked. The video-shaped path: what
+    frame_sample_plan plans for codec-less formats, executed for real
+    on the in-repo GIF codec."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_gif_animation,
+        gif_animation_features,
+    )
+
+    def make(g: int) -> bytearray:
+        f = lambda v: np.full((6, 6, 3), v, dtype=np.uint8)  # noqa: E731
+        return bytearray(
+            encode_gif_animation(
+                [f(g), f(255 - g), f(g)], delays_ms=[40, 80, 120]
+            )
+        )
+
+    payloads = [(g, make(g)) for g in range(28, 228)]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+    out = gif_animation_features(media)
+    return out.select(
+        "media_id", "frame_idx", "delay_ms",
+        d4(F.col("mean_lum")).alias("mean_lum"),
+    )
+
+
+Q276_ORACLE = """
+SELECT doc_id AS media_id, f.frame_idx,
+       CAST(CASE f.frame_idx WHEN 0 THEN 40 WHEN 1 THEN 80
+            ELSE 120 END AS BIGINT) AS delay_ms,
+       round(CASE WHEN f.frame_idx = 1
+                  THEN (255 - (doc_id % 200 + 28)) / 255.0
+                  ELSE (doc_id % 200 + 28) / 255.0 END + 1e-9, 4)
+         AS mean_lum
+FROM documents, (SELECT unnest([0, 1, 2]) AS frame_idx) f
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q276_gif_animation_frames", q276, Q276_ORACLE))

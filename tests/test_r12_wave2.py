@@ -593,3 +593,85 @@ def test_isotonic_x_ties_preaveraged(spark):
         for r in isotonic_fit(df, "x", "y", ["g"]).collect()
     )
     assert got == [(1.0, 1.0, 2), (2.0, 5.0, 1)]
+
+
+# --- animated GIF -------------------------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.multimodal import (
+    decode_gif_frames,
+    encode_gif_animation,
+)
+
+
+def test_gif_animation_round_trip_full_frames():
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    f1 = np.full((4, 5, 3), 10, dtype=np.uint8)
+    f2 = np.full((4, 5, 3), 200, dtype=np.uint8)
+    f3 = pal[rng.integers(0, 6, (4, 5))]
+    data = encode_gif_animation([f1, f2, f3], delays_ms=[100, 50, 0])
+    frames = decode_gif_frames(data)
+    assert [d for d, _ in frames] == [100, 50, 0]
+    for (_, got), exp in zip(frames, [f1, f2, f3]):
+        assert np.array_equal(got, exp)
+
+
+def test_gif_animation_subrect_composites_on_canvas():
+    base = np.zeros((6, 6, 3), dtype=np.uint8)
+    base[:] = (1, 2, 3)
+    patch = np.full((2, 2, 3), 99, dtype=np.uint8)
+    data = encode_gif_animation(
+        [base, patch], rects=[(0, 0), (2, 2)], disposals=[1, 1]
+    )
+    frames = decode_gif_frames(data)
+    exp = base.copy()
+    exp[2:4, 2:4] = 99
+    assert np.array_equal(frames[1][1], exp)
+
+
+def test_gif_animation_transparency_shows_canvas_through():
+    base = np.zeros((6, 6, 3), dtype=np.uint8)
+    base[:] = (1, 2, 3)
+    hole = np.full((2, 2, 3), 99, dtype=np.uint8)
+    hole[0, 0] = (7, 7, 7)
+    data = encode_gif_animation(
+        [base, hole], rects=[(0, 0), (2, 2)], transparent=[None, (7, 7, 7)]
+    )
+    frames = decode_gif_frames(data)
+    exp = base.copy()
+    exp[2:4, 2:4] = 99
+    exp[2, 2] = (1, 2, 3)
+    assert np.array_equal(frames[1][1], exp)
+
+
+def test_gif_animation_disposal_restore_background():
+    # disposal 2 on frame 1 restores its rect to the background color
+    # (palette entry of the LSD bg byte — our writer pins bg=0, which is
+    # the first distinct color) before frame 2 draws elsewhere
+    base = np.zeros((4, 4, 3), dtype=np.uint8)  # color (0,0,0) -> bg
+    patch = np.full((2, 2, 3), 50, dtype=np.uint8)
+    dot = np.full((1, 1, 3), 200, dtype=np.uint8)
+    data = encode_gif_animation(
+        [base, patch, dot],
+        rects=[(0, 0), (0, 0), (3, 3)],
+        disposals=[1, 2, 1],
+    )
+    frames = decode_gif_frames(data)
+    # frame 2 shows the patch; frame 3 must NOT (restored to bg)
+    assert frames[1][1][0, 0].tolist() == [50, 50, 50]
+    assert frames[2][1][0, 0].tolist() == [0, 0, 0]
+    assert frames[2][1][3, 3].tolist() == [200, 200, 200]
+
+
+def test_gif_animation_first_frame_via_decode_gif():
+    from parquet_on_fhir_spark.operators.multimodal import decode_gif
+
+    f1 = np.full((3, 3, 3), 10, dtype=np.uint8)
+    f2 = np.full((3, 3, 3), 200, dtype=np.uint8)
+    _, _, first = decode_gif(encode_gif_animation([f1, f2]))
+    assert np.array_equal(first, f1)
+
+
+def test_gif_animation_max_frames_bound():
+    f = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (1, 2, 3)]
+    assert len(decode_gif_frames(encode_gif_animation(f), max_frames=2)) == 2
