@@ -859,6 +859,168 @@ def expand_operation(
     return exp.select(*out_cols)
 
 
+def expand_versioned(
+    valuesets: DataFrame,
+    codesystems: DataFrame | None = None,
+) -> DataFrame:
+    """ValueSet expansion under R4 canonical VERSIONING
+    (hl7.org/fhir/R4/references.html#canonical — ``url|version``
+    pinned canonical references; ValueSet.compose.include.``version``
+    for code systems): the url-keyed expansion machinery is reused by
+    REWRITING the two tables before resolution, so the core stays
+    untouched.
+
+    Rules implemented:
+
+    * a table carrying several versions of one url resolves UNPINNED
+      uses to the LATEST version — descending numeric-aware dotted
+      order (each dot-component left-padded, so 10.0 > 9.0), with the
+      resource id as the deterministic tiebreak;
+    * a compose.include/exclude ``valueSet`` reference of the form
+      ``url|v`` resolves to exactly that version — implemented by
+      aliasing the (url, v) row under the synthetic url ``url|v``,
+      which the reference string then matches by plain equality; a
+      version absent from the table resolves EMPTY (the r12
+      unresolvable-reference contract, never a silent fallback);
+    * ``include.version`` (same for exclude) pins the CODE SYSTEM
+      version: the include's ``system`` is rewritten to ``system|v``
+      (``withField`` inside a ``transform`` — the nested struct stays
+      intact) and the matching CodeSystem row is aliased likewise; a
+      missing pinned version again expands empty.
+
+    The transitive closure is recomputed from the REWRITTEN
+    CodeSystem table (a caller-supplied closure would be keyed by
+    unaliased urls). Driver-side collection touches only distinct
+    reference strings and (system, version) pairs — terminology-sized
+    metadata, the qf38 strata pattern. Output: the standard
+    (url, system, code, display) membership rows for the REQUESTED
+    valuesets only (version aliases are internal resolution targets);
+    the ``system`` column reports the alias (``system|v``) for pinned
+    includes, which is exactly the canonical form consumers render.
+    """
+    from pyspark.sql import Window
+
+    def latest_per_url(df):
+        if "version" not in df.columns:
+            return df
+        # numeric-aware ordering: each dot-component left-padded to 9
+        # chars, so "10.0" outranks "9.0" (plain string order would
+        # not); non-numeric components stay deterministic under the
+        # same padding
+        vkey = F.concat_ws(
+            ".",
+            F.transform(
+                F.split(F.col("version"), r"\."),
+                lambda x: F.lpad(x, 9, "0"),
+            ),
+        )
+        w = Window.partitionBy("url").orderBy(
+            F.when(F.col("version").isNull(), F.lit(None))
+            .otherwise(vkey)
+            .desc_nulls_last(),
+            F.col("id"),
+        )
+        return (
+            df.withColumn("__vrn", F.row_number().over(w))
+            .filter(F.col("__vrn") == 1)
+            .drop("__vrn")
+        )
+
+    inc_fields = _element_fields(valuesets, "compose", "include")
+    exc_fields = _element_fields(valuesets, "compose", "exclude")
+
+    # -- pinned url|v valueSet references (include + exclude sides)
+    pinned_refs: set[str] = set()
+    for side, fields in (("include", inc_fields), ("exclude", exc_fields)):
+        if "valueSet" not in fields:
+            continue
+        col = F.flatten(
+            F.filter(
+                F.transform(
+                    F.coalesce(F.col(f"compose.{side}"), F.array()),
+                    lambda i: F.coalesce(i["valueSet"], F.array()),
+                ),
+                lambda a: F.size(a) > 0,
+            )
+        )
+        for r in valuesets.select(F.explode(col).alias("r")).distinct().collect():
+            if r["r"] and "|" in r["r"]:
+                pinned_refs.add(r["r"])
+
+    # -- pinned (system, version) include/exclude pairs
+    pinned_sys: set[tuple[str, str]] = set()
+    for side, fields in (("include", inc_fields), ("exclude", exc_fields)):
+        if "version" not in fields or "system" not in fields:
+            continue
+        rows = (
+            valuesets.select(
+                F.explode(
+                    F.coalesce(F.col(f"compose.{side}"), F.array())
+                ).alias("i")
+            )
+            .select(F.col("i.system").alias("s"), F.col("i.version").alias("v"))
+            .filter(F.col("s").isNotNull() & F.col("v").isNotNull())
+            .distinct()
+            .collect()
+        )
+        pinned_sys.update((r["s"], r["v"]) for r in rows)
+
+    requested = [
+        r["url"]
+        for r in valuesets.select("url").distinct().collect()
+        if r["url"] is not None
+    ]
+
+    # -- rewrite the ValueSet table: latest per url + pinned aliases
+    vs2 = latest_per_url(valuesets)
+    for ref in sorted(pinned_refs):
+        url, _, ver = ref.rpartition("|")
+        if "version" in valuesets.columns:
+            alias = valuesets.filter(
+                (F.col("url") == url) & (F.col("version") == ver)
+            ).withColumn("url", F.lit(ref))
+            vs2 = vs2.unionByName(alias)
+        # no version column -> nothing can match; ref resolves empty
+
+    # -- rewrite include/exclude system+version to the alias form
+    def rewrite_side(df, side, fields):
+        if "version" not in fields or "system" not in fields:
+            return df
+        rewritten = F.transform(
+            F.col(f"compose.{side}"),
+            lambda i: i.withField(
+                "system",
+                F.when(
+                    i["system"].isNotNull() & i["version"].isNotNull(),
+                    F.concat_ws("|", i["system"], i["version"]),
+                ).otherwise(i["system"]),
+            ),
+        )
+        return df.withColumn(
+            "compose", F.col("compose").withField(side, rewritten)
+        )
+
+    vs2 = rewrite_side(vs2, "include", inc_fields)
+    vs2 = rewrite_side(vs2, "exclude", exc_fields)
+
+    # -- rewrite the CodeSystem table: latest per url + pinned aliases
+    cs2 = None
+    if codesystems is not None:
+        cs2 = latest_per_url(codesystems)
+        for sysu, ver in sorted(pinned_sys):
+            if "version" in codesystems.columns:
+                alias = codesystems.filter(
+                    (F.col("url") == sysu) & (F.col("version") == ver)
+                ).withColumn("url", F.lit(f"{sysu}|{ver}"))
+                cs2 = cs2.unionByName(alias)
+
+    closure = (
+        concept_closure(concept_edges(cs2)) if cs2 is not None else None
+    )
+    out = expand_valueset(vs2, cs2, closure=closure)
+    return out.filter(F.col("url").isin(requested))
+
+
 def _expand_compose(
     valuesets: DataFrame,
     codesystems: DataFrame | None,

@@ -2996,3 +2996,111 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf46_bundle_ingest", qf46, QF46_ORACLE))
+
+
+# --- qf48: canonical version pinning (url|version) ------------------------------------
+def qf48(spark, sf_dir):
+    """R4 canonical versioning in expansion (fhir/terminology.py::
+    expand_versioned, r12 wave 2 — references.html#canonical): the
+    table carries TWO versions of a CodeSystem and of a referenced
+    ValueSet; unpinned uses resolve to the LATEST version
+    (deterministic descending version order), ``include.version``
+    pins the code-system version (the expansion's system column
+    reports the canonical ``system|version`` form), a ``url|v``
+    canonical reference pins the referenced ValueSet version, and a
+    version absent from the table expands EMPTY (the unresolvable-
+    reference contract — never a silent fallback). Implemented as a
+    table REWRITE in front of the untouched url-keyed core."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.fhir.terminology import expand_versioned
+
+    utc(spark)
+    cs_url = "http://example.org/cs/vers"
+    vb_url = "http://example.org/ValueSet/vbase"
+    cs_docs = [
+        {"resourceType": "CodeSystem", "id": "csv1", "status": "active",
+         "content": "complete", "url": cs_url, "version": "1.0",
+         "concept": [
+             {"code": "a", "display": "Alpha v1"},
+             {"code": "b", "display": "Beta v1"},
+         ]},
+        {"resourceType": "CodeSystem", "id": "csv2", "status": "active",
+         "content": "complete", "url": cs_url, "version": "2.0",
+         "concept": [
+             {"code": "a", "display": "Alpha v2"},
+             {"code": "b", "display": "Beta v2"},
+             {"code": "c", "display": "Gamma v2"},
+         ]},
+    ]
+    vs_docs = [
+        {"resourceType": "ValueSet", "id": "vb1", "status": "active",
+         "url": vb_url, "version": "1.0",
+         "compose": {"include": [
+             {"system": cs_url, "concept": [{"code": "a"}]}]}},
+        {"resourceType": "ValueSet", "id": "vb2", "status": "active",
+         "url": vb_url, "version": "2.0",
+         "compose": {"include": [
+             {"system": cs_url,
+              "concept": [{"code": "a"}, {"code": "c"}]}]}},
+        {"resourceType": "ValueSet", "id": "v-latest", "status": "active",
+         "url": "http://example.org/ValueSet/v-latest",
+         "compose": {"include": [{"system": cs_url}]}},
+        {"resourceType": "ValueSet", "id": "v-pin1", "status": "active",
+         "url": "http://example.org/ValueSet/v-pin1",
+         "compose": {"include": [{"system": cs_url, "version": "1.0"}]}},
+        {"resourceType": "ValueSet", "id": "v-refpin", "status": "active",
+         "url": "http://example.org/ValueSet/v-refpin",
+         "compose": {"include": [{"valueSet": [vb_url + "|1.0"]}]}},
+        {"resourceType": "ValueSet", "id": "v-reflatest", "status": "active",
+         "url": "http://example.org/ValueSet/v-reflatest",
+         "compose": {"include": [{"valueSet": [vb_url]}]}},
+        {"resourceType": "ValueSet", "id": "v-pinmissing", "status": "active",
+         "url": "http://example.org/ValueSet/v-pinmissing",
+         "compose": {"include": [{"system": cs_url, "version": "9.9"}]}},
+        {"resourceType": "ValueSet", "id": "v-refmissing", "status": "active",
+         "url": "http://example.org/ValueSet/v-refmissing",
+         "compose": {"include": [{"valueSet": [vb_url + "|9.9"]}]}},
+    ]
+    vs = _encode_doc(spark, vs_docs, "ValueSet")
+    cs = _encode_doc(spark, cs_docs, "CodeSystem")
+    out = expand_versioned(vs, cs)
+    return out.select("url", "system", "code", "display").orderBy(
+        "url", "code"
+    )
+
+
+QF48_ORACLE = """
+SELECT * FROM (VALUES
+  -- vbase itself resolves to its latest version (2.0: a, c)
+  ('http://example.org/ValueSet/vbase', 'http://example.org/cs/vers',
+   'a', NULL),
+  ('http://example.org/ValueSet/vbase', 'http://example.org/cs/vers',
+   'c', NULL),
+  -- unpinned whole-system include -> latest CodeSystem (2.0)
+  ('http://example.org/ValueSet/v-latest', 'http://example.org/cs/vers',
+   'a', 'Alpha v2'),
+  ('http://example.org/ValueSet/v-latest', 'http://example.org/cs/vers',
+   'b', 'Beta v2'),
+  ('http://example.org/ValueSet/v-latest', 'http://example.org/cs/vers',
+   'c', 'Gamma v2'),
+  -- include.version pins 1.0; system column reports the canonical form
+  ('http://example.org/ValueSet/v-pin1', 'http://example.org/cs/vers|1.0',
+   'a', 'Alpha v1'),
+  ('http://example.org/ValueSet/v-pin1', 'http://example.org/cs/vers|1.0',
+   'b', 'Beta v1'),
+  -- url|1.0 canonical reference -> vbase 1.0 (concept a; enumerated
+  -- concepts carry the ValueSet's OWN display, which vbase omits)
+  ('http://example.org/ValueSet/v-refpin', 'http://example.org/cs/vers',
+   'a', NULL),
+  -- unpinned reference -> vbase latest (2.0)
+  ('http://example.org/ValueSet/v-reflatest', 'http://example.org/cs/vers',
+   'a', NULL),
+  ('http://example.org/ValueSet/v-reflatest', 'http://example.org/cs/vers',
+   'c', NULL)
+  -- v-pinmissing / v-refmissing: zero rows
+) AS t(url, system, code, display)
+"""
+
+
+QUERIES.append(Q("qf48_version_pinning", qf48, QF48_ORACLE))

@@ -1880,3 +1880,47 @@ def test_expand_operation_designations(spark):
 
     with pytest.raises(ValueError, match="codesystems"):
         expand_operation(vs, None, clo, display_language="de")
+
+
+def test_expand_versioned_pinning(spark):
+    """r12 wave-2 pinned (canonical url|version): 10.0 outranks 9.0
+    under the numeric-aware latest order; pinned system versions
+    report the canonical system|v form; missing pinned versions
+    expand EMPTY; single-version tables pass through unchanged."""
+    from parquet_on_fhir_spark.fhir.terminology import expand_versioned
+    from parquet_on_fhir_spark.suite.fhir_queries import (
+        _encode_doc as _encode,
+    )
+
+    cs_url = "http://example.org/cs/two-digit"
+    cs_docs = [
+        {"resourceType": "CodeSystem", "id": "c9", "status": "active",
+         "content": "complete", "url": cs_url, "version": "9.0",
+         "concept": [{"code": "old", "display": "Old"}]},
+        {"resourceType": "CodeSystem", "id": "c10", "status": "active",
+         "content": "complete", "url": cs_url, "version": "10.0",
+         "concept": [{"code": "new", "display": "New"}]},
+    ]
+    vs_docs = [
+        {"resourceType": "ValueSet", "id": "w1", "status": "active",
+         "url": "http://example.org/ValueSet/w-latest",
+         "compose": {"include": [{"system": cs_url}]}},
+        {"resourceType": "ValueSet", "id": "w2", "status": "active",
+         "url": "http://example.org/ValueSet/w-pin9",
+         "compose": {"include": [{"system": cs_url, "version": "9.0"}]}},
+        {"resourceType": "ValueSet", "id": "w3", "status": "active",
+         "url": "http://example.org/ValueSet/w-missing",
+         "compose": {"include": [{"system": cs_url, "version": "3.3"}]}},
+    ]
+    got = {}
+    for r in expand_versioned(
+        _encode(spark, vs_docs, "ValueSet"),
+        _encode(spark, cs_docs, "CodeSystem"),
+    ).collect():
+        got.setdefault(r["url"].rsplit("/", 1)[-1], set()).add(
+            (r["system"], r["code"])
+        )
+    # 10.0 beats 9.0 numerically (string order would invert this)
+    assert got["w-latest"] == {(cs_url, "new")}
+    assert got["w-pin9"] == {(cs_url + "|9.0", "old")}
+    assert "w-missing" not in got
