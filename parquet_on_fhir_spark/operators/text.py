@@ -894,3 +894,100 @@ def heaps_law(
         beta.alias("beta"),
         F.exp((F.col("__sy") - beta * F.col("__sx")) / n).alias("k"),
     )
+
+
+
+def bpe_train_merges(
+    df,
+    text_col: str = "text",
+    rounds: int = 10,
+    min_len: int = 2,
+):
+    """Train the first ``rounds`` BPE merges (Sennrich et al. 2016)
+    over a corpus - the tokenizer-training loop itself, not just one
+    round's pair counts (:func:`bpe_pair_counts`).
+
+    The corpus is touched EXACTLY ONCE: one hash aggregate builds the
+    distinct-word frequency table (the standard BPE trick - training
+    state is vocabulary-sized, not corpus-sized). Each round then runs
+    on that table: adjacent-pair counts weighted by word frequency ->
+    the argmax pair (count desc, pair asc - deterministic) -> merge
+    applied to every word via ``regexp_replace`` (leftmost
+    non-overlapping, exactly BPE's greedy left-to-right application;
+    symbols are regex-escaped). Words start as space-joined characters
+    with the ``</w>`` end-of-word marker so merges can capture
+    suffixes. ``rounds`` driver iterations = ``rounds`` tiny jobs over
+    the vocab frame, lineage cut each round.
+
+    Iterative argmax is not SQL-restatable -> rows-only; verified
+    against an independent pure-python BPE in tests. Output: one row
+    per merge - (round, left, right, merged, pair_count).
+    """
+    import re as _re
+
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= min_len)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # "hello" -> "h e l l o </w>" (split("") yields empty edge tokens;
+    # filter them)
+    vocab = words.select(
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.filter(F.split("w", ""), lambda c: F.length(c) > 0),
+                F.array(F.lit("</w>")),
+            ),
+        ).alias("sym"),
+        "freq",
+    )
+    merges = []
+    for rnd in range(rounds):
+        toks = F.split(F.col("sym"), " ")
+        # fully-merged single-symbol words have no pairs: clamp the
+        # index sequence then filter (sequence(0,-1) would descend)
+        idx = F.filter(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: i <= F.size(toks) - 2,
+        )
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                toks[i].alias("l"), toks[i + 1].alias("r")
+            ),
+        )
+        top = (
+            vocab.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rnd, left, right, left + right, count))
+        pat = (
+            "(?<=^| )"
+            + _re.escape(left)
+            + " "
+            + _re.escape(right)
+            + "(?=$| )"
+        )
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        vocab = vocab.select(
+            F.regexp_replace("sym", pat, repl).alias("sym"), "freq"
+        )
+        vocab = vocab.localCheckpoint(eager=False)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, "
+        "pair_count long",
+    )

@@ -3655,3 +3655,24 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q276_gif_animation_frames", q276, Q276_ORACLE))
+
+
+# --- Q277: BPE tokenizer-training merges ---------------------------------------------
+def q277(spark, sf_dir):
+    """BPE merge training (operators/text.py::bpe_train_merges, r12
+    wave 2 — Sennrich 2016): the first 12 merges learned from the
+    documents corpus. The corpus is scanned ONCE (distinct-word
+    frequency aggregate); every round after runs on the
+    vocabulary-sized frame — the property that lets real tokenizer
+    training run on a corpus sample without a corpus-sized loop.
+    Iterative argmax → rows-only; bitwise-verified against an
+    independent pure-python BPE in tests/test_r12_wave2.py (incl. the
+    canonical Sennrich low/lower/newest/widest walkthrough and
+    regex-special symbols)."""
+    from parquet_on_fhir_spark.operators.text import bpe_train_merges
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_train_merges(d, "text", rounds=12)
+
+
+QUERIES.append(Q("q277_bpe_train_merges", q277, None))

@@ -675,3 +675,71 @@ def test_gif_animation_first_frame_via_decode_gif():
 def test_gif_animation_max_frames_bound():
     f = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (1, 2, 3)]
     assert len(decode_gif_frames(encode_gif_animation(f), max_frames=2)) == 2
+
+
+# --- BPE merge training -------------------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.text import bpe_train_merges
+
+
+def _python_bpe(texts, rounds, min_len=2):
+    """Independent reference BPE (dict-of-tuples vocab, the Sennrich
+    pseudocode) — no shared code with the Spark operator."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if len(w) >= min_len:
+                vocab[tuple(w) + ("</w>",)] += 1
+    merges = []
+    for rnd in range(rounds):
+        pairs = Counter()
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, l, r, l + r, c))
+        new_vocab = Counter()
+        for sym, freq in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_sennrich_example(spark):
+    corpus = ["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3]
+    df = spark.createDataFrame([(corpus[0],)], "text string")
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, rounds=6).collect()
+    ]
+    assert got == _python_bpe(corpus, 6)
+    # the classic first merges: es, est, est</w>
+    assert [g[3] for g in got[:3]] == ["es", "est", "est</w>"]
+
+
+def test_bpe_matches_reference_on_random_text(spark):
+    rng = random.Random(4)
+    words = ["abba", "abc", "cab", "bac", "aa", "a.b", "x$y"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(40)) for _ in range(5)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, rounds=8).collect()
+    ]
+    assert got == _python_bpe(texts, 8)  # incl. regex-special symbols
