@@ -743,3 +743,25 @@ def test_bpe_matches_reference_on_random_text(spark):
         for r in bpe_train_merges(df, rounds=8).collect()
     ]
     assert got == _python_bpe(texts, 8)  # incl. regex-special symbols
+
+
+def test_histogram_sketch_error_bounded_by_bin_width(spark):
+    # the sketch's quantile error is at most one bin width by
+    # construction; pin it against numpy on lognormal-ish data
+    rng = np.random.default_rng(11)
+    vals = np.exp(rng.normal(3.0, 1.0, 4000))
+    lo, hi, bins = 0.0, float(vals.max()) + 1.0, 256
+    width = (hi - lo) / bins
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    out = {
+        r["q"]: r["estimate"]
+        for r in histogram_quantile_sketch(
+            df, "v", ["g"], lo=lo, hi=hi, bins=bins,
+            quantiles=(0.5, 0.9, 0.99), with_global=False,
+        ).collect()
+    }
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(out[q] - exact) <= width + 1e-9, (q, out[q], exact)
