@@ -594,3 +594,157 @@ def mutual_best_match(
         .select(left_id, right_id)
     )
     return best_l.join(best_r, [left_id, right_id])
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    seed: int = 42,
+    max_train_rows: int = 65_536,
+    iters: int = 8,
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): the
+    vector is split into ``m`` subvectors and each subspace gets its
+    own ``k``-centroid codebook, so a d-dim float vector compresses to
+    m small codes (m=8, k=16 → 4 bytes/vector) — THE memory lever for
+    corpus-scale ANN, where full float vectors cannot stay resident.
+
+    Training runs driver-side seeded Lloyd iterations on a BOUNDED
+    deterministic sample (ordered by id — the IVF convention: codebook
+    quality saturates long before corpus size; the sample is
+    metadata-scale by contract). Empty clusters re-seed
+    deterministically from the farthest points. Returns a numpy array
+    (m, k, d/m) — broadcast-sized state for encode/query.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(corpus_id)
+        .limit(max_train_rows)
+        .collect()
+    )
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        init = rng.choice(n, size=min(k, n), replace=False)
+        C = Xj[np.sort(init)].copy()
+        if len(C) < k:  # tiny corpora: pad deterministically
+            C = np.vstack([C, C[rng.integers(0, len(C), k - len(C))]])
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+                else:  # re-seed empty cluster at the farthest point
+                    C[c] = Xj[d2.min(axis=1).argmax()]
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Encode every corpus vector as its m nearest-centroid codes —
+    one Arrow-batched ``mapInPandas`` pass (the codebooks ride the
+    closure: m·k·d/m floats, broadcast-sized). Output: (id, codes
+    array<int> of length m); this is what a 100 TB index PERSISTS in
+    place of float vectors."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, k, sub = books.shape
+
+    def batches(it):
+        for pdf in it:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    return corpus.select(corpus_id, vec_col).mapInPandas(
+        batches, schema=f"{corpus_id} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an m×k inner-product lookup table against the
+    codebooks (queries stay full-precision — the asymmetric trick
+    that keeps accuracy), then every encoded corpus vector scores as
+    m table lookups summed — no float vectors are read at query time.
+    Queries are collected driver-side (query-sized by the
+    brute_force_topk contract) and the LUTs ride the mapInPandas
+    closure; scoring is one numpy gather per Arrow batch. Ranking is
+    (rounded score DESC, corpus id ASC) — deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, kk, sub = books.shape
+    qrows = queries.select(query_id, vec_col).collect()
+    qids = [r[query_id] for r in qrows]
+    Q = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    # lut[q, j, c] = <query_q subvector j, centroid c>
+    luts = np.einsum(
+        "qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books
+    )
+
+    def batches(it):
+        for pdf in it:
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf[corpus_id].to_numpy()
+            rows = {query_id: [], corpus_id: [], "score": []}
+            for qi, qid in enumerate(qids):
+                s = luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                rows[query_id].extend([qid] * len(ids))
+                rows[corpus_id].extend(ids.tolist())
+                rows["score"].extend(np.round(s + 1e-9, 6).tolist())
+            yield pd.DataFrame(rows)
+
+    scored = encoded.mapInPandas(
+        batches,
+        schema=f"{query_id} long, {corpus_id} long, score double",
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(corpus_id) != F.col(query_id))
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.col(corpus_id)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -121,6 +121,7 @@ ROWS_ONLY_COVERAGE = {
     "q248_cox_ph": "tests/test_analytics.py (vs independent brute-force numpy Breslow Cox; iterative partial MLE not oracle-portable)",
     "q275_isotonic_calibration": "tests/test_r12_wave2.py (PAV hand example, monotonicity, mean preservation, tie pre-averaging; the pooling stack is not oracle-portable)",
     "q277_bpe_train_merges": "tests/test_r12_wave2.py (vs independent pure-python BPE incl. the Sennrich walkthrough; iterative argmax not oracle-portable)",
+    "q278_pq_topk": "tests/test_r12_wave2.py (cluster recall + lossless-codebook exactness vs brute force; seeded Lloyd not oracle-portable)",
 }
 
 

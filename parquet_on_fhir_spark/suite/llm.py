@@ -3676,3 +3676,35 @@ def q277(spark, sf_dir):
 
 
 QUERIES.append(Q("q277_bpe_train_merges", q277, None))
+
+
+# --- Q278: product-quantization ANN (ADC top-k) --------------------------------------
+def q278(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py::pq_train/
+    pq_encode/pq_topk, r12 wave 2 — Jégou 2011): 64-dim embeddings
+    compress to 8 one-byte codes (8 subspaces × 16 centroids) and
+    queries score by asymmetric-distance lookup tables — no float
+    vector is read at query time, which is THE memory lever at
+    100 TB (the encoded index is ~32× smaller and the full vectors
+    stay in cold storage for the re-rank stage). Codebooks train on a
+    bounded deterministic sample; scoring is one numpy gather per
+    Arrow batch. Rows-only (seeded Lloyd); cluster-recall and
+    lossless-codebook exactness pinned in tests."""
+    from parquet_on_fhir_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, k=16)
+    enc = pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return pq_topk(enc, queries, books, k=5).select(
+        "q_id", "vec_id", "score", F.col("rank").alias("rnk")
+    )
+
+
+QUERIES.append(Q("q278_pq_topk", q278, None))

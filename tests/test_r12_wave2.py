@@ -765,3 +765,69 @@ def test_histogram_sketch_error_bounded_by_bin_width(spark):
     for q in (0.5, 0.9, 0.99):
         exact = float(np.quantile(vals, q))
         assert abs(out[q] - exact) <= width + 1e-9, (q, out[q], exact)
+
+
+# --- product quantization -----------------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.similarity import (
+    brute_force_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+
+def _clustered_vectors(spark, n_clusters=6, per=25, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 5, (n_clusters, d))
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.normal(0, 0.3, d)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_finds_the_right_cluster(spark):
+    # coarse PQ (k=8 per subspace over 6 tight clusters) collapses
+    # within-cluster distinctions — cluster-mates share codes and tie
+    # — so the honest property is CLUSTER recall: every top-5 result
+    # of a query must come from the query's own cluster (ids 0-24),
+    # which is what an ADC candidate stage feeds a re-rank with
+    e = _clustered_vectors(spark)
+    books = pq_train(e, m=4, k=8, iters=10)
+    enc = pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    approx = pq_topk(enc, queries, books, k=5).collect()
+    assert len(approx) == 25
+    in_cluster = sum(1 for r in approx if r["vec_id"] < 25)
+    assert in_cluster >= 23, f"cluster recall too low: {in_cluster}/25"
+
+
+def test_pq_exact_when_codebook_covers_vectors(spark):
+    # with only 4 distinct vectors and k>=4 per subspace, PQ encodes
+    # losslessly, so ADC ranking == brute-force cosine's ranking by
+    # inner product on identical-norm vectors
+    base = np.eye(4, 8) * 3.0
+    rows = [(i, [float(x) for x in base[i % 4]]) for i in range(12)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(e, m=2, k=4, iters=6)
+    enc = pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = pq_topk(enc, queries, books, k=2).collect()
+    # vectors 4 and 8 are identical to the query vector: top-2 by id
+    assert [(r["vec_id"], r["rank"]) for r in got] == [(4, 1), (8, 2)]
+    # and their ADC score equals the true inner product (lossless codes)
+    assert got[0]["score"] == pytest.approx(9.0, abs=1e-6)
+
+
+def test_pq_dimension_guard(spark):
+    e = _clustered_vectors(spark, d=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(e, m=4, k=4)
