@@ -831,3 +831,63 @@ def test_pq_dimension_guard(spark):
     e = _clustered_vectors(spark, d=10)
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(e, m=4, k=4)
+
+
+def test_gif_animation_fuzz_round_trip():
+    # randomized animations: random frame stack with random sub-rects,
+    # disposals and transparency vs an independent python compositor
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        sw, sh = int(rng.integers(4, 10)), int(rng.integers(4, 10))
+        pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+        # make palette rows distinct to keep the color->index map stable
+        pal[:, 0] = np.arange(5) * 40
+        nf = int(rng.integers(1, 4))
+        frames, rects, disposals, transparent = [], [], [], []
+        for fi in range(nf):
+            if fi == 0:
+                w, h, left, top = sw, sh, 0, 0
+            else:
+                w = int(rng.integers(1, sw + 1))
+                h = int(rng.integers(1, sh + 1))
+                left = int(rng.integers(0, sw - w + 1))
+                top = int(rng.integers(0, sh - h + 1))
+            frames.append(pal[rng.integers(0, 5, (h, w))])
+            rects.append((left, top))
+            disposals.append(int(rng.integers(1, 4)))
+            transparent.append(
+                tuple(int(x) for x in pal[0]) if rng.random() < 0.5 else None
+            )
+        data = encode_gif_animation(
+            frames, rects=rects, disposals=disposals, transparent=transparent
+        )
+        got = decode_gif_frames(data)
+        # independent compositor
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        # our writer pins bg byte 0 -> first palette entry
+        from parquet_on_fhir_spark.operators.multimodal import _gif_palette
+
+        flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+        tc = [t for t in transparent if t is not None]
+        if tc:
+            flat = np.concatenate(
+                [flat, np.asarray(tc, dtype=np.uint8).reshape(-1, 3)]
+            )
+        _, palette, _ = _gif_palette(flat)
+        canvas[:] = palette[0]
+        for fi, (f, (left, top), disp, tcol) in enumerate(
+            zip(frames, rects, disposals, transparent)
+        ):
+            before = canvas.copy()
+            h, w, _ = f.shape
+            region = canvas[top : top + h, left : left + w]
+            if tcol is None:
+                region[:] = f
+            else:
+                mask = ~np.all(f == np.asarray(tcol, dtype=np.uint8), axis=2)
+                region[mask] = f[mask]
+            assert np.array_equal(got[fi][1], canvas), (trial, fi)
+            if disp == 2:
+                canvas[top : top + h, left : left + w] = palette[0]
+            elif disp == 3:
+                canvas = before
