@@ -891,3 +891,125 @@ def test_gif_animation_fuzz_round_trip():
                 canvas[top : top + h, left : left + w] = palette[0]
             elif disp == 3:
                 canvas = before
+
+
+# --- differential fuzz: wave-2 operators vs pure-python references ------------------------
+
+
+def test_label_propagation_fuzz_vs_reference(spark):
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 14
+        edges = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(22)
+        }
+        df = spark.createDataFrame(
+            sorted(edges), "src long, dst long"
+        )
+        iters = rng.choice([1, 2, 3])
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        # independent synchronous reference
+        nbrs = {}
+        nodes = set()
+        for a, b in edges:
+            nodes.update((a, b))
+            if a != b:
+                nbrs.setdefault(a, set()).add(b)
+                nbrs.setdefault(b, set()).add(a)
+        labels = {v: v for v in nodes}
+        for _ in range(iters):
+            new = {}
+            for v in nodes:
+                counts = {}
+                for u in nbrs.get(v, ()):
+                    counts[labels[u]] = counts.get(labels[u], 0) + 1
+                if counts:
+                    new[v] = min(
+                        counts, key=lambda l: (-counts[l], l)
+                    )
+                else:
+                    new[v] = v
+            labels = new
+        assert got == labels, (trial, iters)
+
+
+def test_containment_fuzz_vs_reference(spark):
+    rng = random.Random(41)
+    for trial in range(3):
+        docs = []
+        for i in range(12):
+            n_words = rng.randrange(3, 15)
+            docs.append(
+                (i, " ".join(
+                    f"w{rng.randrange(8)}" for _ in range(n_words)
+                ))
+            )
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        thr = rng.choice([0.3, 0.6, 0.9])
+        got = {
+            (r["id_a"], r["id_b"]): (r["shared"], r["n_sh_a"])
+            for r in containment_pairs(df, threshold=thr).collect()
+        }
+
+        def sh(text, k=3):
+            toks = text.lower().split()
+            if len(toks) <= k:
+                return {" ".join(toks[:k])}
+            return {
+                " ".join(toks[i : i + k])
+                for i in range(len(toks) - k + 1)
+            }
+
+        expect = {}
+        for ia, ta in docs:
+            for ib, tb in docs:
+                if ia == ib:
+                    continue
+                sa, sb = sh(ta), sh(tb)
+                shared = len(sa & sb)
+                if shared and shared / len(sa) >= thr:
+                    expect[(ia, ib)] = (shared, len(sa))
+        assert got == expect, trial
+
+
+def test_mutual_best_match_fuzz_vs_reference(spark):
+    rng = random.Random(8)
+    for trial in range(3):
+        pairs = [
+            (f"l{rng.randrange(5)}", f"r{rng.randrange(5)}",
+             round(rng.random(), 3))
+            for _ in range(18)
+        ]
+        # dedupe pair keys keeping max score (operator contract: one
+        # score per candidate pair)
+        dd = {}
+        for l, r, sc in pairs:
+            dd[(l, r)] = max(dd.get((l, r), -1.0), sc)
+        rows = [(l, r, s) for (l, r), s in sorted(dd.items())]
+        df = spark.createDataFrame(
+            rows, "left_id string, right_id string, score double"
+        )
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in mutual_best_match(df).collect()
+        }
+        best_l = {}
+        for l, r, s in rows:
+            cur = best_l.get(l)
+            if cur is None or (s, ) > (cur[1],) or (s == cur[1] and r < cur[0]):
+                if cur is None or s > cur[1] or (s == cur[1] and r < cur[0]):
+                    best_l[l] = (r, s)
+        best_r = {}
+        for l, r, s in rows:
+            cur = best_r.get(r)
+            if cur is None or s > cur[1] or (s == cur[1] and l < cur[0]):
+                best_r[r] = (l, s)
+        expect = {
+            (l, rs[0])
+            for l, rs in best_l.items()
+            if best_r.get(rs[0], (None,))[0] == l
+        }
+        assert got == expect, trial
