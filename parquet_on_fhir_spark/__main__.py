@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--codesystems", help="CodeSystem table for whole-system includes")
     exp.add_argument("--output", help="write the expansion as parquet instead of printing")
     exp.add_argument("--show", type=int, default=50)
+    exp.add_argument("--url", help="$expand url parameter: slice one ValueSet")
+    exp.add_argument("--count", type=int, help="$expand paging: page size (0 = total probe)")
+    exp.add_argument("--offset", type=int, default=0, help="$expand paging: start rank")
+    exp.add_argument("--filter", dest="text_filter", help="$expand text filter (code or display substring)")
+    exp.add_argument("--display-language", help="$expand displayLanguage: designation language for displays")
+    exp.add_argument("--include-designations", action="store_true", help="$expand includeDesignations: one row per designation")
+    exp.add_argument("--versioned", action="store_true", help="resolve url|version canonical pins and include.version (expand_versioned)")
 
     trn = sub.add_parser(
         "translate", help="translate (system, code) pairs through a ConceptMap table"
@@ -303,10 +310,42 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "expand":
-        from parquet_on_fhir_spark.fhir.terminology import expand_valueset
+        from parquet_on_fhir_spark.fhir.terminology import (
+            expand_operation,
+            expand_valueset,
+            expand_versioned,
+        )
 
         cs = spark.read.parquet(args.codesystems) if args.codesystems else None
-        out = expand_valueset(spark.read.parquet(args.valuesets), cs)
+        vs = spark.read.parquet(args.valuesets)
+        wants_operation = (
+            args.url is not None
+            or args.count is not None
+            or args.offset
+            or args.text_filter is not None
+            or args.display_language is not None
+            or args.include_designations
+        )
+        if args.versioned:
+            if wants_operation:
+                raise SystemExit(
+                    "--versioned composes with the plain expansion only; "
+                    "page/filter the written table instead"
+                )
+            out = expand_versioned(vs, cs)
+        elif wants_operation:
+            out = expand_operation(
+                vs,
+                cs,
+                url=args.url,
+                count=args.count,
+                offset=args.offset,
+                text_filter=args.text_filter,
+                display_language=args.display_language,
+                include_designations=args.include_designations,
+            )
+        else:
+            out = expand_valueset(vs, cs)
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
             print(f"{out.count()} codes -> {args.output}")

@@ -267,3 +267,55 @@ def test_cli_lookup_and_closure_delta(tmp_path, capsys):
     ]) == 0
     rev = spark.read.parquet(ro_p).collect()
     assert len(rev) == 1 and rev[0].target_code == "bp-sys"
+
+
+def test_cli_expand_operation_flags():
+    """r12 wave 2: the expand subcommand exposes the $expand operation
+    parameters (paging/filter/displayLanguage) and --versioned."""
+    d = tempfile.mkdtemp(prefix="cli_exp_")
+    cs = [{
+        "resourceType": "CodeSystem", "id": "c", "status": "active",
+        "content": "complete", "url": "http://x/cs", "version": "2.0",
+        "concept": [
+            {"code": "a", "display": "Alpha",
+             "designation": [{"language": "de", "value": "Alpha-DE"}]},
+            {"code": "b", "display": "Beta"},
+        ],
+    }]
+    vs = [{
+        "resourceType": "ValueSet", "id": "v", "status": "active",
+        "url": "http://x/vs",
+        "compose": {"include": [{"system": "http://x/cs"}]},
+    }]
+    with open(f"{d}/cs.ndjson", "w") as f:
+        for r in cs:
+            f.write(json.dumps(r) + "\n")
+    with open(f"{d}/vs.ndjson", "w") as f:
+        for r in vs:
+            f.write(json.dumps(r) + "\n")
+    for rt, src in (("CodeSystem", "cs"), ("ValueSet", "vs")):
+        enc = run_cli(
+            "encode", f"{d}/{src}.ndjson", f"{d}/{src}",
+            "--resource-type", rt,
+        )
+        assert enc.returncode == 0, enc.stderr[-2000:]
+
+    page = run_cli(
+        "expand", f"{d}/vs", "--codesystems", f"{d}/cs",
+        "--count", "1", "--display-language", "de",
+    )
+    assert page.returncode == 0, page.stderr[-2000:]
+    assert "Alpha-DE" in page.stdout  # designation substituted
+    assert "Beta" not in page.stdout  # paged out by count=1
+
+    ver = run_cli(
+        "expand", f"{d}/vs", "--codesystems", f"{d}/cs", "--versioned"
+    )
+    assert ver.returncode == 0, ver.stderr[-2000:]
+    assert "Alpha" in ver.stdout and "Beta" in ver.stdout
+
+    conflict = run_cli(
+        "expand", f"{d}/vs", "--codesystems", f"{d}/cs",
+        "--versioned", "--count", "1",
+    )
+    assert conflict.returncode != 0

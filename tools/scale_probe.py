@@ -51,6 +51,7 @@ PROBE_QUERIES = [
     "q268_kendall_tau",            # per-segment applyInPandas over SF-SCALED customer/orders
     "q269_cross_correlation",      # two date aggs over SF-SCALED facts + K-day lag join
     "q272_label_propagation",      # 2 LPA rounds over the SF-SCALED incidence graph
+    "q273_containment_pairs",      # shingle inverted-index join over SF-SCALED documents
 ]
 
 
