@@ -928,6 +928,14 @@ def containment_pairs(
     the exact/oracle mode and capped mode is the corpus-scale posture.
     Text itself never shuffles — only (id, shingle-string) pairs.
 
+    Pipeline-order caveat (measured, r12 ×30 probe): pair volume is
+    QUADRATIC in exact-duplication factor — k copies of one document
+    all pair with each other — so on crawl-like corpora run
+    :func:`exact_dedup` FIRST and containment on the survivors, with
+    ``shingle_cap`` bounding what duplication remains. A replicated
+    corpus (the probe's construction) is exactly the adversarial
+    case, which is why the probe excludes this operator by design.
+
     Output: (id_a, id_b, shared, n_sh_a, containment), directed both
     ways when both directions clear the threshold.
     """

