@@ -991,3 +991,62 @@ def bpe_train_merges(
         "round int, left string, right string, merged string, "
         "pair_count long",
     )
+
+
+def unicode_normalization_audit(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+):
+    """Unicode normalization audit — the crawl-cleaning pass that
+    finds text whose bytes differ from its canonical form (decomposed
+    accents, compatibility ligatures, width variants): mixed
+    normalization makes equal-looking strings hash differently, which
+    silently defeats exact dedup and token counting.
+
+    Spark has no built-in normalizer, so this is a vectorized
+    Arrow-batched pandas pass over ``unicodedata.normalize`` —
+    deliberately the slow path ONLY for the normalize call itself;
+    everything downstream (grouping, rates) is JVM. ``form`` is one
+    of NFC/NFKC/NFD/NFKD. Output: (id, changed, len_before,
+    len_after) with lengths in code points.
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def batches(it):
+        for pdf in it:
+            texts = pdf[text_col]
+            normed = texts.map(
+                lambda t: unicodedata.normalize(form, t)
+                if t is not None
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "changed": [
+                        None if t is None else t != n
+                        for t, n in zip(texts, normed)
+                    ],
+                    "len_before": [
+                        None if t is None else len(t) for t in texts
+                    ],
+                    "len_after": [
+                        None if n is None else len(n) for n in normed
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, changed boolean, len_before int, "
+            "len_after int"
+        ),
+    )

@@ -30,9 +30,10 @@ from parquet_on_fhir_spark.suite.common import Q
 #      same oracle) are already in-window this round; likewise the
 #      wave-2 late debuts q275 (rows-only, carried by its property
 #      tests), q276 (its multimodal codec family q73/q270 is
-#      in-window) and qf48 (its terminology family holds five slots:
-#      qf43/qf44/qf45/qf46/qf47) cede their slots to the r5
-#      freshness cohort.
+#      in-window), qf48 (its terminology family holds five slots:
+#      qf43/qf44/qf45/qf46/qf47) and q279 (its text-audit family
+#      q71 is in-window) cede their slots to the r5 freshness
+#      cohort.
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [

@@ -3708,3 +3708,54 @@ def q278(spark, sf_dir):
 
 
 QUERIES.append(Q("q278_pq_topk", q278, None))
+
+
+# --- Q279: Unicode normalization audit ------------------------------------------------
+def q279(spark, sf_dir):
+    """Unicode NFC audit (operators/text.py::
+    unicode_normalization_audit, r12 wave 2): documents with planted
+    DECOMPOSED suffixes (combining acute U+0301, combining ring
+    U+030A on every fifth doc) are flagged and their code-point
+    shrink measured -- mixed normalization silently defeats exact
+    dedup/token counts, so this is the audit a crawl pipeline runs
+    before hashing. The normalize call is the one vectorized pandas
+    step; DuckDB's nfc_normalize restates it exactly (parity with
+    python unicodedata verified)."""
+    from parquet_on_fhir_spark.operators.text import (
+        unicode_normalization_audit,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" cafe\u0301 A\u030angstro\u0308m"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = unicode_normalization_audit(d, "text", "doc_id", form="NFC")
+    return out.select("doc_id", "changed", "len_before", "len_after")
+
+
+Q279_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' cafe' || chr(769) || ' A' || chr(778)
+                   || 'ngstro' || chr(776) || 'm'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(text) <> text AS changed,
+       CAST(length(text) AS INT) AS len_before,
+       CAST(length(nfc_normalize(text)) AS INT) AS len_after
+FROM d
+"""
+
+
+QUERIES.append(Q("q279_unicode_nfc_audit", q279, Q279_ORACLE))

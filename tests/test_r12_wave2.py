@@ -1013,3 +1013,33 @@ def test_mutual_best_match_fuzz_vs_reference(spark):
             if best_r.get(rs[0], (None,))[0] == l
         }
         assert got == expect, trial
+
+
+# --- unicode normalization audit ----------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.text import unicode_normalization_audit
+
+
+def test_nfc_audit_flags_decomposed_text(spark):
+    rows = [
+        (1, "plain ascii"),
+        (2, "café"),          # decomposed acute -> café (5 -> 4 cps)
+        (3, "café"),            # already NFC
+        (4, None),
+        (5, "ﬁne"),             # ligature fi: NFC keeps it, NFKC folds
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           unicode_normalization_audit(df).collect()}
+    assert got[1]["changed"] is False
+    assert got[2]["changed"] is True
+    assert (got[2]["len_before"], got[2]["len_after"]) == (5, 4)
+    assert got[3]["changed"] is False
+    assert got[4]["changed"] is None
+    assert got[5]["changed"] is False  # NFC preserves compatibility chars
+    nfkc = {r["doc_id"]: r for r in
+            unicode_normalization_audit(df, form="NFKC").collect()}
+    assert nfkc[5]["changed"] is True  # NFKC folds the ligature
+    assert nfkc[5]["len_after"] == 4
+    with pytest.raises(ValueError, match="normalization form"):
+        unicode_normalization_audit(df, form="NFX")
