@@ -586,3 +586,119 @@ def bloom_semi_join(
         fact_key,
         "left_semi",
     )
+
+
+def grid_radius_join(
+    points: DataFrame,
+    probes: DataFrame,
+    radius_km: float,
+    point_id: str = "point_id",
+    probe_id: str = "probe_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 85.0,
+) -> DataFrame:
+    """Spatial radius join — all (probe, point) pairs within
+    ``radius_km`` great-circle distance — via GRID BUCKETING: the
+    scalable alternative to the cross join a naive distance filter
+    plans. Points land once in a (lat-cell, lon-cell) grid sized to
+    the radius; each probe explodes to its neighbor cells — ±1 lat
+    cell and a latitude-corrected ±ceil(1/cos φ) lon span, so candidate
+    completeness holds at high latitude where a degree of longitude
+    shrinks — and the exact haversine filter runs only on co-bucketed
+    candidates. Longitude cells wrap modulo the grid (date-line
+    crossing handled); latitudes beyond ``max_abs_lat`` raise (polar
+    caps need a different index; document your data, don't guess).
+
+    Scale shape: ONE equi-join keyed by (cell_lat, cell_lon) — the
+    probe fan-out is 3×(2k+1) cells per probe, never the point count;
+    candidate volume is density-bound per cell. Distances are fixed
+    double chains (radians/sin/cos/asin), restatable; an oracle that
+    brute-forces all pairs and matches exactly is the no-missed-
+    candidate proof.
+
+    Output: (probe_id, point_id, dist_km).
+    """
+    import math
+
+    ddeg = radius_km / 111.0  # ~km per degree latitude
+    n_lon = max(1, int(math.ceil(360.0 / ddeg)))
+
+    def cells(df, idc, explode_neighbors):
+        lat, lon = F.col(lat_col), F.col(lon_col)
+        guard = F.when(
+            F.abs(lat) > max_abs_lat,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"grid_radius_join: |lat| > {max_abs_lat} "),
+                    lat.cast("string"),
+                )
+            ),
+        )
+        cell_lat = F.floor((lat + 90.0) / ddeg).cast("long")
+        cell_lon = (
+            F.floor((lon + 180.0) / ddeg).cast("long") % n_lon + n_lon
+        ) % n_lon
+        base = df.select(
+            F.col(idc),
+            lat.alias(f"__{idc}_lat"),
+            lon.alias(f"__{idc}_lon"),
+            F.coalesce(guard, cell_lat).alias("cl"),
+            cell_lon.alias("cn"),
+        )
+        if not explode_neighbors:
+            return base
+        k = F.ceil(
+            1.0
+            / F.cos(F.radians(F.least(F.abs(F.col(f"__{idc}_lat")), F.lit(max_abs_lat))))
+        ).cast("int")
+        return (
+            base.select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(-1), F.lit(1))
+                ).alias("__dlat"),
+            )
+            .select(
+                "*",
+                F.explode(F.sequence(-k, k)).alias("__dlon"),
+            )
+            .select(
+                F.col(idc),
+                F.col(f"__{idc}_lat"),
+                F.col(f"__{idc}_lon"),
+                (F.col("cl") + F.col("__dlat")).alias("cl"),
+                (
+                    (F.col("cn") + F.col("__dlon")) % n_lon + n_lon
+                ).alias("cn_raw"),
+            )
+            .select(
+                F.col(idc),
+                F.col(f"__{idc}_lat"),
+                F.col(f"__{idc}_lon"),
+                "cl",
+                (F.col("cn_raw") % n_lon).alias("cn"),
+            )
+        )
+
+    pts = cells(points, point_id, explode_neighbors=False)
+    prb = cells(probes, probe_id, explode_neighbors=True)
+    cand = prb.join(pts, ["cl", "cn"])
+    lat1 = F.radians(F.col(f"__{probe_id}_lat"))
+    lat2 = F.radians(F.col(f"__{point_id}_lat"))
+    dlat = lat2 - lat1
+    dlon = F.radians(
+        F.col(f"__{point_id}_lon") - F.col(f"__{probe_id}_lon")
+    )
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = 2.0 * 6371.0 * F.asin(F.sqrt(h))
+    return (
+        cand.select(
+            probe_id, point_id, dist.alias("dist_km")
+        )
+        .filter(F.col("dist_km") <= radius_km)
+        .distinct()
+    )

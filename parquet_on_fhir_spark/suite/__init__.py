@@ -60,7 +60,9 @@ WINDOW = [
     #    ceding the whole r6 fill tier q108-q126, plus four r5 rows
     #    with covered families: q51b (q51 carries r10), q74d (q74/q74b
     #    stay in-window), q90 (its q21 base anchors bench every round),
-    #    and — see below — none of the streaming tier)
+    #    q92 (the semi/exists family's q14 is in-window; q93's
+    #    anti/not-exists form stays), and — see below — none of the
+    #    streaming tier)
     "qf43_ecl_comparisons",
     "qf44_expand_paging",
     "q263_jpeg_progressive_decode",
@@ -78,6 +80,7 @@ WINDOW = [
     "q272_label_propagation",
     "q273_containment_pairs",
     "q274_mann_kendall",
+    "q280_geo_radius_join",
     # -- r5-vintage cohort (entire tier refreshed: after r12 the
     #    oldest lifetime row is r6)
     "q23_agg_approx_distinct",
@@ -95,7 +98,6 @@ WINDOW = [
     "q87_merge_upsert",
     "q89_tpch_q18",
     "q91_embedding_near_dup",
-    "q92_tpch_q4_exists",
     "q93_tpch_q22_not_exists",
     "q94_clustered_write",
     "qf10_view_definition_observation",

@@ -7169,3 +7169,69 @@ def q275(spark, sf_dir):
 
 
 QUERIES.append(Q("q275_isotonic_calibration", q275, None))
+
+
+# --- Q280: grid-bucketed spatial radius join -----------------------------------------
+def q280(spark, sf_dir):
+    """Spatial radius join (operators/joins.py::grid_radius_join, r12
+    wave 2): customers get deterministic md5-draw coordinates (lat
+    ±60, lon ±170 — the oracle-restatable md5_60 recipe), the first 5
+    become probes, and the grid join finds every point within 500 km —
+    ONE equi-join keyed by radius-sized (lat, lon) cells with a
+    latitude-corrected neighbor span, never a cross join. The oracle
+    brute-forces ALL pairs with the same haversine and must match
+    exactly: the no-missed-candidate proof for the bucketing."""
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+    from parquet_on_fhir_spark.operators.joins import grid_radius_join
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        (
+            md5_60(F.concat(F.lit("lat:"), F.col("c_custkey").cast("string")))
+            / F.lit(float(2**60))
+            * 120.0
+            - 60.0
+        ).alias("lat"),
+        (
+            md5_60(F.concat(F.lit("lon:"), F.col("c_custkey").cast("string")))
+            / F.lit(float(2**60))
+            * 340.0
+            - 170.0
+        ).alias("lon"),
+    )
+    probes = cust.filter(F.col("pid") <= 5).select(
+        F.col("pid").alias("probe_id"), "lat", "lon"
+    )
+    points = cust.select(F.col("pid").alias("point_id"), "lat", "lon")
+    out = grid_radius_join(points, probes, radius_km=500.0)
+    return out.filter(F.col("probe_id") != F.col("point_id")).select(
+        "probe_id", "point_id", d4(F.col("dist_km")).alias("dist_km")
+    )
+
+
+Q280_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) / CAST(1152921504606846976 AS DOUBLE)
+           * 120.0 - 60.0 AS lat,
+         CAST('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) / CAST(1152921504606846976 AS DOUBLE)
+           * 340.0 - 170.0 AS lon
+  FROM customer
+),
+pairs AS (
+  SELECT a.pid AS probe_id, b.pid AS point_id,
+         2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2)
+         )) AS dist_km
+  FROM pts a JOIN pts b ON a.pid <= 5 AND a.pid <> b.pid
+)
+SELECT probe_id, point_id, round(dist_km + 1e-9, 4) AS dist_km
+FROM pairs WHERE dist_km <= 500.0
+"""
+
+
+QUERIES.append(Q("q280_geo_radius_join", q280, Q280_ORACLE))

@@ -1043,3 +1043,64 @@ def test_nfc_audit_flags_decomposed_text(spark):
     assert nfkc[5]["len_after"] == 4
     with pytest.raises(ValueError, match="normalization form"):
         unicode_normalization_audit(df, form="NFX")
+
+
+# --- grid radius join ---------------------------------------------------------------------
+
+from parquet_on_fhir_spark.operators.joins import grid_radius_join
+
+
+def _haversine(a, b):
+    lat1, lon1 = math.radians(a[0]), math.radians(a[1])
+    lat2, lon2 = math.radians(b[0]), math.radians(b[1])
+    h = (
+        math.sin((lat2 - lat1) / 2) ** 2
+        + math.cos(lat1) * math.cos(lat2)
+        * math.sin((lon2 - lon1) / 2) ** 2
+    )
+    return 2 * 6371 * math.asin(math.sqrt(h))
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    rng = random.Random(6)
+    pts = [
+        (i, rng.uniform(-80, 80), rng.uniform(-180, 180))
+        for i in range(150)
+    ]
+    # force high-latitude and date-line clusters so the corrected lon
+    # span and the modular wrap both carry matches
+    pts += [(200 + i, 78.0 + rng.uniform(0, 1), -179.9 + i * 0.1)
+            for i in range(6)]
+    pts += [(300 + i, 78.3, 179.8 + i * 0.1 - 0.3) for i in range(4)]
+    points = spark.createDataFrame(
+        pts, "point_id long, lat double, lon double"
+    )
+    probes = points.filter(F.col("point_id").isin([0, 1, 200, 300])).select(
+        F.col("point_id").alias("probe_id"), "lat", "lon"
+    )
+    r = 700.0
+    got = {
+        (row["probe_id"], row["point_id"])
+        for row in grid_radius_join(points, probes, r).collect()
+    }
+    by_id = {i: (la, lo) for i, la, lo in pts}
+    expect = {
+        (p, q)
+        for p in (0, 1, 200, 300)
+        for q in by_id
+        if _haversine(by_id[p], by_id[q]) <= r
+    }
+    assert got == expect
+    # the date-line cluster must pair across the wrap
+    assert any(p == 300 and q >= 200 and q < 210 for p, q in got)
+
+
+def test_grid_radius_join_polar_guard(spark):
+    points = spark.createDataFrame(
+        [(1, 89.0, 0.0)], "point_id long, lat double, lon double"
+    )
+    probes = spark.createDataFrame(
+        [(9, 0.0, 0.0)], "probe_id long, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="lat"):
+        grid_radius_join(points, probes, 100.0).collect()
