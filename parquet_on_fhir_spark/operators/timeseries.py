@@ -884,3 +884,64 @@ def cross_correlation(
         n.cast("long").alias("n"),
         F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("ccf"),
     )
+
+
+def rolling_origin_splits(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int,
+    horizon: int,
+    every: str = "1 day",
+) -> DataFrame:
+    """Rolling-origin evaluation splits (time-series cross-validation,
+    Tashman 2000): ``n_folds`` expanding-window train/test assignments
+    over the bucketed time axis — fold i trains on everything up to
+    cutoff_i and tests on the next ``horizon`` buckets, with cutoffs
+    spaced so the LAST fold's test window ends at the series end.
+    Random K-fold leaks the future into training; this is the split
+    discipline forecasting evaluation requires.
+
+    The time axis is bucketed map-side (``F.window``), the distinct
+    bucket frame is tiny (K buckets), and the fold assignment is a
+    bucket-grid × fold-grid join back onto buckets — rows join their
+    bucket, the facts are scanned once. Output: one row per (fold,
+    role, bucket) with the bucketed row count — the manifest a
+    backtest loop (q244's pinball scorer, q233's monitors) consumes.
+
+    Raises when the series has fewer buckets than ``n_folds`` +
+    ``horizon`` demands.
+    """
+    bucketed = df.select(
+        F.window(F.col(ts_col), every).getField("start").alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_rows"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket")
+    idx = counts.withColumn("i", F.row_number().over(w) - 1)
+    total = idx.count()
+    need = n_folds + horizon
+    if total < need:
+        raise ValueError(
+            f"series has {total} buckets; need >= {need} "
+            f"(n_folds={n_folds} + horizon={horizon})"
+        )
+    # cutoffs: last fold tests the final `horizon` buckets; folds step
+    # back one bucket each — deterministic integer arithmetic
+    last_cut = total - horizon - 1
+    first_cut = last_cut - (n_folds - 1)
+    folds = df.sparkSession.range(n_folds).select(
+        F.col("id").cast("int").alias("fold"),
+        (F.lit(first_cut) + F.col("id")).alias("cut"),
+    )
+    assigned = idx.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        F.when(F.col("i") <= F.col("cut"), F.lit("train"))
+        .when(
+            F.col("i") <= F.col("cut") + horizon, F.lit("test")
+        )
+        .alias("role"),
+        "bucket",
+        "n_rows",
+    )
+    return assigned.filter(F.col("role").isNotNull())

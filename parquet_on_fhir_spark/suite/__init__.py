@@ -31,9 +31,9 @@ from parquet_on_fhir_spark.suite.common import Q
 #      wave-2 late debuts q275 (rows-only, carried by its property
 #      tests), q276 (its multimodal codec family q73/q270 is
 #      in-window), qf48 (its terminology family holds five slots:
-#      qf43/qf44/qf45/qf46/qf47) and q279 (its text-audit family
-#      q71 is in-window) cede their slots to the r5 freshness
-#      cohort.
+#      qf43/qf44/qf45/qf46/qf47), q279 (its text-audit family q71
+#      is in-window) and q281 (its time-series family q269/q274 is
+#      in-window) cede their slots to the r5 freshness cohort.
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [

@@ -7235,3 +7235,58 @@ FROM pairs WHERE dist_km <= 500.0
 
 
 QUERIES.append(Q("q280_geo_radius_join", q280, Q280_ORACLE))
+
+
+# --- Q281: rolling-origin backtest splits --------------------------------------------
+def q281(spark, sf_dir):
+    """Rolling-origin time-series CV splits (operators/timeseries.py::
+    rolling_origin_splits, r12 wave 2 — Tashman 2000): 3 expanding-
+    window folds with a 2-week test horizon over weekly order buckets;
+    random K-fold leaks the future, this is the split discipline
+    forecast backtests require. The facts are bucketed in ONE map-side
+    pass; fold assignment is integer arithmetic on the tiny distinct-
+    bucket frame (grid × folds), fully restatable. Returns the
+    manifest (fold, role, bucket, n_rows) a backtest loop consumes."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        rolling_origin_splits,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderdate")
+    out = rolling_origin_splits(
+        o, "o_orderdate", n_folds=3, horizon=2, every="7 days"
+    )
+    return out.select(
+        "fold", "role", ts_str(F.col("bucket")).alias("bucket"), "n_rows"
+    ).orderBy("fold", "bucket")
+
+
+Q281_ORACLE = """
+WITH b AS (
+  SELECT TIMESTAMP '1970-01-01'
+         + CAST(floor(epoch(o_orderdate) / 604800) * 604800 AS BIGINT)
+           * INTERVAL '1 second' AS bucket
+  FROM orders
+),
+counts AS (SELECT bucket, count(*) AS n_rows FROM b GROUP BY bucket),
+idx AS (
+  SELECT bucket, n_rows,
+         row_number() OVER (ORDER BY bucket) - 1 AS i,
+         count(*) OVER () AS total
+  FROM counts
+),
+folds AS (SELECT unnest(range(0, 3)) AS fold),
+asn AS (
+  SELECT CAST(fold AS INT) AS fold,
+         CASE WHEN i <= (total - 2 - 1) - (2 - fold) THEN 'train'
+              WHEN i <= (total - 2 - 1) - (2 - fold) + 2 THEN 'test'
+         END AS role,
+         bucket, CAST(n_rows AS BIGINT) AS n_rows
+  FROM idx CROSS JOIN folds
+)
+SELECT fold, role, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n_rows
+FROM asn WHERE role IS NOT NULL
+ORDER BY fold, bucket
+"""
+
+
+QUERIES.append(Q("q281_rolling_origin_splits", q281, Q281_ORACLE))

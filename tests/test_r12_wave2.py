@@ -1104,3 +1104,50 @@ def test_grid_radius_join_polar_guard(spark):
     )
     with pytest.raises(Exception, match="lat"):
         grid_radius_join(points, probes, 100.0).collect()
+
+
+# --- rolling-origin splits ----------------------------------------------------------------
+
+import datetime as _dt
+
+from parquet_on_fhir_spark.operators.timeseries import rolling_origin_splits
+
+
+def test_rolling_origin_fold_structure(spark):
+    # 10 daily buckets, 3 folds, horizon 2: last fold tests buckets
+    # 8-9, folds step back one bucket each
+    rows = [
+        (_dt.datetime(2024, 1, 1) + _dt.timedelta(days=d), i)
+        for d in range(10) for i in range(d + 1)  # d+1 rows per day
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, x int")
+    got = rolling_origin_splits(df, "ts", n_folds=3, horizon=2).collect()
+    by_fold = {}
+    for r in got:
+        by_fold.setdefault(r["fold"], {}).setdefault(r["role"], []).append(
+            (r["bucket"], r["n_rows"])
+        )
+    for fold in (0, 1, 2):
+        cut = (10 - 2 - 1) - (2 - fold)  # 5, 6, 7
+        train_days = sorted(b.day for b, _ in by_fold[fold]["train"])
+        test_days = sorted(b.day for b, _ in by_fold[fold]["test"])
+        assert train_days == list(range(1, cut + 2)), fold
+        assert test_days == [cut + 2, cut + 3], fold
+    # counts survive: day d holds d+1 rows (day-of-month = d+1)
+    assert all(
+        n == b.day for f in by_fold.values()
+        for rs in f.values() for b, n in rs
+    )
+    # train of fold 2 ends exactly where test begins; no overlap
+    assert set(b for b, _ in by_fold[2]["train"]).isdisjoint(
+        b for b, _ in by_fold[2]["test"]
+    )
+
+
+def test_rolling_origin_too_short_raises(spark):
+    df = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 1 + d), 1) for d in range(4)],
+        "ts timestamp, x int",
+    )
+    with pytest.raises(ValueError, match="need >="):
+        rolling_origin_splits(df, "ts", n_folds=3, horizon=2)
