@@ -600,3 +600,26 @@ def test_r12_wave2_plan_shapes(spark, sf_dir):
 
     p272 = plan_of(q272(spark, sf_dir))
     assert "CartesianProduct" not in p272, p272
+
+
+def test_grid_radius_join_is_equi_join_not_cartesian(spark):
+    """q280's spatial join must plan as a keyed equi-join on the grid
+    cells — never a cartesian/nested-loop product of points×probes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.joins import grid_radius_join
+
+    rng = random.Random(2)
+    pts = [(i, rng.uniform(-60, 60), rng.uniform(-170, 170))
+           for i in range(300)]
+    points = spark.createDataFrame(
+        pts, "point_id long, lat double, lon double"
+    )
+    probes = spark.createDataFrame(
+        pts[:3], "probe_id long, lat double, lon double"
+    )
+    plan = plan_of(grid_radius_join(points, probes, 400.0))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
