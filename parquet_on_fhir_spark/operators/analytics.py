@@ -4534,3 +4534,144 @@ def isotonic_fit(
         )
 
     return work.groupBy(*group_cols).applyInPandas(per_group, schema=schema)
+
+
+def fisher_exact(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    max_n: int = 120,
+) -> DataFrame:
+    """Fisher's exact test on the 2×2 table (exposure × outcome) — the
+    SMALL-SAMPLE independence test (chi² `chi2_crosstab` assumes large
+    expected cells; stratified cohorts, rare adverse events and early
+    A/B reads routinely have cells < 5 where only the exact
+    hypergeometric answer is valid).
+
+    Integer-exact throughout (the q169/q221 discipline: restate the
+    chain in exact integers, divide once at the end): the
+    hypergeometric weight w(k) = C(r1,k)·C(r2,c1−k) is built by the
+    Pascal ratio recurrence C(m,j) = C(m,j−1)·(m−j+1)/j, which is an
+    EXACT integer at every step, folded in DECIMAL(38,0).  The
+    two-sided p-value sums w(k) over {k : w(k) ≤ w(a)} — an exact
+    integer comparison, so no float tolerance (the classic
+    (1+1e-7)·P(obs) fudge) is needed and any SQL twin that runs the
+    same recurrence matches bit-for-bit.  One final division by
+    C(n, c1) (= Σ_k w(k), Vandermonde) produces the only double.
+
+    Bounds: C(n, ⌊n/2⌋)·n must fit DECIMAL(38,0), true for n ≤
+    ``max_n`` = 120.  Larger tables raise at action time — at that
+    size the exact test is statistically pointless and
+    :func:`chi2_crosstab` / :func:`proportions_ztest` are the right
+    tools.  NULL exposure/outcome rows are excluded.
+
+    Plan: ONE hash aggregate to the 2×2 cells (map-side combined; the
+    fact table never shuffles), then a ≤121-row exploded k-grid of
+    pure JVM expression folds.  Scale cost is the single aggregate —
+    the test statistic itself is O(n) arithmetic on a 1-row frame.
+
+    Output: 1 row — (a, b, c, d, p_two_sided, p_greater, p_less,
+    odds_ratio); p's rounded to 12 dp, odds_ratio NULL on a zero
+    cell.
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    cells = (
+        df.filter(e.isNotNull() & o.isNotNull())
+        .agg(
+            F.sum(F.when(e & o, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(e & ~o, 1).otherwise(0)).alias("b"),
+            F.sum(F.when(~e & o, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(~e & ~o, 1).otherwise(0)).alias("d"),
+        )
+    )
+    base = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("c") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+    )
+
+    def binom(m: str, j: str) -> str:
+        # C(m, j) by the exact ratio recurrence, DECIMAL(38,0) fold.
+        # acc*(m-i+1) is always divisible by i (it equals C(m,i)*i),
+        # so the capped-scale decimal division is exact.
+        return (
+            f"aggregate(CASE WHEN {j} > 0 "
+            f"THEN sequence(1L, CAST({j} AS BIGINT)) "
+            f"ELSE CAST(array() AS array<bigint>) END, "
+            f"CAST(1 AS DECIMAL(38,0)), "
+            f"(acc, i) -> CAST(acc * ({m} - i + 1) / i AS DECIMAL(38,0)))"
+        )
+
+    w_of = lambda k: (  # noqa: E731 — local formula, used twice
+        f"CAST({binom('r1', k)} * {binom('r2', f'(c1 - {k})')} "
+        f"AS DECIMAL(38,0))"
+    )
+    grid = (
+        base.select(
+            "a",
+            "b",
+            "c",
+            "d",
+            "n",
+            "r1",
+            "r2",
+            "c1",
+            F.expr(w_of("a")).alias("w_obs"),
+            F.expr(binom("n", "c1")).alias("w_total"),
+            F.explode(
+                F.expr("sequence(greatest(0L, c1 - r2), least(r1, c1))")
+            ).alias("k"),
+        )
+        .withColumn("w_k", F.expr(w_of("k")))
+        .drop("r1", "r2", "c1")
+    )
+    guard = F.when(
+        F.col("n") > max_n,
+        F.raise_error(
+            F.lit(
+                f"fisher_exact: n > {max_n} exceeds the DECIMAL(38,0) "
+                "exact-binomial envelope — use chi2_crosstab / "
+                "proportions_ztest at this sample size"
+            )
+        ).cast("double"),
+    )
+    out = grid.groupBy("a", "b", "c", "d", "n", "w_obs", "w_total").agg(
+        F.sum(F.when(F.col("w_k") <= F.col("w_obs"), F.col("w_k"))).alias(
+            "__num_two"
+        ),
+        F.sum(F.when(F.col("k") >= F.col("a"), F.col("w_k"))).alias(
+            "__num_ge"
+        ),
+        F.sum(F.when(F.col("k") <= F.col("a"), F.col("w_k"))).alias(
+            "__num_le"
+        ),
+    )
+    ratio = lambda num: F.round(  # noqa: E731
+        num.cast("double") / F.col("w_total").cast("double"), 12
+    )
+    return out.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        guard.otherwise(ratio(F.col("__num_two"))).alias("p_two_sided"),
+        ratio(F.col("__num_ge")).alias("p_greater"),
+        ratio(F.col("__num_le")).alias("p_less"),
+        F.when(
+            (F.col("a") > 0)
+            & (F.col("b") > 0)
+            & (F.col("c") > 0)
+            & (F.col("d") > 0),
+            F.round(
+                (F.col("a") * F.col("d")).cast("double")
+                / (F.col("b") * F.col("c")).cast("double"),
+                12,
+            ),
+        ).alias("odds_ratio"),
+    )

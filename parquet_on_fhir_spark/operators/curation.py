@@ -996,3 +996,126 @@ def weighted_sample_wor_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+#: Query parameters that carry tracking/session state, not content
+#: identity.  Part of the operator contract — the oracle twin filters
+#: the SAME set: these exact names plus the ``utm_`` prefix family.
+TRACKING_PARAMS = (
+    "fbclid",
+    "gclid",
+    "msclkid",
+    "mc_eid",
+    "igshid",
+    "ref_src",
+    "s_kwcid",
+)
+
+
+def canonicalize_url(url: Column, *, strip_www: bool = True) -> Column:
+    """Canonical form of an absolute http(s) URL — the crawl-pipeline
+    URL-dedup key (two fetches of the same resource differ by tracking
+    params, host case, default ports, fragments and slash noise;
+    crawl curation dedups on the canonicalized URL before any content
+    dedup runs, because it needs no fetch of the body at all).
+
+    Pure Catalyst (regexp + higher-order array expressions — a
+    map-only projection, no UDF, no shuffle), so at 100 TB it rides
+    the scan.  Steps, in order (each mirrored in the DuckDB oracle):
+
+    1. trim; drop the ``#fragment``;
+    2. scheme lower-cased; ``://`` splits authority from path+query;
+    3. host lower-cased; leading ``www.`` stripped (option); default
+       ports ``:80`` (http) / ``:443`` (https) dropped, others kept;
+    4. path: duplicate ``//`` collapsed, trailing ``/`` stripped
+       (empty path → ``/``);
+    5. query: split on ``&``, empty items and tracking params removed
+       (:data:`TRACKING_PARAMS` + the ``utm_`` prefix family), the
+       remainder sorted bytewise and re-joined — parameter order is
+       transport noise, not identity.
+
+    Non-http(s) / scheme-less input is returned trimmed-only: audit
+    queries route those to a quarantine bucket rather than crash.
+    """
+    s = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    after = F.regexp_replace(s, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    authority = F.regexp_extract(after, r"^([^/?]*)", 1)
+    # default-port strip is scheme-conditional; other ports kept verbatim
+    host = F.when(
+        scheme == "http",
+        F.regexp_replace(F.lower(authority), ":80$", ""),
+    ).otherwise(
+        F.when(
+            scheme == "https",
+            F.regexp_replace(F.lower(authority), ":443$", ""),
+        ).otherwise(F.lower(authority))
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.substring(after, F.length(authority) + 1, F.length(after))
+    raw_path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(raw_path, "/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substring(path, 1, F.length(path) - 1),
+        ).otherwise(path)
+    )
+    query = F.when(
+        pathq.contains("?"),
+        F.substring(
+            pathq,
+            F.length(raw_path) + 2,
+            F.length(pathq),
+        ),
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_")
+        & ~F.split(x, "=").getItem(0).isin(*TRACKING_PARAMS),
+    )
+    canon_q = F.concat_ws("&", F.array_sort(kept))
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), canon_q)
+        ),
+    )
+    return F.when(scheme.isin("http", "https"), rebuilt).otherwise(
+        F.trim(url)
+    )
+
+
+def url_dedup_audit(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """URL-level duplicate clusters: canonicalize, group, report every
+    canonical URL fetched under more than one raw variant (the keeper
+    is the min id — the same keep-first discipline as exact_dedup).
+
+    ONE hash aggregate on the canonical key (map-side combined); the
+    document bodies never move — this is exactly why crawl pipelines
+    run URL dedup first at 100 TB: it prices per URL string, not per
+    payload.
+    """
+    canon = df.select(
+        F.col(id_col),
+        F.col(url_col).alias("raw_url"),
+        canonicalize_url(F.col(url_col)).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("raw_url").alias("n_distinct_raw"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

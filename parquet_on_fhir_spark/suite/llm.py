@@ -3759,3 +3759,142 @@ FROM d
 
 
 QUERIES.append(Q("q279_unicode_nfc_audit", q279, Q279_ORACLE))
+
+
+# --- Q282: URL canonicalization + dedup audit -----------------------------------------
+def q282(spark, sf_dir):
+    """URL-level duplicate clusters (operators/curation.py::
+    canonicalize_url + url_dedup_audit, r12 wave 3): documents get
+    deterministic crawl URLs in five messy shapes — scheme/host case,
+    explicit default port, ``www.``, tracking params (utm_*/fbclid),
+    fragments, duplicate and trailing slashes, shuffled param order —
+    and the audit groups by the canonical form. URL dedup is the
+    FIRST dedup stage of a crawl pipeline at 100 TB because it prices
+    per URL string, not per payload: here it is a map-only Catalyst
+    projection + ONE map-side-combined aggregate. The oracle restates
+    every canonicalization step generically in DuckDB (regexp +
+    list lambdas), not just the planted shapes."""
+    from parquet_on_fhir_spark.operators.curation import url_dedup_audit
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            """
+            CASE CAST(doc_id / 100 AS INT) % 5
+              WHEN 0 THEN 'https://example.com/page/'
+                          || CAST(doc_id % 100 AS STRING)
+              WHEN 1 THEN 'HTTPS://EXAMPLE.com:443/page/'
+                          || CAST(doc_id % 100 AS STRING)
+                          || '/?utm_source=feed&utm_campaign=x'
+              WHEN 2 THEN 'https://www.example.com/page/'
+                          || CAST(doc_id % 100 AS STRING)
+                          || '?fbclid=abc'
+              WHEN 3 THEN 'https://example.com/page/'
+                          || CAST(doc_id % 100 AS STRING)
+                          || '?a=1&utm_medium=email#frag'
+              ELSE 'https://example.com//page/'
+                          || CAST(doc_id % 100 AS STRING)
+                          || '/?b=2&a=1'
+            END
+            """
+        ).alias("url"),
+    )
+    out = url_dedup_audit(d, "url", "doc_id")
+    return out.select(
+        "canonical_url", "n_variants", "n_distinct_raw", "keeper_id"
+    )
+
+
+Q282_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE CAST(floor(doc_id / 100) AS INT) % 5
+           WHEN 0 THEN 'https://example.com/page/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+           WHEN 1 THEN 'HTTPS://EXAMPLE.com:443/page/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '/?utm_source=feed&utm_campaign=x'
+           WHEN 2 THEN 'https://www.example.com/page/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '?fbclid=abc'
+           WHEN 3 THEN 'https://example.com/page/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '?a=1&utm_medium=email#frag'
+           ELSE 'https://example.com//page/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '/?b=2&a=1'
+         END AS url
+  FROM documents
+),
+defrag AS (
+  SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS s FROM raw
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+           AS scheme,
+         regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after
+  FROM defrag
+),
+auth AS (
+  SELECT *, regexp_extract(after, '^([^/?]*)', 1) AS authority
+  FROM parts
+),
+hostport AS (
+  SELECT *,
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                  THEN regexp_replace(lower(authority), ':80$', '')
+                WHEN scheme = 'https'
+                  THEN regexp_replace(lower(authority), ':443$', '')
+                ELSE lower(authority) END,
+           '^www\.', '') AS host,
+         substr(after, length(authority) + 1) AS pathq
+  FROM auth
+),
+pathpart AS (
+  SELECT *, regexp_extract(pathq, '^([^?]*)', 1) AS raw_path
+  FROM hostport
+),
+cleanpath AS (
+  SELECT *,
+         CASE WHEN p = '' THEN '/'
+              WHEN length(p) > 1 AND p LIKE '%/'
+                THEN substr(p, 1, length(p) - 1)
+              ELSE p END AS path
+  FROM (SELECT *, regexp_replace(raw_path, '/{2,}', '/', 'g') AS p
+        FROM pathpart)
+),
+q AS (
+  SELECT *,
+         CASE WHEN contains(pathq, '?')
+              THEN substr(pathq, length(raw_path) + 2)
+              ELSE '' END AS query
+  FROM cleanpath
+),
+canon AS (
+  SELECT doc_id, url AS raw_url,
+         CASE WHEN scheme IN ('http', 'https') THEN
+           scheme || '://' || host || path ||
+           CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+         ELSE trim(url) END AS canonical_url
+  FROM (
+    SELECT *,
+           coalesce(array_to_string(
+             list_sort(list_filter(string_split(query, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT list_contains(
+                      ['fbclid','gclid','msclkid','mc_eid','igshid',
+                       'ref_src','s_kwcid'],
+                      string_split(x, '=')[1]))),
+             '&'), '') AS cq
+    FROM q)
+)
+SELECT canonical_url, count(*) AS n_variants,
+       count(DISTINCT raw_url) AS n_distinct_raw,
+       min(doc_id) AS keeper_id
+FROM canon GROUP BY canonical_url HAVING count(*) > 1
+"""
+
+
+QUERIES.append(Q("q282_url_dedup_audit", q282, Q282_ORACLE))

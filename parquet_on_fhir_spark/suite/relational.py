@@ -7290,3 +7290,97 @@ ORDER BY fold, bucket
 
 
 QUERIES.append(Q("q281_rolling_origin_splits", q281, Q281_ORACLE))
+
+
+# --- Q283: Fisher's exact test --------------------------------------------------------
+def q283(spark, sf_dir):
+    """Fisher's exact 2x2 test (operators/analytics.py::fisher_exact,
+    r12 wave 3): nation-1 customers (n=55 at sf0.01 -- a genuinely
+    small sample, exactly where chi-squared's large-cell assumption
+    fails and ONLY the exact hypergeometric answer is valid), exposure
+    = positive account balance above 5000, outcome = placed at least
+    one order. Integer-exact per the q169/q221 discipline: the
+    hypergeometric weights are exact DECIMAL(38,0) binomials via the
+    Pascal ratio recurrence, the two-sided tail is an exact integer
+    comparison, and the oracle reruns the SAME recurrence in a
+    recursive CTE (HUGEINT intermediates, integer `//`), so the
+    single final division matches bit-for-bit."""
+    from parquet_on_fhir_spark.operators.analytics import fisher_exact
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 1)
+    buyers = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_order", F.lit(True))
+    )
+    flagged = cust.join(buyers, "c_custkey", "left").select(
+        (F.col("c_acctbal") > 5000).alias("exposed"),
+        F.coalesce("has_order", F.lit(False)).alias("converted"),
+    )
+    return fisher_exact(flagged, "exposed", "converted")
+
+
+Q283_ORACLE = """
+WITH flagged AS (
+  SELECT c_acctbal > 5000 AS exposed,
+         EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           AS converted
+  FROM customer c WHERE c_nationkey = 1
+),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN exposed AND converted THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN exposed AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN NOT exposed AND converted THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN NOT exposed AND NOT converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM flagged
+  WHERE exposed IS NOT NULL AND converted IS NOT NULL
+),
+m AS (
+  SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+         a + b + c + d AS n
+  FROM cells
+),
+marginals AS (
+  SELECT r1 AS mm FROM m UNION SELECT r2 FROM m UNION SELECT n FROM m
+),
+binom AS (
+  WITH RECURSIVE bb(mm, j, v) AS (
+    SELECT mm, 0, CAST(1 AS HUGEINT) FROM marginals
+    UNION ALL
+    SELECT mm, j + 1, v * (mm - j) // (j + 1) FROM bb WHERE j < mm
+  )
+  SELECT * FROM bb
+),
+kk AS (
+  SELECT m.*, CAST(unnest(range(greatest(0, c1 - r2),
+                                least(r1, c1) + 1)) AS BIGINT) AS k
+  FROM m
+),
+w AS (
+  SELECT kk.*, b1.v * b2.v AS wk
+  FROM kk
+  JOIN binom b1 ON b1.mm = kk.r1 AND b1.j = kk.k
+  JOIN binom b2 ON b2.mm = kk.r2 AND b2.j = kk.c1 - kk.k
+),
+tot AS (
+  SELECT bb.v AS wt FROM binom bb JOIN m ON bb.mm = m.n AND bb.j = m.c1
+),
+wobs AS (SELECT wk AS wo FROM w JOIN m ON w.k = m.a)
+SELECT w.a, w.b, w.c, w.d,
+  round(CAST(sum(CASE WHEN wk <= wo THEN wk END) AS DOUBLE)
+        / CAST(wt AS DOUBLE), 12) AS p_two_sided,
+  round(CAST(sum(CASE WHEN k >= w.a THEN wk END) AS DOUBLE)
+        / CAST(wt AS DOUBLE), 12) AS p_greater,
+  round(CAST(sum(CASE WHEN k <= w.a THEN wk END) AS DOUBLE)
+        / CAST(wt AS DOUBLE), 12) AS p_less,
+  CASE WHEN w.a > 0 AND w.b > 0 AND w.c > 0 AND w.d > 0 THEN
+    round(CAST(w.a * w.d AS DOUBLE) / CAST(w.b * w.c AS DOUBLE), 12)
+  END AS odds_ratio
+FROM w, tot, wobs
+GROUP BY w.a, w.b, w.c, w.d, wt, wo
+"""
+
+
+QUERIES.append(Q("q283_fisher_exact", q283, Q283_ORACLE))

@@ -2328,3 +2328,79 @@ def test_weighted_sample_wor_matches_reference(spark):
     # excluded ids never appear even with k > eligible count
     allr = weighted_sample_wor(df, "id", "w", 100, seed=0).collect()
     assert {r["id"] for r in allr}.isdisjoint({2, 7, 14})
+
+
+def test_fisher_exact_matches_exact_fractions(spark):
+    """fisher_exact vs an independent exact-fractions reference over
+    several planted 2x2 tables, including zero cells and the
+    degenerate all-one-margin case."""
+    from fractions import Fraction
+    from math import comb
+
+    from parquet_on_fhir_spark.operators.analytics import fisher_exact
+
+    def ref(a, b, c, d):
+        r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+        wobs = comb(r1, a) * comb(r2, c1 - a)
+        tot = comb(n, c1)
+        ks = range(max(0, c1 - r2), min(r1, c1) + 1)
+        p2 = Fraction(
+            sum(
+                comb(r1, k) * comb(r2, c1 - k)
+                for k in ks
+                if comb(r1, k) * comb(r2, c1 - k) <= wobs
+            ),
+            tot,
+        )
+        pge = Fraction(
+            sum(comb(r1, k) * comb(r2, c1 - k) for k in ks if k >= a), tot
+        )
+        ple = Fraction(
+            sum(comb(r1, k) * comb(r2, c1 - k) for k in ks if k <= a), tot
+        )
+        return (
+            round(float(p2), 12),
+            round(float(pge), 12),
+            round(float(ple), 12),
+        )
+
+    tables = [
+        (8, 2, 1, 5),  # the classic tea-tasting-like small table
+        (0, 10, 10, 0),  # perfect separation
+        (3, 0, 0, 3),
+        (5, 5, 5, 5),  # perfectly balanced -> p_two = 1.0
+        (1, 9, 11, 3),
+        (20, 30, 25, 25),  # n = 100, near the DECIMAL envelope
+        (0, 0, 4, 6),  # empty exposure row margin
+    ]
+    for a, b, c, d in tables:
+        rows = (
+            [(True, True)] * a
+            + [(True, False)] * b
+            + [(False, True)] * c
+            + [(False, False)] * d
+        )
+        df = spark.createDataFrame(rows, ["e", "o"])
+        got = fisher_exact(df, "e", "o").collect()[0]
+        assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, d)
+        p2, pge, ple = ref(a, b, c, d)
+        assert got["p_two_sided"] == p2, (a, b, c, d, got["p_two_sided"], p2)
+        assert got["p_greater"] == pge
+        assert got["p_less"] == ple
+
+
+def test_fisher_exact_null_rows_excluded_and_envelope_guard(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import fisher_exact
+
+    rows = [(True, True), (True, None), (None, False), (False, False)]
+    df = spark.createDataFrame(rows, ["e", "o"])
+    got = fisher_exact(df, "e", "o").collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (1, 0, 0, 1)
+
+    big = spark.range(200).selectExpr(
+        "id % 2 = 0 AS e", "id % 3 = 0 AS o"
+    )
+    with pytest.raises(Exception, match="DECIMAL"):
+        fisher_exact(big, "e", "o").collect()

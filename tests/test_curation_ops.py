@@ -755,3 +755,72 @@ def test_weighted_sample_wor_per_group(spark):
         ).collect()
     }
     assert other != again
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.curation import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://Example.COM/A/B", "https://example.com/A/B"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com:443", "https://example.com/"),
+        ("https://www.example.com", "https://example.com/"),
+        ("  https://example.com/x  ", "https://example.com/x"),
+        ("https://example.com/x#sec?fake=1", "https://example.com/x"),
+        ("https://example.com/x?", "https://example.com/x"),
+        ("https://example.com/x?&&", "https://example.com/x"),
+        (
+            "https://example.com/x?utm_source=a&utm_medium=b",
+            "https://example.com/x",
+        ),
+        (
+            "https://example.com/x?z=1&gclid=g&a=2",
+            "https://example.com/x?a=2&z=1",
+        ),
+        # path case preserved, query VALUE case preserved
+        ("https://example.com/x?A=B", "https://example.com/x?A=B"),
+        # tracking name must match whole param name, not a prefix
+        (
+            "https://example.com/x?gclid2=keep",
+            "https://example.com/x?gclid2=keep",
+        ),
+        ("https://example.com///a//b/", "https://example.com/a/b"),
+        # non-http(s) & scheme-less: trimmed only (quarantine bucket)
+        ("ftp://host/x", "ftp://host/x"),
+        (" mailto:a@b ", "mailto:a@b"),
+        ("no-scheme/path?utm_source=1", "no-scheme/path?utm_source=1"),
+    ]
+    df = spark.createDataFrame(cases, ["raw", "expected"])
+    got = df.select(
+        "raw", "expected", canonicalize_url(F.col("raw")).alias("canon")
+    ).collect()
+    for r in got:
+        assert r["canon"] == r["expected"], (
+            f"{r['raw']!r}: got {r['canon']!r}, want {r['expected']!r}"
+        )
+
+
+def test_url_dedup_audit_clusters_and_keeper(spark):
+    from parquet_on_fhir_spark.operators.curation import url_dedup_audit
+
+    rows = [
+        (10, "https://a.com/p"),
+        (3, "HTTPS://A.com:443/p/"),
+        (7, "https://www.a.com/p?utm_source=x"),
+        (8, "https://a.com/q"),
+        (9, "https://b.com/p"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = {
+        r["canonical_url"]: r
+        for r in url_dedup_audit(df, "url", "id").collect()
+    }
+    assert set(out) == {"https://a.com/p"}
+    c = out["https://a.com/p"]
+    assert c["n_variants"] == 3
+    assert c["n_distinct_raw"] == 3
+    assert c["keeper_id"] == 3
