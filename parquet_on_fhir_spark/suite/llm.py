@@ -3898,3 +3898,75 @@ FROM canon GROUP BY canonical_url HAVING count(*) > 1
 
 
 QUERIES.append(Q("q282_url_dedup_audit", q282, Q282_ORACLE))
+
+
+# --- Q284: lossless WebP (VP8L) real decode -------------------------------------------
+def q284(spark, sf_dir):
+    """operators/multimodal.py::decode_webp end-to-end (r12 wave 3):
+    200 genuine lossless WebP files — 8x8 two-tone images (rows 0-3
+    gray g, rows 4-7 its inverse) carrying REAL VP8L entropy streams
+    (canonical prefix codes with the full code-length-coded
+    serialization; every even g additionally LZ77-codes its runs
+    through the 2D distance map and a 1-bit color cache) — broadcast
+    onto documents and decoded by the pure-python VP8L codec inside
+    mapInPandas. Lossless means decode is EXACT, so the closed-form
+    oracle pins lum_00 = g/255 and lum_77 = (255-g)/255 with no
+    tolerance beyond d4. Same plan shape as q255/q270: the fact side
+    never shuffles. Lossy VP8 payloads route to the decode_real PIL
+    seam (module docstring)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_webp_lossless,
+        extract_features,
+        numpy_features,
+    )
+
+    def make(g: int) -> bytearray:
+        img = np.empty((8, 8, 3), dtype=np.uint8)
+        img[:4] = g
+        img[4:] = 255 - g
+        return bytearray(encode_webp_lossless(img, use_lz77=(g % 2 == 0)))
+
+    payloads = [(g, make(g)) for g in range(28, 228)]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/webp").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q284_ORACLE = """
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       CAST(8.0 AS DOUBLE) AS f_width,
+       CAST(8.0 AS DOUBLE) AS f_height,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_00,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_mid,
+       round((255 - (doc_id % 200 + 28)) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q284_webp_lossless_real_decode", q284, Q284_ORACLE))
