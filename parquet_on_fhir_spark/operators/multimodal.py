@@ -2930,3 +2930,57 @@ def encode_webp_lossless(pixels, use_lz77: bool = False) -> bytes:
         vp8l += b"\x00"
     riff_size = 4 + len(vp8l)
     return b"RIFF" + riff_size.to_bytes(4, "little") + b"WEBP" + vp8l
+
+
+def wav_spectral_features(content: bytes, mime: str | None = None) -> list[float]:
+    """REAL spectral feature codec: decode PCM WAV, mono mixdown, ONE
+    rFFT over the whole clip (rectangular window — a bin-exact tone
+    therefore yields a delta spectrum, which is what makes the
+    driver's closed-form oracle possible), then the 7 spectral shape
+    features an audio-curation pipeline gates on:
+
+    [sample_rate, n_samples, dominant_hz, centroid_hz, rolloff85_hz,
+    bandwidth_hz, flatness]
+
+    - dominant_hz: argmax-magnitude bin (DC excluded) → Hz;
+    - centroid_hz: Σ f·|X|² / Σ|X|² (brightness; POWER weighting —
+      16-bit quantization noise then contributes (noise/peak)² ≈ 1e-7
+      relative, so a pure tone's centroid is its frequency to < 1e-3
+      Hz, which is what lets the driver oracle pin it at 4 dp);
+    - rolloff85_hz: lowest f where cumulative |X|² ≥ 85 % (harshness);
+    - bandwidth_hz: power-weighted std around the centroid;
+    - flatness: geometric/arithmetic mean of |X|² (tonality: ~1 noise,
+      ~0 pure tone), 1e-12 floor under the log.
+
+    Per-payload numpy cost like every codec here (module docstring:
+    production crawl volume belongs on the decode_real/soundfile
+    seam); non-PCM payloads fall back to the 7-dim stand-in slice so
+    the feature column stays fixed-width."""
+    import numpy as np
+
+    try:
+        sr, _ch, x = decode_wav(content)
+    except ValueError:
+        return (stand_in_features(content, mime) + [0.0, 0.0])[:7]
+    mono = x.mean(axis=1)
+    n = len(mono)
+    if n < 2:
+        return [float(sr), float(n), 0.0, 0.0, 0.0, 0.0, 0.0]
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    m = mag.copy()
+    m[0] = 0.0  # DC carries no pitch information
+    power = m * m
+    tot = float(power.sum())
+    if tot <= 0.0:
+        return [float(sr), float(n), 0.0, 0.0, 0.0, 0.0, 0.0]
+    dominant = float(freqs[int(np.argmax(m))])
+    centroid = float((freqs * power).sum() / tot)
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * cum[-1]))])
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum() / tot))
+    p = power[1:]
+    flatness = float(
+        np.exp(np.mean(np.log(p + 1e-12))) / (np.mean(p) + 1e-12)
+    )
+    return [float(sr), float(n), dominant, centroid, rolloff, bandwidth, flatness]

@@ -3970,3 +3970,75 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q284_webp_lossless_real_decode", q284, Q284_ORACLE))
+
+
+# --- Q285: audio spectral features (rFFT) ---------------------------------------------
+def q285(spark, sf_dir):
+    """operators/multimodal.py::wav_spectral_features end-to-end (r12
+    wave 3): 50 genuine 16-bit PCM WAV clips, each a bin-exact pure
+    tone at 4*k Hz (sr 8192, n 2048 -> bin width exactly 4 Hz, so
+    every spectral feature has a CLOSED FORM: rectangular window +
+    bin-exact frequency = delta spectrum), broadcast onto documents
+    and decoded by the pure-python rFFT codec inside mapInPandas.
+    Power-weighted centroid makes 16-bit quantization noise
+    contribute only (noise/peak)^2 ~ 1e-7, so dominant/centroid/
+    rolloff all pin to 4*k at 4 dp and flatness to 0. Same broadcast
+    plan shape as q193/q284; scale cost is per payload (module
+    docstring: production volume belongs on the soundfile seam)."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_wav,
+        extract_features,
+        wav_spectral_features,
+    )
+
+    sr, n = 8192, 2048
+
+    def make(k: int) -> bytearray:
+        t_ = np.arange(n)
+        sig = (12000 * np.sin(2 * np.pi * k * t_ / n)).astype(np.int16)
+        return bytearray(encode_wav(sig, sr))
+
+    payloads = [(k, make(k)) for k in range(10, 60)]
+    pay = spark.createDataFrame(payloads, "k INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 50 + 10).cast("int") == F.col("k")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(250).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=wav_spectral_features)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feat", 1), 4).alias("sample_rate"),
+        F.round(F.element_at("feat", 2), 4).alias("n_samples"),
+        F.round(F.element_at("feat", 3), 4).alias("dominant_hz"),
+        d4(F.element_at("feat", 4)).alias("centroid_hz"),
+        F.round(F.element_at("feat", 5), 4).alias("rolloff85_hz"),
+        d4(F.element_at("feat", 7)).alias("flatness"),
+    )
+
+
+Q285_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(8192.0 AS DOUBLE) AS sample_rate,
+       CAST(2048.0 AS DOUBLE) AS n_samples,
+       CAST(4 * (doc_id % 50 + 10) AS DOUBLE) AS dominant_hz,
+       round(4 * (doc_id % 50 + 10) + 1e-9, 4) AS centroid_hz,
+       CAST(4 * (doc_id % 50 + 10) AS DOUBLE) AS rolloff85_hz,
+       round(1e-9, 4) AS flatness
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q285_audio_spectral_features", q285, Q285_ORACLE))

@@ -882,3 +882,44 @@ def test_vocab_richness_known_values(spark):
     # ungrouped: one row over the pooled spectrum
     (tot,) = vocab_richness(docs, "text").collect()
     assert (tot.n_tokens, tot.vocab) == (8, 5)
+
+
+def test_wav_spectral_features_pure_tone_and_noise():
+    """Spectral codec vs closed forms: a bin-exact tone pins dominant/
+    centroid/rolloff to the tone frequency with ~0 bandwidth/flatness;
+    uniform noise drives flatness toward 1; a two-tone clip lands the
+    centroid at the power-weighted mean and rolloff on the upper tone."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_wav,
+        wav_spectral_features,
+    )
+
+    sr, n = 8192, 2048
+    t = np.arange(n)
+    tone = (12000 * np.sin(2 * np.pi * 37 * t / n)).astype(np.int16)
+    f = wav_spectral_features(encode_wav(tone, sr))
+    assert f[0] == sr and f[1] == n
+    assert f[2] == 37 * 4  # dominant
+    assert abs(f[3] - 37 * 4) < 1e-3  # centroid
+    assert f[4] == 37 * 4  # rolloff
+    assert f[5] < 0.2  # bandwidth ~ quantization noise only
+    assert f[6] < 1e-4  # flatness ~ 0 for a pure tone
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(-12000, 12000, size=n).astype(np.int16)
+    fn = wav_spectral_features(encode_wav(noise, sr))
+    assert fn[6] > 0.5  # white noise is spectrally flat
+
+    two = (
+        6000 * np.sin(2 * np.pi * 20 * t / n)
+        + 6000 * np.sin(2 * np.pi * 60 * t / n)
+    ).astype(np.int16)
+    f2 = wav_spectral_features(encode_wav(two, sr))
+    assert abs(f2[3] - (20 * 4 + 60 * 4) / 2) < 1.0  # equal-power mean
+    assert f2[4] == 60 * 4  # 85% rolloff needs the upper tone
+    assert f2[2] in (20 * 4, 60 * 4)
+
+    # stand-in fallback keeps the 7-dim width
+    assert len(wav_spectral_features(b"not audio at all")) == 7
