@@ -81,22 +81,30 @@ WINDOW = [
     "q273_containment_pairs",
     "q274_mann_kendall",
     "q280_geo_radius_join",
-    # -- r5-vintage cohort (entire tier refreshed: after r12 the
-    #    oldest lifetime row is r6)
+    # -- r12 wave-3 debuts (debuts-land-with-a-driver-row rule; each
+    #    displaces one r5-cohort row whose family keeps other slots:
+    #    q74 ceded (q74b holds the quality family), q59 ceded (the
+    #    streaming family holds q52-q57), q72 ceded (q71 holds the
+    #    text family), q89 ceded (the agg-join shape is anchored by
+    #    the q00 flagship + q93's TPC-H slot). The ceded rows stay
+    #    r5-vintage, which still meets the r11 verdict's "no green
+    #    older than r5" bar.
+    "q282_url_dedup_audit",
+    "q283_fisher_exact",
+    "q284_webp_lossless_real_decode",
+    "q285_audio_spectral_features",
+    # -- r5-vintage cohort (refreshed through r12 minus the four
+    #    family-covered cedes above: oldest lifetime row stays r5)
     "q23_agg_approx_distinct",
     "q48_map_funcs",
     "q54_window_sliding",
     "q55_window_session",
     "q56_stream_watermark",
     "q57_dedup_keep_first",
-    "q59_stream_static_join",
     "q67c_dedup_minhash_md5",
-    "q72_term_idf",
     "q73_multimodal_features",
-    "q74_quality_filter",
     "q86c_curation_pipeline_md5",
     "q87_merge_upsert",
-    "q89_tpch_q18",
     "q91_embedding_near_dup",
     "q93_tpch_q22_not_exists",
     "q94_clustered_write",
