@@ -4536,6 +4536,21 @@ def isotonic_fit(
     return work.groupBy(*group_cols).applyInPandas(per_group, schema=schema)
 
 
+def _binom_fold_sql(m: str, j: str) -> str:
+    """SQL expression for C(m, j) by the exact Pascal ratio recurrence,
+    folded in DECIMAL(38,0): acc*(m-i+1) is always divisible by i (it
+    equals C(m,i)*i), so the capped-scale decimal division is exact at
+    every step.  Shared by :func:`fisher_exact` / :func:`mcnemar_exact`;
+    exact while C(m, ⌊m/2⌋)·m fits DECIMAL(38,0), i.e. m ≤ 120."""
+    return (
+        f"aggregate(CASE WHEN {j} > 0 "
+        f"THEN sequence(1L, CAST({j} AS BIGINT)) "
+        f"ELSE CAST(array() AS array<bigint>) END, "
+        f"CAST(1 AS DECIMAL(38,0)), "
+        f"(acc, i) -> CAST(acc * ({m} - i + 1) / i AS DECIMAL(38,0)))"
+    )
+
+
 def fisher_exact(
     df: DataFrame,
     exposure_col: str,
@@ -4596,18 +4611,7 @@ def fisher_exact(
         (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
     )
 
-    def binom(m: str, j: str) -> str:
-        # C(m, j) by the exact ratio recurrence, DECIMAL(38,0) fold.
-        # acc*(m-i+1) is always divisible by i (it equals C(m,i)*i),
-        # so the capped-scale decimal division is exact.
-        return (
-            f"aggregate(CASE WHEN {j} > 0 "
-            f"THEN sequence(1L, CAST({j} AS BIGINT)) "
-            f"ELSE CAST(array() AS array<bigint>) END, "
-            f"CAST(1 AS DECIMAL(38,0)), "
-            f"(acc, i) -> CAST(acc * ({m} - i + 1) / i AS DECIMAL(38,0)))"
-        )
-
+    binom = _binom_fold_sql
     w_of = lambda k: (  # noqa: E731 — local formula, used twice
         f"CAST({binom('r1', k)} * {binom('r2', f'(c1 - {k})')} "
         f"AS DECIMAL(38,0))"
@@ -4673,5 +4677,89 @@ def fisher_exact(
                 / (F.col("b") * F.col("c")).cast("double"),
                 12,
             ),
+        ).alias("odds_ratio"),
+    )
+
+
+def mcnemar_exact(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+    max_n: int = 120,
+) -> DataFrame:
+    """McNemar's exact test on PAIRED binary outcomes — "did the rate
+    change between two measurements of the SAME subjects?" (pre/post
+    intervention, two time windows, two model versions scored on one
+    eval set).  The unpaired tests (:func:`proportions_ztest`,
+    :func:`fisher_exact`) are wrong here: concordant pairs carry no
+    information, so only the b (1→0) and c (0→1) discordant counts
+    enter, and under H₀ each discordant pair is a fair coin.
+
+    Exact binomial form (the χ²-approximation variant needs b+c ≳ 25;
+    the exact tail is valid always): p_two = min(1, 2·Σ_{k ≤ min(b,c)}
+    C(n,k)/2ⁿ) with n = b+c.  Integer-exact per the fisher_exact
+    discipline — binomials via the shared DECIMAL(38,0) Pascal fold
+    (:func:`_binom_fold_sql`), tail summed as exact integers, ONE
+    division by 2ⁿ at the end, so a SQL twin running the same
+    recurrence matches bit-for-bit.  n > ``max_n`` raises toward the
+    χ² form (same DECIMAL envelope as fisher_exact).
+
+    Plan: ONE hash aggregate to (n_pairs, b, c) — the fact side never
+    shuffles — then a ≤61-row exploded k-grid of JVM expression folds.
+
+    Output: 1 row — (n_pairs, b, c, p_two_sided, odds_ratio);
+    odds_ratio = b/c (NULL when c = 0), p rounded to 12 dp.
+    """
+    pre = F.col(before_col).cast("boolean")
+    post = F.col(after_col).cast("boolean")
+    cells = (
+        df.filter(pre.isNotNull() & post.isNotNull())
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(pre & ~post, 1).otherwise(0)).alias("b"),
+            F.sum(F.when(~pre & post, 1).otherwise(0)).alias("c"),
+        )
+    )
+    base = cells.withColumn("n", F.col("b") + F.col("c"))
+    grid = base.select(
+        "n_pairs",
+        "b",
+        "c",
+        "n",
+        F.explode(
+            F.expr("sequence(0L, least(b, c))")
+        ).alias("k"),
+    ).withColumn("w_k", F.expr(_binom_fold_sql("n", "k")))
+    out = grid.groupBy("n_pairs", "b", "c", "n").agg(
+        F.sum("w_k").alias("__tail")
+    )
+    guard = F.when(
+        F.col("n") > max_n,
+        F.raise_error(
+            F.lit(
+                f"mcnemar_exact: b + c > {max_n} exceeds the "
+                "DECIMAL(38,0) exact-binomial envelope — use the "
+                "chi-square form at this sample size"
+            )
+        ).cast("double"),
+    )
+    two_pow_n = F.expr(
+        "aggregate(CASE WHEN n > 0 THEN sequence(1L, n) "
+        "ELSE CAST(array() AS array<bigint>) END, "
+        "CAST(1 AS DECIMAL(38,0)), (acc, i) -> CAST(acc * 2 AS DECIMAL(38,0)))"
+    )
+    p_raw = F.col("__tail").cast("double") / two_pow_n.cast("double")
+    return out.select(
+        "n_pairs",
+        "b",
+        "c",
+        guard.otherwise(
+            F.when(F.col("n") == 0, F.lit(1.0)).otherwise(
+                F.round(F.least(F.lit(1.0), 2.0 * p_raw), 12)
+            )
+        ).alias("p_two_sided"),
+        F.when(
+            F.col("c") > 0,
+            F.round(F.col("b").cast("double") / F.col("c").cast("double"), 12),
         ).alias("odds_ratio"),
     )

@@ -7384,3 +7384,80 @@ GROUP BY w.a, w.b, w.c, w.d, wt, wo
 
 
 QUERIES.append(Q("q283_fisher_exact", q283, Q283_ORACLE))
+
+
+# --- Q286: McNemar's exact paired test ------------------------------------------------
+def q286(spark, sf_dir):
+    """McNemar's exact test (operators/analytics.py::mcnemar_exact,
+    r12 wave 3): nation-1 customers measured TWICE — ordered in the
+    early era (< 1998) vs the late era (>= 1998) — the paired design
+    where fisher/z-tests are wrong because each customer is their own
+    control and concordant pairs carry no information. Exact binomial
+    tail over the discordant counts via the shared DECIMAL(38,0)
+    Pascal fold; 2^n is a power of two, hence EXACT in double, so the
+    single final division matches the HUGEINT recursive-CTE oracle
+    bit-for-bit."""
+    from parquet_on_fhir_spark.operators.analytics import mcnemar_exact
+
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 1
+    ).select("c_custkey")
+    flags = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(
+                (F.col("o_orderdate") < F.lit("1998-01-01")).cast("int")
+            ).alias("pre_i"),
+            F.max(
+                (F.col("o_orderdate") >= F.lit("1998-01-01")).cast("int")
+            ).alias("post_i"),
+        )
+    )
+    paired = cust.join(flags, "c_custkey", "left").select(
+        F.coalesce(F.col("pre_i") == 1, F.lit(False)).alias("pre"),
+        F.coalesce(F.col("post_i") == 1, F.lit(False)).alias("post"),
+    )
+    return mcnemar_exact(paired, "pre", "post")
+
+
+Q286_ORACLE = """
+WITH paired AS (
+  SELECT
+    EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate < TIMESTAMP '1998-01-01') AS pre,
+    EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1998-01-01') AS post
+  FROM customer c WHERE c_nationkey = 1
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN pre AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT pre AND post THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM paired
+),
+m AS (SELECT n_pairs, b, c, b + c AS n FROM cells),
+binom AS (
+  WITH RECURSIVE bb(j, v) AS (
+    SELECT 0, CAST(1 AS HUGEINT) FROM m
+    UNION ALL
+    SELECT j + 1, v * ((SELECT n FROM m) - j) // (j + 1)
+    FROM bb WHERE j < (SELECT n FROM m)
+  )
+  SELECT * FROM bb
+),
+tail AS (
+  SELECT sum(v) AS tl FROM binom, m WHERE j <= least(m.b, m.c)
+)
+SELECT m.n_pairs, m.b, m.c,
+  CASE WHEN m.n = 0 THEN 1.0
+       ELSE round(least(1.0, 2 * CAST(tl AS DOUBLE) / power(2, m.n)), 12)
+  END AS p_two_sided,
+  CASE WHEN m.c > 0 THEN
+    round(CAST(m.b AS DOUBLE) / CAST(m.c AS DOUBLE), 12)
+  END AS odds_ratio
+FROM m, tail
+"""
+
+
+QUERIES.append(Q("q286_mcnemar_exact", q286, Q286_ORACLE))

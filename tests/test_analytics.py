@@ -2404,3 +2404,56 @@ def test_fisher_exact_null_rows_excluded_and_envelope_guard(spark):
     )
     with pytest.raises(Exception, match="DECIMAL"):
         fisher_exact(big, "e", "o").collect()
+
+
+def test_mcnemar_exact_matches_binomial_reference(spark):
+    from math import comb
+
+    from parquet_on_fhir_spark.operators.analytics import mcnemar_exact
+
+    tables = [  # (n11, b, c, n00) — concordant counts must NOT matter
+        (10, 3, 9, 5),
+        (0, 7, 7, 0),  # b == c → p = 1.0
+        (50, 0, 6, 2),  # zero b margin
+        (4, 0, 0, 4),  # no discordant pairs at all
+        (1, 25, 12, 1),
+    ]
+    for n11, b, c, n00 in tables:
+        rows = (
+            [(True, True)] * n11
+            + [(True, False)] * b
+            + [(False, True)] * c
+            + [(False, False)] * n00
+        )
+        df = spark.createDataFrame(rows, ["pre", "post"])
+        got = mcnemar_exact(df, "pre", "post").collect()[0]
+        assert got["n_pairs"] == n11 + b + c + n00
+        assert (got["b"], got["c"]) == (b, c)
+        n = b + c
+        if n == 0:
+            want = 1.0
+        else:
+            tail = sum(comb(n, k) for k in range(0, min(b, c) + 1))
+            want = round(min(1.0, 2 * tail / 2**n), 12)
+        assert got["p_two_sided"] == want, (b, c, got["p_two_sided"], want)
+        if c > 0:
+            assert got["odds_ratio"] == round(b / c, 12)
+        else:
+            assert got["odds_ratio"] is None
+
+
+def test_mcnemar_exact_null_pairs_and_envelope(spark):
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import mcnemar_exact
+
+    df = spark.createDataFrame(
+        [(True, False), (None, True), (False, None), (False, True)],
+        ["pre", "post"],
+    )
+    got = mcnemar_exact(df, "pre", "post").collect()[0]
+    assert got["n_pairs"] == 2 and (got["b"], got["c"]) == (1, 1)
+
+    big = spark.range(300).selectExpr("id % 2 = 0 AS pre", "id % 3 = 0 AS post")
+    with pytest.raises(Exception, match="DECIMAL"):
+        mcnemar_exact(big, "pre", "post").collect()
