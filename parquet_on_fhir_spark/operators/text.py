@@ -1050,3 +1050,85 @@ def unicode_normalization_audit(
             "len_after int"
         ),
     )
+
+
+def bpe_encode(
+    df,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply a TRAINED ordered BPE merge list to a corpus — the
+    tokenizer-apply half of the loop :func:`bpe_train_merges` trains:
+    per-document token counts are what mixture weighting, sequence
+    packing and cost estimation all consume, and fertility
+    (tokens/word) is the standard tokenizer-fit metric.
+
+    Scalable shape (same trick as training): the corpus is touched
+    ONCE — one hash aggregate to the DISTINCT-WORD frame — and the
+    K merges run as one composed Catalyst projection over that
+    vocabulary-sized frame (chained ``regexp_replace``, leftmost
+    non-overlapping = BPE's greedy application; lookarounds keep the
+    space delimiters unconsumed).  The per-word token counts then
+    broadcast-join back onto the exploded corpus (vocabulary ≪
+    corpus — the 100 TB posture), and one per-doc aggregate sums
+    them.  Tokens-per-word for a FIXED merge list is a pure function
+    of the word, so the whole operator is SQL-restatable (the oracle
+    uses the space-doubling form of the same chain, since RE2 lacks
+    lookbehind).
+
+    ``merges``: ordered (left, right) symbol pairs, training order
+    (symbols may include the ``</w>`` end-of-word marker).
+
+    Output: one row per input row — (id, n_words, n_tokens,
+    fertility); empty/whitespace docs get 0/0/NULL.
+    """
+    import re as _re
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("w"),
+    )
+    vocab = words.select("w").distinct()
+    sym = F.concat_ws(
+        " ",
+        F.concat(
+            F.filter(F.split("w", ""), lambda c: F.length(c) > 0),
+            F.array(F.lit("</w>")),
+        ),
+    )
+    for left, right in merges:
+        pat = (
+            "(?<=^| )" + _re.escape(left) + " " + _re.escape(right)
+            + "(?=$| )"
+        )
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        sym = F.regexp_replace(sym, pat, repl)
+    counts = vocab.select("w", F.size(F.split(sym, " ")).alias("__wt"))
+    per_doc = (
+        words.join(F.broadcast(counts), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__wt").alias("n_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+            ).alias("fertility"),
+        )
+    )

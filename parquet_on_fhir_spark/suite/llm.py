@@ -4042,3 +4042,90 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q285_audio_spectral_features", q285, Q285_ORACLE))
+
+
+# --- Q287: BPE tokenizer apply (encode) -----------------------------------------------
+#: fixed literal merge chain (training order) — forms `table</w>` and
+#: `scan</w>` over the corpus vocabulary; the SAME list is inlined in
+#: the oracle below, so the whole encode is hash-checkable end-to-end.
+_Q287_MERGES = [
+    ("a", "b"),
+    ("e", "</w>"),
+    ("t", "ab"),
+    ("tab", "l"),
+    ("tabl", "e</w>"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("sca", "n</w>"),
+]
+
+
+def q287(spark, sf_dir):
+    """BPE tokenizer APPLY (operators/text.py::bpe_encode, r12 wave 3
+    — the other half of q277's training loop): a fixed 8-merge chain
+    tokenizes every document; per-doc token counts + fertility are
+    what mixture weighting / packing / cost estimation consume. The
+    corpus is aggregated ONCE to the distinct-word frame, the merge
+    chain is one composed Catalyst projection over that
+    vocabulary-sized frame, and the counts broadcast back — the 100 TB
+    posture. The oracle reruns the SAME greedy leftmost-non-overlap
+    chain per word in DuckDB via the space-doubling RE2 form (RE2 has
+    no lookbehind), proving the application semantics, not just the
+    counts."""
+    from parquet_on_fhir_spark.operators.text import bpe_encode
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bpe_encode(d, _Q287_MERGES)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        d4(F.col("fertility")).alias("fertility"),
+    )
+
+
+def _q287_oracle() -> str:
+    import re as _re
+
+    expr = "array_to_string(string_split(w, ''), ' ') || ' </w>'"
+    # NOTE: the char-join above then merge chain below; each merge is
+    # the space-doubling leftmost-non-overlap form validated in tests
+    for left, right in _Q287_MERGES:
+        pat = " " + _re.escape(left) + "  " + _re.escape(right) + " "
+        rep = " " + left + right + " "
+        expr = (
+            "trim(regexp_replace(regexp_replace(' ' || replace("
+            + expr
+            + ", ' ', '  ') || ' ', '"
+            + pat.replace("'", "''")
+            + "', '"
+            + rep.replace("'", "''")
+            + "', 'g'), ' +', ' ', 'g'))"
+        )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents
+),
+vocab AS (SELECT DISTINCT w FROM words),
+tok AS (
+  SELECT w, len(string_split({expr}, ' ')) AS wt FROM vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(wt) AS BIGINT) AS n_tokens
+  FROM words JOIN tok USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       CASE WHEN p.n_words > 0 THEN
+         round(CAST(p.n_tokens AS DOUBLE) / p.n_words + 1e-9, 4)
+       END AS fertility
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+QUERIES.append(Q("q287_bpe_encode", q287, _q287_oracle()))

@@ -769,3 +769,76 @@ def test_heaps_law_matches_numpy_fit(spark):
     assert row["tokens_total"] == 14 and row["vocab_total"] == 6
     assert abs(row["beta"] - beta) < 1e-9
     assert abs(row["k"] - math.exp(lnk)) < 1e-9
+
+
+def test_bpe_encode_matches_independent_reference(spark):
+    """bpe_encode (merge APPLICATION) vs an independent pure-python
+    greedy leftmost-non-overlap BPE applier, including overlapping
+    same-symbol chains, regex-special symbols, fully-merged words,
+    and empty documents."""
+    from parquet_on_fhir_spark.operators.text import bpe_encode
+
+    merges = [
+        ("a", "b"),
+        ("e", "</w>"),
+        ("t", "ab"),
+        ("tab", "l"),
+        ("tabl", "e</w>"),
+        ("a", "a"),  # overlapping chain: "aaa" -> ["aa", "a"]
+        (".", "*"),  # regex-special symbols must be escaped
+    ]
+
+    def ref_tokens(word):
+        t = list(word) + ["</w>"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == left and t[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            t = out
+        return t
+
+    docs = [
+        (0, "table tableau stable"),
+        (1, "aaa aaaa ab"),
+        (2, "x.*y .* table"),
+        (3, "   "),
+        (4, "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    for i, text in docs:
+        ws = [w for w in text.lower().split() if w]
+        want_tok = sum(len(ref_tokens(w)) for w in ws)
+        g = got[i]
+        assert (g["n_words"], g["n_tokens"]) == (len(ws), want_tok), (
+            i, dict(g.asDict()), len(ws), want_tok,
+        )
+        if ws:
+            assert g["fertility"] == want_tok / len(ws)
+        else:
+            assert g["fertility"] is None
+
+
+def test_bpe_encode_roundtrips_training(spark):
+    """merges produced by bpe_train_merges feed bpe_encode directly:
+    fertility must strictly improve (fewer tokens) as merges apply."""
+    from parquet_on_fhir_spark.operators.text import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = [(i, "lower lowest newer newest low new") for i in range(3)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    trained = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(df, rounds=6).collect()
+    ]
+    assert len(trained) == 6
+    none_ = bpe_encode(df, []).collect()[0]["n_tokens"]
+    some = bpe_encode(df, trained).collect()[0]["n_tokens"]
+    assert some < none_
