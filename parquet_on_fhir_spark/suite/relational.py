@@ -7461,3 +7461,53 @@ FROM m, tail
 
 
 QUERIES.append(Q("q286_mcnemar_exact", q286, Q286_ORACLE))
+
+
+# --- Q288: dynamic partition pruning --------------------------------------------------
+def q288(spark, sf_dir):
+    """Dynamic partition pruning end-to-end (r12 wave 3): orders
+    written partitioned by order YEAR, then joined to a FILTERED tiny
+    dimension on the partition column — the scan must prune to the
+    dimension's years at RUNTIME (the filter value is only known
+    after the broadcast build), which is Catalyst's DPP: the physical
+    scan carries `PartitionFilters: [dynamicpruning#...]` and only
+    those year directories are read. At 100 TB this is THE mechanism
+    that turns a fact-dim join over a date-partitioned lake into a
+    partial scan; the plan shape is pinned in
+    tests/test_scale_plans.py. Result is pure relational (revenue per
+    kept year), so the oracle needs no partitioned layout."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    base = tempfile.mkdtemp(prefix="pofs_dpp_")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("o_year"))
+        .distinct()
+        .filter(F.col("o_year").isin(1996, 1999))
+        .withColumn("era", F.lit("kept"))
+    )
+    joined = fact.join(F.broadcast(dim), "o_year")
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.count("*").alias("n"),
+            d2(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .select(F.col("o_year").cast("int").alias("o_year"), "n", "revenue")
+    )
+
+
+Q288_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1999)
+GROUP BY 1
+"""
+
+
+QUERIES.append(Q("q288_dynamic_partition_pruning", q288, Q288_ORACLE))

@@ -623,3 +623,16 @@ def test_grid_radius_join_is_equi_join_not_cartesian(spark):
     plan = plan_of(grid_radius_join(points, probes, 400.0))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_plan(spark, sf_dir):
+    """q288's physical scan must carry a dynamicpruning partition
+    filter on the year-partitioned fact side — the runtime-pruned scan
+    that makes date-partitioned fact-dim joins partial reads at scale
+    — and the dim side must broadcast."""
+    from parquet_on_fhir_spark.suite.relational import q288
+
+    p = plan_of(q288(spark, sf_dir))
+    assert "dynamicpruning" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
