@@ -97,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--filter", dest="text_filter", help="$expand text filter (code or display substring)")
     exp.add_argument("--display-language", help="$expand displayLanguage: designation language for displays")
     exp.add_argument("--include-designations", action="store_true", help="$expand includeDesignations: one row per designation")
+    exp.add_argument("--active-only", action="store_true", help="$expand activeOnly: drop concepts asserted inactive/retired/deprecated")
     exp.add_argument("--versioned", action="store_true", help="resolve url|version canonical pins and include.version (expand_versioned)")
 
     trn = sub.add_parser(
@@ -325,6 +326,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.text_filter is not None
             or args.display_language is not None
             or args.include_designations
+            or args.active_only
         )
         if args.versioned:
             if wants_operation:
@@ -343,6 +345,7 @@ def main(argv: list[str] | None = None) -> int:
                 text_filter=args.text_filter,
                 display_language=args.display_language,
                 include_designations=args.include_designations,
+                active_only=args.active_only,
             )
         else:
             out = expand_valueset(vs, cs)

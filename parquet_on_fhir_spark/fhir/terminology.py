@@ -756,6 +756,7 @@ def expand_operation(
     text_filter: str | None = None,
     display_language: str | None = None,
     include_designations: bool = False,
+    active_only: bool = False,
 ) -> DataFrame:
     """ValueSet ``$expand`` with the R4 operation's paging parameters
     (hl7.org/fhir/R4/valueset-operation-expand.html — ``count``,
@@ -785,7 +786,16 @@ def expand_operation(
       ``includeDesignations``: every designation of a page row comes
       back as (d_language, d_value) columns, rows multiplying per
       designation (the qf37 $lookup convention) AFTER paging, so
-      rn/total keep counting CONCEPTS, not designation rows.
+      rn/total keep counting CONCEPTS, not designation rows;
+    * ``active_only`` — the operation's ``activeOnly`` (r12 wave 3):
+      drops concepts asserted inactive by their CodeSystem — the R4
+      concept-level conventions are the ``inactive`` boolean property
+      and ``status`` = retired/deprecated
+      (hl7.org/fhir/R4/codesystem-concept-properties.html) — via a
+      broadcast anti-join on the property frame, applied BEFORE
+      ordering/total so pages and ``expansion.total`` count the
+      active expansion (the default keeps inactive concepts, per the
+      operation's default of including them in expansions).
 
     Ordering uses a per-url window — a single-reducer sort, which is
     correct here because an expansion is terminology-sized metadata
@@ -803,9 +813,26 @@ def expand_operation(
         )
     from pyspark.sql import Window
 
+    if active_only and codesystems is None:
+        raise ValueError("active_only needs codesystems")
     exp = expand_valueset(valuesets, codesystems, closure=closure)
     if url is not None:
         exp = exp.filter(F.col("url") == url)
+    if active_only:
+        props = _concept_properties(codesystems)
+        inactive = props.filter(
+            (
+                (F.col("prop") == "inactive")
+                & (F.lower(F.col("pval")) == "true")
+            )
+            | (
+                (F.col("prop") == "status")
+                & F.col("pval").isin("retired", "deprecated")
+            )
+        ).select("system", "code")
+        exp = exp.join(
+            F.broadcast(inactive.distinct()), ["system", "code"], "left_anti"
+        )
     desig = None
     if display_language is not None or include_designations:
         if codesystems is None:

@@ -33,7 +33,9 @@ from parquet_on_fhir_spark.suite.common import Q
 #      in-window), qf48 (its terminology family holds five slots:
 #      qf43/qf44/qf45/qf46/qf47), q279 (its text-audit family q71
 #      is in-window) and q281 (its time-series family q269/q274 is
-#      in-window) cede their slots to the r5 freshness cohort.
+#      in-window) cede their slots to the r5 freshness cohort; the
+#      wave-3 late debut qf49 cedes likewise (its terminology family
+#      holds five slots: qf43-qf47).
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [
@@ -93,9 +95,15 @@ WINDOW = [
     "q283_fisher_exact",
     "q284_webp_lossless_real_decode",
     "q285_audio_spectral_features",
-    # -- r5-vintage cohort (refreshed through r12 minus the four
+    # -- wave-3 continuation debuts (same rule; cedes: q23 — its exact
+    #    twin q22 is r11-green and the HLL family holds q197's lifetime
+    #    row; q86c — the curation family holds q74b + the new q282;
+    #    q93 — the anti-join shape is held by q14 in-window)
+    "q286_mcnemar_exact",
+    "q287_bpe_encode",
+    "q288_dynamic_partition_pruning",
+    # -- r5-vintage cohort (refreshed through r12 minus the seven
     #    family-covered cedes above: oldest lifetime row stays r5)
-    "q23_agg_approx_distinct",
     "q48_map_funcs",
     "q54_window_sliding",
     "q55_window_session",
@@ -103,10 +111,8 @@ WINDOW = [
     "q57_dedup_keep_first",
     "q67c_dedup_minhash_md5",
     "q73_multimodal_features",
-    "q86c_curation_pipeline_md5",
     "q87_merge_upsert",
     "q91_embedding_near_dup",
-    "q93_tpch_q22_not_exists",
     "q94_clustered_write",
     "qf10_view_definition_observation",
 ]

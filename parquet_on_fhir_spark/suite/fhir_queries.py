@@ -3104,3 +3104,75 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf48_version_pinning", qf48, QF48_ORACLE))
+
+
+# --- qf49: $expand activeOnly / inactive-concept handling ------------------------------
+def qf49(spark, sf_dir):
+    """$expand activeOnly (fhir/terminology.py::expand_operation, r12
+    wave 3; R4 valueset-operation-expand.html): the operation's
+    activeOnly parameter drops concepts their CodeSystem asserts
+    inactive — both R4 concept-level conventions are honored (the
+    `inactive` boolean property AND `status` = retired/deprecated,
+    hl7.org/fhir/R4/codesystem-concept-properties.html), including on
+    NESTED child concepts; the filter lands BEFORE ordering, so rn
+    and expansion.total count the ACTIVE expansion (pages don't skip).
+    The default mode keeps inactive concepts, matching the
+    operation's default of including them in expansions. Same
+    broadcast-anti-join shape as qf40's fact-side validate: the
+    property frame is terminology-sized metadata."""
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.fhir.terminology import expand_operation
+
+    utc(spark)
+    cs_doc = {
+        "resourceType": "CodeSystem", "id": "cs-act", "status": "active",
+        "url": "http://example.org/cs/act", "content": "complete",
+        "concept": [
+            {"code": "alive"},
+            {"code": "flagged", "property": [
+                {"code": "inactive", "valueBoolean": True}]},
+            {"code": "old-name", "property": [
+                {"code": "status", "valueCode": "retired"}]},
+            {"code": "current", "property": [
+                {"code": "status", "valueCode": "active"}]},
+            {"code": "parent", "concept": [
+                {"code": "child-gone", "property": [
+                    {"code": "status", "valueCode": "deprecated"}]},
+                {"code": "child-kept"}]},
+        ],
+    }
+    vs_doc = [{
+        "resourceType": "ValueSet", "id": "vs-act", "status": "active",
+        "url": "http://example.org/ValueSet/act",
+        "compose": {"include": [{"system": "http://example.org/cs/act"}]},
+    }]
+    vs = _encode_doc(spark, vs_doc, "ValueSet")
+    cs = _encode_doc(spark, cs_doc, "CodeSystem")
+
+    def mode(tag, **kw):
+        return expand_operation(vs, cs, **kw).select(
+            F.lit(tag).alias("mode"), "code", "rn", "total"
+        )
+
+    return mode("all").unionByName(mode("active", active_only=True))
+
+
+QF49_ORACLE = """
+SELECT * FROM (VALUES
+  ('all', 'alive', 0, 7),
+  ('all', 'child-gone', 1, 7),
+  ('all', 'child-kept', 2, 7),
+  ('all', 'current', 3, 7),
+  ('all', 'flagged', 4, 7),
+  ('all', 'old-name', 5, 7),
+  ('all', 'parent', 6, 7),
+  ('active', 'alive', 0, 4),
+  ('active', 'child-kept', 1, 4),
+  ('active', 'current', 2, 4),
+  ('active', 'parent', 3, 4)
+) AS t(mode, code, rn, total)
+"""
+
+
+QUERIES.append(Q("qf49_expand_active_only", qf49, QF49_ORACLE))

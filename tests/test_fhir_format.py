@@ -1924,3 +1924,49 @@ def test_expand_versioned_pinning(spark):
     assert got["w-latest"] == {(cs_url, "new")}
     assert got["w-pin9"] == {(cs_url + "|9.0", "old")}
     assert "w-missing" not in got
+
+
+def test_expand_active_only_conventions(spark):
+    """activeOnly drops `inactive`-property and retired/deprecated
+    `status` concepts (incl. nested children) but NOT status=active;
+    without codesystems the parameter refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.fhir.terminology import expand_operation
+    from parquet_on_fhir_spark.suite.fhir_queries import _encode_doc
+
+    cs_doc = {
+        "resourceType": "CodeSystem", "id": "c", "status": "active",
+        "url": "http://x/cs", "content": "complete",
+        "concept": [
+            {"code": "a"},
+            {"code": "b", "property": [
+                {"code": "inactive", "valueBoolean": True}]},
+            {"code": "c", "property": [
+                {"code": "status", "valueCode": "retired"}]},
+            {"code": "d", "property": [
+                {"code": "status", "valueCode": "active"}]},
+            {"code": "e", "concept": [
+                {"code": "e1", "property": [
+                    {"code": "status", "valueCode": "deprecated"}]},
+                {"code": "e2", "property": [
+                    {"code": "inactive", "valueBoolean": False}]}]},
+        ],
+    }
+    vs_doc = {
+        "resourceType": "ValueSet", "id": "v", "status": "active",
+        "url": "http://x/vs",
+        "compose": {"include": [{"system": "http://x/cs"}]},
+    }
+    cs = _encode_doc(spark, cs_doc, "CodeSystem")
+    vs = _encode_doc(spark, vs_doc, "ValueSet")
+    active = {
+        r["code"]
+        for r in expand_operation(vs, cs, active_only=True).collect()
+    }
+    assert active == {"a", "d", "e", "e2"}
+    full = {r["code"] for r in expand_operation(vs, cs).collect()}
+    assert full == {"a", "b", "c", "d", "e", "e1", "e2"}
+    with pytest.raises(ValueError, match="active_only"):
+        expand_operation(vs, None, active_only=True)

@@ -58,6 +58,15 @@ PROBE_QUERIES = [
     # production posture is exact_dedup FIRST, then containment with
     # shingle_cap (SCALE_NOTES round-12 wave-2 note); the join shape
     # itself is the q67c/q113 anchor.
+    # round-12 wave 3 (q283 fisher / q286 mcnemar are EXCLUDED by
+    # design: both are small-sample exact tests whose DECIMAL(38,0)
+    # envelope guard deliberately REFUSES n > 120 — replication would
+    # trip the guard, which is the documented contract (use chi2/z at
+    # scale); their data-touching stage is one q21-shape aggregate.
+    # q284/q285 are fixture-bounded codec rows like q255/q263/q270):
+    "q282_url_dedup_audit",        # map-only canonicalization + ONE agg over SF-SCALED documents
+    "q287_bpe_encode",             # distinct-word agg + vocab-frame merge chain + broadcast-back over SF-SCALED documents
+    "q288_dynamic_partition_pruning",  # partitioned write + runtime-pruned scan over SF-SCALED orders
 ]
 
 
