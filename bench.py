@@ -101,6 +101,10 @@ HEADLINE = [
     # round-12 addition (new line, not a regression vs BENCH_r11):
     "q264_bloom_semi_join",            # 16KB-bitmap build + map-side Bloom prefilter before the
     #                                    exact semi join over SF-SCALED orders
+    # round-12 wave-3 additions (new lines, not regressions):
+    "q282_url_dedup_audit",            # crawl URL canonicalization (map-only regexp/array chain)
+    #                                    + ONE agg over SF-SCALED documents
+    "q287_bpe_encode",                 # distinct-word agg + vocab-frame merge chain + broadcast-back
 ]
 
 

@@ -1609,6 +1609,8 @@ def decode_pixels(content: bytes, mime: str | None = None):
         return decode_gif(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         return decode_webp(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(content)
     raise ValueError(f"no built-in codec for payload (mime={mime!r})")
 
 
@@ -2984,3 +2986,207 @@ def wav_spectral_features(content: bytes, mime: str | None = None) -> list[float
         np.exp(np.mean(np.log(p + 1e-12))) / (np.mean(p) + 1e-12)
     )
     return [float(sr), float(n), dominant, centroid, rolloff, bandwidth, flatness]
+
+
+# --- real image codec for baseline TIFF (no external library) ----------------------
+def _tiff_unpackbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits decompression (TIFF 6.0 §9): n in 0..127 →
+    copy n+1 literal bytes; n in -127..-1 → repeat next byte 1-n
+    times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes((data[i],)) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("TIFF: PackBits stream truncated")
+    return bytes(out[:expected])
+
+
+def decode_tiff(content: bytes):
+    """Baseline TIFF → (width, height, HxWx3 uint8 RGB) with NO codec
+    library — IFD walk in either byte order (II/MM), strip assembly,
+    uncompressed (1) and PackBits (32773) codecs, photometric 0/1
+    (gray, incl. min-is-white inversion), 2 (RGB) and 3 (palette,
+    16-bit color map scaled down), 8-bit samples, chunky planar
+    config.  The document-scan format of record — multi-page files
+    decode their FIRST page (the frame_sample convention).  Anything
+    outside that envelope (16-bit, tiled, LZW/JPEG-in-TIFF) raises
+    ValueError — quarantine/decode_real upstream, don't guess."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] == b"II*\x00":
+        bo = "<"
+    elif content[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (II*/MM* magic)")
+    (ifd_off,) = struct.unpack_from(bo + "I", content, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", content, ifd_off)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(
+            bo + "HHI", content, ifd_off + 2 + i * 12
+        )
+        voff = ifd_off + 2 + i * 12 + 8
+        size = type_size.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        if size > 4:
+            (voff,) = struct.unpack_from(bo + "I", content, voff)
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            if typ == 5:  # RATIONAL — resolution tags; keep numerators
+                vals = [
+                    struct.unpack_from(bo + "II", content, voff + 8 * k)[0]
+                    for k in range(cnt)
+                ]
+            else:
+                continue
+        else:
+            vals = list(
+                struct.unpack_from(bo + str(cnt) + fmt, content, voff)
+            )
+        tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF: missing required tag {e}")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8] * spp)
+    rows_per_strip = tags.get(278, [h])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF (bits per sample {bps})")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if planar != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    raw = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, remaining_rows)
+        expected = strip_rows * w * spp
+        chunk = content[off : off + cnt]
+        raw += (
+            _tiff_unpackbits(chunk, expected) if comp == 32773 else chunk
+        )
+        remaining_rows -= strip_rows
+    if len(raw) < h * w * spp:
+        raise ValueError("TIFF: strip data short of image size")
+    px = np.frombuffer(bytes(raw[: h * w * spp]), dtype=np.uint8).reshape(
+        h, w, spp
+    )
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("TIFF: RGB photometric needs >= 3 samples")
+        img = px[:, :, :3]  # extra samples (alpha) dropped, house rule
+    elif photo == 3:
+        cmap = tags.get(320)
+        if cmap is None:
+            raise ValueError("TIFF: palette image missing ColorMap")
+        n = len(cmap) // 3
+        pal = (
+            np.array(cmap, dtype=np.uint16)
+            .reshape(3, n)
+            .T
+            >> 8
+        ).astype(np.uint8)
+        img = pal[px[:, :, 0]]
+    else:  # gray; photometric 0 = min-is-white
+        g = px[:, :, 0]
+        if photo == 0:
+            g = 255 - g
+        img = np.repeat(g[:, :, None], 3, axis=2)
+    return w, h, np.ascontiguousarray(img)
+
+
+def _tiff_packbits(data: bytes) -> bytes:
+    """PackBits compression (runs ≥ 3 encoded as repeats, else
+    literals ≤ 128 long) — the fixture-writer inverse of
+    :func:`_tiff_unpackbits`."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes((257 - run, data[i]))
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes((i - lit_start - 1,)) + data[lit_start:i]
+    return bytes(out)
+
+
+def encode_tiff(pixels, packbits: bool = False) -> bytes:
+    """HxWx3 uint8 → little-endian single-strip RGB TIFF (optionally
+    PackBits-compressed) — the test/fixture writer proving
+    :func:`decode_tiff` parses real IFDs and codecs."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    h, w, _ = arr.shape
+    data = arr.tobytes()
+    comp = 1
+    if packbits:
+        data = b"".join(
+            _tiff_packbits(arr[y].tobytes()) for y in range(h)
+        )
+        comp = 32773
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (259, 3, 1, comp),
+        (262, 3, 1, 2),  # RGB
+        (277, 3, 1, 3),
+        (278, 3, 1, h),  # single strip
+        (279, 4, 1, len(data)),
+    ]
+    # BitsPerSample needs 3 SHORTs (6 bytes > 4): external value
+    ifd_off = 8
+    n = len(entries) + 2  # + BitsPerSample + StripOffsets
+    bits_off = ifd_off + 2 + n * 12 + 4
+    data_off = bits_off + 6
+    entries.append((258, 3, 3, None))  # placeholder, offset = bits_off
+    entries.append((273, 4, 1, data_off))
+    entries.sort()
+    ifd = struct.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        if tag == 258:
+            ifd += struct.pack("<HHII", tag, typ, cnt, bits_off)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    return (
+        header + ifd + struct.pack("<HHH", 8, 8, 8) + data
+    )

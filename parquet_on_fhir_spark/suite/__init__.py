@@ -34,8 +34,9 @@ from parquet_on_fhir_spark.suite.common import Q
 #      qf43/qf44/qf45/qf46/qf47), q279 (its text-audit family q71
 #      is in-window) and q281 (its time-series family q269/q274 is
 #      in-window) cede their slots to the r5 freshness cohort; the
-#      wave-3 late debut qf49 cedes likewise (its terminology family
-#      holds five slots: qf43-qf47).
+#      wave-3 late debuts qf49 (its terminology family holds five
+#      slots: qf43-qf47) and q289 (its codec family holds q73 + the
+#      new q284/q285) cede likewise.
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [

@@ -4129,3 +4129,70 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 
 
 QUERIES.append(Q("q287_bpe_encode", q287, _q287_oracle()))
+
+
+# --- Q289: baseline TIFF real decode --------------------------------------------------
+def q289(spark, sf_dir):
+    """operators/multimodal.py::decode_tiff end-to-end (r12 wave 3):
+    200 genuine TIFF files — the document-scan format of record —
+    8x8 two-tone images with REAL IFD walks; every even g is
+    PackBits-compressed (runs compress, so the codec path actually
+    executes). Same broadcast plan + closed-form oracle shape as
+    q270/q284; 16-bit/tiled/LZW TIFFs refuse to the decode_real
+    seam."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_tiff,
+        extract_features,
+        numpy_features,
+    )
+
+    def make(g: int) -> bytearray:
+        img = np.empty((8, 8, 3), dtype=np.uint8)
+        img[:4] = g
+        img[4:] = 255 - g
+        return bytearray(encode_tiff(img, packbits=(g % 2 == 0)))
+
+    payloads = [(g, make(g)) for g in range(28, 228)]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/tiff").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q289_ORACLE = """
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       CAST(8.0 AS DOUBLE) AS f_width,
+       CAST(8.0 AS DOUBLE) AS f_height,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_00,
+       round((doc_id % 200 + 28) / 255.0 + 1e-9, 4) AS lum_mid,
+       round((255 - (doc_id % 200 + 28)) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+QUERIES.append(Q("q289_tiff_real_decode", q289, Q289_ORACLE))
