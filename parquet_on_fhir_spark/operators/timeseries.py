@@ -945,3 +945,86 @@ def rolling_origin_splits(
         "n_rows",
     )
     return assigned.filter(F.col("role").isNotNull())
+
+
+def peak_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Maximum number of simultaneously-open intervals per group — the
+    sweep-line answer to "peak concurrent sessions / in-flight
+    shipments / admitted patients" that gaps-and-islands does not
+    give.  Intervals are half-open ``[start, end)`` (an interval
+    ending exactly when another starts does NOT overlap it — the
+    convention that makes back-to-back sessions count once).
+
+    Plan: ± deltas unioned map-side, then ONE hash aggregate nets the
+    deltas per (group, timestamp) — so the window below runs over the
+    DISTINCT-timestamp frame, not raw rows — and one running-sum
+    window keyed by the group computes concurrency after each
+    timestamp.  A single shuffle on the group key; groups are the
+    parallel unit (an unbounded single-group sweep is the documented
+    adversarial case — pre-bucket by coarse time and merge, the q184
+    contribution-explode posture).  NULL starts/ends are dropped
+    (open-ended intervals need an explicit sentinel end, not NULL);
+    rows with ``end <= start`` raise at action time rather than
+    silently vanishing.
+
+    Output: one row per group — (…group_cols, peak, peak_at) where
+    ``peak_at`` is the EARLIEST timestamp reaching the peak
+    (deterministic: the netted frame has one row per timestamp).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    s, e = F.col(start_col), F.col(end_col)
+    base = df.filter(s.isNotNull() & e.isNotNull())
+    starts = base.select(*groups, s.alias("__t"), F.lit(1).alias("__d"))
+    ends = base.select(*groups, e.alias("__t"), F.lit(-1).alias("__d"))
+    netted = (
+        starts.unionByName(ends)
+        .groupBy(*groups, "__t")
+        .agg(F.sum("__d").alias("__net"))
+    )
+    w = (
+        Window.partitionBy(*groups).orderBy("__t")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("__t")
+    )
+    running = netted.withColumn(
+        "__c", F.sum("__net").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    peak = running.groupBy(*groups).agg(
+        F.max("__c").cast("int").alias("peak")
+    )
+    at = (
+        running.join(peak, groups, "inner")
+        if groups
+        else running.crossJoin(F.broadcast(peak))
+    )
+    out = (
+        at.filter(F.col("__c") == F.col("peak"))
+        .groupBy(*groups, "peak")
+        .agg(F.min("__t").alias("peak_at"))
+    )
+    # end<=start contract: rides the peak column so it raises at action
+    # time on the single output frame (the proportions_ztest pattern)
+    bad_count = base.filter(e <= s).agg(F.count("*").alias("__nbad"))
+    return out.join(F.broadcast(bad_count)).select(
+        *groups,
+        F.when(
+            F.col("__nbad") > 0,
+            F.raise_error(
+                F.lit(
+                    "peak_concurrency: end <= start rows present — "
+                    "intervals are half-open [start, end); fix or "
+                    "filter them explicitly"
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.col("peak"))
+        .alias("peak"),
+        "peak_at",
+    )

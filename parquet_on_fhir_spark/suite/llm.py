@@ -4196,3 +4196,74 @@ WHERE doc_id < 200
 
 
 QUERIES.append(Q("q289_tiff_real_decode", q289, Q289_ORACLE))
+
+
+# --- Q290: PII audit with Luhn validation ---------------------------------------------
+def q290(spark, sf_dir):
+    """Luhn-validated PII audit (operators/curation.py::luhn_check,
+    r12 wave 3): documents planted with 16-digit card-number
+    candidates — some passing the ISO/IEC 7812 checksum, some one
+    digit off — are audited for candidate vs VALIDATED counts; the
+    checksum is the precision layer that separates a real card-number
+    leak from phone-number/order-id noise (only ~1 in 10 random digit
+    strings passes). Map-only Catalyst end-to-end: regexp extraction
+    + a per-candidate reverse/transform/aggregate fold, no UDF — at
+    100 TB the audit rides the corpus scan. The oracle reruns the
+    FULL Luhn fold per candidate in DuckDB (list_transform over digit
+    positions), not the planted truth table."""
+    from parquet_on_fhir_spark.operators.curation import luhn_check
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" pay 4539578763621486 card 5500005555555559"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.lit(" pay 4539578763621487 ref 1234567890123456"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cands = F.expr(r"regexp_extract_all(text, '\\b([0-9]{16})\\b', 1)")
+    out = d.select(
+        "doc_id",
+        F.size(cands).alias("n_candidates"),
+        F.size(F.filter(cands, lambda c: luhn_check(c))).alias("n_valid"),
+    )
+    return out
+
+
+Q290_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0
+             THEN ' pay 4539578763621486 card 5500005555555559'
+           WHEN doc_id % 3 = 1
+             THEN ' pay 4539578763621487 ref 1234567890123456'
+           ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id, regexp_extract_all(text, '\b([0-9]{16})\b', 1) AS cands
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(cands) AS INT) AS n_candidates,
+       CAST(len(list_filter(cands, x ->
+         list_sum(list_transform(range(0, 16), i ->
+           CASE WHEN i % 2 = 1 THEN
+             CASE WHEN (ascii(substr(reverse(x), CAST(i + 1 AS INT), 1)) - 48) * 2 > 9
+                  THEN (ascii(substr(reverse(x), CAST(i + 1 AS INT), 1)) - 48) * 2 - 9
+                  ELSE (ascii(substr(reverse(x), CAST(i + 1 AS INT), 1)) - 48) * 2 END
+           ELSE ascii(substr(reverse(x), CAST(i + 1 AS INT), 1)) - 48 END
+         )) % 10 = 0)) AS INT) AS n_valid
+FROM c
+"""
+
+
+QUERIES.append(Q("q290_pii_luhn_audit", q290, Q290_ORACLE))

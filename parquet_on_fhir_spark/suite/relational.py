@@ -7511,3 +7511,68 @@ GROUP BY 1
 
 
 QUERIES.append(Q("q288_dynamic_partition_pruning", q288, Q288_ORACLE))
+
+
+# --- Q291: peak interval concurrency (sweep line) -------------------------------------
+def q291(spark, sf_dir):
+    """Peak concurrent intervals (operators/timeseries.py::
+    peak_concurrency, r12 wave 3): the sweep-line "how many shipments
+    were in transit at once" answer — per return flag, lineitems are
+    open over [shipdate, shipdate + (quantity % 14 + 1) days) and the
+    peak is the max of the netted running sum over the
+    DISTINCT-timestamp frame (one union + one hash aggregate + one
+    group-keyed window; raw rows never enter the window). Half-open
+    intervals make back-to-back shipments count once; peak_at is the
+    earliest peak timestamp, deterministic because the netted frame
+    has one row per timestamp."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_shipdate").alias("s"),
+        F.expr(
+            "timestampadd(DAY, CAST(l_quantity AS INT) % 14 + 1, l_shipdate)"
+        ).alias("e"),
+    )
+    out = peak_concurrency(l, "s", "e", ["l_returnflag"])
+    return out.select(
+        "l_returnflag", "peak", ts_str(F.col("peak_at")).alias("peak_at")
+    )
+
+
+Q291_ORACLE = """
+WITH iv AS (
+  SELECT l_returnflag, l_shipdate AS s,
+         l_shipdate + (CAST(l_quantity AS INT) % 14 + 1)
+           * INTERVAL '1 day' AS e
+  FROM lineitem
+),
+deltas AS (
+  SELECT l_returnflag, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT l_returnflag, e AS t, -1 AS d FROM iv
+),
+net AS (
+  SELECT l_returnflag, t, sum(d) AS nd
+  FROM deltas GROUP BY l_returnflag, t
+),
+run AS (
+  SELECT l_returnflag, t,
+         sum(nd) OVER (PARTITION BY l_returnflag ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM net
+),
+pk AS (
+  SELECT l_returnflag, CAST(max(c) AS INT) AS peak FROM run
+  GROUP BY l_returnflag
+)
+SELECT r.l_returnflag, p.peak,
+       strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM run r JOIN pk p ON r.l_returnflag = p.l_returnflag AND r.c = p.peak
+GROUP BY r.l_returnflag, p.peak
+"""
+
+
+QUERIES.append(Q("q291_peak_concurrency", q291, Q291_ORACLE))

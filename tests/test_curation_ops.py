@@ -824,3 +824,28 @@ def test_url_dedup_audit_clusters_and_keeper(spark):
     assert c["n_variants"] == 3
     assert c["n_distinct_raw"] == 3
     assert c["keeper_id"] == 3
+
+
+def test_luhn_check_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_on_fhir_spark.operators.curation import luhn_check
+
+    cases = [
+        ("4539578763621486", True),   # Visa test number
+        ("5500005555555559", True),   # Mastercard test number
+        ("79927398713", True),        # the canonical Luhn example
+        ("4539578763621487", False),  # one digit off
+        ("79927398710", False),
+        ("1234567890123456", False),
+        ("0", True),                  # single zero: sum 0 ≡ 0
+        ("", False),
+        ("12a4", False),              # non-digit refuses
+        (None, False),                # NULL refuses (not NULL result)
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["num"])
+    got = [
+        r[0] for r in df.select(luhn_check(F.col("num")).alias("v")).collect()
+    ]
+    for (c, want), g in zip(cases, got):
+        assert g == want, (c, g, want)

@@ -462,3 +462,46 @@ def test_ljung_box_matches_numpy(spark):
         [("k", i, 5.0) for i in range(20)], "k string, t int, v double"
     )
     assert ljung_box(const, "t", ["k"], "v", 3).collect()[0].q_stat is None
+
+
+def test_peak_concurrency_reference_and_conventions(spark):
+    """Sweep-line peak vs a brute-force per-instant reference; half-open
+    back-to-back intervals count once; earliest peak timestamp wins;
+    NULL endpoints drop; end <= start raises."""
+    import datetime as dt
+    import random
+
+    import pytest
+
+    from parquet_on_fhir_spark.operators.timeseries import peak_concurrency
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        ("a", T(1), T(3)), ("a", T(2), T(4)), ("a", T(3), T(5)),
+        ("b", T(1), T(2)), ("b", T(2), T(3)),
+        ("c", T(1), T(10)), ("c", None, T(4)), ("c", T(2), None),
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    got = {r["g"]: r for r in peak_concurrency(df, "s", "e", ["g"]).collect()}
+    assert got["a"]["peak"] == 2 and got["a"]["peak_at"] == T(2)
+    assert got["b"]["peak"] == 1 and got["b"]["peak_at"] == T(1)
+    assert got["c"]["peak"] == 1  # NULL-endpoint rows dropped
+
+    # randomized cross-check vs brute force over event instants
+    rng = random.Random(3)
+    iv = []
+    for _ in range(120):
+        s = T(rng.randrange(1, 20), rng.randrange(0, 60))
+        e = s + dt.timedelta(minutes=rng.randrange(1, 300))
+        iv.append(("g", s, e))
+    df2 = spark.createDataFrame(iv, ["g", "s", "e"])
+    r2 = peak_concurrency(df2, "s", "e", ["g"]).collect()[0]
+    instants = sorted({s for _, s, _ in iv} | {e for _, _, e in iv})
+    brute = max(
+        sum(1 for _, s, e in iv if s <= t < e) for t in instants
+    )
+    assert r2["peak"] == brute
+
+    bad = spark.createDataFrame([("x", T(3), T(3))], ["g", "s", "e"])
+    with pytest.raises(Exception, match="half-open"):
+        peak_concurrency(bad, "s", "e", ["g"]).collect()
