@@ -35,8 +35,10 @@ from parquet_on_fhir_spark.suite.common import Q
 #      is in-window) and q281 (its time-series family q269/q274 is
 #      in-window) cede their slots to the r5 freshness cohort; the
 #      wave-3 late debuts qf49 (its terminology family holds five
-#      slots: qf43-qf47) and q289 (its codec family holds q73 + the
-#      new q284/q285) cede likewise.
+#      slots: qf43-qf47), q289 (its codec family holds q73 + the new
+#      q284/q285), q290 (its curation-audit family holds q74b + the
+#      new q282) and q291 (its time-series family holds the q269/q274
+#      lifetime rows — the q281 precedent) cede likewise.
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [
