@@ -1028,3 +1028,108 @@ def peak_concurrency(
         .alias("peak"),
         "peak_at",
     )
+
+
+def holt_winters_seasonal(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE triple-exponential smoothing per series —
+    the seasonal member completing the family (:func:`ewma` level,
+    :func:`holt_smoothing` level+trend): level ℓ_t = α(y_t −
+    s_{t−p}) + (1−α)(ℓ_{t−1} + b_{t−1}), trend b_t = β(ℓ_t −
+    ℓ_{t−1}) + (1−β)b_{t−1}, season s_t = γ(y_t − ℓ_t) +
+    (1−γ)s_{t−p}, fitted ŷ_t = ℓ_{t−1} + b_{t−1} + s_{t−p}.
+
+    Same sanctioned applyInPandas shape as Holt (the coupled
+    recurrences are sequential within a series; keys are the parallel
+    unit; one shuffle on the key).  Initialization is the standard
+    first-cycle convention: ℓ_{p−1} = mean(y_0..y_{p−1}), b_{p−1} =
+    (mean of second cycle − mean of first)/p when a second full cycle
+    exists else 0, s_i = y_i − ℓ_{p−1} for the first cycle; fitted is
+    NULL through the first cycle.  Series shorter than one full
+    period raise (a seasonal fit on less than one season is
+    undefined, not zero). ``tie_cols`` break timestamp ties
+    deterministically, as in :func:`holt_smoothing`.
+
+    Rows-only by design (coupled level/trend/season not
+    oracle-portable); verified against an independent reference
+    recurrence in tests.  Output: *keys, ts, value, level, trend,
+    season, fitted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a, b, g = float(alpha), float(beta), float(gamma)
+    p = int(period)
+    if p < 2:
+        raise ValueError("period must be >= 2")
+    if not (0 < a <= 1 and 0 <= b <= 1 and 0 <= g <= 1):
+        raise ValueError("alpha in (0,1], beta/gamma in [0,1] required")
+    ties = tie_cols or []
+
+    schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + [
+            f"`{ts_col}` {df.schema[ts_col].dataType.simpleString()}",
+            f"`{value_col}` double",
+            "level double",
+            "trend double",
+            "season double",
+            "fitted double",
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, *ties], kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(y)
+        if n < p:
+            raise ValueError(
+                f"holt_winters_seasonal: series of length {n} is shorter "
+                f"than one period ({p})"
+            )
+        lvl = np.full(n, np.nan)
+        trd = np.full(n, np.nan)
+        ssn = np.full(n, np.nan)
+        fit = np.full(n, np.nan)
+        l0 = float(y[:p].mean())
+        if n >= 2 * p:
+            b0 = float((y[p : 2 * p].mean() - y[:p].mean()) / p)
+        else:
+            b0 = 0.0
+        ssn[:p] = y[:p] - l0
+        lvl[p - 1] = l0
+        trd[p - 1] = b0
+        for i in range(p, n):
+            fit[i] = lvl[i - 1] + trd[i - 1] + ssn[i - p]
+            lvl[i] = a * (y[i] - ssn[i - p]) + (1 - a) * (
+                lvl[i - 1] + trd[i - 1]
+            )
+            trd[i] = b * (lvl[i] - lvl[i - 1]) + (1 - b) * trd[i - 1]
+            ssn[i] = g * (y[i] - lvl[i]) + (1 - g) * ssn[i - p]
+        out = pdf[[*key_cols, ts_col]].copy()
+        out[value_col] = y
+        out["level"] = lvl
+        out["trend"] = trd
+        out["season"] = ssn
+        out["fitted"] = fit
+        return out
+
+    return (
+        df.select(
+            *key_cols,
+            *ties,
+            ts_col,
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy(*key_cols)
+        .applyInPandas(smooth, schema=schema)
+    )

@@ -7576,3 +7576,43 @@ GROUP BY r.l_returnflag, p.peak
 
 
 QUERIES.append(Q("q291_peak_concurrency", q291, Q291_ORACLE))
+
+
+# --- Q292: Holt-Winters seasonal smoothing --------------------------------------------
+def q292(spark, sf_dir):
+    """Holt-Winters additive seasonal smoothing (operators/
+    timeseries.py::holt_winters_seasonal, r12 wave 3): weekly order
+    revenue per priority with a 4-week seasonal period — the seasonal
+    member completing the exponential family (ewma q140, Holt q195).
+    Facts are bucketed in ONE map-side aggregate to the weekly frame;
+    the coupled level/trend/season recurrences then run per series
+    under applyInPandas (keys parallelize, the q195 shape). Rows-only
+    by design; the recurrence is pinned against an independent
+    reference in tests/test_timeseries.py."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.window("o_orderdate", "7 days").getField("start").alias("wk"),
+        "o_totalprice",
+    )
+    weekly = o.groupBy("o_orderpriority", "wk").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    out = holt_winters_seasonal(
+        weekly, "wk", ["o_orderpriority"], "rev", period=4
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("priority"),
+        ts_str(F.col("wk")).alias("wk"),
+        d2(F.col("rev")).alias("rev"),
+        d4(F.col("level")).alias("level"),
+        d4(F.col("trend")).alias("trend"),
+        d4(F.col("season")).alias("season"),
+        d4(F.col("fitted")).alias("fitted"),
+    )
+
+
+QUERIES.append(Q("q292_holt_winters_seasonal", q292, None))

@@ -505,3 +505,62 @@ def test_peak_concurrency_reference_and_conventions(spark):
     bad = spark.createDataFrame([("x", T(3), T(3))], ["g", "s", "e"])
     with pytest.raises(Exception, match="half-open"):
         peak_concurrency(bad, "s", "e", ["g"]).collect()
+
+
+def test_holt_winters_seasonal_matches_reference(spark):
+    """holt_winters_seasonal vs an independent python recurrence on a
+    planted level+trend+seasonal series; init conventions pinned;
+    short-series and parameter guards."""
+    import math
+
+    import pytest
+
+    from parquet_on_fhir_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    p, n = 4, 20
+    a, b, g = 0.4, 0.2, 0.3
+    season = [5.0, -2.0, -1.0, -2.0]
+    y = [10.0 + 0.7 * i + season[i % p] + (0.1 * ((i * 7) % 5)) for i in range(n)]
+    rows = [(1, i, y[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = (
+        holt_winters_seasonal(df, "t", ["k"], "v", period=p,
+                              alpha=a, beta=b, gamma=g)
+        .orderBy("t")
+        .collect()
+    )
+    # independent reference
+    lvl = [math.nan] * n
+    trd = [math.nan] * n
+    ssn = [math.nan] * n
+    fit = [math.nan] * n
+    l0 = sum(y[:p]) / p
+    b0 = (sum(y[p:2 * p]) / p - sum(y[:p]) / p) / p
+    for i in range(p):
+        ssn[i] = y[i] - l0
+    lvl[p - 1] = l0
+    trd[p - 1] = b0
+    for i in range(p, n):
+        fit[i] = lvl[i - 1] + trd[i - 1] + ssn[i - p]
+        lvl[i] = a * (y[i] - ssn[i - p]) + (1 - a) * (lvl[i - 1] + trd[i - 1])
+        trd[i] = b * (lvl[i] - lvl[i - 1]) + (1 - b) * trd[i - 1]
+        ssn[i] = g * (y[i] - lvl[i]) + (1 - g) * ssn[i - p]
+    for i, r in enumerate(got):
+        for name, ref in (("level", lvl), ("trend", trd),
+                          ("season", ssn), ("fitted", fit)):
+            gv = r[name]
+            if math.isnan(ref[i]):
+                assert gv is None or math.isnan(gv), (i, name, gv)
+            else:
+                assert abs(gv - ref[i]) < 1e-9, (i, name, gv, ref[i])
+    # a strongly seasonal series should be fitted well after burn-in
+    err = [abs(r["fitted"] - y[i]) for i, r in enumerate(got) if i >= 2 * p]
+    assert sum(err) / len(err) < 1.0
+
+    short = spark.createDataFrame([(1, 0, 1.0), (1, 1, 2.0)], ["k", "t", "v"])
+    with pytest.raises(Exception, match="shorter than one period"):
+        holt_winters_seasonal(short, "t", ["k"], "v", period=4).collect()
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_seasonal(df, "t", ["k"], "v", period=1)
