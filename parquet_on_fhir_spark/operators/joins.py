@@ -702,3 +702,123 @@ def grid_radius_join(
         .filter(F.col("dist_km") <= radius_km)
         .distinct()
     )
+
+
+def fs_link_score(
+    pairs: DataFrame,
+    field_params: dict,
+    term_dp: int = 12,
+    upper: float = 3.0,
+    lower: float = -3.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969 — the classical entity-resolution decision model):
+    each candidate pair's log-odds match weight is the sum of
+    per-field agreement weights, w_i = log₂(m_i/u_i) on agreement and
+    log₂((1−m_i)/(1−u_i)) on disagreement, where m_i = P(agree |
+    match) and u_i = P(agree | non-match).  Pairs classify as
+    ``match`` (≥ ``upper``), ``possible`` (between) or ``non_match``
+    (≤ ``lower``) — the clerical-review band is the model's point.
+
+    ``pairs`` carries one BOOLEAN agreement column per field (NULL
+    counts as disagreement — an unverifiable field should not add
+    weight); ``field_params`` maps column → (m, u) with 0 < u < m < 1
+    (agreement must be MORE likely under a match, or the field is
+    wired backwards — validated here).  Map-only over the candidate
+    frame (a literal CASE sum; each log term ``term_dp``-quantized —
+    the cross-engine transcendental convention), so it rides whatever
+    blocking produced the candidates (:func:`fuzzy_join`,
+    :func:`set_similarity_join`, LSH buckets) and never sees the
+    n² pair space itself.  Estimate (m, u) with :func:`fs_em_fit`.
+
+    Output: input columns + (fs_score double, match_class string).
+    """
+    import math
+
+    if not field_params:
+        raise ValueError("fs_link_score needs at least one field")
+    score = F.lit(0.0)
+    for col, (m, u) in sorted(field_params.items()):
+        m, u = float(m), float(u)
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"fs_link_score: field {col!r} needs 0 < u < m < 1 "
+                f"(got m={m}, u={u})"
+            )
+        w_agree = round(math.log2(m / u), term_dp)
+        w_disagree = round(math.log2((1.0 - m) / (1.0 - u)), term_dp)
+        score = score + F.when(
+            F.coalesce(F.col(col), F.lit(False)), F.lit(w_agree)
+        ).otherwise(F.lit(w_disagree))
+    score = F.round(score, term_dp)
+    return pairs.withColumn("fs_score", score).withColumn(
+        "match_class",
+        F.when(F.col("fs_score") >= upper, "match")
+        .when(F.col("fs_score") <= lower, "non_match")
+        .otherwise("possible"),
+    )
+
+
+def fs_em_fit(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    iterations: int = 10,
+    prevalence: float = 0.1,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+) -> list:
+    """EM estimation of the Fellegi–Sunter (m, u) probabilities under
+    conditional independence (the Splink/fastLink formulation) — the
+    UNSUPERVISED half of probabilistic linkage: no labeled pairs, just
+    the observed agreement patterns.
+
+    Per EM round, the E-step responsibility w(γ) = p·Π mᵢ^γᵢ(1−mᵢ)^
+    (1−γᵢ) / (… + (1−p)·Π uᵢ^γᵢ(1−uᵢ)^(1−γᵢ)) is a map-side
+    expression from the CURRENT params, and the M-step is ONE hash
+    aggregate over the candidate frame (Σw, Σwγᵢ, Σ(1−w)γᵢ) — K
+    iterations = K single-aggregate jobs; the collected frame is the
+    2k+1 moment scalars, never pair rows (the sanctioned driver-side
+    class).  Parameters are clamped to [1e-6, 1−1e-6] so a degenerate
+    field cannot NaN the next E-step.  Iterative MLE → rows-only by
+    design; verified against an independent numpy EM in tests.
+
+    Returns [(col, m, u), ...] plus ("__prevalence__", p, p) — feed
+    the per-field rows to :func:`fs_link_score`.
+    """
+    if iterations < 1:
+        raise ValueError("fs_em_fit needs iterations >= 1")
+    if not agree_cols:
+        raise ValueError("fs_em_fit needs at least one agreement column")
+    lo, hi = 1e-6, 1.0 - 1e-6
+    p = min(max(float(prevalence), lo), hi)
+    m = {c: float(m_init) for c in agree_cols}
+    u = {c: float(u_init) for c in agree_cols}
+    g = {
+        c: F.coalesce(F.col(c), F.lit(False)).cast("int").cast("double")
+        for c in agree_cols
+    }
+    from math import log as _ln
+
+    for _ in range(iterations):
+        lm = F.lit(_ln(p))
+        lu = F.lit(_ln(1.0 - p))
+        for c in agree_cols:
+            lm = lm + g[c] * _ln(m[c]) + (1.0 - g[c]) * _ln(1.0 - m[c])
+            lu = lu + g[c] * _ln(u[c]) + (1.0 - g[c]) * _ln(1.0 - u[c])
+        w = F.lit(1.0) / (F.lit(1.0) + F.exp(lu - lm))
+        aggs = [F.sum(w).alias("__sw"), F.count("*").alias("__n")]
+        for i, c in enumerate(agree_cols):
+            aggs.append(F.sum(w * g[c]).alias(f"__m{i}"))
+            aggs.append(F.sum((1.0 - w) * g[c]).alias(f"__u{i}"))
+        row = pairs.agg(*aggs).collect()[0]
+        sw, n = float(row["__sw"]), float(row["__n"])
+        p = min(max(sw / n, lo), hi)
+        for i, c in enumerate(agree_cols):
+            m[c] = min(max(float(row[f"__m{i}"]) / max(sw, lo), lo), hi)
+            u[c] = min(
+                max(float(row[f"__u{i}"]) / max(n - sw, lo), lo), hi
+            )
+    out = [(c, m[c], u[c]) for c in agree_cols]
+    out.append(("__prevalence__", p, p))
+    return out
+

@@ -7616,3 +7616,112 @@ def q292(spark, sf_dir):
 
 
 QUERIES.append(Q("q292_holt_winters_seasonal", q292, None))
+
+
+# --- Q293: Fellegi-Sunter record-linkage scoring --------------------------------------
+#: fixed (m, u) literals so the scoring is oracle-restatable; the EM
+#: estimation path (fs_em_fit) is rows-only and pinned against an
+#: independent numpy EM in tests/test_joins.py.
+_Q293_PARAMS = {
+    "name_eq": (0.45, 0.001),
+    "seg_eq": (0.95, 0.2),
+    "bal_close": (0.99, 0.001),
+}
+
+
+def q293(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (operators/
+    joins.py::fs_link_score, r12 wave 3 — the classical
+    entity-resolution decision model): customers vs deterministically
+    DIRTIED twins (even keys upper-cased, odd keys name-suffixed;
+    balances rounded), candidate pairs blocked per nation (the
+    blocking stage bounds pair volume — scoring itself is map-only
+    and rides ANY candidate generator: fuzzy join, LSH, q271
+    candidates). Per-field agreement weights log2(m/u) /
+    log2((1-m)/(1-u)) are 12-dp literals, summed in one CASE
+    expression; classes split at +-3 log-odds with the clerical
+    'possible' band. Output aggregates per (nation, class)."""
+    from parquet_on_fhir_spark.operators.joins import fs_link_score
+
+    cust = t(spark, sf_dir, "customer")
+    orig = cust.select(
+        F.col("c_custkey").alias("o_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.lower(F.col("c_name")).alias("o_name"),
+        F.col("c_mktsegment").alias("o_seg"),
+        F.col("c_acctbal").alias("o_bal"),
+    )
+    twin = cust.select(
+        F.col("c_custkey").alias("t_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.lower(
+            F.when(
+                F.col("c_custkey") % 2 == 0, F.upper(F.col("c_name"))
+            ).otherwise(F.concat(F.col("c_name"), F.lit("x")))
+        ).alias("t_name"),
+        F.col("c_mktsegment").alias("t_seg"),
+        F.round(F.col("c_acctbal"), 0).alias("t_bal"),
+    )
+    pairs = orig.join(twin, "nation").select(
+        "nation",
+        "o_id",
+        "t_id",
+        (F.col("o_name") == F.col("t_name")).alias("name_eq"),
+        (F.col("o_seg") == F.col("t_seg")).alias("seg_eq"),
+        (F.abs(F.col("o_bal") - F.col("t_bal")) <= 0.5).alias("bal_close"),
+    )
+    scored = fs_link_score(pairs, _Q293_PARAMS)
+    return scored.groupBy(
+        F.col("nation").cast("int").alias("nation"), "match_class"
+    ).agg(
+        F.count("*").alias("n"),
+        d4(F.avg("fs_score")).alias("avg_score"),
+    )
+
+
+def _q293_oracle() -> str:
+    import math
+
+    terms = []
+    for col, (m, u) in sorted(_Q293_PARAMS.items()):
+        wa = round(math.log2(m / u), 12)
+        wd = round(math.log2((1 - m) / (1 - u)), 12)
+        terms.append(
+            f"CASE WHEN coalesce({col}, false) THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = "round(" + " + ".join(terms) + ", 12)"
+    return f"""
+WITH orig AS (
+  SELECT c_custkey AS o_id, c_nationkey AS nation,
+         lower(c_name) AS o_name, c_mktsegment AS o_seg,
+         c_acctbal AS o_bal
+  FROM customer
+),
+twin AS (
+  SELECT c_custkey AS t_id, c_nationkey AS nation,
+         lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+                    ELSE c_name || 'x' END) AS t_name,
+         c_mktsegment AS t_seg, round(c_acctbal, 0) AS t_bal
+  FROM customer
+),
+pairs AS (
+  SELECT o.nation, o_id, t_id,
+         o_name = t_name AS name_eq,
+         o_seg = t_seg AS seg_eq,
+         abs(o_bal - t_bal) <= 0.5 AS bal_close
+  FROM orig o JOIN twin t ON o.nation = t.nation
+),
+scored AS (
+  SELECT nation, {score} AS fs_score FROM pairs
+)
+SELECT CAST(nation AS INT) AS nation,
+       CASE WHEN fs_score >= 3.0 THEN 'match'
+            WHEN fs_score <= -3.0 THEN 'non_match'
+            ELSE 'possible' END AS match_class,
+       count(*) AS n,
+       round(avg(fs_score) + 1e-9, 4) AS avg_score
+FROM scored GROUP BY 1, 2
+"""
+
+
+QUERIES.append(Q("q293_fs_record_linkage", q293, _q293_oracle()))

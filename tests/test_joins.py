@@ -361,3 +361,87 @@ def test_bloom_semi_join_exact_and_prefilter(spark):
 
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_semi_join(fact, dim, "k", "dk", m_bits=100)
+
+
+def test_fs_em_fit_matches_numpy_reference(spark):
+    """fs_em_fit (distributed EM) vs an independent numpy EM, element
+    by element after every iteration count tried; planted m/u are
+    recovered; parameter/emptiness guards."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.joins import fs_em_fit
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):
+        rows.append(tuple(rng.random() < m for m in (0.9, 0.85, 0.8)))
+    for _ in range(1800):
+        rows.append(tuple(rng.random() < u for u in (0.1, 0.2, 0.05)))
+    df = spark.createDataFrame(rows, ["f1", "f2", "f3"])
+
+    def numpy_em(iters):
+        g = np.array(rows, dtype=float)
+        p, m, u = 0.1, np.full(3, 0.9), np.full(3, 0.1)
+        for _ in range(iters):
+            lm = np.log(p) + (g * np.log(m) + (1 - g) * np.log(1 - m)).sum(1)
+            lu = np.log(1 - p) + (
+                g * np.log(u) + (1 - g) * np.log(1 - u)
+            ).sum(1)
+            w = 1 / (1 + np.exp(lu - lm))
+            p = min(max(w.mean(), 1e-6), 1 - 1e-6)
+            m = np.clip((w[:, None] * g).sum(0) / w.sum(), 1e-6, 1 - 1e-6)
+            u = np.clip(
+                ((1 - w)[:, None] * g).sum(0) / (1 - w).sum(), 1e-6, 1 - 1e-6
+            )
+        return p, m, u
+
+    for iters in (1, 5, 15):
+        fit = fs_em_fit(df, ["f1", "f2", "f3"], iterations=iters)
+        p_ref, m_ref, u_ref = numpy_em(iters)
+        got = {c: (m, u) for c, m, u in fit}
+        assert abs(got["__prevalence__"][0] - p_ref) < 1e-9
+        for i, c in enumerate(("f1", "f2", "f3")):
+            assert abs(got[c][0] - m_ref[i]) < 1e-9, (iters, c)
+            assert abs(got[c][1] - u_ref[i]) < 1e-9, (iters, c)
+    # planted params recovered within a few points at 15 iters
+    got = {c: (m, u) for c, m, u in fs_em_fit(df, ["f1", "f2", "f3"], 15)}
+    assert abs(got["f1"][0] - 0.9) < 0.05 and abs(got["f1"][1] - 0.1) < 0.05
+
+    with pytest.raises(ValueError, match="iterations"):
+        fs_em_fit(df, ["f1"], iterations=0)
+    with pytest.raises(ValueError, match="agreement"):
+        fs_em_fit(df, [], iterations=1)
+
+
+def test_fs_link_score_weights_and_classes(spark):
+    import math
+
+    import pytest
+
+    from parquet_on_fhir_spark.operators.joins import fs_link_score
+
+    params = {"name_eq": (0.9, 0.01), "seg_eq": (0.8, 0.2)}
+    rows = [(True, True), (True, False), (False, True),
+            (False, False), (None, True)]
+    df = spark.createDataFrame(rows, ["name_eq", "seg_eq"])
+    got = fs_link_score(df, params, upper=3.0, lower=-3.0).collect()
+    w_name_a = round(math.log2(0.9 / 0.01), 12)
+    w_name_d = round(math.log2(0.1 / 0.99), 12)
+    w_seg_a = round(math.log2(0.8 / 0.2), 12)
+    w_seg_d = round(math.log2(0.2 / 0.8), 12)
+    want = [
+        (round(w_name_a + w_seg_a, 12), "match"),      # 6.49 + 2
+        (round(w_name_a + w_seg_d, 12), "match"),      # 6.49 - 2
+        (round(w_name_d + w_seg_a, 12), "possible"),   # -3.31 + 2: clerical band
+        (round(w_name_d + w_seg_d, 12), "non_match"),  # -3.31 - 2
+        (round(w_name_d + w_seg_a, 12), "possible"),   # NULL = disagree
+    ]
+    for r, (score, cls) in zip(got, want):
+        assert r["fs_score"] == score
+        assert r["match_class"] == cls
+
+    with pytest.raises(ValueError, match="0 < u < m"):
+        fs_link_score(df, {"name_eq": (0.1, 0.9)})
