@@ -4763,3 +4763,120 @@ def mcnemar_exact(
             F.round(F.col("b").cast("double") / F.col("c").cast("double"), 12),
         ).alias("odds_ratio"),
     )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    ts_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    tau: float = 1.0,
+    bucket: str = "1 day",
+    value_dp: int = 3,
+) -> DataFrame:
+    """Always-valid sequential A/B monitor — the mixture sequential
+    probability ratio test (mSPRT; Johari et al. 2017, the "peeking
+    problem" fix): unlike a fixed-horizon z-test (:func:`welch_t_test`,
+    :func:`proportions_ztest`), the always-valid p-value may be read
+    EVERY day and the type-I guarantee still holds, which is how
+    experiments are actually monitored.
+
+    Per bucket, the two-sample normal mixture likelihood ratio with
+    mixture variance τ²:  Λ_n = √(V_n/(V_n+τ²)) ·
+    exp(Δ_n²τ²/(2V_n(V_n+τ²))) with Δ_n the cumulative mean
+    difference and V_n = s²(1/n_a + 1/n_b) (pooled plug-in variance);
+    the always-valid p after bucket k is min(1, min_{j≤k} 1/Λ_j),
+    monotone non-increasing.
+
+    Determinism discipline: values quantize to ``value_dp`` (≤ 3 —
+    Spark caps the decimal product at scale 6, so the squared sums
+    stay EXACT only while 2·value_dp ≤ 6) and accumulate as DECIMAL
+    exact sums through the cumulative windows (double summation order
+    would drift across engines); Λ is the single transcendental,
+    quantized to 12 dp per row BEFORE the running min, so the min
+    compares identical doubles in any engine.  Buckets with n_a < 2, n_b < 2 or zero pooled
+    variance yield NULL Λ and inherit the running p (min skips
+    NULLs).
+
+    Plan: ONE map-side-combined hash aggregate to the (bucket × arm)
+    frame, then cumulative windows over the BUCKET frame (days, not
+    rows) — fact rows never enter a window.
+
+    Output: one row per bucket — (bucket, n_a, n_b, delta,
+    lambda_stat, p_always_valid).
+    """
+    from pyspark.sql import Window
+
+    t2 = float(tau) ** 2
+    if t2 <= 0:
+        raise ValueError("tau must be > 0")
+    if value_dp > 3:
+        raise ValueError(
+            "value_dp > 3 breaks squared-sum exactness (decimal product "
+            "scale caps at 6)"
+        )
+    v = F.round(F.col(value_col), value_dp).cast("decimal(38,6)")
+    arm = F.col(arm_col)
+    daily = (
+        df.filter(arm.isin([arm_a, arm_b]) & v.isNotNull())
+        .groupBy(F.window(ts_col, bucket).getField("start").alias("bucket"))
+        .agg(
+            F.sum(F.when(arm == arm_a, 1).otherwise(0)).alias("na_d"),
+            F.sum(F.when(arm == arm_b, 1).otherwise(0)).alias("nb_d"),
+            F.sum(
+                F.when(arm == arm_a, v).otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).alias("sa_d"),
+            F.sum(
+                F.when(arm == arm_b, v).otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).alias("sb_d"),
+            F.sum(
+                F.when(arm == arm_a, v * v).otherwise(
+                    F.lit(0).cast("decimal(38,12)")
+                )
+            ).alias("qa_d"),
+            F.sum(
+                F.when(arm == arm_b, v * v).otherwise(
+                    F.lit(0).cast("decimal(38,12)")
+                )
+            ).alias("qb_d"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "bucket",
+        F.sum("na_d").over(w).alias("na"),
+        F.sum("nb_d").over(w).alias("nb"),
+        F.sum("sa_d").over(w).alias("sa"),
+        F.sum("sb_d").over(w).alias("sb"),
+        F.sum("qa_d").over(w).alias("qa"),
+        F.sum("qb_d").over(w).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    delta = sa / na - sb / nb
+    ss = (qa - sa * sa / na) + (qb - sb * sb / nb)
+    s2 = ss / (na + nb - 2.0)
+    vn = s2 * (1.0 / na + 1.0 / nb)
+    lam = F.round(
+        F.sqrt(vn / (vn + t2))
+        * F.exp(delta * delta * t2 / (2.0 * vn * (vn + t2))),
+        12,
+    )
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & (s2 > 0)
+    scored = cum.select(
+        "bucket",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.when(ok, F.round(delta, 12)).alias("delta"),
+        F.when(ok, lam).alias("lambda_stat"),
+    )
+    w2 = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    inv = F.when(
+        F.col("lambda_stat") > 1.0, F.round(1.0 / F.col("lambda_stat"), 12)
+    ).otherwise(F.lit(1.0))
+    return scored.withColumn(
+        "p_always_valid", F.min(inv).over(w2)
+    )

@@ -7725,3 +7725,94 @@ FROM scored GROUP BY 1, 2
 
 
 QUERIES.append(Q("q293_fs_record_linkage", q293, _q293_oracle()))
+
+
+# --- Q294: mSPRT always-valid sequential A/B monitor -----------------------------------
+def q294(spark, sf_dir):
+    """Always-valid sequential A/B monitor (operators/analytics.py::
+    msprt_monitor, r12 wave 3 — the mSPRT 'peeking problem' fix):
+    events split into arms by user parity, purchase values compared
+    daily; the mixture likelihood ratio and its running-min
+    always-valid p may be read EVERY day with the type-I guarantee
+    intact — the monitoring discipline fixed-horizon z/t tests cannot
+    give. One map-side aggregate to the (day x arm) frame; cumulative
+    windows run over DAYS, never events; DECIMAL-exact sums feed the
+    single 12-dp-quantized transcendental, so the oracle matches
+    bitwise."""
+    from parquet_on_fhir_spark.operators.analytics import msprt_monitor
+
+    e = t(spark, sf_dir, "events").select(
+        "ts", (F.col("user_id") % 2).alias("arm"), "value"
+    )
+    out = msprt_monitor(e, "ts", "arm", "value", 0, 1, tau=1.0, value_dp=2)
+    return out.select(
+        ts_str(F.col("bucket")).alias("bucket"),
+        "n_a",
+        "n_b",
+        "delta",
+        "lambda_stat",
+        "p_always_valid",
+    )
+
+
+Q294_ORACLE = """
+WITH base AS (
+  SELECT TIMESTAMP '1970-01-01'
+           + CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+             * INTERVAL '1 second' AS bucket,
+         user_id % 2 AS arm,
+         CAST(round(value, 2) AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id % 2 IN (0, 1)
+),
+daily AS (
+  SELECT bucket,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na_d,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb_d,
+         sum(CASE WHEN arm = 0 THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS sa_d,
+         sum(CASE WHEN arm = 1 THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS sb_d,
+         sum(CASE WHEN arm = 0 THEN v * v ELSE CAST(0 AS DECIMAL(18,6)) * CAST(0 AS DECIMAL(18,6)) END) AS qa_d,
+         sum(CASE WHEN arm = 1 THEN v * v ELSE CAST(0 AS DECIMAL(18,6)) * CAST(0 AS DECIMAL(18,6)) END) AS qb_d
+  FROM base GROUP BY bucket
+),
+cum AS (
+  SELECT bucket,
+         CAST(sum(na_d) OVER w AS DOUBLE) AS na,
+         CAST(sum(nb_d) OVER w AS DOUBLE) AS nb,
+         CAST(sum(sa_d) OVER w AS DOUBLE) AS sa,
+         CAST(sum(sb_d) OVER w AS DOUBLE) AS sb,
+         CAST(sum(qa_d) OVER w AS DOUBLE) AS qa,
+         CAST(sum(qb_d) OVER w AS DOUBLE) AS qb
+  FROM daily
+  WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT bucket, na, nb,
+         sa / na - sb / nb AS delta,
+         ((qa - sa * sa / na) + (qb - sb * sb / nb)) / (na + nb - 2)
+           AS s2
+  FROM cum
+),
+lam AS (
+  SELECT bucket, na, nb,
+         CASE WHEN na >= 2 AND nb >= 2 AND s2 > 0
+              THEN round(delta, 12) END AS delta,
+         CASE WHEN na >= 2 AND nb >= 2 AND s2 > 0 THEN
+           round(sqrt((s2 * (1/na + 1/nb)) / (s2 * (1/na + 1/nb) + 1.0))
+                 * exp(delta * delta * 1.0
+                       / (2 * (s2 * (1/na + 1/nb))
+                          * (s2 * (1/na + 1/nb) + 1.0))), 12)
+         END AS lambda_stat
+  FROM scored
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       delta, lambda_stat,
+       min(CASE WHEN lambda_stat > 1.0 THEN round(1.0 / lambda_stat, 12)
+                ELSE 1.0 END)
+         OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+         AS p_always_valid
+FROM lam
+"""
+
+
+QUERIES.append(Q("q294_msprt_monitor", q294, Q294_ORACLE))

@@ -2457,3 +2457,88 @@ def test_mcnemar_exact_null_pairs_and_envelope(spark):
     big = spark.range(300).selectExpr("id % 2 = 0 AS pre", "id % 3 = 0 AS post")
     with pytest.raises(Exception, match="DECIMAL"):
         mcnemar_exact(big, "pre", "post").collect()
+
+
+def test_msprt_monitor_matches_reference_and_peeking_guarantee(spark):
+    """msprt_monitor vs an independent python recurrence (exact-decimal
+    cumulative moments); always-valid p is monotone non-increasing;
+    a planted lift drives p down while a null effect keeps it high;
+    parameter guards."""
+    import datetime as dt
+    import math
+    import random
+
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import msprt_monitor
+
+    def simulate(lift):
+        rng = random.Random(5)
+        rows = []
+        for d in range(10):
+            for i in range(40):
+                ts = dt.datetime(2024, 1, 1 + d, i % 24)
+                arm = i % 2
+                val = round(rng.gauss(10 + (lift if arm == 0 else 0), 2), 2)
+                rows.append((ts, arm, val))
+        return rows
+
+    rows = simulate(0.8)
+    df = spark.createDataFrame(rows, ["ts", "arm", "value"])
+    got = (
+        msprt_monitor(df, "ts", "arm", "value", 0, 1, tau=1.0, value_dp=2)
+        .orderBy("bucket")
+        .collect()
+    )
+    # independent reference with exact Fraction accumulation
+    from fractions import Fraction
+
+    days = sorted({r[0].date() for r in rows})
+    cum = {"na": 0, "nb": 0, "sa": Fraction(0), "sb": Fraction(0),
+           "qa": Fraction(0), "qb": Fraction(0)}
+    run_min = 1.0
+    for d, r in zip(days, got):
+        for ts, arm, val in rows:
+            if ts.date() == d:
+                v = Fraction(str(round(val, 2)))
+                if arm == 0:
+                    cum["na"] += 1
+                    cum["sa"] += v
+                    cum["qa"] += v * v
+                else:
+                    cum["nb"] += 1
+                    cum["sb"] += v
+                    cum["qb"] += v * v
+        na, nb = cum["na"], cum["nb"]
+        delta = float(cum["sa"]) / na - float(cum["sb"]) / nb
+        ss = (float(cum["qa"]) - float(cum["sa"]) ** 2 / na) + (
+            float(cum["qb"]) - float(cum["sb"]) ** 2 / nb
+        )
+        s2 = ss / (na + nb - 2)
+        vn = s2 * (1 / na + 1 / nb)
+        lam = round(
+            math.sqrt(vn / (vn + 1))
+            * math.exp(delta * delta / (2 * vn * (vn + 1))),
+            12,
+        )
+        run_min = min(run_min, round(1 / lam, 12) if lam > 1 else 1.0)
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert abs(r["lambda_stat"] - lam) < 1e-9, (d, r["lambda_stat"], lam)
+        assert abs(r["p_always_valid"] - run_min) < 1e-9
+
+    ps = [r["p_always_valid"] for r in got]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))  # monotone
+    assert ps[-1] < 0.05  # the planted lift is detected
+
+    null_df = spark.createDataFrame(simulate(0.0), ["ts", "arm", "value"])
+    null_p = (
+        msprt_monitor(null_df, "ts", "arm", "value", 0, 1, value_dp=2)
+        .orderBy("bucket")
+        .collect()[-1]["p_always_valid"]
+    )
+    assert null_p > 0.05  # no effect -> no (spurious) detection
+
+    with pytest.raises(ValueError, match="tau"):
+        msprt_monitor(df, "ts", "arm", "value", 0, 1, tau=0.0)
+    with pytest.raises(ValueError, match="value_dp"):
+        msprt_monitor(df, "ts", "arm", "value", 0, 1, value_dp=6)
