@@ -105,17 +105,21 @@ WINDOW = [
     "q286_mcnemar_exact",
     "q287_bpe_encode",
     "q288_dynamic_partition_pruning",
-    # -- r5-vintage cohort (refreshed through r12 minus the seven
+    # -- wave-4 debuts (same rule; cedes: q57 — the exact-dedup family
+    #    holds q66 in-window and q57's streaming twins q57b/q57c carry
+    #    multibatch tests; q91 — the embedding family holds q68 + q69
+    #    in-window)
+    "q293_fs_record_linkage",
+    "q294_msprt_monitor",
+    # -- r5-vintage cohort (refreshed through r12 minus the nine
     #    family-covered cedes above: oldest lifetime row stays r5)
     "q48_map_funcs",
     "q54_window_sliding",
     "q55_window_session",
     "q56_stream_watermark",
-    "q57_dedup_keep_first",
     "q67c_dedup_minhash_md5",
     "q73_multimodal_features",
     "q87_merge_upsert",
-    "q91_embedding_near_dup",
     "q94_clustered_write",
     "qf10_view_definition_observation",
 ]
