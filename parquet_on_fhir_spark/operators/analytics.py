@@ -4880,3 +4880,248 @@ def msprt_monitor(
     return scored.withColumn(
         "p_always_valid", F.min(inv).over(w2)
     )
+
+
+def _dec_moments(v, cond=None):
+    """Exact-decimal (n, Σv, Σv²) aggregate expressions for a 2-dp-
+    quantized value column — the msprt_monitor discipline shared by
+    the effect-size/agreement operators below (double summation order
+    drifts across engines; DECIMAL sums do not)."""
+    q = F.round(v, 2).cast("decimal(18,6)")
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    zero12 = (zero6 * zero6).cast("decimal(38,12)")
+    if cond is not None:
+        n = F.sum(F.when(cond & v.isNotNull(), 1).otherwise(0))
+        s1 = F.sum(F.when(cond, q).otherwise(zero6))
+        s2 = F.sum(F.when(cond, (q * q).cast("decimal(38,12)")).otherwise(zero12))
+    else:
+        n = F.sum(F.when(v.isNotNull(), 1).otherwise(0))
+        s1 = F.sum(q)
+        s2 = F.sum((q * q).cast("decimal(38,12)"))
+    return n, s1, s2
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    value_col: str,
+) -> DataFrame:
+    """Standardized effect size for a two-group mean difference —
+    Cohen's d (pooled-SD units) and the small-sample-corrected
+    Hedges' g: the number every A/B readout should report NEXT TO its
+    p-value, because significance without magnitude is how trivial
+    effects ship.  d = (x̄_a − x̄_b)/s_pooled; g = d·J with J = 1 −
+    3/(4(n_a+n_b) − 9).
+
+    ONE map-side-combined hash aggregate to the exact-decimal moment
+    frame (the fact side never shuffles); the arithmetic after it is
+    a fixed double sequence over exact sums, so a SQL twin matches
+    bitwise.  NULL d when either group has < 2 values or the pooled
+    variance is 0.
+
+    Output: 1 row — (n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d,
+    hedges_g), means/sd/effects rounded via the d4 convention by the
+    caller.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    na, sa, qa = _dec_moments(v, g == group_a)
+    nb, sb, qb = _dec_moments(v, g == group_b)
+    agg = df.filter(g.isin([group_a, group_b])).agg(
+        na.alias("n_a"), sa.alias("s_a"), qa.alias("q_a"),
+        nb.alias("n_b"), sb.alias("s_b"), qb.alias("q_b"),
+    )
+    nA, nB = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sA, sB = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    qA, qB = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    mean_a, mean_b = sA / nA, sB / nB
+    ss = (qA - sA * sA / nA) + (qB - sB * sB / nB)
+    pooled = F.sqrt(ss / (nA + nB - 2.0))
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (ss > 0)
+    d = (mean_a - mean_b) / pooled
+    j = 1.0 - 3.0 / (4.0 * (nA + nB) - 9.0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, mean_a).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mean_b).alias("mean_b"),
+        F.when(ok, pooled).alias("pooled_sd"),
+        F.when(ok, d).alias("cohens_d"),
+        F.when(ok, d * j).alias("hedges_g"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    m1_col: str,
+    m2_col: str,
+) -> DataFrame:
+    """Bland–Altman agreement analysis (Bland & Altman 1986 — THE
+    method-comparison statistic in laboratory medicine): for paired
+    measurements of the same quantity by two methods, the bias is the
+    mean difference and the 95 % limits of agreement are bias ±
+    1.96·SD(diff); correlation is the WRONG tool here (two methods
+    can correlate at 0.99 and still disagree by a clinically fatal
+    offset).
+
+    One exact-decimal moment aggregate over the paired diffs + one
+    count of pairs outside the limits (a second scan with the limits
+    broadcast as a 1-row cross join — pair rows never shuffle).
+    Pairs with either side NULL are excluded.
+
+    Output: 1 row — (n, bias, loa_lo, loa_hi, n_outside).
+    """
+    m1, m2 = F.col(m1_col), F.col(m2_col)
+    paired = df.filter(m1.isNotNull() & m2.isNotNull())
+    diff = m1 - m2
+    n_, s1, s2 = _dec_moments(diff)
+    agg = paired.agg(n_.alias("n"), s1.alias("s1"), s2.alias("s2"))
+    nD = F.col("n").cast("double")
+    sD = F.col("s1").cast("double")
+    qD = F.col("s2").cast("double")
+    bias = sD / nD
+    sd = F.sqrt((qD - sD * sD / nD) / (nD - 1.0))
+    lims = agg.select(
+        F.col("n"),
+        bias.alias("bias"),
+        (bias - 1.96 * sd).alias("loa_lo"),
+        (bias + 1.96 * sd).alias("loa_hi"),
+    )
+    outside = (
+        paired.select(F.round(diff, 2).alias("__d"))
+        .crossJoin(F.broadcast(lims))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__d") < F.col("loa_lo"))
+                    | (F.col("__d") > F.col("loa_hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outside")
+        )
+    )
+    return lims.crossJoin(F.broadcast(outside))
+
+
+def icc_oneway(
+    df: DataFrame,
+    subject_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979 case 1) — the reliability statistic for
+    repeated measurements of the same subjects (rater agreement,
+    test-retest, duplicate lab assays): share of total variance that
+    is BETWEEN subjects, (MSB − MSW)/(MSB + (k₀−1)·MSW), with the
+    unbalanced-design k₀ = (N − Σkᵢ²/N)/(n−1).
+
+    Two hash aggregates: per-subject exact-decimal moments (the only
+    shuffle, keyed by subject), then the 1-row ANOVA fold.  Subjects
+    with a single measurement contribute to MSW's denominator
+    correctly via k₀.  The per-subject s²/k terms sum in DOUBLE
+    across subjects (a rational-exact restatement would need a common
+    denominator over arbitrary kᵢ), so the oracle contract here is
+    the d4(+1e-9) convention — the same class as every avg() oracle —
+    not the bitwise class of the single-aggregate operators above;
+    drift is ~n·2⁻⁵³ relative, orders below the nudge.
+
+    Output: 1 row — (n_subjects, n_obs, msb, msw, k0, icc); NULL icc
+    when < 2 subjects or MSB+(k₀−1)MSW = 0.
+    """
+    v = F.col(value_col)
+    n_, s1, s2 = _dec_moments(v)
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(subject_col)
+        .agg(n_.alias("__k"), s1.alias("__s"), s2.alias("__q"))
+    )
+    agg = per.agg(
+        F.count("*").alias("n_subj"),
+        F.sum("__k").alias("n_obs"),
+        F.sum(F.col("__k") * F.col("__k")).alias("sum_k2"),
+        F.sum("__s").alias("s_tot"),
+        F.sum("__q").alias("q_tot"),
+        F.sum(
+            (F.col("__s").cast("double") * F.col("__s").cast("double"))
+            / F.col("__k").cast("double")
+        ).alias("ss_subj"),
+    )
+    n = F.col("n_subj").cast("double")
+    N = F.col("n_obs").cast("double")
+    sT = F.col("s_tot").cast("double")
+    qT = F.col("q_tot").cast("double")
+    ssb = F.col("ss_subj") - sT * sT / N
+    ssw = qT - F.col("ss_subj")
+    msb = ssb / (n - 1.0)
+    msw = ssw / (N - n)
+    k0 = (N - F.col("sum_k2").cast("double") / N) / (n - 1.0)
+    denom = msb + (k0 - 1.0) * msw
+    ok = (F.col("n_subj") >= 2) & (N > n) & (denom != 0.0)
+    return agg.select(
+        F.col("n_subj").alias("n_subjects"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.when(F.col("n_subj") >= 2, msb).alias("msb"),
+        F.when(N > n, msw).alias("msw"),
+        F.when(F.col("n_subj") >= 2, k0).alias("k0"),
+        F.when(ok, (msb - msw) / denom).alias("icc"),
+    )
+
+
+def deming_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lambda_: float = 1.0,
+) -> DataFrame:
+    """Deming regression — the method-comparison fit when BOTH
+    variables carry measurement error (ordinary least squares is
+    biased toward zero slope there; clinical-chemistry method
+    validation uses Deming for exactly this reason).  Closed form
+    from second moments with error-variance ratio λ = σ²_y/σ²_x:
+    slope = (s_yy − λ·s_xx + √((s_yy − λ·s_xx)² + 4λ·s_xy²)) /
+    (2·s_xy), intercept = ȳ − slope·x̄.
+
+    ONE exact-decimal moment aggregate (n, Σx, Σy, Σx², Σy², Σxy) —
+    the fact side never shuffles; everything after is a fixed double
+    sequence, so a SQL twin matches bitwise.  NULL slope when n < 3
+    or s_xy = 0 (the degenerate no-covariance case where the Deming
+    line is undefined).
+
+    Output: 1 row — (n, mean_x, mean_y, slope, intercept).
+    """
+    lam = float(lambda_)
+    if lam <= 0:
+        raise ValueError("lambda_ must be > 0")
+    x, y = F.col(x_col), F.col(y_col)
+    paired = df.filter(x.isNotNull() & y.isNotNull())
+    qx = F.round(x, 2).cast("decimal(18,6)")
+    qy = F.round(y, 2).cast("decimal(18,6)")
+    agg = paired.agg(
+        F.count("*").alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qy).alias("sy"),
+        F.sum((qx * qx).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((qy * qy).cast("decimal(38,12)")).alias("syy"),
+        F.sum((qx * qy).cast("decimal(38,12)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double") - sx * sx / n
+    syy = F.col("syy").cast("double") - sy * sy / n
+    sxy = F.col("sxy").cast("double") - sx * sy / n
+    slope = (
+        syy - lam * sxx
+        + F.sqrt(
+            (syy - lam * sxx) * (syy - lam * sxx) + 4.0 * lam * sxy * sxy
+        )
+    ) / (2.0 * sxy)
+    ok = (F.col("n") >= 3) & (sxy != 0.0)
+    return agg.select(
+        "n",
+        F.when(F.col("n") > 0, sx / n).alias("mean_x"),
+        F.when(F.col("n") > 0, sy / n).alias("mean_y"),
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, sy / n - slope * (sx / n)).alias("intercept"),
+    )

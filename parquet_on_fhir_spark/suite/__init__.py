@@ -38,7 +38,10 @@ from parquet_on_fhir_spark.suite.common import Q
 #      slots: qf43-qf47), q289 (its codec family holds q73 + the new
 #      q284/q285), q290 (its curation-audit family holds q74b + the
 #      new q282) and q291 (its time-series family holds the q269/q274
-#      lifetime rows — the q281 precedent) cede likewise.
+#      lifetime rows — the q281 precedent) cede likewise; the wave-4
+#      method-comparison quartet q295-q298 cedes too (the experiment/
+#      agreement stats family holds three in-window slots: q283 fisher,
+#      q286 mcnemar, q294 msprt).
 # All 50 are oracle-backed this round. Full-suite verification is
 # always available via `python tools/selfcheck.py`.
 WINDOW = [

@@ -7816,3 +7816,257 @@ FROM lam
 
 
 QUERIES.append(Q("q294_msprt_monitor", q294, Q294_ORACLE))
+
+
+# --- Q295-Q298: method-comparison / effect-size statistics ----------------------------
+def q295(spark, sf_dir):
+    """Cohen's d / Hedges' g effect size (operators/analytics.py::
+    cohens_d, r12 wave 4): URGENT vs LOW order values — the magnitude
+    number an A/B readout must report next to its p-value. ONE
+    map-side-combined exact-decimal moment aggregate; the oracle
+    matches bitwise before the d4 output rounding."""
+    from parquet_on_fhir_spark.operators.analytics import cohens_d
+
+    o = t(spark, sf_dir, "orders")
+    out = cohens_d(o, "o_orderpriority", "1-URGENT", "5-LOW", "o_totalprice")
+    return out.select(
+        "n_a",
+        "n_b",
+        d4(F.col("mean_a")).alias("mean_a"),
+        d4(F.col("mean_b")).alias("mean_b"),
+        d4(F.col("pooled_sd")).alias("pooled_sd"),
+        d4(F.col("cohens_d")).alias("cohens_d"),
+        d4(F.col("hedges_g")).alias("hedges_g"),
+    )
+
+
+Q295_ORACLE = """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice, 2) AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS sa,
+    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice, 2) AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS sb,
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice, 2) AS DECIMAL(30,6)) * CAST(round(o_totalprice, 2) AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) * CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS qa,
+    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice, 2) AS DECIMAL(30,6)) * CAST(round(o_totalprice, 2) AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) * CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS qb
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+c AS (
+  SELECT n_a, n_b, sa / n_a AS ma, sb / n_b AS mb,
+         sqrt(((qa - sa * sa / n_a) + (qb - sb * sb / n_b))
+              / (n_a + n_b - 2)) AS sp
+  FROM m
+)
+SELECT n_a, n_b,
+       round(ma + 1e-9, 4) AS mean_a,
+       round(mb + 1e-9, 4) AS mean_b,
+       round(sp + 1e-9, 4) AS pooled_sd,
+       round((ma - mb) / sp + 1e-9, 4) AS cohens_d,
+       round((ma - mb) / sp * (1 - 3.0 / (4 * (n_a + n_b) - 9)) + 1e-9, 4)
+         AS hedges_g
+FROM c
+"""
+
+
+QUERIES.append(Q("q295_cohens_d", q295, Q295_ORACLE))
+
+
+def q296(spark, sf_dir):
+    """Bland-Altman agreement (operators/analytics.py::bland_altman,
+    r12 wave 4 -- THE lab method-comparison statistic): event values
+    re-measured by a synthetic 'method 2' (2% proportional bias + an
+    md5-deterministic error, the q280 restatable-noise recipe); bias,
+    95% limits of agreement, and the count outside them -- where
+    correlation would hide a clinically fatal offset."""
+    from parquet_on_fhir_spark.operators.analytics import bland_altman
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    noise = (
+        md5_60(F.concat(F.lit("ba:"), F.col("event_id").cast("string")))
+        / F.lit(float(2**60))
+        - 0.5
+    ) * 4.0
+    d = e.select(
+        F.round(F.col("value"), 2).alias("m1"),
+        F.round(F.col("value") * 1.02 + noise, 2).alias("m2"),
+    )
+    out = bland_altman(d, "m1", "m2")
+    return out.select(
+        "n",
+        d4(F.col("bias")).alias("bias"),
+        d4(F.col("loa_lo")).alias("loa_lo"),
+        d4(F.col("loa_hi")).alias("loa_hi"),
+        F.col("n_outside").cast("long").alias("n_outside"),
+    )
+
+
+Q296_ORACLE = """
+WITH d AS (
+  SELECT round(value, 2) AS m1,
+         round(value * 1.02
+               + (CAST('0x' || substr(md5('ba:' || CAST(event_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) - 0.5)
+                 * 4.0, 2) AS m2
+  FROM events WHERE value IS NOT NULL
+),
+dd AS (SELECT round(m1 - m2, 2) AS df FROM d),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(df AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(df AS DECIMAL(18,6)) * CAST(df AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM dd
+),
+lims AS (
+  SELECT n, s1 / n AS bias,
+         s1 / n - 1.96 * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS lo,
+         s1 / n + 1.96 * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS hi
+  FROM m
+)
+SELECT n,
+       round(bias + 1e-9, 4) AS bias,
+       round(lo + 1e-9, 4) AS loa_lo,
+       round(hi + 1e-9, 4) AS loa_hi,
+       (SELECT CAST(sum(CASE WHEN df < lo OR df > hi THEN 1 ELSE 0 END) AS BIGINT)
+        FROM dd) AS n_outside
+FROM lims
+"""
+
+
+QUERIES.append(Q("q296_bland_altman", q296, Q296_ORACLE))
+
+
+def q297(spark, sf_dir):
+    """One-way intraclass correlation ICC(1,1) (operators/
+    analytics.py::icc_oneway, r12 wave 4): how much of event-value
+    variance is BETWEEN users vs noise within them -- test-retest
+    reliability over an unbalanced design (k0 correction). Two hash
+    aggregates: per-subject exact-decimal moments then the 1-row
+    ANOVA fold; per-subject s^2/k terms sum in double, so this row
+    rides the d4(+1e-9) convention (operator docstring)."""
+    from parquet_on_fhir_spark.operators.analytics import icc_oneway
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = icc_oneway(e, "user_id", "value")
+    return out.select(
+        "n_subjects",
+        "n_obs",
+        d4(F.col("msb")).alias("msb"),
+        d4(F.col("msw")).alias("msw"),
+        d4(F.col("k0")).alias("k0"),
+        d4(F.col("icc")).alias("icc"),
+    )
+
+
+Q297_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(round(value, 2) AS DECIMAL(18,6))) AS s,
+         sum(CAST(round(value, 2) AS DECIMAL(18,6))
+             * CAST(round(value, 2) AS DECIMAL(18,6))) AS q
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subj,
+         CAST(sum(k) AS BIGINT) AS n_obs,
+         CAST(sum(k * k) AS DOUBLE) AS sum_k2,
+         CAST(sum(s) AS DOUBLE) AS s_tot,
+         CAST(sum(q) AS DOUBLE) AS q_tot,
+         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k) AS ss_subj
+  FROM per
+),
+f AS (
+  SELECT n_subj, n_obs,
+         (ss_subj - s_tot * s_tot / n_obs) / (n_subj - 1) AS msb,
+         (q_tot - ss_subj) / (n_obs - n_subj) AS msw,
+         (n_obs - sum_k2 / n_obs) / (n_subj - 1) AS k0
+  FROM agg
+)
+SELECT n_subj AS n_subjects, n_obs,
+       round(msb + 1e-9, 4) AS msb,
+       round(msw + 1e-9, 4) AS msw,
+       round(k0 + 1e-9, 4) AS k0,
+       round((msb - msw) / (msb + (k0 - 1) * msw) + 1e-9, 4) AS icc
+FROM f
+"""
+
+
+QUERIES.append(Q("q297_icc_oneway", q297, Q297_ORACLE))
+
+
+def q298(spark, sf_dir):
+    """Deming regression (operators/analytics.py::deming_regression,
+    r12 wave 4 -- clinical-chemistry method validation): both
+    variables carry measurement error, where OLS biases the slope
+    toward zero; closed form from ONE exact-decimal moment aggregate
+    (n, Sx, Sy, Sxx, Syy, Sxy). x = order value, y = a planted
+    1.03x - 5 relation plus md5-deterministic error -- the fitted
+    slope must recover ~1.03 where OLS under the same noise reads
+    low."""
+    from parquet_on_fhir_spark.operators.analytics import (
+        deming_regression,
+    )
+    from parquet_on_fhir_spark.operators.dedup import md5_60
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    noise = (
+        md5_60(F.concat(F.lit("dm:"), F.col("o_orderkey").cast("string")))
+        / F.lit(float(2**60))
+        - 0.5
+    ) * 50.0
+    d = o.select(
+        F.round(F.col("o_totalprice"), 2).alias("x"),
+        F.round(F.col("o_totalprice") * 1.03 - 5.0 + noise, 2).alias("y"),
+    )
+    out = deming_regression(d, "x", "y")
+    return out.select(
+        "n",
+        d4(F.col("mean_x")).alias("mean_x"),
+        d4(F.col("mean_y")).alias("mean_y"),
+        d4(F.col("slope")).alias("slope"),
+        d4(F.col("intercept")).alias("intercept"),
+    )
+
+
+Q298_ORACLE = """
+WITH d AS (
+  SELECT round(o_totalprice, 2) AS x,
+         round(o_totalprice * 1.03 - 5.0
+               + (CAST('0x' || substr(md5('dm:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                       AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) - 0.5)
+                 * 50.0, 2) AS y
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(30,6)) * CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(30,6)) * CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS DECIMAL(30,6)) * CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+  FROM d
+),
+c AS (
+  SELECT n, sx / n AS mx, sy / n AS my,
+         sxx - sx * sx / n AS vxx,
+         syy - sy * sy / n AS vyy,
+         sxy - sx * sy / n AS vxy
+  FROM m
+),
+s AS (
+  SELECT n, mx, my,
+         (vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx) + 4 * vxy * vxy))
+           / (2 * vxy) AS slope
+  FROM c
+)
+SELECT n,
+       round(mx + 1e-9, 4) AS mean_x,
+       round(my + 1e-9, 4) AS mean_y,
+       round(slope + 1e-9, 4) AS slope,
+       round(my - slope * mx + 1e-9, 4) AS intercept
+FROM s
+"""
+
+
+QUERIES.append(Q("q298_deming_regression", q298, Q298_ORACLE))

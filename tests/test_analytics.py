@@ -2542,3 +2542,114 @@ def test_msprt_monitor_matches_reference_and_peeking_guarantee(spark):
         msprt_monitor(df, "ts", "arm", "value", 0, 1, tau=0.0)
     with pytest.raises(ValueError, match="value_dp"):
         msprt_monitor(df, "ts", "arm", "value", 0, 1, value_dp=6)
+
+
+def test_cohens_d_and_bland_altman_references(spark):
+    import math
+    import random
+    import statistics
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        bland_altman,
+        cohens_d,
+    )
+
+    rng = random.Random(3)
+    rows = [("a", round(rng.gauss(10, 2), 2)) for _ in range(50)] + [
+        ("b", round(rng.gauss(9, 2), 2)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = cohens_d(df, "g", "a", "b", "v").collect()[0]
+    va = [v for g, v in rows if g == "a"]
+    vb = [v for g, v in rows if g == "b"]
+    sp = math.sqrt(
+        (
+            (len(va) - 1) * statistics.variance(va)
+            + (len(vb) - 1) * statistics.variance(vb)
+        )
+        / (len(va) + len(vb) - 2)
+    )
+    d_ref = (statistics.mean(va) - statistics.mean(vb)) / sp
+    assert abs(r["cohens_d"] - d_ref) < 1e-9
+    assert abs(r["hedges_g"] - d_ref * (1 - 3 / (4 * 90 - 9))) < 1e-9
+    # degenerate: single-value group -> NULL effect
+    tiny = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("b", 3.0)], ["g", "v"])
+    assert cohens_d(tiny, "g", "a", "b", "v").collect()[0]["cohens_d"] is None
+
+    pairs = [
+        (m1, round(m1 * 1.02 + rng.gauss(0.5, 1.5), 2))
+        for m1 in (round(rng.gauss(100, 10), 2) for _ in range(80))
+    ]
+    r = bland_altman(spark.createDataFrame(pairs, ["m1", "m2"]), "m1", "m2").collect()[0]
+    diffs = [round(m1 - m2, 2) for m1, m2 in pairs]
+    bias = statistics.mean(diffs)
+    sd = statistics.stdev(diffs)
+    assert abs(r["bias"] - bias) < 1e-9
+    assert abs(r["loa_lo"] - (bias - 1.96 * sd)) < 1e-9
+    assert r["n_outside"] == sum(
+        1 for d in diffs if d < bias - 1.96 * sd or d > bias + 1.96 * sd
+    )
+
+
+def test_icc_and_deming_references(spark):
+    import math
+    import random
+    import statistics
+    from collections import defaultdict
+
+    import pytest
+
+    from parquet_on_fhir_spark.operators.analytics import (
+        deming_regression,
+        icc_oneway,
+    )
+
+    rng = random.Random(3)
+    subj = []
+    for s in range(30):
+        true = rng.gauss(50, 8)
+        for _ in range(rng.randint(2, 4)):
+            subj.append((s, round(true + rng.gauss(0, 2), 2)))
+    r = icc_oneway(
+        spark.createDataFrame(subj, ["s", "v"]), "s", "v"
+    ).collect()[0]
+    by = defaultdict(list)
+    for s, v in subj:
+        by[s].append(v)
+    n, N = len(by), len(subj)
+    gm = statistics.mean([v for _, v in subj])
+    msb = sum(
+        len(vs) * (statistics.mean(vs) - gm) ** 2 for vs in by.values()
+    ) / (n - 1)
+    msw = sum(
+        (v - statistics.mean(vs)) ** 2 for vs in by.values() for v in vs
+    ) / (N - n)
+    k0 = (N - sum(len(vs) ** 2 for vs in by.values()) / N) / (n - 1)
+    icc_ref = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert abs(r["icc"] - icc_ref) < 1e-9
+    assert r["icc"] > 0.8  # planted strong subject effect
+    assert r["n_subjects"] == n and r["n_obs"] == N
+
+    xy = [
+        (x, round(1.05 * x - 3 + rng.gauss(0, 2), 2))
+        for x in (round(rng.gauss(100, 15), 2) for _ in range(100))
+    ]
+    r = deming_regression(
+        spark.createDataFrame(xy, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    mx = statistics.mean(x for x, _ in xy)
+    my = statistics.mean(y for _, y in xy)
+    sxx = sum((x - mx) ** 2 for x, _ in xy)
+    syy = sum((y - my) ** 2 for _, y in xy)
+    sxy = sum((x - mx) * (y - my) for x, y in xy)
+    slope_ref = (syy - sxx + math.sqrt((syy - sxx) ** 2 + 4 * sxy**2)) / (
+        2 * sxy
+    )
+    assert abs(r["slope"] - slope_ref) < 1e-8
+    assert abs(r["intercept"] - (my - slope_ref * mx)) < 1e-6
+    assert abs(r["slope"] - 1.05) < 0.02  # recovers the planted relation
+
+    with pytest.raises(ValueError, match="lambda"):
+        deming_regression(
+            spark.createDataFrame(xy, ["x", "y"]), "x", "y", lambda_=0
+        )
