@@ -9,123 +9,78 @@ from __future__ import annotations
 from parquet_on_fhir_spark.suite.common import Q
 
 # The correctness driver hash-checks the FIRST 50 registered queries
-# only, so registration order is coverage policy.  Round-12 window
-# (the r11 verdict's prescription, task 1 — rotate the stale-evidence
-# families so that after r12 no green is older than r5; computed
-# oldest-first across CORRECTNESS_r01-r11):
+# only, so registration order is coverage policy.
+#
+# Round-13 window (the r12 verdict's prescription, task 1 — retire BOTH
+# remaining evidence tails):
 #   1. flagship;
-#   2. the 13 genuinely stale rows: the r2-vintage twins
-#      q13b/q37b and the r4-vintage window/streaming/LLM cores
-#      (q30-q33, q52/q53, q66/q68/q69/q71/q74b) — 7+ rounds of
-#      refactors since their last driver hash;
-#   3. the full r5-vintage cohort (22 queries — approx-distinct, map
-#      funcs, streaming windows/watermark, dedup/minhash/embedding
-#      twins, tf-idf, multimodal, curation, TPC-H q4/q18/q22, upsert,
-#      clustered write, the Observation ViewDefinition);
-#   4. remaining slots oldest-first from the r6 cohort; r12 debuts
-#      displace the NEWEST of these fills as they land (the
-#      debuts-land-with-a-driver-row rule). Exception (the r10/r11
-#      twin-cede pattern, inverted): q57c_stream_dedup_within_watermark
-#      debuts WITHOUT a slot because both its twins (q57, q57b — the
-#      same oracle) are already in-window this round; likewise the
-#      wave-2 late debuts q275 (rows-only, carried by its property
-#      tests), q276 (its multimodal codec family q73/q270 is
-#      in-window), qf48 (its terminology family holds five slots:
-#      qf43/qf44/qf45/qf46/qf47), q279 (its text-audit family q71
-#      is in-window) and q281 (its time-series family q269/q274 is
-#      in-window) cede their slots to the r5 freshness cohort; the
-#      wave-3 late debuts qf49 (its terminology family holds five
-#      slots: qf43-qf47), q289 (its codec family holds q73 + the new
-#      q284/q285), q290 (its curation-audit family holds q74b + the
-#      new q282) and q291 (its time-series family holds the q269/q274
-#      lifetime rows — the q281 precedent) cede likewise; the wave-4
-#      method-comparison quartet q295-q298 cedes too (the experiment/
-#      agreement stats family holds three in-window slots: q283 fisher,
-#      q286 mcnemar, q294 msprt).
-# All 50 are oracle-backed this round. Full-suite verification is
-# always available via `python tools/selfcheck.py`.
+#   2. the 13 r12 debuts the driver never sampled (judge-selfchecked
+#      green, but driver evidence is the standard): q57c, qf48, qf49,
+#      q276, q279, q281, q289, q290, q291, q295-q298;
+#   3. the 13 r5-vintage lifetime rows (the oldest green anywhere):
+#      q23, q51b, q57, q59, q72, q74, q74d, q86c, q89-q93;
+#   4. remaining 23 slots filled oldest-first from the r6 cohort
+#      (q108-q142 in registration order); r13 debuts displace the
+#      NEWEST of these fills as they land (debuts-land-with-a-driver-
+#      row rule). After r13 the oldest green anywhere is r6.
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- r2-vintage (last driver hash: CORRECTNESS_r02)
-    "q13b_join_full_outer",
-    "q37b_union_distinct",
-    # -- r4-vintage window functions
-    "q30_window_ranking",
-    "q31_window_lag_lead",
-    "q32_window_frames",
-    "q33_window_topk_per_group",
-    # -- r4-vintage streaming core
-    "q52_stream_source_sink_available_now",
-    "q53_stream_window_tumbling",
-    # -- r4-vintage LLM core
-    "q66_dedup_exact",
-    "q68_cosine_similarity",
-    "q69_similarity_topk_bruteforce",
-    "q71_text_stats",
-    "q74b_quality_scoring",
-    # -- r12 debuts (land with a driver row; each displaces the newest
-    #    r6 fill below — wave 2 added q266-q272 + qf46/qf47,
-    #    ceding the whole r6 fill tier q108-q126, plus four r5 rows
-    #    with covered families: q51b (q51 carries r10), q74d (q74/q74b
-    #    stay in-window), q90 (its q21 base anchors bench every round),
-    #    q92 (the semi/exists family's q14 is in-window; q93's
-    #    anti/not-exists form stays), and — see below — none of the
-    #    streaming tier)
-    "qf43_ecl_comparisons",
-    "qf44_expand_paging",
-    "q263_jpeg_progressive_decode",
-    "qf45_ecl_refinement_sets",
-    "q264_bloom_semi_join",
-    "q265_stratified_weighted_sample",
-    "q266_degree_assortativity",
-    "q267_histogram_sketch_quantiles",
-    "q268_kendall_tau",
-    "q269_cross_correlation",
-    "q270_gif_real_decode",
-    "qf46_bundle_ingest",
-    "qf47_expand_designations",
-    "q271_mutual_best_match",
-    "q272_label_propagation",
-    "q273_containment_pairs",
-    "q274_mann_kendall",
-    "q280_geo_radius_join",
-    # -- r12 wave-3 debuts (debuts-land-with-a-driver-row rule; each
-    #    displaces one r5-cohort row whose family keeps other slots:
-    #    q74 ceded (q74b holds the quality family), q59 ceded (the
-    #    streaming family holds q52-q57), q72 ceded (q71 holds the
-    #    text family), q89 ceded (the agg-join shape is anchored by
-    #    the q00 flagship + q93's TPC-H slot). The ceded rows stay
-    #    r5-vintage, which still meets the r11 verdict's "no green
-    #    older than r5" bar.
-    "q282_url_dedup_audit",
-    "q283_fisher_exact",
-    "q284_webp_lossless_real_decode",
-    "q285_audio_spectral_features",
-    # -- wave-3 continuation debuts (same rule; cedes: q23 — its exact
-    #    twin q22 is r11-green and the HLL family holds q197's lifetime
-    #    row; q86c — the curation family holds q74b + the new q282;
-    #    q93 — the anti-join shape is held by q14 in-window)
-    "q286_mcnemar_exact",
-    "q287_bpe_encode",
-    "q288_dynamic_partition_pruning",
-    # -- wave-4 debuts (same rule; cedes: q57 — the exact-dedup family
-    #    holds q66 in-window and q57's streaming twins q57b/q57c carry
-    #    multibatch tests; q91 — the embedding family holds q68 + q69
-    #    in-window)
-    "q293_fs_record_linkage",
-    "q294_msprt_monitor",
-    # -- r5-vintage cohort (refreshed through r12 minus the nine
-    #    family-covered cedes above: oldest lifetime row stays r5)
-    "q48_map_funcs",
-    "q54_window_sliding",
-    "q55_window_session",
-    "q56_stream_watermark",
-    "q67c_dedup_minhash_md5",
-    "q73_multimodal_features",
-    "q87_merge_upsert",
-    "q94_clustered_write",
-    "qf10_view_definition_observation",
+    # -- tier 2: r12 debuts, never driver-sampled
+    "q57c_stream_dedup_within_watermark",
+    "qf48_version_pinning",
+    "qf49_expand_active_only",
+    "q276_gif_animation_frames",
+    "q279_unicode_nfc_audit",
+    "q281_rolling_origin_splits",
+    "q289_tiff_real_decode",
+    "q290_pii_luhn_audit",
+    "q291_peak_concurrency",
+    "q295_cohens_d",
+    "q296_bland_altman",
+    "q297_icc_oneway",
+    "q298_deming_regression",
+    # -- tier 3: the full r5-vintage cohort (oldest lifetime evidence)
+    "q23_agg_approx_distinct",
+    "q51b_hash_ids_local",
+    "q57_dedup_keep_first",
+    "q59_stream_static_join",
+    "q72_term_idf",
+    "q74_quality_filter",
+    "q74d_doc_fingerprints_md5",
+    "q86c_curation_pipeline_md5",
+    "q89_tpch_q18",
+    "q90_scale10_agg",
+    "q91_embedding_near_dup",
+    "q92_tpch_q4_exists",
+    "q93_tpch_q22_not_exists",
+    # -- r13 debuts (land with a driver row; each displaced the newest
+    #    r6 fill below)
+    # -- tier 4: r6-cohort fills, oldest-first
+    "q108_dedup_clusters_md5",
+    "q120_incremental_dedup",
+    "q121_ngram_lm_score",
+    "q122_dedup_lines",
+    "q123_frequent_ngrams",
+    "q124_fuzzy_join",
+    "q125_resample_gapfill",
+    "q126_tpch_q2_min_cost_supplier",
+    "q127_tpch_q9_profit",
+    "q128_tpch_q11_important_parts",
+    "q129_tpch_q16_supplier_cnt",
+    "q130_tpch_q20_excess_shipments",
+    "q132_resample_interpolate",
+    "q133_funnel",
+    "q134_cohort_retention",
+    "q135_expectations",
+    "q136_anomaly_detection",
+    "q137_sessionize",
+    "q138_pagerank",
+    "q139_weighted_sample",
+    "q140_ewma",
+    "q141_snapshot_diff",
+    "q142_skew_report",
 ]
+
 
 # Rows-only by design (no portable oracle); each is carried by the named
 # test instead of a driver hash row.  Kept out of the 50-query window.
