@@ -2556,7 +2556,13 @@ def _vp8l_inverse_transform(tf, argb, xsize, ysize):
                     L = out[i - 1]
                     T = out[i - xsize]
                     TL = out[i - xsize - 1]
-                    TR = out[i - xsize + 1] if x + 1 < xsize else out[i - xsize]
+                    # RFC 9649 §4.2 / libwebp: TR is read from the
+                    # contiguous ARGB buffer, so on the rightmost column
+                    # (x == xsize-1) out[i-xsize+1] wraps to the already
+                    # -decoded LEFTMOST pixel of the CURRENT row — not
+                    # the top pixel.  Mirrors PredictorXX's
+                    # top[1] == row start wrap in libwebp lossless.c.
+                    TR = out[i - xsize + 1]
                     if mode == 0:
                         pred = 0xFF000000
                     elif mode == 1:

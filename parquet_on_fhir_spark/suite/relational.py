@@ -12,6 +12,7 @@ test data.
 from __future__ import annotations
 
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -7479,7 +7480,11 @@ def q288(spark, sf_dir):
     o = t(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
-    base = tempfile.mkdtemp(prefix="pofs_dpp_")
+    # Deterministic run-scoped path (NOT mkdtemp): the returned frame
+    # scans this directory lazily, so it can't be deleted here; a fixed
+    # name + overwrite mode means repeated suite/bench runs reuse one
+    # directory instead of leaking a parquet copy per run (r12 advice).
+    base = str(Path(tempfile.gettempdir()) / "pofs_dpp_q288")
     o.write.mode("overwrite").partitionBy("o_year").parquet(base)
     fact = spark.read.parquet(base)
     dim = (

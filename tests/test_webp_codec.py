@@ -185,6 +185,69 @@ def test_predictor_transform_stream():
     assert np.array_equal(out, img)
 
 
+def _predict_forward(src, w, mode_fn):
+    """Forward residual computation mirroring the decoder's inverse,
+    including the RFC 9649 contiguous-buffer TR wrap: at x == w-1,
+    TR = src[i-w+1] = the leftmost pixel of the CURRENT row."""
+    res = np.zeros_like(src)
+    for i, px in enumerate(src):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = src[i - 1]
+        elif x == 0:
+            pred = src[i - w]
+        else:
+            pred = mode_fn(src, i, w)
+        d = 0
+        for sh in (24, 16, 8, 0):
+            d |= ((int(px >> sh) - int(pred >> sh)) & 0xFF) << sh
+        res[i] = d
+    return res
+
+
+def _avg2(a, b):
+    return (
+        (((int(a >> 24) + int(b >> 24)) >> 1) << 24)
+        | (((((int(a) >> 16) & 0xFF) + ((int(b) >> 16) & 0xFF)) >> 1) << 16)
+        | (((((int(a) >> 8) & 0xFF) + ((int(b) >> 8) & 0xFF)) >> 1) << 8)
+        | (((int(a) & 0xFF) + (int(b) & 0xFF)) >> 1)
+    )
+
+
+@pytest.mark.parametrize(
+    "mode,mode_fn",
+    [
+        (3, lambda s, i, w: int(s[i - w + 1])),  # TR
+        (5, lambda s, i, w: _avg2(_avg2(s[i - 1], s[i - w + 1]), s[i - w])),
+        (9, lambda s, i, w: _avg2(s[i - w], s[i - w + 1])),
+        (10, lambda s, i, w: _avg2(
+            _avg2(s[i - 1], s[i - w - 1]), _avg2(s[i - w], s[i - w + 1])
+        )),
+    ],
+)
+def test_predictor_tr_rightmost_column_wrap(mode, mode_fn):
+    """Predictor modes that read TR (3/5/9/10) on a 4-wide image: the
+    rightmost column must use the contiguous-buffer wrap (the leftmost,
+    already-decoded pixel of the current row), per RFC 9649 / libwebp —
+    NOT the top pixel.  Regression test for the r12 advisory."""
+    rng = np.random.default_rng(40 + mode)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    src = _argb(img)
+    res = _predict_forward(src, 4, mode_fn)
+    bw = _Vp8lBitWriter()
+    _write_header(bw, 4, 4)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 3)  # size_bits = 2 → single 4x4 block
+    _sub_image_stream(bw, [0xFF000000 | (mode << 8)])
+    bw.write(0, 1)  # no more transforms
+    _write_literal_body(bw, [int(p) for p in res])
+    _, _, out = decode_webp(_wrap(b"\x2f" + bw.bytes()))
+    assert np.array_equal(out, img)
+
+
 def test_color_transform_stream():
     """one cross-color block (g2r=2, g2b=3, r2b=252 i.e. −4): forward
     per libwebp VP8LTransformColor, decoder must invert exactly."""
