@@ -69,17 +69,19 @@ def test_roundtrip_solid_and_two_color():
     )
 
 
-def test_decode_pixels_dispatch_and_lossy_rejection():
+def test_decode_pixels_dispatch_and_lossy_routing():
     img = np.full((4, 4, 3), 7, dtype=np.uint8)
     blob = encode_webp_lossless(img)
     w, h, out = decode_pixels(blob, "image/webp")
     assert (w, h) == (4, 4) and np.array_equal(out, img)
-    lossy = (
+    # lossy VP8 chunks now route to the RFC 6386 decoder
+    # (tests/test_vp8_codec.py); garbage payloads still raise
+    lossy_garbage = (
         b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
         + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
     )
-    with pytest.raises(ValueError, match="decode_real"):
-        decode_webp(lossy)
+    with pytest.raises(ValueError):
+        decode_webp(lossy_garbage)
 
 
 # --- hand-assembled transform streams -------------------------------------------
