@@ -54,7 +54,8 @@ WINDOW = [
     "q92_tpch_q4_exists",
     "q93_tpch_q22_not_exists",
     # -- r13 debuts (land with a driver row; each displaced the newest
-    #    r6 fill below)
+    #    r6 fill below — q299 displaced q142)
+    "q299_webp_vp8_real_decode",
     # -- tier 4: r6-cohort fills, oldest-first
     "q108_dedup_clusters_md5",
     "q120_incremental_dedup",
@@ -78,7 +79,6 @@ WINDOW = [
     "q139_weighted_sample",
     "q140_ewma",
     "q141_snapshot_diff",
-    "q142_skew_report",
 ]
 
 

@@ -3972,6 +3972,86 @@ WHERE doc_id < 200
 QUERIES.append(Q("q284_webp_lossless_real_decode", q284, Q284_ORACLE))
 
 
+# --- Q299: lossy WebP (VP8 key-frame) real decode --------------------------------------
+def q299(spark, sf_dir):
+    """operators/vp8.py::decode_vp8 end-to-end (r13): 150 genuine
+    LOSSY WebP files — solid-gray VP8 key frames from the in-repo RFC
+    6386 fixture encoder (operators/vp8_enc.py::encode_webp_solid,
+    boolean-arithmetic-coded, DC-only Y2 residual in MB(0,0), DC
+    prediction propagating it across the 2x1 cropped MB grid) —
+    broadcast onto documents and decoded by the pure-python VP8
+    decoder inside mapInPandas (decode_pixels dispatch + the BT.601
+    integer YUV->RGB in multimodal.py). Solid color makes the LOSSY
+    path EXACT (the q284 lever, lossy edition): the oracle pins the
+    full integer round trip in closed form — gray g -> Y plane value
+    y = (56318*g + 1081344) // 65536 (libwebp's RGB->Y, fixture
+    ground truth) -> decoded gray ((y-16)*19077 + 8192) // 16384.
+    Decoder correctness vs the system libwebp (segmentation, prob
+    updates, in-loop filter, real encoder streams) is pinned
+    bit-exactly in tests/test_vp8_codec.py. Same broadcast plan shape
+    as q284: the fact side never shuffles."""
+    from parquet_on_fhir_spark.operators.multimodal import (
+        extract_features,
+        numpy_features,
+    )
+    from parquet_on_fhir_spark.operators.vp8_enc import encode_webp_solid
+
+    payloads = [
+        (g, bytearray(encode_webp_solid(24, 16, (g, g, g))[0]))
+        for g in range(40, 190)
+    ]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150 + 40).cast("int") == F.col("g")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/webp").alias("mime"),
+            F.lit(24).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q299_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         (56318 * (doc_id % 150 + 40) + 1081344) // 65536 AS yv
+  FROM documents WHERE doc_id < 150
+),
+px AS (
+  SELECT doc_id,
+         least(255, greatest(0, ((yv - 16) * 19077 + 8192) // 16384)) AS outv
+  FROM m
+)
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       CAST(24.0 AS DOUBLE) AS f_width,
+       CAST(16.0 AS DOUBLE) AS f_height,
+       round(outv / 255.0 + 1e-9, 4) AS lum_00,
+       round(outv / 255.0 + 1e-9, 4) AS lum_mid,
+       round(outv / 255.0 + 1e-9, 4) AS lum_77
+FROM px
+"""
+
+
+QUERIES.append(Q("q299_webp_vp8_real_decode", q299, Q299_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12
