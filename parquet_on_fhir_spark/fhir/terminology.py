@@ -1503,12 +1503,6 @@ def _ecl_parse(ecl: str):
                         f"malformed numeric literal {nxt!r} in {ecl!r} "
                         "— expected '#' followed by a decimal number"
                     )
-                if rev:
-                    raise NotImplementedError(
-                        f"the reverse flag with a numeric comparison "
-                        f"in {ecl!r} is not supported — reverse "
-                        "attributes need concept values"
-                    )
                 return (card, rev, attr, op, ("num", float(m.group(1))))
             if op not in ("=", "!="):
                 raise NotImplementedError(
@@ -1892,8 +1886,13 @@ def ecl_expand(
                 """Property assertions satisfying one refinement's
                 (attr, op, value) condition. Forward conditions test
                 the assertion VALUE, reverse conditions its SOURCE
-                concept. Numeric values ('#' literals, r12) compare
-                the value cast to double (non-numeric → NULL → never
+                concept — uniformly, INCLUDING numeric literals
+                (r13, the last refinement refusal lifted): ``R attr
+                op #n`` compares the SOURCE code cast to double, the
+                exact symmetric extension of the forward semantics,
+                and the focus still binds to the assertion's value.
+                Numeric values ('#' literals, r12) compare the tested
+                side cast to double (non-numeric → NULL → never
                 matches, including under !=); concept values support
                 = (equality / semi-join) and != (inequality /
                 anti-join; NULL-valued assertions never match)."""
@@ -1902,7 +1901,7 @@ def ecl_expand(
                     # try_cast: ANSI mode would throw on non-numeric
                     # property values; NULL (= never matches) is the
                     # documented semantics
-                    v = F.col("pval").try_cast("double")
+                    v = F.col("code" if rev else "pval").try_cast("double")
                     n = F.lit(vnode[1])
                     return p.filter(
                         {

@@ -54,8 +54,9 @@ WINDOW = [
     "q92_tpch_q4_exists",
     "q93_tpch_q22_not_exists",
     # -- r13 debuts (land with a driver row; each displaced the newest
-    #    r6 fill below — q299 displaced q142)
+    #    r6 fill below — q299 displaced q142, qf50 displaced q141)
     "q299_webp_vp8_real_decode",
+    "qf50_ecl_reverse_numeric",
     # -- tier 4: r6-cohort fills, oldest-first
     "q108_dedup_clusters_md5",
     "q120_incremental_dedup",
@@ -78,7 +79,6 @@ WINDOW = [
     "q138_pagerank",
     "q139_weighted_sample",
     "q140_ewma",
-    "q141_snapshot_diff",
 ]
 
 

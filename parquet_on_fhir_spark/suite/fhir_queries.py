@@ -3176,3 +3176,104 @@ SELECT * FROM (VALUES
 
 
 QUERIES.append(Q("qf49_expand_active_only", qf49, QF49_ORACLE))
+
+
+# --- QF50: ECL reverse + numeric comparison (r13) ---------------------------------------
+_CS_RXNUM_DOC = {
+    "resourceType": "CodeSystem", "id": "cs-rxnum", "status": "active",
+    "url": "http://example.org/cs/rxnum", "content": "complete",
+    "concept": [
+        # SNOMED-style numeric concept CODES: reverse+numeric
+        # refinements compare the assertion SOURCE code as a number,
+        # so products get numeric codes; 'misc' is the non-numeric
+        # source that must never match (its ingredient 309 is
+        # observable by its absence)
+        {"code": "product", "concept": [
+            {"code": "8001", "property": [
+                {"code": "has-ingredient", "valueCode": "101"},
+                {"code": "has-ingredient", "valueCode": "102"},
+                {"code": "strength", "valueDecimal": 250}]},
+            {"code": "8002", "property": [
+                {"code": "has-ingredient", "valueCode": "102"}]},
+            {"code": "8003", "property": [
+                {"code": "has-ingredient", "valueCode": "205"}]},
+            {"code": "misc", "property": [
+                {"code": "has-ingredient", "valueCode": "309"}]}]},
+        {"code": "substance", "concept": [
+            {"code": "101"}, {"code": "102"}, {"code": "205"},
+            {"code": "309"}]},
+    ],
+}
+
+
+def qf50(spark, sf_dir):
+    """ECL reverse flag + numeric comparison (fhir/terminology.py::
+    ecl_expand, r13 — the LAST refinement-grammar refusal lifted, r12
+    verdict task 3): ``R attr op #n`` tests the assertion SOURCE code
+    cast to double — the exact symmetric extension of the forward
+    semantics (forward numerics test the VALUE) — while the focus
+    still binds to the assertion's value. Non-numeric sources never
+    match (try_cast → NULL), including under != (rn3/rn7: ingredient
+    309, whose only source is 'misc', never appears). Composed with
+    cardinality windows over the universe (rn4 counts assertions per
+    VALUE; rn5's [0..0] keeps zero-assertion substances like 309),
+    attribute groups (rn6) and refinement conjunction (rn8).
+    Differential-fuzzed against the pure-python reference evaluator
+    over numeric-coded concepts in tests/test_fhir_fuzz.py."""
+    from parquet_on_fhir_spark.fhir.terminology import (
+        concept_closure,
+        concept_edges,
+        expand_valueset,
+    )
+
+    utc(spark)
+    vs = _encode_doc(spark, _ecl_vs_docs_for(
+        "http://example.org/cs/rxnum", "rn", [
+            "< substance : R has-ingredient >= #8002",
+            "< substance : R has-ingredient < #8002",
+            "< substance : R has-ingredient != #8002",
+            "< substance : [2..*] R has-ingredient <= #8003",
+            "< substance : [0..0] R has-ingredient >= #8003",
+            "< substance : { [1..1] R has-ingredient < #8002 }",
+            "< substance : R has-ingredient >= #0",
+            "< substance : R has-ingredient >= #8002 , "
+            "R has-ingredient < #8002",
+        ]), "ValueSet")
+    cs = _encode_doc(spark, _CS_RXNUM_DOC, "CodeSystem")
+    closure = concept_closure(concept_edges(cs))
+    return expand_valueset(vs, cs, closure=closure).select("url", "code")
+
+
+QF50_ORACLE = """
+SELECT * FROM (VALUES
+  -- rn1: sources >= 8002 are 8002 (->102) and 8003 (->205)
+  ('http://example.org/ValueSet/rn1', '102'),
+  ('http://example.org/ValueSet/rn1', '205'),
+  -- rn2: source < 8002 is 8001 (->101, 102)
+  ('http://example.org/ValueSet/rn2', '101'),
+  ('http://example.org/ValueSet/rn2', '102'),
+  -- rn3: sources != 8002 are 8001 and 8003 ('misc' never matches)
+  ('http://example.org/ValueSet/rn3', '101'),
+  ('http://example.org/ValueSet/rn3', '102'),
+  ('http://example.org/ValueSet/rn3', '205'),
+  -- rn4: values of >= 2 assertions with source <= 8003: only 102
+  ('http://example.org/ValueSet/rn4', '102'),
+  -- rn5: substances with NO assertion sourced >= 8003 (205 excluded;
+  -- 309's only source is non-numeric, count 0, kept)
+  ('http://example.org/ValueSet/rn5', '101'),
+  ('http://example.org/ValueSet/rn5', '102'),
+  ('http://example.org/ValueSet/rn5', '309'),
+  -- rn6: grouped [1..1] reverse-numeric member
+  ('http://example.org/ValueSet/rn6', '101'),
+  ('http://example.org/ValueSet/rn6', '102'),
+  -- rn7: any numeric source (>= 0): 309 absent, its source is 'misc'
+  ('http://example.org/ValueSet/rn7', '101'),
+  ('http://example.org/ValueSet/rn7', '102'),
+  ('http://example.org/ValueSet/rn7', '205'),
+  -- rn8: conjunction of both directions: only 102
+  ('http://example.org/ValueSet/rn8', '102')
+) AS t(url, code)
+"""
+
+
+QUERIES.append(Q("qf50_ecl_reverse_numeric", qf50, QF50_ORACLE))

@@ -595,17 +595,24 @@ def test_ecl_engine_matches_reference_semantics(spark, node):
 _F2_UNI = [
     "anatomy", "limb", "arm", "hand", "leg",
     "finding", "arm-fracture", "hand-burn", "leg-sprain",
-    "multi-trauma", "fatigue",
+    "multi-trauma", "fatigue", "7", "12",
 ]
 _F2_DESC = {
     "anatomy": {"limb", "arm", "hand", "leg"},
     "limb": {"arm", "hand", "leg"},
     "arm": {"hand"},
     "finding": {
-        "arm-fracture", "hand-burn", "leg-sprain", "multi-trauma", "fatigue"
+        "arm-fracture", "hand-burn", "leg-sprain", "multi-trauma",
+        "fatigue", "7", "12",
     },
 }
 _F2_PROPS = {
+    # numeric-CODED concepts (r13): reverse+numeric refinements test
+    # the SOURCE code as a number, so "7" and "12" give that path
+    # real hits (non-numeric codes all-miss, which != must also agree
+    # on exactly)
+    "7": [("site", "arm"), ("severity", "high")],
+    "12": [("site", "7"), ("severity", "low")],
     "arm-fracture": [("site", "arm"), ("severity", "high")],
     "hand-burn": [("site", "hand"), ("severity", "low")],
     "leg-sprain": [("site", "leg"), ("severity", "low")],
@@ -653,18 +660,19 @@ def _f2_exprs(depth=2):
         _f2_terms(),
     )
     # r12 ops: concept values take =/!=; numeric '#' literals take all
-    # six comparators but never the reverse flag (parser contract).
-    # findings2 property values are non-numeric, so numeric refinements
-    # exercise the all-miss path (and its [0..0] inversion).
+    # six comparators, WITH the reverse flag since r13 (the last
+    # parser refusal lifted): forward numerics test the property
+    # value, reverse numerics the SOURCE code — the numeric-coded
+    # concepts "7"/"12" make both directions hit non-empty sets.
     concept_ref = st.tuples(
         card, st.booleans(), attrs, st.sampled_from(["=", "!="]), value
     )
     num_ref = st.tuples(
         card,
-        st.just(False),
+        st.booleans(),
         attrs,
         st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
-        st.tuples(st.just("num"), st.sampled_from([0.0, 1.0, -2.5])),
+        st.tuples(st.just("num"), st.sampled_from([0.0, 7.0, 12.0, -2.5])),
     )
     refinement = st.one_of(concept_ref, num_ref)
     # r12: card+rev combined on one group member is now supported
@@ -727,7 +735,25 @@ def test_ecl_extension_fuzz_matches_reference(spark, node):
     try:
         cs, clo = _F2_CS_CACHE
     except NameError:
-        cs = _encode(spark, _CS_FINDINGS2_DOC, "CodeSystem")
+        import copy
+
+        # local extension of the suite fixture (NOT the shared doc —
+        # its oracle-pinned queries must keep their universe): the
+        # numeric-coded findings "7"/"12" that give reverse+numeric
+        # refinements (r13) real hits
+        doc = copy.deepcopy(_CS_FINDINGS2_DOC)
+        finding = next(
+            c for c in doc["concept"] if c["code"] == "finding"
+        )
+        finding["concept"].extend([
+            {"code": "7", "display": "Numeric seven",
+             "property": [{"code": "site", "valueCode": "arm"},
+                          {"code": "severity", "valueCode": "high"}]},
+            {"code": "12", "display": "Numeric twelve",
+             "property": [{"code": "site", "valueCode": "7"},
+                          {"code": "severity", "valueCode": "low"}]},
+        ])
+        cs = _encode(spark, doc, "CodeSystem")
         clo = concept_closure(concept_edges(cs)).cache()
         clo.count()
         _F2_CS_CACHE = (cs, clo)
