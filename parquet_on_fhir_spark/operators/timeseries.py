@@ -1040,39 +1040,60 @@ def holt_winters_seasonal(
     beta: float = 0.1,
     gamma: float = 0.2,
     tie_cols: list[str] | None = None,
+    seasonal: str = "add",
+    phi: float = 1.0,
 ) -> DataFrame:
-    """Holt–Winters ADDITIVE triple-exponential smoothing per series —
-    the seasonal member completing the family (:func:`ewma` level,
-    :func:`holt_smoothing` level+trend): level ℓ_t = α(y_t −
-    s_{t−p}) + (1−α)(ℓ_{t−1} + b_{t−1}), trend b_t = β(ℓ_t −
-    ℓ_{t−1}) + (1−β)b_{t−1}, season s_t = γ(y_t − ℓ_t) +
-    (1−γ)s_{t−p}, fitted ŷ_t = ℓ_{t−1} + b_{t−1} + s_{t−p}.
+    """Holt–Winters triple-exponential smoothing per series — the
+    seasonal members completing the family (:func:`ewma` level,
+    :func:`holt_smoothing` level+trend).
+
+    ADDITIVE (default, the r12 member): level ℓ_t = α(y_t − s_{t−p})
+    + (1−α)(ℓ_{t−1} + φb_{t−1}), trend b_t = β(ℓ_t − ℓ_{t−1}) +
+    (1−β)φb_{t−1}, season s_t = γ(y_t − ℓ_t) + (1−γ)s_{t−p}, fitted
+    ŷ_t = ℓ_{t−1} + φb_{t−1} + s_{t−p}.
+
+    MULTIPLICATIVE (``seasonal="mul"``, r13): seasonal factors scale
+    instead of shift — ℓ_t = α(y_t / s_{t−p}) + (1−α)(ℓ_{t−1} +
+    φb_{t−1}), s_t = γ(y_t / ℓ_t) + (1−γ)s_{t−p}, ŷ_t = (ℓ_{t−1} +
+    φb_{t−1})·s_{t−p}; requires a strictly positive series (raises
+    otherwise — a multiplicative fit through zero is undefined).
+
+    DAMPED TREND (``phi`` in (0, 1], r13): φ < 1 flattens the trend
+    toward a horizontal asymptote (Gardner–McKenzie); φ = 1 is the
+    classic undamped recurrence. Orthogonal to the seasonal mode.
 
     Same sanctioned applyInPandas shape as Holt (the coupled
     recurrences are sequential within a series; keys are the parallel
     unit; one shuffle on the key).  Initialization is the standard
     first-cycle convention: ℓ_{p−1} = mean(y_0..y_{p−1}), b_{p−1} =
     (mean of second cycle − mean of first)/p when a second full cycle
-    exists else 0, s_i = y_i − ℓ_{p−1} for the first cycle; fitted is
-    NULL through the first cycle.  Series shorter than one full
-    period raise (a seasonal fit on less than one season is
-    undefined, not zero). ``tie_cols`` break timestamp ties
-    deterministically, as in :func:`holt_smoothing`.
+    exists else 0, s_i = y_i − ℓ_{p−1} (additive) or y_i / ℓ_{p−1}
+    (multiplicative) for the first cycle; fitted is NULL through the
+    first cycle.  Series shorter than one full period raise (a
+    seasonal fit on less than one season is undefined, not zero).
+    ``tie_cols`` break timestamp ties deterministically, as in
+    :func:`holt_smoothing`.
 
     Rows-only by design (coupled level/trend/season not
-    oracle-portable); verified against an independent reference
-    recurrence in tests.  Output: *keys, ts, value, level, trend,
-    season, fitted.
+    oracle-portable); each variant verified against an independent
+    reference recurrence in tests.  Output: *keys, ts, value, level,
+    trend, season, fitted.
     """
     import numpy as np
     import pandas as pd
 
     a, b, g = float(alpha), float(beta), float(gamma)
+    ph = float(phi)
     p = int(period)
     if p < 2:
         raise ValueError("period must be >= 2")
     if not (0 < a <= 1 and 0 <= b <= 1 and 0 <= g <= 1):
         raise ValueError("alpha in (0,1], beta/gamma in [0,1] required")
+    if not 0 < ph <= 1:
+        raise ValueError("phi (trend damping) must be in (0, 1]")
+    if seasonal not in ("add", "mul"):
+        raise ValueError("seasonal must be 'add' or 'mul'")
+    mul = seasonal == "mul"
     ties = tie_cols or []
 
     schema = ", ".join(
@@ -1096,6 +1117,11 @@ def holt_winters_seasonal(
                 f"holt_winters_seasonal: series of length {n} is shorter "
                 f"than one period ({p})"
             )
+        if mul and (y <= 0).any():
+            raise ValueError(
+                "holt_winters_seasonal: multiplicative seasonality "
+                "requires a strictly positive series"
+            )
         lvl = np.full(n, np.nan)
         trd = np.full(n, np.nan)
         ssn = np.full(n, np.nan)
@@ -1105,16 +1131,21 @@ def holt_winters_seasonal(
             b0 = float((y[p : 2 * p].mean() - y[:p].mean()) / p)
         else:
             b0 = 0.0
-        ssn[:p] = y[:p] - l0
+        ssn[:p] = (y[:p] / l0) if mul else (y[:p] - l0)
         lvl[p - 1] = l0
         trd[p - 1] = b0
         for i in range(p, n):
-            fit[i] = lvl[i - 1] + trd[i - 1] + ssn[i - p]
-            lvl[i] = a * (y[i] - ssn[i - p]) + (1 - a) * (
-                lvl[i - 1] + trd[i - 1]
-            )
-            trd[i] = b * (lvl[i] - lvl[i - 1]) + (1 - b) * trd[i - 1]
-            ssn[i] = g * (y[i] - lvl[i]) + (1 - g) * ssn[i - p]
+            prev = lvl[i - 1] + ph * trd[i - 1]
+            if mul:
+                fit[i] = prev * ssn[i - p]
+                lvl[i] = a * (y[i] / ssn[i - p]) + (1 - a) * prev
+                trd[i] = b * (lvl[i] - lvl[i - 1]) + (1 - b) * ph * trd[i - 1]
+                ssn[i] = g * (y[i] / lvl[i]) + (1 - g) * ssn[i - p]
+            else:
+                fit[i] = prev + ssn[i - p]
+                lvl[i] = a * (y[i] - ssn[i - p]) + (1 - a) * prev
+                trd[i] = b * (lvl[i] - lvl[i - 1]) + (1 - b) * ph * trd[i - 1]
+                ssn[i] = g * (y[i] - lvl[i]) + (1 - g) * ssn[i - p]
         out = pdf[[*key_cols, ts_col]].copy()
         out[value_col] = y
         out["level"] = lvl

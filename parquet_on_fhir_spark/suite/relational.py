@@ -7623,6 +7623,55 @@ def q292(spark, sf_dir):
 QUERIES.append(Q("q292_holt_winters_seasonal", q292, None))
 
 
+# --- Q300: Holt-Winters multiplicative + damped variants -------------------------------
+def q300(spark, sf_dir):
+    """Holt-Winters variants (operators/timeseries.py::
+    holt_winters_seasonal seasonal='mul' / phi<1, r13 — the r12
+    verdict's task 4): the same weekly-revenue frame as q292 run
+    through MULTIPLICATIVE seasonality (revenue sums are strictly
+    positive, the mode's precondition) and through the
+    Gardner-McKenzie DAMPED additive trend (phi=0.85), union-tagged
+    by variant. One map-side weekly aggregate feeds both
+    applyInPandas fits (keys parallelize — the q195/q292 shape).
+    Rows-only by design; each recurrence is pinned against an
+    independent python reference in tests/test_timeseries.py."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.window("o_orderdate", "7 days").getField("start").alias("wk"),
+        "o_totalprice",
+    )
+    weekly = o.groupBy("o_orderpriority", "wk").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+
+    def shaped(fit, tag):
+        return fit.select(
+            F.lit(tag).alias("variant"),
+            F.col("o_orderpriority").alias("priority"),
+            ts_str(F.col("wk")).alias("wk"),
+            d2(F.col("rev")).alias("rev"),
+            d4(F.col("level")).alias("level"),
+            d4(F.col("trend")).alias("trend"),
+            d4(F.col("season")).alias("season"),
+            d4(F.col("fitted")).alias("fitted"),
+        )
+
+    mul = holt_winters_seasonal(
+        weekly, "wk", ["o_orderpriority"], "rev", period=4, seasonal="mul"
+    )
+    damped = holt_winters_seasonal(
+        weekly, "wk", ["o_orderpriority"], "rev", period=4, phi=0.85
+    )
+    return shaped(mul, "mul").unionByName(shaped(damped, "damped"))
+
+
+QUERIES.append(Q("q300_holt_winters_mul_damped", q300, None))
+
+
 # --- Q293: Fellegi-Sunter record-linkage scoring --------------------------------------
 #: fixed (m, u) literals so the scoring is oracle-restatable; the EM
 #: estimation path (fs_em_fit) is rows-only and pinned against an

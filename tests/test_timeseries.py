@@ -564,3 +564,106 @@ def test_holt_winters_seasonal_matches_reference(spark):
         holt_winters_seasonal(short, "t", ["k"], "v", period=4).collect()
     with pytest.raises(ValueError, match="period"):
         holt_winters_seasonal(df, "t", ["k"], "v", period=1)
+
+
+def test_holt_winters_multiplicative_matches_reference(spark):
+    """seasonal='mul' (r13) vs an independent python recurrence on a
+    planted multiplicative-seasonal series; positivity guard."""
+    import math
+
+    import pytest
+
+    from parquet_on_fhir_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    p, n = 4, 24
+    a, b, g, ph = 0.4, 0.2, 0.3, 0.9
+    season = [1.5, 0.7, 0.9, 0.9]
+    y = [(20.0 + 0.5 * i) * season[i % p] * (1 + 0.01 * ((i * 3) % 5))
+         for i in range(n)]
+    df = spark.createDataFrame([(1, i, y[i]) for i in range(n)],
+                               ["k", "t", "v"])
+    got = (
+        holt_winters_seasonal(df, "t", ["k"], "v", period=p, alpha=a,
+                              beta=b, gamma=g, seasonal="mul", phi=ph)
+        .orderBy("t").collect()
+    )
+    lvl = [math.nan] * n
+    trd = [math.nan] * n
+    ssn = [math.nan] * n
+    fit = [math.nan] * n
+    l0 = sum(y[:p]) / p
+    b0 = (sum(y[p:2 * p]) / p - l0) / p
+    for i in range(p):
+        ssn[i] = y[i] / l0
+    lvl[p - 1] = l0
+    trd[p - 1] = b0
+    for i in range(p, n):
+        prev = lvl[i - 1] + ph * trd[i - 1]
+        fit[i] = prev * ssn[i - p]
+        lvl[i] = a * (y[i] / ssn[i - p]) + (1 - a) * prev
+        trd[i] = b * (lvl[i] - lvl[i - 1]) + (1 - b) * ph * trd[i - 1]
+        ssn[i] = g * (y[i] / lvl[i]) + (1 - g) * ssn[i - p]
+    for i, r in enumerate(got):
+        for name, ref in (("level", lvl), ("trend", trd),
+                          ("season", ssn), ("fitted", fit)):
+            gv = r[name]
+            if math.isnan(ref[i]):
+                assert gv is None or math.isnan(gv), (i, name, gv)
+            else:
+                assert abs(gv - ref[i]) < 1e-9, (i, name, gv, ref[i])
+    # a strongly multiplicative series should fit well after burn-in
+    err = [abs(r["fitted"] - y[i]) / y[i] for i, r in enumerate(got)
+           if i >= 2 * p]
+    assert sum(err) / len(err) < 0.05
+
+    neg = spark.createDataFrame(
+        [(1, i, float(i - 2)) for i in range(8)], ["k", "t", "v"])
+    with pytest.raises(Exception, match="strictly positive"):
+        holt_winters_seasonal(neg, "t", ["k"], "v", period=4,
+                              seasonal="mul").collect()
+
+
+def test_holt_winters_damped_trend_properties(spark):
+    """phi semantics (r13): phi=1 reproduces the undamped path
+    bit-for-bit; phi<1 on a trend-then-flat series damps the trend
+    toward zero faster than the undamped fit; parameter guard."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    p, n = 4, 32
+    season = [2.0, -1.0, 0.5, -1.5]
+    # trend for the first half, flat afterwards
+    y = [(0.8 * min(i, 15)) + 10 + season[i % p] for i in range(n)]
+    df = spark.createDataFrame([(1, i, y[i]) for i in range(n)],
+                               ["k", "t", "v"])
+
+    undamped = (
+        holt_winters_seasonal(df, "t", ["k"], "v", period=p)
+        .orderBy("t").collect()
+    )
+    phi1 = (
+        holt_winters_seasonal(df, "t", ["k"], "v", period=p, phi=1.0)
+        .orderBy("t").collect()
+    )
+    for r1, r2 in zip(undamped, phi1):
+        assert r1["level"] == r2["level"]
+        assert r1["trend"] == r2["trend"]
+
+    damped = (
+        holt_winters_seasonal(df, "t", ["k"], "v", period=p, phi=0.8)
+        .orderBy("t").collect()
+    )
+    # after the flat regime settles, the damped trend is closer to 0
+    assert abs(damped[-1]["trend"]) < abs(undamped[-1]["trend"])
+    assert abs(damped[-1]["trend"]) < 0.05
+
+    with pytest.raises(ValueError, match="phi"):
+        holt_winters_seasonal(df, "t", ["k"], "v", period=p, phi=0.0)
+    with pytest.raises(ValueError, match="seasonal"):
+        holt_winters_seasonal(df, "t", ["k"], "v", period=p,
+                              seasonal="bogus")
