@@ -52,8 +52,9 @@ def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:  # pragma: n
 
     NOT runnable in this container: the API's driver-side runner needs a
     working ``google.protobuf`` install, which this image lacks
-    (ModuleNotFoundError: No module named 'google' — re-verified r12,
-    2026-08-15). Kept as the documented migration target;
+    (ModuleNotFoundError: No module named 'google' — re-verified r13,
+    2026-08-16; no wheel on disk, no network, so vendoring is not an
+    option either). Kept as the documented migration target;
     ``running_user_totals`` (applyInPandasWithState) is the supported
     path here.
     """
