@@ -2227,6 +2227,179 @@ def gif_animation_features(media: DataFrame, max_frames: int | None = None) -> D
     )
 
 
+# --- animated WebP (VP8X/ANIM/ANMF container) ---------------------------------------
+
+
+def decode_webp_frames(content: bytes, max_frames: int | None = None):
+    """Animated WebP → list of (duration_ms, HxWx3 uint8 RGB)
+    composited frames, NO codec library: VP8X feature check, ANIM/ANMF
+    chunk walk, per-frame decode through the in-repo VP8L (lossless)
+    and VP8 (lossy key-frame) codecs — mixed-codec animations are
+    legal and covered.  Composition: frames paste at their (2x-scaled)
+    offsets; alpha is dropped module-wide, so both blending modes
+    reduce to overwrite, and disposal-to-background restores the
+    canvas (ANIM background, alpha-dropped → black).  A still WebP
+    decodes as one zero-duration frame.  ``max_frames`` bounds decode
+    work per payload (the long-animation guard, as in
+    :func:`decode_gif_frames`)."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    pos = 12
+    canvas = None
+    frames: list[tuple[int, np.ndarray]] = []
+    animated = False
+    dispose_next = False
+    dispose_region = None
+    while pos + 8 <= len(content):
+        fourcc = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X":
+            animated = bool(body[0] & 0x02)
+            cw = 1 + int.from_bytes(body[4:7], "little")
+            ch = 1 + int.from_bytes(body[7:10], "little")
+            canvas = np.zeros((ch, cw, 3), np.uint8)
+        elif fourcc == b"ANMF" and animated:
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            # frame data: sub-chunks (ALPH skipped; VP8/VP8L decoded)
+            sub = 16
+            img = None
+            while sub + 8 <= len(body):
+                sc = body[sub : sub + 4]
+                (ssz,) = struct.unpack_from("<I", body, sub + 4)
+                if sc in (b"VP8 ", b"VP8L"):
+                    frame_blob = (
+                        b"RIFF"
+                        + (4 + 8 + ssz + (ssz & 1)).to_bytes(4, "little")
+                        + b"WEBP"
+                        + body[sub : sub + 8 + ssz + (ssz & 1)]
+                    )
+                    _, _, img = decode_webp(frame_blob)
+                    break
+                sub += 8 + ssz + (ssz & 1)
+            if img is None:
+                raise ValueError("ANMF frame without VP8/VP8L data")
+            if canvas is None:
+                raise ValueError("ANMF before VP8X canvas")
+            if dispose_next and dispose_region is not None:
+                ry, rx, rh, rw = dispose_region
+                canvas[ry : ry + rh, rx : rx + rw] = 0
+            canvas[fy : fy + fh, fx : fx + fw] = img[:fh, :fw]
+            frames.append((dur, canvas.copy()))
+            dispose_next = bool(flags & 0x01)
+            dispose_region = (fy, fx, fh, fw)
+        elif fourcc in (b"VP8 ", b"VP8L") and not animated:
+            _, _, img = decode_webp(content)
+            return [(0, img)]
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("no decodable frames in WebP container")
+    return frames
+
+
+def encode_webp_animation(frames, durations_ms, lossy_mask=None) -> bytes:
+    """Frame arrays (HxWx3 uint8, equal dims) → animated WebP
+    (VP8X + ANIM + one full-canvas ANMF per frame), the fixture writer
+    for :func:`decode_webp_frames`.  Frames are VP8L-coded (lossless →
+    exact) except where ``lossy_mask[i]`` is true, which routes the
+    frame through the VP8 solid fixture encoder (the frame must be a
+    solid color — the q299 exactness lever) so mixed-codec animations
+    are covered end-to-end."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.vp8_enc import encode_webp_solid
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    lossy_mask = lossy_mask or [False] * len(frames)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc + len(body).to_bytes(4, "little")
+            + body + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def frame_chunk(img, lossy: bool) -> bytes:
+        if lossy:
+            rgb = tuple(int(v) for v in img[0, 0])
+            if not (img == img[0, 0]).all():
+                raise ValueError("lossy animation frames must be solid")
+            blob = encode_webp_solid(w, h, rgb)[0]
+        else:
+            blob = encode_webp_lossless(img)
+        i = blob.find(b"VP8L")
+        if i < 0:
+            i = blob.find(b"VP8 ")
+        import struct
+
+        (ssz,) = struct.unpack_from("<I", blob, i + 4)
+        return blob[i : i + 8 + ssz + (ssz & 1)]
+
+    vp8x = bytes([0x02, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    anim = (0).to_bytes(4, "little") + (0).to_bytes(2, "little")
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for img, dur, lossy in zip(frames, durations_ms, lossy_mask):
+        anmf = (
+            (0).to_bytes(3, "little")  # x/2
+            + (0).to_bytes(3, "little")  # y/2
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([0x02])  # no-blend, keep canvas
+            + frame_chunk(img, lossy)
+        )
+        body += chunk(b"ANMF", anmf)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+
+
+def webp_animation_features(
+    media: DataFrame, max_frames: int | None = None
+) -> DataFrame:
+    """Animated-WebP frame extraction via ``mapInPandas`` — the
+    :func:`gif_animation_features` shape on the WebP container (one
+    row per composited frame: media_id, frame_idx, duration_ms,
+    mean_lum)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, durs, lums = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, (d, img) in enumerate(
+                    decode_webp_frames(bytes(content), max_frames)
+                ):
+                    ids.append(mid)
+                    idxs.append(i)
+                    durs.append(d)
+                    lums.append(float(img.astype("float64").mean()) / 255.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "mean_lum": pd.Series(lums, dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches,
+        schema="media_id long, frame_idx int, duration_ms long, mean_lum double",
+    )
+
+
 # --- real image codec for WebP lossless (VP8L) -------------------------------------
 # Implemented from the public WebP Lossless Bitstream Specification
 # (RFC 9649 §3; also google/libwebp's documented decoder behavior):

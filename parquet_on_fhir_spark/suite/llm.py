@@ -4052,6 +4052,73 @@ FROM px
 QUERIES.append(Q("q299_webp_vp8_real_decode", q299, Q299_ORACLE))
 
 
+# --- Q301: animated WebP frame extraction -----------------------------------------------
+def q301(spark, sf_dir):
+    """Animated-WebP frame extraction (operators/multimodal.py::
+    webp_animation_features over decode_webp_frames, r13): 150
+    three-frame VP8X/ANIM/ANMF animations with MIXED codecs — two
+    VP8L lossless frames (two-tone g, solid inverse) and one LOSSY
+    VP8 solid frame (the q299 exactness lever), full-canvas
+    composites with per-frame durations — decoded inside mapInPandas.
+    Every frame is exact, so the chunk walk, frame order, duration
+    parsing and the cross-codec dispatch are all hash-checked in one
+    closed-form oracle: frame 2's luminance is the documented gray
+    YUV round trip. The q276 GIF shape on the WebP container."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_webp_animation,
+        webp_animation_features,
+    )
+
+    def make(g: int) -> bytearray:
+        two = np.empty((8, 8, 3), np.uint8)
+        two[:4] = g
+        two[4:] = 255 - g
+        inv = np.full((8, 8, 3), 255 - g, np.uint8)
+        solid = np.full((8, 8, 3), g, np.uint8)
+        return bytearray(
+            encode_webp_animation(
+                [two, inv, solid], [40, 80, 120],
+                lossy_mask=[False, False, True],
+            )
+        )
+
+    payloads = [(g, make(g)) for g in range(40, 190)]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150 + 40).cast("int") == F.col("g")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+    out = webp_animation_features(media)
+    return out.select(
+        "media_id", "frame_idx", "duration_ms",
+        d4(F.col("mean_lum")).alias("mean_lum"),
+    )
+
+
+Q301_ORACLE = """
+WITH m AS (
+  SELECT doc_id, doc_id % 150 + 40 AS g,
+         (56318 * (doc_id % 150 + 40) + 1081344) // 65536 AS yv
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id AS media_id, f.frame_idx,
+       CAST(CASE f.frame_idx WHEN 0 THEN 40 WHEN 1 THEN 80
+            ELSE 120 END AS BIGINT) AS duration_ms,
+       round(CASE f.frame_idx
+               WHEN 0 THEN 0.5
+               WHEN 1 THEN (255 - g) / 255.0
+               ELSE least(255, greatest(0,
+                    ((yv - 16) * 19077 + 8192) // 16384)) / 255.0
+             END + 1e-9, 4) AS mean_lum
+FROM m, (SELECT unnest([0, 1, 2]) AS frame_idx) f
+"""
+
+
+QUERIES.append(Q("q301_webp_animation_frames", q301, Q301_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

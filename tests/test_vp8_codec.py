@@ -237,3 +237,83 @@ def test_multimodal_dispatch_lossy_webp():
     # gray input: u == v == 128 exactly, so rgb is the y-only transform
     out = min(255, max(0, ((y - 16) * 19077 + 8192) >> 14))
     assert np.array_equal(np.unique(img), [out])
+
+
+def test_webp_animation_roundtrip():
+    """VP8X/ANIM/ANMF container: mixed VP8L + lossy-VP8 frames
+    composit to the exact expected canvases with durations; still
+    images decode as one zero-duration frame; max_frames guard.
+    (libwebpdemux is absent from this image, so container-level
+    validation is spec+fixture based; the per-frame VP8L/VP8 payloads
+    are the differentially-verified codecs above.)"""
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_webp_frames,
+        encode_webp_animation,
+        encode_webp_lossless,
+    )
+
+    g = 77
+    f1 = np.empty((8, 8, 3), np.uint8)
+    f1[:4] = g
+    f1[4:] = 255 - g
+    f2 = np.full((8, 8, 3), 255 - g, np.uint8)
+    f3 = np.full((8, 8, 3), g, np.uint8)
+    blob = encode_webp_animation(
+        [f1, f2, f3], [40, 80, 120], lossy_mask=[False, False, True]
+    )
+    frames = decode_webp_frames(blob)
+    assert [d for d, _ in frames] == [40, 80, 120]
+    assert np.array_equal(frames[0][1], f1)
+    assert np.array_equal(frames[1][1], f2)
+    # lossy frame: the documented YUV round trip of gray g
+    yv = (56318 * g + 1081344) >> 16
+    out = min(255, max(0, ((yv - 16) * 19077 + 8192) >> 14))
+    assert np.array_equal(np.unique(frames[2][1]), [out])
+    # max_frames guard + still-image path
+    assert len(decode_webp_frames(blob, max_frames=2)) == 2
+    still = decode_webp_frames(encode_webp_lossless(f1))
+    assert len(still) == 1 and still[0][0] == 0
+    assert np.array_equal(still[0][1], f1)
+
+
+def test_webp_animation_partial_frame_compositing():
+    """A smaller ANMF frame pastes at its (even) offset over the kept
+    canvas — the region outside the frame must persist from the
+    previous composite."""
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_webp_frames,
+        encode_webp_animation,
+        encode_webp_lossless,
+    )
+    import struct
+
+    base = np.full((8, 8, 3), 200, np.uint8)
+    patch = np.full((4, 4, 3), 10, np.uint8)
+    # hand-assemble: full frame then a 4x4 patch at (2, 4) — the
+    # fixture writer only emits full-canvas frames, so build the
+    # second ANMF manually
+    blob = encode_webp_animation([base], [40])
+    patch_webp = encode_webp_lossless(patch)
+    i = patch_webp.find(b"VP8L")
+    (ssz,) = struct.unpack_from("<I", patch_webp, i + 4)
+    sub = patch_webp[i : i + 8 + ssz + (ssz & 1)]
+    anmf = (
+        (2).to_bytes(3, "little")   # x/2 = 2 -> x = 4
+        + (1).to_bytes(3, "little")  # y/2 = 1 -> y = 2
+        + (3).to_bytes(3, "little")  # w-1
+        + (3).to_bytes(3, "little")  # h-1
+        + (90).to_bytes(3, "little")
+        + bytes([0x02])
+        + sub
+    )
+    chunk = b"ANMF" + len(anmf).to_bytes(4, "little") + anmf + (
+        b"\x00" if len(anmf) & 1 else b""
+    )
+    grown = blob[:4] + (
+        int.from_bytes(blob[4:8], "little") + len(chunk)
+    ).to_bytes(4, "little") + blob[8:] + chunk
+    frames = decode_webp_frames(grown)
+    assert len(frames) == 2 and frames[1][0] == 90
+    want = base.copy()
+    want[2:6, 4:8] = 10
+    assert np.array_equal(frames[1][1], want)
