@@ -15,7 +15,9 @@ mapInPandas signatures) is real and tested. Codecs come in three tiers:
   anywhere), so the bytes→pixels→features path genuinely runs in
   this container, compressed formats included;
 - ``decode_real`` — the PIL seam for the remaining exotic formats
-  (WebP/AVIF/12-bit & arithmetic JPEG/...), import-guarded: raises
+  (AVIF/12-bit & arithmetic JPEG/...; WebP — lossless VP8L, lossy
+  VP8 key frames AND animations — decodes in-repo since r13),
+  import-guarded: raises
   ``NotImplementedError`` with wiring guidance when PIL is absent;
 - ``stand_in_features`` — the deterministic byte-statistics fallback
   for payloads no available codec understands.
@@ -2407,7 +2409,7 @@ def webp_animation_features(
 # meta-code-length alphabet, color cache, LZ77 over the ARGB pixel
 # array with the 120-entry 2D distance map, and the four transforms
 # (predictor / cross-color / subtract-green / color-indexing with
-# pixel bundling).  Lossy WebP (VP8) stays on the decode_real seam.
+# pixel bundling).  Lossy WebP (VP8) decodes via operators/vp8.py (r13).
 
 #: RFC 9649 distance-map: codes 1..120 → (xoffset, yoffset) packed as
 #: (y << 4) | (8 - x).  Self-consistency (domain = {y=0, x 1..8} ∪
