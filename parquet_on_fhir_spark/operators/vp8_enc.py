@@ -241,12 +241,19 @@ class MB:
 def encode_vp8_frame(width, height, mbs, *, y_ac_qi=0, y_dc_delta=0,
                      y2_dc_delta=0, y2_ac_delta=0, uv_dc_delta=0,
                      uv_ac_delta=0, filter_type=0, filter_level=0,
-                     sharpness=0):
+                     sharpness=0, n_parts=1):
     """Serialize a key frame from per-MB decisions (raster list of
-    lists of :class:`MB`). Returns the VP8 chunk payload."""
+    lists of :class:`MB`). Returns the VP8 chunk payload.
+
+    ``n_parts`` ∈ {1, 2, 4, 8} splits the token stream into multiple
+    partitions (§9.5: MB row r goes to partition r mod n_parts, sizes
+    as 3-byte LE trailers after partition 1) — real-world encoders use
+    this for decode parallelism, so the fuzz must cover it."""
     mb_h = len(mbs)
     mb_w = len(mbs[0])
     assert mb_w == (width + 15) // 16 and mb_h == (height + 15) // 16
+    if n_parts not in (1, 2, 4, 8):
+        raise ValueError("n_parts must be 1, 2, 4 or 8")
 
     # ---- partition 1: frame header + MB modes -----------------------------
     be = BoolEncoder()
@@ -257,7 +264,7 @@ def encode_vp8_frame(width, height, mbs, *, y_ac_qi=0, y_dc_delta=0,
     be.literal(filter_level, 6)
     be.literal(sharpness, 3)
     be.put(128, 0)  # lf_delta_enabled
-    be.literal(0, 2)  # log2(n_parts) = 0 -> 1 partition
+    be.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_parts], 2)
     be.literal(y_ac_qi, 7)
     be.flagged_signed(y_dc_delta, 4)
     be.flagged_signed(y2_dc_delta, 4)
@@ -296,10 +303,11 @@ def encode_vp8_frame(width, height, mbs, *, y_ac_qi=0, y_dc_delta=0,
             _put_tree_uv(be, mb.uvmode)
     part1 = be.stop()
 
-    # ---- partition 2: tokens ----------------------------------------------
-    te = BoolEncoder()
+    # ---- token partitions (row r -> partition r mod n_parts) --------------
+    tes = [BoolEncoder() for _ in range(n_parts)]
     above_nz = [[0] * 9 for _ in range(mb_w)]
     for mby in range(mb_h):
+        te = tes[mby % n_parts]
         left_nz = [0] * 9
         for mbx in range(mb_w):
             mb = mbs[mby][mbx]
@@ -335,14 +343,16 @@ def encode_vp8_frame(width, height, mbs, *, y_ac_qi=0, y_dc_delta=0,
                                     blocks[r * 2 + c])
                         nzb = int(any(blocks[r * 2 + c]))
                         a[pi + c] = left_nz[pi + r] = nzb
-    part2 = te.stop()
+    parts = [te.stop() for te in tes]
+    # sizes of all but the last partition trail partition 1 (§9.5)
+    sizes = b"".join(len(p).to_bytes(3, "little") for p in parts[:-1])
 
     tag = (len(part1) << 5) | (1 << 4) | 0  # show_frame, key frame
     hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     hdr += b"\x9d\x01\x2a"
     hdr += bytes([width & 0xFF, (width >> 8) & 0x3F])
     hdr += bytes([height & 0xFF, (height >> 8) & 0x3F])
-    return hdr + part1 + part2
+    return hdr + part1 + sizes + b"".join(parts)
 
 
 def wrap_webp(vp8_payload: bytes) -> bytes:

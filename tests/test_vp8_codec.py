@@ -317,3 +317,31 @@ def test_webp_animation_partial_frame_compositing():
     want = base.copy()
     want[2:6, 4:8] = 10
     assert np.array_equal(frames[1][1], want)
+
+
+@needs_libwebp
+def test_differential_multi_partition_streams():
+    """n_parts in {2,4,8}: MB row r's tokens land in partition
+    r mod n_parts with 3-byte size trailers (§9.5) — real-world
+    encoders split for decode parallelism, so both decoders must
+    agree on split streams too."""
+    rng = np.random.default_rng(55)
+    for t in range(8):
+        nparts = [2, 4, 8, 2, 4, 8, 2, 4][t]
+        mh = int(rng.integers(2, 6)) + (3 if nparts == 8 else 0)
+        mw = int(rng.integers(1, 4))
+        w = mw * 16 - int(rng.integers(0, 16))
+        h = mh * 16 - int(rng.integers(0, 16))
+        qi = int(rng.integers(0, 128))
+        qmax = max(AC_QLOOKUP[min(127, qi + 15)] * 155 // 100,
+                   AC_QLOOKUP[qi])
+        mbs = [[rand_mb(rng, 0.3, 300, qmax) for _ in range(mw)]
+               for _ in range(mh)]
+        blob = wrap_webp(encode_vp8_frame(
+            w, h, mbs, y_ac_qi=qi,
+            filter_level=int(rng.integers(0, 64)), n_parts=nparts))
+        ref = decode_yuv(blob)
+        assert ref is not None, f"libwebp rejected nparts={nparts}"
+        mine = decode_webp_vp8(blob)
+        for nm, a, b in zip("YUV", mine[2:], ref[2:]):
+            assert np.array_equal(a, b), f"frame {t} nparts={nparts} {nm}"
