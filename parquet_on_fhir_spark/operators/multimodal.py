@@ -1613,6 +1613,13 @@ def decode_pixels(content: bytes, mime: str | None = None):
         return decode_webp(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(content)
+    if content[4:12] == b"ftypavif":
+        # the one SYSTEM-codec tier (libavif/dav1d via the ctypes seam
+        # — an AV1 intra decoder is out of pure-python scope); raises
+        # NotImplementedError with wiring guidance when absent
+        from parquet_on_fhir_spark.operators.avif import decode_avif_rgb
+
+        return decode_avif_rgb(content)
     raise ValueError(f"no built-in codec for payload (mime={mime!r})")
 
 

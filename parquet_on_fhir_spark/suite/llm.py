@@ -4119,6 +4119,76 @@ FROM m, (SELECT unnest([0, 1, 2]) AS frame_idx) f
 QUERIES.append(Q("q301_webp_animation_frames", q301, Q301_ORACLE))
 
 
+# --- Q302: AVIF real decode (system libavif seam) ---------------------------------------
+def q302(spark, sf_dir):
+    """AVIF real decode (operators/avif.py, r13 — the LAST format on
+    the r11/r12 missing lists): genuine AV1-coded AVIF files decoded
+    end-to-end inside mapInPandas through the ctypes seam to the
+    container's libavif 0.11 (dav1d decode, aom encode) — the honest
+    SYSTEM-codec tier next to the pure-python WebP family; the 0.11
+    struct offsets are proven by the lossless random-plane roundtrip
+    in tests/test_avif_codec.py. Fixtures are LOSSLESS (AV1 qindex 0)
+    solid grays with U=V=128, so the full-range conversion gives
+    R=G=B=Y exactly and the oracle is trivial closed form. Same
+    broadcast plan shape as q284/q299: the fact side never
+    shuffles."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.avif import encode_avif_yuv420
+    from parquet_on_fhir_spark.operators.multimodal import (
+        extract_features,
+        numpy_features,
+    )
+
+    def make(g: int) -> bytearray:
+        Y = np.full((16, 24), g, np.uint8)
+        U = np.full((8, 12), 128, np.uint8)
+        return bytearray(encode_avif_yuv420(Y, U, U))
+
+    payloads = [(g, make(g)) for g in range(40, 190)]
+    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150 + 40).cast("int") == F.col("g")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/avif").alias("mime"),
+            F.lit(24).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, codec=numpy_features)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1), 4).alias("f_width"),
+        F.round(F.element_at("feat", 2), 4).alias("f_height"),
+        d4(F.element_at("feat", 3)).alias("lum_00"),
+        d4(F.element_at("feat", 34)).alias("lum_mid"),
+        d4(F.element_at("feat", 66)).alias("lum_77"),
+    )
+
+
+Q302_ORACLE = """
+SELECT doc_id AS media_id,
+       66 AS feat_dim,
+       CAST(24.0 AS DOUBLE) AS f_width,
+       CAST(16.0 AS DOUBLE) AS f_height,
+       round((doc_id % 150 + 40) / 255.0 + 1e-9, 4) AS lum_00,
+       round((doc_id % 150 + 40) / 255.0 + 1e-9, 4) AS lum_mid,
+       round((doc_id % 150 + 40) / 255.0 + 1e-9, 4) AS lum_77
+FROM documents
+WHERE doc_id < 150
+"""
+
+
+QUERIES.append(Q("q302_avif_real_decode", q302, Q302_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12
