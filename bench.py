@@ -105,6 +105,9 @@ HEADLINE = [
     "q282_url_dedup_audit",            # crawl URL canonicalization (map-only regexp/array chain)
     #                                    + ONE agg over SF-SCALED documents
     "q287_bpe_encode",                 # distinct-word agg + vocab-frame merge chain + broadcast-back
+    # round-13 addition (new line, not a regression vs BENCH_r12):
+    "q299_webp_vp8_real_decode",       # pure-python VP8 key-frame decode inside mapInPandas —
+    #                                    the codec family's first bench line (per-payload cost)
 ]
 
 
