@@ -3201,6 +3201,299 @@ def wav_spectral_features(content: bytes, mime: str | None = None) -> list[float
 
 
 # --- real image codec for baseline TIFF (no external library) ----------------------
+# --- EXIF metadata audit (orientation / camera / GPS-presence) ----------------------
+# EXIF is a TIFF-structured blob carried by every major image
+# container (JPEG APP1 "Exif\0\0", PNG eXIf chunk, WebP EXIF chunk, or
+# a TIFF file itself). A training-data pipeline needs it for two
+# jobs: ORIENTATION normalization before any pixel op (tag 0x0112:
+# values 2-8 mean the stored pixels are flipped/rotated) and GPS
+# PRESENCE as a privacy/PII flag (tag 0x8825 pointer — the value is
+# irrelevant, carrying it at all is the finding).
+
+
+def _exif_tiff_blob(content: bytes):
+    """Locate the TIFF-structured EXIF blob inside a container, or
+    None: JPEG APP1, PNG eXIf, WebP EXIF, raw TIFF."""
+    import struct
+
+    if content[:2] == b"\xff\xd8":  # JPEG: walk markers for APP1/Exif
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                break
+            marker = content[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xDA:  # SOS: headers over
+                break
+            (seglen,) = struct.unpack_from(">H", content, pos + 2)
+            if marker == 0xE1 and content[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                return content[pos + 10 : pos + 2 + seglen]
+            pos += 2 + seglen
+        return None
+    if content.startswith(_PNG_SIG):  # PNG: eXIf chunk
+        pos = 8
+        while pos + 8 <= len(content):
+            (clen,) = struct.unpack_from(">I", content, pos)
+            ctype = content[pos + 4 : pos + 8]
+            if ctype == b"eXIf":
+                return content[pos + 8 : pos + 8 + clen]
+            if ctype == b"IEND":
+                break
+            pos += 12 + clen
+        return None
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(content):
+            fourcc = content[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", content, pos + 4)
+            if fourcc == b"EXIF":
+                body = content[pos + 8 : pos + 8 + size]
+                # some writers keep the JPEG-style Exif\0\0 prefix
+                if body[:6] == b"Exif\x00\x00":
+                    body = body[6:]
+                return body
+            pos += 8 + size + (size & 1)
+        return None
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return content
+    return None
+
+
+def _exif_ifd_entries(blob: bytes, bo: str, ifd_off: int):
+    import struct
+
+    if ifd_off + 2 > len(blob):
+        return {}
+    (n,) = struct.unpack_from(bo + "H", blob, ifd_off)
+    out = {}
+    for i in range(n):
+        base = ifd_off + 2 + i * 12
+        if base + 12 > len(blob):
+            break
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", blob, base)
+        out[tag] = (typ, cnt, base + 8)
+    return out
+
+
+def _exif_value(blob: bytes, bo: str, entry):
+    """Scalar/short-string value of an IFD entry (inline when ≤4
+    bytes, else offset-indirect)."""
+    import struct
+
+    typ, cnt, vpos = entry
+    size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    if total > 4:
+        (off,) = struct.unpack_from(bo + "I", blob, vpos)
+        vpos = off
+    if vpos + total > len(blob):
+        return None
+    if typ == 2:  # ASCII, NUL-terminated
+        raw = blob[vpos : vpos + cnt]
+        return raw.split(b"\x00")[0].decode("ascii", "replace")
+    fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+    if fmt is None:
+        return None
+    return struct.unpack_from(bo + fmt, blob, vpos)[0]
+
+
+def parse_exif(content: bytes) -> dict | None:
+    """EXIF summary from any supported container, or None when the
+    payload carries no EXIF: {orientation (1-8, default 1), make,
+    model, pixel_w, pixel_h, datetime_original, has_gps}."""
+    import struct
+
+    blob = _exif_tiff_blob(content)
+    if blob is None or len(blob) < 8:
+        return None
+    if blob[:2] == b"II":
+        bo = "<"
+    elif blob[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    if struct.unpack_from(bo + "H", blob, 2)[0] != 42:
+        return None
+    (ifd0_off,) = struct.unpack_from(bo + "I", blob, 4)
+    ifd0 = _exif_ifd_entries(blob, bo, ifd0_off)
+    out = {
+        "orientation": 1,
+        "make": None,
+        "model": None,
+        "pixel_w": None,
+        "pixel_h": None,
+        "datetime_original": None,
+        "has_gps": False,
+    }
+    if 0x0112 in ifd0:
+        v = _exif_value(blob, bo, ifd0[0x0112])
+        if isinstance(v, int) and 1 <= v <= 8:
+            out["orientation"] = v
+    if 0x010F in ifd0:
+        out["make"] = _exif_value(blob, bo, ifd0[0x010F])
+    if 0x0110 in ifd0:
+        out["model"] = _exif_value(blob, bo, ifd0[0x0110])
+    out["has_gps"] = 0x8825 in ifd0
+    if 0x8769 in ifd0:  # Exif sub-IFD
+        sub_off = _exif_value(blob, bo, ifd0[0x8769])
+        if isinstance(sub_off, int):
+            sub = _exif_ifd_entries(blob, bo, sub_off)
+            if 0xA002 in sub:
+                out["pixel_w"] = _exif_value(blob, bo, sub[0xA002])
+            if 0xA003 in sub:
+                out["pixel_h"] = _exif_value(blob, bo, sub[0xA003])
+            if 0x9003 in sub:
+                out["datetime_original"] = _exif_value(blob, bo, sub[0x9003])
+    return out
+
+
+def build_exif(*, orientation=1, make=None, model=None, pixel_w=None,
+               pixel_h=None, datetime_original=None, gps=False) -> bytes:
+    """Little-endian TIFF-structured EXIF blob (the fixture writer for
+    :func:`parse_exif`): IFD0 with orientation/make/model (+ GPS
+    pointer when ``gps``) and an Exif sub-IFD with pixel dims and
+    DateTimeOriginal."""
+    import struct
+
+    ifd0 = []
+    subifd = []
+    tail = bytearray()
+
+    def ascii_entry(tag, s, entries):
+        raw = s.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            entries.append((tag, 2, len(raw), raw.ljust(4, b"\x00"), None))
+        else:
+            entries.append((tag, 2, len(raw), None, raw))
+
+    ifd0.append((0x0112, 3, 1, struct.pack("<HH", orientation, 0), None))
+    if make:
+        ascii_entry(0x010F, make, ifd0)
+    if model:
+        ascii_entry(0x0110, model, ifd0)
+
+    if pixel_w is not None:
+        subifd.append((0xA002, 4, 1, struct.pack("<I", pixel_w), None))
+    if pixel_h is not None:
+        subifd.append((0xA003, 4, 1, struct.pack("<I", pixel_h), None))
+    if datetime_original:
+        ascii_entry(0x9003, datetime_original, subifd)
+
+    have_sub = bool(subifd)
+    n0 = len(ifd0) + (1 if have_sub else 0) + (1 if gps else 0)
+    ifd0_off = 8
+    sub_off = ifd0_off + 2 + n0 * 12 + 4
+    n1 = len(subifd)
+    data_off = sub_off + ((2 + n1 * 12 + 4) if have_sub else 0)
+    gps_off = data_off  # minimal empty GPS IFD sits in the data region
+    if gps:
+        data_off += 6
+
+    def render(entries, next_val=0):
+        nonlocal data_off
+        out = struct.pack("<H", len(entries))
+        for tag, typ, cnt, inline, ext in sorted(entries):
+            if ext is not None:
+                out += struct.pack("<HHII", tag, typ, cnt, data_off)
+                tail.extend(ext)
+                if len(ext) & 1:
+                    tail.append(0)
+                data_off += len(ext) + (len(ext) & 1)
+            else:
+                out += struct.pack("<HHI", tag, typ, cnt) + inline
+        return out + struct.pack("<I", next_val)
+
+    if have_sub:
+        ifd0.append((0x8769, 4, 1, struct.pack("<I", sub_off), None))
+    if gps:
+        ifd0.append((0x8825, 4, 1, struct.pack("<I", gps_off), None))
+    body = render(ifd0)
+    if have_sub:
+        body += render(subifd)
+    if gps:
+        body += struct.pack("<HI", 0, 0)  # empty GPS IFD
+    return b"II*\x00" + struct.pack("<I", ifd0_off) + body + bytes(tail)
+
+
+def wrap_exif_jpeg(jpeg: bytes, exif_blob: bytes) -> bytes:
+    """Insert an APP1/Exif segment right after SOI."""
+    import struct
+
+    assert jpeg[:2] == b"\xff\xd8"
+    seg = b"Exif\x00\x00" + exif_blob
+    return (
+        jpeg[:2]
+        + b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+        + jpeg[2:]
+    )
+
+
+def wrap_exif_webp(webp: bytes, exif_blob: bytes) -> bytes:
+    """Append an EXIF chunk to a WebP container (parse-level fixture:
+    readers that ignore VP8X flags — like parse_exif — see it)."""
+    chunk = b"EXIF" + len(exif_blob).to_bytes(4, "little") + exif_blob
+    if len(exif_blob) & 1:
+        chunk += b"\x00"
+    return (
+        webp[:4]
+        + (int.from_bytes(webp[4:8], "little") + len(chunk)).to_bytes(
+            4, "little"
+        )
+        + webp[8:]
+        + chunk
+    )
+
+
+def exif_audit(media: DataFrame) -> DataFrame:
+    """Per-payload EXIF audit via ``mapInPandas``: orientation (the
+    normalize-before-pixels flag), camera make/model, capture dims,
+    and the GPS-presence PII flag. Output: (media_id, has_exif,
+    orientation, make, model, pixel_w, pixel_h, has_gps)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "has_exif", "orientation", "make",
+                "model", "pixel_w", "pixel_h", "has_gps",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                info = parse_exif(bytes(content))
+                rows["media_id"].append(mid)
+                rows["has_exif"].append(info is not None)
+                rows["orientation"].append(
+                    info["orientation"] if info else None
+                )
+                rows["make"].append(info["make"] if info else None)
+                rows["model"].append(info["model"] if info else None)
+                rows["pixel_w"].append(info["pixel_w"] if info else None)
+                rows["pixel_h"].append(info["pixel_h"] if info else None)
+                rows["has_gps"].append(info["has_gps"] if info else None)
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "has_exif": pd.Series(rows["has_exif"], dtype="bool"),
+                "orientation": pd.Series(rows["orientation"], dtype="Int32"),
+                "make": pd.Series(rows["make"], dtype="object"),
+                "model": pd.Series(rows["model"], dtype="object"),
+                "pixel_w": pd.Series(rows["pixel_w"], dtype="Int64"),
+                "pixel_h": pd.Series(rows["pixel_h"], dtype="Int64"),
+                "has_gps": pd.Series(rows["has_gps"], dtype="object"),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, has_exif boolean, orientation int, "
+            "make string, model string, pixel_w long, pixel_h long, "
+            "has_gps boolean"
+        ),
+    )
+
+
 def _tiff_unpackbits(data: bytes, expected: int) -> bytes:
     """Apple PackBits decompression (TIFF 6.0 §9): n in 0..127 →
     copy n+1 literal bytes; n in -127..-1 → repeat next byte 1-n

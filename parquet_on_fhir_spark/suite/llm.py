@@ -4189,6 +4189,77 @@ WHERE doc_id < 150
 QUERIES.append(Q("q302_avif_real_decode", q302, Q302_ORACLE))
 
 
+# --- Q303: EXIF metadata audit (orientation + GPS-presence PII flag) --------------------
+def q303(spark, sf_dir):
+    """EXIF metadata audit (operators/multimodal.py::exif_audit over
+    parse_exif, r13): orientation normalization (tag 0x0112 — values
+    2-8 mean the stored pixels are flipped/rotated and EVERY pixel op
+    downstream must compensate) and the GPS-presence PII flag (tag
+    0x8825 — carrying the pointer at all is the privacy finding), read
+    from the TIFF-structured EXIF blob across THREE real containers:
+    JPEG APP1, WebP EXIF chunk, raw TIFF header. 150 fixtures cycle
+    container kind by doc_id%3 (one in three JPEG payloads carries NO
+    EXIF — the has_exif=false path is in-oracle), orientation cycles
+    1-8, GPS every 5th. mapInPandas per payload; same broadcast plan
+    shape as q299/q302."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        build_exif,
+        encode_jpeg,
+        encode_webp_lossless,
+        exif_audit,
+        wrap_exif_jpeg,
+        wrap_exif_webp,
+    )
+
+    img = np.full((8, 8, 3), 120, np.uint8)
+    jpeg = encode_jpeg(img)
+    webp = encode_webp_lossless(img)
+    tiff_px = None
+
+    def make(i: int) -> bytearray:
+        if i % 3 == 0 and i % 2 == 0:
+            return bytearray(jpeg)  # no EXIF at all
+        ex = build_exif(
+            orientation=i % 8 + 1,
+            make=f"Cam{i % 5}",
+            gps=(i % 5 == 0),
+        )
+        if i % 3 == 0:
+            return bytearray(wrap_exif_jpeg(jpeg, ex))
+        if i % 3 == 1:
+            return bytearray(wrap_exif_webp(webp, ex))
+        return bytearray(ex)  # raw TIFF-structured blob
+
+    payloads = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+    return exif_audit(media).select(
+        "media_id", "has_exif", "orientation", "make", "has_gps"
+    )
+
+
+Q303_ORACLE = """
+SELECT doc_id AS media_id,
+       NOT (doc_id % 6 = 0) AS has_exif,
+       CASE WHEN doc_id % 6 = 0 THEN NULL
+            ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+       CASE WHEN doc_id % 6 = 0 THEN NULL
+            ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 6 = 0 THEN NULL
+            ELSE doc_id % 5 = 0 END AS has_gps
+FROM documents
+WHERE doc_id < 150
+"""
+
+
+QUERIES.append(Q("q303_exif_audit", q303, Q303_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

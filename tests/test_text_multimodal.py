@@ -923,3 +923,59 @@ def test_wav_spectral_features_pure_tone_and_noise():
 
     # stand-in fallback keeps the 7-dim width
     assert len(wav_spectral_features(b"not audio at all")) == 7
+
+
+def test_exif_parse_and_fixtures(spark):
+    """EXIF audit (r13): TIFF-structured blob builder + parse across
+    JPEG APP1 / PNG eXIf / WebP EXIF / raw TIFF containers; big-endian
+    acceptance; orientation default; GPS-presence flag; and the
+    exif_audit mapInPandas operator end-to-end."""
+    import numpy as np
+    import struct
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        build_exif,
+        encode_jpeg,
+        encode_webp_lossless,
+        exif_audit,
+        parse_exif,
+        wrap_exif_jpeg,
+        wrap_exif_webp,
+    )
+    full = build_exif(orientation=6, make="ACME Cameras Inc", model="X1",
+                      pixel_w=4032, pixel_h=3024,
+                      datetime_original="2024:05:01 10:00:00", gps=True)
+    info = parse_exif(full)
+    assert info == {
+        "orientation": 6, "make": "ACME Cameras Inc", "model": "X1",
+        "pixel_w": 4032, "pixel_h": 3024,
+        "datetime_original": "2024:05:01 10:00:00", "has_gps": True,
+    }
+    # defaults: no orientation tag -> 1; no gps pointer -> False
+    bare = build_exif()
+    assert parse_exif(bare)["orientation"] == 1
+    assert parse_exif(bare)["has_gps"] is False
+
+    img = np.full((8, 8, 3), 90, np.uint8)
+    j = wrap_exif_jpeg(encode_jpeg(img), build_exif(orientation=3, gps=True))
+    assert parse_exif(j)["orientation"] == 3 and parse_exif(j)["has_gps"]
+    w = wrap_exif_webp(encode_webp_lossless(img), build_exif(make="Cam"))
+    assert parse_exif(w)["make"] == "Cam"
+    assert parse_exif(encode_jpeg(img)) is None  # no EXIF at all
+
+    # big-endian TIFF header accepted (hand-flip the tiny bare blob)
+    be = (b"MM\x00*" + struct.pack(">I", 8)
+          + struct.pack(">H", 1)
+          + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 8, 0)
+          + struct.pack(">I", 0))
+    assert parse_exif(be)["orientation"] == 8
+
+    media = spark.createDataFrame(
+        [(1, bytearray(j)), (2, bytearray(w)),
+         (3, bytearray(encode_jpeg(img)))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in exif_audit(media).collect()}
+    assert rows[1]["orientation"] == 3 and rows[1]["has_gps"] is True
+    assert rows[2]["make"] == "Cam" and rows[2]["has_exif"] is True
+    assert rows[3]["has_exif"] is False and rows[3]["orientation"] is None
