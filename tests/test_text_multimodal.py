@@ -963,6 +963,20 @@ def test_exif_parse_and_fixtures(spark):
     assert parse_exif(w)["make"] == "Cam"
     assert parse_exif(encode_jpeg(img)) is None  # no EXIF at all
 
+    # PNG eXIf chunk (inserted before IEND, correct CRC)
+    import zlib
+
+    from parquet_on_fhir_spark.operators.multimodal import encode_png
+
+    png = encode_png(img)
+    ex2 = build_exif(orientation=5)
+    chunk = struct.pack(">I", len(ex2)) + b"eXIf" + ex2
+    chunk += struct.pack(">I", zlib.crc32(b"eXIf" + ex2) & 0xFFFFFFFF)
+    iend = png.rindex(b"IEND") - 4
+    png_ex = png[:iend] + chunk + png[iend:]
+    assert parse_exif(png_ex)["orientation"] == 5
+    assert parse_exif(png) is None
+
     # big-endian TIFF header accepted (hand-flip the tiny bare blob)
     be = (b"MM\x00*" + struct.pack(">I", 8)
           + struct.pack(">H", 1)
