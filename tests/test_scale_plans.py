@@ -636,3 +636,20 @@ def test_dynamic_partition_pruning_plan(spark, sf_dir):
     assert "dynamicpruning" in p, p
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_codec_queries_broadcast_fixture_plan(spark, sf_dir):
+    """The r13 codec/audit debuts (q299 VP8, q301 animation, q302
+    AVIF, q303 EXIF) must all plan as a BROADCAST join of the tiny
+    fixture frame onto the fact side — never an exchange of the fact
+    rows, never a cartesian product."""
+    from parquet_on_fhir_spark.suite.llm import q299, q301, q302, q303
+
+    for fn in (q299, q301, q302, q303):
+        try:
+            p = plan_of(fn(spark, sf_dir))
+        except NotImplementedError:
+            continue  # q302 skips where libavif is absent
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, fn
+        assert "CartesianProduct" not in p, fn
+        assert "SortMergeJoin" not in p, fn
