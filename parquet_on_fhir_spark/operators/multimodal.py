@@ -3448,6 +3448,35 @@ def wrap_exif_webp(webp: bytes, exif_blob: bytes) -> bytes:
     )
 
 
+def apply_exif_orientation(img, orientation: int):
+    """Undo an EXIF orientation (1-8) so pixels are display-upright —
+    the transform every pixel op must apply BEFORE hashing/resizing a
+    crawled image (otherwise near-dup hashes split on camera
+    rotation). Values per the EXIF spec: 1 identity, 2 mirror-H,
+    3 rotate 180, 4 mirror-V, 5 mirror-H+rot270, 6 rotate 90 CW,
+    7 mirror-H+rot90, 8 rotate 270 CW."""
+    import numpy as np
+
+    a = np.asarray(img)
+    if orientation == 1:
+        return a
+    if orientation == 2:
+        return a[:, ::-1]
+    if orientation == 3:
+        return a[::-1, ::-1]
+    if orientation == 4:
+        return a[::-1, :]
+    if orientation == 5:
+        return np.rot90(a[:, ::-1], 1)
+    if orientation == 6:
+        return np.rot90(a, -1)
+    if orientation == 7:
+        return np.rot90(a[:, ::-1], -1)
+    if orientation == 8:
+        return np.rot90(a, 1)
+    raise ValueError(f"EXIF orientation must be 1-8, got {orientation}")
+
+
 def exif_audit(media: DataFrame) -> DataFrame:
     """Per-payload EXIF audit via ``mapInPandas``: orientation (the
     normalize-before-pixels flag), camera make/model, capture dims,

@@ -993,3 +993,35 @@ def test_exif_parse_and_fixtures(spark):
     assert rows[1]["orientation"] == 3 and rows[1]["has_gps"] is True
     assert rows[2]["make"] == "Cam" and rows[2]["has_exif"] is True
     assert rows[3]["has_exif"] is False and rows[3]["orientation"] is None
+
+
+def test_apply_exif_orientation_group_properties():
+    """The 8 EXIF orientations: identity/involution/rotation-group
+    sanity plus a hand-pinned asymmetric example for each value (the
+    spec directions are easy to mirror-swap)."""
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        apply_exif_orientation as fix,
+    )
+
+    a = np.arange(6).reshape(2, 3)
+    # hand-pinned: a = [[0,1,2],[3,4,5]]
+    assert np.array_equal(fix(a, 1), a)
+    assert np.array_equal(fix(a, 2), [[2, 1, 0], [5, 4, 3]])
+    assert np.array_equal(fix(a, 3), [[5, 4, 3], [2, 1, 0]])
+    assert np.array_equal(fix(a, 4), [[3, 4, 5], [0, 1, 2]])
+    # 6 = stored image is the upright rotated 90 CCW -> undo with CW:
+    # column 0 of the result is the LAST row of the stored image
+    assert np.array_equal(fix(a, 6), [[3, 0], [4, 1], [5, 2]])
+    assert np.array_equal(fix(a, 8), [[2, 5], [1, 4], [0, 3]])
+    assert np.array_equal(fix(a, 5), [[2, 5], [1, 4], [0, 3]][::-1])
+    assert np.array_equal(fix(a, 7), np.array([[3, 0], [4, 1], [5, 2]])[::-1])
+    # involutions: 2,3,4 applied twice = identity
+    for o in (2, 3, 4):
+        assert np.array_equal(fix(fix(a, o), o), a)
+    # 6 then 8 (= rot CW then rot CCW) = identity
+    assert np.array_equal(fix(fix(a, 6), 8), a)
+    with pytest.raises(ValueError, match="1-8"):
+        fix(a, 9)
