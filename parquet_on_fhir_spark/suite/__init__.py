@@ -55,12 +55,14 @@ WINDOW = [
     "q93_tpch_q22_not_exists",
     # -- r13 debuts (land with a driver row; each displaced the newest
     #    r6 fill below — q299 displaced q142, qf50 displaced q141,
-    #    q301 displaced q140, q302 displaced q139, q303 displaced q138)
+    #    q301 displaced q140, q302 displaced q139, q303 displaced q138,
+    #    q304 displaced q137)
     "q299_webp_vp8_real_decode",
     "qf50_ecl_reverse_numeric",
     "q301_webp_animation_frames",
     "q302_avif_real_decode",
     "q303_exif_audit",
+    "q304_compressed_payload_audit",
     # -- tier 4: r6-cohort fills, oldest-first
     "q108_dedup_clusters_md5",
     "q120_incremental_dedup",
@@ -79,7 +81,6 @@ WINDOW = [
     "q134_cohort_retention",
     "q135_expectations",
     "q136_anomaly_detection",
-    "q137_sessionize",
 ]
 
 

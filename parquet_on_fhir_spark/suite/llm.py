@@ -4260,6 +4260,76 @@ WHERE doc_id < 150
 QUERIES.append(Q("q303_exif_audit", q303, Q303_ORACLE))
 
 
+# --- Q304: compressed-payload audit with the decompression-bomb guard -------------------
+def q304(spark, sf_dir):
+    """Compressed-payload ingestion audit (operators/curation.py::
+    compressed_payload_audit, r13): magic-byte codec detection
+    (gzip/zlib/zstd/raw) + BOUNDED inflate — the decompression-bomb
+    guard a 100 TB ingest needs before touching crawled archives (a
+    kilobyte zlib payload can expand to petabytes; the operator caps
+    materialized output per payload and reports truncated instead of
+    dying). 150 fixtures cycle five payload classes by doc_id%5:
+    gzip'd text of closed-form length, zlib'd text, a 100 KB-expansion
+    bomb against a 4 KiB cap (truncated at exactly the cap), a
+    corrupt (cut) gzip stream (out_len NULL), and raw bytes. Same
+    broadcast fixture-join shape as the codec family."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from parquet_on_fhir_spark.operators.curation import (
+        compressed_payload_audit,
+    )
+
+    def make(i: int) -> bytearray:
+        n = 1000 + (i % 7) * 351
+        text = (b"doc%06d " % i) * (n // 10)  # 10-byte unit: len = 10*(n//10)
+        k = i % 5
+        if k == 0:
+            return bytearray(_gzip.compress(text, 6))
+        if k == 1:
+            return bytearray(_zlib.compress(text, 6))
+        if k == 2:
+            return bytearray(_zlib.compress(b"a" * 100_000, 9))
+        if k == 3:
+            return bytearray(_gzip.compress(text, 6)[:30])
+        return bytearray(text)
+
+    payloads = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+    out = compressed_payload_audit(media, max_out_bytes=4096)
+    return out.select("media_id", "codec", "out_len", "truncated")
+
+
+Q304_ORACLE = """
+WITH m AS (
+  SELECT doc_id, doc_id % 5 AS k,
+         10 * ((1000 + (doc_id % 7) * 351) // 10) AS text_len
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id AS media_id,
+       CASE k WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib' WHEN 2 THEN 'zlib'
+              WHEN 3 THEN 'gzip' ELSE 'raw' END AS codec,
+       CASE k WHEN 0 THEN CASE WHEN text_len <= 4096 THEN text_len
+                               ELSE 4096 END
+              WHEN 1 THEN CASE WHEN text_len <= 4096 THEN text_len
+                               ELSE 4096 END
+              WHEN 2 THEN 4096
+              WHEN 3 THEN NULL
+              ELSE text_len END AS out_len,
+       CASE k WHEN 2 THEN TRUE
+              WHEN 3 THEN FALSE
+              ELSE text_len > 4096 AND k IN (0, 1) END AS truncated
+FROM m
+"""
+
+
+QUERIES.append(Q("q304_compressed_payload_audit", q304, Q304_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

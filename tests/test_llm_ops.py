@@ -842,3 +842,44 @@ def test_bpe_encode_roundtrips_training(spark):
     none_ = bpe_encode(df, []).collect()[0]["n_tokens"]
     some = bpe_encode(df, trained).collect()[0]["n_tokens"]
     assert some < none_
+
+
+def test_compressed_payload_audit(spark):
+    """compression detection, bounded inflate, and THE BOMB GUARD:
+    a ~10 KB zlib payload expanding to 10 MB against a 1 MB cap
+    reports truncated=True at exactly the cap — it never materializes
+    the expansion. Corrupt streams -> out_len NULL; zstd detect-only;
+    raw passthrough."""
+    import gzip
+    import zlib
+
+    from parquet_on_fhir_spark.operators.curation import (
+        compressed_payload_audit,
+    )
+
+    text = b"the quick brown fox " * 500        # 10_000 bytes
+    bomb = zlib.compress(b"a" * (10 * 1024 * 1024), 9)
+    rows = [
+        (1, bytearray(gzip.compress(text))),
+        (2, bytearray(zlib.compress(text))),
+        (3, bytearray(bomb)),
+        (4, bytearray(b"\x28\xb5\x2f\xfd" + b"\x00" * 20)),  # zstd magic
+        (5, bytearray(b"plain old bytes")),
+        (6, bytearray(gzip.compress(text)[:40])),            # truncated gzip
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r["media_id"]: r
+        for r in compressed_payload_audit(
+            media, max_out_bytes=1 << 20
+        ).collect()
+    }
+    assert out[1]["codec"] == "gzip" and out[1]["out_len"] == len(text)
+    assert out[1]["truncated"] is False
+    assert abs(out[1]["ratio"] - round(len(text) / out[1]["in_len"], 4)) < 1e-9
+    assert out[2]["codec"] == "zlib" and out[2]["out_len"] == len(text)
+    assert out[3]["codec"] == "zlib"
+    assert out[3]["out_len"] == 1 << 20 and out[3]["truncated"] is True
+    assert out[4]["codec"] == "zstd" and out[4]["out_len"] is None
+    assert out[5]["codec"] == "raw" and out[5]["out_len"] == 15
+    assert out[6]["codec"] == "gzip" and out[6]["out_len"] is None
