@@ -4330,6 +4330,87 @@ FROM m
 QUERIES.append(Q("q304_compressed_payload_audit", q304, Q304_ORACLE))
 
 
+# --- Q305: HTML main-content extraction --------------------------------------------------
+def q305(spark, sf_dir):
+    """HTML main-content extraction (operators/html.py::html_extract,
+    r13 — the jusText/trafilatura-family op a crawl corpus needs
+    before any text stage): stdlib-parser tokenization with
+    script/style dropped and entities decoded, block segmentation at
+    block-level tags, and the two classic signals (length ≥ 25 chars,
+    link density ≤ 0.5) keeping article prose while nav/footer/ad
+    blocks fall out. 150 fixture pages cycle four shapes by doc_id%4
+    (3-paragraph article with nav+footer; pure link farm; one-para
+    page with an ad div; bare text with no markup), built from
+    fixed-width word units so every kept-text LENGTH is closed form.
+    One mapInPandas pass — the page scan rides the corpus scan."""
+    from parquet_on_fhir_spark.operators.html import html_extract
+
+    def para(i: int, j: int) -> str:
+        return ("w%04d " % ((i + j) % 9999)) * 10
+
+    def make(i: int) -> str:
+        k = i % 4
+        nav = ('<nav><a href="/">Home</a> <a href="/b">Blog</a> '
+               '<a href="/c">Contact</a></nav>')
+        foot = '<footer><a href="/t">Terms</a> | <a href="/p">Priv</a></footer>'
+        title = f"<head><title>Page {i}</title></head>"
+        if k == 0:
+            body = nav + "".join(
+                f"<p>{para(i, j)}</p>" for j in range(3)
+            ) + foot
+            return f"<html>{title}<body>{body}</body></html>"
+        if k == 1:
+            links = "".join(f'<a href="/{j}">L{j:03d}</a> ' for j in range(8))
+            return f"<html>{title}<body><nav>{links}</nav></body></html>"
+        if k == 2:
+            return (f"<html>{title}<body><p>{para(i, 0)}</p>"
+                    f"<div>Buy now!</div></body></html>")
+        return para(i, 0)  # bare text, no markup at all
+
+    payloads = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(payloads, "i INT, html STRING")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pages = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id"), "html")
+    out = html_extract(pages)
+    return out.select(
+        "doc_id",
+        "title",
+        "n_blocks",
+        "n_kept",
+        F.length("text").alias("kept_len"),
+        d4(F.col("link_density")).alias("link_density_4dp"),
+    )
+
+
+Q305_ORACLE = """
+WITH m AS (SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id < 150)
+SELECT doc_id,
+       CASE WHEN k = 3 THEN NULL
+            ELSE 'Page ' || CAST(doc_id AS VARCHAR) END AS title,
+       CAST(CASE k WHEN 0 THEN 5 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END
+            AS INT) AS n_blocks,
+       CAST(CASE k WHEN 0 THEN 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 1 END
+            AS INT) AS n_kept,
+       CASE k WHEN 0 THEN 179 WHEN 1 THEN 0 WHEN 2 THEN 59 ELSE 59 END
+         AS kept_len,
+       round(CASE k
+               -- k=0: nav raw 17 (15 linked), footer raw 12 (9
+               --      linked), 3 paras x 59 raw-stripped; k=1: 8
+               --      'L000'-style links: raw 39 stripped, 32 linked
+               WHEN 0 THEN (15.0 + 9.0) / (17.0 + 12.0 + 177.0)
+               WHEN 1 THEN 32.0 / 39.0
+               WHEN 2 THEN 0.0
+               ELSE 0.0
+             END + 1e-9, 4) AS link_density_4dp
+FROM m
+"""
+
+
+QUERIES.append(Q("q305_html_main_text", q305, Q305_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

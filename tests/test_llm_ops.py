@@ -883,3 +883,57 @@ def test_compressed_payload_audit(spark):
     assert out[4]["codec"] == "zstd" and out[4]["out_len"] is None
     assert out[5]["codec"] == "raw" and out[5]["out_len"] == 15
     assert out[6]["codec"] == "gzip" and out[6]["out_len"] is None
+
+
+def test_html_extract_main_content(spark):
+    """HTML main-content extraction (r13, jusText-lite): script/style
+    content dropped, entities decoded, block segmentation at
+    block-level tags, link-density + length classification keeps the
+    article and drops nav/footer/ads; title from <head>; malformed
+    input degrades, never raises."""
+    from parquet_on_fhir_spark.operators.html import (
+        extract_main_text,
+        html_extract,
+    )
+
+    page = (
+        "<html><head><title>My Article &amp; More</title>"
+        '<script>var x = "<p>not text</p>";</script>'
+        "<style>.a{color:red}</style></head><body>"
+        "<nav><a href=/>Home</a> <a href=/b>Blog</a>"
+        " <a href=/c>Contact</a></nav>"
+        "<h1>A Heading Long Enough To Keep</h1>"
+        "<p>This is the first real paragraph of the article, with"
+        " enough characters to pass the block threshold and no links"
+        " at all.</p>"
+        "<p>Second paragraph mentions <a href=x>one inline link</a>"
+        " but stays mostly prose, so its link density is comfortably"
+        " under the bar.</p>"
+        "<div class=ad>Buy now!</div>"
+        "<footer><a href=/t>Terms</a> | <a href=/p>Privacy</a></footer>"
+        "</body></html>"
+    )
+    info = extract_main_text(page)
+    assert info["title"] == "My Article & More"
+    assert info["n_blocks"] == 6
+    assert info["n_kept"] == 3  # heading + two paragraphs
+    lines = info["text"].split("\n")
+    assert lines[0] == "A Heading Long Enough To Keep"
+    assert lines[1].startswith("This is the first real paragraph")
+    assert "not text" not in info["text"]      # script dropped
+    assert "Buy now" not in info["text"]       # short ad dropped
+    assert "Home" not in info["text"]          # link-dense nav dropped
+    assert "Terms" not in info["text"]         # footer dropped
+    # nav/footer contribute all-link blocks; page density is in (0, 1)
+    assert 0.0 < info["link_density"] < 0.5
+
+    # empty / malformed inputs degrade gracefully
+    assert extract_main_text("")["n_blocks"] == 0
+    assert extract_main_text("just plain text with no markup at all"
+                             )["n_kept"] == 1
+    assert extract_main_text("<p><a>unclosed everything")["n_blocks"] >= 0
+
+    # operator end-to-end
+    df = spark.createDataFrame([(7, page)], "doc_id long, html string")
+    row = html_extract(df).collect()[0]
+    assert row["n_kept"] == 3 and row["title"] == "My Article & More"
