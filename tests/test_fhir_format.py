@@ -1215,10 +1215,11 @@ def test_ecl_attribute_groups(spark):
 def test_ecl_comparison_operators(spark):
     """fhir/terminology.py::ecl_expand r12 extension: '!=' on concept
     values, numeric '#' concrete values with = != < <= > >=, their
-    composition with cardinality, and the targeted refusals (numeric
-    with the reverse flag, non-equality comparator with a concept
-    value, malformed numeric literal, '#' outside a refinement
-    value)."""
+    composition with cardinality, reverse+numeric all-miss semantics
+    (r13: the comparison tests the SOURCE code; non-numeric codes
+    never match), and the targeted refusals (non-equality comparator
+    with a concept value, malformed numeric literal, '#' outside a
+    refinement value)."""
     import pytest
 
     from parquet_on_fhir_spark.fhir.terminology import (
@@ -1266,8 +1267,12 @@ def test_ecl_comparison_operators(spark):
     assert ev("< drug : strength >= #150 , strength <= #300") == [
         "amoxicillin-250", "ibuprofen-200", "ibuprofen-400-plus",
     ]
+    # reverse + numeric (r13 — refusal lifted): the comparison tests
+    # the assertion SOURCE code as a number; meds codes are
+    # non-numeric, so every source misses and the focus set is empty
+    # (the qf50 fixture covers the non-empty closed forms)
+    assert ev("< drug : R form < #2") == []
     for bad in (
-        "< drug : R form < #2",       # reverse + numeric comparison
         "< drug : strength < tablet",  # non-equality needs '#'-numeric
         "< drug : strength = #2x",     # malformed numeric literal
         "< drug : form = ( #5 )",      # '#' outside a refinement value
