@@ -116,6 +116,8 @@ def parse_header(data: bytes):
     (header, first-partition BoolDecoder positioned at the per-MB mode
     data, residual partition BoolDecoders)."""
     h = _Header()
+    if len(data) < 10:
+        raise ValueError("vp8: truncated frame header")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
     h.key_frame = not (tag & 1)
     h.version = (tag >> 1) & 7
@@ -196,6 +198,8 @@ def parse_header(data: bytes):
 
     # residual partitions (§9.5): sizes trail the first partition
     off = 10 + part1_size
+    if off + 3 * (h.n_parts - 1) > len(data):
+        raise ValueError("vp8: truncated partition table")
     sizes = []
     for i in range(h.n_parts - 1):
         p = off + 3 * i

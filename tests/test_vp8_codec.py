@@ -345,3 +345,29 @@ def test_differential_multi_partition_streams():
         mine = decode_webp_vp8(blob)
         for nm, a, b in zip("YUV", mine[2:], ref[2:]):
             assert np.array_equal(a, b), f"frame {t} nparts={nparts} {nm}"
+
+
+def test_corrupt_and_truncated_payloads_raise_valueerror():
+    """Crawled payloads are hostile: random VP8-tagged garbage and
+    every truncation point of a valid stream must raise ValueError
+    (the decode_pixels fallback contract) — never IndexError/etc,
+    which would kill the executor UDF instead of routing to the
+    stand-in codec."""
+    from parquet_on_fhir_spark.operators.multimodal import decode_webp
+
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        n = int(rng.integers(16, 200))
+        payload = rng.integers(0, 256, n, np.uint8).tobytes()
+        blob = (b"RIFF" + (12 + n).to_bytes(4, "little") + b"WEBP"
+                + b"VP8 " + n.to_bytes(4, "little") + payload)
+        try:
+            decode_webp(blob)
+        except ValueError:
+            pass
+    good, _ = encode_webp_solid(32, 32, (10, 20, 30))
+    for cut in range(12, len(good)):
+        try:
+            decode_webp(bytes(good[:cut]))
+        except ValueError:
+            pass
