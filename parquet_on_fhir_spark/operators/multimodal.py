@@ -2268,6 +2268,8 @@ def decode_webp_frames(content: bytes, max_frames: int | None = None):
         (size,) = struct.unpack_from("<I", content, pos + 4)
         body = content[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("WebP: truncated VP8X chunk")
             animated = bool(body[0] & 0x02)
             cw = 1 + int.from_bytes(body[4:7], "little")
             ch = 1 + int.from_bytes(body[7:10], "little")
@@ -2275,6 +2277,8 @@ def decode_webp_frames(content: bytes, max_frames: int | None = None):
         elif fourcc == b"ANMF" and animated:
             if max_frames is not None and len(frames) >= max_frames:
                 break
+            if len(body) < 16:
+                raise ValueError("WebP: truncated ANMF header")
             fx = 2 * int.from_bytes(body[0:3], "little")
             fy = 2 * int.from_bytes(body[3:6], "little")
             fw = 1 + int.from_bytes(body[6:9], "little")

@@ -371,3 +371,21 @@ def test_corrupt_and_truncated_payloads_raise_valueerror():
             decode_webp(bytes(good[:cut]))
         except ValueError:
             pass
+
+
+def test_animation_truncations_raise_valueerror():
+    """Every truncation point of a valid animated container raises
+    ValueError (same hostile-payload contract as the still path)."""
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_webp_frames,
+        encode_webp_animation,
+    )
+
+    f = np.full((8, 8, 3), 80, np.uint8)
+    anim = encode_webp_animation([f, f], [40, 80],
+                                 lossy_mask=[False, True])
+    for cut in range(12, len(anim)):
+        try:
+            decode_webp_frames(bytes(anim[:cut]))
+        except ValueError:
+            pass
