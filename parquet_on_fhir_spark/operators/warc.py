@@ -1,0 +1,202 @@
+"""WARC (Web ARChive, ISO 28500) record extraction — the container
+every web crawl actually arrives in (Common Crawl publishes WARC/1.0).
+
+A WARC file is a sequence of records: a textual header block
+(``WARC/1.0`` version line + RFC 822-style named fields, CRLF line
+endings, terminated by an empty line) followed by exactly
+``Content-Length`` payload bytes and a blank-line record separator.
+Crawl WARCs are usually *member-gzipped*: each record is its own gzip
+member and members are concatenated — stdlib ``zlib`` inflates them
+one ``decompressobj`` at a time (``unused_data`` hands the next
+member's bytes over).
+
+``warc_records`` splits a binary WARC column into one row per record
+(type, target URI, date, payload length, an HTTP status for response
+records, and a bounded payload prefix) inside Arrow-batched
+``mapInPandas`` — the archive scan rides the corpus scan, one pass, a
+hard per-record payload cap bounds executor memory exactly like
+``compressed_payload_audit``'s bomb guard. ``build_warc`` writes
+spec-shaped fixtures (plain or member-gzipped) so the driver oracle is
+closed form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+
+
+def _split_members(data: bytes):
+    """Yield decompressed gzip members from a concatenated-member
+    stream, or the raw bytes when not gzipped."""
+    import zlib
+
+    if not (len(data) >= 2 and data[0] == 0x1F and data[1] == 0x8B):
+        yield data
+        return
+    buf = data
+    while buf[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + 15)
+        try:
+            out = d.decompress(buf)
+        except zlib.error as e:
+            raise ValueError(f"warc: corrupt gzip member ({e})") from e
+        yield out
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        buf = d.unused_data
+    if buf.strip(b"\x00"):
+        raise ValueError("warc: trailing non-gzip bytes after members")
+
+
+def parse_warc(content: bytes, max_payload_bytes: int = 1 << 20):
+    """WARC bytes (plain or member-gzipped) → list of record dicts:
+    {rec_type, target_uri, date, content_length, http_status,
+    payload_prefix}. ``http_status`` is parsed from the HTTP status
+    line of response records; ``payload_prefix`` is capped at
+    ``max_payload_bytes`` (the rest of the record is SKIPPED by
+    offset arithmetic, never materialized)."""
+    records = []
+    for chunk in _split_members(bytes(content)):
+        pos = 0
+        n = len(chunk)
+        while pos < n:
+            # skip inter-record blank lines
+            while chunk[pos : pos + 2] == _CRLF:
+                pos += 2
+            if pos >= n:
+                break
+            end = chunk.find(_CRLF + _CRLF, pos)
+            if end < 0:
+                raise ValueError("warc: unterminated record header")
+            header = chunk[pos : end].decode("utf-8", "replace")
+            lines = header.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                raise ValueError(
+                    f"warc: bad version line {lines[0][:30]!r}"
+                )
+            fields = {}
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                if _:
+                    fields[k.strip().lower()] = v.strip()
+            try:
+                clen = int(fields["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError("warc: missing/bad Content-Length")
+            body_start = end + 4
+            if body_start + clen > n:
+                raise ValueError("warc: truncated record payload")
+            prefix = chunk[body_start : body_start + min(
+                clen, max_payload_bytes
+            )]
+            rec_type = fields.get("warc-type")
+            status = None
+            if rec_type == "response" and prefix[:5] == b"HTTP/":
+                first = prefix.split(_CRLF, 1)[0].decode("ascii", "replace")
+                parts = first.split(" ")
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+            records.append({
+                "rec_type": rec_type,
+                "target_uri": fields.get("warc-target-uri"),
+                "date": fields.get("warc-date"),
+                "content_length": clen,
+                "http_status": status,
+                "payload_prefix": bytes(prefix),
+            })
+            pos = body_start + clen
+    return records
+
+
+def build_warc(records, *, gzip_members: bool = False) -> bytes:
+    """Spec-shaped WARC fixture writer: ``records`` is a list of
+    (rec_type, target_uri, date, payload_bytes). Response payloads
+    should already carry their HTTP preamble. With ``gzip_members``
+    each record becomes its own gzip member (the Common Crawl
+    layout)."""
+    import gzip
+
+    out = bytearray()
+    for rec_type, uri, date, payload in records:
+        head = [f"WARC/1.0"]
+        head.append(f"WARC-Type: {rec_type}")
+        if uri:
+            head.append(f"WARC-Target-URI: {uri}")
+        if date:
+            head.append(f"WARC-Date: {date}")
+        head.append(f"Content-Length: {len(payload)}")
+        rec = ("\r\n".join(head) + "\r\n\r\n").encode() + bytes(payload) \
+            + _CRLF + _CRLF
+        if gzip_members:
+            out += gzip.compress(rec, 6)
+        else:
+            out += rec
+    return bytes(out)
+
+
+def warc_records(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_payload_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Corpus-wide WARC splitting: one row per record. Output:
+    (id, rec_idx, rec_type, target_uri, http_status, content_length,
+    prefix_len). Undecodable archives yield a single rec_idx = -1 row
+    (the quarantine marker) instead of failing the batch."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "rec_idx", "rec_type", "target_uri",
+                "http_status", "content_length", "prefix_len",
+            )}
+
+            def add(mid, idx, rec):
+                rows["media_id"].append(mid)
+                rows["rec_idx"].append(idx)
+                rows["rec_type"].append(rec and rec["rec_type"])
+                rows["target_uri"].append(rec and rec["target_uri"])
+                rows["http_status"].append(
+                    rec["http_status"] if rec else None
+                )
+                rows["content_length"].append(
+                    rec["content_length"] if rec else None
+                )
+                rows["prefix_len"].append(
+                    len(rec["payload_prefix"]) if rec else None
+                )
+
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    recs = parse_warc(bytes(content), max_payload_bytes)
+                except ValueError:
+                    add(mid, -1, None)
+                    continue
+                for i, rec in enumerate(recs):
+                    add(mid, i, rec)
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "rec_idx": pd.Series(rows["rec_idx"], dtype="int32"),
+                "rec_type": pd.Series(rows["rec_type"], dtype="object"),
+                "target_uri": pd.Series(rows["target_uri"], dtype="object"),
+                "http_status": pd.Series(rows["http_status"], dtype="Int32"),
+                "content_length": pd.Series(rows["content_length"],
+                                            dtype="Int64"),
+                "prefix_len": pd.Series(rows["prefix_len"], dtype="Int64"),
+            })
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(
+        batches,
+        schema=(
+            "media_id long, rec_idx int, rec_type string, "
+            "target_uri string, http_status int, content_length long, "
+            "prefix_len long"
+        ),
+    )

@@ -4411,6 +4411,85 @@ FROM m
 QUERIES.append(Q("q305_html_main_text", q305, Q305_ORACLE))
 
 
+# --- Q306: WARC record extraction ---------------------------------------------------------
+def q306(spark, sf_dir):
+    """WARC record extraction (operators/warc.py::warc_records, r13 —
+    ISO 28500, the container web crawls actually arrive in): header
+    parsing, exact Content-Length record segmentation, HTTP status
+    from response records, and the member-gzip layout Common Crawl
+    publishes (odd doc_ids gzip each record as its own member; stdlib
+    zlib walks the concatenated members). Every 10th archive is junk
+    and yields the rec_idx=-1 quarantine row instead of failing the
+    batch — hostile-input discipline is part of the oracle. 150
+    fixtures, one warcinfo + two request/response pairs each, with
+    deterministic payload lengths and statuses; mapInPandas, the
+    archive scan rides the corpus scan."""
+    from parquet_on_fhir_spark.operators.warc import build_warc
+
+    def make(i: int) -> bytearray:
+        if i % 10 == 9:
+            return bytearray(b"junk, not a warc " * 3)
+        recs = [("warcinfo", None, "2026-08-16T00:00:00Z",
+                 b"software: t\r\n")]
+        for p in range(2):
+            recs.append(("request", f"https://ex.org/{i}/{p}",
+                         "2026-08-16T00:00:01Z", b"GET / HTTP/1.1\r\n"))
+            status = b"200 OK" if (i + p) % 2 == 0 else b"404 NF"
+            body = b"HTTP/1.1 " + status + b"\r\n\r\n" + b"x" * (
+                100 + i % 50
+            )
+            recs.append(("response", f"https://ex.org/{i}/{p}",
+                         "2026-08-16T00:00:02Z", body))
+        return bytearray(build_warc(recs, gzip_members=(i % 2 == 1)))
+
+    payloads = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+    return warc_records_shaped(media)
+
+
+def warc_records_shaped(media):
+    from parquet_on_fhir_spark.operators.warc import warc_records
+
+    return warc_records(media).select(
+        "media_id", "rec_idx", "rec_type", "target_uri",
+        "http_status", "content_length",
+    )
+
+
+Q306_ORACLE = """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+idx AS (SELECT unnest([0, 1, 2, 3, 4]) AS rec_idx)
+SELECT doc_id AS media_id, CAST(-1 AS INT) AS rec_idx,
+       NULL AS rec_type, NULL AS target_uri,
+       CAST(NULL AS INT) AS http_status,
+       CAST(NULL AS BIGINT) AS content_length
+FROM m WHERE doc_id % 10 = 9
+UNION ALL
+SELECT doc_id AS media_id, CAST(rec_idx AS INT) AS rec_idx,
+       CASE rec_idx WHEN 0 THEN 'warcinfo'
+            WHEN 1 THEN 'request' WHEN 3 THEN 'request'
+            ELSE 'response' END AS rec_type,
+       CASE WHEN rec_idx = 0 THEN NULL
+            ELSE 'https://ex.org/' || CAST(doc_id AS VARCHAR) || '/'
+                 || CAST((rec_idx - 1) // 2 AS VARCHAR) END AS target_uri,
+       CASE WHEN rec_idx IN (2, 4) THEN
+            CASE WHEN (doc_id + (rec_idx - 1) // 2) % 2 = 0
+                 THEN 200 ELSE 404 END
+       END AS http_status,
+       CAST(CASE rec_idx WHEN 0 THEN 13
+            WHEN 1 THEN 16 WHEN 3 THEN 16
+            ELSE 19 + 100 + doc_id % 50 END AS BIGINT) AS content_length
+FROM m, idx WHERE doc_id % 10 <> 9
+"""
+
+
+QUERIES.append(Q("q306_warc_records", q306, Q306_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

@@ -937,3 +937,58 @@ def test_html_extract_main_content(spark):
     df = spark.createDataFrame([(7, page)], "doc_id long, html string")
     row = html_extract(df).collect()[0]
     assert row["n_kept"] == 3 and row["title"] == "My Article & More"
+
+
+def test_warc_records(spark):
+    """WARC extraction (r13, ISO 28500): header/field parsing, exact
+    Content-Length segmentation, HTTP status from response records,
+    member-gzip layout (the Common Crawl shape), the bounded payload
+    cap, hostile-input quarantine (rec_idx = -1, never an exception),
+    and the operator end-to-end."""
+    from parquet_on_fhir_spark.operators.warc import (
+        build_warc,
+        parse_warc,
+        warc_records,
+    )
+
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html>hello</html>")
+    recs = [
+        ("warcinfo", None, "2026-08-16T00:00:00Z", b"software: t\r\n"),
+        ("request", "https://example.org/", "2026-08-16T00:00:01Z",
+         b"GET / HTTP/1.1\r\n"),
+        ("response", "https://example.org/", "2026-08-16T00:00:02Z", http),
+    ]
+    for gz in (False, True):
+        out = parse_warc(build_warc(recs, gzip_members=gz))
+        assert [r["rec_type"] for r in out] == [
+            "warcinfo", "request", "response"]
+        assert out[2]["http_status"] == 200
+        assert out[2]["content_length"] == len(http)
+        assert out[1]["target_uri"] == "https://example.org/"
+    # payload cap: prefix bounded, length still exact
+    big = build_warc(
+        [("response", "u", "d", b"HTTP/1.1 404 NF\r\n\r\n" + b"x" * 5000)])
+    r = parse_warc(big, max_payload_bytes=100)[0]
+    assert (r["content_length"], len(r["payload_prefix"]),
+            r["http_status"]) == (5019, 100, 404)
+    # hostile inputs raise ValueError (incl. corrupt gzip members)
+    import pytest
+
+    for bad in (b"garbage", build_warc(recs)[:40],
+                b"\x1f\x8b" + b"\x00" * 20):
+        with pytest.raises(ValueError):
+            parse_warc(bad)
+    # operator: good archive + quarantined junk
+    media = spark.createDataFrame(
+        [(1, bytearray(build_warc(recs, gzip_members=True))),
+         (2, bytearray(b"not a warc"))],
+        "media_id long, content binary",
+    )
+    rows = sorted(warc_records(media).collect(),
+                  key=lambda r: (r["media_id"], r["rec_idx"]))
+    assert [(r["media_id"], r["rec_idx"], r["rec_type"]) for r in rows] == [
+        (1, 0, "warcinfo"), (1, 1, "request"), (1, 2, "response"),
+        (2, -1, None),
+    ]
+    assert rows[2]["http_status"] == 200
