@@ -4490,6 +4490,88 @@ FROM m, idx WHERE doc_id % 10 <> 9
 QUERIES.append(Q("q306_warc_records", q306, Q306_ORACLE))
 
 
+# --- Q307: robots.txt crawl-compliance filter ---------------------------------------------
+def q307(spark, sf_dir):
+    """robots.txt evaluation (operators/robots.py::robots_filter, r13
+    — RFC 9309, the compliance gate before any URL is fetched or
+    kept): group selection (exact user-agent token beats the * group),
+    wildcard (*) and end-anchor ($) patterns, longest-match precedence
+    with Allow winning ties, empty Disallow = allow everything, and
+    missing robots.txt = allow. Five fixture hosts exercise each rule
+    class; 150 document URLs cycle hosts (doc_id%5) and path shapes
+    (doc_id%4), so every verdict is a closed-form function of doc_id.
+    Rules parse once (host-count-sized frame, the terminology-metadata
+    contract) and broadcast in the mapInPandas closure; the URL side
+    scans once."""
+    from parquet_on_fhir_spark.operators.robots import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("h0.ex", "User-agent: *\nDisallow: /private/\n"
+                      "Allow: /private/ok/\n"),
+            ("h1.ex", "User-agent: *\nDisallow: /*.pdf$\n"),
+            # h2.ex: no robots.txt at all (allowed by default)
+            ("h3.ex", "User-agent: sparkbot\nDisallow: /pub/\n\n"
+                      "User-agent: *\nDisallow: /\n"),
+            ("h4.ex", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    paths = {
+        0: "/private/doc.html",
+        1: "/private/ok/doc.html",
+        2: "/files/doc.pdf",
+        3: "/pub/doc.txt",
+    }
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".ex")).alias("host"),
+    ).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("host"),
+            F.element_at(
+                F.create_map(*[
+                    x for k, v in paths.items()
+                    for x in (F.lit(k), F.lit(v))
+                ]),
+                (F.col("doc_id") % 4).cast("int"),
+            ),
+        ),
+    )
+    return robots_filter(
+        urls, robots, user_agent="sparkbot"
+    ).select("doc_id", "host", "url", "allowed")
+
+
+Q307_ORACLE = """
+WITH m AS (
+  SELECT doc_id, doc_id % 5 AS h, doc_id % 4 AS k
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id,
+       'h' || CAST(h AS VARCHAR) || '.ex' AS host,
+       'https://h' || CAST(h AS VARCHAR) || '.ex' ||
+       CASE k WHEN 0 THEN '/private/doc.html'
+              WHEN 1 THEN '/private/ok/doc.html'
+              WHEN 2 THEN '/files/doc.pdf'
+              ELSE '/pub/doc.txt' END AS url,
+       CASE h
+         WHEN 0 THEN k <> 0                  -- /private/ denied, ok/ allowed
+         WHEN 1 THEN k <> 2                  -- *.pdf$ denied
+         WHEN 2 THEN TRUE                    -- no robots.txt
+         WHEN 3 THEN k <> 3                  -- exact-UA group: /pub/ denied
+         ELSE TRUE                           -- empty Disallow
+       END AS allowed
+FROM m
+"""
+
+
+QUERIES.append(Q("q307_robots_filter", q307, Q307_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

@@ -992,3 +992,53 @@ def test_warc_records(spark):
         (2, -1, None),
     ]
     assert rows[2]["http_status"] == 200
+
+
+def test_robots_filter(spark):
+    """RFC 9309 robots evaluation (r13): group selection (exact UA
+    beats *; consecutive UA lines merge), wildcard/anchor patterns,
+    longest-match + Allow-wins-ties precedence, empty Disallow,
+    missing robots => allowed; operator end-to-end with the
+    broadcast-rules/one-pass-URL shape."""
+    from parquet_on_fhir_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+        robots_filter,
+    )
+
+    txt = (
+        "User-agent: SparkBot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /*.pdf$\n\n"
+        "User-agent: *\nDisallow: /tmp/\n"
+    )
+    rules = parse_robots(txt, "sparkbot")
+    assert robots_allowed(rules, "/private/secret") is False
+    assert robots_allowed(rules, "/private/ok/f") is True   # longer Allow
+    assert robots_allowed(rules, "/a/b.pdf") is False       # * and $
+    assert robots_allowed(rules, "/a/b.pdfx") is True       # $ respected
+    assert robots_allowed(rules, "/tmp/x") is True          # not the * group
+    assert robots_allowed(parse_robots(txt, "nobody"), "/tmp/x") is False
+    assert robots_allowed([], "/anything") is True          # no robots.txt
+    # empty Disallow allows everything; tie -> Allow wins
+    assert robots_allowed(parse_robots(
+        "User-agent: *\nDisallow:\n", "x"), "/a") is True
+    assert robots_allowed(
+        [(False, "/dir/"), (True, "/dir/")], "/dir/f") is True
+
+    robots = spark.createDataFrame(
+        [("a.ex", txt), ("b.ex", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "a.ex", "https://a.ex/private/x"),
+         (2, "a.ex", "https://a.ex/private/ok/x"),
+         (3, "b.ex", "https://b.ex/anything"),
+         (4, "c.ex", "https://c.ex/no/robots")],
+        "id long, host string, url string",
+    )
+    got = {r["id"]: r["allowed"]
+           for r in robots_filter(urls, robots,
+                                  user_agent="sparkbot").collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
