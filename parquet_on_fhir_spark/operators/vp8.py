@@ -613,7 +613,6 @@ def decode_vp8(data: bytes):
     above_nz = [[0] * 9 for _ in range(mb_w)]  # [y2?] 4 y cols, 2 u, 2 v
     # we track: above: y[4 cols], u[2], v[2], y2 ; left likewise
     zero16 = [0] * 16
-    mb_coeffs = {}
     mb_has = [[False] * mb_w for _ in range(mb_h)]
 
     for mby in range(mb_h):
@@ -681,7 +680,6 @@ def decode_vp8(data: bytes):
                             cs.append(cf)
                     blocks[key] = cs
             mb_has[mby][mbx] = has_any
-            mb_coeffs[(mbx, mby)] = blocks
 
             # ---- reconstruction ----
             x0, y0 = mbx * 16, mby * 16
