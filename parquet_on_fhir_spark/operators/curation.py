@@ -1156,6 +1156,88 @@ def luhn_check(num: Column) -> Column:
     )
 
 
+def sniff_mime(content: bytes) -> str:
+    """Magic-byte content sniffing (the crawl reality: Content-Type
+    headers lie). Recognizes the formats this package decodes plus the
+    common container/archive magics; falls back to a printable-ratio
+    text/binary split over the first KiB."""
+    b = bytes(content[:16])
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image/png"
+    if b.startswith(b"\xff\xd8"):
+        return "image/jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if b[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "image/webp"
+    if b[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "audio/wav"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
+    if content[4:12] == b"ftypavif":
+        return "image/avif"
+    if b.startswith(b"%PDF"):
+        return "application/pdf"
+    if b.startswith(b"PK\x03\x04"):
+        return "application/zip"
+    if b.startswith(b"\x1f\x8b"):
+        return "application/gzip"
+    if b.startswith(b"\x28\xb5\x2f\xfd"):
+        return "application/zstd"
+    if b.startswith(b"P6"):
+        return "image/x-portable-pixmap"
+    if b.startswith(b"BM"):
+        return "image/bmp"
+    head = bytes(content[:1024])
+    low = head.lstrip()[:64].lower()
+    if low.startswith((b"<!doctype html", b"<html")):
+        return "text/html"
+    if head:
+        printable = sum(
+            1 for c in head if 32 <= c < 127 or c in (9, 10, 13)
+        )
+        if printable / len(head) >= 0.95:
+            return "text/plain"
+    return "application/octet-stream"
+
+
+def mime_sniff_audit(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    claimed_col: str = "claimed_mime",
+) -> DataFrame:
+    """Per-payload claimed-vs-sniffed content-type audit: the
+    mislabeled-payload rate is a standard crawl-quality metric, and a
+    pipeline that routes payloads by the CLAIMED type feeds binaries
+    to text stages. Pure Catalyst is impossible here only for the
+    printable-ratio fallback, so the sniff runs in the usual
+    Arrow-batched ``mapInPandas`` pass. Output: inputs + sniffed_mime
+    + mismatch (claimed != sniffed, NULL claimed ⇒ NULL mismatch)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            sniffed = [
+                sniff_mime(bytes(c)) for c in pdf[content_col]
+            ]
+            out = pdf[[id_col, claimed_col]].copy()
+            out["sniffed_mime"] = pd.Series(sniffed, dtype="object")
+            yield out
+
+    out = media.select(id_col, claimed_col, content_col).mapInPandas(
+        batches,
+        schema=f"{id_col} long, {claimed_col} string, sniffed_mime string",
+    )
+    return out.withColumn(
+        "mismatch",
+        F.when(
+            F.col(claimed_col).isNotNull(),
+            F.col(claimed_col) != F.col("sniffed_mime"),
+        ),
+    )
+
+
 def compressed_payload_audit(
     media: DataFrame,
     id_col: str = "media_id",

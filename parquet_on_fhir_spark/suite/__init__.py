@@ -56,7 +56,7 @@ WINDOW = [
     # -- r13 debuts (land with a driver row; each displaced the newest
     #    r6 fill below — q299 displaced q142, qf50 displaced q141,
     #    q301 displaced q140, q302 displaced q139, q303 displaced q138,
-    #    q304 displaced q137, q305 displaced q136, q306 displaced q135, q307 displaced q134)
+    #    q304 displaced q137, q305 displaced q136, q306 displaced q135, q307 displaced q134, q308 displaced q133)
     "q299_webp_vp8_real_decode",
     "qf50_ecl_reverse_numeric",
     "q301_webp_animation_frames",
@@ -66,6 +66,7 @@ WINDOW = [
     "q305_html_main_text",
     "q306_warc_records",
     "q307_robots_filter",
+    "q308_mime_sniff_audit",
     # -- tier 4: r6-cohort fills, oldest-first
     "q108_dedup_clusters_md5",
     "q120_incremental_dedup",
@@ -80,7 +81,6 @@ WINDOW = [
     "q129_tpch_q16_supplier_cnt",
     "q130_tpch_q20_excess_shipments",
     "q132_resample_interpolate",
-    "q133_funnel",
 ]
 
 

@@ -4572,6 +4572,79 @@ FROM m
 QUERIES.append(Q("q307_robots_filter", q307, Q307_ORACLE))
 
 
+# --- Q308: MIME sniffing audit (claimed vs magic bytes) ------------------------------------
+def q308(spark, sf_dir):
+    """Content-type audit (operators/curation.py::mime_sniff_audit,
+    r13): magic-byte sniffing against the CLAIMED Content-Type — the
+    mislabeled-payload rate is a standard crawl-quality metric, and
+    routing by the claimed type feeds binaries to text stages. 150
+    fixtures cycle four true payload classes (real PNG/JPEG encoders,
+    gzip, plain text) by doc_id%4; every third doc's claim LIES by
+    rotating one class forward, so sniffed type and the mismatch flag
+    are closed form. Same one-pass mapInPandas shape as the audit
+    family."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.curation import mime_sniff_audit
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_png,
+    )
+
+    img = np.full((8, 8, 3), 77, np.uint8)
+    png = encode_png(img)
+    jpg = encode_jpeg(img)
+    MIMES = ["image/png", "image/jpeg", "application/gzip", "text/plain"]
+
+    def payload(k: int) -> bytes:
+        return [png, jpg, _gzip.compress(b"body " * 40),
+                b"plain words " * 30][k]
+
+    rows = []
+    for i in range(150):
+        k = i % 4
+        claimed = MIMES[(k + 1) % 4] if i % 3 == 0 else MIMES[k]
+        rows.append((i, claimed, bytearray(payload(k))))
+    pay = spark.createDataFrame(
+        rows, "i INT, claimed_mime STRING, content BINARY"
+    )
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id").alias("media_id"), "claimed_mime", "content")
+    return mime_sniff_audit(media).select(
+        "media_id", "claimed_mime", "sniffed_mime", "mismatch"
+    )
+
+
+Q308_ORACLE = """
+WITH m AS (
+  SELECT doc_id, doc_id % 4 AS k, doc_id % 3 = 0 AS lie
+  FROM documents WHERE doc_id < 150
+),
+names AS (
+  SELECT doc_id, k, lie,
+         CASE k WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                WHEN 2 THEN 'application/gzip' ELSE 'text/plain'
+         END AS truth,
+         CASE (k + 1) % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                WHEN 2 THEN 'application/gzip' ELSE 'text/plain'
+         END AS rotated
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CASE WHEN lie THEN rotated ELSE truth END AS claimed_mime,
+       truth AS sniffed_mime,
+       lie AS mismatch
+FROM names
+"""
+
+
+QUERIES.append(Q("q308_mime_sniff_audit", q308, Q308_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

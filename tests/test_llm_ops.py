@@ -1042,3 +1042,45 @@ def test_robots_filter(spark):
            for r in robots_filter(urls, robots,
                                   user_agent="sparkbot").collect()}
     assert got == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_mime_sniff_audit(spark):
+    """Magic-byte sniffing vs claimed Content-Type (r13): every
+    in-repo-decodable format identified, text/binary fallback, NULL
+    claims propagate, mismatch flag."""
+    import gzip
+
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.curation import (
+        mime_sniff_audit,
+        sniff_mime,
+    )
+    from parquet_on_fhir_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_png,
+        encode_webp_lossless,
+    )
+
+    img = np.full((8, 8, 3), 50, np.uint8)
+    assert sniff_mime(encode_png(img)) == "image/png"
+    assert sniff_mime(encode_jpeg(img)) == "image/jpeg"
+    assert sniff_mime(encode_webp_lossless(img)) == "image/webp"
+    assert sniff_mime(b"%PDF-1.7 ...") == "application/pdf"
+    assert sniff_mime(gzip.compress(b"x")) == "application/gzip"
+    assert sniff_mime(b"  <!DOCTYPE html><html>") == "text/html"
+    assert sniff_mime(b"plain words " * 20) == "text/plain"
+    assert sniff_mime(bytes(range(256)) * 4) == "application/octet-stream"
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(encode_png(img))),
+         (2, "image/png", bytearray(encode_jpeg(img))),   # lie
+         (3, None, bytearray(b"hello text " * 10))],
+        "media_id long, claimed_mime string, content binary",
+    )
+    rows = {r["media_id"]: r for r in mime_sniff_audit(media).collect()}
+    assert rows[1]["mismatch"] is False
+    assert rows[2]["mismatch"] is True
+    assert rows[2]["sniffed_mime"] == "image/jpeg"
+    assert rows[3]["mismatch"] is None
+    assert rows[3]["sniffed_mime"] == "text/plain"
