@@ -13,18 +13,31 @@ the crawler's user-agent. This implements the RFC 9309 core:
   value matches nothing,
 - unknown directives and comments are ignored per spec.
 
-``robots_filter`` evaluates a URL frame against a small per-host rules
-frame: rules are PARSED once (python, host-count-sized), broadcast,
-and each URL's verdict is computed in one ``mapInPandas`` pass over
-the URL side — the fact table scans once, the rules ride the closure,
-the 100 TB shape. Deterministic by construction, so driver oracles
-are closed form.
+Scale shape (r14 — replaces the r13 driver-side rule dict): a real
+crawl's host set grows WITH the crawl (10⁷–10⁸ hosts), so nothing
+about the robots frame may touch the driver. ``robots_rules`` parses
+every host's robots.txt EXECUTOR-side (Arrow-batched ``mapInPandas``
+over the robots frame) into exploded ``(host, seq, is_allow, pattern,
+rx)`` rows; ``robots_filter`` folds them to one array-of-rules row per
+host, equi-joins the URL side on host (Catalyst/AQE broadcasts the
+rules side when it fits ``autoBroadcastJoinThreshold``, shuffle-joins
+on host otherwise — ``distribute=`` forces either), and evaluates
+longest-match precedence per URL with higher-order functions
+(``filter``/``transform``/``array_max``) — pure Catalyst, zero Python
+on the fact side, and when the rules side broadcasts the URL scan
+never shuffles at all. Per-host rule arrays are bounded by robots.txt
+itself (crawlers cap the fetch at ~500 KiB per RFC 9309 §2.5).
+Deterministic by construction, so driver oracles are closed form.
 """
 
 from __future__ import annotations
 
+import functools
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def parse_robots(text: str, user_agent: str = "*"):
@@ -62,10 +75,6 @@ def parse_robots(text: str, user_agent: str = "*"):
     return groups.get("*", [])
 
 
-import functools
-import re
-
-
 @functools.lru_cache(maxsize=4096)
 def _compile(pattern: str):
     """RFC 9309 pattern → compiled regex: * = any sequence, a trailing
@@ -76,6 +85,20 @@ def _compile(pattern: str):
         parts[-1] = parts[-1][:-1]
     rx = ".*".join(re.escape(p) for p in parts)
     return re.compile(rx + ("$" if anchored else ""))
+
+
+def pattern_regex(pattern: str) -> str:
+    """RFC 9309 pattern → an ANCHORED regex string valid in BOTH
+    python and Java (``re.escape`` emits only backslash-escapes, which
+    java.util.regex accepts): ``^`` + literal parts joined by ``.*``,
+    plus ``$`` when the pattern ends with the end anchor. Used as the
+    per-rule ``rx`` column so matching runs JVM-side via RLIKE."""
+    parts = pattern.split("*")
+    anchored = parts[-1].endswith("$")
+    if anchored:
+        parts[-1] = parts[-1][:-1]
+    rx = "^" + ".*".join(re.escape(p) for p in parts)
+    return rx + ("$" if anchored else "")
 
 
 def _match_len(pattern: str, path: str):
@@ -89,7 +112,8 @@ def _match_len(pattern: str, path: str):
 
 def robots_allowed(rules, path: str) -> bool:
     """RFC 9309 §2.2.2 precedence: longest match wins, Allow wins
-    ties, no match ⇒ allowed."""
+    ties, no match ⇒ allowed. (Python twin of the Catalyst fold in
+    ``robots_filter``; tests assert they agree.)"""
     best_len = -1
     best_allow = True
     for is_allow, pattern in rules:
@@ -102,6 +126,65 @@ def robots_allowed(rules, path: str) -> bool:
     return best_allow
 
 
+_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("is_allow", T.BooleanType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("rx", T.StringType()),
+    ]
+)
+
+
+def robots_rules(
+    robots: DataFrame,
+    *,
+    user_agent: str = "*",
+    host_col: str = "host",
+    robots_text_col: str = "robots_txt",
+) -> DataFrame:
+    """Executor-side robots.txt parsing: one output row per
+    ``(host, rule)`` for the best-matching user-agent group —
+    ``(host, seq, is_allow, pattern, rx)``. Empty patterns (which
+    match nothing per RFC 9309) are dropped here so the downstream
+    fold never sees them. The robots frame streams through
+    Arrow-batched ``mapInPandas``; the driver never sees a rule."""
+    import pandas as pd
+
+    ua = user_agent
+
+    def batches(it):
+        for pdf in it:
+            hosts, seqs, allows, pats, rxs = [], [], [], [], []
+            for host, text in zip(pdf[host_col], pdf[robots_text_col]):
+                if not isinstance(text, str):
+                    text = ""
+                for i, (is_allow, pattern) in enumerate(
+                    parse_robots(text, ua)
+                ):
+                    if not pattern:
+                        continue
+                    hosts.append(host)
+                    seqs.append(i)
+                    allows.append(is_allow)
+                    pats.append(pattern)
+                    rxs.append(pattern_regex(pattern))
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype="object"),
+                    "seq": pd.Series(seqs, dtype="int32"),
+                    "is_allow": pd.Series(allows, dtype="bool"),
+                    "pattern": pd.Series(pats, dtype="object"),
+                    "rx": pd.Series(rxs, dtype="object"),
+                }
+            )
+
+    return robots.select(host_col, robots_text_col).mapInPandas(
+        batches, schema=_RULES_SCHEMA
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     robots: DataFrame,
@@ -110,37 +193,85 @@ def robots_filter(
     url_col: str = "url",
     host_col: str = "host",
     robots_text_col: str = "robots_txt",
+    distribute: str = "auto",
 ) -> DataFrame:
-    """Verdict per URL row: parse each host's robots.txt ONCE
-    (driver-side; the robots frame is host-count-sized by contract,
-    like terminology metadata), broadcast the parsed rules inside the
-    mapInPandas closure, and evaluate every URL in one pass over the
-    fact side. Output: urls + (allowed boolean). Hosts with no
-    robots.txt allow everything (RFC 9309 §2.3.1.2)."""
-    import pandas as pd
+    """Verdict per URL row: output = urls + (``allowed`` boolean).
 
-    rule_map = {
-        r[0]: parse_robots(r[1] or "", user_agent)
-        for r in robots.select(host_col, robots_text_col).collect()
-    }
+    Plan shape: parse rules executor-side (``robots_rules``), fold to
+    one ``array<struct(is_allow, pattern, rx)>`` row per host (the
+    groupBy shuffles only the rules side), equi-join URLs on host, and
+    evaluate RFC 9309 longest-match precedence in pure Catalyst:
 
-    def batches(it):
-        for pdf in it:
-            verdicts = []
-            for host, url in zip(pdf[host_col], pdf[url_col]):
-                rules = rule_map.get(host, [])
-                # path = everything from the first '/' after authority
-                path = "/"
-                if "://" in url:
-                    rest = url.split("://", 1)[1]
-                    i = rest.find("/")
-                    path = rest[i:] if i >= 0 else "/"
-                elif url.startswith("/"):
-                    path = url
-                verdicts.append(robots_allowed(rules, path))
-            out = pdf.copy()
-            out["allowed"] = pd.Series(verdicts, dtype="bool")
-            yield out
+        best = array_max(transform(
+                   filter(rules, r -> path RLIKE r.rx),
+                   r -> struct(length(r.pattern), int(r.is_allow))))
+        allowed = coalesce(best.a = 1, true)
 
-    schema = urls.schema.simpleString()[7:-1] + ", allowed boolean"
-    return urls.mapInPandas(batches, schema=schema)
+    struct comparison is lexicographic, so the longest pattern wins and
+    ``is_allow`` breaks length ties in Allow's favor — exactly
+    ``robots_allowed``. Hosts with no robots.txt (left-join miss) and
+    URLs matching no rule fold to NULL ⇒ allowed (RFC 9309 §2.3.1.2).
+
+    ``distribute``: ``"auto"`` (default) leaves the join strategy to
+    Catalyst/AQE — broadcast under ``autoBroadcastJoinThreshold``,
+    shuffle otherwise; ``"broadcast"`` / ``"shuffle"`` force the hint
+    for clusters that know their host-set size up front.
+    """
+    if distribute not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"robots_filter: bad distribute={distribute!r}")
+
+    per_host = (
+        robots_rules(
+            robots,
+            user_agent=user_agent,
+            host_col=host_col,
+            robots_text_col=robots_text_col,
+        )
+        .groupBy(F.col("host").alias("_rf_host"))
+        .agg(
+            F.collect_list(F.struct("is_allow", "pattern", "rx")).alias(
+                "_rf_rules"
+            )
+        )
+    )
+    if distribute == "broadcast":
+        per_host = F.broadcast(per_host)
+    elif distribute == "shuffle":
+        per_host = per_host.hint("SHUFFLE_HASH")
+
+    u = urls.withColumn(
+        "_rf_rest",
+        F.expr(
+            f"CASE WHEN instr({url_col}, '://') > 0 "
+            f"THEN substring({url_col}, instr({url_col}, '://') + 3) "
+            f"ELSE {url_col} END"
+        ),
+    ).withColumn(
+        "_rf_path",
+        F.expr(
+            f"CASE WHEN instr({url_col}, '://') > 0 THEN "
+            "  CASE WHEN instr(_rf_rest, '/') > 0 "
+            "       THEN substring(_rf_rest, instr(_rf_rest, '/')) "
+            "       ELSE '/' END "
+            f"WHEN substring({url_col}, 1, 1) = '/' THEN {url_col} "
+            "ELSE '/' END"
+        ),
+    )
+
+    out = (
+        u.join(per_host, F.col(host_col) == F.col("_rf_host"), "left")
+        .withColumn(
+            "_rf_best",
+            F.expr(
+                "array_max(transform("
+                "  filter(_rf_rules, r -> _rf_path rlike r.rx),"
+                "  r -> struct(length(r.pattern) as l,"
+                "              cast(r.is_allow as int) as a)))"
+            ),
+        )
+        .withColumn(
+            "allowed", F.coalesce(F.col("_rf_best.a") == 1, F.lit(True))
+        )
+        .drop("_rf_host", "_rf_rules", "_rf_rest", "_rf_path", "_rf_best")
+    )
+    return out

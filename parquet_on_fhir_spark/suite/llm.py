@@ -4492,17 +4492,21 @@ QUERIES.append(Q("q306_warc_records", q306, Q306_ORACLE))
 
 # --- Q307: robots.txt crawl-compliance filter ---------------------------------------------
 def q307(spark, sf_dir):
-    """robots.txt evaluation (operators/robots.py::robots_filter, r13
-    — RFC 9309, the compliance gate before any URL is fetched or
-    kept): group selection (exact user-agent token beats the * group),
-    wildcard (*) and end-anchor ($) patterns, longest-match precedence
-    with Allow winning ties, empty Disallow = allow everything, and
-    missing robots.txt = allow. Five fixture hosts exercise each rule
-    class; 150 document URLs cycle hosts (doc_id%5) and path shapes
-    (doc_id%4), so every verdict is a closed-form function of doc_id.
-    Rules parse once (host-count-sized frame, the terminology-metadata
-    contract) and broadcast in the mapInPandas closure; the URL side
-    scans once."""
+    """robots.txt evaluation (operators/robots.py::robots_filter,
+    r13, re-planned r14 — RFC 9309, the compliance gate before any URL
+    is fetched or kept): group selection (exact user-agent token beats
+    the * group), wildcard (*) and end-anchor ($) patterns,
+    longest-match precedence with Allow winning ties, empty Disallow =
+    allow everything, and missing robots.txt = allow. Five fixture
+    hosts exercise each rule class; 150 document URLs cycle hosts
+    (doc_id%5) and path shapes (doc_id%4), so every verdict is a
+    closed-form function of doc_id. r14 scale plan (r13 verdict task
+    1): rules parse EXECUTOR-side (mapInPandas over the robots frame —
+    the driver never sees a rule; a crawl's host set grows with the
+    crawl), fold to one array row per host, equi-join on host
+    (Catalyst broadcasts the small side; shuffle-hash above threshold)
+    and evaluate precedence in pure Catalyst HOFs — the URL side never
+    shuffles when the rules broadcast."""
     from parquet_on_fhir_spark.operators.robots import robots_filter
 
     robots = spark.createDataFrame(

@@ -1043,6 +1043,89 @@ def test_robots_filter(spark):
                                   user_agent="sparkbot").collect()}
     assert got == {1: False, 2: True, 3: False, 4: True}
 
+    # forced distribution modes agree with auto
+    for mode in ("broadcast", "shuffle"):
+        got_m = {r["id"]: r["allowed"]
+                 for r in robots_filter(urls, robots, user_agent="sparkbot",
+                                        distribute=mode).collect()}
+        assert got_m == got, mode
+
+
+def test_robots_filter_nested_columns(spark):
+    """r13 advice: the old string-sliced simpleString schema broke on
+    nested URL frames; the r14 join form must pass arbitrary columns
+    (struct/array) through untouched."""
+    from parquet_on_fhir_spark.operators.robots import robots_filter
+
+    robots = spark.createDataFrame(
+        [("a.ex", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "a.ex", "https://a.ex/private/x", {"d": 2}, [1, 2]),
+         (2, "a.ex", "https://a.ex/pub/x", {"d": 3}, [])],
+        "id long, host string, url string, "
+        "meta struct<d:int>, tags array<int>",
+    )
+    rows = {r["id"]: r for r in robots_filter(urls, robots).collect()}
+    assert rows[1]["allowed"] is False and rows[2]["allowed"] is True
+    assert rows[1]["meta"]["d"] == 2 and rows[2]["tags"] == []
+    # schema preserved + allowed appended
+    out_cols = robots_filter(urls, robots).columns
+    assert out_cols == ["id", "host", "url", "meta", "tags", "allowed"]
+
+
+def test_robots_catalyst_fold_matches_python(spark):
+    """Property pin: the Catalyst longest-match fold (join + HOF
+    array_max over struct(len, is_allow)) agrees with the python twin
+    robots_allowed on a randomized rule/path population covering *,
+    $, nesting, ties, and regex metacharacters in paths."""
+    import random
+
+    from parquet_on_fhir_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+        robots_filter,
+    )
+
+    rng = random.Random(914)
+    segs = ["a", "bb", "c.d", "x+y", "(z)", "pdf", "ok"]
+    hosts, texts = [], {}
+    for h in range(12):
+        host = f"h{h}.ex"
+        lines = ["User-agent: *"]
+        for _ in range(rng.randint(0, 5)):
+            verb = rng.choice(["Allow", "Disallow"])
+            depth = rng.randint(0, 3)
+            pat = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+            if rng.random() < 0.3:
+                pat += "*" + rng.choice(segs)
+            if rng.random() < 0.3:
+                pat += "$"
+            if rng.random() < 0.1:
+                pat = ""
+            lines.append(f"{verb}: {pat}")
+        hosts.append(host)
+        texts[host] = "\n".join(lines)
+    url_rows = []
+    for i in range(120):
+        host = rng.choice(hosts)
+        depth = rng.randint(0, 4)
+        path = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+        url_rows.append((i, host, f"http://{host}{path}", path))
+    robots = spark.createDataFrame(
+        [(h, texts[h]) for h in hosts], "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [(i, h, u) for i, h, u, _ in url_rows],
+        "id long, host string, url string",
+    )
+    got = {r["id"]: r["allowed"]
+           for r in robots_filter(urls, robots).collect()}
+    for i, host, _, path in url_rows:
+        want = robots_allowed(parse_robots(texts[host], "*"), path)
+        assert got[i] == want, (i, host, path, texts[host])
+
 
 def test_mime_sniff_audit(spark):
     """Magic-byte sniffing vs claimed Content-Type (r13): every
