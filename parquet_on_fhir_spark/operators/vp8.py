@@ -131,6 +131,11 @@ def parse_header(data: bytes):
     htag = data[8] | (data[9] << 8)
     h.width, h.xscale = wtag & 0x3FFF, wtag >> 14
     h.height, h.yscale = htag & 0x3FFF, htag >> 14
+    # libwebp's bounds check (r13 advice): a short first partition
+    # would silently zero-pad the BoolDecoder and "decode" plausible
+    # garbage instead of hitting the quarantine contract.
+    if 10 + part1_size > len(data):
+        raise ValueError("vp8: truncated first partition")
     bd = BoolDecoder(data[10 : 10 + part1_size])
 
     h.color_space = bd.get(128)

@@ -13,9 +13,12 @@ member's bytes over).
 ``warc_records`` splits a binary WARC column into one row per record
 (type, target URI, date, payload length, an HTTP status for response
 records, and a bounded payload prefix) inside Arrow-batched
-``mapInPandas`` — the archive scan rides the corpus scan, one pass, a
-hard per-record payload cap bounds executor memory exactly like
-``compressed_payload_audit``'s bomb guard. ``build_warc`` writes
+``mapInPandas`` — the archive scan rides the corpus scan, one pass,
+and TWO hard caps bound executor memory: gzip members inflate through
+a chunked ``decompressobj`` loop with a running ``max_member_bytes``
+cap (over-cap ⇒ quarantine row, the ``compressed_payload_audit`` bomb
+guard applied at the member level), and per-record payloads store at
+most ``max_payload_bytes``. ``build_warc`` writes
 spec-shaped fixtures (plain or member-gzipped) so the driver oracle is
 closed form.
 """
@@ -28,9 +31,15 @@ from pyspark.sql import functions as F
 _CRLF = b"\r\n"
 
 
-def _split_members(data: bytes):
+def _split_members(data: bytes, max_member_bytes: int = 64 * 1024 * 1024):
     """Yield decompressed gzip members from a concatenated-member
-    stream, or the raw bytes when not gzipped."""
+    stream, or the raw bytes when not gzipped. Inflation runs through
+    a BOUNDED ``decompressobj`` loop (≤1 MiB per step, running total
+    capped at ``max_member_bytes``) so a decompression-bomb member
+    raises ValueError — routed to the quarantine row by
+    ``warc_records`` — instead of allocating its full expansion
+    (r13 advice: the old one-shot ``d.decompress(buf)`` materialized
+    the bomb before any cap applied)."""
     import zlib
 
     if not (len(data) >= 2 and data[0] == 0x1F and data[1] == 0x8B):
@@ -39,27 +48,44 @@ def _split_members(data: bytes):
     buf = data
     while buf[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + 15)
+        out = bytearray()
+        feed = buf
         try:
-            out = d.decompress(buf)
+            while not d.eof:
+                chunk = d.decompress(feed, 1 << 20)
+                out += chunk
+                if len(out) > max_member_bytes:
+                    raise ValueError(
+                        "warc: gzip member exceeds inflate cap"
+                    )
+                feed = d.unconsumed_tail
+                if not chunk and not feed:
+                    break  # input exhausted mid-member
         except zlib.error as e:
             raise ValueError(f"warc: corrupt gzip member ({e})") from e
-        yield out
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
+        yield bytes(out)
         buf = d.unused_data
     if buf.strip(b"\x00"):
         raise ValueError("warc: trailing non-gzip bytes after members")
 
 
-def parse_warc(content: bytes, max_payload_bytes: int = 1 << 20):
+def parse_warc(
+    content: bytes,
+    max_payload_bytes: int = 1 << 20,
+    max_member_bytes: int = 64 * 1024 * 1024,
+):
     """WARC bytes (plain or member-gzipped) → list of record dicts:
     {rec_type, target_uri, date, content_length, http_status,
     payload_prefix}. ``http_status`` is parsed from the HTTP status
     line of response records; ``payload_prefix`` is capped at
     ``max_payload_bytes`` (the rest of the record is SKIPPED by
-    offset arithmetic, never materialized)."""
+    offset arithmetic, never materialized); gzip-member inflation is
+    capped at ``max_member_bytes`` (bomb guard — over-cap members
+    raise ValueError, the quarantine path)."""
     records = []
-    for chunk in _split_members(bytes(content)):
+    for chunk in _split_members(bytes(content), max_member_bytes):
         pos = 0
         n = len(chunk)
         while pos < n:
@@ -142,11 +168,14 @@ def warc_records(
     id_col: str = "media_id",
     content_col: str = "content",
     max_payload_bytes: int = 1 << 20,
+    max_member_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Corpus-wide WARC splitting: one row per record. Output:
     (id, rec_idx, rec_type, target_uri, http_status, content_length,
-    prefix_len). Undecodable archives yield a single rec_idx = -1 row
-    (the quarantine marker) instead of failing the batch."""
+    prefix_len). Undecodable archives — including gzip members whose
+    inflation exceeds ``max_member_bytes`` (decompression bombs) —
+    yield a single rec_idx = -1 row (the quarantine marker) instead of
+    failing the batch."""
     import pandas as pd
 
     def batches(it):
@@ -173,7 +202,9 @@ def warc_records(
 
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    recs = parse_warc(bytes(content), max_payload_bytes)
+                    recs = parse_warc(
+                        bytes(content), max_payload_bytes, max_member_bytes
+                    )
                 except ValueError:
                     add(mid, -1, None)
                     continue

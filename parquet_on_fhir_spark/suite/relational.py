@@ -11,6 +11,7 @@ test data.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from pathlib import Path
 
@@ -7481,10 +7482,15 @@ def q288(spark, sf_dir):
         "o_year", F.year("o_orderdate")
     )
     # Deterministic run-scoped path (NOT mkdtemp): the returned frame
-    # scans this directory lazily, so it can't be deleted here; a fixed
-    # name + overwrite mode means repeated suite/bench runs reuse one
-    # directory instead of leaking a parquet copy per run (r12 advice).
-    base = str(Path(tempfile.gettempdir()) / "pofs_dpp_q288")
+    # scans this directory lazily, so it can't be deleted here; a
+    # per-PROCESS name + overwrite mode means repeated suite/bench runs
+    # in one session reuse one directory instead of leaking a parquet
+    # copy per run (r12 advice), while concurrent sessions (bench +
+    # selfcheck, or two users) don't race each other's overwrite
+    # (r13 advice).
+    base = str(
+        Path(tempfile.gettempdir()) / f"pofs_dpp_q288_{os.getpid()}"
+    )
     o.write.mode("overwrite").partitionBy("o_year").parquet(base)
     fact = spark.read.parquet(base)
     dim = (

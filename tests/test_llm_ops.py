@@ -994,6 +994,35 @@ def test_warc_records(spark):
     assert rows[2]["http_status"] == 200
 
 
+def test_warc_gzip_bomb_quarantined(spark):
+    """r13 advice (medium): a decompression-bomb gzip member must hit
+    the bounded-inflate cap DURING chunked decompression — never
+    materialize its full expansion first — and route to the
+    rec_idx = -1 quarantine row through the operator."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.warc import (
+        build_warc,
+        parse_warc,
+        warc_records,
+    )
+
+    bomb_payload = b"\x00" * (8 << 20)  # 8 MiB of zeros, ~8 KiB gzipped
+    bomb = build_warc(
+        [("response", "u", "d", bomb_payload)], gzip_members=True
+    )
+    assert len(bomb) < 20_000  # it really is a bomb
+    with pytest.raises(ValueError, match="inflate cap"):
+        parse_warc(bomb, max_member_bytes=1 << 20)
+    # under the default (64 MiB) cap the same archive parses fine
+    assert parse_warc(bomb)[0]["content_length"] == len(bomb_payload)
+    media = spark.createDataFrame(
+        [(1, bytearray(bomb))], "media_id long, content binary"
+    )
+    rows = warc_records(media, max_member_bytes=1 << 20).collect()
+    assert [(r["media_id"], r["rec_idx"]) for r in rows] == [(1, -1)]
+
+
 def test_robots_filter(spark):
     """RFC 9309 robots evaluation (r13): group selection (exact UA
     beats *; consecutive UA lines merge), wildcard/anchor patterns,

@@ -389,3 +389,25 @@ def test_animation_truncations_raise_valueerror():
             decode_webp_frames(bytes(anim[:cut]))
         except ValueError:
             pass
+
+
+def test_truncated_first_partition_raises_not_garbage():
+    """r13 advice: parse_header must VALIDATE part1_size against the
+    payload length — a short first partition would otherwise zero-pad
+    the BoolDecoder and 'decode' plausible garbage pixels, silently
+    bypassing the quarantine contract (the generic truncation sweep
+    passes whenever no exception escapes, so it never caught this)."""
+    import pytest
+
+    good, _ = encode_webp_solid(32, 32, (10, 20, 30))
+    blob = bytes(good)
+    i = blob.find(b"VP8 ")
+    size = int.from_bytes(blob[i + 4 : i + 8], "little")
+    payload = blob[i + 8 : i + 8 + size]
+    tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+    part1 = tag >> 5
+    assert part1 > 0 and 10 + part1 <= len(payload)
+    # EVERY cut inside the first partition must raise, explicitly
+    for cut in range(10, 10 + part1):
+        with pytest.raises(ValueError):
+            parse_header(payload[:cut])
