@@ -169,13 +169,17 @@ def warc_records(
     content_col: str = "content",
     max_payload_bytes: int = 1 << 20,
     max_member_bytes: int = 64 * 1024 * 1024,
+    include_payload: bool = False,
 ) -> DataFrame:
     """Corpus-wide WARC splitting: one row per record. Output:
     (id, rec_idx, rec_type, target_uri, http_status, content_length,
-    prefix_len). Undecodable archives — including gzip members whose
-    inflation exceeds ``max_member_bytes`` (decompression bombs) —
-    yield a single rec_idx = -1 row (the quarantine marker) instead of
-    failing the batch."""
+    prefix_len) plus a ``payload_prefix`` binary column when
+    ``include_payload`` (the capped record body — what the charset /
+    HTML stages of a crawl pipeline consume). Undecodable archives —
+    including gzip members whose inflation exceeds
+    ``max_member_bytes`` (decompression bombs) — yield a single
+    rec_idx = -1 row (the quarantine marker) instead of failing the
+    batch."""
     import pandas as pd
 
     def batches(it):
@@ -183,6 +187,7 @@ def warc_records(
             rows = {k: [] for k in (
                 "media_id", "rec_idx", "rec_type", "target_uri",
                 "http_status", "content_length", "prefix_len",
+                "payload_prefix",
             )}
 
             def add(mid, idx, rec):
@@ -199,6 +204,9 @@ def warc_records(
                 rows["prefix_len"].append(
                     len(rec["payload_prefix"]) if rec else None
                 )
+                rows["payload_prefix"].append(
+                    rec["payload_prefix"] if rec else None
+                )
 
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
@@ -210,7 +218,7 @@ def warc_records(
                     continue
                 for i, rec in enumerate(recs):
                     add(mid, i, rec)
-            yield pd.DataFrame({
+            out = {
                 "media_id": pd.Series(rows["media_id"], dtype="int64"),
                 "rec_idx": pd.Series(rows["rec_idx"], dtype="int32"),
                 "rec_type": pd.Series(rows["rec_type"], dtype="object"),
@@ -219,15 +227,20 @@ def warc_records(
                 "content_length": pd.Series(rows["content_length"],
                                             dtype="Int64"),
                 "prefix_len": pd.Series(rows["prefix_len"], dtype="Int64"),
-            })
+            }
+            if include_payload:
+                out["payload_prefix"] = pd.Series(
+                    rows["payload_prefix"], dtype="object"
+                )
+            yield pd.DataFrame(out)
 
+    schema = (
+        "media_id long, rec_idx int, rec_type string, "
+        "target_uri string, http_status int, content_length long, "
+        "prefix_len long"
+    )
+    if include_payload:
+        schema += ", payload_prefix binary"
     return df.select(
         F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
-    ).mapInPandas(
-        batches,
-        schema=(
-            "media_id long, rec_idx int, rec_type string, "
-            "target_uri string, http_status int, content_length long, "
-            "prefix_len long"
-        ),
-    )
+    ).mapInPandas(batches, schema=schema)

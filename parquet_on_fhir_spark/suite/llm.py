@@ -4649,6 +4649,197 @@ FROM names
 QUERIES.append(Q("q308_mime_sniff_audit", q308, Q308_ORACLE))
 
 
+# --- Q309: charset sniffing + decoding (r14) ------------------------------------------------
+def q309(spark, sf_dir):
+    """Charset sniff + decode (operators/encoding.py::decode_text, r14
+    — the bytes→text seam the r13 verdict named as the missing link
+    for raw crawl payloads): WHATWG-style precedence ladder — BOM
+    (utf-8 / utf-16-le) beats HTTP Content-Type charset beats the
+    1024-byte meta prescan beats strict-UTF-8 validation beats the
+    windows-1252 fallback — with errors='replace' decoding so hostile
+    bytes become U+FFFD, never an exception. 150 payloads cycle five
+    declaration classes by doc_id%5 (UTF-8 BOM, UTF-16-LE BOM, meta
+    iso-8859-1, header windows-1252, bare ASCII under a
+    parameter-less Content-Type), each carrying a non-ASCII char that
+    only the RIGHT codec decodes — charset, source tier, and decoded
+    text are all closed form. One Arrow-batched mapInPandas pass."""
+    from parquet_on_fhir_spark.operators.encoding import decode_text
+
+    rows = []
+    for i in range(150):
+        k = i % 5
+        if k == 0:
+            content = b"\xef\xbb\xbf" + f"café {i}".encode("utf-8")
+            ct = None
+        elif k == 1:
+            content = f"naïve {i}".encode("utf-16")  # LE BOM
+            ct = None
+        elif k == 2:
+            content = (
+                f'<meta charset="iso-8859-1"><p>séance {i}</p>'
+            ).encode("iso-8859-1")
+            ct = None
+        elif k == 3:
+            content = f"“quoted {i}”".encode("windows-1252")
+            ct = "text/plain; charset=windows-1252"
+        else:
+            content = f"plain {i}".encode("ascii")
+            ct = "text/plain"  # no charset param: falls to heuristic
+        rows.append((i, bytearray(content), ct))
+    pay = spark.createDataFrame(
+        rows, "i INT, content BINARY, content_type STRING"
+    )
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id").alias("media_id"), "content", "content_type")
+    return decode_text(media, content_type_col="content_type").select(
+        "media_id", "charset", "charset_source", "text"
+    )
+
+
+Q309_ORACLE = """
+WITH m AS (SELECT doc_id, doc_id % 5 AS k FROM documents WHERE doc_id < 150)
+SELECT doc_id AS media_id,
+       CASE k WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+              WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'windows-1252'
+              ELSE 'utf-8' END AS charset,
+       CASE k WHEN 0 THEN 'bom' WHEN 1 THEN 'bom' WHEN 2 THEN 'meta'
+              WHEN 3 THEN 'http' ELSE 'heuristic' END AS charset_source,
+       CASE k WHEN 0 THEN 'café ' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN 'naïve ' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '<meta charset="iso-8859-1"><p>séance '
+                          || CAST(doc_id AS VARCHAR) || '</p>'
+              WHEN 3 THEN '“quoted ' || CAST(doc_id AS VARCHAR) || '”'
+              ELSE 'plain ' || CAST(doc_id AS VARCHAR) END AS text
+FROM m
+"""
+
+
+QUERIES.append(Q("q309_charset_decode", q309, Q309_ORACLE))
+
+
+# --- Q310: composed crawl-ingestion pipeline (r14) ------------------------------------------
+def q310(spark, sf_dir):
+    """End-to-end crawl ingestion in ONE pinned query (r13 verdict
+    task 4 — the full story q306/q308/q309/q305/q282/q74 tell
+    separately): WARC record split with payloads
+    (warc.py::warc_records) → HTTP preamble split + charset sniff +
+    decode (encoding.py::http_text; BOM / header-1252 / UTF-8
+    heuristic classes by doc_id%3) → HTML main-content extraction
+    (html.py::html_extract) → URL canonicalization
+    (curation.py::canonicalize_url) → a quality gate on the extracted
+    article. Every 10th archive is junk and quarantines out at the
+    WARC stage; link-farm pages ((doc_id%6)>=3) survive to extraction
+    but keep zero blocks and fail the gate — so every output column
+    is a closed-form function of doc_id. Scale shape: the three
+    python stages are Arrow-batched mapInPandas passes riding one
+    corpus scan lineage; canon-URL and the gate are pure Catalyst;
+    the final assembly joins skinny per-record frames (AQE broadcasts
+    them at any realistic page/metadata ratio)."""
+    from parquet_on_fhir_spark.operators.curation import canonicalize_url
+    from parquet_on_fhir_spark.operators.encoding import http_text
+    from parquet_on_fhir_spark.operators.html import html_extract
+    from parquet_on_fhir_spark.operators.warc import build_warc, warc_records
+
+    def page(i: int) -> str:
+        title = f"<head><title>Page {i}</title></head>"
+        if (i % 6) >= 3:  # link farm
+            links = "".join(
+                f'<a href="/{j}">L{j:03d}</a> ' for j in range(8)
+            )
+            return f"<html>{title}<body><nav>{links}</nav></body></html>"
+        nav = '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>'
+        para = ("w%04d " % (i % 9999)) * 10 + "café."
+        return (
+            f"<html>{title}<body>{nav}<p>{para}</p>"
+            f"<div>Buy now!</div></body></html>"
+        )
+
+    def make(i: int) -> bytearray:
+        if i % 10 == 9:
+            return bytearray(b"junk not a warc " * 3)
+        html = page(i)
+        k = i % 3
+        if k == 0:
+            body = b"\xef\xbb\xbf" + html.encode("utf-8")
+            ct = b"text/html"
+        elif k == 1:
+            body = html.encode("windows-1252")
+            ct = b"text/html; charset=windows-1252"
+        else:
+            body = html.encode("utf-8")
+            ct = b"text/html"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n\r\n" + body
+        )
+        uri = f"HTTPS://www.EX.org:443//{i}/page/?utm_source=x&b=2&a=1#frag"
+        return bytearray(
+            build_warc(
+                [("response", uri, "2026-08-16T00:00:00Z", payload)],
+                gzip_members=(i % 2 == 1),
+            )
+        )
+
+    payloads = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+
+    recs = warc_records(media, include_payload=True).filter(
+        F.col("rec_type") == "response"
+    )
+    urls = recs.select(
+        "media_id", canonicalize_url(F.col("target_uri")).alias("canon_url")
+    )
+    pages = http_text(recs)
+    ext = html_extract(pages, id_col="media_id", html_col="text")
+    meta = pages.select(
+        "media_id", "http_status", "charset", "charset_source"
+    )
+    out = meta.join(urls, "media_id").join(
+        ext.withColumnRenamed("doc_id", "media_id"), "media_id"
+    )
+    return out.select(
+        "media_id",
+        "canon_url",
+        "charset",
+        "charset_source",
+        "http_status",
+        "title",
+        "n_kept",
+        F.length("text").alias("kept_len"),
+        (
+            (F.col("n_kept") >= 1) & F.length("text").between(50, 2000)
+        ).alias("quality_pass"),
+    )
+
+
+Q310_ORACLE = """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS k, (doc_id % 6) >= 3 AS farm
+  FROM documents WHERE doc_id < 150 AND doc_id % 10 <> 9
+)
+SELECT doc_id AS media_id,
+       'https://ex.org/' || CAST(doc_id AS VARCHAR) || '/page?a=1&b=2'
+         AS canon_url,
+       CASE k WHEN 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+       CASE k WHEN 0 THEN 'bom' WHEN 1 THEN 'http' ELSE 'heuristic'
+         END AS charset_source,
+       CAST(200 AS INT) AS http_status,
+       'Page ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(CASE WHEN farm THEN 0 ELSE 1 END AS INT) AS n_kept,
+       CAST(CASE WHEN farm THEN 0 ELSE 65 END AS INT) AS kept_len,
+       NOT farm AS quality_pass
+FROM m
+"""
+
+
+QUERIES.append(Q("q310_crawl_pipeline", q310, Q310_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

@@ -1196,3 +1196,89 @@ def test_mime_sniff_audit(spark):
     assert rows[2]["sniffed_mime"] == "image/jpeg"
     assert rows[3]["mismatch"] is None
     assert rows[3]["sniffed_mime"] == "text/plain"
+
+
+def test_charset_sniff_precedence_and_decode(spark):
+    """r14 charset seam: the WHATWG-ish precedence ladder (BOM > HTTP
+    header > meta prescan > UTF-8 probe > 1252 fallback), label
+    normalization, the lying-UTF-16-meta rule, BOM stripping on
+    decode, replace-not-raise on hostile bytes, and both operators
+    end-to-end (raw decode_text + HTTP http_text)."""
+    from parquet_on_fhir_spark.operators.encoding import (
+        decode_payload,
+        decode_text,
+        http_text,
+        normalize_charset,
+        parse_http_response,
+        sniff_charset,
+    )
+
+    # precedence ladder
+    assert sniff_charset(b"\xef\xbb\xbfhi") == ("utf-8", "bom")
+    assert sniff_charset("x".encode("utf-16")) == ("utf-16-le", "bom")
+    assert sniff_charset(b"\xfe\xff\x00x") == ("utf-16-be", "bom")
+    # BOM beats a contradicting header
+    assert sniff_charset(b"\xef\xbb\xbfhi", "text/html; charset=latin-1") \
+        == ("utf-8", "bom")
+    # header beats meta
+    assert sniff_charset(
+        b'<meta charset="iso-8859-1">x', "text/html; charset=UTF-8"
+    ) == ("utf-8", "http")
+    assert sniff_charset(b'<meta charset="ISO-8859-1">x') \
+        == ("iso-8859-1", "meta")
+    # http-equiv form is caught by the same prescan
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=windows-1252">x'
+    ) == ("windows-1252", "meta")
+    # ASCII-readable meta claiming utf-16 is lying -> utf-8
+    assert sniff_charset(b'<meta charset="utf-16">x') == ("utf-8", "meta")
+    # unknown labels fall through the tier
+    assert normalize_charset("not-a-charset") is None
+    assert sniff_charset(b"plain", "text/plain; charset=bogus-9") \
+        == ("utf-8", "heuristic")
+    # valid multibyte utf-8 -> heuristic; broken high bytes -> 1252
+    assert sniff_charset("café".encode()) == ("utf-8", "heuristic")
+    assert sniff_charset(b"caf\xe9 legacy") == ("windows-1252", "fallback")
+    # probe-window boundary: a multibyte char cut at probe_bytes still
+    # counts as utf-8
+    big = ("a" * 65535 + "é").encode("utf-8") + b"tail"
+    assert sniff_charset(big)[0] == "utf-8"
+
+    # decode strips the BOM the sniff consumed
+    assert decode_payload(b"\xef\xbb\xbfhi", "utf-8", "bom") == "hi"
+    assert decode_payload("hi".encode("utf-16"), "utf-16-le", "bom") == "hi"
+    # hostile bytes replace, never raise (0x81 undefined in cp1252)
+    assert "�" in decode_payload(b"\x81\x8d", "windows-1252",
+                                      "fallback")
+
+    # HTTP splitter
+    st, hd, body = parse_http_response(
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n<p>s\xe9</p>"
+    )
+    assert st == 301 and hd["content-type"].endswith("ISO-8859-1")
+    assert body == b"<p>s\xe9</p>"
+    assert parse_http_response(b"not http")[0] is None
+
+    # operators end-to-end incl. NULL payload passthrough
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\xef\xbb\xbfcaf\xc3\xa9"), None),
+         (2, bytearray(b"caf\xe9"), "text/plain; charset=latin1"),
+         (3, None, None)],
+        "media_id long, content binary, content_type string",
+    )
+    rows = {r["media_id"]: r for r in decode_text(
+        media, content_type_col="content_type").collect()}
+    assert (rows[1]["charset"], rows[1]["text"]) == ("utf-8", "café")
+    assert (rows[2]["charset"], rows[2]["text"]) == ("iso-8859-1", "café")
+    assert rows[3]["charset"] is None and rows[3]["text"] is None
+
+    http = spark.createDataFrame(
+        [(1, bytearray(b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                       b"charset=windows-1252\r\n\r\n\x93q\x94"))],
+        "media_id long, payload_prefix binary",
+    )
+    r = http_text(http).collect()[0]
+    assert (r["http_status"], r["charset"], r["text"]) == \
+        (200, "windows-1252", "“q”")
