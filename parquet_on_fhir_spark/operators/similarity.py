@@ -220,29 +220,89 @@ def ivf_topk(
         )
     ).select(corpus_id, vec_col, F.col("prediction").alias("__cell"))
 
-    def centroid_dists(vc):
-        pairs = []
-        for cid, cvec in enumerate(centroids):
-            lit_vec = F.array(*[F.lit(x) for x in cvec])
-            d = F.aggregate(
-                F.zip_with(vc, lit_vec, lambda a, b: (a.cast("double") - b) ** 2),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            pairs.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
-        return F.array(*pairs)
-
     probes = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("__qvec"),
         F.explode(
             F.transform(
-                F.slice(F.sort_array(centroid_dists(F.col(vec_col))), 1, n_probe),
+                F.slice(
+                    F.sort_array(centroid_dist_structs(F.col(vec_col), centroids)),
+                    1,
+                    n_probe,
+                ),
                 lambda s: s["cid"],
             )
         ).alias("__cell"),
     )
 
+    cand = assigned.join(F.broadcast(probes), "__cell").drop("__cell")
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col(query_id))
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")) + F.lit(1e-9), 6)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        cand.select(query_id, corpus_id, sim.alias("cosine"))
+        .dropDuplicates([query_id, corpus_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroid_dist_structs(vc, centroids: list[list[float]]):
+    """array<struct<dist,cid>> of squared-L2 distances from ``vc`` to
+    each centroid literal — pure JVM expression; ``sort_array`` of it
+    orders by (dist, cid), so ties break to the lowest cell id."""
+    pairs = []
+    for cid, cvec in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(vc, lit_vec, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pairs.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
+    return F.array(*pairs)
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF candidate semantics with a FROZEN codebook (r13 verdict
+    task 7, the q67c pattern): ``ivf_topk``'s KMeans training is
+    seed-dependent and not oracle-portable, but the stage that
+    actually serves queries — cell assignment, ``n_probe`` probing,
+    within-cell exact top-k — is a deterministic function of the
+    centroid literals. This variant takes the codebook as an
+    argument, assigns every corpus vector to its nearest centroid with
+    the same sorted-struct argmin used for probing (ties → lowest
+    cell id), and runs the probe/top-k pipeline in pure Catalyst, so
+    a driver SQL oracle can replay it. Production posture at 100 TB:
+    train once on a sample, persist the codebook, serve with this —
+    the cell id doubles as the write-time partition key."""
+    dists = centroid_dist_structs(F.col(vec_col), centroids)
+    assigned = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        F.sort_array(dists)[0]["cid"].alias("__cell"),
+    )
+    probes = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(dists), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ).alias("__cell"),
+    )
     cand = assigned.join(F.broadcast(probes), "__cell").drop("__cell")
     if exclude_self:
         cand = cand.filter(F.col(corpus_id) != F.col(query_id))

@@ -211,6 +211,94 @@ def q70b(spark, sf_dir):
     return ivf_topk(e, queries, k=3, n_centroids=8, n_probe=4)
 
 
+# --- Q70c: IVF candidate stage with a FROZEN codebook (oracle-backed twin) ---------------
+# Deterministic pseudo-random codebook: 4 centroids x 64 dims in
+# [-1, 1]; repr() round-trips each double exactly, so the SAME values
+# reach Spark (F.lit) and DuckDB (decimal literals).
+Q70C_CENTROIDS = [
+    [((c * 29 + i * 13) % 19 - 9) / 9.0 for i in range(64)]
+    for c in range(4)
+]
+
+
+def q70c(spark, sf_dir):
+    """IVF ANN candidate semantics, oracle-backed (r13 verdict task 7
+    — retire q70b's rows-only tail where portable, the q67c pattern):
+    operators/similarity.py::ivf_topk_fixed with the frozen 4x64
+    codebook above. Cell assignment = argmin of squared-L2 to the
+    centroid literals (sorted-struct, ties to the lowest cell id);
+    each query probes its 2 nearest cells; exact cosine top-3 within
+    the probed cells, ranked (rounded cosine DESC, vec_id). KMeans
+    training stays in q70b/tests (seed-dependent, not portable) —
+    THIS is the stage that serves queries in production, where the
+    codebook is trained once and persisted."""
+    from parquet_on_fhir_spark.operators.similarity import ivf_topk_fixed
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    out = ivf_topk_fixed(
+        e, queries, Q70C_CENTROIDS, k=3, n_probe=2
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _q70c_cent_sql() -> str:
+    rows = ", ".join(
+        "(%d, [%s])" % (c, ", ".join(repr(x) for x in vec))
+        for c, vec in enumerate(Q70C_CENTROIDS)
+    )
+    return f"(VALUES {rows}) AS tc(c, vals)"
+
+
+Q70C_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+ex AS (SELECT vec_id, unnest(ee) AS v, generate_subscripts(ee, 1) AS i FROM e),
+cent AS (
+  SELECT c, unnest(vals) AS v, generate_subscripts(vals, 1) AS i
+  FROM {_q70c_cent_sql()}
+),
+ed AS (
+  SELECT ex.vec_id, cent.c, sum((ex.v - cent.v) * (ex.v - cent.v)) AS d
+  FROM ex JOIN cent ON ex.i = cent.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+  FROM ed
+),
+cells AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, c AS cell FROM ranked
+           WHERE vec_id < 5 AND rn <= 2),
+cand AS (
+  SELECT p.q_id, s.vec_id
+  FROM probes p JOIN cells s ON s.cell = p.cell
+  WHERE s.vec_id <> p.q_id
+),
+qx AS (SELECT vec_id AS q_id, v, i FROM ex WHERE vec_id < 5),
+sims AS (
+  SELECT cand.q_id, cand.vec_id,
+         round(sum(ex.v * qx.v)
+               / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(qx.v * qx.v)))
+               + 1e-9, 6) AS cosine
+  FROM cand
+  JOIN ex ON ex.vec_id = cand.vec_id
+  JOIN qx ON qx.q_id = cand.q_id AND qx.i = ex.i
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+         AS rnk
+FROM sims QUALIFY rnk <= 3
+"""
+
+
+# (q70c is registered in the QUERIES literal below — the list doesn't
+# exist yet at this point in the module.)
+
+
 # --- Q91: embedding-cosine near-duplicate pairs (exact baseline; oracle) ---------------
 def q91(spark, sf_dir):
     """All-pairs cosine >= 0.40 — the exact verification baseline for
@@ -616,6 +704,7 @@ QUERIES = [
     Q("q69_similarity_topk_bruteforce", q69, Q69_ORACLE),
     Q("q70_similarity_ann_lsh", q70, None),
     Q("q70b_similarity_ivf", q70b, None),
+    Q("q70c_ivf_fixed_codebook", q70c, Q70C_ORACLE),
     Q("q71_text_stats", q71, Q71_ORACLE),
     Q("q71b_language_id", q71b, Q71B_ORACLE),
     Q("q72_term_idf", q72, Q72_ORACLE),

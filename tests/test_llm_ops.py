@@ -1282,3 +1282,30 @@ def test_charset_sniff_precedence_and_decode(spark):
     r = http_text(http).collect()[0]
     assert (r["http_status"], r["charset"], r["text"]) == \
         (200, "windows-1252", "“q”")
+
+
+def test_ivf_fixed_codebook_assignment_and_probe(spark):
+    """ivf_topk_fixed (r14): nearest-centroid assignment with ties to
+    the LOWEST cell id, n_probe cell fan-out, exact top-k within the
+    probed cells only."""
+    from parquet_on_fhir_spark.operators.similarity import ivf_topk_fixed
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.9, 0.2]), (3, [0.1, 1.0]),
+         (4, [0.2, 0.9]), (5, [0.5, 0.5])],  # 5 is equidistant -> cell 0
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "q_id long, embedding array<double>"
+    )
+    got1 = {r["vec_id"] for r in ivf_topk_fixed(
+        corpus, queries, cents, k=5, n_probe=1).collect()}
+    assert got1 == {1, 2, 5}  # cell-0 members only, incl. the tie
+    got2 = {r["vec_id"] for r in ivf_topk_fixed(
+        corpus, queries, cents, k=5, n_probe=2).collect()}
+    assert got2 == {1, 2, 3, 4, 5}
+    # ranking inside the probed cell is exact cosine order
+    ranks = {r["vec_id"]: r["rank"] for r in ivf_topk_fixed(
+        corpus, queries, cents, k=5, n_probe=1).collect()}
+    assert ranks[1] == 1 and ranks[2] == 2 and ranks[5] == 3
