@@ -11,76 +11,73 @@ from parquet_on_fhir_spark.suite.common import Q
 # The correctness driver hash-checks the FIRST 50 registered queries
 # only, so registration order is coverage policy.
 #
-# Round-13 window (the r12 verdict's prescription, task 1 — retire BOTH
-# remaining evidence tails):
+# Round-14 window (the r13 verdict's prescription, task 2 — rotate to
+# the r6-vintage evidence tail):
 #   1. flagship;
-#   2. the 13 r12 debuts the driver never sampled (judge-selfchecked
-#      green, but driver evidence is the standard): q57c, qf48, qf49,
-#      q276, q279, q281, q289, q290, q291, q295-q298;
-#   3. the 13 r5-vintage lifetime rows (the oldest green anywhere):
-#      q23, q51b, q57, q59, q72, q74, q74d, q86c, q89-q93;
-#   4. remaining 23 slots filled oldest-first from the r6 cohort
-#      (q108-q142 in registration order); r13 debuts displace the
-#      NEWEST of these fills as they land (debuts-land-with-a-driver-
-#      row rule). After r13 the oldest green anywhere is r6.
+#   2. r14 debuts (debuts-land-with-a-driver-row rule): q309, q310,
+#      q70c;
+#   3. q307 re-pin — the robots_filter operator was re-planned this
+#      round (executor-side parse + host join, verdict task 1); its
+#      done-criterion is a driver row green ON THE NEW PLAN;
+#   4. ALL 34 r6-vintage lifetime rows (registration order) — after
+#      r14 the oldest green evidence anywhere is r7;
+#   5. remaining 11 slots filled oldest-first from the r7 cohort
+#      (registration order: q100-q174).
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- tier 2: r12 debuts, never driver-sampled
-    "q57c_stream_dedup_within_watermark",
-    "qf48_version_pinning",
-    "qf49_expand_active_only",
-    "q276_gif_animation_frames",
-    "q279_unicode_nfc_audit",
-    "q281_rolling_origin_splits",
-    "q289_tiff_real_decode",
-    "q290_pii_luhn_audit",
-    "q291_peak_concurrency",
-    "q295_cohens_d",
-    "q296_bland_altman",
-    "q297_icc_oneway",
-    "q298_deming_regression",
-    # -- tier 3: the full r5-vintage cohort (oldest lifetime evidence)
-    "q23_agg_approx_distinct",
-    "q51b_hash_ids_local",
-    "q57_dedup_keep_first",
-    "q59_stream_static_join",
-    "q72_term_idf",
-    "q74_quality_filter",
-    "q74d_doc_fingerprints_md5",
-    "q86c_curation_pipeline_md5",
-    "q89_tpch_q18",
-    "q90_scale10_agg",
-    "q91_embedding_near_dup",
-    "q92_tpch_q4_exists",
-    "q93_tpch_q22_not_exists",
-    # -- r13 debuts (land with a driver row; each displaced the newest
-    #    r6 fill below — q299 displaced q142, qf50 displaced q141,
-    #    q301 displaced q140, q302 displaced q139, q303 displaced q138,
-    #    q304 displaced q137, q305 displaced q136, q306 displaced q135, q307 displaced q134, q308 displaced q133)
-    "q299_webp_vp8_real_decode",
-    "qf50_ecl_reverse_numeric",
-    "q301_webp_animation_frames",
-    "q302_avif_real_decode",
-    "q303_exif_audit",
-    "q304_compressed_payload_audit",
-    "q305_html_main_text",
-    "q306_warc_records",
+    # -- tier 2: r14 debuts
+    "q309_charset_decode",
+    "q310_crawl_pipeline",
+    "q70c_ivf_fixed_codebook",
+    # -- tier 3: re-pin on the r14 re-planned operator
     "q307_robots_filter",
-    "q308_mime_sniff_audit",
-    # -- tier 4: r6-cohort fills, oldest-first
-    "q108_dedup_clusters_md5",
-    "q120_incremental_dedup",
-    "q121_ngram_lm_score",
-    "q122_dedup_lines",
-    "q123_frequent_ngrams",
-    "q124_fuzzy_join",
-    "q125_resample_gapfill",
-    "q126_tpch_q2_min_cost_supplier",
-    "q127_tpch_q9_profit",
-    "q128_tpch_q11_important_parts",
-    "q129_tpch_q16_supplier_cnt",
-    "q130_tpch_q20_excess_shipments",
-    "q132_resample_interpolate",
+    # -- tier 4: the full r6-vintage cohort (oldest lifetime evidence)
+    "q136_anomaly_detection",
+    "q137_sessionize",
+    "q138_pagerank",
+    "q140_ewma",
+    "q141_snapshot_diff",
+    "q142_skew_report",
+    "q149_tpch_q5_local_supplier",
+    "q150_triangle_count",
+    "q151_scd2_dimension",
+    "q152_ohlc_bars",
+    "q153_time_weighted_avg",
+    "q155_regression_aggs",
+    "q156_winsorize",
+    "q157_chi2_crosstab",
+    "q158_market_basket",
+    "q161_distribution_drift",
+    "q162_robust_outliers",
+    "q154_rolling_time_range",
+    "qf12_valueset_expand",
+    "qf13_conceptmap_translate",
+    "qf14_valueset_isa_filter",
+    "qf16_has_reverse_chain",
+    "qf17_observation_lastn",
+    "q133_funnel",
+    "q134_cohort_retention",
+    "q135_expectations",
+    "q139_weighted_sample",
+    "q143_contamination_report",
+    "q144_classifier_score",
+    "q145_temperature_mixture",
+    "q146_embedding_covariance",
+    "q147_bpe_pairs",
+    "q163_multimodal_real_decode",
+    "q164_stream_cdc_apply",
+    # -- tier 5: r7-cohort fills, oldest-first (registration order)
+    "q100_tpch_q7_volume_shipping",
+    "q101_tpch_q8_market_share",
+    "q102_tpch_q12_late_lines",
+    "q118_zorder_write",
+    "q160_numeric_histogram",
+    "q165_target_encoding",
+    "q166_quantile_bin",
+    "q167_correlation_matrix",
+    "q170_welch_t_test",
+    "q172_concentration_report",
+    "q174_benford_audit",
 ]
 
 

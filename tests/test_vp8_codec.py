@@ -411,3 +411,44 @@ def test_truncated_first_partition_raises_not_garbage():
     for cut in range(10, 10 + part1):
         with pytest.raises(ValueError):
             parse_header(payload[:cut])
+
+
+def test_anmf_interframe_quarantines_never_silent_pixels():
+    """r13 verdict task 5 (animated-WebP inter-frame honesty): ANMF
+    chains may legally carry VP8 INTER-frames referencing a prior
+    frame — a capability the key-frame-only decoder must refuse, not
+    approximate. Pin: flipping the key-frame tag bit on any frame of
+    a valid animation raises ValueError from the vp8 header parse
+    (the quarantine contract) and never returns composited frames;
+    the tag flip provably reaches the decoder (the unflipped twin
+    decodes)."""
+    import pytest
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_webp_frames,
+        encode_webp_animation,
+    )
+
+    f0 = np.full((16, 16, 3), 60, np.uint8)
+    f1 = np.full((16, 16, 3), 200, np.uint8)
+    # both frames lossy -> both carry a VP8 (not VP8L) tag byte
+    anim = bytearray(encode_webp_animation(
+        [f0, f1], [30, 40], lossy_mask=[True, True]))
+    assert len(decode_webp_frames(bytes(anim))) == 2  # healthy twin
+
+    # locate each VP8 payload's first tag byte and flip bit0
+    # (key_frame = !(tag & 1) per RFC 6386 §9.1)
+    offs = []
+    i = 0
+    while True:
+        i = bytes(anim).find(b"VP8 ", i)
+        if i < 0:
+            break
+        offs.append(i + 8)  # chunk header is fourcc + 4-byte size
+        i += 4
+    assert len(offs) == 2
+    for off in offs:
+        bad = bytearray(anim)
+        bad[off] |= 1  # key frame -> inter frame
+        with pytest.raises(ValueError, match="key frames"):
+            decode_webp_frames(bytes(bad))

@@ -71,6 +71,19 @@ def main() -> None:
     from parquet_on_fhir_spark.suite.fhir_queries import _encode_doc
 
     spark = get_session()
+
+    def cached_mb() -> float:
+        """Total cached-block storage (MB) — the closure's RETAINED
+        memory cost, read from the block manager (r13 verdict task 6:
+        record closure-build memory, not just wall time)."""
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() for i in infos) / (1 << 20)
+
+    def jvm_used_mb() -> float:
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        spark._jvm.System.gc()
+        return (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+
     for n in ns:
         doc = synth_codesystem(n)
         t0 = time.time()
@@ -78,10 +91,14 @@ def main() -> None:
         cs = cs.cache()
         cs.count()
         t_encode = time.time() - t0
+        cache_before = cached_mb()
+        jvm_before = jvm_used_mb()
         t0 = time.time()
         clo = concept_closure(concept_edges(cs)).cache()
         closure_rows = clo.count()
         t_closure = time.time() - t0
+        closure_cache_mb = cached_mb() - cache_before
+        jvm_delta_mb = jvm_used_mb() - jvm_before
         sysu = "http://example.org/cs/probe"
         timings = {}
         for tag, ecl in [
@@ -171,6 +188,8 @@ def main() -> None:
             "closure_rows": closure_rows,
             "encode_s": round(t_encode, 2),
             "closure_s": round(t_closure, 2),
+            "closure_cache_mb": round(closure_cache_mb, 1),
+            "jvm_delta_mb": round(jvm_delta_mb, 1),
             **timings,
             "delta_new_edges": n_edges - cutoff,
             "delta_rows": delta_rows,
