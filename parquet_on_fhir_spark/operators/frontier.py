@@ -1,0 +1,144 @@
+"""Crawl-frontier operators — scheduling and budgeting the fetch side
+of a web-scale pipeline (r14 wave 2).
+
+A 100 TB crawl is not just parsing what arrived; deciding WHAT to
+fetch is itself a big-data problem: billions of frontier URLs must be
+budgeted across millions of hosts (politeness caps per host, global
+fetch budget), sequenced per host (one connection per host, fixed
+delay — RFC 9309 §2.5 / Crawl-delay convention), and prioritized by
+link evidence (anchor text is the classic relevance signal).
+
+All three operators are pure Catalyst:
+
+- ``politeness_schedule`` — per-host serialization: a window over
+  host assigns each kept URL its fetch slot and ETA. The window
+  partitions by host, so the shuffle key is the host — a genuinely
+  hot host IS a serial crawl constraint (the per-host chain is
+  semantically sequential), not a plan defect.
+- ``allocate_crawl_budget`` — largest-remainder (Hamilton)
+  apportionment of a global budget over per-host demand: one
+  1-row aggregate (total demand) broadcast back, floor quotas
+  map-side, the leftover seats assigned by ONE window rank over
+  fractional remainders.
+- ``anchor_text_topk`` — per-target anchor-term counts (explode +
+  hash aggregate, map-side combined) with a top-k window per target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    *,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_ms: int = 1000,
+    per_host_cap: int | None = None,
+) -> DataFrame:
+    """Per-host fetch sequencing: keep at most ``per_host_cap`` URLs
+    per host (highest ``priority`` first, URL as the deterministic
+    tie-break), assign each a 1-based ``slot`` in that order, and an
+    ``eta_ms = (slot - 1) * delay_ms`` — the earliest time the fetch
+    may start under a fixed per-host delay with one connection per
+    host. Output: frontier columns + (slot, eta_ms)."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.col(url_col)
+    )
+    out = frontier.withColumn("slot", F.row_number().over(w))
+    if per_host_cap is not None:
+        out = out.filter(F.col("slot") <= per_host_cap)
+    return out.withColumn(
+        "eta_ms", ((F.col("slot") - 1) * F.lit(delay_ms)).cast("long")
+    )
+
+
+def allocate_crawl_budget(
+    demand: DataFrame,
+    budget: int,
+    *,
+    host_col: str = "host",
+    demand_col: str = "n_urls",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of ``budget`` fetch
+    slots across hosts proportional to ``demand_col``:
+
+        quota_i   = floor(budget * d_i / D)
+        leftover  = budget - Σ quota_i   (< #hosts seats)
+        +1 to the ``leftover`` hosts with the largest fractional
+        remainder (ties → larger demand, then host asc)
+
+    and never more than a host's own demand (a host with 3 URLs can't
+    absorb 10 slots; freed seats cascade to the next remainders in
+    the same rank pass — exact when caps bind only in the +1 stage,
+    which holds whenever quota_i ≤ d_i, true by construction since
+    quota_i ≤ budget·d_i/D ≤ d_i for budget ≤ D; for budget > D every
+    host just gets its full demand). Output: (host, n_urls,
+    allocated). Plan: one 1-row total broadcast back (cross-join of a
+    literal-sized frame), floor quotas map-side, ONE window rank for
+    the remainder seats — no per-host driver loop at any host count.
+    """
+    d = F.col(demand_col).cast("double")
+    total = demand.agg(F.sum(demand_col).alias("__D"))
+    j = demand.crossJoin(F.broadcast(total))
+    exact = F.lit(budget) * d / F.col("__D")
+    quota = F.floor(exact)
+    rem = exact - quota
+    w = Window.orderBy(
+        F.desc("__rem"), F.desc(F.col(demand_col)), F.col(host_col)
+    )
+    ranked = (
+        j.withColumn("__q", quota)
+        .withColumn("__rem", rem)
+        .withColumn(
+            "__leftover",
+            F.lit(budget) - F.sum("__q").over(Window.partitionBy()),
+        )
+        .withColumn("__r", F.row_number().over(w))
+    )
+    alloc = F.least(
+        F.col(demand_col).cast("long"),
+        (
+            F.col("__q")
+            + F.when(F.col("__r") <= F.col("__leftover"), 1).otherwise(0)
+        ).cast("long"),
+    )
+    return ranked.select(
+        F.col(host_col),
+        F.col(demand_col),
+        alloc.alias("allocated"),
+    )
+
+
+def anchor_text_topk(
+    links: DataFrame,
+    k: int = 3,
+    *,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target top-k anchor terms — the classic off-page relevance
+    signal (anchor text describes the TARGET page better than the
+    page itself; every web-scale ranker and several curation
+    pipelines aggregate it). Terms = lowercased whitespace split of
+    the anchor; count per (dst, term) in one map-side-combined hash
+    aggregate; top-k per dst by (count DESC, term ASC). Output:
+    (dst, term, n, rnk ≤ k)."""
+    terms = links.select(
+        F.col(dst_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(anchor_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    counts = terms.groupBy(dst_col, "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(dst_col).orderBy(F.desc("n"), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

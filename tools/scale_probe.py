@@ -67,6 +67,11 @@ PROBE_QUERIES = [
     "q282_url_dedup_audit",        # map-only canonicalization + ONE agg over SF-SCALED documents
     "q287_bpe_encode",             # distinct-word agg + vocab-frame merge chain + broadcast-back over SF-SCALED documents
     "q288_dynamic_partition_pruning",  # partitioned write + runtime-pruned scan over SF-SCALED orders
+    # round-14 wave (q309/q310 are fixture-bounded codec-family rows
+    # like q255/q263 — 150 fixed payloads joined onto doc_id<150; their
+    # scaling axes are per-payload python cost, priced in the operator
+    # docstrings, and the robots host axis, banded by robots_probe.py):
+    "q70c_ivf_fixed_codebook",     # centroid assignment + probe over the SF-SCALED embeddings corpus
 ]
 
 
