@@ -71,45 +71,84 @@ def allocate_crawl_budget(
         +1 to the ``leftover`` hosts with the largest fractional
         remainder (ties → larger demand, then host asc)
 
-    and never more than a host's own demand (a host with 3 URLs can't
-    absorb 10 slots; freed seats cascade to the next remainders in
-    the same rank pass — exact when caps bind only in the +1 stage,
-    which holds whenever quota_i ≤ d_i, true by construction since
-    quota_i ≤ budget·d_i/D ≤ d_i for budget ≤ D; for budget > D every
-    host just gets its full demand). Output: (host, n_urls,
-    allocated). Plan: one 1-row total broadcast back (cross-join of a
-    literal-sized frame), floor quotas map-side, ONE window rank for
-    the remainder seats — no per-host driver loop at any host count.
+    capped at each host's own demand. The cap cannot starve a seat:
+    for budget ≤ D, floor(budget·d_i/D) < d_i (integers, strict), so
+    quota_i + 1 ≤ d_i; for budget > D every host saturates at its
+    demand and the surplus is genuinely unallocatable. Output:
+    (host, n_urls, allocated).
+
+    Plan (no SinglePartition anywhere — the host frame is crawl-sized,
+    the token-budget discipline applies): the two scalars (D, Σ quota)
+    are 1-row aggregates; the global remainder rank is computed
+    scalably as repartitionByRange on (rem DESC, demand DESC, host) +
+    per-range-partition counts (a partition-count-sized collect) +
+    partition-local row_number against broadcast offsets — the exact
+    global rank with every shuffle hash/range-parallel.
     """
     d = F.col(demand_col).cast("double")
     total = demand.agg(F.sum(demand_col).alias("__D"))
-    j = demand.crossJoin(F.broadcast(total))
-    exact = F.lit(budget) * d / F.col("__D")
-    quota = F.floor(exact)
-    rem = exact - quota
-    w = Window.orderBy(
-        F.desc("__rem"), F.desc(F.col(demand_col)), F.col(host_col)
-    )
-    ranked = (
-        j.withColumn("__q", quota)
-        .withColumn("__rem", rem)
+    j = (
+        demand.crossJoin(F.broadcast(total))
+        .withColumn("__exact", F.lit(budget) * d / F.col("__D"))
+        .withColumn("__q", F.coalesce(F.floor("__exact"), F.lit(0)))
         .withColumn(
-            "__leftover",
-            F.lit(budget) - F.sum("__q").over(Window.partitionBy()),
+            "__rem", F.coalesce(F.col("__exact") - F.col("__q"), F.lit(0.0))
         )
-        .withColumn("__r", F.row_number().over(w))
+        .drop("__D", "__exact")
     )
+    leftover_row = j.agg(
+        (F.lit(budget) - F.sum("__q")).alias("__left")
+    ).first()
+    leftover = int(leftover_row["__left"] or 0)
+
+    if leftover <= 0:
+        ranked = j.withColumn("__plus", F.lit(0))
+    else:
+        order = [
+            F.col("__rem").desc(),
+            F.col(demand_col).desc(),
+            F.col(host_col).asc(),
+        ]
+        from pyspark import StorageLevel
+
+        ranged = j.repartitionByRange(*order).sortWithinPartitions(*order)
+        # Persisted because range boundaries are SAMPLED per
+        # computation: the counts pass and the final pass must see the
+        # SAME partitioning for the offsets to be exact (the
+        # token-budget two-pass discipline).
+        with_pid = ranged.withColumn(
+            "__pid", F.spark_partition_id()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # partition-count-sized metadata (≤ spark.sql.shuffle.partitions)
+        sizes = {
+            r["__pid"]: r["n"]
+            for r in with_pid.groupBy("__pid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        lw = Window.partitionBy("__pid").orderBy(*order)
+        ranked = with_pid.withColumn(
+            "__plus",
+            F.when(
+                off_map[F.col("__pid")] + F.row_number().over(lw)
+                <= F.lit(leftover),
+                1,
+            ).otherwise(0),
+        ).drop("__pid")
+
     alloc = F.least(
         F.col(demand_col).cast("long"),
-        (
-            F.col("__q")
-            + F.when(F.col("__r") <= F.col("__leftover"), 1).otherwise(0)
-        ).cast("long"),
+        (F.col("__q") + F.col("__plus")).cast("long"),
     )
     return ranked.select(
-        F.col(host_col),
-        F.col(demand_col),
-        alloc.alias("allocated"),
+        F.col(host_col), F.col(demand_col), alloc.alias("allocated")
     )
 
 

@@ -198,3 +198,46 @@ def html_extract(
             "n_kept int, link_density double"
         ),
     )
+
+
+def html_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Page-metadata extraction (r14 wave 2) — the head fields a crawl
+    index keeps per page: <title>, Open Graph title (og:title),
+    meta description, rel=canonical link. PURE Catalyst
+    (case-insensitive regexp_extract, a map-only projection riding
+    the scan — no python per page); empty match ⇒ NULL. Attribute
+    order follows the overwhelmingly dominant emitted form
+    (property/name/rel before content/href); pages that reorder fall
+    back to NULL rather than misparse — an audit count, not a loss,
+    at corpus scale. Output: input + (page_title, og_title,
+    meta_description, canonical_url)."""
+    h = F.col(html_col)
+
+    def rx(pattern: str):
+        v = F.regexp_extract(h, pattern, 1)
+        return F.when(v != "", v)
+
+    return (
+        df.withColumn("page_title", rx(r"(?is)<title[^>]*>([^<]*)</title>"))
+        .withColumn(
+            "og_title",
+            rx(
+                r"(?is)<meta[^>]*property\s*=\s*[\"']og:title[\"']"
+                r"[^>]*content\s*=\s*[\"']([^\"']*)[\"']"
+            ),
+        )
+        .withColumn(
+            "meta_description",
+            rx(
+                r"(?is)<meta[^>]*name\s*=\s*[\"']description[\"']"
+                r"[^>]*content\s*=\s*[\"']([^\"']*)[\"']"
+            ),
+        )
+        .withColumn(
+            "canonical_url",
+            rx(
+                r"(?is)<link[^>]*rel\s*=\s*[\"']canonical[\"']"
+                r"[^>]*href\s*=\s*[\"']([^\"']*)[\"']"
+            ),
+        )
+    )

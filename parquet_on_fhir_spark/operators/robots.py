@@ -185,6 +185,30 @@ def robots_rules(
     )
 
 
+def sitemap_urls(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    robots_text_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap discovery (r14 wave 2): the ``Sitemap:`` lines of
+    robots.txt (RFC 9309 §2.2.4 treats them as extension records; the
+    sitemaps.org protocol defines them) are how a crawler finds a
+    host's URL inventory without walking links. PURE Catalyst —
+    case-insensitive ``regexp_extract_all`` + posexplode, a map-only
+    projection over the robots frame; hosts with no Sitemap lines
+    emit nothing. Output: (host, seq, sitemap_url) in declaration
+    order."""
+    urls = F.expr(
+        f"regexp_extract_all({robots_text_col}, "
+        "'(?im)^\\\\s*sitemap\\\\s*:\\\\s*(\\\\S+)', 1)"
+    )
+    return robots.select(
+        F.col(host_col),
+        F.posexplode(urls).alias("seq", "sitemap_url"),
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     robots: DataFrame,

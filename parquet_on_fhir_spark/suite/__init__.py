@@ -21,14 +21,22 @@ from parquet_on_fhir_spark.suite.common import Q
 #      done-criterion is a driver row green ON THE NEW PLAN;
 #   4. ALL 34 r6-vintage lifetime rows (registration order) — after
 #      r14 the oldest green evidence anywhere is r7;
-#   5. remaining 11 slots filled oldest-first from the r7 cohort
-#      (registration order: q100-q174).
+#   5. remaining slots filled oldest-first from the r7 cohort
+#      (registration order) — the wave-2 debuts (q311-q315) displaced
+#      the 5 newest r7 fills (q166, q167, q170, q172, q174) per the
+#      debuts-land-with-a-driver-row rule.
 WINDOW = [
     "q00_flagship_shipping_priority",
     # -- tier 2: r14 debuts
     "q309_charset_decode",
     "q310_crawl_pipeline",
     "q70c_ivf_fixed_codebook",
+    # -- tier 2b: r14 wave-2 debuts (crawl frontier / page metadata)
+    "q311_frontier_schedule",
+    "q312_crawl_budget",
+    "q313_anchor_topk",
+    "q314_html_metadata",
+    "q315_sitemap_discovery",
     # -- tier 3: re-pin on the r14 re-planned operator
     "q307_robots_filter",
     # -- tier 4: the full r6-vintage cohort (oldest lifetime evidence)
@@ -73,11 +81,6 @@ WINDOW = [
     "q118_zorder_write",
     "q160_numeric_histogram",
     "q165_target_encoding",
-    "q166_quantile_bin",
-    "q167_correlation_matrix",
-    "q170_welch_t_test",
-    "q172_concentration_report",
-    "q174_benford_audit",
 ]
 
 

@@ -4929,6 +4929,283 @@ FROM m
 QUERIES.append(Q("q310_crawl_pipeline", q310, Q310_ORACLE))
 
 
+# --- Q311: crawl-frontier politeness schedule (r14 wave 2) ----------------------------------
+def q311(spark, sf_dir):
+    """Per-host fetch sequencing (operators/frontier.py::
+    politeness_schedule): budget each host to its top-5 URLs by
+    priority, serialize them (one connection per host), and stamp the
+    earliest start under a fixed 500 ms crawl delay. Window over
+    host — the shuffle key is the host, and a hot host is a genuinely
+    serial crawl constraint, not a plan defect. 300 frontier rows
+    derive from documents (host = doc_id%7, priority = doc_id%10), so
+    slots and ETAs are deterministic."""
+    from parquet_on_fhir_spark.operators.frontier import politeness_schedule
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ex/p/"), F.col("doc_id"),
+        ).alias("url"),
+        (F.col("doc_id") % 10).cast("int").alias("priority"),
+    )
+    return politeness_schedule(
+        frontier, delay_ms=500, per_host_cap=5
+    ).select("doc_id", "host", "url", "priority", "slot", "eta_ms")
+
+
+Q311_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.ex/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 10 AS INT) AS priority
+  FROM documents WHERE doc_id < 300
+),
+s AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, url) AS INT) AS slot
+  FROM f
+)
+SELECT doc_id, host, url, priority, slot,
+       CAST((slot - 1) * 500 AS BIGINT) AS eta_ms
+FROM s WHERE slot <= 5
+"""
+
+
+QUERIES.append(Q("q311_frontier_schedule", q311, Q311_ORACLE))
+
+
+# --- Q312: crawl-budget apportionment (largest remainder) -----------------------------------
+def q312(spark, sf_dir):
+    """Global fetch-budget allocation (operators/frontier.py::
+    allocate_crawl_budget): Hamilton / largest-remainder apportionment
+    of 1000 fetch slots across hosts proportional to demand, capped at
+    each host's own demand. Demand = orders per host bucket
+    (o_custkey%97). The exact global remainder rank is computed
+    WITHOUT a SinglePartition window (repartitionByRange +
+    per-partition offsets, the token-budget discipline) — pinned in
+    tests/test_scale_plans.py."""
+    from parquet_on_fhir_spark.operators.frontier import (
+        allocate_crawl_budget,
+    )
+
+    demand = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.concat(
+                F.lit("h"), (F.col("o_custkey") % 97).cast("string")
+            ).alias("host")
+        )
+        .agg(F.count("*").alias("n_urls"))
+    )
+    return allocate_crawl_budget(demand, 1000)
+
+
+Q312_ORACLE = """
+WITH dem AS (
+  SELECT 'h' || CAST(o_custkey % 97 AS VARCHAR) AS host,
+         count(*) AS n_urls
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(n_urls) AS D FROM dem),
+q AS (
+  SELECT host, n_urls,
+         floor(1000 * CAST(n_urls AS DOUBLE) / D) AS q,
+         1000 * CAST(n_urls AS DOUBLE) / D
+           - floor(1000 * CAST(n_urls AS DOUBLE) / D) AS rem
+  FROM dem, t
+),
+l AS (SELECT 1000 - sum(q) AS leftover FROM q),
+r AS (
+  SELECT host, n_urls, q,
+         row_number() OVER (ORDER BY rem DESC, n_urls DESC, host) AS rk
+  FROM q
+)
+SELECT host, n_urls,
+       CAST(least(CAST(n_urls AS BIGINT),
+                  CAST(q AS BIGINT)
+                  + CASE WHEN rk <= (SELECT leftover FROM l)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS allocated
+FROM r
+"""
+
+
+QUERIES.append(Q("q312_crawl_budget", q312, Q312_ORACLE))
+
+
+# --- Q313: anchor-text aggregation (per-target top-k terms) ---------------------------------
+def q313(spark, sf_dir):
+    """Anchor-text aggregation (operators/frontier.py::
+    anchor_text_topk) — the classic off-page signal: per-target term
+    counts from link anchors, top-3 per target. One map-side-combined
+    hash aggregate after the explode; anchors never shuffle whole.
+    Links derive from documents (dst = doc_id%20, anchor = the doc
+    text), so counts are deterministic."""
+    from parquet_on_fhir_spark.operators.frontier import anchor_text_topk
+
+    links = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 20).cast("string")
+            ).alias("dst"),
+            F.col("text").alias("anchor"),
+        )
+    )
+    return anchor_text_topk(links, k=3)
+
+
+Q313_ORACLE = r"""
+WITH l AS (
+  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS dst, text
+  FROM documents WHERE doc_id < 500
+),
+t AS (
+  SELECT dst,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM l
+),
+c AS (SELECT dst, term, count(*) AS n FROM t GROUP BY 1, 2),
+r AS (
+  SELECT dst, term, n, CAST(row_number() OVER (
+           PARTITION BY dst ORDER BY n DESC, term) AS INT) AS rnk
+  FROM c
+)
+SELECT dst, term, n, rnk FROM r WHERE rnk <= 3
+"""
+
+
+QUERIES.append(Q("q313_anchor_topk", q313, Q313_ORACLE))
+
+
+# --- Q314: HTML head-metadata extraction (pure Catalyst) ------------------------------------
+def q314(spark, sf_dir):
+    """Page-metadata extraction (operators/html.py::html_metadata —
+    title / og:title / meta description / rel=canonical), PURE
+    Catalyst regexp projection riding the scan: no python per page,
+    the map-only complement to q305's block extractor. 150 fixture
+    pages cycle four head shapes by doc_id%4 (all four fields;
+    title-only; og+canonical without title; none), so every output is
+    closed form. Empty match ⇒ NULL."""
+    from parquet_on_fhir_spark.operators.html import html_metadata
+
+    def make(i: int) -> str:
+        k = i % 4
+        if k == 0:
+            return (
+                f"<html><head><title>Doc {i}</title>"
+                f'<meta property="og:title" content="OG {i}"/>'
+                f'<meta name="description" content="About page {i}."/>'
+                f'<link rel="canonical" href="https://ex.org/{i}"/>'
+                f"</head><body>x</body></html>"
+            )
+        if k == 1:
+            return f"<html><head><title>Doc {i}</title></head><body>x</body></html>"
+        if k == 2:
+            return (
+                "<html><head>"
+                f'<meta property="og:title" content="OG {i}"/>'
+                f'<link rel="canonical" href="https://ex.org/{i}"/>'
+                "</head><body>x</body></html>"
+            )
+        return "<html><body>no head at all</body></html>"
+
+    payloads = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(payloads, "i INT, html STRING")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pages = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select("doc_id", "html")
+    return html_metadata(pages).select(
+        "doc_id", "page_title", "og_title", "meta_description",
+        "canonical_url",
+    )
+
+
+Q314_ORACLE = """
+WITH m AS (SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id < 150)
+SELECT doc_id,
+       CASE WHEN k IN (0, 1)
+            THEN 'Doc ' || CAST(doc_id AS VARCHAR) END AS page_title,
+       CASE WHEN k IN (0, 2)
+            THEN 'OG ' || CAST(doc_id AS VARCHAR) END AS og_title,
+       CASE WHEN k = 0
+            THEN 'About page ' || CAST(doc_id AS VARCHAR) || '.'
+         END AS meta_description,
+       CASE WHEN k IN (0, 2)
+            THEN 'https://ex.org/' || CAST(doc_id AS VARCHAR)
+         END AS canonical_url
+FROM m
+"""
+
+
+QUERIES.append(Q("q314_html_metadata", q314, Q314_ORACLE))
+
+
+# --- Q315: sitemap discovery from robots.txt ------------------------------------------------
+def q315(spark, sf_dir):
+    """Sitemap discovery (operators/robots.py::sitemap_urls): extract
+    the ``Sitemap:`` extension records of robots.txt in declaration
+    order — pure Catalyst regexp_extract_all + posexplode over the
+    robots frame (map-only; hosts without sitemaps emit nothing). 150
+    hosts cycle three shapes by doc_id%3 (two sitemaps with mixed
+    case/indent; one; none), closed form."""
+    from parquet_on_fhir_spark.operators.robots import sitemap_urls
+
+    def make(i: int) -> str:
+        k = i % 3
+        if k == 0:
+            return (
+                "User-agent: *\nDisallow: /tmp/\n"
+                f"Sitemap: https://h{i}.ex/sm-a.xml\n"
+                f"  SITEMAP:   https://h{i}.ex/sm-b.xml\n"
+            )
+        if k == 1:
+            return (
+                f"sitemap: https://h{i}.ex/only.xml\n"
+                "User-agent: *\nDisallow:\n"
+            )
+        return "User-agent: *\nDisallow: /private/\n"
+
+    rows = [(f"h{i}.ex", make(i)) for i in range(150)]
+    pay = spark.createDataFrame(rows, "host string, robots_txt string")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    robots = d.join(
+        F.broadcast(pay),
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".ex"))
+        == F.col("host"),
+    ).select("host", "robots_txt")
+    return sitemap_urls(robots)
+
+
+Q315_ORACLE = """
+WITH m AS (SELECT doc_id, doc_id % 3 AS k FROM documents WHERE doc_id < 150)
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.ex' AS host,
+       CAST(0 AS INT) AS seq,
+       CASE k WHEN 0 THEN 'https://h' || CAST(doc_id AS VARCHAR)
+                          || '.ex/sm-a.xml'
+              ELSE 'https://h' || CAST(doc_id AS VARCHAR) || '.ex/only.xml'
+         END AS sitemap_url
+FROM m WHERE k IN (0, 1)
+UNION ALL
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.ex' AS host,
+       CAST(1 AS INT) AS seq,
+       'https://h' || CAST(doc_id AS VARCHAR) || '.ex/sm-b.xml' AS sitemap_url
+FROM m WHERE k = 0
+"""
+
+
+QUERIES.append(Q("q315_sitemap_discovery", q315, Q315_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

@@ -1,0 +1,136 @@
+"""Crawl-frontier operators (r14 wave 2): politeness scheduling,
+largest-remainder budget apportionment, anchor-text aggregation, HTML
+head metadata, sitemap discovery."""
+
+from pyspark.sql import functions as F
+
+
+def test_politeness_schedule_caps_and_sequences(spark):
+    from parquet_on_fhir_spark.operators.frontier import politeness_schedule
+
+    frontier = spark.createDataFrame(
+        [("a", "u1", 5), ("a", "u2", 9), ("a", "u3", 9), ("a", "u4", 1),
+         ("b", "v1", 0)],
+        "host string, url string, priority int",
+    )
+    rows = {(r["host"], r["url"]): r for r in politeness_schedule(
+        frontier, delay_ms=250, per_host_cap=3).collect()}
+    # priority desc, url asc; u4 (lowest) cut by the cap
+    assert rows[("a", "u2")]["slot"] == 1
+    assert rows[("a", "u3")]["slot"] == 2
+    assert rows[("a", "u1")]["slot"] == 3
+    assert ("a", "u4") not in rows
+    assert rows[("b", "v1")]["slot"] == 1
+    assert rows[("a", "u1")]["eta_ms"] == 500  # (3-1)*250
+
+
+def _hamilton(demands: dict, budget: int) -> dict:
+    """Independent reference: python largest-remainder with the same
+    tie rules (remainder desc, demand desc, host asc) and demand cap."""
+    D = sum(demands.values())
+    if D == 0:
+        return {h: 0 for h in demands}
+    exact = {h: budget * d / D for h, d in demands.items()}
+    quota = {h: int(exact[h] // 1) for h in demands}
+    leftover = budget - sum(quota.values())
+    order = sorted(
+        demands,
+        key=lambda h: (-(exact[h] - quota[h]), -demands[h], h),
+    )
+    for h in order[:leftover]:
+        quota[h] += 1
+    return {h: min(demands[h], quota[h]) for h in demands}
+
+
+def test_allocate_crawl_budget_matches_reference(spark):
+    from parquet_on_fhir_spark.operators.frontier import (
+        allocate_crawl_budget,
+    )
+
+    import random
+
+    rng = random.Random(14)
+    demands = {f"h{i:03d}": rng.randint(1, 500) for i in range(80)}
+    df = spark.createDataFrame(
+        list(demands.items()), "host string, n_urls long"
+    )
+    for budget in (0, 1, 97, 1000):
+        got = {r["host"]: r["allocated"] for r in
+               allocate_crawl_budget(df, budget).collect()}
+        want = _hamilton(demands, budget)
+        assert got == want, budget
+        assert sum(got.values()) == min(budget, sum(demands.values()))
+    # budget above total demand: everyone saturates at demand
+    total = sum(demands.values())
+    got = {r["host"]: r["allocated"] for r in
+           allocate_crawl_budget(df, total + 500).collect()}
+    assert got == demands
+
+
+def test_allocate_crawl_budget_exact_proportions(spark):
+    """No-remainder case: allocation is exactly proportional and no
+    window pass runs at all (leftover == 0)."""
+    from parquet_on_fhir_spark.operators.frontier import (
+        allocate_crawl_budget,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30), ("c", 60)], "host string, n_urls long"
+    )
+    got = {r["host"]: r["allocated"] for r in
+           allocate_crawl_budget(df, 10).collect()}
+    assert got == {"a": 1, "b": 3, "c": 6}
+
+
+def test_anchor_text_topk_counts_and_ties(spark):
+    from parquet_on_fhir_spark.operators.frontier import anchor_text_topk
+
+    links = spark.createDataFrame(
+        [("d1", "best spark guide"), ("d1", "spark  guide"),
+         ("d1", "SPARK"), ("d2", "zz aa")],
+        "dst string, anchor string",
+    )
+    rows = [(r["dst"], r["term"], r["n"], r["rnk"]) for r in
+            anchor_text_topk(links, k=2).orderBy("dst", "rnk").collect()]
+    # d1: spark x3; guide x2; best x1 cut by k=2. d2: tie 1/1 -> term asc
+    assert rows == [("d1", "spark", 3, 1), ("d1", "guide", 2, 2),
+                    ("d2", "aa", 1, 1), ("d2", "zz", 1, 2)]
+
+
+def test_html_metadata_nulls_and_extraction(spark):
+    from parquet_on_fhir_spark.operators.html import html_metadata
+
+    pages = spark.createDataFrame(
+        [(1, '<html><head><TITLE>Mixed Case</TITLE>'
+             '<meta property="og:title" content="OG"/>'
+             '<meta name="description" content="D text"/>'
+             '<link rel="canonical" href="https://c.ex/1"/></head></html>'),
+         (2, "<html><body>headless</body></html>"),
+         (3, '<head><title></title></head>')],  # empty title -> NULL
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in html_metadata(pages).collect()}
+    assert rows[1]["page_title"] == "Mixed Case"  # (?i) matched TITLE
+    assert rows[1]["og_title"] == "OG"
+    assert rows[1]["meta_description"] == "D text"
+    assert rows[1]["canonical_url"] == "https://c.ex/1"
+    assert all(rows[2][c] is None for c in
+               ("page_title", "og_title", "meta_description",
+                "canonical_url"))
+    assert rows[3]["page_title"] is None
+
+
+def test_sitemap_urls_order_and_case(spark):
+    from parquet_on_fhir_spark.operators.robots import sitemap_urls
+
+    robots = spark.createDataFrame(
+        [("a.ex", "User-agent: *\nSitemap: https://a.ex/1.xml\n"
+                  "  sitemap:https://a.ex/2.xml\nDisallow: /x\n"),
+         ("b.ex", "User-agent: *\nDisallow: /\n"),
+         ("c.ex", None)],
+        "host string, robots_txt string",
+    )
+    rows = [(r["host"], r["seq"], r["sitemap_url"]) for r in
+            sitemap_urls(robots).orderBy("host", "seq").collect()]
+    assert rows == [("a.ex", 0, "https://a.ex/1.xml"),
+                    ("a.ex", 1, "https://a.ex/2.xml")]

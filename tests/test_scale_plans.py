@@ -693,3 +693,30 @@ def test_robots_filter_plan_is_join_no_driver_collect(spark):
     final = auto._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final
     assert "CartesianProduct" not in final, final
+
+
+def test_crawl_budget_has_no_single_partition_window(spark):
+    """allocate_crawl_budget's global remainder rank must use the
+    range-partition + offset form (token-budget discipline) — never a
+    partition-less ordered window that funnels the host frame through
+    one task."""
+    from parquet_on_fhir_spark.operators.frontier import (
+        allocate_crawl_budget,
+    )
+
+    demand = spark.range(0, 5000).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        (F.col("id") % 37 + 1).alias("n_urls"),
+    )
+    out = allocate_crawl_budget(demand, 1234)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Window" in plan  # the +1 seats are still windowed...
+    # ...but partitioned by the range-partition id, never partition-less
+    # (the only SinglePartition exchanges in this plan feed the 1-row
+    # scalar aggregates, which is the intended metadata fold)
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert out.agg(F.sum("allocated")).collect()[0][0] == 1234
