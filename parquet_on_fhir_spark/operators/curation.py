@@ -1343,3 +1343,75 @@ def compressed_payload_audit(
             F.round(F.col("out_len") / F.col("in_len"), 4),
         ),
     )
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    blocklist: tuple = ("badword1", "badword2"),
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style heuristic cleaning (r14 wave 3; Raffel et al. 2020
+    §2.2 — the rule set behind the Colossal Clean Crawled Corpus,
+    still the reference cleaning recipe for web text):
+
+    line level (drop the line):
+      - doesn't end in terminal punctuation (``. ! ? "``),
+      - fewer than ``min_words_per_line`` words,
+      - contains the word "javascript" (case-insensitive);
+    page level (drop the page, ``reason`` says why, first match wins):
+      - ``blocklist`` — any listed word, word-boundary, lowercased
+        (the public recipe uses the "Dirty, Naughty…" list; pass your
+        own — the default is a placeholder),
+      - ``lorem_ipsum`` — the classic template marker,
+      - ``brace`` — a ``{`` anywhere (code, not prose),
+      - ``too_few_sentences`` — fewer than ``min_sentences``
+        terminal-punctuation marks in the CLEANED text.
+
+    PURE Catalyst: split + higher-order ``filter`` with regexp line
+    predicates, ``regexp_count`` for sentences — a map-only
+    projection riding the scan, zero python per page. Output: inputs'
+    id + (n_lines, n_kept_lines, n_sentences, clean_len, reason,
+    kept); ``clean_text`` carries the kept lines for downstream
+    stages."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def good_line(l):
+        words = F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda x: x != ""))
+        return (
+            l.rlike(r'[.!?"]\s*$')
+            & (words >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, good_line)
+    clean = F.array_join(kept_lines, "\n")
+    blocked = F.lower(t).rlike(
+        r"\b(" + "|".join(blocklist) + r")\b"
+    ) if blocklist else F.lit(False)
+    out = (
+        df.withColumn("__clean", clean)
+        .withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept_lines))
+        .withColumn(
+            "n_sentences", F.expr("regexp_count(__clean, '[.!?]')")
+        )
+        .withColumn(
+            "reason",
+            F.when(blocked, "blocklist")
+            .when(F.lower(t).contains("lorem ipsum"), "lorem_ipsum")
+            .when(t.contains("{"), "brace")
+            .when(F.col("n_sentences") < min_sentences, "too_few_sentences"),
+        )
+        .withColumn("kept", F.col("reason").isNull())
+        .withColumn("clean_len", F.length("__clean"))
+        .withColumnRenamed("__clean", "clean_text")
+    )
+    return out.select(
+        id_col, "n_lines", "n_kept_lines", "n_sentences", "clean_len",
+        "reason", "kept", "clean_text",
+    )

@@ -808,3 +808,80 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def binary_codes(vec_col, dims: int):
+    """Sign-bit binary quantization of an embedding as TWO 32-bit
+    halves packed into longs (``lo`` = dims 0-31, ``hi`` = 32-63) —
+    two halves so bit 63 never touches the sign bit of a signed
+    BIGINT, keeping the codes portable to any SQL engine. Pure JVM
+    expression (chained conditional ORs, the lsh_bucket shape).
+    Returns (lo_expr, hi_expr)."""
+    import pyspark.sql.functions as _F
+
+    def half(start: int):
+        code = _F.lit(0).cast("long")
+        for i in range(start, min(start + 32, dims)):
+            bit = _F.when(
+                vec_col[i].cast("double") > 0,
+                _F.shiftleft(_F.lit(1).cast("long"), i - start),
+            ).otherwise(_F.lit(0).cast("long"))
+            code = code.bitwiseOR(bit)
+        return code
+
+    return half(0), half(32)
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int = 64,
+    k: int = 10,
+    max_hamming: int = 16,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Binary-quantized similarity search (r14 wave 3): sign-bit codes
+    + Hamming-distance prefilter + exact cosine rerank — the standard
+    memory/compute lever production vector systems apply before exact
+    math (16 bytes/vector and a popcount replace 64 floats and a dot
+    product for the coarse pass; Hamming on sign bits estimates
+    angle: E[hamming] = dims·θ/π).
+
+    The coarse pass still visits every (query, vector) pair — the win
+    is arithmetic (two XOR+popcounts, whole-stage codegen, no float
+    lanes) and bandwidth (codes can live in a skinny column the scan
+    prunes to), not asymptotics; compose with the IVF/LSH bucketing
+    operators when the pair space itself must shrink. Fully
+    deterministic (codes are exact integers; rerank uses the rounded
+    cosine + id order), so a SQL oracle replays it end to end.
+    Output: (q_id, vec_id, hamming, cosine, rank ≤ k)."""
+    lo, hi = binary_codes(F.col(vec_col), dims)
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col),
+        lo.alias("__clo"), hi.alias("__chi"),
+    )
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec"),
+        lo.alias("__qlo"), hi.alias("__qhi"),
+    )
+    joined = c.join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col(query_id))
+    ham = (
+        F.bit_count(F.col("__clo").bitwiseXOR(F.col("__qlo")))
+        + F.bit_count(F.col("__chi").bitwiseXOR(F.col("__qhi")))
+    ).cast("int")
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), F.col("__qvec")) + F.lit(1e-9), 6
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        joined.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(query_id, corpus_id, "hamming", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -37,6 +37,10 @@ WINDOW = [
     "q313_anchor_topk",
     "q314_html_metadata",
     "q315_sitemap_discovery",
+    # -- tier 2c: r14 wave-3 debuts (C4 cleaning; binary ANN) —
+    #    displaced q160/q165, the newest remaining r7 fills
+    "q316_c4_filter",
+    "q317_binary_hamming_topk",
     # -- tier 3: re-pin on the r14 re-planned operator
     "q307_robots_filter",
     # -- tier 4: the full r6-vintage cohort (oldest lifetime evidence)
@@ -79,8 +83,6 @@ WINDOW = [
     "q101_tpch_q8_market_share",
     "q102_tpch_q12_late_lines",
     "q118_zorder_write",
-    "q160_numeric_histogram",
-    "q165_target_encoding",
 ]
 
 

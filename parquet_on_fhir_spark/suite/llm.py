@@ -5206,6 +5206,169 @@ FROM m WHERE k = 0
 QUERIES.append(Q("q315_sitemap_discovery", q315, Q315_ORACLE))
 
 
+# --- Q316: C4-style heuristic cleaning (r14 wave 3) -----------------------------------------
+def q316(spark, sf_dir):
+    """C4 cleaning rules (operators/curation.py::c4_filter — Raffel
+    et al. 2020 §2.2, the reference web-text recipe): line-level
+    terminal-punctuation / ≥3-words / no-javascript filters, page
+    level blocklist / lorem-ipsum / brace / ≥5-sentence gates, first
+    failing reason reported. Pure Catalyst (HOF line filter +
+    regexp_count) over documents doc_id<400 with deterministic
+    markers injected by doc_id%5 (clean with enough sentences; a
+    javascript line; lorem ipsum; a brace; a blocklisted word), so
+    every verdict is closed form up to the base text's own line
+    shape — which the oracle recomputes with the same rules."""
+    from parquet_on_fhir_spark.operators.curation import c4_filter
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    k = F.col("doc_id") % 5
+    doc = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(k == 0, F.lit("\nA clean closing line one two three."
+                                 "\nAnother fine sentence here friend."
+                                 "\nThird sentence is also right here."
+                                 "\nFourth sentence closes it out now."
+                                 "\nFifth sentence makes the quota sir."))
+            .when(k == 1, F.lit("\nEnable javascript to view this page."))
+            .when(k == 2, F.lit("\nLorem ipsum dolor sit amet friend."))
+            .when(k == 3, F.lit("\nif (x) { return; } end of story."))
+            .otherwise(F.lit("\nthis page mentions badword2 sadly too.")),
+        ),
+    ).select("doc_id", F.col("text2").alias("text"))
+    return c4_filter(doc).select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences", "clean_len",
+        "reason", "kept",
+    )
+
+
+# The oracle restates every rule over the same constructed text.
+Q316_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN chr(10) || 'A clean closing line one two three.'
+                    || chr(10) || 'Another fine sentence here friend.'
+                    || chr(10) || 'Third sentence is also right here.'
+                    || chr(10) || 'Fourth sentence closes it out now.'
+                    || chr(10) || 'Fifth sentence makes the quota sir.'
+           WHEN 1 THEN chr(10) || 'Enable javascript to view this page.'
+           WHEN 2 THEN chr(10) || 'Lorem ipsum dolor sit amet friend.'
+           WHEN 3 THEN chr(10) || 'if (x) { return; } end of story.'
+           ELSE chr(10) || 'this page mentions badword2 sadly too.'
+         END AS text
+  FROM documents WHERE doc_id < 400
+),
+f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), l ->
+             regexp_matches(l, '[.!?"]\s*$')
+             AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                 x -> x <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')
+         ) AS kept_lines
+  FROM d
+),
+g AS (
+  SELECT doc_id, text,
+         CAST(len(lines) AS INT) AS n_lines,
+         CAST(len(kept_lines) AS INT) AS n_kept_lines,
+         array_to_string(kept_lines, chr(10)) AS clean0
+  FROM f
+),
+h AS (
+  SELECT doc_id, text, n_lines, n_kept_lines,
+         coalesce(clean0, '') AS clean,
+         CAST(len(regexp_extract_all(coalesce(clean0, ''), '[.!?]'))
+              AS INT) AS n_sentences
+  FROM g
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+       CAST(length(clean) AS INT) AS clean_len,
+       CASE WHEN regexp_matches(lower(text), '\b(badword1|badword2)\b')
+              THEN 'blocklist'
+            WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+            WHEN contains(text, '{') THEN 'brace'
+            WHEN n_sentences < 5 THEN 'too_few_sentences'
+       END AS reason,
+       CASE WHEN regexp_matches(lower(text), '\b(badword1|badword2)\b')
+              THEN FALSE
+            WHEN contains(lower(text), 'lorem ipsum') THEN FALSE
+            WHEN contains(text, '{') THEN FALSE
+            WHEN n_sentences < 5 THEN FALSE
+            ELSE TRUE END AS kept
+FROM h
+"""
+
+
+QUERIES.append(Q("q316_c4_filter", q316, Q316_ORACLE))
+
+
+# --- Q317: binary-quantized similarity (sign codes + Hamming prefilter + rerank) ------------
+def q317(spark, sf_dir):
+    """Binary embedding quantization with Hamming prefilter + exact
+    rerank (operators/similarity.py::binary_hamming_topk): sign-bit
+    codes packed as two 32-bit halves (portable longs), popcount
+    Hamming as the coarse pass (E[hamming] = 64·θ/π estimates the
+    angle), exact rounded-cosine top-3 among candidates within
+    Hamming ≤ 24. Fully deterministic integers + the q69 rerank
+    discipline ⇒ the oracle replays codes, distance and ranking
+    bit-for-bit."""
+    from parquet_on_fhir_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = binary_hamming_topk(e, queries, dims=64, k=3, max_hamming=24)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+Q317_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+ex AS (SELECT vec_id, unnest(ee) AS v, generate_subscripts(ee, 1) AS i FROM e),
+codes AS (
+  SELECT vec_id,
+         sum(CASE WHEN v > 0 AND i <= 32
+                  THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS lo,
+         sum(CASE WHEN v > 0 AND i > 32
+                  THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS hi
+  FROM ex GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         CAST(bit_count(xor(c.lo, q.lo))
+              + bit_count(xor(c.hi, q.hi)) AS INT) AS hamming
+  FROM codes c JOIN codes q ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  WHERE bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)) <= 24
+),
+qx AS (SELECT vec_id AS q_id, unnest(ee) AS v,
+              generate_subscripts(ee, 1) AS i
+       FROM e WHERE vec_id < 5),
+sims AS (
+  SELECT cand.q_id, cand.vec_id, cand.hamming,
+         round(sum(ex.v * qx.v)
+               / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(qx.v * qx.v)))
+               + 1e-9, 6) AS cosine
+  FROM cand
+  JOIN ex ON ex.vec_id = cand.vec_id
+  JOIN qx ON qx.q_id = cand.q_id AND qx.i = ex.i
+  GROUP BY 1, 2, 3
+)
+SELECT q_id, vec_id, hamming, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+         AS rnk
+FROM sims QUALIFY rnk <= 3
+"""
+
+
+QUERIES.append(Q("q317_binary_hamming_topk", q317, Q317_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

@@ -1309,3 +1309,77 @@ def test_ivf_fixed_codebook_assignment_and_probe(spark):
     ranks = {r["vec_id"]: r["rank"] for r in ivf_topk_fixed(
         corpus, queries, cents, k=5, n_probe=1).collect()}
     assert ranks[1] == 1 and ranks[2] == 2 and ranks[5] == 3
+
+
+def test_c4_filter_rule_truth_table(spark):
+    """C4 cleaning rules (r14 wave 3): line gates (terminal punct,
+    >=3 words, no-javascript) and page gates (blocklist > lorem >
+    brace > sentences) with first-reason precedence."""
+    from parquet_on_fhir_spark.operators.curation import c4_filter
+
+    five = ("One fine sentence right here.\nSecond sentence also here ok."
+            "\nThird one is here as well.\nFourth sentence lands here too."
+            "\nFifth sentence completes it now.")
+    docs = spark.createDataFrame(
+        [(1, five),
+         (2, five + "\nno terminal punct line\nshort one.\n"
+                     "Enable javascript to proceed."),
+         (3, five + "\nlorem ipsum dolor sit."),
+         (4, five + "\ncode { brace }."),
+         (5, five + "\nthis has badword1 in it."),
+         (6, "Too. Few. Sentences here.")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            c4_filter(docs, blocklist=("badword1",)).collect()}
+    assert rows[1]["kept"] is True and rows[1]["reason"] is None
+    assert rows[1]["n_kept_lines"] == 5 and rows[1]["n_sentences"] == 5
+    # doc 2: three bad lines dropped (no punct; <3 words; javascript),
+    # page still kept (5 clean sentences survive)
+    assert rows[2]["n_lines"] == 8 and rows[2]["n_kept_lines"] == 5
+    assert rows[2]["kept"] is True
+    assert rows[3]["reason"] == "lorem_ipsum"
+    assert rows[4]["reason"] == "brace"
+    assert rows[5]["reason"] == "blocklist"
+    assert rows[6]["reason"] == "too_few_sentences"
+    assert not rows[6]["kept"]
+    # precedence: blocklist beats brace on a doc with both
+    both = spark.createDataFrame(
+        [(7, five + "\nbadword1 { both }.")], "doc_id long, text string")
+    assert c4_filter(both, blocklist=("badword1",)).collect()[0][
+        "reason"] == "blocklist"
+
+
+def test_binary_hamming_codes_and_rerank(spark):
+    """Binary quantization (r14 wave 3): sign codes pack into two
+    32-bit halves, Hamming counts differing signs, a loose threshold
+    reproduces brute force exactly, a tight one prunes."""
+    from parquet_on_fhir_spark.operators.similarity import (
+        binary_codes,
+        binary_hamming_topk,
+        brute_force_topk,
+    )
+
+    # code packing: dims 0 and 33 positive -> lo bit0, hi bit1
+    df = spark.createDataFrame(
+        [([1.0] + [-1.0] * 32 + [1.0] + [-1.0] * 30,)],
+        "embedding array<double>",
+    )
+    lo, hi = binary_codes(F.col("embedding"), 64)
+    r = df.select(lo.alias("lo"), hi.alias("hi")).collect()[0]
+    assert (r["lo"], r["hi"]) == (1, 2)
+
+    from parquet_on_fhir_spark.api import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    loose = binary_hamming_topk(e, q, k=4, max_hamming=64).select(
+        "q_id", "vec_id", "rank")
+    exact = brute_force_topk(e, q, k=4).select("q_id", "vec_id", "rank")
+    assert loose.exceptAll(exact).count() == 0
+    assert exact.exceptAll(loose).count() == 0
+    # tight threshold prunes candidates but keeps them a subset
+    tight = binary_hamming_topk(e, q, k=4, max_hamming=8)
+    assert tight.count() <= loose.count()
+    assert tight.filter(F.col("hamming") > 8).count() == 0
