@@ -287,3 +287,77 @@ def http_text(
             "charset string, charset_source string, text string"
         ),
     )
+
+
+def fix_mojibake_text(s: str, max_passes: int = 2):
+    """Repair the classic mojibake class: UTF-8 bytes that were
+    mis-decoded as windows-1252/latin-1 somewhere upstream ("café" →
+    "cafÃ©"). The reversal is exact when it applies: re-encode with
+    cp1252 (latin-1 for the five cp1252 holes), strict-decode as
+    UTF-8 — if the round trip succeeds AND shortens the string (real
+    mojibake always does: multibyte sequences collapse), accept it.
+    Up to ``max_passes`` rounds unwind double-encoding. Pure function
+    of the input — deterministic, oracle-friendly.
+
+    Returns (fixed_text, n_passes_applied)."""
+    cur = s
+    passes = 0
+    for _ in range(max_passes):
+        try:
+            raw = cur.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                raw = cur.encode("latin-1")
+            except UnicodeEncodeError:
+                break
+        try:
+            dec = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if dec == cur or len(dec) >= len(cur):
+            break
+        cur = dec
+        passes += 1
+    return cur, passes
+
+
+def fix_mojibake(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_passes: int = 2,
+):
+    """Corpus-wide mojibake repair in one Arrow-batched mapInPandas
+    pass (the ftfy-core case a crawl hits constantly: a page served
+    as UTF-8, transcoded as if it were 1252 by some middlebox).
+    Output: (id, text, fixed, n_passes) — ``text`` is the repaired
+    string, ``fixed`` flags rows that changed."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, texts, fixed, np_ = [], [], [], []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                ids.append(did)
+                if not isinstance(s, str):
+                    texts.append(None)
+                    fixed.append(None)
+                    np_.append(None)
+                    continue
+                out, passes = fix_mojibake_text(s, max_passes)
+                texts.append(out)
+                fixed.append(passes > 0)
+                np_.append(passes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "fixed": pd.Series(fixed, dtype="object"),
+                    "n_passes": pd.Series(np_, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches,
+        schema="doc_id long, text string, fixed boolean, n_passes int",
+    )

@@ -209,6 +209,58 @@ def sitemap_urls(
     )
 
 
+def parse_sitemap(
+    df: DataFrame,
+    *,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap XML parsing (sitemaps.org protocol, r14 wave 4) — the
+    step after :func:`sitemap_urls` discovery: a sitemap is either a
+    ``<urlset>`` of page entries or a ``<sitemapindex>`` of child
+    sitemaps; each entry carries ``<loc>`` and optionally
+    ``<lastmod>``. PURE Catalyst: block split via
+    ``regexp_extract_all`` (dotall), per-block field extraction via
+    ``transform`` + ``regexp_extract`` — map-only, zero python per
+    document, the schema is regular enough that a real XML parser
+    buys nothing at corpus scale. Output: (host, kind ∈
+    {urlset, index}, seq, loc, lastmod) in document order; entries
+    without a <loc> are dropped (spec: loc is required)."""
+    xml = F.col(xml_col)
+    kind = F.when(xml.contains("<sitemapindex"), "index").otherwise(
+        "urlset"
+    )
+    blocks = F.expr(
+        f"regexp_extract_all({xml_col}, "
+        "'(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
+    )
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, r"(?s)<loc>\s*(.*?)\s*</loc>", 1).alias(
+                "loc"
+            ),
+            F.regexp_extract(
+                b, r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+            ).alias("lastmod"),
+        ),
+    )
+    out = df.select(
+        F.col(host_col),
+        kind.alias("kind"),
+        F.posexplode(entries).alias("seq", "e"),
+    ).filter(F.col("e.loc") != "")
+    return out.select(
+        host_col,
+        "kind",
+        "seq",
+        F.col("e.loc").alias("loc"),
+        F.when(F.col("e.lastmod") != "", F.col("e.lastmod")).alias(
+            "lastmod"
+        ),
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     robots: DataFrame,

@@ -41,6 +41,11 @@ WINDOW = [
     #    displaced q160/q165, the newest remaining r7 fills
     "q316_c4_filter",
     "q317_binary_hamming_topk",
+    # -- tier 2d: r14 wave-4 debuts (streaming robots gate; mojibake;
+    #    sitemap XML) — displaced q101/q102/q118
+    "q318_stream_robots_gate",
+    "q319_mojibake_repair",
+    "q320_sitemap_parse",
     # -- tier 3: re-pin on the r14 re-planned operator
     "q307_robots_filter",
     # -- tier 4: the full r6-vintage cohort (oldest lifetime evidence)
@@ -80,9 +85,6 @@ WINDOW = [
     "q164_stream_cdc_apply",
     # -- tier 5: r7-cohort fills, oldest-first (registration order)
     "q100_tpch_q7_volume_shipping",
-    "q101_tpch_q8_market_share",
-    "q102_tpch_q12_late_lines",
-    "q118_zorder_write",
 ]
 
 

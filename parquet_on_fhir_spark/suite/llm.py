@@ -5369,6 +5369,121 @@ FROM sims QUALIFY rnk <= 3
 QUERIES.append(Q("q317_binary_hamming_topk", q317, Q317_ORACLE))
 
 
+# --- Q319: mojibake repair (ftfy-core case) -------------------------------------------------
+def q319(spark, sf_dir):
+    """Mojibake repair (operators/encoding.py::fix_mojibake, r14 wave
+    4 — the ftfy-core transform a crawl needs constantly: UTF-8 bytes
+    mis-decoded as 1252/latin-1 upstream, 'café' → 'cafÃ©'). The
+    reversal is exact where it applies (re-encode cp1252-with-latin-1
+    -fallback, strict UTF-8 decode, accept only if it shortens);
+    double encoding unwinds in two passes; strings whose repair round
+    trip fails stay untouched. 150 fixtures cycle four classes by
+    doc_id%4 (clean; single mojibake; DOUBLE mojibake; a lone Ã that
+    must NOT be 'repaired'), built by actually mis-decoding UTF-8 at
+    fixture time, so the repaired text is closed form."""
+    from parquet_on_fhir_spark.operators.encoding import fix_mojibake
+
+    def make(i: int) -> str:
+        k = i % 4
+        clean = f"café naïve {i}"
+        if k == 0:
+            return clean
+        if k == 1:
+            return clean.encode("utf-8").decode("latin-1")
+        if k == 2:
+            once = clean.encode("utf-8").decode("latin-1")
+            return once.encode("utf-8").decode("latin-1")
+        return f"x Ã y {i}"  # 0xC3 0x20: invalid UTF-8, stays as-is
+
+    rows = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(rows, "i INT, mtext STRING")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    docs = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select("doc_id", F.col("mtext").alias("text"))
+    return fix_mojibake(docs)
+
+
+Q319_ORACLE = """
+WITH m AS (SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id < 150)
+SELECT doc_id,
+       CASE WHEN k IN (0, 1, 2)
+            THEN 'café naïve ' || CAST(doc_id AS VARCHAR)
+            ELSE 'x Ã y ' || CAST(doc_id AS VARCHAR) END AS text,
+       k IN (1, 2) AS fixed,
+       CAST(CASE k WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS INT)
+         AS n_passes
+FROM m
+"""
+
+
+QUERIES.append(Q("q319_mojibake_repair", q319, Q319_ORACLE))
+
+
+# --- Q320: sitemap XML parsing (urlset / sitemapindex) --------------------------------------
+def q320(spark, sf_dir):
+    """Sitemap XML parsing (operators/robots.py::parse_sitemap, r14
+    wave 4 — the consumption step after q315's discovery): urlset
+    page entries with optional lastmod, sitemapindex child pointers,
+    whitespace-tolerant <loc>, loc-less entries dropped per spec.
+    PURE Catalyst (dotall regexp block split + per-block transform
+    extraction) — map-only over the sitemap frame. 150 hosts cycle
+    three document shapes by doc_id%3; closed form."""
+    from parquet_on_fhir_spark.operators.robots import parse_sitemap
+
+    def make(i: int) -> str:
+        k = i % 3
+        if k == 0:
+            return (
+                '<?xml version="1.0"?><urlset>'
+                f"<url><loc>https://h{i}.ex/a</loc>"
+                "<lastmod>2026-01-02</lastmod></url>"
+                f"<url><loc>\n  https://h{i}.ex/b  \n</loc></url>"
+                "<url><lastmod>2026-01-03</lastmod></url>"  # no loc: drop
+                "</urlset>"
+            )
+        if k == 1:
+            return (
+                "<sitemapindex>"
+                f"<sitemap><loc>https://h{i}.ex/child.xml</loc>"
+                "<lastmod>2026-02-03</lastmod></sitemap>"
+                "</sitemapindex>"
+            )
+        return '<?xml version="1.0"?><urlset></urlset>'
+
+    rows = [(f"h{i}.ex", make(i)) for i in range(150)]
+    pay = spark.createDataFrame(rows, "host string, sitemap_xml string")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sm = d.join(
+        F.broadcast(pay),
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".ex"))
+        == F.col("host"),
+    ).select("host", "sitemap_xml")
+    return parse_sitemap(sm)
+
+
+Q320_ORACLE = """
+WITH m AS (SELECT doc_id, doc_id % 3 AS k FROM documents WHERE doc_id < 150)
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.ex' AS host,
+       'urlset' AS kind, CAST(0 AS INT) AS seq,
+       'https://h' || CAST(doc_id AS VARCHAR) || '.ex/a' AS loc,
+       '2026-01-02' AS lastmod
+FROM m WHERE k = 0
+UNION ALL
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.ex', 'urlset', CAST(1 AS INT),
+       'https://h' || CAST(doc_id AS VARCHAR) || '.ex/b', NULL
+FROM m WHERE k = 0
+UNION ALL
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.ex', 'index', CAST(0 AS INT),
+       'https://h' || CAST(doc_id AS VARCHAR) || '.ex/child.xml',
+       '2026-02-03'
+FROM m WHERE k = 1
+"""
+
+
+QUERIES.append(Q("q320_sitemap_parse", q320, Q320_ORACLE))
+
+
 # --- Q285: audio spectral features (rFFT) ---------------------------------------------
 def q285(spark, sf_dir):
     """operators/multimodal.py::wav_spectral_features end-to-end (r12

@@ -724,3 +724,80 @@ FROM live GROUP BY event_type
 
 
 QUERIES.append(Q("q254_stream_conformal_monitor", q254, Q254_ORACLE))
+
+
+# --- Q318: streaming robots gate (stream-static crawl compliance) ---------------------------
+def q318(spark, sf_dir):
+    """The crawl-compliance gate ON A STREAM (r14 wave 4): a
+    readStream of discovered URLs flows through the SAME
+    operators/robots.py::robots_filter join plan that serves batch —
+    the rules frame (executor-parsed, host-folded) is the static side
+    of a stream-static left join, the RFC 9309 longest-match fold is
+    stateless Catalyst, so the gate costs the stream nothing but the
+    broadcast probe. AvailableNow + append memory sink replays
+    everything in one batch; verdicts are the q307 closed form over
+    event ids (host = user_id%5, path = event_id%4)."""
+    from parquet_on_fhir_spark.operators.robots import robots_filter
+    from parquet_on_fhir_spark.streaming.jobs import stream_events
+
+    robots = spark.createDataFrame(
+        [
+            ("h0.ex", "User-agent: *\nDisallow: /private/\n"
+                      "Allow: /private/ok/\n"),
+            ("h1.ex", "User-agent: *\nDisallow: /*.pdf$\n"),
+            # h2.ex: no robots.txt at all (allowed by default)
+            ("h3.ex", "User-agent: sparkbot\nDisallow: /pub/\n\n"
+                      "User-agent: *\nDisallow: /\n"),
+            ("h4.ex", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    paths = F.array(
+        F.lit("/private/doc.html"),
+        F.lit("/private/ok/doc.html"),
+        F.lit("/files/doc.pdf"),
+        F.lit("/pub/doc.txt"),
+    )
+    s = stream_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    urls = s.select(
+        "event_id",
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 5).cast("string"), F.lit(".ex")
+        ).alias("host"),
+    ).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("host"),
+            F.element_at(paths, (F.col("event_id") % 4 + 1).cast("int")),
+        ),
+    )
+    gated = robots_filter(urls, robots, user_agent="sparkbot")
+    return run_to_memory(
+        gated.select("event_id", "host", "url", "allowed"), "append"
+    )
+
+
+Q318_ORACLE = """
+WITH m AS (
+  SELECT event_id, user_id % 5 AS h, event_id % 4 AS k
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+       'h' || CAST(h AS VARCHAR) || '.ex' AS host,
+       'https://h' || CAST(h AS VARCHAR) || '.ex' ||
+       CASE k WHEN 0 THEN '/private/doc.html'
+              WHEN 1 THEN '/private/ok/doc.html'
+              WHEN 2 THEN '/files/doc.pdf'
+              ELSE '/pub/doc.txt' END AS url,
+       CASE h
+         WHEN 0 THEN k <> 0
+         WHEN 1 THEN k <> 2
+         WHEN 2 THEN TRUE
+         WHEN 3 THEN k <> 3
+         ELSE TRUE
+       END AS allowed
+FROM m
+"""
+
+
+QUERIES.append(Q("q318_stream_robots_gate", q318, Q318_ORACLE))

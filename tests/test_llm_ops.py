@@ -1383,3 +1383,57 @@ def test_binary_hamming_codes_and_rerank(spark):
     tight = binary_hamming_topk(e, q, k=4, max_hamming=8)
     assert tight.count() <= loose.count()
     assert tight.filter(F.col("hamming") > 8).count() == 0
+
+
+def test_mojibake_repair_cases(spark):
+    """fix_mojibake (r14 wave 4): exact reversal of single/double
+    UTF-8-as-latin1 mis-decoding, refusal on invalid round trips,
+    cp1252-hole fallback, NULL passthrough."""
+    from parquet_on_fhir_spark.operators.encoding import (
+        fix_mojibake,
+        fix_mojibake_text,
+    )
+
+    clean = "café naïve — “ok”"
+    once = clean.encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    assert fix_mojibake_text(once) == (clean, 1)
+    assert fix_mojibake_text(twice) == (clean, 2)
+    assert fix_mojibake_text(clean) == (clean, 0)
+    assert fix_mojibake_text("x Ã y") == ("x Ã y", 0)  # invalid utf-8
+    assert fix_mojibake_text("plain ascii.") == ("plain ascii.", 0)
+    # repair must never run on text it can't round-trip (CJK etc.)
+    assert fix_mojibake_text("日本語テキスト") == ("日本語テキスト", 0)
+
+    docs = spark.createDataFrame(
+        [(1, once), (2, clean), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fix_mojibake(docs).collect()}
+    assert rows[1]["text"] == clean and rows[1]["fixed"] is True
+    assert rows[2]["fixed"] is False and rows[2]["n_passes"] == 0
+    assert rows[3]["text"] is None and rows[3]["n_passes"] is None
+
+
+def test_parse_sitemap_shapes(spark):
+    """parse_sitemap (r14 wave 4): urlset vs sitemapindex detection,
+    optional lastmod, whitespace-tolerant loc, loc-less entries
+    dropped, empty documents emit nothing."""
+    from parquet_on_fhir_spark.operators.robots import parse_sitemap
+
+    sm = spark.createDataFrame(
+        [("a.ex", "<urlset><url><loc>https://a.ex/1</loc>"
+                  "<lastmod>2026-03-04</lastmod></url>"
+                  "<url><loc>  https://a.ex/2 </loc></url>"
+                  "<url><lastmod>2026-03-05</lastmod></url></urlset>"),
+         ("b.ex", "<sitemapindex><sitemap><loc>https://b.ex/c.xml</loc>"
+                  "</sitemap></sitemapindex>"),
+         ("c.ex", "<urlset></urlset>")],
+        "host string, sitemap_xml string",
+    )
+    rows = [(r["host"], r["kind"], r["seq"], r["loc"], r["lastmod"])
+            for r in parse_sitemap(sm).orderBy("host", "seq").collect()]
+    assert rows == [
+        ("a.ex", "urlset", 0, "https://a.ex/1", "2026-03-04"),
+        ("a.ex", "urlset", 1, "https://a.ex/2", None),
+        ("b.ex", "index", 0, "https://b.ex/c.xml", None),
+    ]
