@@ -42,10 +42,12 @@ WINDOW = [
     "q316_c4_filter",
     "q317_binary_hamming_topk",
     # -- tier 2d: r14 wave-4 debuts (streaming robots gate; mojibake;
-    #    sitemap XML) — displaced q101/q102/q118
+    #    sitemap XML; seeded-plane LSH oracle twin) — displaced
+    #    q101/q102/q118/q100, exhausting the r7 fill slots
     "q318_stream_robots_gate",
     "q319_mojibake_repair",
     "q320_sitemap_parse",
+    "q70d_lsh_seeded_planes",
     # -- tier 3: re-pin on the r14 re-planned operator
     "q307_robots_filter",
     # -- tier 4: the full r6-vintage cohort (oldest lifetime evidence)
@@ -83,8 +85,6 @@ WINDOW = [
     "q147_bpe_pairs",
     "q163_multimodal_real_decode",
     "q164_stream_cdc_apply",
-    # -- tier 5: r7-cohort fills, oldest-first (registration order)
-    "q100_tpch_q7_volume_shipping",
 ]
 
 

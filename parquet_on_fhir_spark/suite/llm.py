@@ -295,8 +295,90 @@ FROM sims QUALIFY rnk <= 3
 """
 
 
-# (q70c is registered in the QUERIES literal below — the list doesn't
-# exist yet at this point in the module.)
+# --- Q70d: sign-LSH ANN with the seeded hyperplanes replayed in SQL (oracle twin) ----------
+def q70d(spark, sf_dir):
+    """Sign-LSH ANN, oracle-backed (r14 — the q67c/q70c pattern
+    applied to the LAST hash family in the rows-only tail): q70's
+    ann_topk is deterministic given its seeded hyperplanes
+    (random_hyperplanes(dim, n, seed) — the same Gaussian draw every
+    run), so the full pipeline — per-table sign-pattern buckets,
+    (table, bucket) candidate join, dedup, exact rounded-cosine
+    rerank — replays in SQL with the planes as literals. 4 tables × 4
+    planes keeps the literal table at 16×64 doubles. Sign knife-edge
+    (dot ≈ 0 flipping between engines) is measure-zero on real
+    embeddings; the rerank uses the shared 6-dp discipline."""
+    from parquet_on_fhir_spark.operators.similarity import ann_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    out = ann_topk(e, queries, dim=64, k=3, n_planes=4, n_tables=4)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _q70d_planes_sql() -> str:
+    """The EXACT plane literals ann_topk(seed=42, n_tables=4,
+    n_planes=4) uses, as a (t, p, vals) VALUES table — repr()
+    round-trips each double bit-exactly into DuckDB."""
+    from parquet_on_fhir_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    rows = []
+    for t_i in range(4):
+        planes = random_hyperplanes(64, 4, 42 + t_i)
+        for p_i, vec in enumerate(planes):
+            rows.append(
+                "(%d, %d, [%s])"
+                % (t_i, p_i, ", ".join(repr(float(x)) for x in vec))
+            )
+    return "(VALUES %s) AS tp(t, p, vals)" % ", ".join(rows)
+
+
+Q70D_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+ex AS (SELECT vec_id, unnest(ee) AS v, generate_subscripts(ee, 1) AS i FROM e),
+pl AS (
+  SELECT t, p, unnest(vals) AS pv, generate_subscripts(vals, 1) AS i
+  FROM {_q70d_planes_sql()}
+),
+dots AS (
+  SELECT ex.vec_id, pl.t, pl.p, sum(ex.v * pl.pv) AS dot
+  FROM ex JOIN pl ON ex.i = pl.i
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0
+                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+  FROM buckets c JOIN buckets q
+    ON c.t = q.t AND c.bucket = q.bucket
+   AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+qx AS (SELECT vec_id AS q_id, v, i FROM ex WHERE vec_id < 5),
+sims AS (
+  SELECT cand.q_id, cand.vec_id,
+         round(sum(ex.v * qx.v)
+               / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(qx.v * qx.v)))
+               + 1e-9, 6) AS cosine
+  FROM cand
+  JOIN ex ON ex.vec_id = cand.vec_id
+  JOIN qx ON qx.q_id = cand.q_id AND qx.i = ex.i
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+         AS rnk
+FROM sims QUALIFY rnk <= 3
+"""
+
+# (q70c/q70d are registered in the QUERIES literal below — the list
+# doesn't exist yet at this point in the module.)
 
 
 # --- Q91: embedding-cosine near-duplicate pairs (exact baseline; oracle) ---------------
@@ -705,6 +787,7 @@ QUERIES = [
     Q("q70_similarity_ann_lsh", q70, None),
     Q("q70b_similarity_ivf", q70b, None),
     Q("q70c_ivf_fixed_codebook", q70c, Q70C_ORACLE),
+    Q("q70d_lsh_seeded_planes", q70d, Q70D_ORACLE),
     Q("q71_text_stats", q71, Q71_ORACLE),
     Q("q71b_language_id", q71b, Q71B_ORACLE),
     Q("q72_term_idf", q72, Q72_ORACLE),

@@ -720,3 +720,16 @@ def test_crawl_budget_has_no_single_partition_window(spark):
     # scalar aggregates, which is the intended metadata fold)
     assert "windowspecdefinition(__pid" in plan, plan
     assert out.agg(F.sum("allocated")).collect()[0][0] == 1234
+
+
+def test_crawl_pipeline_plan_no_cartesian(spark, sf_dir):
+    """q310's composed WARC->charset->HTML->canon->quality pipeline:
+    the fixture joins must broadcast and nothing may plan a cartesian
+    product (the three mapInPandas stages hide sizes from the static
+    planner, so the per-id assembly joins may be SMJ pre-AQE — that's
+    fine; a cartesian would not be)."""
+    from parquet_on_fhir_spark.suite.llm import q310
+
+    p = plan_of(q310(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
