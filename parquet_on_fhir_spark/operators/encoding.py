@@ -237,12 +237,18 @@ def http_text(
     *,
     prescan_bytes: int = 1024,
     probe_bytes: int = 65536,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """WARC-response payload → decoded page text in ONE pass: split the
     HTTP preamble, read the transport Content-Type, sniff the body's
     charset (BOM > header > meta > UTF-8 probe > 1252), decode. Output:
-    (id, http_status, content_type, charset, charset_source, text)."""
+    (id, http_status, content_type, charset, charset_source, text)
+    plus any ``passthrough`` input columns copied row-wise — the
+    join-free composition seam (a STREAMING pipeline can't self-join
+    its stages without watermark state; carrying columns through the
+    pandas batch costs nothing and keeps the chain linear)."""
     import pandas as pd
+    import pyspark.sql.types as T
 
     def batches(it):
         for pdf in it:
@@ -269,23 +275,32 @@ def http_text(
                 css.append(cs)
                 srcs.append(src)
                 texts.append(decode_payload(body, cs, src))
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "http_status": pd.Series(stats, dtype="Int32"),
-                    "content_type": pd.Series(cts, dtype="object"),
-                    "charset": pd.Series(css, dtype="object"),
-                    "charset_source": pd.Series(srcs, dtype="object"),
-                    "text": pd.Series(texts, dtype="object"),
-                }
-            )
+            out = {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "http_status": pd.Series(stats, dtype="Int32"),
+                "content_type": pd.Series(cts, dtype="object"),
+                "charset": pd.Series(css, dtype="object"),
+                "charset_source": pd.Series(srcs, dtype="object"),
+                "text": pd.Series(texts, dtype="object"),
+            }
+            for c in passthrough:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(
-        batches,
-        schema=(
-            "media_id long, http_status int, content_type string, "
-            "charset string, charset_source string, text string"
-        ),
+    base = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("charset", T.StringType()),
+            T.StructField("charset_source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    for c in passthrough:
+        base = base.add(df.schema[c])
+    return df.select(id_col, payload_col, *passthrough).mapInPandas(
+        batches, schema=base
     )
 
 

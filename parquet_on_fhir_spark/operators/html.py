@@ -155,11 +155,16 @@ def html_extract(
     *,
     min_block_chars: int = 25,
     max_link_density: float = 0.5,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Corpus-wide main-content extraction: one ``mapInPandas`` pass
     over the pages (Arrow batches; the scan is the only data touch).
-    Output: (id, title, text, n_blocks, n_kept, link_density)."""
+    Output: (id, title, text, n_blocks, n_kept, link_density) plus
+    any ``passthrough`` input columns copied row-wise (the join-free
+    composition seam — see ``http_text``). NULL html degrades to
+    empty extraction, never raises."""
     import pandas as pd
+    import pyspark.sql.types as T
 
     def batches(it):
         for pdf in it:
@@ -169,7 +174,8 @@ def html_extract(
             )}
             for did, html in zip(pdf[id_col], pdf[html_col]):
                 info = extract_main_text(
-                    html if isinstance(html, str) else str(html),
+                    html if isinstance(html, str) else
+                    ("" if html is None else str(html)),
                     min_block_chars=min_block_chars,
                     max_link_density=max_link_density,
                 )
@@ -179,7 +185,7 @@ def html_extract(
                 rows["n_blocks"].append(info["n_blocks"])
                 rows["n_kept"].append(info["n_kept"])
                 rows["link_density"].append(info["link_density"])
-            yield pd.DataFrame({
+            out = {
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 "title": pd.Series(rows["title"], dtype="object"),
                 "text": pd.Series(rows["text"], dtype="object"),
@@ -187,17 +193,27 @@ def html_extract(
                 "n_kept": pd.Series(rows["n_kept"], dtype="int32"),
                 "link_density": pd.Series(rows["link_density"],
                                           dtype="float64"),
-            })
+            }
+            for c in passthrough:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(html_col).alias(html_col)
-    ).mapInPandas(
-        batches,
-        schema=(
-            "doc_id long, title string, text string, n_blocks int, "
-            "n_kept int, link_density double"
-        ),
+    base = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_blocks", T.IntegerType()),
+            T.StructField("n_kept", T.IntegerType()),
+            T.StructField("link_density", T.DoubleType()),
+        ]
     )
+    for c in passthrough:
+        base = base.add(df.schema[c])
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(html_col).alias(html_col),
+        *passthrough,
+    ).mapInPandas(batches, schema=base)
 
 
 def html_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:

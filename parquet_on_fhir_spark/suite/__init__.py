@@ -41,13 +41,22 @@ WINDOW = [
     #    displaced q160/q165, the newest remaining r7 fills
     "q316_c4_filter",
     "q317_binary_hamming_topk",
-    # -- tier 2d: r14 wave-4 debuts (streaming robots gate; mojibake;
-    #    sitemap XML; seeded-plane LSH oracle twin) — displaced
-    #    q101/q102/q118/q100, exhausting the r7 fill slots
+    # -- tier 2d: r14 wave-4/5 debuts (streaming robots gate; mojibake;
+    #    sitemap XML; the full STREAMING crawl pipeline) — displaced
+    #    q101/q102/q118/q100, exhausting the r7 fill slots.
+    #    Tradeoff, documented: with 15 oracle-backed debuts + the q307
+    #    re-pin + all 34 r6-vintage rows the window overflows by one,
+    #    and task 2's done-criterion (oldest green anywhere ≥ r7)
+    #    requires every r6 row to stay — so ONE debut waits:
+    #    q70d_lsh_seeded_planes (the least novel evidence — q70c
+    #    already pins the frozen-parameter ANN-twin pattern and the
+    #    q70/q70b recall tests cover sign-LSH) debuts windowless this
+    #    round, carried by the full-suite selfcheck, and takes the
+    #    first r15 slot.
     "q318_stream_robots_gate",
     "q319_mojibake_repair",
     "q320_sitemap_parse",
-    "q70d_lsh_seeded_planes",
+    "q321_stream_crawl_pipeline",
     # -- tier 3: re-pin on the r14 re-planned operator
     "q307_robots_filter",
     # -- tier 4: the full r6-vintage cohort (oldest lifetime evidence)

@@ -801,3 +801,120 @@ FROM m
 
 
 QUERIES.append(Q("q318_stream_robots_gate", q318, Q318_ORACLE))
+
+
+# --- Q321: full crawl ingestion ON A STREAM (join-free linear chain) ------------------------
+def q321(spark, sf_dir):
+    """q310's composed WARC → HTTP/charset → HTML → canon → quality
+    pipeline executed as a STREAM (r14 wave 5): a readStream of
+    crawl archives flows through the same three Arrow-batched
+    mapInPandas stages plus the pure-Catalyst canon/gate — but a
+    stream cannot self-join its stages (stream-stream joins need
+    watermark state), so the chain is LINEAR: the new ``passthrough``
+    seam on http_text/html_extract carries target_uri/charset through
+    each pandas batch instead of joining frames back together. The
+    only join is the stream-static broadcast of the 150-payload
+    fixture. AvailableNow + append memory sink ⇒ exact batch oracle;
+    verdicts are q310's closed form over event ids."""
+    from parquet_on_fhir_spark.operators.curation import canonicalize_url
+    from parquet_on_fhir_spark.operators.encoding import http_text
+    from parquet_on_fhir_spark.operators.html import html_extract
+    from parquet_on_fhir_spark.operators.warc import build_warc, warc_records
+    from parquet_on_fhir_spark.streaming.jobs import stream_events
+
+    def page(i: int) -> str:
+        title = f"<head><title>Page {i}</title></head>"
+        if (i % 6) >= 3:  # link farm
+            links = "".join(
+                f'<a href="/{j}">L{j:03d}</a> ' for j in range(8)
+            )
+            return f"<html>{title}<body><nav>{links}</nav></body></html>"
+        nav = '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>'
+        para = ("w%04d " % (i % 9999)) * 10 + "café."
+        return (
+            f"<html>{title}<body>{nav}<p>{para}</p>"
+            f"<div>Buy now!</div></body></html>"
+        )
+
+    def make(i: int) -> bytearray:
+        if i % 10 == 9:
+            return bytearray(b"junk not a warc " * 3)
+        html = page(i)
+        k = i % 3
+        if k == 0:
+            body = b"\xef\xbb\xbf" + html.encode("utf-8")
+            ct = b"text/html"
+        elif k == 1:
+            body = html.encode("windows-1252")
+            ct = b"text/html; charset=windows-1252"
+        else:
+            body = html.encode("utf-8")
+            ct = b"text/html"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n\r\n" + body
+        )
+        uri = f"HTTPS://www.EX.org:443//{i}/page/?utm_source=x&b=2&a=1#frag"
+        return bytearray(
+            build_warc(
+                [("response", uri, "2026-08-16T00:00:00Z", payload)],
+                gzip_members=(i % 2 == 1),
+            )
+        )
+
+    pay = spark.createDataFrame(
+        [(i, make(i)) for i in range(150)], "i INT, content BINARY"
+    )
+    s = stream_events(spark, sf_dir).filter(F.col("event_id") < 1000)
+    media = s.select(
+        F.col("event_id").alias("media_id"),
+        (F.col("event_id") % 150).cast("int").alias("i"),
+    ).join(F.broadcast(pay), "i").select("media_id", "content")
+
+    recs = warc_records(media, include_payload=True).filter(
+        F.col("rec_type") == "response"
+    )
+    pages = http_text(recs, passthrough=("target_uri",))
+    ext = html_extract(
+        pages,
+        id_col="media_id",
+        html_col="text",
+        passthrough=("charset", "charset_source", "target_uri"),
+    )
+    final = ext.select(
+        F.col("doc_id").alias("event_id"),
+        canonicalize_url(F.col("target_uri")).alias("canon_url"),
+        "charset",
+        "charset_source",
+        "title",
+        "n_kept",
+        F.length("text").alias("kept_len"),
+        (
+            (F.col("n_kept") >= 1) & F.length("text").between(50, 2000)
+        ).alias("quality_pass"),
+    )
+    return run_to_memory(final, "append")
+
+
+Q321_ORACLE = """
+WITH m AS (
+  SELECT event_id, event_id % 150 AS i FROM events WHERE event_id < 1000
+),
+c AS (
+  SELECT event_id, i, i % 3 AS k, (i % 6) >= 3 AS farm
+  FROM m WHERE i % 10 <> 9
+)
+SELECT event_id,
+       'https://ex.org/' || CAST(i AS VARCHAR) || '/page?a=1&b=2'
+         AS canon_url,
+       CASE k WHEN 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+       CASE k WHEN 0 THEN 'bom' WHEN 1 THEN 'http' ELSE 'heuristic'
+         END AS charset_source,
+       'Page ' || CAST(i AS VARCHAR) AS title,
+       CAST(CASE WHEN farm THEN 0 ELSE 1 END AS INT) AS n_kept,
+       CAST(CASE WHEN farm THEN 0 ELSE 65 END AS INT) AS kept_len,
+       NOT farm AS quality_pass
+FROM c
+"""
+
+
+QUERIES.append(Q("q321_stream_crawl_pipeline", q321, Q321_ORACLE))
