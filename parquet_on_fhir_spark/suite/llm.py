@@ -4906,9 +4906,10 @@ def q310(spark, sf_dir):
     but keep zero blocks and fail the gate — so every output column
     is a closed-form function of doc_id. Scale shape: the three
     python stages are Arrow-batched mapInPandas passes riding one
-    corpus scan lineage; canon-URL and the gate are pure Catalyst;
-    the final assembly joins skinny per-record frames (AQE broadcasts
-    them at any realistic page/metadata ratio)."""
+    corpus scan lineage in a JOIN-FREE linear chain (the passthrough
+    seam carries uri/status/charset through each batch); canon-URL
+    and the gate are pure Catalyst; the ONLY join is the fixture
+    broadcast."""
     from parquet_on_fhir_spark.operators.curation import canonicalize_url
     from parquet_on_fhir_spark.operators.encoding import http_text
     from parquet_on_fhir_spark.operators.html import html_extract
@@ -4963,20 +4964,23 @@ def q310(spark, sf_dir):
     recs = warc_records(media, include_payload=True).filter(
         F.col("rec_type") == "response"
     )
-    urls = recs.select(
-        "media_id", canonicalize_url(F.col("target_uri")).alias("canon_url")
+    # Linear join-free chain (r14 wave 5): target_uri/status/charset
+    # ride the pandas batches via the passthrough seam, so the three
+    # python stages compose with ZERO assembly shuffles — the same
+    # form q321 needs on a stream, and at 100 TB batch it deletes two
+    # per-id joins the first cut of this query paid.
+    pages = http_text(recs, passthrough=("target_uri",))
+    ext = html_extract(
+        pages,
+        id_col="media_id",
+        html_col="text",
+        passthrough=(
+            "http_status", "charset", "charset_source", "target_uri",
+        ),
     )
-    pages = http_text(recs)
-    ext = html_extract(pages, id_col="media_id", html_col="text")
-    meta = pages.select(
-        "media_id", "http_status", "charset", "charset_source"
-    )
-    out = meta.join(urls, "media_id").join(
-        ext.withColumnRenamed("doc_id", "media_id"), "media_id"
-    )
-    return out.select(
-        "media_id",
-        "canon_url",
+    return ext.select(
+        F.col("doc_id").alias("media_id"),
+        canonicalize_url(F.col("target_uri")).alias("canon_url"),
         "charset",
         "charset_source",
         "http_status",

@@ -723,13 +723,17 @@ def test_crawl_budget_has_no_single_partition_window(spark):
 
 
 def test_crawl_pipeline_plan_no_cartesian(spark, sf_dir):
-    """q310's composed WARC->charset->HTML->canon->quality pipeline:
-    the fixture joins must broadcast and nothing may plan a cartesian
-    product (the three mapInPandas stages hide sizes from the static
-    planner, so the per-id assembly joins may be SMJ pre-AQE — that's
-    fine; a cartesian would not be)."""
+    """q310's composed WARC->charset->HTML->canon->quality pipeline is
+    a JOIN-FREE linear chain after the r14 passthrough rewrite: the
+    ONLY join in the plan is the broadcast of the 150-payload fixture
+    — no per-id assembly SMJ, no cartesian, no extra Exchange between
+    the python stages."""
     from parquet_on_fhir_spark.suite.llm import q310
 
     p = plan_of(q310(spark, sf_dir))
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    # exactly one join node: the fixture broadcast (formatted explain
+    # prints each node twice — once in the tree, once in the detail)
+    assert p.count("BroadcastHashJoin") <= 2, p
