@@ -1,0 +1,140 @@
+"""Hostile-input discipline for the crawl-stack parsers (r14): crawled
+bytes are adversarial by default, and an uncaught exception inside a
+mapInPandas batch kills the executor UDF for every row in the batch.
+Contract: ``parse_warc`` may raise ONLY ValueError (the quarantine
+signal ``warc_records`` converts to a rec_idx=-1 row); every other
+parser in the chain must never raise at all — it degrades (replace
+chars, empty extraction, allow-by-default, NULL fields) instead.
+Seeded random fuzz + structured mutations of valid fixtures."""
+
+import random
+
+from parquet_on_fhir_spark.operators.encoding import (
+    decode_payload,
+    fix_mojibake_text,
+    parse_http_response,
+    sniff_charset,
+)
+from parquet_on_fhir_spark.operators.html import extract_main_text
+from parquet_on_fhir_spark.operators.robots import (
+    parse_robots,
+    pattern_regex,
+    robots_allowed,
+)
+from parquet_on_fhir_spark.operators.warc import build_warc, parse_warc
+
+
+def _random_blobs(seed, n, max_len=400):
+    rng = random.Random(seed)
+    out = [b"", b"\x00", b"\xff" * 3]
+    for _ in range(n):
+        out.append(bytes(rng.randrange(256) for _ in range(rng.randrange(max_len))))
+    return out
+
+
+def test_warc_raises_only_valueerror():
+    recs = [("response", "https://e.x/", "2026-01-01T00:00:00Z",
+             b"HTTP/1.1 200 OK\r\n\r\nbody")]
+    for gz in (False, True):
+        good = build_warc(recs, gzip_members=gz)
+        # every truncation point: ValueError or a successful parse
+        for cut in range(len(good)):
+            try:
+                parse_warc(good[:cut])
+            except ValueError:
+                pass
+        # every single-byte corruption of the header region
+        for pos in range(0, min(60, len(good))):
+            bad = bytearray(good)
+            bad[pos] ^= 0xFF
+            try:
+                parse_warc(bytes(bad))
+            except ValueError:
+                pass
+    for blob in _random_blobs(140, 120):
+        try:
+            parse_warc(blob)
+        except ValueError:
+            pass
+
+
+def test_http_and_charset_never_raise():
+    for blob in _random_blobs(141, 150):
+        status, headers, body = parse_http_response(blob)
+        assert status is None or isinstance(status, int)
+        for ct in (None, "text/html; charset=utf-8",
+                   "text/html; charset=\x00bogus", "charset=",
+                   "text/html; charset=" + "x" * 500):
+            cs, src = sniff_charset(blob, ct)
+            text = decode_payload(blob, cs, src)
+            assert isinstance(text, str)
+    # charset param that names a real but exotic codec still decodes
+    cs, src = sniff_charset(b"\x82\xa0", "text/plain; charset=shift-jis")
+    assert cs == "shift_jis" and isinstance(
+        decode_payload(b"\x82\xa0", cs, src), str
+    )
+
+
+def test_html_extractor_never_raises():
+    rng = random.Random(142)
+    frags = ["<", ">", "</", "<a", "href=", "'", '"', "&", "&amp",
+             "<p>", "</p>", "<script>", "<!--", "]]>", "\x00", "é",
+             "<div", "<table><tr><td>", "<!DOCTYPE", "<![CDATA["]
+    for _ in range(150):
+        s = "".join(rng.choice(frags) for _ in range(rng.randrange(40)))
+        info = extract_main_text(s)
+        assert isinstance(info["n_blocks"], int)
+
+
+def test_robots_parser_never_raises_and_regex_is_safe():
+    rng = random.Random(143)
+    pieces = ["User-agent:", "Disallow:", "Allow:", "*", "$", "/",
+              "a", ":", "#c", "\n", "\r\n", " ", "sitemap:", "\x00",
+              "((", "[", "\\", ".*", "+?"]
+    import re as _re
+
+    for _ in range(200):
+        txt = "".join(rng.choice(pieces) for _ in range(rng.randrange(60)))
+        rules = parse_robots(txt, "bot")
+        assert robots_allowed(rules, "/any/path") in (True, False)
+        for _, pat in rules:
+            if pat:
+                # the Java-portable regex must also be a VALID python
+                # regex (same construction) — no metacharacter leaks
+                _re.compile(pattern_regex(pat))
+
+
+def test_mojibake_never_raises_or_grows():
+    rng = random.Random(144)
+    for _ in range(200):
+        n = rng.randrange(60)
+        s = "".join(chr(rng.randrange(1, 0x2FFF)) for _ in range(n))
+        out, passes = fix_mojibake_text(s)
+        assert passes >= 0 and len(out) <= len(s)
+
+
+def test_sitemap_and_metadata_never_raise(spark):
+    """The pure-Catalyst parsers (parse_sitemap, html_metadata) run
+    hostile strings through the JVM regex engine — execute a batch of
+    junk rows end-to-end and require completion."""
+    from parquet_on_fhir_spark.operators.html import html_metadata
+    from parquet_on_fhir_spark.operators.robots import sitemap_urls
+    from parquet_on_fhir_spark.operators.robots import parse_sitemap
+
+    rng = random.Random(145)
+    frags = ["<url>", "</url>", "<loc>", "</loc>", "<sitemapindex",
+             "<urlset>", "<", ">", "&", "x", "\n", "\x00", "é",
+             "<lastmod>", "]]>", "sitemap:", "Sitemap: http://a/b"]
+    rows = [(i, "".join(rng.choice(frags) for _ in range(rng.randrange(30))))
+            for i in range(80)]
+    sm = spark.createDataFrame(
+        [(f"h{i}", s) for i, s in rows],
+        "host string, sitemap_xml string",
+    )
+    assert parse_sitemap(sm).count() >= 0
+    robots = sm.withColumnRenamed("sitemap_xml", "robots_txt")
+    assert sitemap_urls(robots).count() >= 0
+    pages = spark.createDataFrame(
+        [(i, s) for i, s in rows], "doc_id long, html string"
+    )
+    assert html_metadata(pages).count() >= 0
