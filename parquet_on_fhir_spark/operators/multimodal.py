@@ -3728,3 +3728,107 @@ def encode_tiff(pixels, packbits: bool = False) -> bytes:
     return (
         header + ifd + struct.pack("<HHH", 8, 8, 8) + data
     )
+
+
+def stft_frame_features(
+    content: bytes, frame_len: int = 512, hop: int = 512
+):
+    """Frame-level spectral features (r14 wave 6 — the audio analog
+    of video frame-sampling: curation gates operate on FRAMES, not
+    whole clips, to find silence runs, clipping bursts, or tone
+    switches). Decode PCM WAV, mono mixdown, slice into
+    ``frame_len``-sample frames every ``hop`` samples (tail frame
+    dropped — a partial window has a different bin width and would
+    poison closed-form oracles), rectangular window, one rFFT per
+    frame, per frame: [rms, dominant_hz, centroid_hz] (power-weighted
+    centroid, DC excluded — the q285 conventions). Returns
+    (sample_rate, [(frame_idx, rms, dominant_hz, centroid_hz), ...]).
+    Raises ValueError for non-PCM payloads (quarantine upstream)."""
+    import numpy as np
+
+    sr, _ch, x = decode_wav(content)
+    mono = x.mean(axis=1)
+    out = []
+    n = len(mono)
+    idx = 0
+    start = 0
+    while start + frame_len <= n:
+        fr = mono[start : start + frame_len]
+        spec = np.abs(np.fft.rfft(fr))
+        power = spec * spec
+        power[0] = 0.0  # DC excluded, as in wav_spectral_features
+        binw = sr / frame_len
+        dom = float(np.argmax(power) * binw)
+        tot = float(power.sum())
+        cen = (
+            float((np.arange(len(power)) * binw * power).sum() / tot)
+            if tot > 0
+            else 0.0
+        )
+        rms = float(np.sqrt(np.mean(fr * fr)))
+        out.append((idx, rms, dom, cen))
+        idx += 1
+        start += hop
+    return sr, out
+
+
+def audio_frame_features(
+    df,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    frame_len: int = 512,
+    hop: int = 512,
+    max_frames: int | None = None,
+):
+    """Corpus-wide frame features: one output row per (clip, frame) —
+    (id, frame_idx, sample_rate, rms, dominant_hz, centroid_hz).
+    Arrow-batched mapInPandas riding the corpus scan (the codec-family
+    shape); undecodable payloads quarantine as a single frame_idx=-1
+    row; ``max_frames`` bounds per-clip work (the long-clip guard, as
+    in decode_gif_frames)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as _F
+
+    def batches(it):
+        for pdf in it:
+            ids, fidx, srs, rmss, doms, cens = [], [], [], [], [], []
+
+            def add(mid, i, sr, rms, dom, cen):
+                ids.append(mid)
+                fidx.append(i)
+                srs.append(sr)
+                rmss.append(rms)
+                doms.append(dom)
+                cens.append(cen)
+
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    sr, frames = stft_frame_features(
+                        bytes(content), frame_len, hop
+                    )
+                except ValueError:
+                    add(mid, -1, None, None, None, None)
+                    continue
+                for i, rms, dom, cen in frames:
+                    if max_frames is not None and i >= max_frames:
+                        break
+                    add(mid, i, sr, rms, dom, cen)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "sample_rate": pd.Series(srs, dtype="Int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "dominant_hz": pd.Series(doms, dtype="float64"),
+                    "centroid_hz": pd.Series(cens, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches,
+        schema=(
+            "media_id long, frame_idx int, sample_rate int, "
+            "rms double, dominant_hz double, centroid_hz double"
+        ),
+    )

@@ -47,12 +47,13 @@ WINDOW = [
     #    Tradeoff, documented: with 15 oracle-backed debuts + the q307
     #    re-pin + all 34 r6-vintage rows the window overflows by one,
     #    and task 2's done-criterion (oldest green anywhere ≥ r7)
-    #    requires every r6 row to stay — so ONE debut waits:
+    #    requires every r6 row to stay — so TWO debuts wait:
     #    q70d_lsh_seeded_planes (the least novel evidence — q70c
     #    already pins the frozen-parameter ANN-twin pattern and the
-    #    q70/q70b recall tests cover sign-LSH) debuts windowless this
-    #    round, carried by the full-suite selfcheck, and takes the
-    #    first r15 slot.
+    #    q70/q70b recall tests cover sign-LSH) and
+    #    q322_audio_frame_features (the q285/q193 audio family holds
+    #    current rows) debut windowless this round, carried by the
+    #    full-suite selfcheck, and take the first r15 slots.
     "q318_stream_robots_gate",
     "q319_mojibake_repair",
     "q320_sitemap_parse",

@@ -5643,6 +5643,80 @@ WHERE doc_id < 200
 QUERIES.append(Q("q285_audio_spectral_features", q285, Q285_ORACLE))
 
 
+# --- Q322: frame-level audio features (STFT framing) ----------------------------------------
+def q322(spark, sf_dir):
+    """operators/multimodal.py::audio_frame_features (r14 wave 6 —
+    the audio analog of video frame-sampling: silence runs, clipping
+    bursts and tone switches are FRAME phenomena): 50 WAV clips of 4
+    frame-aligned tone segments (sr 8192, frame 512 → bin width
+    exactly 16 Hz; segment m carries k+m cycles per frame at constant
+    amplitude 12000), so per-frame dominant/centroid pin to
+    16·(k+m) Hz exactly and rms to 12000/32768/√2 at 2 dp. Every 10th
+    clip is junk and quarantines as frame_idx = -1. One mapInPandas
+    pass riding the corpus scan, the codec-family shape."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+    )
+
+    sr, fl = 8192, 512
+
+    def make(j: int) -> bytearray:
+        if j % 10 == 9:
+            return bytearray(b"not audio at all " * 3)
+        k = j % 50 + 10
+        t_ = np.arange(fl)
+        segs = [
+            (12000 * np.sin(2 * np.pi * (k + m) * t_ / fl)).astype(
+                np.int16
+            )
+            for m in range(4)
+        ]
+        return bytearray(encode_wav(np.concatenate(segs), sr))
+
+    payloads = [(j, make(j)) for j in range(150)]
+    pay = spark.createDataFrame(payloads, "j INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("j")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+    out = audio_frame_features(media, frame_len=fl, hop=fl)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "sample_rate",
+        F.round("rms", 2).alias("rms_2dp"),
+        F.round("dominant_hz", 4).alias("dominant_hz"),
+        d4(F.col("centroid_hz")).alias("centroid_hz"),
+    )
+
+
+Q322_ORACLE = """
+WITH m AS (
+  SELECT doc_id, doc_id % 150 AS j, doc_id % 50 + 10 AS k
+  FROM documents WHERE doc_id < 150
+),
+f AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx)
+SELECT doc_id AS media_id, CAST(-1 AS INT) AS frame_idx,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS DOUBLE) AS rms_2dp,
+       CAST(NULL AS DOUBLE) AS dominant_hz,
+       CAST(NULL AS DOUBLE) AS centroid_hz
+FROM m WHERE j % 10 = 9
+UNION ALL
+SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(8192 AS INT) AS sample_rate,
+       round(12000.0 / 32768.0 / sqrt(2.0), 2) AS rms_2dp,
+       CAST(16 * (k + frame_idx) AS DOUBLE) AS dominant_hz,
+       round(16 * (k + frame_idx) + 1e-9, 4) AS centroid_hz
+FROM m, f WHERE j % 10 <> 9
+"""
+
+
+QUERIES.append(Q("q322_audio_frame_features", q322, Q322_ORACLE))
+
+
 # --- Q287: BPE tokenizer apply (encode) -----------------------------------------------
 #: fixed literal merge chain (training order) — forms `table</w>` and
 #: `scan</w>` over the corpus vocabulary; the SAME list is inlined in

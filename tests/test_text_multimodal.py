@@ -1025,3 +1025,47 @@ def test_apply_exif_orientation_group_properties():
     assert np.array_equal(fix(fix(a, 6), 8), a)
     with pytest.raises(ValueError, match="1-8"):
         fix(a, 9)
+
+
+def test_audio_frame_features_framing(spark):
+    """STFT framing (r14): frame-aligned tone segments land their
+    exact bin frequency per frame, partial tail frames drop, hop <
+    frame_len overlaps, junk quarantines as frame_idx=-1."""
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+        stft_frame_features,
+    )
+
+    sr, fl = 8192, 512
+    t_ = np.arange(fl)
+    segs = [
+        (12000 * np.sin(2 * np.pi * (20 + m) * t_ / fl)).astype(np.int16)
+        for m in range(3)
+    ]
+    clip = encode_wav(np.concatenate(segs + [segs[0][:100]]), sr)  # tail
+    got_sr, frames = stft_frame_features(clip, fl, fl)
+    assert got_sr == sr and len(frames) == 3  # tail frame dropped
+    for m, (i, rms, dom, cen) in enumerate(frames):
+        assert i == m and dom == 16.0 * (20 + m)
+        assert abs(cen - 16.0 * (20 + m)) < 1e-3
+        assert abs(rms - 12000 / 32768 / np.sqrt(2)) < 1e-4
+    # overlap: hop = fl // 2 over 3 full frames -> 5 frames
+    _, over = stft_frame_features(clip, fl, fl // 2)
+    assert len(over) == 5
+    media = spark.createDataFrame(
+        [(1, bytearray(clip)), (2, bytearray(b"junk"))],
+        "media_id long, content binary",
+    )
+    rows = audio_frame_features(media, frame_len=fl, hop=fl).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_id[1]) == [0, 1, 2] and by_id[2] == [-1]
+    # max_frames guard
+    capped = audio_frame_features(
+        media, frame_len=fl, hop=fl, max_frames=2
+    ).filter(F.col("media_id") == 1).count()
+    assert capped == 2
