@@ -1164,3 +1164,98 @@ def holt_winters_seasonal(
         .groupBy(*key_cols)
         .applyInPandas(smooth, schema=schema)
     )
+
+
+def kalman_local_level(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    q: float = 1.0,
+    r: float = 4.0,
+    p0: float | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kalman filter + RTS smoother per series for the LOCAL-LEVEL
+    model (r14 wave 6; Durbin & Koopman §2 — the canonical
+    state-space smoother sensor/metric pipelines reach for when EWMA's
+    fixed gain is wrong): state x_t = x_{t−1} + w_t (variance ``q``),
+    observation y_t = x_t + v_t (variance ``r``). Forward pass per t:
+    predict (m⁻ = m, P⁻ = P + q), gain K = P⁻/(P⁻ + r), update; the
+    backward Rauch-Tung-Striebel pass refines every estimate with the
+    information that arrived after it. Unlike EWMA the gain ADAPTS:
+    early observations get high K (uncertain state), the steady state
+    settles at the optimal signal-to-noise gain.
+
+    Initialization is explicit and deterministic: m_{0|0} = y_0,
+    P_{0|0} = ``p0`` (default ``r``). Same sanctioned applyInPandas
+    shape as :func:`holt_smoothing` — the recurrence is sequential
+    WITHIN a series, keys parallelize across executors, one shuffle
+    on the key. ``tie_cols`` break timestamp ties deterministically.
+
+    Output: *keys, ts, value, filtered, variance, gain, smoothed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qv, rv = float(q), float(r)
+    if qv <= 0 or rv <= 0:
+        raise ValueError("q and r must be > 0")
+    pv = rv if p0 is None else float(p0)
+    if pv <= 0:
+        raise ValueError("p0 must be > 0")
+    ties = tie_cols or []
+
+    schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + [
+            f"`{ts_col}` {df.schema[ts_col].dataType.simpleString()}",
+            f"`{value_col}` double",
+            "filtered double",
+            "variance double",
+            "gain double",
+            "smoothed double",
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, *ties], kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(y)
+        m = np.empty(n)
+        P = np.empty(n)
+        Ppred = np.empty(n)  # P_{t|t-1}, for the RTS gain
+        K = np.empty(n)
+        m[0], P[0] = y[0], pv
+        Ppred[0] = pv
+        K[0] = np.nan  # no update happened at t=0 (direct init)
+        for t in range(1, n):
+            mp = m[t - 1]
+            Pp = P[t - 1] + qv
+            Ppred[t] = Pp
+            k = Pp / (Pp + rv)
+            K[t] = k
+            m[t] = mp + k * (y[t] - mp)
+            P[t] = (1.0 - k) * Pp
+        ms = m.copy()
+        for t in range(n - 2, -1, -1):
+            c = P[t] / Ppred[t + 1]
+            ms[t] = m[t] + c * (ms[t + 1] - m[t])
+        out = pdf[[*key_cols, ts_col]].copy()
+        out[value_col] = y
+        out["filtered"] = m
+        out["variance"] = P
+        out["gain"] = K
+        out["smoothed"] = ms
+        return out
+
+    return (
+        df.select(
+            *key_cols,
+            ts_col,
+            *ties,
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy(*key_cols)
+        .applyInPandas(run, schema=schema)
+    )

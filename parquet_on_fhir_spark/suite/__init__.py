@@ -116,6 +116,7 @@ ROWS_ONLY_COVERAGE = {
     "q292_holt_winters_seasonal": "tests/test_timeseries.py (vs reference recurrence; coupled level/trend/season not oracle-portable)",
     "q300_holt_winters_mul_damped": "tests/test_timeseries.py (mul + damped variants vs independent recurrences; phi=1 bit-equality pin)",
     "q203_cusum_changepoints": "tests/test_timeseries.py (vs reference recurrence; reset accumulator not oracle-portable)",
+    "q323_kalman_local_level": "tests/test_timeseries.py (vs independent textbook filter+RTS recurrence; coupled mean/variance/gain not oracle-portable)",
     "q210_ols_fit": "tests/test_analytics.py (vs numpy lstsq; multi-feature matrix solve not oracle-portable)",
     "q231_logistic_fit": "tests/test_analytics.py (vs independent numpy IRLS; iterative MLE not oracle-portable)",
     "q248_cox_ph": "tests/test_analytics.py (vs independent brute-force numpy Breslow Cox; iterative partial MLE not oracle-portable)",

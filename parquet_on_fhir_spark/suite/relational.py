@@ -8130,3 +8130,35 @@ FROM s
 
 
 QUERIES.append(Q("q298_deming_regression", q298, Q298_ORACLE))
+
+
+# --- Q323: Kalman local-level filter + RTS smoother (rows-only: coupled recurrence) ----
+def q323(spark, sf_dir):
+    """operators/timeseries.py::kalman_local_level per user over
+    events (r14 wave 6) — the adaptive-gain state-space upgrade to
+    EWMA (q140) and Holt (q195): forward Kalman pass + backward
+    Rauch-Tung-Striebel smoothing. The coupled mean/variance/gain
+    recurrences are not ANSI-SQL-expressible, so correctness is
+    carried by tests/test_timeseries.py::
+    test_kalman_local_level_matches_reference (independent textbook
+    recurrence element-wise to 1e-9) and this query is rows-only.
+    ``tie_cols=['event_id']`` pins tied-timestamp order."""
+    from parquet_on_fhir_spark.operators.timeseries import (
+        kalman_local_level,
+    )
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = kalman_local_level(
+        e, "ts", ["user_id"], "value", q=1.0, r=4.0,
+        tie_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        d4(F.col("filtered")).alias("filtered"),
+        d4(F.col("variance")).alias("variance"),
+        d4(F.col("smoothed")).alias("smoothed"),
+    )
+
+
+QUERIES.append(Q("q323_kalman_local_level", q323, None))

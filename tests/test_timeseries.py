@@ -667,3 +667,79 @@ def test_holt_winters_damped_trend_properties(spark):
     with pytest.raises(ValueError, match="seasonal"):
         holt_winters_seasonal(df, "t", ["k"], "v", period=p,
                               seasonal="bogus")
+
+
+def test_kalman_local_level_matches_reference(spark):
+    """kalman_local_level (r14): element-wise agreement with an
+    independent textbook local-level filter + RTS smoother, adaptive
+    gain monotone-decreasing to a steady state, smoother variance
+    benefit (smoothed tracks a noiseless constant exactly), and
+    parameter guards."""
+    import numpy as np
+    import pytest
+
+    from parquet_on_fhir_spark.operators.timeseries import (
+        kalman_local_level,
+    )
+
+    rng = np.random.default_rng(7)
+    series = {}
+    rows = []
+    for uid in range(4):
+        level = 10.0 * (uid + 1)
+        y = []
+        for i in range(40):
+            if i == 20 and uid % 2:
+                level += 25.0  # planted step
+            level += rng.normal(0, 1.0)
+            obs = level + rng.normal(0, 2.0)
+            y.append(obs)
+            rows.append((uid, i, float(obs)))
+        series[uid] = np.array(y)
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    q, r = 1.0, 4.0
+    got = kalman_local_level(df, "ts", ["user_id"], "value", q=q, r=r)
+    out = {}
+    for row in got.collect():
+        out.setdefault(row["user_id"], {})[row["ts"]] = row
+
+    def reference(y):
+        n = len(y)
+        m = np.empty(n); P = np.empty(n); Pp = np.empty(n)
+        m[0], P[0], Pp[0] = y[0], r, r
+        for t_i in range(1, n):
+            pp = P[t_i - 1] + q
+            Pp[t_i] = pp
+            k = pp / (pp + r)
+            m[t_i] = m[t_i - 1] + k * (y[t_i] - m[t_i - 1])
+            P[t_i] = (1 - k) * pp
+        ms = m.copy()
+        for t_i in range(n - 2, -1, -1):
+            ms[t_i] = m[t_i] + (P[t_i] / Pp[t_i + 1]) * (
+                ms[t_i + 1] - m[t_i]
+            )
+        return m, P, ms
+
+    for uid, y in series.items():
+        m, P, ms = reference(y)
+        for i in range(len(y)):
+            row = out[uid][i]
+            assert abs(row["filtered"] - m[i]) < 1e-9
+            assert abs(row["variance"] - P[i]) < 1e-9
+            assert abs(row["smoothed"] - ms[i]) < 1e-9
+        # gain decreases monotonically to the steady state (no steps
+        # in P recursion — gain depends only on t)
+        gains = [out[uid][i]["gain"] for i in range(1, len(y))]
+        assert all(
+            gains[j + 1] <= gains[j] + 1e-12 for j in range(len(gains) - 1)
+        )
+    # noiseless constant series: filtered and smoothed == the constant
+    const = spark.createDataFrame(
+        [(1, i, 5.0) for i in range(10)], "user_id long, ts long, value double"
+    )
+    crows = kalman_local_level(const, "ts", ["user_id"], "value").collect()
+    assert all(abs(r2["smoothed"] - 5.0) < 1e-12 for r2 in crows)
+    with pytest.raises(ValueError):
+        kalman_local_level(df, "ts", ["user_id"], "value", q=0)
+    with pytest.raises(ValueError):
+        kalman_local_level(df, "ts", ["user_id"], "value", r=-1)
