@@ -37,22 +37,30 @@ def politeness_schedule(
     url_col: str = "url",
     priority_col: str = "priority",
     delay_ms: int = 1000,
+    delay_ms_col: str | None = None,
     per_host_cap: int | None = None,
 ) -> DataFrame:
     """Per-host fetch sequencing: keep at most ``per_host_cap`` URLs
     per host (highest ``priority`` first, URL as the deterministic
     tie-break), assign each a 1-based ``slot`` in that order, and an
-    ``eta_ms = (slot - 1) * delay_ms`` — the earliest time the fetch
-    may start under a fixed per-host delay with one connection per
-    host. Output: frontier columns + (slot, eta_ms)."""
+    ``eta_ms = (slot - 1) * delay`` — the earliest time the fetch
+    may start under a per-host delay with one connection per host.
+    The delay is the constant ``delay_ms`` unless ``delay_ms_col``
+    names a column riding the frontier (the robots ``Crawl-delay``
+    integration: join :func:`~parquet_on_fhir_spark.operators.robots.
+    crawl_delays` onto the frontier first). Output: frontier columns
+    + (slot, eta_ms)."""
     w = Window.partitionBy(host_col).orderBy(
         F.desc(priority_col), F.col(url_col)
     )
     out = frontier.withColumn("slot", F.row_number().over(w))
     if per_host_cap is not None:
         out = out.filter(F.col("slot") <= per_host_cap)
+    delay = (
+        F.col(delay_ms_col) if delay_ms_col is not None else F.lit(delay_ms)
+    )
     return out.withColumn(
-        "eta_ms", ((F.col("slot") - 1) * F.lit(delay_ms)).cast("long")
+        "eta_ms", ((F.col("slot") - 1) * delay).cast("long")
     )
 
 

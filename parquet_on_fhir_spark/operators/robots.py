@@ -209,6 +209,37 @@ def sitemap_urls(
     )
 
 
+def crawl_delays(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    robots_text_col: str = "robots_txt",
+    default_ms: int = 1000,
+    max_ms: int = 60_000,
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` extraction (r14 wave 7 — the de-facto
+    extension Bing/Yandex honor; seconds, fractional allowed): the
+    FIRST crawl-delay line wins, values clamp to ``max_ms`` (a site
+    asking for a day per fetch is effectively opting out — cap and
+    let budget allocation drop it), absent/NaN ⇒ ``default_ms``.
+    PURE Catalyst regexp over the robots frame — map-only. Output:
+    (host, delay_ms long)."""
+    raw = F.regexp_extract(
+        F.col(robots_text_col),
+        r"(?im)^\s*crawl-delay\s*:\s*([0-9]+(?:\.[0-9]+)?)",
+        1,
+    )
+    secs = F.when(raw != "", raw.cast("double"))
+    # NOTE: least() SKIPS nulls in Spark (least(NULL, cap) = cap), so
+    # the absent-directive default must branch BEFORE the clamp.
+    ms = F.when(
+        secs.isNotNull(), F.least(secs * 1000.0, F.lit(float(max_ms)))
+    ).otherwise(F.lit(float(default_ms)))
+    return robots.select(
+        F.col(host_col), F.round(ms).cast("long").alias("delay_ms")
+    )
+
+
 def parse_sitemap(
     df: DataFrame,
     *,

@@ -1132,3 +1132,47 @@ def bpe_encode(
             ).alias("fertility"),
         )
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Rule-based sentence segmentation (r14 wave 7) — the unit the
+    C4 sentence gate, sequence packing, and span-level dedup all
+    count in: a sentence is a maximal run of non-terminal characters
+    followed by one or more terminals (``. ! ?``), whitespace-trimmed,
+    dropped when shorter than ``min_chars``; text after the last
+    terminal is a FRAGMENT and is not emitted (its length is the
+    doc-level ``tail_len`` audit column). Deliberately a closed-form
+    rule set, not an NLP model — deterministic and portable to any
+    regex engine, which is what lets the oracle restate it. PURE
+    Catalyst: regexp_extract_all + transform/filter + posexplode,
+    map-only. Output: (id, sent_idx, sentence, n_chars, tail_len)."""
+    sents = F.expr(
+        f"filter(transform(regexp_extract_all({text_col}, "
+        f"'[^.!?]+[.!?]+', 0), x -> trim(x)), "
+        f"x -> length(x) >= {int(min_chars)})"
+    )
+    tail = (
+        F.length(text_col)
+        - F.length(
+            F.array_join(
+                F.expr(
+                    f"regexp_extract_all({text_col}, '[^.!?]+[.!?]+', 0)"
+                ),
+                "",
+            )
+        )
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(sents).alias("sent_idx", "sentence"),
+            tail.alias("tail_len"),
+        )
+        .withColumn("n_chars", F.length("sentence").cast("int"))
+        .select(id_col, "sent_idx", "sentence", "n_chars", "tail_len")
+    )

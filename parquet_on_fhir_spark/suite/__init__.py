@@ -53,7 +53,10 @@ WINDOW = [
     #    q70/q70b recall tests cover sign-LSH) and
     #    q322_audio_frame_features (the q285/q193 audio family holds
     #    current rows) debut windowless this round, carried by the
-    #    full-suite selfcheck, and take the first r15 slots.
+    #    full-suite selfcheck, and take the first r15 slots — as do
+    #    the late wave-7 debuts q324_sentence_segmentation and
+    #    q326_crawl_delay_schedule (same reasoning: their operator
+    #    families — q316 C4 / q311 frontier — hold fresh r14 rows).
     "q318_stream_robots_gate",
     "q319_mojibake_repair",
     "q320_sitemap_parse",

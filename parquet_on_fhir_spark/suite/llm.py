@@ -5717,6 +5717,130 @@ FROM m, f WHERE j % 10 <> 9
 QUERIES.append(Q("q322_audio_frame_features", q322, Q322_ORACLE))
 
 
+# --- Q324: rule-based sentence segmentation -------------------------------------------------
+def q324(spark, sf_dir):
+    """Sentence segmentation (operators/text.py::split_sentences, r14
+    wave 7 — the unit the C4 gate/packing/span-dedup count in):
+    maximal non-terminal runs ending in [.!?]+, trimmed, min-2-chars,
+    trailing fragment measured but not emitted. Runs on the REAL
+    documents text plus an injected tail fragment — the oracle
+    restates the exact rule set over the same strings (pure regex,
+    engine-portable by construction). Map-only."""
+    from parquet_on_fhir_spark.operators.text import split_sentences
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(". Second bit! And an unterminated tail"),
+            ).alias("text"),
+        )
+    )
+    return split_sentences(d, min_chars=2)
+
+
+Q324_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         text || '. Second bit! And an unterminated tail' AS text
+  FROM documents WHERE doc_id < 300
+),
+s AS (
+  SELECT doc_id, text,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'),
+                          x -> trim(x)),
+           x -> length(x) >= 2) AS sents,
+         CAST(length(text) - length(array_to_string(
+             regexp_extract_all(text, '[^.!?]+[.!?]+'), '')) AS INT)
+           AS tail_len
+  FROM d
+)
+SELECT doc_id,
+       CAST(generate_subscripts(sents, 1) - 1 AS INT) AS sent_idx,
+       unnest(sents) AS sentence,
+       CAST(length(unnest(sents)) AS INT) AS n_chars,
+       tail_len
+FROM s
+"""
+
+
+QUERIES.append(Q("q324_sentence_segmentation", q324, Q324_ORACLE))
+
+
+# --- Q326: Crawl-delay-aware politeness scheduling ------------------------------------------
+def q326(spark, sf_dir):
+    """Robots Crawl-delay threaded into frontier scheduling (r14 wave
+    7 — closes the compliance→scheduling loop): per-host delays
+    extracted by operators/robots.py::crawl_delays (first directive
+    wins, fractional seconds, clamp at max, default when absent),
+    broadcast-joined onto the frontier, and politeness_schedule's
+    per-row delay column prices each host's ETA ladder. 7 hosts cycle
+    delay shapes (plain, fractional, clamped, missing, malformed);
+    300 urls as in q311 — all closed form."""
+    from parquet_on_fhir_spark.operators.frontier import politeness_schedule
+    from parquet_on_fhir_spark.operators.robots import crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("h0", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+            ("h1", "crawl-delay: 0.5\n"),
+            ("h2", "Crawl-delay: 99999\n"),          # clamps to 60s
+            ("h3", "User-agent: *\nDisallow:\n"),     # absent -> default
+            ("h4", "Crawl-delay: oops\n"),            # malformed -> default
+            ("h5", "Crawl-delay: 3\nCrawl-delay: 9\n"),  # first wins
+            ("h6", "  CRAWL-DELAY :  1.25  \n"),
+        ],
+        "host string, robots_txt string",
+    )
+    delays = crawl_delays(robots, default_ms=1000)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ex/p/"), F.col("doc_id"),
+        ).alias("url"),
+        (F.col("doc_id") % 10).cast("int").alias("priority"),
+    ).join(F.broadcast(delays), "host")
+    out = politeness_schedule(
+        frontier, delay_ms_col="delay_ms", per_host_cap=5
+    )
+    return out.select("doc_id", "host", "priority", "slot", "eta_ms")
+
+
+Q326_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.ex/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 10 AS INT) AS priority,
+         CASE doc_id % 7 WHEN 0 THEN 2000 WHEN 1 THEN 500
+              WHEN 2 THEN 60000 WHEN 3 THEN 1000 WHEN 4 THEN 1000
+              WHEN 5 THEN 3000 ELSE 1250 END AS delay_ms
+  FROM documents WHERE doc_id < 300
+),
+s AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, url) AS INT) AS slot
+  FROM f
+)
+SELECT doc_id, host, priority, slot,
+       CAST((slot - 1) * delay_ms AS BIGINT) AS eta_ms
+FROM s WHERE slot <= 5
+"""
+
+
+QUERIES.append(Q("q326_crawl_delay_schedule", q326, Q326_ORACLE))
+
+
 # --- Q287: BPE tokenizer apply (encode) -----------------------------------------------
 #: fixed literal merge chain (training order) — forms `table</w>` and
 #: `scan</w>` over the corpus vocabulary; the SAME list is inlined in

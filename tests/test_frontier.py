@@ -134,3 +134,38 @@ def test_sitemap_urls_order_and_case(spark):
             sitemap_urls(robots).orderBy("host", "seq").collect()]
     assert rows == [("a.ex", 0, "https://a.ex/1.xml"),
                     ("a.ex", 1, "https://a.ex/2.xml")]
+
+
+def test_crawl_delays_extraction(spark):
+    """Crawl-delay extraction (r14 wave 7): first directive wins,
+    fractional seconds, case/space tolerance, clamp at max, absent or
+    malformed -> default (least() null-skip regression pinned)."""
+    from parquet_on_fhir_spark.operators.robots import crawl_delays
+
+    robots = spark.createDataFrame(
+        [("a", "Crawl-delay: 2\nCrawl-delay: 9\n"),
+         ("b", "  CRAWL-DELAY :  0.5  \n"),
+         ("c", "Crawl-delay: 99999\n"),
+         ("d", "User-agent: *\nDisallow:\n"),
+         ("e", "Crawl-delay: nope\n"),
+         ("f", None)],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["delay_ms"]
+           for r in crawl_delays(robots, default_ms=700).collect()}
+    assert got == {"a": 2000, "b": 500, "c": 60000, "d": 700,
+                   "e": 700, "f": 700}
+
+
+def test_politeness_delay_column(spark):
+    """Per-host delay column prices each host's ETA ladder."""
+    from parquet_on_fhir_spark.operators.frontier import politeness_schedule
+
+    f = spark.createDataFrame(
+        [("a", "u1", 1, 100), ("a", "u2", 2, 100), ("b", "v1", 1, 7000)],
+        "host string, url string, priority int, delay_ms long",
+    )
+    rows = {(r["host"], r["url"]): r["eta_ms"] for r in
+            politeness_schedule(f, delay_ms_col="delay_ms").collect()}
+    assert rows[("a", "u2")] == 0 and rows[("a", "u1")] == 100
+    assert rows[("b", "v1")] == 0

@@ -1069,3 +1069,30 @@ def test_audio_frame_features_framing(spark):
         media, frame_len=fl, hop=fl, max_frames=2
     ).filter(F.col("media_id") == 1).count()
     assert capped == 2
+
+
+def test_split_sentences_rules(spark):
+    """split_sentences (r14): maximal terminal-run segmentation,
+    trim, min_chars drop, multi-terminal runs stay attached, tail
+    fragment measured but not emitted."""
+    from parquet_on_fhir_spark.operators.text import split_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "One two. Three!! Four?No gap... tail here"),
+         (2, "no terminals at all"),
+         (3, "x. Big second sentence.")],
+        "doc_id long, text string",
+    )
+    rows = {}
+    for r in split_sentences(docs, min_chars=2).collect():
+        rows.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["tail_len"]))
+    assert [s for _, s, _ in sorted(rows[1])] == [
+        "One two.", "Three!!", "Four?", "No gap..."]
+    assert rows[1][0][2] == len(" tail here")
+    assert 2 not in rows  # zero sentences -> zero rows (explode)
+    # 'x.' is 2 chars -> kept at min_chars=2, dropped at 3
+    assert len(rows[3]) == 2
+    got3 = {r["sentence"] for r in split_sentences(docs, min_chars=3)
+            .filter(F.col("doc_id") == 3).collect()}
+    assert got3 == {"Big second sentence."}
