@@ -203,16 +203,24 @@ def main() -> None:
     if full_path.exists() and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
         try:
             prev = json.loads(full_path.read_text())
+            # "quieter" = lower value_min (the sum of per-query minima
+            # is the least-contended estimate of the tree's cost — a
+            # contended-but-consistent run can have a LOW spread while
+            # every number is uniformly inflated), spread as tie-break.
             if (
                 prev.get("commit") == commit
                 and prev.get("sf") == sf
-                and prev.get("spread_max", 99.0) <= full["spread_max"]
+                and (
+                    prev.get("value_min", 1e18),
+                    prev.get("spread_max", 99.0),
+                )
+                <= (full["value_min"], full["spread_max"])
             ):
                 write_full = False
                 print(
                     "# BENCH_FULL.json kept (quieter run on this commit: "
-                    f"spread_max {prev.get('spread_max')} <= "
-                    f"{full['spread_max']}); this run appended to "
+                    f"value_min {prev.get('value_min')} <= "
+                    f"{full['value_min']}); this run appended to "
                     "BENCH_RUNS.jsonl",
                     file=sys.stderr,
                 )
