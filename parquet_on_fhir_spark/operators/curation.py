@@ -1363,6 +1363,8 @@ def c4_filter(
       - fewer than ``min_words_per_line`` words,
       - contains the word "javascript" (case-insensitive);
     page level (drop the page, ``reason`` says why, first match wins):
+      - ``null_text`` — a NULL page (checked first so the later
+        NULL-propagating predicates can't silently pass it),
       - ``blocklist`` — any listed word, word-boundary, lowercased
         (the public recipe uses the "Dirty, Naughty…" list; pass your
         own — the default is a placeholder),
@@ -1402,7 +1404,12 @@ def c4_filter(
         )
         .withColumn(
             "reason",
-            F.when(blocked, "blocklist")
+            # NULL text first (r14 advice): every later predicate
+            # evaluates to NULL on a null page, which would leave
+            # reason NULL and kept TRUE — a null page must fail the
+            # gate deterministically instead.
+            F.when(t.isNull(), "null_text")
+            .when(blocked, "blocklist")
             .when(F.lower(t).contains("lorem ipsum"), "lorem_ipsum")
             .when(t.contains("{"), "brace")
             .when(F.col("n_sentences") < min_sentences, "too_few_sentences"),

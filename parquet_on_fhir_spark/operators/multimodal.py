@@ -1696,7 +1696,14 @@ def decode_wav(content: bytes):
             raise ValueError("truncated WAV chunk")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as e:
+                # a declared-size-consistent fmt chunk can still be
+                # <16 bytes; struct.error would escape the ValueError
+                # quarantine contract every consumer relies on
+                # (r14 advice)
+                raise ValueError(f"bad WAV fmt chunk ({e})") from e
         elif cid == b"data":
             data = body
     if fmt is None or data is None:
@@ -3786,6 +3793,8 @@ def audio_frame_features(
     shape); undecodable payloads quarantine as a single frame_idx=-1
     row; ``max_frames`` bounds per-clip work (the long-clip guard, as
     in decode_gif_frames)."""
+    import struct
+
     import pandas as pd
 
     from pyspark.sql import functions as _F
@@ -3807,7 +3816,12 @@ def audio_frame_features(
                     sr, frames = stft_frame_features(
                         bytes(content), frame_len, hop
                     )
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error (r14 advice): a crafted RIFF whose
+                    # declared fmt size matches the body but is <16
+                    # bytes makes struct.unpack_from raise past the
+                    # ValueError guard — same quarantine row, never a
+                    # dead Arrow batch.
                     add(mid, -1, None, None, None, None)
                     continue
                 for i, rms, dom, cen in frames:

@@ -104,10 +104,18 @@ def pattern_regex(pattern: str) -> str:
 def _match_len(pattern: str, path: str):
     """Octet length of ``pattern`` when it matches ``path`` (the RFC
     9309 precedence key), else None. An empty pattern matches nothing
-    (an empty Disallow allows everything)."""
+    (an empty Disallow allows everything). OCTETS, not characters
+    (r14 advice): a multi-byte UTF-8 pattern outranks a
+    shorter-in-bytes ASCII one even when the character counts tie the
+    other way — ``len(pattern.encode())``, in lockstep with the
+    ``octet_length`` fold in ``robots_filter``."""
     if not pattern:
         return None
-    return len(pattern) if _compile(pattern).match(path) else None
+    return (
+        len(pattern.encode("utf-8"))
+        if _compile(pattern).match(path)
+        else None
+    )
 
 
 def robots_allowed(rules, path: str) -> bool:
@@ -311,7 +319,7 @@ def robots_filter(
 
         best = array_max(transform(
                    filter(rules, r -> path RLIKE r.rx),
-                   r -> struct(length(r.pattern), int(r.is_allow))))
+                   r -> struct(octet_length(r.pattern), int(r.is_allow))))
         allowed = coalesce(best.a = 1, true)
 
     struct comparison is lexicographic, so the longest pattern wins and
@@ -372,7 +380,7 @@ def robots_filter(
             F.expr(
                 "array_max(transform("
                 "  filter(_rf_rules, r -> _rf_path rlike r.rx),"
-                "  r -> struct(length(r.pattern) as l,"
+                "  r -> struct(octet_length(r.pattern) as l,"
                 "              cast(r.is_allow as int) as a)))"
             ),
         )

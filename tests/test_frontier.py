@@ -169,3 +169,45 @@ def test_politeness_delay_column(spark):
             politeness_schedule(f, delay_ms_col="delay_ms").collect()}
     assert rows[("a", "u2")] == 0 and rows[("a", "u1")] == 100
     assert rows[("b", "v1")] == 0
+
+
+def test_politeness_eta_no_int32_wrap(spark):
+    """r14 advice: slot × delay must multiply in 64-bit — a scalar
+    delay of 2e9 ms at slot 3 yields 4e9, past int32."""
+    from parquet_on_fhir_spark.operators.frontier import politeness_schedule
+
+    f = spark.createDataFrame(
+        [("a", "u1", 3), ("a", "u2", 2), ("a", "u3", 1)],
+        "host string, url string, priority int",
+    )
+    rows = {r["url"]: r["eta_ms"] for r in
+            politeness_schedule(f, delay_ms=2_000_000_000).collect()}
+    assert rows["u3"] == 4_000_000_000
+    assert all(v >= 0 for v in rows.values())
+
+
+def test_politeness_two_stage_cap_exact(spark):
+    """r14 verdict task 6: the salted two-stage cap must return
+    EXACTLY the single-stage result (slots, ETAs, membership) — the
+    global top-cap is a subset of the union of per-salt top-caps."""
+    import random
+
+    from parquet_on_fhir_spark.operators.frontier import politeness_schedule
+
+    rng = random.Random(15)
+    data = [
+        (f"h{i % 3}", f"u{rng.randrange(10**6):06d}x{i}", rng.randrange(50))
+        for i in range(400)
+    ]
+    f = spark.createDataFrame(
+        data, "host string, url string, priority int"
+    ).repartition(8)
+    kw = dict(delay_ms=100, per_host_cap=7)
+    single = sorted(
+        tuple(r) for r in politeness_schedule(f, cap_salts=1, **kw).collect()
+    )
+    salted = sorted(
+        tuple(r) for r in politeness_schedule(f, cap_salts=16, **kw).collect()
+    )
+    assert single == salted
+    assert len(single) == 21  # 3 hosts × cap 7

@@ -138,3 +138,78 @@ def test_sitemap_and_metadata_never_raise(spark):
         [(i, s) for i, s in rows], "doc_id long, html string"
     )
     assert html_metadata(pages).count() >= 0
+
+
+def test_wav_decode_raises_only_valueerror():
+    """r14 advice: a RIFF whose fmt chunk's declared size matches its
+    body but is <16 bytes drove struct.unpack_from to struct.error,
+    escaping the ValueError quarantine contract. decode_wav now maps
+    it; fuzz the whole decoder the same way as the WARC parser."""
+    import struct as _s
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    short_fmt = (
+        b"RIFF" + _s.pack("<I", 28) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+        + b"data" + _s.pack("<I", 0)
+    )
+    try:
+        decode_wav(short_fmt)
+        raise AssertionError("short fmt chunk must not decode")
+    except ValueError:
+        pass
+
+    good = encode_wav([[100], [-100], [3000]], 8000)
+    for cut in range(len(good)):
+        try:
+            decode_wav(good[:cut])
+        except ValueError:
+            pass
+    for pos in range(len(good)):
+        bad = bytearray(good)
+        bad[pos] ^= 0xFF
+        try:
+            decode_wav(bytes(bad))
+        except ValueError:
+            pass
+    for blob in _random_blobs(322, 150):
+        try:
+            decode_wav(b"RIFF" + blob)
+        except ValueError:
+            pass
+        try:
+            decode_wav(blob)
+        except ValueError:
+            pass
+
+
+def test_audio_frame_features_quarantines_hostile_wav(spark):
+    """The crafted short-fmt RIFF must land as a frame_idx=-1 row,
+    never kill the Arrow batch (r14 advice, operator level)."""
+    import struct as _s
+
+    from parquet_on_fhir_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+    )
+
+    short_fmt = (
+        b"RIFF" + _s.pack("<I", 28) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+        + b"data" + _s.pack("<I", 0)
+    )
+    good = encode_wav([[v] for v in ([3000, -3000] * 600)], 8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(short_fmt)), (2, bytearray(good))],
+        "media_id long, content binary",
+    )
+    rows = audio_frame_features(media, frame_len=256, hop=256).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert by_id[1] == [-1]
+    assert len(by_id[2]) >= 1 and -1 not in by_id[2]

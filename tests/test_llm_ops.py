@@ -1437,3 +1437,51 @@ def test_parse_sitemap_shapes(spark):
         ("a.ex", "urlset", 1, "https://a.ex/2", None),
         ("b.ex", "index", 0, "https://b.ex/c.xml", None),
     ]
+
+
+def test_c4_filter_null_text_fails_gate(spark):
+    """r14 advice: NULL text must fail the page gate deterministically
+    (reason=null_text, kept=False) — before the fix every page-gate
+    predicate evaluated NULL and the page passed with kept=True."""
+    from parquet_on_fhir_spark.operators.curation import c4_filter
+
+    docs = spark.createDataFrame(
+        [(1, None),
+         (2, "One fine sentence right here.\nSecond sentence also ok."
+             "\nThird one is here as well.\nFourth sentence lands too."
+             "\nFifth sentence completes it now.")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_filter(docs).collect()}
+    assert rows[1]["reason"] == "null_text"
+    assert rows[1]["kept"] is False
+    assert rows[2]["kept"] is True and rows[2]["reason"] is None
+
+
+def test_robots_octet_length_precedence(spark):
+    """RFC 9309 defines longest-match over OCTETS (r14 advice): on
+    path /caféé the 6-char/8-octet Disallow /caféé must outrank the
+    6-char/7-octet Allow /café* — a character-count comparison ties
+    them and wrongly lets Allow win. Twin and Catalyst fold must
+    agree on the spec answer."""
+    from parquet_on_fhir_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+        robots_filter,
+    )
+
+    txt = "User-agent: *\nDisallow: /caféé\nAllow: /café*\n"
+    rules = parse_robots(txt, "anybot")
+    assert robots_allowed(rules, "/caféé") is False  # 8 > 7 octets
+    assert robots_allowed(rules, "/caféx") is True        # only Allow matches
+
+    robots = spark.createDataFrame(
+        [("u.ex", txt)], "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(1, "u.ex", "https://u.ex/caféé"),
+         (2, "u.ex", "https://u.ex/caféx")],
+        "id long, host string, url string",
+    )
+    got = {r["id"]: r["allowed"] for r in
+           robots_filter(urls, robots).collect()}
+    assert got == {1: False, 2: True}

@@ -708,7 +708,9 @@ def test_crawl_budget_has_no_single_partition_window(spark):
         F.concat(F.lit("h"), F.col("id")).alias("host"),
         (F.col("id") % 37 + 1).alias("n_urls"),
     )
-    out = allocate_crawl_budget(demand, 1234)
+    # eager_cleanup=False keeps the lazy plan for inspection (default
+    # mode checkpoints it away — covered below)
+    out = allocate_crawl_budget(demand, 1234, eager_cleanup=False)
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -720,6 +722,28 @@ def test_crawl_budget_has_no_single_partition_window(spark):
     # scalar aggregates, which is the intended metadata fold)
     assert "windowspecdefinition(__pid" in plan, plan
     assert out.agg(F.sum("allocated")).collect()[0][0] == 1234
+
+
+def test_crawl_budget_default_mode_releases_cache(spark):
+    """r14 advice: the scratch persist that freezes the sampled range
+    partitioning must not outlive the call — default (eager_cleanup)
+    mode materializes the result and unpersists, so repeated calls
+    (bench reps, selfcheck sweeps) leave the SQL cache manager
+    empty."""
+    from parquet_on_fhir_spark.operators.frontier import (
+        allocate_crawl_budget,
+    )
+
+    demand = spark.range(0, 500).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        (F.col("id") % 37 + 1).alias("n_urls"),
+    )
+    spark.catalog.clearCache()  # isolate from other tests' caches
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for _ in range(2):
+        out = allocate_crawl_budget(demand, 123)
+        assert out.agg(F.sum("allocated")).collect()[0][0] == 123
+        assert cm.isEmpty(), "scratch persist leaked past the call"
 
 
 def test_crawl_pipeline_plan_no_cartesian(spark, sf_dir):
