@@ -216,6 +216,197 @@ def html_extract(
     ).mapInPandas(batches, schema=base)
 
 
+class _LinkExtractor(HTMLParser):
+    """``<a href>`` edge collector: (href, rel, anchor text) in
+    document order, plus the first ``<base href>`` (HTML spec: only
+    the first base element is honored). Anchor text accumulates
+    across nested inline tags until the matching ``</a>``; a new
+    ``<a>`` opening while one is open implicitly closes the previous
+    (browser recovery behavior — the spec forbids nesting)."""
+
+    _DROP_L = {"script", "style", "noscript", "template", "svg"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str | None, str]] = []
+        self.base_href: str | None = None
+        self._drop_depth = 0
+        self._cur: tuple[str, str | None] | None = None  # (href, rel)
+        self._buf: list[str] = []
+
+    def _finish(self):
+        if self._cur is not None:
+            href, rel = self._cur
+            anchor = " ".join("".join(self._buf).split())
+            self.links.append((href, rel, anchor))
+        self._cur = None
+        self._buf = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._DROP_L:
+            self._drop_depth += 1
+            return
+        if tag == "base" and self.base_href is None:
+            d = dict(attrs)
+            if d.get("href"):
+                self.base_href = d["href"].strip()
+            return
+        if tag == "a" and not self._drop_depth:
+            self._finish()
+            d = dict(attrs)
+            href = d.get("href")
+            if href is not None:
+                rel = d.get("rel")
+                self._cur = (
+                    href.strip(),
+                    " ".join(rel.lower().split()) if rel else None,
+                )
+
+    def handle_endtag(self, tag):
+        if tag in self._DROP_L:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag == "a":
+            self._finish()
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "base":
+            self.handle_starttag(tag, attrs)
+
+    def handle_data(self, data):
+        if self._cur is not None and not self._drop_depth:
+            self._buf.append(data)
+
+    def close(self):
+        super().close()
+        self._finish()
+
+
+def extract_page_links(
+    html: str,
+    page_url: str | None,
+    *,
+    keep_schemes: tuple = ("http", "https"),
+    strip_fragment: bool = True,
+):
+    """One page → ordered outlink rows ``(seq, dst_url, anchor, rel,
+    nofollow)``. Relative hrefs resolve against the page URL, or the
+    first ``<base href>`` when present (itself resolved against the
+    page URL first, per the HTML spec); resolved URLs outside
+    ``keep_schemes`` (javascript:, mailto:, data:, tel:, ...) are
+    dropped; fragments are stripped (a crawl frontier fetches
+    documents, not anchors). ``nofollow`` = the rel attribute carries
+    the token (REP/Google semantics: the edge must not convey
+    endorsement — frontier priority aggregation skips it, discovery
+    may still use it). Never raises: malformed HTML degrades to
+    whatever the parser salvaged."""
+    from urllib.parse import urldefrag, urljoin, urlparse
+
+    p = _LinkExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        p._finish()
+    base = page_url or ""
+    if p.base_href:
+        base = urljoin(base, p.base_href)
+    out = []
+    seq = 0
+    for href, rel, anchor in p.links:
+        try:
+            dst = urljoin(base, href)
+            if strip_fragment:
+                dst = urldefrag(dst)[0]
+            scheme = urlparse(dst).scheme.lower()
+        except ValueError:
+            continue  # hostile href (bad IPv6 literal etc.) — skip
+        if scheme not in keep_schemes or not dst:
+            continue
+        tokens = set((rel or "").split())
+        out.append(
+            {
+                "seq": seq,
+                "dst_url": dst,
+                "anchor": anchor,
+                "rel": rel,
+                "nofollow": "nofollow" in tokens,
+            }
+        )
+        seq += 1
+    return out
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    url_col: str = "url",
+    *,
+    keep_schemes: tuple = ("http", "https"),
+    strip_fragment: bool = True,
+) -> DataFrame:
+    """Corpus-wide outlink extraction — the edge that closes the crawl
+    loop (fetched page → outlinks → frontier; r14 verdict task 1):
+    one ``mapInPandas`` pass over the pages emits one row per kept
+    ``<a href>`` edge, with relative resolution against ``url_col``
+    (+ first ``<base href>``). Output: (id, src_url, seq, dst_url,
+    anchor, rel, nofollow). The per-page work is bounded by page size
+    (stdlib parser, no backtracking regex); the 100 TB-relevant shape
+    is that link extraction rides the SAME scan as main-text
+    extraction (``html_extract``) and metadata — no shuffle, no join;
+    downstream frontier ops aggregate (dst) however they need.
+    NULL html ⇒ no rows; NULL url keeps only absolute hrefs."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, srcs, seqs, dsts, anchors, rels, nofos = (
+                [], [], [], [], [], [], []
+            )
+            for did, src, html in zip(
+                pdf[id_col], pdf[url_col], pdf[html_col]
+            ):
+                if not isinstance(html, str):
+                    continue
+                for r in extract_page_links(
+                    html,
+                    src if isinstance(src, str) else None,
+                    keep_schemes=keep_schemes,
+                    strip_fragment=strip_fragment,
+                ):
+                    ids.append(did)
+                    srcs.append(src)
+                    seqs.append(r["seq"])
+                    dsts.append(r["dst_url"])
+                    anchors.append(r["anchor"])
+                    rels.append(r["rel"])
+                    nofos.append(r["nofollow"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_url": pd.Series(srcs, dtype="object"),
+                    "seq": pd.Series(seqs, dtype="int32"),
+                    "dst_url": pd.Series(dsts, dtype="object"),
+                    "anchor": pd.Series(anchors, dtype="object"),
+                    "rel": pd.Series(rels, dtype="object"),
+                    "nofollow": pd.Series(nofos, dtype="bool"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.col(url_col).alias(url_col),
+        F.col(html_col).alias(html_col),
+    ).mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, src_url string, seq int, dst_url string, "
+            "anchor string, rel string, nofollow boolean"
+        ),
+    )
+
+
 def html_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Page-metadata extraction (r14 wave 2) — the head fields a crawl
     index keeps per page: <title>, Open Graph title (og:title),

@@ -211,3 +211,100 @@ def test_politeness_two_stage_cap_exact(spark):
     )
     assert single == salted
     assert len(single) == 21  # 3 hosts × cap 7
+
+
+def test_extract_page_links_semantics():
+    """Link extraction core (r15): resolution, base-href, scheme
+    drops, fragment strip, rel/nofollow, nested-anchor text, parser
+    recovery (unterminated / implicitly-closed anchors), script
+    content ignored."""
+    from parquet_on_fhir_spark.operators.html import extract_page_links
+
+    page = "https://h0.ex/dir/page.html"
+
+    def one(html, **kw):
+        return extract_page_links(html, page, **kw)
+
+    assert one('<a href="https://EXT.ex/a?x=1#f" rel="external help">'
+               "Read more</a>") == [
+        {"seq": 0, "dst_url": "https://EXT.ex/a?x=1", "anchor": "Read more",
+         "rel": "external help", "nofollow": False}]
+    # relative + nested inline tags in the anchor
+    assert one("<a href='sub/p.html'>More <b>info</b> now</a>")[0][
+        "dst_url"] == "https://h0.ex/dir/sub/p.html"
+    assert one("<a href='sub/p.html'>More <b>info</b> now</a>")[0][
+        "anchor"] == "More info now"
+    # base href wins, relative base resolves against the page first
+    assert one('<base href="https://cdn.ex/b/"><a href="x.html">x</a>')[0][
+        "dst_url"] == "https://cdn.ex/b/x.html"
+    assert one('<base href="rel/"><a href="q.html">q</a>')[0][
+        "dst_url"] == "https://h0.ex/dir/rel/q.html"
+    # only the FIRST base is honored (HTML spec)
+    assert one('<base href="https://a.ex/"><base href="https://b.ex/">'
+               '<a href="p">p</a>')[0]["dst_url"] == "https://a.ex/p"
+    # scheme drops, parent traversal, root-relative, seq order
+    rows = one('<a href="/top">top</a><a href="mailto:a@b.c">m</a>'
+               '<a href="javascript:void(0)">j</a><a href="../up.html">up</a>')
+    assert [(r["seq"], r["dst_url"]) for r in rows] == [
+        (0, "https://h0.ex/top"), (1, "https://h0.ex/up.html")]
+    # rel normalization + case-insensitive nofollow token
+    r = one('<a href="/p" rel="  NoFollow   UGC ">p</a>')[0]
+    assert r["rel"] == "nofollow ugc" and r["nofollow"] is True
+    # links inside <script> are not links; recovery cases
+    assert [r["dst_url"] for r in one(
+        "<script>var a='<a href=\"/fake\">x</a>'</script>"
+        '<a href="/real">r</a>')] == ["https://h0.ex/real"]
+    assert one('<a href="/unterminated">text')[0]["anchor"] == "text"
+    assert [r["dst_url"] for r in one(
+        '<a href="/one">f<a href="/two">s</a>')] == [
+        "https://h0.ex/one", "https://h0.ex/two"]
+    # no page URL: relative links drop (no scheme), absolute survive
+    abs_only = extract_page_links(
+        '<a href="/rel">r</a><a href="https://a.ex/x">a</a>', None)
+    assert [r["dst_url"] for r in abs_only] == ["https://a.ex/x"]
+    # href-less anchors emit nothing; empty href resolves to the page
+    assert one("<a name='x'>no href</a>") == []
+    assert one('<a href="">self</a>')[0]["dst_url"] == page
+
+
+def test_extract_page_links_never_raises():
+    """Hostile-input contract for the link extractor (same discipline
+    as extract_main_text): seeded fuzz over random byte soup decoded
+    as latin-1, plus pathological constructs."""
+    import random
+
+    from parquet_on_fhir_spark.operators.html import extract_page_links
+
+    rng = random.Random(327)
+    cases = ["", "<", "<a", "<a href", "<a href=", "<base", "<base href='",
+             "<a href='http://[bad-v6'>x</a>",
+             "<a href='https://h.ex/" + "%" * 50 + "'>p</a>"]
+    for _ in range(150):
+        cases.append(bytes(rng.randrange(256) for _ in
+                           range(rng.randrange(300))).decode("latin-1"))
+    for html in cases:
+        for url in ("https://h.ex/p", None, ""):
+            extract_page_links(html, url)  # must not raise
+
+
+def test_extract_links_operator(spark):
+    """Operator end-to-end: per-page rows with src passthrough, NULL
+    html emits nothing, NULL url keeps absolute links only."""
+    from parquet_on_fhir_spark.operators.html import extract_links
+
+    pages = spark.createDataFrame(
+        [(1, "https://h.ex/a/", '<a href="p.html">one</a>'
+                               '<a href="https://b.ex/q" rel="nofollow">two</a>'),
+         (2, None, '<a href="rel.html">r</a><a href="https://c.ex/z">c</a>'),
+         (3, "https://h.ex/b", None)],
+        "doc_id long, url string, html string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["seq"], r["dst_url"], r["nofollow"])
+        for r in extract_links(pages).collect()
+    )
+    assert rows == [
+        (1, 0, "https://h.ex/a/p.html", False),
+        (1, 1, "https://b.ex/q", True),
+        (2, 0, "https://c.ex/z", False),
+    ]
