@@ -131,6 +131,16 @@ def parse_warc(
                 "date": fields.get("warc-date"),
                 "content_length": clen,
                 "http_status": status,
+                # revisit-record chain fields (ISO 28500 §6.7.2 / the
+                # WARC 1.1 identical-payload-digest profile): a
+                # recrawl writes a `revisit` record whose
+                # Payload-Digest points at a prior capture instead of
+                # re-storing the body — the crawl-native dedup signal
+                "record_id": fields.get("warc-record-id"),
+                "payload_digest": fields.get("warc-payload-digest"),
+                "refers_to": fields.get("warc-refers-to"),
+                "refers_to_uri": fields.get("warc-refers-to-target-uri"),
+                "profile": fields.get("warc-profile"),
                 "payload_prefix": bytes(prefix),
             })
             pos = body_start + clen
@@ -139,20 +149,26 @@ def parse_warc(
 
 def build_warc(records, *, gzip_members: bool = False) -> bytes:
     """Spec-shaped WARC fixture writer: ``records`` is a list of
-    (rec_type, target_uri, date, payload_bytes). Response payloads
-    should already carry their HTTP preamble. With ``gzip_members``
-    each record becomes its own gzip member (the Common Crawl
-    layout)."""
+    (rec_type, target_uri, date, payload_bytes) optionally followed
+    by a dict of extra WARC headers (WARC-Payload-Digest,
+    WARC-Refers-To-Target-URI, ... — the revisit-chain fields).
+    Response payloads should already carry their HTTP preamble. With
+    ``gzip_members`` each record becomes its own gzip member (the
+    Common Crawl layout)."""
     import gzip
 
     out = bytearray()
-    for rec_type, uri, date, payload in records:
+    for spec in records:
+        rec_type, uri, date, payload = spec[:4]
+        extra = spec[4] if len(spec) > 4 else {}
         head = [f"WARC/1.0"]
         head.append(f"WARC-Type: {rec_type}")
         if uri:
             head.append(f"WARC-Target-URI: {uri}")
         if date:
             head.append(f"WARC-Date: {date}")
+        for k, v in extra.items():
+            head.append(f"{k}: {v}")
         head.append(f"Content-Length: {len(payload)}")
         rec = ("\r\n".join(head) + "\r\n\r\n").encode() + bytes(payload) \
             + _CRLF + _CRLF
@@ -172,10 +188,13 @@ def warc_records(
     include_payload: bool = False,
 ) -> DataFrame:
     """Corpus-wide WARC splitting: one row per record. Output:
-    (id, rec_idx, rec_type, target_uri, http_status, content_length,
-    prefix_len) plus a ``payload_prefix`` binary column when
+    (id, rec_idx, rec_type, target_uri, date, http_status,
+    content_length, prefix_len, payload_digest, refers_to_uri,
+    profile) plus a ``payload_prefix`` binary column when
     ``include_payload`` (the capped record body — what the charset /
-    HTML stages of a crawl pipeline consume). Undecodable archives —
+    HTML stages of a crawl pipeline consume). The digest/refers
+    columns carry the revisit-record chain (r15 — recrawl dedup;
+    NULL on records without the headers). Undecodable archives —
     including gzip members whose inflation exceeds
     ``max_member_bytes`` (decompression bombs) — yield a single
     rec_idx = -1 row (the quarantine marker) instead of failing the
@@ -186,7 +205,8 @@ def warc_records(
         for pdf in it:
             rows = {k: [] for k in (
                 "media_id", "rec_idx", "rec_type", "target_uri",
-                "http_status", "content_length", "prefix_len",
+                "date", "http_status", "content_length", "prefix_len",
+                "payload_digest", "refers_to_uri", "profile",
                 "payload_prefix",
             )}
 
@@ -195,6 +215,7 @@ def warc_records(
                 rows["rec_idx"].append(idx)
                 rows["rec_type"].append(rec and rec["rec_type"])
                 rows["target_uri"].append(rec and rec["target_uri"])
+                rows["date"].append(rec and rec["date"])
                 rows["http_status"].append(
                     rec["http_status"] if rec else None
                 )
@@ -204,6 +225,11 @@ def warc_records(
                 rows["prefix_len"].append(
                     len(rec["payload_prefix"]) if rec else None
                 )
+                rows["payload_digest"].append(
+                    rec and rec["payload_digest"]
+                )
+                rows["refers_to_uri"].append(rec and rec["refers_to_uri"])
+                rows["profile"].append(rec and rec["profile"])
                 rows["payload_prefix"].append(
                     rec["payload_prefix"] if rec else None
                 )
@@ -223,10 +249,16 @@ def warc_records(
                 "rec_idx": pd.Series(rows["rec_idx"], dtype="int32"),
                 "rec_type": pd.Series(rows["rec_type"], dtype="object"),
                 "target_uri": pd.Series(rows["target_uri"], dtype="object"),
+                "date": pd.Series(rows["date"], dtype="object"),
                 "http_status": pd.Series(rows["http_status"], dtype="Int32"),
                 "content_length": pd.Series(rows["content_length"],
                                             dtype="Int64"),
                 "prefix_len": pd.Series(rows["prefix_len"], dtype="Int64"),
+                "payload_digest": pd.Series(rows["payload_digest"],
+                                            dtype="object"),
+                "refers_to_uri": pd.Series(rows["refers_to_uri"],
+                                           dtype="object"),
+                "profile": pd.Series(rows["profile"], dtype="object"),
             }
             if include_payload:
                 out["payload_prefix"] = pd.Series(
@@ -236,11 +268,90 @@ def warc_records(
 
     schema = (
         "media_id long, rec_idx int, rec_type string, "
-        "target_uri string, http_status int, content_length long, "
-        "prefix_len long"
+        "target_uri string, date string, http_status int, "
+        "content_length long, prefix_len long, payload_digest string, "
+        "refers_to_uri string, profile string"
     )
     if include_payload:
         schema += ", payload_prefix binary"
     return df.select(
         F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
     ).mapInPandas(batches, schema=schema)
+
+
+def revisit_resolve(
+    records: DataFrame,
+    *,
+    distribute: str = "auto",
+) -> DataFrame:
+    """Cross-crawl revisit resolution (r14 verdict task 3 — the
+    crawl-native incremental dedup): a recrawl emits ISO 28500
+    ``revisit`` records whose ``WARC-Payload-Digest`` points at a
+    prior capture instead of re-storing the body (the WARC 1.1
+    identical-payload-digest profile; Common Crawl and every
+    Heritrix-family crawler write these constantly). This resolves
+    each revisit to its canonical original among the ``response``
+    records sharing the digest.
+
+    Input: a :func:`warc_records` frame (any number of archives).
+    Output: one row per revisit — (media_id, rec_idx, revisit_uri,
+    date, payload_digest, refers_to_uri, original_uri, original_date,
+    original_length, original_found, bytes_saved). The canonical
+    original per digest is the earliest capture — ``min_by`` on
+    ``(date, target_uri)`` so ties are deterministic; ``bytes_saved``
+    is that original's Content-Length (what the revisit avoided
+    re-storing).
+
+    Plan at 100 TB: ONE map-side-combined hash aggregate folds the
+    response side to a digest dictionary (one row per distinct
+    payload — orders of magnitude smaller than the archives), then an
+    equi-join on digest onto the revisit rows. ``distribute="auto"``
+    leaves broadcast-vs-shuffle to Catalyst/AQE; force ``broadcast``
+    when the digest dictionary is known-small, ``shuffle`` for
+    planet-scale dictionaries. The archive payloads never move."""
+    if distribute not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"revisit_resolve: bad distribute={distribute!r}")
+
+    originals = (
+        records.filter(
+            (F.col("rec_type") == "response")
+            & F.col("payload_digest").isNotNull()
+        )
+        .groupBy(F.col("payload_digest").alias("_rv_digest"))
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("target_uri").alias("original_uri"),
+                    F.col("date").alias("original_date"),
+                    F.col("content_length").alias("original_length"),
+                ),
+                F.struct(F.col("date"), F.col("target_uri")),
+            ).alias("_rv_orig")
+        )
+    )
+    if distribute == "broadcast":
+        originals = F.broadcast(originals)
+    elif distribute == "shuffle":
+        originals = originals.hint("SHUFFLE_HASH")
+
+    revisits = records.filter(F.col("rec_type") == "revisit")
+    out = revisits.join(
+        originals,
+        F.col("payload_digest") == F.col("_rv_digest"),
+        "left",
+    )
+    return out.select(
+        "media_id",
+        "rec_idx",
+        F.col("target_uri").alias("revisit_uri"),
+        "date",
+        "payload_digest",
+        "refers_to_uri",
+        F.col("_rv_orig.original_uri").alias("original_uri"),
+        F.col("_rv_orig.original_date").alias("original_date"),
+        F.col("_rv_orig.original_length").alias("original_length"),
+        F.col("_rv_orig").isNotNull().alias("original_found"),
+        F.coalesce(F.col("_rv_orig.original_length"), F.lit(0)).alias(
+            "bytes_saved"
+        ),
+    )

@@ -6133,6 +6133,112 @@ WHERE s.slot <= alloc.allocated
 QUERIES.append(Q("q328_crawl_loop", q328, Q328_ORACLE))
 
 
+# --- Q329: WARC revisit records (cross-crawl digest dedup) ----------------------------------
+def q329(spark, sf_dir):
+    """WARC revisit resolution (operators/warc.py::revisit_resolve,
+    r15 — ISO 28500 §6.7.2 / WARC 1.1 identical-payload-digest
+    profile, the crawl-native incremental dedup every recrawl
+    pipeline reads): revisit records carry a WARC-Payload-Digest
+    pointing at a prior capture instead of re-storing the body; the
+    resolver folds the response side to ONE digest dictionary row per
+    distinct payload (map-side-combined hash agg, min_by(date, uri)
+    canonical pick) and equi-joins it onto the revisits — the archive
+    payloads never move. 150 archives (odd ids member-gzipped): one
+    response each in 30 digest groups, a resolvable revisit every 3rd
+    archive, a dangling-digest revisit every 5th — resolution,
+    rec_idx, bytes_saved all closed form."""
+    from parquet_on_fhir_spark.operators.warc import (
+        build_warc,
+        revisit_resolve,
+        warc_records,
+    )
+
+    prof = ("http://netpreserve.org/warc/1.1/revisit/"
+            "identical-payload-digest")
+
+    def make(i: int) -> bytearray:
+        m = i % 30
+        body = b"HTTP/1.1 200 OK\r\n\r\n" + (b"payload-%d " % m) * 3
+        recs = [(
+            "response", f"https://s.ex/p/{m}/v{i}",
+            "2026-08-01T00:00:00Z", body,
+            {"WARC-Payload-Digest": f"sha1:D{m}"},
+        )]
+        if i % 3 == 0:
+            recs.append((
+                "revisit", f"https://s.ex/r/{i}",
+                "2026-08-02T00:00:00Z", b"",
+                {"WARC-Payload-Digest": f"sha1:D{m}",
+                 "WARC-Refers-To-Target-URI": f"https://s.ex/p/{m}/v{m}",
+                 "WARC-Profile": prof},
+            ))
+        if i % 5 == 4:
+            recs.append((
+                "revisit", f"https://s.ex/rx/{i}",
+                "2026-08-02T00:00:00Z", b"",
+                {"WARC-Payload-Digest": f"sha1:X{i}"},
+            ))
+        return bytearray(build_warc(recs, gzip_members=(i % 2 == 1)))
+
+    payloads = [(i, make(i)) for i in range(150)]
+    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.join(
+        F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
+    ).select(F.col("doc_id").alias("media_id"), "content")
+    return revisit_resolve(warc_records(media)).select(
+        "media_id", "rec_idx", "revisit_uri", "payload_digest",
+        "refers_to_uri", "original_uri", "original_length",
+        "original_found", "bytes_saved",
+    )
+
+
+# The oracle re-derives the digest dictionary (min canonical pick)
+# and the revisit join from the same closed-form archive contents.
+Q329_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 30 AS m FROM documents WHERE doc_id < 150
+),
+resp AS (
+  SELECT doc_id, 'sha1:D' || CAST(m AS VARCHAR) AS digest,
+         'https://s.ex/p/' || CAST(m AS VARCHAR) || '/v'
+           || CAST(doc_id AS VARCHAR) AS uri,
+         CAST(19 + 3 * (CASE WHEN m < 10 THEN 10 ELSE 11 END)
+              AS BIGINT) AS clen
+  FROM d
+),
+orig AS (
+  SELECT digest, min(uri) AS original_uri,
+         min(clen) AS original_length
+  FROM resp GROUP BY digest
+),
+rev AS (
+  SELECT doc_id, CAST(1 AS INT) AS rec_idx,
+         'https://s.ex/r/' || CAST(doc_id AS VARCHAR) AS revisit_uri,
+         'sha1:D' || CAST(m AS VARCHAR) AS digest,
+         'https://s.ex/p/' || CAST(m AS VARCHAR) || '/v'
+           || CAST(m AS VARCHAR) AS refers_to_uri
+  FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT),
+         'https://s.ex/rx/' || CAST(doc_id AS VARCHAR),
+         'sha1:X' || CAST(doc_id AS VARCHAR),
+         CAST(NULL AS VARCHAR)
+  FROM d WHERE doc_id % 5 = 4
+)
+SELECT r.doc_id AS media_id, r.rec_idx, r.revisit_uri,
+       r.digest AS payload_digest, r.refers_to_uri,
+       o.original_uri, o.original_length,
+       o.original_uri IS NOT NULL AS original_found,
+       CAST(coalesce(o.original_length, 0) AS BIGINT) AS bytes_saved
+FROM rev r LEFT JOIN orig o ON r.digest = o.digest
+"""
+
+
+QUERIES.append(Q("q329_warc_revisit", q329, Q329_ORACLE))
+
+
 # --- Q287: BPE tokenizer apply (encode) -----------------------------------------------
 #: fixed literal merge chain (training order) — forms `table</w>` and
 #: `scan</w>` over the corpus vocabulary; the SAME list is inlined in

@@ -1485,3 +1485,66 @@ def test_robots_octet_length_precedence(spark):
     got = {r["id"]: r["allowed"] for r in
            robots_filter(urls, robots).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_warc_revisit_records_and_resolve(spark):
+    """WARC revisit chain (r15, ISO 28500 §6.7.2): the digest/refers
+    headers parse through warc_records, and revisit_resolve joins
+    each revisit to the canonical (earliest date, then uri) original
+    across archives; dangling digests resolve to original_found=False
+    with bytes_saved=0."""
+    from parquet_on_fhir_spark.operators.warc import (
+        build_warc,
+        parse_warc,
+        revisit_resolve,
+        warc_records,
+    )
+
+    body = b"HTTP/1.1 200 OK\r\n\r\nhello world"
+    w1 = build_warc([
+        ("response", "https://a.ex/p", "2026-01-01T00:00:00Z", body,
+         {"WARC-Payload-Digest": "sha1:AAA",
+          "WARC-Record-ID": "<urn:uuid:1>"}),
+        ("response", "https://a.ex/dup", "2026-01-02T00:00:00Z", body,
+         {"WARC-Payload-Digest": "sha1:AAA"}),
+    ])
+    w2 = build_warc([
+        ("revisit", "https://a.ex/p", "2026-02-01T00:00:00Z", b"",
+         {"WARC-Payload-Digest": "sha1:AAA",
+          "WARC-Refers-To-Target-URI": "https://a.ex/p",
+          "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/"
+                          "identical-payload-digest"}),
+        ("revisit", "https://a.ex/q", "2026-02-01T00:00:01Z", b"",
+         {"WARC-Payload-Digest": "sha1:GONE"}),
+    ], gzip_members=True)
+
+    recs = parse_warc(w2)
+    assert recs[0]["rec_type"] == "revisit"
+    assert recs[0]["payload_digest"] == "sha1:AAA"
+    assert recs[0]["refers_to_uri"] == "https://a.ex/p"
+    assert recs[0]["profile"].endswith("identical-payload-digest")
+    assert parse_warc(w1)[0]["record_id"] == "<urn:uuid:1>"
+
+    media = spark.createDataFrame(
+        [(1, bytearray(w1)), (2, bytearray(w2))],
+        "media_id long, content binary",
+    )
+    frame = warc_records(media)
+    assert {r["payload_digest"] for r in frame.collect()} == {
+        "sha1:AAA", "sha1:GONE"}
+    out = {r["revisit_uri"]: r for r in revisit_resolve(frame).collect()}
+    assert len(out) == 2
+    ok = out["https://a.ex/p"]
+    # earliest-date original wins, not the same-digest later dup
+    assert ok["original_uri"] == "https://a.ex/p"
+    assert ok["original_date"] == "2026-01-01T00:00:00Z"
+    assert ok["original_found"] is True
+    assert ok["bytes_saved"] == len(body)
+    gone = out["https://a.ex/q"]
+    assert gone["original_found"] is False
+    assert gone["original_uri"] is None and gone["bytes_saved"] == 0
+    # forced distribution modes agree
+    for mode in ("broadcast", "shuffle"):
+        got = {r["revisit_uri"]: r["original_found"] for r in
+               revisit_resolve(frame, distribute=mode).collect()}
+        assert got == {"https://a.ex/p": True, "https://a.ex/q": False}
