@@ -11,93 +11,77 @@ from parquet_on_fhir_spark.suite.common import Q
 # The correctness driver hash-checks the FIRST 50 registered queries
 # only, so registration order is coverage policy.
 #
-# Round-14 window (the r13 verdict's prescription, task 2 — rotate to
-# the r6-vintage evidence tail):
+# Round-15 window (the r14 verdict's prescription, task 2 — rotate to
+# the r7-vintage evidence tail):
 #   1. flagship;
-#   2. r14 debuts (debuts-land-with-a-driver-row rule): q309, q310,
-#      q70c;
-#   3. q307 re-pin — the robots_filter operator was re-planned this
-#      round (executor-side parse + host join, verdict task 1); its
-#      done-criterion is a driver row green ON THE NEW PLAN;
-#   4. ALL 34 r6-vintage lifetime rows (registration order) — after
-#      r14 the oldest green evidence anywhere is r7;
-#   5. remaining slots filled oldest-first from the r7 cohort
-#      (registration order) — the wave-2 debuts (q311-q315) displaced
-#      the 5 newest r7 fills (q166, q167, q170, q172, q174) per the
-#      debuts-land-with-a-driver-row rule.
+#   2. the four r14 debuts that went windowless (the r14 window note
+#      promised them the first r15 slots): q70d, q322, q324, q326;
+#   3. r15 debuts (debuts-land-with-a-driver-row rule): q327 link
+#      extraction, q328 the composed crawl loop, q329 WARC revisit;
+#   4. 42 of the 45 r7-vintage lifetime rows, registration order.
+#      Tradeoff, documented: 1 + 4 + 3 + 45 overflows by three, so
+#      the THREE r7 rows whose operator families hold the freshest
+#      evidence elsewhere wait for r16 and are carried by this
+#      round's full-suite selfcheck sweep instead:
+#      q171_stream_ohlc (streaming family: q52-q57/q164/q321 all
+#      r12-r14; q152_ohlc_bars re-pinned r14), q185_png_real_decode
+#      (real-decode family: q163 r14, q289 r13), q193_wav_real_decode
+#      (audio family: q285 r13, q322 in this window).
 WINDOW = [
     "q00_flagship_shipping_priority",
-    # -- tier 2: r14 debuts
-    "q309_charset_decode",
-    "q310_crawl_pipeline",
-    "q70c_ivf_fixed_codebook",
-    # -- tier 2b: r14 wave-2 debuts (crawl frontier / page metadata)
-    "q311_frontier_schedule",
-    "q312_crawl_budget",
-    "q313_anchor_topk",
-    "q314_html_metadata",
-    "q315_sitemap_discovery",
-    # -- tier 2c: r14 wave-3 debuts (C4 cleaning; binary ANN) —
-    #    displaced q160/q165, the newest remaining r7 fills
-    "q316_c4_filter",
-    "q317_binary_hamming_topk",
-    # -- tier 2d: r14 wave-4/5 debuts (streaming robots gate; mojibake;
-    #    sitemap XML; the full STREAMING crawl pipeline) — displaced
-    #    q101/q102/q118/q100, exhausting the r7 fill slots.
-    #    Tradeoff, documented: with 15 oracle-backed debuts + the q307
-    #    re-pin + all 34 r6-vintage rows the window overflows by one,
-    #    and task 2's done-criterion (oldest green anywhere ≥ r7)
-    #    requires every r6 row to stay — so TWO debuts wait:
-    #    q70d_lsh_seeded_planes (the least novel evidence — q70c
-    #    already pins the frozen-parameter ANN-twin pattern and the
-    #    q70/q70b recall tests cover sign-LSH) and
-    #    q322_audio_frame_features (the q285/q193 audio family holds
-    #    current rows) debut windowless this round, carried by the
-    #    full-suite selfcheck, and take the first r15 slots — as do
-    #    the late wave-7 debuts q324_sentence_segmentation and
-    #    q326_crawl_delay_schedule (same reasoning: their operator
-    #    families — q316 C4 / q311 frontier — hold fresh r14 rows).
-    "q318_stream_robots_gate",
-    "q319_mojibake_repair",
-    "q320_sitemap_parse",
-    "q321_stream_crawl_pipeline",
-    # -- tier 3: re-pin on the r14 re-planned operator
-    "q307_robots_filter",
-    # -- tier 4: the full r6-vintage cohort (oldest lifetime evidence)
-    "q136_anomaly_detection",
-    "q137_sessionize",
-    "q138_pagerank",
-    "q140_ewma",
-    "q141_snapshot_diff",
-    "q142_skew_report",
-    "q149_tpch_q5_local_supplier",
-    "q150_triangle_count",
-    "q151_scd2_dimension",
-    "q152_ohlc_bars",
-    "q153_time_weighted_avg",
-    "q155_regression_aggs",
-    "q156_winsorize",
-    "q157_chi2_crosstab",
-    "q158_market_basket",
-    "q161_distribution_drift",
-    "q162_robust_outliers",
-    "q154_rolling_time_range",
-    "qf12_valueset_expand",
-    "qf13_conceptmap_translate",
-    "qf14_valueset_isa_filter",
-    "qf16_has_reverse_chain",
-    "qf17_observation_lastn",
-    "q133_funnel",
-    "q134_cohort_retention",
-    "q135_expectations",
-    "q139_weighted_sample",
-    "q143_contamination_report",
-    "q144_classifier_score",
-    "q145_temperature_mixture",
-    "q146_embedding_covariance",
-    "q147_bpe_pairs",
-    "q163_multimodal_real_decode",
-    "q164_stream_cdc_apply",
+    # -- tier 2: r14 windowless debuts, first slots as promised
+    "q70d_lsh_seeded_planes",
+    "q322_audio_frame_features",
+    "q324_sentence_segmentation",
+    "q326_crawl_delay_schedule",
+    # -- tier 3: r15 debuts
+    "q327_link_extraction",
+    "q328_crawl_loop",
+    "q329_warc_revisit",
+    # -- tier 4: the r7-vintage cohort (oldest lifetime evidence),
+    #    registration order, minus the three documented above
+    "q100_tpch_q7_volume_shipping",
+    "q101_tpch_q8_market_share",
+    "q102_tpch_q12_late_lines",
+    "q118_zorder_write",
+    "q160_numeric_histogram",
+    "q165_target_encoding",
+    "q166_quantile_bin",
+    "q167_correlation_matrix",
+    "q170_welch_t_test",
+    "q172_concentration_report",
+    "q174_benford_audit",
+    "q175_hierarchy_rollup",
+    "q176_autocorrelation",
+    "q177_longest_streak",
+    "q180_weighted_percentile",
+    "q181_lorenz_points",
+    "q183_trend_slopes",
+    "q184_rolling_active_users",
+    "q186_seasonal_decompose",
+    "q187_gap_report",
+    "q188_cuped_adjust",
+    "q189_cohens_kappa",
+    "q190_calibration_bins",
+    "qf09_view_definition_patient",
+    "qf11_chained_search",
+    "qf15_patient_everything",
+    "qf18_patient_linkage",
+    "qf19_bp_component_pivot",
+    "qf20_lab_value_outliers",
+    "qf21_valueset_predicate_filters",
+    "q95_decontaminate",
+    "q96_sample_mixture",
+    "q97_repetition_stats",
+    "q98_redact_pii",
+    "q99_pack_sequences",
+    "q111_importance_weights",
+    "q115_table_profile",
+    "q116_corpus_split",
+    "q178_soft_dedup",
+    "q179_pmi_collocations",
+    "q182_curriculum_interleave",
+    "q191_stratified_folds",
 ]
 
 
