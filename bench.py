@@ -111,6 +111,10 @@ HEADLINE = [
     # round-14 addition (new line, not a regression vs BENCH_r13):
     "q310_crawl_pipeline",             # composed WARC->HTTP/charset->HTML->canon->quality
     #                                    ingestion — three mapInPandas passes on one lineage
+    # round-15 addition (new line, not a regression vs BENCH_r14):
+    "q328_crawl_loop",                 # composed discovery round-trip: extract_links ->
+    #                                    canonicalize -> sitemap union -> anti-join crawled ->
+    #                                    Hamilton budget -> Crawl-delay politeness schedule
 ]
 
 

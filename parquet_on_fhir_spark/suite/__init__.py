@@ -17,16 +17,19 @@ from parquet_on_fhir_spark.suite.common import Q
 #   2. the four r14 debuts that went windowless (the r14 window note
 #      promised them the first r15 slots): q70d, q322, q324, q326;
 #   3. r15 debuts (debuts-land-with-a-driver-row rule): q327 link
-#      extraction, q328 the composed crawl loop, q329 WARC revisit;
-#   4. 42 of the 45 r7-vintage lifetime rows, registration order.
-#      Tradeoff, documented: 1 + 4 + 3 + 45 overflows by three, so
-#      the THREE r7 rows whose operator families hold the freshest
+#      extraction, q328 the composed crawl loop, q329 WARC revisit,
+#      q330 crawl->rank;
+#   4. 41 of the 45 r7-vintage lifetime rows, registration order.
+#      Tradeoff, documented: 1 + 4 + 4 + 45 overflows by four, so
+#      the FOUR r7 rows whose operator families hold the freshest
 #      evidence elsewhere wait for r16 and are carried by this
 #      round's full-suite selfcheck sweep instead:
 #      q171_stream_ohlc (streaming family: q52-q57/q164/q321 all
 #      r12-r14; q152_ohlc_bars re-pinned r14), q185_png_real_decode
 #      (real-decode family: q163 r14, q289 r13), q193_wav_real_decode
-#      (audio family: q285 r13, q322 in this window).
+#      (audio family: q285 r13, q322 in this window),
+#      q184_rolling_active_users (RANGE-frame family: q154 re-pinned
+#      r14, q32 frames r12).
 WINDOW = [
     "q00_flagship_shipping_priority",
     # -- tier 2: r14 windowless debuts, first slots as promised
@@ -38,6 +41,7 @@ WINDOW = [
     "q327_link_extraction",
     "q328_crawl_loop",
     "q329_warc_revisit",
+    "q330_crawl_rank",
     # -- tier 4: the r7-vintage cohort (oldest lifetime evidence),
     #    registration order, minus the three documented above
     "q100_tpch_q7_volume_shipping",
@@ -57,7 +61,6 @@ WINDOW = [
     "q180_weighted_percentile",
     "q181_lorenz_points",
     "q183_trend_slopes",
-    "q184_rolling_active_users",
     "q186_seasonal_decompose",
     "q187_gap_report",
     "q188_cuped_adjust",

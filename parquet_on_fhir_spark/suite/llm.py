@@ -6239,6 +6239,81 @@ FROM rev r LEFT JOIN orig o ON r.digest = o.digest
 QUERIES.append(Q("q329_warc_revisit", q329, Q329_ORACLE))
 
 
+# --- Q330: crawl -> rank (PageRank over the engine-extracted host graph) --------------------
+def q330(spark, sf_dir):
+    """The crawl loop feeding the ranker (r15): extract_links over
+    fetched pages → host-level edge projection (self-loops dropped,
+    distinct pairs) → pagerank (operators/graph.py — 5 power
+    iterations, dangling-mass redistribution; hub.ex is a genuine
+    dangling sink here). With q328 this completes the discovery →
+    prioritization story on ENGINE-produced edges: 180 pages on 6
+    hosts, a next-chain h(k)→h(k+1), an always-linked dangling hub,
+    and even pages linking home to h0 (the asymmetry the rank must
+    reflect) — the host graph is closed form, so the oracle reuses
+    q138's unrolled-CTE PageRank over the same derived edge set. At
+    100 TB: link extraction rides the page scan; the host graph is a
+    distinct over (src_host, dst_host) — orders of magnitude smaller
+    than the edge list; each power iteration is one shuffle keyed by
+    host."""
+    from parquet_on_fhir_spark.operators.graph import pagerank
+    from parquet_on_fhir_spark.operators.html import extract_links
+    from parquet_on_fhir_spark.suite.common import d4
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 180)
+    did = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 6
+    src = F.concat(
+        F.lit("https://h"), k.cast("string"), F.lit(".ex/d/"), did,
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://h'), ((k + 1) % 6).cast("string"),
+        F.lit(".ex/n/"), (F.col("doc_id") + 1).cast("string"),
+        F.lit('.html">next</a><a href="https://hub.ex/x'), did,
+        F.lit('">hub</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<a href="https://h0.ex/">home</a>'),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", src.alias("src_url"), html.alias("html"))
+    host = lambda c: F.regexp_extract(c, r"^https?://([^/]+)", 1)  # noqa: E731
+    edges = (
+        extract_links(pages, url_col="src_url")
+        .select(
+            host(F.col("src_url")).alias("src"),
+            host(F.col("dst_url")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = pagerank(edges, iterations=5, damping=0.85)
+    return out.select("node", d4(F.col("rank") * 1000).alias("rank_k"))
+
+
+def _q330_oracle() -> str:
+    from parquet_on_fhir_spark.suite.relational import _pagerank_oracle
+
+    edge_cte = (
+        "d AS (SELECT doc_id, doc_id % 6 AS k "
+        "FROM documents WHERE doc_id < 180),\n"
+        "raw AS (\n"
+        "  SELECT 'h' || CAST(k AS VARCHAR) || '.ex' AS u,\n"
+        "         'h' || CAST((k + 1) % 6 AS VARCHAR) || '.ex' AS v FROM d\n"
+        "  UNION ALL\n"
+        "  SELECT 'h' || CAST(k AS VARCHAR) || '.ex', 'hub.ex' FROM d\n"
+        "  UNION ALL\n"
+        "  SELECT 'h' || CAST(k AS VARCHAR) || '.ex', 'h0.ex' FROM d\n"
+        "  WHERE doc_id % 2 = 0\n"
+        "),\n"
+        "e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v)"
+    )
+    return _pagerank_oracle(edge_cte=edge_cte)
+
+
+QUERIES.append(Q("q330_crawl_rank", q330, _q330_oracle()))
+
+
 # --- Q287: BPE tokenizer apply (encode) -----------------------------------------------
 #: fixed literal merge chain (training order) — forms `table</w>` and
 #: `scan</w>` over the corpus vocabulary; the SAME list is inlined in

@@ -2067,9 +2067,19 @@ def q138(spark, sf_dir):
     return out.select("node", d4(F.col("rank") * 1000).alias("rank_k"))
 
 
-def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+def _pagerank_oracle(
+    iters: int = 5, d: float = 0.85, edge_cte: str | None = None
+) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (recursive
+    CTEs cannot aggregate over the recursive reference). ``edge_cte``
+    parameterizes the edge set — ``e`` must expose (u, v); q330 reuses
+    the chain over the crawl-link host graph."""
+    e = edge_cte or (
+        "e AS (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v "
+        "FROM lineitem)"
+    )
     parts = [
-        "WITH e AS (SELECT l_orderkey % 500 AS u, l_partkey % 500 AS v FROM lineitem)",
+        f"WITH {e}",
         "nodes AS (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e))",
         "nn AS (SELECT count(*) AS n FROM nodes)",
         "deg AS (SELECT u, count(*) AS dd FROM e GROUP BY u)",

@@ -761,3 +761,39 @@ def test_crawl_pipeline_plan_no_cartesian(spark, sf_dir):
     # exactly one join node: the fixture broadcast (formatted explain
     # prints each node twice — once in the tree, once in the detail)
     assert p.count("BroadcastHashJoin") <= 2, p
+
+
+def test_crawl_loop_and_revisit_plans(spark, sf_dir):
+    """r15 debuts: q328's composed discovery round-trip and q329's
+    revisit resolution must never plan a cartesian product, and the
+    fixture sides must reach the fact side as broadcasts (the r13
+    codec-family discipline). q328's schedule window partitions by
+    host — never partition-less."""
+    from parquet_on_fhir_spark.suite.llm import q328, q329
+
+    p328 = plan_of(q328(spark, sf_dir))
+    assert "CartesianProduct" not in p328, p328
+    assert "windowspecdefinition(host" in p328, p328
+    p329 = plan_of(q329(spark, sf_dir))
+    assert "CartesianProduct" not in p329, p329
+    assert "BroadcastHashJoin" in p329 or "BroadcastExchange" in p329, p329
+
+
+def test_extract_links_rides_the_scan(spark):
+    """extract_links is a single mapInPandas projection over the page
+    scan: no Exchange, no join, no collect anywhere in the module."""
+    import inspect
+
+    from parquet_on_fhir_spark.operators import html as html_mod
+    from parquet_on_fhir_spark.operators.html import extract_links
+
+    assert ".collect(" not in inspect.getsource(html_mod)
+    pages = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h.ex/p"), F.col("id")).alias("url"),
+        F.concat(F.lit('<a href="/x'), F.col("id"),
+                 F.lit('">x</a>')).alias("html"),
+    )
+    p = plan_of(extract_links(pages))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p

@@ -124,6 +124,25 @@ AUDITED = [
     "q301_webp_animation_frames",
     "q302_avif_real_decode",
     "q303_exif_audit",
+    # round-14: the crawl family (compliance, ingestion, frontier,
+    # cleaning, binary ANN) — r14 verdict hygiene item 1
+    "q307_robots_filter",
+    "q309_charset_decode",
+    "q310_crawl_pipeline",
+    "q311_frontier_schedule",
+    "q312_crawl_budget",
+    "q313_anchor_topk",
+    "q314_html_metadata",
+    "q315_sitemap_discovery",
+    "q316_c4_filter",
+    "q317_binary_hamming_topk",
+    "q319_mojibake_repair",
+    "q320_sitemap_parse",
+    "q326_crawl_delay_schedule",
+    # round-15: link extraction, the composed crawl loop, WARC revisit
+    "q327_link_extraction",
+    "q328_crawl_loop",
+    "q329_warc_revisit",
 ]
 
 
