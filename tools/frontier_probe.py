@@ -62,12 +62,27 @@ def main() -> int:
                 round(time.time() - t0, 2), agg["rows"], agg["chk"],
             )
         assert results[1][1:] == results[16][1:], results
+        # the structural claim: the largest SINGLE-TASK sort each form
+        # performs (what actually kills a hot host at cluster scale —
+        # wall-clock here is shuffle-volume-bound and reads as parity)
+        salt = F.crc32(F.col("url").cast("string")) % 16
+        stage1_max = (
+            frontier.groupBy("host", salt.alias("s"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        single_max = (
+            frontier.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+        )
         print(json.dumps({
             "hot_urls": n,
             "total_urls": total,
             "cap": CAP,
             "single_stage_sec": results[1][0],
             "two_stage_sec": results[16][0],
+            "max_task_sort_single": single_max,
+            "max_task_sort_two_stage": max(stage1_max, CAP * 16),
             "rows": results[1][1],
             "identical": True,
         }))

@@ -143,6 +143,7 @@ AUDITED = [
     "q327_link_extraction",
     "q328_crawl_loop",
     "q329_warc_revisit",
+    "q330_crawl_rank",
 ]
 
 
