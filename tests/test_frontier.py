@@ -308,3 +308,33 @@ def test_extract_links_operator(spark):
         (1, 1, "https://b.ex/q", True),
         (2, 0, "https://c.ex/z", False),
     ]
+
+
+def test_anchor_topk_on_extracted_links(spark):
+    """r15 loop closure, anchor side: anchor_text_topk consumes
+    ENGINE-produced edges from extract_links (dofollow only — the REP
+    endorsement rule), not a synthetic frame: term counts aggregate
+    across pages, nofollow anchors never contribute."""
+    from parquet_on_fhir_spark.operators.frontier import anchor_text_topk
+    from parquet_on_fhir_spark.operators.html import extract_links
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.ex/1",
+          '<a href="https://t.ex/page">Great Spark guide</a>'),
+         (2, "https://a.ex/2",
+          '<a href="https://t.ex/page">spark tutorial</a>'),
+         (3, "https://a.ex/3",
+          '<a href="https://t.ex/page" rel="nofollow">spam words</a>'
+          '<a href="https://o.ex/x">other</a>')],
+        "doc_id long, url string, html string",
+    )
+    links = extract_links(pages).filter(~F.col("nofollow"))
+    rows = anchor_text_topk(
+        links, k=2, dst_col="dst_url", anchor_col="anchor"
+    ).collect()
+    got = {(r["dst_url"], r["term"]): (r["n"], r["rnk"]) for r in rows}
+    # 'spark' appears in two dofollow anchors -> top term; 'spam'
+    # never appears (nofollow filtered before aggregation)
+    assert got[("https://t.ex/page", "spark")] == (2, 1)
+    assert ("https://t.ex/page", "spam") not in got
+    assert got[("https://o.ex/x", "other")] == (1, 1)
