@@ -246,7 +246,7 @@ class _LinkExtractor(HTMLParser):
         if tag in self._DROP_L:
             self._drop_depth += 1
             return
-        if tag == "base" and self.base_href is None:
+        if tag == "base" and self.base_href is None and not self._drop_depth:
             d = dict(attrs)
             if d.get("href"):
                 self.base_href = d["href"].strip()
