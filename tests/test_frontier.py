@@ -338,3 +338,63 @@ def test_anchor_topk_on_extracted_links(spark):
     assert got[("https://t.ex/page", "spark")] == (2, 1)
     assert ("https://t.ex/page", "spam") not in got
     assert got[("https://o.ex/x", "other")] == (1, 1)
+
+
+def test_extract_links_hypothesis_differential():
+    """Property sweep (r15): pages BUILT from random link specs must
+    extract back exactly — dst = urljoin(effective base, href) with
+    the fragment stripped, in document order, nofollow iff the rel
+    tokens carry it; non-http(s) schemes never appear. The expected
+    value is computed by an independent minimal reference (direct
+    urljoin over the spec list), so this is a differential oracle
+    over a much wider input space than the fixture templates."""
+    from urllib.parse import urldefrag, urljoin
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_on_fhir_spark.operators.html import extract_page_links
+
+    seg = st.text(
+        alphabet="abcdefghij0123456789._-", min_size=1, max_size=8)
+    rel_path = st.lists(seg, min_size=1, max_size=3).map("/".join)
+    href = st.one_of(
+        rel_path,                                      # relative
+        rel_path.map(lambda p: "/" + p),               # root-relative
+        rel_path.map(lambda p: "../" + p),             # parent
+        rel_path.map(lambda p: f"https://ext.ex/{p}"),  # absolute
+        rel_path.map(lambda p: f"https://ext.ex/{p}#frag"),
+        st.just("javascript:void(0)"),                 # dropped
+        st.just("mailto:a@b.c"),                       # dropped
+    )
+    link = st.tuples(href, seg, st.sampled_from(
+        [None, "nofollow", "external", "nofollow ugc"]))
+    base_href = st.sampled_from(
+        [None, "https://cdn.ex/b/", "sub/", "/rooted/"])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(link, max_size=6), base_href)
+    def check(links, base):
+        page_url = "https://h0.ex/dir/page.html"
+        html = []
+        if base is not None:
+            html.append(f'<base href="{base}">')
+        for h, anchor, rel in links:
+            r = f' rel="{rel}"' if rel else ""
+            html.append(f'<a href="{h}"{r}>{anchor}</a>')
+        got = extract_page_links("".join(html), page_url)
+
+        eff_base = urljoin(page_url, base) if base else page_url
+        want = []
+        for h, anchor, rel in links:
+            dst = urldefrag(urljoin(eff_base, h))[0]
+            if dst.split(":", 1)[0].lower() not in ("http", "https"):
+                continue
+            want.append((len(want), dst, anchor,
+                         "nofollow" in (rel or "").split()))
+        assert [
+            (r["seq"], r["dst_url"], r["anchor"], r["nofollow"])
+            for r in got
+        ] == want
+
+    check()
