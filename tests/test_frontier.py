@@ -202,15 +202,19 @@ def test_politeness_two_stage_cap_exact(spark):
     f = spark.createDataFrame(
         data, "host string, url string, priority int"
     ).repartition(8)
-    kw = dict(delay_ms=100, per_host_cap=7)
-    single = sorted(
-        tuple(r) for r in politeness_schedule(f, cap_salts=1, **kw).collect()
-    )
-    salted = sorted(
-        tuple(r) for r in politeness_schedule(f, cap_salts=16, **kw).collect()
-    )
-    assert single == salted
-    assert len(single) == 21  # 3 hosts × cap 7
+    for cap, salts in ((7, 16), (1, 4), (50, 8), (400, 16)):
+        kw = dict(delay_ms=100, per_host_cap=cap)
+        single = sorted(
+            tuple(r)
+            for r in politeness_schedule(f, cap_salts=1, **kw).collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in politeness_schedule(f, cap_salts=salts, **kw).collect()
+        )
+        assert single == salted, (cap, salts)
+    # cap 7: exactly 3 hosts x 7 survivors
+    assert len(single) == 400  # cap 400 >= every host's size: all kept
 
 
 def test_extract_page_links_semantics():

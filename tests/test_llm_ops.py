@@ -1548,3 +1548,55 @@ def test_warc_revisit_records_and_resolve(spark):
         got = {r["revisit_uri"]: r["original_found"] for r in
                revisit_resolve(frame, distribute=mode).collect()}
         assert got == {"https://a.ex/p": True, "https://a.ex/q": False}
+
+
+def test_warc_build_parse_roundtrip_property():
+    """Differential round trip (r15): build_warc(specs) -> parse_warc
+    must return every record's type/uri/date/length and the full
+    revisit-chain header set verbatim, plain and member-gzipped, for
+    random spec lists — the writer and parser are independent code
+    paths over the ISO 28500 grammar."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_on_fhir_spark.operators.warc import build_warc, parse_warc
+
+    token = st.text(alphabet="abcdefgh0123456789:/._-", min_size=1,
+                    max_size=20)
+    payload = st.binary(max_size=60).filter(
+        lambda b: b[:5] != b"HTTP/")
+    spec = st.tuples(
+        st.sampled_from(["response", "request", "revisit", "warcinfo",
+                         "metadata"]),
+        st.one_of(st.none(), token.map(lambda t: "https://" + t)),
+        st.one_of(st.none(), st.just("2026-08-17T00:00:00Z")),
+        payload,
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "WARC-Payload-Digest": token.map(lambda t: "sha1:" + t),
+                "WARC-Refers-To-Target-URI": token,
+                "WARC-Profile": token,
+                "WARC-Record-ID": token,
+            },
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(spec, max_size=5), st.booleans())
+    def check(specs, gz):
+        out = parse_warc(build_warc(specs, gzip_members=gz))
+        assert len(out) == len(specs)
+        for rec, (rt, uri, date, body, extra) in zip(out, specs):
+            assert rec["rec_type"] == rt
+            assert rec["target_uri"] == uri
+            assert rec["date"] == date
+            assert rec["content_length"] == len(body)
+            assert rec["payload_prefix"] == body
+            assert rec["payload_digest"] == extra.get("WARC-Payload-Digest")
+            assert rec["refers_to_uri"] == extra.get(
+                "WARC-Refers-To-Target-URI")
+            assert rec["profile"] == extra.get("WARC-Profile")
+            assert rec["record_id"] == extra.get("WARC-Record-ID")
+
+    check()
