@@ -242,18 +242,28 @@ class _LinkExtractor(HTMLParser):
         self._cur = None
         self._buf = []
 
+    @staticmethod
+    def _first_wins(attrs):
+        """HTML parsing rules: a DUPLICATE attribute is ignored — the
+        FIRST occurrence wins (dict(attrs) would keep the last,
+        letting '<a href=a href=evil>' point at evil)."""
+        d = {}
+        for k, v in attrs:
+            d.setdefault(k, v)
+        return d
+
     def handle_starttag(self, tag, attrs):
         if tag in self._DROP_L:
             self._drop_depth += 1
             return
         if tag == "base" and self.base_href is None and not self._drop_depth:
-            d = dict(attrs)
+            d = self._first_wins(attrs)
             if d.get("href"):
                 self.base_href = d["href"].strip()
             return
         if tag == "a" and not self._drop_depth:
             self._finish()
-            d = dict(attrs)
+            d = self._first_wins(attrs)
             href = d.get("href")
             if href is not None:
                 rel = d.get("rel")
@@ -266,11 +276,16 @@ class _LinkExtractor(HTMLParser):
         if tag in self._DROP_L:
             self._drop_depth = max(0, self._drop_depth - 1)
             return
-        if tag == "a":
+        # an </a> inside a dropped region (an SVG <a>, say) must not
+        # finish the OUTER html anchor and truncate its text
+        if tag == "a" and not self._drop_depth:
             self._finish()
 
     def handle_startendtag(self, tag, attrs):
-        if tag == "base":
+        # <a .../> on a NON-VOID element: browsers ignore the stray
+        # slash and treat it as an open tag — so must we, or the edge
+        # (and its following anchor text) is silently lost
+        if tag in ("base", "a"):
             self.handle_starttag(tag, attrs)
 
     def handle_data(self, data):
@@ -310,7 +325,10 @@ def extract_page_links(
         p._finish()
     base = page_url or ""
     if p.base_href:
-        base = urljoin(base, p.base_href)
+        try:
+            base = urljoin(base, p.base_href)
+        except ValueError:
+            pass  # hostile base (bad IPv6 literal) — keep the page URL
     out = []
     seq = 0
     for href, rel, anchor in p.links:

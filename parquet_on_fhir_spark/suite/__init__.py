@@ -43,7 +43,7 @@ WINDOW = [
     "q329_warc_revisit",
     "q330_crawl_rank",
     # -- tier 4: the r7-vintage cohort (oldest lifetime evidence),
-    #    registration order, minus the three documented above
+    #    registration order, minus the four documented above
     "q100_tpch_q7_volume_shipping",
     "q101_tpch_q8_market_share",
     "q102_tpch_q12_late_lines",

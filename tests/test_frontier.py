@@ -402,3 +402,31 @@ def test_extract_links_hypothesis_differential():
         ] == want
 
     check()
+
+
+def test_extract_links_review_regressions():
+    """r15 review fixes: hostile base never raises; self-closing <a/>
+    opens an anchor (browser behavior); </a> inside a dropped region
+    doesn't truncate the outer anchor; duplicate attributes are
+    first-wins per the HTML parsing rules."""
+    from parquet_on_fhir_spark.operators.html import extract_page_links
+
+    page = "https://h.ex/p"
+    # hostile base: degrade to the page URL, never raise
+    r = extract_page_links('<base href="//[bad-v6"><a href="x.html">x</a>',
+                           page)
+    assert r[0]["dst_url"] == "https://h.ex/x.html"
+    # XHTML-style self-closing anchor still captures the edge + text
+    r = extract_page_links('<a href="/x"/>link text</a>', page)
+    assert [(x["dst_url"], x["anchor"]) for x in r] == [
+        ("https://h.ex/x", "link text")]
+    # svg <a> inside an html anchor: no early finish, no extra edge
+    r = extract_page_links(
+        '<a href="/x">Hello <svg><a></a></svg> World</a>', page)
+    assert [(x["dst_url"], x["anchor"]) for x in r] == [
+        ("https://h.ex/x", "Hello World")]
+    # duplicate href/rel: first occurrence wins
+    r = extract_page_links('<a href="/good" href="/evil">x</a>', page)
+    assert r[0]["dst_url"] == "https://h.ex/good"
+    r = extract_page_links('<a href="/p" rel="nofollow" rel="">x</a>', page)
+    assert r[0]["nofollow"] is True
