@@ -62,6 +62,40 @@ def attach_binary(df: DataFrame, payload_col: str, kind: str = "image") -> DataF
     )
 
 
+def _codec_quarantine(fn):
+    """Quarantine contract for the pure-input decoders (r15
+    decoder-contract fuzz, generalizing the r14 decode_wav advice):
+    on hostile bytes an interpreter-style decoder can only fail
+    through the mechanical exception types — struct.error on a
+    truncated fixed-layout read, Index/KeyError on an id or offset
+    the stream never defined, zlib.error on a corrupt deflate stream,
+    OverflowError on absurd declared dimensions. The batch consumers
+    catch ValueError ONLY (the quarantine signal), so anything else
+    would kill the whole Arrow batch; this translator maps the
+    mechanical types to ValueError at the public entry points. It
+    cannot mask real decode bugs on VALID input: the differential
+    fixture tests require correct output there, and a wrongly
+    quarantined valid fixture fails those tests loudly."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (
+            _struct.error, _zlib.error, IndexError, KeyError,
+            OverflowError,
+        ) as e:
+            raise ValueError(
+                f"{fn.__name__}: malformed payload "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
 def codec_available(kind: str = "image") -> bool:
     """True when a real codec library for ``kind`` is importable."""
     import importlib.util
@@ -281,6 +315,7 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
 # container has a REAL bytes→pixels→features path; compressed formats
 # (JPEG/PNG/...) still route through the PIL seam in decode_real.
 
+@_codec_quarantine
 def decode_ppm(content: bytes):
     """P6 binary PPM → (width, height, HxWx3 uint8 array). Raises
     ValueError on malformed headers — quarantine upstream, don't guess."""
@@ -321,6 +356,7 @@ def encode_ppm(pixels) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+@_codec_quarantine
 def decode_bmp(content: bytes):
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER) → (width, height,
     HxWx3 uint8 RGB array). Bottom-up row order and 4-byte row padding
@@ -356,6 +392,7 @@ def decode_bmp(content: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+@_codec_quarantine
 def decode_png(content: bytes):
     """8-bit non-interlaced PNG → (width, height, HxWx3 uint8 RGB
     array) with NO codec library: chunk walk + stdlib ``zlib``
@@ -400,7 +437,13 @@ def decode_png(content: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None or (color == 3 and plte is None):
         raise ValueError(f"unsupported PNG color type {color}")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # corrupted IDAT must quarantine (ValueError), not kill the
+        # Arrow batch — the decode_wav struct.error precedent (r15
+        # decoder-contract fuzz)
+        raise ValueError(f"PNG: corrupt IDAT stream ({e})") from e
     stride = w * channels
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG scanline size mismatch")
@@ -579,6 +622,10 @@ def _jpeg_dct_matrix():
 def _jpeg_build_decode_table(bits, vals):
     """Canonical Huffman (length, code) → symbol map from the DHT
     BITS/HUFFVAL lists (T.81 C.2)."""
+    if sum(bits) > len(vals):
+        # a truncated DHT promises more symbols than it carries —
+        # quarantine, not IndexError (r15 decoder-contract fuzz)
+        raise ValueError("JPEG: truncated huffman table")
     table, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -610,6 +657,7 @@ def _jpeg_extend(v, s):
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+@_codec_quarantine
 def decode_jpeg(content: bytes):
     """Baseline JPEG → (width, height, HxWx3 uint8 RGB array) with NO
     codec library. Envelope: SOF0/SOF1 (baseline + extended sequential
@@ -671,6 +719,8 @@ def decode_jpeg(content: bytes):
                 huff[(tc, th)] = _jpeg_build_decode_table(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            if len(data) < 6:
+                raise ValueError("JPEG: truncated SOF segment")
             prec = data[0]
             h, w = struct.unpack_from(">HH", data, 1)
             nc = data[5]
@@ -901,6 +951,8 @@ def _decode_jpeg_progressive(content: bytes):
                 huff[(tc, th)] = _jpeg_build_decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC2:
+            if len(data) < 6:
+                raise ValueError("JPEG: truncated SOF segment")
             prec = data[0]
             h, w = struct.unpack_from(">HH", data, 1)
             nc = data[5]
@@ -1596,6 +1648,7 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+@_codec_quarantine
 def decode_pixels(content: bytes, mime: str | None = None):
     """Magic-byte dispatch to the built-in decoders. ValueError when no
     built-in codec matches (caller decides: stand-in, PIL, quarantine)."""
@@ -1675,6 +1728,7 @@ def numpy_resize(
 
 
 # --- real audio codec for PCM WAV (no external library) ----------------------------
+@_codec_quarantine
 def decode_wav(content: bytes):
     """RIFF/WAVE PCM → (sample_rate, channels, float64 array of shape
     (n_samples, channels) normalized to [-1, 1]) with NO codec library
@@ -1930,6 +1984,7 @@ def _gif_image_block(content: bytes, pos: int, gct):
     return (left, top, w, h), pal, idx, pos
 
 
+@_codec_quarantine
 def decode_gif(content: bytes):
     """First image of a GIF87a/GIF89a stream → (width, height, HxWx3
     uint8 RGB). Pure stdlib+numpy: header + logical screen descriptor,
@@ -1970,6 +2025,7 @@ def decode_gif(content: bytes):
     return int(w), int(h), pal[idx]
 
 
+@_codec_quarantine
 def decode_gif_frames(content: bytes, max_frames: int | None = None):
     """Animated GIF → list of (delay_ms, screen-sized HxWx3 uint8 RGB)
     COMPOSITED frames (hl7-unrelated; the multimodal crawl case —
@@ -2246,6 +2302,7 @@ def gif_animation_features(media: DataFrame, max_frames: int | None = None) -> D
 # --- animated WebP (VP8X/ANIM/ANMF container) ---------------------------------------
 
 
+@_codec_quarantine
 def decode_webp_frames(content: bytes, max_frames: int | None = None):
     """Animated WebP → list of (duration_ms, HxWx3 uint8 RGB)
     composited frames, NO codec library: VP8X feature check, ANIM/ANMF
@@ -2830,6 +2887,7 @@ def _vp8l_inverse_transform(tf, argb, xsize, ysize):
     raise ValueError(f"vp8l: unknown transform {kind}")
 
 
+@_codec_quarantine
 def decode_webp(content: bytes):
     """WebP → (width, height, HxWx3 uint8 RGB) with NO codec library.
 
@@ -3312,6 +3370,7 @@ def _exif_value(blob: bytes, bo: str, entry):
     return struct.unpack_from(bo + fmt, blob, vpos)[0]
 
 
+@_codec_quarantine
 def parse_exif(content: bytes) -> dict | None:
     """EXIF summary from any supported container, or None when the
     payload carries no EXIF: {orientation (1-8, default 1), make,
@@ -3555,6 +3614,7 @@ def _tiff_unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+@_codec_quarantine
 def decode_tiff(content: bytes):
     """Baseline TIFF → (width, height, HxWx3 uint8 RGB) with NO codec
     library — IFD walk in either byte order (II/MM), strip assembly,
@@ -3575,14 +3635,22 @@ def decode_tiff(content: bytes):
         bo = ">"
     else:
         raise ValueError("not a TIFF (II*/MM* magic)")
-    (ifd_off,) = struct.unpack_from(bo + "I", content, 4)
-    (n_entries,) = struct.unpack_from(bo + "H", content, ifd_off)
+    try:
+        (ifd_off,) = struct.unpack_from(bo + "I", content, 4)
+        (n_entries,) = struct.unpack_from(bo + "H", content, ifd_off)
+    except struct.error as e:
+        raise ValueError(f"TIFF: truncated header/IFD ({e})") from e
     type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
-        tag, typ, cnt = struct.unpack_from(
-            bo + "HHI", content, ifd_off + 2 + i * 12
-        )
+        try:
+            tag, typ, cnt = struct.unpack_from(
+                bo + "HHI", content, ifd_off + 2 + i * 12
+            )
+        except struct.error as e:
+            # an IFD whose entry count overruns the payload must
+            # quarantine (r15 decoder-contract fuzz)
+            raise ValueError(f"TIFF: truncated IFD entry ({e})") from e
         voff = ifd_off + 2 + i * 12 + 8
         size = type_size.get(typ, 0) * cnt
         if size == 0:

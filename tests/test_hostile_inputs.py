@@ -213,3 +213,54 @@ def test_audio_frame_features_quarantines_hostile_wav(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert by_id[1] == [-1]
     assert len(by_id[2]) >= 1 and -1 not in by_id[2]
+
+
+def test_codec_decoders_raise_only_valueerror():
+    """r15 decoder-contract fuzz (generalizing the r14 decode_wav
+    advice): every pure-input decoder entry point may raise ONLY
+    ValueError (or NotImplementedError for the gated AVIF path) on
+    hostile bytes — truncations, bit flips and random soup over every
+    in-repo encoder's output. The _codec_quarantine translator maps
+    the mechanical exception types; this pins the contract."""
+    import random
+
+    import numpy as np
+
+    from parquet_on_fhir_spark.operators import multimodal as M
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[::2, ::2] = 200
+    fixtures = [
+        M.encode_ppm(img), M.encode_png(img), M.encode_jpeg(img),
+        M.encode_jpeg_progressive(img), M.encode_gif(img),
+        M.encode_gif_animation([img, img], [10, 10]),
+        M.encode_wav([[100], [200], [-100]], 8000),
+        bytes(M.encode_webp_lossless(img)),
+        bytes(M.encode_webp_animation([img, img], [10, 20])),
+        M.encode_tiff(img), M.encode_tiff(img, packbits=True),
+    ]
+    decoders = [
+        M.decode_ppm, M.decode_bmp, M.decode_png, M.decode_jpeg,
+        M.decode_gif, M.decode_gif_frames, M.decode_wav, M.decode_webp,
+        M.decode_webp_frames, M.decode_tiff, M.parse_exif,
+        M.decode_pixels,
+    ]
+    rng = random.Random(1531)
+    blobs = [b"", b"\x00" * 8]
+    for f in fixtures:
+        f = bytes(f)
+        for _ in range(6):
+            blobs.append(f[:rng.randrange(len(f))])
+        for _ in range(8):
+            b = bytearray(f)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            blobs.append(bytes(b))
+    for _ in range(30):
+        blobs.append(bytes(rng.randrange(256)
+                           for _ in range(rng.randrange(120))))
+    for fn in decoders:
+        for blob in blobs:
+            try:
+                fn(blob)
+            except (ValueError, NotImplementedError):
+                pass
