@@ -228,7 +228,6 @@ def concept_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     than silently under-closing — same contract as
     operators/graph.py::connected_components.
     """
-    from parquet_on_fhir_spark.operators.graph import _truncate_lineage
 
     def sized(df: DataFrame, rows: int) -> DataFrame:
         # ALWAYS checkpoint: every ECL/filter consumer embeds the
@@ -240,7 +239,13 @@ def concept_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         # partition BEFORE the checkpoint (fixture systems: 1 task,
         # SNOMED-scale ~10M-row closures: a handful) instead of
         # carrying spark.sql.shuffle.partitions micro-tasks forever.
-        return _truncate_lineage(df.coalesce(max(1, rows // 1_000_000)))
+        # LAZY checkpoint (r15): every sized() call is immediately
+        # followed by the round's count() action, so materialization
+        # piggybacks on that job — the eager form paid a separate
+        # materialization job per doubling round (2 jobs/round → 1).
+        return df.coalesce(max(1, rows // 1_000_000)).localCheckpoint(
+            eager=False
+        )
 
     with _metadata_execution(edges.sparkSession):
         clo = sized(

@@ -110,24 +110,31 @@ def allocate_crawl_budget(
     demand and the surplus is genuinely unallocatable. Output:
     (host, n_urls, allocated).
 
-    Plan (no SinglePartition anywhere — the host frame is crawl-sized,
+    Plan (no SinglePartition over the HOST frame — it is crawl-sized,
     the token-budget discipline applies): the two scalars (D, Σ quota)
     are 1-row aggregates; the global remainder rank is computed
     scalably as repartitionByRange on (rem DESC, demand DESC, host) +
-    per-range-partition counts (a partition-count-sized collect) +
     partition-local row_number against broadcast offsets — the exact
-    global rank with every shuffle hash/range-parallel.
+    global rank with every host-frame shuffle hash/range-parallel.
+    ZERO driver actions on the host frame (r15 optimization): the
+    leftover seat count rides as a broadcast 1-row aggregate instead
+    of a ``.first()``, and the per-range-partition offsets are the
+    cumulative window over the partition-count-sized pid histogram
+    (≤ spark.sql.shuffle.partitions rows — metadata, so its one
+    ordered window is the same class as the 1-row scalar folds)
+    broadcast back, instead of a driver ``.collect()`` — the two
+    actions previously cost 13 AQE stage-jobs per call at any scale.
 
-    Cache lifecycle (r14 advice): the leftover path persists the
-    range-partitioned frame so the counts pass and the final pass see
-    the SAME sampled boundaries. With ``eager_cleanup`` (default) the
-    result is materialized once via ``localCheckpoint(eager=True)``
-    and the scratch cache unpersisted before returning — repeated
-    calls in one session (bench reps, selfcheck sweeps) no longer
-    accumulate cached partitions; the checkpoint blocks themselves
-    are ContextCleaner-managed with the returned frame. Pass
-    ``eager_cleanup=False`` to keep the lazy plan (the plan-pin tests
-    inspect it)."""
+    Cache lifecycle (r14 advice): the range-partitioned frame is
+    persisted so the offsets pass and the final pass see the SAME
+    sampled range boundaries (both subplans resolve to one cached
+    relation; the offsets broadcast materializes it before the final
+    stage reads it). With ``eager_cleanup`` (default) the result is
+    materialized once via ``localCheckpoint(eager=True)`` and the
+    scratch cache unpersisted before returning — repeated calls in
+    one session (bench reps, selfcheck sweeps) do not accumulate
+    cached partitions. Pass ``eager_cleanup=False`` to keep the lazy
+    plan (the plan-pin tests inspect it)."""
     d = F.col(demand_col).cast("double")
     total = demand.agg(F.sum(demand_col).alias("__D"))
     j = (
@@ -139,52 +146,59 @@ def allocate_crawl_budget(
         )
         .drop("__D", "__exact")
     )
-    leftover_row = j.agg(
-        (F.lit(budget) - F.sum("__q")).alias("__left")
-    ).first()
-    leftover = int(leftover_row["__left"] or 0)
+    # leftover seats as a broadcast scalar — when it is ≤ 0 every
+    # rank comparison below is simply false, so the no-leftover case
+    # needs no Python-side branch (and no action to decide it)
+    leftover_col = j.agg(
+        (F.lit(budget) - F.coalesce(F.sum("__q"), F.lit(0)))
+        .cast("long")
+        .alias("__left")
+    )
+    order = [
+        F.col("__rem").desc(),
+        F.col(demand_col).desc(),
+        F.col(host_col).asc(),
+    ]
+    from pyspark import StorageLevel
 
-    if leftover <= 0:
-        ranked = j.withColumn("__plus", F.lit(0))
-    else:
-        order = [
-            F.col("__rem").desc(),
-            F.col(demand_col).desc(),
-            F.col(host_col).asc(),
-        ]
-        from pyspark import StorageLevel
-
-        ranged = j.repartitionByRange(*order).sortWithinPartitions(*order)
-        # Persisted because range boundaries are SAMPLED per
-        # computation: the counts pass and the final pass must see the
-        # SAME partitioning for the offsets to be exact (the
-        # token-budget two-pass discipline).
-        with_pid = ranged.withColumn(
-            "__pid", F.spark_partition_id()
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # partition-count-sized metadata (≤ spark.sql.shuffle.partitions)
-        sizes = {
-            r["__pid"]: r["n"]
-            for r in with_pid.groupBy("__pid")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        offsets, acc = {}, 0
-        for pid in sorted(sizes):
-            offsets[pid] = acc
-            acc += sizes[pid]
-        off_map = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
+    ranged = j.repartitionByRange(*order).sortWithinPartitions(*order)
+    # Persisted because range boundaries are SAMPLED per computation:
+    # the offsets pass and the final pass must see the SAME
+    # partitioning for the offsets to be exact (the token-budget
+    # two-pass discipline). Both references below resolve to this one
+    # cached relation; the offsets BROADCAST job materializes it, and
+    # the final stage (which consumes that broadcast) then reads the
+    # cache — sampling happens exactly once.
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    offs = (
+        with_pid.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
         )
-        lw = Window.partitionBy("__pid").orderBy(*order)
-        ranked = with_pid.withColumn(
+    )
+    lw = Window.partitionBy("__pid").orderBy(*order)
+    ranked = (
+        with_pid.join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(leftover_col))
+        .withColumn(
             "__plus",
             F.when(
-                off_map[F.col("__pid")] + F.row_number().over(lw)
-                <= F.lit(leftover),
+                F.col("__off") + F.row_number().over(lw) <= F.col("__left"),
                 1,
             ).otherwise(0),
-        ).drop("__pid")
+        )
+    )
 
     alloc = F.least(
         F.col(demand_col).cast("long"),
@@ -193,7 +207,7 @@ def allocate_crawl_budget(
     out = ranked.select(
         F.col(host_col), F.col(demand_col), alloc.alias("allocated")
     )
-    if eager_cleanup and leftover > 0:
+    if eager_cleanup:
         out = out.localCheckpoint(eager=True)
         with_pid.unpersist()
     return out

@@ -275,34 +275,37 @@ def pagerank(
     ends = _truncate_lineage(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     )
-    nodes = _truncate_lineage(
-        ends.select("u").unionAll(ends.select(F.col("v").alias("u"))).distinct()
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(
-            F.col("u").alias("node"), F.lit(0.0).alias("rank")
-        )
+    nodes = ends.select("u").unionAll(ends.select(F.col("v").alias("u"))).distinct()
     outdeg = ends.groupBy("u").agg(F.count("*").alias("__deg"))
-    ranks = nodes.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("rank"))
+    # (node, __deg) computed ONCE and checkpointed: the r14 form joined
+    # outdeg back into the rank table EVERY round (5 extra joins + 5
+    # extra lazy checkpoints of driver-plan work for an iteration-
+    # invariant table). __deg is NULL for dangling nodes.
+    nd = _truncate_lineage(
+        nodes.join(outdeg, nodes["u"] == outdeg["u"], "left").select(
+            nodes["u"].alias("node"), F.col("__deg")
+        )
+    )
+    n = nd.count()
+    if n == 0:
+        return nd.select(F.col("node"), F.lit(0.0).alias("rank"))
+    ranks = nd.select("node", F.lit(1.0 / n).alias("rank"), "__deg")
     for _ in range(iterations):
-        with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["u"], "left"
-        ).select("node", "rank", "__deg")
         # referenced by the dangling aggregate AND the contribution
-        # join — the lazy cut makes the rank÷deg join compute once per
-        # round when the final action cascades the checkpoints
-        with_deg = with_deg.localCheckpoint(eager=False)
+        # join — the lazy cut makes each round compute once when the
+        # final action cascades the checkpoints (ONE checkpoint per
+        # round; the rank table carries __deg so no per-round join)
+        ranks = ranks.localCheckpoint(eager=False)
         # dangling mass: rank held by nodes with no outgoing edges —
         # a 1-row aggregate BROADCAST into the update (same IEEE op
         # order as the former driver-collected scalar: d*dang/n
         # left-associated, added to the constant (1-d)/n)
         dangling = (
-            with_deg.filter(F.col("__deg").isNull())
+            ranks.filter(F.col("__deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         contrib = (
-            ends.join(with_deg, ends["u"] == with_deg["node"])
+            ends.join(ranks, ends["u"] == ranks["node"])
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("__deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("__in"))
@@ -312,16 +315,15 @@ def pagerank(
             + F.lit(damping) * F.col("__dang") / F.lit(float(n))
         )
         ranks = (
-            nodes.select(F.col("u").alias("node"))
-            .join(contrib, "node", "left")
+            nd.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("rank"),
+                "__deg",
             )
-            .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -393,6 +395,19 @@ def triangle_count(
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
     ).select("e.u", "e.v")
+    # Scale-adaptive repartition by the wedge pivot BEFORE the
+    # checkpoint (r15 optimization): the checkpoint freezes whatever
+    # partitioning exists, and the upstream distinct/orient chain is
+    # AQE-coalesced by its INPUT size — which says nothing about the
+    # m·√m wedge expansion the self-join below produces. Measured at
+    # sf0.1: the frozen single partition serialized the entire wedge
+    # join + closing join + corner explode into ONE 3.4 s task on a
+    # 32-core session. Hashing on u both parallelizes the expansion
+    # (out-degrees are √m-bounded by the orientation, so u spreads
+    # evenly) and co-partitions e1/e2 for the self-join, so this
+    # exchange REPLACES the join's own — it is not an extra shuffle.
+    par = oriented.sparkSession.sparkContext.defaultParallelism
+    oriented = oriented.repartition(par, "u")
     oriented = _truncate_lineage(oriented)  # referenced 3x (e1, e2, closing)
     e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("y"))

@@ -564,8 +564,17 @@ def _encode_doc(spark, doc, rtype):
             fh.write(_json.dumps(d) + "\n")
     # validate=False: these are self-authored fixture docs — the
     # invariant-aggregate job per encode is covered by the encode
-    # conformance tests, and at fixture scale jobs are the cost unit
-    return encode_ndjson(spark, base, resource_type=rtype, validate=False)
+    # conformance tests, and at fixture scale jobs are the cost unit.
+    # annotations=False (r15): terminology operators never read the
+    # __x_start/__x_numeric annotation columns (verified by grep +
+    # full qf-family selfcheck), and the annotate() projection over
+    # the nested ValueSet/CodeSystem schemas was ~0.6 s of pure
+    # driver plan construction per encode pair (guide §1.2: don't
+    # compute things you throw away). Annotation coverage itself is
+    # carried by qf02/qf03/qf04 and the encode conformance tests.
+    return encode_ndjson(
+        spark, base, resource_type=rtype, validate=False, annotations=False
+    )
 
 
 def qf12(spark, sf_dir):
