@@ -69,8 +69,12 @@ def _localize(df: DataFrame) -> DataFrame:
     block-manager read per consumer job — NOT a driver collect +
     re-parallelize, whose Python-RDD backing would drag a Python
     worker round-trip into every downstream job (measured 20-30%
-    SLOWER on qf41 than this)."""
-    return df.coalesce(1).localCheckpoint(eager=True)
+    SLOWER on qf41 than this). LAZY since r15: materialization
+    piggybacks on the first consumer job (for expansion inputs that is
+    the compose-metadata collect that immediately follows) instead of
+    paying a standalone job + py4j sync per localize — reuses still
+    read the cached single partition."""
+    return df.coalesce(1).localCheckpoint(eager=False)
 
 
 def _element_fields(df: DataFrame, *path: str) -> set[str]:
@@ -88,14 +92,39 @@ def _element_fields(df: DataFrame, *path: str) -> set[str]:
     return set(dt.fieldNames()) if isinstance(dt, T.StructType) else set()
 
 
+def _plan_memo(df: DataFrame, key: str, build):
+    """Per-INPUT-object plan memo (r15 optimization): derived metadata
+    plans (_all_concepts, _concept_properties) are rebuilt 3-4 times
+    per ValueSet expansion over the SAME localized CodeSystem frame —
+    each rebuild is a statically-unrolled select/union chain whose
+    py4j construction cost dominates at metadata scale. The memo hangs
+    off the input DataFrame object, so it is plan-graph reuse within
+    one operator invocation and dies with the object — NOT a result
+    cache: every invocation re-derives from its own inputs."""
+    cache = getattr(df, "_pofs_plan_memo", None)
+    if cache is None:
+        cache = {}
+        try:
+            df._pofs_plan_memo = cache
+        except Exception:  # pragma: no cover - exotic DataFrame proxies
+            return build()
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def _all_concepts(codesystems: DataFrame) -> DataFrame:
     """(system, code, display) at EVERY ``concept`` nesting depth of the
     encoded CodeSystem table — R4 represents is-a hierarchy as nested
     ``concept[].concept[]`` (hl7.org/fhir/R4/codesystem.html), so a
     whole-system include must collect the nested levels too. The walk
     is unrolled statically over the encoded schema's finite depth
-    (sparse schemas nest exactly as deep as the data does)."""
+    (sparse schemas nest exactly as deep as the data does). The built
+    plan is memoized per input frame (:func:`_plan_memo`)."""
+    return _plan_memo(codesystems, "all_concepts", lambda: _all_concepts_build(codesystems))
 
+
+def _all_concepts_build(codesystems: DataFrame) -> DataFrame:
     def pick(cur):
         # sparse schemas are PER-LEVEL (r11): a fixture whose nested
         # concepts carry no display encodes the field only at the
@@ -2122,7 +2151,16 @@ def _concept_properties(codesystems: DataFrame) -> DataFrame:
     properties carry no relationship-group ids, so each assertion is
     SELF-GROUPED (the SNOMED ECL rule for ungrouped relationship data);
     ECL attribute groups match on (code, grp) equality. Empty frame
-    when the encoded schema carries no properties."""
+    when the encoded schema carries no properties. The built plan is
+    memoized per input frame (:func:`_plan_memo`)."""
+    return _plan_memo(
+        codesystems,
+        "concept_properties",
+        lambda: _concept_properties_build(codesystems),
+    )
+
+
+def _concept_properties_build(codesystems: DataFrame) -> DataFrame:
     spark = codesystems.sparkSession
     empty = spark.createDataFrame(
         [], "system string, code string, prop string, pval string, grp int"

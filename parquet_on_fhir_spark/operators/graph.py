@@ -521,9 +521,18 @@ def hierarchy_rollup(
     vals = nodes.select(
         F.col(id_col).alias("vnode"), F.col(value_col).alias("__v")
     )
-    pairs = ids.select(F.col("node"), F.col("node").alias("anc"))
-    frontier = ids.select("node", F.col("parent").alias("anc")).filter(
-        F.col("anc").isNotNull() & (F.col("anc") != F.col("node"))
+    # (node, ancestor) pairs accumulate as a LIST of per-level
+    # frontiers unioned once at the end (r15 optimization): the r14
+    # form re-checkpointed the GROWING union every round — O(depth²)
+    # rows copied across a deep hierarchy — when each level is already
+    # its own checkpoint. Frontier checkpoints are LAZY: the per-round
+    # stat action materializes them, so each round is one job instead
+    # of three (pairs checkpoint + frontier checkpoint + stat).
+    pair_parts = [ids.select(F.col("node"), F.col("node").alias("anc"))]
+    frontier = (
+        ids.select("node", F.col("parent").alias("anc"))
+        .filter(F.col("anc").isNotNull() & (F.col("anc") != F.col("node")))
+        .localCheckpoint(eager=False)
     )
     depth = 0
     step = ids.select(
@@ -547,17 +556,21 @@ def hierarchy_rollup(
             raise RuntimeError(
                 f"hierarchy deeper than max_depth={max_depth} (cycle?)"
             )
-        pairs = _truncate_lineage(pairs.unionAll(frontier))
-        frontier = _truncate_lineage(
+        pair_parts.append(frontier)
+        frontier = (
             frontier.join(step, "anc")
             .select("node", F.col("next_anc").alias("anc"))
             .filter(F.col("anc").isNotNull())
             .distinct()
+            .localCheckpoint(eager=False)
         )
         stat = frontier.agg(
             F.count("*").alias("n"),
             F.sum((F.col("anc") == F.col("node")).cast("int")).alias("cyc"),
         ).collect()[0]
+    pairs = pair_parts[0]
+    for part in pair_parts[1:]:
+        pairs = pairs.unionAll(part)
     return (
         pairs.join(vals, pairs["node"] == vals["vnode"])
         .groupBy("anc")

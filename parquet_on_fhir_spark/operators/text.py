@@ -756,8 +756,17 @@ def ngram_novelty(
         F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
     )
     per = grams.groupBy("batch", "gram").agg(F.count("*").alias("__c"))
-    first = per.groupBy("gram").agg(F.min("batch").alias("__fb"))
-    tagged = per.join(first, "gram")
+    # per-gram first-seen as a WINDOW over the reduced frame (r15):
+    # the former groupBy("gram") + join-back referenced ``per`` twice,
+    # and without an explicit cache that re-ran the gram explode + the
+    # (batch, gram) aggregate — the expensive corpus pass — a second
+    # time. min() over a gram-partitioned window is one shuffle of the
+    # already-reduced pairs and scans the explode exactly once.
+    from pyspark.sql import Window
+
+    tagged = per.withColumn(
+        "__fb", F.min("batch").over(Window.partitionBy("gram"))
+    )
     is_new = (F.col("batch") == F.col("__fb")).cast("int")
     out = tagged.groupBy("batch").agg(
         F.sum("__c").alias("occurrences"),
