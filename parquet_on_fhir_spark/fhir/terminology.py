@@ -2299,9 +2299,13 @@ def _expand_filters(
     )
     # the filter LIST is metadata (K rows): ONE collect answers every
     # capability probe in plain Python (r12 — each probe used to be its
-    # own limit(1).count() job, ~7 jobs per compose batch); the
-    # distributed joins below still read the lazy flt plan, which
-    # replays inside their own jobs for free under _metadata_execution
+    # own limit(1).count() job, ~7 jobs per compose batch). The frame
+    # is LOCALIZED first (r15): the collect materializes the lazy
+    # single-partition checkpoint as part of its own job, and the
+    # ~6 per-op branches below (fh/fg/fn/fc/fp/ecl) then plan against
+    # a flat checkpoint scan instead of each re-analyzing the
+    # double-posexplode compose chain.
+    flt = _localize(flt)
     flt_rows = flt.collect()
     if not flt_rows:
         return None
