@@ -575,6 +575,17 @@ def near_dup_clusters(
         "contract": connected_components_contract,
     }[algorithm]
     cc = cc_fn(pairs, "id_a", "id_b", max_iter=max_iter)
+    # The label table covers only docs that appear in a near-dup pair.
+    # Its checkpointed plan carries no stats, so the left join back to
+    # the full corpus would default to a sort-merge join — shuffling
+    # and sorting the CORPUS id column on both sides. When the
+    # fixpoint's own convergence witness says the label table is small
+    # (≤1M rows ≈ tens of MB), broadcast it and leave the corpus side
+    # completely unshuffled (r16, guide §3.1); bigger label tables
+    # keep the shuffle join — a 100 TB pair graph must not broadcast.
+    n_cc = getattr(cc, "_pofs_rows", None)
+    if isinstance(n_cc, int) and n_cc <= 1_000_000:
+        cc = F.broadcast(cc)
     out = (
         df.select(id_col)
         .join(cc, F.col(id_col) == cc["node"], "left")

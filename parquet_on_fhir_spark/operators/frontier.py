@@ -88,6 +88,13 @@ def politeness_schedule(
     )
 
 
+#: remainder-bucket count for the global rank (see allocate_crawl_budget):
+#: enough distinct pid values to spread over any realistic shuffle
+#: partition count (guide §2.5: 20-100× more keys than partitions), yet
+#: small enough that the per-bucket offsets histogram stays metadata.
+_BUDGET_RANK_BUCKETS = 4096
+
+
 def allocate_crawl_budget(
     demand: DataFrame,
     budget: int,
@@ -113,30 +120,52 @@ def allocate_crawl_budget(
     Plan (no SinglePartition over the HOST frame — it is crawl-sized,
     the token-budget discipline applies): the two scalars (D, Σ quota)
     are 1-row aggregates; the global remainder rank is computed
-    scalably as repartitionByRange on (rem DESC, demand DESC, host) +
-    partition-local row_number against broadcast offsets — the exact
-    global rank with every host-frame shuffle hash/range-parallel.
-    ZERO driver actions on the host frame (r15 optimization): the
-    leftover seat count rides as a broadcast 1-row aggregate instead
-    of a ``.first()``, and the per-range-partition offsets are the
-    cumulative window over the partition-count-sized pid histogram
-    (≤ spark.sql.shuffle.partitions rows — metadata, so its one
-    ordered window is the same class as the 1-row scalar folds)
-    broadcast back, instead of a driver ``.collect()`` — the two
-    actions previously cost 13 AQE stage-jobs per call at any scale.
+    scalably as a DETERMINISTIC remainder bucketing + partition-local
+    row_number against broadcast offsets. Each row's bucket is
+    ``__pid = P-1-floor(rem*P)`` (P = _BUDGET_RANK_BUCKETS), a pure
+    function of the row: buckets ascend exactly as ``rem`` descends
+    (rows with equal rem always share a bucket, so the within-bucket
+    (rem DESC, demand DESC, host) window continues the global order
+    exactly). The per-bucket offsets are the cumulative window over
+    the ≤P-row bucket histogram (metadata-sized) broadcast back, and
+    the leftover seat count rides as a broadcast 1-row aggregate —
+    ZERO driver actions on the host frame.
 
-    Cache lifecycle (r14 advice): the range-partitioned frame is
-    persisted so the offsets pass and the final pass see the SAME
-    sampled range boundaries (both subplans resolve to one cached
-    relation; the offsets broadcast materializes it before the final
-    stage reads it). With ``eager_cleanup`` (default) the result is
-    materialized once via ``localCheckpoint(eager=True)`` and the
-    scratch cache unpersisted before returning — repeated calls in
-    one session (bench reps, selfcheck sweeps) do not accumulate
-    cached partitions. Pass ``eager_cleanup=False`` to keep the lazy
-    plan (the plan-pin tests inspect it)."""
+    r16 rewrite (guide §2.4/§2.5): the r15 form used
+    ``repartitionByRange`` for the global order, whose boundaries are
+    SAMPLED per computation — forcing a scratch persist (so both
+    passes saw one sampling) plus an eager materialization per call,
+    and leaking that cache in lazy mode. The deterministic bucket is
+    correct WITHOUT any persist: both passes recompute the identical
+    bucket per row. Costs moved, honestly: the range sampling pass,
+    the scratch persist and its mandatory eager job are gone, but a
+    demand distribution whose remainders collapse to few distinct
+    values (e.g. perfectly uniform per-host demand → ONE shared
+    remainder) now lands its tied cohort in one bucket = one window
+    task, where sampled ranges spread ties by the (demand, host)
+    tie-break. Rows are ~50 B and the window is a narrow row_number,
+    so even a 10M-host tied cohort is a single-digit-seconds task —
+    accepted and documented rather than paying the per-call
+    sampling+persist tax on every well-spread (i.e. real) demand
+    distribution.
+
+    ``eager_cleanup=True`` (default) persists the bucketed frame for
+    the duration of the call — a COST optimization only (the offsets
+    pass and the final pass would otherwise each recompute the demand
+    subtree; correctness no longer depends on shared state) —
+    materializes the result once (``localCheckpoint(eager=True)``)
+    and unpersists before returning. Pass ``eager_cleanup=False`` to
+    keep the fully lazy plan (plan-pin tests inspect it, and composed
+    pipelines like q328 let the consumer's single action compute it —
+    no scratch persist exists in this mode, so nothing can leak; the
+    demand subtree is computed twice, so materialize ``demand`` first
+    if it is expensive)."""
     d = F.col(demand_col).cast("double")
     total = demand.agg(F.sum(demand_col).alias("__D"))
+    # leftover seats as a broadcast scalar — when it is ≤ 0 every
+    # rank comparison below is simply false, so the no-leftover case
+    # needs no Python-side branch (and no action to decide it)
+    nbuck = _BUDGET_RANK_BUCKETS
     j = (
         demand.crossJoin(F.broadcast(total))
         .withColumn("__exact", F.lit(budget) * d / F.col("__D"))
@@ -145,10 +174,24 @@ def allocate_crawl_budget(
             "__rem", F.coalesce(F.col("__exact") - F.col("__q"), F.lit(0.0))
         )
         .drop("__D", "__exact")
+        # rem ∈ [0,1) ⇒ floor(rem·P) ∈ [0,P-1]; the least() guard only
+        # fires if rem·P rounds up to exactly P for rem = 1-ulp, which
+        # merges that row into the top bucket — order preserved.
+        .withColumn(
+            "__pid",
+            (
+                F.lit(nbuck - 1)
+                - F.least(
+                    F.lit(nbuck - 1),
+                    F.floor(F.col("__rem") * nbuck),
+                )
+            ).cast("int"),
+        )
     )
-    # leftover seats as a broadcast scalar — when it is ≤ 0 every
-    # rank comparison below is simply false, so the no-leftover case
-    # needs no Python-side branch (and no action to decide it)
+    if eager_cleanup:
+        from pyspark import StorageLevel
+
+        j = j.persist(StorageLevel.MEMORY_AND_DISK)
     leftover_col = j.agg(
         (F.lit(budget) - F.coalesce(F.sum("__q"), F.lit(0)))
         .cast("long")
@@ -159,21 +202,8 @@ def allocate_crawl_budget(
         F.col(demand_col).desc(),
         F.col(host_col).asc(),
     ]
-    from pyspark import StorageLevel
-
-    ranged = j.repartitionByRange(*order).sortWithinPartitions(*order)
-    # Persisted because range boundaries are SAMPLED per computation:
-    # the offsets pass and the final pass must see the SAME
-    # partitioning for the offsets to be exact (the token-budget
-    # two-pass discipline). Both references below resolve to this one
-    # cached relation; the offsets BROADCAST job materializes it, and
-    # the final stage (which consumes that broadcast) then reads the
-    # cache — sampling happens exactly once.
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
     offs = (
-        with_pid.groupBy("__pid")
+        j.groupBy("__pid")
         .agg(F.count("*").alias("__n"))
         .select(
             "__pid",
@@ -189,7 +219,7 @@ def allocate_crawl_budget(
     )
     lw = Window.partitionBy("__pid").orderBy(*order)
     ranked = (
-        with_pid.join(F.broadcast(offs), "__pid")
+        j.join(F.broadcast(offs), "__pid")
         .crossJoin(F.broadcast(leftover_col))
         .withColumn(
             "__plus",
@@ -209,7 +239,7 @@ def allocate_crawl_budget(
     )
     if eager_cleanup:
         out = out.localCheckpoint(eager=True)
-        with_pid.unpersist()
+        j.unpersist()
     return out
 
 

@@ -42,13 +42,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut lineage via localCheckpoint. ``eager=False`` defers
+    materialization to the first consumer action (one job instead of
+    two when a known action follows immediately — guide §1/§5); the
+    checkpoint still computes exactly once and is shared by every
+    downstream branch."""
     try:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     except Exception:  # pragma: no cover - e.g. Connect servers w/o support
         df.cache()
         df.count()
         return df
+
+
+#: pointer-jump schedule: rounds BEFORE this index run plain min-label
+#: propagation (zero extra joins); later rounds add this many
+#: label(label(v)) jumps. Near-dup cluster graphs (single-digit
+#: diameter — the module's primary workload) converge before jumping
+#: ever starts, so they no longer pay 2 self-joins per round for an
+#: acceleration they cannot use (r16 A/B on q108: 3.28 s with
+#: unconditional ×2 jumps vs 1.81 s without; the fixpoint label set is
+#: identical either way — jumping only changes HOW FAST labels settle).
+#: Deep graphs still get the ~2×-per-round compression once the round
+#: count shows the diameter is real.
+_PTR_JUMP_START = 3
+_PTR_JUMPS = 2
 
 
 def connected_components(
@@ -71,6 +90,11 @@ def connected_components(
     # Materialize the (possibly expensive — LSH pipelines) edge input
     # ONCE; both the node set and the bidirectional edge table derive
     # from the checkpoint, so neither branch replays the upstream plan.
+    # EAGER is deliberate (r16 A/B: lazy measured 3.47 s vs 2.78 s on
+    # q108): under a lazy checkpoint the first round's witness job
+    # materializes nodes and bidir as CONCURRENT AQE stages, each
+    # replaying the un-checkpointed upstream (the LSH pair pipeline)
+    # before any shared cache exists — the eager job computes it once.
     ends = _truncate_lineage(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     )
@@ -85,7 +109,7 @@ def connected_components(
     )
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # 1. propagate the neighbour minimum into each node's label.
         prop = bidir.join(labels, bidir["u"] == labels["node"]).select(
             F.col("v").alias("node"), F.col("comp")
@@ -95,13 +119,16 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        # 2. pointer jumping ×2: follow the label two hops (comp is
-        #    itself a node id, so look its label up in the same table).
-        #    Each hop halves label-tree heights; two per round quarters
-        #    them, which on chain-heavy graphs (bridged near-dup chains,
-        #    the probe's 10-node chains) cuts the round count ~2× for
-        #    one extra small join per round.
-        for _hop in range(2):
+        # 2. pointer jumping (ADAPTIVE, r16): follow the label two hops
+        #    (comp is itself a node id, so look its label up in the
+        #    same table). Each hop halves label-tree heights — but each
+        #    is also a full self-join (2 exchanges) per round, pure
+        #    waste on the shallow graphs this operator mostly sees.
+        #    So the first _PTR_JUMP_START rounds propagate only; if the
+        #    fixpoint still has not landed (real diameter), jumping
+        #    switches on for every later round.
+        n_jumps = _PTR_JUMPS if _round >= _PTR_JUMP_START else 0
+        for _hop in range(n_jumps):
             hop = new.select(
                 F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
             )
@@ -138,7 +165,15 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "the component diameter exceeds the round budget — raise max_iter"
         )
-    return labels.select("node", F.col("comp").alias("component"))
+    out = labels.select("node", F.col("comp").alias("component"))
+    # The convergence witness already counted the labelled nodes — ride
+    # that exact row count on the result object (plan metadata, dies
+    # with the DataFrame) so consumers can pick a broadcast join for
+    # small label tables without paying a fresh count action (r16,
+    # guide §3.1: checkpointed frames have no stats, so AQE would plan
+    # a sort-merge join against the full doc corpus otherwise).
+    out._pofs_rows = prev_sum[0]
+    return out
 
 
 def _canonical(e: DataFrame) -> DataFrame:

@@ -66,6 +66,23 @@ def get_session(app_name: str = "parquet-on-fhir-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def local_rows_df(spark: SparkSession, rows, schema, slices: int = 1):
+    """Small-literal DataFrame with a sane partition count (r16,
+    guide §4/§6). ``spark.createDataFrame(list)`` parallelizes the
+    rows over ``defaultParallelism`` partitions (32 on the local
+    session), and because the backing RDD holds PYTHON-pickled rows,
+    EVERY scan of the frame — each broadcast build, each action —
+    pays one Python-worker deserialization round-trip per partition:
+    ~0.5 s per scan for a 4-row frame, almost all of it empty-task
+    boundary cost (measured: 0.53 s → 0.26 s for a 4-row count at
+    ``slices=1``). Fixture/metadata frames are a handful of rows by
+    construction, so one slice is their right layout; pass a larger
+    ``slices`` only when the literal data is genuinely big."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )
+
+
 def utc(spark: SparkSession) -> SparkSession:
     """Pin the session timezone to UTC (idempotent, runtime-settable).
 

@@ -32,15 +32,22 @@ def _pointer_path(target_dir: str) -> str:
     return os.path.join(target_dir, "_LATEST")
 
 
-def read_cdc_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
+def read_cdc_table(
+    spark: SparkSession, target_dir: str, schema=None
+) -> DataFrame | None:
     """Read the current version of a CDC-maintained table (None before
-    the first batch lands)."""
+    the first batch lands). ``schema`` skips parquet footer inference —
+    the merge loop knows the table schema (it wrote it), and the
+    inference pass is one extra job per micro-batch (r16, guide §1)."""
     ptr = _pointer_path(target_dir)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
         version = fh.read().strip()
-    return spark.read.parquet(os.path.join(target_dir, version))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(os.path.join(target_dir, version))
 
 
 def apply_cdc_batch(
@@ -67,7 +74,13 @@ def apply_cdc_batch(
     spark = batch_df.sparkSession
     from pyspark.sql import functions as F
 
+    # One fold computation per batch (r16, guide §2.3): the folded
+    # batch feeds BOTH the anti-join key set and the upsert rows; a
+    # lazy checkpoint makes the write job compute the window once (the
+    # broadcast build materializes it, the union side reads the cut
+    # lineage) instead of planning the fold twice.
     latest = fold_cdc_latest(batch_df, keys, seq_col, delete_col=None)
+    latest = latest.localCheckpoint(eager=False)
     touched = latest.select(*keys)
     if delete_col is not None:
         upserts = latest.filter(
@@ -75,12 +88,29 @@ def apply_cdc_batch(
         ).drop(delete_col)
     else:
         upserts = latest
-    current = read_cdc_table(spark, target_dir)
+    current = read_cdc_table(spark, target_dir, schema=upserts.schema)
+    version_dir = os.path.join(target_dir, f"v={batch_id}")
     if current is None:
         merged = upserts
     else:
-        merged = current.join(touched, keys, "left_anti").unionByName(upserts)
-    version_dir = os.path.join(target_dir, f"v={batch_id}")
+        # the micro-batch key set is the SMALL side by construction
+        # (the target is the 100 TB table): broadcast it explicitly so
+        # the plan never considers shuffling the target (guide §3.1).
+        merged = current.join(
+            F.broadcast(touched), keys, "left_anti"
+        ).unionByName(upserts)
+        ptr = _pointer_path(target_dir)
+        with open(ptr) as fh:
+            if fh.read().strip() == f"v={batch_id}":
+                # foreachBatch REPLAY: the published version IS this
+                # batch's own directory, so the overwrite below would
+                # delete the files the scan reads. (The pre-r16 plan
+                # survived this only by accident: the un-hinted join
+                # shuffled the whole target through a map stage before
+                # the write job deleted it.) Materialize off the files
+                # first — retry-only cost, the steady path stays a
+                # single scan-join-write pass.
+                merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(version_dir)
     tmp = _pointer_path(target_dir) + ".tmp"
     with open(tmp, "w") as fh:

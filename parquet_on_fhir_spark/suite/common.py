@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_on_fhir_spark.api import load_table
-from parquet_on_fhir_spark.session import utc
+from parquet_on_fhir_spark.session import local_rows_df as local_df, utc
 
 
 @dataclass(frozen=True)

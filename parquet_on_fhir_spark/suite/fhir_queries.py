@@ -19,7 +19,7 @@ from parquet_on_fhir_spark.fhir.encode import encode_ndjson
 from parquet_on_fhir_spark.fhir.merge import merge_tables
 from parquet_on_fhir_spark.fhir.validate import validate
 from parquet_on_fhir_spark.session import utc
-from parquet_on_fhir_spark.suite.common import Q, d4, ts_str
+from parquet_on_fhir_spark.suite.common import local_df, Q, d4, ts_str
 
 PATIENT = "/root/reference/examples/Patient.parquet"
 OBSERVATION = "/root/reference/examples/Observation.parquet"
@@ -125,7 +125,7 @@ def qf04(spark, sf_dir):
         F.col("valueQuantity.value").alias("value"),
         F.col("valueQuantity.code").alias("code"),
     ).filter(F.col("valueQuantity.value").isNotNull())
-    extra = utc(spark).createDataFrame(
+    extra = local_df(utc(spark), 
         UCUM_EXTRA, "id string, value string, code string"
     )
     un = golden.unionByName(extra).withColumn(
@@ -192,7 +192,7 @@ def qf06(spark, sf_dir):
         df = utc(spark).read.parquet(path)
         report = validate(df, name)
         rows.append((name, len(report["errors"]), "; ".join(report["errors"])))
-    return spark.createDataFrame(rows, "resource STRING, n_errors INT, errors STRING")
+    return local_df(spark, rows, "resource STRING, n_errors INT, errors STRING")
 
 
 # Round-trip re-encode must reproduce the original columns exactly —
@@ -329,7 +329,7 @@ def qf08(spark, sf_dir):
         sch = definition_schema(rtype, paths=set(paths))
         for p, t in _flatten_leaves(sch):
             rows.append((rtype, ".".join(p), t))
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted(rows), "resource STRING, path STRING, dtype STRING"
     )
 
@@ -604,7 +604,7 @@ def qf13(spark, sf_dir):
 
     utc(spark)
     cm = _encode_doc(spark, _CM_DOC, "ConceptMap")
-    facts = spark.createDataFrame(
+    facts = local_df(spark, 
         [
             (1, "http://example.org/cs/local", "bp-sys"),
             (2, "http://example.org/cs/local", "bp-dia"),
@@ -1339,7 +1339,7 @@ def qf25(spark, sf_dir):
     vs = _encode_doc(spark, _VS_FILTER_DOCS, "ValueSet")
     cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
     closure = concept_closure(concept_edges(cs))
-    codes = spark.createDataFrame(
+    codes = local_df(spark, 
         [
             ("http://example.org/cs/anatomy2", "hand"),
             ("http://example.org/cs/anatomy2", "body"),
@@ -1641,7 +1641,7 @@ def qf30(spark, sf_dir):
     utc(spark)
     cs = _encode_doc(spark, _CS_ANATOMY_PROPS_DOC, "CodeSystem")
     closure = concept_closure(concept_edges(cs))
-    pairs = spark.createDataFrame(
+    pairs = local_df(spark, 
         [
             ("limb", "hand"),   # ancestor -> subsumes
             ("hand", "limb"),   # descendant -> subsumed-by
@@ -1727,7 +1727,7 @@ def qf31(spark, sf_dir):
 
     utc(spark)
     cm = _encode_doc(spark, _CM_UNMAPPED_DOCS, "ConceptMap")
-    facts = spark.createDataFrame(
+    facts = local_df(spark, 
         [
             (1, "http://example.org/cs/a", "x"),   # element match
             (2, "http://example.org/cs/a", "q"),   # provided -> q
@@ -1900,7 +1900,7 @@ def qf34(spark, sf_dir):
 
     utc(spark)
     cm = _encode_doc(spark, _CM_DOC, "ConceptMap")
-    facts = spark.createDataFrame(
+    facts = local_df(spark, 
         [
             (1, "http://loinc.org", "8480-6"),
             (2, "http://loinc.org", "8462-4"),
@@ -2062,7 +2062,7 @@ def qf37(spark, sf_dir):
 
     utc(spark)
     cs = _encode_doc(spark, _CS_FINDINGS2_DOC, "CodeSystem")
-    facts = spark.createDataFrame(
+    facts = local_df(spark, 
         [
             (1, "http://example.org/cs/findings2", "arm-fracture"),
             (2, "http://example.org/cs/findings2", "multi-trauma"),

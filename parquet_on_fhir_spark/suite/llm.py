@@ -20,7 +20,7 @@ from parquet_on_fhir_spark.operators.dedup import (
 )
 from parquet_on_fhir_spark.operators.multimodal import attach_binary, extract_features
 from parquet_on_fhir_spark.operators.similarity import ann_topk, brute_force_topk
-from parquet_on_fhir_spark.suite.common import Q, d4, t
+from parquet_on_fhir_spark.suite.common import local_df, Q, d4, t
 
 
 def _docs_with_dups(spark, sf_dir):
@@ -2221,7 +2221,7 @@ def q185(spark, sf_dir):
         (g, bytearray(encode_png(np.full((8, 8, 3), g, dtype=np.uint8))))
         for g in range(28, 228)
     ]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
@@ -2355,7 +2355,7 @@ def q193(spark, sf_dir):
         half = np.full(100, a, dtype="<i2")
         wave = np.tile(np.concatenate([half, -half]), 40)  # 8000 samples
         payloads.append((lvl, bytearray(encode_wav(wave, 8000))))
-    pay = spark.createDataFrame(payloads, "lvl INT, content BINARY")
+    pay = local_df(spark, payloads, "lvl INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 100).cast("int") == F.col("lvl")
@@ -3304,7 +3304,7 @@ def q255(spark, sf_dir):
         )
         for g in range(28, 228, 2)
     ]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay),
@@ -3493,7 +3493,7 @@ def q263(spark, sf_dir):
         )
         for g in range(30, 230, 2)
     ]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay),
@@ -3607,7 +3607,7 @@ def q270(spark, sf_dir):
         return bytearray(encode_gif(img, interlace=(g % 2 == 0)))
 
     payloads = [(g, make(g)) for g in range(28, 228)]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
@@ -3801,7 +3801,7 @@ def q276(spark, sf_dir):
         )
 
     payloads = [(g, make(g)) for g in range(28, 228)]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
@@ -4101,7 +4101,7 @@ def q284(spark, sf_dir):
         return bytearray(encode_webp_lossless(img, use_lz77=(g % 2 == 0)))
 
     payloads = [(g, make(g)) for g in range(28, 228)]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")
@@ -4172,7 +4172,7 @@ def q299(spark, sf_dir):
         (g, bytearray(encode_webp_solid(24, 16, (g, g, g))[0]))
         for g in range(40, 190)
     ]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150 + 40).cast("int") == F.col("g")
@@ -4257,7 +4257,7 @@ def q301(spark, sf_dir):
         )
 
     payloads = [(g, make(g)) for g in range(40, 190)]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150 + 40).cast("int") == F.col("g")
@@ -4318,7 +4318,7 @@ def q302(spark, sf_dir):
         return bytearray(encode_avif_yuv420(Y, U, U))
 
     payloads = [(g, make(g)) for g in range(40, 190)]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150 + 40).cast("int") == F.col("g")
@@ -4405,7 +4405,7 @@ def q303(spark, sf_dir):
         return bytearray(ex)  # raw TIFF-structured blob
 
     payloads = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    pay = local_df(spark, payloads, "i INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -4467,7 +4467,7 @@ def q304(spark, sf_dir):
         return bytearray(text)
 
     payloads = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    pay = local_df(spark, payloads, "i INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -4540,7 +4540,7 @@ def q305(spark, sf_dir):
         return para(i, 0)  # bare text, no markup at all
 
     payloads = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(payloads, "i INT, html STRING")
+    pay = local_df(spark, payloads, "i INT, html STRING")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     pages = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -4615,7 +4615,7 @@ def q306(spark, sf_dir):
         return bytearray(build_warc(recs, gzip_members=(i % 2 == 1)))
 
     payloads = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    pay = local_df(spark, payloads, "i INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -4681,7 +4681,7 @@ def q307(spark, sf_dir):
     shuffles when the rules broadcast."""
     from parquet_on_fhir_spark.operators.robots import robots_filter
 
-    robots = spark.createDataFrame(
+    robots = local_df(spark, 
         [
             ("h0.ex", "User-agent: *\nDisallow: /private/\n"
                       "Allow: /private/ok/\n"),
@@ -4783,7 +4783,7 @@ def q308(spark, sf_dir):
         k = i % 4
         claimed = MIMES[(k + 1) % 4] if i % 3 == 0 else MIMES[k]
         rows.append((i, claimed, bytearray(payload(k))))
-    pay = spark.createDataFrame(
+    pay = local_df(spark, 
         rows, "i INT, claimed_mime STRING, content BINARY"
     )
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
@@ -4858,7 +4858,7 @@ def q309(spark, sf_dir):
             content = f"plain {i}".encode("ascii")
             ct = "text/plain"  # no charset param: falls to heuristic
         rows.append((i, bytearray(content), ct))
-    pay = spark.createDataFrame(
+    pay = local_df(spark, 
         rows, "i INT, content BINARY, content_type STRING"
     )
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
@@ -4955,7 +4955,7 @@ def q310(spark, sf_dir):
         )
 
     payloads = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    pay = local_df(spark, payloads, "i INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -5206,7 +5206,7 @@ def q314(spark, sf_dir):
         return "<html><body>no head at all</body></html>"
 
     payloads = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(payloads, "i INT, html STRING")
+    pay = local_df(spark, payloads, "i INT, html STRING")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     pages = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -5263,7 +5263,7 @@ def q315(spark, sf_dir):
         return "User-agent: *\nDisallow: /private/\n"
 
     rows = [(f"h{i}.ex", make(i)) for i in range(150)]
-    pay = spark.createDataFrame(rows, "host string, robots_txt string")
+    pay = local_df(spark, rows, "host string, robots_txt string")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     robots = d.join(
         F.broadcast(pay),
@@ -5483,7 +5483,7 @@ def q319(spark, sf_dir):
         return f"x Ã y {i}"  # 0xC3 0x20: invalid UTF-8, stays as-is
 
     rows = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(rows, "i INT, mtext STRING")
+    pay = local_df(spark, rows, "i INT, mtext STRING")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     docs = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -5539,7 +5539,7 @@ def q320(spark, sf_dir):
         return '<?xml version="1.0"?><urlset></urlset>'
 
     rows = [(f"h{i}.ex", make(i)) for i in range(150)]
-    pay = spark.createDataFrame(rows, "host string, sitemap_xml string")
+    pay = local_df(spark, rows, "host string, sitemap_xml string")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     sm = d.join(
         F.broadcast(pay),
@@ -5600,7 +5600,7 @@ def q285(spark, sf_dir):
         return bytearray(encode_wav(sig, sr))
 
     payloads = [(k, make(k)) for k in range(10, 60)]
-    pay = spark.createDataFrame(payloads, "k INT, content BINARY")
+    pay = local_df(spark, payloads, "k INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 50 + 10).cast("int") == F.col("k")
@@ -5677,7 +5677,7 @@ def q322(spark, sf_dir):
         return bytearray(encode_wav(np.concatenate(segs), sr))
 
     payloads = [(j, make(j)) for j in range(150)]
-    pay = spark.createDataFrame(payloads, "j INT, content BINARY")
+    pay = local_df(spark, payloads, "j INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("j")
@@ -5784,7 +5784,7 @@ def q326(spark, sf_dir):
     from parquet_on_fhir_spark.operators.frontier import politeness_schedule
     from parquet_on_fhir_spark.operators.robots import crawl_delays
 
-    robots = spark.createDataFrame(
+    robots = local_df(spark, 
         [
             ("h0", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
             ("h1", "crawl-delay: 0.5\n"),
@@ -5990,7 +5990,14 @@ def q328(spark, sf_dir):
               '<a href="/hub.html" rel="nofollow">hub</a>'
               '<a href="javascript:void(0)">js</a></body></html>'),
     )
-    pages = d.select("doc_id", src.alias("src_url"), html.alias("html"))
+    # ONE scan task for the 120-page fixture (r16, guide §4/§6): the
+    # documents scan splits into ~33 file partitions, and mapInPandas
+    # launches a Python worker round-trip per partition — ~0.4 s/task
+    # of pure boundary cost for at most 4 rows each (measured 12.6 s
+    # of task time per run). The fixture is pinned to 120 pages at
+    # any sf, so single-partition is its right layout; a real crawl
+    # feeds extract_links full-sized scan partitions instead.
+    pages = d.select("doc_id", src.alias("src_url"), html.alias("html")).coalesce(1)
 
     links = extract_links(pages, url_col="src_url")
     follow = links.filter(~F.col("nofollow")).select(
@@ -5999,7 +6006,7 @@ def q328(spark, sf_dir):
     inlinks = follow.groupBy("url").agg(
         F.count("*").cast("int").alias("n_in")
     )
-    sitemaps = spark.createDataFrame(
+    sitemaps = local_df(spark, 
         [
             (
                 "h0.ex",
@@ -6034,9 +6041,13 @@ def q328(spark, sf_dir):
     frontier = frontier.localCheckpoint(eager=True)
 
     demand = frontier.groupBy("host").agg(F.count("*").alias("n_urls"))
-    alloc = allocate_crawl_budget(demand, 60)
+    # lazy budget (r16): the frontier is already checkpointed, so the
+    # twice-computed demand subtree is one cheap aggregate — letting
+    # the final action compute the whole Hamilton plan drops the
+    # per-call eager materialization job and scratch persist.
+    alloc = allocate_crawl_budget(demand, 60, eager_cleanup=False)
 
-    robots = spark.createDataFrame(
+    robots = local_df(spark, 
         [
             ("h0.ex", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
             ("h1.ex", "Crawl-delay: 0.5\n"),
@@ -6181,7 +6192,7 @@ def q329(spark, sf_dir):
         return bytearray(build_warc(recs, gzip_members=(i % 2 == 1)))
 
     payloads = [(i, make(i)) for i in range(150)]
-    pay = spark.createDataFrame(payloads, "i INT, content BINARY")
+    pay = local_df(spark, payloads, "i INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 150).cast("int") == F.col("i")
@@ -6425,7 +6436,7 @@ def q289(spark, sf_dir):
         return bytearray(encode_tiff(img, packbits=(g % 2 == 0)))
 
     payloads = [(g, make(g)) for g in range(28, 228)]
-    pay = spark.createDataFrame(payloads, "g INT, content BINARY")
+    pay = local_df(spark, payloads, "g INT, content BINARY")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.join(
         F.broadcast(pay), (F.col("doc_id") % 200 + 28).cast("int") == F.col("g")

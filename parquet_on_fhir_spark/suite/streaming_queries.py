@@ -19,7 +19,7 @@ from parquet_on_fhir_spark.streaming.jobs import (
     stream_events_multibatch,
 )
 from parquet_on_fhir_spark.streaming.stateful import running_user_totals
-from parquet_on_fhir_spark.suite.common import Q, d2, d4, t, ts_str
+from parquet_on_fhir_spark.suite.common import local_df, Q, d2, d4, t, ts_str
 
 WINDOW_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 WINDOW_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -740,7 +740,7 @@ def q318(spark, sf_dir):
     from parquet_on_fhir_spark.operators.robots import robots_filter
     from parquet_on_fhir_spark.streaming.jobs import stream_events
 
-    robots = spark.createDataFrame(
+    robots = local_df(spark, 
         [
             ("h0.ex", "User-agent: *\nDisallow: /private/\n"
                       "Allow: /private/ok/\n"),
@@ -861,7 +861,7 @@ def q321(spark, sf_dir):
             )
         )
 
-    pay = spark.createDataFrame(
+    pay = local_df(spark, 
         [(i, make(i)) for i in range(150)], "i INT, content BINARY"
     )
     s = stream_events(spark, sf_dir).filter(F.col("event_id") < 1000)
