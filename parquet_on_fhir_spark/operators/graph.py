@@ -324,6 +324,16 @@ def pagerank(
     n = nd.count()
     if n == 0:
         return nd.select(F.col("node"), F.lit(0.0).alias("rank"))
+    # The node count is already on the driver (the convergence/size
+    # action above) — use it to pick the per-round join strategy
+    # (guide §3.1). A checkpointed rank table carries no stats, so AQE
+    # plans the ends⋈ranks join as sort-merge, shuffling the FULL edge
+    # table every round. Under 1M nodes the rank table is tens of MB:
+    # broadcast it (and the post-agg contribution table) so the edge
+    # checkpoint is scanned in place — per round the only exchange
+    # left is the contribution aggregate's own. Bigger graphs keep the
+    # shuffle join: a 100 TB-scale rank table must not be broadcast.
+    small = n <= 1_000_000
     ranks = nd.select("node", F.lit(1.0 / n).alias("rank"), "__deg")
     for _ in range(iterations):
         # referenced by the dangling aggregate AND the contribution
@@ -339,12 +349,15 @@ def pagerank(
             ranks.filter(F.col("__deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
+        rk = F.broadcast(ranks) if small else ranks
         contrib = (
-            ends.join(ranks, ends["u"] == ranks["node"])
+            ends.join(rk, ends["u"] == rk["node"])
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("__deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("__in"))
         )
+        if small:
+            contrib = F.broadcast(contrib)
         base = (
             F.lit((1.0 - damping) / n)
             + F.lit(damping) * F.col("__dang") / F.lit(float(n))
@@ -443,7 +456,89 @@ def triangle_count(
     # exchange REPLACES the join's own — it is not an extra shuffle.
     par = oriented.sparkSession.sparkContext.defaultParallelism
     oriented = oriented.repartition(par, "u")
-    oriented = _truncate_lineage(oriented)  # referenced 3x (e1, e2, closing)
+    oriented = _truncate_lineage(oriented)  # referenced 3x in either branch
+    # The checkpoint makes the edge count a near-free job; it picks the
+    # counting strategy (same 1M gate the r15 closing-set broadcast
+    # used — AQE cannot size through a checkpoint).
+    if oriented.count() <= 1_000_000:
+        # Adjacency-intersection counting (r16, guide §2.4/§3.1): the
+        # wedge self-join materializes m·√m wedge rows and explodes 3
+        # corner rows per TRIANGLE (62M rows on q150's near-complete
+        # 500-node fixture) just to count them. The per-node counts
+        # decompose per ORIENTED EDGE instead: for edge a→b,
+        #   n1 = |out(a) ∩ out(b)|  — triangles where a is the pivot
+        #        and b the middle (w ranges over the intersection), so
+        #        edge (a,b) contributes n1 to a AND n1 to b;
+        #   n2 = |in(a) ∩ in(b)|    — triangles where a→b is the
+        #        closing edge (the pivots u range over the
+        #        intersection), contributing n2 to b as the top corner
+        #        (a's middle credit was counted at its pivot edge).
+        # Every triangle (u→v, u→w, v→w) is thus credited exactly once
+        # per corner: u and v at edge (u,v) via n1, w at edge (v,w)
+        # via n2. Out-degrees are √m-bounded by the orientation, so
+        # the adjacency tables hold m elements total — broadcastable
+        # under the gate — and the whole count is ONE map-side pass
+        # over the edges (two hash-set intersections per edge) plus a
+        # 3-rows-per-edge explode into the final aggregate: no wedge
+        # rows, no per-triangle rows, one narrow exchange.
+        aout = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+        ain = oriented.groupBy("v").agg(F.collect_list("u").alias("nb"))
+        e = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e = (
+            e.join(
+                F.broadcast(
+                    aout.select(F.col("u").alias("a"), F.col("nb").alias("oa"))
+                ),
+                "a",
+            )  # inner: a always has out-edge b
+            .join(
+                F.broadcast(
+                    aout.select(F.col("u").alias("b"), F.col("nb").alias("ob"))
+                ),
+                "b",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    ain.select(F.col("v").alias("a"), F.col("nb").alias("ia"))
+                ),
+                "a",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    ain.select(F.col("v").alias("b"), F.col("nb").alias("ib"))
+                ),
+                "b",
+            )  # inner: b always has in-edge a
+        )
+        # type-safe empty arrays for the nullable sides: an empty slice
+        # of the same row's guaranteed-non-null sibling array
+        ob = F.coalesce(F.col("ob"), F.slice(F.col("oa"), 1, 0))
+        ia = F.coalesce(F.col("ia"), F.slice(F.col("ib"), 1, 0))
+        n1 = F.size(F.array_intersect(F.col("oa"), ob)).cast("long")
+        n2 = F.size(F.array_intersect(ia, F.col("ib"))).cast("long")
+        # the intersections are the per-row work: materialize each ONCE
+        # behind the explode (a bare explode of the struct array would
+        # inline n1 into two struct legs = two hash-set builds per edge)
+        sized = e.select("a", "b", n1.alias("n1"), n2.alias("n2"))
+        contrib = sized.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("n1").alias("c")),
+                    F.struct(F.col("b").alias("node"), F.col("n1").alias("c")),
+                    F.struct(F.col("b").alias("node"), F.col("n2").alias("c")),
+                )
+            ).alias("e")
+        ).select("e.node", "e.c")
+        return (
+            contrib.groupBy("node")
+            .agg(F.sum("c").cast("long").alias("n_triangles"))
+            .filter(F.col("n_triangles") > 0)
+        )
+    # Big-graph branch (the 100 TB shape): the proven m·√m wedge join —
+    # adjacency arrays that big must not be broadcast, and the shuffle
+    # join spreads the wedge stream instead.
     e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     # each unordered out-pair once: x before y in the canonical id order
@@ -451,15 +546,6 @@ def triangle_count(
     closing = oriented.select(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
-    # the wedge side is the BIG side by construction (m·√m candidates
-    # vs m closing edges), but AQE cannot see through the checkpoint to
-    # size the closing side — so decide here: the checkpoint makes the
-    # edge count a near-free job, and under ~1M edges broadcasting the
-    # closing set keeps the m·√m wedge stream map-side instead of
-    # shuffling it on (x, y). Bigger graphs keep the shuffle join (the
-    # 100 TB shape — a closing set that big must not be broadcast).
-    if oriented.count() <= 1_000_000:
-        closing = F.broadcast(closing)
     tris = wedges.join(closing, ["x", "y"])  # (u, x, y) = one triangle
     # one explode, not a 3-way unionAll of the SAME join subtree — the
     # union form plans the wedge join three times (no reuse without an
