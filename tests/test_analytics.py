@@ -1,5 +1,6 @@
 """Funnel / cohort-retention / expectations operator tests."""
 
+import pytest
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -894,6 +895,7 @@ def test_weighted_percentile_quantize_tier(spark):
         assert b <= e and e - b < 2.0       # low side, within ~a bucket
 
 
+@pytest.mark.slow
 def test_operators_graceful_on_empty_input(spark):
     """Aggregating operators return empty/NULL frames on empty input;
     driver-solve operators raise a NAMED ValueError — never a bare

@@ -10,6 +10,7 @@ rule's unit semantics are covered by the inline A/B loop inside it).
 
 from __future__ import annotations
 
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -171,6 +172,7 @@ print("CATALYST_EXT_OK")
 """ % (str(REPO),)
 
 
+@pytest.mark.slow
 def test_injected_rule_pushdown_and_semantics():
     r = subprocess.run(
         [sys.executable, "-c", SCENARIO],

@@ -1,5 +1,6 @@
 """CLI end-to-end: encode -> validate -> decode -> re-encode equality."""
 
+import pytest
 import json
 import subprocess
 import sys
@@ -19,6 +20,7 @@ def run_cli(*args):
     )
 
 
+@pytest.mark.slow
 def test_cli_encode_validate_decode_roundtrip():
     d = tempfile.mkdtemp(prefix="cli_")
     rows = [
@@ -48,6 +50,7 @@ def test_cli_encode_validate_decode_roundtrip():
     assert sorted(docs, key=lambda x: x["id"]) == rows
 
 
+@pytest.mark.slow
 def test_cli_view():
     d = tempfile.mkdtemp(prefix="cli_view_")
     rows = [
@@ -269,6 +272,7 @@ def test_cli_lookup_and_closure_delta(tmp_path, capsys):
     assert len(rev) == 1 and rev[0].target_code == "bp-sys"
 
 
+@pytest.mark.slow
 def test_cli_expand_operation_flags():
     """r12 wave 2: the expand subcommand exposes the $expand operation
     parameters (paging/filter/displayLanguage) and --versioned."""

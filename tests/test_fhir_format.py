@@ -757,6 +757,7 @@ def test_valueset_predicate_filters(spark):
             )
 
 
+@pytest.mark.slow
 def test_ecl_expand_subset(spark):
     """fhir/terminology.py::ecl_expand (r9): the supported ECL subset
     over the anatomy CodeSystem — prefixes, wildcard, parens,
@@ -1042,6 +1043,7 @@ def test_ecl_member_of(spark):
         ecl_expand("^ vs-ca", cs, clo, system, valuesets=vs4).collect()
 
 
+@pytest.mark.slow
 def test_ecl_dotted_cardinality_reverse(spark):
     """fhir/terminology.py::ecl_expand r9 extensions: dotted attribute
     walks (`focus . attr` → attribute values ∩ universe), cardinality
@@ -1113,6 +1115,7 @@ def test_ecl_dotted_cardinality_reverse(spark):
             ecl_expand(bad, cs, clo, system).collect()
 
 
+@pytest.mark.slow
 def test_ecl_attribute_groups(spark):
     """fhir/terminology.py::ecl_expand r10 extension: attribute groups
     `{ attr = value , ... }` — self-grouped R4 semantics (one assertion
@@ -1212,6 +1215,7 @@ def test_ecl_attribute_groups(spark):
             ecl_expand(bad, cs, clo, system).collect()
 
 
+@pytest.mark.slow
 def test_ecl_comparison_operators(spark):
     """fhir/terminology.py::ecl_expand r12 extension: '!=' on concept
     values, numeric '#' concrete values with = != < <= > >=, their
@@ -1282,6 +1286,7 @@ def test_ecl_comparison_operators(spark):
             ecl_expand(bad, cs, clo, system).collect()
 
 
+@pytest.mark.slow
 def test_ecl_refinement_and_or(spark):
     """fhir/terminology.py r12: AND/OR between refinement items (',' ≡
     AND), parenthesized nesting, groups/cardinality/reverse members

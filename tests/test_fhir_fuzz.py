@@ -3,6 +3,7 @@ hypothesis-generated resources with random sparse field subsets, partial
 dates, choice variants, and nested extensions must regenerate exactly
 (README.md:11-13 losslessness)."""
 
+import pytest
 import json
 import tempfile
 
@@ -553,6 +554,7 @@ def _ecl_exprs(depth=2):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_ecl_exprs())
+@pytest.mark.slow
 def test_ecl_engine_matches_reference_semantics(spark, node):
     """Differential fuzz (r9): random ECL ASTs rendered to strings,
     evaluated by fhir/terminology.py::ecl_expand (broadcast joins over
@@ -714,6 +716,7 @@ def _f2_exprs(depth=2):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_f2_exprs())
+@pytest.mark.slow
 def test_ecl_extension_fuzz_matches_reference(spark, node):
     """Differential fuzz for the r9 ECL extensions: random ASTs with
     dotted walks, cardinality windows and reverse attributes over the
@@ -864,6 +867,7 @@ def _meds_exprs(depth=2):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_meds_exprs())
+@pytest.mark.slow
 def test_ecl_comparison_fuzz_matches_reference(spark, node):
     """Differential fuzz for the r12 comparison operators: random ASTs
     with != on concept values, numeric '#' comparisons over the
@@ -1063,6 +1067,7 @@ def _vsf_specs(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_vsf_specs())
+@pytest.mark.slow
 def test_valueset_compose_fuzz_matches_reference(spark, specs):
     """Differential fuzz over expand_valueset's full compose surface:
     random mixes of listed concepts, whole-system includes, is-a

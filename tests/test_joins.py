@@ -1,5 +1,6 @@
 """as-of / interval join operator tests (vs naive formulations)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from parquet_on_fhir_spark.api import load_table
@@ -149,6 +150,7 @@ def test_bucketed_interval_join_multiplicity(spark):
     assert out.count() == 2
 
 
+@pytest.mark.slow
 def test_fuzzy_join_matches_exact_quadratic(spark):
     """FastSS blocking is sound AND complete: the pair set equals the
     brute-force levenshtein join for k=1 and k=2."""
@@ -194,6 +196,7 @@ def test_fuzzy_join_rejects_large_k(spark):
         fuzzy_join(df, df, "s", "s", max_dist=3)
 
 
+@pytest.mark.slow
 def test_fuzzy_join_randomized_vs_brute_force(spark):
     """Seeded random corpus (mixed alphabet, lengths 0-8, duplicates):
     FastSS candidate generation misses no pair at k=1 and k=2."""

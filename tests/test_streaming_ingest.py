@@ -1,6 +1,7 @@
 """Streaming NDJSON→Parquet-on-FHIR ingest (streaming/fhir_ingest.py):
 run-to-completion batches, exactly-once incremental append, quarantine."""
 
+import pytest
 import json
 import tempfile
 
@@ -33,6 +34,7 @@ def _docs_out(spark, out):
     )
 
 
+@pytest.mark.slow
 def test_stream_encode_available_now_and_incremental(spark):
     base = tempfile.mkdtemp(prefix="ingest_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
