@@ -102,10 +102,14 @@ def _plan_memo(df: DataFrame, key: str, build):
     one operator invocation and dies with the object — NOT a result
     cache: every invocation re-derives from its own inputs."""
     cache = getattr(df, "_pofs_plan_memo", None)
-    if cache is None:
+    if not isinstance(cache, dict):
+        # r15 ADVICE: DataFrame.__getattr__ resolves unknown attributes
+        # as COLUMNS, so a frame carrying a column literally named
+        # _pofs_plan_memo would hand back a Column here — degrade to a
+        # cache miss (rebuild per call), never a crash.
         cache = {}
         try:
-            df._pofs_plan_memo = cache
+            object.__setattr__(df, "_pofs_plan_memo", cache)
         except Exception:  # pragma: no cover - exotic DataFrame proxies
             return build()
     if key not in cache:
