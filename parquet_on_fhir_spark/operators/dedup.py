@@ -584,7 +584,9 @@ def near_dup_clusters(
     # completely unshuffled (r16, guide §3.1); bigger label tables
     # keep the shuffle join — a 100 TB pair graph must not broadcast.
     n_cc = getattr(cc, "_pofs_rows", None)
-    if isinstance(n_cc, int) and n_cc <= 1_000_000:
+    from parquet_on_fhir_spark.operators import graph as _graph
+
+    if isinstance(n_cc, int) and n_cc <= _graph._BROADCAST_MAX_ROWS:
         cc = F.broadcast(cc)
     out = (
         df.select(id_col)

@@ -69,6 +69,13 @@ def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
 _PTR_JUMP_START = 3
 _PTR_JUMPS = 2
 
+#: node/edge count under which the r16 small-graph strategies engage
+#: (broadcast rank/contribution tables in pagerank, adjacency-
+#: intersection triangle counting): tens of MB of broadcast at most.
+#: Module constant so tests can force the big-graph branches on small
+#: fixtures and assert both strategies agree.
+_BROADCAST_MAX_ROWS = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -333,7 +340,7 @@ def pagerank(
     # checkpoint is scanned in place — per round the only exchange
     # left is the contribution aggregate's own. Bigger graphs keep the
     # shuffle join: a 100 TB-scale rank table must not be broadcast.
-    small = n <= 1_000_000
+    small = n <= _BROADCAST_MAX_ROWS
     ranks = nd.select("node", F.lit(1.0 / n).alias("rank"), "__deg")
     for _ in range(iterations):
         # referenced by the dangling aggregate AND the contribution
@@ -460,7 +467,7 @@ def triangle_count(
     # The checkpoint makes the edge count a near-free job; it picks the
     # counting strategy (same 1M gate the r15 closing-set broadcast
     # used — AQE cannot size through a checkpoint).
-    if oriented.count() <= 1_000_000:
+    if oriented.count() <= _BROADCAST_MAX_ROWS:
         # Adjacency-intersection counting (r16, guide §2.4/§3.1): the
         # wedge self-join materializes m·√m wedge rows and explodes 3
         # corner rows per TRIANGLE (62M rows on q150's near-complete

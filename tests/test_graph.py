@@ -331,6 +331,64 @@ def test_triangle_count_matches_bruteforce_random(spark):
     assert got == expected
 
 
+def test_triangle_count_big_graph_branch_agrees(spark, monkeypatch):
+    """The >1M-edge wedge-join branch (r16: small graphs count by
+    adjacency intersection instead) must produce identical per-node
+    counts — force it by zeroing the gate and compare strategies."""
+    import random
+
+    from parquet_on_fhir_spark.operators import graph as G
+
+    rng = random.Random(11)
+    edges = set()
+    while len(edges) < 200:
+        a, b = rng.randrange(35), rng.randrange(35)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    small = {r.node: r.n_triangles for r in G.triangle_count(df).collect()}
+    monkeypatch.setattr(G, "_BROADCAST_MAX_ROWS", 0)
+    big = {r.node: r.n_triangles for r in G.triangle_count(df).collect()}
+    assert big == small and small  # same counts, and the graph has triangles
+
+
+def test_pagerank_big_graph_branch_agrees(spark, monkeypatch):
+    """The >1M-node shuffle-join pagerank branch (r16: small graphs
+    broadcast the rank/contribution tables) must produce identical
+    ranks — IEEE-identical, since only the join strategy changes."""
+    from parquet_on_fhir_spark.operators import graph as G
+
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [(3, 9), (9, 3), (4, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    small = {r.node: r["rank"] for r in G.pagerank(df, iterations=4).collect()}
+    monkeypatch.setattr(G, "_BROADCAST_MAX_ROWS", 0)
+    big = {r.node: r["rank"] for r in G.pagerank(df, iterations=4).collect()}
+    assert big == small
+
+
+def test_near_dup_clusters_shuffle_join_branch_agrees(spark, monkeypatch):
+    """near_dup_clusters broadcasts the label table only under the
+    gate (r16); the shuffle-join branch must yield the same clusters."""
+    from parquet_on_fhir_spark.operators import graph as G
+    from parquet_on_fhir_spark.operators.dedup import near_dup_clusters
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta {i % 4}") for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def run():
+        return {
+            (r.doc_id, r.component, r.is_survivor)
+            for r in near_dup_clusters(
+                df, "text", "doc_id", num_hashes=16, num_bands=4,
+                jaccard_threshold=0.3,
+            ).collect()
+        }
+
+    small = run()
+    monkeypatch.setattr(G, "_BROADCAST_MAX_ROWS", 0)
+    assert run() == small
+
+
 def test_k_core_known_graph(spark):
     from parquet_on_fhir_spark.operators.graph import k_core
 
