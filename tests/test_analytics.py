@@ -12,6 +12,7 @@ def _ev(spark, rows):
     return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
 
 
+@pytest.mark.slow
 def test_funnel_enforces_order(spark):
     t0 = datetime(2024, 1, 1)
     rows = [
@@ -638,6 +639,7 @@ def test_distinct_sketch_rollup_union_is_sketch_based(spark):
     assert all(r.rel_err < 0.02 for r in got.values())
 
 
+@pytest.mark.slow
 def test_attribution_models(spark):
     from datetime import datetime
 
@@ -668,6 +670,7 @@ def test_attribution_models(spark):
     assert lin[None].conversions == 2  # no-touch purchases -> direct
 
 
+@pytest.mark.slow
 def test_dp_noisy_counts_properties(spark):
     import pytest
 

@@ -84,6 +84,7 @@ def test_cli_view():
     assert got == [("p1", "male", "A"), ("p1", "male", "B"), ("p2", "female", None)]
 
 
+@pytest.mark.slow
 def test_cli_diff_summary(tmp_path):
     import duckdb  # noqa: F401 - ensures env parity with other CLI tests
 
@@ -105,6 +106,7 @@ sys.exit(rc)
     assert "added" in r.stdout and "removed" in r.stdout and "changed" in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_unbundle(tmp_path):
     import json as _json
 

@@ -656,6 +656,7 @@ def test_entry_resource_span_scanner_adversarial():
     assert _entry_resource_spans('{"resourceType":"Patient","id":"p"}') == []
 
 
+@pytest.mark.slow
 def test_valueset_predicate_filters(spark):
     """regex/in/not-in/exists code predicates, concept-property
     equality and regex, is-not-a, AND-across-filters, and malformed
@@ -841,6 +842,7 @@ def test_ecl_expand_subset(spark):
             ecl_expand(bad, cs, clo, system).collect()
 
 
+@pytest.mark.slow
 def test_ecl_refinement_concept_set_values(spark):
     """fhir/terminology.py::ecl_expand refinements with SET-valued
     right-hand sides (r9): `attr = << X` means the property value lies
@@ -927,6 +929,7 @@ def test_validate_codes_batch(spark):
     assert all(not r.in_valueset for r in none)
 
 
+@pytest.mark.slow
 def test_ecl_member_of(spark):
     """fhir/terminology.py::ecl_expand `^ refset` (r9): a ValueSet acts
     as the reference set (token matches id OR url), expanded once and
@@ -1427,6 +1430,7 @@ def test_conceptmap_unmapped_modes(spark):
     )
 
 
+@pytest.mark.slow
 def test_ecl_children_parents_terms(spark):
     """ecl_expand r10: `<!` children / `>!` parents against the direct
     edge frame, `|term|` annotation stripping, and the refusals
@@ -1465,6 +1469,7 @@ def test_ecl_children_parents_terms(spark):
             ecl_expand(bad, cs, clo, system).collect()
 
 
+@pytest.mark.slow
 def test_closure_delta_matches_full_recompute(spark):
     """fhir/terminology.py::closure_delta (r10): on random layered DAGs
     split into old/new edge sets, old_closure ∪ delta must equal the

@@ -1239,6 +1239,7 @@ def _trf_ref(groups, facts, reverse):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_trf_case())
+@pytest.mark.slow
 def test_translate_fuzz_matches_reference(spark, case):
     """Differential fuzz for $translate forward (multi-target
     elements, codeless targets keeping their stated equivalence,

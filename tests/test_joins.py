@@ -366,6 +366,7 @@ def test_bloom_semi_join_exact_and_prefilter(spark):
         bloom_semi_join(fact, dim, "k", "dk", m_bits=100)
 
 
+@pytest.mark.slow
 def test_fs_em_fit_matches_numpy_reference(spark):
     """fs_em_fit (distributed EM) vs an independent numpy EM, element
     by element after every iteration count tried; planted m/u are

@@ -3,6 +3,7 @@ dedup spans batches, checkpoint reuse is idempotent. Files are fed one
 per trigger (maxFilesPerTrigger=1) so the pipeline genuinely runs
 several micro-batches."""
 
+import pytest
 import tempfile
 import time
 
@@ -103,6 +104,7 @@ def test_checkpoint_reuse_is_idempotent(spark, sf_dir):
     assert second in ({}, truth)  # nothing new: empty sink or identical counts
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data(spark):
     """Run 1 processes recent data and advances the watermark (persisted
     in the checkpoint); run 2 (same checkpoint) sees only too-late rows,
